@@ -1,0 +1,23 @@
+from area_etl_spark.functions.transforms import (
+    handle_created_at,
+    handle_datetime,
+    handle_disabled_at,
+    handle_enum_mapping,
+    handle_id,
+    handle_text,
+    handle_timestamps,
+    handle_updated_at,
+    handle_year,
+)
+
+__all__ = [
+    "handle_created_at",
+    "handle_datetime",
+    "handle_disabled_at",
+    "handle_enum_mapping",
+    "handle_id",
+    "handle_text",
+    "handle_timestamps",
+    "handle_updated_at",
+    "handle_year",
+]

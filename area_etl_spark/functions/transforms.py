@@ -1,0 +1,165 @@
+"""Scalar column transforms — the reference's ETL toolkit, Spark-first.
+
+Parity targets (reference file:line):
+
+- ``handle_created_at``    /root/reference/src/utils.py:276
+- ``handle_updated_at``    /root/reference/src/utils.py:309
+- ``handle_disabled_at``   /root/reference/src/utils.py:350
+- ``handle_timestamps``    /root/reference/src/utils.py:401
+- ``handle_id``            /root/reference/src/utils.py:444
+- ``handle_enum_mapping``  /root/reference/src/utils.py:493 (+ map_value :468)
+- ``handle_text``          /root/reference/src/utils.py:546
+- ``handle_year``          /root/reference/src/utils.py:579
+- ``handle_datetime``      /root/reference/src/utils.py:600
+
+Every function returns a ``pyspark.sql.Column`` so it composes inside a
+single ``select`` exactly like the reference's ``pl.Expr`` values compose —
+and, unlike the reference's ``map_elements`` enum mapping (a row-at-a-time
+Python callback, ``utils.py:520``), everything here is a pure Catalyst
+expression that stays inside whole-stage codegen on the JVM.  At 100 TB that
+is the difference between a scan-speed pipeline and a Python-bottlenecked one.
+
+Timezone note: the reference's
+``.dt.replace_time_zone("Europe/Rome", ambiguous="earliest").dt.replace_time_zone(None)``
+idiom stamps a naive wall time as Europe/Rome and then drops the zone again —
+it is wall-clock preserving (identity on the stored value, with "earliest"
+disambiguation for the one repeated DST hour).  Spark stores naive
+``timestamp`` values the same way, so the observable transform is the
+coalesce ladder; no per-value zone arithmetic is needed or performed.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_col(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _now_naive() -> datetime:
+    return datetime.now(timezone.utc).replace(tzinfo=None, microsecond=0)
+
+
+def handle_created_at(
+    creation_col: str | Column = "CREATION",
+    current_time: datetime | None = None,
+) -> Column:
+    """``created_at = coalesce(CREATION, now())`` (utils.py:276)."""
+    if current_time is None:
+        current_time = _now_naive()
+    return F.coalesce(_as_col(creation_col), F.lit(current_time)).alias("created_at")
+
+
+def handle_updated_at(
+    last_mod_col: str | Column = "LAST_MOD",
+    creation_col: str | Column = "CREATION",
+    current_time: datetime | None = None,
+) -> Column:
+    """``updated_at = coalesce(LAST_MOD, CREATION, now())`` (utils.py:309)."""
+    if current_time is None:
+        current_time = _now_naive()
+    return F.coalesce(_as_col(last_mod_col), _as_col(creation_col), F.lit(current_time)).alias(
+        "updated_at"
+    )
+
+
+def handle_disabled_at(
+    disabled_col: str | Column = "DISABLED",
+    disabled_value: str = "S",
+    last_mod_col: str | Column = "LAST_MOD",
+    creation_col: str | Column = "CREATION",
+    direct_disabled_col: str | Column | None = None,
+) -> Column:
+    """``disabled_at`` conditional ladder (utils.py:350).
+
+    If ``direct_disabled_col`` is given it is passed through; otherwise rows
+    whose flag equals ``disabled_value`` get ``coalesce(LAST_MOD, CREATION)``
+    and all others NULL.
+    """
+    if direct_disabled_col is not None:
+        return _as_col(direct_disabled_col).alias("disabled_at")
+    return (
+        F.when(
+            _as_col(disabled_col) == F.lit(disabled_value),
+            F.coalesce(_as_col(last_mod_col), _as_col(creation_col)),
+        )
+        .otherwise(F.lit(None))
+        .alias("disabled_at")
+    )
+
+
+def handle_timestamps(
+    creation_col: str | Column = "CREATION",
+    last_mod_col: str | Column = "LAST_MOD",
+    disabled_col: str | Column = "DISABLED",
+    disabled_value: str = "S",
+    direct_disabled_col: str | Column | None = None,
+    current_time: datetime | None = None,
+) -> dict[str, Column]:
+    """All three audit timestamps with a shared ``now`` (utils.py:401)."""
+    if current_time is None:
+        current_time = _now_naive()
+    return {
+        "created_at": handle_created_at(creation_col, current_time),
+        "updated_at": handle_updated_at(last_mod_col, creation_col, current_time),
+        "disabled_at": handle_disabled_at(
+            disabled_col, disabled_value, last_mod_col, creation_col, direct_disabled_col
+        ),
+    }
+
+
+def handle_id(source_id_col: str | Column = "CLIENTID", target_id_col: str = "id") -> Column:
+    """Strip + lowercase id normalization (utils.py:444)."""
+    return F.lower(F.trim(_as_col(source_id_col).cast("string"))).alias(target_id_col)
+
+
+def handle_enum_mapping(
+    source_col: str | Column,
+    target_col: str,
+    mapping_dict: dict[str, str],
+    default: str | None = None,
+) -> Column:
+    """Dict-driven value standardization (utils.py:493).
+
+    The reference lowercases+strips then calls a Python ``map_elements``
+    callback per row (utils.py:520) — the VERDICT-flagged anti-pattern.  Here
+    the dict is compiled into a chained ``CASE WHEN`` Column: O(|dict|)
+    comparisons folded by Catalyst, zero Python in the executor path.  NULL
+    input maps to ``default`` (matching ``map_value``, utils.py:486-490).
+    """
+    key = F.lower(F.trim(_as_col(source_col).cast("string")))
+    expr: Column | None = None
+    for k, v in mapping_dict.items():
+        cond = key == F.lit(k.strip().lower())
+        expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+    if expr is None:
+        return F.lit(default).cast("string").alias(target_col)
+    return expr.otherwise(F.lit(default)).alias(target_col)
+
+
+def handle_text(source_col: str | Column, target_col: str) -> Column:
+    """Text cleaning: cast→trim→drop CR/LF→collapse whitespace (utils.py:546)."""
+    c = _as_col(source_col).cast("string")
+    c = F.trim(c)
+    c = F.regexp_replace(c, "\n", "")
+    c = F.regexp_replace(c, "\r", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return c.alias(target_col)
+
+
+def handle_year(source_col: str | Column, target_col: str) -> Column:
+    """Trim string then cast to 32-bit int year (utils.py:579)."""
+    return F.trim(_as_col(source_col).cast("string")).cast("int").alias(target_col)
+
+
+def handle_datetime(source_col: str | Column, target_col: str) -> Column:
+    """Cast to naive timestamp (utils.py:600).
+
+    The reference's tz-strip with ``ambiguous="earliest"`` is wall-clock
+    preserving (see module docstring); the observable effect is the cast.
+    """
+    return _as_col(source_col).cast("timestamp").alias(target_col)

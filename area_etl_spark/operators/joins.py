@@ -1,0 +1,42 @@
+"""Multi-way left-join composition with scale-aware build-side hints.
+
+Parity: the reference chains 32 ``DataFrame.join(..., how="left")`` sites
+(e.g. /root/reference/src/core.py:818-892, the resolutions pipeline's
+3-deep chain, and :303-321 companies).  In Polars every join is a local hash
+join; on a cluster the same chain must decide per-join whether to broadcast
+the build side or shuffle both sides.
+
+``left_join_chain`` composes N left joins and hints ``broadcast()`` for every
+right side known (or measured) to be dimension-sized, so the physical plan is
+a pipeline of BroadcastHashJoins over a single pass of the fact table — no
+shuffle at all when every right side is a dimension.  Catalyst/AQE may still
+override the hint if a "small" side turns out huge at runtime.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import broadcast
+
+
+def left_join_chain(
+    fact: DataFrame,
+    joins: Sequence[tuple[DataFrame, Sequence[str] | str, bool]],
+) -> DataFrame:
+    """Chain left joins onto ``fact``.
+
+    Parameters
+    ----------
+    fact : the probe-side table (large; never broadcast)
+    joins : sequence of ``(right_df, on, is_dimension)``; ``on`` is a column
+        name or list of names; ``is_dimension=True`` marks the right side as
+        broadcastable (bounded size regardless of scale factor).
+    """
+    out = fact
+    for right, on, is_dimension in joins:
+        right_side = broadcast(right) if is_dimension else right
+        on_cols = [on] if isinstance(on, str) else list(on)
+        out = out.join(right_side, on=on_cols, how="left")
+    return out

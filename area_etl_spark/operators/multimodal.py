@@ -1,0 +1,108 @@
+"""Multimodal (image/audio/video) column handling.
+
+LLM-pipeline operator family from the brief.  Media payloads travel as
+opaque ``binary`` columns with a typed metadata struct; the expensive kernels
+(decode, resize, frame-sample, feature-extract) run as Arrow-batched
+``mapInPandas`` stages.  The decode kernels themselves are STUBBED in this
+container (no PIL/ffmpeg available) behind ``DECODERS`` — the Spark-side
+plumbing (schema contract, batch iteration, partition sizing) is real and
+tested with the deterministic fake decoder.
+
+Scale notes: media rows are orders of magnitude wider than text rows, so
+``rebalance_for_media`` repartitions by a target bytes-per-partition before
+any mapInPandas stage — an Arrow batch must fit executor memory, and a
+skewed payload column (one 4 GB video among 50 kB images) must not land
+whole in one task.  The metadata struct lives in the SAME table as the
+payload, so filters on (mime, byte_len) prune before any decode runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+META_FIELDS = "struct<mime:string,byte_len:bigint,sha256:string>"
+
+DECODE_SCHEMA = (
+    "id bigint, mime string, byte_len bigint, width int, height int, n_frames int, ok boolean"
+)
+
+
+def attach_binary_payload(df: DataFrame, source_col: str, mime: str, id_col: str) -> DataFrame:
+    """Wrap a source column as (payload binary, meta struct) — the ingest contract.
+
+    In production the payload comes off object storage; here any column can
+    be cast to binary to exercise the full pipeline shape.
+    """
+    payload = F.col(source_col).cast("binary")
+    meta = F.struct(
+        F.lit(mime).alias("mime"),
+        F.length(payload).alias("byte_len"),
+        F.sha2(payload, 256).alias("sha256"),
+    )
+    return df.select(F.col(id_col).alias("id"), payload.alias("payload"), meta.alias("meta"))
+
+
+def fake_decode(payload: bytes) -> dict[str, Any]:
+    """Deterministic stand-in for an image/video decoder.
+
+    Derives pseudo-dimensions from the payload length so tests are exact and
+    reproducible: width = len % 997, height = len % 991, n_frames = len % 31.
+    """
+    n = len(payload)
+    return {"width": n % 997, "height": n % 991, "n_frames": n % 31, "ok": True}
+
+
+def real_decode(payload: bytes) -> dict[str, Any]:  # pragma: no cover - env has no media libs
+    """Real decoder slot — requires PIL/av, absent in this container."""
+    raise NotImplementedError(
+        "media decoding requires PIL/pyav which are not installed; "
+        "inject via DECODERS['real'] in a full environment"
+    )
+
+
+DECODERS: dict[str, Callable[[bytes], dict[str, Any]]] = {"fake": fake_decode, "real": real_decode}
+
+
+def rebalance_for_media(df: DataFrame, target_bytes_per_partition: int = 128 << 20) -> DataFrame:
+    """Repartition so each task's payload volume ≈ target (Arrow-batch safety)."""
+    total = df.select(F.sum(F.length(F.col("payload")))).first()[0] or 0
+    parts = max(1, int(total // target_bytes_per_partition) + 1)
+    return df.repartition(parts)
+
+
+def decode_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Arrow-batched decode stage: (id, payload, meta) → typed decode record.
+
+    ``mapInPandas`` streams column batches through the decoder — the payload
+    bytes never materialize on the driver, and each batch is bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    """
+    decode = DECODERS[decoder]
+
+    def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = pdf["meta"]
+            records = []
+            for i in range(len(pdf)):
+                payload = pdf["payload"].iloc[i]
+                d = decode(bytes(payload) if payload is not None else b"")
+                m = metas.iloc[i]
+                records.append(
+                    {
+                        "id": pdf["id"].iloc[i],
+                        "mime": m["mime"],
+                        "byte_len": m["byte_len"],
+                        "width": d["width"],
+                        "height": d["height"],
+                        "n_frames": d["n_frames"],
+                        "ok": d["ok"],
+                    }
+                )
+            yield pd.DataFrame.from_records(records)
+
+    return df.mapInPandas(_decode_batches, schema=DECODE_SCHEMA)

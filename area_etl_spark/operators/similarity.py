@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (array<float>).
+
+LLM-pipeline operator family from the brief (no counterpart in the
+reference, which stores no vectors).
+
+Two paths:
+
+- ``cosine_topk`` — brute-force exact top-k against a query vector.  One
+  narrow pass computing dot/norms with higher-order array functions
+  (``zip_with`` + ``aggregate`` — JVM-side, codegen), then a global top-k.
+  This is the CORRECTNESS baseline and the right plan when the corpus fits a
+  scan (top-k is a partial aggregation: each partition keeps k rows, the
+  driver merges — no full sort, no shuffle of the corpus).
+- ``lsh_ann_topk`` — the 100 TB path: random-hyperplane LSH buckets vectors
+  by sign signature; the query probes only its own (and optionally
+  neighboring multi-probe) buckets, so the scan touches |corpus| / 2^bits
+  rows per probe.  Bucketing is an equi-join key — at scale the corpus is
+  written bucketed/partitioned by signature so a probe is partition-pruned
+  I/O, not compute.
+
+Determinism: dot products evaluate left-to-right via ``aggregate`` — the
+float sum order is fixed, so results are reproducible across runs and match
+a same-order reference implementation bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine_similarity(vec_col: Column, query: list[float]) -> Column:
+    """cos(v, q) as a Column; query folded in as a literal array."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query))
+    return _dot(vec_col, q) / (_norm(vec_col) * F.lit(qn))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity.
+
+    Returns (id, cosine) ordered by (-cosine, id).  The orderBy+limit plan is
+    a TakeOrderedAndProject — per-partition top-k then driver merge, never a
+    global sort shuffle.
+    """
+    sim = F.round(cosine_similarity(F.col(vec_col), query), round_digits).alias("cosine")
+    return (
+        df.select(F.col(id_col), sim)
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane sign signature as an int bucket id."""
+    bits = []
+    for j, p in enumerate(planes):
+        d = _dot(vec_col, F.array(*[F.lit(x) for x in p]))
+        bits.append(F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_ann_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    bits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    multi_probe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: probe the query's LSH bucket(s) then exact-rank inside.
+
+    ``multi_probe`` > 1 additionally probes buckets at Hamming distance 1
+    from the query signature (flipping the lowest ``multi_probe-1`` bits),
+    trading recall for extra scanned buckets.  At 100 TB the corpus is
+    stored partitioned by ``bucket`` so non-probed buckets are never read
+    (partition pruning), making this I/O-bound on |bucket| not |corpus|.
+    """
+    dim = len(query)
+    planes = _hyperplanes(dim, bits, seed)
+    bucketed = df.withColumn("bucket", lsh_signature(F.col(vec_col), planes))
+
+    qsig = 0
+    for j, p in enumerate(planes):
+        if sum(px * qx for px, qx in zip(p, query)) >= 0:
+            qsig |= 1 << j
+    probes = {qsig}
+    for j in range(max(0, multi_probe - 1)):
+        probes.add(qsig ^ (1 << j))
+
+    sim = F.round(cosine_similarity(F.col(vec_col), query), 6).alias("cosine")
+    return (
+        bucketed.where(F.col("bucket").isin(*probes))
+        .select(F.col(id_col), sim)
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join.
+
+    Same shuffle shape as MinHash LSH: bucket (narrow) → self equi-join on
+    bucket (one shuffle) → exact cosine filter inside buckets only.
+    """
+    sample = df.select(vec_col).first()
+    dim = len(sample[0]) if sample else 0
+    planes = _hyperplanes(dim, bits, seed)
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col), planes).alias("bucket")
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pair_sim = F.round(
+        _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        / (_norm(F.col(f"a.{vec_col}")) * _norm(F.col(f"b.{vec_col}"))),
+        6,
+    )
+    return (
+        a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            pair_sim.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

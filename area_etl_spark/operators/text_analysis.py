@@ -1,0 +1,134 @@
+"""Text-analysis operators over document corpora — tokens, quality, lang-ID,
+fingerprints.
+
+LLM-pipeline operator family from the brief.  All pure Catalyst expressions
+(regex + higher-order array functions) — at 100 TB these run at scan speed
+inside whole-stage codegen, no Python round-trips.
+
+Each builder returns Columns so callers compose them into one ``select``
+(one pass over the corpus computes every feature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from area_etl_spark.operators.dedup import normalize_tokens
+
+# Tiny per-language stopword anchors for the n-gram/stopword heuristic.
+# Deliberately small: language ID at corpus scale is a lookup-join against a
+# broadcast lexicon; these anchors are the built-in default.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "for", "it"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "pour", "que"),
+    "es": ("el", "la", "los", "de", "y", "un", "una", "es", "para", "que"),
+    "de": ("der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "von"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "他", "这", "中"),
+}
+
+
+def token_count(text_col: str | Column) -> Column:
+    """Whitespace token count; 0 for empty/blank documents."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    trimmed = F.trim(c)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+def bpe_ish_token_count(text_col: str | Column) -> Column:
+    """Sub-word-ish token count via a BPE-flavored regex split.
+
+    Splits on word/number/punctuation boundaries (the GPT-2 pre-tokenizer
+    shape: runs of letters, runs of digits, single punctuation marks), which
+    upper-bounds whitespace tokens the way a BPE vocab does.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    pieces = F.regexp_replace(c, r"([^\s\p{L}\p{N}])", " $1 ")
+    pieces = F.regexp_replace(pieces, r"(\p{N}+)", " $1 ")
+    return token_count(pieces)
+
+
+def quality_features(text_col: str | Column, stopwords: tuple[str, ...] = LANG_STOPWORDS["en"]) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality signals.
+
+    Mirrors the classic C4/Gopher-style quality filters: documents are scored
+    by cheap surface statistics before any model-based filtering.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_chars = F.length(c)
+    toks = normalize_tokens(c)
+    n_toks = token_count(c)
+    stop_lit = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_lit, t)))
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[.!?,;:]", ""))
+    mean_tok_len = F.when(n_toks > 0, (F.length(F.regexp_replace(c, r"\s+", "")) / n_toks)).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars.cast("long").alias("n_chars"),
+        "n_tokens": n_toks.cast("long").alias("n_tokens"),
+        "stopword_ratio": F.round(F.when(n_toks > 0, n_stop / n_toks).otherwise(0.0), 6).alias("stopword_ratio"),
+        "punct_ratio": F.round(F.when(n_chars > 0, n_punct / n_chars).otherwise(0.0), 6).alias("punct_ratio"),
+        "mean_token_len": F.round(mean_tok_len, 6).alias("mean_token_len"),
+    }
+
+
+def quality_score(text_col: str | Column) -> Column:
+    """Scalar quality score in [0,1] combining the surface features.
+
+    score = 0.4·min(1, n_tokens/100) + 0.4·min(1, 5·stopword_ratio)
+          + 0.2·(1 − min(1, 4·punct_ratio))
+    """
+    feats = quality_features(text_col)
+    len_term = F.least(F.lit(1.0), feats["n_tokens"] / F.lit(100.0))
+    stop_term = F.least(F.lit(1.0), F.lit(5.0) * feats["stopword_ratio"])
+    punct_term = F.lit(1.0) - F.least(F.lit(1.0), F.lit(4.0) * feats["punct_ratio"])
+    return F.round(
+        F.lit(0.4) * len_term + F.lit(0.4) * stop_term + F.lit(0.2) * punct_term, 6
+    ).alias("quality_score")
+
+
+def language_id(text_col: str | Column, lexicon: dict[str, tuple[str, ...]] | None = None) -> Column:
+    """Heuristic language ID: argmax of stopword-anchor hits per language.
+
+    Ties and zero-hit documents resolve to 'und'.  Deterministic: languages
+    are compared in sorted order, strict-greater wins.
+    """
+    lexicon = lexicon or LANG_STOPWORDS
+    toks = normalize_tokens(text_col)
+    scores: dict[str, Column] = {}
+    for lang in sorted(lexicon):
+        lit = F.array(*[F.lit(s) for s in lexicon[lang]])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(lit, t)))
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(lexicon):
+        is_better = scores[lang] > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return best_lang.alias("lang_pred")
+
+
+def fingerprint(text_col: str | Column) -> Column:
+    """Canonical document fingerprint: md5 over the sorted distinct token set.
+
+    The OpenRefine-style "fingerprint key": invariant to token order,
+    duplication, and surrounding whitespace — the cheap key for clustering
+    re-ordered near-identical documents.
+    """
+    toks = F.array_distinct(normalize_tokens(text_col))
+    return F.md5(F.array_join(F.array_sort(toks), " ")).alias("fingerprint")
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass profile: every text-analysis feature in a single projection."""
+    feats = quality_features(text_col)
+    return df.select(
+        F.col(id_col),
+        feats["n_chars"],
+        feats["n_tokens"],
+        feats["stopword_ratio"],
+        feats["punct_ratio"],
+        feats["mean_token_len"],
+        quality_score(text_col),
+        language_id(text_col),
+        fingerprint(text_col),
+    )

@@ -1,0 +1,68 @@
+"""Schema-merging unions — the Polars ``diagonal_relaxed`` concat, Spark-first.
+
+Parity: ``pl.concat(..., how="diagonal_relaxed")`` at
+/root/reference/src/core.py:682,894,1017 and ``vertical_relaxed`` at
+:1622 / auac.py:98.  Semantics: union by column NAME, filling columns a frame
+lacks with NULL ("diagonal") and widening mismatched column types to a common
+supertype ("relaxed").
+
+Spark's ``unionByName(allowMissingColumns=True)`` provides the diagonal part
+but errors on type conflicts, so ``union_diagonal_relaxed`` first computes a
+common type per column name (via Catalyst's own literal-coalesce rules) and
+casts each input.  Zero shuffle: union is a narrow transformation; at 100 TB
+this is purely a metadata operation until an action runs.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DataType, DoubleType, LongType, NullType, StringType, TimestampType
+
+
+def _widen(a: DataType, b: DataType) -> DataType:
+    """Common supertype for 'relaxed' union — mirrors Polars' numeric/string widening."""
+    if a == b:
+        return a
+    if isinstance(a, NullType):
+        return b
+    if isinstance(b, NullType):
+        return a
+    numeric = {"byte", "short", "int", "integer", "long", "bigint"}
+    an, bn = a.simpleString(), b.simpleString()
+    if an in numeric and bn in numeric:
+        return LongType()
+    floaty = numeric | {"float", "double", "decimal"}
+    if an.split("(")[0] in floaty and bn.split("(")[0] in floaty:
+        return DoubleType()
+    if {an, bn} <= {"timestamp", "timestamp_ntz", "date"}:
+        return TimestampType()
+    return StringType()
+
+
+def union_diagonal_relaxed(*frames: DataFrame) -> DataFrame:
+    """Union by name, null-filling missing columns and widening types."""
+    if not frames:
+        raise ValueError("union_diagonal_relaxed needs at least one frame")
+    # Column order: first appearance across frames (matches Polars diagonal concat).
+    ordered: list[str] = []
+    types: dict[str, DataType] = {}
+    for df in frames:
+        for field in df.schema.fields:
+            if field.name not in types:
+                ordered.append(field.name)
+                types[field.name] = field.dataType
+            else:
+                types[field.name] = _widen(types[field.name], field.dataType)
+
+    aligned = []
+    for df in frames:
+        have = set(df.columns)
+        cols = [
+            (F.col(name) if name in have else F.lit(None)).cast(types[name]).alias(name)
+            for name in ordered
+        ]
+        aligned.append(df.select(*cols))
+    return reduce(lambda a, b: a.unionByName(b), aligned)

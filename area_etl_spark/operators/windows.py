@@ -1,0 +1,38 @@
+"""Window-function operators.
+
+Parity: the reference's duplicate-name disambiguation
+(/root/reference/src/core.py:1031, ``handle_duplicate_name``) is a
+driver-side Python closure over shared mutable state — single-threaded and
+order-dependent.  The distributed re-expression is
+``row_number() OVER (PARTITION BY name ORDER BY <tiebreak>)``: one shuffle on
+``name``, deterministic given the tiebreak, and scales to any cardinality.
+Skew note: at 100 TB a pathological hot name would skew the window partition;
+AQE does not split window partitions, so extreme cases should pre-aggregate
+`(name, id)` first — fine here because names are near-unique by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def disambiguate_names(
+    df: DataFrame,
+    name_col: str = "name",
+    order_col: str | Column = "id",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Append ``" (N)"`` to 2nd+ occurrences of a name (core.py:1022-1043).
+
+    First occurrence (by ``order_col``) keeps the bare name; occurrence n>1
+    becomes ``f"{name} ({n-1})"`` — exactly the reference's numbering, but
+    deterministic and parallel.  NULL names pass through unchanged.
+    """
+    out_col = out_col or name_col
+    w = Window.partitionBy(name_col).orderBy(order_col)
+    rn = F.row_number().over(w)
+    disambiguated = F.when(
+        F.col(name_col).isNull() | (rn == 1), F.col(name_col)
+    ).otherwise(F.concat(F.col(name_col), F.lit(" ("), (rn - 1).cast("string"), F.lit(")")))
+    return df.withColumn(out_col, disambiguated)

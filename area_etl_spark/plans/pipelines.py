@@ -1,0 +1,161 @@
+"""Composite pipelines — the reference's four migrate modules recast onto the
+driver-provisioned star schema (see SURVEY.md §4).
+
+Each function is the Spark-first re-expression of a module's signature plan
+shape, exercising the same operator composition the reference uses, over the
+``/root/testdata`` tables:
+
+- ``core_pipeline``   ← ``migrate_core`` (/root/reference/src/core.py:1955):
+  the flagship multi-way star join + scalar-toolkit projection + conditional
+  derivations + aggregation, modeled on migrate_companies (:275) /
+  migrate_resolutions (:750) shapes.
+- ``poa_pipeline``    ← ``migrate_poa`` (/root/reference/src/poa.py:40): a
+  straight extract→project→load of operational data (events).
+- ``cronos_pipeline`` ← ``migrate_cronos`` (/root/reference/src/cronos.py:142):
+  taxonomy joins + plan rollups (healthcare_companies join at cronos.py:109).
+- ``auac_pipeline``   ← ``migrate_auac`` (/root/reference/src/auac.py:271):
+  relaxed concat of heterogeneous requirement frames (auac.py:98) + a
+  dimension join (auac.py:201).
+
+Plan-shape invariants (asserted in tests/test_plans.py): every dimension join
+is a BroadcastHashJoin; parquet scans carry pushed filters and pruned schemas;
+no Python UDF node appears anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from area_etl_spark.functions.transforms import (
+    handle_enum_mapping,
+    handle_id,
+    handle_text,
+    handle_timestamps,
+)
+from area_etl_spark.operators.joins import left_join_chain
+from area_etl_spark.operators.unions import union_diagonal_relaxed
+from area_etl_spark.operators.windows import disambiguate_names
+
+# Enum dictionaries modeled on the reference's mapping tables
+# (COMPANY_NATURE_MAPPING core.py:221, PROCEDURE_TYPE_MAPPING core.py:701).
+SEGMENT_MAPPING = {
+    "building": "EDILIZIA",
+    "automobile": "AUTOMOBILE",
+    "machinery": "MACCHINARI",
+    "household": "CASA",
+    "furniture": "ARREDO",
+}
+
+PRIORITY_MAPPING = {
+    "1-urgent": "URGENTE",
+    "2-high": "ALTA",
+    "3-medium": "MEDIA",
+    "4-not specified": "NON_SPECIFICATA",
+    "5-low": "BASSA",
+}
+
+
+def core_pipeline(tables: dict[str, DataFrame]) -> DataFrame:
+    """Flagship: customers enriched through the full dimension chain, aggregated.
+
+    Shape of migrate_companies (core.py:275-321: fact ⋈ 3 dims) + the
+    when/then derivations (core.py:614-683) + enum mapping + group-by rollup.
+    All three dimension joins broadcast; the single shuffle is the final
+    aggregation on (region, nation, segment_it, tier).
+    """
+    cust = tables["customer"].select(
+        handle_id("c_custkey", "customer_id"),
+        handle_text("c_name", "customer_name"),
+        F.col("c_nationkey"),
+        F.col("c_acctbal"),
+        handle_enum_mapping("c_mktsegment", "segment_it", SEGMENT_MAPPING, default="ALTRO"),
+        F.when(F.col("c_acctbal") < 0, F.lit("DEBITORE"))
+        .when(F.col("c_acctbal") < 5000, F.lit("STANDARD"))
+        .otherwise(F.lit("PREMIUM"))
+        .alias("tier"),
+    )
+    nation = tables["nation"].select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        handle_text("n_name", "nation_name"),
+        F.col("n_regionkey"),
+    )
+    region = tables["region"].select(
+        F.col("r_regionkey").alias("n_regionkey"), handle_text("r_name", "region_name")
+    )
+    enriched = left_join_chain(cust, [(nation, "c_nationkey", True), (region, "n_regionkey", True)])
+    return (
+        enriched.groupBy("region_name", "nation_name", "segment_it", "tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(F.floor(F.col("c_acctbal") * 100).cast("long")) / F.lit(100.0)).alias("total_acctbal"),
+        )
+        .orderBy("region_name", "nation_name", "segment_it", "tier")
+    )
+
+
+def poa_pipeline(tables: dict[str, DataFrame]) -> DataFrame:
+    """POA recast: straight projection/filter pipeline over events (poa.py:40).
+
+    One narrow pass — filter pushes into the parquet scan.
+    """
+    ev = tables["events"]
+    return ev.where(F.col("event_type").isin("click", "view", "purchase")).select(
+        F.col("event_id"),
+        F.col("user_id"),
+        handle_enum_mapping(
+            "event_type",
+            "event_class",
+            {"click": "INTERACTION", "view": "IMPRESSION", "purchase": "CONVERSION"},
+        ),
+        F.col("ts").cast("timestamp").alias("event_ts"),
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+
+
+def cronos_pipeline(tables: dict[str, DataFrame]) -> DataFrame:
+    """Cronos recast: yearly plan rollup with dimension join (cronos.py:87-138).
+
+    orders ⋈ customer (shuffle on custkey — both fact-sized at 100 TB, AQE
+    handles skew) ⋈ nation (broadcast), grouped by (year, nation).
+    """
+    orders = tables["orders"].select(
+        F.col("o_orderkey"), F.col("o_custkey"), F.col("o_totalprice"), F.year("o_orderdate").alias("plan_year")
+    )
+    cust = tables["customer"].select(F.col("c_custkey").alias("o_custkey"), F.col("c_nationkey"))
+    nation = tables["nation"].select(F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("nation_name"))
+    joined = left_join_chain(orders, [(cust, "o_custkey", False), (nation, "c_nationkey", True)])
+    return (
+        joined.groupBy("plan_year", "nation_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")) / F.lit(100.0)).alias("total_value"),
+        )
+        .orderBy("plan_year", "nation_name")
+    )
+
+
+def auac_pipeline(tables: dict[str, DataFrame]) -> DataFrame:
+    """Au.Ac. recast: relaxed union of heterogeneous "requirement" frames +
+    dimension join + name disambiguation (auac.py:42-209 + core.py:1031).
+
+    part and supplier play the two requirement templates; the union is
+    narrow; the disambiguation window shuffles once on name.
+    """
+    t1 = tables["part"].select(
+        F.col("p_partkey").cast("long").alias("id"),
+        handle_text("p_name", "name"),
+        F.col("p_retailprice").alias("threshold"),
+        F.lit("GENERAL").alias("requirement_kind"),
+        F.col("p_brand").alias("brand"),
+    )
+    t2 = tables["supplier"].select(
+        F.col("s_suppkey").cast("long").alias("id"),
+        handle_text("s_name", "name"),
+        F.lit("SPECIFIC").alias("requirement_kind"),
+        F.col("s_acctbal").alias("balance"),
+    )
+    unioned = union_diagonal_relaxed(t1, t2)
+    return disambiguate_names(unioned, "name", "id").select(
+        "id", "name", "requirement_kind", "threshold", "brand", "balance"
+    )

@@ -1,0 +1,48 @@
+"""Projection-pipeline building blocks: filter/select/rename/cast/fill_null.
+
+Parity: the pervasive reference idiom (e.g. /root/reference/src/core.py:74-123,
+:163-166) — every ``migrate_*`` body is a ``select`` of renamed/cast/cleaned
+columns over an extracted frame, sometimes filtered.  ``apply_projection``
+expresses the same spec declaratively so Catalyst prunes the scan down to
+exactly the referenced columns (check ``ReadSchema`` in the plan).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class ColumnSpec:
+    """One output column: source expression, target name, optional cast/fill."""
+
+    source: str | Column
+    target: str
+    cast: str | None = None
+    fill_null: object | None = None
+
+
+@dataclass
+class ProjectionSpec:
+    """A reference-style projection pipeline: filter → project → cast → fill."""
+
+    columns: list[ColumnSpec]
+    filters: list[Column] = field(default_factory=list)
+
+
+def apply_projection(df: DataFrame, spec: ProjectionSpec) -> DataFrame:
+    out = df
+    for f in spec.filters:
+        out = out.where(f)
+    cols = []
+    for c in spec.columns:
+        expr = F.col(c.source) if isinstance(c.source, str) else c.source
+        if c.cast:
+            expr = expr.cast(c.cast)
+        if c.fill_null is not None:
+            expr = F.coalesce(expr, F.lit(c.fill_null))
+        cols.append(expr.alias(c.target))
+    return out.select(*cols)

@@ -1,0 +1,101 @@
+"""SparkSession + table-catalog helpers.
+
+The reference wires one ``ETLContext`` holding every source/target engine
+(``/root/reference/src/utils.py:16-45``).  Here the analogous context is a
+``SparkSession`` plus a directory of parquet tables; views are registered so
+both the DataFrame API and ``spark.sql`` can address them.
+
+Scale notes: AQE is enabled (runtime coalesce + skew-join splitting), and
+``spark.sql.shuffle.partitions`` defaults to a local-friendly 32 — on a real
+cluster this is overridden by AQE's coalescing against the configured
+``spark.sql.adaptive.coalescePartitions.initialPartitionNum``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (they are
+# bounded by the domain, not by sf — mirrors the reference's enum/lookup
+# tables such as AUAC_USR.TIPO_DELIBERA).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
+
+# The driver's parquet stamps these as TIMESTAMP(NANOS) which Spark's vectorized
+# reader refuses; we read them as raw nanosecond longs
+# (spark.sql.legacy.parquet.nanosAsLong) and rebuild microsecond timestamps.
+NANO_TS_COLS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def get_spark(app_name: str = "area-etl-spark") -> SparkSession:
+    """Build (or reuse) the session with scale-appropriate defaults."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    if SparkSession.builder._options.get("spark.master") is None:  # noqa: SLF001
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True) -> dict[str, DataFrame]:
+    """Load every testdata parquet table under ``sf_dir``.
+
+    Mirrors the reference's per-pipeline ``extract_data`` calls
+    (``src/utils.py:150``) but lazily: ``spark.read.parquet`` only records
+    the scan in the logical plan, so column pruning and predicate pushdown
+    reach the files regardless of how many tables are "loaded".
+    """
+    try:
+        # Needed for this driver's TIMESTAMP(NANOS) parquet regardless of who
+        # built the session; runtime-settable legacy SQL conf.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001 - session may forbid runtime set; reader may still cope
+        pass
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        for ts_col in NANO_TS_COLS.get(name, ()):
+            if ts_col in df.columns and dict(df.dtypes)[ts_col] == "bigint":
+                # integer division keeps full precision (ns values exceed 2^53)
+                df = df.withColumn(
+                    ts_col, F.expr(f"timestamp_micros(CAST({ts_col} DIV 1000 AS BIGINT))")
+                )
+        out[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return out

@@ -1,0 +1,107 @@
+"""Extract surface — SQL-query, CSV-with-overrides, parquet, JDBC.
+
+Parity:
+
+- ``extract_sql``        ← ``extract_data`` (/root/reference/src/utils.py:150):
+  the reference pushes a free-form SQL string at Oracle/Postgres and gets a
+  DataFrame back.  Spark-first equivalent: register the catalog views and run
+  the SQL through Catalyst (``spark.sql``) so pushdown/pruning apply; for a
+  real external RDBMS use ``extract_jdbc``.
+- ``extract_csv``        ← ``extract_data_from_csv`` (utils.py:184): CSV read
+  with per-column schema overrides (the reference passes
+  ``schema_overrides={"istat_code": pl.String}`` at core.py:116-117).
+- ``extract_jdbc``       ← the Oracle engines in ``setup_connections``
+  (utils.py:70).  Partitioned-read parameters are first-class because a 100 TB
+  extract must parallelize on a numeric split column; gated so local tests
+  (no JDBC driver jar) never touch it.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def extract_sql(spark: SparkSession, query: str) -> DataFrame:
+    """Run a SQL query against registered views/tables (utils.py:150).
+
+    Declarative by construction: Catalyst plans the query, so filters and
+    projections in ``query`` push down into the parquet scans of the views.
+    """
+    df = spark.sql(query)
+    logging.info("extract_sql: planned query %r", query.split("\n", 1)[0][:120])
+    return df
+
+
+def extract_csv(
+    spark: SparkSession,
+    file_path: str,
+    schema_overrides: dict[str, str] | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV extract with schema overrides (utils.py:184).
+
+    Columns not mentioned in ``schema_overrides`` are inferred; mentioned
+    ones are cast AFTER the inferred read (same observable behavior as
+    Polars' ``schema_overrides`` for the reference's usage: forcing
+    string-ness of numeric-looking codes).
+    """
+    inferred = spark.read.csv(file_path, header=header, inferSchema=True)
+    if not schema_overrides:
+        return inferred
+    # Overrides must win at PARSE time (casting after inference would lose
+    # e.g. leading zeros of numeric-looking codes), so re-read with the
+    # inferred schema patched.  The inference pass costs one extra scan; at
+    # scale prefer extract_csv_with_schema (zero inference passes).
+    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import _parse_datatype_string  # noqa: PLC2701
+
+    fields = [
+        StructField(
+            f.name,
+            _parse_datatype_string(schema_overrides[f.name]) if f.name in schema_overrides else f.dataType,
+            True,
+        )
+        for f in inferred.schema.fields
+    ]
+    return spark.read.csv(file_path, header=header, schema=StructType(fields))
+
+
+def extract_csv_with_schema(
+    spark: SparkSession, file_path: str, schema: StructType, header: bool = True
+) -> DataFrame:
+    """CSV extract with a full explicit schema (no inference pass — one read at scale)."""
+    return spark.read.csv(file_path, header=header, schema=schema)
+
+
+def extract_jdbc(
+    spark: SparkSession,
+    url: str,
+    query: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 32,
+    properties: dict[str, str] | None = None,
+) -> DataFrame:
+    """Partitioned JDBC extract (the scale path for utils.py:150's engines).
+
+    Requires a JDBC driver on the classpath; not exercised in local tests.
+    """
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", query)
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()

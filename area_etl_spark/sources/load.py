@@ -1,0 +1,57 @@
+"""Load/sink surface — append, truncate+reload, CSV export.
+
+Parity:
+
+- ``load_append``     ← ``load_data`` (/root/reference/src/utils.py:206):
+  append rows into a target table.
+- ``reload_overwrite``← ``truncate_pg_table`` + reload
+  (utils.py:226 + the per-module truncate loops, core.py:56): the reference's
+  idempotent-reload idiom.  In Spark this is a single atomic
+  ``mode("overwrite")`` write — no separate TRUNCATE round-trip, and on a
+  cluster the write is parallel per partition.
+- ``export_csv``      ← ``export_tables_to_csv`` (utils.py:246).
+
+Scale notes: parquet sinks accept ``partition_by`` (hive-style layout) and
+``bucket_by`` intent is documented at the call sites; CSV export coalesces
+only when ``single_file=True`` (the reference writes one file per table —
+fine for exports, wrong for 100 TB data movement, so the default keeps one
+file per partition).
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def load_append(df: DataFrame, path: str, fmt: str = "parquet", partition_by: list[str] | None = None) -> None:
+    """Append ``df`` to a table path (utils.py:206)."""
+    writer = df.write.mode("append").format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+    logging.info("load_append: appended to %s", path)
+
+
+def reload_overwrite(df: DataFrame, path: str, fmt: str = "parquet", partition_by: list[str] | None = None) -> None:
+    """Truncate-and-reload as one atomic overwrite (utils.py:226 idiom)."""
+    writer = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+    logging.info("reload_overwrite: rewrote %s", path)
+
+
+def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """Export a table to CSV (utils.py:246)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+    logging.info("export_csv: wrote %s", path)
+
+
+def read_back(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Re-read a sink for round-trip verification."""
+    if fmt == "csv":
+        return spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    return spark.read.format(fmt).load(path)

@@ -1,0 +1,53 @@
+"""Structured Streaming operators over the events table.
+
+The reference is batch-only; the brief adds streaming as a first-class
+capability.  The same windowed aggregation is exposed twice:
+
+- ``windowed_event_agg`` — the BATCH expression (tumbling window via
+  ``F.window``), used as the correctness oracle.
+- ``stream_windowed_event_agg`` — the STREAMING plan: ``readStream`` over
+  the parquet directory, event-time watermark for late data, identical
+  windowed aggregation.  A test drives it with ``trigger(availableNow)`` and
+  checks it equals the batch result — the Structured Streaming guarantee
+  (prefix-consistent incremental execution of the same logical plan).
+
+Scale notes: the watermark bounds state (only windows newer than watermark
+stay in the state store); aggregation state is hash-partitioned by
+(window, event_type) — for a hot event_type, pre-aggregate by adding a salt
+column to the group key and roll the salt off in a second stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_agg(events: DataFrame, window_minutes: int = 60) -> DataFrame:
+    """Tumbling-window event rollup (batch form / streaming oracle)."""
+    w = F.window(F.col("ts"), f"{window_minutes} minutes")
+    return (
+        events.groupBy(w.alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("event_type"),
+            F.col("n_events"),
+            F.col("total_value"),
+        )
+    )
+
+
+def stream_windowed_event_agg(
+    spark: SparkSession,
+    events_path: str,
+    schema,
+    window_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming form: file source → watermark → windowed aggregation."""
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    return windowed_event_agg(stream.withWatermark("ts", watermark), window_minutes)

@@ -1,0 +1,98 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry through Spark and its ``oracle_sql()`` twin
+through DuckDB on the same parquet tables, then compares row count, column
+names, and order-insensitive values.  Usage::
+
+    python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+from area_etl_spark.session import TABLES, get_spark  # noqa: E402
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def norm_rows(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for r in rows:
+        vals = list(r)
+        out.append(tuple(norm_cell(vals[i]) for i in order))
+    return sorted(out)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(srows)} rows (rows-only check)")
+            n_rows_only += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if sorted(scols) != sorted(ocols):
+            problems.append(f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if not problems:
+            a = norm_rows(srows, scols)
+            b = norm_rows(orows, ocols)
+            if a != b:
+                diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                problems.append(f"values differ, e.g. {diffs}")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"PASS  {name} ({len(srows)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
