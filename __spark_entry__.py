@@ -281,19 +281,24 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     tables = _tables(spark, sf_dir)
-    return D.minhash_lsh_pairs(tables["documents"], "text", "doc_id", num_hashes=64, bands=16)
+    return D.minhash_lsh_pairs(
+        tables["documents"], "text", "doc_id", num_hashes=64, bands=16,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 def q_dedup_simhash(spark, sf_dir):
     tables = _tables(spark, sf_dir)
-    return tables["documents"].select(F.col("doc_id"), D.simhash("text").alias("simhash"))
+    docs = tables["documents"].repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
+    return docs.select(F.col("doc_id"), D.simhash("text").alias("simhash"))
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
     tables = _tables(spark, sf_dir)
     docs = tables["documents"]
-    candidates = D.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=64, bands=16)
-    return D.ngram_jaccard_pairs(docs, candidates, "text", "doc_id", n=3, threshold=0.5)
+    par = spark.sparkContext.defaultParallelism
+    candidates = D.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=64, bands=16, parallelism=par)
+    return D.ngram_jaccard_pairs(docs, candidates, "text", "doc_id", n=3, threshold=0.5, parallelism=par)
 
 
 def _query_vec(spark, sf_dir):

@@ -94,20 +94,87 @@ def minhash_signature(
     """MinHash signature as array<bigint> — pure Catalyst expressions.
 
     Each hash h_i(s) = (a_i * (xxhash64(s) mod p) + b_i) mod p with
-    p = 2^31-1; the signature element is min over shingles.  All num_hashes
-    mins evaluate in one pass over the shingle array inside whole-stage
-    codegen, and the arithmetic never exceeds 2^62 (ANSI-overflow-safe).
+    p = 2^31-1; the signature element is min over shingles.
+
+    Evaluation shape matters: the naive form (num_hashes independent
+    ``array_min(transform(shingles, ...))`` expressions) re-derives the
+    shingle array once PER HASH — 64× the tokenize/shingle work, which
+    measured ~400 s at sf0.1.  This form is a single ``aggregate`` fold:
+    shingles are materialized once, each shingle hash updates all 64
+    accumulator slots via an indexed ``transform`` — O(shingles · hashes)
+    arithmetic on one pass, ~100× faster, identical output values.
+    The arithmetic never exceeds 2^62 (ANSI-overflow-safe).
     """
+    return _minhash_fold(text_col, num_hashes, shingle_k, seed)
+
+
+def _minhash_fold(
+    text_col: str | Column,
+    num_hashes: int,
+    shingle_k: int,
+    seed: int,
+    finish=None,
+):
+    """The single-pass MinHash fold, with an optional ``finish`` lambda.
+
+    ``finish`` (if given) maps the 64-slot accumulator to the final value
+    INSIDE the aggregate expression — callers that derive per-band hashes
+    from the signature must use it: a downstream projection that referenced
+    ``sig`` N times would, after Catalyst's projection collapse, inline (and
+    re-evaluate) the whole fold N times, since higher-order functions don't
+    participate in codegen subexpression elimination.  Binding the
+    accumulator once in ``finish`` makes the fan-out free.
+    """
+    params = _hash_params(num_hashes, seed)
+    a_arr = F.array(*[F.lit(a).cast("long") for a, _ in params])
+    b_arr = F.array(*[F.lit(b).cast("long") for _, b in params])
     toks = normalize_tokens(text_col)
     sh = shingles(toks, shingle_k)
     base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
-    mins = [
-        F.array_min(
-            F.transform(base, lambda x: F.pmod(x * F.lit(a) + F.lit(b), F.lit(_MERSENNE31)))
+    init = F.array_repeat(F.lit(_MERSENNE31).cast("long"), num_hashes)
+    merge = lambda acc, x: F.transform(  # noqa: E731
+        acc,
+        lambda v, i: F.least(
+            v,
+            F.pmod(
+                x * F.element_at(a_arr, i + 1) + F.element_at(b_arr, i + 1),
+                F.lit(_MERSENNE31),
+            ),
+        ),
+    )
+    if finish is None:
+        return F.aggregate(base, init, merge)
+    return F.aggregate(base, init, merge, finish)
+
+
+def minhash_band_structs(
+    text_col: str | Column, num_hashes: int, bands: int, shingle_k: int, seed: int
+) -> Column:
+    """array<struct<band_id,band_hash>> computed in ONE fold over the shingles.
+
+    The banding runs in the aggregate's ``finish`` lambda so the signature
+    accumulator is bound exactly once per row (see ``_minhash_fold``).
+    """
+    rows_per_band = num_hashes // bands
+
+    def _bands(acc: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.alias("band_id"),
+                F.xxhash64(
+                    F.array_join(
+                        F.transform(
+                            F.slice(acc, b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("band_hash"),
+            ),
         )
-        for a, b in _hash_params(num_hashes, seed)
-    ]
-    return F.array(*mins)
+
+    return _minhash_fold(text_col, num_hashes, shingle_k, seed, finish=_bands)
 
 
 def minhash_bands(df: DataFrame, id_col: str, sig_col: str, bands: int, rows_per_band: int) -> DataFrame:
@@ -136,6 +203,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     seed: int = 42,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -143,12 +211,19 @@ def minhash_lsh_pairs(
     on (band_id, band_hash) (ONE shuffle, key-partitioned) → distinct pairs.
     Never all-pairs: only documents sharing a band bucket ever meet.
     Returns (id_a, id_b) with id_a < id_b.
+
+    ``parallelism``: the signature stage is CPU-bound per row; when the input
+    arrives in few partitions (one small file locally) pass the cluster's
+    core count to spread it.  Leave ``None`` at scale — a 100 TB corpus
+    already lands in thousands of scan partitions and a forced repartition
+    would only add a shuffle of the full text column.
     """
-    rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col), minhash_signature(text_col, num_hashes, shingle_k, seed).alias("sig")
+    if parallelism:
+        df = df.repartition(parallelism, F.col(id_col))
+    structs = minhash_band_structs(text_col, num_hashes, bands, shingle_k, seed)
+    banded = df.select(F.col(id_col), F.explode(structs).alias("band")).select(
+        id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
     )
-    banded = minhash_bands(sig, id_col, "sig", bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -170,38 +245,38 @@ def simhash(text_col: str | Column, bits: int = 64) -> Column:
     """64-bit SimHash of the token multiset — one pass, no shuffle.
 
     For each bit position j, sum +1/-1 over tokens according to bit j of
-    xxhash64(token); the sign of the sum is bit j of the fingerprint.  One
-    ``aggregate`` expression per bit (j is bound at plan-build time, so the
-    shift amounts are literals) — all 64 fold in a single codegen'd pass.
+    xxhash64(token); the sign of the sum is bit j of the fingerprint.
+
+    Single ``aggregate`` fold: the accumulator is a ``bits``-slot count
+    array, each token updates every slot via ``bit_get`` (one pass over the
+    token array — the per-bit-independent-aggregate form walks the array
+    ``bits`` times).  The counts then fold into a long in two 32-bit halves
+    so the top bit never arithmetically overflows under ANSI mode.
     """
     toks = normalize_tokens(text_col)
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.transform(
+            acc,
+            lambda v, j: v + F.when(F.bit_get(h, j.cast("int")) == 1, 1).otherwise(-1),
+        ),
+    )
+    sign_bits = F.transform(counts, lambda c: F.when(c > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")))
+    half = bits // 2
+    # fold high-index-first so acc*2+bit reconstructs each half's bit pattern
+    def _fold(arr: Column) -> Column:
+        return F.aggregate(F.reverse(arr), F.lit(0).cast("long"), lambda acc, b: acc * 2 + b)
 
-    def _bit_merge(j: int):
-        # closure factory: pyspark infers higher-order-function arity from the
-        # lambda signature, so the bit index must NOT be a lambda parameter
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        count_j = F.aggregate(hashes, F.lit(0), _bit_merge(j))
-        bit_val = 1 << j
-        if bit_val >= 1 << 63:  # top bit: two's-complement long
-            bit_val -= 1 << 64
-        out = out + F.when(count_j > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    lo = _fold(F.slice(sign_bits, 1, half))
+    hi = _fold(F.slice(sign_bits, half + 1, bits - half))
+    return F.shiftleft(hi, half).bitwiseOR(lo)
 
 
 def hamming_distance(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints (popcount of xor)."""
-    x = a.bitwiseXOR(b)
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(63)),
-        F.lit(0),
-        lambda acc, j: acc + F.shiftright(x, j).bitwiseAND(F.lit(1)).cast("int"),
-    )
+    return F.bit_count(a.bitwiseXOR(b)).cast("int")
 
 
 def ngram_jaccard_pairs(
@@ -211,6 +286,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard verification over a blocked candidate-pair set.
 
@@ -219,6 +295,8 @@ def ngram_jaccard_pairs(
     keyed by doc id, then a narrow similarity expression.  Returns pairs with
     jaccard >= threshold.
     """
+    if parallelism:
+        df = df.repartition(parallelism, F.col(id_col))
     sets_df = df.select(
         F.col(id_col),
         F.array_distinct(shingles(normalize_tokens(text_col), n)).alias("grams"),

@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR and
+prints ONE JSON line with per-query wall times.
+
+Each query materializes through Spark's ``noop`` sink — full plan execution
+(scan → shuffle → agg) with zero driver-collect or serialization overhead,
+so the number reflects the engine, not the harness.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from area_etl_spark.session import get_spark  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+HEADLINE = [
+    "groupby_agg",
+    "multiway_left_join",
+    "pipeline_core",
+    "pipeline_cronos",
+    "pipeline_auac",
+    "projection_pipeline",
+    "events_windowed_agg",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality_score",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("area-etl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - start
+        timings[name] = round(elapsed, 3)
+        total += elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,31 @@
+"""Shared fixtures: one SparkSession per test session, sf0.001 tables."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from area_etl_spark.session import get_spark, load_tables  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("area-etl-tests")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def tables(spark):
+    return load_tables(spark, SF_DIR)
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR

@@ -1,0 +1,109 @@
+"""Unit tests for relational operators: unions, windows, dedup, aggregates, joins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from area_etl_spark.operators.aggregates import collect_sorted_list, exact_money_sum
+from area_etl_spark.operators.dedup import (
+    dedup_exact,
+    distinct_on,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from area_etl_spark.operators.joins import left_join_chain
+from area_etl_spark.operators.unions import union_diagonal_relaxed
+from area_etl_spark.operators.windows import disambiguate_names
+
+
+def test_union_diagonal_relaxed_fills_and_widens(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, name string")
+    b = spark.createDataFrame([(2**40, 3.5)], "id long, score double")
+    out = union_diagonal_relaxed(a, b)
+    assert out.columns == ["id", "name", "score"]
+    assert dict(out.dtypes)["id"] == "bigint"
+    rows = sorted(out.collect(), key=lambda r: r.id)
+    assert rows[0] == (1, "x", None)
+    assert rows[1] == (2**40, None, 3.5)
+
+
+def test_union_diagonal_relaxed_string_widening(spark):
+    a = spark.createDataFrame([(1,)], "v int")
+    b = spark.createDataFrame([("x",)], "v string")
+    out = union_diagonal_relaxed(a, b)
+    assert dict(out.dtypes)["v"] == "string"
+    assert sorted(r.v for r in out.collect()) == ["1", "x"]
+
+
+def test_disambiguate_names(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b"), (5, None), (6, None)], "id int, name string"
+    )
+    got = {r.id: r.name for r in disambiguate_names(df).collect()}
+    assert got == {1: "a", 2: "a (1)", 3: "a (2)", 4: "b", 5: None, 6: None}
+
+
+def test_distinct_on_keeps_min_representative(spark):
+    df = spark.createDataFrame([("k", 2, "b"), ("k", 1, "a"), ("j", 9, "z")], "k string, v int, w string")
+    got = {r.k: (r.v, r.w) for r in distinct_on(df, ["k"]).collect()}
+    assert got == {"k": (1, "a"), "j": (9, "z")}
+
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id int, text string"
+    )
+    got = sorted((r.keep_id, r.dup_count) for r in dedup_exact(df).collect())
+    assert got == [(1, 2), (3, 1)]
+
+
+def test_minhash_lsh_finds_near_dupes_not_distant(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different content about spark distributed engines " * 5
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "doc_id int, text string")
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_verifies(spark):
+    base = "a b c d e f g h i j k l m n o p"
+    df = spark.createDataFrame([(1, base), (2, base), (3, "x y z w v u")], "doc_id int, text string")
+    cand = spark.createDataFrame([(1, 2), (1, 3)], "id_a int, id_b int")
+    out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(df, cand, threshold=0.8).collect()}
+    assert out == {(1, 2): 1.0}
+
+
+def test_simhash_identical_and_similar(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "zzz qqq www eee")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r.sh for r in df.select("doc_id", simhash("text").alias("sh")).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+
+
+def test_exact_money_sum_partition_invariant(spark):
+    vals = [(i, 0.1 + i) for i in range(1000)]
+    df1 = spark.createDataFrame(vals, "id int, x double").repartition(1)
+    df32 = spark.createDataFrame(vals, "id int, x double").repartition(32)
+    s1 = df1.agg(exact_money_sum("x").alias("s")).collect()[0].s
+    s32 = df32.agg(exact_money_sum("x").alias("s")).collect()[0].s
+    assert s1 == s32
+
+
+def test_collect_sorted_list_deterministic(spark):
+    df = spark.createDataFrame([("g", 3), ("g", 1), ("g", 2)], "k string, v int").repartition(8)
+    got = df.groupBy("k").agg(collect_sorted_list("v").alias("vs")).collect()[0].vs
+    assert got == [1, 2, 3]
+
+
+def test_left_join_chain_preserves_left_rows(spark, tables):
+    cust = tables["customer"]
+    nation = tables["nation"].select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
+    out = left_join_chain(cust, [(nation, "c_nationkey", True)])
+    assert out.count() == cust.count()
+    assert out.where(F.col("n_name").isNull()).count() == 0

@@ -1,0 +1,59 @@
+"""Local replica of the driver's correctness gate: every queries() entry vs
+its DuckDB oracle at sf0.001 (rows, columns, order-insensitive values)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from area_etl_spark.session import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.9g}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def norm_rows(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(tuple(norm_cell(list(r)[i]) for i in order) for r in rows)
+
+
+def test_every_query_has_oracle_or_is_documented_rows_only():
+    rows_only = set(QUERIES) - set(ORACLES)
+    assert rows_only <= {"dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard", "ann_lsh_topk"}
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_parity(name, spark, duck):
+    sdf = QUERIES[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in ORACLES:
+        assert len(srows) >= 0  # rows-only: must at least execute
+        return
+    res = duck.execute(ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(ocols), f"{name}: column mismatch"
+    assert len(srows) == len(orows), f"{name}: rowcount {len(srows)} vs {len(orows)}"
+    assert norm_rows(srows, sdf.columns) == norm_rows(orows, ocols), f"{name}: values differ"

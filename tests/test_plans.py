@@ -1,0 +1,79 @@
+"""Physical-plan assertions — the scale contract (SURVEY.md §6).
+
+These tests fail if a future change regresses the plan shape: a dimension
+join falling back to SortMergeJoin, a filter not reaching the parquet scan,
+or a Python UDF sneaking into a hot path.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from area_etl_spark.operators.joins import left_join_chain
+from area_etl_spark.plans.pipelines import core_pipeline
+
+
+def plan_str(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_dimension_joins_broadcast(tables):
+    plan = plan_str(core_pipeline(tables))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_left_join_chain_broadcasts_marked_dims(tables):
+    nation = tables["nation"].select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
+    df = left_join_chain(tables["customer"], [(nation, "c_nationkey", True)])
+    plan = plan_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_scan(tables):
+    df = tables["orders"].where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    plan = plan_str(df)
+    assert "PushedFilters: [" in plan
+    assert "o_orderstatus" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_column_pruning(tables):
+    df = tables["customer"].select("c_custkey", "c_name")
+    plan = plan_str(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "c_custkey" in read_schema and "c_name" in read_schema
+    assert "c_comment" not in read_schema and "c_acctbal" not in read_schema
+
+
+def test_no_python_udf_in_hot_paths(tables):
+    import __spark_entry__ as entrymod
+
+    hot = ["pipeline_core", "projection_pipeline", "groupby_agg", "text_quality_score", "dedup_exact"]
+    qs = entrymod.queries()
+    for name in hot:
+        plan = plan_str(qs[name](tables["customer"].sparkSession, "/root/testdata/sf0.001"))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_whole_stage_codegen_covers_projection(tables):
+    df = tables["lineitem"].select(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    # formatted explain marks whole-stage-codegen nodes with a leading '*'
+    assert "* Project" in plan_str(df)
+
+
+def test_topk_is_take_ordered(tables):
+    from area_etl_spark.operators.similarity import cosine_topk
+
+    emb = tables["embeddings"]
+    dim = len(emb.select("embedding").first()[0])
+    df = cosine_topk(emb, [1.0] * dim, k=10)
+    assert "TakeOrderedAndProject" in plan_str(df)

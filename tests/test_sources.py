@@ -1,0 +1,48 @@
+"""Extract/load surface tests: CSV schema overrides, append, overwrite, export."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from area_etl_spark.sources.extract import extract_csv, extract_sql
+from area_etl_spark.sources.load import export_csv, load_append, read_back, reload_overwrite
+
+
+def test_extract_sql_pushdown(spark, tables):
+    df = extract_sql(spark, "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'")
+    assert df.columns == ["o_orderkey", "o_totalprice"]
+    assert df.count() > 0
+
+
+def test_extract_csv_schema_overrides_preserve_leading_zeros(spark, tmp_path):
+    p = str(tmp_path / "codes.csv")
+    with open(p, "w") as f:
+        f.write("istat_code,population\n00123,500\n04567,900\n")
+    inferred = extract_csv(spark, p)
+    assert dict(inferred.dtypes)["istat_code"] in ("int", "bigint")
+    overridden = extract_csv(spark, p, schema_overrides={"istat_code": "string"})
+    assert dict(overridden.dtypes)["istat_code"] == "string"
+    assert sorted(r.istat_code for r in overridden.collect()) == ["00123", "04567"]
+
+
+def test_load_append_accumulates(spark, tables, tmp_path):
+    path = str(tmp_path / "sink")
+    five = tables["region"].limit(5)
+    load_append(five, path)
+    load_append(five, path)
+    assert read_back(spark, path).count() == 10
+
+
+def test_reload_overwrite_idempotent(spark, tables, tmp_path):
+    path = str(tmp_path / "reload")
+    df = tables["nation"]
+    reload_overwrite(df, path)
+    reload_overwrite(df, path)
+    assert read_back(spark, path).count() == df.count()
+
+
+def test_export_csv_roundtrip(spark, tables, tmp_path):
+    path = str(tmp_path / "export")
+    export_csv(tables["region"].select("r_regionkey", "r_name"), path, single_file=True)
+    back = spark.read.option("header", "true").csv(path)
+    assert back.count() == tables["region"].count()

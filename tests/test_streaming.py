@@ -1,0 +1,32 @@
+"""Structured Streaming parity: availableNow micro-batch == batch aggregation."""
+
+from __future__ import annotations
+
+from area_etl_spark.streaming.event_stream import stream_windowed_event_agg, windowed_event_agg
+
+
+def test_stream_equals_batch(spark, tables, sf_dir, tmp_path):
+    events = tables["events"]
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in windowed_event_agg(events).collect()
+    }
+
+    # Stream from a normalized copy (the raw files carry nano timestamps the
+    # stream reader would need the same bigint workaround for).
+    src = str(tmp_path / "events_stream_src")
+    events.write.mode("overwrite").parquet(src)
+    stream_df = stream_windowed_event_agg(spark, src, events.schema)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("ev_agg_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    streamed = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM ev_agg_test").collect()
+    }
+    assert streamed == batch

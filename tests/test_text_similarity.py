@@ -1,0 +1,108 @@
+"""Unit tests: text analysis, similarity search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from area_etl_spark.operators.multimodal import attach_binary_payload, decode_media, fake_decode
+from area_etl_spark.operators.similarity import cosine_topk, embedding_near_dup_pairs, lsh_ann_topk
+from area_etl_spark.operators.text_analysis import (
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    quality_score,
+    text_profile,
+    token_count,
+)
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("one two  three",), ("",), ("   ",), (None,)], "t string")
+    got = [r.n for r in df.select(token_count("t").alias("n")).collect()]
+    assert got == [3, 0, 0, None]
+    got_bpe = df.select(bpe_ish_token_count("t").alias("n")).collect()[0].n
+    assert got_bpe == 3
+    assert (
+        spark.createDataFrame([("don't stop, world2000",)], "t string")
+        .select(bpe_ish_token_count("t").alias("n"))
+        .collect()[0]
+        .n
+        > 3
+    )
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog is in a house",), ("le chat et le chien est pour la maison",), ("qwerty zxcvb",)],
+        "t string",
+    )
+    got = [r.lang for r in df.select(language_id("t").alias("lang")).collect()]
+    assert got == ["en", "fr", "und"]
+
+
+def test_quality_score_bounds_and_order(spark):
+    good = "the quick brown fox and the lazy dog is in a field of tall grass " * 10
+    bad = "!!! ??? ;;; ,,,"
+    df = spark.createDataFrame([(1, good), (2, bad)], "doc_id int, t string")
+    got = {r.doc_id: r.q for r in df.select("doc_id", quality_score("t").alias("q")).collect()}
+    assert 0.0 <= got[2] < got[1] <= 1.0
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame([(1, "b a c"), (2, "c  b a"), (3, "a b d")], "doc_id int, t string")
+    got = {r.doc_id: r.f for r in df.select("doc_id", fingerprint("t").alias("f")).collect()}
+    assert got[1] == got[2] != got[3]
+
+
+def test_text_profile_one_pass(spark):
+    df = spark.createDataFrame([(1, "the cat sat.")], "doc_id int, text string")
+    row = text_profile(df).collect()[0]
+    assert row.n_tokens == 3 and row.lang_pred == "en" and 0 <= row.quality_score <= 1
+
+
+def test_cosine_topk_exact(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    out = cosine_topk(df, [1.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in out] == [1, 2]
+    assert out[0].cosine == 1.0
+
+
+def test_lsh_ann_contains_true_top1(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(200)],
+        "vec_id int, embedding array<double>",
+    )
+    q = [6.0, 2.0, 1.0]
+    exact = cosine_topk(df, q, k=1).collect()[0]
+    approx = lsh_ann_topk(df, q, k=10, bits=3, multi_probe=2).collect()
+    assert exact.vec_id in {r.vec_id for r in approx}
+
+
+def test_embedding_near_dup_pairs(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]), (3, [0.0, 1.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    pairs = {(r.id_a, r.id_b) for r in embedding_near_dup_pairs(df, threshold=0.95).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([(1, "payload-one"), (2, "pp2")], "doc_id int, body string")
+    wrapped = attach_binary_payload(df, "body", "application/octet-stream", "doc_id")
+    rows = {r.id: r for r in wrapped.collect()}
+    assert rows[1].meta.byte_len == len(b"payload-one")
+    assert rows[1].meta.sha256 == hashlib.sha256(b"payload-one").hexdigest()
+    decoded = {r.id: r for r in decode_media(wrapped).collect()}
+    expect = fake_decode(b"payload-one")
+    assert (decoded[1].width, decoded[1].height, decoded[1].n_frames) == (
+        expect["width"],
+        expect["height"],
+        expect["n_frames"],
+    )
+    assert decoded[2].ok

@@ -1,0 +1,85 @@
+"""Unit tests for the scalar transform toolkit (reference src/utils.py:276-619)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from area_etl_spark.functions.transforms import (
+    handle_created_at,
+    handle_disabled_at,
+    handle_enum_mapping,
+    handle_id,
+    handle_text,
+    handle_timestamps,
+    handle_updated_at,
+    handle_year,
+)
+
+NOW = datetime(2026, 1, 1, 12, 0, 0)
+T1 = datetime(2020, 5, 1, 10, 30, 0)
+T2 = datetime(2021, 6, 2, 11, 45, 0)
+
+
+def _frame(spark):
+    rows = [
+        ("  ABC-1 ", T1, T2, "S"),
+        ("XYZ2", None, T2, "N"),
+        (None, T1, None, "S"),
+        ("q3", None, None, None),
+    ]
+    return spark.createDataFrame(rows, "CLIENTID string, CREATION timestamp, LAST_MOD timestamp, DISABLED string")
+
+
+def test_created_updated_disabled(spark):
+    df = _frame(spark)
+    out = df.select(
+        handle_created_at("CREATION", NOW),
+        handle_updated_at("LAST_MOD", "CREATION", NOW),
+        handle_disabled_at(),
+    ).collect()
+    # coalesce(CREATION, now)
+    assert [r.created_at for r in out] == [T1, NOW, T1, NOW]
+    # coalesce(LAST_MOD, CREATION, now)
+    assert [r.updated_at for r in out] == [T2, T2, T1, NOW]
+    # DISABLED == 'S' -> coalesce(LAST_MOD, CREATION) else NULL
+    assert [r.disabled_at for r in out] == [T2, None, T1, None]
+
+
+def test_handle_timestamps_shared_now(spark):
+    df = _frame(spark)
+    cols = handle_timestamps(current_time=NOW)
+    out = df.select(*cols.values()).collect()
+    assert out[3].created_at == out[3].updated_at == NOW
+
+
+def test_handle_id_strip_lower(spark):
+    df = _frame(spark)
+    got = [r.id for r in df.select(handle_id()).collect()]
+    assert got == ["abc-1", "xyz2", None, "q3"]
+
+
+def test_enum_mapping_case_default_null(spark):
+    df = spark.createDataFrame([(" PUB ",), ("priv",), ("weird",), (None,)], "kind string")
+    col = handle_enum_mapping("kind", "kind_it", {"pub": "PUBBLICO", "PRIV": "PRIVATO"}, default="ALTRO")
+    got = [r.kind_it for r in df.select(col).collect()]
+    assert got == ["PUBBLICO", "PRIVATO", "ALTRO", "ALTRO"]
+
+
+def test_enum_mapping_empty_dict(spark):
+    df = spark.createDataFrame([("x",)], "kind string")
+    got = df.select(handle_enum_mapping("kind", "out", {}, default="D")).collect()
+    assert got[0].out == "D"
+
+
+def test_handle_text(spark):
+    df = spark.createDataFrame([("  a\nb\r\n  c   d  ",), (None,), (42,)], "t string")
+    got = [r.t2 for r in df.select(handle_text("t", "t2")).collect()]
+    assert got == ["ab c d", None, "42"]
+
+
+def test_handle_year(spark):
+    df = spark.createDataFrame([(" 1999 ",), ("abc",), (None,)], "y string")
+    got = [r.yy for r in df.select(handle_year("y", "yy")).collect()]
+    assert got == [1999, None, None]
