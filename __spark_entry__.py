@@ -33,15 +33,18 @@ from area_etl_spark.operators import multimodal as MM
 from area_etl_spark.operators import similarity as SIM
 from area_etl_spark.operators import text_analysis as TA
 from area_etl_spark.operators.aggregates import collect_sorted_list, exact_money_sum
+from area_etl_spark.operators.asof import asof_join, range_band_join
 from area_etl_spark.operators.attachments import with_object_ids
 from area_etl_spark.operators.joins import left_join_chain
 from area_etl_spark.operators.unions import union_diagonal_relaxed
+from area_etl_spark.operators import windows as W
 from area_etl_spark.operators.windows import disambiguate_names
 from area_etl_spark.plans import pipelines as P
 from area_etl_spark.session import load_tables
 from area_etl_spark.sources.extract import extract_csv, extract_sql
 from area_etl_spark.sources.load import export_csv, load_append, read_back, reload_overwrite
 from area_etl_spark.streaming.event_stream import windowed_event_agg
+from area_etl_spark.streaming.sessions import session_agg
 
 REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 SEED_CSV = os.path.join(REPO_DIR, "seed", "regions.csv")
@@ -361,6 +364,107 @@ def q_events_windowed_agg(spark, sf_dir):
     return windowed_event_agg(tables["events"], window_minutes=60)
 
 
+def q_asof_join(spark, sf_dir):
+    """Most recent purchase strictly before each event, per user (as-of join)."""
+    tables = _tables(spark, sf_dir)
+    events = tables["events"]
+    purchases = events.where(F.col("event_type") == "purchase")
+    joined = asof_join(
+        events, purchases, on="user_id", left_time="ts", right_time="ts",
+        value_cols=[], strict=True,
+    )
+    return joined.select("event_id", "user_id", "ts", "ts_asof")
+
+
+def q_range_band_join(spark, sf_dir):
+    tables = _tables(spark, sf_dir)
+    spark_bands = spark.createDataFrame(
+        [("SMALL", 0.0, 50_000.0), ("MEDIUM", 50_000.0, 200_000.0), ("LARGE", 200_000.0, 10_000_000.0)],
+        "band string, lo double, hi double",
+    )
+    joined = range_band_join(tables["orders"], spark_bands, "o_totalprice")
+    return joined.select("o_orderkey", "band")
+
+
+def q_window_rolling_agg(spark, sf_dir):
+    tables = _tables(spark, sf_dir)
+    ev = tables["events"].select(
+        "event_id", "user_id", "ts", F.floor(F.col("value") * 100).cast("long").alias("value_cents")
+    )
+    return W.lag_and_rolling(ev, "user_id", ["ts", "event_id"], "value_cents", window_rows=3)
+
+
+def q_events_sessionization(spark, sf_dir):
+    tables = _tables(spark, sf_dir)
+    return session_agg(tables["events"], gap_minutes=30)
+
+
+def q_text_topk_terms(spark, sf_dir):
+    tables = _tables(spark, sf_dir)
+    toks = D.normalize_tokens(F.col("text"))
+    return (
+        tables["documents"]
+        .select(F.explode(toks).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(20)
+    )
+
+
+def q_emb_cosine_pairs_exact(spark, sf_dir):
+    """Brute-force cosine near-dup pairs on a bounded slice — correctness
+    baseline for the LSH-bucketed scale path (dedup_embedding_cosine)."""
+    tables = _tables(spark, sf_dir)
+    emb = tables["embeddings"].where(F.col("vec_id") < 300)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = F.round(
+        SIM._dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (SIM._norm(F.col("a.embedding")) * SIM._norm(F.col("b.embedding"))),
+        6,
+    ).alias("cosine")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), sim)
+        .where(F.col("cosine") >= 0.38)
+    )
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    tables = _tables(spark, sf_dir)
+    emb = tables["embeddings"].repartition(spark.sparkContext.defaultParallelism, F.col("vec_id"))
+    return SIM.embedding_near_dup_pairs(emb, threshold=0.38, bits=4)
+
+
+def q_groupby_rollup(spark, sf_dir):
+    tables = _tables(spark, sf_dir)
+    nation = tables["nation"].select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
+    cust = left_join_chain(tables["customer"], [(nation, "c_nationkey", True)])
+    return (
+        cust.rollup("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), exact_money_sum("c_acctbal").alias("total_acctbal"))
+    )
+
+
+def q_pivot_agg(spark, sf_dir):
+    tables = _tables(spark, sf_dir)
+    return (
+        tables["orders"]
+        .select("o_orderpriority", "o_orderstatus", F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .sum("cents")
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("cents_f"),
+            F.col("O").alias("cents_o"),
+            F.col("P").alias("cents_p"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -400,6 +504,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_fingerprint": q_text_fingerprint,
         "events_windowed_agg": q_events_windowed_agg,
+        "asof_join": q_asof_join,
+        "range_band_join": q_range_band_join,
+        "window_rolling_agg": q_window_rolling_agg,
+        "events_sessionization": q_events_sessionization,
+        "text_topk_terms": q_text_topk_terms,
+        "emb_cosine_pairs_exact": q_emb_cosine_pairs_exact,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "groupby_rollup": q_groupby_rollup,
+        "pivot_agg": q_pivot_agg,
     }
 
 
@@ -653,5 +766,83 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    SUM(CAST(floor(value * 100) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "asof_join": """
+            SELECT e.event_id, e.user_id, e.ts, p.ts AS ts_asof
+            FROM events e
+            ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+              ON e.user_id = p.user_id AND e.ts > p.ts
+        """,
+        "range_band_join": """
+            SELECT o.o_orderkey, b.band
+            FROM orders o
+            LEFT JOIN (VALUES ('SMALL', 0.0, 50000.0),
+                              ('MEDIUM', 50000.0, 200000.0),
+                              ('LARGE', 200000.0, 10000000.0)) AS b(band, lo, hi)
+              ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+        """,
+        "window_rolling_agg": """
+            SELECT event_id, user_id, ts,
+                   CAST(floor(value * 100) AS BIGINT) AS value_cents,
+                   lag(CAST(floor(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value_cents,
+                   SUM(CAST(floor(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_value_cents
+            FROM events
+        """,
+        "events_sessionization": """
+            WITH g AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                 >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+                FROM events
+            ), s AS (
+                SELECT user_id, ts, value,
+                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM g
+            )
+            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end_ts,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS value_cents
+            FROM s GROUP BY user_id, sess_id
+        """,
+        "text_topk_terms": """
+            SELECT term, COUNT(*) AS n
+            FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+                  FROM documents)
+            WHERE term <> ''
+            GROUP BY term ORDER BY n DESC, term LIMIT 20
+        """,
+        "emb_cosine_pairs_exact": f"""
+            WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round(
+                           list_reduce(list_transform(generate_series(1, len(a.embedding)),
+                               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+                           / (sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)),
+                               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+                              * sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)),
+                               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y))),
+                           6) AS cosine
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.38
+        """,
+        "groupby_rollup": """
+            SELECT n.n_name, c.c_mktsegment,
+                   COUNT(*) AS n,
+                   SUM(CAST(floor(c.c_acctbal * 100) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS total_acctbal
+            FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+        """,
+        "pivot_agg": """
+            SELECT o_orderpriority,
+                   SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS cents_f,
+                   SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS cents_o,
+                   SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS cents_p
+            FROM orders GROUP BY o_orderpriority
         """,
     }

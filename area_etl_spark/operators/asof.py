@@ -1,0 +1,125 @@
+"""As-of and range joins — temporal operators Spark lacks as built-ins.
+
+No counterpart in the reference (batch snapshot migration); these are the
+time-series operators a training-data/event pipeline needs (the brief's
+"operator Spark lacks" category), re-expressed as compositions of existing
+DataFrame ops — no Pandas fallback needed.
+
+``asof_join``: the classic "most recent right row at or before each left
+row" join (kdb aj / pandas merge_asof / DuckDB ASOF JOIN).
+
+Scale design: the naive formulation (inequality join + per-left-row max)
+explodes to O(|L|·|R|) pairs inside each key before aggregating them away.
+This implementation is the union-merge form: tag both sides, union them
+(narrow), ONE shuffle on the key, sort each partition by (time, side), and
+carry the last-seen right values forward with ``last(ignorenulls) OVER``.
+Cost is O((|L|+|R|) log) per key group with shuffle volume |L|+|R| — the
+same shape kdb/pandas use single-node, expressed distributively.  A hot key
+skews its window partition; pre-splitting by coarse time bucket bounds it
+(bucket boundaries then need a per-bucket seed pass — not done here, noted
+for 100 TB deployments with pathological keys).
+
+``range_band_join``: value-in-[lo,hi) banding against a small bands table —
+broadcast the bands so the non-equi condition runs as a BroadcastNestedLoop
+over a handful of rows per probe, never a cartesian shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+    strict: bool = False,
+    tolerance_seconds: int | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach the most recent right row at/before its time.
+
+    Parameters
+    ----------
+    on : equality key column(s) present on both sides
+    left_time / right_time : event-time columns
+    value_cols : right-side columns to carry (each appears as ``{col}{suffix}``)
+    strict : False → right rows at the exact left time match (``<=``);
+             True → only strictly earlier right rows match (``<``)
+    tolerance_seconds : if set, matches older than this are nulled out
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+
+    # Side tag ordering encodes the inequality: for <= the right row at an
+    # equal timestamp must sort BEFORE the left row (visible to it); for <
+    # it must sort after.
+    left_tag, right_tag = (0, 1) if strict else (1, 0)
+
+    lt = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_time).cast("timestamp").alias("_t"),
+        F.lit(left_tag).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast("timestamp").alias("_rt"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_rv_{c}") for c in value_cols],
+    )
+    rt = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_time).cast("timestamp").alias("_t"),
+        F.lit(right_tag).alias("_side"),
+        F.lit(None).cast(lt.schema["_lrow"].dataType).alias("_lrow"),
+        F.col(right_time).cast("timestamp").alias("_rt"),
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+    )
+    merged = lt.unionByName(rt)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        "*",
+        F.last("_rt", ignorenulls=True).over(w).alias("_rt_filled"),
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}_filled")
+            for c in value_cols
+        ],
+    ).where(F.col("_lrow").isNotNull())
+
+    within = (
+        F.lit(True)
+        if tolerance_seconds is None
+        else F.col("_rt_filled").isNotNull()
+        & (F.unix_timestamp("_t") - F.unix_timestamp("_rt_filled") <= tolerance_seconds)
+    )
+    out_cols: list[Column] = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+    out_cols.append(F.when(within, F.col("_rt_filled")).otherwise(None).alias(f"{right_time}{suffix}"))
+    for c in value_cols:
+        out_cols.append(F.when(within, F.col(f"_rv_{c}_filled")).otherwise(None).alias(f"{c}{suffix}"))
+    return filled.select(*out_cols)
+
+
+def range_band_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    how: str = "left",
+) -> DataFrame:
+    """Join each fact row to the band whose [lo, hi) contains ``value_col``.
+
+    ``bands`` must be dimension-sized; it is broadcast, so the plan is a
+    BroadcastNestedLoopJoin probing a handful of in-memory rows per fact row
+    — the non-equi predicate never induces a shuffle of the fact table.
+    """
+    cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    return fact.join(broadcast(bands), on=cond, how=how)

@@ -17,6 +17,29 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def lag_and_rolling(
+    df: DataFrame,
+    partition_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window_rows: int = 3,
+) -> DataFrame:
+    """Per-key lag + trailing-N-row rolling sum (time-series analytics).
+
+    One shuffle on ``partition_col``; both window functions share the same
+    partitioning/ordering, so Catalyst evaluates them in a single Window
+    physical node (one sort, two frame computations).  ``order_cols`` must be
+    a total order (e.g. (ts, event_id)) or results are nondeterministic.
+    """
+    w = Window.partitionBy(partition_col).orderBy(*[F.col(c) for c in order_cols])
+    trailing = w.rowsBetween(-(window_rows - 1), Window.currentRow)
+    return df.select(
+        "*",
+        F.lag(value_col).over(w).alias(f"prev_{value_col}"),
+        F.sum(value_col).over(trailing).alias(f"rolling_{value_col}"),
+    )
+
+
 def disambiguate_names(
     df: DataFrame,
     name_col: str = "name",

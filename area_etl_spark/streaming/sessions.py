@@ -1,0 +1,156 @@
+"""Sessionization — gap-based session windows, batch + streaming + stateful.
+
+Three forms of the same semantic (events closer than ``gap`` belong to one
+session per user):
+
+- ``session_agg`` — batch/oracle form via the built-in ``session_window``
+  (Catalyst merges overlapping [ts, ts+gap) intervals; one shuffle on the
+  group key).  A new session starts when the gap to the previous event is
+  >= the gap duration (windows that merely touch do not merge).
+- ``stream_session_agg`` — the identical plan over ``readStream`` with a
+  watermark bounding session state.
+- ``stateful_sessionize`` — the custom-stateful-operator escape hatch
+  (``applyInPandasWithState``): per-key state carried across micro-batches
+  with explicit timeout handling, for session logic the built-in window
+  can't express (e.g. value-dependent gaps, early emission).  Arrow-batched;
+  state is one small dict per user.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def session_agg(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch gap-session rollup: (user_id, session_start, session_end_ts, n_events, value_cents)."""
+    w = F.session_window(F.col("ts"), f"{gap_minutes} minutes")
+    return (
+        events.groupBy(w.alias("sess"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("sess.start").alias("session_start"),
+            F.col("last_ts").alias("session_end_ts"),
+            F.col("n_events"),
+            F.col("value_cents"),
+        )
+    )
+
+
+def stream_session_agg(
+    spark: SparkSession,
+    events_path: str,
+    schema,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming form of ``session_agg`` (same logical plan over readStream)."""
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    return session_agg(stream.withWatermark("ts", watermark), gap_minutes)
+
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("session_start", TimestampType()),
+        StructField("last_ts", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end_ts", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _sessionize_user(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_seconds: int,
+) -> Iterator[pd.DataFrame]:
+    """Fold one user's micro-batch rows into gap sessions; emit closed ones."""
+    (user_id,) = key
+    if state.exists:
+        session_start, last_ts, n_events = state.get
+    else:
+        session_start = last_ts = None
+        n_events = 0
+
+    closed: list[dict[str, Any]] = []
+    for pdf in batches:
+        for ts in sorted(pdf["ts"]):
+            ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+            if last_ts is not None and (ts - last_ts).total_seconds() >= gap_seconds:
+                closed.append(
+                    {
+                        "user_id": user_id,
+                        "session_start": session_start,
+                        "session_end_ts": last_ts,
+                        "n_events": n_events,
+                    }
+                )
+                session_start, n_events = ts, 0
+            if session_start is None:
+                session_start = ts
+            last_ts = ts
+            n_events += 1
+
+    if state.hasTimedOut:
+        if n_events:
+            closed.append(
+                {
+                    "user_id": user_id,
+                    "session_start": session_start,
+                    "session_end_ts": last_ts,
+                    "n_events": n_events,
+                }
+            )
+        state.remove()
+    else:
+        state.update((session_start, last_ts, n_events))
+        state.setTimeoutDuration(gap_seconds * 1000)
+
+    yield pd.DataFrame.from_records(closed, columns=[f.name for f in SESSION_OUT_SCHEMA.fields])
+
+
+def stateful_sessionize(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Custom stateful sessionizer over a stream: applyInPandasWithState.
+
+    Emits a session row when a user's gap elapses (processing-time timeout)
+    — semantics the declarative ``session_window`` cannot express (emission
+    before end-of-stream with per-key timers).  State per key is O(1).
+    """
+    gap_seconds = gap_minutes * 60
+
+    def fn(key, batches, state):
+        return _sessionize_user(key, batches, state, gap_seconds)
+
+    return events.select("user_id", "ts").groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

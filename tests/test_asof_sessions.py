@@ -1,0 +1,111 @@
+"""Unit tests: as-of join, range band join, sessionization (batch + stateful stream)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from area_etl_spark.operators.asof import asof_join, range_band_join
+from area_etl_spark.streaming.sessions import session_agg, stateful_sessionize
+
+T = lambda s: datetime.fromisoformat(s)  # noqa: E731
+
+
+def _sides(spark):
+    left = spark.createDataFrame(
+        [(1, "k", T("2024-01-01T10:00:00")), (2, "k", T("2024-01-01T12:00:00")), (3, "j", T("2024-01-01T10:00:00"))],
+        "lid int, k string, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", T("2024-01-01T09:00:00"), 10.0), ("k", T("2024-01-01T12:00:00"), 20.0)],
+        "k string, rt timestamp, v double",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark):
+    left, right = _sides(spark)
+    out = {r.lid: (r.rt_asof, r.v_asof) for r in
+           asof_join(left, right, "k", "lt", "rt", ["v"]).collect()}
+    assert out[1] == (T("2024-01-01T09:00:00"), 10.0)
+    assert out[2] == (T("2024-01-01T12:00:00"), 20.0)  # ties match when not strict
+    assert out[3] == (None, None)  # no right rows for key j
+
+
+def test_asof_strict_excludes_ties(spark):
+    left, right = _sides(spark)
+    out = {r.lid: r.v_asof for r in
+           asof_join(left, right, "k", "lt", "rt", ["v"], strict=True).collect()}
+    assert out[2] == 10.0  # the 12:00 right row no longer matches the 12:00 left row
+
+
+def test_asof_tolerance(spark):
+    left, right = _sides(spark)
+    out = {r.lid: r.v_asof for r in
+           asof_join(left, right, "k", "lt", "rt", ["v"], tolerance_seconds=1800).collect()}
+    assert out[1] is None  # 09:00 is 1h before 10:00, outside 30 min tolerance
+    assert out[2] == 20.0
+
+
+def test_range_band_join_broadcasts(spark, tables):
+    import io
+    from contextlib import redirect_stdout
+
+    bands = spark.createDataFrame(
+        [("LOW", 0.0, 100000.0), ("HIGH", 100000.0, 10000000.0)], "band string, lo double, hi double"
+    )
+    joined = range_band_join(tables["orders"], bands, "o_totalprice")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        joined.explain("formatted")
+    assert "BroadcastNestedLoopJoin" in buf.getvalue()
+    got = joined.where(F.col("band").isNull()).count()
+    assert got == 0  # every order lands in a band
+
+
+def test_session_agg_gap_semantics(spark):
+    rows = [
+        (1, T("2024-01-01T10:00:00"), 1.0),
+        (1, T("2024-01-01T10:10:00"), 1.0),   # same session (10 min gap)
+        (1, T("2024-01-01T11:00:00"), 1.0),   # new session (50 min gap)
+        (2, T("2024-01-01T10:00:00"), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {(r.user_id, r.session_start): r.n_events for r in session_agg(df, 30).collect()}
+    assert got == {
+        (1, T("2024-01-01T10:00:00")): 2,
+        (1, T("2024-01-01T11:00:00")): 1,
+        (2, T("2024-01-01T10:00:00")): 1,
+    }
+
+
+def test_stateful_sessionize_stream(spark, tables, tmp_path):
+    events = tables["events"].select("user_id", "ts", "value")
+    src = str(tmp_path / "sess_src")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = stateful_sessionize(stream, gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    streamed = {
+        (r.user_id, r.session_start, r.session_end_ts, r.n_events)
+        for r in spark.sql("SELECT * FROM sess_test").collect()
+    }
+    batch = {
+        (r.user_id, r.session_start, r.session_end_ts, r.n_events)
+        for r in session_agg(events, 30).collect()
+    }
+    # All data arrives in one micro-batch and the processing-time timeout
+    # never fires within the run, so each user's LAST session stays in state;
+    # everything emitted must be a real batch session, and per user exactly
+    # the final one is withheld.
+    assert streamed <= batch
+    n_users = events.select("user_id").distinct().count()
+    assert len(streamed) == len(batch) - n_users
