@@ -40,7 +40,7 @@ from area_etl_spark.operators.unions import union_diagonal_relaxed
 from area_etl_spark.operators import windows as W
 from area_etl_spark.operators.windows import disambiguate_names
 from area_etl_spark.plans import pipelines as P
-from area_etl_spark.session import load_tables
+from area_etl_spark.session import load_tables_lazy
 from area_etl_spark.sources.extract import extract_csv, extract_sql
 from area_etl_spark.sources.load import export_csv, load_append, read_back, reload_overwrite
 from area_etl_spark.streaming.event_stream import windowed_event_agg
@@ -53,8 +53,18 @@ SEED_CSV = os.path.join(REPO_DIR, "seed", "regions.csv")
 FIXED_NOW = datetime(2026, 1, 1, 0, 0, 0)
 
 
+# One catalog per (session, sf_dir): tables open lazily on first access and
+# the driver-side parquet footer/schema read is paid once, not once per query.
+_CATALOGS: dict[tuple[int, str], dict] = {}
+
+
 def _tables(spark: SparkSession, sf_dir: str):
-    return load_tables(spark, sf_dir)
+    key = (id(spark._jsparkSession if hasattr(spark, "_jsparkSession") else spark), sf_dir)
+    cat = _CATALOGS.get(key)
+    if cat is None:
+        cat = load_tables_lazy(spark, sf_dir)
+        _CATALOGS[key] = cat
+    return cat
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -69,7 +79,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_extract_sql(spark, sf_dir):
-    _tables(spark, sf_dir)
+    _tables(spark, sf_dir)["orders"]  # ensure the view is registered
     return extract_sql(
         spark,
         """
@@ -435,7 +445,7 @@ def q_emb_cosine_pairs_exact(spark, sf_dir):
 def q_dedup_embedding_cosine(spark, sf_dir):
     tables = _tables(spark, sf_dir)
     emb = tables["embeddings"].repartition(spark.sparkContext.defaultParallelism, F.col("vec_id"))
-    return SIM.embedding_near_dup_pairs(emb, threshold=0.38, bits=4)
+    return SIM.embedding_near_dup_pairs(emb, threshold=0.38, bits=8, num_tables=2)
 
 
 def q_groupby_rollup(spark, sf_dir):

@@ -152,8 +152,12 @@ def handle_text(source_col: str | Column, target_col: str) -> Column:
 
 
 def handle_year(source_col: str | Column, target_col: str) -> Column:
-    """Trim string then cast to 32-bit int year (utils.py:579)."""
-    return F.trim(_as_col(source_col).cast("string")).cast("int").alias(target_col)
+    """Trim string then cast to 32-bit int year (utils.py:579).
+
+    ``try_cast``: the reference's Polars cast yields null on malformed input
+    rather than failing the pipeline; Spark's ANSI-mode cast would throw.
+    """
+    return F.trim(_as_col(source_col).cast("string")).try_cast("int").alias(target_col)
 
 
 def handle_datetime(source_col: str | Column, target_col: str) -> Column:
@@ -161,5 +165,6 @@ def handle_datetime(source_col: str | Column, target_col: str) -> Column:
 
     The reference's tz-strip with ``ambiguous="earliest"`` is wall-clock
     preserving (see module docstring); the observable effect is the cast.
+    Null-on-malformed (``try_cast``) matches the reference's non-strict cast.
     """
-    return _as_col(source_col).cast("timestamp").alias(target_col)
+    return _as_col(source_col).try_cast("timestamp").alias(target_col)

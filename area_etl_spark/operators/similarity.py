@@ -133,34 +133,50 @@ def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     bits: int = 8,
+    num_tables: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via LSH-bucketed self-join.
+    """Embedding-cosine near-duplicate pairs via multi-table LSH bucketing.
 
-    Same shuffle shape as MinHash LSH: bucket (narrow) → self equi-join on
-    bucket (one shuffle) → exact cosine filter inside buckets only.
+    Shuffle shape: per hash table, bucket (narrow) → self equi-join on the
+    bucket id (one shuffle) emitting ONLY id pairs; tables union; pairs
+    ``distinct``; the surviving candidate set (tiny) joins the vectors back
+    for ONE exact-cosine pass.  Costs scale with Σ_t Σ_bucket |bucket|², so
+    ``bits`` must grow with corpus size (expected bucket occupancy
+    |corpus|/2^bits should stay O(100)); at 100 TB also pre-partition the
+    corpus by bucket so each join is co-located.
+
+    Recall comes from OR-amplification: a pair at angle θ collides in one
+    b-bit table with p = (1-θ/π)^b, and in ≥1 of L tables with
+    1-(1-p)^L — e.g. cosine 0.95 (θ≈0.32 rad): p≈0.43 at b=8, 0.68 for
+    L=2, >0.99 at L=8.  Raise ``num_tables`` for recall, ``bits`` for cost.
     """
     sample = df.select(vec_col).first()
     dim = len(sample[0]) if sample else 0
-    planes = _hyperplanes(dim, bits, seed)
-    bucketed = df.select(
-        F.col(id_col), F.col(vec_col), lsh_signature(F.col(vec_col), planes).alias("bucket")
-    )
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    pair_sim = F.round(
-        _dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-        / (_norm(F.col(f"a.{vec_col}")) * _norm(F.col(f"b.{vec_col}"))),
-        6,
-    )
-    return (
-        a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            pair_sim.alias("cosine"),
+    ids_only = df.select(F.col(id_col), F.col(vec_col))
+    cands: DataFrame | None = None
+    for t in range(num_tables):
+        planes = _hyperplanes(dim, bits, seed + 7919 * t)
+        bucketed = ids_only.select(
+            F.col(id_col), lsh_signature(F.col(vec_col), planes).alias("bucket")
         )
+        a = bucketed.alias("a")
+        b = bucketed.alias("b")
+        p = a.join(
+            b,
+            on=[F.col("a.bucket") == F.col("b.bucket"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")],
+        ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.distinct()
+
+    ea = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    eb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    sim = F.round(_dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))), 6)
+    return (
+        cands.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", sim.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )

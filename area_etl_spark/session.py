@@ -14,6 +14,7 @@ cluster this is overridden by AQE's coalescing against the configured
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,6 +61,15 @@ def get_spark(app_name: str = "area-etl-spark") -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # managed-table warehouse (bucketed-table demos/tests) goes to tmp,
+        # never the repo checkout; real deployments point this at the lake
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), f"spark-warehouse-{os.getuid()}"),
+            ),
+        )
     )
     active = SparkSession.getActiveSession()
     if active is not None:
@@ -67,6 +77,56 @@ def get_spark(app_name: str = "area-etl-spark") -> SparkSession:
     if SparkSession.builder._options.get("spark.master") is None:  # noqa: SLF001
         builder = builder.master(f"local[{cpus}]")
     return builder.getOrCreate()
+
+
+class LazyTables(dict):
+    """Table catalog that opens each parquet table on first access.
+
+    ``spark.read.parquet`` costs a driver-side footer/schema read per table;
+    a catalog of N tables must not pay that N times for a query touching one
+    table.  Missing keys load (and view-register) on demand and are then
+    cached for the life of the mapping.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str, register_views: bool) -> None:
+        super().__init__()
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._register_views = register_views
+
+    def __missing__(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise KeyError(name)
+        df = _read_table(self._spark, self._sf_dir, name)
+        if df is None:
+            raise KeyError(name)
+        if self._register_views:
+            df.createOrReplaceTempView(name)
+        self[name] = df
+        return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        return None
+    df = spark.read.parquet(path)
+    for ts_col in NANO_TS_COLS.get(name, ()):
+        if ts_col in df.columns and dict(df.dtypes)[ts_col] == "bigint":
+            # integer division keeps full precision (ns values exceed 2^53)
+            df = df.withColumn(
+                ts_col, F.expr(f"timestamp_micros(CAST({ts_col} DIV 1000 AS BIGINT))")
+            )
+    return df
+
+
+def load_tables_lazy(spark: SparkSession, sf_dir: str, register_views: bool = True) -> LazyTables:
+    """Lazy catalog: tables load on first subscript (see ``LazyTables``)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:  # noqa: BLE001
+        pass
+    return LazyTables(spark, sf_dir, register_views)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True) -> dict[str, DataFrame]:
@@ -85,16 +145,9 @@ def load_tables(spark: SparkSession, sf_dir: str, register_views: bool = True) -
         pass
     out: dict[str, DataFrame] = {}
     for name in TABLES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if not os.path.exists(path):
+        df = _read_table(spark, sf_dir, name)
+        if df is None:
             continue
-        df = spark.read.parquet(path)
-        for ts_col in NANO_TS_COLS.get(name, ()):
-            if ts_col in df.columns and dict(df.dtypes)[ts_col] == "bigint":
-                # integer division keeps full precision (ns values exceed 2^53)
-                df = df.withColumn(
-                    ts_col, F.expr(f"timestamp_micros(CAST({ts_col} DIV 1000 AS BIGINT))")
-                )
         out[name] = df
         if register_views:
             df.createOrReplaceTempView(name)

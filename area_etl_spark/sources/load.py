@@ -50,6 +50,30 @@ def export_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     logging.info("export_csv: wrote %s", path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a managed table bucketed (and optionally sorted) by join key.
+
+    This is the 100 TB fact-fact join strategy (SURVEY.md §6): two tables
+    bucketed by the same key with the same bucket count join with NO shuffle
+    exchange — each task reads matching bucket files from both sides.  With
+    ``sort_cols`` the per-bucket sort is also pre-paid at write time, so the
+    join plan is exchange-free AND sort-free.  The write itself shuffles
+    once (that's the point: pay the partitioning once, reuse it every join).
+    """
+    writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+    logging.info("write_bucketed: %s (%d buckets by %s)", table_name, num_buckets, bucket_cols)
+
+
 def read_back(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     """Re-read a sink for round-trip verification."""
     if fmt == "csv":

@@ -27,11 +27,17 @@ HEADLINE = [
     "pipeline_auac",
     "projection_pipeline",
     "events_windowed_agg",
+    "events_sessionization",
+    "asof_join",
+    "window_rolling_agg",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "text_quality_score",
     "text_fingerprint",
+    "text_topk_terms",
+    "groupby_rollup",
 ]
 
 
@@ -41,6 +47,14 @@ def main() -> None:
     spark = get_spark("area-etl-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+
+    # JVM/codegen/scan warmup so timings measure the queries, not session
+    # startup: one trivial job + one pass that opens every parquet footer.
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    from area_etl_spark.session import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0
