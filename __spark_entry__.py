@@ -32,6 +32,7 @@ from area_etl_spark.operators import dedup as D
 from area_etl_spark.operators import multimodal as MM
 from area_etl_spark.operators import similarity as SIM
 from area_etl_spark.operators import text_analysis as TA
+from area_etl_spark.operators import aggregates as AGG
 from area_etl_spark.operators.aggregates import collect_sorted_list, exact_money_sum
 from area_etl_spark.operators.asof import asof_join, range_band_join
 from area_etl_spark.operators.attachments import with_object_ids
@@ -448,6 +449,31 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return SIM.embedding_near_dup_pairs(emb, threshold=0.38, bits=8, num_tables=2)
 
 
+def q_multimodal_frame_sample(spark, sf_dir):
+    tables = _tables(spark, sf_dir)
+    payloads = MM.attach_binary_payload(tables["documents"], "text", "video/mp4", "doc_id")
+    return MM.sample_frames(MM.decode_media(payloads, decoder="fake"), stride=5)
+
+
+def q_multimodal_features(spark, sf_dir):
+    tables = _tables(spark, sf_dir)
+    payloads = MM.attach_binary_payload(tables["documents"], "text", "image/png", "doc_id")
+    return MM.extract_features(payloads)
+
+
+def q_agg_salted_sum(spark, sf_dir):
+    tables = _tables(spark, sf_dir)
+    ev = tables["events"].select(
+        "event_id", "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return AGG.salted_agg_sum_count(ev, ["event_type"], "cents", salt_on="event_id", buckets=32)
+
+
+def q_distinct_count_skewsafe(spark, sf_dir):
+    tables = _tables(spark, sf_dir)
+    return AGG.distinct_count_skew_safe(tables["events"], ["event_type"], "user_id")
+
+
 def q_groupby_rollup(spark, sf_dir):
     tables = _tables(spark, sf_dir)
     nation = tables["nation"].select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
@@ -523,6 +549,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "groupby_rollup": q_groupby_rollup,
         "pivot_agg": q_pivot_agg,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "multimodal_features": q_multimodal_features,
+        "agg_salted_sum": q_agg_salted_sum,
+        "distinct_count_skewsafe": q_distinct_count_skewsafe,
     }
 
 
@@ -854,5 +884,29 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS cents_o,
                    SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS cents_p
             FROM orders GROUP BY o_orderpriority
+        """,
+        "multimodal_frame_sample": """
+            SELECT doc_id AS id,
+                   CAST(unnest(range(0, octet_length(encode(text)) % 31, 5)) AS INTEGER) AS frame_idx,
+                   CAST(octet_length(encode(text)) % 31 AS INTEGER) AS n_frames
+            FROM documents
+            WHERE octet_length(encode(text)) % 31 > 0
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                   list_transform(generate_series(1, 8),
+                       i -> CAST((octet_length(encode(text)) * i) % 1000 AS DOUBLE) / 1000.0) AS features
+            FROM documents
+        """,
+        "agg_salted_sum": """
+            SELECT event_type,
+                   SUM(CAST(floor(value * 100) AS BIGINT)) AS sum_cents,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "distinct_count_skewsafe": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
+            FROM events GROUP BY event_type
         """,
     }

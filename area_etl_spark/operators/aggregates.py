@@ -34,6 +34,48 @@ def exact_money_sum(col: str | Column, scale: int = 2) -> Column:
     return F.sum(F.floor(c * factor).cast("long")) / F.lit(float(factor))
 
 
+def salted_agg_sum_count(
+    df,
+    keys: list[str],
+    value_col: str,
+    salt_on: str,
+    buckets: int = 32,
+):
+    """Two-stage salted sum/count for pathologically hot group keys.
+
+    Stage 1 groups by (keys, salt) — the hot key's rows spread over
+    ``buckets`` reducers; stage 2 merges the partials with a second (tiny)
+    shuffle.  NOTE: for plain algebraic aggregates Spark's map-side partial
+    aggregation usually neutralizes skew already — reach for salting when
+    the accumulator itself is heavy (collect_list/distinct) or when AQE
+    can't split the hot partition (window functions).  Salt is
+    deterministic: hash of ``salt_on`` (use a unique id column).
+    """
+    salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(buckets)).alias("_salt")
+    stage1 = df.groupBy(*keys, salt).agg(
+        F.sum(value_col).alias("_psum"), F.count(F.lit(1)).alias("_pcnt")
+    )
+    return stage1.groupBy(*keys).agg(
+        F.sum("_psum").alias(f"sum_{value_col}"), F.sum("_pcnt").alias("n")
+    )
+
+
+def distinct_count_skew_safe(df, keys: list[str], value_col: str):
+    """Exact per-key COUNT(DISTINCT value) that survives hot keys.
+
+    ``groupBy(k).agg(countDistinct(v))`` funnels each key's whole value set
+    through one reducer; this form first distincts on (keys, value) — that
+    shuffle is spread by the VALUE too, so a hot key fans out — then counts
+    per key (second shuffle carries one row per distinct value).
+    """
+    return (
+        df.select(*keys, value_col)
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias(f"n_distinct_{value_col}"))
+    )
+
+
 def collect_sorted_list(col: str | Column) -> Column:
     """Order-insensitive list aggregation (deterministic collect_list)."""
     c = F.col(col) if isinstance(col, str) else col

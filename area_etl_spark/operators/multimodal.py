@@ -106,3 +106,95 @@ def decode_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
             yield pd.DataFrame.from_records(records)
 
     return df.mapInPandas(_decode_batches, schema=DECODE_SCHEMA)
+
+
+FEATURE_DIM = 8
+
+RESIZE_SCHEMA = "id bigint, width int, height int, resized_width int, resized_height int"
+FRAMES_SCHEMA = "id bigint, frame_idx int, n_frames int"
+FEATURES_SCHEMA = f"id bigint, byte_len bigint, features array<double>"
+
+
+def fake_resize_dims(width: int, height: int, target_max: int) -> tuple[int, int]:
+    """Aspect-preserving fit into target_max (the PIL thumbnail contract)."""
+    m = max(width, height)
+    if m <= target_max or m == 0:
+        return width, height
+    factor = target_max / m
+    return int(width * factor), int(height * factor)
+
+
+def resize_media(decoded: DataFrame, target_max: int = 256) -> DataFrame:
+    """Resize stage over decoded records: Arrow-batched mapInPandas.
+
+    The real kernel (PIL/opencv) slots where ``fake_resize_dims`` computes —
+    the Spark-side contract (schema in/out, batch iteration, partition
+    sizing via ``rebalance_for_media`` upstream) is identical.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rw, rh = [], []
+            for w, h in zip(pdf["width"], pdf["height"]):
+                a, b = fake_resize_dims(int(w), int(h), target_max)
+                rw.append(a)
+                rh.append(b)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "resized_width": rw,
+                    "resized_height": rh,
+                }
+            )
+
+    return decoded.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(decoded: DataFrame, stride: int = 5) -> DataFrame:
+    """Frame-sampling stage: one output row per sampled frame (1→N fan-out).
+
+    Demonstrates the mapInPandas row-expansion shape a video pipeline needs
+    (the real kernel would attach the decoded frame bytes per row; payload
+    widths are why the upstream repartition targets bytes, not rows).
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for i in range(len(pdf)):
+                n = int(pdf["n_frames"].iloc[i])
+                for f in range(0, n, stride):
+                    recs.append({"id": pdf["id"].iloc[i], "frame_idx": f, "n_frames": n})
+            yield pd.DataFrame.from_records(recs, columns=["id", "frame_idx", "n_frames"])
+
+    return decoded.mapInPandas(_sample, schema=FRAMES_SCHEMA)
+
+
+def fake_feature_vector(byte_len: int) -> list[float]:
+    """Deterministic stand-in for an embedding model: dims from byte length."""
+    return [((byte_len * (i + 1)) % 1000) / 1000.0 for i in range(FEATURE_DIM)]
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Feature-extraction stage: (id, payload, meta) → fixed-dim vector.
+
+    Output feeds the similarity operators (``cosine_topk``,
+    ``embedding_near_dup_pairs``) unchanged — binary → features → ANN is the
+    full multimodal dedup path.  Real models slot in per batch (load the
+    model once per partition, not per row).
+    """
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lens = [int(m["byte_len"]) for m in pdf["meta"]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "byte_len": lens,
+                    "features": [fake_feature_vector(n) for n in lens],
+                }
+            )
+
+    return df.mapInPandas(_features, schema=FEATURES_SCHEMA)

@@ -101,6 +101,25 @@ def test_collect_sorted_list_deterministic(spark):
     assert got == [1, 2, 3]
 
 
+def test_salted_agg_matches_plain(spark):
+    from area_etl_spark.operators.aggregates import distinct_count_skew_safe, salted_agg_sum_count
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", i % 7, float(i)) for i in range(1000)],
+        "id long, k string, u int, v double",
+    )
+    salted = {r.k: (r.sum_v, r.n) for r in salted_agg_sum_count(df, ["k"], "v", "id").collect()}
+    plain = {
+        r.k: (r.s, r.n)
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert salted == plain
+
+    dc = {r.k: r.n_distinct_u for r in distinct_count_skew_safe(df, ["k"], "u").collect()}
+    plain_dc = {r.k: r.n for r in df.groupBy("k").agg(F.countDistinct("u").alias("n")).collect()}
+    assert dc == plain_dc
+
+
 def test_left_join_chain_preserves_left_rows(spark, tables):
     cust = tables["customer"]
     nation = tables["nation"].select(F.col("n_nationkey").alias("c_nationkey"), "n_name")

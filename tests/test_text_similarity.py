@@ -92,6 +92,37 @@ def test_embedding_near_dup_pairs(spark):
     assert (1, 2) in pairs and (1, 3) not in pairs
 
 
+def test_multimodal_pipeline_stages(spark):
+    from area_etl_spark.operators.multimodal import (
+        extract_features,
+        fake_feature_vector,
+        fake_resize_dims,
+        resize_media,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame([(1, "x" * 600), (2, "y" * 40)], "doc_id int, body string")
+    wrapped = attach_binary_payload(df, "body", "image/png", "doc_id")
+    decoded = decode_media(wrapped)
+
+    resized = {r.id: (r.resized_width, r.resized_height) for r in resize_media(decoded, 256).collect()}
+    assert resized[1] == fake_resize_dims(600 % 997, 600 % 991, 256)
+    assert max(resized[1]) <= 256
+
+    frames = [(r.id, r.frame_idx) for r in sample_frames(decoded, stride=5).collect()]
+    n1 = 600 % 31
+    assert [(i, f) for i, f in frames if i == 1] == [(1, f) for f in range(0, n1, 5)]
+
+    feats = {r.id: list(r.features) for r in extract_features(wrapped).collect()}
+    assert feats[1] == fake_feature_vector(600)
+    # features feed the similarity operators unchanged
+    fdf = extract_features(wrapped).withColumnRenamed("id", "vec_id").withColumnRenamed(
+        "features", "embedding"
+    )
+    top = cosine_topk(fdf, fake_feature_vector(600), k=1)
+    assert top.collect()[0].vec_id == 1
+
+
 def test_multimodal_plumbing(spark):
     df = spark.createDataFrame([(1, "payload-one"), (2, "pp2")], "doc_id int, body string")
     wrapped = attach_binary_payload(df, "body", "application/octet-stream", "doc_id")
