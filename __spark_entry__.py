@@ -283,6 +283,80 @@ def q_pipeline_auac(spark, sf_dir):
     return P.auac_pipeline(_tables(spark, sf_dir))
 
 
+def q_pipeline_resolutions(spark, sf_dir):
+    tables = _tables(spark, sf_dir)
+    return P.resolutions_pipeline(tables)
+
+
+def q_pipeline_specialties(spark, sf_dir):
+    tables = _tables(spark, sf_dir)
+    return P.specialties_pipeline(tables)
+
+
+def q_pipeline_districts(spark, sf_dir):
+    tables = _tables(spark, sf_dir)
+    seed = extract_csv(spark, SEED_CSV, schema_overrides={"region_code": "string"})
+    return P.districts_pipeline(tables, seed)
+
+
+def q_tpch_q3ish(spark, sf_dir):
+    """Shipping-priority shape (TPC-H Q3): 3-way join, agg, top-10 by revenue.
+
+    customer filter → broadcast into orders; orders⋈lineitem is the
+    fact-fact shuffle (bucketable at scale); top-10 is TakeOrdered, no
+    global sort.
+    """
+    tables = _tables(spark, sf_dir)
+    cust = tables["customer"].where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = tables["orders"].select(
+        F.col("o_orderkey"), F.col("o_custkey").alias("c_custkey"), F.col("o_orderdate")
+    )
+    li = tables["lineitem"].select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long").alias("rev_cents"),
+    )
+    return (
+        orders.join(cust, "c_custkey")  # sf-proportional side: AQE picks BHJ/SMJ
+        .join(li, "o_orderkey")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg((F.sum("rev_cents") / F.lit(100.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5ish(spark, sf_dir):
+    """Local-supplier-volume shape (TPC-H Q5): 5-way star join + rollup.
+
+    All dimension sides broadcast; the single data-sized shuffle is
+    orders⋈lineitem and the final group-by.
+    """
+    tables = _tables(spark, sf_dir)
+    region = tables["region"].select(F.col("r_regionkey").alias("n_regionkey"), F.col("r_name"))
+    nation = tables["nation"].select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name"), F.col("n_regionkey")
+    )
+    cust = tables["customer"].select("c_custkey", "c_nationkey")
+    orders = tables["orders"].select(
+        F.col("o_orderkey"), F.col("o_custkey").alias("c_custkey"), F.year("o_orderdate").alias("o_year")
+    )
+    li = tables["lineitem"].select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long").alias("rev_cents"),
+    )
+    joined = (
+        orders.join(li, "o_orderkey")
+        .join(cust, "c_custkey")  # sf-proportional: AQE decides
+        .join(F.broadcast(nation), "c_nationkey")
+        .join(F.broadcast(region), "n_regionkey")
+    )
+    return (
+        joined.where(F.col("o_year").between(1996, 1998))
+        .groupBy("r_name", "n_name", "o_year")
+        .agg((F.sum("rev_cents") / F.lit(100.0)).alias("revenue"))
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     tables = _tables(spark, sf_dir)
     docs = tables["documents"]
@@ -528,6 +602,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_poa": q_pipeline_poa,
         "pipeline_cronos": q_pipeline_cronos,
         "pipeline_auac": q_pipeline_auac,
+        "pipeline_resolutions": q_pipeline_resolutions,
+        "pipeline_specialties": q_pipeline_specialties,
+        "pipeline_districts": q_pipeline_districts,
+        "tpch_q3ish": q_tpch_q3ish,
+        "tpch_q5ish": q_tpch_q5ish,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -884,6 +963,79 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS cents_o,
                    SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS cents_p
             FROM orders GROUP BY o_orderpriority
+        """,
+        "pipeline_resolutions": f"""
+            WITH d AS (
+                SELECT doc_id AS id,
+                       substr({clean("text")}, 1, 40) AS title,
+                       source,
+                       CASE WHEN n_chars > 400 THEN sha256({clean("text")}) END AS file_id
+                FROM documents
+            ), r AS (
+                SELECT *, row_number() OVER (PARTITION BY title ORDER BY id) AS rn FROM d
+            )
+            SELECT id,
+                   CASE WHEN title IS NULL OR rn = 1 THEN title
+                        ELSE title || ' (' || CAST(rn - 1 AS VARCHAR) || ')' END AS title,
+                   source, file_id
+            FROM r
+        """,
+        "pipeline_specialties": f"""
+            WITH p AS (
+                SELECT p_partkey AS id, {clean("p_name")} AS name, p_brand AS brand, p_type
+                FROM part
+            ), par AS (
+                SELECT 'parent:' || brand AS parent_id, brand, COUNT(*) AS n_children
+                FROM p GROUP BY brand
+            )
+            SELECT p.id, p.name, p.brand, par.parent_id, par.n_children,
+                   CASE WHEN p.p_type LIKE '%BRASS%' THEN 'METALLO'
+                        WHEN p.p_type LIKE '%COPPER%' THEN 'METALLO'
+                        ELSE 'ALTRO' END AS material_class
+            FROM p JOIN par USING (brand)
+        """,
+        "pipeline_districts": f"""
+            WITH seed AS (
+                SELECT CAST(region_code AS VARCHAR) AS region_code,
+                       {clean("name")} AS seed_name,
+                       CAST(population AS BIGINT) AS population
+                FROM read_csv('{SEED_CSV}', header = true,
+                              columns = {{'region_code': 'VARCHAR', 'name': 'VARCHAR', 'population': 'BIGINT'}})
+            ), n AS (
+                SELECT n_nationkey,
+                       lpad(CAST(n_nationkey % 5 + 1 AS VARCHAR), 2, '0') AS region_code
+                FROM nation
+            )
+            SELECT region_code, seed_name, population,
+                   COUNT(*) AS n_customers,
+                   SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS total_acctbal
+            FROM customer c
+            JOIN n ON c.c_nationkey = n.n_nationkey
+            JOIN seed USING (region_code)
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q3ish": """
+            SELECT o_orderkey, o_orderdate,
+                   SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                       / CAST(100.0 AS DOUBLE) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+            JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "tpch_q5ish": """
+            SELECT r.r_name, n.n_name, year(o.o_orderdate) AS o_year,
+                   SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT))
+                       / CAST(100.0 AS DOUBLE) AS revenue
+            FROM orders o
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE year(o.o_orderdate) BETWEEN 1996 AND 1998
+            GROUP BY 1, 2, 3
         """,
         "multimodal_frame_sample": """
             SELECT doc_id AS id,

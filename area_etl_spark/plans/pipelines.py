@@ -159,3 +159,114 @@ def auac_pipeline(tables: dict[str, DataFrame]) -> DataFrame:
     return disambiguate_names(unioned, "name", "id").select(
         "id", "name", "requirement_kind", "threshold", "brand", "balance"
     )
+
+
+def resolutions_pipeline(tables: dict[str, DataFrame]) -> DataFrame:
+    """Resolutions recast — the reference's attachment pipeline shape
+    (/root/reference/src/core.py:750-1046): split rows with/without
+    attachments, derive object-store ids, remap-join them back, disambiguate
+    titles, and re-union.
+
+    The reference uploads from a driver-side thread pool and collects an
+    in-memory id map (core.py:973-1009); here the id derivation is a Column
+    expression and the "remap" is the same narrow projection on both
+    branches, so the only shuffle is the title-disambiguation window.
+    """
+    from area_etl_spark.operators.attachments import with_object_ids
+
+    docs = tables["documents"].select(
+        F.col("doc_id").cast("long").alias("id"),
+        handle_text("text", "title_clean"),
+        F.col("n_chars"),
+        F.col("source"),
+    )
+    docs = docs.withColumn("title", F.substring(F.col("title_clean"), 1, 40))
+    with_files = with_object_ids(
+        docs.where(F.col("n_chars") > 400), "title_clean", id_col="id", out_col="file_id"
+    )
+    without_files = docs.where(~(F.col("n_chars") > 400)).withColumn(
+        "file_id", F.lit(None).cast("string")
+    )
+    unioned = union_diagonal_relaxed(
+        with_files.select("id", "title", "source", "file_id"),
+        without_files.select("id", "title", "source", "file_id"),
+    )
+    return disambiguate_names(unioned, "title", "id")
+
+
+def specialties_pipeline(tables: dict[str, DataFrame]) -> DataFrame:
+    """Specialties recast — parent/child taxonomy with a synthesized parent
+    per group (core.py:595-683's "ALTRO" parent seed).
+
+    The reference collects the single ALTRO parent id to the driver and
+    closes over it (core.py:640); distributively the parent rows ARE a
+    derived frame (distinct brands), and children join it — no collect, no
+    driver round-trip, same output.
+    """
+    parts = tables["part"].select(
+        F.col("p_partkey").cast("long").alias("id"),
+        handle_text("p_name", "name"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("part_type"),
+    )
+    parents = (
+        parts.groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n_children"))
+        .select(
+            F.concat(F.lit("parent:"), F.col("brand")).alias("parent_id"),
+            F.col("brand"),
+            F.col("n_children"),
+        )
+    )
+    return (
+        parts.join(broadcast_if_dim(parents), "brand")
+        .select(
+            "id",
+            "name",
+            "brand",
+            F.col("parent_id"),
+            F.col("n_children"),
+            F.when(F.col("part_type").like("%BRASS%"), F.lit("METALLO"))
+            .when(F.col("part_type").like("%COPPER%"), F.lit("METALLO"))
+            .otherwise(F.lit("ALTRO"))
+            .alias("material_class"),
+        )
+    )
+
+
+def broadcast_if_dim(df: DataFrame) -> DataFrame:
+    """Brand-cardinality frames are dimension-sized at every sf — broadcast."""
+    from pyspark.sql.functions import broadcast
+
+    return broadcast(df)
+
+
+def districts_pipeline(tables: dict[str, DataFrame], seed_regions: DataFrame) -> DataFrame:
+    """Districts recast — CSV seed ⋈ warehouse dims + rollup
+    (core.py:172-270: istat_codes.csv joined to Oracle rows).
+
+    The seed CSV is driver-local and tiny → broadcast; the rollup groups
+    customers by seeded region band.
+    """
+    from pyspark.sql.functions import broadcast
+
+    seed = seed_regions.select(
+        F.col("region_code").cast("string").alias("region_code"),
+        handle_text("name", "seed_name"),
+        F.col("population").cast("long").alias("population"),
+    )
+    nation = tables["nation"].select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name"),
+        # deterministic mapping of nations onto the 5 seeded regions
+        F.lpad((F.col("n_nationkey") % 5 + 1).cast("string"), 2, "0").alias("region_code"),
+    )
+    cust = tables["customer"].select("c_custkey", "c_nationkey", "c_acctbal")
+    joined = cust.join(broadcast(nation), "c_nationkey").join(broadcast(seed), "region_code")
+    return (
+        joined.groupBy("region_code", "seed_name", "population")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(F.floor(F.col("c_acctbal") * 100).cast("long")) / F.lit(100.0)).alias("total_acctbal"),
+        )
+    )

@@ -51,3 +51,43 @@ def stream_windowed_event_agg(
     """Streaming form: file source → watermark → windowed aggregation."""
     stream = spark.readStream.schema(schema).parquet(events_path)
     return windowed_event_agg(stream.withWatermark("ts", watermark), window_minutes)
+
+
+def stream_dedup(stream: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps each key in the state store only
+    until the watermark passes it — the streaming counterpart of
+    ``dedup_exact``: at 100 TB/day the state holds one entry per distinct
+    key per watermark horizon, not per all time.
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    join_key: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchase within ``within`` AFTER a click.
+
+    Both sides carry watermarks and the join condition bounds the time skew,
+    so each side's state store retains only the watermark+interval horizon —
+    the canonical attribution-join shape (click → conversion).
+    """
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col(join_key), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col(join_key).alias("p_user"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    return c.join(
+        p,
+        on=[
+            c[join_key] == p["p_user"],
+            p["purchase_ts"] >= c["click_ts"],
+            p["purchase_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {within}"),
+        ],
+    ).select(join_key, "click_id", "click_ts", "purchase_id", "purchase_ts")

@@ -25,6 +25,10 @@ HEADLINE = [
     "pipeline_core",
     "pipeline_cronos",
     "pipeline_auac",
+    "pipeline_resolutions",
+    "pipeline_districts",
+    "tpch_q3ish",
+    "tpch_q5ish",
     "projection_pipeline",
     "events_windowed_agg",
     "events_sessionization",

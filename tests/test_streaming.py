@@ -2,7 +2,59 @@
 
 from __future__ import annotations
 
-from area_etl_spark.streaming.event_stream import stream_windowed_event_agg, windowed_event_agg
+from pyspark.sql import functions as F
+
+from area_etl_spark.streaming.event_stream import (
+    stream_dedup,
+    stream_stream_join,
+    stream_windowed_event_agg,
+    windowed_event_agg,
+)
+
+
+def _run_to_memory(df, name, mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+
+def test_stream_dedup_matches_batch_distinct(spark, tables, tmp_path):
+    events = tables["events"].select("event_id", "ts", "user_id")
+    doubled = events.unionByName(events)  # plant exact duplicates
+    src = str(tmp_path / "dedup_src")
+    doubled.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(doubled.schema).parquet(src)
+    _run_to_memory(stream_dedup(stream, ["event_id"]), "dedup_stream_test")
+    got = spark.sql("SELECT count(*) AS n FROM dedup_stream_test").collect()[0].n
+    assert got == events.count()
+
+
+def test_stream_stream_join_matches_batch(spark, tables, tmp_path):
+    events = tables["events"].select("event_id", "ts", "user_id", "event_type")
+    clicks = events.where(F.col("event_type") == "click")
+    purchases = events.where(F.col("event_type") == "purchase")
+    csrc, psrc = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    clicks.write.mode("overwrite").parquet(csrc)
+    purchases.write.mode("overwrite").parquet(psrc)
+    cs = spark.readStream.schema(clicks.schema).parquet(csrc)
+    ps = spark.readStream.schema(purchases.schema).parquet(psrc)
+    _run_to_memory(stream_stream_join(cs, ps), "ssj_test")
+    streamed = spark.sql("SELECT count(*) AS n FROM ssj_test").collect()[0].n
+
+    batch = clicks.alias("c").join(
+        purchases.alias("p"),
+        on=[
+            F.col("c.user_id") == F.col("p.user_id"),
+            F.col("p.ts") >= F.col("c.ts"),
+            F.col("p.ts") <= F.col("c.ts") + F.expr("INTERVAL 1 HOUR"),
+        ],
+    ).count()
+    assert streamed == batch and batch > 0
 
 
 def test_stream_equals_batch(spark, tables, sf_dir, tmp_path):
