@@ -24,6 +24,7 @@ from area_etl_spark.functions.transforms import (
     handle_datetime,
     handle_enum_mapping,
     handle_id,
+    handle_json,
     handle_text,
     handle_timestamps,
     handle_year,
@@ -33,6 +34,7 @@ from area_etl_spark.operators import multimodal as MM
 from area_etl_spark.operators import similarity as SIM
 from area_etl_spark.operators import text_analysis as TA
 from area_etl_spark.operators import aggregates as AGG
+from area_etl_spark.operators import quality as Q
 from area_etl_spark.operators.aggregates import collect_sorted_list, exact_money_sum
 from area_etl_spark.operators.asof import asof_join, range_band_join
 from area_etl_spark.operators.attachments import with_object_ids
@@ -548,6 +550,48 @@ def q_distinct_count_skewsafe(spark, sf_dir):
     return AGG.distinct_count_skew_safe(tables["events"], ["event_type"], "user_id")
 
 
+def q_json_extract(spark, sf_dir):
+    tables = _tables(spark, sf_dir)
+    ev = tables["events"].select(
+        "event_id", handle_json("props", "k INT", "props_parsed")
+    )
+    return ev.select("event_id", F.col("props_parsed.k").alias("k"))
+
+
+def q_anti_semi_join(spark, sf_dir):
+    """Customers never seen in orders (anti) vs seen (semi) — one row per kind.
+
+    Left-anti/semi joins are Spark's EXISTS/NOT EXISTS: build side hashed,
+    probe short-circuits — no row multiplication regardless of match count.
+    """
+    tables = _tables(spark, sf_dir)
+    cust = tables["customer"].select("c_custkey")
+    orders = tables["orders"].select(F.col("o_custkey").alias("c_custkey"))
+    anti = cust.join(orders, "c_custkey", "left_anti").agg(F.count(F.lit(1)).alias("n"))
+    semi = cust.join(orders, "c_custkey", "left_semi").agg(F.count(F.lit(1)).alias("n"))
+    return anti.select(F.lit("never_ordered").alias("kind"), "n").unionByName(
+        semi.select(F.lit("ordered").alias("kind"), "n")
+    )
+
+
+def q_percentile_agg(spark, sf_dir):
+    tables = _tables(spark, sf_dir)
+    return (
+        tables["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile(F.col("l_quantity"), F.lit(0.5)), 6).alias("p50_qty"),
+            F.round(F.percentile(F.col("l_quantity"), F.lit(0.95)), 6).alias("p95_qty"),
+            F.round(F.percentile(F.col("l_extendedprice"), F.lit(0.5)), 4).alias("p50_price"),
+        )
+    )
+
+
+def q_profile_table(spark, sf_dir):
+    tables = _tables(spark, sf_dir)
+    return Q.profile_columns(tables["orders"], ["o_custkey", "o_totalprice", "o_orderstatus"])
+
+
 def q_groupby_rollup(spark, sf_dir):
     tables = _tables(spark, sf_dir)
     nation = tables["nation"].select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
@@ -632,6 +676,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "agg_salted_sum": q_agg_salted_sum,
         "distinct_count_skewsafe": q_distinct_count_skewsafe,
+        "json_extract": q_json_extract,
+        "anti_semi_join": q_anti_semi_join,
+        "percentile_agg": q_percentile_agg,
+        "profile_table": q_profile_table,
     }
 
 
@@ -1060,5 +1108,44 @@ def oracle_sql() -> dict[str, str]:
         "distinct_count_skewsafe": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
             FROM events GROUP BY event_type
+        """,
+        "json_extract": """
+            SELECT event_id, CAST(props->>'k' AS INTEGER) AS k FROM events
+        """,
+        "anti_semi_join": """
+            SELECT 'never_ordered' AS kind, COUNT(*) AS n FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            UNION ALL
+            SELECT 'ordered' AS kind, COUNT(*) AS n FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "percentile_agg": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+                   round(quantile_cont(l_quantity, 0.95), 6) AS p95_qty,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "profile_table": """
+            SELECT 'o_custkey' AS "column", COUNT(*) AS n_rows,
+                   COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_null,
+                   COUNT(DISTINCT o_custkey) AS n_distinct,
+                   CAST(MIN(o_custkey) AS DOUBLE) AS min_num, CAST(MAX(o_custkey) AS DOUBLE) AS max_num,
+                   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', COUNT(*),
+                   COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END),
+                   COUNT(DISTINCT o_totalprice),
+                   CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+                   NULL, NULL
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', COUNT(*),
+                   COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+                   COUNT(DISTINCT o_orderstatus),
+                   NULL, NULL,
+                   MIN(o_orderstatus), MAX(o_orderstatus)
+            FROM orders
         """,
     }

@@ -160,6 +160,17 @@ def handle_year(source_col: str | Column, target_col: str) -> Column:
     return F.trim(_as_col(source_col).cast("string")).try_cast("int").alias(target_col)
 
 
+def handle_json(source_col: str | Column, schema: str, target_col: str) -> Column:
+    """Parse a JSON-string column into a typed struct (semi-structured data).
+
+    The schema is EXPLICIT (DDL string, e.g. ``"k INT, tag STRING"``) — at
+    100 TB, ``schema_of_json`` sampling or permissive inference would add a
+    scan and hide drift; an explicit contract makes malformed rows null
+    fields (from_json's PERMISSIVE default) that a quality gate can count.
+    """
+    return F.from_json(_as_col(source_col).cast("string"), schema).alias(target_col)
+
+
 def handle_datetime(source_col: str | Column, target_col: str) -> Column:
     """Cast to naive timestamp (utils.py:600).
 

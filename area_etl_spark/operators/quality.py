@@ -1,0 +1,62 @@
+"""Data-quality profiling — the validation pass an ETL runs before loading.
+
+The reference has no explicit validation (its quality gate is Postgres
+constraints failing the load); a 100 TB pipeline cannot afford write-time
+failure, so profiling runs as ONE aggregation pass over the table: every
+column's null count, distinct count, and min/max computed in a single
+``agg`` (one shuffle of partial aggregates), then unpivoted driver-free into
+one row per column with ``explode``.
+
+Multiple exact ``countDistinct`` aggregates in one ``agg`` trigger Spark's
+EXPAND (one input-row copy per distinct aggregate) — acceptable for a
+profile pass; use ``approx=True`` (HLL) to keep the pass linear when exact
+cardinality isn't required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
+
+
+def profile_columns(df: DataFrame, cols: list[str], approx: bool = False) -> DataFrame:
+    """One row per column: (column, n_rows, n_null, n_distinct, min/max).
+
+    Numeric columns report ``min_num``/``max_num`` (double), string-ish
+    columns ``min_str``/``max_str`` — a uniform schema so profiles union
+    across tables.
+    """
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        is_num = dtypes[c].split("(")[0] in _NUMERIC
+        distinct = (
+            F.approx_count_distinct(c) if approx else F.countDistinct(F.col(c))
+        ).alias(f"{c}__nd")
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nn"),
+            distinct,
+            (F.min(F.col(c).cast("double")) if is_num else F.lit(None).cast("double")).alias(f"{c}__mn"),
+            (F.max(F.col(c).cast("double")) if is_num else F.lit(None).cast("double")).alias(f"{c}__mx"),
+            (F.min(F.col(c).cast("string")) if not is_num else F.lit(None).cast("string")).alias(f"{c}__ms"),
+            (F.max(F.col(c).cast("string")) if not is_num else F.lit(None).cast("string")).alias(f"{c}__xs"),
+        ]
+    row = df.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"{c}__nn").alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("min_num"),
+                F.col(f"{c}__mx").alias("max_num"),
+                F.col(f"{c}__ms").alias("min_str"),
+                F.col(f"{c}__xs").alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(structs).alias("p")).select("p.*")

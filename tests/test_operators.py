@@ -120,6 +120,29 @@ def test_salted_agg_matches_plain(spark):
     assert dc == plain_dc
 
 
+def test_profile_columns(spark):
+    from area_etl_spark.operators.quality import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, 2.5, "a"), (2, None, "b"), (3, 7.5, None), (3, 1.0, "a")],
+        "k int, v double, s string",
+    )
+    prof = {r.column: r for r in profile_columns(df, ["k", "v", "s"]).collect()}
+    assert prof["k"].n_rows == 4 and prof["k"].n_null == 0 and prof["k"].n_distinct == 3
+    assert prof["v"].n_null == 1 and prof["v"].min_num == 1.0 and prof["v"].max_num == 7.5
+    assert prof["s"].n_null == 1 and prof["s"].min_str == "a" and prof["s"].max_str == "b"
+    assert prof["k"].min_str is None and prof["s"].min_num is None
+
+
+def test_handle_json(spark):
+    from area_etl_spark.functions.transforms import handle_json
+
+    df = spark.createDataFrame([('{"k": 5, "tag": "x"}',), ("not json",), (None,)], "props string")
+    out = df.select(handle_json("props", "k INT, tag STRING", "p")).select("p.k", "p.tag").collect()
+    assert (out[0].k, out[0].tag) == (5, "x")
+    assert out[1].k is None and out[2].k is None  # malformed/null -> null fields
+
+
 def test_left_join_chain_preserves_left_rows(spark, tables):
     cust = tables["customer"]
     nation = tables["nation"].select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
