@@ -1,0 +1,119 @@
+"""ETL orchestration — the reference's ``main.py`` module driver, Spark-first.
+
+Parity: ``/root/reference/main.py:35-70`` runs the selected ``migrate_*``
+modules sequentially over one connection context, timing each.  Here a
+module is a named set of pipeline plans over the table catalog; ``run``
+materializes each plan into the target lake as an atomic overwrite (the
+reference's truncate+reload idiom, ``src/utils.py:226``), partitioned where
+the plan declares it.
+
+Scale notes: pipelines within a module are INDEPENDENT plans — the runner
+submits them sequentially by default (deterministic log order, one cluster's
+full parallelism per plan), or concurrently (``max_parallel > 1``) via a
+thread pool since Spark job submission is thread-safe and scheduler pools
+share the executors; at 100 TB concurrency helps when single plans can't
+saturate the cluster (many small dimension tables).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from area_etl_spark.plans import pipelines as P
+from area_etl_spark.session import get_spark, load_tables_lazy
+from area_etl_spark.sources.extract import extract_csv
+from area_etl_spark.sources.load import reload_overwrite
+
+
+@dataclass
+class PipelineSpec:
+    """One target table: name, plan builder, optional hive partitioning."""
+
+    name: str
+    build: Callable[[SparkSession, dict], DataFrame]
+    partition_by: list[str] = field(default_factory=list)
+
+
+def _plain(build: Callable[[dict], DataFrame]) -> Callable[[SparkSession, dict], DataFrame]:
+    return lambda spark, tables: build(tables)
+
+
+def _districts(spark: SparkSession, tables: dict) -> DataFrame:
+    import os
+
+    seed_csv = os.environ.get(
+        "AREA_ETL_SEED_CSV",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "seed", "regions.csv"),
+    )
+    seed = extract_csv(spark, seed_csv, schema_overrides={"region_code": "string"})
+    return P.districts_pipeline(tables, seed)
+
+
+MODULES: dict[str, list[PipelineSpec]] = {
+    "core": [
+        PipelineSpec("companies_rollup", _plain(P.core_pipeline)),
+        PipelineSpec("resolutions", _plain(P.resolutions_pipeline)),
+        PipelineSpec("specialties", _plain(P.specialties_pipeline)),
+        PipelineSpec("districts", _districts),
+    ],
+    "poa": [PipelineSpec("operational_events", _plain(P.poa_pipeline), partition_by=["event_class"])],
+    "cronos": [PipelineSpec("yearly_plans", _plain(P.cronos_pipeline))],
+    "auac": [PipelineSpec("requirements", _plain(P.auac_pipeline))],
+}
+
+
+def run(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    modules: list[str] | None = None,
+    max_parallel: int = 1,
+) -> dict[str, float]:
+    """Run the selected modules' pipelines into ``out_dir``; returns timings."""
+    tables = load_tables_lazy(spark, sf_dir)
+    selected = modules or list(MODULES)
+    specs = [(m, s) for m in selected for s in MODULES[m]]
+    timings: dict[str, float] = {}
+
+    def _one(item: tuple[str, PipelineSpec]) -> None:
+        module, spec = item
+        t0 = time.perf_counter()
+        df = spec.build(spark, tables)
+        reload_overwrite(df, f"{out_dir}/{module}/{spec.name}", partition_by=spec.partition_by or None)
+        timings[f"{module}.{spec.name}"] = round(time.perf_counter() - t0, 3)
+        logging.info("runner: %s.%s done in %.2fs", module, spec.name, timings[f"{module}.{spec.name}"])
+
+    if max_parallel > 1:
+        with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+            list(pool.map(_one, specs))
+    else:
+        for item in specs:
+            _one(item)
+    return timings
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="area_etl_spark ETL runner")
+    parser.add_argument("--modules", type=str, default="all", help="'all' or comma list: core,poa,cronos,auac")
+    parser.add_argument("--sf-dir", type=str, default="/root/testdata/sf0.01")
+    parser.add_argument("--out-dir", type=str, required=True)
+    parser.add_argument("--parallel", type=int, default=1)
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    spark = get_spark("area-etl-runner")
+    mods = None if args.modules == "all" else [m.strip() for m in args.modules.split(",")]
+    start = time.perf_counter()
+    timings = run(spark, args.sf_dir, args.out_dir, mods, args.parallel)
+    logging.info("runner: %d pipelines in %.2fs: %s", len(timings), time.perf_counter() - start, timings)
+
+
+if __name__ == "__main__":
+    main()

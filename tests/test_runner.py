@@ -1,0 +1,66 @@
+"""Runner orchestration + executor-side attachment upload + foreachBatch sink."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from area_etl_spark.runner import MODULES, run
+
+
+def test_runner_all_modules(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "lake")
+    timings = run(spark, sf_dir, out, max_parallel=2)
+    assert set(timings) == {f"{m}.{s.name}" for m, specs in MODULES.items() for s in specs}
+    # every pipeline landed as a readable parquet table
+    for key in timings:
+        module, name = key.split(".")
+        df = spark.read.parquet(f"{out}/{module}/{name}")
+        assert df.count() > 0
+    # partitioned sink has hive-style layout
+    parts = os.listdir(f"{out}/poa/operational_events")
+    assert any(p.startswith("event_class=") for p in parts)
+
+
+def test_upload_attachments_executor_side(spark, tmp_path):
+    from area_etl_spark.operators.attachments import upload_attachments, with_object_ids
+
+    store = tmp_path / "objstore"
+    store.mkdir()
+    store_path = str(store)
+
+    df = spark.createDataFrame(
+        [(1, "payload one"), (2, None), (3, "payload three")], "id int, attachment string"
+    )
+    tagged = with_object_ids(df, "attachment", id_col="id", out_col="file_id")
+
+    def put(object_id: str, payload: bytes) -> None:
+        # stands in for a MinIO/S3 put; constructed per partition executor-side
+        with open(os.path.join(store_path, object_id), "wb") as f:
+            f.write(payload)
+
+    upload_attachments(tagged, "attachment", "file_id", put=put)
+    uploaded = sorted(os.listdir(store_path))
+    expected = sorted(r.file_id for r in tagged.where(F.col("file_id").isNotNull()).collect())
+    assert uploaded == expected
+    assert open(os.path.join(store_path, expected[0]), "rb").read() in (
+        b"payload one",
+        b"payload three",
+    )
+
+
+def test_foreachbatch_incremental_upsert(spark, tables, tmp_path):
+    """foreachBatch micro-batch sink: dedup-upsert into a parquet target."""
+    events = tables["events"].select("event_id", "ts", "user_id").limit(200)
+    src = str(tmp_path / "fb_src")
+    target = str(tmp_path / "fb_target")
+    events.write.mode("overwrite").parquet(src)
+
+    def upsert(batch_df, batch_id: int) -> None:
+        batch_df.dropDuplicates(["event_id"]).write.mode("append").parquet(target)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = stream.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
+    q.awaitTermination(240)
+    assert spark.read.parquet(target).count() == events.count()
