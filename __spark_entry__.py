@@ -710,6 +710,23 @@ def _langid_sql(text: str) -> str:
     return expr_lang
 
 
+def _lsh_bucket_sql(col: str, dim: int = 64, bits: int = 4, seed: int = 42) -> str:
+    """DuckDB expression for the random-hyperplane bucket id of ``col`` —
+    same plane literals (seeded) and same left-to-right dot order as
+    ``similarity.lsh_signature``, so bucket assignment matches bit-for-bit."""
+    from area_etl_spark.operators.similarity import _hyperplanes
+
+    terms = []
+    for j, p in enumerate(_hyperplanes(dim, bits, seed)):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        d = (
+            f"list_reduce(list_transform(generate_series(1, len({col})), "
+            f"i -> CAST({col}[i] AS DOUBLE) * ({lit})[i]), (x, y) -> x + y)"
+        )
+        terms.append(f"CASE WHEN {d} >= 0 THEN {1 << j} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per queries() key (rows-only keys omitted)."""
     now = FIXED_NOW.strftime("%Y-%m-%d %H:%M:%S")
@@ -898,6 +915,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round({dot} / ({norm_e} * {norm_q}), 6) AS cosine
             FROM embeddings, q
             WHERE vec_id <> 0
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
+        "ann_lsh_topk": f"""
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+                 qs AS (SELECT {_lsh_bucket_sql("qe")} AS qb FROM q)
+            SELECT vec_id, round({dot} / ({norm_e} * {norm_q}), 6) AS cosine
+            FROM embeddings, q, qs
+            WHERE vec_id <> 0
+              AND ({_lsh_bucket_sql("embedding")} = qb
+                   OR {_lsh_bucket_sql("embedding")} = xor(qb, 1))
             ORDER BY cosine DESC, vec_id
             LIMIT 10
         """,

@@ -41,11 +41,11 @@ def norm_rows(rows, columns):
 
 def test_every_query_has_oracle_or_is_documented_rows_only():
     rows_only = set(QUERIES) - set(ORACLES)
+    # xxhash64-based ops have no DuckDB equivalent hash — rows-only by design
     assert rows_only <= {
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_ngram_jaccard",
-        "ann_lsh_topk",
         "dedup_embedding_cosine",
     }
 
