@@ -602,6 +602,52 @@ def q_groupby_rollup(spark, sf_dir):
     )
 
 
+def q_groupby_cube(spark, sf_dir):
+    tables = _tables(spark, sf_dir)
+    return (
+        tables["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), exact_money_sum("o_totalprice").alias("total"))
+    )
+
+
+def q_regex_extract(spark, sf_dir):
+    tables = _tables(spark, sf_dir)
+    return tables["part"].select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_brand"), r"Brand#(\d+)", 1).try_cast("int").alias("brand_num"),
+        F.regexp_extract(F.col("p_type"), r"^(\w+)", 1).alias("type_head"),
+    )
+
+
+def q_fuzzy_name_match(spark, sf_dir):
+    """Blocked fuzzy join: supplier-name pairs within edit distance 3,
+    candidate pairs generated ONLY within a nation block (never all-pairs —
+    the blocking key bounds each bucket like LSH bands do)."""
+    tables = _tables(spark, sf_dir)
+    s = tables["supplier"].select(
+        F.col("s_suppkey"), F.col("s_nationkey"), F.trim(F.col("s_name")).alias("name")
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.s_nationkey") == F.col("b.s_nationkey"),
+                F.col("a.s_suppkey") < F.col("b.s_suppkey"),
+            ],
+        )
+        .select(
+            F.col("a.s_suppkey").alias("id_a"),
+            F.col("b.s_suppkey").alias("id_b"),
+            dist.alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= 3)
+    )
+
+
 def q_pivot_agg(spark, sf_dir):
     tables = _tables(spark, sf_dir)
     return (
@@ -676,6 +722,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "agg_salted_sum": q_agg_salted_sum,
         "distinct_count_skewsafe": q_distinct_count_skewsafe,
+        "groupby_cube": q_groupby_cube,
+        "regex_extract": q_regex_extract,
+        "fuzzy_name_match": q_fuzzy_name_match,
         "json_extract": q_json_extract,
         "anti_semi_join": q_anti_semi_join,
         "percentile_agg": q_percentile_agg,
@@ -1139,6 +1188,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract": """
             SELECT event_id, CAST(props->>'k' AS INTEGER) AS k FROM events
+        """,
+        "groupby_cube": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS total
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "regex_extract": """
+            SELECT p_partkey,
+                   CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INTEGER) AS brand_num,
+                   regexp_extract(p_type, '^(\\w+)', 1) AS type_head
+            FROM part
+        """,
+        "fuzzy_name_match": """
+            SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+                   levenshtein(trim(a.s_name), trim(b.s_name)) AS edit_dist
+            FROM supplier a JOIN supplier b
+              ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+            WHERE levenshtein(trim(a.s_name), trim(b.s_name)) <= 3
         """,
         "anti_semi_join": """
             SELECT 'never_ordered' AS kind, COUNT(*) AS n FROM customer c
