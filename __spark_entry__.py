@@ -648,6 +648,15 @@ def q_fuzzy_name_match(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup pairs → dedup clusters: connected components over the blocked
+    levenshtein similarity graph (min-label propagation, oracle = recursive CTE)."""
+    from area_etl_spark.operators.graph import connected_components
+
+    pairs = q_fuzzy_name_match(spark, sf_dir).select("id_a", "id_b")
+    return connected_components(pairs)
+
+
 def q_pivot_agg(spark, sf_dir):
     tables = _tables(spark, sf_dir)
     return (
@@ -725,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_cube": q_groupby_cube,
         "regex_extract": q_regex_extract,
         "fuzzy_name_match": q_fuzzy_name_match,
+        "dedup_components": q_dedup_components,
         "json_extract": q_json_extract,
         "anti_semi_join": q_anti_semi_join,
         "percentile_agg": q_percentile_agg,
@@ -1206,6 +1216,23 @@ def oracle_sql() -> dict[str, str]:
             FROM supplier a JOIN supplier b
               ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
             WHERE levenshtein(trim(a.s_name), trim(b.s_name)) <= 3
+        """,
+        "dedup_components": """
+            WITH RECURSIVE fuzzy AS (
+                SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b
+                FROM supplier a JOIN supplier b
+                  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+                WHERE levenshtein(trim(a.s_name), trim(b.s_name)) <= 3
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM fuzzy
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM fuzzy
+            ), walk(node, reach) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+            )
+            SELECT node, MIN(reach) AS label FROM walk GROUP BY node
         """,
         "anti_semi_join": """
             SELECT 'never_ordered' AS kind, COUNT(*) AS n FROM customer c

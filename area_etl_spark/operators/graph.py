@@ -1,0 +1,84 @@
+"""Graph operators — connected components for dedup clustering.
+
+Near-dup operators emit PAIRS; a dedup pipeline needs GROUPS ("keep one doc
+per component of the similarity graph").  ``connected_components`` is
+iterative min-label propagation:
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+repeated until a fixpoint.  Each round is two shuffles (join labels to
+edges, min-aggregate per node); ``localCheckpoint(eager)`` truncates the
+lineage every round so the plan doesn't grow unboundedly — the standard
+iterative-algorithm pattern on Spark.
+
+Scale notes: plain propagation needs O(graph diameter) rounds; similarity
+graphs from LSH dedup have tiny components (bounded by bucket sizes), so
+convergence is 2-4 rounds in practice.  For adversarial diameters (long
+chains) switch to the large-star/small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce", SoCC'14) which converges in
+O(log² n) rounds with the same join-aggregate primitives.  The convergence
+check is a `limit(1).count()` on changed labels — an early-exit scan, not a
+full count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, label) for every node in ``pairs``; label = min node id of its
+    component.  Deterministic for any input order."""
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                labels["node"],
+                F.least(labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_representatives(
+    df: DataFrame, components: DataFrame, id_col: str
+) -> DataFrame:
+    """Drop every row whose component label isn't its own id (keep the min).
+
+    Rows not in any component (no near-dup pair) are kept — a left-anti
+    join against the non-representative nodes.
+    """
+    losers = components.where(F.col("node") != F.col("label")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

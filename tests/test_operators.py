@@ -120,6 +120,21 @@ def test_salted_agg_matches_plain(spark):
     assert dc == plain_dc
 
 
+def test_connected_components_and_representatives(spark):
+    from area_etl_spark.operators.graph import connected_components, dedup_keep_representatives
+
+    # two components: {1,2,3,7} (chain incl. a diameter-3 path) and {5,6}
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (5, 6)], "id_a int, id_b int"
+    )
+    labels = {r.node: r.label for r in connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5}
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in [1, 2, 3, 5, 6, 7, 9]], "doc_id int, t string")
+    kept = sorted(r.doc_id for r in dedup_keep_representatives(docs, connected_components(pairs), "doc_id").collect())
+    assert kept == [1, 5, 9]  # component minima + the untouched singleton
+
+
 def test_profile_columns(spark):
     from area_etl_spark.operators.quality import profile_columns
 
