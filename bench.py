@@ -60,16 +60,21 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.limit(1).write.format("noop").mode("overwrite").save()
 
+    # best-of-2 per query: the first run includes codegen compilation and is
+    # subject to scheduler noise on a shared box; the minimum reflects the
+    # engine's steady-state cost, which is what a regression check needs.
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        elapsed = time.perf_counter() - start
-        timings[name] = round(elapsed, 3)
-        total += elapsed
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+        timings[name] = round(best, 3)
+        total += best
 
     print(
         json.dumps(
