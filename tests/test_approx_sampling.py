@@ -1,0 +1,39 @@
+"""Approximate aggregates (HLL / quantile sketches) and stratified sampling.
+
+These have no cross-engine oracle (sketch internals differ per
+implementation), so they're covered by tolerance and invariant tests — the
+SURVEY lists them as test-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_approx_count_distinct_within_tolerance(spark, tables):
+    orders = tables["orders"]
+    exact = orders.select(F.countDistinct("o_custkey").alias("n")).collect()[0].n
+    approx = orders.select(F.approx_count_distinct("o_custkey", rsd=0.02).alias("n")).collect()[0].n
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_approx_percentile_brackets_exact(spark, tables):
+    li = tables["lineitem"]
+    exact = li.select(F.percentile("l_quantity", F.lit(0.5)).alias("p")).collect()[0].p
+    approx = li.select(F.percentile_approx("l_quantity", 0.5, 10000).alias("p")).collect()[0].p
+    assert abs(approx - exact) <= 1.0  # quantity is 1..50; sketch stays within a step
+
+
+def test_stratified_sample_deterministic_and_proportional(spark, tables):
+    ev = tables["events"]
+    fractions = {"click": 0.5, "view": 0.1, "purchase": 1.0}
+    s1 = ev.sampleBy("event_type", fractions, seed=7)
+    s2 = ev.sampleBy("event_type", fractions, seed=7)
+    # deterministic under a fixed seed
+    assert s1.count() == s2.count()
+    got = {r.event_type: r.n for r in s1.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    base = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["purchase"] == base["purchase"]  # fraction 1.0 keeps everything
+    assert 0.3 < got["click"] / base["click"] < 0.7
+    assert got.get("view", 0) / base["view"] < 0.3
+    assert "cart" not in got or got.get("cart", 0) == 0  # unlisted strata dropped
