@@ -21,6 +21,16 @@ Two paths:
 Determinism: dot products evaluate left-to-right via ``aggregate`` — the
 float sum order is fixed, so results are reproducible across runs and match
 a same-order reference implementation bit-for-bit.
+
+Measured design note (sf0.1, 1.5M candidate pairs × 64 dims): a vectorized
+numpy ``pandas_udf`` cosine kernel benchmarks 3× SLOWER than these
+JVM-side ``aggregate`` expressions (2.4 s vs 0.76 s warm) — Arrow
+serialization of the vector columns to the Python worker dominates the
+arithmetic, and numpy's pairwise summation would also break bit-parity with
+the sequential-sum oracle.  Pandas UDFs win only when the per-row kernel is
+heavy relative to its input bytes (model inference, media decode —
+see operators/multimodal.py); for plain arithmetic over arrays, stay on the
+JVM even interpreted.
 """
 
 from __future__ import annotations
