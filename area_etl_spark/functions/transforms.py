@@ -154,8 +154,11 @@ def handle_text(source_col: str | Column, target_col: str) -> Column:
 def handle_year(source_col: str | Column, target_col: str) -> Column:
     """Trim string then cast to 32-bit int year (utils.py:579).
 
-    ``try_cast``: the reference's Polars cast yields null on malformed input
-    rather than failing the pipeline; Spark's ANSI-mode cast would throw.
+    Deliberate divergence: the reference's strict Polars cast raises on
+    malformed input, failing the whole single-node run.  In a distributed
+    engine one bad row must not kill a 100 TB job, so this is ``try_cast``
+    (null on malformed) — count the nulls with ``quality.profile_columns``
+    as the gate instead.
     """
     return F.trim(_as_col(source_col).cast("string")).try_cast("int").alias(target_col)
 
@@ -176,6 +179,7 @@ def handle_datetime(source_col: str | Column, target_col: str) -> Column:
 
     The reference's tz-strip with ``ambiguous="earliest"`` is wall-clock
     preserving (see module docstring); the observable effect is the cast.
-    Null-on-malformed (``try_cast``) matches the reference's non-strict cast.
+    ``try_cast`` nulls malformed input instead of failing the job (same
+    robustness rationale as ``handle_year``).
     """
     return _as_col(source_col).try_cast("timestamp").alias(target_col)
