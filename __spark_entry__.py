@@ -956,6 +956,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT CAST(s_suppkey AS BIGINT), {clean("s_name")},
                        CAST(NULL AS DOUBLE), 'SPECIFIC', CAST(NULL AS VARCHAR), s_acctbal
                 FROM supplier
+                UNION ALL
+                SELECT -1, 'ALTRO', CAST(NULL AS DOUBLE), 'FALLBACK',
+                       CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
             ), numbered AS (
                 SELECT *, row_number() OVER (PARTITION BY name ORDER BY id) AS rn FROM unioned
             )

@@ -155,7 +155,13 @@ def auac_pipeline(tables: dict[str, DataFrame]) -> DataFrame:
         F.lit("SPECIFIC").alias("requirement_kind"),
         F.col("s_acctbal").alias("balance"),
     )
-    unioned = union_diagonal_relaxed(t1, t2)
+    # the reference's literal fallback-row idiom (auac.py:80-98): one
+    # synthesized frame concatenated into the relaxed union
+    spark = tables["supplier"].sparkSession
+    fallback = spark.createDataFrame(
+        [(-1, "ALTRO", "FALLBACK")], "id long, name string, requirement_kind string"
+    )
+    unioned = union_diagonal_relaxed(t1, t2, fallback)
     return disambiguate_names(unioned, "name", "id").select(
         "id", "name", "requirement_kind", "threshold", "brand", "balance"
     )

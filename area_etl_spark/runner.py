@@ -7,6 +7,13 @@ materializes each plan into the target lake as an atomic overwrite (the
 reference's truncate+reload idiom, ``src/utils.py:226``), partitioned where
 the plan declares it.
 
+Cross-module reads: the reference's cronos module reads a table the core
+module just loaded (``src/cronos.py:102`` extracts ``ulss`` from the core
+Postgres).  Here that maps to a pipeline reading a previously materialized
+lake path (``spark.read.parquet(out_dir/core/...)``); the default
+sequential submission order (core → poa → cronos → auac, the reference's
+``main.py`` order) preserves the dependency.
+
 Scale notes: pipelines within a module are INDEPENDENT plans — the runner
 submits them sequentially by default (deterministic log order, one cluster's
 full parallelism per plan), or concurrently (``max_parallel > 1``) via a
