@@ -409,6 +409,14 @@ def q_ann_lsh_topk(spark, sf_dir):
     return SIM.lsh_ann_topk(tables["embeddings"].where(F.col("vec_id") != 0), q, k=10, bits=4, multi_probe=2)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    tables = _tables(spark, sf_dir)
+    q = _query_vec(spark, sf_dir)
+    return SIM.ivf_ann_topk(
+        tables["embeddings"].where(F.col("vec_id") != 0), q, k=10, n_centroids=16, nprobe=2
+    )
+
+
 def q_multimodal_binary_meta(spark, sf_dir):
     tables = _tables(spark, sf_dir)
     payloads = MM.attach_binary_payload(tables["documents"], "text", "text/plain", "doc_id")
@@ -712,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "text_token_stats": q_text_token_stats,
         "text_quality_score": q_text_quality_score,
@@ -767,6 +776,16 @@ def _langid_sql(text: str) -> str:
         expr_lang = f"CASE WHEN {s} > ({expr_score}) THEN '{lang}' ELSE ({expr_lang}) END"
         expr_score = f"CASE WHEN {s} > ({expr_score}) THEN {s} ELSE ({expr_score}) END"
     return expr_lang
+
+
+def _cos2_sql(x: str, y: str) -> str:
+    """DuckDB cosine between two list columns, sequential-sum order (matches
+    ``similarity._dot``/``_norm`` bit-for-bit)."""
+    red = lambda a, b: (  # noqa: E731
+        f"list_reduce(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (p, r) -> p + r)"
+    )
+    return f"({red(x, y)} / (sqrt({red(x, x)}) * sqrt({red(y, y)})))"
 
 
 def _lsh_bucket_sql(col: str, dim: int = 64, bits: int = 4, seed: int = 42) -> str:
@@ -978,6 +997,28 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings, q
             WHERE vec_id <> 0
             ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
+        "ann_ivf_topk": f"""
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+            cents AS (SELECT vec_id AS cid, embedding AS ce FROM e ORDER BY vec_id LIMIT 16),
+            assign AS (
+                SELECT vec_id, embedding, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                FROM (SELECT e.vec_id, e.embedding, c.cid,
+                             {_cos2_sql("e.embedding", "c.ce")} AS cos
+                      FROM e CROSS JOIN cents c)
+            ),
+            qprobe AS (
+                SELECT cid FROM (SELECT c.cid, {_cos2_sql("q.qe", "c.ce")} AS cos
+                                 FROM q CROSS JOIN cents c)
+                ORDER BY cos DESC, cid LIMIT 2
+            )
+            SELECT a.vec_id, round({_cos2_sql("a.embedding", "q.qe")}, 6) AS cosine
+            FROM assign a JOIN qprobe p ON a.cid = p.cid, q
+            WHERE a.rn = 1
+            ORDER BY cosine DESC, a.vec_id
             LIMIT 10
         """,
         "ann_lsh_topk": f"""

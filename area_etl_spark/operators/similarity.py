@@ -139,6 +139,74 @@ def lsh_ann_topk(
     )
 
 
+def assign_ivf_buckets(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine) — the IVF
+    coarse quantizer.  Centroids are a driver-side list (dimension-sized),
+    folded into the expression as literals, so assignment is one narrow pass;
+    ties break to the lowest centroid id (deterministic).
+
+    Shape note: an argmax ``when``-cascade would reference the running best
+    twice per step — exponential expression growth (2^K nodes at K
+    centroids; K=16 hangs the planner).  Instead the K cosines land in ONE
+    array; ``array_position(sims, array_max(sims))`` picks the first
+    (lowest-id) maximum with linear expression size.
+    """
+    sims = F.array(*[cosine_similarity(F.col(vec_col), cvec) for _, cvec in centroids])
+    cids = F.array(*[F.lit(cid) for cid, _ in centroids])
+    bucket = F.element_at(cids, F.array_position(sims, F.array_max(sims)).cast("int"))
+    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("ivf_bucket"))
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize, probe the query's nearest
+    ``nprobe`` inverted lists, exact-rank inside them.
+
+    The coarse codebook here is the first ``n_centroids`` vectors by id —
+    deterministic and oracle-reproducible; a production codebook comes from
+    k-means (same assignment plan, trained centroids).  At 100 TB the corpus
+    is stored partitioned by ``ivf_bucket`` so a probe reads
+    |corpus|·nprobe/n_centroids rows via partition pruning, and the
+    centroid list (n_centroids·dim floats) broadcasts as plan literals.
+    """
+    cents = [
+        (r[0], [float(x) for x in r[1]])
+        for r in df.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    ]
+    qsims = sorted(
+        (
+            (
+                sum(float(a) * float(b) for a, b in zip(c, query))
+                / (math.sqrt(sum(float(a) ** 2 for a in c)) * math.sqrt(sum(float(b) ** 2 for b in query))),
+                cid,
+            )
+            for cid, c in cents
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probes = [cid for _, cid in qsims[:nprobe]]
+    assigned = assign_ivf_buckets(df, cents, vec_col, id_col)
+    sim = F.round(cosine_similarity(F.col(vec_col), query), 6).alias("cosine")
+    return (
+        assigned.where(F.col("ivf_bucket").isin(probes))
+        .select(F.col(id_col), sim)
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -83,6 +83,19 @@ def test_lsh_ann_contains_true_top1(spark):
     assert exact.vec_id in {r.vec_id for r in approx}
 
 
+def test_ivf_ann_contains_true_top1(spark):
+    from area_etl_spark.operators.similarity import ivf_ann_topk
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 9), float((i * 5) % 11), 1.0]) for i in range(300)],
+        "vec_id int, embedding array<double>",
+    )
+    q = [8.0, 3.0, 1.0]
+    exact = cosine_topk(df, q, k=1).collect()[0]
+    approx = ivf_ann_topk(df, q, k=10, n_centroids=8, nprobe=3).collect()
+    assert exact.vec_id in {r.vec_id for r in approx}
+
+
 def test_embedding_near_dup_pairs(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]), (3, [0.0, 1.0, 0.0])],
