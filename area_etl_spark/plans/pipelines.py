@@ -31,7 +31,6 @@ from area_etl_spark.functions.transforms import (
     handle_enum_mapping,
     handle_id,
     handle_text,
-    handle_timestamps,
 )
 from area_etl_spark.operators.joins import left_join_chain
 from area_etl_spark.operators.unions import union_diagonal_relaxed

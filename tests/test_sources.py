@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from area_etl_spark.sources.extract import extract_csv, extract_sql
 from area_etl_spark.sources.load import export_csv, load_append, read_back, reload_overwrite
 

@@ -4,8 +4,6 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import functions as F
-
 from area_etl_spark.operators.multimodal import attach_binary_payload, decode_media, fake_decode
 from area_etl_spark.operators.similarity import cosine_topk, embedding_near_dup_pairs, lsh_ann_topk
 from area_etl_spark.operators.text_analysis import (

@@ -4,8 +4,6 @@ from __future__ import annotations
 
 from datetime import datetime
 
-from pyspark.sql import functions as F
-
 from area_etl_spark.functions.transforms import (
     handle_created_at,
     handle_disabled_at,
