@@ -162,6 +162,47 @@ def assign_ivf_buckets(
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("ivf_bucket"))
 
 
+def train_kmeans_codebook(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Train an IVF codebook with Lloyd's k-means on DataFrame primitives.
+
+    Seeds = first k vectors by id (deterministic).  Each round: assign via
+    ``assign_ivf_buckets`` (narrow, centroid literals), then new centroid =
+    element-wise mean per bucket — ONE shuffle per round of k·dim partial
+    sums (``posexplode`` → groupBy (bucket, dim_index) with map-side
+    combine, so shuffle volume is O(k·dim·partitions), independent of rows).
+    Only the k·dim codebook ever reaches the driver.  Rounds are a fixed
+    small count: at 100 TB each round is one pass; convergence-based loops
+    add a driver round-trip per iteration but no extra shuffle.
+    """
+    cents = [
+        (r[0], [float(x) for x in r[1]])
+        for r in df.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    ]
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        assigned = assign_ivf_buckets(df, cents, vec_col, id_col)
+        means = (
+            assigned.select("ivf_bucket", F.posexplode(F.col(vec_col)).alias("i", "x"))
+            .groupBy("ivf_bucket", "i")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("ivf_bucket")
+            .agg(F.map_from_arrays(F.collect_list("i"), F.collect_list("m")).alias("dims"))
+            .collect()
+        )
+        by_bucket = {r.ivf_bucket: r.dims for r in means}
+        cents = [
+            (cid, [by_bucket[cid][i] for i in range(dim)] if cid in by_bucket else old)
+            for cid, old in cents
+        ]
+    return cents
+
+
 def ivf_ann_topk(
     df: DataFrame,
     query: list[float],

@@ -94,6 +94,23 @@ def test_ivf_ann_contains_true_top1(spark):
     assert exact.vec_id in {r.vec_id for r in approx}
 
 
+def test_kmeans_codebook_separates_clusters(spark):
+    from area_etl_spark.operators.similarity import assign_ivf_buckets, train_kmeans_codebook
+
+    # two tight direction-clusters on the unit circle-ish
+    rows = [(i, [10.0 + (i % 5) * 0.1, 0.5]) for i in range(40)] + [
+        (100 + i, [0.5, 10.0 + (i % 5) * 0.1]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = train_kmeans_codebook(df, k=2, iters=4)
+    assigned = assign_ivf_buckets(df, cents).collect()
+    groups = {}
+    for r in assigned:
+        groups.setdefault(r.ivf_bucket, set()).add(r.vec_id < 100)
+    # each trained bucket is pure: all first-cluster or all second-cluster
+    assert all(len(v) == 1 for v in groups.values()) and len(groups) == 2
+
+
 def test_embedding_near_dup_pairs(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]), (3, [0.0, 1.0, 0.0])],
