@@ -70,6 +70,22 @@ def test_whole_stage_codegen_covers_projection(tables):
     assert "* Project" in plan_str(df)
 
 
+def test_asof_join_single_shuffle(tables):
+    from area_etl_spark.operators.asof import asof_join
+
+    events = tables["events"]
+    purchases = events.where(F.col("event_type") == "purchase")
+    df = asof_join(events, purchases, "user_id", "ts", "ts", [], strict=True)
+    import re
+
+    plan = plan_str(df)
+    # union-merge form: the ONLY shuffle is the window's hash partitioning
+    # on the key — never an inequality-join pair explosion
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, flags=re.M)
+    assert len(exchanges) == 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_topk_is_take_ordered(tables):
     from area_etl_spark.operators.similarity import cosine_topk
 
