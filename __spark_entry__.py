@@ -417,6 +417,47 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_trained_topk(spark, sf_dir):
+    """IVF with a k-means-TRAINED codebook (rows-only: float-mean centroids
+    are partial-agg order-dependent, not cross-engine reproducible)."""
+    tables = _tables(spark, sf_dir)
+    q = _query_vec(spark, sf_dir)
+    emb = tables["embeddings"].where(F.col("vec_id") != 0)
+    cents = SIM.train_kmeans_codebook(emb, k=16, iters=3)
+    assigned = SIM.assign_ivf_buckets(emb, cents)
+    qsims = sorted(
+        (
+            (sum(float(a) * float(b) for a, b in zip(c, q)), cid)
+            for cid, c in cents
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probes = [cid for _, cid in qsims[:2]]
+    sim = F.round(SIM.cosine_similarity(F.col("embedding"), q), 6).alias("cosine")
+    return (
+        assigned.where(F.col("ivf_bucket").isin(probes))
+        .select("vec_id", sim)
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def q_dedup_full_pipeline(spark, sf_dir):
+    """The canonical training-data dedup pipeline end-to-end: MinHash-LSH
+    candidates → n-gram Jaccard verification → connected components →
+    keep one representative doc per cluster.  Returns the surviving corpus
+    (rows-only: xxhash-based candidates)."""
+    from area_etl_spark.operators.graph import connected_components, dedup_keep_representatives
+
+    tables = _tables(spark, sf_dir)
+    docs = tables["documents"]
+    par = spark.sparkContext.defaultParallelism
+    cands = D.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=64, bands=16, parallelism=par)
+    verified = D.ngram_jaccard_pairs(docs, cands, "text", "doc_id", n=3, threshold=0.5, parallelism=par)
+    comps = connected_components(verified.select("id_a", "id_b"))
+    return dedup_keep_representatives(docs.select("doc_id", "lang", "source"), comps, "doc_id")
+
+
 def q_multimodal_binary_meta(spark, sf_dir):
     tables = _tables(spark, sf_dir)
     payloads = MM.attach_binary_payload(tables["documents"], "text", "text/plain", "doc_id")
@@ -721,6 +762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
+        "dedup_full_pipeline": q_dedup_full_pipeline,
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "text_token_stats": q_text_token_stats,
         "text_quality_score": q_text_quality_score,

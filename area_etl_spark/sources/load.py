@@ -23,6 +23,7 @@ from __future__ import annotations
 import logging
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def load_append(df: DataFrame, path: str, fmt: str = "parquet", partition_by: list[str] | None = None) -> None:
@@ -72,6 +73,36 @@ def write_bucketed(
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
     logging.info("write_bucketed: %s (%d buckets by %s)", table_name, num_buckets, bucket_cols)
+
+
+def write_range_layout(
+    df: DataFrame,
+    path: str,
+    range_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    num_partitions: int | None = None,
+) -> None:
+    """Write with range-clustered file layout for data-skipping reads.
+
+    ``repartitionByRange`` puts each value range in its own files and
+    ``sortWithinPartitions`` orders rows inside them, so parquet row-group
+    min/max statistics become tight: a later read filtering on
+    ``range_cols`` skips whole files/row-groups.  This is the lake-layout
+    move for time-series at 100 TB (cluster by event date) — pay one range
+    shuffle at write, save every scan after.  ``num_partitions`` pins the
+    file count (AQE otherwise coalesces small data into one file — fine in
+    production, wrong when a fixed layout is the point).
+    """
+    range_exprs = [F.col(c) for c in range_cols]
+    out = (
+        df.repartitionByRange(num_partitions, *range_exprs)
+        if num_partitions
+        else df.repartitionByRange(*range_exprs)
+    )
+    out = out.sortWithinPartitions(*[F.col(c) for c in (sort_cols or range_cols)])
+    out.write.mode(mode).parquet(path)
+    logging.info("write_range_layout: %s clustered by %s", path, range_cols)
 
 
 def read_back(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:

@@ -39,6 +39,31 @@ def test_reload_overwrite_idempotent(spark, tables, tmp_path):
     assert read_back(spark, path).count() == df.count()
 
 
+def test_write_range_layout_clusters_values(spark, tables, tmp_path):
+    from pyspark.sql import functions as F
+
+    from area_etl_spark.sources.load import write_range_layout
+
+    path = str(tmp_path / "range_layout")
+    write_range_layout(
+        tables["events"].select("event_id", "ts", "user_id"), path, ["ts"], num_partitions=8
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == tables["events"].count()
+    # each output file covers a disjoint-ish ts range: per-file min/max spans
+    # must be far narrower than the global span (data-skipping effective)
+    spans = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg((F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("span"))
+        .collect()
+    )
+    overall = (
+        back.agg((F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias("s")).collect()[0].s
+    )
+    assert len(spans) > 1
+    assert max(r.span for r in spans) < overall / 2
+
+
 def test_export_csv_roundtrip(spark, tables, tmp_path):
     path = str(tmp_path / "export")
     export_csv(tables["region"].select("r_regionkey", "r_name"), path, single_file=True)
