@@ -359,6 +359,23 @@ def q_tpch_q5ish(spark, sf_dir):
     )
 
 
+def q_contract_enforce(spark, sf_dir):
+    """Target-DDL contract applied to the resolutions pipeline output."""
+    from area_etl_spark.plans.contracts import RESOLUTIONS_CONTRACT, apply_contract
+
+    tables = _tables(spark, sf_dir)
+    return apply_contract(P.resolutions_pipeline(tables), RESOLUTIONS_CONTRACT)
+
+
+def q_contract_violations(spark, sf_dir):
+    from area_etl_spark.plans.contracts import RESOLUTIONS_CONTRACT, apply_contract, contract_violations
+
+    tables = _tables(spark, sf_dir)
+    return contract_violations(
+        apply_contract(P.resolutions_pipeline(tables), RESOLUTIONS_CONTRACT), RESOLUTIONS_CONTRACT
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     tables = _tables(spark, sf_dir)
     docs = tables["documents"]
@@ -755,6 +772,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_districts": q_pipeline_districts,
         "tpch_q3ish": q_tpch_q3ish,
         "tpch_q5ish": q_tpch_q5ish,
+        "contract_enforce": q_contract_enforce,
+        "contract_violations": q_contract_violations,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -880,6 +899,23 @@ def oracle_sql() -> dict[str, str]:
         "sqrt(list_reduce(list_transform(generate_series(1, len(qe)), "
         "i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), (x, y) -> x + y))"
     )
+
+    resolutions_sql = f"""
+            WITH d AS (
+                SELECT doc_id AS id,
+                       substr({clean("text")}, 1, 40) AS title,
+                       source,
+                       CASE WHEN n_chars > 400 THEN sha256({clean("text")}) END AS file_id
+                FROM documents
+            ), r AS (
+                SELECT *, row_number() OVER (PARTITION BY title ORDER BY id) AS rn FROM d
+            )
+            SELECT id,
+                   CASE WHEN title IS NULL OR rn = 1 THEN title
+                        ELSE title || ' (' || CAST(rn - 1 AS VARCHAR) || ')' END AS title,
+                   source, file_id
+            FROM r
+    """
 
     return {
         "extract_sql": """
@@ -1186,21 +1222,29 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS cents_p
             FROM orders GROUP BY o_orderpriority
         """,
-        "pipeline_resolutions": f"""
-            WITH d AS (
-                SELECT doc_id AS id,
-                       substr({clean("text")}, 1, 40) AS title,
-                       source,
-                       CASE WHEN n_chars > 400 THEN sha256({clean("text")}) END AS file_id
-                FROM documents
-            ), r AS (
-                SELECT *, row_number() OVER (PARTITION BY title ORDER BY id) AS rn FROM d
+        "pipeline_resolutions": resolutions_sql,
+        "contract_enforce": f"""
+            SELECT CAST(id AS BIGINT) AS id,
+                   COALESCE(CAST(title AS VARCHAR), '(untitled)') AS title,
+                   COALESCE(CAST(source AS VARCHAR), 'unknown') AS source,
+                   CAST(file_id AS VARCHAR) AS file_id
+            FROM ({resolutions_sql})
+        """,
+        "contract_violations": f"""
+            WITH enforced AS (
+                SELECT CAST(id AS BIGINT) AS id,
+                       COALESCE(CAST(title AS VARCHAR), '(untitled)') AS title,
+                       COALESCE(CAST(source AS VARCHAR), 'unknown') AS source,
+                       CAST(file_id AS VARCHAR) AS file_id
+                FROM ({resolutions_sql})
             )
-            SELECT id,
-                   CASE WHEN title IS NULL OR rn = 1 THEN title
-                        ELSE title || ' (' || CAST(rn - 1 AS VARCHAR) || ')' END AS title,
-                   source, file_id
-            FROM r
+            SELECT 'not_null:id' AS rule, CAST(COUNT(CASE WHEN id IS NULL THEN 1 END) AS BIGINT) AS n_bad FROM enforced
+            UNION ALL
+            SELECT 'not_null:title', CAST(COUNT(CASE WHEN title IS NULL THEN 1 END) AS BIGINT) FROM enforced
+            UNION ALL
+            SELECT 'not_null:source', CAST(COUNT(CASE WHEN source IS NULL THEN 1 END) AS BIGINT) FROM enforced
+            UNION ALL
+            SELECT 'unique_pk:id', CAST(COUNT(id) - COUNT(DISTINCT id) AS BIGINT) FROM enforced
         """,
         "pipeline_specialties": f"""
             WITH p AS (

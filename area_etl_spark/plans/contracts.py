@@ -1,0 +1,109 @@
+"""Target schema contracts — the reference's DDL layer, engine-side.
+
+Parity: the reference ships 1.5k LoC of Postgres DDL
+(``/root/reference/sql/init_*.sql``) whose work at load time is typing,
+NOT NULL enforcement, and defaults.  A lake has no database to reject rows,
+so the contract moves into the engine: ``apply_contract`` shapes a frame to
+the declared schema (declared column order, ``try_cast`` typing, defaults
+for nulls), and ``contract_violations`` is the validation gate — one
+aggregation pass counting required-null and primary-key-duplicate rows,
+run BEFORE the write instead of failing inside it.
+
+At 100 TB the violations pass piggybacks the same scan as the write (cache
+or re-read is the caller's call); its output is k rows (one per rule), so
+the gate itself is free of shuffle concerns.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class ColumnContract:
+    name: str
+    dtype: str
+    nullable: bool = True
+    default: object | None = None
+
+
+@dataclass
+class TableContract:
+    """Declarative target-table schema (mirrors one CREATE TABLE)."""
+
+    table: str
+    columns: list[ColumnContract]
+    primary_key: list[str] = field(default_factory=list)
+
+
+# Example contract mirroring the reference's resolutions target shape
+# (sql/init_core.sql: TEXT/NOT NULL/defaults idiom).
+RESOLUTIONS_CONTRACT = TableContract(
+    table="resolutions",
+    columns=[
+        ColumnContract("id", "bigint", nullable=False),
+        ColumnContract("title", "string", nullable=False, default="(untitled)"),
+        ColumnContract("source", "string", nullable=False, default="unknown"),
+        ColumnContract("file_id", "string"),
+    ],
+    primary_key=["id"],
+)
+
+
+def apply_contract(df: DataFrame, contract: TableContract) -> DataFrame:
+    """Shape ``df`` to the contract: declared order, typed, defaults filled.
+
+    ``try_cast`` nulls un-castable values (then a non-null default revives
+    them; a nullable column keeps the null) — violations surface in
+    ``contract_violations`` rather than killing the job mid-write.
+    """
+    cols = []
+    for c in contract.columns:
+        expr = F.col(c.name).try_cast(c.dtype)
+        if c.default is not None:
+            expr = F.coalesce(expr, F.lit(c.default).try_cast(c.dtype))
+        cols.append(expr.alias(c.name))
+    return df.select(*cols)
+
+
+def contract_violations(df: DataFrame, contract: TableContract) -> DataFrame:
+    """One row per rule: (rule, n_bad) — required-null and pk-dup counts.
+
+    Run on the OUTPUT of ``apply_contract``; a clean load has every
+    ``n_bad`` = 0.
+    """
+    aggs = [
+        F.count(F.when(F.col(c.name).isNull(), 1)).alias(f"nn__{c.name}")
+        for c in contract.columns
+        if not c.nullable
+    ]
+    pk = contract.primary_key
+    if pk:
+        # duplicates among fully-non-null keys; null keys are already counted
+        # by their not_null rules
+        all_present = F.lit(True)
+        for k in pk:
+            all_present = all_present & F.col(k).isNotNull()
+        aggs.append(
+            (F.count(F.when(all_present, 1)) - F.countDistinct(*[F.col(k) for k in pk])).alias(
+                "pk__dups"
+            )
+        )
+    row = df.agg(*aggs)
+    structs = []
+    for c in contract.columns:
+        if not c.nullable:
+            structs.append(
+                F.struct(
+                    F.lit(f"not_null:{c.name}").alias("rule"),
+                    F.col(f"nn__{c.name}").cast("long").alias("n_bad"),
+                )
+            )
+    if pk:
+        structs.append(
+            F.struct(F.lit("unique_pk:" + ",".join(pk)).alias("rule"), F.col("pk__dups").cast("long").alias("n_bad"))
+        )
+    return row.select(F.explode(F.array(*structs)).alias("v")).select("v.*")

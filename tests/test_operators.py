@@ -135,6 +135,36 @@ def test_connected_components_and_representatives(spark):
     assert kept == [1, 5, 9]  # component minima + the untouched singleton
 
 
+def test_schema_contract_enforce_and_validate(spark):
+    from area_etl_spark.plans.contracts import (
+        ColumnContract,
+        TableContract,
+        apply_contract,
+        contract_violations,
+    )
+
+    c = TableContract(
+        "t",
+        [
+            ColumnContract("id", "bigint", nullable=False),
+            ColumnContract("name", "string", nullable=False, default="(none)"),
+            ColumnContract("score", "double"),
+        ],
+        primary_key=["id"],
+    )
+    df = spark.createDataFrame(
+        [("1", None, "2.5"), ("1", "b", "oops"), (None, "c", None)],
+        "id string, name string, score string",
+    )
+    out = apply_contract(df, c)
+    assert [f.dataType.simpleString() for f in out.schema.fields] == ["bigint", "string", "double"]
+    rows = sorted(out.collect(), key=lambda r: (r.id is None, r.id))
+    assert rows[0].name == "(none)"  # default filled
+    assert rows[1].score is None  # un-castable -> null, job survives
+    v = {r.rule: r.n_bad for r in contract_violations(out, c).collect()}
+    assert v == {"not_null:id": 1, "not_null:name": 0, "unique_pk:id": 1}
+
+
 def test_profile_columns(spark):
     from area_etl_spark.operators.quality import profile_columns
 
