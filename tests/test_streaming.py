@@ -34,6 +34,34 @@ def test_stream_dedup_matches_batch_distinct(spark, tables, tmp_path):
     assert got == events.count()
 
 
+def test_stream_update_mode_windowed_agg(spark, tables, tmp_path):
+    """Update output mode: late rows re-emit only the touched windows; the
+    final state of the memory sink (last emission per window+type) must
+    still equal the batch aggregation."""
+    events = tables["events"]
+    src = str(tmp_path / "upd_src")
+    events.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = windowed_event_agg(stream.withWatermark("ts", "2 hours"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("upd_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    streamed = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM upd_test").collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in windowed_event_agg(events).collect()
+    }
+    assert streamed == batch
+
+
 def test_stream_stream_join_matches_batch(spark, tables, tmp_path):
     events = tables["events"].select("event_id", "ts", "user_id", "event_type")
     clicks = events.where(F.col("event_type") == "click")
