@@ -547,6 +547,35 @@ def q_window_rolling_agg(spark, sf_dir):
     return W.lag_and_rolling(ev, "user_id", ["ts", "event_id"], "value_cents", window_rows=3)
 
 
+def q_window_rank_funcs(spark, sf_dir):
+    """Ranking family over one shared window sort: rank, dense_rank, ntile,
+    running first_value — a single Window physical node."""
+    from pyspark.sql import Window
+
+    tables = _tables(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return tables["orders"].select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_orderkey").over(w).alias("top_order_key"),
+    )
+
+
+def q_monthly_revenue_rollup(spark, sf_dir):
+    tables = _tables(spark, sf_dir)
+    li = tables["lineitem"].select(
+        F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"),
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long").alias("rev_cents"),
+    )
+    return li.groupBy("ship_month").agg(
+        (F.sum("rev_cents") / F.lit(100.0)).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 def q_events_sessionization(spark, sf_dir):
     tables = _tables(spark, sf_dir)
     return session_agg(tables["events"], gap_minutes=30)
@@ -792,6 +821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_band_join": q_range_band_join,
         "window_rolling_agg": q_window_rolling_agg,
+        "window_rank_funcs": q_window_rank_funcs,
+        "monthly_revenue_rollup": q_monthly_revenue_rollup,
         "events_sessionization": q_events_sessionization,
         "text_topk_terms": q_text_topk_terms,
         "emb_cosine_pairs_exact": q_emb_cosine_pairs_exact,
@@ -1167,6 +1198,22 @@ def oracle_sql() -> dict[str, str]:
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_value_cents
             FROM events
+        """,
+        "window_rank_funcs": """
+            SELECT o_orderkey, o_orderpriority,
+                   rank() OVER w AS rnk,
+                   dense_rank() OVER w AS drnk,
+                   ntile(4) OVER w AS quartile,
+                   first_value(o_orderkey) OVER w AS top_order_key
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        """,
+        "monthly_revenue_rollup": """
+            SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+                   SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                       / CAST(100.0 AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_lines
+            FROM lineitem GROUP BY 1
         """,
         "events_sessionization": """
             WITH g AS (
