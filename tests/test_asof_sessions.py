@@ -48,6 +48,38 @@ def test_asof_tolerance(spark):
     assert out[2] == 20.0
 
 
+def test_asof_multi_key(spark):
+    left = spark.createDataFrame(
+        [(1, "k", "x", T("2024-01-01T10:00:00")), (2, "k", "y", T("2024-01-01T10:00:00"))],
+        "lid int, k1 string, k2 string, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        [("k", "x", T("2024-01-01T09:00:00"), 1.0), ("k", "y", T("2024-01-01T08:00:00"), 2.0)],
+        "k1 string, k2 string, rt timestamp, v double",
+    )
+    out = {r.lid: r.v_asof for r in
+           asof_join(left, right, ["k1", "k2"], "lt", "rt", ["v"]).collect()}
+    assert out == {1: 1.0, 2: 2.0}  # each left row matches only its own (k1,k2) group
+
+
+def test_union_diagonal_relaxed_errors_on_empty():
+    import pytest
+
+    from area_etl_spark.operators.unions import union_diagonal_relaxed
+
+    with pytest.raises(ValueError):
+        union_diagonal_relaxed()
+
+
+def test_exact_money_sum_negative_values(spark):
+    from area_etl_spark.operators.aggregates import exact_money_sum
+
+    df = spark.createDataFrame([(-1.23,), (2.50,), (-0.01,)], "x double")
+    got = df.agg(exact_money_sum("x").alias("s")).collect()[0].s
+    # floor-based cents: floor(-123.0)=-123, floor(250.0)=250, floor(-1.0)=-1 -> 1.26
+    assert got == 1.26
+
+
 def test_range_band_join_broadcasts(spark, tables):
     import io
     from contextlib import redirect_stdout
