@@ -697,6 +697,24 @@ def q_groupby_rollup(spark, sf_dir):
     )
 
 
+def q_unpivot_melt(spark, sf_dir):
+    """Wide→long reshape (DataFrame.unpivot) — inverse of pivot_agg."""
+    tables = _tables(spark, sf_dir)
+    wide = (
+        tables["orders"]
+        .select("o_orderpriority", "o_orderstatus", F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .sum("cents")
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["F", "O", "P"],
+        variableColumnName="status",
+        valueColumnName="cents",
+    )
+
+
 def q_groupby_cube(spark, sf_dir):
     tables = _tables(spark, sf_dir)
     return (
@@ -833,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "agg_salted_sum": q_agg_salted_sum,
         "distinct_count_skewsafe": q_distinct_count_skewsafe,
+        "unpivot_melt": q_unpivot_melt,
         "groupby_cube": q_groupby_cube,
         "regex_extract": q_regex_extract,
         "fuzzy_name_match": q_fuzzy_name_match,
@@ -1376,6 +1395,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract": """
             SELECT event_id, CAST(props->>'k' AS INTEGER) AS k FROM events
+        """,
+        "unpivot_melt": """
+            WITH wide AS (
+                SELECT o_orderpriority,
+                       SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS f,
+                       SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS o,
+                       SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(floor(o_totalprice * 100) AS BIGINT) END) AS p
+                FROM orders GROUP BY o_orderpriority
+            )
+            SELECT o_orderpriority, 'F' AS status, f AS cents FROM wide
+            UNION ALL SELECT o_orderpriority, 'O', o FROM wide
+            UNION ALL SELECT o_orderpriority, 'P', p FROM wide
         """,
         "groupby_cube": """
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
