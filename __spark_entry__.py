@@ -697,6 +697,17 @@ def q_groupby_rollup(spark, sf_dir):
     )
 
 
+def q_string_agg(spark, sf_dir):
+    """Ordered string aggregation (listagg WITHIN GROUP) — deterministic
+    under any shuffle order because the sort is inside the aggregate."""
+    tables = _tables(spark, sf_dir)
+    return (
+        tables["supplier"]
+        .groupBy("s_nationkey")
+        .agg(F.expr("listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name)").alias("supplier_names"))
+    )
+
+
 def q_unpivot_melt(spark, sf_dir):
     """Wide→long reshape (DataFrame.unpivot) — inverse of pivot_agg."""
     tables = _tables(spark, sf_dir)
@@ -851,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "agg_salted_sum": q_agg_salted_sum,
         "distinct_count_skewsafe": q_distinct_count_skewsafe,
+        "string_agg": q_string_agg,
         "unpivot_melt": q_unpivot_melt,
         "groupby_cube": q_groupby_cube,
         "regex_extract": q_regex_extract,
@@ -1395,6 +1407,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract": """
             SELECT event_id, CAST(props->>'k' AS INTEGER) AS k FROM events
+        """,
+        "string_agg": """
+            SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS supplier_names
+            FROM supplier GROUP BY s_nationkey
         """,
         "unpivot_melt": """
             WITH wide AS (
