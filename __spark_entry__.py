@@ -576,6 +576,30 @@ def q_monthly_revenue_rollup(spark, sf_dir):
     )
 
 
+def q_calendar_gapfill(spark, sf_dir):
+    """Zero-filled monthly series: generated calendar spine left-joined to
+    the revenue rollup (months with no shipments appear with 0)."""
+    tables = _tables(spark, sf_dir)
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("2001-12-01").cast("timestamp"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("ship_month")
+    )
+    li = tables["lineitem"].select(
+        F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"),
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long").alias("rev_cents"),
+    )
+    monthly = li.groupBy("ship_month").agg(F.sum("rev_cents").alias("cents"))
+    return spine.join(monthly, "ship_month", "left").select(
+        "ship_month",
+        (F.coalesce(F.col("cents"), F.lit(0)) / F.lit(100.0)).alias("revenue"),
+    )
+
+
 def q_events_sessionization(spark, sf_dir):
     tables = _tables(spark, sf_dir)
     return session_agg(tables["events"], gap_minutes=30)
@@ -852,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rolling_agg": q_window_rolling_agg,
         "window_rank_funcs": q_window_rank_funcs,
         "monthly_revenue_rollup": q_monthly_revenue_rollup,
+        "calendar_gapfill": q_calendar_gapfill,
         "events_sessionization": q_events_sessionization,
         "text_topk_terms": q_text_topk_terms,
         "emb_cosine_pairs_exact": q_emb_cosine_pairs_exact,
@@ -1245,6 +1270,20 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(100.0 AS DOUBLE) AS revenue,
                    COUNT(*) AS n_lines
             FROM lineitem GROUP BY 1
+        """,
+        "calendar_gapfill": """
+            WITH spine AS (
+                SELECT CAST(unnest(generate_series(TIMESTAMP '1995-01-01',
+                                                   TIMESTAMP '2001-12-01',
+                                                   INTERVAL 1 MONTH)) AS TIMESTAMP) AS ship_month
+            ), monthly AS (
+                SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+                       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS cents
+                FROM lineitem GROUP BY 1
+            )
+            SELECT s.ship_month,
+                   COALESCE(m.cents, 0) / CAST(100.0 AS DOUBLE) AS revenue
+            FROM spine s LEFT JOIN monthly m ON s.ship_month = m.ship_month
         """,
         "events_sessionization": """
             WITH g AS (
