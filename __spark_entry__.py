@@ -576,6 +576,35 @@ def q_monthly_revenue_rollup(spark, sf_dir):
     )
 
 
+def q_first_touch_attribution(spark, sf_dir):
+    """First event per user (classic first-touch): row_number over (user, ts)."""
+    from pyspark.sql import Window
+
+    tables = _tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        tables["events"]
+        .select("user_id", "event_id", "ts", "event_type", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("first_event_id"), F.col("event_type").alias("first_touch"))
+    )
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention: users grouped by first-activity day, counted per
+    (cohort_day, activity_day) — two shuffles (first-day window, rollup)."""
+    from pyspark.sql import Window
+
+    tables = _tables(spark, sf_dir)
+    ev = tables["events"].select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+    w = Window.partitionBy("user_id")
+    cohorted = ev.withColumn("cohort_day", F.min("day").over(w))
+    return (
+        cohorted.groupBy("cohort_day", "day")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 def q_calendar_gapfill(spark, sf_dir):
     """Zero-filled monthly series: generated calendar spine left-joined to
     the revenue rollup (months with no shipments appear with 0)."""
@@ -877,6 +906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank_funcs": q_window_rank_funcs,
         "monthly_revenue_rollup": q_monthly_revenue_rollup,
         "calendar_gapfill": q_calendar_gapfill,
+        "first_touch_attribution": q_first_touch_attribution,
+        "retention_cohorts": q_retention_cohorts,
         "events_sessionization": q_events_sessionization,
         "text_topk_terms": q_text_topk_terms,
         "emb_cosine_pairs_exact": q_emb_cosine_pairs_exact,
@@ -1270,6 +1301,22 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(100.0 AS DOUBLE) AS revenue,
                    COUNT(*) AS n_lines
             FROM lineitem GROUP BY 1
+        """,
+        "first_touch_attribution": """
+            SELECT user_id, event_id AS first_event_id, event_type AS first_touch
+            FROM (SELECT user_id, event_id, event_type,
+                         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "retention_cohorts": """
+            WITH d AS (
+                SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events
+            ), c AS (
+                SELECT user_id, day, MIN(day) OVER (PARTITION BY user_id) AS cohort_day FROM d
+            )
+            SELECT cohort_day, day, COUNT(DISTINCT user_id) AS n_users
+            FROM c GROUP BY cohort_day, day
         """,
         "calendar_gapfill": """
             WITH spine AS (
