@@ -70,6 +70,70 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., SoCC'14) — O(log² n) rounds regardless of diameter.
+
+    State is an edge list converging to a star per component (every node →
+    component minimum).  Each round:
+
+    - large-star: for every node u, attach each neighbor v > u to m(u) =
+      min(u, neighbors(u)) — long chains fold toward small ids.
+    - small-star: attach each neighbor v <= u (and u) to m(u) — flattens
+      the remaining two-level trees.
+
+    Both are one groupBy(node) + one re-expansion join per round.  Use this
+    over ``connected_components`` (plain propagation, O(diameter) rounds)
+    when components can be long paths — e.g. temporal chains where each doc
+    near-dups only its neighbor.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        # neighborhoods must be computed over UNDIRECTED edges each round —
+        # operating on the directed emission of the previous round hits
+        # non-star fixed points (observed on path graphs)
+        return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        s = _sym(e)
+        m = (
+            s.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        )
+        joined = s.join(m, "u")
+        kept = joined.where(F.col("v") > F.col("u")) if large else joined.where(F.col("v") <= F.col("u"))
+        new_edges = kept.select(F.col("v").alias("u"), F.col("m").alias("v")).unionByName(
+            m.select(F.col("u"), F.col("m").alias("v"))
+        )
+        return new_edges.where(F.col("u") != F.col("v")).distinct()
+
+    for _ in range(max_rounds):
+        new_edges = _star(_star(edges, large=True), large=False).localCheckpoint(eager=True)
+        delta = new_edges.exceptAll(edges).limit(1).count()
+        stable = delta == 0 and new_edges.count() == edges.count()
+        edges = new_edges
+        if stable:
+            break
+
+    final = _sym(edges)
+    labels = final.groupBy("u").agg(F.min("v").alias("mn")).select(
+        F.col("u").alias("node"), F.least(F.col("u"), F.col("mn")).alias("label")
+    )
+    return labels
+
+
 def dedup_keep_representatives(
     df: DataFrame, components: DataFrame, id_col: str
 ) -> DataFrame:

@@ -135,6 +135,20 @@ def test_connected_components_and_representatives(spark):
     assert kept == [1, 5, 9]  # component minima + the untouched singleton
 
 
+def test_connected_components_star_long_chain(spark):
+    from area_etl_spark.operators.graph import connected_components, connected_components_star
+
+    # adversarial shape for propagation: one 60-node path + a separate pair
+    chain = [(i, i + 1) for i in range(60)]
+    pairs = spark.createDataFrame(chain + [(200, 201)], "id_a int, id_b int")
+    star = {r.node: r.label for r in connected_components_star(pairs).collect()}
+    assert all(star[i] == 0 for i in range(61))
+    assert star[200] == star[201] == 200
+    # agrees with plain propagation given enough rounds
+    plain = {r.node: r.label for r in connected_components(pairs, max_iter=70).collect()}
+    assert star == plain
+
+
 def test_schema_contract_enforce_and_validate(spark):
     from area_etl_spark.plans.contracts import (
         ColumnContract,
