@@ -359,6 +359,24 @@ def q_tpch_q5ish(spark, sf_dir):
     )
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """CDC between the supplier snapshot and a derived next version
+    (deterministic deletes/updates/inserts)."""
+    from area_etl_spark.operators.diff import snapshot_diff
+
+    tables = _tables(spark, sf_dir)
+    old = tables["supplier"].select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    survivors = old.where(F.col("s_suppkey") % 10 != 0).withColumn(
+        "s_acctbal",
+        F.when(F.col("s_suppkey") % 7 == 0, F.col("s_acctbal") + 1000.0).otherwise(F.col("s_acctbal")),
+    )
+    inserts = old.where(F.col("s_suppkey") % 13 == 0).select(
+        (F.col("s_suppkey") + 100000).alias("s_suppkey"), "s_name", "s_nationkey", "s_acctbal"
+    )
+    new = survivors.unionByName(inserts)
+    return snapshot_diff(old, new, ["s_suppkey"])
+
+
 def q_contract_enforce(spark, sf_dir):
     """Target-DDL contract applied to the resolutions pipeline output."""
     from area_etl_spark.plans.contracts import RESOLUTIONS_CONTRACT, apply_contract
@@ -884,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3ish": q_tpch_q3ish,
         "tpch_q5ish": q_tpch_q5ish,
         "contract_enforce": q_contract_enforce,
+        "snapshot_diff": q_snapshot_diff,
         "contract_violations": q_contract_violations,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1387,6 +1406,28 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderpriority
         """,
         "pipeline_resolutions": resolutions_sql,
+        "snapshot_diff": """
+            WITH old AS (
+                SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+            ), new AS (
+                SELECT s_suppkey, s_name, s_nationkey,
+                       CASE WHEN s_suppkey % 7 = 0 THEN s_acctbal + 1000.0 ELSE s_acctbal END AS s_acctbal
+                FROM supplier WHERE s_suppkey % 10 <> 0
+                UNION ALL
+                SELECT s_suppkey + 100000, s_name, s_nationkey, s_acctbal
+                FROM supplier WHERE s_suppkey % 13 = 0
+            )
+            SELECT COALESCE(o.s_suppkey, n.s_suppkey) AS s_suppkey,
+                   CASE WHEN o.s_suppkey IS NULL THEN 'inserted'
+                        WHEN n.s_suppkey IS NULL THEN 'deleted'
+                        WHEN o.s_name <> n.s_name OR o.s_nationkey <> n.s_nationkey
+                             OR o.s_acctbal <> n.s_acctbal THEN 'updated'
+                        ELSE 'unchanged' END AS change_type
+            FROM old o FULL OUTER JOIN new n ON o.s_suppkey = n.s_suppkey
+            WHERE NOT (o.s_suppkey IS NOT NULL AND n.s_suppkey IS NOT NULL
+                       AND o.s_name = n.s_name AND o.s_nationkey = n.s_nationkey
+                       AND o.s_acctbal = n.s_acctbal)
+        """,
         "contract_enforce": f"""
             SELECT CAST(id AS BIGINT) AS id,
                    COALESCE(CAST(title AS VARCHAR), '(untitled)') AS title,
