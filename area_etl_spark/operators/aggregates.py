@@ -8,7 +8,7 @@ distinct-on at :744.
 Scale notes
 -----------
 - ``exact_money_sum`` avoids float-order nondeterminism: doubles are scaled
-  to integer cents (``floor(x * 100)``) and summed as BIGINT — partial
+  to integer cents (``round(x * 100)``) and summed as BIGINT — partial
   (map-side) aggregation stays exact and commutative, so the result is
   bit-identical regardless of partitioning.  The reference runs single
   threaded and never faces this; a 1000-executor sum of doubles is
@@ -26,12 +26,14 @@ from pyspark.sql import functions as F
 def exact_money_sum(col: str | Column, scale: int = 2) -> Column:
     """Deterministic SUM of a double 'money' column via integer-cents arithmetic.
 
-    ``floor(x * 10^scale)`` is IEEE-exact and identical across engines, the
-    BIGINT sum is exact, and the final down-scale is a single float op.
+    ``round(x * 10^scale)`` recovers the intended 2-decimal value even when
+    the IEEE product lands just below the integer (floor(4.35 * 100) == 434);
+    rounding the same double is identical across engines, the BIGINT sum is
+    exact and commutative, and the final down-scale is a single float op.
     """
     c = F.col(col) if isinstance(col, str) else col
     factor = 10**scale
-    return F.sum(F.floor(c * factor).cast("long")) / F.lit(float(factor))
+    return F.sum(F.round(c * factor).cast("long")) / F.lit(float(factor))
 
 
 def salted_agg_sum_count(

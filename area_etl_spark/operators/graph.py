@@ -43,6 +43,7 @@ def connected_components(
         "label", F.col("node")
     ).localCheckpoint(eager=True)
 
+    changed = 1
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -67,6 +68,11 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # diameter > max_iter: plain propagation would silently return
+        # non-converged (wrong) labels — rerun with the O(log² n) star
+        # algorithm instead of handing back a partial answer
+        return connected_components_star(pairs, id_a, id_b)
     return labels
 
 
@@ -119,6 +125,7 @@ def connected_components_star(
         )
         return new_edges.where(F.col("u") != F.col("v")).distinct()
 
+    stable = False
     for _ in range(max_rounds):
         new_edges = _star(_star(edges, large=True), large=False).localCheckpoint(eager=True)
         delta = new_edges.exceptAll(edges).limit(1).count()
@@ -126,6 +133,11 @@ def connected_components_star(
         edges = new_edges
         if stable:
             break
+    if not stable:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} double-rounds; "
+            "raise max_rounds (each round roughly squares the resolved diameter)"
+        )
 
     final = _sym(edges)
     labels = final.groupBy("u").agg(F.min("v").alias("mn")).select(

@@ -1,0 +1,113 @@
+"""Validity-interval (SCD2 / effective-dating) history derivation.
+
+Parity: the reference's ``migrate_udos_history``
+(/root/reference/src/core.py:1679-1812) builds status-history rows carrying
+``valid_from``/``valid_to`` by iterating each entity's status events in
+Python and closing the previous interval when the status changes.  The
+distributed re-expression is two window passes over (key, time):
+
+1. change detection — keep a row iff any tracked attribute differs
+   (null-safely) from its ``lag`` — collapses runs of identical status;
+2. interval derivation — ``valid_to = lead(valid_from)``; the open interval
+   (``valid_to IS NULL``) is the current row.
+
+Both windows share the same partitioning, so the whole operator is ONE
+shuffle on the key.  Scale: state per key is O(1) inside the window
+operator; a pathologically hot key (one entity with 50% of all events) is
+the same caveat as any window partition — pre-aggregate or split upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    attr_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Collapse an event stream into SCD2 validity intervals.
+
+    Returns one row per (key, attribute-run): key columns, the tracked
+    attributes, ``valid_from``, ``valid_to`` (NULL while current) and
+    ``is_current``.  ``tiebreak_cols`` must make (time, tiebreak) a total
+    order per key or change attribution is nondeterministic.
+    """
+    order: list[Column] = [F.col(time_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+
+    changed = F.lit(False)
+    for a in attr_cols:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    first_row = F.row_number().over(w) == 1
+    changes = df.withColumn("_is_change", first_row | changed).where("_is_change").drop("_is_change")
+
+    w2 = Window.partitionBy(*key_cols).orderBy(*order)
+    return changes.select(
+        *key_cols,
+        *attr_cols,
+        F.col(time_col).alias("valid_from"),
+        F.lead(time_col).over(w2).alias("valid_to"),
+        F.lead(time_col).over(w2).isNull().alias("is_current"),
+    )
+
+
+# Role + permission model recast from the reference's USER_ROLE_MAPPING
+# (/root/reference/src/core.py:1813) and per-role permission fan-out
+# (core.py:1898).  The mapping tables are O(1) literals — they live in the
+# plan (broadcast-free CASE / array literals), never in a join against data.
+ROLE_MAPPING: dict[str, str] = {
+    "BUILDING": "ADMIN",
+    "AUTOMOBILE": "OPERATOR",
+    "MACHINERY": "OPERATOR",
+    "HOUSEHOLD": "VIEWER",
+    "FURNITURE": "VIEWER",
+}
+
+ROLE_PERMISSIONS: dict[str, list[str]] = {
+    "ADMIN": ["read", "write", "delete", "grant"],
+    "OPERATOR": ["read", "write"],
+    "VIEWER": ["read"],
+}
+
+DEFAULT_ROLE = "VIEWER"
+
+
+def map_role(source_col: str | Column) -> Column:
+    """Enum-map a source segment to an application role (CASE, no UDF)."""
+    c = F.col(source_col) if isinstance(source_col, str) else source_col
+    norm = F.lower(F.trim(c))
+    expr: Column | None = None
+    for src, role in ROLE_MAPPING.items():
+        cond = norm == src.strip().lower()
+        expr = F.when(cond, F.lit(role)) if expr is None else expr.when(cond, F.lit(role))
+    return expr.otherwise(F.lit(DEFAULT_ROLE))
+
+
+def permissions_for_role(role_col: str | Column) -> Column:
+    """Array of permission strings for a role column (literal lookup)."""
+    c = F.col(role_col) if isinstance(role_col, str) else role_col
+    expr: Column | None = None
+    for role, perms in ROLE_PERMISSIONS.items():
+        arr = F.array(*[F.lit(p) for p in perms])
+        expr = F.when(c == role, arr) if expr is None else expr.when(c == role, arr)
+    return expr.otherwise(F.array())
+
+
+def role_permission_fanout(
+    df: DataFrame, source_col: str, id_col: str
+) -> DataFrame:
+    """(id, role, permission) — one row per granted permission per user.
+
+    The fan-out is ``explode`` over a plan-literal array: row growth is the
+    bounded permission count (≤4), there is no join and no shuffle — a
+    narrow map stage at any scale.
+    """
+    return (
+        df.select(F.col(id_col), map_role(source_col).alias("role"))
+        .select(id_col, "role", F.explode(permissions_for_role("role")).alias("permission"))
+    )

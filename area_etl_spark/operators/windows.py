@@ -23,6 +23,7 @@ def lag_and_rolling(
     order_cols: list[str],
     value_col: str,
     window_rows: int = 3,
+    lag_default=None,
 ) -> DataFrame:
     """Per-key lag + trailing-N-row rolling sum (time-series analytics).
 
@@ -30,12 +31,17 @@ def lag_and_rolling(
     partitioning/ordering, so Catalyst evaluates them in a single Window
     physical node (one sort, two frame computations).  ``order_cols`` must be
     a total order (e.g. (ts, event_id)) or results are nondeterministic.
+
+    ``lag_default`` fills the first row of each partition (instead of NULL) —
+    besides the semantic convenience, a non-null default keeps an integer
+    ``value_col`` integral end-to-end (a nullable int column degrades to
+    float64 in Arrow→pandas handoffs, which breaks cross-engine hashing).
     """
     w = Window.partitionBy(partition_col).orderBy(*[F.col(c) for c in order_cols])
     trailing = w.rowsBetween(-(window_rows - 1), Window.currentRow)
     return df.select(
         "*",
-        F.lag(value_col).over(w).alias(f"prev_{value_col}"),
+        F.lag(value_col, 1, lag_default).over(w).alias(f"prev_{value_col}"),
         F.sum(value_col).over(trailing).alias(f"rolling_{value_col}"),
     )
 

@@ -87,7 +87,7 @@ def core_pipeline(tables: dict[str, DataFrame]) -> DataFrame:
         enriched.groupBy("region_name", "nation_name", "segment_it", "tier")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            (F.sum(F.floor(F.col("c_acctbal") * 100).cast("long")) / F.lit(100.0)).alias("total_acctbal"),
+            (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / F.lit(100.0)).alias("total_acctbal"),
         )
         .orderBy("region_name", "nation_name", "segment_it", "tier")
     )
@@ -108,7 +108,7 @@ def poa_pipeline(tables: dict[str, DataFrame]) -> DataFrame:
             {"click": "INTERACTION", "view": "IMPRESSION", "purchase": "CONVERSION"},
         ),
         F.col("ts").cast("timestamp").alias("event_ts"),
-        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
     )
 
 
@@ -128,7 +128,7 @@ def cronos_pipeline(tables: dict[str, DataFrame]) -> DataFrame:
         joined.groupBy("plan_year", "nation_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            (F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")) / F.lit(100.0)).alias("total_value"),
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / F.lit(100.0)).alias("total_value"),
         )
         .orderBy("plan_year", "nation_name")
     )
@@ -272,6 +272,6 @@ def districts_pipeline(tables: dict[str, DataFrame], seed_regions: DataFrame) ->
         joined.groupBy("region_code", "seed_name", "population")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            (F.sum(F.floor(F.col("c_acctbal") * 100).cast("long")) / F.lit(100.0)).alias("total_acctbal"),
+            (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / F.lit(100.0)).alias("total_acctbal"),
         )
     )

@@ -30,7 +30,7 @@ def windowed_event_agg(events: DataFrame, window_minutes: int = 60) -> DataFrame
         events.groupBy(w.alias("win"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.sum(F.floor(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias("total_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias("total_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),

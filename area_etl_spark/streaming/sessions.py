@@ -39,7 +39,7 @@ def session_agg(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         events.groupBy(w.alias("sess"), F.col("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
             F.max("ts").alias("last_ts"),
         )
         .select(
@@ -97,23 +97,27 @@ def _sessionize_user(
         n_events = 0
 
     closed: list[dict[str, Any]] = []
-    for pdf in batches:
-        for ts in sorted(pdf["ts"]):
-            ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
-            if last_ts is not None and (ts - last_ts).total_seconds() >= gap_seconds:
-                closed.append(
-                    {
-                        "user_id": user_id,
-                        "session_start": session_start,
-                        "session_end_ts": last_ts,
-                        "n_events": n_events,
-                    }
-                )
-                session_start, n_events = ts, 0
-            if session_start is None:
-                session_start = ts
-            last_ts = ts
-            n_events += 1
+    # Arrow hands the group over as multiple chunks with no cross-chunk order
+    # guarantee — concatenate FIRST, then sort once, or an out-of-order later
+    # chunk would close/reopen sessions incorrectly.
+    pdfs = [pdf for pdf in batches if len(pdf)]
+    all_ts = sorted(pd.concat(pdfs)["ts"]) if pdfs else []
+    for ts in all_ts:
+        ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+        if last_ts is not None and (ts - last_ts).total_seconds() >= gap_seconds:
+            closed.append(
+                {
+                    "user_id": user_id,
+                    "session_start": session_start,
+                    "session_end_ts": last_ts,
+                    "n_events": n_events,
+                }
+            )
+            session_start, n_events = ts, 0
+        if session_start is None:
+            session_start = ts
+        last_ts = ts
+        n_events += 1
 
     if state.hasTimedOut:
         if n_events:

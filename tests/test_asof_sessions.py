@@ -76,8 +76,13 @@ def test_exact_money_sum_negative_values(spark):
 
     df = spark.createDataFrame([(-1.23,), (2.50,), (-0.01,)], "x double")
     got = df.agg(exact_money_sum("x").alias("s")).collect()[0].s
-    # floor-based cents: floor(-123.0)=-123, floor(250.0)=250, floor(-1.0)=-1 -> 1.26
+    # round-based cents: -123 + 250 - 1 -> 1.26
     assert got == 1.26
+
+    # the floor(x*100) trap: 4.35*100 == 434.99999999999994 in IEEE doubles,
+    # floor loses a cent; round recovers the intended 2-decimal value
+    df2 = spark.createDataFrame([(4.35,), (0.05,)], "x double")
+    assert df2.agg(exact_money_sum("x").alias("s")).collect()[0].s == 4.40
 
 
 def test_range_band_join_broadcasts(spark, tables):
