@@ -15,9 +15,9 @@ This implementation is the union-merge form: tag both sides, union them
 carry the last-seen right values forward with ``last(ignorenulls) OVER``.
 Cost is O((|L|+|R|) log) per key group with shuffle volume |L|+|R| — the
 same shape kdb/pandas use single-node, expressed distributively.  A hot key
-skews its window partition; pre-splitting by coarse time bucket bounds it
-(bucket boundaries then need a per-bucket seed pass — not done here, noted
-for 100 TB deployments with pathological keys).
+skews its window partition; ``asof_join_skew_safe`` bounds it by
+pre-splitting on a coarse time bucket with a per-bucket seed pass — use it
+at 100 TB when one key can hold a meaningful fraction of the table.
 
 ``range_band_join``: value-in-[lo,hi) banding against a small bands table —
 broadcast the bands so the non-equi condition runs as a BroadcastNestedLoop
@@ -80,9 +80,122 @@ def asof_join(
     )
     merged = lt.unionByName(rt)
 
+    # (_rt, values) close the sort: among right rows at the SAME instant the
+    # greatest (time, value-tuple) wins — without this, tie winners are
+    # partition-order nondeterministic
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_t"), F.col("_side"))
+        .orderBy(F.col("_t"), F.col("_side"), F.col("_rt"), *[F.col(f"_rv_{c}") for c in value_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        "*",
+        F.last("_rt", ignorenulls=True).over(w).alias("_rt_filled"),
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}_filled")
+            for c in value_cols
+        ],
+    ).where(F.col("_lrow").isNotNull())
+
+    within = (
+        F.lit(True)
+        if tolerance_seconds is None
+        else F.col("_rt_filled").isNotNull()
+        & (F.unix_timestamp("_t") - F.unix_timestamp("_rt_filled") <= tolerance_seconds)
+    )
+    out_cols: list[Column] = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+    out_cols.append(F.when(within, F.col("_rt_filled")).otherwise(None).alias(f"{right_time}{suffix}"))
+    for c in value_cols:
+        out_cols.append(F.when(within, F.col(f"_rv_{c}_filled")).otherwise(None).alias(f"{c}{suffix}"))
+    return filled.select(*out_cols)
+
+
+def asof_join_skew_safe(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+    strict: bool = False,
+    tolerance_seconds: int | None = None,
+    suffix: str = "_asof",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """``asof_join`` for pathological hot keys: the window partitions on
+    (key, time-bucket) instead of key alone, so one key holding half the
+    table still spreads over ``range/bucket_seconds`` partitions.
+
+    The price of splitting is that a left row's match may live in an earlier
+    bucket; a SEED pass repairs it: per (key, bucket) take the right side's
+    latest row (map-side combinable aggregate), per key compute the running
+    "last right row before this bucket" (window over per-bucket rows — tiny:
+    one row per bucket per key), and inject that seed at each bucket's start.
+    Seeds are strictly earlier than every in-bucket timestamp, so they are
+    valid matches under both <= and < semantics.
+
+    Cost: the per-bucket aggregate + seed window shuffle O(keys × buckets)
+    rows; the main shuffle is (|L|+|R|) exactly as ``asof_join``, but the
+    largest window partition is bounded by rows-per-(key, bucket) — pick
+    ``bucket_seconds`` so that bound fits an executor.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    left_tag, right_tag = (0, 1) if strict else (1, 0)
+    bucket = lambda t: F.floor(F.unix_timestamp(t) / bucket_seconds)  # noqa: E731
+
+    rtypes = dict(right.dtypes)
+    lt = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_time).cast("timestamp").alias("_t"),
+        F.lit(left_tag).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast("timestamp").alias("_rt"),
+        *[F.lit(None).cast(rtypes[c]).alias(f"_rv_{c}") for c in value_cols],
+    ).withColumn("_bkt", bucket("_t"))
+    rt = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_time).cast("timestamp").alias("_t"),
+        F.lit(right_tag).alias("_side"),
+        F.lit(None).cast(lt.schema["_lrow"].dataType).alias("_lrow"),
+        F.col(right_time).cast("timestamp").alias("_rt"),
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+    ).withColumn("_bkt", bucket("_t"))
+
+    # per-(key, bucket) latest right row — struct-max is a deterministic
+    # total order and combines map-side
+    rstruct = F.struct(F.col("_rt"), *[F.col(f"_rv_{c}") for c in value_cols])
+    per_bucket = rt.groupBy(*keys, "_bkt").agg(F.max(rstruct).alias("_last"))
+
+    # running last-known right row STRICTLY BEFORE each bucket (lag via the
+    # -1 frame bound); buckets present on either side get a seed row
+    wseed = (
+        Window.partitionBy(*keys)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    all_buckets = lt.select(*keys, "_bkt").unionByName(rt.select(*keys, "_bkt")).distinct()
+    seeds_raw = (
+        all_buckets.join(per_bucket, [*keys, "_bkt"], "left")
+        .select(*keys, "_bkt", F.last("_last", ignorenulls=True).over(wseed).alias("_seed"))
+        .where(F.col("_seed").isNotNull())
+    )
+    seeds = seeds_raw.select(
+        *[F.col(k) for k in keys],
+        (F.col("_bkt") * bucket_seconds).cast("timestamp").alias("_t"),
+        F.lit(-1).alias("_side"),  # sorts before every real row in the bucket
+        F.lit(None).cast(lt.schema["_lrow"].dataType).alias("_lrow"),
+        F.col("_seed._rt").alias("_rt"),
+        *[F.col(f"_seed._rv_{c}").alias(f"_rv_{c}") for c in value_cols],
+        F.col("_bkt"),
+    )
+
+    merged = lt.unionByName(rt).unionByName(seeds)
+    # same tie-break contract as asof_join: greatest (time, value-tuple)
+    # wins among simultaneous right rows — and it matches the seed pass's
+    # struct-max, so bucket boundaries don't change tie winners
+    w = (
+        Window.partitionBy(*keys, "_bkt")
+        .orderBy(F.col("_t"), F.col("_side"), F.col("_rt"), *[F.col(f"_rv_{c}") for c in value_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = merged.select(

@@ -3,10 +3,12 @@
 LLM-pipeline operator family from the brief.  Media payloads travel as
 opaque ``binary`` columns with a typed metadata struct; the expensive kernels
 (decode, resize, frame-sample, feature-extract) run as Arrow-batched
-``mapInPandas`` stages.  The decode kernels themselves are STUBBED in this
-container (no PIL/ffmpeg available) behind ``DECODERS`` — the Spark-side
-plumbing (schema contract, batch iteration, partition sizing) is real and
-tested with the deterministic fake decoder.
+``mapInPandas`` stages.  ``DECODERS`` carries two kernels: ``real`` — a
+stdlib-only container decoder (PNG/GIF/BMP geometry, WAV audio geometry,
+tested against real bytes end-to-end) — and ``fake``, a deterministic
+stand-in used where tests need exact reproducible pseudo-dimensions from
+arbitrary payloads.  Full pixel/sample decoding (PIL/ffmpeg) slots into the
+same ``DECODERS`` registry in a production image.
 
 Scale notes: media rows are orders of magnitude wider than text rows, so
 ``rebalance_for_media`` repartitions by a target bytes-per-partition before
@@ -57,12 +59,46 @@ def fake_decode(payload: bytes) -> dict[str, Any]:
     return {"width": n % 997, "height": n % 991, "n_frames": n % 31, "ok": True}
 
 
-def real_decode(payload: bytes) -> dict[str, Any]:  # pragma: no cover - env has no media libs
-    """Real decoder slot — requires PIL/av, absent in this container."""
-    raise NotImplementedError(
-        "media decoding requires PIL/pyav which are not installed; "
-        "inject via DECODERS['real'] in a full environment"
-    )
+def real_decode(payload: bytes) -> dict[str, Any]:
+    """Real stdlib-only media decoder: PNG / GIF / BMP dimensions and WAV
+    audio geometry from actual container bytes (no PIL/av needed — these
+    formats carry their geometry in fixed-offset headers).
+
+    Field mapping: images → (width, height, n_frames=1); WAV audio →
+    (width=n_channels, height=bits_per_sample, n_frames=audio frame count).
+    Unrecognized or truncated payloads return ok=False with zero dims — one
+    bad blob must not kill a 100 TB decode pass.  Pixel/sample PAYLOAD
+    decoding (the part that genuinely needs PIL/ffmpeg) still belongs to a
+    full environment; geometry decode covers the pipeline's pruning and
+    resize planning needs.
+    """
+    import struct
+
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            return {"width": w, "height": h, "n_frames": 1, "ok": True}
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", payload[6:10])
+            return {"width": w, "height": h, "n_frames": 1, "ok": True}
+        if payload[:2] == b"BM" and len(payload) >= 26:
+            # BITMAPINFOHEADER at offset 14: size, signed width/height
+            w, h = struct.unpack("<ii", payload[18:26])
+            return {"width": w, "height": abs(h), "n_frames": 1, "ok": True}
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            import io
+            import wave
+
+            with wave.open(io.BytesIO(payload)) as wf:
+                return {
+                    "width": wf.getnchannels(),
+                    "height": wf.getsampwidth() * 8,
+                    "n_frames": wf.getnframes() % (1 << 31),
+                    "ok": True,
+                }
+    except Exception:  # noqa: BLE001 — malformed container, fall through
+        pass
+    return {"width": 0, "height": 0, "n_frames": 0, "ok": False}
 
 
 DECODERS: dict[str, Callable[[bytes], dict[str, Any]]] = {"fake": fake_decode, "real": real_decode}

@@ -155,10 +155,15 @@ def auac_pipeline(tables: dict[str, DataFrame]) -> DataFrame:
         F.col("s_acctbal").alias("balance"),
     )
     # the reference's literal fallback-row idiom (auac.py:80-98): one
-    # synthesized frame concatenated into the relaxed union
+    # synthesized frame concatenated into the relaxed union.  Built as a
+    # plan literal (range(1) + lit projections) — createDataFrame ships a
+    # Python RDD through the JVM bridge on every call; this is a pure
+    # LocalRelation in the logical plan, zero driver round-trips.
     spark = tables["supplier"].sparkSession
-    fallback = spark.createDataFrame(
-        [(-1, "ALTRO", "FALLBACK")], "id long, name string, requirement_kind string"
+    fallback = spark.range(1).select(
+        F.lit(-1).cast("long").alias("id"),
+        F.lit("ALTRO").alias("name"),
+        F.lit("FALLBACK").alias("requirement_kind"),
     )
     unioned = union_diagonal_relaxed(t1, t2, fallback)
     return disambiguate_names(unioned, "name", "id").select(

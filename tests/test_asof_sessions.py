@@ -146,3 +146,56 @@ def test_stateful_sessionize_stream(spark, tables, tmp_path):
     assert streamed <= batch
     n_users = events.select("user_id").distinct().count()
     assert len(streamed) == len(batch) - n_users
+
+
+def _skewed_sides(spark):
+    """'hot' holds ~50% of all rows; 9 cold keys share the rest."""
+    rows_l, rows_r = [], []
+    lid = 0
+    for i in range(400):
+        lid += 1
+        rows_l.append((lid, "hot", T("2024-01-01T00:00:00").replace(hour=0)))
+    # spread hot rows over 4 days at varying minutes
+    rows_l = [
+        (i + 1, "hot", datetime(2024, 1, 1 + (i % 4), i % 24, (7 * i) % 60))
+        for i in range(400)
+    ]
+    rows_r = [
+        ("hot", datetime(2024, 1, 1 + (i % 4), i % 24, (11 * i) % 60), float(i))
+        for i in range(150)
+    ]
+    for k in range(9):
+        key = f"cold{k}"
+        rows_l += [
+            (1000 + 50 * k + i, key, datetime(2024, 1, 2, i % 24, (3 * i) % 60))
+            for i in range(45)
+        ]
+        rows_r += [(key, datetime(2024, 1, 2, i % 24, (5 * i) % 60), float(100 + i)) for i in range(20)]
+    left = spark.createDataFrame(rows_l, "lid int, k string, lt timestamp").repartition(16)
+    right = spark.createDataFrame(rows_r, "k string, rt timestamp, v double").repartition(16)
+    return left, right
+
+
+def test_asof_skew_safe_matches_plain(spark):
+    from area_etl_spark.operators.asof import asof_join_skew_safe
+
+    left, right = _skewed_sides(spark)
+    plain = {r.lid: (r.rt_asof, r.v_asof) for r in
+             asof_join(left, right, "k", "lt", "rt", ["v"]).collect()}
+    safe_df = asof_join_skew_safe(left, right, "k", "lt", "rt", ["v"], bucket_seconds=6 * 3600)
+    safe = {r.lid: (r.rt_asof, r.v_asof) for r in safe_df.collect()}
+    assert safe == plain
+
+    # strict + tolerance variants agree too
+    plain_s = {r.lid: (r.rt_asof, r.v_asof) for r in
+               asof_join(left, right, "k", "lt", "rt", ["v"], strict=True,
+                         tolerance_seconds=7200).collect()}
+    safe_s = {r.lid: (r.rt_asof, r.v_asof) for r in
+              asof_join_skew_safe(left, right, "k", "lt", "rt", ["v"], strict=True,
+                                  tolerance_seconds=7200, bucket_seconds=6 * 3600).collect()}
+    assert safe_s == plain_s
+
+    # plan shape: the big window partitions on (key, bucket) — the hot key is
+    # split across time buckets instead of landing in one window partition
+    plan = safe_df._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(k" in plan and "_bkt" in plan

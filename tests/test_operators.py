@@ -208,3 +208,60 @@ def test_left_join_chain_preserves_left_rows(spark, tables):
     out = left_join_chain(cust, [(nation, "c_nationkey", True)])
     assert out.count() == cust.count()
     assert out.where(F.col("n_name").isNull()).count() == 0
+
+
+def test_scd2_intervals_semantics(spark):
+    from datetime import datetime
+
+    from area_etl_spark.operators.history import scd2_intervals
+
+    T = lambda h: datetime(2024, 1, 1, h)  # noqa: E731
+    rows = [
+        # key 1: A A B A  -> [A @0-2) [B @2-3) [A @3-...)
+        (1, 10, T(0), "A"),
+        (1, 11, T(1), "A"),
+        (1, 12, T(2), "B"),
+        (1, 13, T(3), "A"),
+        # key 2: single run, stays current
+        (2, 20, T(5), "X"),
+        (2, 21, T(6), "X"),
+    ]
+    df = spark.createDataFrame(rows, "k long, eid long, ts timestamp, status string").repartition(8)
+    out = scd2_intervals(df, ["k"], "ts", ["status"], tiebreak_cols=["eid"])
+    got = sorted(
+        (r.k, r.status, r.valid_from, r.valid_to, r.is_current) for r in out.collect()
+    )
+    assert got == [
+        (1, "A", T(0), T(2), False),
+        (1, "A", T(3), None, True),
+        (1, "B", T(2), T(3), False),
+        (2, "X", T(5), None, True),
+    ]
+    # intervals tile: each non-current valid_to equals the next valid_from
+    # per key, and exactly one current row per key
+    assert sum(1 for g in got if g[4]) == 2
+
+
+def test_role_permission_fanout_no_shuffle(spark):
+    from area_etl_spark.operators.history import (
+        ROLE_PERMISSIONS,
+        map_role,
+        role_permission_fanout,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "BUILDING"), (2, " automobile "), (3, "HOUSEHOLD"), (4, "???")],
+        "uid long, seg string",
+    )
+    out = role_permission_fanout(df, "seg", "uid")
+    rows = {(r.uid, r.role, r.permission) for r in out.collect()}
+    assert {(1, "ADMIN", p) for p in ROLE_PERMISSIONS["ADMIN"]} <= rows
+    assert {(2, "OPERATOR", p) for p in ROLE_PERMISSIONS["OPERATOR"]} <= rows
+    assert (3, "VIEWER", "read") in rows and (4, "VIEWER", "read") in rows
+    assert len(rows) == 4 + 2 + 1 + 1
+    # mapping is case/whitespace-insensitive like the reference's enum handler
+    one = df.select(map_role("seg").alias("r")).collect()
+    assert [r.r for r in one] == ["ADMIN", "OPERATOR", "VIEWER", "VIEWER"]
+    # plan shape: literal CASE + explode — no join, no exchange anywhere
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
