@@ -456,8 +456,9 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_ann_ivf_trained_topk(spark, sf_dir):
-    """IVF with a k-means-TRAINED codebook (rows-only: float-mean centroids
-    are partial-agg order-dependent, not cross-engine reproducible)."""
+    """IVF with a k-means-TRAINED codebook.  Fully oracle-checked: training
+    uses fixed-point per-dim sums (deterministic, engine-independent), and
+    the DuckDB oracle replays the identical Lloyd rounds (_ivf_trained_sql)."""
     tables = _tables(spark, sf_dir)
     q = _query_vec(spark, sf_dir)
     emb = tables["embeddings"].where(F.col("vec_id") != 0)
@@ -1048,6 +1049,73 @@ def _lsh_bucket_sql(col: str, dim: int = 64, bits: int = 4, seed: int = 42) -> s
     return "(" + " + ".join(terms) + ")"
 
 
+def _ivf_trained_sql(k: int = 16, iters: int = 3, nprobe: int = 2, topk: int = 10) -> str:
+    """DuckDB replay of the deterministic k-means-trained IVF pipeline.
+
+    ``train_kmeans_codebook`` is bit-reproducible (fixed-point per-dim sums,
+    sequential-fold cosines), so the oracle UNROLLS the same ``iters`` Lloyd
+    rounds in SQL — seed centroids, assign (argmax cosine, ties to lowest
+    cid), fixed-point means with empty-bucket carry-over — then probes the
+    ``nprobe`` top-dot centroids and exact-ranks inside them, exactly as
+    ``q_ann_ivf_trained_topk`` does on Spark.
+    """
+    from area_etl_spark.operators.similarity import KMEANS_QUANT
+
+    q = repr(KMEANS_QUANT)
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding"
+        " FROM embeddings WHERE vec_id <> 0)",
+        "qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe"
+        " FROM embeddings WHERE vec_id = 0)",
+        f"c0 AS (SELECT vec_id AS cid, embedding AS ce FROM e ORDER BY vec_id LIMIT {k})",
+    ]
+
+    def assign(name: str, cents: str) -> str:
+        cos = _cos2_sql("e.embedding", "c.ce")
+        return f"""{name} AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT vec_id, embedding, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+                FROM (SELECT e.vec_id, e.embedding, c.cid, {cos} AS cos
+                      FROM e CROSS JOIN {cents} c)
+            ) WHERE rn = 1
+        )"""
+
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes.append(assign(f"a{it}", prev))
+        ctes.append(f"""m{it} AS (
+            SELECT cid, i, CAST(SUM(CAST(floor(x * {q}) AS BIGINT)) AS DOUBLE) / COUNT(*) / {q} AS m
+            FROM (SELECT cid, unnest(generate_series(1, len(embedding))) AS i,
+                         unnest(embedding) AS x
+                  FROM a{it})
+            GROUP BY cid, i
+        )""")
+        ctes.append(f"""c{it} AS (
+            SELECT p.cid, COALESCE(n.ce, p.ce) AS ce
+            FROM {prev} p LEFT JOIN (SELECT cid, list(m ORDER BY i) AS ce
+                                     FROM m{it} GROUP BY cid) n USING (cid)
+        )""")
+        prev = f"c{it}"
+
+    dot_qc = (
+        "list_reduce(list_transform(generate_series(1, len(c.ce)), "
+        "j -> c.ce[j] * q.qe[j]), (x, y) -> x + y)"
+    )
+    ctes.append(f"""probes AS (
+        SELECT cid FROM (SELECT c.cid, {dot_qc} AS dot FROM {prev} c CROSS JOIN qv q)
+        ORDER BY dot DESC, cid LIMIT {nprobe}
+    )""")
+    ctes.append(assign("af", prev))
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT a.vec_id, round({_cos2_sql("a.embedding", "q.qe")}, 6) AS cosine
+        FROM af a JOIN probes p USING (cid) CROSS JOIN qv q
+        ORDER BY cosine DESC, a.vec_id
+        LIMIT {topk}
+    """
+
+
 def _role_case_sql() -> str:
     from area_etl_spark.operators.history import DEFAULT_ROLE, ROLE_MAPPING
 
@@ -1370,6 +1438,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             ORDER BY user_id, ts, event_id
         """,
+        "ann_ivf_trained_topk": _ivf_trained_sql(k=16, iters=3, nprobe=2, topk=10),
         "scd2_intervals": """
             WITH ordered AS (
                 SELECT user_id, event_id, ts, event_type AS status,

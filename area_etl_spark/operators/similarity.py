@@ -162,6 +162,14 @@ def assign_ivf_buckets(
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("ivf_bucket"))
 
 
+# Fixed-point quantum for deterministic centroid means: ~1e-7 precision on
+# unit-scale embedding components.  floor (not round) — floor of the same
+# double is identical in every engine with no rounding-rule edge cases.
+# Overflow bound: |x|≤1 ⇒ per-(bucket,dim) partial sums stay within int64 up
+# to ~9e11 assigned rows per bucket — train on a sample long before that.
+KMEANS_QUANT = 10_000_000.0
+
+
 def train_kmeans_codebook(
     df: DataFrame,
     k: int = 16,
@@ -179,18 +187,33 @@ def train_kmeans_codebook(
     Only the k·dim codebook ever reaches the driver.  Rounds are a fixed
     small count: at 100 TB each round is one pass; convergence-based loops
     add a driver round-trip per iteration but no extra shuffle.
+
+    Determinism: the per-dim mean sums FIXED-POINT values
+    (``floor(x · KMEANS_QUANT)`` as BIGINT — exact, commutative) and divides
+    once, so the trained codebook is bit-identical regardless of
+    partitioning AND reproducible by any engine that follows the same
+    recipe — the full train+probe pipeline is oracle-checkable (DuckDB
+    replays the identical iterations in ``__spark_entry__``'s
+    ``ann_ivf_trained_topk`` oracle).  A float ``avg`` here would tie the
+    result to partial-aggregation order.
     """
     cents = [
         (r[0], [float(x) for x in r[1]])
         for r in df.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
     ]
     dim = len(cents[0][1])
+    quant = F.floor(F.col("x").cast("double") * F.lit(KMEANS_QUANT)).cast("long")
     for _ in range(iters):
         assigned = assign_ivf_buckets(df, cents, vec_col, id_col)
         means = (
             assigned.select("ivf_bucket", F.posexplode(F.col(vec_col)).alias("i", "x"))
             .groupBy("ivf_bucket", "i")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg(F.sum(quant).alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "ivf_bucket",
+                "i",
+                (F.col("s").cast("double") / F.col("n") / F.lit(KMEANS_QUANT)).alias("m"),
+            )
             .groupBy("ivf_bucket")
             .agg(F.map_from_arrays(F.collect_list("i"), F.collect_list("m")).alias("dims"))
             .collect()
