@@ -877,6 +877,96 @@ def q_pivot_agg(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (distinct-token ratio, top-term
+    dominance) per document."""
+    tables = _tables(spark, sf_dir)
+    return TA.repetition_features(tables["documents"])
+
+
+def q_text_tfidf_topk(spark, sf_dir):
+    """Top-3 characteristic terms per doc by TF·IDF (broadcast N, windowed
+    top-k, ties on term)."""
+    tables = _tables(spark, sf_dir)
+    return TA.tfidf_top_terms(tables["documents"], k=3)
+
+
+def q_text_pii_redact(spark, sf_dir):
+    """PII scrub pass over the corpus with synthetic PII injected per row so
+    every pattern (email, phone, long-id) actually fires."""
+    tables = _tables(spark, sf_dir)
+    salted = tables["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 123-4567 ref 9876543210."),
+        ).alias("text"),
+    )
+    return salted.select("doc_id", TA.pii_redact("text").alias("redacted"))
+
+
+def q_sample_hash(spark, sf_dir):
+    """Deterministic 10% corpus sample keyed on the row's own id hash —
+    reproducible across runs, partitionings, and engines; samples nest."""
+    from area_etl_spark.operators.sampling import hash_sample
+
+    tables = _tables(spark, sf_dir)
+    return hash_sample(tables["documents"], "doc_id", 0.1).select("doc_id", "lang", "source")
+
+
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered-funnel analysis: users progressing view → later click → later
+    purchase; per-stage reachable-user counts (strictly-ordered semantics via
+    min-time joins, no window over the whole event stream)."""
+    tables = _tables(spark, sf_dir)
+    ev = tables["events"].select("user_id", "event_type", "ts")
+    v = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit(1).alias("stage"), F.lit("view").alias("event"), "n_users")
+        .unionByName(c.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit(2).alias("stage"), F.lit("click").alias("event"), "n_users"))
+        .unionByName(p.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit(3).alias("stage"), F.lit("purchase").alias("event"), "n_users"))
+        .orderBy("stage")
+    )
+
+
+def q_partitioned_layout_prune(spark, sf_dir):
+    """Hive-partitioned lake layout: write documents partitioned by lang,
+    read back one partition — the filter resolves to directory pruning (the
+    scan's PartitionFilters), no data files of other langs are opened."""
+    tables = _tables(spark, sf_dir)
+    src = tables["documents"].select("doc_id", "lang", "n_chars")
+    path = os.path.join(tempfile.gettempdir(), "area_etl_partlayout", "documents")
+    reload_overwrite(src, path, partition_by=["lang"])
+    out = read_back(spark, path).where(F.col("lang") == "en")
+    return out.select("doc_id", F.col("lang"), "n_chars")
+
+
+def q_export_jsonl_roundtrip(spark, sf_dir):
+    """JSONL (json-lines) export + re-read with explicit schema — the
+    interchange format LLM corpus tooling expects."""
+    tables = _tables(spark, sf_dir)
+    src = tables["documents"].select("doc_id", "lang", "source", "text")
+    path = os.path.join(tempfile.gettempdir(), "area_etl_jsonl", "documents")
+    src.write.mode("overwrite").json(path)
+    return spark.read.schema("doc_id bigint, lang string, source string, text string").json(path)
+
+
 def q_scd2_intervals(spark, sf_dir):
     """Status-history effective dating (the reference's migrate_udos_history
     shape, core.py:1679-1812): per-user event_type runs → validity intervals."""
@@ -941,6 +1031,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": q_scd2_intervals,
         "role_permissions_fanout": q_role_permissions_fanout,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
+        "text_repetition": q_text_repetition,
+        "text_tfidf_topk": q_text_tfidf_topk,
+        "text_pii_redact": q_text_pii_redact,
+        "sample_hash": q_sample_hash,
+        "funnel_conversion": q_funnel_conversion,
+        "partitioned_layout_prune": q_partitioned_layout_prune,
+        "export_jsonl_roundtrip": q_export_jsonl_roundtrip,
         # — r02 driver-green, re-confirmed inside the window —
         "pipeline_core": q_pipeline_core,
         "pipeline_poa": q_pipeline_poa,
@@ -955,15 +1052,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiway_left_join": q_multiway_left_join,
         "asof_join": q_asof_join,
         "range_band_join": q_range_band_join,
-        "dedup_exact": q_dedup_exact,
         "ann_cosine_topk": q_ann_cosine_topk,
+        # —— driver window ends here (first 50) ——
+        "dedup_exact": q_dedup_exact,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "events_windowed_agg": q_events_windowed_agg,
         "snapshot_diff": q_snapshot_diff,
         "contract_enforce": q_contract_enforce,
         "contract_violations": q_contract_violations,
-        # —— driver window ends around here (first 50) ——
         "extract_sql": q_extract_sql,
         "extract_csv_schema": q_extract_csv_schema,
         "load_roundtrip": q_load_roundtrip,
@@ -1439,6 +1536,82 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY user_id, ts, event_id
         """,
         "ann_ivf_trained_topk": _ivf_trained_sql(k=16, iters=3, nprobe=2, topk=10),
+        "text_repetition": f"""
+            WITH per AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+                WHERE term <> ''
+                GROUP BY doc_id, term
+            )
+            SELECT doc_id,
+                   CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   round(COUNT(*) / CAST(SUM(tf) AS DOUBLE), 6) AS distinct_ratio,
+                   round(MAX(tf) / CAST(SUM(tf) AS DOUBLE), 6) AS top_term_ratio
+            FROM per GROUP BY doc_id
+        """,
+        "text_tfidf_topk": f"""
+            WITH per AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM (SELECT doc_id, unnest({toks}) AS term FROM documents)
+                WHERE term <> ''
+                GROUP BY doc_id, term
+            ), dfreq AS (
+                SELECT term, COUNT(*) AS df_t FROM per GROUP BY term
+            ), nd AS (
+                SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+            ), scored AS (
+                SELECT per.doc_id, per.term,
+                       round(per.tf * ln(nd.n_docs / CAST(df_t AS DOUBLE)), 6) AS tfidf
+                FROM per JOIN dfreq USING (term) CROSS JOIN nd
+            )
+            SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+                FROM scored
+            ) WHERE rank <= 3
+        """,
+        "text_pii_redact": """
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or +1 (555) 123-4567 ref 9876543210.',
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                       '\\+?\\d{1,3}[-. (]{1,2}\\d{3}[-. )]{1,2}\\d{3}[-. ]?\\d{2,4}', '[PHONE]', 'g'),
+                       '\\d{9,}', '[ID]', 'g') AS redacted
+            FROM documents
+        """,
+        "sample_hash": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+        """,
+        "funnel_conversion": """
+            WITH v AS (
+                SELECT user_id, MIN(ts) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+                SELECT e.user_id, MIN(e.ts) AS t2
+                FROM events e JOIN v ON e.user_id = v.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.t1
+                GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, MIN(e.ts) AS t3
+                FROM events e JOIN c ON e.user_id = c.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.t2
+                GROUP BY e.user_id
+            )
+            SELECT 1 AS stage, 'view' AS event, COUNT(*) AS n_users FROM v
+            UNION ALL
+            SELECT 2, 'click', COUNT(*) FROM c
+            UNION ALL
+            SELECT 3, 'purchase', COUNT(*) FROM p
+            ORDER BY stage
+        """,
+        "partitioned_layout_prune": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+        """,
+        "export_jsonl_roundtrip": """
+            SELECT doc_id, lang, source, text FROM documents
+        """,
         "scd2_intervals": """
             WITH ordered AS (
                 SELECT user_id, event_id, ts, event_type AS status,

@@ -1,0 +1,43 @@
+"""Deterministic corpus sampling.
+
+``df.sample()`` is seed-stable only for a FIXED partitioning — re-bucketing
+the input changes which rows a seed selects, so a pipeline re-run after a
+repartition silently trains on a different sample.  ``hash_sample`` keys the
+decision on a row's own identifier: hash the id, keep the fraction whose
+hash prefix falls under the threshold.  Properties that matter at 100 TB:
+
+- membership is a pure per-row function — narrow, no shuffle, reproducible
+  across runs, partitionings, AND engines (md5 is the one hash every engine
+  spells identically; Spark's ``xxhash64`` has no portable twin);
+- the same id is in-sample for every fraction above its hash point, so
+  samples NEST: the 1% sample is a subset of the 10% sample — grow a
+  training set without resampling the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_sample_predicate(id_col: str | Column, fraction: float) -> Column:
+    """Boolean Column: row is in the deterministic ``fraction`` sample.
+
+    The first 4 hex digits of md5(id) are a uniform draw over [0, 65536);
+    kept iff below floor(fraction · 65536) — granularity 1/65536.  The
+    comparison is LEXICOGRAPHIC on the fixed-width lowercase hex ('0'-'9' <
+    'a'-'f' in ASCII ⇒ string order == numeric order), so any engine can
+    replay it with just md5 + substr + string compare.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction >= 1.0:
+        return F.lit(True)  # "10000" would compare lexicographically wrong
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    threshold = format(int(fraction * 65536), "04x")
+    return F.substring(F.md5(c.cast("string")), 1, 4) < F.lit(threshold)
+
+
+def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
+    """Deterministic, nesting, engine-portable sample of ``fraction`` rows."""
+    return df.where(hash_sample_predicate(id_col, fraction))

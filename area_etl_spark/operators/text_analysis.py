@@ -118,6 +118,103 @@ def fingerprint(text_col: str | Column) -> Column:
     return F.md5(F.array_join(F.array_sort(toks), " ")).alias("fingerprint")
 
 
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals: distinct-token ratio and top-term
+    dominance per document (docs with at least one token).
+
+    Plan: explode tokens (narrow) → count per (doc, term) — ONE shuffle with
+    map-side combine — → per-doc rollup of (max term count, Σ counts,
+    distinct terms) — second shuffle carries one row per (doc, term).  A
+    highly repetitive doc (boilerplate, keyword stuffing) shows
+    ``top_term_ratio`` near 1 and ``distinct_ratio`` near 0.
+    """
+    toks = normalize_tokens(F.col(text_col))
+    per_term = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return (
+        per_term.groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("tf").alias("top_tf"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 6).alias("distinct_ratio"),
+            F.round(F.col("top_tf") / F.col("n_tokens"), 6).alias("top_term_ratio"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF·IDF.
+
+    IDF = ln(N / df_t) with N a broadcast 1-row aggregate (no collect).
+    Shuffles: (doc, term) counts, term document-frequencies, and the final
+    per-doc top-k window — all keyed on bounded-cardinality columns
+    (vocabulary, not corpus size).  Ranking ties break on the term for
+    determinism.
+    """
+    from pyspark.sql import Window
+
+    toks = normalize_tokens(F.col(text_col))
+    per_term = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doc_freq = per_term.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        per_term.join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.select(F.col(id_col), "term", "tfidf", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+    )
+
+
+# PII patterns kept to syntax shared by Java regex and RE2-style engines
+# (no lookaround, no backrefs) so a SQL oracle can replay them verbatim.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\+?\d{1,3}[-. (]{1,2}\d{3}[-. )]{1,2}\d{3}[-. ]?\d{2,4}", "[PHONE]"),
+    ("long_id", r"\d{9,}", "[ID]"),
+]
+
+
+def pii_redact(text_col: str | Column) -> Column:
+    """Redact surface-form PII (emails, phone-shaped numbers, long digit
+    runs) — the standard scrub pass before a corpus ships to training.
+
+    Pure sequential ``regexp_replace`` chain: runs at scan speed in codegen;
+    pattern order matters (emails first — their local parts can contain
+    digit runs the later patterns would mangle).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for _, pattern, replacement in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, replacement)
+    return c
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass profile: every text-analysis feature in a single projection."""
     feats = quality_features(text_col)

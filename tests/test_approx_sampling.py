@@ -37,3 +37,24 @@ def test_stratified_sample_deterministic_and_proportional(spark, tables):
     assert 0.3 < got["click"] / base["click"] < 0.7
     assert got.get("view", 0) / base["view"] < 0.3
     assert "cart" not in got or got.get("cart", 0) == 0  # unlisted strata dropped
+
+
+def test_hash_sample_deterministic_and_nesting(spark):
+    import pytest
+
+    from area_etl_spark.operators.sampling import hash_sample
+
+    df = spark.createDataFrame([(i,) for i in range(5000)], "id long")
+    s10 = {r.id for r in hash_sample(df, "id", 0.10).collect()}
+    # partition-layout invariance: same membership from any partitioning
+    s10b = {r.id for r in hash_sample(df.repartition(17), "id", 0.10).collect()}
+    assert s10 == s10b
+    # nesting: the 2% sample is a subset of the 10% sample
+    s2 = {r.id for r in hash_sample(df, "id", 0.02).collect()}
+    assert s2 <= s10
+    # roughly the right size (md5 uniformity; generous tolerance)
+    assert 0.07 < len(s10) / 5000 < 0.13
+    assert len({r.id for r in hash_sample(df, "id", 1.0).collect()}) == 5000
+    assert hash_sample(df, "id", 0.0).count() == 0
+    with pytest.raises(ValueError):
+        hash_sample(df, "id", 1.5)

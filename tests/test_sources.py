@@ -69,3 +69,19 @@ def test_export_csv_roundtrip(spark, tables, tmp_path):
     export_csv(tables["region"].select("r_regionkey", "r_name"), path, single_file=True)
     back = spark.read.option("header", "true").csv(path)
     assert back.count() == tables["region"].count()
+
+
+def test_partitioned_layout_prunes(spark, tables, tmp_path):
+    from pyspark.sql import functions as F
+
+    from area_etl_spark.sources.load import read_back, reload_overwrite
+
+    src = tables["documents"].select("doc_id", "lang", "n_chars")
+    path = str(tmp_path / "docs_by_lang")
+    reload_overwrite(src, path, partition_by=["lang"])
+    out = read_back(spark, path).where(F.col("lang") == "en")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the lang filter must resolve at the directory level (partition pruning),
+    # not as a data filter over every file
+    assert "PartitionFilters: [isnotnull(lang" in plan and "(lang" in plan
+    assert out.count() == src.where(F.col("lang") == "en").count()

@@ -242,3 +242,53 @@ def test_real_decode_actual_container_bytes(spark):
     assert (decoded[3].width, decoded[3].height, decoded[3].n_frames) == (2, 16, 123)
     assert (decoded[4].width, decoded[4].height) == (320, 200)
     assert decoded[5].ok is False and decoded[1].ok is True
+
+
+def test_repetition_features_semantics(spark):
+    from area_etl_spark.operators.text_analysis import repetition_features
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all tokens are different here"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_features(df).collect()}
+    assert got[1].n_tokens == 4 and got[1].n_distinct == 1
+    assert got[1].top_term_ratio == 1.0 and got[1].distinct_ratio == 0.25
+    assert got[2].distinct_ratio == 1.0 and got[2].top_term_ratio == 0.2
+    assert 3 not in got  # tokenless docs drop out (explode semantics)
+
+
+def test_tfidf_top_terms_ranks_discriminative_terms(spark):
+    from area_etl_spark.operators.text_analysis import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common zebra"),
+            (2, "common common common aardvark"),
+            (3, "common plain words"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.rank): r.term for r in tfidf_top_terms(df, k=1).collect()}
+    # 'common' appears in every doc -> idf = ln(1) = 0; the unique term wins
+    assert got[(1, 1)] == "zebra"
+    assert got[(2, 1)] == "aardvark"
+
+
+def test_pii_redact_patterns(spark):
+    from area_etl_spark.operators.text_analysis import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.org today"),
+            (2, "call +1 (555) 123-4567 now"),
+            (3, "account 123456789012 is overdrawn"),
+            (4, "clean text stays clean"),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r.red for r in df.select("id", pii_redact("text").alias("red")).collect()}
+    assert got[1] == "mail me at [EMAIL] today"
+    assert got[2] == "call [PHONE] now"
+    assert got[3] == "account [ID] is overdrawn"
+    assert got[4] == "clean text stays clean"
