@@ -367,7 +367,14 @@ def q_snapshot_diff(spark, sf_dir):
     (deterministic deletes/updates/inserts)."""
     from area_etl_spark.operators.diff import snapshot_diff
 
-    tables = _tables(spark, sf_dir)
+    old, new = _supplier_next_snapshot(_tables(spark, sf_dir))
+    return snapshot_diff(old, new, ["s_suppkey"])
+
+
+def _supplier_next_snapshot(tables):
+    """Deterministic derived next-version of supplier (shared by the CDC and
+    merge queries): drop every 10th, bump every 7th's balance, insert shifted
+    copies of every 13th."""
     old = tables["supplier"].select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
     survivors = old.where(F.col("s_suppkey") % 10 != 0).withColumn(
         "s_acctbal",
@@ -376,8 +383,65 @@ def q_snapshot_diff(spark, sf_dir):
     inserts = old.where(F.col("s_suppkey") % 13 == 0).select(
         (F.col("s_suppkey") + 100000).alias("s_suppkey"), "s_name", "s_nationkey", "s_acctbal"
     )
-    new = survivors.unionByName(inserts)
-    return snapshot_diff(old, new, ["s_suppkey"])
+    return old, survivors.unionByName(inserts)
+
+
+def q_merge_upsert(spark, sf_dir):
+    """SCD1 merge of the derived next snapshot into supplier: matched keys
+    take the new row, old-only keys survive (no delete)."""
+    from area_etl_spark.operators.diff import merge_upsert
+
+    old, new = _supplier_next_snapshot(_tables(spark, sf_dir))
+    return merge_upsert(old, new, ["s_suppkey"])
+
+
+def q_histogram_bins(spark, sf_dir):
+    """Fixed-width histogram of order values (floor-div binning — portable,
+    no width_bucket dependency), with per-bin totals."""
+    tables = _tables(spark, sf_dir)
+    binned = tables["orders"].select(
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bin"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("cents") / F.lit(100.0)).alias("total_value"),
+    )
+
+
+def q_corr_exact(spark, sf_dir):
+    """Pearson correlation + OLS slope of lineitem quantity vs extended
+    price, from EXACT integer-cents sums — the five sufficient statistics
+    aggregate commutatively as BIGINTs, the closed form evaluates once in
+    doubles, so the statistic is bit-identical under any partitioning and
+    across engines (built-in corr() implementations use per-engine streaming
+    algorithms and disagree in the last ulps).  At 100 TB swap the BIGINT
+    sums for DECIMAL(38,0) (Sxy grows as rows × x·y magnitude)."""
+    tables = _tables(spark, sf_dir)
+    li = tables["lineitem"].select(
+        F.round(F.col("l_quantity") * 100).cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    sums = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    return sums.select(
+        F.col("n"),
+        F.round(cov_n / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6).alias("pearson_r"),
+        F.round(cov_n / (n * sxx - sx * sx), 6).alias("ols_slope"),
+    )
 
 
 def q_contract_enforce(spark, sf_dir):
@@ -1059,6 +1123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "events_windowed_agg": q_events_windowed_agg,
         "snapshot_diff": q_snapshot_diff,
+        "merge_upsert": q_merge_upsert,
+        "histogram_bins": q_histogram_bins,
+        "corr_exact": q_corr_exact,
         "contract_enforce": q_contract_enforce,
         "contract_violations": q_contract_violations,
         "extract_sql": q_extract_sql,
@@ -1753,6 +1820,48 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (o.s_suppkey IS NOT NULL AND n.s_suppkey IS NOT NULL
                        AND o.s_name = n.s_name AND o.s_nationkey = n.s_nationkey
                        AND o.s_acctbal = n.s_acctbal)
+        """,
+        "merge_upsert": """
+            WITH old AS (
+                SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+            ), new AS (
+                SELECT s_suppkey, s_name, s_nationkey,
+                       CASE WHEN s_suppkey % 7 = 0 THEN s_acctbal + 1000.0 ELSE s_acctbal END AS s_acctbal
+                FROM supplier WHERE s_suppkey % 10 <> 0
+                UNION ALL
+                SELECT s_suppkey + 100000, s_name, s_nationkey, s_acctbal
+                FROM supplier WHERE s_suppkey % 13 = 0
+            )
+            SELECT COALESCE(n.s_suppkey, o.s_suppkey) AS s_suppkey,
+                   CASE WHEN n.s_suppkey IS NOT NULL THEN n.s_name ELSE o.s_name END AS s_name,
+                   CASE WHEN n.s_suppkey IS NOT NULL THEN n.s_nationkey ELSE o.s_nationkey END AS s_nationkey,
+                   CASE WHEN n.s_suppkey IS NOT NULL THEN n.s_acctbal ELSE o.s_acctbal END AS s_acctbal
+            FROM old o FULL OUTER JOIN new n ON o.s_suppkey = n.s_suppkey
+        """,
+        "histogram_bins": """
+            SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+                   COUNT(*) AS n_orders,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS total_value
+            FROM orders GROUP BY 1
+        """,
+        "corr_exact": """
+            WITH s AS (
+                SELECT COUNT(*) AS n,
+                       CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+                       CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                       CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                       CAST(SUM(y * y) AS DOUBLE) AS syy
+                FROM (SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x,
+                             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                      FROM lineitem)
+            )
+            SELECT n,
+                   round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                         / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                            * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS pearson_r,
+                   round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                         / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS ols_slope
+            FROM s
         """,
         "contract_enforce": f"""
             SELECT CAST(id AS BIGINT) AS id,

@@ -49,3 +49,30 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.where(F.col("change_type") != "unchanged")
     return out
+
+
+def merge_upsert(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    delete_missing: bool = False,
+) -> DataFrame:
+    """SCD1 merge (MERGE INTO … WHEN MATCHED UPDATE / NOT MATCHED INSERT):
+    the new snapshot's row wins per key; old-only keys survive unless
+    ``delete_missing``.
+
+    ONE full-outer join on the key — the same co-location/bucketing notes as
+    ``snapshot_diff`` apply.  Column set is the OLD schema (the target
+    table's contract); new-side extra columns are ignored.
+    """
+    cols = old.columns
+    o = old.select(*[F.col(c).alias(f"_o_{c}") for c in cols]).withColumn("_o_present", F.lit(1))
+    n = new.select(*[F.col(c).alias(f"_n_{c}") for c in cols]).withColumn("_n_present", F.lit(1))
+    cond = [o[f"_o_{k}"].eqNullSafe(n[f"_n_{k}"]) for k in keys]
+    joined = o.join(n, on=cond, how="full_outer")
+    if delete_missing:
+        joined = joined.where(F.col("_n_present").isNotNull())
+    take_new = F.col("_n_present").isNotNull()
+    return joined.select(
+        *[F.when(take_new, F.col(f"_n_{c}")).otherwise(F.col(f"_o_{c}")).alias(c) for c in cols]
+    )

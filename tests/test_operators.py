@@ -265,3 +265,20 @@ def test_role_permission_fanout_no_shuffle(spark):
     # plan shape: literal CASE + explode — no join, no exchange anywhere
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_merge_upsert_semantics(spark):
+    from area_etl_spark.operators.diff import merge_upsert
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, bal double"
+    )
+    new = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "k long, name string, bal double"
+    )
+    merged = {r.k: (r.name, r.bal) for r in merge_upsert(old, new, ["k"]).collect()}
+    # matched key takes the new row; old-only keys survive; new-only inserts
+    assert merged == {1: ("a", 10.0), 2: ("b2", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    synced = {r.k for r in merge_upsert(old, new, ["k"], delete_missing=True).collect()}
+    assert synced == {2, 4}  # delete_missing drops keys absent from new
