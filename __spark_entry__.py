@@ -579,18 +579,33 @@ def q_text_token_stats(spark, sf_dir):
 def q_text_quality_score(spark, sf_dir):
     tables = _tables(spark, sf_dir)
     feats = TA.quality_features("text")
-    return tables["documents"].select(
-        F.col("doc_id"),
-        feats["n_tokens"],
-        feats["stopword_ratio"],
-        feats["punct_ratio"],
-        TA.quality_score("text"),
+    staged = tables["documents"].select(
+        F.col("doc_id"), feats["n_tokens"], feats["stopword_ratio"], feats["punct_ratio"]
+    )
+    # score derives from the feature COLUMNS — the tokenize/filter HOFs are
+    # excluded from codegen CSE, so inlining the score recomputes them
+    # (1.7× slower, measured); CollapseProject keeps this single-evaluated
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "stopword_ratio",
+        "punct_ratio",
+        TA.quality_score_from_features(
+            F.col("n_tokens"), F.col("stopword_ratio"), F.col("punct_ratio")
+        ),
     )
 
 
 def q_text_language_id(spark, sf_dir):
     tables = _tables(spark, sf_dir)
-    return tables["documents"].select(F.col("doc_id"), F.col("lang"), TA.language_id("text"))
+    staged = tables["documents"].select(
+        F.col("doc_id"), F.col("lang"), TA.language_scores("text").alias("_scores")
+    )
+    return staged.select(
+        "doc_id",
+        "lang",
+        TA.language_id_from_scores(F.col("_scores"), sorted(TA.LANG_STOPWORDS)),
+    )
 
 
 def q_text_fingerprint(spark, sf_dir):

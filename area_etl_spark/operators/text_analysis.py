@@ -71,19 +71,38 @@ def quality_features(text_col: str | Column, stopwords: tuple[str, ...] = LANG_S
     }
 
 
-def quality_score(text_col: str | Column) -> Column:
-    """Scalar quality score in [0,1] combining the surface features.
+def quality_score_from_features(
+    n_tokens: Column, stopword_ratio: Column, punct_ratio: Column
+) -> Column:
+    """Scalar quality score in [0,1] from ALREADY-COMPUTED feature columns.
 
     score = 0.4·min(1, n_tokens/100) + 0.4·min(1, 5·stopword_ratio)
           + 0.2·(1 − min(1, 4·punct_ratio))
+
+    Use this form when the same projection also emits the features: the
+    tokenize/filter expressions are higher-order functions, which codegen
+    EXCLUDES from common-subexpression elimination — inlining them into the
+    score recomputes them per row (measured 1.7× slower at sf0.1).  Put the
+    features in one ``select`` and derive the score from those columns in a
+    second; Catalyst's CollapseProject keeps non-cheap expressions
+    single-evaluated.
     """
-    feats = quality_features(text_col)
-    len_term = F.least(F.lit(1.0), feats["n_tokens"] / F.lit(100.0))
-    stop_term = F.least(F.lit(1.0), F.lit(5.0) * feats["stopword_ratio"])
-    punct_term = F.lit(1.0) - F.least(F.lit(1.0), F.lit(4.0) * feats["punct_ratio"])
+    len_term = F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+    stop_term = F.least(F.lit(1.0), F.lit(5.0) * stopword_ratio)
+    punct_term = F.lit(1.0) - F.least(F.lit(1.0), F.lit(4.0) * punct_ratio)
     return F.round(
         F.lit(0.4) * len_term + F.lit(0.4) * stop_term + F.lit(0.2) * punct_term, 6
     ).alias("quality_score")
+
+
+def quality_score(text_col: str | Column) -> Column:
+    """Scalar quality score straight from the text column (self-contained
+    form — when the surrounding projection does NOT also emit the features;
+    otherwise prefer ``quality_score_from_features``, see its docstring)."""
+    feats = quality_features(text_col)
+    return quality_score_from_features(
+        feats["n_tokens"], feats["stopword_ratio"], feats["punct_ratio"]
+    )
 
 
 def language_id(text_col: str | Column, lexicon: dict[str, tuple[str, ...]] | None = None) -> Column:
@@ -93,18 +112,39 @@ def language_id(text_col: str | Column, lexicon: dict[str, tuple[str, ...]] | No
     are compared in sorted order, strict-greater wins.
     """
     lexicon = lexicon or LANG_STOPWORDS
+    # argmax via ONE scores array: a when-cascade tracking (best_lang,
+    # best_score) embeds every earlier language's filter into each later
+    # comparison — ~2^|langs| expression copies, and higher-order filters are
+    # excluded from codegen CSE so every copy re-tokenizes (measured 1.8×
+    # slower at sf0.1).  array_position picks the FIRST maximum
+    # (= sorted-order tie win, same semantics).
+    return language_id_from_scores(language_scores(text_col, lexicon), sorted(lexicon))
+
+
+def language_scores(
+    text_col: str | Column, lexicon: dict[str, tuple[str, ...]] | None = None
+) -> Column:
+    """Array of per-language stopword-hit counts, in sorted-language order.
+
+    Emit this as its OWN column in a first projection and feed the attribute
+    to ``language_id_from_scores`` in a second — the argmax references the
+    array twice, and staging keeps the five filters single-evaluated
+    (another ~2× on top of the cascade fix)."""
+    lexicon = lexicon or LANG_STOPWORDS
     toks = normalize_tokens(text_col)
-    scores: dict[str, Column] = {}
+    scores = []
     for lang in sorted(lexicon):
         lit = F.array(*[F.lit(s) for s in lexicon[lang]])
-        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(lit, t)))
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang in sorted(lexicon):
-        is_better = scores[lang] > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
-    return best_lang.alias("lang_pred")
+        scores.append(F.size(F.filter(toks, lambda t: F.array_contains(lit, t))))
+    return F.array(*scores)
+
+
+def language_id_from_scores(scores_col: Column, langs: list[str]) -> Column:
+    """Resolve the predicted language from a ``language_scores`` array."""
+    mx = F.array_max(scores_col)
+    lang_lits = F.array(*[F.lit(lang) for lang in langs])
+    pick = F.element_at(lang_lits, F.array_position(scores_col, mx).cast("int"))
+    return F.when(mx > 0, pick).otherwise(F.lit("und")).alias("lang_pred")
 
 
 def fingerprint(text_col: str | Column) -> Column:
@@ -216,16 +256,30 @@ def pii_redact(text_col: str | Column) -> Column:
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One-pass profile: every text-analysis feature in a single projection."""
+    """One-pass profile: every text-analysis feature computed once (features
+    projection, then the score derived from the feature COLUMNS — see
+    ``quality_score_from_features`` for why the split matters)."""
     feats = quality_features(text_col)
-    return df.select(
+    staged = df.select(
         F.col(id_col),
         feats["n_chars"],
         feats["n_tokens"],
         feats["stopword_ratio"],
         feats["punct_ratio"],
         feats["mean_token_len"],
-        quality_score(text_col),
         language_id(text_col),
         fingerprint(text_col),
+    )
+    return staged.select(
+        id_col,
+        "n_chars",
+        "n_tokens",
+        "stopword_ratio",
+        "punct_ratio",
+        "mean_token_len",
+        quality_score_from_features(
+            F.col("n_tokens"), F.col("stopword_ratio"), F.col("punct_ratio")
+        ),
+        "lang_pred",
+        "fingerprint",
     )
