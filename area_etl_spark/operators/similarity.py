@@ -154,12 +154,17 @@ def assign_ivf_buckets(
     twice per step — exponential expression growth (2^K nodes at K
     centroids; K=16 hangs the planner).  Instead the K cosines land in ONE
     array; ``array_position(sims, array_max(sims))`` picks the first
-    (lowest-id) maximum with linear expression size.
+    (lowest-id) maximum with linear expression size.  The array is emitted
+    as its own projection first: the argmax references it twice, and
+    higher-order cosine folds are excluded from codegen CSE — staging keeps
+    the K cosines single-evaluated (CollapseProject preserves the split for
+    non-cheap expressions).
     """
     sims = F.array(*[cosine_similarity(F.col(vec_col), cvec) for _, cvec in centroids])
     cids = F.array(*[F.lit(cid) for cid, _ in centroids])
-    bucket = F.element_at(cids, F.array_position(sims, F.array_max(sims)).cast("int"))
-    return df.select(F.col(id_col), F.col(vec_col), bucket.alias("ivf_bucket"))
+    staged = df.select(F.col(id_col), F.col(vec_col), sims.alias("_sims"))
+    bucket = F.element_at(cids, F.array_position(F.col("_sims"), F.array_max("_sims")).cast("int"))
+    return staged.select(F.col(id_col), F.col(vec_col), bucket.alias("ivf_bucket"))
 
 
 # Fixed-point quantum for deterministic centroid means: ~1e-7 precision on
