@@ -200,10 +200,13 @@ def tfidf_top_terms(
     """Top-k characteristic terms per document by TF·IDF.
 
     IDF = ln(N / df_t) with N a broadcast 1-row aggregate (no collect).
-    Shuffles: (doc, term) counts, term document-frequencies, and the final
-    per-doc top-k window — all keyed on bounded-cardinality columns
-    (vocabulary, not corpus size).  Ranking ties break on the term for
-    determinism.
+    The document frequency is a COUNT window over the (doc, term) rows —
+    per_term has exactly one row per (doc, term), so the term-partition
+    count IS df_t; a separate ``per_term.groupBy(term)`` + self-join would
+    re-execute the whole explode lineage (Spark recomputes shared
+    sub-plans).  Shuffles: (doc, term) counts, the term window, the final
+    per-doc top-k window — all keyed on bounded-cardinality columns.
+    Ranking ties break on the term for determinism.
     """
     from pyspark.sql import Window
 
@@ -214,10 +217,10 @@ def tfidf_top_terms(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    doc_freq = per_term.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    df_t = F.count(F.lit(1)).over(Window.partitionBy("term"))
     n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
     scored = (
-        per_term.join(doc_freq, "term")
+        per_term.withColumn("df_t", df_t)
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),
