@@ -1046,6 +1046,42 @@ def q_export_jsonl_roundtrip(spark, sf_dir):
     return spark.read.schema("doc_id bigint, lang string, source string, text string").json(path)
 
 
+def q_keep_latest(spark, sf_dir):
+    """CDC compaction: latest record per key (row_number over recency-desc,
+    keep rank 1) — the change-log → current-state collapse every
+    incremental pipeline runs."""
+    from pyspark.sql import Window
+
+    tables = _tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        tables["events"]
+        .select("user_id", "event_id", "ts", "event_type", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("last_event_id"), F.col("ts").alias("last_ts"),
+                F.col("event_type").alias("last_event_type"))
+    )
+
+
+def q_sample_stratified_hash(spark, sf_dir):
+    """Per-stratum deterministic sampling: 20% of English docs, 5% of the
+    rest — one CASE-thresholded hash predicate, narrow scan-time filter."""
+    from area_etl_spark.operators.sampling import stratified_hash_sample
+
+    tables = _tables(spark, sf_dir)
+    return stratified_hash_sample(
+        tables["documents"], "doc_id", "lang", {"en": 0.20}, default_fraction=0.05
+    ).select("doc_id", "lang", "source")
+
+
+def q_dedup_minhash_portable(spark, sf_dir):
+    """md5-based MinHash LSH candidates — the engine-portable twin of
+    dedup_minhash_lsh, with a full DuckDB oracle (lexicographic min of md5
+    hex per seed over the distinct unigram set)."""
+    tables = _tables(spark, sf_dir)
+    return D.minhash_lsh_pairs_portable(tables["documents"], "text", "doc_id", num_hashes=16, bands=4)
+
+
 def q_scd2_intervals(spark, sf_dir):
     """Status-history effective dating (the reference's migrate_udos_history
     shape, core.py:1679-1812): per-user event_type runs → validity intervals."""
@@ -1143,6 +1179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_exact": q_corr_exact,
         "contract_enforce": q_contract_enforce,
         "contract_violations": q_contract_violations,
+        "keep_latest": q_keep_latest,
+        "sample_stratified_hash": q_sample_stratified_hash,
+        "dedup_minhash_portable": q_dedup_minhash_portable,
         "extract_sql": q_extract_sql,
         "extract_csv_schema": q_extract_csv_schema,
         "load_roundtrip": q_load_roundtrip,
@@ -1292,6 +1331,39 @@ def _ivf_trained_sql(k: int = 16, iters: int = 3, nprobe: int = 2, topk: int = 1
         FROM af a JOIN probes p USING (cid) CROSS JOIN qv q
         ORDER BY cosine DESC, a.vec_id
         LIMIT {topk}
+    """
+
+
+def _minhash_portable_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB replay of the md5-based portable MinHash banding (3-gram
+    shingles of the lowercased whitespace tokens, short docs collapse to one
+    whole-doc shingle — exactly ``dedup.shingles``)."""
+    rpb = num_hashes // bands
+    tok_arr = "string_split_regex(trim(lower(text)), '\\s+')"
+    toks = (
+        f"CASE WHEN len({tok_arr}) >= 3 THEN "
+        f"list_transform(generate_series(1, len({tok_arr}) - 2), "
+        f"i -> array_to_string(list_slice({tok_arr}, i, i + 2), ' ')) "
+        f"ELSE [array_to_string({tok_arr}, ' ')] END"
+    )
+    mins = ", ".join(f"min(md5('{s}:' || tok)) AS h{s}" for s in range(num_hashes))
+    sep = " || '|' || "
+    band_exprs = [sep.join(f"h{b * rpb + r}" for r in range(rpb)) for b in range(bands)]
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5({expr}) AS band_hash FROM sigs"
+        for b, expr in enumerate(band_exprs)
+    )
+    return f"""
+        WITH t AS (
+            SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id, unnest({toks}) AS tok FROM documents
+            ) WHERE tok <> ''
+        ), sigs AS (
+            SELECT doc_id, {mins} FROM t GROUP BY doc_id
+        ), banded AS ({band_rows})
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
     """
 
 
@@ -1836,6 +1908,22 @@ def oracle_sql() -> dict[str, str]:
                        AND o.s_name = n.s_name AND o.s_nationkey = n.s_nationkey
                        AND o.s_acctbal = n.s_acctbal)
         """,
+        "keep_latest": """
+            SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+                   event_type AS last_event_type
+            FROM (SELECT user_id, event_id, ts, event_type,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "sample_stratified_hash": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE CASE WHEN lang = 'en'
+                       THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333'
+                       ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccc' END
+        """,
+        "dedup_minhash_portable": _minhash_portable_sql(num_hashes=16, bands=4),
         "merge_upsert": """
             WITH old AS (
                 SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier

@@ -241,6 +241,68 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via md5-based MinHash — the ENGINE-PORTABLE
+    variant with a full SQL oracle.
+
+    ``minhash_lsh_pairs`` (the scale path) folds ``xxhash64`` signatures in
+    one pass — fast, but no other engine reproduces Spark's seeded xxhash64,
+    so its correctness gate is rows-only.  This variant trades speed for
+    portability: the min-hash per seed is ``min(md5(seed || shingle))`` over
+    the document's distinct 3-gram shingle set (lexicographic min of hex
+    strings — identical in every engine), so DuckDB replays it verbatim.
+    Use it to cross-check the fast path's banding logic, not at 100 TB
+    (md5 per (shingle, seed) is ~an order of magnitude more hashing).
+
+    Plan shape matches the fast path: per-doc signature aggregate (ONE
+    shuffle with map-side combine), band explode (narrow), self equi-join on
+    (band_id, band_hash), distinct pairs — never all-pairs.
+    """
+    rows_per_band = num_hashes // bands
+    toks = F.array_distinct(shingles(normalize_tokens(text_col), 3))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("tok")).where(F.col("tok") != "")
+    sigs = exploded.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("tok")))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bd")).select(
+        id_col, F.col("bd.band_id").alias("band_id"), F.col("bd.band_hash").alias("band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
 def simhash(text_col: str | Column, bits: int = 64) -> Column:
     """64-bit SimHash of the token multiset — one pass, no shuffle.
 

@@ -41,3 +41,23 @@ def hash_sample_predicate(id_col: str | Column, fraction: float) -> Column:
 def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
     """Deterministic, nesting, engine-portable sample of ``fraction`` rows."""
     return df.where(hash_sample_predicate(id_col, fraction))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (``sampleBy``'s contract, but
+    partition-invariant and engine-portable like ``hash_sample``).
+
+    One predicate column — a CASE over the stratum choosing the hash
+    threshold — so the whole sample is still a narrow scan-time filter.
+    """
+    c = F.col(stratum_col)
+    pred = hash_sample_predicate(id_col, default_fraction)
+    for value, fraction in sorted(fractions.items()):
+        pred = F.when(c == value, hash_sample_predicate(id_col, fraction)).otherwise(pred)
+    return df.where(pred)

@@ -292,3 +292,22 @@ def test_pii_redact_patterns(spark):
     assert got[2] == "call [PHONE] now"
     assert got[3] == "account [ID] is overdrawn"
     assert got[4] == "clean text stays clean"
+
+
+def test_minhash_portable_cross_validates_fast_path(spark, tables):
+    """The md5 portable MinHash (full DuckDB oracle) and the xxhash64 fast
+    path are independent hash families over the same shingle sets — on the
+    sf0.001 corpus they must surface the same near-dup candidates, which
+    cross-validates the rows-only fast path end to end."""
+    from area_etl_spark.operators.dedup import minhash_lsh_pairs, minhash_lsh_pairs_portable
+
+    docs = tables["documents"]
+    fast = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, "text", "doc_id",
+                                                        num_hashes=64, bands=16).collect()}
+    portable = {(r.id_a, r.id_b) for r in
+                minhash_lsh_pairs_portable(docs, "text", "doc_id",
+                                           num_hashes=16, bands=4).collect()}
+    assert fast and portable
+    # true near-dups (Jaccard ~1 on shingles) collide in every band of both
+    # families; band-count differences only affect marginal pairs
+    assert len(fast & portable) >= 0.8 * max(len(fast), len(portable))
