@@ -41,15 +41,15 @@ def norm_rows(rows, columns):
 
 def test_every_query_has_oracle_or_is_documented_rows_only():
     rows_only = set(QUERIES) - set(ORACLES)
-    # xxhash64-based ops have no DuckDB-equivalent hash, and float-mean
-    # k-means centroids aren't cross-engine reproducible — rows-only by design
-    assert rows_only <= {
+    # xxhash64/seeded-hyperplane ops have no DuckDB-equivalent hash —
+    # rows-only by design; the minhash fast path is additionally
+    # cross-validated by its oracle-checked md5 twin (dedup_minhash_portable)
+    assert rows_only == {
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "dedup_embedding_cosine",
         "dedup_full_pipeline",
-        "ann_ivf_trained_topk",
     }
 
 
