@@ -1082,6 +1082,13 @@ def q_dedup_minhash_portable(spark, sf_dir):
     return D.minhash_lsh_pairs_portable(tables["documents"], "text", "doc_id", num_hashes=16, bands=4)
 
 
+def q_dedup_simhash_portable(spark, sf_dir):
+    """md5-based 16-bit SimHash — engine-portable twin of dedup_simhash
+    with a full DuckDB oracle (nibble arithmetic, ±1 sums, sign pack)."""
+    tables = _tables(spark, sf_dir)
+    return D.simhash_portable(tables["documents"], "text", "doc_id", bits=16)
+
+
 def q_scd2_intervals(spark, sf_dir):
     """Status-history effective dating (the reference's migrate_udos_history
     shape, core.py:1679-1812): per-user event_type runs → validity intervals."""
@@ -1182,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_latest": q_keep_latest,
         "sample_stratified_hash": q_sample_stratified_hash,
         "dedup_minhash_portable": q_dedup_minhash_portable,
+        "dedup_simhash_portable": q_dedup_simhash_portable,
         "extract_sql": q_extract_sql,
         "extract_csv_schema": q_extract_csv_schema,
         "load_roundtrip": q_load_roundtrip,
@@ -1364,6 +1372,31 @@ def _minhash_portable_sql(num_hashes: int = 16, bands: int = 4) -> str:
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM banded a JOIN banded b
           ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """
+
+
+def _simhash_portable_sql(bits: int = 16) -> str:
+    """DuckDB replay of the md5 portable SimHash: same nibble arithmetic,
+    per-bit ±1 sums (as a GROUP BY — commutative ints, order-free), sign
+    pack."""
+    toks = "string_split_regex(trim(lower(text)), '\\s+')"
+    sums = []
+    for b in range(bits):
+        p, shift = b // 4 + 1, 3 - (b % 4)
+        bit = (
+            f"CAST(floor((strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+            f" / {2 ** shift}) AS BIGINT) % 2"
+        )
+        sums.append(f"SUM(2 * ({bit}) - 1) AS s{b}")
+    pack = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits))
+    return f"""
+        WITH t AS (
+            SELECT doc_id, md5(tok) AS h
+            FROM (SELECT doc_id, unnest({toks}) AS tok FROM documents)
+        ), sums AS (
+            SELECT doc_id, {', '.join(sums)} FROM t GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({pack} AS INT) AS simhash16 FROM sums
     """
 
 
@@ -1924,6 +1957,7 @@ def oracle_sql() -> dict[str, str]:
                        ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccc' END
         """,
         "dedup_minhash_portable": _minhash_portable_sql(num_hashes=16, bands=4),
+        "dedup_simhash_portable": _simhash_portable_sql(bits=16),
         "merge_upsert": """
             WITH old AS (
                 SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier

@@ -336,6 +336,46 @@ def simhash(text_col: str | Column, bits: int = 64) -> Column:
     return F.shiftleft(hi, half).bitwiseOR(lo)
 
 
+_HEX = "0123456789abcdef"
+
+
+def simhash_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """Engine-portable SimHash over the token multiset — md5-based twin of
+    ``simhash`` (xxhash64, rows-only) with a full SQL oracle.
+
+    Bit b of a token's hash is extracted from the md5 hex nibble with plain
+    arithmetic (position-in-alphabet, divide, mod) that every engine
+    evaluates identically; per-bit ±1 sums fold in ONE pass with an array
+    accumulator, and the sign-pack runs in a SECOND projection so the fold
+    is single-evaluated (HOFs get no codegen CSE).  16 bits keeps the
+    packed value in a portable INT; the xxhash64 64-bit form remains the
+    scale path.
+    """
+    toks = normalize_tokens(F.col(text_col))
+    hashes = F.transform(toks, lambda t: F.md5(t))
+
+    def _bit(h: Column, b: int) -> Column:
+        p, shift = b // 4 + 1, 3 - (b % 4)
+        val = F.instr(F.lit(_HEX), F.substring(h, p, 1)) - 1
+        return (F.floor(val / F.lit(2**shift)) % 2).cast("int")
+
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.array(
+            *[F.element_at(acc, b + 1) + (F.lit(2) * _bit(h, b) - 1) for b in range(bits)]
+        ),
+    )
+    staged = df.select(F.col(id_col), counts.alias("_counts"))
+    packed = None
+    for b in range(bits):
+        term = F.when(F.element_at(F.col("_counts"), b + 1) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return staged.select(F.col(id_col), packed.cast("int").alias("simhash16"))
+
+
 def hamming_distance(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints (popcount of xor)."""
     return F.bit_count(a.bitwiseXOR(b)).cast("int")

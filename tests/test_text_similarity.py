@@ -311,3 +311,23 @@ def test_minhash_portable_cross_validates_fast_path(spark, tables):
     # true near-dups (Jaccard ~1 on shingles) collide in every band of both
     # families; band-count differences only affect marginal pairs
     assert len(fast & portable) >= 0.8 * max(len(fast), len(portable))
+
+
+def test_simhash_portable_locality(spark):
+    from area_etl_spark.operators.dedup import simhash_portable
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                                # identical
+            (3, base.replace("dog", "cat")),          # one token changed
+            (4, "completely different words about spark shuffles and parquet files"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = {r.doc_id: r.simhash16 for r in simhash_portable(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert sig[1] == sig[2]
+    assert ham(sig[1], sig[3]) <= ham(sig[1], sig[4])
+    assert 0 <= sig[1] < (1 << 16)
