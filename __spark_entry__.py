@@ -1089,6 +1089,37 @@ def q_dedup_simhash_portable(spark, sf_dir):
     return D.simhash_portable(tables["documents"], "text", "doc_id", bits=16)
 
 
+def q_dense_ids(spark, sf_dir):
+    """Global dense surrogate ids with NO single-partition window: range
+    repartition → per-partition counts → driver prefix-sum (O(partitions)
+    ints) → offset + in-partition row_number.  Equals row_number() OVER
+    (ORDER BY ...) at any partition count."""
+    from area_etl_spark.operators.ids import dense_ids
+
+    tables = _tables(spark, sf_dir)
+    cust = tables["customer"].select("c_custkey", "c_name", "c_nationkey")
+    return dense_ids(cust, ["c_name", "c_custkey"], id_name="surrogate_id", num_partitions=8)
+
+
+def q_quarantine_rows(spark, sf_dir):
+    """Bad-row quarantine: customers violating business rules, tagged with
+    every rule they break — the distributed replacement for the reference's
+    abort-on-bad-row strict casts."""
+    from area_etl_spark.plans.contracts import quarantine_rows
+
+    tables = _tables(spark, sf_dir)
+    rules = {
+        "non_negative_balance": F.col("c_acctbal") >= 0,
+        "known_segment": F.col("c_mktsegment").isin(
+            "BUILDING", "AUTOMOBILE", "MACHINERY", "HOUSEHOLD", "FURNITURE"
+        ),
+        "valid_nation": F.col("c_nationkey").between(0, 24),
+    }
+    return quarantine_rows(tables["customer"], rules).select(
+        "c_custkey", "c_acctbal", "c_mktsegment", "quarantine_reasons"
+    )
+
+
 def q_scd2_intervals(spark, sf_dir):
     """Status-history effective dating (the reference's migrate_udos_history
     shape, core.py:1679-1812): per-user event_type runs → validity intervals."""
@@ -1190,6 +1221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified_hash": q_sample_stratified_hash,
         "dedup_minhash_portable": q_dedup_minhash_portable,
         "dedup_simhash_portable": q_dedup_simhash_portable,
+        "dense_ids": q_dense_ids,
+        "quarantine_rows": q_quarantine_rows,
         "extract_sql": q_extract_sql,
         "extract_csv_schema": q_extract_csv_schema,
         "load_roundtrip": q_load_roundtrip,
@@ -1940,6 +1973,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (o.s_suppkey IS NOT NULL AND n.s_suppkey IS NOT NULL
                        AND o.s_name = n.s_name AND o.s_nationkey = n.s_nationkey
                        AND o.s_acctbal = n.s_acctbal)
+        """,
+        "dense_ids": """
+            SELECT c_custkey, c_name, c_nationkey,
+                   row_number() OVER (ORDER BY c_name, c_custkey) AS surrogate_id
+            FROM customer
+        """,
+        "quarantine_rows": """
+            SELECT c_custkey, c_acctbal, c_mktsegment,
+                   array_to_string(list_filter([
+                       CASE WHEN NOT (c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY',
+                                                       'HOUSEHOLD', 'FURNITURE'))
+                            THEN 'known_segment' END,
+                       CASE WHEN NOT (c_acctbal >= 0) THEN 'non_negative_balance' END,
+                       CASE WHEN NOT (c_nationkey BETWEEN 0 AND 24) THEN 'valid_nation' END
+                   ], x -> x IS NOT NULL), ',') AS quarantine_reasons
+            FROM customer
+            WHERE NOT (c_acctbal >= 0)
+               OR NOT (c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY',
+                                        'HOUSEHOLD', 'FURNITURE'))
+               OR NOT (c_nationkey BETWEEN 0 AND 24)
         """,
         "keep_latest": """
             SELECT user_id, event_id AS last_event_id, ts AS last_ts,

@@ -1,0 +1,68 @@
+"""Surrogate-key assignment — global dense ids at scale.
+
+The naive form, ``row_number() OVER (ORDER BY key)`` with no PARTITION BY,
+funnels the entire table through ONE reducer — the classic scale-killer.
+``dense_ids`` produces the identical numbering with no single-partition
+stage:
+
+1. range-repartition on the order key (each partition owns a key range, in
+   order) and sort within partitions;
+2. count rows per partition — a tiny aggregate, one row per partition;
+3. prefix-sum the counts on the driver (bounded: one int per partition) and
+   fold the offsets back in as a plan-literal map;
+4. id = offset[partition] + row_number within the partition.
+
+Every stage is bounded: the heavy data moves through ONE range shuffle, and
+only O(partitions) integers touch the driver.  The result equals
+``row_number() OVER (ORDER BY order_cols)`` for any partition count —
+which is exactly what a SQL oracle can replay.
+
+Caveat: ``order_cols`` must be a total order (include a unique tiebreak) or
+ids within ties are partition-placement-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dense_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_name: str = "dense_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append a 1-based global dense id in ``order_cols`` order (total order
+    required), with no single-partition window."""
+    parts = (
+        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
+        if num_partitions
+        else df.repartitionByRange(*[F.col(c) for c in order_cols])
+    )
+    # The count pass and the id pass MUST see the same partition boundaries.
+    # Range bounds come from sampling, and a re-execution (with AQE free to
+    # re-shape the upstream stages) can sample different bounds — pin the
+    # partitioning by materializing it once.  At lake scale the equivalent
+    # stable snapshot is the written range layout itself
+    # (``sources.load.write_range_layout``), not an in-memory checkpoint.
+    staged = parts.withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
+    counts = {r._pid: r.n for r in staged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    if not counts:  # empty input: keep the schema, no map literal to build
+        return df.withColumn(id_name, F.lit(None).cast("long"))
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_map = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        staged.withColumn(
+            id_name,
+            (F.element_at(offset_map, F.col("_pid")) + F.row_number().over(w)).cast("long"),
+        )
+        .drop("_pid")
+    )

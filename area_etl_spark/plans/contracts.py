@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -107,3 +107,23 @@ def contract_violations(df: DataFrame, contract: TableContract) -> DataFrame:
             F.struct(F.lit("unique_pk:" + ",".join(pk)).alias("rule"), F.col("pk__dups").cast("long").alias("n_bad"))
         )
     return row.select(F.explode(F.array(*structs)).alias("v")).select("v.*")
+
+
+def quarantine_rows(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Bad-row quarantine: rows violating ANY rule, tagged with the sorted
+    comma-joined names of every rule they break.
+
+    ``rules`` maps rule name → a Column predicate that GOOD rows satisfy.
+    The complement (``df`` minus these rows) is the clean feed; routing both
+    from one scan is a narrow filter each — quarantining never blocks the
+    pipeline the way a failing strict cast does (the reference's Polars
+    casts abort the whole single-node run; at 100 TB one malformed row must
+    not kill the job — it gets shipped to the quarantine sink with its
+    reasons instead).
+    """
+    tags = [F.when(~cond, F.lit(name)) for name, cond in sorted(rules.items())]
+    reasons = F.array_compact(F.array(*tags))
+    return (
+        df.withColumn("quarantine_reasons", F.array_join(reasons, ","))
+        .where(F.col("quarantine_reasons") != "")
+    )

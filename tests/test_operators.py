@@ -282,3 +282,34 @@ def test_merge_upsert_semantics(spark):
 
     synced = {r.k for r in merge_upsert(old, new, ["k"], delete_missing=True).collect()}
     assert synced == {2, 4}  # delete_missing drops keys absent from new
+
+
+def test_dense_ids_partition_invariant(spark):
+    from area_etl_spark.operators.ids import dense_ids
+
+    rows = [(i, f"name{i % 97:03d}-{i}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "k long, name string")
+    expected = {
+        r.k: i + 1
+        for i, r in enumerate(df.orderBy("name", "k").collect())
+    }
+    for nparts in (1, 4, 23):
+        got = {r.k: r.dense_id for r in dense_ids(df, ["name", "k"], num_partitions=nparts).collect()}
+        assert got == expected, f"nparts={nparts}"
+    # no single-partition exchange: the plan must not contain SinglePartition
+    plan = dense_ids(df, ["name", "k"], num_partitions=8)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_quarantine_rows_reasons(spark):
+    from pyspark.sql import functions as F
+
+    from area_etl_spark.plans.contracts import quarantine_rows
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "A"), (3, 10.0, "?"), (4, -1.0, "?")],
+        "k long, bal double, seg string",
+    )
+    rules = {"pos_bal": F.col("bal") >= 0, "seg_known": F.col("seg") != "?"}
+    got = {r.k: r.quarantine_reasons for r in quarantine_rows(df, rules).collect()}
+    assert got == {2: "pos_bal", 3: "seg_known", 4: "pos_bal,seg_known"}
