@@ -1089,6 +1089,30 @@ def q_dedup_simhash_portable(spark, sf_dir):
     return D.simhash_portable(tables["documents"], "text", "doc_id", bits=16)
 
 
+def q_dedup_jaccard_portable(spark, sf_dir):
+    """Exact 3-gram Jaccard over the PORTABLE MinHash candidates — the
+    verification stage of the dedup pipeline with a full DuckDB oracle."""
+    tables = _tables(spark, sf_dir)
+    docs = tables["documents"]
+    cands = D.minhash_lsh_pairs_portable(docs, "text", "doc_id", num_hashes=16, bands=4)
+    return D.ngram_jaccard_pairs(docs, cands, "text", "doc_id", n=3, threshold=0.5)
+
+
+def q_dedup_pipeline_portable(spark, sf_dir):
+    """The COMPLETE dedup pipeline with a full oracle end to end:
+    md5-MinHash candidates → exact Jaccard ≥ 0.5 → connected components →
+    one representative per cluster (DuckDB replays every stage, components
+    via recursive CTE)."""
+    from area_etl_spark.operators.graph import connected_components, dedup_keep_representatives
+
+    tables = _tables(spark, sf_dir)
+    docs = tables["documents"]
+    cands = D.minhash_lsh_pairs_portable(docs, "text", "doc_id", num_hashes=16, bands=4)
+    verified = D.ngram_jaccard_pairs(docs, cands, "text", "doc_id", n=3, threshold=0.5)
+    comps = connected_components(verified.select("id_a", "id_b"))
+    return dedup_keep_representatives(docs.select("doc_id", "lang", "source"), comps, "doc_id")
+
+
 def q_dense_ids(spark, sf_dir):
     """Global dense surrogate ids with NO single-partition window: range
     repartition → per-partition counts → driver prefix-sum (O(partitions)
@@ -1223,6 +1247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_portable": q_dedup_simhash_portable,
         "dense_ids": q_dense_ids,
         "quarantine_rows": q_quarantine_rows,
+        "dedup_jaccard_portable": q_dedup_jaccard_portable,
+        "dedup_pipeline_portable": q_dedup_pipeline_portable,
         "extract_sql": q_extract_sql,
         "extract_csv_schema": q_extract_csv_schema,
         "load_roundtrip": q_load_roundtrip,
@@ -1375,18 +1401,24 @@ def _ivf_trained_sql(k: int = 16, iters: int = 3, nprobe: int = 2, topk: int = 1
     """
 
 
-def _minhash_portable_sql(num_hashes: int = 16, bands: int = 4) -> str:
-    """DuckDB replay of the md5-based portable MinHash banding (3-gram
-    shingles of the lowercased whitespace tokens, short docs collapse to one
-    whole-doc shingle — exactly ``dedup.shingles``)."""
-    rpb = num_hashes // bands
-    tok_arr = "string_split_regex(trim(lower(text)), '\\s+')"
-    toks = (
+def _shingles3_sql(text: str = "text") -> str:
+    """DuckDB expression for ``dedup.shingles(normalize_tokens(text), 3)``:
+    3-gram shingles of lowercased whitespace tokens; docs shorter than 3
+    tokens collapse to one whole-doc shingle."""
+    tok_arr = f"string_split_regex(trim(lower({text})), '\\s+')"
+    return (
         f"CASE WHEN len({tok_arr}) >= 3 THEN "
         f"list_transform(generate_series(1, len({tok_arr}) - 2), "
         f"i -> array_to_string(list_slice({tok_arr}, i, i + 2), ' ')) "
         f"ELSE [array_to_string({tok_arr}, ' ')] END"
     )
+
+
+def _minhash_portable_ctes(num_hashes: int = 16, bands: int = 4) -> str:
+    """Shared CTE block ending in ``cands(id_a, id_b)`` — the portable md5
+    MinHash banding over 3-gram shingles."""
+    rpb = num_hashes // bands
+    toks = _shingles3_sql()
     mins = ", ".join(f"min(md5('{s}:' || tok)) AS h{s}" for s in range(num_hashes))
     sep = " || '|' || "
     band_exprs = [sep.join(f"h{b * rpb + r}" for r in range(rpb)) for b in range(bands)]
@@ -1395,16 +1427,67 @@ def _minhash_portable_sql(num_hashes: int = 16, bands: int = 4) -> str:
         for b, expr in enumerate(band_exprs)
     )
     return f"""
-        WITH t AS (
+        t AS (
             SELECT DISTINCT doc_id, tok FROM (
                 SELECT doc_id, unnest({toks}) AS tok FROM documents
             ) WHERE tok <> ''
         ), sigs AS (
             SELECT doc_id, {mins} FROM t GROUP BY doc_id
-        ), banded AS ({band_rows})
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a JOIN banded b
-          ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        ), banded AS ({band_rows}),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        )"""
+
+
+def _minhash_portable_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """Standalone portable-MinHash candidate query."""
+    return f"WITH {_minhash_portable_ctes(num_hashes, bands)} SELECT id_a, id_b FROM cands"
+
+
+def _jaccard_portable_ctes(threshold: float) -> str:
+    """CTE block (appended after ``cands``) ending in ``verified(id_a, id_b,
+    jaccard)`` — exact 3-gram Jaccard over the candidate pairs."""
+    toks = _shingles3_sql()
+    return f"""
+        grams AS (
+            SELECT doc_id, list_distinct({toks}) AS g FROM documents
+        ), verified AS (
+            SELECT c.id_a, c.id_b,
+                   round(CASE WHEN len(list_distinct(list_concat(ga.g, gb.g))) > 0
+                              THEN len(list_intersect(ga.g, gb.g))
+                                   / CAST(len(list_distinct(list_concat(ga.g, gb.g))) AS DOUBLE)
+                              ELSE 0.0 END, 6) AS jaccard
+            FROM cands c
+            JOIN grams ga ON ga.doc_id = c.id_a
+            JOIN grams gb ON gb.doc_id = c.id_b
+        )"""
+
+
+def _dedup_portable_pipeline_sql(threshold: float = 0.5) -> str:
+    """End-to-end portable dedup oracle: md5-MinHash candidates → exact
+    Jaccard ≥ threshold → connected components (recursive CTE) → keep the
+    min-id representative per cluster plus every unpaired doc."""
+    return f"""
+        WITH RECURSIVE {_minhash_portable_ctes()}, {_jaccard_portable_ctes(threshold)},
+        pairs AS (
+            SELECT id_a, id_b FROM verified WHERE jaccard >= {threshold}
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ), walk(node, reach) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+        ), labels AS (
+            SELECT node, MIN(reach) AS label FROM walk GROUP BY node
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d
+        LEFT JOIN labels l ON l.node = d.doc_id
+        WHERE l.node IS NULL OR l.node = l.label
     """
 
 
@@ -2011,6 +2094,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_portable": _minhash_portable_sql(num_hashes=16, bands=4),
         "dedup_simhash_portable": _simhash_portable_sql(bits=16),
+        "dedup_jaccard_portable": f"""
+            WITH {_minhash_portable_ctes()}, {_jaccard_portable_ctes(0.5)}
+            SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+        """,
+        "dedup_pipeline_portable": _dedup_portable_pipeline_sql(threshold=0.5),
         "merge_upsert": """
             WITH old AS (
                 SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier

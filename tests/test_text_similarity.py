@@ -331,3 +331,15 @@ def test_simhash_portable_locality(spark):
     assert sig[1] == sig[2]
     assert ham(sig[1], sig[3]) <= ham(sig[1], sig[4])
     assert 0 <= sig[1] < (1 << 16)
+
+
+def test_dedup_pipeline_portable_matches_fast_path(spark):
+    """The fully-oracled portable dedup pipeline and the xxhash64 fast path
+    must keep the same survivor set — independent hash families, same
+    near-dup clusters."""
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    fast = {r.doc_id for r in entrymod.q_dedup_full_pipeline(spark, sf).collect()}
+    portable = {r.doc_id for r in entrymod.q_dedup_pipeline_portable(spark, sf).collect()}
+    assert fast == portable
