@@ -110,3 +110,38 @@ def test_stream_equals_batch(spark, tables, sf_dir, tmp_path):
         for r in spark.sql("SELECT * FROM ev_agg_test").collect()
     }
     assert streamed == batch
+
+
+def test_incremental_scd2_equals_batch(spark, tables, tmp_path):
+    """foreachBatch-maintained SCD2 history must equal the batch operator
+    over the full event log once the stream drains."""
+    from pyspark.sql import functions as F
+
+    from area_etl_spark.operators.history import scd2_intervals
+    from area_etl_spark.streaming.cdc import incremental_scd2_sink
+
+    ev = tables["events"].select(
+        "user_id", "event_id", "ts", F.col("event_type").alias("status")
+    )
+    src = str(tmp_path / "scd2_src")
+    # two source files so availableNow may deliver multiple batches
+    ev.where(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(src)
+    ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = str(tmp_path / "scd2_out")
+    q = incremental_scd2_sink(
+        stream, out, ["user_id"], "ts", ["status"], tiebreak_cols=["event_id"],
+        checkpoint_dir=str(tmp_path / "scd2_ckpt"),
+    )
+    q.awaitTermination(240)
+
+    got = {
+        tuple(r) for r in spark.read.parquet(out + "/history")
+        .select("user_id", "status", "valid_from", "valid_to", "is_current").collect()
+    }
+    want = {
+        tuple(r) for r in scd2_intervals(ev, ["user_id"], "ts", ["status"], ["event_id"])
+        .select("user_id", "status", "valid_from", "valid_to", "is_current").collect()
+    }
+    assert got == want and len(got) > 0
