@@ -1113,6 +1113,18 @@ def q_dedup_pipeline_portable(spark, sf_dir):
     return dedup_keep_representatives(docs.select("doc_id", "lang", "source"), comps, "doc_id")
 
 
+def q_pack_sequences(spark, sf_dir):
+    """LLM sequence packing: documents → fixed-token-budget packs via
+    shard-local contiguous running sums (one bounded window shuffle)."""
+    from area_etl_spark.operators.packing import pack_sequences
+
+    tables = _tables(spark, sf_dir)
+    docs = tables["documents"].select(
+        "doc_id", TA.token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, "n_tokens", budget=2048, id_col="doc_id", num_shards=16)
+
+
 def q_dense_ids(spark, sf_dir):
     """Global dense surrogate ids with NO single-partition window: range
     repartition → per-partition counts → driver prefix-sum (O(partitions)
@@ -1249,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quarantine_rows": q_quarantine_rows,
         "dedup_jaccard_portable": q_dedup_jaccard_portable,
         "dedup_pipeline_portable": q_dedup_pipeline_portable,
+        "pack_sequences": q_pack_sequences,
         "extract_sql": q_extract_sql,
         "extract_csv_schema": q_extract_csv_schema,
         "load_roundtrip": q_load_roundtrip,
@@ -2056,6 +2069,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (o.s_suppkey IS NOT NULL AND n.s_suppkey IS NOT NULL
                        AND o.s_name = n.s_name AND o.s_nationkey = n.s_nationkey
                        AND o.s_acctbal = n.s_acctbal)
+        """,
+        "pack_sequences": f"""
+            WITH d AS (
+                SELECT doc_id, CAST({ntoks} AS BIGINT) AS n_tokens,
+                       CAST(doc_id % 16 AS INT) AS shard
+                FROM documents
+            )
+            SELECT doc_id, n_tokens, shard,
+                   CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                       AS pack_offset,
+                   CAST(floor(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                              / 2048) AS BIGINT) AS pack_id
+            FROM d
         """,
         "dense_ids": """
             SELECT c_custkey, c_name, c_nationkey,

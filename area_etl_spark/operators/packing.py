@@ -1,0 +1,53 @@
+"""Sequence packing — group documents into fixed-token-budget training packs.
+
+LLM pretraining consumes fixed-length sequences; the packing step assigns
+each document to a pack so concatenated token counts approach the budget.
+Optimal bin packing is sequential; the distributed form used in practice is
+CONTIGUOUS packing inside hash shards:
+
+1. shard documents by a hash of their id (narrow — any shard count);
+2. within a shard, order deterministically and take a running token sum
+   (ONE window shuffle, partition bounded by the shard);
+3. pack id = floor(tokens-before-this-doc / budget) — a document starts in
+   the pack where its offset lands.
+
+Waste vs optimal packing is bounded by the tail document of each pack;
+at corpus scale the law of large numbers makes shard-local contiguous
+packing within a few percent of optimal while staying one shuffle.  The
+whole derivation is window SQL — fully oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    id_col: str,
+    num_shards: int = 64,
+) -> DataFrame:
+    """Assign (shard, pack_id, pack_offset) per document.
+
+    ``pack_offset`` is the token offset of the document inside its shard's
+    concatenation stream; ``pack_id = floor(pack_offset / budget)``.
+    Deterministic and engine-portable: shard = id mod num_shards (numeric
+    ids spread uniformly; for clustered ids swap in an md5-based shard —
+    the packing math is shard-function-agnostic), order by id within shard.
+    """
+    shard = (F.col(id_col) % num_shards).cast("int").alias("shard")
+    staged = df.select(F.col(id_col), F.col(token_col).alias("n_tokens"), shard)
+    w = Window.partitionBy("shard").orderBy(id_col)
+    before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return staged.select(
+        id_col,
+        "n_tokens",
+        "shard",
+        before.cast("long").alias("pack_offset"),
+        F.floor(before / F.lit(budget)).cast("long").alias("pack_id"),
+    )

@@ -313,3 +313,21 @@ def test_quarantine_rows_reasons(spark):
     rules = {"pos_bal": F.col("bal") >= 0, "seg_known": F.col("seg") != "?"}
     got = {r.k: r.quarantine_reasons for r in quarantine_rows(df, rules).collect()}
     assert got == {2: "pos_bal", 3: "seg_known", 4: "pos_bal,seg_known"}
+
+
+def test_pack_sequences_budget_semantics(spark):
+    from area_etl_spark.operators.packing import pack_sequences
+
+    rows = [(i, 600) for i in range(10)]  # single shard, uniform 600 tokens
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = sorted(
+        (r.doc_id, r.pack_offset, r.pack_id)
+        for r in pack_sequences(df, "n", budget=1000, id_col="doc_id", num_shards=1).collect()
+    )
+    # offsets advance by 600; a doc belongs to the pack where it STARTS
+    assert out == [(i, 600 * i, (600 * i) // 1000) for i in range(10)]
+    # every pack holds >= 1 doc and starts within budget of its boundary
+    packs = {}
+    for _, off, pid in out:
+        packs.setdefault(pid, []).append(off)
+    assert all(min(offs) < (pid + 1) * 1000 for pid, offs in packs.items())
