@@ -1113,6 +1113,19 @@ def q_dedup_pipeline_portable(spark, sf_dir):
     return dedup_keep_representatives(docs.select("doc_id", "lang", "source"), comps, "doc_id")
 
 
+def q_outlier_detection(spark, sf_dir):
+    """Per-type z-score anomalies over order values — exact-sufficient-
+    statistics mean/std (partition- and engine-invariant), broadcast back,
+    flag |z| > 3."""
+    from area_etl_spark.operators.quality import flag_outliers
+
+    tables = _tables(spark, sf_dir)
+    ev = tables["events"].select(
+        "event_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return flag_outliers(ev, ["event_type"], "cents", z_threshold=3.0)
+
+
 def q_pack_sequences(spark, sf_dir):
     """LLM sequence packing: documents → fixed-token-budget packs via
     shard-local contiguous running sums (one bounded window shuffle)."""
@@ -1262,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_portable": q_dedup_jaccard_portable,
         "dedup_pipeline_portable": q_dedup_pipeline_portable,
         "pack_sequences": q_pack_sequences,
+        "outlier_detection": q_outlier_detection,
         "extract_sql": q_extract_sql,
         "extract_csv_schema": q_extract_csv_schema,
         "load_roundtrip": q_load_roundtrip,
@@ -2069,6 +2083,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (o.s_suppkey IS NOT NULL AND n.s_suppkey IS NOT NULL
                        AND o.s_name = n.s_name AND o.s_nationkey = n.s_nationkey
                        AND o.s_acctbal = n.s_acctbal)
+        """,
+        "outlier_detection": """
+            WITH o AS (
+                SELECT event_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), s AS (
+                SELECT event_type, COUNT(*) AS _n,
+                       CAST(SUM(cents) AS BIGINT) AS _sx,
+                       CAST(SUM(cents * cents) AS BIGINT) AS _sxx
+                FROM o GROUP BY event_type
+            ), j AS (
+                SELECT o.event_id, o.event_type, o.cents,
+                       CAST(_sx AS DOUBLE) / CAST(_n AS DOUBLE) AS mean,
+                       sqrt(greatest(CAST(_sxx AS DOUBLE) / CAST(_n AS DOUBLE)
+                                     - (CAST(_sx AS DOUBLE) / CAST(_n AS DOUBLE))
+                                       * (CAST(_sx AS DOUBLE) / CAST(_n AS DOUBLE)), 0.0)) AS std
+                FROM o JOIN s USING (event_type)
+            )
+            SELECT event_id, event_type, cents,
+                   round(CASE WHEN std > 0 THEN (CAST(cents AS DOUBLE) - mean) / std
+                              ELSE 0.0 END, 6) AS z_score
+            FROM j
+            WHERE abs(round(CASE WHEN std > 0 THEN (CAST(cents AS DOUBLE) - mean) / std
+                                 ELSE 0.0 END, 6)) > 3.0
         """,
         "pack_sequences": f"""
             WITH d AS (

@@ -60,3 +60,45 @@ def profile_columns(df: DataFrame, cols: list[str], approx: bool = False) -> Dat
         ]
     )
     return row.select(F.explode(structs).alias("p")).select("p.*")
+
+
+def flag_outliers(
+    df: DataFrame,
+    keys: list[str],
+    value_cents_col: str,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key z-score outlier flagging from EXACT sufficient statistics.
+
+    Per key the pass aggregates (n, Σx, Σx²) over integer-quantized values —
+    commutative BIGINT sums, so mean/std are bit-identical under any
+    partitioning and across engines (a built-in stddev streams through
+    Welford-style accumulators whose float order varies).  The per-key stats
+    table is bounded by key cardinality and broadcasts back onto the rows —
+    one aggregation shuffle plus a broadcast join, no second pass over
+    values.  Returns the rows whose |z| exceeds the threshold.
+
+    ``value_cents_col`` must already be integer-quantized (see
+    ``aggregates.exact_money_sum`` for why) — and quantized COARSELY enough
+    that Σx² fits BIGINT for the largest key (bound: rows·max(x)² < 2^63;
+    Spark ANSI errors on overflow while DuckDB widens to int128, so an
+    overflow also breaks cross-engine parity).  Population std (÷n),
+    matching the monitoring convention.
+    """
+    x = F.col(value_cents_col)
+    stats = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    joined = df.join(F.broadcast(stats), keys)
+    n = F.col("_n").cast("double")
+    mean = F.col("_sx").cast("double") / n
+    var = F.col("_sxx").cast("double") / n - mean * mean
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(std > 0, (x.cast("double") - mean) / std).otherwise(F.lit(0.0))
+    return (
+        joined.withColumn("z_score", F.round(z, 6))
+        .where(F.abs(F.col("z_score")) > z_threshold)
+        .drop("_n", "_sx", "_sxx")
+    )
