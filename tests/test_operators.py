@@ -331,3 +331,17 @@ def test_pack_sequences_budget_semantics(spark):
     for _, off, pid in out:
         packs.setdefault(pid, []).append(off)
     assert all(min(offs) < (pid + 1) * 1000 for pid, offs in packs.items())
+
+
+def test_flag_outliers_exact_stats(spark):
+    from area_etl_spark.operators.quality import flag_outliers
+
+    # 100 values at 100 cents, one at 10000: z of the spike >> 3
+    rows = [(i, "a", 100) for i in range(100)] + [(999, "a", 10000), (1000, "b", 50)]
+    df = spark.createDataFrame(rows, "id long, k string, cents long").repartition(8)
+    got = flag_outliers(df, ["k"], "cents", z_threshold=3.0).collect()
+    assert [r.id for r in got] == [999]
+    assert got[0].z_score > 9  # lone spike carries nearly all the variance
+    # partition invariance of the exact-stats z-score
+    z1 = flag_outliers(df.repartition(1), ["k"], "cents").collect()[0].z_score
+    assert z1 == got[0].z_score
