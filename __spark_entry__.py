@@ -64,6 +64,15 @@ FIXED_NOW = datetime(2026, 1, 1, 0, 0, 0)
 _CATALOGS: dict[tuple[str, str], dict] = {}
 
 
+def _run_tmp(spark: SparkSession, *parts: str) -> str:
+    """Per-run scratch path: keyed by applicationId so two concurrent sessions
+    (e.g. the driver's gate and a local bench) can never overwrite each
+    other's write-then-read-back outputs mid-read."""
+    return os.path.join(
+        tempfile.gettempdir(), f"area_etl_run_{spark.sparkContext.applicationId}", *parts
+    )
+
+
 def _tables(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     cat = _CATALOGS.get(key)
@@ -111,7 +120,7 @@ def q_load_roundtrip(spark, sf_dir):
 def q_reload_idempotent(spark, sf_dir):
     tables = _tables(spark, sf_dir)
     src = tables["supplier"].select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
-    path = os.path.join(tempfile.gettempdir(), "area_etl_reload", "supplier")
+    path = _run_tmp(spark, "reload", "supplier")
     reload_overwrite(src, path)
     reload_overwrite(src, path)  # idempotent: second overwrite leaves identical state
     return read_back(spark, path)
@@ -120,7 +129,7 @@ def q_reload_idempotent(spark, sf_dir):
 def q_export_csv_roundtrip(spark, sf_dir):
     tables = _tables(spark, sf_dir)
     src = tables["region"].select("r_regionkey", "r_name")
-    path = os.path.join(tempfile.gettempdir(), "area_etl_export", "region_csv")
+    path = _run_tmp(spark, "export", "region_csv")
     export_csv(src, path)
     out = spark.read.csv(path, header=True, schema="r_regionkey int, r_name string")
     return out
@@ -645,11 +654,11 @@ def q_window_rolling_agg(spark, sf_dir):
     ev = tables["events"].select(
         "event_id", "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("value_cents")
     )
-    out = W.lag_and_rolling(ev, "user_id", ["ts", "event_id"], "value_cents", window_rows=3, lag_default=0)
-    # deterministic total output order + non-null lag default: both the row
-    # stream and every column dtype are identical across engines (r02's one
-    # hash-fail was this query, value-correct but canonicalization-sensitive)
-    return out.orderBy("user_id", "ts", "event_id")
+    # No presentation orderBy: the driver's compare is order-insensitive, and
+    # the r02/r03 hash-fail was the oracle's HUGEINT windowed SUM dtype (fixed
+    # by CAST AS BIGINT in oracle_sql), not row order — a global sort here is
+    # a pure extra exchange.
+    return W.lag_and_rolling(ev, "user_id", ["ts", "event_id"], "value_cents", window_rows=3, lag_default=0)
 
 
 def q_window_rank_funcs(spark, sf_dir):
@@ -785,9 +794,20 @@ def q_multimodal_frame_sample(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
+    # The operator emits features as array<double> (feeds the ANN path); the
+    # gate serializes it to a canonical integer-milli CSV so the driver's
+    # dtype-sensitive hash can compare it against the DuckDB oracle.
     tables = _tables(spark, sf_dir)
     payloads = MM.attach_binary_payload(tables["documents"], "text", "image/png", "doc_id")
-    return MM.extract_features(payloads)
+    feats = MM.extract_features(payloads)
+    return feats.select(
+        "id",
+        "byte_len",
+        F.concat_ws(
+            ",",
+            F.transform("features", lambda x: F.round(x * 1000).cast("long").cast("string")),
+        ).alias("features_csv"),
+    )
 
 
 def q_agg_salted_sum(spark, sf_dir):
@@ -1030,7 +1050,7 @@ def q_partitioned_layout_prune(spark, sf_dir):
     scan's PartitionFilters), no data files of other langs are opened."""
     tables = _tables(spark, sf_dir)
     src = tables["documents"].select("doc_id", "lang", "n_chars")
-    path = os.path.join(tempfile.gettempdir(), "area_etl_partlayout", "documents")
+    path = _run_tmp(spark, "partlayout", "documents")
     reload_overwrite(src, path, partition_by=["lang"])
     out = read_back(spark, path).where(F.col("lang") == "en")
     return out.select("doc_id", F.col("lang"), "n_chars")
@@ -1041,7 +1061,7 @@ def q_export_jsonl_roundtrip(spark, sf_dir):
     interchange format LLM corpus tooling expects."""
     tables = _tables(spark, sf_dir)
     src = tables["documents"].select("doc_id", "lang", "source", "text")
-    path = os.path.join(tempfile.gettempdir(), "area_etl_jsonl", "documents")
+    path = _run_tmp(spark, "jsonl", "documents")
     src.write.mode("overwrite").json(path)
     return spark.read.schema("doc_id bigint, lang string, source string, text string").json(path)
 
@@ -1859,11 +1879,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(value * 100) AS BIGINT) AS value_cents,
                    lag(CAST(round(value * 100) AS BIGINT), 1, 0)
                        OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value_cents,
-                   SUM(CAST(round(value * 100) AS BIGINT))
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT))
                        OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_value_cents
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS rolling_value_cents
             FROM events
-            ORDER BY user_id, ts, event_id
         """,
         "ann_ivf_trained_topk": _ivf_trained_sql(k=16, iters=3, nprobe=2, topk=10),
         "text_repetition": f"""
@@ -2021,7 +2041,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end_ts,
                    COUNT(*) AS n_events,
-                   SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM s GROUP BY user_id, sess_id
         """,
         "text_topk_terms": """
@@ -2056,9 +2076,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pivot_agg": """
             SELECT o_orderpriority,
-                   SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS cents_f,
-                   SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS cents_o,
-                   SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS cents_p
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS cents_f,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS cents_o,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS cents_p
             FROM orders GROUP BY o_orderpriority
         """,
         "pipeline_resolutions": resolutions_sql,
@@ -2130,19 +2150,21 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
         """,
         "quarantine_rows": """
+            -- NULL-safe like the Spark side: coalesce(rule, FALSE) so a rule
+            -- that cannot be evaluated quarantines the row instead of passing
             SELECT c_custkey, c_acctbal, c_mktsegment,
                    array_to_string(list_filter([
-                       CASE WHEN NOT (c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY',
-                                                       'HOUSEHOLD', 'FURNITURE'))
+                       CASE WHEN NOT coalesce(c_mktsegment IN ('BUILDING', 'AUTOMOBILE',
+                                              'MACHINERY', 'HOUSEHOLD', 'FURNITURE'), FALSE)
                             THEN 'known_segment' END,
-                       CASE WHEN NOT (c_acctbal >= 0) THEN 'non_negative_balance' END,
-                       CASE WHEN NOT (c_nationkey BETWEEN 0 AND 24) THEN 'valid_nation' END
+                       CASE WHEN NOT coalesce(c_acctbal >= 0, FALSE) THEN 'non_negative_balance' END,
+                       CASE WHEN NOT coalesce(c_nationkey BETWEEN 0 AND 24, FALSE) THEN 'valid_nation' END
                    ], x -> x IS NOT NULL), ',') AS quarantine_reasons
             FROM customer
-            WHERE NOT (c_acctbal >= 0)
-               OR NOT (c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY',
-                                        'HOUSEHOLD', 'FURNITURE'))
-               OR NOT (c_nationkey BETWEEN 0 AND 24)
+            WHERE NOT coalesce(c_acctbal >= 0, FALSE)
+               OR NOT coalesce(c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY',
+                                                'HOUSEHOLD', 'FURNITURE'), FALSE)
+               OR NOT coalesce(c_nationkey BETWEEN 0 AND 24, FALSE)
         """,
         "keep_latest": """
             SELECT user_id, event_id AS last_event_id, ts AS last_ts,
@@ -2298,13 +2320,13 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": """
             SELECT doc_id AS id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-                   list_transform(generate_series(1, 8),
-                       i -> CAST((octet_length(encode(text)) * i) % 1000 AS DOUBLE) / 1000.0) AS features
+                   array_to_string(list_transform(generate_series(1, 8),
+                       i -> CAST((octet_length(encode(text)) * i) % 1000 AS VARCHAR)), ',') AS features_csv
             FROM documents
         """,
         "agg_salted_sum": """
             SELECT event_type,
-                   SUM(CAST(round(value * 100) AS BIGINT)) AS sum_cents,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
                    COUNT(*) AS n
             FROM events GROUP BY event_type
         """,
@@ -2322,9 +2344,9 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_melt": """
             WITH wide AS (
                 SELECT o_orderpriority,
-                       SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS f,
-                       SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS o,
-                       SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS p
+                       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS f,
+                       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS o,
+                       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS p
                 FROM orders GROUP BY o_orderpriority
             )
             SELECT o_orderpriority, 'F' AS status, f AS cents FROM wide

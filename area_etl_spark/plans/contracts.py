@@ -121,7 +121,14 @@ def quarantine_rows(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     not kill the job — it gets shipped to the quarantine sink with its
     reasons instead).
     """
-    tags = [F.when(~cond, F.lit(name)) for name, cond in sorted(rules.items())]
+    # NULL-safe: a rule that cannot be evaluated (NULL input → NULL predicate)
+    # is a violation, not a pass — NULLs are the canonical bad row the
+    # reference's strict casts abort on.  coalesce(cond, false) forces the
+    # three-valued ~cond out of NULL so array_compact can't silently drop it.
+    tags = [
+        F.when(~F.coalesce(cond, F.lit(False)), F.lit(name))
+        for name, cond in sorted(rules.items())
+    ]
     reasons = F.array_compact(F.array(*tags))
     return (
         df.withColumn("quarantine_reasons", F.array_join(reasons, ","))

@@ -307,12 +307,14 @@ def test_quarantine_rows_reasons(spark):
     from area_etl_spark.plans.contracts import quarantine_rows
 
     df = spark.createDataFrame(
-        [(1, 10.0, "A"), (2, -5.0, "A"), (3, 10.0, "?"), (4, -1.0, "?")],
+        [(1, 10.0, "A"), (2, -5.0, "A"), (3, 10.0, "?"), (4, -1.0, "?"), (5, None, "A"), (6, 1.0, None)],
         "k long, bal double, seg string",
     )
     rules = {"pos_bal": F.col("bal") >= 0, "seg_known": F.col("seg") != "?"}
     got = {r.k: r.quarantine_reasons for r in quarantine_rows(df, rules).collect()}
-    assert got == {2: "pos_bal", 3: "seg_known", 4: "pos_bal,seg_known"}
+    # NULL inputs (rows 5, 6) make the rule unevaluable — that is a violation,
+    # not a pass: the canonical bad row the reference's strict casts abort on.
+    assert got == {2: "pos_bal", 3: "seg_known", 4: "pos_bal,seg_known", 5: "pos_bal", 6: "seg_known"}
 
 
 def test_pack_sequences_budget_semantics(spark):
