@@ -1,0 +1,197 @@
+"""Scale-safe fuzzy (edit-distance) self-join via PassJoin segment blocking.
+
+The naive blocked fuzzy join buckets rows by a coarse key (the reference's
+entity-resolution joins, and round ≤3 of this repo, blocked supplier names by
+nation alone) and compares all pairs inside a bucket — O(|bucket|²) pairs, a
+quadratic blow-up once buckets grow with the data.  PassJoin (Li, Deng, Feng:
+"PASS-JOIN: A Partition-based Method for Similarity Joins", PVLDB 2011 — a
+published algorithm, re-derived here for Spark) replaces the coarse bucket
+with an EXACT-recall pigeonhole filter:
+
+    partition each string into k+1 contiguous segments; if ed(a, b) <= k,
+    then a contains at least one of b's segments verbatim, at a start
+    position shifted by at most k (the <= k edit operations can touch at
+    most k of the k+1 segments, and the untouched segment's position moves
+    only by the insertions/deletions before it).
+
+Candidate generation therefore becomes a plain equi-join on
+``(block, indexed_len, seg_idx, seg_val)`` — shuffle O(rows · (k+1)·(2k+1)²)
+with small tuples, never O(rows²) — followed by one exact ``levenshtein``
+verification per distinct candidate pair.  Because recall is exactly 1.0,
+the result is IDENTICAL to the all-pairs-in-block join: the semantic spec
+(and the DuckDB oracle) stays the simple quadratic SQL while the physical
+plan scales.
+
+Strings shorter than 2·(k+1) characters cannot be usefully partitioned
+(segments of length <= 1 match everywhere); they are routed through a
+residual all-pairs branch blocked on ``block_cols`` alone — bounded in
+practice because names that short are rare, and documented here as the
+contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["fuzzy_pairs_passjoin"]
+
+
+def _seg_exprs(m: int) -> tuple[str, str]:
+    """1-based segment start and length for segment ``i`` of a string of
+    length ``L`` split into ``m`` segments: the first ``m - L%m`` segments
+    get ``L div m`` chars, the rest one extra."""
+    start = f"(1 + i * (L div {m}) + greatest(0, i - ({m} - L % {m})))"
+    length = f"((L div {m}) + if(i >= {m} - L % {m}, 1, 0))"
+    return start, length
+
+
+def fuzzy_pairs_passjoin(
+    df: DataFrame,
+    key_col: str,
+    name_col: str,
+    block_cols: list[str],
+    k: int = 3,
+) -> DataFrame:
+    """All pairs (id_a < id_b) sharing ``block_cols`` with
+    ``levenshtein(name) <= k`` — exact result, PassJoin physical plan.
+
+    Output columns: ``id_a``, ``id_b``, ``edit_dist``.
+    """
+    m = k + 1
+    min_len = 2 * m  # below this, segments degenerate; use residual branch
+
+    base = df.select(
+        F.col(key_col).alias("__key"),
+        F.trim(F.col(name_col)).alias("__name"),
+        *[F.col(c) for c in block_cols],
+    ).withColumn("__n", F.length("__name"))
+
+    long_side = base.where(F.col("__n") >= min_len)
+    short_side = base.where(F.col("__n") < min_len)
+
+    start_sql, len_sql = _seg_exprs(m)
+
+    # Index side: each string contributes its k+1 segments (computed from its
+    # own length L = __n).
+    idx_segs = F.expr(
+        f"""
+        transform(sequence(0, {k}), i -> named_struct(
+            'seg_idx', i,
+            'seg_val', substring(__name, {start_sql.replace('L', '__n')},
+                                 {len_sql.replace('L', '__n')})
+        ))
+        """
+    )
+    idx = long_side.select(
+        F.col("__key").alias("__ikey"),
+        F.col("__name").alias("__iname"),
+        F.col("__n").alias("__ilen"),
+        *[F.col(c).alias(f"__ib_{c}") for c in block_cols],
+        F.explode(idx_segs).alias("__g"),
+    ).select(
+        "__ikey",
+        "__iname",
+        "__ilen",
+        *[f"__ib_{c}" for c in block_cols],
+        F.col("__g.seg_idx").alias("__iseg"),
+        F.col("__g.seg_val").alias("__ival"),
+    )
+
+    # Probe side: the (weakly) longer string probes the shorter one's index.
+    # For each candidate indexed length L in [n-k, n] and each segment i, try
+    # every start position within +-k of the segment's home position
+    # (clamped to valid substring bounds).  Fan-out is bounded by
+    # (k+1) candidate lengths x (k+1) segments x (2k+1) shifts per row.
+    probe_segs = F.expr(
+        f"""
+        flatten(flatten(
+          transform(sequence(greatest({min_len}, __n - {k}), __n), L ->
+            transform(sequence(0, {k}), i ->
+              transform(
+                sequence(greatest(1, {start_sql} - {k}),
+                         least(__n - {len_sql} + 1, {start_sql} + {k})),
+                p -> named_struct(
+                    'nb', L,
+                    'seg_idx', i,
+                    'seg_val', substring(__name, p, {len_sql})
+                ))))))
+        """
+    )
+    probe = long_side.select(
+        F.col("__key").alias("__pkey"),
+        F.col("__name").alias("__pname"),
+        F.col("__n").alias("__plen"),
+        *[F.col(c).alias(f"__pb_{c}") for c in block_cols],
+        F.explode(probe_segs).alias("__g"),
+    ).select(
+        "__pkey",
+        "__pname",
+        "__plen",
+        *[f"__pb_{c}" for c in block_cols],
+        F.col("__g.nb").alias("__pnb"),
+        F.col("__g.seg_idx").alias("__pseg"),
+        F.col("__g.seg_val").alias("__pval"),
+    )
+
+    join_cond = [
+        F.col("__pnb") == F.col("__ilen"),
+        F.col("__pseg") == F.col("__iseg"),
+        F.col("__pval") == F.col("__ival"),
+        F.col("__pkey") != F.col("__ikey"),
+    ] + [F.col(f"__pb_{c}") == F.col(f"__ib_{c}") for c in block_cols]
+
+    cand_long = (
+        probe.join(idx, on=join_cond)
+        .select(
+            F.least("__pkey", "__ikey").alias("id_a"),
+            F.greatest("__pkey", "__ikey").alias("id_b"),
+            F.when(F.col("__pkey") < F.col("__ikey"), F.col("__pname"))
+            .otherwise(F.col("__iname"))
+            .alias("__name_a"),
+            F.when(F.col("__pkey") < F.col("__ikey"), F.col("__iname"))
+            .otherwise(F.col("__pname"))
+            .alias("__name_b"),
+        )
+        .distinct()
+    )
+
+    # Residual branch: short strings all-pairs within the block, plus
+    # short-vs-long pairs whose length gap can still be <= k.
+    if block_cols:
+        sh_a = short_side.select(
+            F.col("__key").alias("__pkey"),
+            F.col("__name").alias("__pname"),
+            F.col("__n").alias("__plen"),
+            *[F.col(c).alias(f"__pb_{c}") for c in block_cols],
+        )
+        sh_b = base.where(F.col("__n") < min_len + k).select(
+            F.col("__key").alias("__ikey"),
+            F.col("__name").alias("__iname"),
+            *[F.col(c).alias(f"__ib_{c}") for c in block_cols],
+        )
+        short_cond = [F.col("__pkey") != F.col("__ikey")] + [
+            F.col(f"__pb_{c}") == F.col(f"__ib_{c}") for c in block_cols
+        ]
+        cand_short = (
+            sh_a.join(sh_b, on=short_cond)
+            .select(
+                F.least("__pkey", "__ikey").alias("id_a"),
+                F.greatest("__pkey", "__ikey").alias("id_b"),
+                F.when(F.col("__pkey") < F.col("__ikey"), F.col("__pname"))
+                .otherwise(F.col("__iname"))
+                .alias("__name_a"),
+                F.when(F.col("__pkey") < F.col("__ikey"), F.col("__iname"))
+                .otherwise(F.col("__pname"))
+                .alias("__name_b"),
+            )
+            .distinct()
+        )
+        candidates = cand_long.unionByName(cand_short).distinct()
+    else:
+        candidates = cand_long
+
+    dist = F.levenshtein(F.col("__name_a"), F.col("__name_b"))
+    return candidates.select("id_a", "id_b", dist.alias("edit_dist")).where(
+        F.col("edit_dist") <= k
+    )

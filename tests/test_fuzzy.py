@@ -1,0 +1,71 @@
+"""PassJoin fuzzy self-join: exact-recall equivalence vs the naive all-pairs
+join, on both adversarial hand data (indels, shifts, shorts, length spread)
+and the real supplier table."""
+
+from pyspark.sql import functions as F
+
+from area_etl_spark.operators.fuzzy import fuzzy_pairs_passjoin
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _naive_pairs(df, key, name, block, k):
+    s = df.select(F.col(key).alias("k"), F.trim(F.col(name)).alias("nm"), F.col(block).alias("b"))
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, on=[F.col("a.b") == F.col("b.b"), F.col("a.k") < F.col("b.k")])
+        .select(
+            F.col("a.k").alias("id_a"),
+            F.col("b.k").alias("id_b"),
+            F.levenshtein(F.col("a.nm"), F.col("b.nm")).alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") <= k)
+    )
+
+
+def _as_set(df):
+    return {(r.id_a, r.id_b, r.edit_dist) for r in df.collect()}
+
+
+def test_passjoin_adversarial_equivalence(spark):
+    # substitutions, insertions at the front (max segment shift), deletions,
+    # sub-min-length shorts, short-vs-long straddles, and far pairs
+    rows = [
+        (1, "abcdefghij", 0),
+        (2, "abcdefghiX", 0),      # 1 sub
+        (3, "XXabcdefghij", 0),    # 2 front inserts (shifts every segment)
+        (4, "abcdefgh", 0),        # 2 deletes
+        (5, "zzzzzzzzzz", 0),      # far from all
+        (6, "ab", 0),              # short branch
+        (7, "abc", 0),             # short branch, ed(6,7)=1
+        (8, "abcdefg", 0),         # len 7 < min_len=8: short, ed(8,4)=1
+        (9, "abcdefghij", 1),      # same name, different block: no pair
+        (10, "mnopqrstuv", 0),
+        (11, "mnopqrstuvwxy", 0),  # 3 appends: ed=3, len gap 3
+    ]
+    df = spark.createDataFrame(rows, "k long, nm string, b int")
+    got = _as_set(fuzzy_pairs_passjoin(df, "k", "nm", ["b"], k=3))
+    want = _as_set(_naive_pairs(df, "k", "nm", "b", 3))
+    assert got == want
+    assert (1, 2, 1) in want and (1, 3, 2) in want and (10, 11, 3) in want
+
+
+def test_passjoin_supplier_equivalence(spark):
+    # sf0.01: 100 suppliers, 206 qualifying pairs (sf0.001 has zero pairs)
+    sup = spark.read.parquet("/root/testdata/sf0.01/supplier.parquet")
+    got = _as_set(fuzzy_pairs_passjoin(sup, "s_suppkey", "s_name", ["s_nationkey"], k=3))
+    want = _as_set(_naive_pairs(sup, "s_suppkey", "s_name", "s_nationkey", 3))
+    assert got == want and len(want) > 0
+
+
+def test_passjoin_plan_is_equijoin(spark):
+    # the candidate join must be a hash equi-join (bounded blocks), never a
+    # nested-loop / cartesian within blocks
+    sup = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    plan = (
+        fuzzy_pairs_passjoin(sup, "s_suppkey", "s_name", ["s_nationkey"], k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
