@@ -1141,7 +1141,10 @@ def q_pack_sequences(spark, sf_dir):
     docs = tables["documents"].select(
         "doc_id", TA.token_count("text").cast("long").alias("n_tokens")
     )
-    return pack_sequences(docs, "n_tokens", budget=2048, id_col="doc_id", num_shards=16)
+    # shard count pinned ONLY so the DuckDB oracle can mirror it literally;
+    # the operator's default auto-derives max(1024, input partitions) so the
+    # per-shard window partition stays bounded at any corpus size
+    return pack_sequences(docs, "n_tokens", budget=2048, id_col="doc_id", num_shards=64)
 
 
 def q_dense_ids(spark, sf_dir):
@@ -2118,7 +2121,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": f"""
             WITH d AS (
                 SELECT doc_id, CAST({ntoks} AS BIGINT) AS n_tokens,
-                       CAST(doc_id % 16 AS INT) AS shard
+                       CAST(doc_id % 64 AS INT) AS shard
                 FROM documents
             )
             SELECT doc_id, n_tokens, shard,

@@ -28,7 +28,7 @@ def pack_sequences(
     token_col: str,
     budget: int,
     id_col: str,
-    num_shards: int = 64,
+    num_shards: int | None = None,
 ) -> DataFrame:
     """Assign (shard, pack_id, pack_offset) per document.
 
@@ -37,7 +37,17 @@ def pack_sequences(
     Deterministic and engine-portable: shard = id mod num_shards (numeric
     ids spread uniformly; for clustered ids swap in an md5-based shard —
     the packing math is shard-function-agnostic), order by id within shard.
+
+    ``num_shards`` defaults to ``max(1024, input partitions)``: each shard's
+    running-sum window materializes one partition, so a CONSTANT shard count
+    would concentrate |corpus|/shards rows per partition — multi-TB windows
+    at 100 TB.  Scaling shards with the input keeps per-window partitions
+    bounded near the scan's own partition size regardless of corpus growth
+    (more shards never changes the result, only the layout — packing math is
+    per-shard).
     """
+    if num_shards is None:
+        num_shards = max(1024, df.rdd.getNumPartitions())
     shard = (F.col(id_col) % num_shards).cast("int").alias("shard")
     staged = df.select(F.col(id_col), F.col(token_col).alias("n_tokens"), shard)
     w = Window.partitionBy("shard").orderBy(id_col)

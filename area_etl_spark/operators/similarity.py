@@ -279,11 +279,12 @@ def ivf_ann_topk(
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
-    bits: int = 8,
+    bits: int | None = None,
     num_tables: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    target_bucket_rows: int = 128,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table LSH bucketing.
 
@@ -299,9 +300,18 @@ def embedding_near_dup_pairs(
     b-bit table with p = (1-θ/π)^b, and in ≥1 of L tables with
     1-(1-p)^L — e.g. cosine 0.95 (θ≈0.32 rad): p≈0.43 at b=8, 0.68 for
     L=2, >0.99 at L=8.  Raise ``num_tables`` for recall, ``bits`` for cost.
+
+    ``bits`` defaults to the corpus-derived value keeping expected bucket
+    occupancy near ``target_bucket_rows`` (bits = ⌈log2(n / target)⌉, floor
+    8): a CONSTANT bit width means occupancy grows linearly with the corpus
+    and per-bucket join cost quadratically — the one-count() job here is
+    what makes the contract hold at any scale instead of by docstring.
     """
     sample = df.select(vec_col).first()
     dim = len(sample[0]) if sample else 0
+    if bits is None:
+        n = df.count()
+        bits = max(8, math.ceil(math.log2(max(n, 1) / target_bucket_rows)) if n > target_bucket_rows else 8)
     ids_only = df.select(F.col(id_col), F.col(vec_col))
     cands: DataFrame | None = None
     for t in range(num_tables):
