@@ -85,3 +85,22 @@ def test_partitioned_layout_prunes(spark, tables, tmp_path):
     # not as a data filter over every file
     assert "PartitionFilters: [isnotnull(lang" in plan and "(lang" in plan
     assert out.count() == src.where(F.col("lang") == "en").count()
+
+
+def test_load_jdbc_api_gated(spark, tables):
+    """No JDBC driver jar ships locally: pin the option surface and the
+    failure mode (a clean driver-resolution error from the JDBC layer, not a
+    Python-side crash), and reject bad modes before any connection attempt."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from area_etl_spark.sources.load import load_jdbc
+
+    src = tables["region"].select("r_regionkey", "r_name")
+    with pytest.raises(ValueError, match="append|overwrite"):
+        load_jdbc(src, "jdbc:postgresql://db:5432/x", "t", mode="upsert")
+    for mode in ("append", "overwrite"):
+        with pytest.raises(Py4JJavaError) as e:
+            load_jdbc(src, "jdbc:postgresql://db:5432/x", "t", mode=mode, num_partitions=4)
+        msg = str(e.value.java_exception)
+        assert "driver" in msg.lower() or "No suitable driver" in msg
