@@ -313,6 +313,26 @@ def q_pipeline_districts(spark, sf_dir):
     return P.districts_pipeline(tables, seed)
 
 
+def q_pipeline_companies(spark, sf_dir):
+    """1:1 recast of migrate_companies (reference core.py:275)."""
+    return P.companies_pipeline(_tables(spark, sf_dir), FIXED_NOW)
+
+
+def q_pipeline_buildings(spark, sf_dir):
+    """1:1 recast of migrate_buildings (reference core.py:478)."""
+    return P.buildings_pipeline(_tables(spark, sf_dir), FIXED_NOW)
+
+
+def q_pipeline_udo_types(spark, sf_dir):
+    """1:1 recast of migrate_udo_types (reference core.py:1199)."""
+    return P.udo_types_pipeline(_tables(spark, sf_dir), FIXED_NOW)
+
+
+def q_pipeline_udos(spark, sf_dir):
+    """1:1 recast of migrate_udos (reference core.py:1456)."""
+    return P.udos_pipeline(_tables(spark, sf_dir), FIXED_NOW)
+
+
 def q_tpch_q3ish(spark, sf_dir):
     """Shipping-priority shape (TPC-H Q3): 3-way join, agg, top-10 by revenue.
 
@@ -1321,12 +1341,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
-def _enum_case_sql(source: str, mapping: dict[str, str], default: str) -> str:
+def _enum_case_sql(source: str, mapping: dict[str, str], default: str | None) -> str:
     whens = " ".join(
         f"WHEN lower(trim(CAST({source} AS VARCHAR))) = '{k.strip().lower()}' THEN '{v}'"
         for k, v in mapping.items()
     )
-    return f"CASE {whens} ELSE '{default}' END"
+    tail = "NULL" if default is None else f"'{default}'"
+    return f"CASE {whens} ELSE {tail} END"
 
 
 def _langid_sql(text: str) -> str:
@@ -2071,6 +2092,169 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_orderpriority
         """,
         "pipeline_resolutions": resolutions_sql,
+        "pipeline_companies": f"""
+            WITH sup AS (
+                SELECT s_suppkey, s_name, s_phone, s_comment, s_nationkey,
+                       s_suppkey % 5 AS id_natura,
+                       lpad(CAST(s_suppkey AS VARCHAR), 6, '0') AS cod_comune,
+                       ['srl','spa','coop','onlus'][CAST(s_suppkey % 4 AS INT) + 1] AS forma,
+                       TIMESTAMP '1994-01-01 00:00:00' + INTERVAL (s_suppkey % 2000) DAY AS creation,
+                       CASE WHEN s_suppkey % 3 <> 0
+                            THEN TIMESTAMP '1994-01-01 00:00:00' + INTERVAL (s_suppkey % 2000) DAY
+                                 + INTERVAL (s_suppkey % 30) DAY END AS last_mod,
+                       CASE WHEN s_acctbal < 0 THEN 'S' ELSE 'N' END AS disabled
+                FROM supplier
+            )
+            SELECT lower(trim(CAST(s_suppkey AS VARCHAR))) AS id,
+                   {clean('s_name')} AS name,
+                   trim(s_phone) AS code,
+                   {clean('s_comment')} AS business_name,
+                   {_enum_case_sql('forma', P.COMPANY_BUSINESS_FORM_MAPPING, None)} AS business_form,
+                   {_enum_case_sql('n_name', P.COMPANY_LEGAL_FORM_MAPPING, 'ALTRO')} AS legal_form,
+                   {_enum_case_sql('r_name', P.COMPANY_NATURE_MAPPING, 'PRIVATO')} AS nature,
+                   substring(replace(s_phone, '-', ''), 1, 9) AS tax_code,
+                   c_custkey AS municipality_id,
+                   COALESCE(creation, TIMESTAMP '{now}') AS created_at,
+                   COALESCE(last_mod, creation, TIMESTAMP '{now}') AS updated_at,
+                   CASE WHEN disabled = 'S' THEN COALESCE(last_mod, creation) END AS disabled_at
+            FROM sup
+            LEFT JOIN nation ON s_nationkey = n_nationkey
+            LEFT JOIN region ON id_natura = r_regionkey
+            LEFT JOIN customer ON cod_comune = lpad(CAST(c_custkey AS VARCHAR), 6, '0')
+        """,
+        "pipeline_buildings": f"""
+            WITH p AS (
+                SELECT p_partkey, p_name, p_mfgr, p_brand, p_container,
+                       p_size % 2 AS flag,
+                       CASE WHEN p_retailprice > 1500
+                            THEN 'DW-' || CAST(p_partkey AS VARCHAR) END AS docway,
+                       TIMESTAMP '1992-06-01 00:00:00' + INTERVAL (p_partkey % 3000) DAY AS creation,
+                       CASE WHEN p_size > 45 THEN 'S' ELSE 'N' END AS disabled,
+                       CASE WHEN p_partkey % 4 <> 0
+                            THEN TIMESTAMP '1992-06-01 00:00:00' + INTERVAL (p_partkey % 3000) DAY
+                                 + INTERVAL (p_partkey % 90) DAY END AS last_mod
+                FROM part
+            )
+            SELECT lower(trim(CAST(p_partkey AS VARCHAR))) AS id,
+                   {clean('p_name')} AS name,
+                   trim(p_mfgr) AS code,
+                   lower(trim(p_brand)) AS physical_structure_id,
+                   {clean('p_container')} AS owner_business_name,
+                   flag = 1 AS is_own_property,
+                   COALESCE(creation, TIMESTAMP '{now}') AS created_at,
+                   COALESCE(last_mod, creation, TIMESTAMP '{now}') AS updated_at,
+                   CASE WHEN disabled = 'S' THEN COALESCE(last_mod, creation) END AS disabled_at,
+                   COALESCE(CASE WHEN docway IS NOT NULL
+                                 THEN '{{"docway_file_id":"' || docway || '"}}' END,
+                            '{{}}') AS extra
+            FROM p
+        """,
+        "pipeline_udo_types": f"""
+            WITH base AS (
+                SELECT p_partkey, p_name, p_mfgr, p_brand, p_type,
+                       CASE WHEN p_size % 2 = 0 THEN 'S' ELSE 'N' END AS osp,
+                       CASE WHEN p_size % 5 = 0 THEN 'y' ELSE 'n' END AS sm,
+                       CASE WHEN p_size % 3 = 0 THEN 'Y' ELSE 'N' END AS pl,
+                       TIMESTAMP '1993-01-01 00:00:00' + INTERVAL (p_partkey % 2500) DAY AS creation,
+                       CASE WHEN p_partkey % 7 = 0 THEN 'S' ELSE 'N' END AS disabled,
+                       CASE WHEN p_partkey % 2 = 0
+                            THEN TIMESTAMP '1993-01-01 00:00:00' + INTERVAL (p_partkey % 2500) DAY
+                                 + INTERVAL 30 DAY END AS last_mod
+                FROM part
+            ),
+            bind_scope AS (
+                SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE l_linenumber = 1
+            ),
+            scope AS (
+                SELECT s_suppkey, trim(s_name) AS scope_name,
+                       {clean('s_comment')} AS scope_description,
+                       CASE WHEN s_suppkey % 2 = 0 THEN 's' ELSE 'n' END AS agg_disc,
+                       CASE WHEN s_suppkey % 3 = 0 THEN 'y' ELSE 'n' END AS agg_branche
+                FROM supplier
+            ),
+            natures AS (
+                SELECT l_partkey,
+                       list_transform(list_sort(list(DISTINCT l_returnflag)),
+                           x -> CASE WHEN x = 'R' THEN 'PRIVATO'
+                                     WHEN x = 'A' THEN 'PUBBLICO'
+                                     WHEN x = 'N' THEN 'AZIENDA_SANITARIA' ELSE x END) AS nature
+                FROM lineitem WHERE l_linenumber = 2 GROUP BY l_partkey
+            ),
+            flows AS (
+                SELECT l_partkey,
+                       list_transform(list_sort(list(DISTINCT l_shipmode)),
+                           x -> replace(replace(x, ' ', '_'), '.', '_')) AS flussi
+                FROM lineitem WHERE l_linenumber = 3 GROUP BY l_partkey
+            )
+            SELECT lower(trim(CAST(b.p_partkey AS VARCHAR))) AS id,
+                   {clean('p_name')} AS name,
+                   trim(p_mfgr) AS code,
+                   trim(p_brand) AS code_name,
+                   trim(p_type) AS setting,
+                   COALESCE(lower(trim(osp)) IN ('s','y'), FALSE) AS is_hospital,
+                   COALESCE(lower(trim(sm)) IN ('s','y'), FALSE) AS is_mental_health,
+                   COALESCE(lower(trim(pl)) IN ('s','y'), FALSE) AS has_beds,
+                   scope_name, scope_description,
+                   COALESCE(lower(trim(agg_disc)) IN ('s','y'), FALSE) AS has_disciplines,
+                   COALESCE(lower(trim(agg_branche)) IN ('s','y'), FALSE) AS has_branches,
+                   COALESCE('{{' || array_to_string(
+                       list_transform(nature, x -> '"' || x || '"'), ',') || '}}',
+                       '{{}}') AS company_natures,
+                   COALESCE('{{' || array_to_string(
+                       list_transform(flussi, x -> '"' || x || '"'), ',') || '}}',
+                       '{{}}') AS ministerial_flows,
+                   COALESCE(creation, TIMESTAMP '{now}') AS created_at,
+                   COALESCE(last_mod, creation, TIMESTAMP '{now}') AS updated_at,
+                   CASE WHEN disabled = 'S' THEN COALESCE(last_mod, creation) END AS disabled_at
+            FROM base b
+            LEFT JOIN bind_scope ON b.p_partkey = bind_scope.l_partkey
+            LEFT JOIN scope ON bind_scope.l_suppkey = scope.s_suppkey
+            LEFT JOIN natures ON b.p_partkey = natures.l_partkey
+            LEFT JOIN flows ON b.p_partkey = flows.l_partkey
+            WHERE scope_name IS NOT NULL AND scope_name <> ''
+        """,
+        "pipeline_udos": f"""
+            WITH fact AS (
+                SELECT o_orderkey, o_custkey AS operational_office_id, o_comment,
+                       o_orderstatus, o_clerk, o_shippriority, o_orderpriority,
+                       CASE WHEN o_orderstatus = 'F' THEN 'y' ELSE 'n' END AS sio,
+                       o_orderkey % 2 AS auac,
+                       CASE WHEN o_orderpriority <> '5-LOW' THEN o_custkey % 100 END AS id_uo,
+                       CAST(o_orderdate AS TIMESTAMP) AS creation,
+                       CASE WHEN o_orderstatus = 'F' THEN 'S' ELSE 'N' END AS disabled,
+                       CASE WHEN o_orderkey % 3 <> 0
+                            THEN CAST(o_orderdate AS TIMESTAMP) + INTERVAL 1 DAY END AS last_mod
+                FROM orders
+            ),
+            x AS (
+                SELECT c_custkey AS operational_office_id, CAST(n_regionkey AS BIGINT) AS company_id
+                FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+            ),
+            z AS (
+                SELECT lower(trim(CAST(s_name AS VARCHAR))) AS operational_unit_id,
+                       s_suppkey AS id_uo
+                FROM supplier
+            )
+            SELECT lower(trim(CAST(o_orderkey AS VARCHAR))) AS id,
+                   {clean('o_comment')} AS name,
+                   COALESCE(upper(trim(o_orderstatus)), 'NUOVA') AS status,
+                   trim(o_clerk) AS code,
+                   CAST(f.operational_office_id AS BIGINT) AS operational_office_id,
+                   CAST(o_shippriority AS VARCHAR) AS floor,
+                   CASE WHEN substring(o_clerk, length(o_clerk) - 1, 2) <> '00'
+                        THEN substring(o_clerk, length(o_clerk) - 1, 2) END AS block,
+                   trim(o_orderpriority) AS ministerial_code,
+                   COALESCE(lower(trim(sio)) IN ('s','y'), FALSE) AS is_sio,
+                   auac = 1 AS is_auac,
+                   company_id,
+                   operational_unit_id,
+                   COALESCE(creation, TIMESTAMP '{now}') AS created_at,
+                   COALESCE(last_mod, creation, TIMESTAMP '{now}') AS updated_at,
+                   CASE WHEN disabled = 'S' THEN COALESCE(last_mod, creation) END AS disabled_at
+            FROM fact f
+            LEFT JOIN x ON f.operational_office_id = x.operational_office_id
+            LEFT JOIN z ON f.id_uo = z.id_uo
+        """,
         "snapshot_diff": """
             WITH old AS (
                 SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier

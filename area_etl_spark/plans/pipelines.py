@@ -280,3 +280,4 @@ def districts_pipeline(tables: dict[str, DataFrame], seed_regions: DataFrame) ->
             (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / F.lit(100.0)).alias("total_acctbal"),
         )
     )
+
