@@ -27,10 +27,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from datetime import datetime
+
 from area_etl_spark.functions.transforms import (
     handle_enum_mapping,
     handle_id,
     handle_text,
+    handle_timestamps,
 )
 from area_etl_spark.operators.joins import left_join_chain
 from area_etl_spark.operators.unions import union_diagonal_relaxed
@@ -52,6 +55,35 @@ PRIORITY_MAPPING = {
     "3-medium": "MEDIA",
     "4-not specified": "NON_SPECIFICATA",
     "5-low": "BASSA",
+}
+
+# Company enum dictionaries — same shape and target-enum vocabulary as the
+# reference's mapping tables (COMPANY_BUSINESS_FORM_MAPPING core.py:203,
+# COMPANY_NATURE_MAPPING core.py:221, COMPANY_LEGAL_FORM_MAPPING core.py:228);
+# keys adapted to the synthetic star-schema stand-in columns so every branch
+# (mapped value, unmapped→default, unmapped→NULL) is exercised by the data.
+COMPANY_BUSINESS_FORM_MAPPING = {
+    "srl": "SOCIETA_A_RESPONSABILITA_LIMITATA",
+    "spa": "SOCIETA_PER_AZIONI",
+    "coop": "SOCIETA_COOPERATIVA",
+    # "onlus" deliberately unmapped: default=None branch → NULL business_form
+}
+
+COMPANY_LEGAL_FORM_MAPPING = {
+    "france": "SOCIETA",
+    "germany": "ENTE_PUBBLICO",
+    "romania": "ASSOCIAZIONE",
+    "japan": "FONDAZIONE",
+    "china": "CONSORZIO",
+    "brazil": "STUDIO_PROFESSIONALE",
+    "india": "IMPRESA_INDIVIDUALE",
+}
+
+COMPANY_NATURE_MAPPING = {
+    "europe": "PUBBLICO",
+    "asia": "AZIENDA_SANITARIA",
+    "africa": "PUBBLICO",
+    # america / middle east fall through to the PRIVATO default
 }
 
 
@@ -249,6 +281,329 @@ def broadcast_if_dim(df: DataFrame) -> DataFrame:
     from pyspark.sql.functions import broadcast
 
     return broadcast(df)
+
+
+def _days_after(base: datetime, days) -> F.Column:
+    """``TIMESTAMP base + INTERVAL days DAY`` as a Column (synthetic audit
+    timestamps for the 1:1 recasts; deterministic, matches the oracle SQL)."""
+    return F.timestamp_add("DAY", days.cast("int"), F.lit(base))
+
+
+def companies_pipeline(tables: dict[str, DataFrame], now: datetime) -> DataFrame:
+    """1:1 recast of ``migrate_companies`` (reference core.py:275-360).
+
+    The reference joins TITOLARE_MODEL to two enum-descriptor dims and the
+    municipalities table, then applies the id/text/enum/timestamp toolkit.
+    Here supplier plays the company fact; nation/region are the descriptor
+    dims (broadcast — always dimension-sized); customer plays municipalities,
+    joined on a zero-padded code. At 100 TB the municipality join is the only
+    data-sized shuffle, and it is a plain equi-join AQE can re-plan; every
+    scalar transform is a Catalyst expression (no Python in the executor
+    path, unlike the reference's ``map_elements`` enum callback utils.py:520).
+    """
+    sup = tables["supplier"].select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        # deterministic stand-ins for the reference's TELEFONO / RAG_SOC
+        # columns (the synthetic supplier table carries no phone/business
+        # name) — mirrored literally in the DuckDB oracle
+        F.concat(
+            F.lit("27-"),
+            F.lpad(F.col("s_suppkey").cast("string"), 7, "0"),
+            F.lit("-"),
+            F.lpad((F.col("s_suppkey") % 100).cast("string"), 2, "0"),
+        ).alias("phone"),
+        F.upper(F.col("s_name")).alias("rag_soc"),
+        (F.col("s_suppkey") % 5).alias("id_natura"),
+        F.lpad(F.col("s_suppkey").cast("string"), 6, "0").alias("cod_comune"),
+        F.element_at(
+            F.array(F.lit("srl"), F.lit("spa"), F.lit("coop"), F.lit("onlus")),
+            ((F.col("s_suppkey") % 4) + 1).cast("int"),
+        ).alias("forma"),
+        _days_after(datetime(1994, 1, 1), F.col("s_suppkey") % 2000).alias("creation"),
+        F.when(F.col("s_acctbal") < 0, F.lit("S")).otherwise(F.lit("N")).alias("disabled"),
+    )
+    sup = sup.withColumn(
+        "last_mod",
+        F.when(
+            F.col("s_suppkey") % 3 != 0,
+            F.timestamp_add("DAY", (F.col("s_suppkey") % 30).cast("int"), F.col("creation")),
+        ),
+    )
+    nation = tables["nation"].select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name")
+    )
+    region = tables["region"].select(
+        F.col("r_regionkey").cast("long").alias("id_natura"), F.col("r_name")
+    )
+    muni = tables["customer"].select(
+        F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("cod_comune"),
+        F.col("c_custkey").alias("municipality_id"),
+    )
+    joined = (
+        sup.join(F.broadcast(nation), "s_nationkey", "left")
+        .join(F.broadcast(region), "id_natura", "left")
+        .join(muni, "cod_comune", "left")
+    )
+    ts = handle_timestamps("creation", "last_mod", "disabled", current_time=now)
+    return joined.select(
+        handle_id("s_suppkey", "id"),
+        handle_text("s_name", "name"),
+        F.trim(F.col("phone")).alias("code"),
+        handle_text("rag_soc", "business_name"),
+        handle_enum_mapping("forma", "business_form", COMPANY_BUSINESS_FORM_MAPPING),
+        handle_enum_mapping("n_name", "legal_form", COMPANY_LEGAL_FORM_MAPPING, default="ALTRO"),
+        handle_enum_mapping("r_name", "nature", COMPANY_NATURE_MAPPING, default="PRIVATO"),
+        F.substring(F.translate(F.col("phone"), "-", ""), 1, 9).alias("tax_code"),
+        F.col("municipality_id"),
+        ts["created_at"],
+        ts["updated_at"],
+        ts["disabled_at"],
+    )
+
+
+def buildings_pipeline(tables: dict[str, DataFrame], now: datetime) -> DataFrame:
+    """1:1 recast of ``migrate_buildings`` (reference core.py:478-524).
+
+    Single-table projection: id/text toolkit + a boolean flag + the
+    ``extra`` JSON column. The reference builds ``extra`` with a per-row
+    Python ``json.dumps`` callback (core.py:515-523); here it is a pure
+    ``concat`` Column — the docway id is sanitized synthetic data, so
+    JSON-escaping reduces to string concatenation and the whole pipeline
+    stays in one narrow whole-stage-codegen pass with zero shuffles.
+    """
+    p = tables["part"]
+    creation = _days_after(datetime(1992, 6, 1), F.col("p_partkey") % 3000)
+    base = p.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        # TPC-H-style manufacturer code stand-in (the synthetic part table
+        # carries no p_mfgr) — mirrored literally in the oracle
+        F.concat(F.lit("MFGR#"), ((F.col("p_partkey") % 5) + 1).cast("string")).alias("mfgr"),
+        (F.col("p_size") % 2).alias("flag"),
+        F.when(
+            F.col("p_retailprice") > 1500,
+            F.concat(F.lit("DW-"), F.col("p_partkey").cast("string")),
+        ).alias("docway"),
+        creation.alias("creation"),
+        F.when(F.col("p_size") > 45, F.lit("S")).otherwise(F.lit("N")).alias("disabled"),
+        F.when(
+            F.col("p_partkey") % 4 != 0,
+            F.timestamp_add("DAY", (F.col("p_partkey") % 90).cast("int"), creation),
+        ).alias("last_mod"),
+    )
+    ts = handle_timestamps("creation", "last_mod", "disabled", current_time=now)
+    return base.select(
+        handle_id("p_partkey", "id"),
+        handle_text("p_name", "name"),
+        F.trim(F.col("mfgr")).alias("code"),
+        F.lower(F.trim(F.col("p_brand"))).alias("physical_structure_id"),
+        handle_text("p_type", "owner_business_name"),
+        (F.col("flag") == 1).alias("is_own_property"),
+        ts["created_at"],
+        ts["updated_at"],
+        ts["disabled_at"],
+        F.coalesce(
+            F.when(
+                F.col("docway").isNotNull(),
+                F.concat(F.lit('{"docway_file_id":"'), F.col("docway"), F.lit('"}')),
+            ),
+            F.lit("{}"),
+        ).alias("extra"),
+    )
+
+
+def udo_types_pipeline(tables: dict[str, DataFrame], now: datetime) -> DataFrame:
+    """1:1 recast of ``migrate_udo_types`` (reference core.py:1199-1331).
+
+    The reference enriches TIPO_UDO_22_TEMPL with a binding table, a scope
+    dim, and two list-valued attribute rollups (company natures, ministerial
+    flows) rendered as Postgres array literals. Here part plays the type
+    table; lineitem slices play the binding and the two attribute sources;
+    supplier plays the scope dim (broadcast). The natures/flows rollups are
+    ``collect_set`` → ``array_sort`` → ``transform`` — all JVM-side; their
+    group-by shuffles hash on the same ``p_partkey`` the joins use, so AQE
+    coalesces them into one exchange lineage at scale.
+    """
+    creation = _days_after(datetime(1993, 1, 1), F.col("p_partkey") % 2500)
+    base = tables["part"].select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_type",
+        F.concat(F.lit("MFGR#"), ((F.col("p_partkey") % 5) + 1).cast("string")).alias("mfgr"),
+        F.when(F.col("p_size") % 2 == 0, F.lit("S")).otherwise(F.lit("N")).alias("osp"),
+        F.when(F.col("p_size") % 5 == 0, F.lit("y")).otherwise(F.lit("n")).alias("sm"),
+        F.when(F.col("p_size") % 3 == 0, F.lit("Y")).otherwise(F.lit("N")).alias("pl"),
+        creation.alias("creation"),
+        F.when(F.col("p_partkey") % 7 == 0, F.lit("S")).otherwise(F.lit("N")).alias("disabled"),
+        F.when(
+            F.col("p_partkey") % 2 == 0,
+            F.timestamp_add("DAY", F.lit(30), creation),
+        ).alias("last_mod"),
+    )
+    li = tables["lineitem"]
+    bind_scope = (
+        li.where(F.col("l_linenumber") == 1)
+        .select(F.col("l_partkey").alias("p_partkey"), F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    scope = tables["supplier"].select(
+        "s_suppkey",
+        F.trim(F.col("s_name")).alias("scope_name"),
+        # scope-description stand-in (no s_comment in the synthetic table)
+        F.concat(F.lit("ambito "), F.lower(F.trim(F.col("s_name")))).alias("scope_description"),
+        F.when(F.col("s_suppkey") % 2 == 0, F.lit("s")).otherwise(F.lit("n")).alias("agg_disc"),
+        F.when(F.col("s_suppkey") % 3 == 0, F.lit("y")).otherwise(F.lit("n")).alias("agg_branche"),
+    )
+    natures = (
+        li.where(F.col("l_linenumber") == 2)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_set(F.col("l_returnflag"))),
+                lambda x: F.when(x == "R", F.lit("PRIVATO"))
+                .when(x == "A", F.lit("PUBBLICO"))
+                .when(x == "N", F.lit("AZIENDA_SANITARIA"))
+                .otherwise(x),
+            ).alias("nature")
+        )
+    )
+    # shipmode stand-in derived from l_orderkey (the synthetic lineitem
+    # carries no l_shipmode) — same 7-value TPC-H vocabulary as the oracle
+    shipmode = F.element_at(
+        F.array(*[F.lit(m) for m in ["REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB"]]),
+        ((F.col("l_orderkey") % 7) + 1).cast("int"),
+    )
+    flows = (
+        li.where(F.col("l_linenumber") == 3)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_set(shipmode)),
+                lambda x: F.translate(x, " .", "__"),
+            ).alias("flussi")
+        )
+    )
+    joined = (
+        base.join(bind_scope, "p_partkey", "left")
+        .join(F.broadcast(scope), "s_suppkey", "left")
+        .join(natures, "p_partkey", "left")
+        .join(flows, "p_partkey", "left")
+        .where(F.col("scope_name").isNotNull() & (F.col("scope_name") != ""))
+    )
+
+    def _pg_array(col: F.Column) -> F.Column:
+        quoted = F.transform(col, lambda x: F.concat(F.lit('"'), x, F.lit('"')))
+        return F.coalesce(
+            F.concat(F.lit("{"), F.concat_ws(",", quoted), F.lit("}")), F.lit("{}")
+        )
+
+    ts = handle_timestamps("creation", "last_mod", "disabled", current_time=now)
+    yes = lambda c: F.coalesce(F.lower(F.trim(F.col(c))).isin("s", "y"), F.lit(False))  # noqa: E731
+    return joined.select(
+        handle_id("p_partkey", "id"),
+        handle_text("p_name", "name"),
+        F.trim(F.col("mfgr")).alias("code"),
+        F.trim(F.col("p_brand")).alias("code_name"),
+        F.trim(F.col("p_type")).alias("setting"),
+        yes("osp").alias("is_hospital"),
+        yes("sm").alias("is_mental_health"),
+        yes("pl").alias("has_beds"),
+        F.col("scope_name"),
+        F.col("scope_description"),
+        yes("agg_disc").alias("has_disciplines"),
+        yes("agg_branche").alias("has_branches"),
+        _pg_array(F.col("nature")).alias("company_natures"),
+        _pg_array(F.col("flussi")).alias("ministerial_flows"),
+        ts["created_at"],
+        ts["updated_at"],
+        ts["disabled_at"],
+    )
+
+
+def udos_pipeline(tables: dict[str, DataFrame], now: datetime) -> DataFrame:
+    """1:1 recast of ``migrate_udos`` (reference core.py:1456-1615).
+
+    The reference's largest migration: the UDO fact joined to its operational
+    office (→ company) and operational unit, with status/flag/code scalars.
+    orders plays the fact; customer⋈nation (nation broadcast) derives the
+    office→company map; supplier plays operational units. Both fact-side
+    joins are plain equi-joins — at 100 TB the office map is fact-sized, so
+    that join shuffles on the join key and AQE handles skew; the unit dim is
+    bounded (distinct ``id_uo`` < 100) so its post-shuffle side collapses.
+    """
+    o = tables["orders"]
+    creation = F.col("o_orderdate").cast("timestamp")
+    fact = o.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("operational_office_id"),
+        # stand-ins for the reference's DESCR / clerk / priority columns
+        # (the synthetic orders table carries no comment/clerk/shippriority)
+        # — mirrored literally in the oracle
+        F.concat(
+            F.lit("udo "),
+            F.lower(F.col("o_orderpriority")),
+            F.lit(" "),
+            F.col("o_custkey").cast("string"),
+        ).alias("comment"),
+        "o_orderstatus",
+        F.concat(
+            F.lit("Clerk#"), F.lpad((F.col("o_orderkey") % 997).cast("string"), 9, "0")
+        ).alias("clerk"),
+        (F.col("o_orderkey") % 3).cast("string").alias("ship_priority"),
+        "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "F", F.lit("y")).otherwise(F.lit("n")).alias("sio"),
+        (F.col("o_orderkey") % 2).alias("auac"),
+        F.when(F.col("o_orderpriority") != "5-LOW", F.col("o_custkey") % 100).alias("id_uo"),
+        creation.alias("creation"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("S")).otherwise(F.lit("N")).alias("disabled"),
+        F.when(
+            F.col("o_orderkey") % 3 != 0, F.timestamp_add("DAY", F.lit(1), creation)
+        ).alias("last_mod"),
+    )
+    offices = (
+        tables["customer"]
+        .select(F.col("c_custkey").alias("operational_office_id"), F.col("c_nationkey"))
+        .join(
+            F.broadcast(
+                tables["nation"].select(
+                    F.col("n_nationkey").alias("c_nationkey"),
+                    F.col("n_regionkey").cast("long").alias("company_id"),
+                )
+            ),
+            "c_nationkey",
+            "left",
+        )
+        .select("operational_office_id", "company_id")
+    )
+    units = tables["supplier"].select(
+        F.lower(F.trim(F.col("s_name"))).alias("operational_unit_id"),
+        F.col("s_suppkey").alias("id_uo"),
+    )
+    joined = fact.join(offices, "operational_office_id", "left").join(units, "id_uo", "left")
+    ts = handle_timestamps("creation", "last_mod", "disabled", current_time=now)
+    last2 = F.expr("substring(clerk, length(clerk) - 1, 2)")
+    return joined.select(
+        handle_id("o_orderkey", "id"),
+        handle_text("comment", "name"),
+        F.coalesce(F.upper(F.trim(F.col("o_orderstatus"))), F.lit("NUOVA")).alias("status"),
+        F.trim(F.col("clerk")).alias("code"),
+        F.col("operational_office_id").cast("long").alias("operational_office_id"),
+        F.col("ship_priority").alias("floor"),
+        F.when(last2 != "00", last2).alias("block"),
+        F.trim(F.col("o_orderpriority")).alias("ministerial_code"),
+        F.coalesce(F.lower(F.trim(F.col("sio"))).isin("s", "y"), F.lit(False)).alias("is_sio"),
+        (F.col("auac") == 1).alias("is_auac"),
+        F.col("company_id"),
+        F.col("operational_unit_id"),
+        ts["created_at"],
+        ts["updated_at"],
+        ts["disabled_at"],
+    )
 
 
 def districts_pipeline(tables: dict[str, DataFrame], seed_regions: DataFrame) -> DataFrame:

@@ -39,6 +39,25 @@ def norm_rows(rows, columns):
     return sorted(tuple(norm_cell(list(r)[i]) for i in order) for r in rows)
 
 
+def test_gate_contract_callable_and_key_aligned():
+    """The r4 break class: oracle_sql() referencing symbols that don't exist
+    empties the ENTIRE driver gate. Calling both and checking alignment at
+    test time makes that impossible to ship again."""
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert callable(entrymod.entry)
+    assert set(oracles) <= set(qs), sorted(set(oracles) - set(qs))
+    assert all(callable(fn) for fn in qs.values())
+
+
+def test_driver_window_fully_oracled():
+    """The driver checks the FIRST 50 queries() entries; a window slot
+    without an oracle is a wasted green. Every windowed entry must have one."""
+    first50 = list(QUERIES)[:50]
+    missing = [k for k in first50 if k not in ORACLES]
+    assert missing == []
+
+
 def test_every_query_has_oracle_or_is_documented_rows_only():
     rows_only = set(QUERIES) - set(ORACLES)
     # xxhash64/seeded-hyperplane ops have no DuckDB-equivalent hash —
