@@ -24,9 +24,10 @@ plan scales.
 
 Strings shorter than 2·(k+1) characters cannot be usefully partitioned
 (segments of length <= 1 match everywhere); they are routed through a
-residual all-pairs branch blocked on ``block_cols`` alone — bounded in
-practice because names that short are rare, and documented here as the
-contract.
+residual branch that equi-joins on ``block_cols`` plus a candidate-length
+band (|len gap| <= k, exploded probe-side), so exact recall holds with or
+without blocking columns and each length class stays self-contained —
+bounded in practice because names that short are rare.
 """
 
 from __future__ import annotations
@@ -156,40 +157,45 @@ def fuzzy_pairs_passjoin(
         .distinct()
     )
 
-    # Residual branch: short strings all-pairs within the block, plus
-    # short-vs-long pairs whose length gap can still be <= k.
-    if block_cols:
-        sh_a = short_side.select(
-            F.col("__key").alias("__pkey"),
-            F.col("__name").alias("__pname"),
-            F.col("__n").alias("__plen"),
-            *[F.col(c).alias(f"__pb_{c}") for c in block_cols],
+    # Residual branch: short strings (below segment degeneracy) paired with
+    # every string whose length gap can still be <= k.  Runs with or WITHOUT
+    # block_cols — blockless, the join is still an equi-join on the exploded
+    # candidate length band (each probe fans out to its 2k+1 admissible
+    # partner lengths), so each length class is self-contained and bounded;
+    # a length gap > k can never pass the final levenshtein filter anyway.
+    sh_a = short_side.select(
+        F.col("__key").alias("__pkey"),
+        F.col("__name").alias("__pname"),
+        *[F.col(c).alias(f"__pb_{c}") for c in block_cols],
+        F.explode(
+            F.expr(f"sequence(greatest(0, __n - {k}), __n + {k})")
+        ).alias("__pnb"),
+    )
+    sh_b = base.where(F.col("__n") < min_len + k).select(
+        F.col("__key").alias("__ikey"),
+        F.col("__name").alias("__iname"),
+        F.col("__n").alias("__ilen"),
+        *[F.col(c).alias(f"__ib_{c}") for c in block_cols],
+    )
+    short_cond = [
+        F.col("__pkey") != F.col("__ikey"),
+        F.col("__pnb") == F.col("__ilen"),
+    ] + [F.col(f"__pb_{c}") == F.col(f"__ib_{c}") for c in block_cols]
+    cand_short = (
+        sh_a.join(sh_b, on=short_cond)
+        .select(
+            F.least("__pkey", "__ikey").alias("id_a"),
+            F.greatest("__pkey", "__ikey").alias("id_b"),
+            F.when(F.col("__pkey") < F.col("__ikey"), F.col("__pname"))
+            .otherwise(F.col("__iname"))
+            .alias("__name_a"),
+            F.when(F.col("__pkey") < F.col("__ikey"), F.col("__iname"))
+            .otherwise(F.col("__pname"))
+            .alias("__name_b"),
         )
-        sh_b = base.where(F.col("__n") < min_len + k).select(
-            F.col("__key").alias("__ikey"),
-            F.col("__name").alias("__iname"),
-            *[F.col(c).alias(f"__ib_{c}") for c in block_cols],
-        )
-        short_cond = [F.col("__pkey") != F.col("__ikey")] + [
-            F.col(f"__pb_{c}") == F.col(f"__ib_{c}") for c in block_cols
-        ]
-        cand_short = (
-            sh_a.join(sh_b, on=short_cond)
-            .select(
-                F.least("__pkey", "__ikey").alias("id_a"),
-                F.greatest("__pkey", "__ikey").alias("id_b"),
-                F.when(F.col("__pkey") < F.col("__ikey"), F.col("__pname"))
-                .otherwise(F.col("__iname"))
-                .alias("__name_a"),
-                F.when(F.col("__pkey") < F.col("__ikey"), F.col("__iname"))
-                .otherwise(F.col("__pname"))
-                .alias("__name_b"),
-            )
-            .distinct()
-        )
-        candidates = cand_long.unionByName(cand_short).distinct()
-    else:
-        candidates = cand_long
+        .distinct()
+    )
+    candidates = cand_long.unionByName(cand_short).distinct()
 
     dist = F.levenshtein(F.col("__name_a"), F.col("__name_b"))
     return candidates.select("id_a", "id_b", dist.alias("edit_dist")).where(

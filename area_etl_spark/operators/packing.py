@@ -38,16 +38,22 @@ def pack_sequences(
     ids spread uniformly; for clustered ids swap in an md5-based shard —
     the packing math is shard-function-agnostic), order by id within shard.
 
-    ``num_shards`` defaults to ``max(1024, input partitions)``: each shard's
-    running-sum window materializes one partition, so a CONSTANT shard count
-    would concentrate |corpus|/shards rows per partition — multi-TB windows
-    at 100 TB.  Scaling shards with the input keeps per-window partitions
-    bounded near the scan's own partition size regardless of corpus growth
-    (more shards never changes the result, only the layout — packing math is
-    per-shard).
+    ``num_shards`` defaults to a DATA-derived value: one shard per ~1M rows,
+    power-of-two, floor 1024.  Each shard's running-sum window materializes
+    one partition, so a CONSTANT shard count would concentrate
+    |corpus|/shards rows per partition — multi-TB windows at 100 TB; scaling
+    shards with the row count keeps per-window partitions bounded.  Because
+    ``shard`` (and therefore ``pack_id``/``pack_offset``) is an OUTPUT
+    column, the default depends on the corpus row count — a data property,
+    deterministic for a given input, unlike a partition-count default that
+    varies with cores/file layout.  Callers needing identical output across
+    growing corpora must pin ``num_shards`` explicitly.
     """
     if num_shards is None:
-        num_shards = max(1024, df.rdd.getNumPartitions())
+        n = df.count()
+        num_shards = 1024
+        while num_shards * 1_000_000 < n:
+            num_shards *= 2
     shard = (F.col(id_col) % num_shards).cast("int").alias("shard")
     staged = df.select(F.col(id_col), F.col(token_col).alias("n_tokens"), shard)
     w = Window.partitionBy("shard").orderBy(id_col)

@@ -285,6 +285,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     seed: int = 42,
     target_bucket_rows: int = 128,
+    approx_count: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table LSH bucketing.
 
@@ -304,13 +305,16 @@ def embedding_near_dup_pairs(
     ``bits`` defaults to the corpus-derived value keeping expected bucket
     occupancy near ``target_bucket_rows`` (bits = ⌈log2(n / target)⌉, floor
     8): a CONSTANT bit width means occupancy grows linearly with the corpus
-    and per-bucket join cost quadratically — the one-count() job here is
-    what makes the contract hold at any scale instead of by docstring.
+    and per-bucket join cost quadratically.  Pass ``approx_count`` (e.g. a
+    catalog/metadata row count, or any upper bound) to skip the exact
+    ``count()`` job — at 100 TB a full count per call is itself significant,
+    and bucket sizing only needs the order of magnitude; ``count()`` runs
+    only when no hint is available.
     """
     sample = df.select(vec_col).first()
     dim = len(sample[0]) if sample else 0
     if bits is None:
-        n = df.count()
+        n = approx_count if approx_count is not None else df.count()
         bits = max(8, math.ceil(math.log2(max(n, 1) / target_bucket_rows)) if n > target_bucket_rows else 8)
     ids_only = df.select(F.col(id_col), F.col(vec_col))
     cands: DataFrame | None = None

@@ -50,6 +50,23 @@ def test_passjoin_adversarial_equivalence(spark):
     assert (1, 2, 1) in want and (1, 3, 2) in want and (10, 11, 3) in want
 
 
+def test_passjoin_blockless_includes_short_strings(spark):
+    # blockless API (block_cols=[]) must still emit pairs among strings
+    # shorter than 2*(k+1) — the residual branch runs via the length-band
+    # equi-join even with no blocking columns
+    rows = [
+        (1, "ab"),
+        (2, "abc"),            # ed(1,2)=1 — both below min_len
+        (3, "abcdefg"),        # len 7 short; ed(3,4)=1 vs long side
+        (4, "abcdefgh"),
+        (5, "zzzzzzzzzzzz"),   # far from all
+    ]
+    df = spark.createDataFrame(rows, "k long, nm string")
+    got = {(r.id_a, r.id_b) for r in fuzzy_pairs_passjoin(df, "k", "nm", [], k=3).collect()}
+    assert (1, 2) in got and (3, 4) in got
+    assert not any(5 in p for p in got)
+
+
 def test_passjoin_supplier_equivalence(spark):
     # sf0.01: 100 suppliers, 206 qualifying pairs (sf0.001 has zero pairs)
     sup = spark.read.parquet("/root/testdata/sf0.01/supplier.parquet")
