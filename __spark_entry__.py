@@ -333,6 +333,35 @@ def q_pipeline_udos(spark, sf_dir):
     return P.udos_pipeline(_tables(spark, sf_dir), FIXED_NOW)
 
 
+def q_decontaminate_benchmark(spark, sf_dir):
+    """LLM training hygiene: flag training docs sharing word 8-grams with a
+    benchmark slice (doc_id % 61 == 0 plays the eval set — the modulus that
+    intersects the generator's planted duplicate clusters at every sf).
+    Inverted-index shingle join — shuffle O(shingles), benchmark side
+    broadcast."""
+    from area_etl_spark.operators.decontamination import decontaminate
+
+    docs = _tables(spark, sf_dir)["documents"]
+    train = docs.where(F.col("doc_id") % 61 != 0)
+    bench = docs.where(F.col("doc_id") % 61 == 0)
+    return decontaminate(train, bench, "text", "doc_id", n=8, min_fraction=0.2)
+
+
+def q_pipeline_physical_structures(spark, sf_dir):
+    """1:1 recast of migrate_physical_structures (reference core.py:367)."""
+    return P.physical_structures_pipeline(_tables(spark, sf_dir), FIXED_NOW)
+
+
+def q_pipeline_operational_offices(spark, sf_dir):
+    """1:1 recast of migrate_operational_offices (reference core.py:416)."""
+    return P.operational_offices_pipeline(_tables(spark, sf_dir), FIXED_NOW)
+
+
+def q_pipeline_production_factors(spark, sf_dir):
+    """1:1 recast of migrate_production_factors (reference core.py:1119)."""
+    return P.production_factors_pipeline(_tables(spark, sf_dir), FIXED_NOW)
+
+
 def q_tpch_q3ish(spark, sf_dir):
     """Shipping-priority shape (TPC-H Q3): 3-way join, agg, top-10 by revenue.
 
@@ -1259,6 +1288,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_buildings": q_pipeline_buildings,
         "pipeline_udo_types": q_pipeline_udo_types,
         "pipeline_udos": q_pipeline_udos,
+        "pipeline_physical_structures": q_pipeline_physical_structures,
+        "pipeline_operational_offices": q_pipeline_operational_offices,
+        "pipeline_production_factors": q_pipeline_production_factors,
+        # — new: LLM benchmark decontamination (n-gram inverted-index join) —
+        "decontaminate_benchmark": q_decontaminate_benchmark,
         # — re-implemented in r4 (exact-recall PassJoin blocking) —
         "fuzzy_name_match": q_fuzzy_name_match,
         # — r2-only greens, re-confirmed inside the window —
@@ -1269,10 +1303,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_csv_roundtrip": q_export_csv_roundtrip,
         "attachment_id_remap": q_attachment_id_remap,
         "timestamps_coalesce": q_timestamps_coalesce,
-        "datetime_normalize": q_datetime_normalize,
-        "when_then_derivation": q_when_then_derivation,
-        "dup_name_disambiguation": q_dup_name_disambiguation,
-        "union_diagonal_relaxed": q_union_diagonal_relaxed,
         "groupby_collect_list": q_groupby_collect_list,
         "distinct_dedup": q_distinct_dedup,
         "projection_pipeline": q_projection_pipeline,
@@ -1295,6 +1325,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enum_mapping": q_enum_mapping,
         "text_clean": q_text_clean,
         "year_cast": q_year_cast,
+        "datetime_normalize": q_datetime_normalize,
+        "when_then_derivation": q_when_then_derivation,
+        "dup_name_disambiguation": q_dup_name_disambiguation,
+        "union_diagonal_relaxed": q_union_diagonal_relaxed,
         # — r3 driver-greens (unchanged; union of r2/r3 greens covers them) —
         "window_rank_funcs": q_window_rank_funcs,
         "monthly_revenue_rollup": q_monthly_revenue_rollup,
@@ -1338,8 +1372,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_band_join": q_range_band_join,
         "ann_cosine_topk": q_ann_cosine_topk,
-        # — rows-only by design (seeded-hash candidate generators; no oracle) —
+        # fully-oracled in r5 (plane-literal replay of both hash tables)
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        # — rows-only by design (seeded-hash candidate generators; no oracle) —
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -2072,6 +2107,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE term <> ''
             GROUP BY term ORDER BY n DESC, term LIMIT 20
         """,
+        # Full oracle for the multi-table sign-LSH near-dup path: reproduces
+        # BOTH hash tables' plane literals (seeds 42 and 42+7919, the
+        # embedding_near_dup_pairs per-table seed schedule) via the same
+        # _lsh_bucket_sql used by ann_lsh_topk, unions the bucket self-joins,
+        # and exact-ranks the candidate pairs — byte-identical semantics to
+        # the Spark operator, so the "rows-only by design" row count drops
+        # by one.
+        "dedup_embedding_cosine": f"""
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            b0 AS (SELECT vec_id, {_lsh_bucket_sql("embedding", 64, 8, 42)} AS bucket FROM e),
+            b1 AS (SELECT vec_id, {_lsh_bucket_sql("embedding", 64, 8, 42 + 7919)} AS bucket FROM e),
+            cand AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM b0 a JOIN b0 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+                UNION
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM b1 a JOIN b1 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ),
+            scored AS (
+                SELECT id_a, id_b,
+                       round({_cos2_sql('ea.embedding', 'eb.embedding')}, 6) AS cosine
+                FROM cand
+                JOIN e ea ON cand.id_a = ea.vec_id
+                JOIN e eb ON cand.id_b = eb.vec_id
+            )
+            SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.38
+        """,
         "emb_cosine_pairs_exact": f"""
             WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
             pairs AS (
@@ -2230,6 +2292,147 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN natures ON b.p_partkey = natures.l_partkey
             LEFT JOIN flows ON b.p_partkey = flows.l_partkey
             WHERE scope_name IS NOT NULL AND scope_name <> ''
+        """,
+        "decontaminate_benchmark": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(0,
+                               len(string_split_regex(trim(lower(text)), '\\s+')) - 7)),
+                           i -> array_to_string(list_slice(
+                               string_split_regex(trim(lower(text)), '\\s+'), i, i + 7), ' ')
+                       )) AS sh
+                FROM documents
+            ),
+            t AS (SELECT doc_id AS train_id, unnest(sh) AS shingle
+                  FROM d WHERE doc_id % 61 <> 0),
+            b AS (SELECT doc_id AS bench_id, unnest(sh) AS shingle
+                  FROM d WHERE doc_id % 61 = 0),
+            bt AS (SELECT bench_id, COUNT(*) AS bench_shingles FROM b GROUP BY bench_id),
+            j AS (
+                SELECT train_id, bench_id, COUNT(*) AS n_matches
+                FROM t JOIN b USING (shingle)
+                WHERE shingle <> ''
+                GROUP BY train_id, bench_id
+            )
+            SELECT train_id, bench_id, n_matches, bench_shingles,
+                   round(CAST(n_matches AS DOUBLE) / bench_shingles, 6) AS overlap_fraction
+            FROM j JOIN bt USING (bench_id)
+            WHERE round(CAST(n_matches AS DOUBLE) / bench_shingles, 6) >= 0.2
+        """,
+        "pipeline_physical_structures": f"""
+            WITH base AS (
+                SELECT c_custkey, c_name, c_nationkey,
+                       'PF' || lpad(CAST(c_custkey % 500 AS VARCHAR), 4, '0') AS code,
+                       CASE WHEN c_custkey % 3 = 0
+                            THEN 'PFS-' || CAST(c_custkey AS VARCHAR) END AS secondary_code,
+                       CASE WHEN c_acctbal > 5000
+                            THEN 'DW-' || CAST(c_custkey AS VARCHAR) END AS docway,
+                       CASE WHEN c_custkey % 5 = 0
+                            THEN 'area-' || CAST(c_custkey % 7 AS VARCHAR) END AS area,
+                       TIMESTAMP '1995-03-15 00:00:00' + INTERVAL (c_custkey % 2200) DAY AS creation,
+                       CASE WHEN c_custkey % 4 <> 0
+                            THEN TIMESTAMP '1995-03-15 00:00:00' + INTERVAL (c_custkey % 2200) DAY
+                                 + INTERVAL (c_custkey % 45) DAY END AS last_mod,
+                       CASE WHEN c_acctbal < 0 THEN 'S' ELSE 'N' END AS disabled
+                FROM customer
+            )
+            SELECT lower(trim(CAST(c_custkey AS VARCHAR))) AS id,
+                   {clean('c_name')} AS name,
+                   trim(code) AS code,
+                   secondary_code,
+                   lower(trim(CAST(c_nationkey AS VARCHAR))) AS district_id,
+                   lower(trim(CAST(c_custkey % 100 AS VARCHAR))) AS company_id,
+                   COALESCE(creation, TIMESTAMP '{now}') AS created_at,
+                   COALESCE(last_mod, creation, TIMESTAMP '{now}') AS updated_at,
+                   CASE WHEN disabled = 'S' THEN COALESCE(last_mod, creation) END AS disabled_at,
+                   CASE WHEN docway IS NULL AND area IS NULL THEN '{{}}'
+                        ELSE '{{"docway_file_id": ' || COALESCE('"' || docway || '"', 'null')
+                             || ', "area_id": ' || COALESCE('"' || area || '"', 'null') || '}}'
+                   END AS extra
+            FROM base
+        """,
+        "pipeline_operational_offices": f"""
+            WITH sede AS (
+                SELECT o_orderkey, o_orderpriority,
+                       lpad(CAST(o_custkey AS VARCHAR), 6, '0') AS istat,
+                       lower(trim(CAST(o_custkey AS VARCHAR))) AS physical_structure_id,
+                       CAST(o_custkey % 25 AS INT) AS id_tipo,
+                       CAST(o_orderdate AS TIMESTAMP) AS creation,
+                       CASE WHEN o_orderkey % 5 <> 0
+                            THEN CAST(o_orderdate AS TIMESTAMP) + INTERVAL 3 DAY END AS last_mod,
+                       CASE WHEN o_orderkey % 11 = 0 THEN 'S' ELSE 'N' END AS disabled
+                FROM orders
+            ),
+            muni AS (
+                SELECT lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS istat,
+                       c_custkey AS municipality_id
+                FROM customer
+            ),
+            tipo AS (
+                SELECT CAST(n_nationkey AS INT) AS id_tipo, n_name AS physical_point_type
+                FROM nation
+            )
+            SELECT lower(trim(CAST(o_orderkey AS VARCHAR))) AS id,
+                   {clean("'sede ' || lower(o_orderpriority) || ' ' || CAST(o_orderkey AS VARCHAR)")} AS name,
+                   physical_structure_id,
+                   'via ' || lower(o_orderpriority) AS street_name,
+                   CAST(o_orderkey % 200 AS VARCHAR) AS street_number,
+                   lpad(CAST(o_orderkey % 100000 AS VARCHAR), 5, '0') AS zip_code,
+                   o_orderkey % 2 = 0 AS is_main_address,
+                   physical_point_type,
+                   35.0 + CAST(o_orderkey % 1500 AS DOUBLE) / 100.0 AS lat,
+                   6.0 + CAST(o_orderkey % 1300 AS DOUBLE) / 100.0 AS lon,
+                   CASE WHEN o_orderkey % 6 <> 0
+                        THEN 'top-' || CAST(o_orderkey % 50 AS VARCHAR) END AS toponym_id,
+                   municipality_id,
+                   CASE WHEN disabled = 'S' THEN COALESCE(last_mod, creation) END AS disabled_at,
+                   COALESCE(creation, TIMESTAMP '{now}') AS created_at,
+                   COALESCE(last_mod, creation, TIMESTAMP '{now}') AS updated_at
+            FROM sede
+            LEFT JOIN muni USING (istat)
+            LEFT JOIN tipo USING (id_tipo)
+        """,
+        "pipeline_production_factors": f"""
+            WITH base AS (
+                SELECT l_orderkey * 10 + l_linenumber AS rid,
+                       CAST(l_partkey % 40 AS VARCHAR) AS tipo,
+                       CASE WHEN l_orderkey % 7 = 0 THEN ''
+                            WHEN l_orderkey % 7 = 1 THEN '?'
+                            WHEN l_orderkey % 7 = 2 THEN NULL
+                            ELSE CAST(CAST(round(l_quantity) AS INT) AS VARCHAR) END AS valore,
+                       CASE WHEN l_linenumber % 5 = 0 THEN ' '
+                            WHEN l_linenumber % 5 = 1 THEN NULL
+                            ELSE CAST(l_linenumber * 10 AS VARCHAR) END AS valore3,
+                       CASE WHEN l_orderkey % 9 = 0 THEN 'NUL'
+                            WHEN l_orderkey % 9 = 1 THEN 'room   ' || l_returnflag
+                            ELSE 'room ' || l_returnflag END AS valore2,
+                       CASE WHEN l_linenumber % 4 = 0 THEN 'NUL'
+                            ELSE 'rc  ' || l_linestatus END AS descr,
+                       CAST(l_shipdate AS TIMESTAMP) AS creation,
+                       CASE WHEN l_orderkey % 2 = 0
+                            THEN CAST(l_shipdate AS TIMESTAMP) + INTERVAL 7 DAY END AS last_mod,
+                       CASE WHEN l_returnflag = 'R' THEN 'S' ELSE 'N' END AS disabled
+                FROM lineitem
+            )
+            SELECT lower(trim(CAST(rid AS VARCHAR))) AS id,
+                   lower(trim(tipo)) AS production_factor_type_id,
+                   CASE WHEN valore IS NULL OR trim(valore) IN ('', '?') THEN 0
+                        ELSE CAST(trim(valore) AS INT) END AS num_beds,
+                   CASE WHEN valore3 IS NULL OR trim(valore3) IN ('', '?') THEN 0
+                        ELSE CAST(trim(valore3) AS INT) END AS num_hospital_beds,
+                   CASE WHEN replace(regexp_replace(trim(valore2), '\\s+', ' ', 'g'), chr(0), '') = 'NUL'
+                        THEN NULL
+                        ELSE replace(regexp_replace(trim(valore2), '\\s+', ' ', 'g'), chr(0), '')
+                   END AS room_name,
+                   CASE WHEN replace(regexp_replace(trim(descr), '\\s+', ' ', 'g'), chr(0), '') = 'NUL'
+                        THEN NULL
+                        ELSE replace(regexp_replace(trim(descr), '\\s+', ' ', 'g'), chr(0), '')
+                   END AS room_code,
+                   CASE WHEN disabled = 'S' THEN COALESCE(last_mod, creation) END AS disabled_at,
+                   COALESCE(creation, TIMESTAMP '{now}') AS created_at,
+                   COALESCE(last_mod, creation, TIMESTAMP '{now}') AS updated_at
+            FROM base
         """,
         "pipeline_udos": f"""
             WITH fact AS (

@@ -17,8 +17,11 @@ is itself a distributed DataFrame:
    expression — no driver loop, no collect).
 2. ``upload_partition``: the actual byte movement runs per-partition via
    ``foreachPartition`` with a pluggable ``put(object_id, payload)`` client —
-   executors talk to the object store directly, N-way parallel.  The object
-   store client is injected; local tests inject a filesystem-backed fake.
+   executors talk to the object store directly, N-way parallel.  The real
+   client is ``sources/objectstore.S3PutClient`` (SigV4-signed S3/MinIO PUTs,
+   stdlib-only, picklable, lazy per-executor connection — integration-tested
+   against an in-process HTTP store in tests/test_objectstore.py); local
+   tests may also inject a filesystem-backed fake.
 
 The reference's uuid4 object names (core.py:937) are nondeterministic by
 design; content-addressing is the distributed-friendly equivalent (idempotent

@@ -1,0 +1,80 @@
+"""Benchmark decontamination — n-gram overlap between a training corpus and
+an evaluation set.
+
+Standard LLM training-data hygiene (the n-gram-overlap method popularized by
+the GPT-3 and Gopher training reports, both public): a training document is
+contaminated if it shares enough word n-grams with any benchmark document.
+The distributed formulation is shingle-level inverted-index join:
+
+1. shingle both sides into distinct lowercase word n-grams (narrow);
+2. equi-join train shingles to benchmark shingles (ONE shuffle keyed by the
+   shingle string — never document×document);
+3. group by (train_id, bench_id), count matches, normalize by the benchmark
+   document's shingle count → overlap fraction.
+
+Scale shape: shuffle volume is O(total distinct shingles), not O(n²).  The
+benchmark side is typically tiny (thousands of docs) — mark it broadcastable
+and the join degrades to a map-side hash probe, leaving the corpus scan as
+the only data-sized pass.  For 100 TB corpora, pre-hashing shingles to
+64-bit ints (xxhash64) shrinks the shuffle ~10× vs raw strings; the default
+keeps raw strings so the result is engine-portable and SQL-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _shingles(text_col: Column, n: int) -> Column:
+    """Distinct lowercase word ``n``-grams of ``text_col`` (empty-safe)."""
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(toks) - F.lit(n - 1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_fraction: float = 0.2,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Flag training docs overlapping benchmark docs by word-``n``-gram share.
+
+    Returns one row per contaminated (train, bench) pair:
+    ``train_id, bench_id, n_matches, bench_shingles, overlap_fraction`` with
+    ``overlap_fraction = n_matches / bench_shingles >= min_fraction``.
+
+    ``broadcast_bench`` marks the benchmark shingle index broadcastable —
+    correct whenever the eval set is dimension-sized (the common case); set
+    False to let AQE pick for benchmark sets that rival the corpus.
+    """
+    t = train.select(
+        F.col(id_col).alias("train_id"), F.explode(_shingles(F.col(text_col), n)).alias("shingle")
+    ).where(F.col("shingle") != "")
+    b_sh = bench.select(
+        F.col(id_col).alias("bench_id"), F.explode(_shingles(F.col(text_col), n)).alias("shingle")
+    ).where(F.col("shingle") != "")
+    b_tot = b_sh.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_shingles"))
+    b_idx = b_sh.join(b_tot, "bench_id")
+    if broadcast_bench:
+        b_idx = F.broadcast(b_idx)
+    return (
+        t.join(b_idx, "shingle")
+        .groupBy("train_id", "bench_id", "bench_shingles")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .select(
+            "train_id",
+            "bench_id",
+            "n_matches",
+            "bench_shingles",
+            F.round(F.col("n_matches") / F.col("bench_shingles"), 6).alias("overlap_fraction"),
+        )
+        .where(F.col("overlap_fraction") >= min_fraction)
+    )

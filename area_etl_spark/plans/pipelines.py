@@ -525,6 +525,207 @@ def udo_types_pipeline(tables: dict[str, DataFrame], now: datetime) -> DataFrame
     )
 
 
+def physical_structures_pipeline(tables: dict[str, DataFrame], now: datetime) -> DataFrame:
+    """1:1 recast of ``migrate_physical_structures`` (reference core.py:367-412).
+
+    Single-table projection with the two-field ``extra`` JSON: the reference
+    builds a struct and runs a per-row ``json.dumps`` callback that emits
+    ``{}`` only when BOTH fields are null and otherwise keeps JSON nulls
+    (core.py:404-410).  Here the same contract is a pure ``concat`` Column
+    with ``coalesce(quoted, 'null')`` per field — zero Python, zero shuffles,
+    one narrow codegen pass.  customer plays STRUTTURA_MODEL.
+    """
+    c = tables["customer"]
+    creation = _days_after(datetime(1995, 3, 15), F.col("c_custkey") % 2200)
+    base = c.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.concat(F.lit("PF"), F.lpad((F.col("c_custkey") % 500).cast("string"), 4, "0")).alias(
+            "code"
+        ),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.lit("PFS-"), F.col("c_custkey").cast("string")),
+        ).alias("secondary_code"),
+        F.when(
+            F.col("c_acctbal") > 5000,
+            F.concat(F.lit("DW-"), F.col("c_custkey").cast("string")),
+        ).alias("docway"),
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            F.concat(F.lit("area-"), (F.col("c_custkey") % 7).cast("string")),
+        ).alias("area"),
+        creation.alias("creation"),
+        F.when(
+            F.col("c_custkey") % 4 != 0,
+            F.timestamp_add("DAY", (F.col("c_custkey") % 45).cast("int"), creation),
+        ).alias("last_mod"),
+        F.when(F.col("c_acctbal") < 0, F.lit("S")).otherwise(F.lit("N")).alias("disabled"),
+    )
+    ts = handle_timestamps("creation", "last_mod", "disabled", current_time=now)
+    quote_or_null = lambda col: F.coalesce(  # noqa: E731
+        F.concat(F.lit('"'), F.col(col), F.lit('"')), F.lit("null")
+    )
+    return base.select(
+        handle_id("c_custkey", "id"),
+        handle_text("c_name", "name"),
+        F.trim(F.col("code")).alias("code"),
+        F.col("secondary_code"),
+        F.lower(F.trim(F.col("c_nationkey").cast("string"))).alias("district_id"),
+        F.lower(F.trim((F.col("c_custkey") % 100).cast("string"))).alias("company_id"),
+        ts["created_at"],
+        ts["updated_at"],
+        ts["disabled_at"],
+        F.when(
+            F.col("docway").isNull() & F.col("area").isNull(), F.lit("{}")
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"docway_file_id": '),
+                quote_or_null("docway"),
+                F.lit(', "area_id": '),
+                quote_or_null("area"),
+                F.lit("}"),
+            )
+        )
+        .alias("extra"),
+    )
+
+
+def operational_offices_pipeline(tables: dict[str, DataFrame], now: datetime) -> DataFrame:
+    """1:1 recast of ``migrate_operational_offices`` (reference core.py:416-476).
+
+    The reference joins SEDE_OPER_MODEL to municipalities (on ISTAT code) and
+    a physical-point-type dim, then projects address/geo fields with flag and
+    float casts.  orders plays the office fact; customer plays municipalities
+    (joined on a zero-padded istat stand-in — the one data-sized shuffle, AQE
+    re-plannable); nation plays the point-type dim (broadcast).  lat/lon are
+    exact IEEE double derivations, bit-identical across engines.
+    """
+    o = tables["orders"]
+    creation = F.col("o_orderdate").cast("timestamp")
+    sede = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.lpad(F.col("o_custkey").cast("string"), 6, "0").alias("istat"),
+        F.lower(F.trim(F.col("o_custkey").cast("string"))).alias("physical_structure_id"),
+        (F.col("o_custkey") % 25).cast("int").alias("id_tipo"),
+        creation.alias("creation"),
+        F.when(
+            F.col("o_orderkey") % 5 != 0, F.timestamp_add("DAY", F.lit(3), creation)
+        ).alias("last_mod"),
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("S")).otherwise(F.lit("N")).alias("disabled"),
+    )
+    muni = tables["customer"].select(
+        F.lpad(F.col("c_custkey").cast("string"), 6, "0").alias("istat"),
+        F.col("c_custkey").alias("municipality_id"),
+    )
+    tipo = tables["nation"].select(
+        F.col("n_nationkey").cast("int").alias("id_tipo"),
+        F.col("n_name").alias("physical_point_type"),
+    )
+    joined = sede.join(muni, "istat", "left").join(F.broadcast(tipo), "id_tipo", "left")
+    ts = handle_timestamps("creation", "last_mod", "disabled", current_time=now)
+    return joined.select(
+        handle_id("o_orderkey", "id"),
+        handle_text(
+            F.concat(
+                F.lit("sede "),
+                F.lower(F.col("o_orderpriority")),
+                F.lit(" "),
+                F.col("o_orderkey").cast("string"),
+            ),
+            "name",
+        ),
+        F.col("physical_structure_id"),
+        F.concat(F.lit("via "), F.lower(F.col("o_orderpriority"))).alias("street_name"),
+        (F.col("o_orderkey") % 200).cast("string").alias("street_number"),
+        F.lpad((F.col("o_orderkey") % 100000).cast("string"), 5, "0").alias("zip_code"),
+        (F.col("o_orderkey") % 2 == 0).alias("is_main_address"),
+        F.col("physical_point_type"),
+        (F.lit(35.0) + (F.col("o_orderkey") % 1500).cast("double") / F.lit(100.0)).alias("lat"),
+        (F.lit(6.0) + (F.col("o_orderkey") % 1300).cast("double") / F.lit(100.0)).alias("lon"),
+        F.when(
+            F.col("o_orderkey") % 6 != 0,
+            F.concat(F.lit("top-"), (F.col("o_orderkey") % 50).cast("string")),
+        ).alias("toponym_id"),
+        F.col("municipality_id"),
+        ts["disabled_at"],
+        ts["created_at"],
+        ts["updated_at"],
+    )
+
+
+def production_factors_pipeline(tables: dict[str, DataFrame], now: datetime) -> DataFrame:
+    """1:1 recast of ``migrate_production_factors`` (reference core.py:1119-1165).
+
+    The distinctive pattern here is DIRTY-VALUE SANITATION: the reference's
+    VALORE/VALORE3 numeric strings arrive as ``''``/``'?'``/null and must
+    become 0 (not fail the cast), and VALORE2/DESCR text carries literal
+    ``'NUL'`` markers, NUL bytes, and runs of whitespace.  lineitem plays the
+    fact; the dirty inputs are synthesized deterministically so every branch
+    of the sanitize ladder is exercised.  All cleanup is Column expressions
+    (the cast is ``try_cast``-safe by construction since the ladder
+    guarantees digits) — one narrow pass, no shuffle.
+    """
+    li = tables["lineitem"]
+    creation = F.col("l_shipdate").cast("timestamp")
+    qty = F.round(F.col("l_quantity")).cast("int").cast("string")
+    base = li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        (F.col("l_partkey") % 40).cast("string").alias("tipo"),
+        F.when(F.col("l_orderkey") % 7 == 0, F.lit(""))
+        .when(F.col("l_orderkey") % 7 == 1, F.lit("?"))
+        .when(F.col("l_orderkey") % 7 == 2, F.lit(None).cast("string"))
+        .otherwise(qty)
+        .alias("valore"),
+        F.when(F.col("l_linenumber") % 5 == 0, F.lit(" "))
+        .when(F.col("l_linenumber") % 5 == 1, F.lit(None).cast("string"))
+        .otherwise((F.col("l_linenumber") * 10).cast("string"))
+        .alias("valore3"),
+        F.when(F.col("l_orderkey") % 9 == 0, F.lit("NUL"))
+        .when(
+            F.col("l_orderkey") % 9 == 1,
+            F.concat(F.lit("room   "), F.col("l_returnflag")),
+        )
+        .otherwise(F.concat(F.lit("room "), F.col("l_returnflag")))
+        .alias("valore2"),
+        F.when(F.col("l_linenumber") % 4 == 0, F.lit("NUL"))
+        .otherwise(F.concat(F.lit("rc  "), F.col("l_linestatus")))
+        .alias("descr"),
+        creation.alias("creation"),
+        F.when(
+            F.col("l_orderkey") % 2 == 0, F.timestamp_add("DAY", F.lit(7), creation)
+        ).alias("last_mod"),
+        F.when(F.col("l_returnflag") == "R", F.lit("S")).otherwise(F.lit("N")).alias("disabled"),
+    )
+
+    def sanitize_num(col: str) -> F.Column:
+        t = F.trim(F.col(col))
+        return (
+            F.when(t.isNull() | t.isin("", "?"), F.lit("0")).otherwise(t).cast("int")
+        )
+
+    def sanitize_text(col: str) -> F.Column:
+        t = F.regexp_replace(F.trim(F.col(col)), r"\s+", " ")
+        t = F.translate(t, "\x00", "")
+        return F.when(t == "NUL", F.lit(None).cast("string")).otherwise(t)
+
+    ts = handle_timestamps("creation", "last_mod", "disabled", current_time=now)
+    return base.select(
+        handle_id("rid", "id"),
+        F.lower(F.trim(F.col("tipo"))).alias("production_factor_type_id"),
+        sanitize_num("valore").alias("num_beds"),
+        sanitize_num("valore3").alias("num_hospital_beds"),
+        sanitize_text("valore2").alias("room_name"),
+        sanitize_text("descr").alias("room_code"),
+        ts["disabled_at"],
+        ts["created_at"],
+        ts["updated_at"],
+    )
+
+
 def udos_pipeline(tables: dict[str, DataFrame], now: datetime) -> DataFrame:
     """1:1 recast of ``migrate_udos`` (reference core.py:1456-1615).
 

@@ -112,11 +112,20 @@ def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None
         return None
     df = spark.read.parquet(path)
     for ts_col in NANO_TS_COLS.get(name, ()):
-        if ts_col in df.columns and dict(df.dtypes)[ts_col] == "bigint":
+        if ts_col not in df.columns:
+            continue
+        dtype = dict(df.dtypes)[ts_col]
+        if dtype == "bigint":
             # integer division keeps full precision (ns values exceed 2^53)
             df = df.withColumn(
                 ts_col, F.expr(f"timestamp_micros(CAST({ts_col} DIV 1000 AS BIGINT))")
             )
+        elif dtype == "timestamp_ntz":
+            # newer driver data stamps TIMESTAMP(MICROS, tz-naive) → Spark
+            # reads TIMESTAMP_NTZ, which event-time watermarks reject
+            # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).  Session tz is pinned
+            # to UTC in get_spark, so this cast is wall-clock preserving.
+            df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df
 
 

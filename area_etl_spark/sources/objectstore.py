@@ -1,0 +1,148 @@
+"""S3-compatible object-store client — the real byte-movement path for
+``upload_attachments``.
+
+Parity: the reference uploads blobs to MinIO via the MinIO SDK from a
+driver-side thread pool (/root/reference/src/core.py:937-991).  Here the
+client is a small, dependency-free S3-compatible writer (MinIO speaks the
+same protocol) designed for EXECUTOR-side use:
+
+- an instance holds only strings (endpoint, bucket, credentials) → picklable,
+  safe to close over in ``foreachPartition``;
+- the HTTP connection is created lazily per executor process and reused
+  across rows (one TCP setup per partition, not per object);
+- requests are signed with AWS Signature V4 (public algorithm: HMAC-SHA256
+  chain over a canonical request — implemented with stdlib ``hmac`` +
+  ``hashlib``; no SDK required).  Pass ``access_key=None`` for unsecured
+  dev endpoints (signing skipped).
+
+At 100 TB the upload fan-out is the executor count: each partition streams
+its own blobs directly to the store, the driver never sees a byte — the
+inverse of the reference's single-process thread pool.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+import http.client
+from datetime import datetime, timezone
+from urllib.parse import quote
+
+__all__ = ["S3PutClient"]
+
+
+def _hmac(key: bytes, msg: str) -> bytes:
+    return hmac.new(key, msg.encode("utf-8"), hashlib.sha256).digest()
+
+
+def _sha256_hex(data: bytes) -> str:
+    return hashlib.sha256(data).hexdigest()
+
+
+class S3PutClient:
+    """``put(object_id, payload)`` against any S3-compatible endpoint.
+
+    Usage with :func:`upload_attachments`::
+
+        put = S3PutClient("http://minio:9000", "attachments",
+                          access_key="...", secret_key="...")
+        upload_attachments(df, "payload", put=put)
+
+    Instances are picklable (connection is lazy, never serialized).
+    """
+
+    def __init__(
+        self,
+        endpoint: str,
+        bucket: str,
+        access_key: str | None = None,
+        secret_key: str | None = None,
+        region: str = "us-east-1",
+        timeout: float = 30.0,
+    ) -> None:
+        if "://" in endpoint:
+            self.scheme, rest = endpoint.split("://", 1)
+        else:
+            self.scheme, rest = "http", endpoint
+        self.host = rest.rstrip("/")
+        self.bucket = bucket
+        self.access_key = access_key
+        self.secret_key = secret_key
+        self.region = region
+        self.timeout = timeout
+        self._conn: http.client.HTTPConnection | None = None
+
+    # -- connection -------------------------------------------------------
+    def _connection(self) -> http.client.HTTPConnection:
+        if self._conn is None:
+            cls = http.client.HTTPSConnection if self.scheme == "https" else http.client.HTTPConnection
+            self._conn = cls(self.host, timeout=self.timeout)
+        return self._conn
+
+    def __getstate__(self):  # connection never crosses the driver/executor pickle
+        state = self.__dict__.copy()
+        state["_conn"] = None
+        return state
+
+    # -- SigV4 (public AWS algorithm) -------------------------------------
+    def _sign(self, method: str, path: str, payload_hash: str, amz_date: str) -> str:
+        date = amz_date[:8]
+        scope = f"{date}/{self.region}/s3/aws4_request"
+        canonical_headers = (
+            f"host:{self.host}\n"
+            f"x-amz-content-sha256:{payload_hash}\n"
+            f"x-amz-date:{amz_date}\n"
+        )
+        signed_headers = "host;x-amz-content-sha256;x-amz-date"
+        canonical_request = "\n".join(
+            [method, path, "", canonical_headers, signed_headers, payload_hash]
+        )
+        string_to_sign = "\n".join(
+            [
+                "AWS4-HMAC-SHA256",
+                amz_date,
+                scope,
+                _sha256_hex(canonical_request.encode("utf-8")),
+            ]
+        )
+        k = _hmac(("AWS4" + self.secret_key).encode("utf-8"), date)
+        k = _hmac(k, self.region)
+        k = _hmac(k, "s3")
+        k = _hmac(k, "aws4_request")
+        signature = hmac.new(k, string_to_sign.encode("utf-8"), hashlib.sha256).hexdigest()
+        return (
+            f"AWS4-HMAC-SHA256 Credential={self.access_key}/{scope}, "
+            f"SignedHeaders={signed_headers}, Signature={signature}"
+        )
+
+    # -- the put call ------------------------------------------------------
+    def __call__(self, object_id: str, payload: bytes) -> None:
+        self.put(object_id, payload)
+
+    def put(self, object_id: str, payload: bytes) -> None:
+        path = f"/{quote(self.bucket)}/{quote(object_id, safe='')}"
+        payload_hash = _sha256_hex(payload)
+        amz_date = datetime.now(timezone.utc).strftime("%Y%m%dT%H%M%SZ")
+        headers = {
+            "Host": self.host,
+            "Content-Length": str(len(payload)),
+            "x-amz-content-sha256": payload_hash,
+            "x-amz-date": amz_date,
+        }
+        if self.access_key is not None and self.secret_key is not None:
+            headers["Authorization"] = self._sign("PUT", path, payload_hash, amz_date)
+        conn = self._connection()
+        try:
+            conn.request("PUT", path, body=payload, headers=headers)
+            resp = conn.getresponse()
+            resp.read()
+        except (http.client.HTTPException, OSError):
+            # one reconnect per object: long-lived executor connections get
+            # dropped by idle timeouts; a fresh socket is the retry
+            self._conn = None
+            conn = self._connection()
+            conn.request("PUT", path, body=payload, headers=headers)
+            resp = conn.getresponse()
+            resp.read()
+        if resp.status >= 300:
+            raise OSError(f"object-store PUT {path} failed: HTTP {resp.status}")

@@ -60,14 +60,14 @@ def test_driver_window_fully_oracled():
 
 def test_every_query_has_oracle_or_is_documented_rows_only():
     rows_only = set(QUERIES) - set(ORACLES)
-    # xxhash64/seeded-hyperplane ops have no DuckDB-equivalent hash —
-    # rows-only by design; the minhash fast path is additionally
-    # cross-validated by its oracle-checked md5 twin (dedup_minhash_portable)
+    # xxhash64 ops have no DuckDB-equivalent hash — rows-only by design; the
+    # minhash fast path is additionally cross-validated by its oracle-checked
+    # md5 twin (dedup_minhash_portable); dedup_embedding_cosine gained a full
+    # plane-literal oracle in r5
     assert rows_only == {
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_ngram_jaccard",
-        "dedup_embedding_cosine",
         "dedup_full_pipeline",
     }
 
