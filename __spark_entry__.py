@@ -347,6 +347,51 @@ def q_decontaminate_benchmark(spark, sf_dir):
     return decontaminate(train, bench, "text", "doc_id", n=8, min_fraction=0.2)
 
 
+def q_corpus_prep_pipeline(spark, sf_dir):
+    """END-TO-END training-corpus preparation — the full LLM-data funnel in
+    one declarative plan, fully SQL-oracled:
+
+      language-ID filter ('en') → quality-score filter (>= 0.5) → exact
+      dedup (keep lowest doc_id per md5 fingerprint) → fixed-budget sequence
+      packing (shard-local running sums).
+
+    Plan shape: one narrow scan computes lang + quality features (HOFs
+    single-evaluated via the staged-projection idiom), the dedup group-by is
+    the first shuffle (keyed on the fingerprint — shuffle O(|survivors|)),
+    the packing window the second (keyed on shard).  Composes the same
+    operators the individual queries exercise (text_language_id,
+    text_quality_score, dedup_exact, pack_sequences).
+    """
+    from area_etl_spark.operators.packing import pack_sequences
+
+    docs = _tables(spark, sf_dir)["documents"]
+    feats = TA.quality_features("text")
+    staged = docs.select(
+        "doc_id",
+        "text",
+        TA.language_id("text").alias("lid"),
+        feats["n_tokens"],
+        feats["stopword_ratio"],
+        feats["punct_ratio"],
+    )
+    scored = staged.select(
+        "doc_id",
+        "text",
+        "lid",
+        "n_tokens",
+        TA.quality_score_from_features(
+            F.col("n_tokens"), F.col("stopword_ratio"), F.col("punct_ratio")
+        ).alias("q"),
+    )
+    kept = scored.where((F.col("lid") == "en") & (F.col("q") >= 0.5))
+    survivors = (
+        kept.groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("n_tokens").alias("n_tokens"))
+        .select("doc_id", "n_tokens")
+    )
+    return pack_sequences(survivors, "n_tokens", budget=2048, id_col="doc_id", num_shards=64)
+
+
 def q_pipeline_physical_structures(spark, sf_dir):
     """1:1 recast of migrate_physical_structures (reference core.py:367)."""
     return P.physical_structures_pipeline(_tables(spark, sf_dir), FIXED_NOW)
@@ -1291,8 +1336,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_physical_structures": q_pipeline_physical_structures,
         "pipeline_operational_offices": q_pipeline_operational_offices,
         "pipeline_production_factors": q_pipeline_production_factors,
-        # — new: LLM benchmark decontamination (n-gram inverted-index join) —
+        # — new: LLM benchmark decontamination (n-gram inverted-index join)
+        #   and the end-to-end training-corpus prep funnel —
         "decontaminate_benchmark": q_decontaminate_benchmark,
+        "corpus_prep_pipeline": q_corpus_prep_pipeline,
         # — re-implemented in r4 (exact-recall PassJoin blocking) —
         "fuzzy_name_match": q_fuzzy_name_match,
         # — r2-only greens, re-confirmed inside the window —
@@ -1303,7 +1350,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_csv_roundtrip": q_export_csv_roundtrip,
         "attachment_id_remap": q_attachment_id_remap,
         "timestamps_coalesce": q_timestamps_coalesce,
-        "groupby_collect_list": q_groupby_collect_list,
         "distinct_dedup": q_distinct_dedup,
         "projection_pipeline": q_projection_pipeline,
         "text_token_stats": q_text_token_stats,
@@ -1329,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "when_then_derivation": q_when_then_derivation,
         "dup_name_disambiguation": q_dup_name_disambiguation,
         "union_diagonal_relaxed": q_union_diagonal_relaxed,
+        "groupby_collect_list": q_groupby_collect_list,
         # — r3 driver-greens (unchanged; union of r2/r3 greens covers them) —
         "window_rank_funcs": q_window_rank_funcs,
         "monthly_revenue_rollup": q_monthly_revenue_rollup,
@@ -2292,6 +2339,27 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN natures ON b.p_partkey = natures.l_partkey
             LEFT JOIN flows ON b.p_partkey = flows.l_partkey
             WHERE scope_name IS NOT NULL AND scope_name <> ''
+        """,
+        "corpus_prep_pipeline": f"""
+            WITH staged AS (
+                SELECT doc_id, text,
+                       {_langid_sql('text')} AS lid,
+                       {ntoks} AS n_tokens,
+                       {qscore} AS q
+                FROM documents
+            ),
+            kept AS (SELECT * FROM staged WHERE lid = 'en' AND q >= 0.5),
+            survivors AS (
+                SELECT MIN(doc_id) AS doc_id, CAST(MIN(n_tokens) AS BIGINT) AS n_tokens
+                FROM kept GROUP BY md5(text)
+            ),
+            d AS (SELECT doc_id, n_tokens, CAST(doc_id % 64 AS INT) AS shard FROM survivors)
+            SELECT doc_id, n_tokens, shard,
+                   CAST(COALESCE(SUM(n_tokens) OVER w, 0) AS BIGINT) AS pack_offset,
+                   CAST(floor(COALESCE(SUM(n_tokens) OVER w, 0) / 2048) AS BIGINT) AS pack_id
+            FROM d
+            WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
         """,
         "decontaminate_benchmark": """
             WITH d AS (
