@@ -392,6 +392,16 @@ def q_corpus_prep_pipeline(spark, sf_dir):
     return pack_sequences(survivors, "n_tokens", budget=2048, id_col="doc_id", num_shards=64)
 
 
+def q_pipeline_udo_specialties(spark, sf_dir):
+    """1:1 recast of migrate_udo_specialties (reference core.py:1576)."""
+    return P.udo_specialties_pipeline(_tables(spark, sf_dir))
+
+
+def q_pipeline_users(spark, sf_dir):
+    """1:1 recast of migrate_users (reference core.py:1813)."""
+    return P.users_pipeline(_tables(spark, sf_dir), FIXED_NOW)
+
+
 def q_pipeline_physical_structures(spark, sf_dir):
     """1:1 recast of migrate_physical_structures (reference core.py:367)."""
     return P.physical_structures_pipeline(_tables(spark, sf_dir), FIXED_NOW)
@@ -1336,6 +1346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_physical_structures": q_pipeline_physical_structures,
         "pipeline_operational_offices": q_pipeline_operational_offices,
         "pipeline_production_factors": q_pipeline_production_factors,
+        "pipeline_udo_specialties": q_pipeline_udo_specialties,
+        "pipeline_users": q_pipeline_users,
         # — new: LLM benchmark decontamination (n-gram inverted-index join)
         #   and the end-to-end training-corpus prep funnel —
         "decontaminate_benchmark": q_decontaminate_benchmark,
@@ -1350,8 +1362,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_csv_roundtrip": q_export_csv_roundtrip,
         "attachment_id_remap": q_attachment_id_remap,
         "timestamps_coalesce": q_timestamps_coalesce,
-        "distinct_dedup": q_distinct_dedup,
-        "projection_pipeline": q_projection_pipeline,
         "text_token_stats": q_text_token_stats,
         "text_quality_score": q_text_quality_score,
         "text_language_id": q_text_language_id,
@@ -1376,6 +1386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_name_disambiguation": q_dup_name_disambiguation,
         "union_diagonal_relaxed": q_union_diagonal_relaxed,
         "groupby_collect_list": q_groupby_collect_list,
+        "distinct_dedup": q_distinct_dedup,
+        "projection_pipeline": q_projection_pipeline,
         # — r3 driver-greens (unchanged; union of r2/r3 greens covers them) —
         "window_rank_funcs": q_window_rank_funcs,
         "monthly_revenue_rollup": q_monthly_revenue_rollup,
@@ -2387,6 +2399,99 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(n_matches AS DOUBLE) / bench_shingles, 6) AS overlap_fraction
             FROM j JOIN bt USING (bench_id)
             WHERE round(CAST(n_matches AS DOUBLE) / bench_shingles, 6) >= 0.2
+        """,
+        "pipeline_users": f"""
+            WITH utente AS (
+                SELECT o_orderkey, o_custkey AS id_anagr,
+                       'user_' || CAST(o_orderkey % 10000 AS VARCHAR) AS username_cas,
+                       ['region','amministratore','op','viewer','','guest']
+                           [CAST(o_orderkey % 6 AS INT) + 1] AS ruolo,
+                       CASE WHEN o_orderpriority <> '5-LOW' THEN o_custkey % 100 END AS id_uo,
+                       CASE WHEN o_orderkey % 4 = 0 THEN 'ORGANIGRAMMA_TREE'
+                            ELSE 'UO' END AS provenienza_uo,
+                       CASE WHEN o_orderkey % 13 = 0
+                            THEN CAST(o_orderdate AS TIMESTAMP) END AS data_disabilitato,
+                       CAST(o_orderdate AS TIMESTAMP) AS creation,
+                       CASE WHEN o_orderkey % 3 <> 0
+                            THEN CAST(o_orderdate AS TIMESTAMP) + INTERVAL 2 DAY END AS last_mod
+                FROM orders
+            ),
+            ana AS (
+                SELECT c_custkey AS id_anagr, c_name AS nome_raw, c_nationkey,
+                       CASE WHEN c_custkey % 5 <> 0 THEN lower(c_name) END AS email_raw,
+                       substring(replace(replace(c_name, '#', ''), ' ', ''), 1, 11) AS cfisc
+                FROM customer
+            ),
+            j AS (
+                SELECT u.*, a.nome_raw, a.email_raw, a.cfisc, n.n_name AS birth_place,
+                       CASE WHEN provenienza_uo = 'ORGANIGRAMMA_TREE' THEN NULL
+                            ELSE id_uo END AS id_uo_fk
+                FROM utente u
+                LEFT JOIN ana a USING (id_anagr)
+                LEFT JOIN nation n ON a.c_nationkey = n.n_nationkey
+            )
+            SELECT lower(trim(CAST(o_orderkey AS VARCHAR))) AS id,
+                   {clean('username_cas')} AS username,
+                   COALESCE({_enum_case_sql('ruolo', P.USER_ROLE_MAPPING, 'OPERATOR')},
+                            'OPERATOR') AS role,
+                   {clean('nome_raw')} AS first_name,
+                   COALESCE({clean('email_raw')}, '-') AS email,
+                   cfisc AS tax_code,
+                   birth_place,
+                   lower(trim(CAST(s_suppkey AS VARCHAR))) AS operational_unit_id,
+                   data_disabilitato AS disabled_at,
+                   COALESCE(creation, TIMESTAMP '{now}') AS created_at,
+                   COALESCE(last_mod, creation, TIMESTAMP '{now}') AS updated_at
+            FROM j LEFT JOIN supplier ON id_uo_fk = s_suppkey
+        """,
+        "pipeline_udo_specialties": """
+            WITH branca AS (
+                SELECT COALESCE(lower(trim(CASE WHEN l_quantity > 25 THEN 'S' ELSE 'N' END))
+                           IN ('s', 'y'), FALSE) AS is_authorized,
+                       COALESCE(lower(trim(CASE WHEN l_discount > 0.05 THEN 'y' ELSE 'n' END))
+                           IN ('s', 'y'), FALSE) AS is_accredited,
+                       CAST(NULL AS INTEGER) AS num_beds,
+                       CAST(NULL AS INTEGER) AS num_extra_beds,
+                       CAST(NULL AS INTEGER) AS num_mortuary_beds,
+                       CAST(NULL AS INTEGER) AS num_accredited_beds,
+                       CAST(NULL AS VARCHAR) AS hsp12,
+                       CAST(NULL AS VARCHAR) AS clinical_operational_unit_id,
+                       CAST(NULL AS VARCHAR) AS clinical_poa_node_id,
+                       lower(trim(CAST(l_partkey AS VARCHAR))) AS specialty_id,
+                       lower(trim(CAST(l_orderkey AS VARCHAR))) AS udo_id
+                FROM lineitem WHERE l_linenumber = 4
+            ),
+            branca_altro AS (
+                SELECT FALSE AS is_authorized, FALSE AS is_accredited,
+                       CAST(NULL AS INTEGER) AS num_beds,
+                       CAST(NULL AS INTEGER) AS num_extra_beds,
+                       CAST(NULL AS INTEGER) AS num_mortuary_beds,
+                       CAST(NULL AS INTEGER) AS num_accredited_beds,
+                       CAST(NULL AS VARCHAR) AS hsp12,
+                       CAST(NULL AS VARCHAR) AS clinical_operational_unit_id,
+                       CAST(NULL AS VARCHAR) AS clinical_poa_node_id,
+                       lower(trim(CAST(l_suppkey AS VARCHAR))) AS specialty_id,
+                       lower(trim(CAST(l_orderkey AS VARCHAR))) AS udo_id
+                FROM lineitem WHERE l_linenumber = 5
+            ),
+            disciplina AS (
+                SELECT FALSE AS is_authorized, FALSE AS is_accredited,
+                       CAST(round(l_quantity) AS INTEGER) AS num_beds,
+                       CAST(round(l_discount * 100) AS INTEGER) AS num_extra_beds,
+                       CAST(round(l_tax * 100) AS INTEGER) AS num_mortuary_beds,
+                       CAST(l_suppkey % 20 AS INTEGER) AS num_accredited_beds,
+                       trim(l_linestatus) AS hsp12,
+                       lower(trim(CAST(s_suppkey AS VARCHAR))) AS clinical_operational_unit_id,
+                       CAST(NULL AS VARCHAR) AS clinical_poa_node_id,
+                       lower(trim(CAST(l_partkey AS VARCHAR))) AS specialty_id,
+                       lower(trim(CAST(l_orderkey AS VARCHAR))) AS udo_id
+                FROM lineitem
+                LEFT JOIN supplier ON l_suppkey % 100 = s_suppkey
+                WHERE l_linenumber = 6 AND l_partkey % 11 <> 0
+            )
+            SELECT * FROM branca
+            UNION ALL SELECT * FROM branca_altro
+            UNION ALL SELECT * FROM disciplina
         """,
         "pipeline_physical_structures": f"""
             WITH base AS (

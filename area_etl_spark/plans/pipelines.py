@@ -86,6 +86,13 @@ COMPANY_NATURE_MAPPING = {
     # america / middle east fall through to the PRIVATO default
 }
 
+# User role vocabulary (USER_ROLE_MAPPING core.py:1807) — keys adapted to the
+# synthetic role stand-in values.
+USER_ROLE_MAPPING = {
+    "region": "REGIONAL_OPERATOR",
+    "amministratore": "ADMIN",
+}
+
 
 def core_pipeline(tables: dict[str, DataFrame]) -> DataFrame:
     """Flagship: customers enriched through the full dimension chain, aggregated.
@@ -720,6 +727,156 @@ def production_factors_pipeline(tables: dict[str, DataFrame], now: datetime) -> 
         sanitize_num("valore3").alias("num_hospital_beds"),
         sanitize_text("valore2").alias("room_name"),
         sanitize_text("descr").alias("room_code"),
+        ts["disabled_at"],
+        ts["created_at"],
+        ts["updated_at"],
+    )
+
+
+def udo_specialties_pipeline(tables: dict[str, DataFrame]) -> DataFrame:
+    """1:1 recast of ``migrate_udo_specialties`` (reference core.py:1576-1656).
+
+    The reference's most heterogeneous migration: THREE bind-table templates
+    (branca / branca_altro / disciplina) each projected to a common
+    specialty-link schema with literal padding, the disciplina branch
+    null-filtered and joined to the operational-unit dim, then everything
+    concatenated ``diagonal_relaxed``.  lineitem line-number slices play the
+    three bind tables; supplier plays UO_MODEL (broadcast).  The union is
+    narrow (no shuffle); the single exchange is the broadcast-join build.
+    """
+    li = tables["lineitem"]
+    null_i = F.lit(None).cast("int")
+    null_s = F.lit(None).cast("string")
+
+    def flag(char_col: F.Column) -> F.Column:
+        return F.coalesce(F.lower(F.trim(char_col)).isin("s", "y"), F.lit(False))
+
+    branca = li.where(F.col("l_linenumber") == 4).select(
+        flag(F.when(F.col("l_quantity") > 25, F.lit("S")).otherwise(F.lit("N"))).alias(
+            "is_authorized"
+        ),
+        flag(F.when(F.col("l_discount") > 0.05, F.lit("y")).otherwise(F.lit("n"))).alias(
+            "is_accredited"
+        ),
+        null_i.alias("num_beds"),
+        null_i.alias("num_extra_beds"),
+        null_i.alias("num_mortuary_beds"),
+        null_i.alias("num_accredited_beds"),
+        null_s.alias("hsp12"),
+        null_s.alias("clinical_operational_unit_id"),
+        null_s.alias("clinical_poa_node_id"),
+        handle_id("l_partkey", "specialty_id"),
+        handle_id("l_orderkey", "udo_id"),
+    )
+    branca_altro = li.where(F.col("l_linenumber") == 5).select(
+        F.lit(False).alias("is_authorized"),
+        F.lit(False).alias("is_accredited"),
+        null_i.alias("num_beds"),
+        null_i.alias("num_extra_beds"),
+        null_i.alias("num_mortuary_beds"),
+        null_i.alias("num_accredited_beds"),
+        null_s.alias("hsp12"),
+        null_s.alias("clinical_operational_unit_id"),
+        null_s.alias("clinical_poa_node_id"),
+        handle_id("l_suppkey", "specialty_id"),
+        handle_id("l_orderkey", "udo_id"),
+    )
+    disciplina_fk = F.when(F.col("l_partkey") % 11 != 0, F.col("l_partkey"))
+    disciplina = (
+        li.where((F.col("l_linenumber") == 6) & disciplina_fk.isNotNull())
+        .select(
+            F.lit(False).alias("is_authorized"),
+            F.lit(False).alias("is_accredited"),
+            F.round(F.col("l_quantity")).cast("int").alias("num_beds"),
+            F.round(F.col("l_discount") * 100).cast("int").alias("num_extra_beds"),
+            F.round(F.col("l_tax") * 100).cast("int").alias("num_mortuary_beds"),
+            (F.col("l_suppkey") % 20).cast("int").alias("num_accredited_beds"),
+            F.trim(F.col("l_linestatus")).alias("hsp12"),
+            null_s.alias("clinical_poa_node_id"),
+            handle_id(disciplina_fk, "specialty_id"),
+            handle_id("l_orderkey", "udo_id"),
+            (F.col("l_suppkey") % 100).alias("id_uo"),
+        )
+    )
+    uo = tables["supplier"].select(
+        handle_id("s_suppkey", "clinical_operational_unit_id"),
+        F.col("s_suppkey").alias("id_uo"),
+    )
+    disciplina_joined = disciplina.join(F.broadcast(uo), "id_uo", "left").drop("id_uo")
+    return union_diagonal_relaxed(branca, branca_altro, disciplina_joined)
+
+
+def users_pipeline(tables: dict[str, DataFrame], now: datetime) -> DataFrame:
+    """1:1 recast of ``migrate_users`` (reference core.py:1813-1895).
+
+    Distinctive shapes: a DIRECT disabled column (DATA_DISABILITATO is
+    passed through ``handle_timestamps(direct_disabled_col=...)`` instead of
+    being derived from a flag), fill-null defaults (role → OPERATOR, email →
+    '-'), and conditional FK nulling (ID_UO dropped when the row originates
+    from the ORGANIGRAMMA_TREE source) before the operational-unit dim join.
+    orders plays UTENTE_MODEL; customer plays the anagrafica side (joined on
+    the customer key — the one data-sized shuffle); nation plays the
+    birth-place municipality dim and supplier the UO dim (both broadcast).
+    """
+    o = tables["orders"]
+    creation = F.col("o_orderdate").cast("timestamp")
+    roles = F.array(*[F.lit(r) for r in ["region", "amministratore", "op", "viewer", "", "guest"]])
+    utente = o.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("id_anagr"),
+        F.concat(F.lit("user_"), (F.col("o_orderkey") % 10000).cast("string")).alias(
+            "username_cas"
+        ),
+        F.element_at(roles, ((F.col("o_orderkey") % 6) + 1).cast("int")).alias("ruolo"),
+        F.when(F.col("o_orderpriority") != "5-LOW", F.col("o_custkey") % 100).alias("id_uo"),
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit("ORGANIGRAMMA_TREE"))
+        .otherwise(F.lit("UO"))
+        .alias("provenienza_uo"),
+        F.when(F.col("o_orderkey") % 13 == 0, creation).alias("data_disabilitato"),
+        creation.alias("creation"),
+        F.when(
+            F.col("o_orderkey") % 3 != 0, F.timestamp_add("DAY", F.lit(2), creation)
+        ).alias("last_mod"),
+    )
+    anagrafica = tables["customer"].select(
+        F.col("c_custkey").alias("id_anagr"),
+        F.col("c_name").alias("nome_raw"),
+        F.col("c_nationkey"),
+        F.when(F.col("c_custkey") % 5 != 0, F.lower(F.col("c_name"))).alias("email_raw"),
+        F.substring(F.translate(F.col("c_name"), "# ", ""), 1, 11).alias("cfisc"),
+    )
+    birth = tables["nation"].select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("birth_place")
+    )
+    uo = tables["supplier"].select(
+        handle_id("s_suppkey", "operational_unit_id"), F.col("s_suppkey").alias("id_uo_fk")
+    )
+    joined = (
+        utente.join(anagrafica, "id_anagr", "left")
+        .join(F.broadcast(birth), "c_nationkey", "left")
+        .withColumn(
+            "id_uo_fk",
+            F.when(F.col("provenienza_uo") == "ORGANIGRAMMA_TREE", F.lit(None)).otherwise(
+                F.col("id_uo")
+            ),
+        )
+        .join(F.broadcast(uo), "id_uo_fk", "left")
+    )
+    ts = handle_timestamps(
+        "creation", "last_mod", direct_disabled_col="data_disabilitato", current_time=now
+    )
+    return joined.select(
+        handle_id("o_orderkey", "id"),
+        handle_text("username_cas", "username"),
+        F.coalesce(
+            handle_enum_mapping("ruolo", "role", USER_ROLE_MAPPING, default="OPERATOR"),
+            F.lit("OPERATOR"),
+        ).alias("role"),
+        handle_text("nome_raw", "first_name"),
+        F.coalesce(handle_text("email_raw", "email"), F.lit("-")).alias("email"),
+        F.col("cfisc").alias("tax_code"),
+        F.col("birth_place"),
+        F.col("operational_unit_id"),
         ts["disabled_at"],
         ts["created_at"],
         ts["updated_at"],
