@@ -347,6 +347,20 @@ def q_decontaminate_benchmark(spark, sf_dir):
     return decontaminate(train, bench, "text", "doc_id", n=8, min_fraction=0.2)
 
 
+def q_rebalance_mixture(spark, sf_dir):
+    """Corpus mixture rebalancing: src0→10%, src1→5%, src2→2%, rest→1% of
+    the original corpus size, deterministic md5 membership (downsample-only;
+    over-provisioned sources keep all rows)."""
+    from area_etl_spark.operators.sampling import rebalance_mixture
+
+    docs = _tables(spark, sf_dir)["documents"].select("doc_id", "source", "n_chars")
+    return rebalance_mixture(
+        docs, "doc_id", "source",
+        {"src0": 0.10, "src1": 0.05, "src2": 0.02},
+        default_share=0.01,
+    )
+
+
 def q_corpus_prep_pipeline(spark, sf_dir):
     """END-TO-END training-corpus preparation — the full LLM-data funnel in
     one declarative plan, fully SQL-oracled:
@@ -1352,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   and the end-to-end training-corpus prep funnel —
         "decontaminate_benchmark": q_decontaminate_benchmark,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
+        "rebalance_mixture": q_rebalance_mixture,
         # — re-implemented in r4 (exact-recall PassJoin blocking) —
         "fuzzy_name_match": q_fuzzy_name_match,
         # — r2-only greens, re-confirmed inside the window —
@@ -1365,7 +1380,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": q_text_token_stats,
         "text_quality_score": q_text_quality_score,
         "text_language_id": q_text_language_id,
-        "text_fingerprint": q_text_fingerprint,
         "multimodal_binary_meta": q_multimodal_binary_meta,
         "dedup_exact": q_dedup_exact,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1388,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_collect_list": q_groupby_collect_list,
         "distinct_dedup": q_distinct_dedup,
         "projection_pipeline": q_projection_pipeline,
+        "text_fingerprint": q_text_fingerprint,
         # — r3 driver-greens (unchanged; union of r2/r3 greens covers them) —
         "window_rank_funcs": q_window_rank_funcs,
         "monthly_revenue_rollup": q_monthly_revenue_rollup,
@@ -2351,6 +2366,26 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN natures ON b.p_partkey = natures.l_partkey
             LEFT JOIN flows ON b.p_partkey = flows.l_partkey
             WHERE scope_name IS NOT NULL AND scope_name <> ''
+        """,
+        "rebalance_mixture": """
+            WITH counts AS (
+                SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
+            ),
+            tot AS (SELECT SUM(n_src) AS n_total FROM counts),
+            rates AS (
+                SELECT source,
+                       least(1.0, (CASE WHEN source = 'src0' THEN 0.10
+                                        WHEN source = 'src1' THEN 0.05
+                                        WHEN source = 'src2' THEN 0.02
+                                        ELSE 0.01 END)
+                                  * CAST(n_total AS DOUBLE) / n_src) AS rate
+                FROM counts, tot
+            )
+            SELECT doc_id, source, n_chars
+            FROM documents JOIN rates USING (source)
+            WHERE rate >= 1.0
+               OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                  < lpad(to_hex(CAST(floor(rate * 65536) AS BIGINT)), 4, '0')
         """,
         "corpus_prep_pipeline": f"""
             WITH staged AS (

@@ -43,6 +43,49 @@ def hash_sample(df: DataFrame, id_col: str, fraction: float) -> DataFrame:
     return df.where(hash_sample_predicate(id_col, fraction))
 
 
+def rebalance_mixture(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    target_shares: dict[str, float],
+    default_share: float = 0.0,
+) -> DataFrame:
+    """Data-mixture rebalancing: deterministically downsample each source so
+    its expected row count is ``target_share`` of the ORIGINAL corpus size.
+
+    The standard corpus-mixing step (weighting web/books/code sources before
+    training): per-source keep-rate = min(1, share·N_total / n_source), so a
+    source already below its target keeps everything (downsample-only — no
+    row duplication), and membership is the same nesting, engine-portable
+    md5 draw as ``hash_sample`` — but with the threshold built as a COLUMN
+    (4-digit lowercase hex of floor(rate·65536)) because rates are data
+    (derived from the per-source counts at runtime), not literals.
+
+    Scale shape: one count aggregation over the corpus (map-side combined,
+    |sources| rows out), rates broadcast back, membership a narrow scan-time
+    filter.  Reproducible across runs, partitionings, and engines.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n_src"))
+    totals = counts.agg(F.sum("_n_src").alias("_n_total"))
+    share = F.lit(float(default_share))
+    for k, v in sorted(target_shares.items()):
+        share = F.when(F.col(source_col) == k, F.lit(float(v))).otherwise(share)
+    rates = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            source_col,
+            F.least(
+                F.lit(1.0), share * F.col("_n_total").cast("double") / F.col("_n_src")
+            ).alias("_rate"),
+        )
+    )
+    thr = F.lpad(F.lower(F.hex(F.floor(F.col("_rate") * 65536).cast("bigint"))), 4, "0")
+    keep = (F.col("_rate") >= 1.0) | (
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 4) < thr
+    )
+    return df.join(F.broadcast(rates), source_col).where(keep).drop("_rate")
+
+
 def stratified_hash_sample(
     df: DataFrame,
     id_col: str,

@@ -58,3 +58,23 @@ def test_hash_sample_deterministic_and_nesting(spark):
     assert hash_sample(df, "id", 0.0).count() == 0
     with pytest.raises(ValueError):
         hash_sample(df, "id", 1.5)
+
+
+def test_rebalance_mixture_downsample_only_and_invariant(spark):
+    from area_etl_spark.operators.sampling import rebalance_mixture
+
+    rows = [(i, "big" if i % 10 != 0 else "small") for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    # big: 4500 rows, small: 500 rows, N=5000.
+    # small's target 0.2*5000=1000 > 500 → keeps ALL (downsample-only);
+    # big's target 0.1*5000=500 of 4500 → rate ~0.111
+    out = rebalance_mixture(df, "id", "src", {"small": 0.2, "big": 0.1})
+    got = {r.src: r.n for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["small"] == 500
+    assert 300 < got["big"] < 700  # expected 500, md5 uniformity tolerance
+    # partition-layout invariance (membership keyed on the id hash)
+    out2 = rebalance_mixture(df.repartition(17), "id", "src", {"small": 0.2, "big": 0.1})
+    assert {r.id for r in out.collect()} == {r.id for r in out2.collect()}
+    # default_share=0 drops unlisted sources entirely
+    out3 = rebalance_mixture(df, "id", "src", {"small": 1.0})
+    assert {r.src for r in out3.select("src").distinct().collect()} == {"small"}
