@@ -411,6 +411,52 @@ def q_pipeline_udo_specialties(spark, sf_dir):
     return P.udo_specialties_pipeline(_tables(spark, sf_dir))
 
 
+def q_pipeline_taxonomies(spark, sf_dir):
+    """Generic template-table recast (reference core.py:74-270 family):
+    three synthetic template tables (region/nation/supplier playing
+    REGION_TEMPL / TIPO_TITOLARE_TEMPL / RAGG_DISCPL) through ONE
+    parameterized projection, unioned with a kind tag."""
+    tables = _tables(spark, sf_dir)
+
+    def audit(df, key):
+        creation = F.timestamp_add(
+            "DAY", (F.col(key) % 1500).cast("int"), F.lit(datetime(1996, 1, 1))
+        )
+        return df.withColumns(
+            {
+                "creation": creation,
+                "last_mod": F.when(
+                    F.col(key) % 3 != 0,
+                    F.timestamp_add("DAY", (F.col(key) % 40).cast("int"), creation),
+                ),
+                "disabled": F.when(F.col(key) % 9 == 0, F.lit("S")).otherwise(F.lit("N")),
+            }
+        )
+
+    region = P.template_taxonomy_pipeline(
+        audit(tables["region"], "r_regionkey"),
+        "r_regionkey", "r_name", "REGION_TEMPL", FIXED_NOW,
+        creation_col="creation", last_mod_col="last_mod", disabled_col="disabled",
+    )
+    company_types = P.template_taxonomy_pipeline(
+        audit(tables["nation"], "n_nationkey"),
+        "n_nationkey", "n_name", "TIPO_TITOLARE_TEMPL", FIXED_NOW,
+        creation_col="creation", last_mod_col="last_mod", disabled_col="disabled",
+        flags={
+            "is_show_health_director_declaration_poa": F.col("n_nationkey") % 2 == 0,
+            "is_active_poa": F.col("n_nationkey") % 5 != 0,
+        },
+    )
+    grouping = P.template_taxonomy_pipeline(
+        audit(tables["supplier"], "s_suppkey"),
+        "s_suppkey", "s_name", "RAGG_DISCPL", FIXED_NOW,
+        creation_col="creation", last_mod_col="last_mod", disabled_col="disabled",
+    )
+    return region.unionByName(company_types, allowMissingColumns=True).unionByName(
+        grouping, allowMissingColumns=True
+    )
+
+
 def q_pipeline_users(spark, sf_dir):
     """1:1 recast of migrate_users (reference core.py:1813)."""
     return P.users_pipeline(_tables(spark, sf_dir), FIXED_NOW)
@@ -1362,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_production_factors": q_pipeline_production_factors,
         "pipeline_udo_specialties": q_pipeline_udo_specialties,
         "pipeline_users": q_pipeline_users,
+        "pipeline_taxonomies": q_pipeline_taxonomies,
         # — new: LLM benchmark decontamination (n-gram inverted-index join)
         #   and the end-to-end training-corpus prep funnel —
         "decontaminate_benchmark": q_decontaminate_benchmark,
@@ -1377,7 +1424,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_csv_roundtrip": q_export_csv_roundtrip,
         "attachment_id_remap": q_attachment_id_remap,
         "timestamps_coalesce": q_timestamps_coalesce,
-        "text_token_stats": q_text_token_stats,
         "text_quality_score": q_text_quality_score,
         "text_language_id": q_text_language_id,
         "multimodal_binary_meta": q_multimodal_binary_meta,
@@ -1403,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_dedup": q_distinct_dedup,
         "projection_pipeline": q_projection_pipeline,
         "text_fingerprint": q_text_fingerprint,
+        "text_token_stats": q_text_token_stats,
         # — r3 driver-greens (unchanged; union of r2/r3 greens covers them) —
         "window_rank_funcs": q_window_rank_funcs,
         "monthly_revenue_rollup": q_monthly_revenue_rollup,
@@ -2434,6 +2481,39 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(n_matches AS DOUBLE) / bench_shingles, 6) AS overlap_fraction
             FROM j JOIN bt USING (bench_id)
             WHERE round(CAST(n_matches AS DOUBLE) / bench_shingles, 6) >= 0.2
+        """,
+        "pipeline_taxonomies": f"""
+            WITH u AS (
+                SELECT 'REGION_TEMPL' AS kind, CAST(r_regionkey AS BIGINT) AS key,
+                       CAST(r_regionkey AS VARCHAR) AS rawid, r_name AS rawname,
+                       CAST(NULL AS BOOLEAN) AS f1, CAST(NULL AS BOOLEAN) AS f2
+                FROM region
+                UNION ALL
+                SELECT 'TIPO_TITOLARE_TEMPL', CAST(n_nationkey AS BIGINT),
+                       CAST(n_nationkey AS VARCHAR), n_name,
+                       n_nationkey % 2 = 0, n_nationkey % 5 <> 0
+                FROM nation
+                UNION ALL
+                SELECT 'RAGG_DISCPL', s_suppkey, CAST(s_suppkey AS VARCHAR), s_name,
+                       CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN)
+                FROM supplier
+            ),
+            a AS (
+                SELECT *,
+                       TIMESTAMP '1996-01-01 00:00:00' + INTERVAL (key % 1500) DAY AS creation,
+                       CASE WHEN key % 3 <> 0
+                            THEN TIMESTAMP '1996-01-01 00:00:00' + INTERVAL (key % 1500) DAY
+                                 + INTERVAL (key % 40) DAY END AS last_mod,
+                       CASE WHEN key % 9 = 0 THEN 'S' ELSE 'N' END AS disabled
+                FROM u
+            )
+            SELECT kind, lower(trim(rawid)) AS id, {clean('rawname')} AS name,
+                   f1 AS is_show_health_director_declaration_poa,
+                   f2 AS is_active_poa,
+                   COALESCE(creation, TIMESTAMP '{now}') AS created_at,
+                   COALESCE(last_mod, creation, TIMESTAMP '{now}') AS updated_at,
+                   CASE WHEN disabled = 'S' THEN COALESCE(last_mod, creation) END AS disabled_at
+            FROM a
         """,
         "pipeline_users": f"""
             WITH utente AS (

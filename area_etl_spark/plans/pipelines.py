@@ -806,6 +806,48 @@ def udo_specialties_pipeline(tables: dict[str, DataFrame]) -> DataFrame:
     return union_diagonal_relaxed(branca, branca_altro, disciplina_joined)
 
 
+def template_taxonomy_pipeline(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    kind: str,
+    now: datetime,
+    creation_col: str | None = None,
+    last_mod_col: str | None = None,
+    disabled_col: str | None = None,
+    flags: dict[str, F.Column] | None = None,
+) -> DataFrame:
+    """Generic recast of the reference's ~12 template-table migrations —
+    the CLIENTID/NOME(+flags) projections that differ only in table name:
+    ``migrate_company_types`` (core.py:243), ``migrate_resolution_types``
+    (:715), ``migrate_production_factor_types`` (:1086),
+    ``migrate_udo_type_classifications`` (:1167), ``migrate_toponyms``
+    (:123), ``migrate_regions``/``provinces``/``municipalities`` (:74-122),
+    ``migrate_ulss`` (:150), ``migrate_operational_units`` (:1052), and the
+    cronos taxonomies (cronos.py:35-86).
+
+    One narrow projection: id normalize + name clean + optional boolean
+    flags + the audit-timestamp ladder.  ``kind`` tags the source template
+    so several taxonomies can union into one frame (the reference loads
+    each into its own table; the tag preserves that identity losslessly).
+    """
+    ts = handle_timestamps(
+        creation_col if creation_col is not None else F.lit(None).cast("timestamp"),
+        last_mod_col if last_mod_col is not None else F.lit(None).cast("timestamp"),
+        disabled_col if disabled_col is not None else F.lit("N"),
+        current_time=now,
+    )
+    cols = [
+        F.lit(kind).alias("kind"),
+        handle_id(id_col, "id"),
+        handle_text(name_col, "name"),
+    ]
+    for flag_name, flag_col in (flags or {}).items():
+        cols.append(flag_col.alias(flag_name))
+    cols += [ts["created_at"], ts["updated_at"], ts["disabled_at"]]
+    return df.select(*cols)
+
+
 def users_pipeline(tables: dict[str, DataFrame], now: datetime) -> DataFrame:
     """1:1 recast of ``migrate_users`` (reference core.py:1813-1895).
 
