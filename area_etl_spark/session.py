@@ -50,12 +50,25 @@ NANO_TS_COLS: dict[str, tuple[str, ...]] = {
 def get_spark(app_name: str = "area-etl-spark") -> SparkSession:
     """Build (or reuse) the session with scale-appropriate defaults."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Cluster-posture knobs, env-overridable so the same code runs local[32]
+    # and a 1000-executor cluster without edits:
+    #  - SHUFFLE_PARTITIONS: local default 32; on a cluster set ~2-3× total
+    #    cores as the AQE *initial* number and let coalescing shrink it.
+    #  - MAX_PARTITION_BYTES: scan split size; default 128m keeps tasks
+    #    memory-safe — raise on clusters with fat executors to cut task count.
+    #  - BROADCAST_THRESHOLD: dimension-side auto-broadcast cap; raise when
+    #    executor memory allows so star joins skip their shuffles.
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    max_part_bytes = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m")
+    bcast = os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", "10m")
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
+        .config("spark.sql.files.maxPartitionBytes", max_part_bytes)
+        .config("spark.sql.autoBroadcastJoinThreshold", bcast)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
