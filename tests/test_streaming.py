@@ -145,3 +145,44 @@ def test_incremental_scd2_equals_batch(spark, tables, tmp_path):
         .select("user_id", "status", "valid_from", "valid_to", "is_current").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_dedup_state_survives_restart(spark, tmp_path):
+    """Checkpoint restart: a second availableNow run with the SAME checkpoint
+    must restore the dedup state store, so duplicates of already-emitted rows
+    arriving after the restart are suppressed (all rows inside the watermark
+    horizon by construction)."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long"
+    rows_a = [(i, base + dt.timedelta(minutes=i % 30), i % 7) for i in range(100)]
+    src, sink, ckpt = str(tmp_path / "src"), str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_dedup(stream, ["event_id"])
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    run_once()
+    assert spark.read.parquet(sink).count() == 100
+
+    # second source delivery: full duplicates of batch A + 50 genuinely new
+    rows_b = rows_a + [
+        (1000 + i, base + dt.timedelta(minutes=31 + i % 10), i % 7) for i in range(50)
+    ]
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = spark.read.parquet(sink)
+    assert got.count() == 150  # A-duplicates suppressed by the RESTORED state
+    assert got.select("event_id").distinct().count() == 150
