@@ -63,12 +63,33 @@ def _districts(spark: SparkSession, tables: dict) -> DataFrame:
     return P.districts_pipeline(tables, seed)
 
 
+def _with_now(build: Callable[[dict], DataFrame]) -> Callable[[SparkSession, dict], DataFrame]:
+    """Recasts taking an audit-clock argument get the run's wall clock —
+    one shared ``now`` per runner invocation (the reference's
+    ``handle_timestamps()`` default), naive UTC like the lake timestamps."""
+    from datetime import datetime, timezone
+
+    now = datetime.now(timezone.utc).replace(tzinfo=None, microsecond=0)
+    return lambda spark, tables: build(tables, now)
+
+
 MODULES: dict[str, list[PipelineSpec]] = {
     "core": [
         PipelineSpec("companies_rollup", _plain(P.core_pipeline)),
         PipelineSpec("resolutions", _plain(P.resolutions_pipeline)),
         PipelineSpec("specialties", _plain(P.specialties_pipeline)),
         PipelineSpec("districts", _districts),
+        # 1:1 recasts of the reference's core migrations (main.py runs the
+        # migrate_* set sequentially; same membership here)
+        PipelineSpec("companies", _with_now(P.companies_pipeline)),
+        PipelineSpec("physical_structures", _with_now(P.physical_structures_pipeline)),
+        PipelineSpec("operational_offices", _with_now(P.operational_offices_pipeline)),
+        PipelineSpec("buildings", _with_now(P.buildings_pipeline)),
+        PipelineSpec("production_factors", _with_now(P.production_factors_pipeline)),
+        PipelineSpec("udo_types", _with_now(P.udo_types_pipeline)),
+        PipelineSpec("udo_specialties", _plain(P.udo_specialties_pipeline)),
+        PipelineSpec("udos", _with_now(P.udos_pipeline)),
+        PipelineSpec("users", _with_now(P.users_pipeline)),
     ],
     "poa": [PipelineSpec("operational_events", _plain(P.poa_pipeline), partition_by=["event_class"])],
     "cronos": [PipelineSpec("yearly_plans", _plain(P.cronos_pipeline))],
