@@ -1,0 +1,86 @@
+"""Skew-injection micro-benchmark — measures what skew actually costs on
+this engine and which mitigation pays, on a planted 95%-hot-key dataset.
+
+    python tools/skewbench.py [n_rows]
+
+Three shapes, timed warm (best of 2) with AQE on, plus the naive join with
+AQE OFF to isolate what the runtime skew-split contributes:
+
+1. algebraic agg (sum/count) — partial (map-side) aggregation collapses the
+   hot key per input partition BEFORE the shuffle, so skew is already
+   amortized; salting is expected ~neutral here (documented, not assumed).
+2. exact distinct-count per key — partials cannot collapse distincts; the
+   two-stage `distinct_count_skew_safe` spreads the hot key's dedup across
+   the cluster.
+3. fact⋈dim join on the hot FK — the AQE skew-join splits the straggler
+   partition at runtime; with AQE off, one task owns 95% of the probe side.
+
+Results are recorded in docs/SCALE.md §Skew (kept honest: local[32] shares
+one memory pool, so a straggler burns wall-clock but cannot OOM an
+executor — at cluster scale the same straggler is ONE executor's memory,
+which is why the mitigations exist even where local timings look flat).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from area_etl_spark.operators.aggregates import (  # noqa: E402
+    distinct_count_skew_safe,
+    salted_agg_sum_count,
+)
+from area_etl_spark.session import get_spark  # noqa: E402
+
+
+def timed(label: str, thunk) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        thunk()
+        best = min(best, time.perf_counter() - t0)
+    print(f"{label:40s} {best:7.2f} s")
+    return best
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    spark = get_spark("skewbench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = spark.range(n).select(
+        F.when(F.col("id") % 20 != 0, F.lit(0)).otherwise(F.col("id") % 100_000).alias("k"),
+        (F.col("id") % 997).alias("v"),
+        (F.col("id") % 50_000).alias("u"),
+        F.col("id"),
+    )
+    base.write.mode("overwrite").parquet("/tmp/skewbench_fact")
+    fact = spark.read.parquet("/tmp/skewbench_fact")
+    dim = spark.range(100_000).select(F.col("id").alias("k"), (F.col("id") * 7).alias("attr"))
+    dim.write.mode("overwrite").parquet("/tmp/skewbench_dim")
+    dim = spark.read.parquet("/tmp/skewbench_dim")
+    sink = lambda df: df.write.mode("overwrite").format("noop").save()  # noqa: E731
+
+    print(f"rows={n:,}  hot-key share=95%  (local[32], AQE on unless noted)")
+    timed("agg naive groupBy sum/count", lambda: sink(
+        fact.groupBy("k").agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))))
+    timed("agg salted two-stage", lambda: sink(salted_agg_sum_count(fact, ["k"], "v", "id")))
+    timed("distinct naive countDistinct", lambda: sink(
+        fact.groupBy("k").agg(F.countDistinct("u").alias("d"))))
+    timed("distinct two-stage skew-safe", lambda: sink(distinct_count_skew_safe(fact, ["k"], "u")))
+
+    # join: force the shuffle path (broadcast would hide the skew entirely)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    timed("join shuffle AQE-on (skew split)", lambda: sink(fact.join(dim, "k")))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    timed("join shuffle AQE-OFF (straggler)", lambda: sink(fact.join(dim, "k")))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10m")
+
+
+if __name__ == "__main__":
+    main()
