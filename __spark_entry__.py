@@ -347,6 +347,47 @@ def q_decontaminate_benchmark(spark, sf_dir):
     return decontaminate(train, bench, "text", "doc_id", n=8, min_fraction=0.2)
 
 
+BOILERPLATE_LINE = "Cookie notice: please accept the terms."
+
+
+def _synthetic_pages(docs):
+    """Multi-line page per document (the flat synthetic text carries no
+    newlines): a sentence-ish first line, a SHARED boilerplate line, a
+    too-short line, and an unterminated fragment — so the line filter and
+    the cross-document paragraph dedup both have real work. Mirrored
+    literally in the oracles."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.substring(F.col("text"), 1, 80), F.lit(".\n"),
+            F.lit(BOILERPLATE_LINE), F.lit("\n"),
+            F.lit("ok\n"),
+            F.substring(F.col("text"), 81, 60),
+        ).alias("page"),
+    )
+
+
+def q_clean_lines(spark, sf_dir):
+    """C4-style line filtering: keep lines with >= 3 words ending in
+    terminal punctuation, rebuild the page — pure Column expressions, no
+    explode, no shuffle."""
+    from area_etl_spark.operators.cleaning import c4_line_filter
+
+    pages = _synthetic_pages(_tables(spark, sf_dir)["documents"])
+    return pages.select("doc_id", c4_line_filter("page").alias("clean_text"))
+
+
+def q_dedup_paragraphs(spark, sf_dir):
+    """Cross-document paragraph dedup: the shared boilerplate line survives
+    only in its first (lowest doc_id, idx) occurrence; documents are
+    reassembled in paragraph order. One shuffle keyed on the paragraph
+    hash, one regroup keyed on doc_id."""
+    from area_etl_spark.operators.cleaning import dedup_paragraphs
+
+    pages = _synthetic_pages(_tables(spark, sf_dir)["documents"])
+    return dedup_paragraphs(pages, "page", "doc_id")
+
+
 def q_rebalance_mixture(spark, sf_dir):
     """Corpus mixture rebalancing: src0→10%, src1→5%, src2→2%, rest→1% of
     the original corpus size, deterministic md5 membership (downsample-only;
@@ -1414,14 +1455,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_benchmark": q_decontaminate_benchmark,
         "corpus_prep_pipeline": q_corpus_prep_pipeline,
         "rebalance_mixture": q_rebalance_mixture,
+        "clean_lines": q_clean_lines,
+        "dedup_paragraphs": q_dedup_paragraphs,
         # — re-implemented in r4 (exact-recall PassJoin blocking) —
         "fuzzy_name_match": q_fuzzy_name_match,
         # — r2-only greens, re-confirmed inside the window —
         "extract_sql": q_extract_sql,
         "extract_csv_schema": q_extract_csv_schema,
-        "load_roundtrip": q_load_roundtrip,
         "reload_idempotent": q_reload_idempotent,
-        "export_csv_roundtrip": q_export_csv_roundtrip,
         "attachment_id_remap": q_attachment_id_remap,
         "timestamps_coalesce": q_timestamps_coalesce,
         "text_quality_score": q_text_quality_score,
@@ -1450,6 +1491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_pipeline": q_projection_pipeline,
         "text_fingerprint": q_text_fingerprint,
         "text_token_stats": q_text_token_stats,
+        "load_roundtrip": q_load_roundtrip,
+        "export_csv_roundtrip": q_export_csv_roundtrip,
         # — r3 driver-greens (unchanged; union of r2/r3 greens covers them) —
         "window_rank_funcs": q_window_rank_funcs,
         "monthly_revenue_rollup": q_monthly_revenue_rollup,
@@ -2413,6 +2456,44 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN natures ON b.p_partkey = natures.l_partkey
             LEFT JOIN flows ON b.p_partkey = flows.l_partkey
             WHERE scope_name IS NOT NULL AND scope_name <> ''
+        """,
+        "clean_lines": f"""
+            WITH pages AS (
+                SELECT doc_id,
+                       substring(text, 1, 80) || '.' || chr(10) ||
+                       '{BOILERPLATE_LINE}' || chr(10) ||
+                       'ok' || chr(10) ||
+                       substring(text, 81, 60) AS page
+                FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(list_filter(string_split(page, chr(10)),
+                       l -> len(list_filter(string_split_regex(trim(l), '\\s+'),
+                                w -> w <> '')) >= 3
+                            AND regexp_matches(trim(l), '[.!?\"]$')), chr(10)) AS clean_text
+            FROM pages
+        """,
+        "dedup_paragraphs": f"""
+            WITH pages AS (
+                SELECT doc_id,
+                       substring(text, 1, 80) || '.' || chr(10) ||
+                       '{BOILERPLATE_LINE}' || chr(10) ||
+                       'ok' || chr(10) ||
+                       substring(text, 81, 60) AS page
+                FROM documents
+            ),
+            d AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pages),
+            e AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls FROM d),
+            p AS (SELECT doc_id, i - 1 AS idx, ls[i] AS para, trim(ls[i]) AS para_t FROM e),
+            h AS (SELECT *, CASE WHEN length(para_t) >= 20 THEN md5(para_t) END AS fp FROM p),
+            r AS (SELECT *, CASE WHEN fp IS NULL THEN TRUE
+                                 ELSE row_number() OVER (PARTITION BY fp
+                                      ORDER BY doc_id, idx) = 1 END AS keep FROM h)
+            SELECT doc_id,
+                   COALESCE(string_agg(para, chr(10) ORDER BY idx)
+                            FILTER (WHERE keep), '') AS text,
+                   CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_dropped
+            FROM r GROUP BY doc_id
         """,
         "rebalance_mixture": """
             WITH counts AS (

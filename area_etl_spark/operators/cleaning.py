@@ -1,0 +1,99 @@
+"""Document cleaning — line-level quality filtering and cross-document
+paragraph dedup, the two classic corpus-cleaning passes (the line-filter
+heuristics popularized by the public C4 dataset paper; paragraph-level
+dedup by content hash as in the public Gopher/MassiveText reports).
+
+Both are document-REASSEMBLING transforms: they explode a document into
+units (lines / paragraphs), drop bad units, and rebuild the text preserving
+unit order.  The distributed shapes:
+
+- line filter: pure per-row Column expressions (filter + array rebuild) —
+  NO explode, no shuffle; the line tests run inside `F.filter` lambdas over
+  the split array, so the whole pass stays in one narrow projection.
+- paragraph dedup: requires GLOBAL knowledge (is this paragraph's hash seen
+  in an earlier document?), so it explodes to (doc, idx, para), window-ranks
+  each hash by (doc_id, idx) — ONE shuffle keyed by the paragraph hash —
+  keeps first occurrences, and regroups by doc sorting on idx.  Shuffle
+  volume O(paragraphs), never doc×doc.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def c4_line_filter(
+    text_col: str | Column,
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+) -> Column:
+    """Rebuilt text keeping only lines that look like real sentences.
+
+    The C4-style per-line tests (public heuristics): keep a line iff it has
+    >= ``min_words`` whitespace words and (optionally) ends in terminal
+    punctuation (. ! ? ").  Returns the surviving lines re-joined with
+    single newlines (empty string if nothing survives).
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = F.split(c, "\n")
+
+    def keep(line: Column) -> Column:
+        t = F.trim(line)
+        words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+        ok = words >= min_words
+        if require_terminal_punct:
+            ok = ok & t.rlike('[.!?"]$')
+        return ok
+
+    return F.concat_ws("\n", F.filter(lines, keep))
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 20,
+) -> DataFrame:
+    """Cross-document paragraph dedup: each distinct paragraph survives only
+    in its FIRST occurrence (ordered by ``id_col``, then position); later
+    repeats are dropped and the documents are reassembled in order.
+
+    Paragraph = newline-separated block after trimming; blocks shorter than
+    ``min_chars`` are kept everywhere (boilerplate headers shorter than a
+    sentence aren't worth a shuffle row — and dropping every second "Intro"
+    line would mangle unrelated documents).
+
+    Output: ``id_col``, ``text`` (rebuilt), ``n_dropped`` (paragraphs
+    removed).  Deterministic; one shuffle keyed on the paragraph hash, one
+    regroup keyed on the document id.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "para"),
+    ).withColumn("para_t", F.trim(F.col("para")))
+    hashed = paras.withColumn(
+        "fp",
+        F.when(F.length("para_t") >= min_chars, F.md5(F.col("para_t").cast("binary"))),
+    )
+    w = Window.partitionBy("fp").orderBy(F.col(id_col), F.col("idx"))
+    ranked = hashed.withColumn(
+        "keep", F.col("fp").isNull() | (F.row_number().over(w) == 1)
+    )
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct(F.col("idx"), F.col("para")))
+                        )
+                    ),
+                    lambda s: s.getField("para"),
+                ),
+            ).alias("text"),
+            F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_dropped"),
+        )
+    )

@@ -1,0 +1,51 @@
+"""Document cleaning: C4-style line filter and cross-document paragraph
+dedup (hand-crafted cases: boilerplate removal, short-paragraph exemption,
+reassembly order, partition invariance)."""
+
+from pyspark.sql import functions as F
+
+from area_etl_spark.operators.cleaning import c4_line_filter, dedup_paragraphs
+
+
+def test_c4_line_filter_keeps_sentences(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "This is a proper sentence.\nok\nNo terminal punctuation here\nAnother good line!"),
+            (2, "short.\n\n"),
+        ],
+        "id long, text string",
+    )
+    got = {r.id: r.clean for r in df.select("id", c4_line_filter("text").alias("clean")).collect()}
+    assert got[1] == "This is a proper sentence.\nAnother good line!"
+    assert got[2] == ""  # 'short.' has < 3 words; blanks dropped
+
+
+def test_dedup_paragraphs_boilerplate_first_occurrence_wins(spark):
+    bp = "Subscribe to our newsletter for updates."
+    df = spark.createDataFrame(
+        [
+            (1, f"unique paragraph one alpha beta.\n{bp}"),
+            (2, f"{bp}\nunique paragraph two gamma delta."),
+            (3, f"short\n{bp}"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.text, r.n_dropped) for r in dedup_paragraphs(df).collect()}
+    # doc 1 holds the first occurrence → untouched
+    assert out[1] == (f"unique paragraph one alpha beta.\n{bp}", 0)
+    # doc 2 and 3 lose the boilerplate; everything else survives in order
+    assert out[2] == ("unique paragraph two gamma delta.", 1)
+    assert out[3] == ("short", 1)  # 'short' < min_chars → exempt, kept
+
+    # partition invariance: same result from any input layout
+    out2 = {r.doc_id: (r.text, r.n_dropped) for r in dedup_paragraphs(df.repartition(7)).collect()}
+    assert out == out2
+
+
+def test_dedup_paragraphs_preserves_intra_doc_order(spark):
+    df = spark.createDataFrame(
+        [(1, "\n".join(f"paragraph number {i} with enough characters." for i in range(10)))],
+        "doc_id long, text string",
+    )
+    text = dedup_paragraphs(df).collect()[0].text
+    assert text.split("\n") == [f"paragraph number {i} with enough characters." for i in range(10)]
