@@ -67,9 +67,9 @@ def _with_now(build: Callable[[dict], DataFrame]) -> Callable[[SparkSession, dic
     """Recasts taking an audit-clock argument get the run's wall clock —
     one shared ``now`` per runner invocation (the reference's
     ``handle_timestamps()`` default), naive UTC like the lake timestamps."""
-    from datetime import datetime, timezone
+    from area_etl_spark.functions.transforms import _now_naive
 
-    now = datetime.now(timezone.utc).replace(tzinfo=None, microsecond=0)
+    now = _now_naive()
     return lambda spark, tables: build(tables, now)
 
 
