@@ -76,9 +76,18 @@ def dedup_paragraphs(
         "fp",
         F.when(F.length("para_t") >= min_chars, F.md5(F.col("para_t").cast("binary"))),
     )
+    # Short/blank paragraphs (fp IS NULL) are unconditionally kept, so they
+    # never enter the window.  Routing them around it is load-bearing at
+    # scale: Window.partitionBy("fp") hashes every NULL to the SAME window
+    # partition, and blank lines + short headers are a large fraction of real
+    # text — one multi-TB task at 100 TB.  Here they stay in a narrow
+    # projection and rejoin via union.
+    exempt = hashed.where(F.col("fp").isNull()).withColumn("keep", F.lit(True))
     w = Window.partitionBy("fp").orderBy(F.col(id_col), F.col("idx"))
-    ranked = hashed.withColumn(
-        "keep", F.col("fp").isNull() | (F.row_number().over(w) == 1)
+    ranked = (
+        hashed.where(F.col("fp").isNotNull())
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .unionByName(exempt)
     )
     return (
         ranked.groupBy(id_col)

@@ -27,13 +27,21 @@ from pyspark.sql import functions as F
 
 
 def _shingles(text_col: Column, n: int) -> Column:
-    """Distinct lowercase word ``n``-grams of ``text_col`` (empty-safe)."""
+    """Distinct lowercase word ``n``-grams of ``text_col`` (empty/short-safe).
+
+    Docs with fewer than ``n`` tokens yield an empty array.  The guard is
+    load-bearing: ``sequence(1, size-n+1)`` with ``size < n`` would produce a
+    DESCENDING sequence (Spark's default step is -1 when start > stop) whose
+    trailing 0 index makes ``slice`` throw INVALID_PARAMETER_VALUE.START.
+    """
     toks = F.split(F.trim(F.lower(text_col)), r"\s+")
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(toks) - F.lit(n - 1))),
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def decontaminate(

@@ -15,7 +15,10 @@ Shuffle structure at scale (the part that matters at 100 TB):
   ``(band_id, band_hash)`` — shuffle volume O(rows · bands), never the
   O(rows²) of an all-pairs comparison.  Bucket sizes concentrate near 1, so
   the pair-expansion inside a bucket is tiny; a pathological hot bucket
-  (constant document spam) is bounded by ``max_bucket`` salting-style guard.
+  (near-identical boilerplate spam — m docs in one bucket → m² pairs) is
+  bounded by the ``max_bucket`` guard: deterministic hash-ranked truncation
+  keeps at most ``max_bucket`` docs per (band_id, band_hash) before the
+  self-join, turning the worst case into O(max_bucket²) per band.
 - ``simhash``: embarrassingly parallel signature (narrow), then candidates
   via equi-join on rotated prefix blocks (one shuffle per rotation).
 - ``ngram_jaccard_pairs``: exact verification over an already-blocked
@@ -26,7 +29,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Mersenne prime 2^31-1: (a * x + b) with a, b, x < 2^31 stays within a
@@ -204,6 +207,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     seed: int = 42,
     parallelism: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -217,6 +221,17 @@ def minhash_lsh_pairs(
     core count to spread it.  Leave ``None`` at scale — a 100 TB corpus
     already lands in thousands of scan partitions and a forced repartition
     would only add a shuffle of the full text column.
+
+    ``max_bucket``: hot-bucket guard for adversarial corpora.  m copies of
+    one boilerplate page land in the SAME (band_id, band_hash) bucket in
+    every band, and the self-join then emits O(m²) candidate pairs — the
+    classic LSH failure mode at 100 TB.  When set, each bucket is truncated
+    to its ``max_bucket`` lowest-``xxhash64(id)`` members (deterministic,
+    layout-independent) before the join, bounding the worst bucket at
+    O(max_bucket²) pairs while leaving ordinary buckets (size ≤ max_bucket)
+    untouched.  The truncated spam docs are still caught by the upstream
+    exact-dedup pass and by the survivors that DID stay in the bucket.
+    Leave ``None`` to keep exhaustive candidates on trusted corpora.
     """
     if parallelism:
         df = df.repartition(parallelism, F.col(id_col))
@@ -224,6 +239,15 @@ def minhash_lsh_pairs(
     banded = df.select(F.col(id_col), F.explode(structs).alias("band")).select(
         id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash")
     )
+    if max_bucket is not None:
+        wb = Window.partitionBy("band_id", "band_hash").orderBy(
+            F.xxhash64(F.col(id_col)), F.col(id_col)
+        )
+        banded = (
+            banded.withColumn("_rk", F.row_number().over(wb))
+            .where(F.col("_rk") <= max_bucket)
+            .drop("_rk")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

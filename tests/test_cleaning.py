@@ -5,6 +5,35 @@ reassembly order, partition invariance)."""
 from pyspark.sql import functions as F
 
 from area_etl_spark.operators.cleaning import c4_line_filter, dedup_paragraphs
+from area_etl_spark.operators.decontamination import decontaminate
+
+
+def test_decontaminate_survives_short_and_empty_docs(spark):
+    """Docs with fewer than n words must yield zero shingles, not crash.
+
+    Regression: sequence(1, size-n+1) with size<n produced a DESCENDING
+    sequence [1, 0] and slice(toks, 0, n) threw INVALID_PARAMETER_VALUE.START
+    — one short doc aborted the whole job.
+    """
+    train = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight nine ten"),
+            (2, "short doc"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "one two three four five six seven eight nine ten"),
+            (101, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    out = decontaminate(train, bench, n=8, min_fraction=0.2).collect()
+    assert {(r.train_id, r.bench_id) for r in out} == {(1, 100)}
+    assert all(r.overlap_fraction == 1.0 for r in out)
 
 
 def test_c4_line_filter_keeps_sentences(spark):
@@ -49,3 +78,34 @@ def test_dedup_paragraphs_preserves_intra_doc_order(spark):
     )
     text = dedup_paragraphs(df).collect()[0].text
     assert text.split("\n") == [f"paragraph number {i} with enough characters." for i in range(10)]
+
+
+def test_dedup_paragraphs_null_fp_skipped_by_window(spark):
+    """Blank/short paragraphs must not enter the fp window (scale skew guard).
+
+    At 100 TB every NULL fp would hash to ONE window partition; the operator
+    routes them around the window instead.  Assert both the semantics on a
+    blank-line-heavy corpus and the plan shape: the Window's input filters to
+    isnotnull(fp), so no window partition ever holds the null key.
+    """
+    bp = "This boilerplate paragraph repeats across many documents here."
+    rows = [
+        (i, f"\n\nhdr\n{bp}\nunique body paragraph for document {i} okay.\n\n")
+        for i in range(1, 21)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_paragraphs(df)
+    got = {r.doc_id: (r.text, r.n_dropped) for r in out.collect()}
+    # doc 1 keeps the boilerplate (first occurrence); all docs keep their
+    # blank lines' removal-by-reassembly of empties plus short 'hdr' exempt
+    assert got[1][1] == 0 and bp in got[1][0]
+    for i in range(2, 21):
+        assert got[i][1] == 1 and bp not in got[i][0]
+        assert f"unique body paragraph for document {i} okay." in got[i][0]
+        assert "hdr" in got[i][0]  # short paragraph exempt, kept everywhere
+    # The Window must sit above a Filter isnotnull(fp).  Assert on the
+    # analyzed plan: the optimizer rewrites the filter into an equivalent
+    # pushed-down length predicate (also null-free, also what we want), so
+    # the optimized/executed text no longer names fp.
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "isnotnull(fp" in analyzed

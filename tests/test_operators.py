@@ -68,6 +68,33 @@ def test_minhash_lsh_finds_near_dupes_not_distant(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_hot_bucket_guard_bounds_spam_pairs(spark):
+    """m near-identical spam docs share every band bucket → O(m²) pairs.
+
+    With max_bucket=10 the bucket is truncated to its 10 lowest-hash members
+    before the self-join, so the candidate set is bounded at C(10,2)=45
+    instead of C(200,2)=19900 — the 100 TB LSH failure-mode guard.
+    """
+    spam = "subscribe to our newsletter for daily updates and special offers " * 4
+    uniq = "genuinely distinct document about distributed query engines okay " * 4
+    rows = [(i, spam) for i in range(200)] + [(1000, uniq)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    guarded = minhash_lsh_pairs(df, max_bucket=10)
+    n_pairs = guarded.count()
+    assert 0 < n_pairs <= 45
+    # survivors are deterministic: re-run from a different layout, same set
+    again = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df.repartition(13), max_bucket=10).collect()}
+    assert again == {(r.id_a, r.id_b) for r in guarded.collect()}
+
+
+def test_minhash_guard_is_noop_on_ordinary_corpus(spark, tables):
+    """On a realistic corpus no bucket approaches the cap → identical output."""
+    docs = tables["documents"].select("doc_id", "text").limit(150)
+    base = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect()}
+    capped = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, max_bucket=100).collect()}
+    assert base == capped
+
+
 def test_ngram_jaccard_verifies(spark):
     base = "a b c d e f g h i j k l m n o p"
     df = spark.createDataFrame([(1, base), (2, base), (3, "x y z w v u")], "doc_id int, text string")
