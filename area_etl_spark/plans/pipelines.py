@@ -848,6 +848,101 @@ def template_taxonomy_pipeline(
     return df.select(*cols)
 
 
+def binding_table_pipeline(
+    df: DataFrame,
+    left_col,
+    right_col,
+    kind: str,
+    extra: dict[str, F.Column] | None = None,
+) -> DataFrame:
+    """Generic recast of the reference's binding-table migrations — the
+    two-FK strip/rename projections that differ only in table and column
+    names: ``migrate_udo_production_factors`` (core.py:1536),
+    ``migrate_udo_type_production_factor_types`` (core.py:1556),
+    ``migrate_udo_resolutions`` (core.py:1659); the audited/enriched members
+    ``migrate_user_companies`` (core.py:1917) and
+    ``migrate_grouping_specialties`` (core.py:546) pass their surviving
+    columns (surrogate id, flags, audit-timestamp ladder, dim-joined names)
+    through ``extra``.
+
+    One narrow projection per table — no shuffle; ``kind`` tags the source
+    binding so several tables union into one frame losslessly (the reference
+    loads each into its own Postgres table).
+    """
+    cols = [
+        F.lit(kind).alias("kind"),
+        handle_id(left_col, "left_id"),
+        handle_id(right_col, "right_id"),
+    ]
+    for name, col in (extra or {}).items():
+        cols.append(col.alias(name))
+    return df.select(*cols)
+
+
+def bindings_pipeline(tables: dict[str, DataFrame], now: datetime) -> DataFrame:
+    """All five remaining ``migrate_core`` binding migrations through ONE
+    parameterized helper, closing the reference's migrate_core list
+    (core.py:1955-1996) to 100%.
+
+    Castings onto the star schema: lineitem line-2 plays BIND_UDO_FATT_PROD
+    (production_factor_id ← l_partkey, udo_id ← l_orderkey), part plays
+    BIND_TIPO_22_TIPO_FATT (synthetic type FKs), lineitem line-3 plays
+    BIND_ATTO_UDO, orders plays OPERATORE_MODEL (surrogate id + constant
+    is_legal_representative + audit ladder, core.py:1917), and supplier⋈nation
+    plays RAGG_DISCPL⋈MACROAREA_PROGRAMMAZIONE (broadcast dim join for the
+    macroarea name, core.py:546).  The heterogeneous shapes merge with the
+    reference's own ``diagonal_relaxed`` union semantics.
+    """
+    li = tables["lineitem"]
+    udo_pf = binding_table_pipeline(
+        li.where(F.col("l_linenumber") == 2), "l_partkey", "l_orderkey", "BIND_UDO_FATT_PROD"
+    )
+    type_pf = binding_table_pipeline(
+        tables["part"],
+        F.col("p_partkey") % 50,
+        F.col("p_partkey") % 30,
+        "BIND_TIPO_22_TIPO_FATT",
+    )
+    udo_res = binding_table_pipeline(
+        li.where(F.col("l_linenumber") == 3), "l_orderkey", "l_suppkey", "BIND_ATTO_UDO"
+    )
+    creation = F.col("o_orderdate").cast("timestamp")
+    operatore = tables["orders"].withColumns(
+        {
+            "creation": creation,
+            "last_mod": F.when(
+                F.col("o_orderkey") % 3 != 0, F.timestamp_add("DAY", F.lit(2), creation)
+            ),
+            "disabled": F.when(F.col("o_orderkey") % 13 == 0, F.lit("S")).otherwise(F.lit("N")),
+        }
+    )
+    ts = handle_timestamps("creation", "last_mod", "disabled", current_time=now)
+    user_companies = binding_table_pipeline(
+        operatore,
+        "o_custkey",
+        F.col("o_custkey") % 500,
+        "OPERATORE_MODEL",
+        extra={
+            "id": handle_id("o_orderkey"),
+            "is_legal_representative": F.lit(False),
+            "disabled_at": ts["disabled_at"],
+            "created_at": ts["created_at"],
+            "updated_at": ts["updated_at"],
+        },
+    )
+    macro = tables["nation"].select(
+        F.col("n_nationkey").alias("s_nationkey"), F.trim(F.col("n_name")).alias("macroarea_raw")
+    )
+    grouping = binding_table_pipeline(
+        tables["supplier"].join(F.broadcast(macro), "s_nationkey", "left"),
+        "s_suppkey",
+        "s_nationkey",
+        "RAGG_DISCPL",
+        extra={"name": handle_text("s_name", "name"), "macroarea": F.col("macroarea_raw")},
+    )
+    return union_diagonal_relaxed(udo_pf, type_pf, udo_res, user_companies, grouping)
+
+
 def users_pipeline(tables: dict[str, DataFrame], now: datetime) -> DataFrame:
     """1:1 recast of ``migrate_users`` (reference core.py:1813-1895).
 
