@@ -2515,11 +2515,11 @@ def oracle_sql() -> dict[str, str]:
                                   * CAST(n_total AS DOUBLE) / n_src) AS rate
                 FROM counts, tot
             )
-            SELECT doc_id, source, n_chars
-            FROM documents JOIN rates USING (source)
-            WHERE rate >= 1.0
-               OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
-                  < lpad(to_hex(CAST(floor(rate * 65536) AS BIGINT)), 4, '0')
+            SELECT d.doc_id, d.source, d.n_chars
+            FROM documents d JOIN rates r ON d.source IS NOT DISTINCT FROM r.source
+            WHERE r.rate >= 1.0
+               OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                  < lpad(to_hex(CAST(floor(r.rate * 65536) AS BIGINT)), 4, '0')
         """,
         "corpus_prep_pipeline": f"""
             WITH staged AS (

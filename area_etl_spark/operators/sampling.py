@@ -83,7 +83,16 @@ def rebalance_mixture(
     keep = (F.col("_rate") >= 1.0) | (
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 4) < thr
     )
-    return df.join(F.broadcast(rates), source_col).where(keep).drop("_rate")
+    # Null-safe join: a NULL source is a real group (counted above, and
+    # promised default_share like any unlisted source) — a plain equi-join
+    # would silently drop the whole NULL group and skew every other source's
+    # effective share.
+    r = rates.withColumnRenamed(source_col, "_src_key")
+    return (
+        df.join(F.broadcast(r), F.col(source_col).eqNullSafe(F.col("_src_key")))
+        .where(keep)
+        .drop("_rate", "_src_key")
+    )
 
 
 def stratified_hash_sample(

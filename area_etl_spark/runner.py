@@ -30,6 +30,7 @@ import time
 from collections.abc import Callable
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -41,18 +42,23 @@ from area_etl_spark.sources.load import reload_overwrite
 
 @dataclass
 class PipelineSpec:
-    """One target table: name, plan builder, optional hive partitioning."""
+    """One target table: name, plan builder, optional hive partitioning.
+
+    ``build`` takes (spark, tables, now) — ``now`` is the run's shared audit
+    clock, resolved ONCE per ``run()`` invocation; builders that don't stamp
+    timestamps ignore it.
+    """
 
     name: str
-    build: Callable[[SparkSession, dict], DataFrame]
+    build: Callable[[SparkSession, dict, datetime], DataFrame]
     partition_by: list[str] = field(default_factory=list)
 
 
-def _plain(build: Callable[[dict], DataFrame]) -> Callable[[SparkSession, dict], DataFrame]:
-    return lambda spark, tables: build(tables)
+def _plain(build: Callable[[dict], DataFrame]) -> Callable[[SparkSession, dict, datetime], DataFrame]:
+    return lambda spark, tables, now: build(tables)
 
 
-def _districts(spark: SparkSession, tables: dict) -> DataFrame:
+def _districts(spark: SparkSession, tables: dict, now: datetime) -> DataFrame:
     import os
 
     seed_csv = os.environ.get(
@@ -63,14 +69,14 @@ def _districts(spark: SparkSession, tables: dict) -> DataFrame:
     return P.districts_pipeline(tables, seed)
 
 
-def _with_now(build: Callable[[dict], DataFrame]) -> Callable[[SparkSession, dict], DataFrame]:
+def _with_now(build: Callable[[dict, datetime], DataFrame]) -> Callable[[SparkSession, dict, datetime], DataFrame]:
     """Recasts taking an audit-clock argument get the run's wall clock —
-    one shared ``now`` per runner invocation (the reference's
-    ``handle_timestamps()`` default), naive UTC like the lake timestamps."""
-    from area_etl_spark.functions.transforms import _now_naive
-
-    now = _now_naive()
-    return lambda spark, tables: build(tables, now)
+    one shared ``now`` per runner INVOCATION (the reference's
+    ``handle_timestamps()`` default), naive UTC like the lake timestamps.
+    ``now`` is resolved inside ``run()``, not at module import: a long-lived
+    process invoking the runner repeatedly must stamp each run with its own
+    clock, not the first import's."""
+    return lambda spark, tables, now: build(tables, now)
 
 
 MODULES: dict[str, list[PipelineSpec]] = {
@@ -90,6 +96,7 @@ MODULES: dict[str, list[PipelineSpec]] = {
         PipelineSpec("udo_specialties", _plain(P.udo_specialties_pipeline)),
         PipelineSpec("udos", _with_now(P.udos_pipeline)),
         PipelineSpec("users", _with_now(P.users_pipeline)),
+        PipelineSpec("bindings", _with_now(P.bindings_pipeline)),
     ],
     "poa": [PipelineSpec("operational_events", _plain(P.poa_pipeline), partition_by=["event_class"])],
     "cronos": [PipelineSpec("yearly_plans", _plain(P.cronos_pipeline))],
@@ -105,7 +112,10 @@ def run(
     max_parallel: int = 1,
 ) -> dict[str, float]:
     """Run the selected modules' pipelines into ``out_dir``; returns timings."""
+    from area_etl_spark.functions.transforms import _now_naive
+
     tables = load_tables_lazy(spark, sf_dir)
+    now = _now_naive()  # one shared audit clock per invocation
     selected = modules or list(MODULES)
     specs = [(m, s) for m in selected for s in MODULES[m]]
     timings: dict[str, float] = {}
@@ -113,7 +123,7 @@ def run(
     def _one(item: tuple[str, PipelineSpec]) -> None:
         module, spec = item
         t0 = time.perf_counter()
-        df = spec.build(spark, tables)
+        df = spec.build(spark, tables, now)
         reload_overwrite(df, f"{out_dir}/{module}/{spec.name}", partition_by=spec.partition_by or None)
         timings[f"{module}.{spec.name}"] = round(time.perf_counter() - t0, 3)
         logging.info("runner: %s.%s done in %.2fs", module, spec.name, timings[f"{module}.{spec.name}"])

@@ -39,6 +39,17 @@ def _sha256_hex(data: bytes) -> str:
     return hashlib.sha256(data).hexdigest()
 
 
+def _signing_key(secret_key: str, date: str, region: str, service: str) -> bytes:
+    """The SigV4 key-derivation chain (public AWS algorithm).
+
+    Factored out so the published AWS test vector (known secret/date/region/
+    service → known key) can check the derivation without any network."""
+    k = _hmac(("AWS4" + secret_key).encode("utf-8"), date)
+    k = _hmac(k, region)
+    k = _hmac(k, service)
+    return _hmac(k, "aws4_request")
+
+
 class S3PutClient:
     """``put(object_id, payload)`` against any S3-compatible endpoint.
 
@@ -85,15 +96,25 @@ class S3PutClient:
         return state
 
     # -- SigV4 (public AWS algorithm) -------------------------------------
-    def _sign(self, method: str, path: str, payload_hash: str, amz_date: str) -> str:
+    def _sign(
+        self,
+        method: str,
+        path: str,
+        payload_hash: str,
+        amz_date: str,
+        extra_headers: dict[str, str] | None = None,
+    ) -> str:
         date = amz_date[:8]
         scope = f"{date}/{self.region}/s3/aws4_request"
-        canonical_headers = (
-            f"host:{self.host}\n"
-            f"x-amz-content-sha256:{payload_hash}\n"
-            f"x-amz-date:{amz_date}\n"
-        )
-        signed_headers = "host;x-amz-content-sha256;x-amz-date"
+        headers = {
+            "host": self.host,
+            "x-amz-content-sha256": payload_hash,
+            "x-amz-date": amz_date,
+            **{k.lower(): v for k, v in (extra_headers or {}).items()},
+        }
+        names = sorted(headers)  # canonical headers sort by lowercase name
+        canonical_headers = "".join(f"{n}:{headers[n].strip()}\n" for n in names)
+        signed_headers = ";".join(names)
         canonical_request = "\n".join(
             [method, path, "", canonical_headers, signed_headers, payload_hash]
         )
@@ -105,10 +126,7 @@ class S3PutClient:
                 _sha256_hex(canonical_request.encode("utf-8")),
             ]
         )
-        k = _hmac(("AWS4" + self.secret_key).encode("utf-8"), date)
-        k = _hmac(k, self.region)
-        k = _hmac(k, "s3")
-        k = _hmac(k, "aws4_request")
+        k = _signing_key(self.secret_key, date, self.region, "s3")
         signature = hmac.new(k, string_to_sign.encode("utf-8"), hashlib.sha256).hexdigest()
         return (
             f"AWS4-HMAC-SHA256 Credential={self.access_key}/{scope}, "

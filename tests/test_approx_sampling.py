@@ -78,3 +78,23 @@ def test_rebalance_mixture_downsample_only_and_invariant(spark):
     # default_share=0 drops unlisted sources entirely
     out3 = rebalance_mixture(df, "id", "src", {"small": 1.0})
     assert {r.src for r in out3.select("src").distinct().collect()} == {"small"}
+
+
+def test_rebalance_mixture_null_source_gets_default_share(spark):
+    """NULL sources are a real group: counted in the totals AND covered by
+    default_share via the null-safe join (a plain equi-join would silently
+    drop them)."""
+    from area_etl_spark.operators.sampling import rebalance_mixture
+
+    rows = [(i, "web" if i % 2 == 0 else None) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    # web: 1000, NULL: 1000, N=2000.  default 0.25 → NULL target 500 of 1000
+    out = rebalance_mixture(df, "id", "src", {"web": 1.0}, default_share=0.25)
+    got = dict(
+        (r.src, r.n) for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert got["web"] == 1000  # rate >= 1 keeps all
+    assert 350 < got.get(None, 0) < 650  # expected 500; NULL group survives
+    # and default_share=0 still drops the NULL group
+    none_out = rebalance_mixture(df, "id", "src", {"web": 1.0}, default_share=0.0)
+    assert none_out.where(F.col("src").isNull()).count() == 0

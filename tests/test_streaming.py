@@ -147,6 +147,54 @@ def test_incremental_scd2_equals_batch(spark, tables, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_stateful_session_merges_across_restart(spark, tmp_path):
+    """Checkpoint restart: an OPEN session's state must be restored, so
+    events delivered after the restart extend the same session instead of
+    starting a new one — the eventually-closed session spans the restart
+    boundary with the combined event count."""
+    import datetime as dt
+
+    from area_etl_spark.streaming.sessions import stateful_sessionize
+
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "user_id long, ts timestamp"
+    src, sink, ckpt = (str(tmp_path / p) for p in ("sess_src", "sess_sink", "sess_ckpt"))
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stateful_sessionize(stream, gap_minutes=30)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+
+    # run 1: three events, 5 min apart — session stays OPEN (state only)
+    rows_a = [(1, base + dt.timedelta(minutes=m)) for m in (0, 5, 10)]
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    # run 2 (same checkpoint): two more events within the gap of the restored
+    # session, then one far beyond it that forces the close
+    rows_b = [(1, base + dt.timedelta(minutes=m)) for m in (20, 25)] + [
+        (1, base + dt.timedelta(hours=2))
+    ]
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    closed = spark.read.parquet(sink).collect()
+    assert len(closed) == 1
+    r = closed[0]
+    assert r.user_id == 1
+    assert r.session_start == base
+    assert r.session_end_ts == base + dt.timedelta(minutes=25)
+    assert r.n_events == 5  # 3 before the restart + 2 after — merged, not split
+
+
 def test_stream_dedup_state_survives_restart(spark, tmp_path):
     """Checkpoint restart: a second availableNow run with the SAME checkpoint
     must restore the dedup state store, so duplicates of already-emitted rows
