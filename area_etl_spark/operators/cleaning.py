@@ -27,6 +27,7 @@ def c4_line_filter(
     text_col: str | Column,
     min_words: int = 3,
     require_terminal_punct: bool = True,
+    max_doc_chars: int | None = None,
 ) -> Column:
     """Rebuilt text keeping only lines that look like real sentences.
 
@@ -34,8 +35,19 @@ def c4_line_filter(
     >= ``min_words`` whitespace words and (optionally) ends in terminal
     punctuation (. ! ? ").  Returns the surviving lines re-joined with
     single newlines (empty string if nothing survives).
+
+    ``max_doc_chars`` is the bounded-memory guard for pathological rows: the
+    split/filter arrays are materialized PER ROW, so a crawl artifact with a
+    1 GB single-line "document" allocates gigabytes inside one task.  When
+    set, documents are pre-truncated with ``substring`` before any array is
+    built (text beyond the cap is dropped — the C4 paper's own practice of
+    capping document length; a cut-off final line is then judged on its
+    truncated form).  Default ``None`` preserves exact semantics for
+    trusted corpora; set it (e.g. 2**20) on raw web crawls.
     """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
+    if max_doc_chars is not None:
+        c = F.substring(c, 1, max_doc_chars)
     lines = F.split(c, "\n")
 
     def keep(line: Column) -> Column:

@@ -49,6 +49,20 @@ def test_c4_line_filter_keeps_sentences(spark):
     assert got[2] == ""  # 'short.' has < 3 words; blanks dropped
 
 
+def test_c4_line_filter_max_doc_chars_truncates(spark):
+    """The bounded-memory cap drops text beyond max_doc_chars before any
+    per-row array is built; lines fully inside the cap are untouched."""
+    good = "This is a proper sentence kept intact."
+    filler = "x" * 100  # no terminal punct — dropped either way
+    df = spark.createDataFrame([(1, f"{good}\n{filler}\n{good}")], "id long, text string")
+    capped = df.select(
+        c4_line_filter("text", max_doc_chars=len(good) + 10).alias("clean")
+    ).collect()[0].clean
+    assert capped == good  # second copy of `good` fell beyond the cap
+    uncapped = df.select(c4_line_filter("text").alias("clean")).collect()[0].clean
+    assert uncapped == f"{good}\n{good}"
+
+
 def test_dedup_paragraphs_boilerplate_first_occurrence_wins(spark):
     bp = "Subscribe to our newsletter for updates."
     df = spark.createDataFrame(

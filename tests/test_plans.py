@@ -93,3 +93,18 @@ def test_topk_is_take_ordered(tables):
     dim = len(emb.select("embedding").first()[0])
     df = cosine_topk(emb, [1.0] * dim, k=10)
     assert "TakeOrderedAndProject" in plan_str(df)
+
+
+def test_plans_md_covers_every_bench_headline_query():
+    """The plan audit (docs/PLANS.md) must include every query bench.py
+    times, so a benchmarked query can't silently drop out of plan review."""
+    import os
+    import re
+
+    from bench import HEADLINE as bench_headline
+
+    plans_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "PLANS.md")
+    with open(plans_path) as f:
+        documented = set(re.findall(r"^## (\S+)", f.read(), flags=re.M))
+    missing = [q for q in bench_headline if q not in documented]
+    assert not missing, f"bench queries missing from docs/PLANS.md: {missing}"
