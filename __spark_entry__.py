@@ -402,6 +402,46 @@ def q_rebalance_mixture(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (RAG / training prep): 40-token
+    chunks every 30 tokens. Single narrow projection — tokenize, sequence
+    of start offsets, posexplode, slice; zero shuffles."""
+    from area_etl_spark.operators.chunking import chunk_documents
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return chunk_documents(docs, "text", "doc_id", chunk_size=40, stride=30)
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """Span-level exact-duplicate signal (Lee et al. exact-substring dedup,
+    relational form): per-document count/fraction of 8-token grams that also
+    occur in another document. One gram-key aggregate + one equi-join back —
+    O(total tokens), never doc×doc."""
+    docs = _tables(spark, sf_dir)["documents"]
+    return D.duplicate_spans(docs, "text", "doc_id", n=8)
+
+
+def q_bigram_lm_score(spark, sf_dir):
+    """Self-trained token-bigram LM fluency score (the KenLM-perplexity slot
+    of a CCNet-style quality funnel): avg ln p(w2|w1) per document, model
+    trained on the same corpus as two hash aggregates, scored via equi-join
+    — the LM lives in a DataFrame, nothing collected."""
+    docs = _tables(spark, sf_dir)["documents"]
+    return TA.bigram_lm_score(docs, "text", "doc_id")
+
+
+def q_incremental_dedup(spark, sf_dir):
+    """Continuous-ingestion dedup: batch docs anti-joined against a
+    historical snapshot's content-hash index (history = doc_id % 3 != 0
+    deterministic split), then in-batch keep-lowest-id. One left_anti
+    equi-join on the 32-hex hash + one min-aggregate."""
+    docs = _tables(spark, sf_dir)["documents"]
+    history = docs.where(F.col("doc_id") % 3 != 0).select(
+        F.md5(F.trim(F.lower(F.col("text")))).alias("content_hash")
+    )
+    return D.incremental_dedup(docs, history, "text", "doc_id")
+
+
 def q_corpus_prep_pipeline(spark, sf_dir):
     """END-TO-END training-corpus preparation — the full LLM-data funnel in
     one declarative plan, fully SQL-oracled:
@@ -1415,21 +1455,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDER MATTERS: the driver's correctness gate checks the FIRST 50 entries.
-    Round-6 rotation: leads with dedup_embedding_cosine (the only oracle
-    never yet executed by a driver window), the new pipeline_bindings recast,
-    then every query whose latest driver green predates the regenerated NTZ
-    testdata — the 15 r2-only greens and the 28 r3-only greens — plus the
-    VERDICT-named r2+r3 doubles (asof/range/ann_cosine/pipeline_poa) and a
-    rows-only re-check of dedup_minhash_lsh after the hot-bucket-guard
-    change.  With this window, after r6 every oracled query has a driver
-    green on current testdata.  r5 greens (already checked on current data)
-    close the dict below the window.
+    Round-6 rotation: leads with the six oracles no driver window has ever
+    executed — dedup_embedding_cosine (r5's named gap), the new
+    pipeline_bindings recast, and the four r6 corpus operators — then every
+    query whose latest driver green predates the regenerated NTZ testdata
+    (the r2-only and r3-only greens, including the VERDICT-named
+    pipeline_poa / asof_join / range_band_join).  Displaced to make room,
+    immediately below the window: three timestamp-free queries that already
+    hold a driver green plus current-testdata local parity
+    (tests/test_oracle_parity.py), and the rows-only dedup_minhash_lsh —
+    the hot-bucket guard defaults off and its full-oracle md5 twin
+    (dedup_minhash_portable) is green on current data, so a rows-only slot
+    would waste a full-oracle check (test_driver_window_fully_oracled
+    enforces this).  r5 greens close the dict below the window.
     """
     return {
         # — the one oracle no driver run has ever executed (VERDICT item 1) —
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         # — new this round: generic binding-table recast (VERDICT item 4) —
         "pipeline_bindings": q_pipeline_bindings,
+        # — new r6 corpus operators: never driver-checked, windowed now so no
+        #   oracle repeats the r5 "oracled-but-never-windowed" gap —
+        "chunk_documents": q_chunk_documents,
+        "duplicate_spans": q_duplicate_spans,
+        "bigram_lm_score": q_bigram_lm_score,
+        "incremental_dedup": q_incremental_dedup,
         # — r2-only greens: last checked before the NTZ testdata/loader regen —
         "id_normalize": q_id_normalize,
         "enum_mapping": q_enum_mapping,
@@ -1452,8 +1502,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_gapfill": q_calendar_gapfill,
         "first_touch_attribution": q_first_touch_attribution,
         "retention_cohorts": q_retention_cohorts,
-        "text_topk_terms": q_text_topk_terms,
-        "emb_cosine_pairs_exact": q_emb_cosine_pairs_exact,
         "groupby_rollup": q_groupby_rollup,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "distinct_count_skewsafe": q_distinct_count_skewsafe,
@@ -1479,10 +1527,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_poa": q_pipeline_poa,
         "asof_join": q_asof_join,
         "range_band_join": q_range_band_join,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        # — rows-only re-check after the max_bucket guard landed (default off)
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         # —— driver window ends here (first 50) ——
+        # — displaced to fit the 4 new r6 oracles: each already has a driver
+        #   green plus current-testdata local parity, and none touches the
+        #   NTZ-regenerated timestamp columns; dedup_minhash_lsh is rows-only
+        #   (guard defaults off; its full-oracle md5 twin went green r5) —
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "emb_cosine_pairs_exact": q_emb_cosine_pairs_exact,
+        "text_topk_terms": q_text_topk_terms,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         # — r2+r3 double greens —
         "tpch_q3ish": q_tpch_q3ish,
         "tpch_q5ish": q_tpch_q5ish,
@@ -3259,5 +3312,54 @@ def oracle_sql() -> dict[str, str]:
                    NULL, NULL,
                    MIN(o_orderstatus), MAX(o_orderstatus)
             FROM orders
+        """,
+        # — r6 corpus operators (chunking / span dedup / bigram LM / incremental) —
+        "chunk_documents": """
+            WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 30)) AS start FROM t)
+            SELECT doc_id,
+                   CAST(start // 30 AS BIGINT) AS chunk_id,
+                   array_to_string(toks[start + 1 : start + 40], ' ') AS chunk_text,
+                   CAST(least(40, len(toks) - start) AS BIGINT) AS n_tokens
+            FROM s
+        """,
+        "duplicate_spans": """
+            WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id, md5(array_to_string(toks[i : i + 7], ' ')) AS gk
+                  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)),
+            d AS (SELECT gk FROM g GROUP BY gk HAVING COUNT(DISTINCT doc_id) >= 2),
+            c AS (SELECT doc_id, COUNT(*) AS n_dup FROM g JOIN d USING (gk) GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(CASE WHEN len(toks) >= 8 THEN len(toks) - 7 ELSE 0 END AS BIGINT) AS n_grams,
+                   CAST(COALESCE(c.n_dup, 0) AS BIGINT) AS n_dup,
+                   CASE WHEN len(toks) >= 8
+                        THEN round(COALESCE(c.n_dup, 0)::DOUBLE / (len(toks) - 7), 6)
+                        ELSE 0.0 END AS dup_frac
+            FROM t LEFT JOIN c USING (doc_id)
+        """,
+        "bigram_lm_score": """
+            WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                       FROM documents),
+            p AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+                  FROM t, unnest(range(1, len(toks))) AS u(i)),
+            m AS (SELECT w1, w2, COUNT(*) AS c12 FROM p GROUP BY w1, w2),
+            pre AS (SELECT w1, SUM(c12) AS c1 FROM m GROUP BY w1),
+            s AS (SELECT doc_id, COUNT(*) AS nb,
+                         round(AVG(ln(c12::DOUBLE / c1)), 6) AS lp
+                  FROM p JOIN m USING (w1, w2) JOIN pre USING (w1) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.nb, 0) AS BIGINT) AS n_bigrams,
+                   s.lp AS avg_logprob
+            FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        "incremental_dedup": """
+            WITH h AS (SELECT md5(trim(lower(text))) AS content_hash
+                       FROM documents WHERE doc_id % 3 <> 0),
+            b AS (SELECT doc_id, md5(trim(lower(text))) AS content_hash FROM documents),
+            f AS (SELECT * FROM b WHERE content_hash NOT IN (SELECT content_hash FROM h))
+            SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, content_hash
+            FROM f GROUP BY content_hash
         """,
     }

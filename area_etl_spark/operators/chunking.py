@@ -1,0 +1,65 @@
+"""Document chunking — split documents into overlapping token windows.
+
+The RAG / training-prep primitive the reference's row-level transform
+toolkit (reference ``src/utils.py`` handle_* family) has no counterpart
+for: each document becomes ceil(n_tokens / stride) chunks of at most
+``chunk_size`` tokens, consecutive chunks overlapping by
+``chunk_size - stride`` tokens.
+
+Scale design: the whole operator is a single narrow projection — tokenize,
+build the start-index array with ``F.sequence``, ``posexplode`` it, and
+slice.  No shuffle, no UDF; at 100 TB it pipelines inside one
+WholeStageCodegen span per input split, and output row count is bounded by
+``n_tokens / stride`` per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: Column) -> Column:
+    # Shared corpus convention (operators/dedup.py normalize_tokens):
+    # lowercased whitespace tokens.
+    return F.split(F.trim(F.lower(text_col)), r"\s+")
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 40,
+    stride: int = 30,
+) -> DataFrame:
+    """(id, chunk_id, chunk_text, n_tokens) — overlapping token windows.
+
+    Chunk k covers tokens [k*stride, k*stride + chunk_size); the last chunk
+    may be shorter.  ``stride == chunk_size`` gives disjoint chunks;
+    ``stride < chunk_size`` gives ``chunk_size - stride`` tokens of overlap
+    (the usual RAG setting so no span falls on a boundary).
+    """
+    if not (0 < stride <= chunk_size):
+        raise ValueError("need 0 < stride <= chunk_size")
+    toks = _tokens(F.col(text_col))
+    # Start offsets 0, stride, 2*stride, … strictly below n_tokens.  An
+    # empty/whitespace-only document still tokenizes to [''] (size 1), so
+    # the sequence end n-1 >= 0 and F.sequence never sees start > stop
+    # (the descending-sequence trap ADVICE flagged in decontaminate).
+    # NULL text: under ANSI (session default) size(NULL) is NULL, the start
+    # sequence is NULL, and posexplode emits no rows — NULL-text documents
+    # produce zero chunks in BOTH engines (DuckDB range(0, NULL) likewise
+    # unnests to nothing), which the null-doc test pins down.
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride))
+    exploded = docs.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_size)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )

@@ -435,3 +435,92 @@ def ngram_jaccard_pairs(
     union = F.size(F.array_union(F.col("grams_a"), F.col("grams_b")))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).where(F.col("jaccard") >= threshold)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Span-level exact duplicate detection (Lee et al. 2022's exact-substring
+    dedup signal, re-expressed relationally): for each document, how much of
+    it is made of n-token grams that also appear in ANOTHER document.
+
+    Complements the doc-level family (dedup_exact / MinHash) and the
+    paragraph dedup in cleaning.py: boilerplate injected mid-document (nav
+    bars, license headers) is invisible to whole-doc hashing but lights up
+    here.  Returns (id, n_grams, n_dup, dup_frac).
+
+    Scale design: positions → grams is a narrow posexplode; the only wide
+    stages are one groupBy on the 32-hex gram key to find cross-doc keys
+    and one equi-join back — O(total tokens), never doc×doc.  Keys use md5
+    for cross-engine portability; a production deployment would swap in
+    xxhash64 (8-byte shuffle keys) exactly as minhash_lsh_pairs does vs its
+    portable twin.  Docs shorter than n tokens produce zero grams and come
+    back with dup_frac 0.0 via the left join (the short-doc guard class the
+    r5 decontaminate fix established).
+    """
+    toks = normalize_tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = df.select(F.col(id_col), F.explode(grams).alias("gk"))
+    dup_keys = (
+        pos.groupBy("gk")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gk")
+    )
+    dup_per_doc = (
+        pos.join(dup_keys, "gk")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    base = df.select(F.col(id_col), F.size(grams).cast("long").alias("n_grams"))
+    joined = base.join(dup_per_doc, id_col, "left").na.fill({"n_dup": 0})
+    frac = F.when(
+        F.col("n_grams") > 0, F.round(F.col("n_dup") / F.col("n_grams"), 6)
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.col("n_dup").cast("long").alias("n_dup"),
+        frac.alias("dup_frac"),
+    )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    history_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Continuous-ingestion dedup: drop batch documents whose normalized
+    content already exists in a historical corpus snapshot, then dedup
+    within the batch itself (keep the lowest id per content hash).
+
+    ``history_hashes`` is a one-column ``content_hash`` frame — the compact
+    index a crawl pipeline persists between runs (hashes only, never text).
+    Scale design: one left_anti equi-join on the hash (broadcast when the
+    history index fits, shuffle-hash otherwise — AQE decides) plus a
+    min-aggregate with map-side combine for the in-batch pass.  Nothing is
+    ever joined on raw text.  md5 keys for cross-engine portability; swap
+    xxhash64 in production as elsewhere in this module.
+    """
+    hashed = batch.select(
+        F.col(id_col),
+        F.md5(F.trim(F.lower(F.col(text_col)))).alias("content_hash"),
+    )
+    fresh = hashed.join(
+        history_hashes.select("content_hash").distinct(), "content_hash", "left_anti"
+    )
+    return (
+        fresh.groupBy("content_hash")
+        .agg(F.min(F.col(id_col)).alias(id_col))
+        .select(F.col(id_col), F.col("content_hash"))
+    )

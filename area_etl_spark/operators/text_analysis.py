@@ -286,3 +286,63 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         "lang_pred",
         "fingerprint",
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-trained token-bigram LM fluency score — the KenLM-perplexity
+    slot of a CCNet/RefinedWeb-style quality funnel, self-trained so it
+    needs no external model artifact.
+
+    Two passes over the same bigram relation: (1) train — count c(w1,w2)
+    and prefix totals c1(w1); (2) score — each document's mean MLE log
+    probability avg(ln(c(w1,w2)/c1(w1))).  Gibberish/rare-token documents
+    score far below fluent ones; filter on a percentile downstream.
+
+    Returns (id, n_bigrams, avg_logprob); docs with < 2 tokens get
+    n_bigrams 0 and NULL score.
+
+    Scale design: the model is two hash aggregates over exploded bigrams
+    (map-side combine collapses each partition to its vocab first); scoring
+    re-joins bigrams to the model on (w1, w2) — an equi-join AQE broadcasts
+    when the vocab is small and shuffles otherwise.  Nothing driver-side:
+    unlike a collect-the-model design, the LM lives in a DataFrame, so a
+    100 TB corpus with a 100 M-row bigram vocab still works.
+    """
+    toks = normalize_tokens(F.col(text_col))
+    bg = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.element_at(toks, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = df.select(F.col(id_col), F.explode(bg).alias("_bg")).select(
+        F.col(id_col), F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")
+    )
+    model = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    prefix = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    scored = (
+        pairs.join(model, ["w1", "w2"])
+        .join(prefix, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("c12") / F.col("c1"))), 6).alias("avg_logprob"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.col("avg_logprob"),
+        )
+    )

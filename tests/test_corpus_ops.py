@@ -1,0 +1,183 @@
+"""r6 corpus operators: chunking, span-level dup detection, bigram-LM
+scoring, incremental (snapshot anti-join) dedup — hand-crafted semantic
+cases; cross-engine value parity rides tests/test_oracle_parity.py."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from area_etl_spark.operators.chunking import chunk_documents
+from area_etl_spark.operators.dedup import duplicate_spans, incremental_dedup
+from area_etl_spark.operators.text_analysis import bigram_lm_score
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- chunking ---------------------------------------------------------------
+
+
+def test_chunks_cover_and_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(100))
+    out = chunk_documents(
+        _docs(spark, [(1, text)]), chunk_size=40, stride=30
+    ).orderBy("chunk_id").collect()
+    # starts 0,30,60,90 -> 4 chunks; last one is the 10-token tail
+    assert [r.chunk_id for r in out] == [0, 1, 2, 3]
+    assert [r.n_tokens for r in out] == [40, 40, 40, 10]
+    assert out[0].chunk_text.split()[0] == "w0"
+    # 10-token overlap: chunk k's last 10 tokens are chunk k+1's first 10
+    assert out[0].chunk_text.split()[-10:] == out[1].chunk_text.split()[:10]
+    # every token position is covered
+    covered = set()
+    for r in out:
+        covered.update(r.chunk_text.split())
+    assert len(covered) == 100
+
+
+def test_chunk_short_and_empty_docs(spark):
+    out = chunk_documents(
+        _docs(spark, [(1, "just three words"), (2, ""), (3, "   "), (4, None)]),
+        chunk_size=40,
+        stride=30,
+    ).collect()
+    by_id = {(r.doc_id, r.chunk_id): r for r in out}
+    # short doc: one chunk, its own length
+    assert by_id[(1, 0)].n_tokens == 3
+    # empty/whitespace docs still produce exactly one (empty) chunk each,
+    # mirroring the ['']-token convention of the dedup family
+    assert by_id[(2, 0)].chunk_text == "" and by_id[(3, 0)].chunk_text == ""
+    # NULL text yields zero chunks (ANSI: NULL size -> NULL starts), no crash
+    assert len(out) == 3
+
+
+def test_chunk_disjoint_when_stride_equals_size(spark):
+    text = " ".join(f"w{i}" for i in range(90))
+    out = chunk_documents(
+        _docs(spark, [(1, text)]), chunk_size=30, stride=30
+    ).orderBy("chunk_id").collect()
+    toks = [t for r in out for t in r.chunk_text.split()]
+    assert toks == text.split()  # exact disjoint cover, order preserved
+
+
+def test_chunk_reassembly_invariant_random_docs(spark):
+    """Property, checked over 100 random-length docs in ONE job: for any doc,
+    concatenating each chunk's NEW tokens (those past the overlap) rebuilds
+    the exact token stream, and every chunk except the last has chunk_size
+    tokens when the doc is long enough."""
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (i, " ".join(f"d{i}t{j}" for j in range(rng.randint(1, 137))))
+        for i in range(100)
+    ]
+    out = chunk_documents(
+        _docs(spark, rows), chunk_size=17, stride=11
+    ).orderBy("doc_id", "chunk_id").collect()
+    rebuilt = {}
+    for r in out:
+        toks = r.chunk_text.split()
+        assert r.n_tokens == len(toks)
+        prev = rebuilt.setdefault(r.doc_id, [])
+        new = toks if r.chunk_id == 0 else toks[17 - 11 :]
+        prev.extend(new)
+    for i, text in rows:
+        assert rebuilt[i] == text.split(), f"doc {i} reassembly mismatch"
+
+
+# --- duplicate spans --------------------------------------------------------
+
+
+def test_duplicate_spans_flags_shared_boilerplate(spark):
+    boiler = "please subscribe to our newsletter for updates every single day"  # 10 tokens
+    a = "alpha beta gamma delta epsilon zeta eta theta " + boiler
+    b = "one two three four five six seven eight nine " + boiler
+    c = "totally unique words nothing shared with any other document here"
+    out = {
+        r.doc_id: r
+        for r in duplicate_spans(_docs(spark, [(1, a), (2, b), (3, c)]), n=8).collect()
+    }
+    # the 10-token boilerplate contributes 3 shared 8-grams to each carrier
+    assert out[1].n_dup == 3 and out[2].n_dup == 3
+    assert out[3].n_dup == 0 and out[3].dup_frac == 0.0
+    assert math.isclose(out[1].dup_frac, 3 / out[1].n_grams, rel_tol=1e-6)
+
+
+def test_duplicate_spans_short_docs_zero_not_crash(spark):
+    out = {
+        r.doc_id: r
+        for r in duplicate_spans(
+            _docs(spark, [(1, "too short"), (2, ""), (3, "x " * 8), (4, None)]), n=8
+        ).collect()
+    }
+    assert out[1].n_grams == 0 and out[1].dup_frac == 0.0
+    assert out[2].n_grams == 0
+    assert out[3].n_grams == 1  # exactly 8 tokens -> one gram, no partner
+    assert out[3].n_dup == 0
+    assert out[4].n_grams == 0 and out[4].dup_frac == 0.0  # NULL text
+
+
+def test_duplicate_spans_identical_docs_full_overlap(spark):
+    t = " ".join(f"w{i}" for i in range(20))
+    out = duplicate_spans(_docs(spark, [(1, t), (2, t)]), n=8).collect()
+    assert all(r.dup_frac == 1.0 for r in out)
+
+
+# --- bigram LM score --------------------------------------------------------
+
+
+def test_bigram_lm_mle_counts_and_determinism(spark):
+    fluent = [(i, "the cat sat on the mat and the cat slept") for i in range(5)]
+    gib = [(100, "zxqv plomk wrtf bnys hjkl qwer uiop asdf")]
+    out = {r.doc_id: r for r in bigram_lm_score(_docs(spark, fluent + gib)).collect()}
+    assert all(out[i].n_bigrams == 9 for i, _ in fluent)
+    # identical docs must score identically (partition-order independence)
+    assert len({out[i].avg_logprob for i, _ in fluent}) == 1
+    # a doc whose bigrams are all unique in the corpus has c12 == c1 for
+    # every bigram -> avg ln(1) == 0; branching prefixes ('the' -> cat|mat)
+    # push the fluent docs strictly below 0
+    assert out[100].avg_logprob == 0.0
+    assert out[0].avg_logprob < 0.0
+
+
+def test_bigram_lm_short_docs_null_score(spark):
+    out = {
+        r.doc_id: r
+        for r in bigram_lm_score(
+            _docs(spark, [(1, "hello"), (2, ""), (3, "hello world"), (4, None)])
+        ).collect()
+    }
+    assert out[1].n_bigrams == 0 and out[1].avg_logprob is None
+    assert out[2].n_bigrams == 0
+    assert out[3].n_bigrams == 1
+    assert out[4].n_bigrams == 0 and out[4].avg_logprob is None  # NULL text
+
+
+# --- incremental dedup ------------------------------------------------------
+
+
+def test_incremental_dedup_drops_history_and_batch_dups(spark):
+    history = spark.createDataFrame(
+        [("h1",)], "text string"
+    ).select(F.md5(F.trim(F.lower(F.col("text")))).alias("content_hash"))
+    batch = _docs(
+        spark,
+        [
+            (1, "h1"),        # already in history -> dropped
+            (2, "H1  "),      # normalizes to history hash -> dropped
+            (3, "new stuff"),
+            (4, "new stuff"), # in-batch dup -> doc 3 survives
+            (5, "other"),
+        ],
+    )
+    out = {r.doc_id for r in incremental_dedup(batch, history).collect()}
+    assert out == {3, 5}
+
+
+def test_incremental_dedup_empty_history_keeps_batch_distinct(spark):
+    empty = spark.createDataFrame([], "content_hash string")
+    batch = _docs(spark, [(1, "a"), (2, "a"), (3, "b")])
+    out = {r.doc_id for r in incremental_dedup(batch, empty).collect()}
+    assert out == {1, 3}
