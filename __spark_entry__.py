@@ -442,6 +442,19 @@ def q_incremental_dedup(spark, sf_dir):
     return D.incremental_dedup(docs, history, "text", "doc_id")
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: docs sharing a verbatim 8-token
+    span are coupled via connected components, and the 80/10/10 md5 draw is
+    keyed on the CLUSTER id — near-duplicates can never straddle a split
+    boundary. Oracle replays the pairs, a recursive-CTE component walk, and
+    the identical hex-prefix draw."""
+    from area_etl_spark.operators.sampling import leakage_safe_split
+
+    docs = _tables(spark, sf_dir)["documents"]
+    pairs = D.span_pairs(docs, "text", "doc_id", n=8)
+    return leakage_safe_split(docs, pairs, "doc_id", train=0.8, val=0.1)
+
+
 def q_corpus_prep_pipeline(spark, sf_dir):
     """END-TO-END training-corpus preparation — the full LLM-data funnel in
     one declarative plan, fully SQL-oracled:
@@ -1480,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "bigram_lm_score": q_bigram_lm_score,
         "incremental_dedup": q_incremental_dedup,
+        "leakage_safe_split": q_leakage_safe_split,
         # — r2-only greens: last checked before the NTZ testdata/loader regen —
         "id_normalize": q_id_normalize,
         "enum_mapping": q_enum_mapping,
@@ -1502,7 +1516,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_gapfill": q_calendar_gapfill,
         "first_touch_attribution": q_first_touch_attribution,
         "retention_cohorts": q_retention_cohorts,
-        "groupby_rollup": q_groupby_rollup,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "distinct_count_skewsafe": q_distinct_count_skewsafe,
         "string_agg": q_string_agg,
@@ -1535,6 +1548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "emb_cosine_pairs_exact": q_emb_cosine_pairs_exact,
         "text_topk_terms": q_text_topk_terms,
+        "groupby_rollup": q_groupby_rollup,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         # — r2+r3 double greens —
         "tpch_q3ish": q_tpch_q3ish,
@@ -3361,5 +3375,38 @@ def oracle_sql() -> dict[str, str]:
             f AS (SELECT * FROM b WHERE content_hash NOT IN (SELECT content_hash FROM h))
             SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, content_hash
             FROM f GROUP BY content_hash
+        """,
+        # 0.8/0.9 of 65536 → 52428 = 0xcccc and 58982 = 0xe666: the same
+        # hex-prefix thresholds leakage_safe_split builds with format(...,'04x')
+        "leakage_safe_split": """
+            WITH RECURSIVE t AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                FROM documents
+            ), g AS (
+                SELECT DISTINCT doc_id, md5(array_to_string(toks[i : i + 7], ' ')) AS gk
+                FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+            ), p AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM g a JOIN g b ON a.gk = b.gk AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM p
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM p
+            ), walk(node, reach) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+            ), labels AS (
+                SELECT node, MIN(reach) AS label FROM walk GROUP BY node
+            ), lab AS (
+                SELECT d.doc_id, COALESCE(l.label, d.doc_id) AS group_id
+                FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+            )
+            SELECT doc_id, group_id,
+                   CASE WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+                        WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM lab
         """,
     }

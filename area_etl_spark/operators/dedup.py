@@ -437,6 +437,51 @@ def ngram_jaccard_pairs(
     return j.select("id_a", "id_b", F.round(jac, 6).alias("jaccard")).where(F.col("jaccard") >= threshold)
 
 
+def span_gram_keys(text_col: str | Column, n: int = 8) -> Column:
+    """md5 keys of a document's n-token grams; empty array below n tokens
+    (the short-doc guard class the r5 decontaminate fix established)."""
+    toks = normalize_tokens(text_col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def span_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Distinct (id_a, id_b) document pairs sharing at least one verbatim
+    n-token gram — the coupling relation for leakage-safe splitting (a
+    shared span is exactly what train/eval contamination looks like).
+
+    Per-doc gram sets are distinct'd BEFORE the self-join, so a gram
+    repeated inside one document can't multiply pairs.  A gram shared by m
+    docs still emits O(m²) pairs — semantically required (all m docs are
+    mutually coupled) but at 100 TB the candidate generator should be the
+    banded-LSH family (minhash_lsh_pairs with its max_bucket guard);
+    span_pairs is the exact generator for moderate corpora and oracles.
+    """
+    pos = df.select(
+        F.col(id_col), F.explode(span_gram_keys(F.col(text_col), n)).alias("gk")
+    ).distinct()
+    a, b = pos.alias("a"), pos.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.gk") == F.col("b.gk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -461,14 +506,7 @@ def duplicate_spans(
     back with dup_frac 0.0 via the left join (the short-doc guard class the
     r5 decontaminate fix established).
     """
-    toks = normalize_tokens(F.col(text_col))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, n), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = span_gram_keys(F.col(text_col), n)
     pos = df.select(F.col(id_col), F.explode(grams).alias("gk"))
     dup_keys = (
         pos.groupBy("gk")

@@ -113,3 +113,51 @@ def stratified_hash_sample(
     for value, fraction in sorted(fractions.items()):
         pred = F.when(c == value, hash_sample_predicate(id_col, fraction)).otherwise(pred)
     return df.where(pred)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """Train/val/test split where near-duplicate documents can NEVER straddle
+    a split boundary — the leak a per-document split cannot prevent (a
+    verbatim copy of a training page in the eval split inflates eval).
+
+    The split decision is keyed on the document's dedup-cluster label, not
+    the document: connected components over the supplied near-dup ``pairs``
+    (any generator — span_pairs, minhash_lsh_pairs, embedding pairs), then
+    the same nesting, engine-portable md5 draw as ``hash_sample`` applied to
+    the CLUSTER id, so every member of a cluster lands in the same split.
+    Unpaired documents are their own singleton cluster.
+
+    Returns (id, group_id, split) with split in {'train','val','test'}.
+
+    Scale: components is the iterative min-label propagation of
+    ``operators/graph.py`` (pair-volume bounded by the generator); the
+    label join is an equi-join on the doc id; the draw itself is narrow.
+    """
+    if not (0.0 < train and 0.0 <= val and train + val < 1.0):
+        raise ValueError("need 0 < train, 0 <= val, train + val < 1")
+    from area_etl_spark.operators.graph import connected_components
+
+    comps = connected_components(pairs)
+    labeled = (
+        docs.select(F.col(id_col))
+        .join(comps, docs[id_col] == comps["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("label"), F.col(id_col)).alias("group_id"),
+        )
+    )
+    bucket = F.substring(F.md5(F.col("group_id").cast("string")), 1, 4)
+    t_train = format(int(train * 65536), "04x")
+    t_val = format(int((train + val) * 65536), "04x")
+    split = (
+        F.when(bucket < F.lit(t_train), F.lit("train"))
+        .when(bucket < F.lit(t_val), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return labeled.select(F.col(id_col), F.col("group_id"), split.alias("split"))

@@ -181,3 +181,47 @@ def test_incremental_dedup_empty_history_keeps_batch_distinct(spark):
     batch = _docs(spark, [(1, "a"), (2, "a"), (3, "b")])
     out = {r.doc_id for r in incremental_dedup(batch, empty).collect()}
     assert out == {1, 3}
+
+
+# --- leakage-safe split -----------------------------------------------------
+
+
+def test_span_pairs_couples_only_sharing_docs(spark):
+    from area_etl_spark.operators.dedup import span_pairs
+
+    boiler = "please subscribe to our newsletter for updates every single day"
+    a = "alpha beta gamma delta epsilon zeta eta theta " + boiler
+    b = "one two three four five six seven eight nine " + boiler
+    c = "totally unique words nothing shared with any other document here etc"
+    pairs = span_pairs(_docs(spark, [(1, a), (2, b), (3, c)]), n=8).collect()
+    # exactly one distinct pair, no duplicates from the 3 shared grams
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from area_etl_spark.operators.sampling import leakage_safe_split
+
+    # 40 docs; doc 2k and 2k+1 are near-dup partners (explicit pair list)
+    docs = _docs(spark, [(i, f"doc number {i}") for i in range(40)])
+    pairs = spark.createDataFrame(
+        [(2 * k, 2 * k + 1) for k in range(20)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(docs, pairs, "doc_id", train=0.5, val=0.25).collect()
+    assert len(out) == 40  # every doc assigned exactly once
+    by_id = {r.doc_id: r for r in out}
+    for k in range(20):
+        a, b = by_id[2 * k], by_id[2 * k + 1]
+        assert a.group_id == b.group_id == 2 * k
+        assert a.split == b.split, f"pair {2*k} straddles the split boundary"
+    assert {r.split for r in out} <= {"train", "val", "test"}
+
+
+def test_leakage_safe_split_singletons_and_determinism(spark):
+    from area_etl_spark.operators.sampling import leakage_safe_split
+
+    docs = _docs(spark, [(i, f"text {i}") for i in range(64)])
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    r1 = {r.doc_id: r.split for r in leakage_safe_split(docs, empty).collect()}
+    r2 = {r.doc_id: r.split for r in leakage_safe_split(docs, empty).collect()}
+    assert r1 == r2  # pure function of ids
+    assert len(r1) == 64
