@@ -508,10 +508,13 @@ def duplicate_spans(
     """
     grams = span_gram_keys(F.col(text_col), n)
     pos = df.select(F.col(id_col), F.explode(grams).alias("gk"))
+    # ">= 2 distinct docs" as min(id) != max(id): O(1) aggregation state per
+    # gram key (count_distinct would build a per-key hash set — pointless
+    # memory at 100 TB when the only question is "more than one doc?").
     dup_keys = (
         pos.groupBy("gk")
-        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
-        .where(F.col("nd") >= 2)
+        .agg(F.min(F.col(id_col)).alias("_lo"), F.max(F.col(id_col)).alias("_hi"))
+        .where(F.col("_lo") != F.col("_hi"))
         .select("gk")
     )
     dup_per_doc = (
