@@ -455,6 +455,27 @@ def q_leakage_safe_split(spark, sf_dir):
     return leakage_safe_split(docs, pairs, "doc_id", train=0.8, val=0.1)
 
 
+def q_inverted_index(spark, sf_dir):
+    """Document-partitioned inverted index (Lucene/Elasticsearch shard
+    layout): per-shard term dictionary + ascending postings. One shuffle on
+    (shard_id, term); hot terms bounded by shard size, not corpus size."""
+    from area_etl_spark.operators.indexing import inverted_index
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return inverted_index(docs, "text", "doc_id", n_shards=8)
+
+
+def q_search_terms(spark, sf_dir):
+    """Conjunctive term search over the inverted index: term-filtered index
+    scan → posting explode → per-doc distinct-term count == |query|. No
+    self-joins; shard results merge in one aggregate."""
+    from area_etl_spark.operators.indexing import inverted_index, search_terms
+
+    docs = _tables(spark, sf_dir)["documents"]
+    idx = inverted_index(docs, "text", "doc_id", n_shards=8)
+    return search_terms(idx, ["spark", "window", "merge"], mode="all")
+
+
 def q_corpus_prep_pipeline(spark, sf_dir):
     """END-TO-END training-corpus preparation — the full LLM-data funnel in
     one declarative plan, fully SQL-oracled:
@@ -1494,6 +1515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_score": q_bigram_lm_score,
         "incremental_dedup": q_incremental_dedup,
         "leakage_safe_split": q_leakage_safe_split,
+        "inverted_index": q_inverted_index,
+        "search_terms": q_search_terms,
         # — r2-only greens: last checked before the NTZ testdata/loader regen —
         "id_normalize": q_id_normalize,
         "enum_mapping": q_enum_mapping,
@@ -1518,9 +1541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "distinct_count_skewsafe": q_distinct_count_skewsafe,
-        "string_agg": q_string_agg,
         "groupby_cube": q_groupby_cube,
-        "regex_extract": q_regex_extract,
         "dedup_components": q_dedup_components,
         "json_extract": q_json_extract,
         "anti_semi_join": q_anti_semi_join,
@@ -1549,6 +1570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_pairs_exact": q_emb_cosine_pairs_exact,
         "text_topk_terms": q_text_topk_terms,
         "groupby_rollup": q_groupby_rollup,
+        "string_agg": q_string_agg,
+        "regex_extract": q_regex_extract,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         # — r2+r3 double greens —
         "tpch_q3ish": q_tpch_q3ish,
@@ -3408,5 +3431,26 @@ def oracle_sql() -> dict[str, str]:
                         WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
                         ELSE 'test' END AS split
             FROM lab
+        """,
+        "inverted_index": """
+            WITH t AS (
+                SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard_id,
+                       unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS term
+                FROM documents
+            )
+            SELECT shard_id, term, CAST(COUNT(*) AS BIGINT) AS df,
+                   array_to_string(list_sort(list(doc_id)), ',') AS postings_csv
+            FROM t WHERE term <> ''
+            GROUP BY shard_id, term
+        """,
+        "search_terms": """
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS term
+                FROM documents
+            )
+            SELECT doc_id, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_matched
+            FROM t WHERE term IN ('spark', 'window', 'merge')
+            GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3
         """,
     }

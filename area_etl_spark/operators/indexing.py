@@ -1,0 +1,88 @@
+"""Inverted-index construction — the search-side companion to the ANN and
+dedup families: term → posting list, built document-partitioned.
+
+Layout follows the Lucene/Elasticsearch shard model rather than a global
+term-sorted index: each shard (a hash bucket of document ids) carries its
+own complete term dictionary and postings.  That choice IS the scale
+design — a global index would put every occurrence of a stopword into one
+reducer, while per-shard grouping caps any (shard, term) group at the
+shard's document count, and query-time fan-out/merge across shards is the
+standard search pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from area_etl_spark.operators.dedup import normalize_tokens
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+) -> DataFrame:
+    """(shard_id, term, df, postings_csv): per-shard document-frequency and
+    ascending posting list for every distinct term.
+
+    Terms are distinct'd PER DOCUMENT before the explode (``array_distinct``
+    inside the row), so a word repeated in one document contributes one
+    posting and df counts documents, not occurrences.  One shuffle on
+    (shard_id, term); postings are sorted in the aggregate, not a window —
+    no single-partition ordering stage.  Postings serialize to a CSV string
+    (the repo's canonical array-hash form, q_multimodal_features:1062).
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    terms = F.array_distinct(normalize_tokens(F.col(text_col)))
+    pairs = docs.select(
+        (F.col(id_col) % n_shards).cast("int").alias("shard_id"),
+        F.col(id_col),
+        F.explode(terms).alias("term"),
+    ).where(F.col("term") != "")
+    return (
+        pairs.groupBy("shard_id", "term")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_postings"))
+        .select(
+            "shard_id",
+            "term",
+            F.size(F.col("_postings")).cast("long").alias("df"),
+            F.concat_ws(",", F.col("_postings").cast("array<string>")).alias(
+                "postings_csv"
+            ),
+        )
+    )
+
+
+def search_terms(
+    index: DataFrame,
+    terms: list[str],
+    mode: str = "all",
+) -> DataFrame:
+    """Query the inverted index: documents containing ``terms`` ('all' =
+    conjunction, 'any' = disjunction).  Returns (doc_id, n_matched).
+
+    Executes as a term-filtered index scan (the term predicate prunes to
+    |terms| rows per shard) → posting explode → doc-level aggregate.  The
+    conjunction check is a count == len(terms) on distinct matched terms —
+    no self-joins, shard results merge in the same aggregate.
+    """
+    if mode not in ("all", "any"):
+        raise ValueError("mode must be 'all' or 'any'")
+    wanted = [t.lower() for t in terms]
+    hits = (
+        index.where(F.col("term").isin(wanted))
+        .select(
+            "term",
+            F.explode(F.split(F.col("postings_csv"), ",")).alias("doc_id_str"),
+        )
+        .select(F.col("doc_id_str").cast("long").alias("doc_id"), "term")
+    )
+    agg = hits.groupBy("doc_id").agg(
+        F.count_distinct(F.col("term")).cast("long").alias("n_matched")
+    )
+    if mode == "all":
+        agg = agg.where(F.col("n_matched") == len(wanted))
+    return agg

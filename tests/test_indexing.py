@@ -1,0 +1,50 @@
+"""Inverted index: document-partitioned postings + conjunctive/disjunctive
+term search (df counts documents not occurrences; postings sorted; shard =
+id % n_shards; search has no self-joins)."""
+
+from area_etl_spark.operators.indexing import inverted_index, search_terms
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _corpus(spark):
+    return _docs(
+        spark,
+        [
+            (0, "spark joins data data data"),   # 'data' x3 -> one posting
+            (1, "spark window merge"),
+            (8, "window spark"),                  # same shard as doc 0 (n=8)
+            (9, "unrelated words only"),
+            (10, None),
+        ],
+    )
+
+
+def test_index_df_and_postings(spark):
+    idx = {
+        (r.shard_id, r.term): r
+        for r in inverted_index(_corpus(spark), n_shards=8).collect()
+    }
+    # df counts documents, not occurrences
+    assert idx[(0, "data")].df == 1 and idx[(0, "data")].postings_csv == "0"
+    # docs 0 and 8 share shard 0; postings ascend
+    assert idx[(0, "spark")].postings_csv == "0,8"
+    # doc 1 in shard 1
+    assert idx[(1, "spark")].postings_csv == "1"
+    # NULL text contributes nothing
+    assert not any(r for (s, t), r in idx.items() if "10" in r.postings_csv.split(","))
+
+
+def test_search_conjunction_vs_disjunction(spark):
+    idx = inverted_index(_corpus(spark), n_shards=8)
+    allhit = {r.doc_id for r in search_terms(idx, ["spark", "window"], "all").collect()}
+    anyhit = {r.doc_id for r in search_terms(idx, ["spark", "window"], "any").collect()}
+    assert allhit == {1, 8}
+    assert anyhit == {0, 1, 8}
+
+
+def test_search_term_case_normalized(spark):
+    idx = inverted_index(_corpus(spark), n_shards=8)
+    assert {r.doc_id for r in search_terms(idx, ["SPARK"], "all").collect()} == {0, 1, 8}
