@@ -476,6 +476,17 @@ def q_search_terms(spark, sf_dir):
     return search_terms(idx, ["spark", "window", "merge"], mode="all")
 
 
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 ranked retrieval (k1=1.2, b=0.75, +1 idf smoothing):
+    top-20 documents for a 3-term query. Scores rounded to 6 decimals
+    BEFORE the cut and ranked (score desc, doc_id) so the boundary is
+    engine-deterministic."""
+    from area_etl_spark.operators.indexing import bm25_search
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return bm25_search(docs, ["spark", "window", "merge"], "text", "doc_id", topk=20)
+
+
 def q_corpus_prep_pipeline(spark, sf_dir):
     """END-TO-END training-corpus preparation — the full LLM-data funnel in
     one declarative plan, fully SQL-oracled:
@@ -1517,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "inverted_index": q_inverted_index,
         "search_terms": q_search_terms,
+        "bm25_search": q_bm25_search,
         # — r2-only greens: last checked before the NTZ testdata/loader regen —
         "id_normalize": q_id_normalize,
         "enum_mapping": q_enum_mapping,
@@ -1541,7 +1553,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "distinct_count_skewsafe": q_distinct_count_skewsafe,
-        "groupby_cube": q_groupby_cube,
         "dedup_components": q_dedup_components,
         "json_extract": q_json_extract,
         "anti_semi_join": q_anti_semi_join,
@@ -1570,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cosine_pairs_exact": q_emb_cosine_pairs_exact,
         "text_topk_terms": q_text_topk_terms,
         "groupby_rollup": q_groupby_rollup,
+        "groupby_cube": q_groupby_cube,
         "string_agg": q_string_agg,
         "regex_extract": q_regex_extract,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3452,5 +3464,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(COUNT(DISTINCT term) AS BIGINT) AS n_matched
             FROM t WHERE term IN ('spark', 'window', 'merge')
             GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3
+        """,
+        "bm25_search": """
+            WITH tk AS (
+                SELECT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+                    FROM documents
+                ) WHERE term <> ''
+            ), dl AS (
+                SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id
+            ), st AS (
+                SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM tk
+                WHERE term IN ('spark', 'window', 'merge') GROUP BY doc_id, term
+            ), dfq AS (
+                SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            )
+            SELECT doc_id,
+                   round(SUM(
+                       ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                       * tf * (1.2 + 1)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                   ), 6) AS score
+            FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+            GROUP BY doc_id
+            ORDER BY score DESC, doc_id
+            LIMIT 20
         """,
     }

@@ -86,3 +86,65 @@ def search_terms(
     if mode == "all":
         agg = agg.where(F.col("n_matched") == len(wanted))
     return agg
+
+
+def bm25_search(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 20,
+) -> DataFrame:
+    """BM25 ranked retrieval: (doc_id, score) for the top-k documents.
+
+    Okapi BM25 with the standard '+1' idf smoothing:
+        idf(t)        = ln((N - df + 0.5) / (df + 0.5) + 1)
+        score(d, t)   = idf · tf·(k1+1) / (tf + k1·(1 - b + b·len/avgdl))
+    N and avgdl are computed over documents with at least one token.
+
+    Determinism across engines: the score is rounded to 6 decimals BEFORE
+    the top-k cut, and ranking orders by (rounded score desc, id asc), so a
+    float tie at the boundary resolves identically in Spark and the oracle.
+
+    Scale: term frequencies are one (doc, term) groupBy; the corpus stats
+    (N, avgdl) and per-term df are dimension-sized aggregates joined back
+    with broadcast hints; the final per-doc sum is a groupBy on the doc id.
+    Query terms prune the tf relation FIRST (predicate pushdown through the
+    aggregate's input), so the wide stages only ever see matching rows.
+    """
+    wanted = [t.lower() for t in terms]
+    toks = docs.select(
+        F.col(id_col), F.explode(normalize_tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    # per-doc length over ALL tokens (must not be filtered by the query terms)
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.where(F.col("term").isin(wanted))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    term_score = idf * F.col("tf") * (k1 + 1) / denom
+    # broadcast only the dimension-sized sides (per-term df, one-row stats);
+    # doclen is corpus-sized — its equi-join with the term-pruned tf relation
+    # is left to AQE (tf is usually the small side after the query filter)
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(doclen, id_col)
+        .join(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(term_score), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(topk)
+    )
+    return scored

@@ -48,3 +48,29 @@ def test_search_conjunction_vs_disjunction(spark):
 def test_search_term_case_normalized(spark):
     idx = inverted_index(_corpus(spark), n_shards=8)
     assert {r.doc_id for r in search_terms(idx, ["SPARK"], "all").collect()} == {0, 1, 8}
+
+
+def test_bm25_hand_computed_scores(spark):
+    from area_etl_spark.operators.indexing import bm25_search
+
+    docs = _docs(
+        spark,
+        [(1, "spark spark window"), (2, "spark other words here"), (3, "unrelated text")],
+    )
+    out = bm25_search(docs, ["spark"], topk=10).collect()
+    # N=3, avgdl=3, df=2 -> idf=ln(1.6); d1: tf=2,dl=3 -> idf*4.4/3.2;
+    # d2: tf=1,dl=4 -> idf*2.2/2.5; d3 never matches
+    assert [r.doc_id for r in out] == [1, 2]
+    assert abs(out[0].score - 0.646255) < 1e-6
+    assert abs(out[1].score - 0.413603) < 1e-6
+
+
+def test_bm25_topk_cut_deterministic(spark):
+    from area_etl_spark.operators.indexing import bm25_search
+
+    # 30 identical docs -> identical rounded scores; the k cut must take the
+    # lowest ids (rank = score desc, id asc), not an arbitrary subset
+    docs = _docs(spark, [(i, "spark data") for i in range(30)])
+    out = bm25_search(docs, ["spark"], topk=10).collect()
+    assert [r.doc_id for r in out] == list(range(10))
+    assert len({r.score for r in out}) == 1
