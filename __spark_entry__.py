@@ -487,6 +487,30 @@ def q_bm25_search(spark, sf_dir):
     return bm25_search(docs, ["spark", "window", "merge"], "text", "doc_id", topk=20)
 
 
+def q_topk_per_group(spark, sf_dir):
+    """Aggregate-based per-group top-k (top-3 customers by order cents per
+    nation): collect → array_sort → slice, no window — a hot group sorts a
+    group-local array instead of stalling one reducer task. Oracle = the
+    equivalent row_number window, proving the forms agree."""
+    tables = _tables(spark, sf_dir)
+    cust_totals = (
+        tables["orders"]
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents"))
+    )
+    joined = (
+        cust_totals.join(
+            tables["customer"], F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(tables["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("n_name", "c_custkey", "cents")
+    )
+    return AGG.topk_per_group(joined, ["n_name"], "cents", ["c_custkey"], 3)
+
+
 def q_corpus_prep_pipeline(spark, sf_dir):
     """END-TO-END training-corpus preparation — the full LLM-data funnel in
     one declarative plan, fully SQL-oracled:
@@ -1500,19 +1524,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDER MATTERS: the driver's correctness gate checks the FIRST 50 entries.
-    Round-6 rotation: leads with the six oracles no driver window has ever
+    Round-6 rotation: leads with the ten oracles no driver window has ever
     executed — dedup_embedding_cosine (r5's named gap), the new
-    pipeline_bindings recast, and the four r6 corpus operators — then every
-    query whose latest driver green predates the regenerated NTZ testdata
-    (the r2-only and r3-only greens, including the VERDICT-named
-    pipeline_poa / asof_join / range_band_join).  Displaced to make room,
-    immediately below the window: three timestamp-free queries that already
-    hold a driver green plus current-testdata local parity
-    (tests/test_oracle_parity.py), and the rows-only dedup_minhash_lsh —
-    the hot-bucket guard defaults off and its full-oracle md5 twin
-    (dedup_minhash_portable) is green on current data, so a rows-only slot
-    would waste a full-oracle check (test_driver_window_fully_oracled
-    enforces this).  r5 greens close the dict below the window.
+    pipeline_bindings recast, and the eight r6 operators (corpus family +
+    search family) — then every query whose latest driver green predates
+    the regenerated NTZ testdata (the r2-only and r3-only greens, including
+    the VERDICT-named pipeline_poa / asof_join / range_band_join).
+    Displaced to make room, immediately below the window: seven
+    timestamp-free queries that already hold a driver green plus
+    current-testdata local parity (tests/test_oracle_parity.py), and the
+    rows-only dedup_minhash_lsh — the hot-bucket guard defaults off and its
+    full-oracle md5 twin (dedup_minhash_portable) is green on current data,
+    so a rows-only slot would waste a full-oracle check
+    (test_driver_window_fully_oracled enforces this).  r5 greens close the
+    dict below the window.
     """
     return {
         # — the one oracle no driver run has ever executed (VERDICT item 1) —
@@ -1529,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": q_inverted_index,
         "search_terms": q_search_terms,
         "bm25_search": q_bm25_search,
+        "topk_per_group": q_topk_per_group,
         # — r2-only greens: last checked before the NTZ testdata/loader regen —
         "id_normalize": q_id_normalize,
         "enum_mapping": q_enum_mapping,
@@ -1555,7 +1581,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_count_skewsafe": q_distinct_count_skewsafe,
         "dedup_components": q_dedup_components,
         "json_extract": q_json_extract,
-        "anti_semi_join": q_anti_semi_join,
         "percentile_agg": q_percentile_agg,
         "profile_table": q_profile_table,
         "scd2_intervals": q_scd2_intervals,
@@ -1573,7 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_band_join": q_range_band_join,
         # —— driver window ends here (first 50) ——
-        # — displaced to fit the 4 new r6 oracles: each already has a driver
+        # — displaced to fit the 8 new r6 oracles: each already has a driver
         #   green plus current-testdata local parity, and none touches the
         #   NTZ-regenerated timestamp columns; dedup_minhash_lsh is rows-only
         #   (guard defaults off; its full-oracle md5 twin went green r5) —
@@ -1584,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_cube": q_groupby_cube,
         "string_agg": q_string_agg,
         "regex_extract": q_regex_extract,
+        "anti_semi_join": q_anti_semi_join,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         # — r2+r3 double greens —
         "tpch_q3ish": q_tpch_q3ish,
@@ -3492,5 +3518,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id
             ORDER BY score DESC, doc_id
             LIMIT 20
+        """,
+        "topk_per_group": """
+            WITH ct AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY o_custkey
+            ), j AS (
+                SELECT n_name, c_custkey, cents
+                FROM ct JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            ), r AS (
+                SELECT n_name, c_custkey, cents,
+                       CAST(row_number() OVER (
+                           PARTITION BY n_name ORDER BY cents DESC, c_custkey
+                       ) AS INTEGER) AS rank
+                FROM j
+            )
+            SELECT n_name, rank, c_custkey, cents FROM r WHERE rank <= 3
         """,
     }

@@ -82,3 +82,43 @@ def collect_sorted_list(col: str | Column) -> Column:
     """Order-insensitive list aggregation (deterministic collect_list)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.array_sort(F.collect_list(c))
+
+
+def topk_per_group(
+    df,
+    group_cols: list[str],
+    order_col: str,
+    payload_cols: list[str],
+    k: int,
+) -> "DataFrame":
+    """Top-k rows per group WITHOUT a window: aggregate-collect, sort the
+    per-group array once, slice k, re-explode with the rank.
+
+    ``row_number() OVER (PARTITION BY g ORDER BY v DESC)`` materializes and
+    SORTS every group in one task — a hot group is a straggler sort.  The
+    aggregate form ships the same rows but sorts only group-local arrays
+    after map-side combine, and the slice bounds downstream data to k·groups.
+    (For groups too large to hold as one array, compose with a salted
+    pre-aggregation that keeps each salt's local top-k first — the final
+    merge is then bounded by k·salts.)
+
+    Ranking is (order_col DESC, first payload col ASC) — ties resolve
+    deterministically and identically to the SQL window form.  Returns
+    group_cols + rank + payload_cols + order_col.
+    """
+    struct_fields = [(-F.col(order_col)).alias("_neg"), *[F.col(c) for c in payload_cols],
+                     F.col(order_col).alias(order_col)]
+    packed = F.slice(
+        F.array_sort(F.collect_list(F.struct(*struct_fields))), 1, k
+    )
+    exploded = (
+        df.groupBy(*group_cols)
+        .agg(packed.alias("_top"))
+        .select(*group_cols, F.posexplode(F.col("_top")).alias("_pos", "_row"))
+    )
+    return exploded.select(
+        *group_cols,
+        (F.col("_pos") + 1).cast("int").alias("rank"),
+        *[F.col(f"_row.{c}").alias(c) for c in payload_cols],
+        F.col(f"_row.{order_col}").alias(order_col),
+    )

@@ -374,3 +374,22 @@ def test_flag_outliers_exact_stats(spark):
     # partition invariance of the exact-stats z-score
     z1 = flag_outliers(df.repartition(1), ["k"], "cents").collect()[0].z_score
     assert z1 == got[0].z_score
+
+
+def test_topk_per_group_matches_window_semantics(spark):
+    """Aggregate-based top-k == row_number window: desc on the measure,
+    ascending tie-break on the payload column, k cut per group."""
+    from area_etl_spark.operators.aggregates import topk_per_group
+
+    df = spark.createDataFrame(
+        [("a", 1, 50), ("a", 2, 90), ("a", 3, 90), ("a", 4, 10),
+         ("b", 5, 7), ("c", 6, 1), ("c", 7, 2)],
+        "g string, item long, v long",
+    )
+    out = topk_per_group(df, ["g"], "v", ["item"], 2).collect()
+    got = {(r.g, r.rank): (r.item, r.v) for r in out}
+    # ties at v=90 resolve by ascending item: 2 before 3; v=50 is cut at k=2
+    assert got[("a", 1)] == (2, 90) and got[("a", 2)] == (3, 90)
+    assert got[("b", 1)] == (5, 7) and ("b", 2) not in got
+    assert got[("c", 1)] == (7, 2) and got[("c", 2)] == (6, 1)
+    assert len(out) == 5
