@@ -81,6 +81,39 @@ def main() -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10m")
 
+    # 4. inverted-index postings under a stopword: every doc contains 'the',
+    # so a GLOBAL term-grouped index builds one n_docs-element posting array
+    # in a single task, while the document-sharded layout (inverted_index)
+    # caps every (shard, term) group at n_docs/n_shards.
+    n_docs = max(n // 8, 100_000)
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the tok"), (F.col("id") % 50_000).cast("string"),
+            F.lit(" tok"), F.col("id").cast("string"),
+            F.lit(" word"), (F.col("id") % 997).cast("string"),
+        ).alias("text"),
+    )
+    docs.write.mode("overwrite").parquet("/tmp/skewbench_docs")
+    docs = spark.read.parquet("/tmp/skewbench_docs")
+    from area_etl_spark.operators.dedup import normalize_tokens
+    from area_etl_spark.operators.indexing import inverted_index
+
+    def global_index():
+        pairs = docs.select(
+            "doc_id", F.explode(F.array_distinct(normalize_tokens(F.col("text")))).alias("term")
+        )
+        sink(
+            pairs.groupBy("term").agg(
+                F.size(F.sort_array(F.collect_list("doc_id"))).alias("df")
+            )
+        )
+
+    print(f"index: {n_docs:,} docs, 'the' in every doc")
+    timed("index GLOBAL term-grouped (hot term)", global_index)
+    timed("index doc-sharded (64 shards)", lambda: sink(
+        inverted_index(docs, "text", "doc_id", n_shards=64)))
+
 
 if __name__ == "__main__":
     main()
