@@ -511,6 +511,38 @@ def q_topk_per_group(spark, sf_dir):
     return AGG.topk_per_group(joined, ["n_name"], "cents", ["c_custkey"], 3)
 
 
+def q_corpus_report(spark, sf_dir):
+    """Per-source corpus dashboard: doc count, total whitespace tokens,
+    predicted-English share, mean quality score. One narrow staged
+    projection (features + language scores single-evaluated, the HOF-CSE
+    idiom) feeding one hash aggregate on the source key."""
+    tables = _tables(spark, sf_dir)
+    feats = TA.quality_features("text")
+    staged = tables["documents"].select(
+        F.col("source"),
+        feats["n_tokens"],
+        feats["stopword_ratio"],
+        feats["punct_ratio"],
+        TA.language_scores("text").alias("_scores"),
+    )
+    scored = staged.select(
+        "source",
+        "n_tokens",
+        TA.quality_score_from_features(
+            F.col("n_tokens"), F.col("stopword_ratio"), F.col("punct_ratio")
+        ),
+        TA.language_id_from_scores(F.col("_scores"), sorted(TA.LANG_STOPWORDS)),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("lang_pred") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("n_en"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
+
+
 def q_corpus_prep_pipeline(spark, sf_dir):
     """END-TO-END training-corpus preparation — the full LLM-data funnel in
     one declarative plan, fully SQL-oracled:
@@ -1555,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_terms": q_search_terms,
         "bm25_search": q_bm25_search,
         "topk_per_group": q_topk_per_group,
+        "corpus_report": q_corpus_report,
         # — r2-only greens: last checked before the NTZ testdata/loader regen —
         "id_normalize": q_id_normalize,
         "enum_mapping": q_enum_mapping,
@@ -1581,7 +1614,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_count_skewsafe": q_distinct_count_skewsafe,
         "dedup_components": q_dedup_components,
         "json_extract": q_json_extract,
-        "percentile_agg": q_percentile_agg,
         "profile_table": q_profile_table,
         "scd2_intervals": q_scd2_intervals,
         "role_permissions_fanout": q_role_permissions_fanout,
@@ -1610,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_agg": q_string_agg,
         "regex_extract": q_regex_extract,
         "anti_semi_join": q_anti_semi_join,
+        "percentile_agg": q_percentile_agg,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         # — r2+r3 double greens —
         "tpch_q3ish": q_tpch_q3ish,
@@ -3536,5 +3569,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM j
             )
             SELECT n_name, rank, c_custkey, cents FROM r WHERE rank <= 3
+        """,
+        "corpus_report": f"""
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM({ntoks}) AS BIGINT) AS total_tokens,
+                   CAST(SUM(CASE WHEN {_langid_sql('text')} = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+                   round(AVG({qscore}), 6) AS avg_quality
+            FROM documents
+            GROUP BY source
         """,
     }
