@@ -1,0 +1,98 @@
+"""Streaming corpus ingestion — continuous-crawl dedup against a persisted
+content-hash index.
+
+``incremental_ingest_sink`` wires the batch ``incremental_dedup`` operator
+into a Structured Streaming ``foreachBatch`` sink: each micro-batch of
+incoming documents is anti-joined against the hash index accumulated from
+every PREVIOUS batch (and deduped within itself), survivors land in the
+corpus, and their hashes land in the index.  Because the index is hashes
+only (16 B/doc), it stays dimension-shaped relative to the corpus — the
+same asymmetry the batch operator's scale note relies on.
+
+Idempotence across restarts WITHOUT a transactional table format: both
+sinks are partitioned by ``batch_id`` and written with dynamic partition
+overwrite, so a replayed micro-batch (foreachBatch re-delivers the same
+batch_id after a crash) REWRITES its own partition instead of appending a
+second copy.  Survivors recompute identically on replay because the index
+read excludes the replayed batch's own partition.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from area_etl_spark.operators.dedup import incremental_dedup
+
+_EMPTY_INDEX_SCHEMA = "content_hash string, batch_id long"
+
+
+def _read_index(spark, index_dir: str) -> DataFrame:
+    try:
+        return spark.read.parquet(index_dir)
+    except Exception:
+        return spark.createDataFrame([], _EMPTY_INDEX_SCHEMA)
+
+
+def make_batch_applier(out_dir: str, text_col: str = "text", id_col: str = "doc_id"):
+    """The foreachBatch body, exposed so tests can drive a replay directly.
+
+    (batch_df, batch_id) → dedup against every OTHER batch's index
+    partition, then dynamic-partition-overwrite both sinks' batch_id
+    partitions — a replayed batch rewrites its own partitions in place.
+    """
+    corpus_dir = os.path.join(out_dir, "corpus")
+    index_dir = os.path.join(out_dir, "index")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # exclude this batch's own partition: on a replay after a crash
+        # mid-apply, the half-written index rows must not suppress the
+        # recompute (survivors must come out identical to the first run)
+        index = _read_index(spark, index_dir).where(F.col("batch_id") != batch_id)
+        survivors = incremental_dedup(
+            batch_df, index.select("content_hash"), text_col, id_col
+        )
+        kept_docs = batch_df.join(survivors.select(id_col), id_col).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
+        (
+            kept_docs.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(corpus_dir)
+        )
+        (
+            survivors.select("content_hash", F.lit(batch_id).alias("batch_id"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(index_dir)
+        )
+
+    return _apply
+
+
+def incremental_ingest_sink(
+    stream: DataFrame,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
+):
+    """Start a streaming query maintaining a deduped corpus at ``out_dir``.
+
+    Layout: ``{out_dir}/corpus`` and ``{out_dir}/index``, both partitioned
+    by ``batch_id`` and maintained with dynamic partition overwrite — the
+    write unit is the micro-batch partition, which makes every replay
+    idempotent (same batch_id → same partition rewritten, never doubled).
+    Returns the StreamingQuery.
+    """
+    writer = stream.writeStream.foreachBatch(
+        make_batch_applier(out_dir, text_col, id_col)
+    ).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()

@@ -234,3 +234,63 @@ def test_stream_dedup_state_survives_restart(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == 150  # A-duplicates suppressed by the RESTORED state
     assert got.select("event_id").distinct().count() == 150
+
+
+def test_incremental_ingest_dedups_across_batches_and_restart(spark, tmp_path):
+    """Continuous-crawl ingestion: the second availableNow run (same
+    checkpoint) delivers verbatim duplicates of already-ingested documents
+    plus new ones — the persisted hash index drops the former, keeps the
+    latter, and in-batch duplicates keep the lowest id."""
+    from area_etl_spark.streaming.ingestion import incremental_ingest_sink
+
+    schema = "doc_id long, text string"
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows_a = [(1, "alpha page"), (2, "beta page"), (3, "alpha page")]  # 3 dups 1
+    spark.createDataFrame(rows_a, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = incremental_ingest_sink(stream, out, checkpoint_dir=ckpt)
+        q.awaitTermination(240)
+
+    run_once()
+    corpus = spark.read.parquet(out + "/corpus")
+    assert {r.doc_id for r in corpus.collect()} == {1, 2}  # in-batch dup dropped
+
+    # delivery 2: duplicates of docs 1 and 2 under new ids + one new doc
+    rows_b = [(10, "alpha page"), (11, "  BETA page "), (12, "gamma page")]
+    spark.createDataFrame(rows_b, schema).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    corpus = spark.read.parquet(out + "/corpus")
+    assert {r.doc_id for r in corpus.collect()} == {1, 2, 12}
+    index = spark.read.parquet(out + "/index")
+    # index carries exactly one hash per surviving document
+    assert index.count() == 3
+    assert index.select("content_hash").distinct().count() == 3
+
+
+def test_incremental_ingest_replayed_batch_is_idempotent(spark, tmp_path):
+    """Partition-overwrite idempotence: re-running the foreachBatch body for
+    a batch_id that already wrote its partitions must leave the corpus
+    unchanged (rewrite, not append) — the crash-replay contract."""
+    from area_etl_spark.streaming.ingestion import make_batch_applier
+
+    out = str(tmp_path / "out")
+    batch = spark.createDataFrame(
+        [(1, "one doc"), (2, "two doc")], "doc_id long, text string"
+    )
+    apply_batch = make_batch_applier(out)
+    apply_batch(batch, 0)
+    apply_batch(batch, 0)  # replay of the SAME batch id
+    corpus = spark.read.parquet(out + "/corpus")
+    assert corpus.count() == 2  # rewritten in place, not doubled
+    # and a later batch still dedups against batch 0's index partition
+    batch2 = spark.createDataFrame(
+        [(9, "one doc"), (10, "three doc")], "doc_id long, text string"
+    )
+    apply_batch(batch2, 1)
+    got = {r.doc_id for r in spark.read.parquet(out + "/corpus").collect()}
+    assert got == {1, 2, 10}
