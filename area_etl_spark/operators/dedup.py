@@ -557,8 +557,13 @@ def incremental_dedup(
         F.col(id_col),
         F.md5(F.trim(F.lower(F.col(text_col)))).alias("content_hash"),
     )
+    # no .distinct() on the history side: left_anti keeps a left row iff NO
+    # match exists, so duplicate index keys cannot change the result — a
+    # defensive distinct would shuffle the full index on every run for
+    # nothing (the index is also unique by construction in the streaming
+    # ingestion sink).
     fresh = hashed.join(
-        history_hashes.select("content_hash").distinct(), "content_hash", "left_anti"
+        history_hashes.select("content_hash"), "content_hash", "left_anti"
     )
     return (
         fresh.groupBy("content_hash")
