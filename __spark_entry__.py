@@ -1556,13 +1556,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDER MATTERS: the driver's correctness gate checks the FIRST 50 entries.
-    Round-6 rotation: leads with the ten oracles no driver window has ever
-    executed — dedup_embedding_cosine (r5's named gap), the new
-    pipeline_bindings recast, and the eight r6 operators (corpus family +
-    search family) — then every query whose latest driver green predates
+    Round-6 rotation: leads with the twelve oracles no driver window has
+    ever executed — dedup_embedding_cosine (r5's named gap), the new
+    pipeline_bindings recast, and the ten r6 operators (corpus + search +
+    ranking families) — then every query whose latest driver green predates
     the regenerated NTZ testdata (the r2-only and r3-only greens, including
     the VERDICT-named pipeline_poa / asof_join / range_band_join).
-    Displaced to make room, immediately below the window: seven
+    Displaced to make room, immediately below the window: nine
     timestamp-free queries that already hold a driver green plus
     current-testdata local parity (tests/test_oracle_parity.py), and the
     rows-only dedup_minhash_lsh — the hot-bucket guard defaults off and its
@@ -1630,7 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_band_join": q_range_band_join,
         # —— driver window ends here (first 50) ——
-        # — displaced to fit the 8 new r6 oracles: each already has a driver
+        # — displaced to fit the 10 new r6 oracles: each already has a driver
         #   green plus current-testdata local parity, and none touches the
         #   NTZ-regenerated timestamp columns; dedup_minhash_lsh is rows-only
         #   (guard defaults off; its full-oracle md5 twin went green r5) —
