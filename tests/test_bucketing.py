@@ -65,3 +65,55 @@ def test_bucketed_join_has_no_exchange(spark, tables):
     )
     assert joined.agg(F.sum("qty")).collect() is not None
     assert ob.join(lb, "o_orderkey").count() == plain
+
+
+def test_zorder_layout_skips_on_both_dims(spark, tmp_path):
+    """Z-order vs leading-column range layout, judged by parquet footer
+    min/max stats: a selective filter on the NON-leading dimension can skip
+    files under Z-order but overlaps nearly every file of the range layout;
+    the leading dimension still skips under both."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from area_etl_spark.sources.load import write_range_layout, write_zorder_layout
+
+    n = 200_000
+    df = spark.range(n).select(
+        ((F.col("id") * 2654435761) % 1000).alias("x"),
+        ((F.col("id") * 40503) % 1000).alias("y"),
+        F.col("id").alias("v"),
+    )
+    zdir, rdir = str(tmp_path / "zorder"), str(tmp_path / "range")
+    write_zorder_layout(df, zdir, ["x", "y"], bits=8, num_partitions=16)
+    write_range_layout(df, rdir, ["x"], num_partitions=16)
+
+    def overlapping_files(path, col, lo, hi):
+        hit, total = 0, 0
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            fmin, fmax = None, None
+            for rg in range(md.num_row_groups):
+                row_group = md.row_group(rg)
+                for ci in range(row_group.num_columns):
+                    c = row_group.column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        fmin = s.min if fmin is None else min(fmin, s.min)
+                        fmax = s.max if fmax is None else max(fmax, s.max)
+            total += 1
+            if fmin is None or not (fmax < lo or fmin > hi):
+                hit += 1
+        return hit, total
+
+    # selective slab on y (5% of the value space): the x-range layout is
+    # blind to y, so ~every file overlaps; Z-order skips a real fraction
+    zy, ztot = overlapping_files(zdir, "y", 100, 149)
+    ry, rtot = overlapping_files(rdir, "y", 100, 149)
+    assert ztot == 16 and rtot == 16
+    assert ry >= 15  # leading-x layout cannot skip on y
+    assert zy <= ztot // 2, f"z-order only skipped to {zy}/{ztot} files on y"
+    # and Z-order still skips on x as well (not a y-only sort in disguise)
+    zx, _ = overlapping_files(zdir, "x", 100, 149)
+    assert zx <= ztot // 2, f"z-order only skipped to {zx}/{ztot} files on x"
