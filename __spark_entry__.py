@@ -774,23 +774,26 @@ def q_histogram_bins(spark, sf_dir):
 def q_corr_exact(spark, sf_dir):
     """Pearson correlation + OLS slope of lineitem quantity vs extended
     price, from EXACT integer-cents sums — the five sufficient statistics
-    aggregate commutatively as BIGINTs, the closed form evaluates once in
+    aggregate commutatively as DECIMAL(38,0) (exact to 38 digits; Sxy grows
+    as rows × x·y magnitude, and a BIGINT Syy already overflows at sf0.1 —
+    600k rows × 10^14 — under ANSI), the closed form evaluates once in
     doubles, so the statistic is bit-identical under any partitioning and
     across engines (built-in corr() implementations use per-engine streaming
-    algorithms and disagree in the last ulps).  At 100 TB swap the BIGINT
-    sums for DECIMAL(38,0) (Sxy grows as rows × x·y magnitude)."""
+    algorithms and disagree in the last ulps).  DuckDB's SUM over BIGINT is
+    HUGEINT (128-bit) — the oracle is exact the same way."""
     tables = _tables(spark, sf_dir)
     li = tables["lineitem"].select(
         F.round(F.col("l_quantity") * 100).cast("long").alias("x"),
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
     )
+    dec = "decimal(38,0)"
     sums = li.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
     )
     n = F.col("n").cast("double")
     sx = F.col("sx").cast("double")

@@ -79,17 +79,20 @@ def flag_outliers(
     values.  Returns the rows whose |z| exceeds the threshold.
 
     ``value_cents_col`` must already be integer-quantized (see
-    ``aggregates.exact_money_sum`` for why) — and quantized COARSELY enough
-    that Σx² fits BIGINT for the largest key (bound: rows·max(x)² < 2^63;
-    Spark ANSI errors on overflow while DuckDB widens to int128, so an
-    overflow also breaks cross-engine parity).  Population std (÷n),
-    matching the monitoring convention.
+    ``aggregates.exact_money_sum`` for why).  The sums accumulate as
+    DECIMAL(38,0): exact to 38 digits, so the r6-corr_exact overflow class
+    (rows·max(x)² past 2^63 makes Spark ANSI error while DuckDB silently
+    widens to int128) cannot occur — the per-row product still happens in
+    BIGINT, whose bound max(x)² < 2^63 is a per-VALUE property, not a
+    per-corpus one.  Population std (÷n), matching the monitoring
+    convention.
     """
     x = F.col(value_cents_col)
+    dec = "decimal(38,0)"
     stats = df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum(x).alias("_sx"),
-        F.sum(x * x).alias("_sxx"),
+        F.sum(x.cast(dec)).alias("_sx"),
+        F.sum((x * x).cast(dec)).alias("_sxx"),
     )
     joined = df.join(F.broadcast(stats), keys)
     n = F.col("_n").cast("double")
