@@ -158,3 +158,39 @@ def dedup_keep_representatives(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Quality-aware representative selection: within each near-dup cluster
+    keep the row with the HIGHEST ``score_col`` (ties → lowest id), instead
+    of ``dedup_keep_representatives``'s arbitrary min-id.
+
+    The curation-grade policy: when a cluster mixes a clean original with
+    mangled scrapes of it, min-id keeps whichever happened to be crawled
+    first; max-quality keeps the best copy.
+
+    Shape: components (node → cluster label) join onto the scored rows —
+    the component table is |duplicate nodes|-sized, far smaller than the
+    corpus, and the winner-per-cluster is an aggregate over it (argmax via
+    max_by with a deterministic tiebreak on min id among equal scores,
+    implemented by ordering on (score DESC, id ASC) packed into a struct
+    min).  Rows in no cluster are untouched.  Two bounded shuffles on the
+    cluster label + one left-anti join keyed on the id.
+    """
+    labeled = components.join(
+        df.select(F.col(id_col).alias("node"), F.col(score_col).alias("_s")), "node"
+    )
+    winners = labeled.groupBy("label").agg(
+        F.min(F.struct((-F.col("_s")).alias("neg"), F.col("node").alias("node"))).alias("_w")
+    ).select(F.col("_w.node").alias("_winner"), "label")
+    losers = (
+        components.join(winners, "label")
+        .where(F.col("node") != F.col("_winner"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(losers, id_col, "left_anti")

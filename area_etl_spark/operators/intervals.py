@@ -1,0 +1,70 @@
+"""Interval consolidation — merge overlapping/adjacent time intervals per
+key (the gaps-and-islands problem with VARIABLE interval lengths).
+
+Distinct from sessionization (`streaming/sessions.py`): a session boundary
+is a fixed gap after the PREVIOUS event, so `lag()` suffices.  Intervals of
+varying length can NEST — a long interval can swallow several later short
+ones — so the island test must compare each start against the RUNNING MAX
+of all previous ends, not just the previous row's end.
+
+Distributed shape: one shuffle on the key (the window partition), then two
+narrow window passes over the same partitioning (running max-end for the
+island flag, running sum of flags for the island id) and a final groupBy on
+(key, island) that reuses the window's hash partitioning — Catalyst plans a
+single Exchange for the whole operator.  Per-key data volume bounds the
+window task, exactly like sessionization; no global sort, no cross join.
+
+Reference parity: the reference has no interval algebra — its validity
+ranges (handle_dates, /root/reference/src/utils.py) are row-local.  This is
+one of the net-new analytics operators the Spark recast adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping or touching ``[start, end]`` intervals per key.
+
+    Two intervals merge when the later one STARTS at or before the running
+    max of all earlier ends (touching counts as overlapping).  Output: one
+    row per merged island — key columns, ``interval_start``,
+    ``interval_end``, ``n_merged`` (source rows absorbed).
+
+    Deterministic for any input: the island construction orders by
+    ``(start, end)`` and every aggregate (min/max/count) is
+    order-insensitive.
+    """
+    order = [F.col(start_col).asc(), F.col(end_col).asc()]
+    wprev = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    new_island: Column = (
+        F.when(F.col(start_col) > F.max(end_col).over(wprev), 1).otherwise(0)
+    )
+    flagged = df.withColumn("_new", new_island).withColumn(
+        "_island", F.sum("_new").over(wrun)
+    )
+    return (
+        flagged.groupBy(*key_cols, "_island")
+        .agg(
+            F.min(start_col).alias("interval_start"),
+            F.max(end_col).alias("interval_end"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("_island")
+    )

@@ -17,7 +17,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 
@@ -40,3 +41,46 @@ def left_join_chain(
         on_cols = [on] if isinstance(on, str) else list(on)
         out = out.join(right_side, on=on_cols, how="left")
     return out
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str] | str,
+    num_salts: int = 8,
+    salt_source: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the big (probe) side, replicate the small
+    (build) side across every salt value, join on ``keys + salt``.
+
+    When one join key holds a disproportionate share of the big side's rows
+    (a celebrity user, a default/placeholder id), a plain shuffle join sends
+    that key's entire row set to ONE reducer.  Salting splits the hot key's
+    rows across ``num_salts`` reducers at the cost of replicating the small
+    side ``num_salts``×, which is the right trade whenever
+    ``|small| * num_salts`` is still dimension-sized.  AQE's skew-join
+    handles MODERATE skew by splitting oversized shuffle blocks; explicit
+    salting is the insurance for the pathological key that exceeds a single
+    executor's memory.  Result set is IDENTICAL to the plain join (asserted
+    in tests/test_operators.py).
+
+    ``salt_source``: expression whose hash spreads a key's rows across
+    salts.  It must vary WITHIN a join key (a row id, not the key itself);
+    default is the hash of all big-side columns — deterministic, no rand(),
+    so retried tasks and re-runs salt identically.
+
+    Only ``inner`` and ``left`` joins are supported: for right/full joins
+    the replicated small side would multiply unmatched rows.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports only inner/left joins")
+    on_cols = [on] if isinstance(on, str) else list(on)
+    src = salt_source if salt_source is not None else F.xxhash64(*big.columns)
+    salted_big = big.withColumn("_salt", F.pmod(src, F.lit(num_salts)).cast("int"))
+    salted_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    return (
+        salted_big.join(salted_small, on=on_cols + ["_salt"], how=how).drop("_salt")
+    )

@@ -105,3 +105,89 @@ def flag_outliers(
         .where(F.abs(F.col("z_score")) > z_threshold)
         .drop("_n", "_sx", "_sxx")
     )
+
+
+def flag_outliers_robust(
+    df: DataFrame,
+    keys: list[str],
+    value_cents_col: str,
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Per-key MEDIAN/MAD outlier flagging — the robust twin of
+    ``flag_outliers``.
+
+    Mean/std outlier tests break down exactly when needed most: a handful
+    of extreme values inflates the std until nothing is flagged (masking).
+    The robust version scores ``0.6745 * (x - median) / MAD`` (the
+    Iglewicz–Hoaglin modified z-score; MAD = median absolute deviation)
+    with the conventional 3.5 cutoff, so the scale estimate ignores the
+    outliers being hunted.
+
+    Distributed shape: exact medians need the value multiset, not a
+    commutative sum — ``percentile`` aggregates per key (one shuffle,
+    bounded by per-key cardinality), the O(|keys|) median table broadcasts
+    back, and a second percentile pass over ``|x − median|`` yields MAD.
+    Two aggregation shuffles + two broadcast joins, never a global sort.
+    Exactness: values are integer cents, so Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` interpolate identically (.0/.5 halves).
+    """
+    x = F.col(value_cents_col)
+    med = df.groupBy(*keys).agg(
+        F.percentile(x, F.lit(0.5)).alias("_med")
+    )
+    with_med = df.join(F.broadcast(med), keys)
+    mad = (
+        with_med.groupBy(*keys)
+        .agg(F.percentile(F.abs(x.cast("double") - F.col("_med")), F.lit(0.5)).alias("_mad"))
+    )
+    scored = with_med.join(F.broadcast(mad), keys)
+    z = F.when(
+        F.col("_mad") > 0,
+        F.lit(0.6745) * (x.cast("double") - F.col("_med")) / F.col("_mad"),
+    ).otherwise(F.lit(0.0))
+    return (
+        scored.withColumn("robust_z", F.round(z, 6))
+        .where(F.abs(F.col("robust_z")) > z_threshold)
+        .drop("_med", "_mad")
+    )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_cents_col: str,
+    num_bins: int = 10,
+) -> DataFrame:
+    """Equi-DEPTH histogram: bins hold ~equal row counts (quantile-bounded),
+    the complement of the fixed-width binning in ``histogram_bins``.
+
+    The naive formulation — ``ntile(num_bins)`` over a global ORDER BY —
+    funnels the entire table through ONE window partition: a non-starter at
+    scale.  Instead: one aggregation computes the ``num_bins − 1`` interior
+    quantile boundaries (exact ``percentile``; swap for ``approx_percentile``
+    on truly huge inputs), the O(num_bins) boundary array broadcasts to every
+    row, and the bin index is ``#{boundaries < x}`` evaluated as an array
+    filter — a narrow projection — followed by one groupBy(bin) over
+    ``num_bins`` groups.  Ties go to the LOWER bin, so heavy ties can
+    unbalance counts (inherent to any boundary-based equi-depth scheme).
+    """
+    probs = [i / num_bins for i in range(1, num_bins)]
+    x = F.col(value_cents_col)
+    # Boundaries round to 4 decimals: interpolated quantiles are the one
+    # value computed in floating point on BOTH sides of the oracle compare,
+    # and a 1-ulp divergence between engines' percentile_cont arithmetic
+    # must not flip an integer-vs-boundary comparison.
+    bounds = df.agg(
+        F.transform(F.percentile(x, F.lit(probs)), lambda b: F.round(b, 4)).alias("_bounds")
+    )
+    joined = df.join(F.broadcast(bounds))
+    bin_idx = F.size(F.filter(F.col("_bounds"), lambda b: x.cast("double") > b))
+    return (
+        joined.withColumn("bin", bin_idx)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(x).alias("lo_cents"),
+            F.max(x).alias("hi_cents"),
+            (F.sum(x.cast("decimal(38,0)")).cast("double") / 100.0).alias("total_value"),
+        )
+    )

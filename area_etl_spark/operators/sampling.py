@@ -161,3 +161,32 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
     )
     return labeled.select(F.col(id_col), F.col("group_id"), split.alias("split"))
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str | Column,
+) -> DataFrame:
+    """Per-row WEIGHTED deterministic sampling: keep each row with its own
+    probability ``weight_col`` (a double in [0, 1], clamped).
+
+    The quality-weighted downsampling step of corpus curation ("keep
+    high-quality documents with probability ∝ quality score") — a
+    per-row generalization of ``hash_sample`` sharing the same md5-uniform
+    draw, so it inherits every scale property: pure narrow predicate, no
+    shuffle, reproducible across runs/partitionings/engines, and a row's
+    draw is FIXED — raising its weight can only add it to the sample
+    (monotone, like the nesting property of the fixed-fraction sampler).
+
+    The draw compares the first 8 hex digits of md5(id) — an integer
+    uniform over [0, 2^32) — against ``floor(weight · 2^32)``, numerically
+    (conv from hex), since a lexicographic compare can't express a
+    data-dependent threshold.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    c = F.col(id_col)
+    draw = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    clamped = F.least(F.greatest(w.cast("double"), F.lit(0.0)), F.lit(1.0))
+    threshold = F.floor(clamped * F.lit(float(2**32))).cast("long")
+    return df.where(draw < threshold)

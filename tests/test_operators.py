@@ -393,3 +393,97 @@ def test_topk_per_group_matches_window_semantics(spark):
     assert got[("b", 1)] == (5, 7) and ("b", 2) not in got
     assert got[("c", 1)] == (7, 2) and got[("c", 2)] == (6, 1)
     assert len(out) == 5
+
+
+def test_merge_intervals_nested_and_touching(spark):
+    """Containment (a long interval swallowing later short ones) and exact
+    touching must both merge; a strictly-later start must not."""
+    from area_etl_spark.operators.intervals import merge_intervals
+
+    rows = [
+        # key a: [0,100] swallows [10,20] and [30,40]; [100,110] touches; [200,210] separate
+        ("a", 0, 100), ("a", 10, 20), ("a", 30, 40), ("a", 100, 110), ("a", 200, 210),
+        # key b: plain chain overlap
+        ("b", 0, 5), ("b", 3, 8), ("b", 8, 12),
+    ]
+    df = spark.createDataFrame(rows, "k string, s int, e int")
+    out = {
+        (r.k, r.interval_start, r.interval_end): r.n_merged
+        for r in merge_intervals(df, ["k"], "s", "e").collect()
+    }
+    assert out == {("a", 0, 110): 4, ("a", 200, 210): 1, ("b", 0, 12): 3}
+
+
+def test_salted_join_matches_plain_join(spark, tables):
+    """salted_join must return exactly the plain join's multiset, inner and
+    left, including unmatched left rows under `left`."""
+    from area_etl_spark.operators.joins import salted_join
+    from pyspark.sql import functions as F
+
+    li = tables["lineitem"].select(
+        "l_orderkey", "l_linenumber", F.col("l_suppkey").alias("s_suppkey"), "l_quantity"
+    ).limit(2000)
+    # drop half the suppliers so `left` has genuinely unmatched probe rows
+    sup = tables["supplier"].where(F.col("s_suppkey") % 2 == 0).select("s_suppkey", "s_name")
+    for how in ("inner", "left"):
+        plain = sorted(map(tuple, li.join(sup, "s_suppkey", how).collect()))
+        salted = sorted(map(tuple, salted_join(li, sup, "s_suppkey", num_salts=4, how=how).collect()))
+        assert salted == plain, how
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(li, sup, "s_suppkey", how="full")
+
+
+def test_dedup_keep_best_prefers_high_score(spark):
+    from area_etl_spark.operators.graph import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (3, 99.0), (4, 5.0), (5, 7.0)], "id long, score double"
+    )
+    # cluster {1,2,3} labeled 1; {4} alone in components; 5 unpaired
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "node long, label long"
+    )
+    kept = sorted(r.id for r in dedup_keep_best(docs, comps, "id", "score").collect())
+    # winner of {1,2,3} is id 2 (max score 99, tie vs 3 → min id); 4 and 5 survive
+    assert kept == [2, 4, 5]
+
+
+def test_weighted_hash_sample_monotone_and_bounds(spark, tables):
+    """weight=0 keeps nothing, weight=1 keeps everything, and raising the
+    weight can only ADD rows (same md5 draw per id)."""
+    from area_etl_spark.operators.sampling import weighted_hash_sample
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"].select("doc_id")
+    assert weighted_hash_sample(docs, "doc_id", F.lit(0.0)).count() == 0
+    assert weighted_hash_sample(docs, "doc_id", F.lit(1.0)).count() == docs.count()
+    lo = {r.doc_id for r in weighted_hash_sample(docs, "doc_id", F.lit(0.2)).collect()}
+    hi = {r.doc_id for r in weighted_hash_sample(docs, "doc_id", F.lit(0.6)).collect()}
+    assert lo <= hi
+    n = docs.count()
+    assert abs(len(hi) / n - 0.6) < 0.1  # uniform draw ≈ weight
+
+
+def test_flag_outliers_robust_resists_masking(spark):
+    """One extreme value must be flagged by median/MAD even though it drags
+    the mean/std enough to mask itself from a lenient z-test."""
+    from area_etl_spark.operators.quality import flag_outliers_robust
+
+    vals = [100 + i for i in range(-10, 11)] + [100000]
+    df = spark.createDataFrame([("g", i, v) for i, v in enumerate(vals)], "g string, i int, cents long")
+    flagged = flag_outliers_robust(df, ["g"], "cents", z_threshold=3.5).collect()
+    assert [r.cents for r in flagged] == [100000]
+    # all-identical values → MAD 0 → z defined as 0, nothing flagged, no div-by-zero
+    same = spark.createDataFrame([("g", i, 5) for i in range(10)], "g string, i int, cents long")
+    assert flag_outliers_robust(same, ["g"], "cents").count() == 0
+
+
+def test_equidepth_histogram_balanced_counts(spark):
+    from area_etl_spark.operators.quality import equidepth_histogram
+
+    df = spark.createDataFrame([(i,) for i in range(1, 1001)], "cents long")
+    out = {r.bin: r.n_rows for r in equidepth_histogram(df, "cents", num_bins=10).collect()}
+    assert sorted(out) == list(range(10))
+    assert all(abs(n - 100) <= 1 for n in out.values()), out
