@@ -1752,6 +1752,85 @@ def q_dedup_best_rep(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """Fixed-3-iteration all-integer PageRank over the bidirectional
+    user↔item interaction graph (item = event_id mod 500, offset past the
+    user-id range).  Integer arithmetic makes the iterative algorithm
+    bit-reproducible and lets the oracle replay each round as a chained
+    CTE."""
+    from area_etl_spark.operators.graph import pagerank_integer
+
+    tables = _tables(spark, sf_dir)
+    ev = tables["events"].select(
+        F.col("user_id").alias("u"),
+        (F.pmod(F.col("event_id"), F.lit(500)) + F.lit(10_000_000)).alias("i"),
+    )
+    fwd = ev.select(F.col("u").alias("src"), F.col("i").alias("dst"))
+    rev = ev.select(F.col("i").alias("src"), F.col("u").alias("dst"))
+    edges = fwd.unionByName(rev).distinct()
+    return pagerank_integer(edges, iterations=3).select(
+        "node", F.col("rank").alias("pr_rank")
+    )
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: corpus compressed to 16 one-byte codes per
+    vector (prefix-seeded subspace codebooks), scanned by asymmetric
+    distance (table lookups, never the original vectors), then the top-50
+    shortlist re-ranked by exact cosine — the production PQ shape."""
+    tables = _tables(spark, sf_dir)
+    q = _query_vec(spark, sf_dir)
+    return SIM.pq_adc_topk(
+        tables["embeddings"].where(F.col("vec_id") != 0), q,
+        k=10, n_subspaces=16, ks=16, refine=50,
+    )
+
+
+def q_scd2_lookup(spark, sf_dir):
+    """Point-in-time dimension lookup: join every event to the SCD2 status
+    version valid AT its timestamp — asof machinery against the validity
+    intervals (latest valid_from ≤ ts), the standard history-aware join
+    the reference's migrate_udos_history consumers need.  Safe here because
+    (user_id, ts) is unique in events (no equal-valid_from ambiguity)."""
+    from area_etl_spark.operators.history import scd2_intervals
+
+    tables = _tables(spark, sf_dir)
+    ev = tables["events"].select("user_id", "event_id", "ts", F.col("event_type").alias("status"))
+    dim = scd2_intervals(
+        ev, key_cols=["user_id"], time_col="ts", attr_cols=["status"], tiebreak_cols=["event_id"]
+    ).select("user_id", "valid_from", "status")
+    return asof_join(
+        tables["events"].select("event_id", "user_id", "ts"),
+        dim,
+        on="user_id",
+        left_time="ts",
+        right_time="valid_from",
+        value_cols=["status"],
+    ).select("event_id", "user_id", "ts", F.col("status_asof"))
+
+
+def q_window_moving_median(spark, sf_dir):
+    """Moving EXACT median over a 7-row trailing window per user — an
+    order-statistic no running sum can maintain; the window buffers the
+    frame and Spark's `percentile` aggregate evaluates per frame.  Integer
+    cents make the .5-interpolation identical across engines."""
+    from pyspark.sql import Window
+
+    tables = _tables(spark, sf_dir)
+    ev = tables["events"].where(F.col("user_id") < 100).select(
+        "user_id", "event_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id", "cents",
+        F.round(F.percentile(F.col("cents"), F.lit(0.5)).over(w), 6).alias("median_7"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -1800,13 +1879,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_read": q_schema_evolution_read,
         "weighted_sample": q_weighted_sample,
         "dedup_best_rep": q_dedup_best_rep,
+        "pagerank": q_pagerank,
+        "ann_pq_topk": q_ann_pq_topk,
+        "scd2_lookup": q_scd2_lookup,
+        "window_moving_median": q_window_moving_median,
         # — r2-only greens: last checked before the NTZ testdata/loader regen —
         "year_cast": q_year_cast,
         "datetime_normalize": q_datetime_normalize,
         "when_then_derivation": q_when_then_derivation,
         "projection_pipeline": q_projection_pipeline,
         "load_roundtrip": q_load_roundtrip,
-        "export_csv_roundtrip": q_export_csv_roundtrip,
         # — r3-only greens: same reason —
         "window_rank_funcs": q_window_rank_funcs,
         "monthly_revenue_rollup": q_monthly_revenue_rollup,
@@ -1815,14 +1897,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "distinct_count_skewsafe": q_distinct_count_skewsafe,
-        "dedup_components": q_dedup_components,
-        "json_extract": q_json_extract,
         "profile_table": q_profile_table,
         "scd2_intervals": q_scd2_intervals,
         "role_permissions_fanout": q_role_permissions_fanout,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "text_repetition": q_text_repetition,
-        "text_tfidf_topk": q_text_tfidf_topk,
         "funnel_conversion": q_funnel_conversion,
         "partitioned_layout_prune": q_partitioned_layout_prune,
         "export_jsonl_roundtrip": q_export_jsonl_roundtrip,
@@ -1831,10 +1910,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_band_join": q_range_band_join,
         # —— driver window ends here (first 50) ——
-        # — displaced for the 11 new never-checked oracles: timestamp-free
+        # — displaced for the 15 new never-checked oracles: timestamp-free
         #   r2/r3 driver greens with current-testdata local parity; r7
         #   rotation candidates —
         "id_normalize": q_id_normalize,
+        "export_csv_roundtrip": q_export_csv_roundtrip,
+        "json_extract": q_json_extract,
+        "dedup_components": q_dedup_components,
+        "text_tfidf_topk": q_text_tfidf_topk,
         "enum_mapping": q_enum_mapping,
         "text_clean": q_text_clean,
         "dup_name_disambiguation": q_dup_name_disambiguation,
@@ -2171,6 +2254,40 @@ def _dedup_best_rep_sql(threshold: float = 0.5) -> str:
         LEFT JOIN winners w ON w.label = l.label
         WHERE l.node IS NULL OR d.doc_id = w.node
     """
+
+
+def _pagerank_sql(iterations: int = 3, damping_pct: int = 85, scale: int = 10**9) -> str:
+    """Chained-CTE replay of the fixed-k all-integer PageRank: one
+    (contrib, rank) CTE pair per iteration — possible only because the
+    operator's arithmetic is pure integer (commutative sums, floor
+    division)."""
+    base = (100 - damping_pct) * scale // 100
+    ctes = [
+        """e AS (
+            SELECT DISTINCT user_id AS src, 10000000 + (event_id % 500) AS dst FROM events
+            UNION
+            SELECT DISTINCT 10000000 + (event_id % 500) AS src, user_id AS dst FROM events
+        )""",
+        "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS pr FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""c{k} AS (
+                SELECT e.dst AS node, SUM(r.pr // g.d) AS s
+                FROM e JOIN deg g ON g.src = e.src JOIN r{k - 1} r ON r.node = e.src
+                GROUP BY e.dst
+            )"""
+        )
+        ctes.append(
+            f"""r{k} AS (
+                SELECT n.node,
+                       CAST({base} AS BIGINT) + ({damping_pct} * COALESCE(c.s, 0)) // 100 AS pr
+                FROM nodes n LEFT JOIN c{k} c ON c.node = n.node
+            )"""
+        )
+    return f"WITH {', '.join(ctes)} SELECT node, pr AS pr_rank FROM r{iterations}"
 
 
 def _simhash_portable_sql(bits: int = 16) -> str:
@@ -3434,6 +3551,74 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_pipeline_portable": _dedup_portable_pipeline_sql(threshold=0.5),
         "dedup_best_rep": _dedup_best_rep_sql(threshold=0.5),
+        "pagerank": _pagerank_sql(iterations=3),
+        "scd2_lookup": """
+            WITH ordered AS (
+                SELECT user_id, event_id, ts, event_type AS status,
+                       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_status,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+                FROM events
+            ), changes AS (
+                SELECT user_id, ts AS valid_from, status FROM ordered
+                WHERE rn = 1 OR status IS DISTINCT FROM prev_status
+            )
+            SELECT e.event_id, e.user_id, e.ts, s.status AS status_asof
+            FROM events e
+            ASOF LEFT JOIN changes s
+              ON e.user_id = s.user_id AND e.ts >= s.valid_from
+        """,
+        "window_moving_median": """
+            SELECT user_id, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   round(quantile_cont(CAST(round(value * 100) AS BIGINT), 0.5) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS median_7
+            FROM events WHERE user_id < 100
+        """,
+        "ann_pq_topk": f"""
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+            seeds AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding AS cv
+                FROM (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 16)
+            ),
+            ms AS (SELECT unnest(range(0, 16)) AS m),
+            dists AS (
+                SELECT e.vec_id, ms.m, s.code,
+                       list_reduce(list_transform(generate_series(1, 4),
+                           i -> (CAST(e.embedding[ms.m * 4 + i] AS DOUBLE) - CAST(s.cv[ms.m * 4 + i] AS DOUBLE))
+                              * (CAST(e.embedding[ms.m * 4 + i] AS DOUBLE) - CAST(s.cv[ms.m * 4 + i] AS DOUBLE))),
+                           (x, y) -> x + y) AS d
+                FROM e CROSS JOIN ms CROSS JOIN seeds s
+            ),
+            enc AS (
+                SELECT vec_id, m, code FROM (
+                    SELECT vec_id, m, code,
+                           row_number() OVER (PARTITION BY vec_id, m ORDER BY d ASC, code ASC) AS rn
+                    FROM dists) WHERE rn = 1
+            ),
+            qtab AS (
+                SELECT ms.m, s.code,
+                       list_reduce(list_transform(generate_series(1, 4),
+                           i -> CAST(q.qe[ms.m * 4 + i] AS DOUBLE) * CAST(s.cv[ms.m * 4 + i] AS DOUBLE)),
+                           (x, y) -> x + y) AS qd
+                FROM q CROSS JOIN ms CROSS JOIN seeds s
+            ),
+            scored AS (
+                SELECT enc.vec_id,
+                       list_reduce(list(qt.qd ORDER BY enc.m), (x, y) -> x + y) AS score
+                FROM enc JOIN qtab qt ON qt.m = enc.m AND qt.code = enc.code
+                GROUP BY enc.vec_id
+            ),
+            shortlist AS (
+                SELECT vec_id FROM scored
+                ORDER BY round(score, 6) DESC, vec_id LIMIT 50
+            )
+            SELECT vec_id, round({dot} / ({norm_e} * {norm_q}), 6) AS cosine
+            FROM embeddings JOIN shortlist USING (vec_id) CROSS JOIN q
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
         "merge_intervals": """
             WITH iv AS (
                 SELECT user_id, ts AS iv_start,

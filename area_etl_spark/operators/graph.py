@@ -194,3 +194,69 @@ def dedup_keep_best(
         .select(F.col("node").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Fixed-iteration PageRank in ALL-INTEGER arithmetic — deterministic
+    under any partitioning AND engine-portable (floating PageRank sums
+    contributions in data-dependent order, so the last ulps differ run to
+    run; integer sums are commutative, and floor-division is identical
+    everywhere).
+
+    Ranks live in units of ``1/scale``: every node starts at ``scale``
+    (rank 1.0), one round sends each node ``rank div outdeg`` along every
+    out-edge, and the update is
+
+        rank' = (100 - damping_pct) * scale div 100
+                + damping_pct * Σ contributions div 100.
+
+    Simplifications, both standard and both documented: dangling nodes (no
+    out-edges) leak their mass instead of redistributing it, and the result
+    is the FIXED-k iterate, not the converged eigenvector — k chained
+    map-reduce rounds is exactly what an oracle can replay as k chained
+    CTEs.
+
+    Scale shape: per round one equi-join (ranks ⋈ edges on src — the big
+    side; AQE broadcasts the rank table only while it's small) plus one
+    groupBy(dst) with map-side combine — the Pregel-on-DataFrames pattern.
+    ``localCheckpoint(eager)`` truncates lineage per round like
+    ``connected_components``.  Degrees are computed once, outside the loop.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("`rank` div `_deg`").alias("_c"))
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("_c").alias("_s"))
+        ranks = (
+            nodes.join(sums.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({damping_pct} * coalesce(_s, 0L)) div 100")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

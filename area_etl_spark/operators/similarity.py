@@ -341,3 +341,135 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", sim.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def _l2sq(a: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid — left-to-right sum, so the
+    float order is fixed (same determinism contract as ``_dot``)."""
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(a, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks_from_prefix(
+    df: DataFrame,
+    n_subspaces: int = 4,
+    ks: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks seeded from the data prefix: subspace
+    m's code c is the c-th vector's (by id) m-th subvector.
+
+    Deterministic and engine-replayable (the same convention as
+    ``ivf_ann_topk``'s coarse codebook) — the oracle can rebuild the exact
+    codebooks with an ORDER BY/LIMIT.  For production recall, retrain each
+    subspace with ``train_kmeans_codebook`` on the sliced corpus; the
+    encode/ADC machinery below is codebook-agnostic.
+    """
+    rows = df.orderBy(id_col).limit(ks).select(vec_col).collect()
+    vecs = [[float(x) for x in r[0]] for r in rows]
+    dim = len(vecs[0])
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible into {n_subspaces} subspaces")
+    sub = dim // n_subspaces
+    return [
+        [(c, vecs[c][m * sub : (m + 1) * sub]) for c in range(len(vecs))]
+        for m in range(n_subspaces)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, code_0..code_{M-1}) — each vector compressed to M small codes
+    (nearest subspace centroid by L2², ties → lowest code).
+
+    The compression step that makes 100 TB of float32 vectors searchable
+    from memory: 64 dims × 4 B become M bytes.  One narrow pass; per
+    subspace the ks distances land in ONE staged array (the
+    ``assign_ivf_buckets`` single-evaluation trick) and
+    ``array_position(array_min)`` takes the first — lowest-code — argmin.
+    """
+    sub = len(codebooks[0][0][1])
+    staged = df.select(
+        F.col(id_col),
+        *[
+            F.array(
+                *[_l2sq(F.slice(F.col(vec_col), m * sub + 1, sub), cvec) for _, cvec in book]
+            ).alias(f"_d{m}")
+            for m, book in enumerate(codebooks)
+        ],
+    )
+    return staged.select(
+        F.col(id_col),
+        *[
+            (F.array_position(F.col(f"_d{m}"), F.array_min(f"_d{m}")) - 1)
+            .cast("int")
+            .alias(f"code_{m}")
+            for m in range(len(codebooks))
+        ],
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_subspaces: int = 16,
+    ks: int = 16,
+    refine: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """PQ approximate top-k by inner product, asymmetric-distance style
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    public): encode the corpus once, precompute the M×ks table of
+    query-subvector · centroid dot products on the driver, and score a row
+    as the sum of M table lookups on its codes.
+
+    Scale shape: scoring never touches the original vectors — it is M
+    ``element_at`` lookups into literal arrays over the (id, codes) table,
+    a narrow projection; the encode pass amortizes over every future query.
+    Driver-side work is O(M·ks·sub) — the codebook, not the corpus.
+    Determinism: table entries are sequential-order dot products (Python
+    and any replaying engine agree bit-for-bit); the final rank sorts on
+    the ROUNDED score with an id tiebreak.
+    """
+    books = pq_codebooks_from_prefix(df, n_subspaces, ks, vec_col, id_col)
+    sub = len(books[0][0][1])
+    tables = [
+        [
+            sum(float(query[m * sub + i]) * cvec[i] for i in range(sub))
+            for _, cvec in book
+        ]
+        for m, book in enumerate(books)
+    ]
+    encoded = pq_encode(df, books, vec_col, id_col)
+    score = None
+    for m, tab in enumerate(tables):
+        term = F.element_at(
+            F.array(*[F.lit(float(t)) for t in tab]), F.col(f"code_{m}") + 1
+        )
+        score = term if score is None else score + term
+    adc = encoded.select(F.col(id_col), F.round(score, 6).alias("adc_score"))
+    if not refine:
+        return adc.orderBy(F.col("adc_score").desc(), F.col(id_col)).limit(k)
+    # production shape: ADC is the cheap SHORTLIST scan (codes only, no
+    # vectors); the top `refine` candidates re-rank by exact cosine against
+    # their original vectors — recall converges to exact as refine grows
+    # while the corpus-wide pass still never touches a float vector.
+    shortlist = adc.orderBy(F.col("adc_score").desc(), F.col(id_col)).limit(refine)
+    sim = F.round(cosine_similarity(F.col(vec_col), query), 6).alias("cosine")
+    return (
+        df.join(shortlist.select(id_col), id_col)
+        .select(F.col(id_col), sim)
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

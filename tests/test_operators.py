@@ -487,3 +487,18 @@ def test_equidepth_histogram_balanced_counts(spark):
     out = {r.bin: r.n_rows for r in equidepth_histogram(df, "cents", num_bins=10).collect()}
     assert sorted(out) == list(range(10))
     assert all(abs(n - 100) <= 1 for n in out.values()), out
+
+
+def test_pagerank_integer_structure_and_partition_invariance(spark):
+    """A node every other node links to must out-rank the leaves, and the
+    all-integer arithmetic must give IDENTICAL ranks under different input
+    partitionings (the property floating PageRank lacks)."""
+    from area_etl_spark.operators.graph import pagerank_integer
+
+    edges = [(u, 0) for u in range(1, 6)] + [(0, u) for u in range(1, 6)]
+    df1 = spark.createDataFrame(edges, "src long, dst long")
+    r1 = {r.node: r.rank for r in pagerank_integer(df1, iterations=3).collect()}
+    assert r1[0] > max(v for k, v in r1.items() if k != 0)
+    df2 = df1.repartition(7)
+    r2 = {r.node: r.rank for r in pagerank_integer(df2, iterations=3).collect()}
+    assert r1 == r2

@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis) for the operators whose correctness is
+an algebraic identity rather than a fixed example:
+
+- ``salted_join`` ≡ plain join for ANY data and salt count;
+- ``merge_intervals`` output intervals are disjoint, non-touching, ordered,
+  cover exactly the input's point set, and account for every input row;
+- ``weighted_hash_sample`` membership is monotone in the weight for ANY
+  weight pair;
+- ``pagerank_integer`` conserves total mass up to the documented dangling
+  leak and floor-division dust (an upper bound, never a gain).
+
+Examples are deliberately small (Spark job per example is the cost), with
+``max_examples`` tuned so the whole module stays in CI budget.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (key, value) rows with FEW distinct keys so joins/islands collide often
+rows_strategy = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 100)), min_size=0, max_size=30
+)
+intervals_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 20)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=rows_strategy, salts=st.integers(1, 5))
+def test_salted_join_identity(spark, rows, salts):
+    from area_etl_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(rows or [(0, 0)], "k int, v int")
+    if not rows:
+        big = big.limit(0)
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (3, "d")], "k int, tag string")
+    for how in ("inner", "left"):
+        plain = sorted(map(tuple, big.join(small, "k", how).collect()))
+        salted = sorted(
+            map(tuple, salted_join(big, small, "k", num_salts=salts, how=how).collect())
+        )
+        assert salted == plain
+
+
+@settings(**SETTINGS)
+@given(ivs=intervals_strategy)
+def test_merge_intervals_invariants(spark, ivs):
+    from area_etl_spark.operators.intervals import merge_intervals
+
+    data = [(k, s, s + d) for k, s, d in ivs]
+    df = spark.createDataFrame(data, "k int, s int, e int")
+    out = merge_intervals(df, ["k"], "s", "e").collect()
+    # every input row is absorbed exactly once
+    assert sum(r.n_merged for r in out) == len(data)
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append((r.interval_start, r.interval_end))
+    for k, merged in by_key.items():
+        merged.sort()
+        # disjoint AND non-touching (touching intervals must have merged)
+        for (s1, e1), (s2, e2) in zip(merged, merged[1:]):
+            assert e1 < s2
+        # same covered point set as the inputs for this key
+        src = sorted((s, e) for kk, s, e in data if kk == k)
+        covered = set()
+        for s, e in src:
+            covered.update(range(s, e + 1))
+        got = set()
+        for s, e in merged:
+            got.update(range(s, e + 1))
+        assert got == covered
+
+
+@settings(**SETTINGS)
+@given(w_lo=st.floats(0, 1), w_hi=st.floats(0, 1))
+def test_weighted_sample_monotone(spark, w_lo, w_hi):
+    from area_etl_spark.operators.sampling import weighted_hash_sample
+
+    if w_lo > w_hi:
+        w_lo, w_hi = w_hi, w_lo
+    df = spark.range(60).withColumnRenamed("id", "doc_id")
+    lo = {r.doc_id for r in weighted_hash_sample(df, "doc_id", F.lit(w_lo)).collect()}
+    hi = {r.doc_id for r in weighted_hash_sample(df, "doc_id", F.lit(w_hi)).collect()}
+    assert lo <= hi
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 5)), min_size=1, max_size=15))
+def test_pagerank_mass_bound(spark, edges):
+    from area_etl_spark.operators.graph import pagerank_integer
+
+    df = spark.createDataFrame(edges, "src long, dst long").distinct()
+    out = pagerank_integer(df, iterations=2).collect()
+    n = len(out)
+    total = sum(r.rank for r in out)
+    # mass can leak (dangling nodes, floor dust) but never be created:
+    # after any round, Σ ranks ≤ n·base + damping·(previous total) ≤ n·scale
+    assert 0 < total <= n * 10**9
+    # every node of the graph is ranked
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    assert {r.node for r in out} == nodes

@@ -343,3 +343,31 @@ def test_dedup_pipeline_portable_matches_fast_path(spark):
     fast = {r.doc_id for r in entrymod.q_dedup_full_pipeline(spark, sf).collect()}
     portable = {r.doc_id for r in entrymod.q_dedup_pipeline_portable(spark, sf).collect()}
     assert fast == portable
+
+
+def test_pq_encode_recovers_seed_codes(spark):
+    """A vector that IS the c-th seed must encode to code c in every
+    subspace (its distance to its own subvector is exactly 0)."""
+    from area_etl_spark.operators.similarity import pq_codebooks_from_prefix, pq_encode
+
+    vecs = [(i, [float(i * 100 + d) for d in range(8)]) for i in range(4)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    books = pq_codebooks_from_prefix(df, n_subspaces=2, ks=4)
+    out = {r.vec_id: (r.code_0, r.code_1) for r in pq_encode(df, books).collect()}
+    assert out == {i: (i, i) for i in range(4)}
+
+
+def test_pq_adc_topk_overlaps_exact(spark, tables):
+    """PQ with the production refine stage (ADC shortlist 50 → exact cosine
+    re-rank) must recover most of the exact top-10; the prototype sweep
+    measured 9/10 at M=16 on this corpus (structureless synthetic vectors
+    are PQ's worst case, which is WHY the refine stage exists)."""
+    from pyspark.sql import functions as F
+
+    from area_etl_spark.operators.similarity import cosine_topk, pq_adc_topk
+
+    emb = tables["embeddings"].where(F.col("vec_id") != 0)
+    q = [float(x) for x in tables["embeddings"].where(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r.vec_id for r in cosine_topk(emb, q, k=10).collect()}
+    approx = {r.vec_id for r in pq_adc_topk(emb, q, k=10, n_subspaces=16, ks=16, refine=50).collect()}
+    assert len(exact & approx) >= 7, (exact, approx)

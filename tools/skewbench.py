@@ -78,7 +78,17 @@ def main() -> None:
     timed("join shuffle AQE-on (skew split)", lambda: sink(fact.join(dim, "k")))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     timed("join shuffle AQE-OFF (straggler)", lambda: sink(fact.join(dim, "k")))
+    # explicit salting: the insurance AQE can't give (a single key larger
+    # than one executor's memory must be SPLIT before the shuffle, not
+    # re-planned after it) — measured both with and without AQE so the
+    # overhead of the 8× dim replication is visible
+    from area_etl_spark.operators.joins import salted_join
+
+    timed("join salted 8x AQE-OFF", lambda: sink(
+        salted_join(fact, dim, "k", num_salts=8, salt_source=F.xxhash64("id"))))
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    timed("join salted 8x AQE-on", lambda: sink(
+        salted_join(fact, dim, "k", num_salts=8, salt_source=F.xxhash64("id"))))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10m")
 
     # 4. inverted-index postings under a stopword: every doc contains 'the',
