@@ -20,6 +20,7 @@ from datetime import datetime
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from area_etl_spark.functions import transforms as TR
 from area_etl_spark.functions.transforms import (
     handle_datetime,
     handle_enum_mapping,
@@ -1831,6 +1832,102 @@ def q_window_moving_median(spark, sf_dir):
     )
 
 
+def q_locf_impute(spark, sf_dir):
+    """Forward-fill (last-observation-carried-forward) imputation: planted
+    nulls (every 5th event) take the user's most recent non-null value —
+    `last(ignorenulls)` over an ordered frame, the time-series gap-repair
+    primitive."""
+    from pyspark.sql import Window
+
+    tables = _tables(spark, sf_dir)
+    ev = tables["events"].select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_id") % 5 != 0, F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", "value_cents",
+        F.last("value_cents", ignorenulls=True).over(w).alias("filled_cents"),
+    )
+
+
+def q_ratio_to_report(spark, sf_dir):
+    """Percent-of-total within a group (ratio-to-report): each order's share
+    of its priority class's revenue — window sum of exact cents, one
+    division per row."""
+    from pyspark.sql import Window
+
+    tables = _tables(spark, sf_dir)
+    o = tables["orders"].select(
+        "o_orderkey", "o_orderpriority", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    total = F.sum("cents").over(Window.partitionBy("o_orderpriority"))
+    return o.select(
+        "o_orderkey", "o_orderpriority", "cents",
+        F.round(F.col("cents") / total, 9).alias("share"),
+    )
+
+
+def q_mode_per_group(spark, sf_dir):
+    """DETERMINISTIC mode per user (most frequent event type, ties → first
+    alphabetically) — built-in `mode()` leaves ties engine-defined, so the
+    argmax runs as a struct-min over (−count, value)."""
+    tables = _tables(spark, sf_dir)
+    counts = tables["events"].groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    win = counts.groupBy("user_id").agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("event_type").alias("et"))).alias("_w")
+    )
+    return win.select(
+        "user_id", F.col("_w.et").alias("mode_event_type"), (-F.col("_w.neg")).cast("long").alias("mode_count")
+    )
+
+
+def q_set_operations(spark, sf_dir):
+    """INTERSECT / EXCEPT set algebra: BUILDING-segment customers split into
+    those who ever ordered and those who never did."""
+    tables = _tables(spark, sf_dir)
+    seg = tables["customer"].where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ordered = tables["orders"].select(F.col("o_custkey").alias("c_custkey"))
+    both = seg.intersect(ordered).select(F.lit("ordered").alias("kind"), "c_custkey")
+    never = seg.subtract(ordered).select(F.lit("never").alias("kind"), "c_custkey")
+    return both.unionByName(never)
+
+
+def q_entropy_per_user(spark, sf_dir):
+    """Shannon entropy of each user's event-type mix — a float fold made
+    engine-deterministic by summing terms in SORTED KEY ORDER (array_sort →
+    left fold), never in shuffle order."""
+    tables = _tables(spark, sf_dir)
+    counts = tables["events"].groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    per_user = counts.groupBy("user_id").agg(
+        F.sum("cnt").alias("total"),
+        F.array_sort(F.collect_list(F.struct(F.col("event_type").alias("et"), F.col("cnt").alias("c")))).alias("_cs"),
+    )
+    p = lambda s: s.getField("c").cast("double") / F.col("total").cast("double")  # noqa: E731
+    ent = F.aggregate(
+        F.col("_cs"), F.lit(0.0), lambda acc, s: acc - p(s) * F.log2(p(s))
+    )
+    return per_user.select("user_id", F.col("total"), F.round(ent, 6).alias("entropy"))
+
+
+def q_text_strip_accents(spark, sf_dir):
+    """Accent folding over planted Italian-accented names (table-driven
+    translate, no UDF) — the normalization the reference's master-data
+    equality keys need ('Località' ≡ 'Localita')."""
+    from area_etl_spark.functions.transforms import strip_accents
+
+    tables = _tables(spark, sf_dir)
+    salted = tables["customer"].select(
+        "c_custkey",
+        F.concat(F.lit("Località Tùrìn é "), F.col("c_name"), F.lit(" ÀÈÌÒÙ çñ")).alias("raw"),
+    )
+    return salted.select("c_custkey", "raw", strip_accents("raw", "folded"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -1883,6 +1980,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": q_ann_pq_topk,
         "scd2_lookup": q_scd2_lookup,
         "window_moving_median": q_window_moving_median,
+        "locf_impute": q_locf_impute,
+        "ratio_to_report": q_ratio_to_report,
+        "mode_per_group": q_mode_per_group,
+        "set_operations": q_set_operations,
+        "entropy_per_user": q_entropy_per_user,
+        "text_strip_accents": q_text_strip_accents,
         # — r2-only greens: last checked before the NTZ testdata/loader regen —
         "year_cast": q_year_cast,
         "datetime_normalize": q_datetime_normalize,
@@ -1890,21 +1993,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_pipeline": q_projection_pipeline,
         "load_roundtrip": q_load_roundtrip,
         # — r3-only greens: same reason —
-        "window_rank_funcs": q_window_rank_funcs,
         "monthly_revenue_rollup": q_monthly_revenue_rollup,
         "calendar_gapfill": q_calendar_gapfill,
         "first_touch_attribution": q_first_touch_attribution,
         "retention_cohorts": q_retention_cohorts,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "distinct_count_skewsafe": q_distinct_count_skewsafe,
-        "profile_table": q_profile_table,
         "scd2_intervals": q_scd2_intervals,
-        "role_permissions_fanout": q_role_permissions_fanout,
-        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
-        "text_repetition": q_text_repetition,
         "funnel_conversion": q_funnel_conversion,
         "partitioned_layout_prune": q_partitioned_layout_prune,
-        "export_jsonl_roundtrip": q_export_jsonl_roundtrip,
         # — VERDICT-named r2+r3 doubles, re-confirmed on current testdata —
         "pipeline_poa": q_pipeline_poa,
         "asof_join": q_asof_join,
@@ -1918,6 +2015,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "dedup_components": q_dedup_components,
         "text_tfidf_topk": q_text_tfidf_topk,
+        "window_rank_funcs": q_window_rank_funcs,
+        "profile_table": q_profile_table,
+        "role_permissions_fanout": q_role_permissions_fanout,
+        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
+        "text_repetition": q_text_repetition,
+        "export_jsonl_roundtrip": q_export_jsonl_roundtrip,
         "enum_mapping": q_enum_mapping,
         "text_clean": q_text_clean,
         "dup_name_disambiguation": q_dup_name_disambiguation,
@@ -3552,6 +3655,72 @@ def oracle_sql() -> dict[str, str]:
         "dedup_pipeline_portable": _dedup_portable_pipeline_sql(threshold=0.5),
         "dedup_best_rep": _dedup_best_rep_sql(threshold=0.5),
         "pagerank": _pagerank_sql(iterations=3),
+        "text_strip_accents": f"""
+            SELECT c_custkey,
+                   'Località Tùrìn é ' || c_name || ' ÀÈÌÒÙ çñ' AS raw,
+                   translate('Località Tùrìn é ' || c_name || ' ÀÈÌÒÙ çñ',
+                             '{TR.ACCENT_SRC}', '{TR.ACCENT_DST}') AS folded
+            FROM customer
+        """,
+        "locf_impute": """
+            WITH ev AS (
+                SELECT event_id, user_id, ts,
+                       CASE WHEN event_id % 5 <> 0
+                            THEN CAST(round(value * 100) AS BIGINT) END AS value_cents
+                FROM events
+            )
+            SELECT event_id, user_id, value_cents,
+                   last_value(value_cents IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+            FROM ev
+        """,
+        "ratio_to_report": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   round(CAST(round(o_totalprice * 100) AS BIGINT)
+                         / CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                                OVER (PARTITION BY o_orderpriority) AS DOUBLE), 9) AS share
+            FROM orders
+        """,
+        "mode_per_group": """
+            SELECT user_id, event_type AS mode_event_type, CAST(cnt AS BIGINT) AS mode_count
+            FROM (
+                SELECT user_id, event_type, COUNT(*) AS cnt,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY COUNT(*) DESC, event_type ASC) AS rn
+                FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
+        """,
+        "set_operations": """
+            SELECT 'ordered' AS kind, c_custkey FROM (
+                SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                INTERSECT
+                SELECT o_custkey FROM orders
+            )
+            UNION ALL
+            SELECT 'never' AS kind, c_custkey FROM (
+                SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+                EXCEPT
+                SELECT o_custkey FROM orders
+            )
+        """,
+        "entropy_per_user": """
+            WITH counts AS (
+                SELECT user_id, event_type, COUNT(*) AS cnt
+                FROM events GROUP BY user_id, event_type
+            ), per_user AS (
+                SELECT user_id, SUM(cnt) AS total,
+                       list(cnt ORDER BY event_type) AS cs
+                FROM counts GROUP BY user_id
+            )
+            SELECT user_id, CAST(total AS BIGINT) AS total,
+                   round(0.0 + list_reduce(list_transform(cs,
+                             c -> -(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))
+                                  * log2(CAST(c AS DOUBLE) / CAST(total AS DOUBLE))),
+                         (x, y) -> x + y), 6) AS entropy
+            FROM per_user
+        """,
         "scd2_lookup": """
             WITH ordered AS (
                 SELECT user_id, event_id, ts, event_type AS status,

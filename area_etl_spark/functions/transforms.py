@@ -183,3 +183,26 @@ def handle_datetime(source_col: str | Column, target_col: str) -> Column:
     robustness rationale as ``handle_year``).
     """
     return _as_col(source_col).try_cast("timestamp").alias(target_col)
+
+
+# Accented → plain mappings for the languages the reference's data actually
+# contains (Italian ETL: à è é ì î ò ù …) plus the common Western European
+# set.  An explicit table rather than Unicode NFD so every engine can replay
+# the exact same character set (translate() is 1:1 per char, JVM-side).
+ACCENT_SRC = "àáâãäåèéêëìíîïòóôõöùúûüýÿñçÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÝÑÇ"
+ACCENT_DST = "aaaaaaeeeeiiiiooooouuuuyyncAAAAAAEEEEIIIIOOOOOUUUUYNC"
+
+
+def strip_accents(source_col: str | Column, target_col: str) -> Column:
+    """Fold accented characters to their base letters (table-driven
+    ``translate`` — one narrow JVM expression, no UDF).
+
+    The normalization step the reference's Italian master-data needs before
+    any equality or blocking key: 'Località' and 'Localita' must collide.
+    Deliberately NOT full Unicode NFD (engine libraries disagree on corner
+    scripts); the table covers the Western European set and is trivially
+    extensible.
+    """
+    return F.translate(_as_col(source_col).cast("string"), ACCENT_SRC, ACCENT_DST).alias(
+        target_col
+    )

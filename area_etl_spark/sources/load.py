@@ -231,3 +231,70 @@ def load_jdbc(
         writer = writer.option(k, v)
     writer.save()
     logging.info("load_jdbc: wrote to %s table %s (mode=%s)", url, table, mode)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int,
+    fmt: str = "parquet",
+) -> tuple[int, int]:
+    """Small-file compaction: rewrite a table directory into files of
+    ~``target_rows_per_file`` rows.  Returns (files_before, files_after).
+
+    The maintenance job every long-running lake needs — streaming sinks and
+    per-batch appends accrete thousands of KB-sized files, and at 100 TB the
+    NameNode/listing and per-file open costs dominate scan time long before
+    the bytes do.  Strategy: count once, `repartition(ceil(rows/target))` (a
+    round-robin shuffle — the ONE shuffle this job does), write to a
+    temporary sibling, then atomically swap via rename.  The swap keeps a
+    reader-visible directory at all times; true transactional swap needs a
+    table format (see SCALE.md §Formats), which this container lacks.
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.format(fmt).load(path)
+    n_rows = df.count()
+    files_before = sum(
+        1 for _, _, fs in os.walk(path) for f in fs if not f.startswith(("_", "."))
+    )
+    n_files = max(1, math.ceil(n_rows / max(1, target_rows_per_file)))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.repartition(n_files).write.mode("overwrite").format(fmt).save(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    files_after = sum(
+        1 for _, _, fs in os.walk(path) for f in fs if not f.startswith(("_", "."))
+    )
+    return files_before, files_after
+
+
+def file_stats_manifest(
+    spark: SparkSession,
+    path: str,
+    stat_cols: list[str],
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Per-FILE stats manifest: (file, n_rows, min/max per stat column) —
+    the poor man's Iceberg manifest, built from the `_metadata` hidden
+    column so it needs one distributed pass and no footer parsing.
+
+    A planner (or human) joins a predicate against this table to decide
+    which files a query must open — the same min/max pruning the parquet
+    footer test (`tests/test_bucketing.py`) proves, surfaced as a queryable
+    TABLE that can be persisted and consulted without touching the data
+    files.  One groupBy on the file path: output rows == file count.
+    """
+    df = spark.read.format(fmt).load(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return (
+        df.select(F.col("_metadata.file_path").alias("file"), *stat_cols)
+        .groupBy("file")
+        .agg(*aggs)
+    )
