@@ -108,3 +108,63 @@ def test_plans_md_covers_every_bench_headline_query():
         documented = set(re.findall(r"^## (\S+)", f.read(), flags=re.M))
     missing = [q for q in bench_headline if q not in documented]
     assert not missing, f"bench queries missing from docs/PLANS.md: {missing}"
+
+
+def test_merge_intervals_single_exchange(tables):
+    """Both windows and the final groupBy must reuse ONE hash exchange on
+    the key — the operator's documented shape."""
+    from pyspark.sql import functions as F
+
+    from area_etl_spark.operators.intervals import merge_intervals
+
+    ev = tables["events"].select(
+        "user_id", F.col("ts").alias("s"),
+        (F.col("ts") + F.make_dt_interval(F.lit(0), F.lit(0), F.pmod(F.col("event_id"), F.lit(60)), F.lit(0))).alias("e"),
+    )
+    plan = plan_str(merge_intervals(ev, ["user_id"], "s", "e"))
+    shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
+    assert shuffles == 1, plan
+
+
+def test_equidepth_histogram_no_global_sort(tables):
+    """The scale contract: quantile boundaries + broadcast, never an
+    ntile-style single-partition global sort."""
+    from pyspark.sql import functions as F
+
+    from area_etl_spark.operators.quality import equidepth_histogram
+
+    cents = tables["orders"].select(F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    plan = plan_str(equidepth_histogram(cents, "cents"))
+    # an ntile formulation would be `Window ... over (ORDER BY cents)` after a
+    # range/single partition of the FULL ROW SET; the quantile formulation has
+    # no Window at all, and its one SinglePartition exchange carries only the
+    # per-partition partial percentile buffers (num_bins-1 doubles each)
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_locf_and_running_distinct_single_exchange(tables):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = tables["events"].select("user_id", "event_id", "ts", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    plan = plan_str(ev.select("user_id", F.size(F.collect_set("event_type").over(w)).alias("n")))
+    shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
+    assert shuffles == 1, plan
+
+
+def test_pq_adc_scan_is_narrow(tables):
+    """The ADC scoring pass (pre-refine) must be a pure projection over the
+    encoded table: no joins, no aggregation exchanges before the top-k."""
+    from area_etl_spark.operators.similarity import pq_adc_topk
+
+    emb = tables["embeddings"].where(F.col("vec_id") != 0)
+    q = [float(x) for x in tables["embeddings"].where(F.col("vec_id") == 0).first()["embedding"]]
+    plan = plan_str(pq_adc_topk(emb, q, k=10, n_subspaces=16, ks=16, refine=0))
+    assert "Join" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
