@@ -514,34 +514,11 @@ def q_topk_per_group(spark, sf_dir):
 
 def q_corpus_report(spark, sf_dir):
     """Per-source corpus dashboard: doc count, total whitespace tokens,
-    predicted-English share, mean quality score. One narrow staged
-    projection (features + language scores single-evaluated, the HOF-CSE
-    idiom) feeding one hash aggregate on the source key."""
+    predicted-English share, mean quality score (operator:
+    operators/text_analysis.py:corpus_report — one staged narrow projection
+    + one hash aggregate)."""
     tables = _tables(spark, sf_dir)
-    feats = TA.quality_features("text")
-    staged = tables["documents"].select(
-        F.col("source"),
-        feats["n_tokens"],
-        feats["stopword_ratio"],
-        feats["punct_ratio"],
-        TA.language_scores("text").alias("_scores"),
-    )
-    scored = staged.select(
-        "source",
-        "n_tokens",
-        TA.quality_score_from_features(
-            F.col("n_tokens"), F.col("stopword_ratio"), F.col("punct_ratio")
-        ),
-        TA.language_id_from_scores(F.col("_scores"), sorted(TA.LANG_STOPWORDS)),
-    )
-    return scored.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.sum(F.when(F.col("lang_pred") == "en", 1).otherwise(0))
-        .cast("long")
-        .alias("n_en"),
-        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
-    )
+    return TA.corpus_report(tables["documents"])
 
 
 def q_corpus_prep_pipeline(spark, sf_dir):
@@ -1928,6 +1905,77 @@ def q_text_strip_accents(spark, sf_dir):
     return salted.select("c_custkey", "raw", strip_accents("raw", "folded"))
 
 
+def q_time_weighted_avg(spark, sf_dir):
+    """Interval-weighted mean for an IRREGULAR time series: each value
+    holds until the user's next event, so it weighs by its microsecond
+    duration (exact BIGINT diffs — `timestampdiff(SECOND)` truncates and
+    DuckDB's date_diff counts boundary crossings; at microsecond
+    granularity, the native resolution, the two agree exactly).  Products
+    accumulate as DECIMAL(38,0); one window pass + one aggregation."""
+    from pyspark.sql import Window
+
+    tables = _tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    ev = tables["events"].select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).withColumn("next_ts", F.lead("ts").over(w))
+    dur = F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
+    spans = ev.where(F.col("next_ts").isNotNull()).select(
+        "user_id", "cents", dur.alias("dur_us")
+    )
+    dec = "decimal(38,0)"
+    return spans.groupBy("user_id").agg(
+        F.round(
+            F.sum((F.col("cents") * F.col("dur_us")).cast(dec)).cast("double")
+            / F.sum(F.col("dur_us").cast(dec)).cast("double"),
+            6,
+        ).alias("tw_avg_cents"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+
+
+def q_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth: monthly rollup → lag ratio.  The
+    post-aggregation window runs over O(months) rows — a bounded
+    single-partition window by construction, not a scale hazard."""
+    from pyspark.sql import Window
+
+    tables = _tables(spark, sf_dir)
+    monthly = (
+        tables["orders"]
+        .select(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("month")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    prev = F.lag("rev_cents").over(Window.orderBy("month"))
+    return monthly.select(
+        "month", "rev_cents",
+        F.round(F.col("rev_cents") / prev, 6).alias("growth"),
+    )
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order event-type transition matrix: per user, each event pairs
+    with its successor (lead over the user's timeline); global counts per
+    (from, to) — the product-analytics Markov summary."""
+    from pyspark.sql import Window
+
+    tables = _tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    ev = tables["events"].select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("from_type")
+    ).withColumn("to_type", F.lead("from_type").over(w))
+    return (
+        ev.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -1986,6 +2034,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_operations": q_set_operations,
         "entropy_per_user": q_entropy_per_user,
         "text_strip_accents": q_text_strip_accents,
+        "time_weighted_avg": q_time_weighted_avg,
+        "mom_growth": q_mom_growth,
+        "event_transitions": q_event_transitions,
         # — r2-only greens: last checked before the NTZ testdata/loader regen —
         "year_cast": q_year_cast,
         "datetime_normalize": q_datetime_normalize,
@@ -1997,11 +2048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calendar_gapfill": q_calendar_gapfill,
         "first_touch_attribution": q_first_touch_attribution,
         "retention_cohorts": q_retention_cohorts,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
         "distinct_count_skewsafe": q_distinct_count_skewsafe,
         "scd2_intervals": q_scd2_intervals,
-        "funnel_conversion": q_funnel_conversion,
-        "partitioned_layout_prune": q_partitioned_layout_prune,
         # — VERDICT-named r2+r3 doubles, re-confirmed on current testdata —
         "pipeline_poa": q_pipeline_poa,
         "asof_join": q_asof_join,
@@ -2021,6 +2069,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "text_repetition": q_text_repetition,
         "export_jsonl_roundtrip": q_export_jsonl_roundtrip,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "funnel_conversion": q_funnel_conversion,
+        "partitioned_layout_prune": q_partitioned_layout_prune,
         "enum_mapping": q_enum_mapping,
         "text_clean": q_text_clean,
         "dup_name_disambiguation": q_dup_name_disambiguation,
@@ -3661,6 +3712,43 @@ def oracle_sql() -> dict[str, str]:
                    translate('Località Tùrìn é ' || c_name || ' ÀÈÌÒÙ çñ',
                              '{TR.ACCENT_SRC}', '{TR.ACCENT_DST}') AS folded
             FROM customer
+        """,
+        "time_weighted_avg": """
+            WITH ev AS (
+                SELECT user_id, event_id, ts,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+                FROM events
+            ), spans AS (
+                SELECT user_id, cents,
+                       date_diff('microsecond', ts, next_ts) AS dur_us
+                FROM ev WHERE next_ts IS NOT NULL
+            )
+            SELECT user_id,
+                   round(CAST(SUM(cents * dur_us) AS DOUBLE)
+                         / CAST(SUM(dur_us) AS DOUBLE), 6) AS tw_avg_cents,
+                   COUNT(*) AS n_spans
+            FROM spans GROUP BY user_id
+        """,
+        "mom_growth": """
+            WITH monthly AS (
+                SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+                FROM orders GROUP BY 1
+            )
+            SELECT month, rev_cents,
+                   round(rev_cents / CAST(lag(rev_cents) OVER (ORDER BY month) AS DOUBLE), 6) AS growth
+            FROM monthly
+        """,
+        "event_transitions": """
+            WITH ev AS (
+                SELECT event_type AS from_type,
+                       lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+                FROM events
+            )
+            SELECT from_type, to_type, COUNT(*) AS n
+            FROM ev WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
         """,
         "locf_impute": """
             WITH ev AS (

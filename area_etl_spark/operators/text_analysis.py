@@ -346,3 +346,36 @@ def bigram_lm_score(
             F.col("avg_logprob"),
         )
     )
+
+
+def corpus_report(docs: DataFrame, source_col: str = "source", text_col: str = "text") -> DataFrame:
+    """Per-source corpus dashboard: doc count, total whitespace tokens,
+    predicted-English count, mean quality score.
+
+    One narrow staged projection (features + language scores
+    single-evaluated — the HOF-CSE idiom) feeding one hash aggregate on the
+    source key.  Shared by the driver-contract query `corpus_report` and
+    the runner's `corpus` module.
+    """
+    feats = quality_features(text_col)
+    staged = docs.select(
+        F.col(source_col).alias("source"),
+        feats["n_tokens"],
+        feats["stopword_ratio"],
+        feats["punct_ratio"],
+        language_scores(text_col).alias("_scores"),
+    )
+    scored = staged.select(
+        "source",
+        "n_tokens",
+        quality_score_from_features(
+            F.col("n_tokens"), F.col("stopword_ratio"), F.col("punct_ratio")
+        ),
+        language_id_from_scores(F.col("_scores"), sorted(LANG_STOPWORDS)),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.when(F.col("lang_pred") == "en", 1).otherwise(0)).cast("long").alias("n_en"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )

@@ -79,6 +79,53 @@ def _with_now(build: Callable[[dict, datetime], DataFrame]) -> Callable[[SparkSe
     return lambda spark, tables, now: build(tables, now)
 
 
+def _corpus_clean(spark: SparkSession, tables: dict, now: datetime) -> DataFrame:
+    """Line filter → cross-document paragraph dedup, the two cleaning passes
+    in corpus order."""
+    from pyspark.sql import functions as F
+
+    from area_etl_spark.operators.cleaning import c4_line_filter, dedup_paragraphs
+
+    docs = tables["documents"].select(
+        "doc_id", "lang", "source", c4_line_filter("text", min_words=2, require_terminal_punct=False).alias("text")
+    )
+    deduped = dedup_paragraphs(docs, text_col="text", id_col="doc_id")
+    return docs.select("doc_id", "lang", "source").join(deduped, "doc_id")
+
+
+def _corpus_survivors(spark: SparkSession, tables: dict, now: datetime) -> DataFrame:
+    """Near-dup collapse keeping the longest document per cluster."""
+    from area_etl_spark.operators import dedup as D
+    from area_etl_spark.operators.graph import connected_components, dedup_keep_best
+
+    docs = tables["documents"]
+    cands = D.minhash_lsh_pairs_portable(docs, "text", "doc_id", num_hashes=16, bands=4)
+    verified = D.ngram_jaccard_pairs(docs, cands, "text", "doc_id", n=3, threshold=0.5)
+    comps = connected_components(verified.select("id_a", "id_b"))
+    return dedup_keep_best(
+        docs.select("doc_id", "lang", "source", "n_chars"), comps, "doc_id", "n_chars"
+    )
+
+
+def _corpus_packed(spark: SparkSession, tables: dict, now: datetime) -> DataFrame:
+    """Token-budget sequence packing over the corpus."""
+    from pyspark.sql import functions as F
+
+    from area_etl_spark.operators import text_analysis as TA
+    from area_etl_spark.operators.packing import pack_sequences
+
+    docs = tables["documents"].select(
+        "doc_id", TA.token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, "n_tokens", budget=512, id_col="doc_id")
+
+
+def _corpus_report(spark: SparkSession, tables: dict, now: datetime) -> DataFrame:
+    from area_etl_spark.operators.text_analysis import corpus_report
+
+    return corpus_report(tables["documents"])
+
+
 MODULES: dict[str, list[PipelineSpec]] = {
     "core": [
         PipelineSpec("companies_rollup", _plain(P.core_pipeline)),
@@ -101,6 +148,15 @@ MODULES: dict[str, list[PipelineSpec]] = {
     "poa": [PipelineSpec("operational_events", _plain(P.poa_pipeline), partition_by=["event_class"])],
     "cronos": [PipelineSpec("yearly_plans", _plain(P.cronos_pipeline))],
     "auac": [PipelineSpec("requirements", _plain(P.auac_pipeline))],
+    # training-corpus preparation as a first-class runnable module: the LLM
+    # operator families materialized as lake tables, same atomic-overwrite
+    # contract as the reference recasts
+    "corpus": [
+        PipelineSpec("clean_docs", _corpus_clean, partition_by=["lang"]),
+        PipelineSpec("survivors", _corpus_survivors),
+        PipelineSpec("packed_sequences", _corpus_packed),
+        PipelineSpec("corpus_report", _corpus_report),
+    ],
 }
 
 
@@ -139,7 +195,9 @@ def run(
 
 def main() -> None:
     parser = argparse.ArgumentParser(description="area_etl_spark ETL runner")
-    parser.add_argument("--modules", type=str, default="all", help="'all' or comma list: core,poa,cronos,auac")
+    parser.add_argument(
+        "--modules", type=str, default="all", help="'all' or comma list: core,poa,cronos,auac,corpus"
+    )
     parser.add_argument("--sf-dir", type=str, default="/root/testdata/sf0.01")
     parser.add_argument("--out-dir", type=str, required=True)
     parser.add_argument("--parallel", type=int, default=1)

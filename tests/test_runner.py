@@ -64,3 +64,27 @@ def test_foreachbatch_incremental_upsert(spark, tables, tmp_path):
     q = stream.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
     q.awaitTermination(240)
     assert spark.read.parquet(target).count() == events.count()
+
+
+def test_runner_corpus_module(spark, sf_dir, tmp_path):
+    """The corpus module materializes all four training-prep tables with
+    sane shapes: cleaned docs keep every doc_id, survivors are a subset,
+    packed rows cover every doc, the report has one row per source."""
+    from area_etl_spark.runner import run
+
+    out = str(tmp_path / "lake")
+    timings = run(spark, sf_dir, out, modules=["corpus"])
+    assert set(timings) == {
+        "corpus.clean_docs", "corpus.survivors", "corpus.packed_sequences", "corpus.corpus_report",
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    clean = spark.read.parquet(f"{out}/corpus/clean_docs")
+    assert clean.count() == n_docs and "n_dropped" in clean.columns
+    assert "lang=" in str(sorted(p.name for p in (tmp_path / "lake" / "corpus" / "clean_docs").iterdir()))
+    surv = spark.read.parquet(f"{out}/corpus/survivors")
+    assert 0 < surv.count() <= n_docs
+    packed = spark.read.parquet(f"{out}/corpus/packed_sequences")
+    assert packed.count() == n_docs and {"shard", "pack_id"} <= set(packed.columns)
+    report = spark.read.parquet(f"{out}/corpus/corpus_report")
+    assert report.count() == docs.select("source").distinct().count()
