@@ -1976,6 +1976,35 @@ def q_event_transitions(spark, sf_dir):
     )
 
 
+def q_winsorize(spark, sf_dir):
+    """Winsorize order values at the exact p01/p99 quantiles (broadcast
+    bounds + narrow clip; outlier TREATMENT beside the flagging passes)."""
+    from area_etl_spark.operators.quality import winsorize
+
+    tables = _tables(spark, sf_dir)
+    o = tables["orders"].select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return winsorize(o, "cents", 0.01, 0.99)
+
+
+def q_window_dist_funcs(spark, sf_dir):
+    """Distribution window functions: percent_rank + cume_dist of each
+    order within its priority class (completes the ranking family beside
+    window_rank_funcs)."""
+    from pyspark.sql import Window
+
+    tables = _tables(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.round(F.col("o_totalprice") * 100).cast("long"), F.col("o_orderkey")
+    )
+    return tables["orders"].select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -2037,6 +2066,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_weighted_avg": q_time_weighted_avg,
         "mom_growth": q_mom_growth,
         "event_transitions": q_event_transitions,
+        "winsorize": q_winsorize,
+        "window_dist_funcs": q_window_dist_funcs,
         # — r2-only greens: last checked before the NTZ testdata/loader regen —
         "year_cast": q_year_cast,
         "datetime_normalize": q_datetime_normalize,
@@ -2045,9 +2076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "load_roundtrip": q_load_roundtrip,
         # — r3-only greens: same reason —
         "monthly_revenue_rollup": q_monthly_revenue_rollup,
-        "calendar_gapfill": q_calendar_gapfill,
         "first_touch_attribution": q_first_touch_attribution,
-        "retention_cohorts": q_retention_cohorts,
         "distinct_count_skewsafe": q_distinct_count_skewsafe,
         "scd2_intervals": q_scd2_intervals,
         # — VERDICT-named r2+r3 doubles, re-confirmed on current testdata —
@@ -2072,6 +2101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "funnel_conversion": q_funnel_conversion,
         "partitioned_layout_prune": q_partitioned_layout_prune,
+        "calendar_gapfill": q_calendar_gapfill,
+        "retention_cohorts": q_retention_cohorts,
         "enum_mapping": q_enum_mapping,
         "text_clean": q_text_clean,
         "dup_name_disambiguation": q_dup_name_disambiguation,
@@ -3712,6 +3743,27 @@ def oracle_sql() -> dict[str, str]:
                    translate('Località Tùrìn é ' || c_name || ' ÀÈÌÒÙ çñ',
                              '{TR.ACCENT_SRC}', '{TR.ACCENT_DST}') AS folded
             FROM customer
+        """,
+        "winsorize": """
+            WITH o AS (
+                SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+            ), b AS (
+                SELECT round(quantile_cont(cents, 0.01), 4) AS lo,
+                       round(quantile_cont(cents, 0.99), 4) AS hi
+                FROM o
+            )
+            SELECT o.o_orderkey, o.cents,
+                   least(greatest(CAST(o.cents AS DOUBLE), b.lo), b.hi) AS clipped,
+                   CAST(o.cents AS DOUBLE) <> least(greatest(CAST(o.cents AS DOUBLE), b.lo), b.hi) AS was_clipped
+            FROM o, b
+        """,
+        "window_dist_funcs": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(percent_rank() OVER w, 9) AS pct_rank,
+                   round(cume_dist() OVER w, 9) AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
         """,
         "time_weighted_avg": """
             WITH ev AS (

@@ -41,6 +41,11 @@ def merge_intervals(
     Deterministic for any input: the island construction orders by
     ``(start, end)`` and every aggregate (min/max/count) is
     order-insensitive.
+
+    NULL contract: rows with a NULL start or end are the caller's bug, not
+    a case this operator defines — NULLs sort first and every comparison
+    against them is NULL, so islands would silently mis-merge.  Filter them
+    upstream (``quarantine_rows`` is the standard pass).
     """
     order = [F.col(start_col).asc(), F.col(end_col).asc()]
     wprev = (

@@ -191,3 +191,33 @@ def equidepth_histogram(
             (F.sum(x.cast("decimal(38,0)")).cast("double") / 100.0).alias("total_value"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_cents_col: str,
+    lower_p: float = 0.01,
+    upper_p: float = 0.99,
+) -> DataFrame:
+    """Winsorization: clip values to the [lower_p, upper_p] exact quantiles
+    — the outlier TREATMENT that keeps rows (where ``flag_outliers`` only
+    reports them).
+
+    Same scale shape as ``equidepth_histogram``: one aggregation computes
+    the two boundaries (rounded 4dp — the cross-engine float-compare guard),
+    the 1-row bound table broadcasts, and the clip is a narrow
+    least/greatest projection.  Adds ``clipped`` (double) and ``was_clipped``
+    alongside the original columns.
+    """
+    x = F.col(value_cents_col)
+    bounds = df.agg(
+        F.round(F.percentile(x, F.lit(lower_p)), 4).alias("_lo"),
+        F.round(F.percentile(x, F.lit(upper_p)), 4).alias("_hi"),
+    )
+    xd = x.cast("double")
+    return (
+        df.join(F.broadcast(bounds))
+        .withColumn("clipped", F.least(F.greatest(xd, F.col("_lo")), F.col("_hi")))
+        .withColumn("was_clipped", xd != F.col("clipped"))
+        .drop("_lo", "_hi")
+    )

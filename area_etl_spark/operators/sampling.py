@@ -182,7 +182,9 @@ def weighted_hash_sample(
     The draw compares the first 8 hex digits of md5(id) — an integer
     uniform over [0, 2^32) — against ``floor(weight · 2^32)``, numerically
     (conv from hex), since a lexicographic compare can't express a
-    data-dependent threshold.
+    data-dependent threshold.  A NULL weight propagates to a NULL
+    threshold, and a NULL comparison filters FALSE — NULL-weight rows are
+    dropped (the conservative reading of "no keep-probability").
     """
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     c = F.col(id_col)

