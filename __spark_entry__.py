@@ -2005,6 +2005,71 @@ def q_window_dist_funcs(spark, sf_dir):
     )
 
 
+def q_benford_digits(spark, sf_dir):
+    """Benford's-law first-digit profile of order values — the classic
+    fraud/data-entry screen: observed share per leading digit vs the
+    log10(1+1/d) expectation.  Counts are exact; each digit's share and
+    excess are per-row doubles (no float fold)."""
+    import math as _math
+
+    tables = _tables(spark, sf_dir)
+    digit = F.substring(F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1).cast("int")
+    counts = tables["orders"].select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    expected = F.element_at(
+        F.array(*[F.lit(_math.log10(1 + 1 / d)) for d in range(1, 10)]), F.col("digit")
+    )
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "digit", "n",
+            F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+            F.round(expected, 6).alias("benford_expected"),
+            F.round(F.col("n") / F.col("_total") - expected, 6).alias("excess"),
+        )
+    )
+
+
+def q_chi_square(spark, sf_dir):
+    """Chi-square test of independence (event_type × user cohort): the
+    statistic Σ (obs−exp)²/exp folded over cells in SORTED cell order —
+    exact integer counts in, one deterministic float fold out (the
+    entropy_per_user discipline applied to contingency tables).  Only
+    OBSERVED cells contribute (identically in both engines); with these
+    margins every cell is occupied, so the statistic is the full one."""
+    tables = _tables(spark, sf_dir)
+    ev = tables["events"].select(
+        F.col("event_type").alias("et"), F.pmod(F.col("user_id"), F.lit(3)).alias("cohort")
+    )
+    cells = ev.groupBy("et", "cohort").agg(F.count(F.lit(1)).alias("o"))
+    row_t = ev.groupBy("et").agg(F.count(F.lit(1)).alias("rt"))
+    col_t = ev.groupBy("cohort").agg(F.count(F.lit(1)).alias("ct"))
+    n = ev.agg(F.count(F.lit(1)).alias("nn"))
+    full = (
+        cells.join(F.broadcast(row_t), "et")
+        .join(F.broadcast(col_t), "cohort")
+        .join(F.broadcast(n))
+    )
+    packed = full.agg(
+        F.array_sort(
+            F.collect_list(F.struct("et", "cohort", "o", "rt", "ct", "nn"))
+        ).alias("_cells"),
+        F.countDistinct("et").alias("_r"),
+        F.countDistinct("cohort").alias("_c"),
+    )
+    def term(s):
+        exp = s.getField("rt").cast("double") * s.getField("ct").cast("double") / s.getField("nn").cast("double")
+        d = s.getField("o").cast("double") - exp
+        return d * d / exp
+    stat = F.aggregate(F.col("_cells"), F.lit(0.0), lambda acc, s: acc + term(s))
+    return packed.select(
+        F.round(stat, 6).alias("chi2"),
+        ((F.col("_r") - 1) * (F.col("_c") - 1)).cast("long").alias("dof"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -2068,6 +2133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_event_transitions,
         "winsorize": q_winsorize,
         "window_dist_funcs": q_window_dist_funcs,
+        "benford_digits": q_benford_digits,
+        "chi_square": q_chi_square,
         # — r2-only greens: last checked before the NTZ testdata/loader regen —
         "year_cast": q_year_cast,
         "datetime_normalize": q_datetime_normalize,
@@ -2075,8 +2142,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_pipeline": q_projection_pipeline,
         "load_roundtrip": q_load_roundtrip,
         # — r3-only greens: same reason —
-        "monthly_revenue_rollup": q_monthly_revenue_rollup,
-        "first_touch_attribution": q_first_touch_attribution,
         "distinct_count_skewsafe": q_distinct_count_skewsafe,
         "scd2_intervals": q_scd2_intervals,
         # — VERDICT-named r2+r3 doubles, re-confirmed on current testdata —
@@ -2103,6 +2168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_layout_prune": q_partitioned_layout_prune,
         "calendar_gapfill": q_calendar_gapfill,
         "retention_cohorts": q_retention_cohorts,
+        "first_touch_attribution": q_first_touch_attribution,
+        "monthly_revenue_rollup": q_monthly_revenue_rollup,
         "enum_mapping": q_enum_mapping,
         "text_clean": q_text_clean,
         "dup_name_disambiguation": q_dup_name_disambiguation,
@@ -3743,6 +3810,42 @@ def oracle_sql() -> dict[str, str]:
                    translate('Località Tùrìn é ' || c_name || ' ÀÈÌÒÙ çñ',
                              '{TR.ACCENT_SRC}', '{TR.ACCENT_DST}') AS folded
             FROM customer
+        """,
+        "benford_digits": """
+            WITH counts AS (
+                SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+                       COUNT(*) AS n
+                FROM orders GROUP BY 1
+            ), t AS (SELECT SUM(n) AS total FROM counts)
+            SELECT digit, CAST(n AS BIGINT) AS n,
+                   round(n / CAST(t.total AS DOUBLE), 6) AS share,
+                   round(log10(1 + 1.0 / digit), 6) AS benford_expected,
+                   round(n / CAST(t.total AS DOUBLE) - log10(1 + 1.0 / digit), 6) AS excess
+            FROM counts, t
+        """,
+        "chi_square": """
+            WITH ev AS (
+                SELECT event_type AS et, user_id % 3 AS cohort FROM events
+            ), cells AS (
+                SELECT et, cohort, COUNT(*) AS o FROM ev GROUP BY et, cohort
+            ), rt AS (SELECT et, COUNT(*) AS rt FROM ev GROUP BY et),
+            ct AS (SELECT cohort, COUNT(*) AS ct FROM ev GROUP BY cohort),
+            nn AS (SELECT COUNT(*) AS nn FROM ev),
+            fc AS (
+                SELECT c.et, c.cohort, c.o, rt.rt, ct.ct, nn.nn
+                FROM cells c JOIN rt USING (et) JOIN ct USING (cohort) CROSS JOIN nn
+            ), packed AS (
+                SELECT list(
+                           (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+                           * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+                           / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))
+                           ORDER BY et, cohort) AS terms,
+                       COUNT(DISTINCT et) AS r, COUNT(DISTINCT cohort) AS c
+                FROM fc
+            )
+            SELECT round(0.0 + list_reduce(terms, (x, y) -> x + y), 6) AS chi2,
+                   CAST((r - 1) * (c - 1) AS BIGINT) AS dof
+            FROM packed
         """,
         "winsorize": """
             WITH o AS (

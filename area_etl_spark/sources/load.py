@@ -264,6 +264,7 @@ def compact_files(
     tmp = path.rstrip("/") + "__compact_tmp"
     df.repartition(n_files).write.mode("overwrite").format(fmt).save(tmp)
     old = path.rstrip("/") + "__compact_old"
+    shutil.rmtree(old, ignore_errors=True)  # debris from a previously failed swap
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
