@@ -2070,6 +2070,63 @@ def q_chi_square(spark, sf_dir):
     )
 
 
+def q_window_range_frame(spark, sf_dir):
+    """RANGE-frame window (trailing 7 VALUE days, not 7 rows): daily revenue
+    summed over [day−6, day] — on a gapped calendar a ROWS frame silently
+    spans more than a week; RANGE frames bound by the ORDER-BY value.  The
+    window runs post-aggregation over O(days) rows (bounded by the calendar,
+    like mom_growth)."""
+    from pyspark.sql import Window
+
+    tables = _tables(spark, sf_dir)
+    daily = (
+        tables["events"]
+        .select(
+            F.datediff(F.col("ts").cast("date"), F.lit("1990-01-01").cast("date")).alias("day_num"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day_num")
+        .agg(F.sum("cents").alias("day_cents"), F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, Window.currentRow)
+    return daily.select(
+        "day_num", "day_cents", "n_events",
+        F.sum("day_cents").over(w).alias("trailing7_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("days_present_7"),
+    )
+
+
+def q_assoc_rules(spark, sf_dir):
+    """Market-basket association rules over per-user event-type baskets:
+    co-occurrence support / confidence / lift from exact distinct-user
+    counts (basket = SET of types — the unordered complement of the
+    transition matrix).  Pairs come from a self-join of the distinct
+    (user, type) relation on the user key — O(users · types²), never a
+    corpus cross join."""
+    tables = _tables(spark, sf_dir)
+    ut = tables["events"].select("user_id", F.col("event_type").alias("et")).distinct()
+    n_users = ut.select("user_id").distinct().count()
+    item = ut.groupBy("et").agg(F.count(F.lit(1)).alias("n_item"))
+    a = ut.withColumnRenamed("et", "et_a")
+    b = ut.withColumnRenamed("et", "et_b")
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("et_a") < F.col("et_b"))
+        .groupBy("et_a", "et_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    ia = item.select(F.col("et").alias("et_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("et").alias("et_b"), F.col("n_item").alias("n_b"))
+    out = pairs.join(F.broadcast(ia), "et_a").join(F.broadcast(ib), "et_b")
+    nu = F.lit(float(n_users))
+    return out.select(
+        "et_a", "et_b", "n_pair",
+        F.round(F.col("n_pair") / nu, 6).alias("support"),
+        F.round(F.col("n_pair") / F.col("n_a"), 6).alias("confidence_a_b"),
+        F.round(F.col("n_pair") * nu / (F.col("n_a") * F.col("n_b")), 6).alias("lift"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -2135,14 +2192,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_dist_funcs": q_window_dist_funcs,
         "benford_digits": q_benford_digits,
         "chi_square": q_chi_square,
+        "window_range_frame": q_window_range_frame,
+        "assoc_rules": q_assoc_rules,
         # — r2-only greens: last checked before the NTZ testdata/loader regen —
         "year_cast": q_year_cast,
         "datetime_normalize": q_datetime_normalize,
         "when_then_derivation": q_when_then_derivation,
-        "projection_pipeline": q_projection_pipeline,
         "load_roundtrip": q_load_roundtrip,
         # — r3-only greens: same reason —
-        "distinct_count_skewsafe": q_distinct_count_skewsafe,
         "scd2_intervals": q_scd2_intervals,
         # — VERDICT-named r2+r3 doubles, re-confirmed on current testdata —
         "pipeline_poa": q_pipeline_poa,
@@ -2170,6 +2227,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "first_touch_attribution": q_first_touch_attribution,
         "monthly_revenue_rollup": q_monthly_revenue_rollup,
+        "projection_pipeline": q_projection_pipeline,
+        "distinct_count_skewsafe": q_distinct_count_skewsafe,
         "enum_mapping": q_enum_mapping,
         "text_clean": q_text_clean,
         "dup_name_disambiguation": q_dup_name_disambiguation,
@@ -3810,6 +3869,38 @@ def oracle_sql() -> dict[str, str]:
                    translate('Località Tùrìn é ' || c_name || ' ÀÈÌÒÙ çñ',
                              '{TR.ACCENT_SRC}', '{TR.ACCENT_DST}') AS folded
             FROM customer
+        """,
+        "window_range_frame": """
+            WITH daily AS (
+                SELECT date_diff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS day_num,
+                       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents,
+                       COUNT(*) AS n_events
+                FROM events GROUP BY 1
+            )
+            SELECT day_num, day_cents, n_events,
+                   CAST(SUM(day_cents) OVER w AS BIGINT) AS trailing7_cents,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS days_present_7
+            FROM daily
+            WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "assoc_rules": """
+            WITH ut AS (
+                SELECT DISTINCT user_id, event_type AS et FROM events
+            ), nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users FROM ut),
+            item AS (SELECT et, COUNT(*) AS n_item FROM ut GROUP BY et),
+            pairs AS (
+                SELECT a.et AS et_a, b.et AS et_b, COUNT(*) AS n_pair
+                FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.et < b.et
+                GROUP BY a.et, b.et
+            )
+            SELECT p.et_a, p.et_b, p.n_pair,
+                   round(p.n_pair / nu.n_users, 6) AS support,
+                   round(p.n_pair / CAST(ia.n_item AS DOUBLE), 6) AS confidence_a_b,
+                   round(p.n_pair * nu.n_users / (ia.n_item * ib.n_item), 6) AS lift
+            FROM pairs p
+            JOIN item ia ON ia.et = p.et_a
+            JOIN item ib ON ib.et = p.et_b
+            CROSS JOIN nu
         """,
         "benford_digits": """
             WITH counts AS (
