@@ -2127,6 +2127,62 @@ def q_assoc_rules(spark, sf_dir):
     )
 
 
+def q_topk_with_ties(spark, sf_dir):
+    """Top-3 orders per priority WITH TIES (rank() ≤ k keeps every row
+    tied at the boundary — the ANSI FETCH WITH TIES semantic, distinct from
+    topk_per_group's exactly-k slice)."""
+    from pyspark.sql import Window
+
+    tables = _tables(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    w = Window.partitionBy("o_orderpriority").orderBy(cents.desc())
+    return (
+        tables["orders"]
+        .select("o_orderkey", "o_orderpriority", cents.alias("cents"), F.rank().over(w).alias("rnk"))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+def q_iqr_report(spark, sf_dir):
+    """Per-type quartile report (p25/p50/p75 + IQR + Tukey fences) — the
+    box-plot profile; exact percentile over integer cents, one aggregation."""
+    tables = _tables(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    ev = tables["events"].select("event_type", cents.alias("cents"))
+    q = lambda p: F.percentile(F.col("cents"), F.lit(p))  # noqa: E731
+    iqr = q(0.75) - q(0.25)
+    return ev.groupBy("event_type").agg(
+        F.round(q(0.25), 6).alias("p25"),
+        F.round(q(0.5), 6).alias("p50"),
+        F.round(q(0.75), 6).alias("p75"),
+        F.round(iqr, 6).alias("iqr"),
+        F.round(q(0.25) - 1.5 * iqr, 6).alias("lo_fence"),
+        F.round(q(0.75) + 1.5 * iqr, 6).alias("hi_fence"),
+    )
+
+
+def q_debounce_events(spark, sf_dir):
+    """Debounce: drop a user's repeat of the SAME event type within 30
+    minutes of the previous same-type occurrence (double-click suppression —
+    lag over the (user, type) timeline, narrow filter after one window)."""
+    from pyspark.sql import Window
+
+    tables = _tables(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("ts"), F.col("event_id"))
+    # microsecond diff — SECOND-granularity diffs truncate in Spark but
+    # count boundary crossings in DuckDB (the time_weighted_avg lesson)
+    keep = F.col("_prev").isNull() | (
+        F.expr("timestampdiff(MICROSECOND, _prev, ts)") >= 1800 * 1_000_000
+    )
+    return (
+        tables["events"]
+        .select("event_id", "user_id", "event_type", "ts")
+        .withColumn("_prev", F.lag("ts").over(w))
+        .where(keep)
+        .drop("_prev")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -2194,11 +2250,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi_square": q_chi_square,
         "window_range_frame": q_window_range_frame,
         "assoc_rules": q_assoc_rules,
+        "topk_with_ties": q_topk_with_ties,
+        "iqr_report": q_iqr_report,
+        "debounce_events": q_debounce_events,
         # — r2-only greens: last checked before the NTZ testdata/loader regen —
-        "year_cast": q_year_cast,
         "datetime_normalize": q_datetime_normalize,
-        "when_then_derivation": q_when_then_derivation,
-        "load_roundtrip": q_load_roundtrip,
         # — r3-only greens: same reason —
         "scd2_intervals": q_scd2_intervals,
         # — VERDICT-named r2+r3 doubles, re-confirmed on current testdata —
@@ -2229,6 +2285,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_revenue_rollup": q_monthly_revenue_rollup,
         "projection_pipeline": q_projection_pipeline,
         "distinct_count_skewsafe": q_distinct_count_skewsafe,
+        "load_roundtrip": q_load_roundtrip,
+        "year_cast": q_year_cast,
+        "when_then_derivation": q_when_then_derivation,
         "enum_mapping": q_enum_mapping,
         "text_clean": q_text_clean,
         "dup_name_disambiguation": q_dup_name_disambiguation,
@@ -3869,6 +3928,44 @@ def oracle_sql() -> dict[str, str]:
                    translate('Località Tùrìn é ' || c_name || ' ÀÈÌÒÙ çñ',
                              '{TR.ACCENT_SRC}', '{TR.ACCENT_DST}') AS folded
             FROM customer
+        """,
+        "topk_with_ties": """
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   CAST(rnk AS BIGINT) AS rnk
+            FROM (
+                SELECT o_orderkey, o_orderpriority, o_totalprice,
+                       rank() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC) AS rnk
+                FROM orders
+            ) WHERE rnk <= 3
+        """,
+        "iqr_report": """
+            WITH ev AS (
+                SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+            )
+            SELECT event_type,
+                   round(quantile_cont(cents, 0.25), 6) AS p25,
+                   round(quantile_cont(cents, 0.5), 6) AS p50,
+                   round(quantile_cont(cents, 0.75), 6) AS p75,
+                   round(quantile_cont(cents, 0.75) - quantile_cont(cents, 0.25), 6) AS iqr,
+                   round(quantile_cont(cents, 0.25)
+                         - 1.5 * (quantile_cont(cents, 0.75) - quantile_cont(cents, 0.25)), 6) AS lo_fence,
+                   round(quantile_cont(cents, 0.75)
+                         + 1.5 * (quantile_cont(cents, 0.75) - quantile_cont(cents, 0.25)), 6) AS hi_fence
+            FROM ev GROUP BY event_type
+        """,
+        "debounce_events": """
+            WITH lagged AS (
+                SELECT event_id, user_id, event_type, ts,
+                       lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            )
+            SELECT event_id, user_id, event_type, ts
+            FROM lagged
+            WHERE prev_ts IS NULL
+               OR date_diff('microsecond', prev_ts, ts) >= 1800 * 1000000
         """,
         "window_range_frame": """
             WITH daily AS (
