@@ -260,3 +260,75 @@ def pagerank_integer(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 10,
+) -> DataFrame:
+    """Unweighted shortest-path hop counts from ``source`` over an
+    undirected graph — breadth-first frontier expansion on DataFrames.
+
+    Each round joins the current FRONTIER (nodes first reached last round —
+    not the whole visited set) to the edge list and anti-joins out already-
+    visited nodes: per round one equi-join shuffle + one anti-join, frontier
+    size bounded by the graph's expansion.  ``localCheckpoint`` truncates
+    lineage per round like the other iterative operators.  Integer hop
+    labels ⇒ deterministic, and a bounded recursive CTE replays it exactly.
+    Nodes unreachable within ``max_hops`` are absent from the output.
+    """
+    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = fwd.unionByName(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).distinct().localCheckpoint(eager=True)
+    visited = und.sparkSession.createDataFrame([(source, 0)], "node long, hops int").localCheckpoint(
+        eager=True
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            und.join(frontier.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Global triangle count of the undirected simple graph — the
+    clustering-structure scalar (one row: ``n_triangles``).
+
+    The order-canonical join strategy: orient every edge low→high, then
+    triangles = |{(i<j<k) : (i,j), (j,k), (i,k) all edges}| via two
+    equi-joins — each triangle counted exactly once, never an all-pairs
+    product.  Cost is Σ_v deg(v)² on the oriented graph; orienting by
+    degree (not id) would bound the skew for power-law graphs — id
+    orientation keeps the oracle trivially portable and is fine below
+    that regime.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e = und.where(F.col("a") < F.col("b")).localCheckpoint(eager=True)
+    ij = e.select(F.col("a").alias("i"), F.col("b").alias("j"))
+    jk = e.select(F.col("a").alias("j"), F.col("b").alias("k"))
+    ik = e.select(F.col("a").alias("i"), F.col("b").alias("k"))
+    tri = ij.join(jk, "j").join(ik, ["i", "k"])
+    return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

@@ -502,3 +502,18 @@ def test_pagerank_integer_structure_and_partition_invariance(spark):
     df2 = df1.repartition(7)
     r2 = {r.node: r.rank for r in pagerank_integer(df2, iterations=3).collect()}
     assert r1 == r2
+
+
+def test_bfs_hops_and_triangles_on_known_graph(spark):
+    """Hand-checkable graph: path 1-2-3-4 plus triangle {2,3,5} and an
+    isolated pair {8,9}: hops from 1 are known, exactly one triangle."""
+    from area_etl_spark.operators.graph import bfs_hops, triangle_count
+
+    edges = [(1, 2), (2, 3), (3, 4), (2, 5), (3, 5), (8, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    hops = {r.node: r.hops for r in bfs_hops(df, source=1, max_hops=6).collect()}
+    assert hops == {1: 0, 2: 1, 3: 2, 5: 2, 4: 3}  # 8,9 unreachable → absent
+    assert triangle_count(df).first().n_triangles == 1
+    # direction must not matter, and duplicate/self edges must not double-count
+    df2 = spark.createDataFrame(edges + [(5, 2), (3, 3)], "src long, dst long")
+    assert triangle_count(df2).first().n_triangles == 1
