@@ -1718,16 +1718,10 @@ def q_dedup_best_rep(spark, sf_dir):
     """Quality-aware near-dup collapse: the full portable dedup pipeline but
     keeping the LONGEST document per cluster (ties → min id) instead of the
     min-id representative — the curation-grade survivor policy."""
-    from area_etl_spark.operators.graph import connected_components, dedup_keep_best
+    from area_etl_spark.operators.graph import near_dup_survivors
 
     tables = _tables(spark, sf_dir)
-    docs = tables["documents"]
-    cands = D.minhash_lsh_pairs_portable(docs, "text", "doc_id", num_hashes=16, bands=4)
-    verified = D.ngram_jaccard_pairs(docs, cands, "text", "doc_id", n=3, threshold=0.5)
-    comps = connected_components(verified.select("id_a", "id_b"))
-    return dedup_keep_best(
-        docs.select("doc_id", "lang", "source", "n_chars"), comps, "doc_id", "n_chars"
-    )
+    return near_dup_survivors(tables["documents"])
 
 
 def q_pagerank(spark, sf_dir):
@@ -1927,7 +1921,10 @@ def q_time_weighted_avg(spark, sf_dir):
     dec = "decimal(38,0)"
     return spans.groupBy("user_id").agg(
         F.round(
-            F.sum((F.col("cents") * F.col("dur_us")).cast(dec)).cast("double")
+            # cast each FACTOR to decimal before multiplying — a long×long
+            # product can overflow int64 for multi-decade gaps even though
+            # the SUM accumulates as decimal (same class as the r6 sums fix)
+            F.sum(F.col("cents").cast(dec) * F.col("dur_us").cast(dec)).cast("double")
             / F.sum(F.col("dur_us").cast(dec)).cast("double"),
             6,
         ).alias("tw_avg_cents"),
@@ -4134,7 +4131,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM ev WHERE next_ts IS NOT NULL
             )
             SELECT user_id,
-                   round(CAST(SUM(cents * dur_us) AS DOUBLE)
+                   round(CAST(SUM(CAST(cents AS HUGEINT) * dur_us) AS DOUBLE)
                          / CAST(SUM(dur_us) AS DOUBLE), 6) AS tw_avg_cents,
                    COUNT(*) AS n_spans
             FROM spans GROUP BY user_id

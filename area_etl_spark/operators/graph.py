@@ -185,8 +185,12 @@ def dedup_keep_best(
     labeled = components.join(
         df.select(F.col(id_col).alias("node"), F.col(score_col).alias("_s")), "node"
     )
+    # NULL scores must lose to ANY real score (a bare -NULL would sort FIRST
+    # in the struct-min and crown the null-scored row): map NULL → +inf so
+    # it orders after every negated finite score, ties still → min node.
+    neg = F.coalesce(-F.col("_s").cast("double"), F.lit(float("inf")))
     winners = labeled.groupBy("label").agg(
-        F.min(F.struct((-F.col("_s")).alias("neg"), F.col("node").alias("node"))).alias("_w")
+        F.min(F.struct(neg.alias("neg"), F.col("node").alias("node"))).alias("_w")
     ).select(F.col("_w.node").alias("_winner"), "label")
     losers = (
         components.join(winners, "label")
@@ -240,11 +244,13 @@ def pagerank_integer(
         .localCheckpoint(eager=True)
     )
     base = (100 - damping_pct) * scale // 100
+    # loop-invariant: the (edge, out-degree) relation never changes — join it
+    # once and checkpoint, instead of re-shuffling the edge list every round
+    e_deg = e.join(deg, "src").localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long"))
     for _ in range(iterations):
         contrib = (
-            e.join(deg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
             .select("dst", F.expr("`rank` div `_deg`").alias("_c"))
         )
         sums = contrib.groupBy("dst").agg(F.sum("_c").alias("_s"))
@@ -332,3 +338,29 @@ def triangle_count(
     ik = e.select(F.col("a").alias("i"), F.col("b").alias("k"))
     tri = ij.join(jk, "j").join(ik, ["i", "k"])
     return tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def near_dup_survivors(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+    keep_cols: tuple[str, ...] = ("lang", "source", "n_chars"),
+    num_hashes: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The quality-aware near-dup collapse as ONE shared composition:
+    portable MinHash candidates → exact n-gram Jaccard → connected
+    components → keep the best-scored doc per cluster.  Both the driver
+    contract (`q_dedup_best_rep`) and the runner's corpus module call THIS
+    function, so a tuning change can never silently diverge the two."""
+    from area_etl_spark.operators import dedup as D
+
+    cands = D.minhash_lsh_pairs_portable(docs, text_col, id_col, num_hashes=num_hashes, bands=bands)
+    verified = D.ngram_jaccard_pairs(docs, cands, text_col, id_col, n=ngram, threshold=threshold)
+    comps = connected_components(verified.select("id_a", "id_b"))
+    return dedup_keep_best(
+        docs.select(id_col, *keep_cols), comps, id_col, score_col
+    )

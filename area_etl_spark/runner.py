@@ -82,8 +82,6 @@ def _with_now(build: Callable[[dict, datetime], DataFrame]) -> Callable[[SparkSe
 def _corpus_clean(spark: SparkSession, tables: dict, now: datetime) -> DataFrame:
     """Line filter → cross-document paragraph dedup, the two cleaning passes
     in corpus order."""
-    from pyspark.sql import functions as F
-
     from area_etl_spark.operators.cleaning import c4_line_filter, dedup_paragraphs
 
     docs = tables["documents"].select(
@@ -94,23 +92,16 @@ def _corpus_clean(spark: SparkSession, tables: dict, now: datetime) -> DataFrame
 
 
 def _corpus_survivors(spark: SparkSession, tables: dict, now: datetime) -> DataFrame:
-    """Near-dup collapse keeping the longest document per cluster."""
-    from area_etl_spark.operators import dedup as D
-    from area_etl_spark.operators.graph import connected_components, dedup_keep_best
+    """Near-dup collapse keeping the longest document per cluster — the
+    SAME shared composition the driver-contract query oracles
+    (operators/graph.py:near_dup_survivors)."""
+    from area_etl_spark.operators.graph import near_dup_survivors
 
-    docs = tables["documents"]
-    cands = D.minhash_lsh_pairs_portable(docs, "text", "doc_id", num_hashes=16, bands=4)
-    verified = D.ngram_jaccard_pairs(docs, cands, "text", "doc_id", n=3, threshold=0.5)
-    comps = connected_components(verified.select("id_a", "id_b"))
-    return dedup_keep_best(
-        docs.select("doc_id", "lang", "source", "n_chars"), comps, "doc_id", "n_chars"
-    )
+    return near_dup_survivors(tables["documents"])
 
 
 def _corpus_packed(spark: SparkSession, tables: dict, now: datetime) -> DataFrame:
     """Token-budget sequence packing over the corpus."""
-    from pyspark.sql import functions as F
-
     from area_etl_spark.operators import text_analysis as TA
     from area_etl_spark.operators.packing import pack_sequences
 

@@ -247,9 +247,13 @@ def compact_files(
     NameNode/listing and per-file open costs dominate scan time long before
     the bytes do.  Strategy: count once, `repartition(ceil(rows/target))` (a
     round-robin shuffle — the ONE shuffle this job does), write to a
-    temporary sibling, then atomically swap via rename.  The swap keeps a
-    reader-visible directory at all times; true transactional swap needs a
-    table format (see SCALE.md §Formats), which this container lacks.
+    temporary sibling, then swap via two renames.  HONEST CONTRACT: the
+    swap has a brief window (between the renames) where ``path`` does not
+    exist — concurrent readers in that instant fail, and a crash inside
+    the window strands the data at ``<path>__compact_old`` (recoverable by
+    a manual rename; the next successful run clears stale debris).  A truly
+    atomic swap needs a transactional table format (Delta/Iceberg), which
+    this container lacks — run compaction in the lake's maintenance window.
     """
     import math
     import os

@@ -420,9 +420,11 @@ def test_salted_join_matches_plain_join(spark, tables):
     from area_etl_spark.operators.joins import salted_join
     from pyspark.sql import functions as F
 
+    # key-range filter, not limit(): LIMIT without ORDER BY is not a
+    # deterministic row set across the two independent jobs compared below
     li = tables["lineitem"].select(
         "l_orderkey", "l_linenumber", F.col("l_suppkey").alias("s_suppkey"), "l_quantity"
-    ).limit(2000)
+    ).where(F.col("l_orderkey") < 2000)
     # drop half the suppliers so `left` has genuinely unmatched probe rows
     sup = tables["supplier"].where(F.col("s_suppkey") % 2 == 0).select("s_suppkey", "s_name")
     for how in ("inner", "left"):
@@ -448,6 +450,13 @@ def test_dedup_keep_best_prefers_high_score(spark):
     kept = sorted(r.id for r in dedup_keep_best(docs, comps, "id", "score").collect())
     # winner of {1,2,3} is id 2 (max score 99, tie vs 3 → min id); 4 and 5 survive
     assert kept == [2, 4, 5]
+    # a NULL score must LOSE to any real score (the -NULL-sorts-first trap)
+    docs_null = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 99.0)], "id long, score double"
+    )
+    comps_all = spark.createDataFrame([(1, 1), (2, 1), (3, 1)], "node long, label long")
+    kept_null = [r.id for r in dedup_keep_best(docs_null, comps_all, "id", "score").collect()]
+    assert kept_null == [3]
 
 
 def test_weighted_hash_sample_monotone_and_bounds(spark, tables):
