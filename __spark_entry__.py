@@ -2677,7 +2677,7 @@ def _pagerank_sql(iterations: int = 3, damping_pct: int = 85, scale: int = 10**9
     for k in range(1, iterations + 1):
         ctes.append(
             f"""c{k} AS (
-                SELECT e.dst AS node, SUM(r.pr // g.d) AS s
+                SELECT e.dst AS node, CAST(SUM(r.pr // g.d) AS BIGINT) AS s
                 FROM e JOIN deg g ON g.src = e.src JOIN r{k - 1} r ON r.node = e.src
                 GROUP BY e.dst
             )"""
@@ -2689,7 +2689,15 @@ def _pagerank_sql(iterations: int = 3, damping_pct: int = 85, scale: int = 10**9
                 FROM nodes n LEFT JOIN c{k} c ON c.node = n.node
             )"""
         )
-    return f"WITH {', '.join(ctes)} SELECT node, pr AS pr_rank FROM r{iterations}"
+    # DuckDB SUM(BIGINT) yields HUGEINT (INT128); without the CASTs the dtype
+    # propagates through the // arithmetic and the final pr_rank column hashes
+    # differently from Spark's LongType even when every value matches
+    # (CORRECTNESS_r06 adjudication).  Cast at both the partial sum and the
+    # final projection so the oracle's dtype is BIGINT end-to-end.
+    return (
+        f"WITH {', '.join(ctes)} "
+        f"SELECT node, CAST(pr AS BIGINT) AS pr_rank FROM r{iterations}"
+    )
 
 
 def _simhash_portable_sql(bits: int = 16) -> str:
