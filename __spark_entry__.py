@@ -2217,28 +2217,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDER MATTERS: the driver's correctness gate checks the FIRST 50 entries.
-    Round-6 rotation: leads with the twelve oracles no driver window has
-    ever executed — dedup_embedding_cosine (r5's named gap), the new
-    pipeline_bindings recast, and the ten r6 operators (corpus + search +
-    ranking families) — then every query whose latest driver green predates
-    the regenerated NTZ testdata (the r2-only and r3-only greens, including
-    the VERDICT-named pipeline_poa / asof_join / range_band_join).
-    Displaced to make room, immediately below the window: nine
-    timestamp-free queries that already hold a driver green plus
-    current-testdata local parity (tests/test_oracle_parity.py), and the
-    rows-only dedup_minhash_lsh — the hot-bucket guard defaults off and its
-    full-oracle md5 twin (dedup_minhash_portable) is green on current data,
-    so a rows-only slot would waste a full-oracle check
-    (test_driver_window_fully_oracled enforces this).  r5 greens close the
-    dict below the window.
+    Round-7 rotation (VERDICT r6 items 1–2): leads with pagerank — the one
+    red CORRECTNESS_r06 row, its oracle's HUGEINT dtype now cast to BIGINT —
+    then the ~30 rotation candidates named in SURVEY §7 / VERDICT item 2:
+    every oracle whose last driver green predates the r5 testdata
+    regeneration (the r2-only and r3-only greens).  New r7 oracles
+    (lake-layout read-backs, cronos/auac field-level recasts, contract
+    gates) are inserted into the window as they land; r2+r3 doubles fill
+    any remaining slots.  Everything below the window holds a driver green
+    on current testdata (r5/r6) plus local parity
+    (tests/test_oracle_parity.py); the rows-only dedup_minhash_lsh stays
+    out of the window (test_driver_window_fully_oracled enforces this).
     """
     return {
-        # — the one oracle no driver run has ever executed (VERDICT item 1) —
+        # — the only red r6 row: oracle dtype fixed, re-windowed for green —
+        "pagerank": q_pagerank,
+        # — r7 rotation: r2-only greens, never re-checked since the r5
+        #   testdata regeneration —
+        "id_normalize": q_id_normalize,
+        "enum_mapping": q_enum_mapping,
+        "text_clean": q_text_clean,
+        "year_cast": q_year_cast,
+        "datetime_normalize": q_datetime_normalize,
+        "when_then_derivation": q_when_then_derivation,
+        "dup_name_disambiguation": q_dup_name_disambiguation,
+        "union_diagonal_relaxed": q_union_diagonal_relaxed,
+        "groupby_collect_list": q_groupby_collect_list,
+        "distinct_dedup": q_distinct_dedup,
+        "projection_pipeline": q_projection_pipeline,
+        "load_roundtrip": q_load_roundtrip,
+        "export_csv_roundtrip": q_export_csv_roundtrip,
+        "text_fingerprint": q_text_fingerprint,
+        "text_token_stats": q_text_token_stats,
+        # — r7 rotation: r3-only greens, same reason —
+        "json_extract": q_json_extract,
+        "dedup_components": q_dedup_components,
+        "text_tfidf_topk": q_text_tfidf_topk,
+        "text_pii_redact": q_text_pii_redact,
+        "text_repetition": q_text_repetition,
+        "text_topk_terms": q_text_topk_terms,
+        "sample_hash": q_sample_hash,
+        "window_rank_funcs": q_window_rank_funcs,
+        "profile_table": q_profile_table,
+        "role_permissions_fanout": q_role_permissions_fanout,
+        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "emb_cosine_pairs_exact": q_emb_cosine_pairs_exact,
+        "export_jsonl_roundtrip": q_export_jsonl_roundtrip,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "funnel_conversion": q_funnel_conversion,
+        "partitioned_layout_prune": q_partitioned_layout_prune,
+        "calendar_gapfill": q_calendar_gapfill,
+        "retention_cohorts": q_retention_cohorts,
+        "first_touch_attribution": q_first_touch_attribution,
+        "monthly_revenue_rollup": q_monthly_revenue_rollup,
+        "distinct_count_skewsafe": q_distinct_count_skewsafe,
+        "scd2_intervals": q_scd2_intervals,
+        "groupby_rollup": q_groupby_rollup,
+        "groupby_cube": q_groupby_cube,
+        "string_agg": q_string_agg,
+        "regex_extract": q_regex_extract,
+        "anti_semi_join": q_anti_semi_join,
+        "percentile_agg": q_percentile_agg,
+        # — r2+r3 doubles filling the window to 50 (displaced as new r7
+        #   oracles land above) —
+        "tpch_q3ish": q_tpch_q3ish,
+        "tpch_q5ish": q_tpch_q5ish,
+        "groupby_agg": q_groupby_agg,
+        "multiway_left_join": q_multiway_left_join,
+        "pipeline_core": q_pipeline_core,
+        # —— driver window ends here (first 50) ——
+        # — r6 greens: checked on current testdata last round —
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        # — new this round: generic binding-table recast (VERDICT item 4) —
         "pipeline_bindings": q_pipeline_bindings,
-        # — new r6 corpus operators: never driver-checked, windowed now so no
-        #   oracle repeats the r5 "oracled-but-never-windowed" gap —
         "chunk_documents": q_chunk_documents,
         "duplicate_spans": q_duplicate_spans,
         "bigram_lm_score": q_bigram_lm_score,
@@ -2249,7 +2300,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "topk_per_group": q_topk_per_group,
         "corpus_report": q_corpus_report,
-        # — new this session: never driver-checked, windowed immediately —
         "merge_intervals": q_merge_intervals,
         "salted_join_skew": q_salted_join_skew,
         "grouping_sets": q_grouping_sets,
@@ -2261,7 +2311,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_read": q_schema_evolution_read,
         "weighted_sample": q_weighted_sample,
         "dedup_best_rep": q_dedup_best_rep,
-        "pagerank": q_pagerank,
         "ann_pq_topk": q_ann_pq_topk,
         "scd2_lookup": q_scd2_lookup,
         "window_moving_median": q_window_moving_median,
@@ -2285,71 +2334,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debounce_events": q_debounce_events,
         "bfs_hops": q_bfs_hops,
         "triangle_count": q_triangle_count,
-        # — r2-only greens: last checked before the NTZ testdata/loader regen —
-        # — r3-only greens: same reason —
-        # — VERDICT-named r2+r3 doubles, re-confirmed on current testdata —
         "pipeline_poa": q_pipeline_poa,
         "asof_join": q_asof_join,
         "range_band_join": q_range_band_join,
-        # —— driver window ends here (first 50) ——
-        # — displaced for the 15 new never-checked oracles: timestamp-free
-        #   r2/r3 driver greens with current-testdata local parity; r7
-        #   rotation candidates —
-        "id_normalize": q_id_normalize,
-        "export_csv_roundtrip": q_export_csv_roundtrip,
-        "json_extract": q_json_extract,
-        "dedup_components": q_dedup_components,
-        "text_tfidf_topk": q_text_tfidf_topk,
-        "window_rank_funcs": q_window_rank_funcs,
-        "profile_table": q_profile_table,
-        "role_permissions_fanout": q_role_permissions_fanout,
-        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
-        "text_repetition": q_text_repetition,
-        "export_jsonl_roundtrip": q_export_jsonl_roundtrip,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        "funnel_conversion": q_funnel_conversion,
-        "partitioned_layout_prune": q_partitioned_layout_prune,
-        "calendar_gapfill": q_calendar_gapfill,
-        "retention_cohorts": q_retention_cohorts,
-        "first_touch_attribution": q_first_touch_attribution,
-        "monthly_revenue_rollup": q_monthly_revenue_rollup,
-        "projection_pipeline": q_projection_pipeline,
-        "distinct_count_skewsafe": q_distinct_count_skewsafe,
-        "load_roundtrip": q_load_roundtrip,
-        "year_cast": q_year_cast,
-        "when_then_derivation": q_when_then_derivation,
-        "datetime_normalize": q_datetime_normalize,
-        "scd2_intervals": q_scd2_intervals,
-        "enum_mapping": q_enum_mapping,
-        "text_clean": q_text_clean,
-        "dup_name_disambiguation": q_dup_name_disambiguation,
-        "union_diagonal_relaxed": q_union_diagonal_relaxed,
-        "groupby_collect_list": q_groupby_collect_list,
-        "distinct_dedup": q_distinct_dedup,
-        "text_fingerprint": q_text_fingerprint,
-        "text_token_stats": q_text_token_stats,
-        "text_pii_redact": q_text_pii_redact,
-        "sample_hash": q_sample_hash,
-        # — displaced to fit the 10 new r6 oracles: each already has a driver
-        #   green plus current-testdata local parity, and none touches the
-        #   NTZ-regenerated timestamp columns; dedup_minhash_lsh is rows-only
-        #   (guard defaults off; its full-oracle md5 twin went green r5) —
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "emb_cosine_pairs_exact": q_emb_cosine_pairs_exact,
-        "text_topk_terms": q_text_topk_terms,
-        "groupby_rollup": q_groupby_rollup,
-        "groupby_cube": q_groupby_cube,
-        "string_agg": q_string_agg,
-        "regex_extract": q_regex_extract,
-        "anti_semi_join": q_anti_semi_join,
-        "percentile_agg": q_percentile_agg,
+        # — rows-only by design (guard defaults; md5 twin is full-oracle) —
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        # — r2+r3 double greens —
-        "tpch_q3ish": q_tpch_q3ish,
-        "tpch_q5ish": q_tpch_q5ish,
-        "groupby_agg": q_groupby_agg,
-        "multiway_left_join": q_multiway_left_join,
-        "pipeline_core": q_pipeline_core,
+        # — r2/r3/r5 greens with current-testdata local parity —
         "pipeline_cronos": q_pipeline_cronos,
         "pipeline_auac": q_pipeline_auac,
         "pipeline_resolutions": q_pipeline_resolutions,
