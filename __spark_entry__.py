@@ -46,7 +46,15 @@ from area_etl_spark.operators.windows import disambiguate_names
 from area_etl_spark.plans import pipelines as P
 from area_etl_spark.session import load_tables_lazy
 from area_etl_spark.sources.extract import extract_csv, extract_sql
-from area_etl_spark.sources.load import export_csv, load_append, read_back, reload_overwrite
+from area_etl_spark.sources.load import (
+    export_csv,
+    load_append,
+    read_back,
+    reload_overwrite,
+    write_bucketed,
+    write_range_layout,
+    write_zorder_layout,
+)
 from area_etl_spark.streaming.event_stream import windowed_event_agg
 from area_etl_spark.streaming.sessions import session_agg
 
@@ -1701,6 +1709,129 @@ def q_schema_evolution_read(spark, sf_dir):
     )
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Bucketed co-located fact-fact join READ-BACK (SURVEY 43): orders and
+    lineitem saved bucketed by orderkey with the same bucket count, then
+    joined — the plan has no shuffle exchange (proven in
+    tests/test_bucketing.py); this entry verifies the JOIN RESULT against a
+    plain SQL oracle.  The write shuffles once; every subsequent join of the
+    two tables is exchange-free — the 100 TB fact-fact strategy."""
+    tables = _tables(spark, sf_dir)
+    tag = "".join(ch for ch in spark.sparkContext.applicationId if ch.isalnum())
+    t_orders, t_line = f"ae_bkt_orders_{tag}", f"ae_bkt_lineitem_{tag}"
+    if not spark.catalog.tableExists(t_orders):
+        write_bucketed(
+            tables["orders"].select("o_orderkey", "o_orderpriority", "o_totalprice"),
+            t_orders, ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"],
+        )
+        write_bucketed(
+            tables["lineitem"].select("l_orderkey", "l_quantity", "l_extendedprice"),
+            t_line, ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"],
+        )
+    o, l = spark.table(t_orders), spark.table(t_line)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            exact_money_sum("l_extendedprice").alias("revenue"),
+        )
+    )
+
+
+def q_range_layout_readback(spark, sf_dir):
+    """Range-clustered layout READ-BACK (SURVEY 43b): events written via
+    repartitionByRange(user_id) + sortWithinPartitions, re-read with a
+    narrow user_id band filter — the layout makes parquet min/max skip all
+    other files (span test in tests/test_bucketing.py); this entry verifies
+    the filtered content against the unclustered oracle."""
+    tables = _tables(spark, sf_dir)
+    src = tables["events"].select("event_id", "user_id", "event_type", "value")
+    path = _run_tmp(spark, "rangelayout", "events")
+    write_range_layout(src, path, ["user_id"], num_partitions=8)
+    out = read_back(spark, path).where((F.col("user_id") >= 3) & (F.col("user_id") < 12))
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_money_sum("value").alias("total_value"),
+    )
+
+
+def q_zorder_layout_readback(spark, sf_dir):
+    """Z-order-clustered layout READ-BACK (SURVEY 43c): orders written
+    Morton-interleaved on (o_custkey, o_totalprice) quantile buckets, re-read
+    with a predicate on BOTH dimensions — the layout keeps min/max tight in
+    every interleaved column (file-skip test in tests/test_bucketing.py);
+    this entry verifies content equality after the rewrite."""
+    tables = _tables(spark, sf_dir)
+    src = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    path = _run_tmp(spark, "zorder", "orders")
+    write_zorder_layout(src, path, ["o_custkey", "o_totalprice"], bits=4, num_partitions=8)
+    out = read_back(spark, path).where(
+        (F.col("o_custkey") < 500) & (F.col("o_totalprice") > 100000.0)
+    )
+    return out.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def q_compact_roundtrip(spark, sf_dir):
+    """Small-file compaction READ-BACK (SURVEY 43d): documents deliberately
+    shattered into 64 files, compacted to ~250-row files, re-read — row-set
+    equality with the source proves the rewrite lost/duplicated nothing
+    (file-count assertions live in tests/test_sources.py)."""
+    from area_etl_spark.sources.load import compact_files
+
+    tables = _tables(spark, sf_dir)
+    src = tables["documents"].select("doc_id", "lang", "source", "n_chars")
+    path = _run_tmp(spark, "compact", "documents")
+    src.repartition(64).write.mode("overwrite").parquet(path)
+    compact_files(spark, path, target_rows_per_file=250)
+    return read_back(spark, path)
+
+
+def q_file_stats_manifest(spark, sf_dir):
+    """Per-file stats manifest (SURVEY 43e), rolled up to the partition key
+    so the oracle is layout-independent: documents written hive-partitioned
+    by lang, the `_metadata.file_path` manifest built per FILE, then grouped
+    by the lang extracted from each file's hive path — per-lang row counts
+    and min/max must equal a plain GROUP BY over the source table.  Exercises
+    the real manifest mechanics (hidden `_metadata` column, one distributed
+    pass) under an engine-checkable contract."""
+    from area_etl_spark.sources.load import file_stats_manifest
+
+    tables = _tables(spark, sf_dir)
+    src = tables["documents"].select("doc_id", "lang", "n_chars")
+    path = _run_tmp(spark, "manifest", "documents")
+    reload_overwrite(src, path, partition_by=["lang"])
+    man = file_stats_manifest(spark, path, ["doc_id", "n_chars"])
+    lang = F.regexp_extract(F.col("file"), r"lang=([^/]+)/", 1)
+    return (
+        man.groupBy(lang.alias("lang"))
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.min("min_doc_id").alias("min_doc_id"),
+            F.max("max_doc_id").alias("max_doc_id"),
+            F.min("min_n_chars").alias("min_n_chars"),
+            F.max("max_n_chars").alias("max_n_chars"),
+        )
+    )
+
+
+def q_stratified_sample_by(spark, sf_dir):
+    """Seeded stratified sampling via DataFrame.sampleBy (SURVEY 47g):
+    per-lang keep fractions, fixed seed.  Rows-only by design — Spark's
+    Bernoulli draw is engine-specific RNG, so no cross-engine oracle exists;
+    the deterministic portable twin (sample_stratified_hash, 47x) carries the
+    full oracle.  Tolerance-bounded rate assertions live in
+    tests/test_approx_sampling.py."""
+    tables = _tables(spark, sf_dir)
+    fractions = {"en": 0.5, "de": 0.25, "fr": 0.25, "it": 0.25, "es": 0.25}
+    return (
+        tables["documents"]
+        .sampleBy("lang", fractions, seed=42)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Per-row weighted deterministic sampling: keep each document with
     probability n_chars/800 (clamped to [0,1]) — quality-proportional
@@ -2279,14 +2410,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_extract": q_regex_extract,
         "anti_semi_join": q_anti_semi_join,
         "percentile_agg": q_percentile_agg,
-        # — r2+r3 doubles filling the window to 50 (displaced as new r7
-        #   oracles land above) —
+        # — new r7: lake-layout read-backs, previously test-only (VERDICT
+        #   item 3) — the layout MECHANICS stay pytest-proven (zero-exchange
+        #   plan, file spans, file counts); these entries put the CONTENT
+        #   under the driver oracle —
+        "bucketed_join": q_bucketed_join,
+        "range_layout_readback": q_range_layout_readback,
+        "zorder_layout_readback": q_zorder_layout_readback,
+        "compact_roundtrip": q_compact_roundtrip,
+        "file_stats_manifest": q_file_stats_manifest,
+        # —— driver window ends here (first 50) ——
+        # — r2+r3 doubles displaced from the window by the five new oracles —
         "tpch_q3ish": q_tpch_q3ish,
         "tpch_q5ish": q_tpch_q5ish,
         "groupby_agg": q_groupby_agg,
         "multiway_left_join": q_multiway_left_join,
         "pipeline_core": q_pipeline_core,
-        # —— driver window ends here (first 50) ——
         # — r6 greens: checked on current testdata last round —
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "pipeline_bindings": q_pipeline_bindings,
@@ -2339,6 +2478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_band_join": q_range_band_join,
         # — rows-only by design (guard defaults; md5 twin is full-oracle) —
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        # — rows-only by design: Spark-RNG sampleBy; portable twin
+        #   sample_stratified_hash carries the full oracle —
+        "stratified_sample_by": q_stratified_sample_by,
         # — r2/r3/r5 greens with current-testdata local parity —
         "pipeline_cronos": q_pipeline_cronos,
         "pipeline_auac": q_pipeline_auac,
@@ -4389,6 +4531,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_nationkey, COUNT(*) AS n_suppliers,
                    SUM(CAST(round(s_acctbal * 100) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS total_acctbal
             FROM supplier GROUP BY s_nationkey
+        """,
+        "bucketed_join": """
+            SELECT o.o_orderpriority, COUNT(*) AS n_lines,
+                   SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS revenue
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderpriority
+        """,
+        "range_layout_readback": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   SUM(CAST(round(value * 100) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS total_value
+            FROM events WHERE user_id >= 3 AND user_id < 12
+            GROUP BY user_id
+        """,
+        "zorder_layout_readback": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders WHERE o_custkey < 500 AND o_totalprice > 100000.0
+        """,
+        "compact_roundtrip": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+        """,
+        "file_stats_manifest": """
+            SELECT lang, COUNT(*) AS n_rows,
+                   MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+                   MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
+            FROM documents GROUP BY lang
         """,
         "schema_evolution_read": """
             SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n_chars

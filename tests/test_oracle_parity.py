@@ -69,6 +69,9 @@ def test_every_query_has_oracle_or_is_documented_rows_only():
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "dedup_full_pipeline",
+        # Spark-RNG sampleBy: no cross-engine oracle; portable twin
+        # sample_stratified_hash carries the full oracle
+        "stratified_sample_by",
     }
 
 
