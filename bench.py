@@ -4,6 +4,13 @@ prints ONE JSON line with per-query wall times.
 Each query materializes through Spark's ``noop`` sink — full plan execution
 (scan → shuffle → agg) with zero driver-collect or serialization overhead,
 so the number reflects the engine, not the harness.
+
+``--against <commit>`` runs the SAME bench twice in one session — once from
+a detached git worktree of <commit>, once from the working tree — and
+reports the HEAD/<commit> wall-time RATIO alongside both absolute runs.
+Absolute walls on a shared box drift 2× between rounds (the r4 and r6
+"noise" episodes); the same-session ratio is the regression signal that
+survives that drift.
 """
 
 from __future__ import annotations
@@ -45,7 +52,63 @@ HEADLINE = [
 ]
 
 
+def _run_against(commit: str) -> None:
+    """Same-session A/B: bench <commit> (worktree) then HEAD, print ratio."""
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = tempfile.mkdtemp(prefix="bench_against_")
+    subprocess.run(
+        ["git", "-C", repo, "worktree", "add", "--detach", "--force", wt, commit],
+        check=True,
+        capture_output=True,
+    )
+    try:
+        results = {}
+        for label, cwd in (("against", wt), ("head", repo)):
+            out = subprocess.run(
+                [sys.executable, os.path.join(cwd, "bench.py")],
+                cwd=cwd,
+                check=True,
+                capture_output=True,
+                text=True,
+            ).stdout
+            # bench prints exactly one JSON line (last non-empty line)
+            results[label] = json.loads(
+                [ln for ln in out.strip().splitlines() if ln.strip()][-1]
+            )
+    finally:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "remove", "--force", wt],
+            capture_output=True,
+        )
+    ratio = results["head"]["value"] / results["against"]["value"]
+    per_query = {
+        q: round(results["head"]["queries"][q] / results["against"]["queries"][q], 3)
+        for q in results["head"]["queries"]
+        if q in results["against"].get("queries", {})
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "headline_wall_ratio_vs_prior",
+                "value": round(ratio, 3),
+                "unit": "ratio",
+                "against_commit": commit,
+                "head_sec": results["head"]["value"],
+                "against_sec": results["against"]["value"],
+                "query_ratios": per_query,
+                "sf": results["head"]["sf"],
+            }
+        )
+    )
+
+
 def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--against":
+        _run_against(sys.argv[2])
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("area-etl-bench")
