@@ -4,11 +4,16 @@ LLM-pipeline operator family from the brief.  Media payloads travel as
 opaque ``binary`` columns with a typed metadata struct; the expensive kernels
 (decode, resize, frame-sample, feature-extract) run as Arrow-batched
 ``mapInPandas`` stages.  ``DECODERS`` carries two kernels: ``real`` — a
-stdlib-only container decoder (PNG/GIF/BMP geometry, WAV audio geometry,
-tested against real bytes end-to-end) — and ``fake``, a deterministic
-stand-in used where tests need exact reproducible pseudo-dimensions from
-arbitrary payloads.  Full pixel/sample decoding (PIL/ffmpeg) slots into the
-same ``DECODERS`` registry in a production image.
+stdlib-only container decoder (PNG/GIF/BMP/JPEG geometry, WAV audio
+geometry, tested against real bytes end-to-end) — and ``fake``, a
+deterministic stand-in used where tests need exact reproducible
+pseudo-dimensions from arbitrary payloads.  The same registry pattern
+covers the other kernels: ``RESIZE_KERNELS`` ("fake" aspect-fit math /
+"pil" real PIL thumbnail when the library is present) and
+``FEATURE_KERNELS`` ("fake" length-derived dims / "hist" a REAL
+numpy-vectorized byte-histogram signature) — swapping a kernel changes no
+Spark-side plumbing.  Full pixel/sample decoding (PIL/ffmpeg) slots into
+the same registries in a production image.
 
 Scale notes: media rows are orders of magnitude wider than text rows, so
 ``rebalance_for_media`` repartitions by a target bytes-per-partition before
@@ -85,6 +90,30 @@ def real_decode(payload: bytes) -> dict[str, Any]:
             # BITMAPINFOHEADER at offset 14: size, signed width/height
             w, h = struct.unpack("<ii", payload[18:26])
             return {"width": w, "height": abs(h), "n_frames": 1, "ok": True}
+        if payload[:2] == b"\xff\xd8":
+            # JPEG: scan marker segments for the first SOF frame header
+            # (SOF0..SOF15 except DHT/DAC/RST markers), which carries
+            # height/width at fixed offsets.  Real corpora are
+            # overwhelmingly JPEG (reference uploads arbitrary attachment
+            # bytes, src/core.py:937-991), so geometry decode must cover it.
+            i = 2
+            while i + 9 < len(payload):
+                if payload[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = payload[i + 1]
+                if marker == 0xFF:
+                    i += 1  # fill byte (legal padding before a marker)
+                    continue
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone markers carry no length
+                    continue
+                seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                    return {"width": w, "height": h, "n_frames": 1, "ok": True}
+                i += 2 + seg_len
+            return {"width": 0, "height": 0, "n_frames": 0, "ok": False}
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             import io
             import wave
@@ -105,8 +134,20 @@ DECODERS: dict[str, Callable[[bytes], dict[str, Any]]] = {"fake": fake_decode, "
 
 
 def rebalance_for_media(df: DataFrame, target_bytes_per_partition: int = 128 << 20) -> DataFrame:
-    """Repartition so each task's payload volume ≈ target (Arrow-batch safety)."""
-    total = df.select(F.sum(F.length(F.col("payload")))).first()[0] or 0
+    """Repartition so each task's payload volume ≈ target (Arrow-batch safety).
+
+    The sizing pass sums ``meta.byte_len`` — an int column the ingest
+    contract (``attach_binary_payload``) always materializes — so on a
+    columnar source the count scan prunes the payload column entirely and
+    reads a few bytes per row, not the media itself.  Falls back to
+    ``length(payload)`` (a full payload read) only when the meta struct is
+    absent.
+    """
+    if "meta" in df.columns and "byte_len" in df.schema["meta"].dataType.names:
+        size = F.col("meta.byte_len")
+    else:
+        size = F.length(F.col("payload"))
+    total = df.select(F.sum(size)).first()[0] or 0
     parts = max(1, int(total // target_bytes_per_partition) + 1)
     return df.repartition(parts)
 
@@ -160,19 +201,49 @@ def fake_resize_dims(width: int, height: int, target_max: int) -> tuple[int, int
     return int(width * factor), int(height * factor)
 
 
-def resize_media(decoded: DataFrame, target_max: int = 256) -> DataFrame:
+def _pil_resize_dims(width: int, height: int, target_max: int) -> tuple[int, int]:
+    """Real-kernel slot: PIL's own thumbnail math on a synthetic canvas.
+
+    Imports PIL lazily (once per executor process via the module cache); a
+    production image swaps in actual pixel resampling here — the registry
+    and the Spark-side plumbing need zero changes.  Raising ImportError when
+    PIL is absent is deliberate: a silent fake fallback would misreport which
+    kernel ran.
+    """
+    from PIL import Image  # noqa: PLC0415 — executor-side lazy import
+
+    if width <= 0 or height <= 0:
+        return width, height
+    with Image.new("L", (width, height)) as im:
+        im.thumbnail((target_max, target_max))
+        return im.size
+
+
+# Registry mirrors DECODERS: pick a kernel by name, Spark plumbing is shared.
+# "pil" registers unconditionally; selecting it without PIL installed fails
+# loudly at task time rather than silently downgrading the output.
+RESIZE_KERNELS: dict[str, Callable[[int, int, int], tuple[int, int]]] = {
+    "fake": fake_resize_dims,
+    "pil": _pil_resize_dims,
+}
+
+
+def resize_media(decoded: DataFrame, target_max: int = 256, kernel: str = "fake") -> DataFrame:
     """Resize stage over decoded records: Arrow-batched mapInPandas.
 
-    The real kernel (PIL/opencv) slots where ``fake_resize_dims`` computes —
-    the Spark-side contract (schema in/out, batch iteration, partition
-    sizing via ``rebalance_for_media`` upstream) is identical.
+    ``kernel`` selects from ``RESIZE_KERNELS`` (the DECODERS pattern): the
+    "fake" kernel computes the aspect-fit dimensions in pure Python, the
+    "pil" kernel runs PIL's thumbnail math when the library is present —
+    both share this function's schema, batch iteration, and the upstream
+    ``rebalance_for_media`` partition sizing unchanged.
     """
+    resize = RESIZE_KERNELS[kernel]
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rw, rh = [], []
             for w, h in zip(pdf["width"], pdf["height"]):
-                a, b = fake_resize_dims(int(w), int(h), target_max)
+                a, b = resize(int(w), int(h), target_max)
                 rw.append(a)
                 rh.append(b)
             yield pd.DataFrame(
@@ -213,24 +284,55 @@ def fake_feature_vector(byte_len: int) -> list[float]:
     return [((byte_len * (i + 1)) % 1000) / 1000.0 for i in range(FEATURE_DIM)]
 
 
-def extract_features(df: DataFrame) -> DataFrame:
+def _hist_feature_batch(payloads) -> list[list[float]]:
+    """REAL feature kernel: L1-normalized byte-value histogram folded to
+    FEATURE_DIM bins, numpy-vectorized per Arrow batch.
+
+    Unlike the fake kernel this reads the actual payload BYTES — a genuine
+    content signature (byte-distribution fingerprint, the classic cheap
+    near-dup / file-type signal) computed with the exact batch shape a
+    neural embedding model would use: one vectorized call per Arrow batch,
+    never per row.
+    """
+    import numpy as np  # executor-side; baked into the runtime image
+
+    out: list[list[float]] = []
+    for p in payloads:
+        b = np.frombuffer(bytes(p) if p is not None else b"", dtype=np.uint8)
+        if b.size == 0:
+            out.append([0.0] * FEATURE_DIM)
+            continue
+        hist = np.bincount(b, minlength=256).astype(np.float64)
+        folded = hist.reshape(FEATURE_DIM, 256 // FEATURE_DIM).sum(axis=1)
+        out.append((folded / b.size).tolist())
+    return out
+
+
+# batch-level kernels: (payload series, byte_len list) → list of vectors
+FEATURE_KERNELS: dict[str, Callable[..., list[list[float]]]] = {
+    "fake": lambda payloads, lens: [fake_feature_vector(n) for n in lens],
+    "hist": lambda payloads, lens: _hist_feature_batch(payloads),
+}
+
+
+def extract_features(df: DataFrame, kernel: str = "fake") -> DataFrame:
     """Feature-extraction stage: (id, payload, meta) → fixed-dim vector.
 
     Output feeds the similarity operators (``cosine_topk``,
     ``embedding_near_dup_pairs``) unchanged — binary → features → ANN is the
-    full multimodal dedup path.  Real models slot in per batch (load the
-    model once per partition, not per row).
+    full multimodal dedup path.  ``kernel``: "fake" derives dims from byte
+    length (exact, reproducible — the test stand-in); "hist" computes a REAL
+    byte-histogram signature from the payload bytes, numpy-vectorized per
+    Arrow batch — the slot a neural embedding model drops into (load model
+    once per partition, embed per batch).
     """
+    kfn = FEATURE_KERNELS[kernel]
 
     def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             lens = [int(m["byte_len"]) for m in pdf["meta"]]
             yield pd.DataFrame(
-                {
-                    "id": pdf["id"],
-                    "byte_len": lens,
-                    "features": [fake_feature_vector(n) for n in lens],
-                }
+                {"id": pdf["id"], "byte_len": lens, "features": kfn(pdf["payload"], lens)}
             )
 
     return df.mapInPandas(_features, schema=FEATURES_SCHEMA)

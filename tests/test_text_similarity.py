@@ -214,18 +214,33 @@ def test_real_decode_actual_container_bytes(spark):
     def gif_bytes(w, h):
         return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00;"
 
+    def jpeg_bytes(w, h, sof=0xC0, fill=0):
+        # SOI + APP0(JFIF) + optional FF fill padding + SOF + EOI: the
+        # minimal marker stream a SOF-scan decoder must walk.  sof=0xC2
+        # exercises progressive JPEG; fill>0 exercises legal FF padding.
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        sof_seg = bytes([0xFF, sof]) + struct.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+        return b"\xff\xd8" + app0 + b"\xff" * fill + sof_seg + b"\xff\xd9"
+
     payloads = [
         (1, png_bytes(13, 7)),
         (2, bmp_bytes(31, 9)),
         (3, wav_bytes(2, 8000, 123)),
         (4, gif_bytes(320, 200)),
         (5, b"not a media file at all"),
+        (6, jpeg_bytes(640, 480)),
+        (7, jpeg_bytes(17, 23, sof=0xC2, fill=3)),
     ]
     # unit level first
     assert real_decode(payloads[0][1]) == {"width": 13, "height": 7, "n_frames": 1, "ok": True}
     assert real_decode(payloads[1][1]) == {"width": 31, "height": 9, "n_frames": 1, "ok": True}
     assert real_decode(payloads[2][1]) == {"width": 2, "height": 16, "n_frames": 123, "ok": True}
     assert real_decode(payloads[4][1])["ok"] is False
+    # JPEG: baseline SOF0, progressive SOF2 behind FF fill padding, and a
+    # truncated stream (SOI + APP0 but no SOF) must fail closed
+    assert real_decode(payloads[5][1]) == {"width": 640, "height": 480, "n_frames": 1, "ok": True}
+    assert real_decode(payloads[6][1]) == {"width": 17, "height": 23, "n_frames": 1, "ok": True}
+    assert real_decode(payloads[5][1][:10])["ok"] is False
 
     df = spark.createDataFrame(payloads, "id bigint, payload binary").select(
         "id",
@@ -241,7 +256,59 @@ def test_real_decode_actual_container_bytes(spark):
     assert (decoded[2].width, decoded[2].height) == (31, 9)
     assert (decoded[3].width, decoded[3].height, decoded[3].n_frames) == (2, 16, 123)
     assert (decoded[4].width, decoded[4].height) == (320, 200)
+    assert (decoded[6].width, decoded[6].height) == (640, 480)
+    assert (decoded[7].width, decoded[7].height) == (17, 23)
     assert decoded[5].ok is False and decoded[1].ok is True
+
+
+def test_kernel_registries_share_plumbing(spark):
+    """RESIZE_KERNELS / FEATURE_KERNELS swap with zero Spark-side changes:
+    the same mapInPandas stage runs each kernel; the real 'hist' feature
+    kernel reads actual payload bytes (uniform bytes → all mass in one
+    folded bin), and selecting an unknown kernel fails fast."""
+    import pytest
+
+    from area_etl_spark.operators.multimodal import (
+        FEATURE_DIM,
+        FEATURE_KERNELS,
+        RESIZE_KERNELS,
+        attach_binary_payload,
+        decode_media,
+        extract_features,
+        resize_media,
+    )
+
+    assert set(RESIZE_KERNELS) >= {"fake", "pil"} and set(FEATURE_KERNELS) >= {"fake", "hist"}
+
+    df = spark.createDataFrame(
+        [(1, "A" * 64), (2, "xy" * 16)], "id bigint, txt string"
+    )
+    wrapped = attach_binary_payload(df, "txt", "application/octet-stream", "id")
+
+    feats = {r.id: r.features for r in extract_features(wrapped, kernel="hist").collect()}
+    # doc 1 is 64 bytes of 'A' (0x41 → folded bin 2 of 8): all mass there
+    assert feats[1][2] == 1.0 and sum(feats[1]) == 1.0
+    # doc 2 mixes 'x'(0x78, bin 3) and 'y'(0x79, bin 3): still one bin, mass 1
+    assert feats[2][3] == 1.0
+    assert len(feats[1]) == FEATURE_DIM
+
+    decoded = decode_media(wrapped, decoder="fake")
+    fake_rows = {r.id: r for r in resize_media(decoded, 16, kernel="fake").collect()}
+    assert fake_rows[1].resized_width <= 16 and fake_rows[1].resized_height <= 16
+    try:
+        import PIL  # noqa: F401
+
+        pil_rows = {r.id: r for r in resize_media(decoded, 16, kernel="pil").collect()}
+        assert {(r.resized_width, r.resized_height) for r in pil_rows.values()} == {
+            (r.resized_width, r.resized_height) for r in fake_rows.values()
+        }
+    except ImportError:
+        pass  # sandbox has no PIL; the registry slot is still exercised above
+
+    with pytest.raises(KeyError):
+        extract_features(wrapped, kernel="nope")
+    with pytest.raises(KeyError):
+        resize_media(decoded, 16, kernel="nope")
 
 
 def test_repetition_features_semantics(spark):
