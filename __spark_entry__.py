@@ -2476,7 +2476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_poa": q_pipeline_poa,
         "asof_join": q_asof_join,
         "range_band_join": q_range_band_join,
-        # — rows-only by design (guard defaults; md5 twin is full-oracle) —
+        # — rows-only by design (xxhash64 signatures have no DuckDB
+        #   equivalent; md5 twin is full-oracle) —
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         # — rows-only by design: Spark-RNG sampleBy; portable twin
         #   sample_stratified_hash carries the full oracle —

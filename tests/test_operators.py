@@ -88,11 +88,26 @@ def test_minhash_hot_bucket_guard_bounds_spam_pairs(spark):
 
 
 def test_minhash_guard_is_noop_on_ordinary_corpus(spark, tables):
-    """On a realistic corpus no bucket approaches the cap → identical output."""
+    """On a realistic corpus no bucket approaches the default cap (organic
+    max bucket at sf0.1 is 4) → the default-on guard produces output
+    bit-identical to the exhaustive unguarded run."""
     docs = tables["documents"].select("doc_id", "text").limit(150)
-    base = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect()}
-    capped = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, max_bucket=100).collect()}
-    assert base == capped
+    unguarded = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs, max_bucket=None).collect()}
+    default = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect()}
+    assert unguarded == default
+
+
+def test_minhash_guard_default_on_bounds_spam(spark):
+    """The DEFAULT call (no max_bucket argument) must already bound a
+    planted-spam blow-up — the 100 TB story can't depend on an opt-in flag.
+    300 copies of one spam page share every bucket: unguarded C(300,2) =
+    44,850 pairs; the default cap keeps the same 256 lowest-hash ids in
+    every bucket (rank is by xxhash64(id), band-independent) → exactly
+    C(256,2) = 32,640 pairs."""
+    spam = "click here to win amazing prizes subscribe today for more offers " * 4
+    df = spark.createDataFrame([(i, spam) for i in range(300)], "doc_id int, text string")
+    assert minhash_lsh_pairs(df, max_bucket=None).count() == 44_850  # blow-up is real
+    assert minhash_lsh_pairs(df).count() == 32_640  # default bounds it
 
 
 def test_ngram_jaccard_verifies(spark):

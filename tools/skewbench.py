@@ -124,6 +124,28 @@ def main() -> None:
     timed("index doc-sharded (64 shards)", lambda: sink(
         inverted_index(docs, "text", "doc_id", n_shards=64)))
 
+    # minhash LSH hot bucket: m identical spam docs → all m share every
+    # (band_id, band_hash) bucket → O(m²) candidate pairs unguarded; the
+    # default-on max_bucket=256 guard bounds the bucket before the self-join.
+    from area_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    n_spam = 3_000
+    spam_txt = "subscribe now for daily deals and offers great savings every day " * 6
+    spam = spark.range(n_spam).select(
+        F.col("id").alias("doc_id"), F.lit(spam_txt).alias("text")
+    )
+    spam.write.mode("overwrite").parquet("/tmp/skewbench_spam")
+    spam = spark.read.parquet("/tmp/skewbench_spam")
+    print(f"minhash: {n_spam:,} identical spam docs (worst-case hot bucket)")
+    timed(
+        f"minhash UNGUARDED ({n_spam * (n_spam - 1) // 2:,} pairs)",
+        lambda: sink(minhash_lsh_pairs(spam, max_bucket=None)),
+    )
+    timed(
+        "minhash guarded default-on (32,640 pairs)",
+        lambda: sink(minhash_lsh_pairs(spam)),
+    )
+
 
 if __name__ == "__main__":
     main()
