@@ -314,17 +314,28 @@ def triangle_count(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    orient: str = "id",
 ) -> DataFrame:
     """Global triangle count of the undirected simple graph — the
     clustering-structure scalar (one row: ``n_triangles``).
 
-    The order-canonical join strategy: orient every edge low→high, then
-    triangles = |{(i<j<k) : (i,j), (j,k), (i,k) all edges}| via two
-    equi-joins — each triangle counted exactly once, never an all-pairs
-    product.  Cost is Σ_v deg(v)² on the oriented graph; orienting by
-    degree (not id) would bound the skew for power-law graphs — id
-    orientation keeps the oracle trivially portable and is fine below
-    that regime.
+    The order-canonical join strategy: orient every edge along a total
+    order, then triangles = |{(i<j<k) : (i,j), (j,k), (i,k) all edges}|
+    via two equi-joins — each triangle counted exactly once, never an
+    all-pairs product.  Cost is Σ_v out-deg(v)² on the oriented graph.
+
+    ``orient`` picks the total order:
+
+    - ``"id"`` (default): node id — trivially portable to the SQL oracle,
+      fine on flat-degree graphs, but a LOW-id hub keeps its full degree
+      as out-degree, so Σ out-deg² blows up on power-law graphs.
+    - ``"degree"``: (degree, id) — the standard skew bound: every node's
+      out-degree is O(√m) regardless of hubs, because a node only points
+      at HIGHER-degree neighbors and fewer than √m nodes can have degree
+      > √m.  Two extra broadcast-sized joins against the degree table pay
+      for it.  The count is identical under any total order (each
+      triangle has exactly one minimal vertex), verified by
+      tests/test_operators.py::test_triangle_orientations_agree.
     """
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -332,7 +343,24 @@ def triangle_count(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    e = und.where(F.col("a") < F.col("b")).localCheckpoint(eager=True)
+    if orient == "degree":
+        deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("_deg"))
+        dega = deg.select("a", F.col("_deg").alias("_dega"))
+        degb = deg.select(F.col("a").alias("b"), F.col("_deg").alias("_degb"))
+        e = (
+            und.join(dega, "a")
+            .join(degb, "b")
+            .where(
+                (F.col("_dega") < F.col("_degb"))
+                | ((F.col("_dega") == F.col("_degb")) & (F.col("a") < F.col("b")))
+            )
+            .select("a", "b")
+        )
+    elif orient == "id":
+        e = und.where(F.col("a") < F.col("b"))
+    else:
+        raise ValueError(f"orient must be 'id' or 'degree', got {orient!r}")
+    e = e.localCheckpoint(eager=True)
     ij = e.select(F.col("a").alias("i"), F.col("b").alias("j"))
     jk = e.select(F.col("a").alias("j"), F.col("b").alias("k"))
     ik = e.select(F.col("a").alias("i"), F.col("b").alias("k"))

@@ -541,3 +541,34 @@ def test_bfs_hops_and_triangles_on_known_graph(spark):
     # direction must not matter, and duplicate/self edges must not double-count
     df2 = spark.createDataFrame(edges + [(5, 2), (3, 3)], "src long, dst long")
     assert triangle_count(df2).first().n_triangles == 1
+
+
+def test_triangle_orientations_agree(spark):
+    """id- and degree-orientation must count identically (any total order
+    gives one minimal vertex per triangle).  The adversarial case for id
+    orientation is a LOW-id hub: node 0 connected to everyone keeps its
+    full degree as out-degree, while degree orientation points it only at
+    the (rare) higher-degree nodes — same count either way."""
+    import random
+
+    from area_etl_spark.operators.graph import triangle_count
+
+    rng = random.Random(7)
+    # hub graph: node 0 ↔ all of 1..40, plus a ring 1-2-...-40-1 (each ring
+    # edge closes a triangle through the hub → exactly 40 triangles)
+    hub_edges = [(0, i) for i in range(1, 41)] + [(i, i % 40 + 1) for i in range(1, 41)]
+    hub = spark.createDataFrame(hub_edges, "src long, dst long")
+    assert triangle_count(hub, orient="id").first().n_triangles == 40
+    assert triangle_count(hub, orient="degree").first().n_triangles == 40
+
+    # random graph: no structure assumptions, just orientation equivalence
+    rnd_edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(120)})
+    rnd = spark.createDataFrame(rnd_edges, "src long, dst long")
+    n_id = triangle_count(rnd, orient="id").first().n_triangles
+    n_deg = triangle_count(rnd, orient="degree").first().n_triangles
+    assert n_id == n_deg
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        triangle_count(hub, orient="nope")

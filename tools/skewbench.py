@@ -146,6 +146,28 @@ def main() -> None:
         lambda: sink(minhash_lsh_pairs(spam)),
     )
 
+    # triangle counting on a power-law hub: under id orientation a MID-id
+    # hub becomes the center of in-deg × out-deg wedges (satellites below it
+    # point in, satellites above it point out → n²/4 wedge pairs through one
+    # node); degree orientation points every node at higher-degree neighbors,
+    # so the hub is never a wedge center and out-degree is bounded at O(√m).
+    from area_etl_spark.operators.graph import triangle_count
+
+    n_sat = 8_000
+    hub_id = n_sat // 2  # mid-id hub: the id-orientation worst case
+    sats = spark.range(n_sat + 1).where(F.col("id") != hub_id)
+    hub = sats.select(F.lit(hub_id).alias("src"), F.col("id").alias("dst")).unionByName(
+        sats.select(F.col("id").alias("src"), ((F.col("id") + 1) % (n_sat + 1)).alias("dst"))
+    )
+    hub.write.mode("overwrite").parquet("/tmp/skewbench_hub")
+    hub = spark.read.parquet("/tmp/skewbench_hub")
+    print(f"triangles: mid-id hub ↔ {n_sat:,} satellites + ring "
+          f"(~{(n_sat // 2) ** 2 // 1_000_000}M wedges through the hub id-oriented)")
+    timed("triangles id-oriented (hub is wedge center)", lambda: sink(
+        triangle_count(hub, orient="id")))
+    timed("triangles degree-oriented (√m bound)", lambda: sink(
+        triangle_count(hub, orient="degree")))
+
 
 if __name__ == "__main__":
     main()
