@@ -4484,13 +4484,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM ev GROUP BY event_type
             ), mad AS (
                 SELECT e.event_type,
-                       quantile_cont(abs(CAST(e.cents AS DOUBLE) - med.m), 0.5) AS mad
+                       quantile_cont(abs(CAST(e.cents AS DOUBLE) - med.m), 0.5) AS mad,
+                       avg(abs(CAST(e.cents AS DOUBLE) - med.m)) AS meanad
                 FROM ev e JOIN med USING (event_type)
                 GROUP BY e.event_type
             ), scored AS (
                 SELECT e.event_type, e.event_id, e.cents,
                        round(CASE WHEN mad.mad > 0
                                   THEN 0.6745 * (CAST(e.cents AS DOUBLE) - med.m) / mad.mad
+                                  WHEN mad.meanad > 0
+                                  THEN 0.7979 * (CAST(e.cents AS DOUBLE) - med.m) / mad.meanad
                                   ELSE 0.0 END, 6) AS robust_z
                 FROM ev e JOIN med USING (event_type) JOIN mad USING (event_type)
             )

@@ -75,6 +75,10 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports only inner/left joins")
+    if "_salt" in big.columns or "_salt" in small.columns:
+        # silently overwriting a caller's _salt column would corrupt the
+        # join result instead of erroring
+        raise ValueError("input already has a '_salt' column; rename it before salted_join")
     on_cols = [on] if isinstance(on, str) else list(on)
     src = salt_source if salt_source is not None else F.xxhash64(*big.columns)
     salted_big = big.withColumn("_salt", F.pmod(src, F.lit(num_salts)).cast("int"))

@@ -123,32 +123,54 @@ def flag_outliers_robust(
     with the conventional 3.5 cutoff, so the scale estimate ignores the
     outliers being hunted.
 
+    MAD = 0 blind spot, closed: when a strict majority of a group shares
+    one value the MAD collapses to 0 and the primary statistic is blind to
+    ANY outlier — the masking failure the robust operator exists to resist.
+    Iglewicz–Hoaglin's fallback applies: score
+    ``0.7979 * (x - median) / meanAD`` (meanAD = mean absolute deviation),
+    which is nonzero whenever any value differs from the median; if meanAD
+    is also 0 the group is constant and nothing can be an outlier.
+
     Distributed shape: exact medians need the value multiset, not a
     commutative sum — ``percentile`` aggregates per key (one shuffle,
     bounded by per-key cardinality), the O(|keys|) median table broadcasts
-    back, and a second percentile pass over ``|x − median|`` yields MAD.
+    back, and a second percentile pass over ``|x − median|`` yields MAD
+    (meanAD rides the same aggregation — no extra shuffle).
     Two aggregation shuffles + two broadcast joins, never a global sort.
     Exactness: values are integer cents, so Spark's ``percentile`` and
-    DuckDB's ``quantile_cont`` interpolate identically (.0/.5 halves).
+    DuckDB's ``quantile_cont`` interpolate identically (.0/.5 halves); the
+    meanAD sum is over exactly-representable halves (|int − int-or-half|),
+    so it is order-independent in double until 2^52 — safe cross-engine.
     """
     x = F.col(value_cents_col)
     med = df.groupBy(*keys).agg(
         F.percentile(x, F.lit(0.5)).alias("_med")
     )
     with_med = df.join(F.broadcast(med), keys)
+    absdev = F.abs(x.cast("double") - F.col("_med"))
     mad = (
         with_med.groupBy(*keys)
-        .agg(F.percentile(F.abs(x.cast("double") - F.col("_med")), F.lit(0.5)).alias("_mad"))
+        .agg(
+            F.percentile(absdev, F.lit(0.5)).alias("_mad"),
+            F.avg(absdev).alias("_meanad"),
+        )
     )
     scored = with_med.join(F.broadcast(mad), keys)
-    z = F.when(
-        F.col("_mad") > 0,
-        F.lit(0.6745) * (x.cast("double") - F.col("_med")) / F.col("_mad"),
-    ).otherwise(F.lit(0.0))
+    z = (
+        F.when(
+            F.col("_mad") > 0,
+            F.lit(0.6745) * (x.cast("double") - F.col("_med")) / F.col("_mad"),
+        )
+        .when(
+            F.col("_meanad") > 0,
+            F.lit(0.7979) * (x.cast("double") - F.col("_med")) / F.col("_meanad"),
+        )
+        .otherwise(F.lit(0.0))
+    )
     return (
         scored.withColumn("robust_z", F.round(z, 6))
         .where(F.abs(F.col("robust_z")) > z_threshold)
-        .drop("_med", "_mad")
+        .drop("_med", "_mad", "_meanad")
     )
 
 

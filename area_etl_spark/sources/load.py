@@ -241,6 +241,10 @@ def compact_files(
 ) -> tuple[int, int]:
     """Small-file compaction: rewrite a table directory into files of
     ~``target_rows_per_file`` rows.  Returns (files_before, files_after).
+    Hive-partitioned layouts are preserved: partition columns discovered
+    from the `col=value` directory structure are re-applied via
+    ``partitionBy`` on the rewrite, so downstream partition pruning keeps
+    working.
 
     The maintenance job every long-running lake needs — streaming sinks and
     per-batch appends accrete thousands of KB-sized files, and at 100 TB the
@@ -264,9 +268,30 @@ def compact_files(
     files_before = sum(
         1 for _, _, fs in os.walk(path) for f in fs if not f.startswith(("_", "."))
     )
+    # Hive-partitioned input: discover the partition columns from the
+    # directory names (one `col=value` level per partition column, in
+    # nesting order) and preserve them on rewrite — a flat rewrite would
+    # demote partition columns to data columns and silently break every
+    # downstream partition-pruned read.
+    part_cols: list[str] = []
+    level = path
+    while True:
+        subdirs = [
+            d for d in os.listdir(level)
+            if os.path.isdir(os.path.join(level, d)) and "=" in d and not d.startswith((".", "_"))
+        ]
+        if not subdirs:
+            break
+        part_cols.append(subdirs[0].split("=", 1)[0])
+        level = os.path.join(level, subdirs[0])
     n_files = max(1, math.ceil(n_rows / max(1, target_rows_per_file)))
     tmp = path.rstrip("/") + "__compact_tmp"
-    df.repartition(n_files).write.mode("overwrite").format(fmt).save(tmp)
+    writer = df.repartition(n_files).write.mode("overwrite").format(fmt)
+    if part_cols:
+        # repartition(n) still bounds small files per partition dir; the
+        # per-directory file count is data-distribution dependent
+        writer = writer.partitionBy(*part_cols)
+    writer.save(tmp)
     old = path.rstrip("/") + "__compact_old"
     shutil.rmtree(old, ignore_errors=True)  # debris from a previously failed swap
     os.rename(path, old)

@@ -139,6 +139,29 @@ def test_compact_files_reduces_count_preserves_rows(spark, tables, tmp_path):
     assert n_after == max(1, math.ceil(len(before_rows) / 100))
 
 
+def test_compact_files_preserves_hive_partitioning(spark, tables, tmp_path):
+    """Compacting a hive-partitioned directory must keep the `col=value`
+    layout (and thus downstream partition pruning), not flatten the
+    partition column into the data files."""
+    import os
+
+    from area_etl_spark.sources.load import compact_files
+
+    path = str(tmp_path / "part")
+    src = tables["documents"].select("doc_id", "lang", "n_chars")
+    src.repartition(32).write.partitionBy("lang").parquet(path)
+    before = sorted((r.doc_id, r.lang) for r in spark.read.parquet(path).collect())
+    n_before, n_after = compact_files(spark, path, target_rows_per_file=500)
+    assert n_before > n_after
+    # layout preserved: lang=... subdirectories still exist
+    assert any(d.startswith("lang=") for d in os.listdir(path)), os.listdir(path)
+    after_df = spark.read.parquet(path)
+    assert sorted((r.doc_id, r.lang) for r in after_df.collect()) == before
+    # pruning still works: a lang filter shows PartitionFilters, not a full scan
+    plan = after_df.where(F.col("lang") == "en")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters")[1][:80]
+
+
 def test_file_stats_manifest_prunes_correctly(spark, tables, tmp_path):
     """The manifest's min/max must bound every file's contents: for a range
     predicate, scanning ONLY the manifest-selected files returns exactly the

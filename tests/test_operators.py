@@ -450,6 +450,9 @@ def test_salted_join_matches_plain_join(spark, tables):
 
     with _pytest.raises(ValueError):
         salted_join(li, sup, "s_suppkey", how="full")
+    # a pre-existing _salt column must error, not be silently overwritten
+    with _pytest.raises(ValueError):
+        salted_join(li.withColumn("_salt", F.lit(1)), sup, "s_suppkey")
 
 
 def test_dedup_keep_best_prefers_high_score(spark):
@@ -499,9 +502,17 @@ def test_flag_outliers_robust_resists_masking(spark):
     df = spark.createDataFrame([("g", i, v) for i, v in enumerate(vals)], "g string, i int, cents long")
     flagged = flag_outliers_robust(df, ["g"], "cents", z_threshold=3.5).collect()
     assert [r.cents for r in flagged] == [100000]
-    # all-identical values → MAD 0 → z defined as 0, nothing flagged, no div-by-zero
+    # all-identical values → MAD 0, meanAD 0 → z defined as 0, nothing
+    # flagged, no div-by-zero
     same = spark.createDataFrame([("g", i, 5) for i in range(10)], "g string, i int, cents long")
     assert flag_outliers_robust(same, ["g"], "cents").count() == 0
+    # majority-constant group: MAD collapses to 0 but the extreme value must
+    # STILL be flagged via the Iglewicz-Hoaglin meanAD fallback (the masking
+    # blind spot the primary statistic has there)
+    majority = [("g", i, 100) for i in range(8)] + [("g", 8, 101), ("g", 9, 100000)]
+    df2 = spark.createDataFrame(majority, "g string, i int, cents long")
+    flagged2 = flag_outliers_robust(df2, ["g"], "cents", z_threshold=3.5).collect()
+    assert [r.cents for r in flagged2] == [100000]
 
 
 def test_equidepth_histogram_balanced_counts(spark):
