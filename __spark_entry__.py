@@ -579,6 +579,20 @@ def q_pipeline_udo_specialties(spark, sf_dir):
     return P.udo_specialties_pipeline(_tables(spark, sf_dir))
 
 
+def q_pipeline_healthcare_companies(spark, sf_dir):
+    """1:1 recast of migrate_healthcare_companies (reference cronos.py:87):
+    id/code/name scalar toolkit + broadcast left join to the previously-
+    migrated ulss dimension on a text code."""
+    return P.healthcare_companies_pipeline(_tables(spark, sf_dir))
+
+
+def q_pipeline_requirements(spark, sf_dir):
+    """1:1 recast of migrate_requirements (reference auac.py:135): 3-way
+    conditional state, s/n boolean, conditional-FK + runtime fallback id,
+    response-type dim join with text normalization, timestamp toolkit."""
+    return P.requirements_pipeline(_tables(spark, sf_dir), FIXED_NOW)
+
+
 def q_pipeline_taxonomies(spark, sf_dir):
     """Generic template-table recast (reference core.py:74-270 family):
     three synthetic template tables (region/nation/supplier playing
@@ -2393,7 +2407,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_permissions_fanout": q_role_permissions_fanout,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "emb_cosine_pairs_exact": q_emb_cosine_pairs_exact,
         "export_jsonl_roundtrip": q_export_jsonl_roundtrip,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "funnel_conversion": q_funnel_conversion,
@@ -2403,7 +2416,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_touch_attribution": q_first_touch_attribution,
         "monthly_revenue_rollup": q_monthly_revenue_rollup,
         "distinct_count_skewsafe": q_distinct_count_skewsafe,
-        "scd2_intervals": q_scd2_intervals,
         "groupby_rollup": q_groupby_rollup,
         "groupby_cube": q_groupby_cube,
         "string_agg": q_string_agg,
@@ -2419,7 +2431,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout_readback": q_zorder_layout_readback,
         "compact_roundtrip": q_compact_roundtrip,
         "file_stats_manifest": q_file_stats_manifest,
+        # — new r7: cronos/auac field-level 1:1 recasts (VERDICT item 10);
+        #   scd2_intervals and emb_cosine_pairs_exact displaced to make room
+        #   (their machinery holds r6 greens via scd2_lookup and
+        #   dedup_embedding_cosine respectively) —
+        "pipeline_healthcare_companies": q_pipeline_healthcare_companies,
+        "pipeline_requirements": q_pipeline_requirements,
         # —— driver window ends here (first 50) ——
+        # — displaced rotation candidates (machinery r6-green via
+        #   compositions) —
+        "scd2_intervals": q_scd2_intervals,
+        "emb_cosine_pairs_exact": q_emb_cosine_pairs_exact,
         # — r2+r3 doubles displaced from the window by the five new oracles —
         "tpch_q3ish": q_tpch_q3ish,
         "tpch_q5ish": q_tpch_q5ish,
@@ -3054,6 +3076,60 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN customer ON o_custkey = c_custkey
             LEFT JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1, 2
+        """,
+        "pipeline_healthcare_companies": f"""
+            SELECT lower(trim(CAST(s_suppkey AS VARCHAR))) AS id,
+                   {clean("'  ' || CAST(s_nationkey + 10 AS VARCHAR) || ' '")} AS code,
+                   {clean("s_name")} AS name,
+                   u.ulss_id
+            FROM supplier
+            LEFT JOIN (
+                SELECT lower(trim(CAST(n_nationkey AS VARCHAR))) AS ulss_id,
+                       CAST(n_nationkey + 10 AS VARCHAR) AS code
+                FROM nation WHERE n_nationkey < 20
+            ) u ON {clean("'  ' || CAST(s_nationkey + 10 AS VARCHAR) || ' '")} = u.code
+        """,
+        "pipeline_requirements": f"""
+            WITH base AS (
+                SELECT p_partkey, p_name,
+                       p_type AS testo, p_brand AS annotations_raw,
+                       CASE WHEN p_size % 7 = 0 THEN ' S '
+                            WHEN p_size % 7 = 1 THEN 'n' END AS validato,
+                       CASE WHEN p_size % 7 = 2 THEN 's' ELSE 'N' END AS annullato,
+                       CASE WHEN p_retailprice > 1200 THEN 's' ELSE 'n' END AS irrinunciabile,
+                       CASE WHEN p_partkey % 3 = 0 THEN ' Generale ' ELSE 'specifico' END AS tipo,
+                       CASE WHEN p_partkey % 11 <> 0
+                            THEN 'tax-' || CAST(p_partkey % 5 AS VARCHAR) END AS fk_gen,
+                       CASE WHEN p_partkey % 13 <> 0
+                            THEN 'tax-' || CAST(p_partkey % 7 AS VARCHAR) END AS fk_spec,
+                       'resp-' || CAST(p_partkey % 6 AS VARCHAR) AS fk_resp,
+                       TIMESTAMP '1993-03-01 00:00:00' + INTERVAL (p_partkey % 2500) DAY AS creation,
+                       CASE WHEN p_partkey % 5 <> 0
+                            THEN TIMESTAMP '1993-03-01 00:00:00' + INTERVAL (p_partkey % 2500) DAY
+                                 + INTERVAL (p_partkey % 60) DAY END AS last_mod,
+                       CASE WHEN p_size > 40 THEN 'S' ELSE 'N' END AS disabled
+                FROM part
+            ), resp AS (
+                SELECT 'resp-' || CAST(r_regionkey AS VARCHAR) AS fk_resp,
+                       replace(replace(upper(trim(r_name)), ' ', '_'), '/', '_') AS response_type
+                FROM region
+            )
+            SELECT lower(trim(CAST(p_partkey AS VARCHAR))) AS id,
+                   {clean("p_name")} AS name,
+                   {clean("testo")} AS text,
+                   trim(annotations_raw) AS annotations,
+                   CASE WHEN lower(trim(validato)) = 's' THEN 'VALIDATO'
+                        WHEN lower(trim(annullato)) = 's' THEN 'ANNULLATO'
+                        ELSE 'BOZZA' END AS state,
+                   lower(trim(irrinunciabile)) = 's' AS is_required,
+                   COALESCE(CASE WHEN lower(trim(tipo)) = 'generale'
+                                 THEN fk_gen ELSE fk_spec END,
+                            'rtax-fallback') AS requirement_taxonomy_id,
+                   CASE WHEN disabled = 'S' THEN COALESCE(last_mod, creation) END AS disabled_at,
+                   COALESCE(creation, TIMESTAMP '{now}') AS created_at,
+                   COALESCE(last_mod, creation, TIMESTAMP '{now}') AS updated_at,
+                   resp.response_type
+            FROM base LEFT JOIN resp USING (fk_resp)
         """,
         "pipeline_auac": f"""
             WITH unioned AS (

@@ -1131,3 +1131,147 @@ def districts_pipeline(tables: dict[str, DataFrame], seed_regions: DataFrame) ->
         )
     )
 
+
+
+def healthcare_companies_pipeline(tables: dict[str, DataFrame]) -> DataFrame:
+    """1:1 recast of ``migrate_healthcare_companies`` (reference
+    cronos.py:87-117) — the one cronos migration with a distinctive field
+    map rather than the template taxonomy shape.
+
+    AZIENDA_SANITARIA → supplier; the previously-migrated core ``ulss``
+    dimension → nation recast with a text ``code`` (nationkey+10, the TPC-H
+    phone-prefix convention), filtered to nationkey < 20 so suppliers from
+    higher nations exercise the left join's miss branch (NULL ulss_id).
+    Field map mirrors the reference exactly: CLIENTID strip → id, CODICE
+    through the text toolkit → code, DESCRIZIONE through the text toolkit →
+    name, then a left join on code picks up ulss_id.  The dim is O(nations)
+    — broadcast, no shuffle.
+    """
+    az = tables["supplier"].select(
+        "s_suppkey",
+        # CODICE stand-in with leading/trailing whitespace so handle_text's
+        # trim is load-bearing, like the reference's raw Oracle values
+        F.concat(
+            F.lit("  "), (F.col("s_nationkey") + 10).cast("string"), F.lit(" ")
+        ).alias("codice"),
+        "s_name",
+    )
+    ulss = tables["nation"].where(F.col("n_nationkey") < 20).select(
+        F.lower(F.trim(F.col("n_nationkey").cast("string"))).alias("ulss_id"),
+        (F.col("n_nationkey") + 10).cast("string").alias("code"),
+    )
+    base = az.select(
+        handle_id("s_suppkey", "id"),
+        handle_text("codice", "code"),
+        handle_text("s_name", "name"),
+    )
+    return base.join(F.broadcast(ulss), "code", "left").select("id", "code", "name", "ulss_id")
+
+
+def requirements_pipeline(tables: dict[str, DataFrame], now: datetime) -> DataFrame:
+    """1:1 recast of ``migrate_requirements`` (reference auac.py:135-209) —
+    the auac migration with the richest field map: three-way conditional
+    state, s/n boolean, conditional FK selection with a runtime fallback id,
+    a response-type dimension join with text normalization, and the full
+    timestamp toolkit.
+
+    REQUISITO_TEMPL → part; TIPO_RISPOSTA → region (its names include
+    'MIDDLE EAST', so the reference's space→underscore normalization is
+    load-bearing); requirement_taxonomies → region-derived taxonomy frame
+    plus the literal '-' fallback row.  The fallback id lookup mirrors the
+    reference's driver-side ``.item()`` + count guard (auac.py:156-163): one
+    O(1) driver action on a 6-row frame, raising if the fallback row is
+    missing or duplicated.  The response dim joins as a broadcast; the rest
+    is one narrow whole-stage-codegen projection.
+    """
+    p = tables["part"]
+    spark = p.sparkSession
+
+    # requirement_taxonomies: previously-migrated frame = region recast plus
+    # the reference's literal fallback row (name '-'), built as a plan
+    # literal (LocalRelation, no driver round-trip)
+    taxonomies = tables["region"].select(
+        F.concat(F.lit("rtax-"), F.col("r_regionkey").cast("string")).alias("id"),
+        F.col("r_name").alias("name"),
+    ).unionByName(
+        spark.range(1).select(
+            F.lit("rtax-fallback").alias("id"), F.lit("-").alias("name")
+        )
+    )
+    fb = taxonomies.where(F.col("name") == "-").limit(2).collect()
+    if len(fb) != 1:
+        # the reference's own runtime guard (auac.py:156-161)
+        raise ValueError(f"found {len(fb)} fallback requirement_taxonomy rows, expected 1")
+    fallback_id = fb[0].id
+
+    # TIPO_RISPOSTA dim: region names through the reference's
+    # upper/strip/space→_/slash→_ normalization ('MIDDLE EAST'→'MIDDLE_EAST')
+    tipo_risposta = tables["region"].select(
+        F.concat(F.lit("resp-"), F.col("r_regionkey").cast("string")).alias("id_tipo_risposta_fk"),
+        F.translate(F.upper(F.trim(F.col("r_name"))), " /", "__").alias("response_type"),
+    )
+
+    creation = _days_after(datetime(1993, 3, 1), F.col("p_partkey") % 2500)
+    base = p.select(
+        "p_partkey",
+        "p_name",
+        F.col("p_type").alias("testo"),
+        F.col("p_brand").alias("annotations_raw"),
+        # VALIDATO/ANNULLATO/IRRINUNCIABILE s/n flags with stray case and
+        # whitespace so the reference's lower(trim(..)) == 's' test is real
+        F.when(F.col("p_size") % 7 == 0, F.lit(" S "))
+        .when(F.col("p_size") % 7 == 1, F.lit("n"))
+        .alias("validato"),
+        F.when(F.col("p_size") % 7 == 2, F.lit("s")).otherwise(F.lit("N")).alias("annullato"),
+        F.when(F.col("p_retailprice") > 1200, F.lit("s")).otherwise(F.lit("n")).alias(
+            "irrinunciabile"
+        ),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit(" Generale ")).otherwise(
+            F.lit("specifico")
+        ).alias("tipo"),
+        F.when(
+            F.col("p_partkey") % 11 != 0,
+            F.concat(F.lit("tax-"), (F.col("p_partkey") % 5).cast("string")),
+        ).alias("id_tipo_requisito_fk"),
+        F.when(
+            F.col("p_partkey") % 13 != 0,
+            F.concat(F.lit("tax-"), (F.col("p_partkey") % 7).cast("string")),
+        ).alias("id_tipo_specifico_requisito_fk"),
+        F.concat(F.lit("resp-"), (F.col("p_partkey") % 6).cast("string")).alias(
+            "id_tipo_risposta_fk"
+        ),
+        creation.alias("creation"),
+        F.when(
+            F.col("p_partkey") % 5 != 0,
+            F.timestamp_add("DAY", (F.col("p_partkey") % 60).cast("int"), creation),
+        ).alias("last_mod"),
+        F.when(F.col("p_size") > 40, F.lit("S")).otherwise(F.lit("N")).alias("disabled"),
+    )
+    ts = handle_timestamps("creation", "last_mod", "disabled", current_time=now)
+    projected = base.select(
+        handle_id("p_partkey", "id"),
+        handle_text("p_name", "name"),
+        handle_text("testo", "text"),
+        F.trim(F.col("annotations_raw")).alias("annotations"),
+        F.when(F.lower(F.trim(F.col("validato"))) == "s", F.lit("VALIDATO"))
+        .when(F.lower(F.trim(F.col("annullato"))) == "s", F.lit("ANNULLATO"))
+        .otherwise(F.lit("BOZZA"))
+        .alias("state"),
+        F.when(F.lower(F.trim(F.col("irrinunciabile"))) == "s", F.lit(True))
+        .otherwise(F.lit(False))
+        .alias("is_required"),
+        F.coalesce(
+            F.when(
+                F.lower(F.trim(F.col("tipo"))) == "generale",
+                F.col("id_tipo_requisito_fk"),
+            ).otherwise(F.col("id_tipo_specifico_requisito_fk")),
+            F.lit(fallback_id),
+        ).alias("requirement_taxonomy_id"),
+        ts["disabled_at"],
+        ts["created_at"],
+        ts["updated_at"],
+        F.col("id_tipo_risposta_fk"),
+    )
+    return projected.join(F.broadcast(tipo_risposta), "id_tipo_risposta_fk", "left").drop(
+        "id_tipo_risposta_fk"
+    )

@@ -168,3 +168,39 @@ def test_pq_adc_scan_is_narrow(tables):
     plan = plan_str(pq_adc_topk(emb, q, k=10, n_subspaces=16, ks=16, refine=0))
     assert "Join" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_healthcare_companies_pipeline_plan_and_misses(tables):
+    """The ulss dim join must broadcast (no SortMergeJoin), and suppliers
+    from nations ≥ 20 must surface the left join's miss branch (NULL
+    ulss_id) when such nations exist in the slice."""
+    from area_etl_spark.plans.pipelines import healthcare_companies_pipeline
+
+    df = healthcare_companies_pipeline(tables)
+    plan = plan_str(df)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    rows = df.collect()
+    assert len(rows) == tables["supplier"].count()
+    hits = [r for r in rows if r.ulss_id is not None]
+    assert hits, "every supplier missed the ulss dim — join key mismatch"
+    for r in hits:
+        assert r.code == str(int(r.ulss_id) + 10)
+
+
+def test_requirements_pipeline_semantics(tables):
+    """Field-map fidelity: state precedence (VALIDATO wins over ANNULLATO),
+    fallback taxonomy id fills NULL FKs, 'MIDDLE EAST' normalizes to
+    MIDDLE_EAST, and the response dim join broadcasts."""
+    from datetime import datetime
+
+    from area_etl_spark.plans.pipelines import requirements_pipeline
+
+    df = requirements_pipeline(tables, datetime(2026, 1, 1))
+    plan = plan_str(df)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    rows = df.collect()
+    assert {r.state for r in rows} <= {"VALIDATO", "ANNULLATO", "BOZZA"}
+    assert any(r.requirement_taxonomy_id == "rtax-fallback" for r in rows)
+    assert any(r.response_type == "MIDDLE_EAST" for r in rows)
+    # resp-5 has no dim row: the miss branch must be exercised
+    assert any(r.response_type is None for r in rows)
