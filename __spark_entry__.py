@@ -593,6 +593,37 @@ def q_pipeline_requirements(spark, sf_dir):
     return P.requirements_pipeline(_tables(spark, sf_dir), FIXED_NOW)
 
 
+def q_contract_gate_users(spark, sf_dir):
+    """The runner's DDL-layer gate on the users recast: shape the pipeline
+    output to its declared TableContract (reference init_core.sql:476-501
+    typing/NOT NULL/PK) and return the per-rule violation counts — a clean
+    load is all-zero rows, and the oracle recomputes every rule from the
+    same SQL the pipeline_users oracle declares."""
+    from area_etl_spark.plans.contracts import (
+        PIPELINE_CONTRACTS,
+        apply_contract,
+        contract_violations,
+    )
+
+    out = P.users_pipeline(_tables(spark, sf_dir), FIXED_NOW)
+    c = PIPELINE_CONTRACTS["core.users"]
+    return contract_violations(apply_contract(out, c), c)
+
+
+def q_contract_gate_requirements(spark, sf_dir):
+    """Same gate over the auac requirements recast (reference
+    init_auac.sql requirements table)."""
+    from area_etl_spark.plans.contracts import (
+        PIPELINE_CONTRACTS,
+        apply_contract,
+        contract_violations,
+    )
+
+    out = P.requirements_pipeline(_tables(spark, sf_dir), FIXED_NOW)
+    c = PIPELINE_CONTRACTS["auac.requirement_templates"]
+    return contract_violations(apply_contract(out, c), c)
+
+
 def q_pipeline_taxonomies(spark, sf_dir):
     """Generic template-table recast (reference core.py:74-270 family):
     three synthetic template tables (region/nation/supplier playing
@@ -2416,8 +2447,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_touch_attribution": q_first_touch_attribution,
         "monthly_revenue_rollup": q_monthly_revenue_rollup,
         "distinct_count_skewsafe": q_distinct_count_skewsafe,
-        "groupby_rollup": q_groupby_rollup,
-        "groupby_cube": q_groupby_cube,
         "string_agg": q_string_agg,
         "regex_extract": q_regex_extract,
         "anti_semi_join": q_anti_semi_join,
@@ -2437,11 +2466,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   dedup_embedding_cosine respectively) —
         "pipeline_healthcare_companies": q_pipeline_healthcare_companies,
         "pipeline_requirements": q_pipeline_requirements,
+        # — new r7: the runner's per-pipeline DDL contract gate (VERDICT
+        #   item 8); groupby_rollup/cube displaced (GROUPING SETS machinery
+        #   r6-green via grouping_sets) —
+        "contract_gate_users": q_contract_gate_users,
+        "contract_gate_requirements": q_contract_gate_requirements,
         # —— driver window ends here (first 50) ——
         # — displaced rotation candidates (machinery r6-green via
         #   compositions) —
         "scd2_intervals": q_scd2_intervals,
         "emb_cosine_pairs_exact": q_emb_cosine_pairs_exact,
+        "groupby_rollup": q_groupby_rollup,
+        "groupby_cube": q_groupby_cube,
         # — r2+r3 doubles displaced from the window by the five new oracles —
         "tpch_q3ish": q_tpch_q3ish,
         "tpch_q5ish": q_tpch_q5ish,
@@ -2950,7 +2986,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r
     """
 
-    return {
+    oracles = {
         "extract_sql": """
             SELECT o_orderpriority, COUNT(*) AS n_orders
             FROM orders WHERE o_orderstatus = 'F'
@@ -5043,3 +5079,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY source
         """,
     }
+
+    # Derived contract-gate oracles: every rule recomputed over the SAME SQL
+    # the pipeline oracle declares, so the gate and the recast can never
+    # drift apart silently.
+    from area_etl_spark.plans.contracts import PIPELINE_CONTRACTS
+
+    def _contract_gate_sql(inner_sql: str, contract) -> str:
+        parts = [
+            f"SELECT 'not_null:{c.name}' AS rule, "
+            f"CAST(COUNT(CASE WHEN {c.name} IS NULL THEN 1 END) AS BIGINT) AS n_bad FROM out"
+            for c in contract.columns
+            if not c.nullable
+        ]
+        if contract.primary_key:
+            pk = contract.primary_key
+            present = " AND ".join(f"{k} IS NOT NULL" for k in pk)
+            parts.append(
+                f"SELECT 'unique_pk:{','.join(pk)}' AS rule, "
+                f"CAST(COUNT(CASE WHEN {present} THEN 1 END)"
+                f" - COUNT(DISTINCT ({', '.join(pk)})) AS BIGINT) AS n_bad FROM out"
+            )
+        return f"WITH out AS ({inner_sql}) " + " UNION ALL ".join(parts)
+
+    oracles["contract_gate_users"] = _contract_gate_sql(
+        oracles["pipeline_users"], PIPELINE_CONTRACTS["core.users"]
+    )
+    oracles["contract_gate_requirements"] = _contract_gate_sql(
+        oracles["pipeline_requirements"], PIPELINE_CONTRACTS["auac.requirement_templates"]
+    )
+    return oracles

@@ -134,3 +134,273 @@ def quarantine_rows(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         df.withColumn("quarantine_reasons", F.array_join(reasons, ","))
         .where(F.col("quarantine_reasons") != "")
     )
+
+
+def _cc(name: str, dtype: str, nullable: bool = True, default=None) -> ColumnContract:
+    return ColumnContract(name, dtype, nullable=nullable, default=default)
+
+
+def _audit_cols(disabled: bool = True) -> list[ColumnContract]:
+    """The reference DDL's universal audit tail: created_at/updated_at
+    NOT NULL DEFAULT now(), disabled_at nullable (every init_*.sql table)."""
+    cols = [
+        _cc("created_at", "timestamp", nullable=False),
+        _cc("updated_at", "timestamp", nullable=False),
+    ]
+    if disabled:
+        cols.append(_cc("disabled_at", "timestamp"))
+    return cols
+
+
+# One TableContract per runner pipeline output, keyed "module.name" (the
+# runner's spec address).  Typing/NOT NULL/PK mirror the reference DDL for
+# the corresponding target table (sql/init_core.sql, init_auac.sql,
+# init_cronos.sql, init_poa.sql), restricted to the columns the recasts
+# carry; enum-mapped columns with a mapping default are NOT NULL exactly
+# where the reference declares them so (e.g. companies.legal_form NOT NULL
+# vs business_form nullable, init_core.sql:22-47).
+PIPELINE_CONTRACTS: dict[str, TableContract] = {
+    "core.resolutions": TableContract(
+        "resolutions",
+        [
+            _cc("id", "bigint", nullable=False),
+            _cc("title", "string", nullable=False, default="(untitled)"),
+            _cc("source", "string", nullable=False, default="unknown"),
+            _cc("file_id", "string"),
+        ],
+        primary_key=["id"],
+    ),
+    "core.specialties": TableContract(
+        "specialties",
+        [
+            _cc("id", "bigint", nullable=False),
+            _cc("name", "string", nullable=False),
+            _cc("brand", "string"),
+            _cc("parent_id", "string"),
+            _cc("n_children", "bigint", nullable=False, default=0),
+            _cc("material_class", "string"),
+        ],
+        primary_key=["id"],
+    ),
+    "core.companies": TableContract(
+        "companies",
+        [
+            _cc("id", "string", nullable=False),
+            _cc("name", "string"),
+            _cc("code", "string", nullable=False),
+            _cc("business_name", "string", nullable=False),
+            _cc("business_form", "string"),
+            _cc("legal_form", "string", nullable=False),
+            _cc("nature", "string", nullable=False),
+            _cc("tax_code", "string"),
+            _cc("municipality_id", "bigint"),
+        ]
+        + _audit_cols(),
+        primary_key=["id"],
+    ),
+    "core.physical_structures": TableContract(
+        "physical_structures",
+        [
+            _cc("id", "string", nullable=False),
+            _cc("name", "string"),
+            _cc("code", "string"),
+            _cc("secondary_code", "string"),
+            _cc("district_id", "string"),
+            _cc("company_id", "string", nullable=False),
+        ]
+        + _audit_cols(),
+        primary_key=["id"],
+    ),
+    "core.operational_offices": TableContract(
+        "operational_offices",
+        [
+            _cc("id", "string", nullable=False),
+            _cc("name", "string", nullable=False),
+            _cc("physical_structure_id", "string"),
+            _cc("street_name", "string"),
+            _cc("street_number", "string"),
+            _cc("zip_code", "string"),
+            _cc("is_main_address", "boolean", nullable=False, default=False),
+            _cc("physical_point_type", "string"),
+            _cc("lat", "double"),
+            _cc("lon", "double"),
+            _cc("toponym_id", "string"),
+            _cc("municipality_id", "bigint"),
+        ]
+        + _audit_cols(),
+        primary_key=["id"],
+    ),
+    "core.buildings": TableContract(
+        "buildings",
+        [
+            _cc("id", "string", nullable=False),
+            _cc("name", "string"),
+            _cc("code", "string"),
+            _cc("physical_structure_id", "string"),
+            _cc("owner_business_name", "string"),
+            _cc("is_own_property", "boolean", nullable=False, default=False),
+        ]
+        + _audit_cols()
+        + [_cc("extra", "string", nullable=False, default="{}")],
+        primary_key=["id"],
+    ),
+    # no primary_key: the synthetic lineitem fact carries duplicate
+    # (orderkey, linenumber) business keys, so row-id uniqueness is a
+    # property of the reference's CLIENTID source, not derivable here
+    "core.production_factors": TableContract(
+        "production_factors",
+        [
+            _cc("id", "string", nullable=False),
+            _cc("production_factor_type_id", "string", nullable=False),
+            _cc("num_beds", "int"),
+            _cc("num_hospital_beds", "int"),
+            _cc("room_name", "string"),
+            _cc("room_code", "string"),
+        ]
+        + _audit_cols(),
+    ),
+    "core.udo_types": TableContract(
+        "udo_types",
+        [
+            _cc("id", "string", nullable=False),
+            _cc("name", "string", nullable=False),
+            _cc("code", "string"),
+            _cc("code_name", "string"),
+            _cc("setting", "string"),
+            _cc("is_hospital", "boolean", nullable=False, default=False),
+            _cc("is_mental_health", "boolean", nullable=False, default=False),
+            _cc("has_beds", "boolean", nullable=False, default=False),
+            _cc("scope_name", "string"),
+            _cc("scope_description", "string"),
+            _cc("has_disciplines", "boolean", nullable=False, default=False),
+            _cc("has_branches", "boolean", nullable=False, default=False),
+            _cc("company_natures", "string"),
+            _cc("ministerial_flows", "string"),
+        ]
+        + _audit_cols(),
+        # no primary_key: the binding-table join fans each type id out to
+        # one row per binding (the recast materializes the JOINED view, not
+        # the deduplicated type dim the reference loads)
+    ),
+    "core.udo_specialties": TableContract(
+        "udo_specialties",
+        [
+            _cc("is_authorized", "boolean", nullable=False, default=False),
+            _cc("is_accredited", "boolean", nullable=False, default=False),
+            _cc("num_beds", "int"),
+            _cc("num_extra_beds", "int"),
+            _cc("num_mortuary_beds", "int"),
+            _cc("num_accredited_beds", "int"),
+            _cc("hsp12", "string"),
+            _cc("clinical_operational_unit_id", "string"),
+            _cc("clinical_poa_node_id", "string"),
+            _cc("specialty_id", "string"),
+            _cc("udo_id", "string", nullable=False),
+        ],
+    ),
+    "core.udos": TableContract(
+        "udos",
+        [
+            _cc("id", "string", nullable=False),
+            _cc("name", "string"),
+            _cc("status", "string", nullable=False),
+            _cc("code", "string"),
+            _cc("operational_office_id", "bigint"),
+            _cc("floor", "string"),
+            _cc("block", "string"),
+            _cc("ministerial_code", "string"),
+            _cc("is_sio", "boolean", nullable=False, default=False),
+            _cc("is_auac", "boolean", nullable=False, default=False),
+            _cc("company_id", "bigint"),
+            _cc("operational_unit_id", "string"),
+        ]
+        + _audit_cols(),
+        primary_key=["id"],
+    ),
+    "core.users": TableContract(
+        "users",
+        [
+            _cc("id", "string", nullable=False),
+            _cc("username", "string", nullable=False),
+            _cc("role", "string", nullable=False),
+            _cc("first_name", "string", nullable=False),
+            _cc("email", "string", nullable=False),
+            _cc("tax_code", "string", nullable=False),
+            _cc("birth_place", "string"),
+            _cc("operational_unit_id", "string"),
+        ]
+        + _audit_cols(),
+        primary_key=["id"],
+    ),
+    "core.bindings": TableContract(
+        "bindings",
+        [
+            _cc("kind", "string", nullable=False),
+            _cc("left_id", "string", nullable=False),
+            _cc("right_id", "string", nullable=False),
+            _cc("id", "string"),
+            _cc("is_legal_representative", "boolean"),
+            _cc("disabled_at", "timestamp"),
+            _cc("created_at", "timestamp"),
+            _cc("updated_at", "timestamp"),
+            _cc("name", "string"),
+            _cc("macroarea", "string"),
+        ],
+        # no primary_key: the relaxed concat of three binding templates
+        # legitimately repeats (kind, left, right) across source slices
+    ),
+    "cronos.healthcare_companies": TableContract(
+        "healthcare_companies",
+        [
+            _cc("id", "string", nullable=False),
+            _cc("code", "string", nullable=False),
+            _cc("name", "string", nullable=False),
+            _cc("ulss_id", "string"),
+        ],
+        primary_key=["id"],
+    ),
+    "auac.requirement_templates": TableContract(
+        "requirements",
+        [
+            _cc("id", "string", nullable=False),
+            _cc("name", "string"),
+            _cc("text", "string"),
+            _cc("annotations", "string"),
+            _cc("state", "string", nullable=False, default="BOZZA"),
+            _cc("is_required", "boolean", nullable=False, default=False),
+            _cc("requirement_taxonomy_id", "string", nullable=False),
+            _cc("disabled_at", "timestamp"),
+            _cc("created_at", "timestamp", nullable=False),
+            _cc("updated_at", "timestamp", nullable=False),
+            _cc("response_type", "string"),
+        ],
+        primary_key=["id"],
+    ),
+    "poa.operational_events": TableContract(
+        "operational_events",
+        [
+            _cc("event_id", "bigint", nullable=False),
+            _cc("user_id", "bigint", nullable=False),
+            _cc("event_class", "string", nullable=False, default="UNKNOWN"),
+            _cc("event_ts", "timestamp", nullable=False),
+            _cc("value_cents", "bigint", nullable=False, default=0),
+        ],
+        primary_key=["event_id"],
+    ),
+}
+
+
+def enforce_contract(df: DataFrame, contract: TableContract) -> DataFrame:
+    """Gate used by the runner: shape to the contract, then fail FAST (before
+    any write) if a rule is violated — the engine-side equivalent of the
+    reference's Postgres load rejecting a bad batch, except the error names
+    every violated rule and its row count instead of dying mid-COPY.
+
+    The violations pass is one aggregation over the shaped frame (k output
+    rows); at 100 TB cache the shaped frame if the double scan matters.
+    """
+    shaped = apply_contract(df, contract)
+    bad = {r.rule: r.n_bad for r in contract_violations(shaped, contract).collect() if r.n_bad}
+    if bad:
+        raise ValueError(f"contract '{contract.table}' violated: {bad}")
+    return shaped

@@ -35,6 +35,7 @@ from datetime import datetime
 from pyspark.sql import DataFrame, SparkSession
 
 from area_etl_spark.plans import pipelines as P
+from area_etl_spark.plans.contracts import PIPELINE_CONTRACTS, enforce_contract
 from area_etl_spark.session import get_spark, load_tables_lazy
 from area_etl_spark.sources.extract import extract_csv
 from area_etl_spark.sources.load import reload_overwrite
@@ -137,8 +138,14 @@ MODULES: dict[str, list[PipelineSpec]] = {
         PipelineSpec("bindings", _with_now(P.bindings_pipeline)),
     ],
     "poa": [PipelineSpec("operational_events", _plain(P.poa_pipeline), partition_by=["event_class"])],
-    "cronos": [PipelineSpec("yearly_plans", _plain(P.cronos_pipeline))],
-    "auac": [PipelineSpec("requirements", _plain(P.auac_pipeline))],
+    "cronos": [
+        PipelineSpec("yearly_plans", _plain(P.cronos_pipeline)),
+        PipelineSpec("healthcare_companies", _plain(P.healthcare_companies_pipeline)),
+    ],
+    "auac": [
+        PipelineSpec("requirements", _plain(P.auac_pipeline)),
+        PipelineSpec("requirement_templates", _with_now(P.requirements_pipeline)),
+    ],
     # training-corpus preparation as a first-class runnable module: the LLM
     # operator families materialized as lake tables, same atomic-overwrite
     # contract as the reference recasts
@@ -171,6 +178,12 @@ def run(
         module, spec = item
         t0 = time.perf_counter()
         df = spec.build(spark, tables, now)
+        # Contract gate: the reference's DDL layer (typing / NOT NULL / PK)
+        # enforced engine-side BEFORE the sink — a violated rule aborts the
+        # table with named rule counts instead of loading bad rows.
+        contract = PIPELINE_CONTRACTS.get(f"{module}.{spec.name}")
+        if contract is not None:
+            df = enforce_contract(df, contract)
         reload_overwrite(df, f"{out_dir}/{module}/{spec.name}", partition_by=spec.partition_by or None)
         timings[f"{module}.{spec.name}"] = round(time.perf_counter() - t0, 3)
         logging.info("runner: %s.%s done in %.2fs", module, spec.name, timings[f"{module}.{spec.name}"])

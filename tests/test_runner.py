@@ -23,6 +23,45 @@ def test_runner_all_modules(spark, sf_dir, tmp_path):
     assert any(p.startswith("event_class=") for p in parts)
 
 
+def test_contract_gate_blocks_bad_frame(spark):
+    """enforce_contract must abort with named rule counts on a frame that
+    violates NOT NULL or PK uniqueness — and pass a clean frame through
+    shaped to the declared column order."""
+    import pytest
+
+    from area_etl_spark.plans.contracts import (
+        PIPELINE_CONTRACTS,
+        enforce_contract,
+    )
+
+    c = PIPELINE_CONTRACTS["cronos.healthcare_companies"]
+    good = spark.createDataFrame(
+        [("a", "10", "alpha", None), ("b", "11", "beta", "1")],
+        "id string, code string, name string, ulss_id string",
+    )
+    shaped = enforce_contract(good, c)
+    assert shaped.columns == ["id", "code", "name", "ulss_id"]
+    bad_null = spark.createDataFrame(
+        [("a", None, "alpha", None)], "id string, code string, name string, ulss_id string"
+    )
+    with pytest.raises(ValueError, match="not_null:code"):
+        enforce_contract(bad_null, c)
+    bad_dup = good.unionByName(good)
+    with pytest.raises(ValueError, match="unique_pk:id"):
+        enforce_contract(bad_dup, c)
+
+
+def test_every_runner_spec_with_audit_cols_has_contract():
+    """The DDL layer covers the recasts: every 1:1 pipeline spec the runner
+    writes (module.name) that exists in PIPELINE_CONTRACTS is keyed
+    correctly, and no contract points at a nonexistent spec."""
+    from area_etl_spark.plans.contracts import PIPELINE_CONTRACTS
+
+    spec_keys = {f"{m}.{s.name}" for m, specs in MODULES.items() for s in specs}
+    dangling = set(PIPELINE_CONTRACTS) - spec_keys
+    assert dangling == set(), dangling
+
+
 def test_upload_attachments_executor_side(spark, tmp_path):
     from area_etl_spark.operators.attachments import upload_attachments, with_object_ids
 
