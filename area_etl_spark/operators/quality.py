@@ -15,7 +15,7 @@ cardinality isn't required.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
@@ -242,4 +242,42 @@ def winsorize(
         .withColumn("clipped", F.least(F.greatest(xd, F.col("_lo")), F.col("_hi")))
         .withColumn("was_clipped", xd != F.col("clipped"))
         .drop("_lo", "_hi")
+    )
+
+
+def skew_report(df: DataFrame, cols: list[str], k: int = 5) -> DataFrame:
+    """Heavy-hitter skew diagnosis: the top-k values of each column with
+    their row share — the first thing to run before choosing join/agg
+    strategies on unknown data (a 0.9-share value means salting or AQE
+    skew handling, a flat profile means plain hash partitioning is fine).
+
+    One scan for ALL columns: each row explodes into (column, value)
+    pairs, one groupBy counts every (column, value), and a per-column
+    window takes the top k.  Shuffle volume is rows × |cols| pair records
+    — with map-side combine collapsing repeats, wire volume ≈ Σ per-column
+    distinct counts, not raw pairs.  Shares divide exact longs (IEEE-
+    deterministic); values are stringified so heterogeneous columns share
+    one output schema.
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    counts = pairs.groupBy("column", "value").agg(F.count(F.lit(1)).alias("n"))
+    total = df.count()
+    w = Window.partitionBy("column").orderBy(F.col("n").desc(), F.col("value").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .withColumn("share", F.round(F.col("n") / F.lit(float(total)), 6))
+        .select("column", "value", "n", "rank", "share")
     )

@@ -65,3 +65,33 @@ def disambiguate_names(
         F.col(name_col).isNull() | (rn == 1), F.col(name_col)
     ).otherwise(F.concat(F.col(name_col), F.lit(" ("), (rn - 1).cast("string"), F.lit(")")))
     return df.withColumn(out_col, disambiguated)
+
+
+def pareto_frontier(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """2-D Pareto frontier (skyline): rows not dominated in (x, y), both
+    maximized — "best price for the size" / "best quality for the cost"
+    queries.
+
+    The naive formulation is an all-pairs NOT EXISTS anti-join — O(n²) and
+    a non-starter at scale.  This is the ONE-PASS form: collapse x-ties to
+    their best y (only the max-y row of an x group can be on the frontier),
+    then a single window ordered by x DESC takes the running max of y over
+    strictly-greater x (rows are distinct in x after the collapse, so the
+    ROWS frame IS the strict-domination set); a row survives iff its y
+    beats that running max.  One aggregation shuffle + one window over
+    |distinct x| rows — never a self-join.  Exact when x/y are integer
+    scaled (cents), and the oracle replays the same two steps in SQL.
+
+    The frontier window is single-partition by construction (a global
+    order is the semantics), so it is bounded by |distinct x|, NOT by row
+    count — fine for discrete/bucketed x (sizes, grades, quantized
+    scores); quantize a continuous x first, exactly like the equi-depth
+    histogram boundary pass.
+    """
+    best = df.groupBy(x_col).agg(F.max(y_col).alias(y_col))
+    w = Window.orderBy(F.col(x_col).desc()).rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        best.withColumn("_prev_best", F.max(y_col).over(w))
+        .where(F.col("_prev_best").isNull() | (F.col(y_col) > F.col("_prev_best")))
+        .drop("_prev_best")
+    )

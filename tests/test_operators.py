@@ -583,3 +583,51 @@ def test_triangle_orientations_agree(spark):
 
     with pytest.raises(ValueError):
         triangle_count(hub, orient="nope")
+
+
+def test_priority_sample_weight_monotone_and_deterministic(spark):
+    """Higher total weight mass must dominate the sample; identical output
+    under any input partitioning (md5 draw is layout-free)."""
+    from area_etl_spark.operators.sampling import priority_sample
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = priority_sample(df, "id", "w", k=40).collect()
+    assert len(got) == 40
+    heavy = sum(1 for r in got if r.w == 100.0)
+    assert heavy >= 30  # 50 heavy rows carry ~2/3 of total priority mass
+    again = {r.id for r in priority_sample(df.repartition(13), "id", "w", k=40).collect()}
+    assert again == {r.id for r in got}
+
+
+def test_pareto_frontier_matches_brute_force(spark):
+    """The one-pass window frontier must equal the O(n²) NOT EXISTS
+    definition (maximize both dims, strict domination) on a random set."""
+    import random
+
+    from area_etl_spark.operators.windows import pareto_frontier
+
+    rng = random.Random(11)
+    pts = [(rng.randrange(30), rng.randrange(1000)) for _ in range(300)]
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = {(r.x, r.y) for r in pareto_frontier(df, "x", "y").collect()}
+    # brute force: a point survives iff nothing dominates it
+    best = {}
+    for x, y in pts:
+        best[x] = max(best.get(x, -1), y)
+    expect = {
+        (x, y) for x, y in best.items()
+        if not any(x2 > x and y2 >= y for x2, y2 in best.items())
+    }
+    assert got == expect
+
+
+def test_skew_report_shares_and_ranks(spark):
+    from area_etl_spark.operators.quality import skew_report
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 8 + [("b", 2)] * 2, "k string, v int"
+    )
+    got = {(r.column, r.value): (r.n, r.rank, r.share) for r in skew_report(df, ["k"], k=2).collect()}
+    assert got[("k", "a")] == (8, 1, 0.8)
+    assert got[("k", "b")] == (2, 2, 0.2)
