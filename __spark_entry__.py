@@ -593,6 +593,80 @@ def q_pipeline_requirements(spark, sf_dir):
     return P.requirements_pipeline(_tables(spark, sf_dir), FIXED_NOW)
 
 
+def q_parse_logs(spark, sf_dir):
+    """Raw text-source ETL: synthesize access-log lines from events (3% of
+    them deliberately corrupted), round-trip through spark.read.text, parse
+    with regexp_extract into typed columns (NULL on corrupt lines — the
+    quarantine contract), aggregate the clean feed per (path, status)."""
+    from area_etl_spark.sources.extract import parse_access_logs
+
+    tables = _tables(spark, sf_dir)
+    ev = tables["events"]
+    line = F.format_string(
+        '10.0.%d.1 - u%d [%s] "GET /%s HTTP/1.1" %d %d',
+        (F.col("user_id") % 256).cast("int"),
+        F.col("user_id").cast("int"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.col("event_type"),
+        F.when(F.col("event_id") % 10 == 0, 500)
+        .when(F.col("event_id") % 10 == 1, 404)
+        .otherwise(200)
+        .cast("int"),
+        F.greatest(F.round(F.col("value") * 100).cast("long"), F.lit(0)),
+    )
+    lines = ev.select(
+        F.when(F.col("event_id") % 97 == 0, F.concat(F.lit("CORRUPT "), line))
+        .otherwise(line)
+        .alias("value")
+    )
+    path = _run_tmp(spark, "logs", "access")
+    lines.write.mode("overwrite").text(path)
+    parsed = parse_access_logs(spark.read.text(path))
+    return (
+        parsed.where(F.col("status").isNotNull())
+        .groupBy("path", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("ts").alias("first_ts"),
+        )
+    )
+
+
+def q_hopping_window_agg(spark, sf_dir):
+    """Batch hopping-window aggregation: 60-minute windows sliding every 15
+    minutes via the built-in F.window (each event lands in 4 windows —
+    Generate inside the scan stage, then ONE hash aggregation on
+    (window_start, event_type)); exact integer-cents sums."""
+    tables = _tables(spark, sf_dir)
+    ev = tables["events"]
+    return (
+        ev.groupBy(
+            F.window("ts", "60 minutes", "15 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "value_cents")
+    )
+
+
+def q_hierarchy_paths(spark, sf_dir):
+    """Parent-pointer hierarchy flattening (WITH RECURSIVE in SQL engines;
+    Spark lacks it): synthetic forest parent(p) = p // 4 over part keys,
+    flattened to (node, root, depth, path) by pointer doubling — O(log
+    depth) self-joins, never depth sequential rounds."""
+    from area_etl_spark.operators.graph import ancestor_paths
+
+    tables = _tables(spark, sf_dir)
+    edges = tables["part"].select(
+        F.col("p_partkey").alias("child"),
+        F.expr("p_partkey DIV 4").alias("parent"),
+    ).where(F.col("p_partkey") > 0)
+    return ancestor_paths(edges)
+
+
 def q_priority_sample(spark, sf_dir):
     """Weighted sampling WITHOUT replacement (Duffield-Lund-Thorup priority
     sampling): 50 documents drawn with probability increasing in n_chars —
@@ -2490,10 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_topk": q_text_tfidf_topk,
         "text_pii_redact": q_text_pii_redact,
         "text_repetition": q_text_repetition,
-        "text_topk_terms": q_text_topk_terms,
-        "sample_hash": q_sample_hash,
         "window_rank_funcs": q_window_rank_funcs,
-        "profile_table": q_profile_table,
         "role_permissions_fanout": q_role_permissions_fanout,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2529,6 +2600,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — new r7 analytics/sampling operators (never driver-checked;
         #   string_agg/regex_extract/anti_semi_join/percentile_agg displaced
         #   — each holds an r3 green plus current-testdata local parity) —
+        "parse_logs": q_parse_logs,
+        "hopping_window_agg": q_hopping_window_agg,
+        "hierarchy_paths": q_hierarchy_paths,
         "priority_sample": q_priority_sample,
         "pareto_frontier": q_pareto_frontier,
         "skew_report": q_skew_report,
@@ -2537,6 +2611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — displaced rotation candidates (machinery r6-green via
         #   compositions) —
         "scd2_intervals": q_scd2_intervals,
+        "text_topk_terms": q_text_topk_terms,
+        "sample_hash": q_sample_hash,
+        "profile_table": q_profile_table,
         "string_agg": q_string_agg,
         "regex_extract": q_regex_extract,
         "anti_semi_join": q_anti_semi_join,
@@ -4708,6 +4785,53 @@ def oracle_sql() -> dict[str, str]:
                          / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                             * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
             FROM s
+        """,
+        "parse_logs": """
+            WITH clean AS (
+                SELECT '/' || event_type AS path,
+                       CASE WHEN event_id % 10 = 0 THEN 500
+                            WHEN event_id % 10 = 1 THEN 404
+                            ELSE 200 END AS status,
+                       greatest(CAST(round(value * 100) AS BIGINT), 0) AS n_bytes,
+                       date_trunc('second', ts) AS ts
+                FROM events WHERE event_id % 97 <> 0
+            )
+            SELECT path, CAST(status AS INTEGER) AS status, COUNT(*) AS n,
+                   CAST(SUM(n_bytes) AS BIGINT) AS total_bytes, MIN(ts) AS first_ts
+            FROM clean GROUP BY path, status
+        """,
+        "hopping_window_agg": """
+            WITH expanded AS (
+                SELECT e.event_type,
+                       CAST(round(e.value * 100) AS BIGINT) AS cents,
+                       to_timestamp((epoch_us(e.ts) // 1000000 // 900) * 900 - o.o * 900)
+                           AT TIME ZONE 'UTC' AS win_start
+                FROM events e CROSS JOIN (SELECT unnest(range(4)) AS o) o
+                WHERE (epoch_us(e.ts) // 1000000 // 900) * 900 - o.o * 900
+                      > epoch_us(e.ts) // 1000000 - 3600
+            )
+            SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type,
+                   COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS value_cents
+            FROM expanded GROUP BY 1, 2
+        """,
+        "hierarchy_paths": """
+            WITH RECURSIVE e AS (
+                SELECT p_partkey AS child, p_partkey // 4 AS parent
+                FROM part WHERE p_partkey > 0
+            ), roots AS (
+                -- roots inlined as a subquery: a separate chained CTE inside
+                -- WITH RECURSIVE triple-evaluates the anchor in DuckDB 1.0
+                SELECT node
+                FROM (SELECT child AS node FROM e UNION SELECT parent FROM e) n
+                WHERE node NOT IN (SELECT child FROM e)
+            ), walk(node, root, depth, path) AS (
+                SELECT node, node, 0, CAST(node AS VARCHAR) FROM roots
+                UNION ALL
+                SELECT e.child, w.root, w.depth + 1,
+                       CAST(e.child AS VARCHAR) || '/' || w.path
+                FROM e JOIN walk w ON e.parent = w.node
+            )
+            SELECT node, root, CAST(depth AS INTEGER) AS depth, path FROM walk
         """,
         "priority_sample": """
             WITH drawn AS (

@@ -392,3 +392,67 @@ def near_dup_survivors(
     return dedup_keep_best(
         docs.select(id_col, *keep_cols), comps, id_col, score_col
     )
+
+
+def ancestor_paths(
+    edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    max_depth: int = 30,
+) -> DataFrame:
+    """Flatten a parent-pointer hierarchy: every node's root ancestor, depth,
+    and materialized ancestor path — the org-chart / category-tree / BOM
+    query (``WITH RECURSIVE`` in SQL engines, which Spark SQL lacks).
+
+    Pointer-doubling iteration (path-halving applied to a forest): each
+    round joins every node's current ancestor pointer to THAT ancestor's
+    pointer, so resolved depth DOUBLES per round — a depth-d hierarchy
+    flattens in O(log d) self-join shuffles, not d (30 rounds cover depth
+    2^30).  Depth adds and path fragments concatenate during the doubling
+    (fragment(n) spans n's parent..n's current ancestor, so two fragments
+    are always contiguous).  ``localCheckpoint`` truncates lineage each
+    round.  Roots (nodes never appearing as a child) have depth 0 and path
+    = their own id.
+
+    Raises after ``max_depth`` non-converged doublings — a cycle in what
+    should be a forest (at 2^30 that is a data bug, not scale).
+    """
+    e = edges.select(F.col(child).alias("node"), F.col(parent).alias("anc"))
+    nodes = e.select("node").union(e.select(F.col("anc").alias("node"))).distinct()
+    # state per node: current ancestor, hops to it, fragment = ids from the
+    # node's parent up to that ancestor ('' for roots)
+    state = nodes.join(e, "node", "left").select(
+        "node",
+        F.coalesce(F.col("anc"), F.col("node")).alias("anc"),
+        F.when(F.col("anc").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("depth"),
+        F.when(F.col("anc").isNull(), F.lit("")).otherwise(F.col("anc").cast("string")).alias("frag"),
+    )
+    for _ in range(max_depth):
+        up = state.select(
+            F.col("node").alias("j_node"),
+            F.col("anc").alias("j_anc"),
+            F.col("depth").alias("j_depth"),
+            F.col("frag").alias("j_frag"),
+        )
+        nxt = (
+            state.join(up, state.anc == up.j_node)
+            .select(
+                "node",
+                F.col("j_anc").alias("anc"),
+                (F.col("depth") + F.col("j_depth")).alias("depth"),
+                F.concat_ws("/", F.nullif(F.col("frag"), F.lit("")), F.nullif(F.col("j_frag"), F.lit(""))).alias("frag"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.join(state, ["node", "anc", "depth"], "left_anti").isEmpty():
+            state = nxt
+            break
+        state = nxt
+    else:
+        raise ValueError(f"hierarchy deeper than 2^{max_depth} or cyclic")
+    return state.select(
+        "node",
+        F.col("anc").alias("root"),
+        F.col("depth").cast("int").alias("depth"),
+        F.concat_ws("/", F.col("node").cast("string"), F.nullif(F.col("frag"), F.lit(""))).alias("path"),
+    )

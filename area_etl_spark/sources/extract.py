@@ -20,7 +20,8 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -105,3 +106,39 @@ def extract_jdbc(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+ACCESS_LOG_PATTERN = (
+    r'^(\S+) - (\S+) \[([^\]]+)\] "(\S+) (\S+) \S+" (\d{3}) (\d+)$'
+)
+
+
+def parse_access_logs(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Raw text-source ingestion: access-log lines → typed columns.
+
+    The classic unstructured-source ETL the reference's CSV/SQL extractors
+    don't cover: ``spark.read.text`` yields one string column; each field is
+    pulled out with ``regexp_extract`` (JVM regex, whole-stage codegen — one
+    narrow pass, no UDF) and cast.  Unparseable lines surface as NULL
+    method/status rather than failing the scan — filter
+    ``status IS NOT NULL`` for the clean feed, the complement is the
+    quarantine (same philosophy as plans/contracts.quarantine_rows).
+
+    Format: ``ip - user [YYYY-MM-DD HH:MM:SS] "METHOD /path PROTO" status
+    bytes`` — ISO timestamps (numeric-only) so the parse is
+    locale-independent and cross-engine reproducible.
+    """
+    v = F.col(value_col)
+
+    def grp(i: int) -> Column:
+        return F.nullif(F.regexp_extract(v, ACCESS_LOG_PATTERN, i), F.lit(""))
+
+    return lines.select(
+        grp(1).alias("ip"),
+        grp(2).alias("user"),
+        grp(3).cast("timestamp").alias("ts"),
+        grp(4).alias("method"),
+        grp(5).alias("path"),
+        grp(6).cast("int").alias("status"),
+        grp(7).cast("long").alias("n_bytes"),
+    )

@@ -631,3 +631,42 @@ def test_skew_report_shares_and_ranks(spark):
     got = {(r.column, r.value): (r.n, r.rank, r.share) for r in skew_report(df, ["k"], k=2).collect()}
     assert got[("k", "a")] == (8, 1, 0.8)
     assert got[("k", "b")] == (2, 2, 0.2)
+
+
+def test_ancestor_paths_doubling_matches_chain(spark):
+    """A depth-8 chain must flatten in ~3 doubling rounds with exact depths
+    and materialized paths; a cycle must raise instead of looping."""
+    import pytest
+
+    from area_etl_spark.operators.graph import ancestor_paths
+
+    chain = [(i, i - 1) for i in range(1, 9)]  # 8 -> 7 -> ... -> 0
+    df = spark.createDataFrame(chain, "child long, parent long")
+    got = {r.node: (r.root, r.depth, r.path) for r in ancestor_paths(df).collect()}
+    assert got[0] == (0, 0, "0")
+    assert got[8] == (0, 8, "8/7/6/5/4/3/2/1/0")
+    assert all(got[i][0] == 0 and got[i][1] == i for i in range(9))
+
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "child long, parent long")
+    with pytest.raises(ValueError, match="cyclic"):
+        ancestor_paths(cyc, max_depth=5)
+
+
+def test_parse_access_logs_quarantines_bad_lines(spark):
+    from area_etl_spark.sources.extract import parse_access_logs
+
+    lines = spark.createDataFrame(
+        [
+            ('10.0.1.1 - u7 [2026-01-02 03:04:05] "GET /buy HTTP/1.1" 200 1234',),
+            ("totally not a log line",),
+            ('10.0.2.1 - u8 [2026-01-02 03:04:06] "POST /api HTTP/1.1" 500 0',),
+        ],
+        "value string",
+    )
+    rows = {r.user: r for r in parse_access_logs(lines).where(F.col("status").isNotNull()).collect()}
+    assert set(rows) == {"u7", "u8"}
+    assert rows["u7"].path == "/buy" and rows["u7"].status == 200 and rows["u7"].n_bytes == 1234
+    assert rows["u8"].method == "POST"
+    assert str(rows["u7"].ts) == "2026-01-02 03:04:05"
+    # the corrupt line survives as an all-NULL parse (quarantine row)
+    assert parse_access_logs(lines).where(F.col("status").isNull()).count() == 1
