@@ -593,6 +593,78 @@ def q_pipeline_requirements(spark, sf_dir):
     return P.requirements_pipeline(_tables(spark, sf_dir), FIXED_NOW)
 
 
+def q_radius_join(spark, sf_dir):
+    """Spatial proximity join: customers within integer distance 500 of a
+    supplier on a synthetic 10000×10000 plane — grid-bucketed (9-cell
+    candidate join, ONE shuffle on the cell key, pure BIGINT distance
+    predicate), never the |L|·|R| cross join the oracle brute-forces."""
+    from area_etl_spark.operators.joins import radius_join
+
+    tables = _tables(spark, sf_dir)
+    cust = tables["customer"].select(
+        F.col("c_custkey").alias("left_id"),
+        ((F.col("c_custkey") * 37) % 10000).alias("x"),
+        ((F.col("c_custkey") * 91) % 10000).alias("y"),
+    )
+    supp = tables["supplier"].select(
+        F.col("s_suppkey").alias("right_id"),
+        ((F.col("s_suppkey") * 53) % 10000).alias("x"),
+        ((F.col("s_suppkey") * 71) % 10000).alias("y"),
+    )
+    return radius_join(cust, supp, "x", "y", radius=500)
+
+
+def q_linear_interpolate(spark, sf_dir):
+    """Per-user LINEAR interpolation of gapped readings (every 5th value
+    nulled): time-weighted blend between neighboring observations in exact
+    micros/cents, boundary rows back-/forward-filled — the trend-unbiased
+    complement of LOCF."""
+    from area_etl_spark.operators.windows import linear_interpolate
+
+    tables = _tables(spark, sf_dir)
+    ev = tables["events"].select(
+        "event_id",
+        "user_id",
+        # synthetic unique timeline (micros from event_id): a total order per
+        # user so the window order is deterministic
+        F.timestamp_micros(F.col("event_id") * 60_000_000).alias("ts"),
+        F.when(
+            F.col("event_id") % 5 != 0, F.round(F.col("value") * 100).cast("long")
+        ).alias("cents"),
+    )
+    out = linear_interpolate(ev, "user_id", "ts", "cents")
+    return out.select("event_id", "user_id", "cents", "value_interp")
+
+
+def q_ab_test_ztest(spark, sf_dir):
+    """Two-proportion z-test (A/B evaluation): purchase-conversion rate of
+    even vs odd user ids from exact counts — closed-form z from one
+    aggregation, sqrt/division IEEE-exact so the statistic is
+    bit-reproducible cross-engine."""
+    tables = _tables(spark, sf_dir)
+    ev = tables["events"].select(
+        (F.col("user_id") % 2 == 0).alias("is_a"),
+        (F.col("event_type") == "purchase").cast("long").alias("conv"),
+    )
+    agg = ev.groupBy().agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("is_a"), F.col("conv")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(~F.col("is_a"), F.col("conv")).otherwise(0)).alias("c_b"),
+    )
+    n_a, c_a = F.col("n_a").cast("double"), F.col("c_a").cast("double")
+    n_b, c_b = F.col("n_b").cast("double"), F.col("c_b").cast("double")
+    p_a, p_b = c_a / n_a, c_b / n_b
+    pool = (c_a + c_b) / (n_a + n_b)
+    z = (p_a - p_b) / F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / n_a + F.lit(1.0) / n_b))
+    return agg.select(
+        "n_a", "c_a", "n_b", "c_b",
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
 def q_parse_logs(spark, sf_dir):
     """Raw text-source ETL: synthesize access-log lines from events (3% of
     them deliberately corrupted), round-trip through spark.read.text, parse
@@ -2563,9 +2635,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "text_tfidf_topk": q_text_tfidf_topk,
         "text_pii_redact": q_text_pii_redact,
-        "text_repetition": q_text_repetition,
-        "window_rank_funcs": q_window_rank_funcs,
-        "role_permissions_fanout": q_role_permissions_fanout,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "ann_cosine_topk": q_ann_cosine_topk,
         "export_jsonl_roundtrip": q_export_jsonl_roundtrip,
@@ -2600,6 +2669,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — new r7 analytics/sampling operators (never driver-checked;
         #   string_agg/regex_extract/anti_semi_join/percentile_agg displaced
         #   — each holds an r3 green plus current-testdata local parity) —
+        "radius_join": q_radius_join,
+        "linear_interpolate": q_linear_interpolate,
+        "ab_test_ztest": q_ab_test_ztest,
         "parse_logs": q_parse_logs,
         "hopping_window_agg": q_hopping_window_agg,
         "hierarchy_paths": q_hierarchy_paths,
@@ -2611,6 +2683,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — displaced rotation candidates (machinery r6-green via
         #   compositions) —
         "scd2_intervals": q_scd2_intervals,
+        "window_rank_funcs": q_window_rank_funcs,
+        "role_permissions_fanout": q_role_permissions_fanout,
+        "text_repetition": q_text_repetition,
         "text_topk_terms": q_text_topk_terms,
         "sample_hash": q_sample_hash,
         "profile_table": q_profile_table,
@@ -4785,6 +4860,73 @@ def oracle_sql() -> dict[str, str]:
                          / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                             * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
             FROM s
+        """,
+        "radius_join": """
+            WITH cust AS (
+                SELECT c_custkey AS left_id,
+                       (c_custkey * 37) % 10000 AS x, (c_custkey * 91) % 10000 AS y
+                FROM customer
+            ), supp AS (
+                SELECT s_suppkey AS right_id,
+                       (s_suppkey * 53) % 10000 AS x, (s_suppkey * 71) % 10000 AS y
+                FROM supplier
+            )
+            SELECT c.left_id, s.right_id,
+                   (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) AS dist2
+            FROM cust c JOIN supp s
+              ON (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 250000
+        """,
+        "linear_interpolate": """
+            WITH ev AS (
+                SELECT event_id, user_id,
+                       make_timestamp(event_id * 60000000) AS ts,
+                       CASE WHEN event_id % 5 <> 0
+                            THEN CAST(round(value * 100) AS BIGINT) END AS cents
+                FROM events
+            ), n AS (
+                SELECT *,
+                       epoch_us(ts) AS t,
+                       last_value(CASE WHEN cents IS NOT NULL
+                                       THEN struct_pack(t := epoch_us(ts), v := cents) END
+                                  IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
+                       first_value(CASE WHEN cents IS NOT NULL
+                                        THEN struct_pack(t := epoch_us(ts), v := cents) END
+                                   IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+                FROM ev
+            )
+            SELECT event_id, user_id, cents,
+                   round(CASE
+                       WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                       WHEN prev IS NOT NULL AND nxt IS NOT NULL THEN
+                            CAST(prev.v AS DOUBLE)
+                            + CAST(nxt.v - prev.v AS DOUBLE)
+                              * (CAST(t - prev.t AS DOUBLE) / CAST(nxt.t - prev.t AS DOUBLE))
+                       WHEN prev IS NOT NULL THEN CAST(prev.v AS DOUBLE)
+                       ELSE CAST(nxt.v AS DOUBLE)
+                   END, 6) AS value_interp
+            FROM n
+        """,
+        "ab_test_ztest": """
+            WITH agg AS (
+                SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                       CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+                       CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                       CAST(SUM(CASE WHEN user_id % 2 <> 0 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+                FROM events
+            )
+            SELECT n_a, c_a, n_b, c_b,
+                   round(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+                   round(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+                   round((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                          - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                         / sqrt((CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                                * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+                                * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z_stat
+            FROM agg
         """,
         "parse_logs": """
             WITH clean AS (

@@ -88,3 +88,64 @@ def salted_join(
     return (
         salted_big.join(salted_small, on=on_cols + ["_salt"], how=how).drop("_salt")
     )
+
+
+def radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    radius: int = 1000,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+) -> DataFrame:
+    """All-pairs-within-radius join on planar INTEGER coordinates (e.g.
+    micro-degrees or millimeters) — the spatial proximity join (stores near
+    warehouses, sensors near incidents) without a cross join.
+
+    Grid-bucketing: partition the plane into radius-sized cells; a point's
+    neighbors within r can only lie in its own cell or the 8 adjacent ones,
+    so each LEFT point is expanded to its 9 candidate cells (narrow, 9×) and
+    equi-joined to RIGHT points bucketed by their single home cell — ONE
+    hash-partitioned shuffle keyed on the cell, candidates bounded by local
+    density instead of |L|·|R|.  The exact predicate ``dx² + dy² ≤ r²``
+    filters candidates in pure BIGINT arithmetic: no floats anywhere, so
+    results are bit-reproducible across engines and partitionings (a
+    haversine variant would inherit libm sin/cos divergence — project first,
+    then join).  Degenerate grids (all points one cell) degrade to the
+    in-cell product — pick ``radius`` resolution so cells stay
+    neighborhood-sized, exactly like choosing a histogram bin width.
+    """
+    r2 = radius * radius
+
+    def cell(c: Column) -> Column:
+        # floor division toward -inf for correct negative-coordinate cells
+        return F.floor(c.cast("double") / F.lit(float(radius))).cast("long")
+
+    lx, ly = F.col(x_col), F.col(y_col)
+    offsets = F.expr("sequence(-1, 1)")
+    l_exp = (
+        left.select(
+            F.col(left_id), lx.alias("_lx"), ly.alias("_ly"),
+            cell(lx).alias("_cx"), cell(ly).alias("_cy"),
+        )
+        .withColumn("_dx", F.explode(offsets))
+        .withColumn("_dy", F.explode(offsets))
+        .select(
+            left_id, "_lx", "_ly",
+            (F.col("_cx") + F.col("_dx")).alias("_cell_x"),
+            (F.col("_cy") + F.col("_dy")).alias("_cell_y"),
+        )
+    )
+    r_binned = right.select(
+        F.col(right_id), F.col(x_col).alias("_rx"), F.col(y_col).alias("_ry"),
+        cell(F.col(x_col)).alias("_cell_x"), cell(F.col(y_col)).alias("_cell_y"),
+    )
+    dx = F.col("_lx") - F.col("_rx")
+    dy = F.col("_ly") - F.col("_ry")
+    return (
+        l_exp.join(r_binned, ["_cell_x", "_cell_y"])
+        .where(dx * dx + dy * dy <= F.lit(r2))
+        .select(left_id, right_id, (dx * dx + dy * dy).alias("dist2"))
+        .distinct()
+    )

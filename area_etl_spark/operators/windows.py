@@ -95,3 +95,55 @@ def pareto_frontier(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
         .where(F.col("_prev_best").isNull() | (F.col(y_col) > F.col("_prev_best")))
         .drop("_prev_best")
     )
+
+
+def linear_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-key LINEAR interpolation of missing values over an ordered
+    timeline — the gap-repair complement of LOCF forward-fill (which holds
+    the last value flat, biased for trending series).
+
+    Two window passes per row over the key's timeline: ``last(...,
+    ignorenulls)`` over the preceding frame finds the previous observation
+    (value, ts) and ``first(..., ignorenulls)`` over the following frame
+    the next one — both carried as structs so value and its timestamp
+    travel together.  The interpolated value is the time-weighted blend
+    prev + (next − prev)·(t − t_prev)/(t_next − t_prev) computed in exact
+    integer microseconds and cents lifted to double only for the final
+    one-division blend (IEEE-exact, cross-engine).  Boundary rows fall back
+    to the single available neighbor (back-/forward-fill); keys with no
+    observation at all stay NULL.  Shuffles once on the key.
+    """
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs = F.when(
+        F.col(value_col).isNotNull(),
+        F.struct(F.unix_micros(F.col(ts_col)).alias("t"), F.col(value_col).alias("v")),
+    )
+    t = F.unix_micros(F.col(ts_col))
+    prev = F.last(obs, ignorenulls=True).over(w_prev)
+    nxt = F.first(obs, ignorenulls=True).over(w_next)
+    blend = (
+        prev["v"].cast("double")
+        + (nxt["v"] - prev["v"]).cast("double")
+        * ((t - prev["t"]).cast("double") / (nxt["t"] - prev["t"]).cast("double"))
+    )
+    filled = (
+        F.when(F.col(value_col).isNotNull(), F.col(value_col).cast("double"))
+        .when(prev.isNotNull() & nxt.isNotNull(), blend)
+        .when(prev.isNotNull(), prev["v"].cast("double"))
+        .otherwise(nxt["v"].cast("double"))
+    )
+    return df.withColumn("value_interp", F.round(filled, 6))

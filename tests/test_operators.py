@@ -670,3 +670,46 @@ def test_parse_access_logs_quarantines_bad_lines(spark):
     assert str(rows["u7"].ts) == "2026-01-02 03:04:05"
     # the corrupt line survives as an all-NULL parse (quarantine row)
     assert parse_access_logs(lines).where(F.col("status").isNull()).count() == 1
+
+
+def test_radius_join_matches_brute_force_with_negatives(spark):
+    """Grid-bucketed radius join ≡ the cross-join definition, including
+    points with negative coordinates straddling cell boundaries."""
+    import random
+
+    from area_etl_spark.operators.joins import radius_join
+
+    rng = random.Random(3)
+    lpts = [(i, rng.randrange(-500, 500), rng.randrange(-500, 500)) for i in range(120)]
+    rpts = [(i, rng.randrange(-500, 500), rng.randrange(-500, 500)) for i in range(80)]
+    L = spark.createDataFrame(lpts, "left_id long, x long, y long")
+    R = spark.createDataFrame(rpts, "right_id long, x long, y long")
+    got = {(r.left_id, r.right_id) for r in radius_join(L, R, radius=100).collect()}
+    expect = {
+        (l[0], r[0])
+        for l in lpts
+        for r in rpts
+        if (l[1] - r[1]) ** 2 + (l[2] - r[2]) ** 2 <= 100 * 100
+    }
+    assert got == expect and got
+
+
+def test_linear_interpolate_exact_blend(spark):
+    """Hand-checkable gap: values 100 @t0 and 400 @t3 with nulls between →
+    200 and 300 (linear); leading/trailing nulls take the nearest
+    neighbor."""
+    from area_etl_spark.operators.windows import linear_interpolate
+
+    rows = [
+        ("u", "2026-01-01 00:00:00", None),   # leading → back-fill 100
+        ("u", "2026-01-01 00:01:00", 100),
+        ("u", "2026-01-01 00:02:00", None),   # → 200
+        ("u", "2026-01-01 00:03:00", None),   # → 300
+        ("u", "2026-01-01 00:04:00", 400),
+        ("u", "2026-01-01 00:05:00", None),   # trailing → forward-fill 400
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v long").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    got = [r.value_interp for r in linear_interpolate(df, "k", "ts", "v").orderBy("ts").collect()]
+    assert got == [100.0, 100.0, 200.0, 300.0, 400.0, 400.0]
