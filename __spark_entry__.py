@@ -593,6 +593,28 @@ def q_pipeline_requirements(spark, sf_dir):
     return P.requirements_pipeline(_tables(spark, sf_dir), FIXED_NOW)
 
 
+def q_vocab_build(spark, sf_dir):
+    """Corpus vocabulary with dense 0-based ids by (count DESC, token ASC)
+    — |vocab|-sized numbering via the range-shuffle dense_ids pass, never a
+    single-partition row_number window."""
+    from area_etl_spark.operators.vocab import build_vocab
+
+    tables = _tables(spark, sf_dir)
+    return build_vocab(tables["documents"], min_count=2)
+
+
+def q_vocab_encode(spark, sf_dir):
+    """Documents rewritten as token-id sequences (the tokenizer-adjacent
+    LLM-prep step): posexplode positions ride the vocab join so document
+    order survives two hash shuffles; rare tokens encode as -1, tokenless
+    docs as empty arrays."""
+    from area_etl_spark.operators.vocab import build_vocab, encode_docs
+
+    tables = _tables(spark, sf_dir)
+    docs = tables["documents"]
+    return encode_docs(docs, build_vocab(docs, min_count=2))
+
+
 def q_radius_join(spark, sf_dir):
     """Spatial proximity join: customers within integer distance 500 of a
     supplier on a synthetic 10000×10000 plane — grid-bucketed (9-cell
@@ -2634,10 +2656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "dedup_components": q_dedup_components,
         "text_tfidf_topk": q_text_tfidf_topk,
-        "text_pii_redact": q_text_pii_redact,
         "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "export_jsonl_roundtrip": q_export_jsonl_roundtrip,
         "multimodal_frame_sample": q_multimodal_frame_sample,
         "funnel_conversion": q_funnel_conversion,
         "partitioned_layout_prune": q_partitioned_layout_prune,
@@ -2669,6 +2689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — new r7 analytics/sampling operators (never driver-checked;
         #   string_agg/regex_extract/anti_semi_join/percentile_agg displaced
         #   — each holds an r3 green plus current-testdata local parity) —
+        "vocab_build": q_vocab_build,
+        "vocab_encode": q_vocab_encode,
         "radius_join": q_radius_join,
         "linear_interpolate": q_linear_interpolate,
         "ab_test_ztest": q_ab_test_ztest,
@@ -2683,6 +2705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — displaced rotation candidates (machinery r6-green via
         #   compositions) —
         "scd2_intervals": q_scd2_intervals,
+        "text_pii_redact": q_text_pii_redact,
+        "export_jsonl_roundtrip": q_export_jsonl_roundtrip,
         "window_rank_funcs": q_window_rank_funcs,
         "role_permissions_fanout": q_role_permissions_fanout,
         "text_repetition": q_text_repetition,
@@ -4860,6 +4884,43 @@ def oracle_sql() -> dict[str, str]:
                          / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                             * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
             FROM s
+        """,
+        "vocab_build": """
+            WITH counts AS (
+                SELECT token, COUNT(*) AS n FROM (
+                    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                    FROM documents
+                ) WHERE token != '' GROUP BY token
+            )
+            SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS token_id
+            FROM counts WHERE n >= 2
+        """,
+        "vocab_encode": """
+            WITH tok AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                FROM documents
+            ), counts AS (
+                SELECT token, COUNT(*) AS n FROM (
+                    SELECT unnest(toks) AS token FROM tok
+                ) WHERE token != '' GROUP BY token
+            ), vocab AS (
+                SELECT token, row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS token_id
+                FROM counts WHERE n >= 2
+            ), pos_tok AS (
+                SELECT t.doc_id, gs.i AS pos, t.toks[gs.i] AS token
+                FROM tok t, LATERAL (SELECT unnest(generate_series(1, len(t.toks))) AS i) gs
+                WHERE t.toks[gs.i] != ''
+            ), enc AS (
+                SELECT p.doc_id, p.pos, COALESCE(v.token_id, -1) AS tid
+                FROM pos_tok p LEFT JOIN vocab v USING (token)
+            ), seqs AS (
+                SELECT doc_id, list(tid ORDER BY pos ASC) AS token_ids
+                FROM enc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(len(s.token_ids), 0) AS BIGINT) AS n_tokens,
+                   COALESCE(s.token_ids, CAST([] AS BIGINT[])) AS token_ids
+            FROM documents d LEFT JOIN seqs s USING (doc_id)
         """,
         "radius_join": """
             WITH cust AS (

@@ -1,0 +1,84 @@
+"""Vocabulary building + document id-encoding — the tokenizer-adjacent
+LLM-prep step: map a corpus's token universe onto dense integer ids (by
+falling frequency, ties alphabetic) and rewrite each document as its id
+sequence.
+
+Scale shape: the vocabulary is |distinct tokens|-sized (Heaps' law: far
+sublinear in corpus size) and gets its dense ids from ``ids.dense_ids`` —
+the range-shuffle + driver-prefix-sum numbering, never a single-partition
+``row_number`` window.  Encoding shuffles token occurrences once on the
+token (join to vocab) and once on the doc id (sequence reassembly); both
+hash joins, no windows over the corpus.  Token order inside a document is
+preserved via posexplode positions carried through the join and an
+``array_sort``-on-struct reassembly (sorting (pos, id) structs sorts by
+pos first — exactly the collect_sorted_list idiom).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from area_etl_spark.operators.dedup import normalize_tokens
+from area_etl_spark.operators.ids import dense_ids
+
+
+def build_vocab(docs: DataFrame, text_col: str = "text", min_count: int = 1) -> DataFrame:
+    """(token, n, token_id): dense 0-based ids by (count DESC, token ASC).
+
+    One explode + one hash count per token, then the distributed dense-id
+    pass over the |vocab|-sized count table.  ``min_count`` drops rare
+    tokens BEFORE numbering (OOV at encode time).
+    """
+    counts = (
+        docs.select(F.explode(normalize_tokens(F.col(text_col))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    numbered = dense_ids(
+        counts.withColumn("_negn", -F.col("n")), ["_negn", "token"], id_name="token_id"
+    )
+    return numbered.select("token", "n", (F.col("token_id") - 1).alias("token_id"))
+
+
+def encode_docs(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = -1,
+) -> DataFrame:
+    """(doc_id, n_tokens, token_ids): each document as its id sequence in
+    original token order; tokens outside the vocabulary encode as
+    ``oov_id``.
+
+    Tokenless documents return an empty array (not a dropped row) via the
+    left join back to the doc spine — the r5 decontaminate short-doc guard
+    class.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(normalize_tokens(F.col(text_col))).alias("pos", "token"),
+    ).where(F.col("token") != "")
+    joined = toks.join(vocab.select("token", "token_id"), "token", "left").select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(oov_id)).alias("tid"),
+    )
+    seqs = joined.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))), lambda s: s["tid"]
+        ).alias("token_ids")
+    )
+    return (
+        docs.select(id_col)
+        .join(seqs, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("token_ids"), F.array().cast("array<long>")).alias("token_ids"),
+        )
+        .withColumn("n_tokens", F.size("token_ids").cast("long"))
+        .select(id_col, "n_tokens", "token_ids")
+    )

@@ -225,3 +225,26 @@ def test_leakage_safe_split_singletons_and_determinism(spark):
     r2 = {r.doc_id: r.split for r in leakage_safe_split(docs, empty).collect()}
     assert r1 == r2  # pure function of ids
     assert len(r1) == 64
+
+
+def test_vocab_build_and_encode_roundtrip(spark):
+    """Dense ids by falling frequency with alphabetic ties; encoding
+    preserves token order, maps rare tokens to -1, and keeps tokenless
+    docs as empty sequences."""
+    from area_etl_spark.operators.vocab import build_vocab, encode_docs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "b a b c a b"),
+            (2, "a c  rare"),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = {r.token: (r.token_id, r.n) for r in build_vocab(docs, min_count=2).collect()}
+    # a:3 b:3 c:2, rare:1 dropped; a/b tie at 3 → alphabetic → a=0, b=1
+    assert vocab == {"a": (0, 3), "b": (1, 3), "c": (2, 2)}
+    enc = {r.doc_id: (r.n_tokens, r.token_ids) for r in encode_docs(docs, build_vocab(docs, min_count=2)).collect()}
+    assert enc[1] == (6, [1, 0, 1, 2, 0, 1])
+    assert enc[2] == (3, [0, 2, -1])
+    assert enc[3] == (0, [])
