@@ -204,3 +204,40 @@ def test_requirements_pipeline_semantics(tables):
     assert any(r.response_type == "MIDDLE_EAST" for r in rows)
     # resp-5 has no dim row: the miss branch must be exercised
     assert any(r.response_type is None for r in rows)
+
+
+def test_radius_join_no_cartesian(tables):
+    """The grid-bucketed radius join must plan as an equi-join on the cell
+    key — never BroadcastNestedLoopJoin/CartesianProduct over the raw
+    tables (the naive spatial-join failure mode)."""
+    from area_etl_spark.operators.joins import radius_join
+
+    cust = tables["customer"].select(
+        F.col("c_custkey").alias("left_id"),
+        ((F.col("c_custkey") * 37) % 10000).alias("x"),
+        ((F.col("c_custkey") * 91) % 10000).alias("y"),
+    )
+    supp = tables["supplier"].select(
+        F.col("s_suppkey").alias("right_id"),
+        ((F.col("s_suppkey") * 53) % 10000).alias("x"),
+        ((F.col("s_suppkey") * 71) % 10000).alias("y"),
+    )
+    plan = plan_str(radius_join(cust, supp, "x", "y", radius=500))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_encode_no_single_partition_window(tables):
+    """Vocabulary numbering must not fall back to a global row_number
+    window: the only Window nodes in the encode plan are partitioned (the
+    dense_ids per-partition numbering), never 'Window [...] ORDER BY' with
+    an empty partition spec over the corpus."""
+    from area_etl_spark.operators.vocab import build_vocab
+
+    vocab = build_vocab(tables["documents"], min_count=2)
+    plan = vocab._jdf.queryExecution().executedPlan().toString()
+    # dense_ids windows partition by _pid; a global window would show
+    # 'Window [row_number() ... ORDER BY' without a partition expression
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "_pid" in line, line
