@@ -23,9 +23,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def windowed_event_agg(events: DataFrame, window_minutes: int = 60) -> DataFrame:
-    """Tumbling-window event rollup (batch form / streaming oracle)."""
-    w = F.window(F.col("ts"), f"{window_minutes} minutes")
+def windowed_event_agg(
+    events: DataFrame, window_minutes: int = 60, slide_minutes: int | None = None
+) -> DataFrame:
+    """Tumbling (default) or sliding/hopping window event rollup — the same
+    expression serves the batch form and the streaming query (and thereby
+    the stream's oracle).  ``slide_minutes`` < ``window_minutes`` makes each
+    event land in window/slide overlapping windows (a bounded Generate, no
+    shuffle growth beyond the row expansion)."""
+    if slide_minutes:
+        w = F.window(F.col("ts"), f"{window_minutes} minutes", f"{slide_minutes} minutes")
+    else:
+        w = F.window(F.col("ts"), f"{window_minutes} minutes")
     return (
         events.groupBy(w.alias("win"), F.col("event_type"))
         .agg(
@@ -47,10 +56,13 @@ def stream_windowed_event_agg(
     schema,
     window_minutes: int = 60,
     watermark: str = "2 hours",
+    slide_minutes: int | None = None,
 ) -> DataFrame:
-    """Streaming form: file source → watermark → windowed aggregation."""
+    """Streaming form: file source → watermark → windowed aggregation
+    (tumbling, or sliding when ``slide_minutes`` is set — state holds
+    window/slide open windows per key until the watermark closes them)."""
     stream = spark.readStream.schema(schema).parquet(events_path)
-    return windowed_event_agg(stream.withWatermark("ts", watermark), window_minutes)
+    return windowed_event_agg(stream.withWatermark("ts", watermark), window_minutes, slide_minutes)
 
 
 def stream_dedup(stream: DataFrame, keys: list[str], watermark: str = "2 hours") -> DataFrame:

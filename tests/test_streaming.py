@@ -112,6 +112,37 @@ def test_stream_equals_batch(spark, tables, sf_dir, tmp_path):
     assert streamed == batch
 
 
+def test_stream_sliding_window_equals_batch(spark, tables, tmp_path):
+    """Sliding/hopping streaming aggregation (60 min window, 15 min slide)
+    must equal the batch form — each event in 4 overlapping windows, state
+    bounded by the watermark horizon."""
+    events = tables["events"]
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in windowed_event_agg(events, 60, slide_minutes=15).collect()
+    }
+    src = str(tmp_path / "events_slide_src")
+    events.write.mode("overwrite").parquet(src)
+    stream_df = stream_windowed_event_agg(spark, src, events.schema, slide_minutes=15)
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("ev_slide_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    streamed = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM ev_slide_test").collect()
+    }
+    assert streamed == batch
+    # 4x the tumbling window count (overlap factor window/slide)
+    assert len({k[0] for k in streamed}) > len(
+        {r.window_start for r in windowed_event_agg(events).collect()}
+    )
+
+
 def test_incremental_scd2_equals_batch(spark, tables, tmp_path):
     """foreachBatch-maintained SCD2 history must equal the batch operator
     over the full event log once the stream drains."""
