@@ -593,6 +593,38 @@ def q_pipeline_requirements(spark, sf_dir):
     return P.requirements_pipeline(_tables(spark, sf_dir), FIXED_NOW)
 
 
+def q_rolling_distinct_users(spark, sf_dir):
+    """Exact trailing-7-day distinct users per day (DAU→WAU rollup).
+
+    The naive COUNT(DISTINCT) OVER a RANGE window buffers every row of the
+    frame per key; the scalable form works on the DAILY user grid: distinct
+    (day, user) — already tiny — exploded to the ≤7 future days each
+    contributes to (bounded 7× expansion of the GRID, not the events),
+    distinct again, then a plain count per window day.  Every stage is a
+    hash aggregate; nothing buffers raw events.  Only days with events
+    appear (observed grid, no calendar spine)."""
+    tables = _tables(spark, sf_dir)
+    daily = (
+        tables["events"]
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    contrib = daily.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"), "day", "user_id"
+    ).select(F.date_add(F.col("day"), F.col("off")).alias("win_day"), "user_id")
+    observed = daily.select(F.col("day").alias("win_day")).distinct()
+    return (
+        contrib.distinct()
+        .join(observed, "win_day")
+        .groupBy("win_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("users_7d"))
+        # DATE degrades to python-object dtype in the pandas handoff while
+        # DuckDB's DATE arrives as datetime64 — hash-mismatch despite equal
+        # values; normalize to timestamp on both sides
+        .withColumn("win_day", F.col("win_day").cast("timestamp"))
+    )
+
+
 def q_vocab_build(spark, sf_dir):
     """Corpus vocabulary with dense 0-based ids by (count DESC, token ASC)
     — |vocab|-sized numbering via the range-shuffle dense_ids pass, never a
@@ -2702,6 +2734,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "longest_streak": q_longest_streak,
         # —— driver window ends here (first 50) ——
+        # — new r7 oracles below the window (r8 window candidates): added
+        #   after the 50 slots filled; local gate + all-SF parity verified —
+        "rolling_distinct_users": q_rolling_distinct_users,
         # — displaced rotation candidates (machinery r6-green via
         #   compositions) —
         "scd2_intervals": q_scd2_intervals,
@@ -4884,6 +4919,19 @@ def oracle_sql() -> dict[str, str]:
                          / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                             * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
             FROM s
+        """,
+        "rolling_distinct_users": """
+            WITH daily AS (
+                SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+            ), contrib AS (
+                SELECT DISTINCT day + CAST(o.o AS INTEGER) AS win_day, user_id
+                FROM daily, (SELECT unnest(range(7)) AS o) o
+            )
+            SELECT CAST(c.win_day AS TIMESTAMP) AS win_day,
+                   CAST(COUNT(*) AS BIGINT) AS users_7d
+            FROM contrib c
+            JOIN (SELECT DISTINCT day AS win_day FROM daily) obs USING (win_day)
+            GROUP BY c.win_day
         """,
         "vocab_build": """
             WITH counts AS (
