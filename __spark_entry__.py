@@ -593,6 +593,51 @@ def q_pipeline_requirements(spark, sf_dir):
     return P.requirements_pipeline(_tables(spark, sf_dir), FIXED_NOW)
 
 
+def q_or_join(spark, sf_dir):
+    """OR-predicate join (match on nationkey OR on a derived code) rewritten
+    as a union of hash equi-joins + distinct — the BroadcastNestedLoopJoin
+    escape hatch; result-identical to the OR join (the oracle IS the OR
+    join)."""
+    from area_etl_spark.operators.joins import or_join
+
+    tables = _tables(spark, sf_dir)
+    cust = tables["customer"].select(
+        F.col("c_custkey"), F.col("c_nationkey").alias("l_nat"),
+        (F.col("c_custkey") % 30).alias("l_code"),
+    )
+    supp = tables["supplier"].select(
+        F.col("s_suppkey"), F.col("s_nationkey").alias("r_nat"),
+        (F.col("s_suppkey") % 30).alias("r_code"),
+    )
+    out = or_join(cust, supp, [("l_nat", "r_nat"), ("l_code", "r_code")])
+    return out.groupBy("l_nat").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("s_suppkey").alias("n_suppliers"),
+    )
+
+
+def q_json_flatten(spark, sf_dir):
+    """Nested semi-structured flattening: a JSON ARRAY-of-structs column
+    (synthesized per order) parsed with an explicit schema and exploded to
+    one row per element — from_json + explode, the lake-side LATERAL
+    json_each."""
+    tables = _tables(spark, sf_dir)
+    o = tables["orders"]
+    js = F.format_string(
+        '[{"slot": 1, "amt": %d}, {"slot": 2, "amt": %d}]',
+        (F.col("o_orderkey") % 100).cast("int"),
+        ((F.col("o_orderkey") * 7) % 100).cast("int"),
+    )
+    parsed = o.select(
+        "o_orderkey",
+        F.from_json(js, "array<struct<slot:int, amt:int>>").alias("items"),
+    )
+    return (
+        parsed.select("o_orderkey", F.explode("items").alias("it"))
+        .select("o_orderkey", F.col("it.slot").alias("slot"), F.col("it.amt").alias("amt"))
+    )
+
+
 def q_rolling_distinct_users(spark, sf_dir):
     """Exact trailing-7-day distinct users per day (DAU→WAU rollup).
 
@@ -2737,6 +2782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — new r7 oracles below the window (r8 window candidates): added
         #   after the 50 slots filled; local gate + all-SF parity verified —
         "rolling_distinct_users": q_rolling_distinct_users,
+        "or_join": q_or_join,
+        "json_flatten": q_json_flatten,
         # — displaced rotation candidates (machinery r6-green via
         #   compositions) —
         "scd2_intervals": q_scd2_intervals,
@@ -4919,6 +4966,29 @@ def oracle_sql() -> dict[str, str]:
                          / ((CAST(n AS DOUBLE) * sxx - sx * sx)
                             * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS r2
             FROM s
+        """,
+        "or_join": """
+            WITH cust AS (
+                SELECT c_custkey, c_nationkey AS l_nat, c_custkey % 30 AS l_code
+                FROM customer
+            ), supp AS (
+                SELECT s_suppkey, s_nationkey AS r_nat, s_suppkey % 30 AS r_code
+                FROM supplier
+            )
+            SELECT l_nat, COUNT(*) AS n_pairs,
+                   CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_suppliers
+            FROM cust JOIN supp ON l_nat = r_nat OR l_code = r_code
+            GROUP BY l_nat
+        """,
+        "json_flatten": """
+            SELECT o_orderkey,
+                   CAST(s.slot AS INTEGER) AS slot, CAST(s.amt AS INTEGER) AS amt
+            FROM (
+                SELECT o_orderkey,
+                       unnest([struct_pack(slot := 1, amt := o_orderkey % 100),
+                               struct_pack(slot := 2, amt := (o_orderkey * 7) % 100)]) AS s
+                FROM orders
+            )
         """,
         "rolling_distinct_users": """
             WITH daily AS (

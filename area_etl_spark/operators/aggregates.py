@@ -122,3 +122,59 @@ def topk_per_group(
         *[F.col(f"_row.{c}").alias(c) for c in payload_cols],
         F.col(f"_row.{order_col}").alias(order_col),
     )
+
+
+def bitmap_distinct_count(df, keys: list[str], col: str) -> "DataFrame":
+    """Exact COUNT(DISTINCT col) via Spark's bitmap aggregates.
+
+    ``distinct_count_skew_safe`` two-levels the shuffle but still ships one
+    row per distinct value.  The bitmap form ships ONE ≤4 KB binary per
+    (group, 32768-value bucket): stage 1 groups by (keys, bucket) and ORs
+    the values' bit positions into a fixed-size bitmap with map-side
+    combine, stage 2 sums the per-bucket popcounts.  For dense integer id
+    spaces the shuffle volume drops from O(|distinct|) rows to
+    O(|id-range| / 32768) blobs — the roaring-bitmap trick, on Spark
+    builtins (``bitmap_bucket_number`` / ``bitmap_construct_agg`` /
+    ``bitmap_count``), all JVM-side.  Requires an integral ``col``.
+    """
+    c = F.col(col)
+    stage1 = df.groupBy(
+        *keys, F.bitmap_bucket_number(c).alias("_bucket")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position(c)).alias("_bm"))
+    return stage1.groupBy(*keys).agg(
+        F.sum(F.bitmap_count(F.col("_bm"))).alias("n_distinct")
+    )
+
+
+def weighted_median(
+    df,
+    keys: list[str],
+    value_col: str,
+    weight_col,
+) -> "DataFrame":
+    """Lower weighted median per group: the smallest value whose cumulative
+    weight reaches half the group's total weight.
+
+    One shuffle: both windows (ordered cumulative sum, unordered total)
+    share the partitioning on ``keys``, so Spark plans a single exchange +
+    sort.  Weights must be non-negative integers (pre-scale money to cents)
+    — the ``2*cum >= total`` test is then exact and engine-portable, unlike
+    a float cumulative ratio.  The "lower" convention (no interpolation
+    between the two middle values) keeps the result a value that actually
+    occurs, deterministic under ties by the (value, weight) sort.
+    """
+    from pyspark.sql import Window
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    part = Window.partitionBy(*keys)
+    ordered = part.orderBy(F.col(value_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scored = df.select(*keys, F.col(value_col), w.alias("_w")).withColumn(
+        "_cum", F.sum("_w").over(ordered)
+    ).withColumn("_tot", F.sum("_w").over(part))
+    return (
+        scored.where(F.col("_cum") * 2 >= F.col("_tot"))
+        .groupBy(*keys)
+        .agg(F.min(value_col).alias("weighted_median"))
+    )

@@ -1,0 +1,59 @@
+"""Proportional allocation (proration) with largest-remainder rounding.
+
+The classic ETL "spread a total over its detail rows" operator: distribute
+an integer target amount across the rows of each group proportionally to a
+weight, such that the per-row shares are integers and sum EXACTLY to the
+target (budget allocation, tax proration, seat apportionment — the
+Hamilton / largest-remainder method).
+
+Scale notes
+-----------
+One shuffle: the group-total window, the remainder-rank window, and the
+final rows all share the partitioning on ``keys`` (Spark reuses the
+exchange; the ordered window adds only a sort).  All arithmetic is exact
+BIGINT — ``target * weight`` then integer div/mod by the group total — so
+results are bit-identical across engines and partitionings; floats never
+appear.  Per-group row counts bound the window state, not the table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def allocate_largest_remainder(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    weight_col: str,
+    target: int,
+) -> DataFrame:
+    """Allocate ``target`` integer units per group across rows ∝ weight.
+
+    share_i = floor(target·w_i / W) plus one extra unit for the R rows with
+    the largest remainders (R = target − Σ floor), ties broken by ``id_col``
+    ascending — fully deterministic.  Weights must be non-negative integers
+    with a positive group sum; rows keep (keys, id, weight, share).
+    """
+    part = Window.partitionBy(*keys)
+    w = F.col(weight_col).cast("long")
+    raw = F.lit(target) * w
+    tot = F.sum(w).over(part)
+    scored = df.select(*keys, F.col(id_col), w.alias("weight")).withColumn(
+        "_floor", (raw / tot).cast("long")
+    )
+    # floor division: raw and tot are non-negative, so cast-truncation == floor
+    scored = scored.withColumn("_rem", raw - F.col("_floor") * tot)
+    rank = F.row_number().over(
+        part.orderBy(F.col("_rem").desc(), F.col(id_col).asc())
+    )
+    leftover = F.lit(target) - F.sum("_floor").over(part)
+    return scored.select(
+        *keys,
+        F.col(id_col),
+        F.col("weight"),
+        (F.col("_floor") + F.when(rank <= leftover, 1).otherwise(0)).alias(
+            "share"
+        ),
+    )

@@ -76,3 +76,47 @@ def merge_upsert(
     return joined.select(
         *[F.when(take_new, F.col(f"_n_{c}")).otherwise(F.col(f"_o_{c}")).alias(c) for c in cols]
     )
+
+
+def golden_record(
+    df: DataFrame,
+    keys: list[str],
+    source_col: str,
+    priority: dict[str, int],
+    ts_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Survivorship merge (MDM "golden record"): one row per key where each
+    attribute is taken INDEPENDENTLY from the best row that has it non-null.
+
+    Best = highest source priority, then most recent ``ts_col``, then the
+    value itself as a deterministic tie-break.  Per attribute this is a
+    struct-max argmax — ``max(struct(priority, ts, value))`` over the
+    non-null rows — so the whole merge is ONE hash aggregate with map-side
+    combine: no windows, no per-attribute self-joins, and the shuffle
+    carries one candidate struct per (group, attribute) partial.  Sources
+    missing from ``priority`` rank below every listed source (-1).
+
+    Parity: the reference resolves multi-source rows by fixed precedence at
+    migration time (e.g. anagrafica-over-import in the core recasts); this
+    is the same rule as a reusable distributed operator.
+    """
+    pri = F.coalesce(
+        *[
+            F.when(F.col(source_col) == F.lit(s), F.lit(p))
+            for s, p in priority.items()
+        ],
+        F.lit(-1),
+    )
+    aggs = []
+    for c in value_cols:
+        best = F.max(
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(
+                    pri.alias("p"), F.col(ts_col).alias("t"), F.col(c).alias("v")
+                ),
+            )
+        )
+        aggs.append(best.getField("v").alias(c))
+    return df.groupBy(*keys).agg(*aggs)

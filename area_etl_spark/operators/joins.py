@@ -149,3 +149,34 @@ def radius_join(
         .select(left_id, right_id, (dx * dx + dy * dy).alias("dist2"))
         .distinct()
     )
+
+
+def or_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_pairs: Sequence[tuple[str, str]],
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join on ANY of several key pairs — the OR-predicate join
+    (``ON l.a = r.a OR l.b = r.b``) rewritten as a UNION of hash joins.
+
+    An OR in the join condition defeats every hash/sort-merge strategy:
+    Spark (and most engines) falls back to BroadcastNestedLoopJoin — the
+    |L|·|R| scan this rewrite exists to avoid.  Each disjunct becomes its
+    own equi-join (one key-partitioned shuffle each) and the branches
+    union; a pair matching several disjuncts is deduplicated by the
+    branches' shared output row (``distinct`` over the combined columns),
+    which is exactly the OR semantics for inner joins.  Only ``inner`` is
+    supported: outer OR-join null-extension across branches is not
+    expressible as a plain union (rows unmatched in one branch may match
+    in another).
+    """
+    if how != "inner":
+        raise ValueError("or_join supports only inner joins")
+    branches = []
+    for lk, rk in key_pairs:
+        branches.append(left.join(right, left[lk] == right[rk], "inner"))
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.distinct()

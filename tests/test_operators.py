@@ -455,6 +455,37 @@ def test_salted_join_matches_plain_join(spark, tables):
         salted_join(li.withColumn("_salt", F.lit(1)), sup, "s_suppkey")
 
 
+def test_or_join_matches_naive_or_predicate(spark, tables):
+    """or_join's union-of-equi-joins rewrite must return exactly the row set
+    of the naive `ON a OR b` join (which Spark plans as BNLJ)."""
+    from area_etl_spark.operators.joins import or_join
+    from pyspark.sql import functions as F
+
+    cust = tables["customer"].select(
+        "c_custkey",
+        F.col("c_nationkey").alias("l_nat"),
+        (F.col("c_custkey") % 7).alias("l_code"),
+    ).where(F.col("c_custkey") < 200)
+    supp = tables["supplier"].select(
+        "s_suppkey",
+        F.col("s_nationkey").alias("r_nat"),
+        (F.col("s_suppkey") % 7).alias("r_code"),
+    )
+    naive = cust.join(
+        supp,
+        (cust["l_nat"] == supp["r_nat"]) | (cust["l_code"] == supp["r_code"]),
+        "inner",
+    )
+    got = sorted(map(tuple, or_join(cust, supp, [("l_nat", "r_nat"), ("l_code", "r_code")]).collect()))
+    # OR-join emits each matching PAIR once; or_join dedups identical output
+    # rows, so compare as sets of distinct rows (inputs here are key-unique)
+    assert got == sorted(set(map(tuple, naive.collect())))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        or_join(cust, supp, [("l_nat", "r_nat")], how="left")
+
+
 def test_dedup_keep_best_prefers_high_score(spark):
     from area_etl_spark.operators.graph import dedup_keep_best
 

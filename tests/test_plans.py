@@ -227,6 +227,27 @@ def test_radius_join_no_cartesian(tables):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_or_join_no_nested_loop(tables):
+    """The OR-predicate join rewrite must plan each disjunct as a hash
+    equi-join — never the BroadcastNestedLoopJoin Spark picks for a raw
+    `ON a = a OR b = b` condition."""
+    from area_etl_spark.operators.joins import or_join
+
+    cust = tables["customer"].select(
+        "c_custkey",
+        F.col("c_nationkey").alias("l_nat"),
+        (F.col("c_custkey") % 30).alias("l_code"),
+    )
+    supp = tables["supplier"].select(
+        "s_suppkey",
+        F.col("s_nationkey").alias("r_nat"),
+        (F.col("s_suppkey") % 30).alias("r_code"),
+    )
+    plan = plan_str(or_join(cust, supp, [("l_nat", "r_nat"), ("l_code", "r_code")]))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_vocab_encode_no_single_partition_window(tables):
     """Vocabulary numbering must not fall back to a global row_number
     window: the only Window nodes in the encode plan are partitioned (the
