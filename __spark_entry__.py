@@ -638,6 +638,94 @@ def q_json_flatten(spark, sf_dir):
     )
 
 
+def q_bitmap_distinct(spark, sf_dir):
+    """Exact distinct suppliers per return flag via bitmap aggregates
+    (constant-size per-bucket accumulators instead of shuffling every
+    distinct value)."""
+    from area_etl_spark.operators.aggregates import bitmap_distinct_count
+
+    li = _tables(spark, sf_dir)["lineitem"]
+    return bitmap_distinct_count(li, ["l_returnflag"], "l_suppkey")
+
+
+GOLDEN_PRIORITY = {"1-URGENT": 3, "2-HIGH": 2, "3-MEDIUM": 1}
+
+
+def q_golden_record(spark, sf_dir):
+    """MDM survivorship: per customer, each attribute independently from the
+    highest-priority source row that has it non-null (priority → recency →
+    value tie-break); unmapped sources rank below every mapped one."""
+    from area_etl_spark.operators.diff import golden_record
+
+    o = _tables(spark, sf_dir)["orders"]
+    src = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderpriority").alias("src"),
+        F.col("o_orderdate").alias("ts"),
+        F.when(F.col("o_orderkey") % 3 != 0, F.col("o_orderstatus")).alias("v_status"),
+        F.when(
+            F.col("o_orderkey") % 5 != 0,
+            F.round(F.col("o_totalprice") * 100).cast("long"),
+        ).alias("v_price"),
+    )
+    return golden_record(
+        src, ["key"], "src", GOLDEN_PRIORITY, "ts", ["v_status", "v_price"]
+    )
+
+
+def q_allocate_budget(spark, sf_dir):
+    """Largest-remainder proration: 1,000,000 integer units per order
+    priority spread across its orders ∝ total price — shares are integers
+    summing exactly to the target (Hamilton apportionment)."""
+    from area_etl_spark.operators.allocation import allocate_largest_remainder
+
+    o = _tables(spark, sf_dir)["orders"]
+    w = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("w_cents"),
+    )
+    return allocate_largest_remainder(
+        w, ["o_orderpriority"], "o_orderkey", "w_cents", 1_000_000
+    )
+
+
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity equivalence classes over (nation, market segment): class
+    size + whether it meets k=5 — the privacy gate before a data release."""
+    from area_etl_spark.operators.quality import k_anonymity
+
+    cust = _tables(spark, sf_dir)["customer"]
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+def q_weighted_median(spark, sf_dir):
+    """Lower weighted median price (cents) per return flag, weighted by
+    quantity — cumulative-weight window, exact integer threshold test."""
+    from area_etl_spark.operators.aggregates import weighted_median
+
+    li = _tables(spark, sf_dir)["lineitem"]
+    s = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return weighted_median(s, ["l_returnflag"], "price_cents", "qty")
+
+
+def q_gini_concentration(spark, sf_dir):
+    """Per-priority Gini index of order value concentration from exact
+    DECIMAL(38,0) rank-weighted sums; only the final division is float."""
+    from area_etl_spark.operators.quality import gini_coefficient
+
+    o = _tables(spark, sf_dir)["orders"]
+    s = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return gini_coefficient(s, ["o_orderpriority"], "cents")
+
+
 def q_rolling_distinct_users(spark, sf_dir):
     """Exact trailing-7-day distinct users per day (DAU→WAU rollup).
 
@@ -2784,6 +2872,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_distinct_users": q_rolling_distinct_users,
         "or_join": q_or_join,
         "json_flatten": q_json_flatten,
+        "bitmap_distinct": q_bitmap_distinct,
+        "golden_record": q_golden_record,
+        "allocate_budget": q_allocate_budget,
+        "k_anonymity": q_k_anonymity,
+        "weighted_median": q_weighted_median,
+        "gini_concentration": q_gini_concentration,
         # — displaced rotation candidates (machinery r6-green via
         #   compositions) —
         "scd2_intervals": q_scd2_intervals,
@@ -4989,6 +5083,101 @@ def oracle_sql() -> dict[str, str]:
                                struct_pack(slot := 2, amt := (o_orderkey * 7) % 100)]) AS s
                 FROM orders
             )
+        """,
+        "bitmap_distinct": """
+            SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_distinct
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "golden_record": """
+            WITH src AS (
+                SELECT o_custkey AS key,
+                       CASE o_orderpriority
+                            WHEN '1-URGENT' THEN 3
+                            WHEN '2-HIGH' THEN 2
+                            WHEN '3-MEDIUM' THEN 1
+                            ELSE -1 END AS pri,
+                       o_orderdate AS ts,
+                       CASE WHEN o_orderkey % 3 <> 0
+                            THEN o_orderstatus END AS v_status,
+                       CASE WHEN o_orderkey % 5 <> 0
+                            THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                            END AS v_price
+                FROM orders
+            )
+            SELECT key,
+                   first(v_status ORDER BY pri DESC, ts DESC, v_status DESC)
+                       FILTER (WHERE v_status IS NOT NULL) AS v_status,
+                   first(v_price ORDER BY pri DESC, ts DESC, v_price DESC)
+                       FILTER (WHERE v_price IS NOT NULL) AS v_price
+            FROM src GROUP BY key
+        """,
+        "allocate_budget": """
+            WITH w AS (
+                SELECT o_orderpriority, o_orderkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS weight
+                FROM orders
+            ), t AS (
+                SELECT *, CAST(SUM(weight) OVER (PARTITION BY o_orderpriority)
+                               AS BIGINT) AS tot
+                FROM w
+            ), s AS (
+                SELECT o_orderpriority, o_orderkey, weight,
+                       (1000000 * weight) // tot AS fl,
+                       (1000000 * weight) % tot AS rem
+                FROM t
+            ), r AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY rem DESC, o_orderkey) AS rk,
+                       CAST(SUM(fl) OVER (PARTITION BY o_orderpriority)
+                            AS BIGINT) AS sfl
+                FROM s
+            )
+            SELECT o_orderpriority, o_orderkey, weight,
+                   CAST(fl + CASE WHEN rk <= 1000000 - sfl THEN 1 ELSE 0 END
+                        AS BIGINT) AS share
+            FROM r
+        """,
+        "k_anonymity": """
+            SELECT c_nationkey, c_mktsegment,
+                   COUNT(*) AS class_size,
+                   COUNT(*) >= 5 AS is_k_anonymous
+            FROM customer GROUP BY c_nationkey, c_mktsegment
+        """,
+        "weighted_median": """
+            WITH s AS (
+                SELECT l_returnflag,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                       CAST(l_quantity AS BIGINT) AS w
+                FROM lineitem
+            ), c AS (
+                SELECT l_returnflag, v,
+                       CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS BIGINT) AS cum,
+                       CAST(SUM(w) OVER (PARTITION BY l_returnflag)
+                            AS BIGINT) AS tot
+                FROM s
+            )
+            SELECT l_returnflag, MIN(v) AS weighted_median
+            FROM c WHERE cum * 2 >= tot GROUP BY l_returnflag
+        """,
+        "gini_concentration": """
+            WITH s AS (
+                SELECT o_orderpriority,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY round(o_totalprice * 100))
+                           AS i
+                FROM orders
+            ), a AS (
+                SELECT o_orderpriority,
+                       COUNT(*) AS n, SUM(i * x) AS six, SUM(x) AS sx
+                FROM s GROUP BY o_orderpriority
+            )
+            SELECT o_orderpriority,
+                   ROUND(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                         / CAST(n * sx AS DOUBLE), 9) AS gini
+            FROM a
         """,
         "rolling_distinct_users": """
             WITH daily AS (

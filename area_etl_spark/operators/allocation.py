@@ -38,13 +38,15 @@ def allocate_largest_remainder(
     """
     part = Window.partitionBy(*keys)
     w = F.col(weight_col).cast("long")
-    raw = F.lit(target) * w
-    tot = F.sum(w).over(part)
-    scored = df.select(*keys, F.col(id_col), w.alias("weight")).withColumn(
-        "_floor", (raw / tot).cast("long")
+    scored = (
+        df.select(*keys, F.col(id_col), w.alias("weight"))
+        .withColumn("_raw", F.lit(target) * F.col("weight"))
+        .withColumn("_tot", F.sum("weight").over(part))
+        # integral `div`, never a double round-trip: target·w exceeds 2^53
+        # long before it exceeds 2^63, and a double quotient truncates wrong
+        .withColumn("_floor", F.expr("_raw div _tot"))
+        .withColumn("_rem", F.col("_raw") % F.col("_tot"))
     )
-    # floor division: raw and tot are non-negative, so cast-truncation == floor
-    scored = scored.withColumn("_rem", raw - F.col("_floor") * tot)
     rank = F.row_number().over(
         part.orderBy(F.col("_rem").desc(), F.col(id_col).asc())
     )

@@ -281,3 +281,51 @@ def skew_report(df: DataFrame, cols: list[str], k: int = 5) -> DataFrame:
         .withColumn("share", F.round(F.col("n") / F.lit(float(total)), 6))
         .select("column", "value", "n", "rank", "share")
     )
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int) -> DataFrame:
+    """Per equivalence class of the quasi-identifiers: class size and
+    whether it meets k-anonymity (size >= k).
+
+    The privacy gate a training-data release runs before shipping: any
+    class below k re-identifies its members.  One hash aggregate (map-side
+    combined); the caller joins back on the quasi columns to drop or
+    generalize the failing rows.  NULL quasi-values form their own class
+    (null-safe grouping), matching SQL GROUP BY semantics in both engines.
+    """
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        (F.count(F.lit(1)) >= F.lit(k)).alias("is_k_anonymous"),
+    )
+
+
+def gini_coefficient(
+    df: DataFrame, keys: list[str], value_col, *, out_col: str = "gini"
+) -> DataFrame:
+    """Per-group Gini concentration index from exact integer statistics.
+
+    G = (2·Σ i·x_i − (n+1)·Σ x_i) / (n·Σ x_i) with x sorted ascending and
+    i the 1-based rank.  ``value_col`` must be a non-negative integer
+    expression (pre-scale money to cents): both sums accumulate as
+    DECIMAL(38,0), so the statistic is exact and engine-portable up to the
+    single final division (rounded to 9 digits).  Tie order between equal
+    values cannot change Σ i·x_i, so row_number over the value alone is
+    deterministic.  One shuffle: the rank window and the group aggregate
+    share the partitioning on ``keys``.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    rank = F.row_number().over(
+        Window.partitionBy(*keys).orderBy(F.col("_x").asc())
+    )
+    ranked = df.select(*keys, v.cast("decimal(38,0)").alias("_x")).withColumn(
+        "_i", rank.cast("decimal(38,0)")
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(F.col("_i") * F.col("_x")).alias("_six"),
+        F.sum("_x").alias("_sx"),
+    )
+    g = (
+        F.lit(2) * F.col("_six") - (F.col("_n") + F.lit(1)) * F.col("_sx")
+    ).cast("double") / (F.col("_n") * F.col("_sx")).cast("double")
+    return agg.select(*keys, F.round(g, 9).alias(out_col))

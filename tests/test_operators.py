@@ -486,6 +486,103 @@ def test_or_join_matches_naive_or_predicate(spark, tables):
         or_join(cust, supp, [("l_nat", "r_nat")], how="left")
 
 
+def test_bitmap_distinct_matches_count_distinct(spark, tables):
+    from area_etl_spark.operators.aggregates import bitmap_distinct_count
+    from pyspark.sql import functions as F
+
+    li = tables["lineitem"]
+    got = {
+        r.l_returnflag: r.n_distinct
+        for r in bitmap_distinct_count(li, ["l_returnflag"], "l_suppkey").collect()
+    }
+    want = {
+        r.l_returnflag: r.nd
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_suppkey").alias("nd"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_golden_record_survivorship_rules(spark):
+    """Priority beats recency; recency breaks priority ties; a null in the
+    best source falls through to the next-best NON-NULL value; unmapped
+    sources rank below every mapped one."""
+    from area_etl_spark.operators.diff import golden_record
+
+    rows = [
+        # key 1: 'b' has higher priority but null name — name comes from the
+        # NEWER of the two 'a' rows; price comes from 'b'
+        (1, "a", 10, "old-a", 100),
+        (1, "a", 20, "new-a", None),
+        (1, "b", 5, None, 999),
+        # key 2: same source/priority — recency wins
+        (2, "a", 1, "first", 1),
+        (2, "a", 2, "second", 2),
+        # key 3: unmapped source loses to mapped even when newer
+        (3, "zz", 99, "unmapped", 7),
+        (3, "a", 1, "mapped", None),
+    ]
+    df = spark.createDataFrame(rows, "key int, src string, ts int, name string, price int")
+    out = {
+        r.key: (r.name, r.price)
+        for r in golden_record(
+            df, ["key"], "src", {"a": 1, "b": 2}, "ts", ["name", "price"]
+        ).collect()
+    }
+    assert out == {
+        1: ("new-a", 999),
+        2: ("second", 2),
+        3: ("mapped", 7),
+    }
+
+
+def test_allocate_largest_remainder_exact_total(spark, tables):
+    """Shares are integers, sum EXACTLY to the target per group, and each
+    share is within 1 unit of the exact proportional entitlement."""
+    from area_etl_spark.operators.allocation import allocate_largest_remainder
+    from pyspark.sql import functions as F
+
+    o = tables["orders"].select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("w"),
+    )
+    out = allocate_largest_remainder(o, ["o_orderpriority"], "o_orderkey", "w", 10_000)
+    per_group = out.groupBy("o_orderpriority").agg(
+        F.sum("share").alias("total"), F.sum("weight").alias("wtot")
+    )
+    assert {r.total for r in per_group.collect()} == {10_000}
+    rows = out.join(per_group, "o_orderpriority").collect()
+    for r in rows:
+        exact = 10_000 * r.weight / r.wtot
+        assert abs(r.share - exact) < 1.0 + 1e-9, r
+
+
+def test_weighted_median_known_values(spark):
+    from area_etl_spark.operators.aggregates import weighted_median
+
+    df = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 1), ("g", 3, 5), ("h", 10, 9), ("h", 20, 1)],
+        "k string, v int, w int",
+    )
+    out = {r.k: r.weighted_median for r in weighted_median(df, ["k"], "v", "w").collect()}
+    # g: total 7, cum at v=3 reaches 7 (2*7>=7) but v=2 has cum 2 (4<7) → 3
+    # h: v=10 carries 9 of 10 → 10
+    assert out == {"g": 3, "h": 10}
+
+
+def test_gini_uniform_zero_concentrated_high(spark):
+    from area_etl_spark.operators.quality import gini_coefficient
+
+    uniform = [("u", 50)] * 10
+    concentrated = [("c", 0)] * 9 + [("c", 1000)]
+    df = spark.createDataFrame(uniform + concentrated, "k string, x int")
+    out = {r.k: r.gini for r in gini_coefficient(df, ["k"], "x").collect()}
+    assert out["u"] == 0.0
+    assert out["c"] == 0.9  # (n-1)/n with all mass on one row
+
+
 def test_dedup_keep_best_prefers_high_score(spark):
     from area_etl_spark.operators.graph import dedup_keep_best
 
