@@ -726,6 +726,155 @@ def q_gini_concentration(spark, sf_dir):
     return gini_coefficient(s, ["o_orderpriority"], "cents")
 
 
+def q_rolling_corr(spark, sf_dir):
+    """Trailing 30-row quantity↔price correlation per supplier from exact
+    integer window sums (only the closed-form division/sqrt is float)."""
+    from area_etl_spark.operators.windows import rolling_corr
+
+    li = _tables(spark, sf_dir)["lineitem"].select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    # (orderkey, linenumber) is NOT unique in the synthetic data at sf0.1 —
+    # append the value columns so ties are bit-identical rows and the frame
+    # sums are order-invariant (a genuinely total order per key)
+    out = rolling_corr(
+        li,
+        ["l_suppkey"],
+        ["l_shipdate", "l_orderkey", "l_linenumber", "qty", "cents"],
+        "qty",
+        "cents",
+        window_rows=30,
+    )
+    return out.select("l_suppkey", "l_orderkey", "l_linenumber", "rolling_corr")
+
+
+def q_cusum_drift(spark, sf_dir):
+    """Per-user CUSUM drift report (mean-shift detection) in all-integer
+    arithmetic: n·C_k = n·P_k − k·S stays BIGINT, threshold 5.00 units."""
+    from area_etl_spark.operators.windows import cusum_stats
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return cusum_stats(ev, ["user_id"], ["ts", "event_id"], "cents", threshold=500)
+
+
+def q_url_canonical_dedup(spark, sf_dir):
+    """Crawl-side URL canonicalization: messy synthesized URLs (case, www,
+    default ports, utm params, fragments, trailing slashes) normalized with
+    narrow regexps, then per-domain unique-URL counts."""
+    from area_etl_spark.operators.cleaning import canonicalize_urls
+
+    d = _tables(spark, sf_dir)["documents"]
+    url = F.concat(
+        F.lit("HTTP://WWW.Site"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit(".COM"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/Articles/"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("?utm_source=feed&ref="), (F.col("doc_id") % 5).cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.lit("?ref="), (F.col("doc_id") % 5).cast("string")),
+        )
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    canon = canonicalize_urls(d.select("doc_id", url.alias("url")), "url")
+    return canon.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("canon_url").alias("n_canonical"),
+    )
+
+
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease per document from portable integer counts
+    (letter runs / sentence punctuation runs / vowel-group syllables)."""
+    from area_etl_spark.operators.text_analysis import (
+        readability_features,
+        readability_score,
+    )
+
+    d = _tables(spark, sf_dir)["documents"]
+    f = readability_features("text")
+    return d.select(
+        "doc_id",
+        f["n_words"].alias("n_words"),
+        f["n_sentences"].alias("n_sentences"),
+        f["n_syllables"].alias("n_syllables"),
+        readability_score("text").alias("flesch"),
+    )
+
+
+def q_negative_sampling(spark, sf_dir):
+    """Contrastive-training negative pairs: 3 deterministic md5-drawn
+    partners per anchor over the dense doc-id space, self-draws remapped;
+    partner source attached by equi-join."""
+    from area_etl_spark.operators.sampling import negative_pairs
+
+    d = _tables(spark, sf_dir)["documents"]
+    pairs = negative_pairs(d, "doc_id", k=3)
+    return pairs.join(
+        d.select(F.col("doc_id").alias("negative_id"), F.col("source").alias("neg_source")),
+        "negative_id",
+    ).select("anchor_id", "neg_i", "negative_id", "neg_source")
+
+
+def q_score_calibration(spark, sf_dir):
+    """Cross-source score calibration: percent-rank of n_chars within each
+    source — 'top 20% of every source' becomes one global filter."""
+    from area_etl_spark.operators.quality import calibrate_percent_rank
+
+    d = _tables(spark, sf_dir)["documents"].select("doc_id", "source", "n_chars")
+    return calibrate_percent_rank(d, "source", "n_chars")
+
+
+def q_session_paths(spark, sf_dir):
+    """Top navigation paths: 30-min-gap sessionization, then event-type
+    trigrams via two leads inside each session, counted globally."""
+    from pyspark.sql import Window
+
+    ev = _tables(spark, sf_dir)["events"].select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.col("_prev").isNull()
+        | (F.expr("timestampdiff(MICROSECOND, _prev, ts)") > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    sessed = (
+        ev.withColumn("_prev", F.lag("ts").over(w))
+        .withColumn(
+            "_sess",
+            F.sum(new_sess).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    w2 = Window.partitionBy("user_id", "_sess").orderBy("ts", "event_id")
+    tri = (
+        sessed.withColumn("_e2", F.lead("event_type", 1).over(w2))
+        .withColumn("_e3", F.lead("event_type", 2).over(w2))
+        .where(F.col("_e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "_e2", "_e3").alias("path")
+        )
+    )
+    return tri.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions_through"))
+
+
 def q_rolling_distinct_users(spark, sf_dir):
     """Exact trailing-7-day distinct users per day (DAU→WAU rollup).
 
@@ -2878,6 +3027,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity": q_k_anonymity,
         "weighted_median": q_weighted_median,
         "gini_concentration": q_gini_concentration,
+        "rolling_corr": q_rolling_corr,
+        "cusum_drift": q_cusum_drift,
+        "url_canonical_dedup": q_url_canonical_dedup,
+        "readability": q_readability,
+        "negative_sampling": q_negative_sampling,
+        "score_calibration": q_score_calibration,
+        "session_paths": q_session_paths,
         # — displaced rotation candidates (machinery r6-green via
         #   compositions) —
         "scd2_intervals": q_scd2_intervals,
@@ -5178,6 +5334,173 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(2 * six - (n + 1) * sx AS DOUBLE)
                          / CAST(n * sx AS DOUBLE), 9) AS gini
             FROM a
+        """,
+        "rolling_corr": """
+            WITH s AS (
+                SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+                       CAST(l_quantity AS BIGINT) AS x,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                FROM lineitem
+            ), w AS (
+                SELECT l_suppkey, l_orderkey, l_linenumber,
+                       CAST(COUNT(*) OVER fr AS BIGINT) AS n,
+                       CAST(SUM(x) OVER fr AS BIGINT) AS sx,
+                       CAST(SUM(y) OVER fr AS BIGINT) AS sy,
+                       CAST(SUM(x * y) OVER fr AS BIGINT) AS sxy,
+                       CAST(SUM(x * x) OVER fr AS BIGINT) AS sxx,
+                       CAST(SUM(y * y) OVER fr AS BIGINT) AS syy
+                FROM s
+                WINDOW fr AS (PARTITION BY l_suppkey
+                              ORDER BY l_shipdate, l_orderkey, l_linenumber, x, y
+                              ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+            )
+            SELECT l_suppkey, l_orderkey, l_linenumber,
+                   CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                        THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                             + 0.0
+                   END AS rolling_corr
+            FROM w
+        """,
+        "cusum_drift": """
+            WITH s AS (
+                SELECT user_id, ts, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS x
+                FROM events
+            ), w AS (
+                SELECT user_id,
+                       CAST(SUM(x) OVER cum AS BIGINT) AS pk,
+                       CAST(COUNT(*) OVER cum AS BIGINT) AS k,
+                       CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+                       CAST(SUM(x) OVER (PARTITION BY user_id) AS BIGINT) AS s
+                FROM s
+                WINDOW cum AS (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), c AS (
+                SELECT user_id, n, n * pk - k * s AS numer FROM w
+            )
+            SELECT user_id, MAX(n) AS n,
+                   MAX(abs(numer)) AS max_abs_cusum_numer,
+                   CAST(SUM(CASE WHEN abs(numer) > 500 * n THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_crossings
+            FROM c GROUP BY user_id
+        """,
+        "url_canonical_dedup": """
+            WITH u AS (
+                SELECT doc_id,
+                    'HTTP://WWW.Site' || CAST(doc_id % 37 AS VARCHAR) || '.COM'
+                    || CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END
+                    || '/Articles/' || CAST(doc_id % 97 AS VARCHAR)
+                    || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+                    || CASE WHEN doc_id % 4 = 0
+                            THEN '?utm_source=feed&ref=' || CAST(doc_id % 5 AS VARCHAR)
+                            WHEN doc_id % 4 = 1
+                            THEN '?ref=' || CAST(doc_id % 5 AS VARCHAR)
+                            ELSE '' END
+                    || CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END AS url
+                FROM documents
+            ), nf AS (
+                SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM u
+            ), parts AS (
+                SELECT doc_id,
+                    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                    regexp_replace(regexp_replace(
+                        lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?]*)', 1)),
+                        '^www\\.', ''), ':80$|:443$', '') AS host,
+                    regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*(.*)$', 1) AS pathq
+                FROM nf
+            ), pq AS (
+                SELECT doc_id, scheme, host,
+                    CASE WHEN regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') = ''
+                         THEN '/'
+                         ELSE regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '')
+                    END AS path,
+                    regexp_replace(regexp_replace(
+                        '&' || regexp_extract(pathq, '\\?(.*)$', 1),
+                        '&utm_[^&]*', '', 'g'), '^&', '') AS query
+                FROM parts
+            ), canon AS (
+                SELECT doc_id, host AS domain,
+                    scheme || '://' || host || path
+                    || CASE WHEN query <> '' THEN '?' || query ELSE '' END AS canon_url
+                FROM pq
+            )
+            SELECT domain, COUNT(*) AS n_urls,
+                   COUNT(DISTINCT canon_url) AS n_canonical
+            FROM canon GROUP BY domain
+        """,
+        "readability": """
+            WITH c AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INT) AS n_words,
+                       CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS INT) AS n_sentences,
+                       CAST(len(regexp_extract_all(text, '[AEIOUYaeiouy]+')) AS INT) AS n_syllables
+                FROM documents
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   CASE WHEN n_words > 0 THEN
+                       ROUND(206.835
+                             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+                   END AS flesch
+            FROM c
+        """,
+        "negative_sampling": """
+            WITH n AS (SELECT COUNT(*) AS cnt FROM documents),
+            a AS (
+                SELECT d.doc_id AS anchor_id, i.neg_i, n.cnt
+                FROM documents d, n, (SELECT unnest([0, 1, 2]) AS neg_i) i
+            ), h AS (
+                SELECT anchor_id, neg_i, cnt,
+                       md5(CAST(anchor_id AS VARCHAR) || '#' || CAST(neg_i AS VARCHAR)) AS hh
+                FROM a
+            ), dr AS (
+                SELECT anchor_id, neg_i, cnt,
+                       CAST(((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) * 4096
+                           + (strpos('0123456789abcdef', substr(hh, 2, 1)) - 1) * 256
+                           + (strpos('0123456789abcdef', substr(hh, 3, 1)) - 1) * 16
+                           + (strpos('0123456789abcdef', substr(hh, 4, 1)) - 1)) % cnt
+                            AS BIGINT) AS draw
+                FROM h
+            ), p AS (
+                SELECT anchor_id, neg_i,
+                       CASE WHEN draw = anchor_id THEN (draw + 1) % cnt
+                            ELSE draw END AS negative_id
+                FROM dr
+            )
+            SELECT p.anchor_id, CAST(p.neg_i AS INT) AS neg_i, p.negative_id,
+                   d2.source AS neg_source
+            FROM p JOIN documents d2 ON d2.doc_id = p.negative_id
+        """,
+        "score_calibration": """
+            SELECT doc_id, source, n_chars,
+                   ROUND(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 9)
+                       AS calibrated
+            FROM documents
+        """,
+        "session_paths": """
+            WITH o AS (
+                SELECT user_id, ts, event_id, event_type,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM events
+            ), s AS (
+                SELECT *, SUM(CASE WHEN prev IS NULL
+                                     OR date_diff('microsecond', prev, ts) > 1800000000
+                                   THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+                FROM o
+            ), t AS (
+                SELECT event_type AS e1,
+                       lead(event_type, 1) OVER w2 AS e2,
+                       lead(event_type, 2) OVER w2 AS e3
+                FROM s
+                WINDOW w2 AS (PARTITION BY user_id, sess ORDER BY ts, event_id)
+            )
+            SELECT e1 || '>' || e2 || '>' || e3 AS path,
+                   COUNT(*) AS n_sessions_through
+            FROM t WHERE e3 IS NOT NULL GROUP BY 1
         """,
         "rolling_distinct_users": """
             WITH daily AS (

@@ -118,3 +118,40 @@ def dedup_paragraphs(
             F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("long").alias("n_dropped"),
         )
     )
+
+
+def canonicalize_urls(
+    df: DataFrame, url_col: str, *, out_col: str = "canon_url", domain_col: str = "domain"
+) -> DataFrame:
+    """Web-corpus URL canonicalization — the normalize-before-dedup step of
+    a crawl pipeline (near-dup URLs are the cheapest duplicates to kill).
+
+    Rules, all pure narrow string expressions (zero shuffles, codegen'd):
+    lowercase scheme+host, strip a leading ``www.``, drop default ports
+    (:80/:443), drop the fragment, remove ``utm_*`` tracking params (query
+    otherwise preserved in order), collapse trailing slashes (root stays
+    ``/``).  Adds ``out_col`` and ``domain_col`` (the canonical host —
+    the per-site grouping key for crawl politeness caps / domain mixes).
+    """
+    u = F.regexp_replace(F.col(url_col), "#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, ":80$|:443$", "")
+    pathq = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*(.*)$", 1)
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, "/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    # prefix '&' so every param is '&'-delimited, strip utm_* globally,
+    # then drop the leading '&' again — avoids the ?-vs-& first-param case
+    query = F.regexp_replace(F.concat(F.lit("&"), query), "&utm_[^&]*", "")
+    query = F.regexp_replace(query, "^&", "")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )
+    return df.withColumn(out_col, canon).withColumn(domain_col, host)

@@ -329,3 +329,20 @@ def gini_coefficient(
         F.lit(2) * F.col("_six") - (F.col("_n") + F.lit(1)) * F.col("_sx")
     ).cast("double") / (F.col("_n") * F.col("_sx")).cast("double")
     return agg.select(*keys, F.round(g, 9).alias(out_col))
+
+
+def calibrate_percent_rank(
+    df: DataFrame, group_col: str, score_col: str, *, out_col: str = "calibrated"
+) -> DataFrame:
+    """Per-group percent-rank score calibration: maps each group's raw
+    scores onto [0,1] so they compare ACROSS groups.
+
+    The corpus-mixing problem this solves: a 0.7 quality score from one
+    source's scorer is not a 0.7 from another's — rank-normalizing within
+    source makes "keep the top 20% of each source" a single global filter.
+    percent_rank = (rank−1)/(n−1) is identical in every engine (ties share
+    a rank), and the division is the only float op.  One shuffle on the
+    group key.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col).asc())
+    return df.withColumn(out_col, F.round(F.percent_rank().over(w), 9))

@@ -229,3 +229,41 @@ def priority_sample(
         .orderBy(F.col("priority").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def negative_pairs(df: DataFrame, id_col: str, k: int) -> DataFrame:
+    """k deterministic pseudo-random negative partners per anchor — the
+    contrastive-training negative-sampling step (embedding training needs
+    ~k negatives per positive pair).
+
+    Requires dense ids 0..n−1 (compose with ``dense_ids`` otherwise); n is
+    a 1-row broadcast aggregate, never a driver collect.  The draw is the
+    first 16 bits of ``md5(id '#' i)`` mod n — portable to any engine with
+    md5 + string ops (the [[sample-hash]] idiom), reproducible across runs
+    and partitionings, and uniform to within the 2¹⁶ granularity (mod bias
+    ≤ n/65536; widen the prefix for corpora beyond ~10⁵ ids).  Self-draws
+    remap to (draw+1) mod n, so a pair is never (x, x).  Narrow k-way
+    fan-out; the only shuffle is whatever join the caller does next.
+    """
+    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    anchors = (
+        df.select(F.col(id_col))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.col("_n"),
+            F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("neg_i"),
+        )
+    )
+    h = F.md5(
+        F.concat_ws(
+            "#", F.col(id_col).cast("string"), F.col("neg_i").cast("string")
+        )
+    )
+    draw = F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % F.col("_n")
+    partner = F.when(draw == F.col(id_col), (draw + 1) % F.col("_n")).otherwise(draw)
+    return anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col("neg_i"),
+        partner.alias("negative_id"),
+    )

@@ -379,3 +379,39 @@ def corpus_report(docs: DataFrame, source_col: str = "source", text_col: str = "
         F.sum(F.when(F.col("lang_pred") == "en", 1).otherwise(0)).cast("long").alias("n_en"),
         F.round(F.avg("quality_score"), 6).alias("avg_quality"),
     )
+
+
+def readability_features(text_col: str | Column) -> dict[str, Column]:
+    """Flesch reading-ease ingredients as portable integer counts.
+
+    words = latin-letter runs, sentences = ``[.!?]+`` runs (min 1),
+    syllables ≈ vowel-group runs — the standard regex approximation (true
+    syllabification needs a dictionary; vowel runs are within ~10% on
+    English and, unlike a dictionary, reproducible in any engine).  Counts
+    are exact integers; only the final score formula is float.
+    """
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return {
+        "n_words": F.size(F.regexp_extract_all(t, F.lit("[A-Za-z]+"), 0)),
+        "n_sentences": F.greatest(
+            F.lit(1), F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), 0))
+        ),
+        "n_syllables": F.size(F.regexp_extract_all(t, F.lit("[AEIOUYaeiouy]+"), 0)),
+    }
+
+
+def readability_score(text_col: str | Column) -> Column:
+    """Flesch reading ease: 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words), NULL for wordless text, rounded to 6 digits.
+
+    A standard quality-filter axis alongside ``quality_score`` (C4 keeps
+    prose; this scores HOW readable the prose is).  Pure narrow expression.
+    """
+    f = readability_features(text_col)
+    w = f["n_words"].cast("double")
+    s = f["n_sentences"].cast("double")
+    sy = f["n_syllables"].cast("double")
+    return F.when(
+        f["n_words"] > 0,
+        F.round(F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (sy / w), 6),
+    )

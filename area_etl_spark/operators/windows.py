@@ -147,3 +147,96 @@ def linear_interpolate(
         .otherwise(nxt["v"].cast("double"))
     )
     return df.withColumn("value_interp", F.round(filled, 6))
+
+
+def rolling_corr(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    x_col: str,
+    y_col: str,
+    window_rows: int,
+    *,
+    out_col: str = "rolling_corr",
+) -> DataFrame:
+    """Trailing ``window_rows``-row Pearson correlation per key from exact
+    integer sufficient statistics.
+
+    All six window sums (n, Σx, Σy, Σxy, Σx², Σy²) run over the SAME frame,
+    so Catalyst plans one exchange + one sort; the inputs must already be
+    integers (pre-scale money to cents) so every sum is exact and
+    engine-portable — only the final closed-form division/sqrt is float.
+    ``order_cols`` must be a total order per key or the frame contents are
+    nondeterministic.  NULL when the frame's variance is zero.
+    """
+    frame = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    x = F.col(x_col)
+    y = F.col(y_col)
+    stats = {
+        "_n": F.count(F.lit(1)),
+        "_sx": F.sum(x),
+        "_sy": F.sum(y),
+        "_sxy": F.sum(x * y),
+        "_sxx": F.sum(x * x),
+        "_syy": F.sum(y * y),
+    }
+    out = df
+    for name, expr in stats.items():
+        out = out.withColumn(name, expr.over(frame))
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    varx = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    vary = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    # `+ 0.0` normalizes IEEE −0.0 (a tiny negative corr rounded to 6
+    # digits) to +0.0 — engines format the two zeros differently
+    corr = F.when(
+        (varx > 0) & (vary > 0),
+        F.round(num / (F.sqrt(varx) * F.sqrt(vary)), 6) + F.lit(0.0),
+    )
+    return out.withColumn(out_col, corr).drop(*stats.keys())
+
+
+def cusum_stats(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    threshold: int,
+) -> DataFrame:
+    """Per-key CUSUM change detection from all-integer arithmetic.
+
+    The classic statistic C_k = Σ_{i≤k}(x_i − mean) needs the group mean —
+    a float.  Multiplying through by n keeps it integer: with P_k the
+    prefix sum and S the group total, ``n·C_k = n·P_k − k·S`` exactly.  A
+    change is flagged where \\|n·C_k\\| > threshold·n (i.e. \\|C_k\\| >
+    threshold, in the value's own integer units).  Returns one row per key:
+    n, the max \\|C_k\\| numerator, and the crossing count — the scan-level
+    drift report; re-run on a flagged key's rows to localize the change.
+
+    One shuffle: prefix-sum window and total window share the partitioning;
+    the final rollup reuses it.  Values must be integers (cents).
+    """
+    part = Window.partitionBy(*keys)
+    ordered = part.orderBy(*[F.col(c).asc() for c in order_cols]).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    v = F.col(value_col)
+    scored = (
+        df.select(*keys, *order_cols, v.alias("_x"))
+        .withColumn("_pk", F.sum("_x").over(ordered))
+        .withColumn("_k", F.count(F.lit(1)).over(ordered))
+        .withColumn("_n", F.count(F.lit(1)).over(part))
+        .withColumn("_s", F.sum("_x").over(part))
+        .withColumn(
+            "_numer", F.col("_n") * F.col("_pk") - F.col("_k") * F.col("_s")
+        )
+    )
+    crossed = F.abs(F.col("_numer")) > F.lit(threshold) * F.col("_n")
+    return scored.groupBy(*keys).agg(
+        F.max("_n").alias("n"),
+        F.max(F.abs(F.col("_numer"))).alias("max_abs_cusum_numer"),
+        F.sum(F.when(crossed, 1).otherwise(0)).alias("n_crossings"),
+    )

@@ -123,3 +123,24 @@ def test_dedup_paragraphs_null_fp_skipped_by_window(spark):
     # the optimized/executed text no longer names fp.
     analyzed = out._jdf.queryExecution().analyzed().toString()
     assert "isnotnull(fp" in analyzed
+
+
+def test_canonicalize_urls_rules(spark):
+    from area_etl_spark.operators.cleaning import canonicalize_urls
+
+    cases = [
+        # (raw, expected canonical, expected domain)
+        ("HTTP://WWW.Ex.COM:80/A/B/#frag", "http://ex.com/A/B", "ex.com"),
+        ("https://Ex.com:443/", "https://ex.com/", "ex.com"),
+        ("http://ex.com", "http://ex.com/", "ex.com"),
+        # utm as FIRST param: '?' survives, utm goes, rest keeps order
+        ("http://ex.com/p?utm_source=x&id=2&utm_c=y", "http://ex.com/p?id=2", "ex.com"),
+        # utm-only query: '?' disappears entirely
+        ("http://ex.com/p?utm_source=x", "http://ex.com/p", "ex.com"),
+        # path case preserved, host case folded, non-default port kept
+        ("HTTPS://EX.com:8443/Path//", "https://ex.com:8443/Path", "ex.com:8443"),
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)], "i int, url string")
+    got = {r.i: (r.canon_url, r.domain) for r in canonicalize_urls(df, "url").collect()}
+    for i, (_, want_url, want_dom) in enumerate(cases):
+        assert got[i] == (want_url, want_dom), (i, got[i])

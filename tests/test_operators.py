@@ -841,3 +841,65 @@ def test_linear_interpolate_exact_blend(spark):
     )
     got = [r.value_interp for r in linear_interpolate(df, "k", "ts", "v").orderBy("ts").collect()]
     assert got == [100.0, 100.0, 200.0, 300.0, 400.0, 400.0]
+
+
+def test_rolling_corr_endpoints(spark):
+    """Perfect linear dependence → ±1; zero-variance frame → NULL."""
+    from area_etl_spark.operators.windows import rolling_corr
+
+    rows = (
+        [("up", i, i, 2 * i + 5) for i in range(10)]
+        + [("down", i, i, -3 * i) for i in range(10)]
+        + [("flat", i, i, 7) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "k string, o int, x long, y long")
+    out = rolling_corr(df, ["k"], ["o"], "x", "y", window_rows=5)
+    vals = {(r.k, r.o): r.rolling_corr for r in out.collect()}
+    assert vals[("up", 9)] == 1.0
+    assert vals[("down", 9)] == -1.0
+    assert vals[("flat", 9)] is None
+    assert vals[("up", 0)] is None  # single-row frame has zero variance
+
+
+def test_cusum_flags_step_change(spark):
+    from area_etl_spark.operators.windows import cusum_stats
+
+    # constant series: every C_k is exactly 0
+    const = [("c", i, 100) for i in range(20)]
+    # step: 10 at 0 then 10 at 1000 — midpoint drift far beyond threshold
+    step = [("s", i, 0) for i in range(10)] + [("s", i, 1000) for i in range(10, 20)]
+    df = spark.createDataFrame(const + step, "k string, o int, x long")
+    out = {r.k: r for r in cusum_stats(df, ["k"], ["o"], "x", threshold=100).collect()}
+    assert out["c"].max_abs_cusum_numer == 0 and out["c"].n_crossings == 0
+    assert out["s"].n_crossings > 0
+    # peak |C_k| at the step midpoint: k=10, C_10 = 10*(0-500) = -5000 → numer 20*5000
+    assert out["s"].max_abs_cusum_numer == 20 * 5000
+
+
+def test_negative_pairs_no_self_and_in_range(spark, tables):
+    from area_etl_spark.operators.sampling import negative_pairs
+
+    docs = tables["documents"].select("doc_id")
+    n = docs.count()
+    out = negative_pairs(docs, "doc_id", k=3).collect()
+    assert len(out) == 3 * n
+    for r in out:
+        assert r.negative_id != r.anchor_id
+        assert 0 <= r.negative_id < n
+    # deterministic across runs
+    again = negative_pairs(docs, "doc_id", k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_calibrate_percent_rank_endpoints(spark):
+    from area_etl_spark.operators.quality import calibrate_percent_rank
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 3, 30), ("b", 4, 5), ("b", 5, 500000)],
+        "src string, id int, score int",
+    )
+    out = {r.id: r.calibrated for r in calibrate_percent_rank(df, "src", "score").collect()}
+    # min of each source → 0, max → 1, regardless of raw scale
+    assert out[1] == 0.0 and out[3] == 1.0
+    assert out[4] == 0.0 and out[5] == 1.0
+    assert out[2] == 0.5
