@@ -875,6 +875,103 @@ def q_session_paths(spark, sf_dir):
     return tri.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions_through"))
 
 
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking over the balance axis: each customer
+    paired with its 3 nearest neighbors in (acctbal, custkey) order —
+    rank from the range-shuffle dense-id pass, neighbors from plain
+    equi-joins (no single-partition window)."""
+    from area_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    c = _tables(spark, sf_dir)["customer"].select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    return sorted_neighborhood_pairs(c, "c_custkey", ["bal_cents"], window=4)
+
+
+def q_linkage_classify(spark, sf_dir):
+    """Fellegi–Sunter linkage scoring over hash-blocked customer pairs:
+    integer agreement weights on nation / segment / balance proximity,
+    two-threshold match/possible classification."""
+    from area_etl_spark.operators.linkage import linkage_score
+
+    c = _tables(spark, sf_dir)["customer"].select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        (F.col("c_custkey") % 100).alias("_block"),
+    )
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        F.col("cents").alias("bal_a"),
+        "_block",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        F.col("cents").alias("bal_b"),
+        "_block",
+    )
+    pairs = a.join(b, "_block").where(F.col("id_a") < F.col("id_b"))
+    rules = [
+        (F.col("nat_a") == F.col("nat_b"), 2, -1),
+        (F.col("seg_a") == F.col("seg_b"), 1, -1),
+        (F.abs(F.col("bal_a") - F.col("bal_b")) <= 50_000, 2, -2),
+    ]
+    out = linkage_score(pairs, rules, match_threshold=4, possible_threshold=1)
+    return out.select("id_a", "id_b", "score", "tier")
+
+
+def q_interval_overlap(spark, sf_dir):
+    """1-D interval overlap join: even vs odd event streams as [ts, ts+dur]
+    intervals in exact epoch micros, grid-bucketed — one equi-join on the
+    cell, never a cross join; exact integer overlap length."""
+    from area_etl_spark.operators.intervals import interval_overlap_join
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (
+            F.unix_micros(F.col("ts"))
+            + (F.round(F.col("value") * 100).cast("long") % 600 + 1) * 1_000_000
+        ).alias("e"),
+    )
+    left = ev.where(F.col("event_id") % 2 == 0).withColumnRenamed("event_id", "id_a")
+    right = ev.where(F.col("event_id") % 2 == 1).withColumnRenamed("event_id", "id_b")
+    return interval_overlap_join(
+        left, right, "id_a", "id_b", "s", "e", bucket_width=600 * 1_000_000
+    )
+
+
+def q_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap 90% CI for the mean event value per type: 50
+    deterministic md5-drawn Poisson(1) replicates, exact integer sums,
+    interpolated percentile over the replicate means."""
+    from area_etl_spark.operators.bootstrap import poisson_bootstrap_mean_ci
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return poisson_bootstrap_mean_ci(
+        ev, ["event_type"], "event_id", "cents", n_replicates=50
+    )
+
+
+def q_keyness_top_terms(spark, sf_dir):
+    """Chi-square keyness: the 10 most source-discriminative terms per
+    source (over-represented only), exact contingency counts with the
+    square in DECIMAL(38,0)."""
+    from area_etl_spark.operators.text_analysis import keyness_terms
+
+    return keyness_terms(_tables(spark, sf_dir)["documents"], k=10)
+
+
 def q_rolling_distinct_users(spark, sf_dir):
     """Exact trailing-7-day distinct users per day (DAU→WAU rollup).
 
@@ -3034,6 +3131,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sampling": q_negative_sampling,
         "score_calibration": q_score_calibration,
         "session_paths": q_session_paths,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "linkage_classify": q_linkage_classify,
+        "interval_overlap": q_interval_overlap,
+        "bootstrap_ci": q_bootstrap_ci,
+        "keyness_top_terms": q_keyness_top_terms,
         # — displaced rotation candidates (machinery r6-green via
         #   compositions) —
         "scd2_intervals": q_scd2_intervals,
@@ -5501,6 +5603,132 @@ def oracle_sql() -> dict[str, str]:
             SELECT e1 || '>' || e2 || '>' || e3 AS path,
                    COUNT(*) AS n_sessions_through
             FROM t WHERE e3 IS NOT NULL GROUP BY 1
+        """,
+        "sorted_neighborhood": """
+            WITH r AS (
+                SELECT c_custkey AS id,
+                       ROW_NUMBER() OVER (ORDER BY CAST(round(c_acctbal * 100)
+                                          AS BIGINT), c_custkey) AS rn
+                FROM customer
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(b.rn - a.rn AS INT) AS neighbor_distance
+            FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+        """,
+        "linkage_classify": """
+            WITH c AS (
+                SELECT c_custkey, c_nationkey, c_mktsegment,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+                       c_custkey % 100 AS blk
+                FROM customer
+            ), p AS (
+                SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                       (CASE WHEN a.c_nationkey = b.c_nationkey THEN 2 ELSE -1 END
+                      + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE -1 END
+                      + CASE WHEN abs(a.cents - b.cents) <= 50000 THEN 2 ELSE -2 END)
+                           AS score
+                FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+            )
+            SELECT id_a, id_b, score,
+                   CASE WHEN score >= 4 THEN 'match' ELSE 'possible' END AS tier
+            FROM p WHERE score >= 1
+        """,
+        "interval_overlap": """
+            WITH ev AS (
+                SELECT event_id, epoch_us(ts) AS s,
+                       epoch_us(ts)
+                       + (CAST(round(value * 100) AS BIGINT) % 600 + 1) * 1000000 AS e
+                FROM events
+            )
+            SELECT a.event_id AS id_a, b.event_id AS id_b,
+                   least(a.e, b.e) - greatest(a.s, b.s) AS overlap
+            FROM ev a JOIN ev b
+              ON a.event_id % 2 = 0 AND b.event_id % 2 = 1
+             AND a.s <= b.e AND b.s <= a.e
+        """,
+        "bootstrap_ci": """
+            WITH ev AS (
+                SELECT event_type, event_id,
+                       CAST(round(value * 100) AS BIGINT) AS x
+                FROM events
+            ), reps AS (
+                SELECT event_type, event_id, x, CAST(r.range AS INT) AS b
+                FROM ev, range(0, 50) r
+            ), hashed AS (
+                SELECT event_type, x, b,
+                       md5(CAST(event_id AS VARCHAR) || '#' || CAST(b AS VARCHAR)) AS h
+                FROM reps
+            ), drawn AS (
+                SELECT event_type, x, b,
+                       ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+                      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+                      + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) AS d
+                FROM hashed
+            ), cnt AS (
+                SELECT event_type, b, x,
+                       CASE WHEN d < 24109 THEN 0 WHEN d < 48218 THEN 1
+                            WHEN d < 60273 THEN 2 WHEN d < 64291 THEN 3
+                            WHEN d < 65296 THEN 4 WHEN d < 65497 THEN 5
+                            WHEN d < 65530 THEN 6 ELSE 7 END AS c
+                FROM drawn
+            ), rm AS (
+                SELECT event_type, b,
+                       round(CAST(SUM(x * c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+                           AS mean_b
+                FROM cnt GROUP BY event_type, b
+            ), ci AS (
+                SELECT event_type,
+                       round(quantile_cont(mean_b, 0.05), 6) AS ci_lo,
+                       round(quantile_cont(mean_b, 0.95), 6) AS ci_hi
+                FROM rm GROUP BY event_type
+            ), pt AS (
+                SELECT event_type,
+                       round(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS point_mean
+                FROM ev GROUP BY event_type
+            )
+            SELECT pt.event_type, point_mean, ci_lo, ci_hi
+            FROM pt JOIN ci USING (event_type)
+        """,
+        "keyness_top_terms": """
+            WITH tk AS (
+                SELECT source, term FROM (
+                    SELECT source,
+                           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+                    FROM documents
+                ) WHERE term <> ''
+            ), st AS (
+                SELECT source, term, COUNT(*) AS a FROM tk GROUP BY 1, 2
+            ), tt AS (
+                SELECT term, CAST(SUM(a) AS BIGINT) AS n_term FROM st GROUP BY 1
+            ), srct AS (
+                SELECT source, CAST(SUM(a) AS BIGINT) AS n_src FROM st GROUP BY 1
+            ), tot AS (
+                SELECT CAST(SUM(a) AS BIGINT) AS n_total FROM st
+            ), scored AS (
+                SELECT st.source, st.term,
+                       a * (n_total - n_term - n_src + a)
+                       - (n_term - a) * (n_src - a) AS diff,
+                       round(
+                           CAST(CAST(n_total AS HUGEINT)
+                                * CAST(a * (n_total - n_term - n_src + a)
+                                       - (n_term - a) * (n_src - a) AS HUGEINT)
+                                * CAST(a * (n_total - n_term - n_src + a)
+                                       - (n_term - a) * (n_src - a) AS HUGEINT)
+                                AS DOUBLE)
+                           / CAST(CAST(n_term AS HUGEINT)
+                                  * CAST(n_total - n_term AS HUGEINT)
+                                  * CAST(n_src AS HUGEINT)
+                                  * CAST(n_total - n_src AS HUGEINT) AS DOUBLE),
+                           6) AS chi2
+                FROM st JOIN tt USING (term) JOIN srct USING (source) CROSS JOIN tot
+            ), ranked AS (
+                SELECT source, term, chi2,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY chi2 DESC, term ASC) AS INT) AS rank
+                FROM scored WHERE diff > 0
+            )
+            SELECT source, rank, term, chi2 FROM ranked WHERE rank <= 10
         """,
         "rolling_distinct_users": """
             WITH daily AS (

@@ -576,3 +576,38 @@ def incremental_dedup(
         .agg(F.min(F.col(id_col)).alias(id_col))
         .select(F.col(id_col), F.col("content_hash"))
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_cols: list[str],
+    window: int = 5,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández–Stolfo): order the corpus by
+    a fuzzy key and emit each row paired with its next ``window−1``
+    neighbors — the record-linkage blocking strategy for typo-shifted keys
+    that hash/equality blocking (LSH, exact buckets) scatters apart.
+
+    Distributed WITHOUT a single-partition window: the global neighbor rank
+    comes from ``dense_ids`` (range shuffle + per-partition numbering +
+    O(partitions) driver prefix-sum), then neighbors are ``window−1`` plain
+    equi-joins on (rank, rank+δ) — narrow fan-out, hash-join shuffles, no
+    global sort on one machine.  ``sort_cols`` + ``id_col`` must be a total
+    order (the id is appended as the tie-breaker automatically).  Output:
+    (id_a, id_b, neighbor_distance δ) with a < b in sort order.
+    """
+    from area_etl_spark.operators.ids import dense_ids
+
+    ranked = dense_ids(
+        df.select(*sort_cols, id_col), [*sort_cols, id_col], "_rank"
+    ).select(F.col(id_col), F.col("_rank"))
+    fan = ranked.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_rank"),
+        F.explode(F.array(*[F.lit(d) for d in range(1, window)])).alias(
+            "neighbor_distance"
+        ),
+    ).withColumn("_rank_b", F.col("_rank") + F.col("neighbor_distance"))
+    right = ranked.select(F.col(id_col).alias("id_b"), F.col("_rank").alias("_rank_b"))
+    return fan.join(right, "_rank_b").select("id_a", "id_b", "neighbor_distance")

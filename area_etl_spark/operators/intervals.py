@@ -73,3 +73,59 @@ def merge_intervals(
         )
         .drop("_island")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """All overlapping interval pairs across two tables — the 1-D spatial
+    join (booking conflicts, concurrent-session analysis).
+
+    The naive form is a cross join with ``s1 ≤ e2 AND s2 ≤ e1``; like the
+    2-D ``radius_join`` it grid-buckets instead: every interval explodes to
+    the ``bucket_width`` cells it covers (``sequence(s div w, e div w)``),
+    candidates come from ONE equi-join on the cell, the exact predicate
+    filters, and ``distinct`` collapses pairs found in several shared cells.
+    Bounds/costs: fan-out per interval is ``span/w + 1`` rows; candidates
+    are pairs sharing a cell — pick ``w`` near the typical span so both
+    stay O(1)-ish.  Endpoints must be integers (epoch micros); intervals
+    are closed.  Output: (left_id, right_id, overlap) with the exact
+    integer overlap length ``min(e)−max(s)`` (0 = touching).
+    """
+    def cells(df: DataFrame, idc: str, side: str) -> DataFrame:
+        s = F.col(start_col)
+        e = F.col(end_col)
+        return df.select(
+            F.col(idc).alias(f"{side}_key"),
+            s.alias(f"_s_{side}"),
+            e.alias(f"_e_{side}"),
+            F.explode(
+                F.sequence(
+                    F.expr(f"{start_col} div {bucket_width}"),
+                    F.expr(f"{end_col} div {bucket_width}"),
+                )
+            ).alias("_cell"),
+        )
+
+    l = cells(left, left_id, "l")
+    r = cells(right, right_id, "r")
+    joined = l.join(r, "_cell").where(
+        (F.col("_s_l") <= F.col("_e_r")) & (F.col("_s_r") <= F.col("_e_l"))
+    )
+    return (
+        joined.select(
+            F.col("l_key").alias(left_id),
+            F.col("r_key").alias(right_id),
+            (
+                F.least(F.col("_e_l"), F.col("_e_r"))
+                - F.greatest(F.col("_s_l"), F.col("_s_r"))
+            ).alias("overlap"),
+        )
+        .distinct()
+    )

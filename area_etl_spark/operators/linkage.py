@@ -1,0 +1,51 @@
+"""Probabilistic record linkage — Fellegi–Sunter-style weighted scoring.
+
+``golden_record`` (diff.py) merges rows already known to co-refer; this
+module decides WHICH rows co-refer: candidate pairs (from any blocking
+strategy — ``fuzzy_pairs_passjoin``, ``sorted_neighborhood_pairs``, or a
+plain block column) are scored by summing per-field agreement/disagreement
+weights and classified match / possible / non-match against two thresholds.
+Weights are supplied as integers (the caller precomputes the log-odds
+scaling offline) so the score is exact and engine-portable — the classic
+Fellegi–Sunter log-likelihood sum without a float in sight.
+
+Scale: scoring is a narrow projection over the candidate-pair frame; cost
+lives entirely in the caller's blocking (which bounds the pair count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def linkage_score(
+    pairs: DataFrame,
+    rules: list[tuple[Column, int, int]],
+    match_threshold: int,
+    possible_threshold: int,
+    *,
+    score_col: str = "score",
+    tier_col: str = "tier",
+) -> DataFrame:
+    """Score candidate pairs and keep the ones worth human/automatic review.
+
+    ``rules``: (agreement predicate over the pair row, weight if it holds,
+    weight if it doesn't — typically negative).  NULL predicates count as
+    disagreement (unknown ≠ agreement, the conservative convention).
+    Rows scoring below ``possible_threshold`` are dropped (at corpus scale
+    the non-match mass is nearly everything — filtering early keeps the
+    output review-sized); ties at the thresholds classify upward.
+    """
+    score = None
+    for pred, w_match, w_miss in rules:
+        term = F.when(pred, F.lit(w_match)).otherwise(F.lit(w_miss))
+        score = term if score is None else score + term
+    tier = F.when(F.col(score_col) >= match_threshold, F.lit("match")).otherwise(
+        F.lit("possible")
+    )
+    return (
+        pairs.withColumn(score_col, score)
+        .where(F.col(score_col) >= possible_threshold)
+        .withColumn(tier_col, tier)
+    )

@@ -415,3 +415,70 @@ def readability_score(text_col: str | Column) -> Column:
         f["n_words"] > 0,
         F.round(F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (sy / w), 6),
     )
+
+
+def keyness_terms(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Class-discriminative vocabulary per source: chi-square keyness.
+
+    ``tfidf_top_terms`` finds what characterizes a DOCUMENT; this finds
+    what characterizes a SOURCE against the rest of the corpus — the
+    corpus-linguistics keyness statistic (2×2 contingency per (source,
+    term): a = term-in-source, b = term-elsewhere, c/d = other tokens).
+    χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)), kept only where ad>bc
+    (over-represented, not merely unbalanced).
+
+    Exactness: all contingency cells are BIGINT counts; the numerator is
+    squared in DECIMAL(38,0) (N·(ad−bc)² reaches ~N³ — past 2^63 at corpus
+    scale) and only the final division is float.  Ranking is (χ² desc,
+    term asc) — χ² doubles are bit-identical cross-engine (same integer
+    inputs, same IEEE ops), so the top-k frontier is deterministic.
+
+    Shape: one token explode → three hash aggregates (term×source, term,
+    source) joined back — term totals broadcast if the vocabulary is small,
+    hash-join otherwise; the top-k window runs over |sources| × |vocab|
+    scored rows, partitioned by source.
+    """
+    from pyspark.sql import Window
+
+    from area_etl_spark.operators.dedup import normalize_tokens
+
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(normalize_tokens(text_col)).alias("term"),
+    ).where(F.col("term") != "")
+    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("a_plus"))
+    term_tot = st.groupBy("term").agg(F.sum("a_plus").alias("n_term"))
+    src_tot = st.groupBy("source").agg(F.sum("a_plus").alias("n_src"))
+    total = st.agg(F.sum("a_plus").alias("n_total"))
+    cells = (
+        st.join(term_tot, "term")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(total))
+    )
+    a = F.col("a_plus")
+    b = F.col("n_term") - a
+    c = F.col("n_src") - a
+    d = F.col("n_total") - F.col("n_term") - F.col("n_src") + a
+    dec = "decimal(38,0)"
+    diff = (a * d - b * c).cast(dec)
+    num = (F.col("n_total").cast(dec) * diff * diff).cast("double")
+    den = (
+        F.col("n_term").cast(dec)
+        * (F.col("n_total") - F.col("n_term")).cast(dec)
+        * F.col("n_src").cast(dec)
+        * (F.col("n_total") - F.col("n_src")).cast(dec)
+    ).cast("double")
+    scored = cells.where((a * d - b * c) > 0).withColumn(
+        "chi2", F.round(num / den, 6)
+    )
+    w = Window.partitionBy("source").orderBy(F.col("chi2").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("source", "rank", "term", "chi2")
+    )

@@ -903,3 +903,94 @@ def test_calibrate_percent_rank_endpoints(spark):
     assert out[1] == 0.0 and out[3] == 1.0
     assert out[4] == 0.0 and out[5] == 1.0
     assert out[2] == 0.5
+
+
+def test_sorted_neighborhood_pairs_small(spark):
+    from area_etl_spark.operators.dedup import sorted_neighborhood_pairs
+
+    # sort order by (val, id): 10(a) 20(b) 21(c) 90(d) 95(e)
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 21), ("d", 90), ("e", 95)], "id string, val int"
+    )
+    out = {(r.id_a, r.id_b): r.neighbor_distance
+           for r in sorted_neighborhood_pairs(df, "id", ["val"], window=3).collect()}
+    assert out == {
+        ("a", "b"): 1, ("a", "c"): 2, ("b", "c"): 1, ("b", "d"): 2,
+        ("c", "d"): 1, ("c", "e"): 2, ("d", "e"): 1,
+    }
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    from area_etl_spark.operators.intervals import interval_overlap_join
+
+    left = [(1, 0, 100), (2, 500, 2500), (3, 5000, 5001)]
+    right = [(10, 50, 60), (11, 100, 110), (12, 2400, 9000), (13, 99999, 99999)]
+    L = spark.createDataFrame(left, "id_a int, s long, e long")
+    R = spark.createDataFrame(right, "id_b int, s long, e long")
+    got = {(r.id_a, r.id_b): r.overlap
+           for r in interval_overlap_join(L, R, "id_a", "id_b", "s", "e", bucket_width=1000).collect()}
+    want = {}
+    for (a, s1, e1) in left:
+        for (b, s2, e2) in right:
+            if s1 <= e2 and s2 <= e1:
+                want[(a, b)] = min(e1, e2) - max(s1, s2)
+    assert got == want
+    # the multi-bucket interval (2→12 spans cells 0..2 vs 2..9) found ONCE
+    assert got[(2, 12)] == 100
+    # touching endpoints count, with overlap 0
+    assert got[(1, 11)] == 0
+
+
+def test_poisson_bootstrap_ci_brackets_mean(spark, tables):
+    from area_etl_spark.operators.bootstrap import poisson_bootstrap_mean_ci
+    from pyspark.sql import functions as F
+
+    ev = tables["events"].select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = poisson_bootstrap_mean_ci(ev, ["event_type"], "event_id", "cents").collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.ci_lo <= r.ci_hi
+        # 90% CI from 50 replicates must bracket the point estimate
+        assert r.ci_lo <= r.point_mean <= r.ci_hi, r
+    # deterministic: same CI on a different partitioning
+    again = poisson_bootstrap_mean_ci(
+        ev.repartition(17), ["event_type"], "event_id", "cents"
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_linkage_score_rules_and_thresholds(spark):
+    from area_etl_spark.operators.linkage import linkage_score
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [  # (id, name_eq, city_eq)
+            (1, True, True),   # 3 + 2 = 5 -> match
+            (2, True, False),  # 3 - 1 = 2 -> possible
+            (3, False, True),  # -2 + 2 = 0 -> dropped
+            (4, None, True),   # NULL counts as disagreement: -2 + 2 = 0 -> dropped
+        ],
+        "pid int, name_eq boolean, city_eq boolean",
+    )
+    out = {r.pid: (r.score, r.tier) for r in linkage_score(
+        pairs,
+        [(F.col("name_eq"), 3, -2), (F.col("city_eq"), 2, -1)],
+        match_threshold=5, possible_threshold=2,
+    ).collect()}
+    assert out == {1: (5, "match"), 2: (2, "possible")}
+
+
+def test_keyness_planted_term_ranks_first(spark):
+    from area_etl_spark.operators.text_analysis import keyness_terms
+
+    filler = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, f"{filler} zebra zebra zebra", "zoo") for i in range(20)] + [
+        (100 + i, f"{filler} ledger audit", "bank") for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    top = {r.source: r.term for r in keyness_terms(df, k=1).collect()}
+    assert top["zoo"] == "zebra"
+    assert top["bank"] in ("ledger", "audit")
