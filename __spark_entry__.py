@@ -972,6 +972,120 @@ def q_keyness_top_terms(spark, sf_dir):
     return keyness_terms(_tables(spark, sf_dir)["documents"], k=10)
 
 
+def q_ewma_smooth(spark, sf_dir):
+    """α=1/2 EWMA per user in exact truncated form: 16 shared-sort lags,
+    integer 2^i-weighted numerator/denominator, one final division."""
+    from area_etl_spark.operators.windows import ewma_smooth
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = ewma_smooth(ev, ["user_id"], ["ts", "event_id"], "cents", n_lags=16)
+    return out.select("user_id", "event_id", "ewma")
+
+
+def q_fk_orphans(spark, sf_dir):
+    """Referential-integrity pre-load gate: orphan counts for the schema's
+    three FK relations, each one broadcast anti-join + count."""
+    from area_etl_spark.operators.quality import fk_orphan_report
+
+    t = _tables(spark, sf_dir)
+    return fk_orphan_report(
+        [
+            ("orders->customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+            ("lineitem->part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+            ("lineitem->supplier", t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey"),
+        ]
+    )
+
+
+def q_date_dimension(spark, sf_dir):
+    """Kimball calendar dimension for 2024, generated with sequence() —
+    portable attribute arithmetic, ISO week, Monday-based weekday."""
+    from area_etl_spark.sources.extract import date_dimension
+
+    return date_dimension(spark, "2024-01-01", "2024-12-31")
+
+
+def q_join_size_estimate(spark, sf_dir):
+    """Pre-flight join explosion check: exact predicted |lineitem ⋈ orders|
+    from per-key counts — two aggregates instead of the join itself."""
+    from area_etl_spark.operators.quality import join_size_estimate
+
+    t = _tables(spark, sf_dir)
+    li = t["lineitem"].select(F.col("l_orderkey").alias("k"))
+    o = t["orders"].select(F.col("o_orderkey").alias("k"))
+    return join_size_estimate(li, o, ["k"])
+
+
+def q_domain_capped_corpus(spark, sf_dir):
+    """Crawl-politeness composition: canonicalize synthesized URLs →
+    first-occurrence dedup by canonical URL → keep the top 3 docs per
+    domain by (n_chars, doc_id) — the per-site cap a crawl corpus applies
+    before mixing."""
+    from pyspark.sql import Window
+
+    from area_etl_spark.operators.cleaning import canonicalize_urls
+
+    d = _tables(spark, sf_dir)["documents"]
+    url = F.concat(
+        F.lit("HTTP://WWW.Site"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit(".COM"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/Articles/"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    canon = canonicalize_urls(
+        d.select("doc_id", "n_chars", url.alias("url")), "url"
+    )
+    first = Window.partitionBy("canon_url").orderBy("doc_id")
+    deduped = (
+        canon.withColumn("_rn", F.row_number().over(first))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    cap = Window.partitionBy("domain").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        deduped.withColumn("domain_rank", F.row_number().over(cap))
+        .where(F.col("domain_rank") <= 3)
+        .select("domain", "domain_rank", "doc_id", "n_chars")
+    )
+
+
+def _ewma_sql(n_lags: int = 16) -> str:
+    """DuckDB replay of the exact truncated α=1/2 EWMA: the same 16 lag
+    terms with power-of-two weights, generated to match ewma_smooth."""
+    terms, avail = [], []
+    for i in range(n_lags):
+        w = 1 << (n_lags - 1 - i)
+        lag = "x" if i == 0 else f"lag(x, {i}) OVER w"
+        terms.append(f"COALESCE({lag}, 0) * {w}")
+        avail.append(f"CASE WHEN {lag} IS NOT NULL THEN {w} ELSE 0 END")
+    return f"""
+        WITH s AS (
+            SELECT user_id, ts, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS x
+            FROM events
+        ), l AS (
+            SELECT user_id, event_id,
+                   ({' + '.join(terms)}) AS num,
+                   ({' + '.join(avail)}) AS den
+            FROM s
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_id,
+               round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ewma
+        FROM l
+    """
+
+
 def q_rolling_distinct_users(spark, sf_dir):
     """Exact trailing-7-day distinct users per day (DAU→WAU rollup).
 
@@ -3136,6 +3250,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "bootstrap_ci": q_bootstrap_ci,
         "keyness_top_terms": q_keyness_top_terms,
+        "ewma_smooth": q_ewma_smooth,
+        "fk_orphans": q_fk_orphans,
+        "date_dimension": q_date_dimension,
+        "join_size_estimate": q_join_size_estimate,
+        "domain_capped_corpus": q_domain_capped_corpus,
         # — displaced rotation candidates (machinery r6-green via
         #   compositions) —
         "scd2_intervals": q_scd2_intervals,
@@ -5729,6 +5848,90 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored WHERE diff > 0
             )
             SELECT source, rank, term, chi2 FROM ranked WHERE rank <= 10
+        """,
+        "ewma_smooth": _ewma_sql(),
+        "fk_orphans": """
+            SELECT 'orders->customer' AS relation,
+                   (SELECT COUNT(*) FROM orders) AS n_rows,
+                   (SELECT COUNT(*) FROM orders o
+                     WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+                       (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+                       AS n_orphans
+            UNION ALL
+            SELECT 'lineitem->part',
+                   (SELECT COUNT(*) FROM lineitem),
+                   (SELECT COUNT(*) FROM lineitem l
+                     WHERE l.l_partkey IS NOT NULL AND NOT EXISTS
+                       (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+            UNION ALL
+            SELECT 'lineitem->supplier',
+                   (SELECT COUNT(*) FROM lineitem),
+                   (SELECT COUNT(*) FROM lineitem l
+                     WHERE l.l_suppkey IS NOT NULL AND NOT EXISTS
+                       (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        """,
+        "date_dimension": """
+            WITH days AS (
+                SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                            DATE '2024-12-31', INTERVAL 1 DAY)) AS DATE) AS d
+            )
+            SELECT d AS date,
+                   CAST(year(d) * 10000 + month(d) * 100 + day(d) AS INT) AS date_key,
+                   CAST(year(d) AS INT) AS year,
+                   CAST(quarter(d) AS INT) AS quarter,
+                   CAST(month(d) AS INT) AS month,
+                   CAST(day(d) AS INT) AS day,
+                   CAST(weekofyear(d) AS INT) AS iso_week,
+                   CAST(isodow(d) - 1 AS INT) AS weekday,
+                   isodow(d) - 1 >= 5 AS is_weekend,
+                   day(d) = 1 AS is_month_start,
+                   d = last_day(d) AS is_month_end
+            FROM days
+        """,
+        "join_size_estimate": """
+            WITH lc AS (SELECT l_orderkey AS k, COUNT(*) AS nl FROM lineitem GROUP BY 1),
+                 rc AS (SELECT o_orderkey AS k, COUNT(*) AS nr FROM orders GROUP BY 1),
+                 p AS (SELECT CAST(nl * nr AS BIGINT) AS p FROM lc JOIN rc USING (k))
+            SELECT CAST(COALESCE(SUM(p), 0) AS BIGINT) AS est_rows,
+                   CAST(COALESCE(MAX(p), 0) AS BIGINT) AS max_key_product,
+                   COUNT(*) AS n_matching_keys
+            FROM p
+        """,
+        "domain_capped_corpus": """
+            WITH u AS (
+                SELECT doc_id, n_chars,
+                    'HTTP://WWW.Site' || CAST(doc_id % 37 AS VARCHAR) || '.COM'
+                    || CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE '' END
+                    || '/Articles/' || CAST(doc_id % 97 AS VARCHAR)
+                    || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END AS url
+                FROM documents
+            ), parts AS (
+                SELECT doc_id, n_chars,
+                    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                    regexp_replace(regexp_replace(
+                        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?]*)', 1)),
+                        '^www\\.', ''), ':80$|:443$', '') AS host,
+                    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*(.*)$', 1) AS pathq
+                FROM u
+            ), canon AS (
+                SELECT doc_id, n_chars, host AS domain,
+                    scheme || '://' || host ||
+                    CASE WHEN regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') = ''
+                         THEN '/'
+                         ELSE regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '')
+                    END AS canon_url
+                FROM parts
+            ), ded AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY canon_url ORDER BY doc_id) AS rn
+                FROM canon
+            ), capd AS (
+                SELECT domain, doc_id, n_chars,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY domain
+                            ORDER BY n_chars DESC, doc_id) AS INT) AS domain_rank
+                FROM ded WHERE rn = 1
+            )
+            SELECT domain, domain_rank, doc_id, n_chars
+            FROM capd WHERE domain_rank <= 3
         """,
         "rolling_distinct_users": """
             WITH daily AS (

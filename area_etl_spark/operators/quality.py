@@ -346,3 +346,60 @@ def calibrate_percent_rank(
     """
     w = Window.partitionBy(group_col).orderBy(F.col(score_col).asc())
     return df.withColumn(out_col, F.round(F.percent_rank().over(w), 9))
+
+
+def fk_orphan_report(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity report: per FK relation, total fact rows and
+    how many reference a missing dimension key (orphans).
+
+    ``relations``: (name, fact, fk_col, dim, pk_col).  Each relation is one
+    left_anti join (broadcast when the dim is small) plus one count — the
+    pre-load FK gate the reference delegates to Postgres constraints; at
+    lake scale constraint failure is a report, not a write abort
+    ([[quarantine]] handles the row-level consequence).  NULL FKs are not
+    orphans (SQL FK semantics: NULL references nothing).
+    """
+    outs = []
+    for name, fact, fk, dim, pk in relations:
+        total = fact.agg(F.count(F.lit(1)).alias("n_rows"))
+        orphans = (
+            fact.where(F.col(fk).isNotNull())
+            .join(dim.select(F.col(pk).alias(fk)), fk, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        outs.append(
+            total.crossJoin(orphans).select(
+                F.lit(name).alias("relation"), "n_rows", "n_orphans"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def join_size_estimate(
+    left: DataFrame, right: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Predict an inner equi-join's output size WITHOUT running the join.
+
+    Per-key counts on each side (two map-side-combined aggregates), joined
+    on the key (a table bounded by key cardinality), then Σ n_l·n_r — the
+    exact inner-join row count — plus the max per-key product (the skew
+    hot spot that would dominate a shuffle partition) and the matching-key
+    count.  The pre-flight check before a 100 TB join: a many-to-many key
+    mistake shows up here as an absurd estimate, for the price of two
+    aggregations instead of the explosion itself.
+    """
+    lc = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("_nl"))
+    rc = right.groupBy(*keys).agg(F.count(F.lit(1)).alias("_nr"))
+    prod = lc.join(rc, keys).select(
+        (F.col("_nl") * F.col("_nr")).alias("_p")
+    )
+    return prod.agg(
+        F.coalesce(F.sum("_p"), F.lit(0)).alias("est_rows"),
+        F.coalesce(F.max("_p"), F.lit(0)).alias("max_key_product"),
+        F.count(F.lit(1)).alias("n_matching_keys"),
+    )

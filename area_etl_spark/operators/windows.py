@@ -240,3 +240,42 @@ def cusum_stats(
         F.max(F.abs(F.col("_numer"))).alias("max_abs_cusum_numer"),
         F.sum(F.when(crossed, 1).otherwise(0)).alias("n_crossings"),
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    n_lags: int = 16,
+    *,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponential moving average (α = 1/2) in EXACT truncated form.
+
+    The textbook EWMA recursion is sequential — a per-row loop no engine
+    parallelizes and no SQL oracle replays.  With α = 1/2 the weights are
+    2^−i, so the ``n_lags``-truncated series is a RATIONAL with an exact
+    integer numerator: Σ x_{t−i}·2^(K−1−i) over the available lags, divided
+    by the matching Σ 2^(K−1−i).  Truncation error is bounded by 2^−K of
+    the signal range (K=16 → 0.0015%), and the result is bit-reproducible
+    across engines/partitionings — only the single final division is float.
+
+    One window sort serves all K ``lag`` columns (Catalyst shares the
+    frame); series starts use the lags that exist (no warm-up NULLs).
+    Values must be integers (cents); x·2^(K−1) must stay under 2^63.
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_cols])
+    x = F.col(value_col)
+    num = None
+    den = None
+    for i in range(n_lags):
+        weight = 1 << (n_lags - 1 - i)
+        lagged = x if i == 0 else F.lag(x, i).over(w)
+        term = F.coalesce(lagged, F.lit(0)) * F.lit(weight)
+        avail = F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = avail if den is None else den + avail
+    return df.withColumn(
+        out_col, F.round(num.cast("double") / den.cast("double"), 6)
+    )

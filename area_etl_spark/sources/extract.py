@@ -142,3 +142,41 @@ def parse_access_logs(lines: DataFrame, value_col: str = "value") -> DataFrame:
         grp(6).cast("int").alias("status"),
         grp(7).cast("long").alias("n_bytes"),
     )
+
+
+def date_dimension(spark, start_date: str, end_date: str):
+    """Generate the Kimball calendar (date) dimension — one row per day.
+
+    The warehouse staple the reference pulls from Postgres
+    ``generate_series``; here it is a single ``sequence()`` explode (no
+    driver loop, no collect) with portable attribute arithmetic:
+    ``date_key`` = yyyymmdd int, ISO week, weekday (0 = Monday — Spark's
+    ``weekday``; engines disagree on where Sunday lives, ISO does not),
+    weekend flag, month boundaries.  Locale-dependent attributes (month
+    NAMES) are deliberately absent — they are presentation, not data, and
+    engine/locale-dependent.
+    """
+    from pyspark.sql import functions as F
+
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start_date).cast("date"), F.lit(end_date).cast("date")
+            )
+        ).alias("d")
+    )
+    return days.select(
+        F.col("d").alias("date"),
+        (F.year("d") * 10000 + F.month("d") * 100 + F.dayofmonth("d"))
+        .cast("int")
+        .alias("date_key"),
+        F.year("d").cast("int").alias("year"),
+        F.quarter("d").cast("int").alias("quarter"),
+        F.month("d").cast("int").alias("month"),
+        F.dayofmonth("d").cast("int").alias("day"),
+        F.weekofyear("d").cast("int").alias("iso_week"),
+        F.weekday("d").cast("int").alias("weekday"),
+        (F.weekday("d") >= 5).alias("is_weekend"),
+        (F.dayofmonth("d") == 1).alias("is_month_start"),
+        (F.col("d") == F.last_day("d")).alias("is_month_end"),
+    )

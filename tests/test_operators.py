@@ -994,3 +994,52 @@ def test_keyness_planted_term_ranks_first(spark):
     top = {r.source: r.term for r in keyness_terms(df, k=1).collect()}
     assert top["zoo"] == "zebra"
     assert top["bank"] in ("ledger", "audit")
+
+
+def test_ewma_smooth_known_series(spark):
+    from area_etl_spark.operators.windows import ewma_smooth
+
+    df = spark.createDataFrame(
+        [("u", 1, 100), ("u", 2, 200), ("u", 3, 0)], "k string, o int, x long"
+    )
+    out = {r.o: r.ewma for r in ewma_smooth(df, ["k"], ["o"], "x", n_lags=2).collect()}
+    # o=1: only itself → 100; o=2: (200*2 + 100)/3; o=3: (0*2 + 200)/3
+    assert out[1] == 100.0
+    assert out[2] == round(500 / 3, 6)
+    assert out[3] == round(200 / 3, 6)
+
+
+def test_fk_orphan_report_finds_planted_orphan(spark):
+    from area_etl_spark.operators.quality import fk_orphan_report
+
+    fact = spark.createDataFrame([(1, 10), (2, 99), (3, None)], "id int, fk int")
+    dim = spark.createDataFrame([(10,)], "pk int")
+    out = {r.relation: (r.n_rows, r.n_orphans)
+           for r in fk_orphan_report([("f->d", fact, "fk", dim, "pk")]).collect()}
+    # NULL FK is not an orphan; 99 is
+    assert out == {"f->d": (3, 1)}
+
+
+def test_date_dimension_attributes(spark):
+    from area_etl_spark.sources.extract import date_dimension
+
+    dd = {str(r.date): r for r in date_dimension(spark, "2024-01-01", "2024-12-31").collect()}
+    assert len(dd) == 366  # leap year
+    jan1 = dd["2024-01-01"]
+    assert (jan1.weekday, jan1.is_weekend, jan1.is_month_start) == (0, False, True)  # a Monday
+    assert jan1.iso_week == 1 and jan1.date_key == 20240101
+    assert dd["2024-02-29"].month == 2
+    dec31 = dd["2024-12-31"]
+    assert dec31.is_month_end and dec31.quarter == 4
+
+
+def test_join_size_estimate_matches_actual(spark, tables):
+    from area_etl_spark.operators.quality import join_size_estimate
+    from pyspark.sql import functions as F
+
+    li = tables["lineitem"].select(F.col("l_orderkey").alias("k"))
+    o = tables["orders"].select(F.col("o_orderkey").alias("k"))
+    est = join_size_estimate(li, o, ["k"]).collect()[0]
+    actual = li.join(o, "k").count()
+    assert est.est_rows == actual
+    assert est.max_key_product >= 1
