@@ -1059,6 +1059,107 @@ def q_domain_capped_corpus(spark, sf_dir):
     )
 
 
+def q_id_gap_report(spark, sf_dir):
+    """Sequence-integrity gaps over a planted-holes id stream, found with
+    cell-partitioned leads + a bounded per-cell seam pass — never a global
+    single-partition sort; oracle = the naive global lead."""
+    from area_etl_spark.operators.quality import id_gap_report
+
+    o = _tables(spark, sf_dir)["orders"].where(F.col("o_orderkey") % 7 != 3)
+    return id_gap_report(o, "o_orderkey", bucket=1000)
+
+
+KEYWORD_TAGS = [
+    ("join", "relational"),
+    ("sort", "relational"),
+    ("hash", "relational"),
+    ("scan", "io"),
+    ("stream", "streaming"),
+    ("window", "analytics"),
+]
+
+
+def q_keyword_tagging(spark, sf_dir):
+    """Taxonomy tagging: each doc gets every tag whose keyword list
+    intersects its token set — token explode ⋈ broadcast lexicon."""
+    from area_etl_spark.operators.text_analysis import tag_by_keywords
+
+    kw = spark.createDataFrame(KEYWORD_TAGS, "term string, tag string")
+    return tag_by_keywords(_tables(spark, sf_dir)["documents"], kw)
+
+
+def q_cuped_adjustment(spark, sf_dir):
+    """CUPED variance-reduced A/B means: pre-period event value as the
+    covariate, experiment-period value as the metric, pooled θ from exact
+    BIGINT sufficient statistics."""
+    from area_etl_spark.operators.experiments import cuped_adjusted_means
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, F.col("cents")).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("ts") >= cutoff, F.col("cents")).otherwise(0)).alias("y"),
+    )
+    units = per_user.withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    return cuped_adjusted_means(units, "variant", "y", "x")
+
+
+MDM_SEGMENT_PRIORITY = {"BUILDING": 3, "AUTOMOBILE": 2, "MACHINERY": 1}
+
+
+def q_mdm_golden_pipeline(spark, sf_dir):
+    """End-to-end MDM: hash-blocked pairs → Fellegi–Sunter scoring (match
+    tier only) → connected components → per-cluster golden record
+    (segment-priority survivorship, custkey as recency).  The full
+    entity-resolution workflow as one composition; oracle replays the
+    components with a recursive CTE."""
+    from area_etl_spark.operators.diff import golden_record
+    from area_etl_spark.operators.graph import connected_components
+    from area_etl_spark.operators.linkage import linkage_score
+
+    cust = _tables(spark, sf_dir)["customer"].select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    side = lambda s: cust.select(  # noqa: E731
+        F.col("c_custkey").alias(f"id_{s}"),
+        F.col("c_nationkey").alias(f"nat_{s}"),
+        F.col("c_mktsegment").alias(f"seg_{s}"),
+        F.col("cents").alias(f"bal_{s}"),
+        (F.col("c_custkey") % 100).alias("_block"),
+    )
+    pairs = side("a").join(side("b"), "_block").where(F.col("id_a") < F.col("id_b"))
+    rules = [
+        (F.col("nat_a") == F.col("nat_b"), 2, -1),
+        (F.col("seg_a") == F.col("seg_b"), 1, -1),
+        (F.abs(F.col("bal_a") - F.col("bal_b")) <= 10_000, 2, -2),
+    ]
+    matches = linkage_score(pairs, rules, match_threshold=4, possible_threshold=4)
+    cc = connected_components(matches.select("id_a", "id_b"), "id_a", "id_b")
+    labeled = cust.join(
+        cc.withColumnRenamed("node", "c_custkey"), "c_custkey", "left"
+    ).withColumn("cluster", F.coalesce(F.col("label"), F.col("c_custkey")))
+    golden = golden_record(
+        labeled,
+        ["cluster"],
+        "c_mktsegment",
+        MDM_SEGMENT_PRIORITY,
+        "c_custkey",
+        ["c_name", "cents"],
+    )
+    sizes = labeled.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+    return golden.join(sizes, "cluster").select(
+        "cluster", "n_members", "c_name", "cents"
+    )
+
+
 def _ewma_sql(n_lags: int = 16) -> str:
     """DuckDB replay of the exact truncated α=1/2 EWMA: the same 16 lag
     terms with power-of-two weights, generated to match ewma_smooth."""
@@ -3255,6 +3356,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_dimension": q_date_dimension,
         "join_size_estimate": q_join_size_estimate,
         "domain_capped_corpus": q_domain_capped_corpus,
+        "id_gap_report": q_id_gap_report,
+        "keyword_tagging": q_keyword_tagging,
+        "cuped_adjustment": q_cuped_adjustment,
+        "mdm_golden_pipeline": q_mdm_golden_pipeline,
         # — displaced rotation candidates (machinery r6-green via
         #   compositions) —
         "scd2_intervals": q_scd2_intervals,
@@ -5848,6 +5953,110 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored WHERE diff > 0
             )
             SELECT source, rank, term, chi2 FROM ranked WHERE rank <= 10
+        """,
+        "id_gap_report": """
+            WITH ids AS (
+                SELECT DISTINCT o_orderkey AS id FROM orders
+                WHERE o_orderkey % 7 <> 3
+            ), l AS (
+                SELECT id, lead(id) OVER (ORDER BY id) AS nxt FROM ids
+            )
+            SELECT id + 1 AS gap_start, nxt - 1 AS gap_end,
+                   nxt - 1 - id AS gap_width
+            FROM l WHERE nxt > id + 1
+        """,
+        "keyword_tagging": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+                FROM documents
+            ), kw(term, tag) AS (
+                VALUES ('join', 'relational'), ('sort', 'relational'),
+                       ('hash', 'relational'), ('scan', 'io'),
+                       ('stream', 'streaming'), ('window', 'analytics')
+            )
+            SELECT DISTINCT t.doc_id, k.tag FROM toks t JOIN kw k USING (term)
+        """,
+        "cuped_adjustment": """
+            WITH ev AS (
+                SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), pu AS (
+                SELECT user_id,
+                       CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                                     THEN cents ELSE 0 END) AS BIGINT) AS x,
+                       CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                                     THEN cents ELSE 0 END) AS BIGINT) AS y
+                FROM ev GROUP BY user_id
+            ), u AS (
+                SELECT x, y, CAST(user_id % 2 AS INT) AS variant FROM pu
+            ), pooled AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       CAST(SUM(x) AS HUGEINT) AS sx,
+                       CAST(SUM(y) AS HUGEINT) AS sy,
+                       CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                       CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+                FROM u
+            ), sc AS (
+                SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+                       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xbar
+                FROM pooled
+            ), pv AS (
+                SELECT variant, COUNT(*) AS n_units,
+                       CAST(SUM(y) AS BIGINT) AS vy,
+                       CAST(SUM(x) AS BIGINT) AS vx
+                FROM u GROUP BY variant
+            )
+            SELECT variant, n_units,
+                   round(CAST(vy AS DOUBLE) / CAST(n_units AS DOUBLE), 6)
+                       AS mean_raw,
+                   round((CAST(vy AS DOUBLE)
+                          - theta * (CAST(vx AS DOUBLE)
+                                     - CAST(n_units AS DOUBLE) * xbar))
+                         / CAST(n_units AS DOUBLE), 6) AS mean_adjusted
+            FROM pv, sc
+        """,
+        "mdm_golden_pipeline": """
+            WITH RECURSIVE c AS (
+                SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+                       c_custkey % 100 AS blk
+                FROM customer
+            ), pr AS (
+                SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                       (CASE WHEN a.c_nationkey = b.c_nationkey THEN 2 ELSE -1 END
+                      + CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE -1 END
+                      + CASE WHEN abs(a.cents - b.cents) <= 10000 THEN 2 ELSE -2 END)
+                           AS score
+                FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+            ), m AS (
+                SELECT id_a, id_b FROM pr WHERE score >= 4
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM m
+                UNION
+                SELECT id_b, id_a FROM m
+            ), walk(node, reach) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT w.node, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+            ), labels AS (
+                SELECT node, MIN(reach) AS label FROM walk GROUP BY node
+            ), lab AS (
+                SELECT c.*, COALESCE(l.label, c.c_custkey) AS cluster
+                FROM c LEFT JOIN labels l ON l.node = c.c_custkey
+            ), pri AS (
+                SELECT *, CASE c_mktsegment WHEN 'BUILDING' THEN 3
+                               WHEN 'AUTOMOBILE' THEN 2
+                               WHEN 'MACHINERY' THEN 1 ELSE -1 END AS p
+                FROM lab
+            )
+            SELECT cluster, COUNT(*) AS n_members,
+                   first(c_name ORDER BY p DESC, c_custkey DESC, c_name DESC)
+                       FILTER (WHERE c_name IS NOT NULL) AS c_name,
+                   first(cents ORDER BY p DESC, c_custkey DESC, cents DESC)
+                       FILTER (WHERE cents IS NOT NULL) AS cents
+            FROM pri GROUP BY cluster
         """,
         "ewma_smooth": _ewma_sql(),
         "fk_orphans": """

@@ -1,0 +1,76 @@
+"""Experimentation analytics — variance-reduced A/B measurement.
+
+``q_ab_test_ztest`` (entry) covers the plain two-proportion test; this
+module adds CUPED (Controlled-experiment Using Pre-Experiment Data, Deng et
+al. WSDM'13) — the industry-standard variance reduction: regress the
+experiment metric on a pre-period covariate and compare the residualized
+means.  Same point estimates of the treatment effect, substantially tighter
+intervals when the covariate correlates with the metric.
+
+Exactness: θ and the adjusted means are closed forms over EXACT BIGINT
+per-unit sums (n, Σx, Σy, Σxy, Σx²) — the only floats are the final
+divisions, so the result is bit-reproducible across engines/partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cuped_adjusted_means(
+    units: DataFrame,
+    variant_col: str,
+    metric_col: str,
+    covariate_col: str,
+) -> DataFrame:
+    """Per-variant raw and CUPED-adjusted metric means.
+
+    ``units``: one row per experimental unit with integer ``metric_col``
+    (y, the experiment-period measurement) and ``covariate_col`` (x, the
+    pre-period measurement).  θ = cov(x,y)/var(x) is estimated POOLED
+    across variants (the standard, unbiased-under-randomization choice),
+    then adjusted_mean_v = (Σy_v − θ·(Σx_v − n_v·x̄)) / n_v from the
+    variant's exact sums.  One aggregation pass per grain + two 1-row
+    broadcasts; nothing driver-side.
+    """
+    y = F.col(metric_col)
+    x = F.col(covariate_col)
+    # DECIMAL(38,0) sums: n·Σxy crosses 2^63 at ~10³ units of ~10⁷-cent
+    # sums — the corr_exact overflow class; per-row x·y stays BIGINT
+    # (bound: max|x·y| < 2^63 is a per-unit property)
+    dec = "decimal(38,0)"
+    pooled = units.agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum(x.cast(dec)).alias("_sx"),
+        F.sum(y.cast(dec)).alias("_sy"),
+        F.sum((x * y).cast(dec)).alias("_sxy"),
+        F.sum((x * x).cast(dec)).alias("_sxx"),
+    )
+    theta = (
+        (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+        / (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    )
+    xbar = F.col("_sx").cast("double") / F.col("_n").cast("double")
+    scalars = pooled.select(theta.alias("_theta"), xbar.alias("_xbar"))
+    per_variant = units.groupBy(variant_col).agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(y).alias("_vy"),
+        F.sum(x).alias("_vx"),
+    )
+    joined = per_variant.crossJoin(F.broadcast(scalars))
+    nv = F.col("n_units").cast("double")
+    return joined.select(
+        variant_col,
+        "n_units",
+        F.round(F.col("_vy").cast("double") / nv, 6).alias("mean_raw"),
+        F.round(
+            (
+                F.col("_vy").cast("double")
+                - F.col("_theta")
+                * (F.col("_vx").cast("double") - nv * F.col("_xbar"))
+            )
+            / nv,
+            6,
+        ).alias("mean_adjusted"),
+    )

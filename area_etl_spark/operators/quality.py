@@ -403,3 +403,45 @@ def join_size_estimate(
         F.coalesce(F.max("_p"), F.lit(0)).alias("max_key_product"),
         F.count(F.lit(1)).alias("n_matching_keys"),
     )
+
+
+def id_gap_report(df: DataFrame, id_col: str, bucket: int = 8192) -> DataFrame:
+    """Maximal runs of missing ids strictly inside [min, max] — the
+    sequence-integrity check (dropped batches, lost partitions).
+
+    NOT a global-sort lead: ids hash to ``id div bucket`` cells, gaps are
+    found with a lead INSIDE each cell (one key-partitioned window), and
+    the cross-cell seams come from a second lead over the per-cell
+    (min, max) summary — a frame bounded by |cells|, i.e. id-range/bucket,
+    not by row count.  An entirely-missing cell shows up as a seam gap
+    between its neighbors.  Output: (gap_start, gap_end, gap_width).
+    """
+    ids = df.select(F.col(id_col).cast("long").alias("_id")).distinct()
+    cell = F.col("_id") - F.pmod(F.col("_id"), F.lit(bucket))
+    w_in = Window.partitionBy("_cell").orderBy("_id")
+    inner = (
+        ids.withColumn("_cell", cell)
+        .withColumn("_nxt", F.lead("_id").over(w_in))
+        .where(F.col("_nxt") > F.col("_id") + 1)
+        .select(
+            (F.col("_id") + 1).alias("gap_start"),
+            (F.col("_nxt") - 1).alias("gap_end"),
+        )
+    )
+    summary = ids.withColumn("_cell", cell).groupBy("_cell").agg(
+        F.min("_id").alias("_mn"), F.max("_id").alias("_mx")
+    )
+    w_cells = Window.orderBy("_cell")  # |cells| rows — bounded, not row-count
+    seams = (
+        summary.withColumn("_nxt_mn", F.lead("_mn").over(w_cells))
+        .where(F.col("_nxt_mn") > F.col("_mx") + 1)
+        .select(
+            (F.col("_mx") + 1).alias("gap_start"),
+            (F.col("_nxt_mn") - 1).alias("gap_end"),
+        )
+    )
+    return inner.unionByName(seams).select(
+        "gap_start",
+        "gap_end",
+        (F.col("gap_end") - F.col("gap_start") + 1).alias("gap_width"),
+    )

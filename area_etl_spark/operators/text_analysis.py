@@ -482,3 +482,34 @@ def keyness_terms(
         .where(F.col("rank") <= k)
         .select("source", "rank", "term", "chi2")
     )
+
+
+def tag_by_keywords(
+    docs: DataFrame,
+    keywords: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_col: str = "term",
+    tag_col: str = "tag",
+) -> DataFrame:
+    """Multi-keyword taxonomy tagging: a document gets every tag whose
+    keyword list intersects its token set.
+
+    The content-classification primitive (topic routing, policy filters):
+    distinct (doc, token) pairs equi-join the broadcast keyword dimension —
+    one shuffle of the token explode, never a per-document loop over the
+    lexicon (the relational Aho–Corasick stand-in: at thousands of patterns
+    the join IS the automaton, batched and codegen'd).  Output one row per
+    (doc, tag), distinct.
+    """
+    from area_etl_spark.operators.dedup import normalize_tokens
+
+    toks = docs.select(
+        F.col(id_col), F.explode(normalize_tokens(text_col)).alias(term_col)
+    ).where(F.col(term_col) != "")
+    return (
+        toks.join(F.broadcast(keywords), term_col)
+        .select(id_col, tag_col)
+        .distinct()
+    )

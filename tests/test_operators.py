@@ -1043,3 +1043,53 @@ def test_join_size_estimate_matches_actual(spark, tables):
     actual = li.join(o, "k").count()
     assert est.est_rows == actual
     assert est.max_key_product >= 1
+
+
+def test_id_gap_report_inner_and_seam_gaps(spark):
+    from area_etl_spark.operators.quality import id_gap_report
+
+    # bucket=10: cells [0,10), [10,20), [30,40) — cell [20,30) entirely
+    # missing (seam gap), plus an inner gap 4..6 and one at 12
+    ids = [1, 2, 3, 7, 8, 11, 13, 31, 32]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    got = sorted(
+        (r.gap_start, r.gap_end, r.gap_width)
+        for r in id_gap_report(df, "id", bucket=10).collect()
+    )
+    assert got == [(4, 6, 3), (9, 10, 2), (12, 12, 1), (14, 30, 17)]
+
+
+def test_tag_by_keywords_multi_tag(spark):
+    from area_etl_spark.operators.text_analysis import tag_by_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "Merge JOIN beats hash join here"), (2, "full table scan"), (3, "nothing relevant")],
+        "doc_id int, text string",
+    )
+    kw = spark.createDataFrame(
+        [("join", "relational"), ("hash", "relational"), ("scan", "io")],
+        "term string, tag string",
+    )
+    got = {(r.doc_id, r.tag) for r in tag_by_keywords(docs, kw).collect()}
+    # doc 1 matches two keywords of the SAME tag → one row; doc 3 none
+    assert got == {(1, "relational"), (2, "io")}
+
+
+def test_cuped_reduces_covariate_imbalance(spark):
+    from area_etl_spark.operators.experiments import cuped_adjusted_means
+
+    # y = x + variant effect of +10 for B; variant A got unlucky high-x
+    # units, inflating its raw mean. CUPED removes exactly the x-driven
+    # part: adjusted difference == the true +10 effect.
+    rows = [("A", 100, 100), ("A", 200, 200), ("B", 50, 60), ("B", 150, 160)]
+    df = spark.createDataFrame(rows, "variant string, x long, y long")
+    out = {r.variant: r for r in cuped_adjusted_means(df, "variant", "y", "x").collect()}
+    raw_diff = out["B"].mean_raw - out["A"].mean_raw
+    adj_diff = out["B"].mean_adjusted - out["A"].mean_adjusted
+    assert abs(raw_diff - (-40.0)) < 1e-6  # raw is confounded (A looks higher)
+    # pooled θ = (4·77000−500·520)/(4·75000−500²) = 0.96; closed-form
+    # adjusted means: A (300−0.96·50)/2 = 126, B (220+0.96·50)/2 = 134 —
+    # the x-driven −50 gap shrinks to the near-true +8 effect
+    assert (out["A"].mean_adjusted, out["B"].mean_adjusted) == (126.0, 134.0)
+    assert abs(adj_diff - 8.0) < 1e-6
+    assert abs(adj_diff - 10.0) < abs(raw_diff - 10.0)  # closer to truth than raw
