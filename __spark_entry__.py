@@ -1160,6 +1160,57 @@ def q_mdm_golden_pipeline(spark, sf_dir):
     )
 
 
+def q_revenue_bridge(spark, sf_dir):
+    """Period-over-period revenue waterfall: per-customer totals for two
+    halves of the window, classified new / churned / expansion /
+    contraction / flat — category deltas reconcile exactly to the total
+    change (integer cents end-to-end)."""
+    from area_etl_spark.operators.business import revenue_bridge
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    prior = o.where(F.col("o_orderdate") < cutoff).groupBy("o_custkey").agg(
+        F.sum("cents").alias("amt")
+    )
+    current = o.where(F.col("o_orderdate") >= cutoff).groupBy("o_custkey").agg(
+        F.sum("cents").alias("amt")
+    )
+    return revenue_bridge(prior, current, "o_custkey", "amt")
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM quintile segmentation per customer (recency / frequency /
+    monetary ntiles over the per-key aggregate, key-tie-broken; 555 best)."""
+    from area_etl_spark.operators.business import rfm_segments
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return rfm_segments(o, "o_custkey", "o_orderdate", "cents", "2003-01-01")
+
+
+def q_drift_chi2(spark, sf_dir):
+    """Distribution drift between two shipment eras of the price column:
+    fixed-width integer bins, exact two-sample chi-square summed in sorted
+    bin order (the PSI monitor without the non-portable ln)."""
+    from area_etl_spark.operators.quality import drift_chi2
+
+    li = _tables(spark, sf_dir)["lineitem"].select(
+        "l_shipdate",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    base = li.where(F.col("l_shipdate") < cutoff)
+    cur = li.where(F.col("l_shipdate") >= cutoff)
+    return drift_chi2(base, cur, "cents", bin_width=100_000)
+
+
 def _ewma_sql(n_lags: int = 16) -> str:
     """DuckDB replay of the exact truncated α=1/2 EWMA: the same 16 lag
     terms with power-of-two weights, generated to match ewma_smooth."""
@@ -3360,6 +3411,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_tagging": q_keyword_tagging,
         "cuped_adjustment": q_cuped_adjustment,
         "mdm_golden_pipeline": q_mdm_golden_pipeline,
+        "revenue_bridge": q_revenue_bridge,
+        "rfm_segments": q_rfm_segments,
+        "drift_chi2": q_drift_chi2,
         # — displaced rotation candidates (machinery r6-green via
         #   compositions) —
         "scd2_intervals": q_scd2_intervals,
@@ -6057,6 +6111,90 @@ def oracle_sql() -> dict[str, str]:
                    first(cents ORDER BY p DESC, c_custkey DESC, cents DESC)
                        FILTER (WHERE cents IS NOT NULL) AS cents
             FROM pri GROUP BY cluster
+        """,
+        "revenue_bridge": """
+            WITH o AS (
+                SELECT o_custkey, o_orderdate,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+            ), p AS (
+                SELECT o_custkey, CAST(SUM(cents) AS BIGINT) AS amt
+                FROM o WHERE o_orderdate < TIMESTAMP '1997-01-01'
+                GROUP BY o_custkey
+            ), c AS (
+                SELECT o_custkey, CAST(SUM(cents) AS BIGINT) AS amt
+                FROM o WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+                GROUP BY o_custkey
+            ), j AS (
+                SELECT COALESCE(p.amt, 0) AS pa, COALESCE(c.amt, 0) AS ca,
+                       p.amt IS NULL AS is_new, c.amt IS NULL AS is_churned
+                FROM p FULL OUTER JOIN c ON p.o_custkey = c.o_custkey
+            )
+            SELECT CASE WHEN is_new THEN 'new'
+                        WHEN is_churned THEN 'churned'
+                        WHEN ca > pa THEN 'expansion'
+                        WHEN ca < pa THEN 'contraction'
+                        ELSE 'flat' END AS category,
+                   COUNT(*) AS n_keys,
+                   CAST(SUM(ca - pa) AS BIGINT) AS delta
+            FROM j GROUP BY 1
+        """,
+        "rfm_segments": """
+            WITH per_key AS (
+                SELECT o_custkey,
+                       CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                                      DATE '2003-01-01') AS INT) AS recency_days,
+                       COUNT(*) AS frequency,
+                       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS monetary
+                FROM orders GROUP BY o_custkey
+            ), scored AS (
+                SELECT *,
+                       CAST(ntile(5) OVER (ORDER BY recency_days DESC, o_custkey)
+                            AS INT) AS r_score,
+                       CAST(ntile(5) OVER (ORDER BY frequency ASC, o_custkey)
+                            AS INT) AS f_score,
+                       CAST(ntile(5) OVER (ORDER BY monetary ASC, o_custkey)
+                            AS INT) AS m_score
+                FROM per_key
+            )
+            SELECT o_custkey, recency_days, frequency, monetary,
+                   r_score, f_score, m_score,
+                   CAST(r_score * 100 + f_score * 10 + m_score AS INT) AS segment
+            FROM scored
+        """,
+        "drift_chi2": """
+            WITH li AS (
+                SELECT l_shipdate,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                FROM lineitem
+            ), bb AS (
+                SELECT cents // 100000 AS bin, COUNT(*) AS b FROM li
+                WHERE l_shipdate < TIMESTAMP '1997-01-01' GROUP BY 1
+            ), cc AS (
+                SELECT cents // 100000 AS bin, COUNT(*) AS c FROM li
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01' GROUP BY 1
+            ), j AS (
+                SELECT COALESCE(bb.bin, cc.bin) AS bin,
+                       COALESCE(b, 0) AS b, COALESCE(c, 0) AS c
+                FROM bb FULL OUTER JOIN cc ON bb.bin = cc.bin
+            ), t AS (
+                SELECT CAST(SUM(b) AS BIGINT) AS nb, CAST(SUM(c) AS BIGINT) AS nc,
+                       COUNT(*) AS n_bins
+                FROM j
+            ), packed AS (
+                SELECT nb, nc, n_bins,
+                       list(struct_pack(k := bin, b := b, c := c) ORDER BY bin) AS bins
+                FROM j, t GROUP BY nb, nc, n_bins
+            )
+            SELECT nb AS n_baseline, nc AS n_current, n_bins,
+                   round(0.0 + list_reduce(list_transform(bins,
+                       s -> CAST((CAST(nb AS HUGEINT) * s.c - CAST(nc AS HUGEINT) * s.b)
+                                 * (CAST(nb AS HUGEINT) * s.c - CAST(nc AS HUGEINT) * s.b)
+                                 AS DOUBLE)
+                            / CAST(CAST(nb AS HUGEINT) * nc * (s.b + s.c) AS DOUBLE)),
+                       (x, y) -> x + y), 6) AS chi2
+            FROM packed
         """,
         "ewma_smooth": _ewma_sql(),
         "fk_orphans": """

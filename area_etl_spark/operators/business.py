@@ -1,0 +1,100 @@
+"""Business-analytics rollups: period bridges and RFM segmentation.
+
+The "explain the change" and "who are my customers" staples every
+warehouse team rebuilds; both are exact-integer compositions of joins,
+windows, and aggregates — no new machinery, just the shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def revenue_bridge(
+    prior: DataFrame,
+    current: DataFrame,
+    key_col: str,
+    amount_col: str,
+) -> DataFrame:
+    """Period-over-period revenue bridge (waterfall decomposition).
+
+    Inputs: per-key integer amounts for two periods (pre-aggregated).
+    Every key is classified — new (no prior), churned (no current),
+    expansion (grew), contraction (shrank), flat — and the bridge sums
+    per-category deltas, which reconcile EXACTLY to total change (the
+    point of a bridge; floats would leak cents).  One full-outer join on
+    the key + one small rollup.
+    """
+    p = prior.select(F.col(key_col).alias("_k"), F.col(amount_col).alias("_prior"))
+    c = current.select(F.col(key_col).alias("_k"), F.col(amount_col).alias("_cur"))
+    j = p.join(c, "_k", "full_outer").select(
+        F.coalesce(F.col("_prior"), F.lit(0)).alias("p"),
+        F.coalesce(F.col("_cur"), F.lit(0)).alias("c"),
+        F.col("_prior").isNull().alias("is_new"),
+        F.col("_cur").isNull().alias("is_churned"),
+    )
+    category = (
+        F.when(F.col("is_new"), F.lit("new"))
+        .when(F.col("is_churned"), F.lit("churned"))
+        .when(F.col("c") > F.col("p"), F.lit("expansion"))
+        .when(F.col("c") < F.col("p"), F.lit("contraction"))
+        .otherwise(F.lit("flat"))
+    )
+    return (
+        j.withColumn("category", category)
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.col("c") - F.col("p")).alias("delta"),
+        )
+    )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    as_of,
+    buckets: int = 5,
+) -> DataFrame:
+    """RFM segmentation: recency / frequency / monetary quintile codes.
+
+    Per key: recency = days since last order (as of ``as_of``), frequency
+    = order count, monetary = exact integer amount sum; each axis is cut
+    into ``buckets`` ntiles (5 = the classic 555..111 codes, 5 best) with
+    the key id as the deterministic tie-breaker, and the segment code is
+    ``r·100 + f·10 + m``.  The ntile windows are global BY SEMANTICS but
+    run over the per-key AGGREGATE (one row per key), not the order rows —
+    the same bounded-window argument as the equi-depth histogram; for
+    key cardinalities beyond a single sort, swap ntile for broadcast
+    percentile boundaries (operators/quality.equidepth_histogram).
+    """
+    per_key = orders.groupBy(key_col).agg(
+        F.max(ts_col).alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(amount_col).alias("monetary"),
+    ).withColumn("recency_days", F.datediff(F.lit(as_of).cast("date"), F.col("_last").cast("date")))
+    # recency: SMALLER is better → rank ascending on (-days) like the others
+    r = F.ntile(buckets).over(
+        Window.orderBy(F.col("recency_days").desc(), F.col(key_col).asc())
+    )
+    f_ = F.ntile(buckets).over(
+        Window.orderBy(F.col("frequency").asc(), F.col(key_col).asc())
+    )
+    m = F.ntile(buckets).over(
+        Window.orderBy(F.col("monetary").asc(), F.col(key_col).asc())
+    )
+    return per_key.select(
+        F.col(key_col),
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.alias("r_score"),
+        f_.alias("f_score"),
+        m.alias("m_score"),
+    ).withColumn(
+        "segment",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast("int"),
+    )

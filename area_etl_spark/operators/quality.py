@@ -445,3 +445,68 @@ def id_gap_report(df: DataFrame, id_col: str, bucket: int = 8192) -> DataFrame:
         "gap_end",
         (F.col("gap_end") - F.col("gap_start") + 1).alias("gap_width"),
     )
+
+
+def drift_chi2(
+    baseline: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    *,
+    bin_width: int,
+) -> DataFrame:
+    """Distribution drift between two snapshots of an integer metric —
+    the ML-ops monitor that catches silent input shift before the model
+    does.
+
+    Fixed-width bins (portable floor-div on integers, the histogram_bins
+    idiom) counted in each snapshot, then the two-sample chi-square
+    statistic Σ (n_b·c_i − n_c·b_i)² / (n_b·n_c·(b_i + c_i)) over bins
+    present in either — the exact-integer form of the usual PSI monitor
+    (PSI's ln() is not bit-portable across engines; chi-square orders
+    drifts identically and needs only IEEE division).  Returns one row:
+    the statistic, bin count, and both sample sizes.  Two count aggregates
+    + a full-outer join on the bin id; nothing global.
+    """
+    def bins(df: DataFrame, name: str) -> DataFrame:
+        b = F.expr(f"{value_col} div {bin_width}")
+        return df.groupBy(b.alias("_bin")).agg(F.count(F.lit(1)).alias(name))
+
+    j = (
+        bins(baseline, "n_base")
+        .join(bins(current, "n_cur"), "_bin", "full_outer")
+        .select(
+            F.col("_bin"),
+            F.coalesce(F.col("n_base"), F.lit(0)).alias("b"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).alias("c"),
+        )
+    )
+    tot = j.agg(
+        F.sum("b").alias("_nb"), F.sum("c").alias("_nc"), F.count(F.lit(1)).alias("n_bins")
+    )
+    # float terms are summed in SORTED BIN ORDER (array_sort → fold), never
+    # shuffle order — the entropy_per_user determinism idiom
+    packed = j.crossJoin(F.broadcast(tot)).groupBy("_nb", "_nc", "n_bins").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("_bin").alias("k"), F.col("b").alias("b"), F.col("c").alias("c"))
+            )
+        ).alias("_bins")
+    )
+    dec = "decimal(38,0)"
+
+    def term(s):
+        diff = (F.col("_nb") * s.getField("c") - F.col("_nc") * s.getField("b")).cast(dec)
+        den = (
+            F.col("_nb").cast(dec)
+            * F.col("_nc").cast(dec)
+            * (s.getField("b") + s.getField("c")).cast(dec)
+        ).cast("double")
+        return (diff * diff).cast("double") / den
+
+    chi2 = F.aggregate(F.col("_bins"), F.lit(0.0), lambda acc, s: acc + term(s))
+    return packed.select(
+        F.col("_nb").alias("n_baseline"),
+        F.col("_nc").alias("n_current"),
+        "n_bins",
+        F.round(chi2, 6).alias("chi2"),
+    )

@@ -1093,3 +1093,53 @@ def test_cuped_reduces_covariate_imbalance(spark):
     assert (out["A"].mean_adjusted, out["B"].mean_adjusted) == (126.0, 134.0)
     assert abs(adj_diff - 8.0) < 1e-6
     assert abs(adj_diff - 10.0) < abs(raw_diff - 10.0)  # closer to truth than raw
+
+
+def test_revenue_bridge_reconciles(spark):
+    from area_etl_spark.operators.business import revenue_bridge
+
+    prior = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300), (5, 50)], "k int, amt long"
+    )
+    current = spark.createDataFrame(
+        [(1, 150), (2, 200), (3, 100), (4, 400)], "k int, amt long"
+    )
+    out = {r.category: (r.n_keys, r.delta) for r in revenue_bridge(prior, current, "k", "amt").collect()}
+    assert out == {
+        "expansion": (1, 50),     # key 1
+        "flat": (1, 0),           # key 2
+        "contraction": (1, -200), # key 3
+        "new": (1, 400),          # key 4
+        "churned": (1, -50),      # key 5
+    }
+    # bridge reconciles exactly to total change: 850 - 650 = 200
+    assert sum(d for _, d in out.values()) == 200
+
+
+def test_rfm_segments_monotone(spark, tables):
+    from area_etl_spark.operators.business import rfm_segments
+    from pyspark.sql import functions as F
+
+    o = tables["orders"].select(
+        "o_custkey", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    rows = rfm_segments(o, "o_custkey", "o_orderdate", "cents", "2003-01-01").collect()
+    # every score in 1..5; the max-monetary customer must hold m_score 5
+    assert all(1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5 for r in rows)
+    best_m = max(rows, key=lambda r: r.monetary)
+    assert best_m.m_score == 5
+    stalest = max(rows, key=lambda r: r.recency_days)
+    assert stalest.r_score == 1
+
+
+def test_drift_chi2_zero_for_identical_nonzero_for_shifted(spark):
+    from area_etl_spark.operators.quality import drift_chi2
+
+    a = spark.createDataFrame([(i % 100,) for i in range(1000)], "v long")
+    b = spark.createDataFrame([(i % 100 + 500,) for i in range(1000)], "v long")
+    same = drift_chi2(a, a, "v", bin_width=10).collect()[0]
+    assert same.chi2 == 0.0
+    shifted = drift_chi2(a, b, "v", bin_width=10).collect()[0]
+    assert shifted.chi2 > 100  # disjoint supports → near-maximal statistic
+    assert shifted.n_baseline == shifted.n_current == 1000
