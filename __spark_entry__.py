@@ -1211,6 +1211,36 @@ def q_drift_chi2(spark, sf_dir):
     return drift_chi2(base, cur, "cents", bin_width=100_000)
 
 
+def q_knn_classify(spark, sf_dir):
+    """k-NN majority-vote labeling: every 40th vector classified by its 5
+    nearest corpus neighbors (cosine, rounded before ranking; ties →
+    smaller label via struct-min argmax)."""
+    from area_etl_spark.operators.similarity import knn_classify
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    queries = emb.where(F.col("vec_id") % 40 == 0)
+    corpus = emb.where(F.col("vec_id") % 40 != 0)
+    return knn_classify(corpus, queries, k=5)
+
+
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension embedding health stats (dead/saturated-dim monitor):
+    floats quantized to exact 1e-6 integer units first, so the sums are
+    engine-reproducible."""
+    from area_etl_spark.operators.similarity import embedding_dim_stats
+
+    return embedding_dim_stats(_tables(spark, sf_dir)["embeddings"])
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Symmetric int8 vector quantization (4× ANN storage cut): per-vector
+    amax scaling, portable floor(+0.5) rounding, dequant scale kept."""
+    from area_etl_spark.operators.similarity import quantize_int8
+
+    emb = _tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    return quantize_int8(emb).select("vec_id", "q8", "q_scale")
+
+
 def _ewma_sql(n_lags: int = 16) -> str:
     """DuckDB replay of the exact truncated α=1/2 EWMA: the same 16 lag
     terms with power-of-two weights, generated to match ewma_smooth."""
@@ -3414,6 +3444,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_bridge": q_revenue_bridge,
         "rfm_segments": q_rfm_segments,
         "drift_chi2": q_drift_chi2,
+        "knn_classify": q_knn_classify,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "embedding_quantize": q_embedding_quantize,
         # — displaced rotation candidates (machinery r6-green via
         #   compositions) —
         "scd2_intervals": q_scd2_intervals,
@@ -6111,6 +6144,76 @@ def oracle_sql() -> dict[str, str]:
                    first(cents ORDER BY p DESC, c_custkey DESC, cents DESC)
                        FILTER (WHERE cents IS NOT NULL) AS cents
             FROM pri GROUP BY cluster
+        """,
+        "knn_classify": f"""
+            WITH q AS (
+                SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                WHERE vec_id % 40 = 0
+            ), c AS (
+                SELECT vec_id AS cid, embedding AS cv, label FROM embeddings
+                WHERE vec_id % 40 <> 0
+            ), scored AS (
+                SELECT qid, cid, label,
+                       round({_cos2_sql("qv", "cv")}, 6) AS cos
+                FROM q CROSS JOIN c
+            ), top AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY cos DESC, cid) AS rn
+                    FROM scored
+                ) WHERE rn <= 5
+            ), votes AS (
+                SELECT qid, label, COUNT(*) AS v FROM top GROUP BY 1, 2
+            ), best AS (
+                SELECT qid, label, v,
+                       row_number() OVER (PARTITION BY qid
+                           ORDER BY v DESC, label ASC) AS rn
+                FROM votes
+            )
+            SELECT qid AS query_id, label AS predicted_label,
+                   CAST(v AS BIGINT) AS votes
+            FROM best WHERE rn = 1
+        """,
+        "embedding_dim_stats": """
+            WITH ex AS (
+                SELECT unnest(list_transform(embedding,
+                           (v, i) -> struct_pack(dim := i - 1, v := v))) AS s
+                FROM embeddings
+            ), qq AS (
+                SELECT s.dim AS dim,
+                       CAST(floor(CAST(s.v AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+                FROM ex
+            ), a AS (
+                SELECT dim, COUNT(*) AS n,
+                       CAST(SUM(CAST(q AS HUGEINT)) AS HUGEINT) AS s,
+                       CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS ss,
+                       MIN(q) AS mn, MAX(q) AS mx
+                FROM qq GROUP BY dim
+            )
+            SELECT CAST(dim AS INT) AS dim, n,
+                   round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS mean,
+                   round(sqrt(greatest(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                              - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0))
+                         / 1000000.0, 6) AS std,
+                   round(CAST(mn AS DOUBLE) / 1000000.0, 6) AS min,
+                   round(CAST(mx AS DOUBLE) / 1000000.0, 6) AS max
+            FROM a
+        """,
+        "embedding_quantize": """
+            SELECT vec_id,
+                   CASE WHEN amax > 0
+                        THEN list_transform(embedding,
+                             x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5)
+                                       AS INT))
+                        ELSE list_transform(embedding, x -> 0) END AS q8,
+                   round(amax / 127.0, 9) AS q_scale
+            FROM (
+                SELECT vec_id, embedding,
+                       CAST(list_aggregate(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE))), 'max') AS DOUBLE) AS amax
+                FROM embeddings
+            )
         """,
         "revenue_bridge": """
             WITH o AS (

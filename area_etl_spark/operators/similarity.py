@@ -482,3 +482,120 @@ def pq_adc_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification over an embedding corpus.
+
+    Each query vector takes the majority label of its k nearest corpus
+    neighbors by cosine (ties: higher vote count, then SMALLER label — the
+    deterministic struct-min argmax).  This is the brute-force verifier
+    tier: query×corpus cosine join → per-query top-k window → vote
+    aggregate; at scale swap the first stage for the LSH/IVF/PQ shortlists
+    (same downstream vote — the stages compose).  Cosines are rounded
+    before ranking so the k-frontier is engine-stable.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cv"),
+        F.col(label_col).alias("_lbl"),
+    )
+    sim = F.round(
+        _dot(F.col("_qv"), F.col("_cv"))
+        / (_norm(F.col("_qv")) * _norm(F.col("_cv"))),
+        6,
+    )
+    scored = q.crossJoin(c).select("_qid", "_cid", "_lbl", sim.alias("_cos"))
+    w = Window.partitionBy("_qid").orderBy(F.col("_cos").desc(), F.col("_cid").asc())
+    top = scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    votes = top.groupBy("_qid", "_lbl").agg(F.count(F.lit(1)).alias("_votes"))
+    best = votes.groupBy("_qid").agg(
+        F.min(F.struct((-F.col("_votes")).alias("nv"), F.col("_lbl").alias("l"))).alias("_b")
+    )
+    return best.select(
+        F.col("_qid").alias("query_id"),
+        F.col("_b").getField("l").alias("predicted_label"),
+        (-F.col("_b").getField("nv")).alias("votes"),
+    )
+
+
+def embedding_dim_stats(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-dimension health stats for an embedding column — the feature
+    monitor that catches a dead/saturated dimension before training does.
+
+    Floats are quantized to ``scale`` integer units FIRST (floor(x·s+0.5),
+    the portable round), so the per-dimension sums are exact BIGINTs and
+    mean/variance are engine-reproducible closed forms.  One posexplode
+    (narrow) + one (dim) aggregate; output rows = dimensions.
+    """
+    dec = "decimal(38,0)"
+    qv = F.floor(F.col("_v").cast("double") * scale + F.lit(0.5)).cast("long")
+    exploded = df.select(
+        F.posexplode(F.col(vec_col)).alias("dim", "_v")
+    ).withColumn("_q", qv)
+    agg = exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_q").cast(dec)).alias("_s"),
+        F.sum((F.col("_q") * F.col("_q")).cast(dec)).alias("_ss"),
+        F.min("_q").alias("_mn"),
+        F.max("_q").alias("_mx"),
+    )
+    n = F.col("n").cast("double")
+    mean_q = F.col("_s").cast("double") / n
+    var_q = F.col("_ss").cast("double") / n - mean_q * mean_q
+    s = float(scale)
+    return agg.select(
+        "dim",
+        "n",
+        F.round(mean_q / s, 6).alias("mean"),
+        F.round(F.sqrt(F.greatest(var_q, F.lit(0.0))) / s, 6).alias("std"),
+        F.round(F.col("_mn") / s, 6).alias("min"),
+        F.round(F.col("_mx") / s, 6).alias("max"),
+    )
+
+
+def quantize_int8(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "q8",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric int8 vector quantization — the 4× storage/bandwidth cut
+    every large ANN index applies before sharding.
+
+    Per vector: amax = max |x|, code_i = floor(x_i·127/amax + 0.5) ∈
+    [−127, 127] (floor(+0.5) is the portable round — engines disagree on
+    round()'s half rule), scale = amax/127 for dequantization.  Pure
+    higher-order expressions, zero shuffles; the zero vector quantizes to
+    zeros with scale 0.
+    """
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    code = F.transform(
+        v,
+        lambda x: F.when(amax > 0, F.floor(x.cast("double") * 127.0 / amax + 0.5))
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    return df.withColumn(out_col, code).withColumn(
+        scale_col, F.round(amax / F.lit(127.0), 9)
+    )

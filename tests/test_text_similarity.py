@@ -438,3 +438,50 @@ def test_pq_adc_topk_overlaps_exact(spark, tables):
     exact = {r.vec_id for r in cosine_topk(emb, q, k=10).collect()}
     approx = {r.vec_id for r in pq_adc_topk(emb, q, k=10, n_subspaces=16, ks=16, refine=50).collect()}
     assert len(exact & approx) >= 7, (exact, approx)
+
+
+def test_knn_classify_separable_clusters(spark):
+    from area_etl_spark.operators.similarity import knn_classify
+
+    # two orthogonal-ish clusters: label 0 near e1, label 1 near e2
+    def vec(base, eps):
+        return [base[0] + eps, base[1], base[2] + eps / 2]
+
+    rows = [(i, vec([1.0, 0.0, 0.0], i * 0.01), 0) for i in range(5)] + [
+        (10 + i, vec([0.0, 1.0, 0.0], i * 0.01), 1) for i in range(5)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    queries = spark.createDataFrame(
+        [(100, [0.9, 0.1, 0.0]), (101, [0.05, 0.99, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.query_id: (r.predicted_label, r.votes) for r in knn_classify(corpus, queries, k=3).collect()}
+    assert out == {100: (0, 3), 101: (1, 3)}
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    from area_etl_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: (r.q8, r.q_scale) for r in quantize_int8(df).collect()}
+    codes, scale = out[1]
+    assert max(abs(c) for c in codes) == 127  # amax element hits full range
+    for c, x in zip(codes, [0.5, -1.0, 0.25, 0.0]):
+        # half-step bound, plus the 9-digit rounding of q_scale itself
+        # (|c| ≤ 127 amplifies that rounding by up to ~1e-7)
+        assert abs(c * scale - x) <= scale / 2 + 1e-6
+    assert out[2] == ([0, 0, 0, 0], 0.0)  # zero vector: zero codes, zero scale
+
+
+def test_embedding_dim_stats_shapes(spark, tables):
+    from area_etl_spark.operators.similarity import embedding_dim_stats
+
+    out = embedding_dim_stats(tables["embeddings"]).collect()
+    dims = {r.dim for r in out}
+    assert dims == set(range(64))
+    for r in out:
+        assert r.min <= r.mean <= r.max
+        assert r.std >= 0
