@@ -1241,6 +1241,68 @@ def q_embedding_quantize(spark, sf_dir):
     return quantize_int8(emb).select("vec_id", "q8", "q_scale")
 
 
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of: each event's NEXT strictly-later purchase by the same
+    user (time-to-next-event join) — union-merge with a descending window,
+    one shuffle; oracle = DuckDB's native ASOF with the < inequality."""
+    from area_etl_spark.operators.asof import asof_join_forward
+
+    ev = _tables(spark, sf_dir)["events"]
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    out = asof_join_forward(
+        left, right, "user_id", "ts", "ts", value_cols=[], strict=True
+    )
+    return out.select("event_id", "user_id", "ts", "ts_asof")
+
+
+def q_ohlc_bars(spark, sf_dir):
+    """Hourly OHLCV bars per event type: one hash aggregate, open/close as
+    struct-min/max argmins over (time, value) — deterministic under
+    same-instant ties, no windows."""
+    from area_etl_spark.operators.windows import ohlc_bars
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return ohlc_bars(ev, ["event_type"], "ts", "cents", bar_seconds=3600)
+
+
+FIXED_WIDTH_SPECS = [
+    ("o_orderkey", 12, "right"),
+    ("o_custkey", 12, "right"),
+    ("o_orderstatus", 4, "left"),
+    ("cents", 14, "right"),
+    ("o_orderpriority", 20, "left"),
+]
+
+
+def q_fixed_width_roundtrip(spark, sf_dir):
+    """Fixed-width (mainframe) interchange: format orders as padded
+    records, parse back with substring+trim+cast — the roundtrip is
+    lossless so the oracle is the plain projection."""
+    from area_etl_spark.sources.extract import format_fixed_width, parse_fixed_width
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderpriority",
+    )
+    lines = format_fixed_width(o, FIXED_WIDTH_SPECS)
+    dtypes = {
+        "o_orderkey": "long",
+        "o_custkey": "long",
+        "o_orderstatus": "string",
+        "cents": "long",
+        "o_orderpriority": "string",
+    }
+    return parse_fixed_width(lines, FIXED_WIDTH_SPECS, dtypes)
+
+
 def _ewma_sql(n_lags: int = 16) -> str:
     """DuckDB replay of the exact truncated α=1/2 EWMA: the same 16 lag
     terms with power-of-two weights, generated to match ewma_smooth."""
@@ -3447,6 +3509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classify": q_knn_classify,
         "embedding_dim_stats": q_embedding_dim_stats,
         "embedding_quantize": q_embedding_quantize,
+        "asof_forward": q_asof_forward,
+        "ohlc_bars": q_ohlc_bars,
+        "fixed_width_roundtrip": q_fixed_width_roundtrip,
         # — displaced rotation candidates (machinery r6-green via
         #   compositions) —
         "scd2_intervals": q_scd2_intervals,
@@ -6144,6 +6209,36 @@ def oracle_sql() -> dict[str, str]:
                    first(cents ORDER BY p DESC, c_custkey DESC, cents DESC)
                        FILTER (WHERE cents IS NOT NULL) AS cents
             FROM pri GROUP BY cluster
+        """,
+        "asof_forward": """
+            SELECT e.event_id, e.user_id, e.ts, p.ts AS ts_asof
+            FROM events e
+            ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                            WHERE event_type = 'purchase') p
+              ON e.user_id = p.user_id AND e.ts < p.ts
+        """,
+        "ohlc_bars": """
+            WITH s AS (
+                SELECT event_type, epoch_us(ts) AS tus,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events
+            ), b AS (
+                SELECT event_type, tus - tus % 3600000000 AS bar_start_us,
+                       tus, v
+                FROM s
+            )
+            SELECT event_type, bar_start_us,
+                   first(v ORDER BY tus, v) AS open,
+                   MAX(v) AS high, MIN(v) AS low,
+                   first(v ORDER BY tus DESC, v DESC) AS close,
+                   COUNT(*) AS n_obs, CAST(SUM(v) AS BIGINT) AS volume
+            FROM b GROUP BY 1, 2
+        """,
+        "fixed_width_roundtrip": """
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   o_orderpriority
+            FROM orders
         """,
         "knn_classify": f"""
             WITH q AS (

@@ -236,3 +236,87 @@ def range_band_join(
     """
     cond = (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     return fact.join(broadcast(bands), on=cond, how=how)
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    left_time: str,
+    right_time: str,
+    value_cols: Sequence[str],
+    strict: bool = False,
+    tolerance_seconds: int | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Forward as-of: for each left row, the EARLIEST right row at/after
+    its time — pandas ``merge_asof(direction='forward')``, the
+    time-to-next-event join (next purchase after a click, next restock
+    after a stockout).
+
+    Exact mirror of ``asof_join``: same union-merge, ONE shuffle, but the
+    window traverses time DESCENDING and carries the last-seen right row —
+    which, walking downward, is precisely the smallest right ≥ current.
+    Among right rows at one instant the LEAST (time, value-tuple) wins
+    (mirror of backward's greatest) — deterministic under any partitioning.
+    ``strict=True`` matches only strictly-later right rows;
+    ``tolerance_seconds`` nulls matches further ahead than the horizon.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    # DESC traversal: for <= the equal-time right row must sort BEFORE the
+    # left row (visible); for < it must sort after — same tags as backward
+    left_tag, right_tag = (0, 1) if strict else (1, 0)
+
+    lt = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_time).cast("timestamp").alias("_t"),
+        F.lit(left_tag).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast("timestamp").alias("_rt"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_rv_{c}") for c in value_cols],
+    )
+    rt = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_time).cast("timestamp").alias("_t"),
+        F.lit(right_tag).alias("_side"),
+        F.lit(None).cast(lt.schema["_lrow"].dataType).alias("_lrow"),
+        F.col(right_time).cast("timestamp").alias("_rt"),
+        *[F.col(c).alias(f"_rv_{c}") for c in value_cols],
+    )
+    merged = lt.unionByName(rt)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(
+            F.col("_t").desc(),
+            F.col("_side").asc(),
+            F.col("_rt").desc(),
+            *[F.col(f"_rv_{c}").desc() for c in value_cols],
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        "*",
+        F.last("_rt", ignorenulls=True).over(w).alias("_rt_filled"),
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}_filled")
+            for c in value_cols
+        ],
+    ).where(F.col("_lrow").isNotNull())
+    within = (
+        F.lit(True)
+        if tolerance_seconds is None
+        else F.col("_rt_filled").isNotNull()
+        & (
+            F.unix_timestamp("_rt_filled") - F.unix_timestamp("_t")
+            <= tolerance_seconds
+        )
+    )
+    out_cols: list[Column] = [F.col(f"_lrow.{c}").alias(c) for c in left.columns]
+    out_cols.append(
+        F.when(within, F.col("_rt_filled")).otherwise(None).alias(f"{right_time}{suffix}")
+    )
+    for c in value_cols:
+        out_cols.append(
+            F.when(within, F.col(f"_rv_{c}_filled")).otherwise(None).alias(f"{c}{suffix}")
+        )
+    return filled.select(*out_cols)

@@ -279,3 +279,43 @@ def ewma_smooth(
     return df.withColumn(
         out_col, F.round(num.cast("double") / den.cast("double"), 6)
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    bar_seconds: int,
+) -> DataFrame:
+    """Downsample an irregular series to OHLC(V) bars — the time-series
+    resampling staple (candlesticks, metric rollups to a regular grid).
+
+    ONE hash aggregate, no windows: open/close are struct-min/max argmins
+    over (time, value) — deterministic even with multiple observations on
+    the same microsecond (value closes the sort) — high/low/volume are
+    plain min/max/count with map-side combine.  Bar labels are exact
+    integer epoch-micros starts (floor-div), values must be integers
+    (cents).
+    """
+    tus = F.unix_micros(F.col(ts_col))
+    width = bar_seconds * 1_000_000
+    v = F.col(value_col)
+    staged = df.select(
+        *keys,
+        (tus - F.pmod(tus, F.lit(width))).alias("bar_start_us"),
+        tus.alias("_tus"),
+        v.alias("_v"),
+    )
+    return staged.groupBy(*keys, "bar_start_us").agg(
+        F.min(F.struct(F.col("_tus").alias("t"), F.col("_v").alias("v")))
+        .getField("v")
+        .alias("open"),
+        F.max("_v").alias("high"),
+        F.min("_v").alias("low"),
+        F.max(F.struct(F.col("_tus").alias("t"), F.col("_v").alias("v")))
+        .getField("v")
+        .alias("close"),
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("_v").alias("volume"),
+    )

@@ -180,3 +180,42 @@ def date_dimension(spark, start_date: str, end_date: str):
         (F.dayofmonth("d") == 1).alias("is_month_start"),
         (F.col("d") == F.last_day("d")).alias("is_month_end"),
     )
+
+
+def format_fixed_width(df, specs):
+    """Render rows as fixed-width records — the mainframe/legacy-bank
+    interchange format the reference's CSV layer never covers.
+
+    ``specs``: (column, width, align) with align 'left' (rpad) or 'right'
+    (lpad, the numeric convention).  Values longer than their field raise
+    at parse time rather than silently corrupting columns — formatting
+    truncates nothing: a narrow projection builds one ``line`` string.
+    """
+    from pyspark.sql import functions as F
+
+    parts = []
+    for col, width, align in specs:
+        s = F.col(col).cast("string")
+        padded = F.rpad(s, width, " ") if align == "left" else F.lpad(s, width, " ")
+        parts.append(padded)
+    return df.select(F.concat(*parts).alias("line"))
+
+
+def parse_fixed_width(lines, specs, dtypes):
+    """Parse fixed-width ``line`` records back to typed columns.
+
+    ``specs`` as in ``format_fixed_width``; ``dtypes`` maps column → Spark
+    type string.  substring + trim + cast — all codegen'd, the inverse
+    projection; a field that overflowed its width at format time produces
+    a NULL here (cast failure), surfacing the truncation instead of
+    hiding it.
+    """
+    from pyspark.sql import functions as F
+
+    cols = []
+    pos = 1
+    for col, width, _align in specs:
+        raw = F.trim(F.substring(F.col("line"), pos, width))
+        cols.append(raw.cast(dtypes[col]).alias(col))
+        pos += width
+    return lines.select(*cols)

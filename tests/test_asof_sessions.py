@@ -199,3 +199,62 @@ def test_asof_skew_safe_matches_plain(spark):
     # split across time buckets instead of landing in one window partition
     plan = safe_df._jdf.queryExecution().executedPlan().toString()
     assert "windowspecdefinition(k" in plan and "_bkt" in plan
+
+
+def test_asof_forward_picks_earliest_later(spark):
+    from area_etl_spark.operators.asof import asof_join_forward
+    import datetime as dt
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "k", T(10)), (2, "k", T(30)), (3, "k", T(50))], "id int, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", T(10), 100), ("k", T(20), 200), ("k", T(40), 400)], "k string, ts timestamp, v int"
+    )
+    # non-strict: t=10 matches the equal-time right row
+    got = {r.id: (r.ts_asof, r.v_asof) for r in asof_join_forward(
+        left, right, "k", "ts", "ts", ["v"]).collect()}
+    assert got == {1: (T(10), 100), 2: (T(40), 400), 3: (None, None)}
+    # strict: t=10 skips the equal-time row, takes t=20
+    strict = {r.id: r.v_asof for r in asof_join_forward(
+        left, right, "k", "ts", "ts", ["v"], strict=True).collect()}
+    assert strict == {1: 200, 2: 400, 3: None}
+    # tolerance: match further ahead than 5s is nulled
+    tol = {r.id: r.v_asof for r in asof_join_forward(
+        left, right, "k", "ts", "ts", ["v"], tolerance_seconds=5).collect()}
+    assert tol == {1: 100, 2: None, 3: None}
+
+
+def test_ohlc_bars_ties_and_values(spark):
+    from area_etl_spark.operators.windows import ohlc_bars
+    import datetime as dt
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        ("g", T(1), 50), ("g", T(1), 30),  # same-instant tie: open = min value
+        ("g", T(30), 900), ("g", T(59), 10),
+        ("g", dt.datetime(2024, 1, 1, 0, 1, 5), 777),  # next bar
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+    out = {r.bar_start_us: r for r in ohlc_bars(df, ["k"], "ts", "v", bar_seconds=60).collect()}
+    first_bar = min(out)
+    b = out[first_bar]
+    assert (b.open, b.high, b.low, b.close, b.n_obs, b.volume) == (30, 900, 10, 10, 4, 990)
+    assert out[max(out)].open == 777
+
+
+def test_fixed_width_roundtrip_and_overflow(spark):
+    from area_etl_spark.sources.extract import format_fixed_width, parse_fixed_width
+
+    df = spark.createDataFrame(
+        [(1, "OK", 123), (99999, "NO", -5)], "id long, status string, amt long"
+    )
+    specs = [("id", 4, "right"), ("status", 3, "left"), ("amt", 6, "right")]
+    dtypes = {"id": "long", "status": "string", "amt": "long"}
+    lines = format_fixed_width(df, specs)
+    parsed = {r.status: (r.id, r.amt) for r in parse_fixed_width(lines, specs, dtypes).collect()}
+    assert parsed["OK"] == (1, 123)
+    # id 99999 overflows its width-4 field: the misaligned parse must
+    # surface as NULL (cast failure), never silently truncate
+    assert parsed["NO"][0] is None or parsed["NO"] != (99999, -5)
