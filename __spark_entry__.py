@@ -1303,6 +1303,83 @@ def q_fixed_width_roundtrip(spark, sf_dir):
     return parse_fixed_width(lines, FIXED_WIDTH_SPECS, dtypes)
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase query ('hash join') over the positional inverted
+    index: pruned postings joined per term, adjacency via shifted position
+    intersection — Lucene's positional merge, relationally."""
+    from area_etl_spark.operators.indexing import phrase_search, positional_index
+
+    idx = positional_index(_tables(spark, sf_dir)["documents"])
+    return phrase_search(idx, ["hash", "join"])
+
+
+TABLE_CHECKSUM_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "cents",
+    "o_orderpriority",
+]
+
+
+def q_table_checksum(spark, sf_dir):
+    """Order-independent migration checksum of orders: commutative sum of
+    48-bit md5 prefixes over a canonical row encoding — one scan, any
+    partitioning, replayable in any engine."""
+    from area_etl_spark.operators.quality import table_checksum
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderpriority",
+    )
+    return table_checksum(o, TABLE_CHECKSUM_COLS)
+
+
+def q_group_sample_n(spark, sf_dir):
+    """Balanced corpus construction: exactly 2 deterministic docs per
+    (lang, source) cell via md5-ordered in-group ranks."""
+    from area_etl_spark.operators.sampling import group_sample_n
+
+    d = _tables(spark, sf_dir)["documents"].select("doc_id", "lang", "source")
+    return group_sample_n(d, ["lang", "source"], "doc_id", n=2)
+
+
+def q_ltv_curve(spark, sf_dir):
+    """Cohort LTV curve: signup-week cohorts × days-since-signup, per-day
+    purchase revenue and its running total (exact cents; the post-agg
+    cumulative window is bounded by days-per-cohort)."""
+    from pyspark.sql import Window
+
+    ev = _tables(spark, sf_dir)["events"]
+    signups = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    j = purchases.join(signups, "user_id").where(F.col("ts") >= F.col("signup_ts"))
+    daily = (
+        j.select(
+            F.date_trunc("week", F.col("signup_ts")).cast("date").alias("cohort_week"),
+            F.datediff(F.col("ts").cast("date"), F.col("signup_ts").cast("date")).alias(
+                "day_offset"
+            ),
+            "cents",
+        )
+        .groupBy("cohort_week", "day_offset")
+        .agg(F.sum("cents").alias("revenue_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.withColumn("cum_revenue_cents", F.sum("revenue_cents").over(w))
+
+
 def _ewma_sql(n_lags: int = 16) -> str:
     """DuckDB replay of the exact truncated α=1/2 EWMA: the same 16 lag
     terms with power-of-two weights, generated to match ewma_smooth."""
@@ -3512,6 +3589,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward": q_asof_forward,
         "ohlc_bars": q_ohlc_bars,
         "fixed_width_roundtrip": q_fixed_width_roundtrip,
+        "phrase_search": q_phrase_search,
+        "table_checksum": q_table_checksum,
+        "group_sample_n": q_group_sample_n,
+        "ltv_curve": q_ltv_curve,
         # — displaced rotation candidates (machinery r6-green via
         #   compositions) —
         "scd2_intervals": q_scd2_intervals,
@@ -6209,6 +6290,83 @@ def oracle_sql() -> dict[str, str]:
                    first(cents ORDER BY p DESC, c_custkey DESC, cents DESC)
                        FILTER (WHERE cents IS NOT NULL) AS cents
             FROM pri GROUP BY cluster
+        """,
+        "phrase_search": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           string_split_regex(trim(lower(text)), '\\s+'),
+                           (t, i) -> struct_pack(pos := i - 1, term := t))) AS s
+                FROM documents
+            ), t AS (
+                SELECT doc_id, s.pos AS pos, s.term AS term
+                FROM toks WHERE s.term <> ''
+            )
+            SELECT a.doc_id, COUNT(*) AS n_occurrences
+            FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            WHERE a.term = 'hash' AND b.term = 'join'
+            GROUP BY a.doc_id
+        """,
+        "table_checksum": """
+            WITH canon AS (
+                SELECT md5(
+                    CAST(o_orderkey AS VARCHAR) || chr(31)
+                    || CAST(o_custkey AS VARCHAR) || chr(31)
+                    || COALESCE(o_orderstatus, chr(0) || 'NULL') || chr(31)
+                    || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+                    || chr(31)
+                    || COALESCE(o_orderpriority, chr(0) || 'NULL')
+                ) AS h
+                FROM orders
+            ), v AS (
+                SELECT ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 17592186044416
+                      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 1099511627776
+                      + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 68719476736
+                      + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 4294967296
+                      + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 268435456
+                      + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 16777216
+                      + (strpos('0123456789abcdef', substr(h, 7, 1)) - 1) * 1048576
+                      + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1) * 65536
+                      + (strpos('0123456789abcdef', substr(h, 9, 1)) - 1) * 4096
+                      + (strpos('0123456789abcdef', substr(h, 10, 1)) - 1) * 256
+                      + (strpos('0123456789abcdef', substr(h, 11, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substr(h, 12, 1)) - 1)) AS x
+                FROM canon
+            )
+            SELECT COUNT(*) AS n_rows,
+                   CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS checksum
+            FROM v
+        """,
+        "group_sample_n": """
+            SELECT doc_id, lang, source FROM (
+                SELECT doc_id, lang, source,
+                       ROW_NUMBER() OVER (PARTITION BY lang, source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 2
+        """,
+        "ltv_curve": """
+            WITH signups AS (
+                SELECT user_id, MIN(ts) AS signup_ts
+                FROM events WHERE event_type = 'signup' GROUP BY user_id
+            ), j AS (
+                SELECT CAST(date_trunc('week', s.signup_ts) AS DATE) AS cohort_week,
+                       CAST(date_diff('day', CAST(s.signup_ts AS DATE),
+                                      CAST(e.ts AS DATE)) AS INT) AS day_offset,
+                       CAST(round(e.value * 100) AS BIGINT) AS cents
+                FROM events e JOIN signups s ON e.user_id = s.user_id
+                WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+            ), daily AS (
+                SELECT cohort_week, day_offset,
+                       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+                FROM j GROUP BY 1, 2
+            )
+            SELECT cohort_week, day_offset, revenue_cents,
+                   CAST(SUM(revenue_cents) OVER (PARTITION BY cohort_week
+                        ORDER BY day_offset
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_revenue_cents
+            FROM daily
         """,
         "asof_forward": """
             SELECT e.event_id, e.user_id, e.ts, p.ts AS ts_asof

@@ -148,3 +148,78 @@ def bm25_search(
         .limit(topk)
     )
     return scored
+
+
+def positional_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Positional inverted index: (shard_id, term, doc_id, positions_csv) —
+    the posting layout phrase and proximity queries need (Lucene's
+    ``.pos`` file, relationally).
+
+    One posexplode (token order IS position) → one (shard, term, doc)
+    aggregate with in-aggregate position sort.  Same shard-capped scale
+    argument as ``inverted_index``; rows are per (term, doc), positions
+    bounded by document length.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    toks = docs.select(
+        (F.col(id_col) % n_shards).cast("int").alias("shard_id"),
+        F.col(id_col),
+        F.posexplode(normalize_tokens(F.col(text_col))).alias("pos", "term"),
+    ).where(F.col("term") != "")
+    return (
+        toks.groupBy("shard_id", "term", id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_positions"))
+        .select(
+            "shard_id",
+            "term",
+            id_col,
+            F.concat_ws(",", F.col("_positions").cast("array<string>")).alias(
+                "positions_csv"
+            ),
+        )
+    )
+
+
+def phrase_search(
+    pos_index: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase query over the positional index: documents where the
+    terms occur at consecutive token positions, with the occurrence count.
+
+    The classic positional-postings merge, relationally: the first term's
+    postings join each later term's ON (doc, shard) — |phrase| bounded
+    hash joins on pruned index rows — and adjacency is an array
+    intersection (positions of term_i shifted by −i ∩ positions of
+    term_0).  Occurrences = size of the final intersection.
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase needs >= 2 terms")
+    base = pos_index.where(F.col("term") == phrase[0]).select(
+        "shard_id",
+        F.col(id_col),
+        F.split(F.col("positions_csv"), ",").cast("array<int>").alias("_acc"),
+    )
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = pos_index.where(F.col("term") == term).select(
+            "shard_id",
+            F.col(id_col),
+            F.split(F.col("positions_csv"), ",").cast("array<int>").alias("_p"),
+        )
+        shifted = F.transform(F.col("_p"), lambda p: p - i)
+        base = (
+            base.join(nxt, ["shard_id", id_col])
+            .withColumn("_acc", F.array_intersect(F.col("_acc"), shifted))
+            .drop("_p")
+            .where(F.size(F.col("_acc")) > 0)
+        )
+    return base.select(
+        F.col(id_col), F.size(F.col("_acc")).alias("n_occurrences")
+    )

@@ -510,3 +510,31 @@ def drift_chi2(
         "n_bins",
         F.round(chi2, 6).alias("chi2"),
     )
+
+
+def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-independent table fingerprint — source/target equality after a
+    migration for the price of one scan per side (the reference's whole
+    job, verified relationally).
+
+    Per row: md5 over a canonical encoding (columns cast to string,
+    unit-separator-joined, NULL marked distinctly from 'null' text), first
+    12 hex digits as a 48-bit integer, summed in DECIMAL(38,0) — the sum
+    is commutative, so the result is partition/order invariant, and md5 +
+    substring + hex arithmetic replay in any engine.  Collision note: a
+    48-bit additive checksum detects any single-row difference and all but
+    ~2⁻⁴⁸ of multi-row ones — a verification tool, not a security hash.
+    Returns one row: (n_rows, checksum).
+    """
+    canon = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+            for c in cols
+        ],
+    )
+    h48 = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h48.cast("decimal(38,0)")).alias("checksum"),
+    )

@@ -267,3 +267,26 @@ def negative_pairs(df: DataFrame, id_col: str, k: int) -> DataFrame:
         F.col("neg_i"),
         partner.alias("negative_id"),
     )
+
+
+def group_sample_n(
+    df: DataFrame, keys: list[str], id_col: str, n: int
+) -> DataFrame:
+    """Exactly min(n, group size) rows per group, deterministically — the
+    balanced-dataset constructor (equal examples per class/language/source).
+
+    Rank within the group by (md5(id), id) — a uniform, partition-invariant
+    order — and keep rank ≤ n.  Unlike a fraction-based sample the output
+    size is exact; unlike ``LIMIT`` per group it is stable across runs and
+    engines.  One window shuffle on the group keys.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
+    )

@@ -74,3 +74,24 @@ def test_bm25_topk_cut_deterministic(spark):
     out = bm25_search(docs, ["spark"], topk=10).collect()
     assert [r.doc_id for r in out] == list(range(10))
     assert len({r.score for r in out}) == 1
+
+
+def test_phrase_search_adjacency_and_counts(spark):
+    from area_etl_spark.operators.indexing import phrase_search, positional_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join beats sort merge join"),
+            (2, "join hash is reversed"),
+            (3, "hash join again hash join"),
+            (4, "hash only"),
+        ],
+        "doc_id int, text string",
+    )
+    idx = positional_index(docs)
+    out = {r.doc_id: r.n_occurrences for r in phrase_search(idx, ["hash", "join"]).collect()}
+    assert out == {1: 1, 3: 2}
+    # three-term phrase crosses two joins
+    tri = {r.doc_id: r.n_occurrences
+           for r in phrase_search(idx, ["sort", "merge", "join"]).collect()}
+    assert tri == {1: 1}

@@ -1143,3 +1143,33 @@ def test_drift_chi2_zero_for_identical_nonzero_for_shifted(spark):
     shifted = drift_chi2(a, b, "v", bin_width=10).collect()[0]
     assert shifted.chi2 > 100  # disjoint supports → near-maximal statistic
     assert shifted.n_baseline == shifted.n_current == 1000
+
+
+def test_table_checksum_order_invariant_and_sensitive(spark):
+    from area_etl_spark.operators.quality import table_checksum
+
+    rows = [(1, "a", 10), (2, None, 20), (3, "c", 30)]
+    df = spark.createDataFrame(rows, "id int, s string, v long")
+    base = table_checksum(df, ["id", "s", "v"]).collect()[0]
+    reparted = table_checksum(df.repartition(7), ["id", "s", "v"]).collect()[0]
+    assert (base.n_rows, base.checksum) == (reparted.n_rows, reparted.checksum)
+    # a single changed cell changes the checksum
+    changed = spark.createDataFrame([(1, "a", 10), (2, None, 21), (3, "c", 30)], "id int, s string, v long")
+    assert table_checksum(changed, ["id", "s", "v"]).collect()[0].checksum != base.checksum
+    # NULL and the literal string marker must hash differently from 'NULL'
+    lit_null = spark.createDataFrame([(1, "a", 10), (2, "NULL", 20), (3, "c", 30)], "id int, s string, v long")
+    assert table_checksum(lit_null, ["id", "s", "v"]).collect()[0].checksum != base.checksum
+
+
+def test_group_sample_n_exact_and_stable(spark, tables):
+    from area_etl_spark.operators.sampling import group_sample_n
+    from pyspark.sql import functions as F
+
+    d = tables["documents"].select("doc_id", "lang", "source")
+    out = group_sample_n(d, ["lang", "source"], "doc_id", n=2)
+    sizes = out.groupBy("lang", "source").count().collect()
+    orig = {(r.lang, r.source): r["count"] for r in d.groupBy("lang", "source").count().collect()}
+    for r in sizes:
+        assert r["count"] == min(2, orig[(r.lang, r.source)])
+    again = group_sample_n(d.repartition(11), ["lang", "source"], "doc_id", n=2)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
