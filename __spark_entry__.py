@@ -1380,6 +1380,100 @@ def q_ltv_curve(spark, sf_dir):
     return daily.withColumn("cum_revenue_cents", F.sum("revenue_cents").over(w))
 
 
+def q_priority_sample_grouped(spark, sf_dir):
+    """Stratified weighted sampling: 5 quality-weighted docs per source via
+    per-group priority ranks (q = w/u, ln-free portable draw)."""
+    from area_etl_spark.operators.sampling import priority_sample_grouped
+
+    d = _tables(spark, sf_dir)["documents"].select("doc_id", "source", "n_chars")
+    return priority_sample_grouped(d, ["source"], "doc_id", "n_chars", k=5)
+
+
+WATERFALL_TIERS = [
+    ("exact", [("key_dirty", "c_custkey")]),
+    ("by_name", [("name_dirty", "c_name")]),
+]
+
+
+def q_waterfall_join(spark, sf_dir):
+    """Cascading match: dirty inbound rows resolve against the customer
+    master by exact key, then by name, else stay unmatched — each tier one
+    equi-join + anti-join on the shrinking remainder."""
+    from area_etl_spark.operators.joins import waterfall_join
+
+    cust = _tables(spark, sf_dir)["customer"]
+    incoming = cust.select(
+        F.col("c_custkey").alias("in_id"),
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_custkey"))
+        .otherwise(F.lit(-1))
+        .alias("key_dirty"),
+        F.when(F.col("c_custkey") % 3 != 2, F.col("c_name"))
+        .otherwise(F.concat(F.lit("zzz-"), F.col("c_custkey").cast("string")))
+        .alias("name_dirty"),
+    )
+    out = waterfall_join(
+        incoming, cust.select("c_custkey", "c_name"), "in_id", "c_custkey", WATERFALL_TIERS
+    )
+    return out.select("in_id", "matched_id", "match_tier")
+
+
+def q_interval_integrity(spark, sf_dir):
+    """SCD2-style validity-interval validator over synthesized per-customer
+    order intervals: report every overlap/gap with the offending neighbor
+    start — empty output is the pass signal."""
+    from area_etl_spark.operators.intervals import interval_integrity_report
+
+    o = _tables(spark, sf_dir)["orders"]
+    tus = F.unix_micros(F.col("o_orderdate"))
+    iv = o.select(
+        "o_custkey",
+        tus.alias("s"),
+        (
+            tus
+            + (F.round(F.col("o_totalprice") * 100).cast("long") % 30 + 1)
+            * F.lit(86_400_000_000)
+        ).alias("e"),
+    )
+    return interval_integrity_report(iv, ["o_custkey"], "s", "e")
+
+
+def q_session_quality_report(spark, sf_dir):
+    """Daily session quality: sessions, bounces (single-event sessions),
+    exact median session duration — sessionization reused, rollup per
+    session-start day."""
+    from pyspark.sql import Window
+
+    ev = _tables(spark, sf_dir)["events"].select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.col("_prev").isNull()
+        | (F.expr("timestampdiff(MICROSECOND, _prev, ts)") > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    sessed = (
+        ev.withColumn("_prev", F.lag("ts").over(w))
+        .withColumn(
+            "_sess",
+            F.sum(new_sess).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    per_session = sessed.groupBy("user_id", "_sess").agg(
+        F.min("ts").alias("_start"),
+        F.count(F.lit(1)).alias("_n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("_dur_us"),
+    )
+    return (
+        per_session.groupBy(F.col("_start").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("_n_events") == 1, 1).otherwise(0)).alias("n_bounces"),
+            F.percentile(F.col("_dur_us"), F.lit(0.5)).alias("median_duration_us"),
+        )
+    )
+
+
 def _ewma_sql(n_lags: int = 16) -> str:
     """DuckDB replay of the exact truncated α=1/2 EWMA: the same 16 lag
     terms with power-of-two weights, generated to match ewma_smooth."""
@@ -3593,6 +3687,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_checksum": q_table_checksum,
         "group_sample_n": q_group_sample_n,
         "ltv_curve": q_ltv_curve,
+        "priority_sample_grouped": q_priority_sample_grouped,
+        "waterfall_join": q_waterfall_join,
+        "interval_integrity": q_interval_integrity,
+        "session_quality_report": q_session_quality_report,
         # — displaced rotation candidates (machinery r6-green via
         #   compositions) —
         "scd2_intervals": q_scd2_intervals,
@@ -6290,6 +6388,86 @@ def oracle_sql() -> dict[str, str]:
                    first(cents ORDER BY p DESC, c_custkey DESC, cents DESC)
                        FILTER (WHERE cents IS NOT NULL) AS cents
             FROM pri GROUP BY cluster
+        """,
+        "priority_sample_grouped": """
+            WITH drawn AS (
+                SELECT doc_id, source, n_chars,
+                       round(CAST(n_chars AS DOUBLE) /
+                             (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1 AS DOUBLE)
+                              / 4294967296.0), 6) AS priority
+                FROM documents
+            ), ranked AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY priority DESC, doc_id ASC) AS rn
+                FROM drawn
+            )
+            SELECT doc_id, source, n_chars, priority
+            FROM ranked WHERE rn <= 5
+        """,
+        "waterfall_join": """
+            WITH incoming AS (
+                SELECT c_custkey AS in_id,
+                       CASE WHEN c_custkey % 3 = 0 THEN c_custkey ELSE -1 END AS key_dirty,
+                       CASE WHEN c_custkey % 3 <> 2 THEN c_name
+                            ELSE 'zzz-' || CAST(c_custkey AS VARCHAR) END AS name_dirty
+                FROM customer
+            ), t1 AS (
+                SELECT i.in_id, MIN(c.c_custkey) AS matched_id, 'exact' AS match_tier
+                FROM incoming i JOIN customer c ON i.key_dirty = c.c_custkey
+                GROUP BY i.in_id
+            ), t2 AS (
+                SELECT i.in_id, MIN(c.c_custkey) AS matched_id, 'by_name' AS match_tier
+                FROM incoming i JOIN customer c ON i.name_dirty = c.c_name
+                WHERE NOT EXISTS (SELECT 1 FROM t1 WHERE t1.in_id = i.in_id)
+                GROUP BY i.in_id
+            ), matched AS (
+                SELECT * FROM t1 UNION ALL SELECT * FROM t2
+            )
+            SELECT i.in_id, m.matched_id, m.match_tier
+            FROM incoming i LEFT JOIN matched m ON m.in_id = i.in_id
+        """,
+        "interval_integrity": """
+            WITH iv AS (
+                SELECT o_custkey, epoch_us(o_orderdate) AS s,
+                       epoch_us(o_orderdate)
+                       + (CAST(round(o_totalprice * 100) AS BIGINT) % 30 + 1)
+                         * 86400000000 AS e
+                FROM orders
+            ), w AS (
+                SELECT o_custkey, s, e,
+                       lead(s) OVER (PARTITION BY o_custkey ORDER BY s, e)
+                           AS next_start
+                FROM iv
+            )
+            SELECT o_custkey, s, e, next_start,
+                   CASE WHEN next_start < e THEN 'overlap'
+                        WHEN next_start > e THEN 'gap' END AS issue
+            FROM w
+            WHERE next_start IS NOT NULL AND next_start <> e
+        """,
+        "session_quality_report": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM events
+            ), s AS (
+                SELECT *, SUM(CASE WHEN prev IS NULL
+                                     OR date_diff('microsecond', prev, ts) > 1800000000
+                                   THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+                FROM o
+            ), per_session AS (
+                SELECT user_id, sess, MIN(ts) AS start_ts, COUNT(*) AS n_events,
+                       epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+                FROM s GROUP BY user_id, sess
+            )
+            SELECT CAST(start_ts AS DATE) AS day,
+                   COUNT(*) AS n_sessions,
+                   CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_bounces,
+                   quantile_cont(dur_us, 0.5) AS median_duration_us
+            FROM per_session GROUP BY 1
         """,
         "phrase_search": """
             WITH toks AS (

@@ -129,3 +129,32 @@ def interval_overlap_join(
         )
         .distinct()
     )
+
+
+def interval_integrity_report(
+    df: DataFrame,
+    keys: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Validity-interval integrity check — the SCD2-history validator.
+
+    Per key, ordered by (start, end): an ``overlap`` is a next interval
+    starting BEFORE this one ends; a ``gap`` is one starting AFTER it ends
+    (clean histories are contiguous half-open: next_start == end).  One
+    window shuffle on the key; output only the violating rows with the
+    offending neighbor start — empty output IS the pass signal, so the
+    check composes as a runner gate exactly like contract_violations.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(start_col), F.col(end_col))
+    nxt = F.lead(F.col(start_col)).over(w)
+    issue = (
+        F.when(nxt < F.col(end_col), F.lit("overlap"))
+        .when(nxt > F.col(end_col), F.lit("gap"))
+    )
+    return (
+        df.select(*keys, F.col(start_col), F.col(end_col))
+        .withColumn("next_start", nxt)
+        .withColumn("issue", issue)
+        .where(F.col("issue").isNotNull() & F.col("next_start").isNotNull())
+    )

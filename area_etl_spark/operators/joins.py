@@ -180,3 +180,54 @@ def or_join(
     for b in branches[1:]:
         out = out.unionByName(b)
     return out.distinct()
+
+
+def waterfall_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    tiers: Sequence[tuple[str, Sequence[tuple[str, str]]]],
+) -> DataFrame:
+    """Cascading match join — the MDM/ETL "waterfall": try each tier's
+    equi-keys in order (exact id, then name, then ...); a left row matched
+    at tier i never reaches tier i+1; survivors emerge unmatched.
+
+    Output: every left row with ``matched_id`` (the right id, NULL if no
+    tier hit), ``match_tier`` (tier name, NULL if none).  A tier that
+    matches several right rows takes the MIN right id (deterministic).
+    Each tier is one hash equi-join + one anti-join on the shrinking
+    remainder — never a nested-loop over rule predicates, and tier order
+    is explicit, unlike an OR-soup join condition.
+    """
+    # rebuild the right side under fresh column names so a left derived
+    # from the SAME source frame (the common master-data case) cannot trip
+    # Spark's ambiguous-self-join attribute check
+    rk_needed = {right_id} | {rk for _, pairs in tiers for _, rk in pairs}
+    r = right.select(*[F.col(c).alias(f"_wf_{c}") for c in rk_needed])
+    remaining = left
+    outs = []
+    for tier_name, pairs in tiers:
+        cond = None
+        for lk, rk in pairs:
+            c = remaining[lk] == r[f"_wf_{rk}"]
+            cond = c if cond is None else cond & c
+        matched = (
+            remaining.join(r, cond, "inner")
+            .groupBy(remaining[left_id].alias(left_id))
+            .agg(F.min(F.col(f"_wf_{right_id}")).alias("matched_id"))
+            .withColumn("match_tier", F.lit(tier_name))
+        )
+        outs.append(matched)
+        remaining = remaining.join(matched.select(left_id), left_id, "left_anti")
+    unmatched = remaining.select(
+        F.col(left_id),
+        F.lit(None).cast(dict(right.dtypes)[right_id]).alias("matched_id"),
+        F.lit(None).cast("string").alias("match_tier"),
+    )
+    out = outs[0] if outs else unmatched
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    if outs:
+        out = out.unionByName(unmatched)
+    return left.join(out, left_id)

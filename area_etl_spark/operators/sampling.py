@@ -290,3 +290,38 @@ def group_sample_n(
         .where(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def priority_sample_grouped(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    weight_col: str | Column,
+    k: int,
+) -> DataFrame:
+    """Per-group weighted sampling without replacement — ``priority_sample``
+    stratified: the k highest-priority rows of EACH group (q = w/u, same
+    ln-free portable draw; see priority_sample for why not A-ES).
+
+    The stratified corpus subsetter: "k docs per source, weighted by
+    quality".  One window shuffle on the group keys (rank within group)
+    instead of the global TakeOrdered — per-group output is exactly
+    min(k, group size).
+    """
+    from pyspark.sql import Window
+
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    draw = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (draw + F.lit(1)).cast("double") / F.lit(float(2**32))
+    pri = F.round(w.cast("double") / u, 6)
+    rank = F.row_number().over(
+        Window.partitionBy(*keys).orderBy(F.col("priority").desc(), F.col(id_col).asc())
+    )
+    return (
+        df.withColumn("priority", pri)
+        .withColumn("_rn", rank)
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

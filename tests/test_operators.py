@@ -1173,3 +1173,53 @@ def test_group_sample_n_exact_and_stable(spark, tables):
         assert r["count"] == min(2, orig[(r.lang, r.source)])
     again = group_sample_n(d.repartition(11), ["lang", "source"], "doc_id", n=2)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_waterfall_join_tiers_and_unmatched(spark):
+    from area_etl_spark.operators.joins import waterfall_join
+
+    master = spark.createDataFrame(
+        [(1, "alice"), (2, "bob"), (3, "carol")], "mid int, name string"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, 1, "wrongname"),   # exact key hit → tier 1 despite bad name
+            (11, -1, "bob"),        # key miss, name hit → tier 2
+            (12, -1, "nobody"),     # both miss → unmatched
+        ],
+        "iid int, key int, name string",
+    )
+    out = {r.iid: (r.matched_id, r.match_tier) for r in waterfall_join(
+        incoming, master, "iid", "mid",
+        [("exact", [("key", "mid")]), ("by_name", [("name", "name")])],
+    ).select("iid", "matched_id", "match_tier").collect()}
+    assert out == {10: (1, "exact"), 11: (2, "by_name"), 12: (None, None)}
+
+
+def test_interval_integrity_flags_overlap_and_gap(spark):
+    from area_etl_spark.operators.intervals import interval_integrity_report
+
+    rows = [
+        ("k", 0, 10), ("k", 10, 20),   # contiguous: clean
+        ("k", 15, 30),                 # starts before 20 ends → overlap
+        ("k", 40, 50),                 # 30 → 40 → gap
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = {(r.s, r.issue) for r in interval_integrity_report(df, ["k"], "s", "e").collect()}
+    assert out == {(10, "overlap"), (15, "gap")}
+    clean = spark.createDataFrame([("k", 0, 10), ("k", 10, 20)], "k string, s long, e long")
+    assert interval_integrity_report(clean, ["k"], "s", "e").count() == 0
+
+
+def test_priority_sample_grouped_exact_k_and_weight_bias(spark, tables):
+    from area_etl_spark.operators.sampling import priority_sample_grouped
+    from pyspark.sql import functions as F
+
+    d = tables["documents"].select("doc_id", "source", "n_chars")
+    out = priority_sample_grouped(d, ["source"], "doc_id", "n_chars", k=5)
+    sizes = {r.source: r["count"] for r in out.groupBy("source").count().collect()}
+    assert all(v == 5 for v in sizes.values())
+    # weighted sample should skew above the population mean length
+    pop = d.agg(F.avg("n_chars")).collect()[0][0]
+    samp = out.agg(F.avg("n_chars")).collect()[0][0]
+    assert samp > pop * 0.9
