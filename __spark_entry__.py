@@ -1474,6 +1474,85 @@ def q_session_quality_report(spark, sf_dir):
     )
 
 
+def q_bom_explosion(spark, sf_dir):
+    """BOM explosion over a derived part hierarchy (parent = key div 10):
+    per root assembly, node count and total rolled-up cost — edge-quantity
+    PRODUCTS carried through pointer doubling; oracle replays with a
+    recursive CTE."""
+    from area_etl_spark.operators.graph import bom_rollup
+
+    p = _tables(spark, sf_dir)["part"]
+    edges = p.where(F.col("p_partkey") >= 10).select(
+        F.col("p_partkey").alias("child"),
+        F.expr("p_partkey div 10").alias("parent"),
+        (F.col("p_partkey") % 5 + 1).alias("qty"),
+    )
+    units = bom_rollup(edges)
+    costs = p.select(
+        F.col("p_partkey").alias("node"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    return (
+        units.join(costs, "node")
+        .groupBy("root")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(F.col("units") * F.col("cents")).alias("total_cost_cents"),
+        )
+    )
+
+
+def q_pseudonymize_events(spark, sf_dir):
+    """Keyed pseudonymization: user ids replaced by salted md5 tokens that
+    preserve referential integrity — per-token event counts still equal
+    the per-user ones."""
+    from area_etl_spark.functions.transforms import pseudonymize
+
+    ev = _tables(spark, sf_dir)["events"]
+    return (
+        ev.select(pseudonymize("user_id", "s3cret").alias("user_token"))
+        .groupBy("user_token")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_decline_streaks(spark, sf_dir):
+    """Longest run of strictly-declining daily spend per user (consecutive
+    OBSERVED days): gaps-and-islands on the delta sign, max run length;
+    users that never decline report 0."""
+    from pyspark.sql import Window
+
+    ev = _tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    w = Window.partitionBy("user_id").orderBy("day")
+    run = Window.partitionBy("user_id").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = daily.withColumn(
+        "_declining",
+        (F.col("cents") - F.lag("cents").over(w) < 0).cast("int"),
+    ).withColumn(
+        "_grp",
+        F.sum(
+            F.when(F.coalesce(F.col("_declining"), F.lit(0)) == 0, 1).otherwise(0)
+        ).over(run),
+    )
+    streaks = (
+        flagged.where(F.col("_declining") == 1)
+        .groupBy("user_id", "_grp")
+        .agg(F.count(F.lit(1)).alias("_len"))
+        .groupBy("user_id")
+        .agg(F.max("_len").alias("longest"))
+    )
+    users = daily.select("user_id").distinct()
+    return users.join(streaks, "user_id", "left").select(
+        "user_id",
+        F.coalesce(F.col("longest"), F.lit(0)).alias("longest_decline_streak"),
+    )
+
+
 def _ewma_sql(n_lags: int = 16) -> str:
     """DuckDB replay of the exact truncated α=1/2 EWMA: the same 16 lag
     terms with power-of-two weights, generated to match ewma_smooth."""
@@ -3691,6 +3770,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "waterfall_join": q_waterfall_join,
         "interval_integrity": q_interval_integrity,
         "session_quality_report": q_session_quality_report,
+        "bom_explosion": q_bom_explosion,
+        "pseudonymize_events": q_pseudonymize_events,
+        "decline_streaks": q_decline_streaks,
         # — displaced rotation candidates (machinery r6-green via
         #   compositions) —
         "scd2_intervals": q_scd2_intervals,
@@ -6388,6 +6470,66 @@ def oracle_sql() -> dict[str, str]:
                    first(cents ORDER BY p DESC, c_custkey DESC, cents DESC)
                        FILTER (WHERE cents IS NOT NULL) AS cents
             FROM pri GROUP BY cluster
+        """,
+        "bom_explosion": """
+            WITH RECURSIVE e AS (
+                SELECT p_partkey AS child, p_partkey // 10 AS parent,
+                       p_partkey % 5 + 1 AS qty
+                FROM part WHERE p_partkey >= 10
+            ), roots AS (
+                -- roots inlined as a subquery and the walk runs TOP-DOWN:
+                -- a separate chained CTE inside WITH RECURSIVE
+                -- triple-evaluates the anchor in DuckDB 1.0 (the
+                -- hierarchy_paths lesson)
+                SELECT node
+                FROM (SELECT child AS node FROM e UNION SELECT parent FROM e) n
+                WHERE node NOT IN (SELECT child FROM e)
+            ), walk(node, root, units) AS (
+                SELECT node, node, CAST(1 AS BIGINT) FROM roots
+                UNION ALL
+                SELECT e.child, w.root, w.units * e.qty
+                FROM e JOIN walk w ON e.parent = w.node
+            )
+            SELECT w.root, COUNT(*) AS n_nodes,
+                   CAST(SUM(w.units * CAST(round(p.p_retailprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cost_cents
+            FROM walk w JOIN part p ON p.p_partkey = w.node
+            GROUP BY w.root
+        """,
+        "pseudonymize_events": """
+            SELECT substr(md5('s3cret:' || CAST(user_id AS VARCHAR)), 1, 16)
+                       AS user_token,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1
+        """,
+        "decline_streaks": """
+            WITH daily AS (
+                SELECT user_id, CAST(ts AS DATE) AS day,
+                       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                           AS cents
+                FROM events GROUP BY 1, 2
+            ), flagged AS (
+                SELECT user_id, day, cents,
+                       CASE WHEN cents - lag(cents) OVER w < 0 THEN 1 ELSE 0 END
+                           AS declining
+                FROM daily
+                WINDOW w AS (PARTITION BY user_id ORDER BY day)
+            ), grouped AS (
+                SELECT *, SUM(CASE WHEN declining = 0 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS grp
+                FROM flagged
+            ), streaks AS (
+                SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest FROM (
+                    SELECT user_id, grp, COUNT(*) AS len
+                    FROM grouped WHERE declining = 1 GROUP BY user_id, grp
+                ) GROUP BY user_id
+            )
+            SELECT d.user_id,
+                   COALESCE(s.longest, 0) AS longest_decline_streak
+            FROM (SELECT DISTINCT user_id FROM daily) d
+            LEFT JOIN streaks s ON s.user_id = d.user_id
         """,
         "priority_sample_grouped": """
             WITH drawn AS (

@@ -206,3 +206,21 @@ def strip_accents(source_col: str | Column, target_col: str) -> Column:
     return F.translate(_as_col(source_col).cast("string"), ACCENT_SRC, ACCENT_DST).alias(
         target_col
     )
+
+
+def pseudonymize(col, salt: str, length: int = 16):
+    """Deterministic keyed pseudonymization: a hex token replacing a direct
+    identifier while PRESERVING referential integrity — the privacy
+    transform between redaction (pii_redact, destroys joins) and the clear
+    value.
+
+    token = first ``length`` hex chars of ``md5(salt ':' value)``: the same
+    value maps to the same token in every table pseudonymized with the same
+    salt, so joins and aggregations still line up; without the salt the
+    mapping is not reversible (md5 preimage).  Rotate the salt to unlink
+    releases.  Pure narrow expression, engine-portable.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(
+        F.md5(F.concat_ws(":", F.lit(salt), c.cast("string"))), 1, length
+    )

@@ -456,3 +456,63 @@ def ancestor_paths(
         F.col("depth").cast("int").alias("depth"),
         F.concat_ws("/", F.col("node").cast("string"), F.nullif(F.col("frag"), F.lit(""))).alias("path"),
     )
+
+
+def bom_rollup(
+    edges: DataFrame,
+    child: str = "child",
+    parent: str = "parent",
+    qty_col: str = "qty",
+    max_depth: int = 30,
+) -> DataFrame:
+    """Bill-of-materials explosion: every node's root assembly and its
+    EFFECTIVE UNITS there — the product of edge quantities along the path
+    (3 boards × 4 chips = 12 chips per assembly).
+
+    ``ancestor_paths`` flattens the tree; this carries a multiplicative
+    weight through the same pointer doubling (products compose exactly
+    like depth sums: fragment(n) spans n..current-ancestor, so two
+    fragments multiply) — O(log depth) self-join rounds, localCheckpoint
+    lineage truncation, cycle guard.  Quantities must be positive
+    integers; the product is exact BIGINT (bound: qty^depth < 2^63 — at
+    qty ≤ 10 that is depth ≤ 18; lift to DECIMAL(38,0) past it).  Roots
+    appear with units 1 under themselves.
+    """
+    e = edges.select(
+        F.col(child).alias("node"),
+        F.col(parent).alias("anc"),
+        F.col(qty_col).cast("long").alias("mult"),
+    )
+    nodes = e.select("node").union(e.select(F.col("anc").alias("node"))).distinct()
+    state = nodes.join(e, "node", "left").select(
+        "node",
+        F.coalesce(F.col("anc"), F.col("node")).alias("anc"),
+        F.coalesce(F.col("mult"), F.lit(1)).alias("mult"),
+        # depth rides along purely as the cycle detector: a qty-1 cycle
+        # reaches a (anc, mult) fixpoint, but its depth keeps growing
+        F.when(F.col("mult").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("depth"),
+    )
+    for _ in range(max_depth):
+        up = state.select(
+            F.col("node").alias("j_node"),
+            F.col("anc").alias("j_anc"),
+            F.col("mult").alias("j_mult"),
+            F.col("depth").alias("j_depth"),
+        )
+        nxt = (
+            state.join(up, state.anc == up.j_node)
+            .select(
+                "node",
+                F.col("j_anc").alias("anc"),
+                (F.col("mult") * F.col("j_mult")).alias("mult"),
+                (F.col("depth") + F.col("j_depth")).alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if nxt.join(state, ["node", "anc", "mult", "depth"], "left_anti").isEmpty():
+            state = nxt
+            break
+        state = nxt
+    else:
+        raise ValueError(f"hierarchy deeper than 2^{max_depth} or cyclic")
+    return state.select("node", F.col("anc").alias("root"), F.col("mult").alias("units"))

@@ -1223,3 +1223,36 @@ def test_priority_sample_grouped_exact_k_and_weight_bias(spark, tables):
     pop = d.agg(F.avg("n_chars")).collect()[0][0]
     samp = out.agg(F.avg("n_chars")).collect()[0][0]
     assert samp > pop * 0.9
+
+
+def test_bom_rollup_units_product(spark):
+    from area_etl_spark.operators.graph import bom_rollup
+
+    # root 1 → (2, qty 3) → (4, qty 5); separate root 9 → (8, qty 2)
+    edges = spark.createDataFrame(
+        [(2, 1, 3), (4, 2, 5), (8, 9, 2)], "child int, parent int, qty int"
+    )
+    out = {(r.node, r.root): r.units for r in bom_rollup(edges).collect()}
+    assert out == {
+        (1, 1): 1, (2, 1): 3, (4, 1): 15,  # 3 × 5 multiplies along the path
+        (9, 9): 1, (8, 9): 2,
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cyc = spark.createDataFrame([(1, 2, 1), (2, 1, 1)], "child int, parent int, qty int")
+        bom_rollup(cyc, max_depth=4)
+
+
+def test_pseudonymize_preserves_joins(spark, tables):
+    from area_etl_spark.functions.transforms import pseudonymize
+    from pyspark.sql import functions as F
+
+    ev = tables["events"]
+    tok = ev.select(pseudonymize("user_id", "k1").alias("t"), "user_id")
+    # same value → same token (join-compatible), distinct users preserved
+    assert tok.select("t").distinct().count() == ev.select("user_id").distinct().count()
+    assert tok.groupBy("user_id").agg(F.countDistinct("t").alias("n")).where(F.col("n") > 1).count() == 0
+    # rotating the salt unlinks the mapping
+    tok2 = ev.select(pseudonymize("user_id", "k2").alias("t")).distinct()
+    assert tok.select("t").distinct().join(tok2, "t").count() == 0
