@@ -262,3 +262,71 @@ def test_vocab_encode_no_single_partition_window(tables):
     for line in plan.splitlines():
         if "Window" in line and "row_number" in line:
             assert "_pid" in line, line
+
+
+def test_allocate_and_weighted_median_single_exchange(tables):
+    """The proration and weighted-median windows must REUSE one exchange on
+    the group key — a second Exchange means Catalyst stopped sharing the
+    partitioning and the operators' one-shuffle contract broke."""
+    from area_etl_spark.operators.aggregates import weighted_median
+    from area_etl_spark.operators.allocation import allocate_largest_remainder
+
+    o = tables["orders"].select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("w"),
+    )
+    p1 = plan_str(allocate_largest_remainder(o, ["o_orderpriority"], "o_orderkey", "w", 1000))
+    assert p1.count("Exchange (") - p1.count("BroadcastExchange (") == 1, p1
+
+    li = tables["lineitem"].select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
+    p2 = plan_str(weighted_median(li, ["l_returnflag"], "v", "q"))
+    # the final min-per-group aggregate REUSES the window exchange (same
+    # key), so the whole operator is one shuffle
+    assert p2.count("Exchange (") - p2.count("BroadcastExchange (") == 1, p2
+
+
+def test_interval_overlap_and_waterfall_no_nested_loop(tables, spark):
+    """Grid-bucketed interval overlap and the tiered waterfall join must
+    both plan as hash joins — never BroadcastNestedLoopJoin/Cartesian."""
+    from area_etl_spark.operators.intervals import interval_overlap_join
+    from area_etl_spark.operators.joins import waterfall_join
+
+    ev = tables["events"].select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + 1000).alias("e"),
+    )
+    l = ev.where(F.col("event_id") % 2 == 0).withColumnRenamed("event_id", "id_a")
+    r = ev.where(F.col("event_id") % 2 == 1).withColumnRenamed("event_id", "id_b")
+    p = plan_str(interval_overlap_join(l, r, "id_a", "id_b", "s", "e", 1000))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    cust = tables["customer"]
+    incoming = cust.select(
+        F.col("c_custkey").alias("in_id"),
+        F.col("c_custkey").alias("key_dirty"),
+        F.col("c_name").alias("name_dirty"),
+    )
+    p2 = plan_str(
+        waterfall_join(
+            incoming,
+            cust.select("c_custkey", "c_name"),
+            "in_id",
+            "c_custkey",
+            [("exact", [("key_dirty", "c_custkey")]), ("by_name", [("name_dirty", "c_name")])],
+        )
+    )
+    assert "CartesianProduct" not in p2 and "BroadcastNestedLoopJoin" not in p2
+
+
+def test_keyword_tagging_broadcasts_lexicon(tables, spark):
+    from area_etl_spark.operators.text_analysis import tag_by_keywords
+
+    kw = spark.createDataFrame([("join", "rel"), ("scan", "io")], "term string, tag string")
+    p = plan_str(tag_by_keywords(tables["documents"], kw))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
