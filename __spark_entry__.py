@@ -1553,6 +1553,65 @@ def q_decline_streaks(spark, sf_dir):
     )
 
 
+def q_time_in_state(spark, sf_dir):
+    """Total time each user spends 'in' each event type (state held until
+    the next event): lead-difference in exact micros, last state open-ended
+    and excluded — the device/session state accounting query."""
+    from pyspark.sql import Window
+
+    ev = _tables(spark, sf_dir)["events"].select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    held = (
+        ev.withColumn("_nxt", F.lead("ts").over(w))
+        .where(F.col("_nxt").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            (F.unix_micros(F.col("_nxt")) - F.unix_micros(F.col("ts"))).alias("_dur"),
+        )
+    )
+    return held.groupBy("user_id", "event_type").agg(
+        F.sum("_dur").alias("total_us"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+def q_share_of_parent(spark, sf_dir):
+    """Two-level share-of-parent rollup: each nation's revenue share within
+    its region AND each region's share of the total — exact cents, shares
+    from window sums over the AGGREGATED levels."""
+    from pyspark.sql import Window
+
+    t = _tables(spark, sf_dir)
+    rev = (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_regionkey").alias("regionkey"),
+            F.col("n_name").alias("nation"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("regionkey", "nation")
+        .agg(F.sum("cents").alias("nation_cents"))
+    )
+    w_region = Window.partitionBy("regionkey")
+    w_all = Window.partitionBy()
+    region_cents = F.sum("nation_cents").over(w_region)
+    total_cents = F.sum("nation_cents").over(w_all)
+    return rev.select(
+        "regionkey",
+        "nation",
+        "nation_cents",
+        F.round(F.col("nation_cents").cast("double") / region_cents.cast("double"), 9).alias(
+            "share_of_region"
+        ),
+        F.round(region_cents.cast("double") / total_cents.cast("double"), 9).alias(
+            "region_share_of_total"
+        ),
+    )
+
+
 def _ewma_sql(n_lags: int = 16) -> str:
     """DuckDB replay of the exact truncated α=1/2 EWMA: the same 16 lag
     terms with power-of-two weights, generated to match ewma_smooth."""
@@ -3773,6 +3832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bom_explosion": q_bom_explosion,
         "pseudonymize_events": q_pseudonymize_events,
         "decline_streaks": q_decline_streaks,
+        "time_in_state": q_time_in_state,
+        "share_of_parent": q_share_of_parent,
         # — displaced rotation candidates (machinery r6-green via
         #   compositions) —
         "scd2_intervals": q_scd2_intervals,
@@ -6470,6 +6531,42 @@ def oracle_sql() -> dict[str, str]:
                    first(cents ORDER BY p DESC, c_custkey DESC, cents DESC)
                        FILTER (WHERE cents IS NOT NULL) AS cents
             FROM pri GROUP BY cluster
+        """,
+        "time_in_state": """
+            WITH o AS (
+                SELECT user_id, event_type, ts,
+                       lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           AS nxt
+                FROM events
+            )
+            SELECT user_id, event_type,
+                   CAST(SUM(epoch_us(nxt) - epoch_us(ts)) AS BIGINT) AS total_us,
+                   COUNT(*) AS n_intervals
+            FROM o WHERE nxt IS NOT NULL
+            GROUP BY user_id, event_type
+        """,
+        "share_of_parent": """
+            WITH rev AS (
+                SELECT n.n_regionkey AS regionkey, n.n_name AS nation,
+                       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS nation_cents
+                FROM customer c
+                JOIN orders o ON c.c_custkey = o.o_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                GROUP BY 1, 2
+            ), w AS (
+                SELECT *,
+                       CAST(SUM(nation_cents) OVER (PARTITION BY regionkey)
+                            AS BIGINT) AS region_cents,
+                       CAST(SUM(nation_cents) OVER () AS BIGINT) AS total_cents
+                FROM rev
+            )
+            SELECT regionkey, nation, nation_cents,
+                   round(CAST(nation_cents AS DOUBLE) / CAST(region_cents AS DOUBLE), 9)
+                       AS share_of_region,
+                   round(CAST(region_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 9)
+                       AS region_share_of_total
+            FROM w
         """,
         "bom_explosion": """
             WITH RECURSIVE e AS (
