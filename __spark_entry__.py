@@ -593,6 +593,29 @@ def q_pipeline_requirements(spark, sf_dir):
     return P.requirements_pipeline(_tables(spark, sf_dir), FIXED_NOW)
 
 
+def q_pipeline_requirement_taxonomies(spark, sf_dir):
+    """1:1 recast of migrate_requirement_taxonomies (reference auac.py:42):
+    lower-trim name filter on the general branch, per-branch is_readonly
+    literals, explicit NULL disabled_at, literal '-' fallback row, relaxed
+    concat."""
+    return P.requirement_taxonomies_pipeline(_tables(spark, sf_dir), FIXED_NOW)
+
+
+def q_pipeline_requirement_lists(spark, sf_dir):
+    """1:1 recast of migrate_requirement_lists (reference auac.py:104):
+    three stripped scalars (id NOT lowercased) + default timestamp toolkit,
+    one narrow projection."""
+    return P.requirement_lists_pipeline(_tables(spark, sf_dir), FIXED_NOW)
+
+
+def q_pipeline_procedures(spark, sf_dir):
+    """1:1 recast of migrate_procedures (reference auac.py:211): STATO-driven
+    disabled ladder (disabled_value='CESTINATA'), CESTINATA→BOZZA status
+    rewrite, two-column progressive-code fill_null, DESCR
+    upper/space→_/dot-strip dim join."""
+    return P.procedures_pipeline(_tables(spark, sf_dir), FIXED_NOW)
+
+
 def q_or_join(spark, sf_dir):
     """OR-predicate join (match on nationkey OR on a derived code) rewritten
     as a union of hash equi-joins + distinct — the BroadcastNestedLoopJoin
@@ -1234,11 +1257,20 @@ def q_embedding_dim_stats(spark, sf_dir):
 
 def q_embedding_quantize(spark, sf_dir):
     """Symmetric int8 vector quantization (4× ANN storage cut): per-vector
-    amax scaling, portable floor(+0.5) rounding, dequant scale kept."""
+    amax scaling, portable floor(+0.5) rounding, dequant scale kept.
+
+    The code array is emitted CSV-serialized (``q8_csv``) — the driver's
+    pandas canonicalizer can't sort an array column (vocab_encode's r7 err
+    class; schema-audit r8 flagged this as the only other oracled query
+    emitting a complex type)."""
     from area_etl_spark.operators.similarity import quantize_int8
 
     emb = _tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
-    return quantize_int8(emb).select("vec_id", "q8", "q_scale")
+    return quantize_int8(emb).select(
+        "vec_id",
+        F.array_join(F.transform("q8", lambda x: x.cast("string")), ",").alias("q8_csv"),
+        "q_scale",
+    )
 
 
 def q_asof_forward(spark, sf_dir):
@@ -1685,12 +1717,24 @@ def q_vocab_encode(spark, sf_dir):
     """Documents rewritten as token-id sequences (the tokenizer-adjacent
     LLM-prep step): posexplode positions ride the vocab join so document
     order survives two hash shuffles; rare tokens encode as -1, tokenless
-    docs as empty arrays."""
+    docs as empty arrays.
+
+    The id sequence is emitted CSV-serialized (``token_ids_csv``) rather
+    than as ``array<long>``: the driver's pandas canonicalizer sorts rows
+    over all columns and a list column is unhashable there (the one r7 err;
+    same fix the r4 feature vectors use via array_join)."""
     from area_etl_spark.operators.vocab import build_vocab, encode_docs
 
     tables = _tables(spark, sf_dir)
     docs = tables["documents"]
-    return encode_docs(docs, build_vocab(docs, min_count=2))
+    enc = encode_docs(docs, build_vocab(docs, min_count=2))
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(F.transform("token_ids", lambda x: x.cast("string")), ",").alias(
+            "token_ids_csv"
+        ),
+    )
 
 
 def q_radius_join(spark, sf_dir):
@@ -4541,6 +4585,118 @@ def oracle_sql() -> dict[str, str]:
                    resp.response_type
             FROM base LEFT JOIN resp USING (fk_resp)
         """,
+        "pipeline_requirement_taxonomies": f"""
+            WITH tr AS (
+                SELECT '  TR-' || CAST(n_nationkey AS VARCHAR) || ' ' AS clientid,
+                       CASE WHEN n_nationkey % 5 = 0 THEN ' Generale '
+                            ELSE n_name END AS nome,
+                       TIMESTAMP '1994-06-01 00:00:00'
+                           + INTERVAL (n_nationkey % 900) DAY AS creation,
+                       CASE WHEN n_nationkey % 4 <> 0
+                            THEN TIMESTAMP '1994-06-01 00:00:00'
+                                 + INTERVAL (n_nationkey % 1100) DAY END AS last_mod
+                FROM nation
+            ), tsr AS (
+                SELECT ' TSR-' || CAST(s_suppkey AS VARCHAR) || '  ' AS clientid,
+                       s_name AS nome,
+                       TIMESTAMP '1993-01-15 00:00:00'
+                           + INTERVAL (s_suppkey % 1500) DAY AS creation,
+                       CASE WHEN s_suppkey % 3 <> 0
+                            THEN TIMESTAMP '1993-01-15 00:00:00'
+                                 + INTERVAL (s_suppkey % 1800) DAY END AS last_mod
+                FROM supplier
+            )
+            SELECT lower(trim(clientid)) AS id, trim(nome) AS name,
+                   true AS is_readonly, CAST(NULL AS TIMESTAMP) AS disabled_at,
+                   COALESCE(creation, TIMESTAMP '{now}') AS created_at,
+                   COALESCE(last_mod, creation, TIMESTAMP '{now}') AS updated_at
+            FROM tr WHERE lower(trim(nome)) = 'generale'
+            UNION ALL
+            SELECT lower(trim(clientid)), trim(nome), false, NULL,
+                   COALESCE(creation, TIMESTAMP '{now}'),
+                   COALESCE(last_mod, creation, TIMESTAMP '{now}')
+            FROM tsr
+            UNION ALL
+            SELECT 'rtax-fallback', '-', false, NULL,
+                   TIMESTAMP '{now}', TIMESTAMP '{now}'
+        """,
+        "pipeline_requirement_lists": f"""
+            WITH base AS (
+                SELECT '  LRT-' || CAST(s_suppkey AS VARCHAR) || ' ' AS clientid,
+                       ' ' || s_name || '  ' AS nome,
+                       CASE WHEN s_suppkey % 9 <> 0
+                            THEN ' DEL-' || CAST(s_suppkey % 40 AS VARCHAR) || ' '
+                       END AS id_delibera_templ,
+                       TIMESTAMP '1992-09-01 00:00:00'
+                           + INTERVAL (s_suppkey % 1400) DAY AS creation,
+                       CASE WHEN s_suppkey % 5 <> 0
+                            THEN TIMESTAMP '1992-09-01 00:00:00'
+                                 + INTERVAL (s_suppkey % 1700) DAY END AS last_mod,
+                       CASE WHEN s_acctbal < 0 THEN 'S' ELSE 'N' END AS disabled
+                FROM supplier
+            )
+            SELECT trim(clientid) AS id, trim(nome) AS name,
+                   trim(id_delibera_templ) AS resolution_id,
+                   CASE WHEN disabled = 'S'
+                        THEN COALESCE(last_mod, creation) END AS disabled_at,
+                   COALESCE(creation, TIMESTAMP '{now}') AS created_at,
+                   COALESCE(last_mod, creation, TIMESTAMP '{now}') AS updated_at
+            FROM base
+        """,
+        "pipeline_procedures": f"""
+            WITH base AS (
+                SELECT ' DOM-' || CAST(o_orderkey AS VARCHAR) || '  ' AS clientid,
+                       CASE WHEN o_orderkey % 7 <> 0
+                            THEN CAST(o_orderkey + 100000 AS INTEGER) END AS id_domanda,
+                       CAST(o_orderkey + 200000 AS INTEGER) AS codice_univoco_nrecord,
+                       'comp-' || CAST(o_custkey AS VARCHAR) AS id_titolare_fk,
+                       'proc-' || CAST(o_orderkey % 5 AS VARCHAR) AS id_tipo_proc_fk,
+                       CASE WHEN o_orderkey % 11 = 0 THEN 'CESTINATA'
+                            WHEN o_orderkey % 11 < 4 THEN 'IN COMPILAZIONE'
+                            WHEN o_orderkey % 11 < 7 THEN 'INVIATA'
+                            WHEN o_orderkey % 11 < 9 THEN 'PRESA IN CARICO'
+                            ELSE 'CONCLUSA' END AS stato,
+                       CAST(o_orderdate AS TIMESTAMP) AS creation,
+                       CASE WHEN o_orderkey % 6 <> 0
+                            THEN CAST(o_orderdate AS TIMESTAMP)
+                                 + INTERVAL (o_orderkey % 75) DAY END AS last_mod,
+                       CASE WHEN o_orderkey % 11 >= 9
+                            THEN CAST(o_orderdate AS DATE)
+                                 + CAST(o_orderkey % 90 AS INTEGER) END AS data_conclusione,
+                       CASE WHEN o_orderkey % 11 >= 4
+                            THEN CAST(o_orderdate AS DATE) END AS data_invio_domanda,
+                       CAST(o_orderdate AS DATE) + 365 AS data_scadenza,
+                       CASE WHEN o_orderkey % 13 <> 0
+                            THEN CAST(o_orderkey % 180 AS INTEGER) END AS durata_procedimento,
+                       CAST(365 AS INTEGER) AS massima_durata_procedimento,
+                       CASE WHEN o_orderkey % 3 <> 0
+                            THEN 'PN/' || CAST(o_orderkey AS VARCHAR) END AS numero_procedimento
+                FROM orders
+            ), tipo_proc AS (
+                SELECT trim(' proc-' || CAST(r_regionkey AS VARCHAR) || ' ') AS id_tipo_proc_fk,
+                       regexp_replace(regexp_replace(
+                           upper(trim(' ' || r_name || ' proc. v2 ')),
+                           ' ', '_', 'g'), '\\.', '', 'g') AS procedure_type
+                FROM region
+            )
+            SELECT trim(clientid) AS id,
+                   COALESCE(id_domanda, codice_univoco_nrecord) AS progressive_code,
+                   id_titolare_fk AS company_id,
+                   CASE WHEN replace(trim(stato), ' ', '_') = 'CESTINATA' THEN 'BOZZA'
+                        ELSE replace(trim(stato), ' ', '_') END AS status,
+                   data_conclusione AS completion_date,
+                   data_invio_domanda AS sent_date,
+                   data_scadenza AS expiration_date,
+                   durata_procedimento AS procedure_duration,
+                   massima_durata_procedimento AS max_procedure_duration,
+                   numero_procedimento AS procedure_number,
+                   CASE WHEN stato = 'CESTINATA'
+                        THEN COALESCE(last_mod, creation) END AS disabled_at,
+                   COALESCE(creation, TIMESTAMP '{now}') AS created_at,
+                   COALESCE(last_mod, creation, TIMESTAMP '{now}') AS updated_at,
+                   t.procedure_type
+            FROM base LEFT JOIN tipo_proc t USING (id_tipo_proc_fk)
+        """,
         "pipeline_auac": f"""
             WITH unioned AS (
                 SELECT CAST(p_partkey AS BIGINT) AS id, {clean("p_name")} AS name,
@@ -6205,11 +6361,18 @@ def oracle_sql() -> dict[str, str]:
             ), parts AS (
                 SELECT doc_id,
                     lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
-                    regexp_replace(regexp_replace(
-                        lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?]*)', 1)),
-                        '^www\\.', ''), ':80$|:443$', '') AS host,
+                    lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?]*)', 1)) AS rawhost,
                     regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]*(.*)$', 1) AS pathq
                 FROM nf
+            ), hosts AS (
+                SELECT doc_id, scheme, pathq,
+                    -- scheme-conditional default-port strip (matches operator)
+                    CASE WHEN scheme = 'http'
+                         THEN regexp_replace(regexp_replace(rawhost, '^www\\.', ''), ':80$', '')
+                         WHEN scheme = 'https'
+                         THEN regexp_replace(regexp_replace(rawhost, '^www\\.', ''), ':443$', '')
+                         ELSE regexp_replace(rawhost, '^www\\.', '') END AS host
+                FROM parts
             ), pq AS (
                 SELECT doc_id, scheme, host,
                     CASE WHEN regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') = ''
@@ -6219,7 +6382,7 @@ def oracle_sql() -> dict[str, str]:
                     regexp_replace(regexp_replace(
                         '&' || regexp_extract(pathq, '\\?(.*)$', 1),
                         '&utm_[^&]*', '', 'g'), '^&', '') AS query
-                FROM parts
+                FROM hosts
             ), canon AS (
                 SELECT doc_id, host AS domain,
                     scheme || '://' || host || path
@@ -6872,11 +7035,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_quantize": """
             SELECT vec_id,
-                   CASE WHEN amax > 0
-                        THEN list_transform(embedding,
-                             x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5)
-                                       AS INT))
-                        ELSE list_transform(embedding, x -> 0) END AS q8,
+                   array_to_string(
+                       CASE WHEN amax > 0
+                            THEN list_transform(embedding,
+                                 x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5)
+                                           AS INT) AS VARCHAR))
+                            ELSE list_transform(embedding, x -> '0') END, ',') AS q8_csv,
                    round(amax / 127.0, 9) AS q_scale
             FROM (
                 SELECT vec_id, embedding,
@@ -7100,7 +7264,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id,
                    CAST(COALESCE(len(s.token_ids), 0) AS BIGINT) AS n_tokens,
-                   COALESCE(s.token_ids, CAST([] AS BIGINT[])) AS token_ids
+                   array_to_string(
+                       list_transform(COALESCE(s.token_ids, CAST([] AS BIGINT[])),
+                                      t -> CAST(t AS VARCHAR)), ',') AS token_ids_csv
             FROM documents d LEFT JOIN seqs s USING (doc_id)
         """,
         "radius_join": """

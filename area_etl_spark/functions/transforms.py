@@ -219,8 +219,13 @@ def pseudonymize(col, salt: str, length: int = 16):
     salt, so joins and aggregations still line up; without the salt the
     mapping is not reversible (md5 preimage).  Rotate the salt to unlink
     releases.  Pure narrow expression, engine-portable.
+
+    NULL stays NULL: concat_ws silently skips NULL args, which would give
+    every NULL identifier the same md5(salt) token — a shared fake entity
+    that equi-joins across tables (ADVICE r7).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.substring(
-        F.md5(F.concat_ws(":", F.lit(salt), c.cast("string"))), 1, length
+    return F.when(
+        c.isNotNull(),
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), c.cast("string"))), 1, length),
     )

@@ -162,6 +162,11 @@ def weighted_median(
     a float cumulative ratio.  The "lower" convention (no interpolation
     between the two middle values) keeps the result a value that actually
     occurs, deterministic under ties by the (value, weight) sort.
+
+    A group whose total weight is 0 yields NO row (the ``2*cum >= tot``
+    test would otherwise hold vacuously on every row and return the group
+    minimum — ADVICE r7); callers wanting NULL instead can left-join the
+    key set back.
     """
     from pyspark.sql import Window
 
@@ -174,7 +179,7 @@ def weighted_median(
         "_cum", F.sum("_w").over(ordered)
     ).withColumn("_tot", F.sum("_w").over(part))
     return (
-        scored.where(F.col("_cum") * 2 >= F.col("_tot"))
+        scored.where((F.col("_tot") > 0) & (F.col("_cum") * 2 >= F.col("_tot")))
         .groupBy(*keys)
         .agg(F.min(value_col).alias("weighted_median"))
     )

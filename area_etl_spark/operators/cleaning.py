@@ -137,7 +137,11 @@ def canonicalize_urls(
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?]*)", 1))
     host = F.regexp_replace(host, r"^www\.", "")
-    host = F.regexp_replace(host, ":80$|:443$", "")
+    # default-port strip is scheme-conditional: http://h:443/x is NOT the
+    # same resource as http://h/x (ADVICE r7)
+    host = F.when(scheme == "http", F.regexp_replace(host, ":80$", "")).when(
+        scheme == "https", F.regexp_replace(host, ":443$", "")
+    ).otherwise(host)
     pathq = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]*(.*)$", 1)
     path = F.regexp_extract(pathq, r"^([^?]*)", 1)
     path = F.regexp_replace(path, "/+$", "")

@@ -166,13 +166,22 @@ def or_join(
     own equi-join (one key-partitioned shuffle each) and the branches
     union; a pair matching several disjuncts is deduplicated by the
     branches' shared output row (``distinct`` over the combined columns),
-    which is exactly the OR semantics for inner joins.  Only ``inner`` is
-    supported: outer OR-join null-extension across branches is not
-    expressible as a plain union (rows unmatched in one branch may match
-    in another).
+    which is exactly the OR semantics for inner joins over DISTINCT rows —
+    duplicate input rows collapse (bag multiplicity is not preserved;
+    pre-tag rows with a unique id if multiplicity matters).  Only
+    ``inner`` is supported: outer OR-join null-extension across branches
+    is not expressible as a plain union (rows unmatched in one branch may
+    match in another).  Left/right column names must be disjoint — the
+    union output carries both sides' columns flat, so a shared name would
+    be ambiguous (checked up front, ADVICE r7).
     """
     if how != "inner":
         raise ValueError("or_join supports only inner joins")
+    shared = set(left.columns) & set(right.columns)
+    if shared:
+        raise ValueError(
+            f"or_join requires disjoint column names; shared: {sorted(shared)}"
+        )
     branches = []
     for lk, rk in key_pairs:
         branches.append(left.join(right, left[lk] == right[rk], "inner"))

@@ -465,7 +465,7 @@ def keyness_terms(
     c = F.col("n_src") - a
     d = F.col("n_total") - F.col("n_term") - F.col("n_src") + a
     dec = "decimal(38,0)"
-    diff = (a * d - b * c).cast(dec)
+    diff = a.cast(dec) * d.cast(dec) - b.cast(dec) * c.cast(dec)
     num = (F.col("n_total").cast(dec) * diff * diff).cast("double")
     den = (
         F.col("n_term").cast(dec)
@@ -473,7 +473,9 @@ def keyness_terms(
         * F.col("n_src").cast(dec)
         * (F.col("n_total") - F.col("n_src")).cast(dec)
     ).cast("double")
-    scored = cells.where((a * d - b * c) > 0).withColumn(
+    # over-representation filter reuses the DECIMAL(38,0) diff: in BIGINT
+    # a*d can wrap past 2^63 at ~1e10-token corpora under non-ANSI Spark
+    scored = cells.where(diff > 0).withColumn(
         "chi2", F.round(num / den, 6)
     )
     w = Window.partitionBy("source").orderBy(F.col("chi2").desc(), F.col("term").asc())

@@ -1275,3 +1275,227 @@ def requirements_pipeline(tables: dict[str, DataFrame], now: datetime) -> DataFr
     return projected.join(F.broadcast(tipo_risposta), "id_tipo_risposta_fk", "left").drop(
         "id_tipo_risposta_fk"
     )
+
+
+def requirement_taxonomies_pipeline(tables: dict[str, DataFrame], now: datetime) -> DataFrame:
+    """1:1 recast of ``migrate_requirement_taxonomies`` (reference
+    auac.py:42-101): a lower-trim name FILTER on the general-taxonomy source
+    (only rows spelling 'generale' survive), a second source passed whole,
+    per-branch ``is_readonly`` literals, an explicitly-NULL ``disabled_at``
+    (the reference bypasses the disabled toolkit here), and the literal
+    fallback row ('-') appended via relaxed concat.
+
+    TIPO_REQUISITO → nation (every 5th row renamed ' Generale ' so the
+    filter's lower/trim is load-bearing); TIPO_SPECIFICO_REQUISITO →
+    supplier.  The reference's fallback id is ``uuid.uuid4()`` — a fresh
+    random id per run; the recast pins the literal 'rtax-fallback' so the
+    output is deterministic (same substitution requirements_pipeline made
+    for its fallback lookup).  All three branches are narrow projections;
+    the concat is a zero-shuffle union."""
+    ts = handle_timestamps(current_time=now)
+
+    tipo_requisito = tables["nation"].select(
+        F.concat(F.lit("  TR-"), F.col("n_nationkey").cast("string"), F.lit(" ")).alias(
+            "clientid"
+        ),
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit(" Generale "))
+        .otherwise(F.col("n_name"))
+        .alias("nome"),
+        F.timestamp_add(
+            "DAY", (F.col("n_nationkey") % 900).cast("int"), F.lit(datetime(1994, 6, 1))
+        ).alias("CREATION"),
+        F.when(
+            F.col("n_nationkey") % 4 != 0,
+            F.timestamp_add(
+                "DAY", (F.col("n_nationkey") % 1100).cast("int"), F.lit(datetime(1994, 6, 1))
+            ),
+        ).alias("LAST_MOD"),
+    )
+    tipo_specifico = tables["supplier"].select(
+        F.concat(F.lit(" TSR-"), F.col("s_suppkey").cast("string"), F.lit("  ")).alias(
+            "clientid"
+        ),
+        F.col("s_name").alias("nome"),
+        F.timestamp_add(
+            "DAY", (F.col("s_suppkey") % 1500).cast("int"), F.lit(datetime(1993, 1, 15))
+        ).alias("CREATION"),
+        F.when(
+            F.col("s_suppkey") % 3 != 0,
+            F.timestamp_add(
+                "DAY", (F.col("s_suppkey") % 1800).cast("int"), F.lit(datetime(1993, 1, 15))
+            ),
+        ).alias("LAST_MOD"),
+    )
+
+    generale = tipo_requisito.where(
+        F.lower(F.trim(F.col("nome"))) == "generale"
+    ).select(
+        handle_id("clientid", "id"),  # strip + LOWERCASE (auac.py:67)
+        F.trim(F.col("nome")).alias("name"),
+        F.lit(True).alias("is_readonly"),
+        F.lit(None).cast("timestamp").alias("disabled_at"),
+        ts["created_at"],
+        ts["updated_at"],
+    )
+    specifico = tipo_specifico.select(
+        handle_id("clientid", "id"),
+        F.trim(F.col("nome")).alias("name"),
+        F.lit(False).alias("is_readonly"),
+        F.lit(None).cast("timestamp").alias("disabled_at"),
+        ts["created_at"],
+        ts["updated_at"],
+    )
+    spark = generale.sparkSession
+    fallback = spark.range(1).select(
+        F.lit("rtax-fallback").alias("id"),
+        F.lit("-").alias("name"),
+        F.lit(False).alias("is_readonly"),
+        F.lit(None).cast("timestamp").alias("disabled_at"),
+        F.lit(now).alias("created_at"),
+        F.lit(now).alias("updated_at"),
+    )
+    return union_diagonal_relaxed([generale, specifico, fallback])
+
+
+def requirement_lists_pipeline(tables: dict[str, DataFrame], now: datetime) -> DataFrame:
+    """1:1 recast of ``migrate_requirement_lists`` (reference auac.py:104-133):
+    the simplest auac migration — three stripped scalar columns (id WITHOUT
+    the lowercase step, unlike the taxonomy ids) plus the full default
+    timestamp toolkit.  LISTA_REQUISITI_TEMPL → supplier; one narrow
+    whole-stage-codegen projection, zero shuffles."""
+    base = tables["supplier"].select(
+        F.concat(F.lit("  LRT-"), F.col("s_suppkey").cast("string"), F.lit(" ")).alias(
+            "clientid"
+        ),
+        F.concat(F.lit(" "), F.col("s_name"), F.lit("  ")).alias("nome"),
+        F.when(
+            F.col("s_suppkey") % 9 != 0,
+            F.concat(F.lit(" DEL-"), (F.col("s_suppkey") % 40).cast("string"), F.lit(" ")),
+        ).alias("id_delibera_templ"),
+        F.timestamp_add(
+            "DAY", (F.col("s_suppkey") % 1400).cast("int"), F.lit(datetime(1992, 9, 1))
+        ).alias("CREATION"),
+        F.when(
+            F.col("s_suppkey") % 5 != 0,
+            F.timestamp_add(
+                "DAY", (F.col("s_suppkey") % 1700).cast("int"), F.lit(datetime(1992, 9, 1))
+            ),
+        ).alias("LAST_MOD"),
+        F.when(F.col("s_acctbal") < 0, F.lit("S")).otherwise(F.lit("N")).alias("DISABLED"),
+    )
+    ts = handle_timestamps(current_time=now)
+    return base.select(
+        F.trim(F.col("clientid")).alias("id"),  # strip only (auac.py:122)
+        F.trim(F.col("nome")).alias("name"),
+        F.trim(F.col("id_delibera_templ")).alias("resolution_id"),
+        ts["disabled_at"],
+        ts["created_at"],
+        ts["updated_at"],
+    )
+
+
+def procedures_pipeline(tables: dict[str, DataFrame], now: datetime) -> DataFrame:
+    """1:1 recast of ``migrate_procedures`` (reference auac.py:211-266) — the
+    last distinctive auac migration: the STATO-driven disabled ladder
+    (``handle_timestamps(disabled_col="STATO", disabled_value="CESTINATA")``
+    — raw equality, NOT stripped), the CESTINATA→BOZZA status rewrite over
+    the space→underscore-normalized STATO, the two-column progressive-code
+    ``fill_null``, and the DESCR upper/space→'_'/dot-strip normalize join to
+    the procedure-type template.
+
+    DOMANDA_INST → orders; TIPO_PROC_TEMPL → region (DESCR synthesized with
+    spaces AND dots so every normalization step is load-bearing).  The
+    reference's dot-strip is ``.str.replace_all(".", "")`` — polars treats
+    the pattern as a REGEX, so the literal code empties the whole string;
+    the recast implements the evident intent (strip literal '.') and notes
+    the footgun here.  The dim joins as a broadcast; the fact side is one
+    narrow projection — zero extra shuffles.  The raw ID_TIPO_PROC_FK is
+    dropped after the join (the target DDL, sql/init_auac.sql:143, has no
+    such column; the reference's polars join happens to retain it)."""
+    o = tables["orders"]
+    stato = (
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("CESTINATA"))
+        .when(F.col("o_orderkey") % 11 < 4, F.lit("IN COMPILAZIONE"))
+        .when(F.col("o_orderkey") % 11 < 7, F.lit("INVIATA"))
+        .when(F.col("o_orderkey") % 11 < 9, F.lit("PRESA IN CARICO"))
+        .otherwise(F.lit("CONCLUSA"))
+    )
+    base = o.select(
+        F.concat(F.lit(" DOM-"), F.col("o_orderkey").cast("string"), F.lit("  ")).alias(
+            "clientid"
+        ),
+        F.when(F.col("o_orderkey") % 7 != 0, (F.col("o_orderkey") + 100000).cast("int")).alias(
+            "id_domanda"
+        ),
+        (F.col("o_orderkey") + 200000).cast("int").alias("codice_univoco_nrecord"),
+        F.concat(F.lit("comp-"), F.col("o_custkey").cast("string")).alias("id_titolare_fk"),
+        F.concat(F.lit("proc-"), (F.col("o_orderkey") % 5).cast("string")).alias(
+            "id_tipo_proc_fk"
+        ),
+        stato.alias("STATO"),
+        F.col("o_orderdate").cast("timestamp").alias("CREATION"),
+        F.when(
+            F.col("o_orderkey") % 6 != 0,
+            F.timestamp_add(
+                "DAY", (F.col("o_orderkey") % 75).cast("int"), F.col("o_orderdate").cast("timestamp")
+            ),
+        ).alias("LAST_MOD"),
+        F.when(
+            F.col("o_orderkey") % 11 >= 9,
+            F.date_add(F.col("o_orderdate").cast("date"), (F.col("o_orderkey") % 90).cast("int")),
+        ).alias("data_conclusione"),
+        F.when(
+            F.col("o_orderkey") % 11 >= 4,
+            F.col("o_orderdate").cast("date"),
+        ).alias("data_invio_domanda"),
+        F.date_add(F.col("o_orderdate").cast("date"), 365).alias("data_scadenza"),
+        F.when(F.col("o_orderkey") % 13 != 0, (F.col("o_orderkey") % 180).cast("int")).alias(
+            "durata_procedimento"
+        ),
+        F.lit(365).cast("int").alias("massima_durata_procedimento"),
+        F.when(
+            F.col("o_orderkey") % 3 != 0,
+            F.concat(F.lit("PN/"), F.col("o_orderkey").cast("string")),
+        ).alias("numero_procedimento"),
+    )
+    ts = handle_timestamps(
+        "CREATION", "LAST_MOD", "STATO", disabled_value="CESTINATA", current_time=now
+    )
+    status_norm = F.regexp_replace(F.trim(F.col("STATO")), " ", "_")
+    fact = base.select(
+        F.trim(F.col("clientid")).alias("id"),  # strip only (auac.py:230)
+        F.coalesce(F.col("id_domanda"), F.col("codice_univoco_nrecord")).alias(
+            "progressive_code"
+        ),
+        F.col("id_titolare_fk").alias("company_id"),
+        F.col("id_tipo_proc_fk"),
+        F.when(status_norm == "CESTINATA", F.lit("BOZZA")).otherwise(status_norm).alias(
+            "status"
+        ),
+        F.col("data_conclusione").alias("completion_date"),
+        F.col("data_invio_domanda").alias("sent_date"),
+        F.col("data_scadenza").alias("expiration_date"),
+        F.col("durata_procedimento").alias("procedure_duration"),
+        F.col("massima_durata_procedimento").alias("max_procedure_duration"),
+        F.col("numero_procedimento").alias("procedure_number"),
+        ts["disabled_at"],
+        ts["created_at"],
+        ts["updated_at"],
+    )
+    tipo_proc = tables["region"].select(
+        F.trim(
+            F.concat(F.lit(" proc-"), F.col("r_regionkey").cast("string"), F.lit(" "))
+        ).alias("id_tipo_proc_fk"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.upper(F.trim(F.concat(F.lit(" "), F.col("r_name"), F.lit(" proc. v2 ")))),
+                " ",
+                "_",
+            ),
+            r"\.",
+            "",
+        ).alias("procedure_type"),
+    )
+    return fact.join(F.broadcast(tipo_proc), "id_tipo_proc_fk", "left").drop(
+        "id_tipo_proc_fk"
+    )
