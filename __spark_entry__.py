@@ -3742,90 +3742,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     ORDER MATTERS: the driver's correctness gate checks the FIRST 50 entries.
-    Round-7 rotation (VERDICT r6 items 1–2): leads with pagerank — the one
-    red CORRECTNESS_r06 row, its oracle's HUGEINT dtype now cast to BIGINT —
-    then the ~30 rotation candidates named in SURVEY §7 / VERDICT item 2:
-    every oracle whose last driver green predates the r5 testdata
-    regeneration (the r2-only and r3-only greens).  New r7 oracles
-    (lake-layout read-backs, cronos/auac field-level recasts, contract
-    gates) are inserted into the window as they land; r2+r3 doubles fill
-    any remaining slots.  Everything below the window holds a driver green
-    on current testdata (r5/r6) plus local parity
-    (tests/test_oracle_parity.py); the rows-only dedup_minhash_lsh stays
-    out of the window (test_driver_window_fully_oracled enforces this).
+    Round-8 rotation (VERDICT r7 items 1–2): the window is exactly the keys
+    with no driver green yet — vocab_encode (the r7 err, its token_ids array
+    now CSV-serialized on both engine sides), the three new auac 1:1
+    recasts (requirement_taxonomies / requirement_lists / procedures,
+    VERDICT items 3–4), embedding_quantize (schema-audit fix: q8 array →
+    q8_csv), and 45 of the 52 r7 additions the judge verified via the local
+    gate but the driver never windowed.  Six compositions whose machinery
+    already holds driver greens through other keys (ltv_curve,
+    session_paths, session_quality_report, decline_streaks, time_in_state,
+    share_of_parent) sit immediately below the window as the r9 rotation.
+    The full r7 window (49/50 green on current testdata) follows, then the
+    earlier greens; the rows-only dedup_minhash_lsh stays out of the window
+    (test_driver_window_fully_oracled enforces this).
     """
     return {
-        # — the only red r6 row: oracle dtype fixed, re-windowed for green —
-        "pagerank": q_pagerank,
-        # — r7 rotation: r2-only greens, never re-checked since the r5
-        #   testdata regeneration —
-        "id_normalize": q_id_normalize,
-        "enum_mapping": q_enum_mapping,
-        "text_clean": q_text_clean,
-        "year_cast": q_year_cast,
-        "datetime_normalize": q_datetime_normalize,
-        "when_then_derivation": q_when_then_derivation,
-        "dup_name_disambiguation": q_dup_name_disambiguation,
-        "union_diagonal_relaxed": q_union_diagonal_relaxed,
-        "groupby_collect_list": q_groupby_collect_list,
-        "distinct_dedup": q_distinct_dedup,
-        "projection_pipeline": q_projection_pipeline,
-        "load_roundtrip": q_load_roundtrip,
-        "export_csv_roundtrip": q_export_csv_roundtrip,
-        "text_fingerprint": q_text_fingerprint,
-        "text_token_stats": q_text_token_stats,
-        # — r7 rotation: r3-only greens, same reason —
-        "json_extract": q_json_extract,
-        "dedup_components": q_dedup_components,
-        "text_tfidf_topk": q_text_tfidf_topk,
-        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        "funnel_conversion": q_funnel_conversion,
-        "partitioned_layout_prune": q_partitioned_layout_prune,
-        "calendar_gapfill": q_calendar_gapfill,
-        "retention_cohorts": q_retention_cohorts,
-        "first_touch_attribution": q_first_touch_attribution,
-        "monthly_revenue_rollup": q_monthly_revenue_rollup,
-        "distinct_count_skewsafe": q_distinct_count_skewsafe,
-        # — new r7: lake-layout read-backs, previously test-only (VERDICT
-        #   item 3) — the layout MECHANICS stay pytest-proven (zero-exchange
-        #   plan, file spans, file counts); these entries put the CONTENT
-        #   under the driver oracle —
-        "bucketed_join": q_bucketed_join,
-        "range_layout_readback": q_range_layout_readback,
-        "zorder_layout_readback": q_zorder_layout_readback,
-        "compact_roundtrip": q_compact_roundtrip,
-        "file_stats_manifest": q_file_stats_manifest,
-        # — new r7: cronos/auac field-level 1:1 recasts (VERDICT item 10);
-        #   scd2_intervals and emb_cosine_pairs_exact displaced to make room
-        #   (their machinery holds r6 greens via scd2_lookup and
-        #   dedup_embedding_cosine respectively) —
-        "pipeline_healthcare_companies": q_pipeline_healthcare_companies,
-        "pipeline_requirements": q_pipeline_requirements,
-        # — new r7: the runner's per-pipeline DDL contract gate (VERDICT
-        #   item 8); groupby_rollup/cube displaced (GROUPING SETS machinery
-        #   r6-green via grouping_sets) —
-        "contract_gate_users": q_contract_gate_users,
-        "contract_gate_requirements": q_contract_gate_requirements,
-        # — new r7 analytics/sampling operators (never driver-checked;
-        #   string_agg/regex_extract/anti_semi_join/percentile_agg displaced
-        #   — each holds an r3 green plus current-testdata local parity) —
-        "vocab_build": q_vocab_build,
+        # — the r7 err, fixed: CSV-serialized array, re-windowed for green —
         "vocab_encode": q_vocab_encode,
-        "radius_join": q_radius_join,
-        "linear_interpolate": q_linear_interpolate,
-        "ab_test_ztest": q_ab_test_ztest,
-        "parse_logs": q_parse_logs,
-        "hopping_window_agg": q_hopping_window_agg,
-        "hierarchy_paths": q_hierarchy_paths,
-        "priority_sample": q_priority_sample,
-        "pareto_frontier": q_pareto_frontier,
-        "skew_report": q_skew_report,
-        "longest_streak": q_longest_streak,
-        # —— driver window ends here (first 50) ——
-        # — new r7 oracles below the window (r8 window candidates): added
-        #   after the 50 slots filled; local gate + all-SF parity verified —
+        # — new r8: the last three auac 1:1 recasts —
+        "pipeline_requirement_taxonomies": q_pipeline_requirement_taxonomies,
+        "pipeline_requirement_lists": q_pipeline_requirement_lists,
+        "pipeline_procedures": q_pipeline_procedures,
+        # — r8 rotation: r7 additions never driver-windowed (judge-verified
+        #   at the local gate; this puts them under the hard signal) —
         "rolling_distinct_users": q_rolling_distinct_users,
         "or_join": q_or_join,
         "json_flatten": q_json_flatten,
@@ -3841,7 +3780,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "negative_sampling": q_negative_sampling,
         "score_calibration": q_score_calibration,
-        "session_paths": q_session_paths,
         "sorted_neighborhood": q_sorted_neighborhood,
         "linkage_classify": q_linkage_classify,
         "interval_overlap": q_interval_overlap,
@@ -3861,23 +3799,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_chi2": q_drift_chi2,
         "knn_classify": q_knn_classify,
         "embedding_dim_stats": q_embedding_dim_stats,
+        # — schema-audit fix (array output → CSV), needs a driver green —
         "embedding_quantize": q_embedding_quantize,
+        # — remaining never-windowed r7 additions —
         "asof_forward": q_asof_forward,
         "ohlc_bars": q_ohlc_bars,
         "fixed_width_roundtrip": q_fixed_width_roundtrip,
         "phrase_search": q_phrase_search,
         "table_checksum": q_table_checksum,
         "group_sample_n": q_group_sample_n,
-        "ltv_curve": q_ltv_curve,
         "priority_sample_grouped": q_priority_sample_grouped,
         "waterfall_join": q_waterfall_join,
         "interval_integrity": q_interval_integrity,
-        "session_quality_report": q_session_quality_report,
         "bom_explosion": q_bom_explosion,
         "pseudonymize_events": q_pseudonymize_events,
+        # —— driver window ends here (first 50) ——
+        # — r9 window candidates: never driver-checked compositions whose
+        #   machinery holds driver greens via other keys —
+        "ltv_curve": q_ltv_curve,
+        "session_paths": q_session_paths,
+        "session_quality_report": q_session_quality_report,
         "decline_streaks": q_decline_streaks,
         "time_in_state": q_time_in_state,
         "share_of_parent": q_share_of_parent,
+        # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
+        "pagerank": q_pagerank,
+        "id_normalize": q_id_normalize,
+        "enum_mapping": q_enum_mapping,
+        "text_clean": q_text_clean,
+        "year_cast": q_year_cast,
+        "datetime_normalize": q_datetime_normalize,
+        "when_then_derivation": q_when_then_derivation,
+        "dup_name_disambiguation": q_dup_name_disambiguation,
+        "union_diagonal_relaxed": q_union_diagonal_relaxed,
+        "groupby_collect_list": q_groupby_collect_list,
+        "distinct_dedup": q_distinct_dedup,
+        "projection_pipeline": q_projection_pipeline,
+        "load_roundtrip": q_load_roundtrip,
+        "export_csv_roundtrip": q_export_csv_roundtrip,
+        "text_fingerprint": q_text_fingerprint,
+        "text_token_stats": q_text_token_stats,
+        "json_extract": q_json_extract,
+        "dedup_components": q_dedup_components,
+        "text_tfidf_topk": q_text_tfidf_topk,
+        "ann_ivf_trained_topk": q_ann_ivf_trained_topk,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "funnel_conversion": q_funnel_conversion,
+        "partitioned_layout_prune": q_partitioned_layout_prune,
+        "calendar_gapfill": q_calendar_gapfill,
+        "retention_cohorts": q_retention_cohorts,
+        "first_touch_attribution": q_first_touch_attribution,
+        "monthly_revenue_rollup": q_monthly_revenue_rollup,
+        "distinct_count_skewsafe": q_distinct_count_skewsafe,
+        "bucketed_join": q_bucketed_join,
+        "range_layout_readback": q_range_layout_readback,
+        "zorder_layout_readback": q_zorder_layout_readback,
+        "compact_roundtrip": q_compact_roundtrip,
+        "file_stats_manifest": q_file_stats_manifest,
+        "pipeline_healthcare_companies": q_pipeline_healthcare_companies,
+        "pipeline_requirements": q_pipeline_requirements,
+        "contract_gate_users": q_contract_gate_users,
+        "contract_gate_requirements": q_contract_gate_requirements,
+        "vocab_build": q_vocab_build,
+        "radius_join": q_radius_join,
+        "linear_interpolate": q_linear_interpolate,
+        "ab_test_ztest": q_ab_test_ztest,
+        "parse_logs": q_parse_logs,
+        "hopping_window_agg": q_hopping_window_agg,
+        "hierarchy_paths": q_hierarchy_paths,
+        "priority_sample": q_priority_sample,
+        "pareto_frontier": q_pareto_frontier,
+        "skew_report": q_skew_report,
+        "longest_streak": q_longest_streak,
         # — displaced rotation candidates (machinery r6-green via
         #   compositions) —
         "scd2_intervals": q_scd2_intervals,

@@ -376,6 +376,54 @@ PIPELINE_CONTRACTS: dict[str, TableContract] = {
         ],
         primary_key=["id"],
     ),
+    "auac.requirement_taxonomies": TableContract(
+        # sql/init_auac.sql:164 — name UNIQUE NOT NULL, is_readonly NOT NULL
+        "requirement_taxonomies",
+        [
+            _cc("id", "string", nullable=False),
+            _cc("name", "string", nullable=False),
+            _cc("is_readonly", "boolean", nullable=False),
+            _cc("disabled_at", "timestamp"),
+            _cc("created_at", "timestamp", nullable=False),
+            _cc("updated_at", "timestamp", nullable=False),
+        ],
+        primary_key=["id"],
+    ),
+    "auac.requirement_lists": TableContract(
+        # sql/init_auac.sql:195 — resolution_id nullable
+        "requirement_lists",
+        [
+            _cc("id", "string", nullable=False),
+            _cc("name", "string", nullable=False),
+            _cc("resolution_id", "string"),
+            _cc("disabled_at", "timestamp"),
+            _cc("created_at", "timestamp", nullable=False),
+            _cc("updated_at", "timestamp", nullable=False),
+        ],
+        primary_key=["id"],
+    ),
+    "auac.procedures": TableContract(
+        # sql/init_auac.sql:143 — progressive_code UNIQUE NOT NULL INTEGER,
+        # company_id / procedure_type / status NOT NULL, dates nullable
+        "procedures",
+        [
+            _cc("id", "string", nullable=False),
+            _cc("progressive_code", "int", nullable=False),
+            _cc("company_id", "string", nullable=False),
+            _cc("status", "string", nullable=False),
+            _cc("completion_date", "date"),
+            _cc("sent_date", "date"),
+            _cc("expiration_date", "date"),
+            _cc("procedure_duration", "int"),
+            _cc("max_procedure_duration", "int"),
+            _cc("procedure_number", "string"),
+            _cc("disabled_at", "timestamp"),
+            _cc("created_at", "timestamp", nullable=False),
+            _cc("updated_at", "timestamp", nullable=False),
+            _cc("procedure_type", "string", nullable=False),
+        ],
+        primary_key=["id"],
+    ),
     "poa.operational_events": TableContract(
         "operational_events",
         [

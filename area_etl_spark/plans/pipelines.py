@@ -1354,7 +1354,7 @@ def requirement_taxonomies_pipeline(tables: dict[str, DataFrame], now: datetime)
         F.lit(now).alias("created_at"),
         F.lit(now).alias("updated_at"),
     )
-    return union_diagonal_relaxed([generale, specifico, fallback])
+    return union_diagonal_relaxed(generale, specifico, fallback)
 
 
 def requirement_lists_pipeline(tables: dict[str, DataFrame], now: datetime) -> DataFrame:

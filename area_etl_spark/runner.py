@@ -144,7 +144,12 @@ MODULES: dict[str, list[PipelineSpec]] = {
     ],
     "auac": [
         PipelineSpec("requirements", _plain(P.auac_pipeline)),
+        # 1:1 recasts in the reference's migrate_auac order (auac.py:271):
+        # taxonomies → lists → requirements → procedures
+        PipelineSpec("requirement_taxonomies", _with_now(P.requirement_taxonomies_pipeline)),
+        PipelineSpec("requirement_lists", _with_now(P.requirement_lists_pipeline)),
         PipelineSpec("requirement_templates", _with_now(P.requirements_pipeline)),
+        PipelineSpec("procedures", _with_now(P.procedures_pipeline)),
     ],
     # training-corpus preparation as a first-class runnable module: the LLM
     # operator families materialized as lake tables, same atomic-overwrite
