@@ -319,3 +319,96 @@ def ohlc_bars(
         F.count(F.lit(1)).alias("n_obs"),
         F.sum("_v").alias("volume"),
     )
+
+
+def rolling_corr_skew_safe(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    x_col: str,
+    y_col: str,
+    window_rows: int,
+    bucket_expr: Column,
+    *,
+    out_col: str = "rolling_corr",
+) -> DataFrame:
+    """Hot-key variant of :func:`rolling_corr` — the sub-bucketing knob for
+    the whole bounded-trailing-frame window family (rolling_corr,
+    ewma_smooth, window_moving_median share the same bound: ONE task sorts
+    each key's full history).
+
+    ``bucket_expr`` is a coarse expression MONOTONE in ``order_cols`` (e.g.
+    ``F.month("ts")`` when ordering by ts): each key splits into (key,
+    bucket) sort partitions, so a key holding 10⁹ rows costs
+    |rows-per-bucket| per task instead of one 10⁹-row sort — the same
+    time-bucket pre-split ``asof_join_skew_safe`` uses.  Rows whose trailing
+    frame crosses a bucket boundary get their context from a SEED pass: the
+    last ``window_rows − 1`` rows of each bucket are replicated into the
+    key's next present bucket (gap-safe via a lead over the distinct bucket
+    list, bounded by |buckets|), included in frames there, and dropped from
+    the output.  Exactly equivalent to the single-sort form whenever every
+    non-first (key, bucket) holds ≥ ``window_rows − 1`` rows — pick the
+    bucket width ≫ the frame length (asserted nowhere: a too-fine bucket
+    silently shortens frames at bucket seams, so the equivalence test in
+    tests/test_operators.py is the guard).
+
+    Cost: one extra shuffle (the seed join) + (window_rows−1)·|buckets|
+    duplicated rows — the price of turning the hot key's O(n log n)
+    single-task sort into |buckets| parallel sorts.
+    """
+    base = df.withColumn("_bkt", bucket_expr.cast("long")).withColumn(
+        "_seed", F.lit(False)
+    )
+    order_asc = [F.col(c).asc() for c in order_cols]
+    # last window_rows-1 rows of each (key, bucket) — bounded partitions
+    w_tail = Window.partitionBy(*keys, "_bkt").orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    tail = (
+        base.withColumn("_rn", F.row_number().over(w_tail))
+        .where(F.col("_rn") < window_rows)
+        .drop("_rn")
+    )
+    # next PRESENT bucket per key (gap-safe): lead over the distinct bucket
+    # list, a window bounded by |buckets per key|
+    pairs = base.select(*keys, "_bkt").distinct()
+    w_b = Window.partitionBy(*keys).orderBy(F.col("_bkt").asc())
+    nxt = pairs.withColumn("_next_bkt", F.lead("_bkt").over(w_b))
+    seeds = (
+        tail.join(nxt, [*keys, "_bkt"])
+        .where(F.col("_next_bkt").isNotNull())
+        .withColumn("_bkt", F.col("_next_bkt"))
+        .drop("_next_bkt")
+        .withColumn("_seed", F.lit(True))
+    )
+    unioned = base.unionByName(seeds)
+    frame = (
+        Window.partitionBy(*keys, "_bkt")
+        .orderBy(*order_asc)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    x = F.col(x_col)
+    y = F.col(y_col)
+    stats = {
+        "_n": F.count(F.lit(1)),
+        "_sx": F.sum(x),
+        "_sy": F.sum(y),
+        "_sxy": F.sum(x * y),
+        "_sxx": F.sum(x * x),
+        "_syy": F.sum(y * y),
+    }
+    out = unioned
+    for name, expr in stats.items():
+        out = out.withColumn(name, expr.over(frame))
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    varx = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    vary = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    corr = F.when(
+        (varx > 0) & (vary > 0),
+        F.round(num / (F.sqrt(varx) * F.sqrt(vary)), 6) + F.lit(0.0),
+    )
+    return (
+        out.withColumn(out_col, corr)
+        .where(~F.col("_seed"))
+        .drop("_bkt", "_seed", *stats.keys())
+    )

@@ -1256,3 +1256,26 @@ def test_pseudonymize_preserves_joins(spark, tables):
     # rotating the salt unlinks the mapping
     tok2 = ev.select(pseudonymize("user_id", "k2").alias("t")).distinct()
     assert tok.select("t").distinct().join(tok2, "t").count() == 0
+
+
+def test_rolling_corr_skew_safe_matches_single_sort(spark):
+    """The sub-bucketing variant is bit-identical to the single-sort form on
+    a planted hot key (95% of rows on one key), including bucket gaps (the
+    hot key skips bucket 3) and a key whose first bucket starts late."""
+    from area_etl_spark.operators.windows import rolling_corr, rolling_corr_skew_safe
+
+    rows = []
+    for i in range(400):
+        bucket = i // 50
+        if bucket == 3:  # gap: seeds of bucket 2 must flow into bucket 4
+            continue
+        rows.append(("hot", i, (i * 7) % 23, (i * 13) % 31))
+    rows += [("cold", i, i % 5, (i * 3) % 11) for i in range(120, 160)]
+    df = spark.createDataFrame(rows, "k string, o int, x long, y long")
+    bucket = (F.col("o") / 50).cast("long")
+
+    base = rolling_corr(df, ["k"], ["o"], "x", "y", window_rows=8)
+    safe = rolling_corr_skew_safe(df, ["k"], ["o"], "x", "y", 8, bucket)
+    b = {(r.k, r.o): r.rolling_corr for r in base.collect()}
+    s = {(r.k, r.o): r.rolling_corr for r in safe.collect()}
+    assert b == s and len(s) == len(rows)

@@ -168,6 +168,31 @@ def main() -> None:
     timed("triangles degree-oriented (√m bound)", lambda: sink(
         triangle_count(hub, orient="degree")))
 
+    # 7. bounded-trailing-frame window under a hot key: the window family's
+    # bound is ONE task sorting each key's full history.  95% of rows on one
+    # key → the naive form sorts ~0.95·n rows in a single task; the
+    # sub-bucketed variant (rolling_corr_skew_safe) splits the key into
+    # |buckets| parallel sorts + a (window_rows−1)-row seed pass per bucket.
+    from area_etl_spark.operators.windows import rolling_corr, rolling_corr_skew_safe
+
+    n_w = max(n // 2, 500_000)
+    wdf = spark.range(n_w).select(
+        F.when(F.col("id") % 20 != 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 997).cast("string")))
+        .alias("k"),
+        F.col("id").alias("o"),
+        ((F.col("id") * 7) % 1009).alias("x"),
+        ((F.col("id") * 13) % 2003).alias("y"),
+    )
+    wdf.write.mode("overwrite").parquet("/tmp/skewbench_win")
+    wdf = spark.read.parquet("/tmp/skewbench_win")
+    bucket = (F.col("o") / 65536).cast("long")
+    print(f"window: {n_w:,} rows, hot key holds 95% (trailing 20-row corr)")
+    timed("rolling_corr naive (one sort/key)", lambda: sink(
+        rolling_corr(wdf, ["k"], ["o"], "x", "y", window_rows=20)))
+    timed("rolling_corr sub-bucketed (64k rows/bkt)", lambda: sink(
+        rolling_corr_skew_safe(wdf, ["k"], ["o"], "x", "y", 20, bucket)))
+
 
 if __name__ == "__main__":
     main()
