@@ -3738,6 +3738,95 @@ def q_triangle_count(spark, sf_dir):
     return triangle_count(_order_graph(tables))
 
 
+def q_attribution_time_decay(spark, sf_dir):
+    """Multi-touch attribution with exponential time-decay credit: every
+    view/click within 7 days before a purchase earns 2^(7-k) integer credit
+    (k = recency rank, most recent k=0, capped at 8 touches) — exact BIGINT
+    sums per channel, the power-of-two decay keeping cross-engine hashes
+    stable (ewma recipe)."""
+    from area_etl_spark.operators.business import time_decay_attribution
+
+    return time_decay_attribution(_tables(spark, sf_dir)["events"])
+
+
+def q_km_survival(spark, sf_dir):
+    """Kaplan-Meier time-to-conversion curve: per signup user, days to first
+    purchase (right-censored at the corpus max ts); survival = ordered
+    sequential product of (1 - d/n) factors — the collect-fold float recipe,
+    counts exact."""
+    from area_etl_spark.operators.experiments import km_survival
+
+    ev = _tables(spark, sf_dir)["events"]
+    s = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t0")
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    tmax = ev.agg(F.max("ts").alias("tmax"))
+    subj = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            F.datediff(
+                F.coalesce(F.col("t1"), F.col("tmax")).cast("date"),
+                F.col("t0").cast("date"),
+            ).alias("dur"),
+            F.col("t1").isNotNull().alias("ev"),
+        )
+    )
+    return km_survival(subj, "dur", "ev")
+
+
+def q_cascade_delete(spark, sf_dir):
+    """GDPR right-to-erasure cascade: erase nation 3's customers, propagate
+    through orders to lineitem via FK anti-joins; report (table_name,
+    n_deleted, n_kept) — counts piggyback the same joins, no collect."""
+    from area_etl_spark.operators.quality import cascade_delete
+
+    tables = _tables(spark, sf_dir)
+    cust = tables["customer"]
+    root_ids = cust.where(F.col("c_nationkey") == 3).select("c_custkey")
+    _, report = cascade_delete(
+        cust,
+        "c_custkey",
+        root_ids,
+        [
+            ("orders", tables["orders"], "o_custkey", "root", "c_custkey"),
+            ("lineitem", tables["lineitem"], "l_orderkey", "orders", "o_orderkey"),
+        ],
+    )
+    return report
+
+
+def q_jaccard_prefix_join(spark, sf_dir):
+    """EXACT all-pairs Jaccard >= 0.5 self-join via prefix filtering
+    (PPJoin-family): candidates only from each document's globally-RAREST
+    (|S| - ceil(t|S|) + 1) tokens — stopwords never join, completeness is a
+    theorem; oracle brute-forces every pair of the same bounded subset."""
+    from area_etl_spark.operators.dedup import prefix_filter_jaccard_join
+
+    docs = _tables(spark, sf_dir)["documents"].where(F.col("doc_id") % 11 == 0)
+    return prefix_filter_jaccard_join(docs, threshold=0.5)
+
+
+def q_quantile_normalize(spark, sf_dir):
+    """Quantile normalization of per-source document lengths onto src0's
+    empirical distribution: percent_rank within source, then a union-merge
+    floor lookup into the ref ECDF (asof idiom on a double axis) — the
+    cross-source score-blending step beyond rank calibration."""
+    from area_etl_spark.operators.quality import quantile_normalize
+
+    docs = _tables(spark, sf_dir)["documents"].select(
+        "doc_id", "source", F.col("n_chars").alias("score")
+    )
+    return quantile_normalize(docs, "source", "score", "src0")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -3822,6 +3911,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decline_streaks": q_decline_streaks,
         "time_in_state": q_time_in_state,
         "share_of_parent": q_share_of_parent,
+        # — new r8 operators (r9 window candidates; local gate + all-SF
+        #   parity verified) —
+        "attribution_time_decay": q_attribution_time_decay,
+        "km_survival": q_km_survival,
+        "cascade_delete": q_cascade_delete,
+        "jaccard_prefix_join": q_jaccard_prefix_join,
+        "quantile_normalize": q_quantile_normalize,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -4578,6 +4674,112 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(last_mod, creation, TIMESTAMP '{now}') AS updated_at,
                    resp.response_type
             FROM base LEFT JOIN resp USING (fk_resp)
+        """,
+        "attribution_time_decay": """
+            WITH conv AS (
+                SELECT event_id AS conv_id, user_id, ts AS conv_ts
+                FROM events WHERE event_type = 'purchase'
+            ), tch AS (
+                SELECT user_id, event_type AS channel, ts AS touch_ts,
+                       event_id AS touch_id
+                FROM events WHERE event_type IN ('view', 'click')
+            ), j AS (
+                SELECT conv_id, channel, touch_ts, touch_id
+                FROM tch JOIN conv USING (user_id)
+                WHERE touch_ts < conv_ts AND touch_ts >= conv_ts - INTERVAL 7 DAY
+            ), r AS (
+                SELECT conv_id, channel,
+                       row_number() OVER (PARTITION BY conv_id
+                           ORDER BY touch_ts DESC, touch_id DESC) - 1 AS k
+                FROM j
+            )
+            SELECT channel,
+                   CAST(SUM(1 << (7 - k)) AS BIGINT) AS credit,
+                   CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions
+            FROM r WHERE k < 8 GROUP BY channel
+        """,
+        "km_survival": """
+            WITH s AS (
+                SELECT user_id, MIN(ts) AS t0 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id
+            ), p AS (
+                SELECT e.user_id, MIN(e.ts) AS t1
+                FROM events e JOIN s USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s.t0
+                GROUP BY e.user_id
+            ), m AS (SELECT MAX(ts) AS tmax FROM events),
+            subj AS (
+                SELECT date_diff('day', CAST(s.t0 AS DATE),
+                                 CAST(COALESCE(p.t1, m.tmax) AS DATE)) AS day,
+                       p.t1 IS NOT NULL AS ev
+                FROM s LEFT JOIN p USING (user_id), m
+            ), c AS (
+                SELECT day, COUNT(*) AS n_all,
+                       CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS n_events
+                FROM subj GROUP BY day
+            ), r AS (
+                SELECT day, n_events,
+                       SUM(n_all) OVER (ORDER BY day DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+                FROM c
+            ), f AS (
+                SELECT day, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+                       1.0 - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS factor
+                FROM r WHERE n_events > 0
+            )
+            SELECT day, n_risk, n_events,
+                   round(list_reduce(list(factor) OVER (ORDER BY day ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       (a, b) -> a * b), 6) + 0.0 AS survival
+            FROM f
+        """,
+        "cascade_delete": """
+            WITH del_c AS (SELECT c_custkey FROM customer WHERE c_nationkey = 3),
+            del_o AS (SELECT o_orderkey FROM orders
+                      WHERE o_custkey IN (SELECT c_custkey FROM del_c)),
+            nl AS (SELECT COUNT(*) AS n FROM lineitem
+                   WHERE l_orderkey IN (SELECT o_orderkey FROM del_o))
+            SELECT 'root' AS table_name,
+                   (SELECT COUNT(*) FROM del_c) AS n_deleted,
+                   (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM del_c) AS n_kept
+            UNION ALL
+            SELECT 'orders', (SELECT COUNT(*) FROM del_o),
+                   (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM del_o)
+            UNION ALL
+            SELECT 'lineitem', (SELECT n FROM nl),
+                   (SELECT COUNT(*) FROM lineitem) - (SELECT n FROM nl)
+        """,
+        "jaccard_prefix_join": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(list_distinct(
+                           string_split_regex(trim(lower(text)), '\\s+')),
+                           t -> t != '') AS toks
+                FROM documents WHERE doc_id % 11 = 0
+            ), dd AS (
+                SELECT doc_id, toks, len(toks) AS sz FROM d WHERE len(toks) > 0
+            ), p AS (
+                SELECT a.doc_id AS l_id, b.doc_id AS r_id,
+                       len(list_intersect(a.toks, b.toks)) AS inter,
+                       a.sz + b.sz AS szs
+                FROM dd a JOIN dd b ON a.doc_id < b.doc_id
+            )
+            SELECT l_id, r_id,
+                   round(CAST(inter AS DOUBLE) / (szs - inter), 6) + 0.0 AS jaccard
+            FROM p WHERE CAST(inter AS DOUBLE) / (szs - inter) >= 0.5
+        """,
+        "quantile_normalize": """
+            WITH scored AS (
+                SELECT doc_id, source, n_chars AS score,
+                       percent_rank() OVER (PARTITION BY source
+                                            ORDER BY n_chars ASC) AS pct
+                FROM documents
+            ), ref AS (
+                SELECT DISTINCT pct AS r_pct, score AS r_val
+                FROM scored WHERE source = 'src0'
+            )
+            SELECT s.doc_id, s.source, s.score, r.r_val AS normalized
+            FROM scored s ASOF JOIN ref r ON s.pct >= r.r_pct
         """,
         "pipeline_requirement_taxonomies": f"""
             WITH tr AS (

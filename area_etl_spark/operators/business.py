@@ -98,3 +98,69 @@ def rfm_segments(
         "segment",
         (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast("int"),
     )
+
+
+def time_decay_attribution(
+    events: DataFrame,
+    *,
+    conv_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    lookback_days: int = 7,
+    max_touches: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Multi-touch attribution with exponential time-decay credit — the
+    marketing-analytics standard between first-touch (q_first_touch_
+    attribution) and last-touch: every touchpoint preceding a conversion
+    within ``lookback_days`` earns credit halving with each more-recent
+    touch in between.
+
+    Exactness: credit for recency rank k (k=0 = most recent) is the INTEGER
+    ``2^(max_touches−1−k)``, so per-channel totals are exact BIGINT sums —
+    no float decay factor, engine-portable (the ewma_smooth power-of-two
+    recipe applied to attribution).  Only the most recent ``max_touches``
+    touches per conversion earn credit (the standard lookback cap; also the
+    overflow bound: credit ≤ 2^(max_touches−1)·touches).
+
+    Shape: one equi-join on the user key (conversions ⋈ touches — per-user
+    volumes bound the match fan-out), then a per-CONVERSION ranking window
+    (partitions bounded by touches-within-lookback, never a whole user
+    history), then one hash aggregate.  Deterministic under same-instant
+    touches via the (ts, event_id) DESC tie-break — events (user, ts, id)
+    is unique.
+    """
+    conv = events.where(F.col(type_col) == conv_type).select(
+        F.col(user_col),
+        F.col(id_col).alias("_conv_id"),
+        F.col(ts_col).alias("_conv_ts"),
+    )
+    touch = events.where(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col),
+        F.col(type_col).alias("channel"),
+        F.col(ts_col).alias("_touch_ts"),
+        F.col(id_col).alias("_touch_id"),
+    )
+    joined = touch.join(conv, user_col).where(
+        (F.col("_touch_ts") < F.col("_conv_ts"))
+        & (
+            F.col("_touch_ts")
+            >= F.col("_conv_ts") - F.expr(f"INTERVAL {int(lookback_days)} DAYS")
+        )
+    )
+    w = Window.partitionBy("_conv_id").orderBy(
+        F.col("_touch_ts").desc(), F.col("_touch_id").desc()
+    )
+    ranked = joined.withColumn("_k", F.row_number().over(w) - 1).where(
+        F.col("_k") < max_touches
+    )
+    credit = F.expr(f"shiftleft(CAST(1 AS BIGINT), {int(max_touches) - 1} - _k)")
+    return (
+        ranked.groupBy("channel")
+        .agg(
+            F.sum(credit).cast("long").alias("credit"),
+            F.countDistinct("_conv_id").alias("n_conversions"),
+        )
+    )

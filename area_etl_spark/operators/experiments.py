@@ -74,3 +74,62 @@ def cuped_adjusted_means(
             6,
         ).alias("mean_adjusted"),
     )
+
+
+def km_survival(
+    subjects: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival estimate from (duration, event) subject rows —
+    the time-to-event curve behind retention/churn analyses (the
+    right-censored counterpart of q_retention_cohorts).
+
+    ``duration_col``: integer time-to-event-or-censoring per subject;
+    ``event_col``: boolean, True = the event occurred (False = censored at
+    that duration).  Output: one row per duration WITH ≥1 event — n_risk,
+    n_events, and the product-limit survival S(t) = Π_{u≤t} (1 − d_u/n_u).
+
+    Exactness: n_risk/n_events are exact integer counts (one hash aggregate
+    over durations, then a reversed running sum); the float survival product
+    folds the per-day factors in ascending-duration order via an explicit
+    sequential fold (collect_list over the ordered frame → F.aggregate), so
+    both engines multiply in the SAME order — never F.product, whose fold
+    order is partition-dependent.  IEEE: 1.0·f₁ ≡ f₁, so a 1.0 seed matches
+    DuckDB's seedless list_reduce bit-for-bit.
+
+    Scale: the subject pass is one hash aggregate keyed on duration; the
+    two windows and the fold run over |distinct durations| rows — bounded
+    by semantics (days in the observation window, ≤ a few thousand), the
+    same aggregate-level single-partition class as share_of_parent
+    (docs/SCALE.md §r7).
+    """
+    from pyspark.sql import Window
+
+    counts = subjects.groupBy(F.col(duration_col).alias("day")).agg(
+        F.count(F.lit(1)).alias("_n_all"),
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+    )
+    w_desc = Window.orderBy(F.col("day").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = counts.withColumn("n_risk", F.sum("_n_all").over(w_desc))
+    evd = at_risk.where(F.col("n_events") > 0).withColumn(
+        "_factor",
+        F.lit(1.0) - F.col("n_events").cast("double") / F.col("n_risk").cast("double"),
+    )
+    w_asc = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    survival = F.round(
+        F.aggregate(
+            F.collect_list("_factor").over(w_asc), F.lit(1.0), lambda a, x: a * x
+        ),
+        6,
+    ) + F.lit(0.0)
+    return evd.select(
+        "day",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        survival.alias("survival"),
+    )

@@ -538,3 +538,127 @@ def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(h48.cast("decimal(38,0)")).alias("checksum"),
     )
+
+
+def cascade_delete(
+    root: DataFrame,
+    root_key: str,
+    root_ids: DataFrame,
+    fk_edges: list[tuple[str, DataFrame, str, str, str]],
+) -> tuple[dict[str, DataFrame], DataFrame]:
+    """Right-to-erasure cascade — the GDPR/CCPA deletion propagation a
+    relational database does with ON DELETE CASCADE, expressed as distributed
+    anti-joins over the FK graph (the destructive complement of
+    :func:`fk_orphan_report`).
+
+    ``root_ids``: one-column frame of ``root_key`` values to erase.
+    ``fk_edges``: (name, child_frame, child_fk_col, parent_name, parent_key)
+    in topological order from the root (parent_name = 'root' or an earlier
+    edge's name); each child deletes the rows whose ``child_fk_col``
+    references a deleted parent row's ``parent_key``.  Returns
+    ({name: surviving_frame}, report) with one report row per table:
+    (table_name, n_deleted, n_kept).
+
+    Shape: per table ONE semi/anti join pair on the key (the deleted-key
+    set is usually tiny → broadcast; AQE decides), counts piggyback the
+    same joins — no collect, no iteration beyond the FK depth.  NULL FKs
+    survive (they reference nothing — SQL FK semantics, matching
+    fk_orphan_report; a plain anti join already keeps them since NULL
+    never equals a key).
+    """
+    root_del_keys = root_ids.select(
+        F.col(root_ids.columns[0]).alias(root_key)
+    ).distinct()
+    survivors: dict[str, DataFrame] = {
+        "root": root.join(root_del_keys, root_key, "left_anti")
+    }
+    deleted_frames: dict[str, DataFrame] = {
+        "root": root.join(root_del_keys, root_key, "left_semi")
+    }
+    for name, child, fk_col, parent_name, parent_key in fk_edges:
+        keys = (
+            deleted_frames[parent_name]
+            .select(F.col(parent_key).alias(fk_col))
+            .distinct()
+        )
+        deleted_frames[name] = child.join(keys, fk_col, "left_semi")
+        survivors[name] = child.join(keys, fk_col, "left_anti")
+    reports = []
+    for name in deleted_frames:
+        n_del = deleted_frames[name].agg(F.count(F.lit(1)).alias("n_deleted"))
+        n_keep = survivors[name].agg(F.count(F.lit(1)).alias("n_kept"))
+        reports.append(
+            n_del.crossJoin(n_keep).select(
+                F.lit(name).alias("table_name"), "n_deleted", "n_kept"
+            )
+        )
+    report = reports[0]
+    for r in reports[1:]:
+        report = report.unionByName(r)
+    return survivors, report
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    ref_group: str,
+    *,
+    out_col: str = "normalized",
+) -> DataFrame:
+    """Quantile normalization across groups — map every group's scores onto
+    the REFERENCE group's empirical distribution ("the 80th percentile of
+    src3 becomes whatever the 80th percentile of src0 IS"), the
+    distribution-matching step behind cross-source score blending (stronger
+    than calibrate_percent_rank, which only equalizes RANKS — this equalizes
+    the values too, the genomics/ML 'quantile normalization' standard).
+
+    normalized(x) = the ref value at the largest ref percent_rank ≤ x's
+    percent_rank within its own group.  percent_rank = (rank−1)/(n−1) is an
+    exact integer ratio, bit-identical across engines, so the ≤ lookup is
+    deterministic; ties share a pct and map to one value.
+
+    Shape: one window per group for pct (exchange on ``group_col``), then
+    the as-of lookup as a union-merge: the ref's distinct (pct, value)
+    markers are replicated into every group (|groups| × |ref| rows — a
+    broadcast-sized dimension) and a per-group ordered ``last(ignorenulls)``
+    resolves the floor lookup — the asof_join idiom on a DOUBLE axis, one
+    exchange + sort per group, never a range join.  At 100 TB keep the ref
+    ECDF bounded: pre-collapse it to a fixed quantile grid (e.g. 1001
+    points via equidepth_histogram) before passing a billion-row ref group.
+    """
+    from pyspark.sql import Window
+
+    pct_w = Window.partitionBy(group_col).orderBy(F.col(score_col).asc())
+    scored = df.withColumn("_pct", F.percent_rank().over(pct_w))
+    ref = (
+        scored.where(F.col(group_col) == ref_group)
+        .select(F.col("_pct").alias("_rp"), F.col(score_col).alias("_rv"))
+        .distinct()
+    )
+    groups = df.select(group_col).distinct()
+    left = scored.select(
+        F.col(group_col),
+        "_pct",
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(dict(df.dtypes)[score_col]).alias("_rv"),
+        F.struct(*[F.col(c) for c in df.columns]).alias("_row"),
+    )
+    # markers carry a NULL left-row struct typed from the left schema
+    markers = groups.join(F.broadcast(ref)).select(
+        F.col(group_col),
+        F.col("_rp").alias("_pct"),
+        F.lit(0).alias("_side"),
+        F.col("_rv"),
+        F.lit(None).cast(left.schema["_row"].dataType).alias("_row"),
+    )
+    merged = left.unionByName(markers)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("_pct"), F.col("_side"), F.col("_rv"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        "_row", F.last("_rv", ignorenulls=True).over(w).alias(out_col)
+    ).where(F.col("_row").isNotNull())
+    return filled.select(*[F.col(f"_row.{c}").alias(c) for c in df.columns], out_col)
