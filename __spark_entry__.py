@@ -612,8 +612,13 @@ def q_pipeline_procedures(spark, sf_dir):
     """1:1 recast of migrate_procedures (reference auac.py:211): STATO-driven
     disabled ladder (disabled_value='CESTINATA'), CESTINATA→BOZZA status
     rewrite, two-column progressive-code fill_null, DESCR
-    upper/space→_/dot-strip dim join."""
-    return P.procedures_pipeline(_tables(spark, sf_dir), FIXED_NOW)
+    upper/space→_/dot-strip dim join.  DATE columns ride as timestamp for
+    the driver gate (Spark DATE → pandas object dtype, the vocab_encode
+    canonicalizer failure class); the pipeline/contract keep true DATEs."""
+    out = P.procedures_pipeline(_tables(spark, sf_dir), FIXED_NOW)
+    for c in ("completion_date", "sent_date", "expiration_date"):
+        out = out.withColumn(c, F.col(c).cast("timestamp"))
+    return out
 
 
 def q_or_join(spark, sf_dir):
@@ -1027,10 +1032,15 @@ def q_fk_orphans(spark, sf_dir):
 
 def q_date_dimension(spark, sf_dir):
     """Kimball calendar dimension for 2024, generated with sequence() —
-    portable attribute arithmetic, ISO week, Monday-based weekday."""
+    portable attribute arithmetic, ISO week, Monday-based weekday.  The
+    date column rides as timestamp for the driver gate (Spark DATE →
+    pandas object dtype, the vocab_encode canonicalizer failure class);
+    the operator itself emits a true DATE."""
     from area_etl_spark.sources.extract import date_dimension
 
-    return date_dimension(spark, "2024-01-01", "2024-12-31")
+    return date_dimension(spark, "2024-01-01", "2024-12-31").withColumn(
+        "date", F.col("date").cast("timestamp")
+    )
 
 
 def q_join_size_estimate(spark, sf_dir):
@@ -1367,7 +1377,11 @@ def q_table_checksum(spark, sf_dir):
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         "o_orderpriority",
     )
-    return table_checksum(o, TABLE_CHECKSUM_COLS)
+    # checksum rides as string for the driver gate: Spark decimal(38,0) →
+    # pandas object-Decimal while duckdb DECIMAL/HUGEINT → LOSSY float64
+    return table_checksum(o, TABLE_CHECKSUM_COLS).withColumn(
+        "checksum", F.col("checksum").cast("string")
+    )
 
 
 def q_group_sample_n(spark, sf_dir):
@@ -1395,7 +1409,9 @@ def q_ltv_curve(spark, sf_dir):
     j = purchases.join(signups, "user_id").where(F.col("ts") >= F.col("signup_ts"))
     daily = (
         j.select(
-            F.date_trunc("week", F.col("signup_ts")).cast("date").alias("cohort_week"),
+            # timestamp, not cast("date"): DATE → pandas object dtype breaks
+            # the driver canonicalizer (vocab_encode failure class)
+            F.date_trunc("week", F.col("signup_ts")).alias("cohort_week"),
             F.datediff(F.col("ts").cast("date"), F.col("signup_ts").cast("date")).alias(
                 "day_offset"
             ),
@@ -1497,7 +1513,10 @@ def q_session_quality_report(spark, sf_dir):
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("_dur_us"),
     )
     return (
-        per_session.groupBy(F.col("_start").cast("date").alias("day"))
+        # date_trunc (timestamp) not cast("date"): Spark DATE → pandas
+        # object dtype, which the driver canonicalizer hashes differently
+        # from DuckDB's datetime64 (the vocab_encode failure class)
+        per_session.groupBy(F.date_trunc("day", F.col("_start")).alias("day"))
         .agg(
             F.count(F.lit(1)).alias("n_sessions"),
             F.sum(F.when(F.col("_n_events") == 1, 1).otherwise(0)).alias("n_bounces"),
@@ -3827,6 +3846,43 @@ def q_quantile_normalize(spark, sf_dir):
     return quantile_normalize(docs, "source", "score", "src0")
 
 
+def q_remove_duplicate_spans(spark, sf_dir):
+    """Exact-substring duplicate REMOVAL (Lee et al. 2022): every 8-token
+    gram shared by >= 2 documents keeps its tokens only in the min-doc_id
+    owner; other documents lose the covered positions and are rebuilt from
+    the surviving tokens in order — the treatment stage above
+    duplicate_spans' diagnosis."""
+    from area_etl_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_tables(spark, sf_dir)["documents"])
+
+
+def q_apply_cdc_log(spark, sf_dir):
+    """Debezium-style CDC log replay WITH tombstones: events become an
+    ordered I/U/D operation log on user_id ('error' = delete marker); the
+    latest op per key wins and a winning delete removes the key — the
+    missing half of keep_latest (an upsert-only compaction resurrects
+    deleted keys).  One struct-max hash aggregate, no window."""
+    from area_etl_spark.operators.diff import apply_cdc_log
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    return apply_cdc_log(
+        ev,
+        key_cols=["user_id"],
+        seq_cols=["ts", "event_id"],
+        payload_cols=["event_type", "value_cents"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -3918,6 +3974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cascade_delete": q_cascade_delete,
         "jaccard_prefix_join": q_jaccard_prefix_join,
         "quantile_normalize": q_quantile_normalize,
+        "remove_duplicate_spans": q_remove_duplicate_spans,
+        "apply_cdc_log": q_apply_cdc_log,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -4781,6 +4839,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id, s.source, s.score, r.r_val AS normalized
             FROM scored s ASOF JOIN ref r ON s.pct >= r.r_pct
         """,
+        "remove_duplicate_spans": """
+            WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                       FROM documents),
+            g AS (SELECT doc_id, i AS s, md5(array_to_string(toks[i : i + 7], ' ')) AS gk
+                  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)),
+            o AS (SELECT gk, MIN(doc_id) AS owner FROM g
+                  GROUP BY gk HAVING MIN(doc_id) <> MAX(doc_id)),
+            m AS (SELECT g.doc_id, g.s FROM g JOIN o USING (gk)
+                  WHERE g.doc_id <> o.owner),
+            cov AS (SELECT DISTINCT doc_id, s + j AS p
+                    FROM m, unnest(range(0, 8)) AS v(j)),
+            tok AS (SELECT doc_id, i AS p, toks[i] AS tok
+                    FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+            kept AS (SELECT tok.doc_id, tok.p, tok.tok
+                     FROM tok LEFT JOIN cov
+                       ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+                     WHERE cov.p IS NULL),
+            r AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                         COUNT(*) AS nk
+                  FROM kept GROUP BY doc_id)
+            SELECT t.doc_id,
+                   COALESCE(r.clean_text, '') AS clean_text,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(toks) - COALESCE(r.nk, 0) AS BIGINT) AS n_removed
+            FROM t LEFT JOIN r USING (doc_id)
+        """,
+        "apply_cdc_log": """
+            SELECT user_id, event_type, value_cents
+            FROM (SELECT user_id, event_type,
+                         CAST(round(value * 100) AS BIGINT) AS value_cents,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 AND event_type <> 'error'
+        """,
         "pipeline_requirement_taxonomies": f"""
             WITH tr AS (
                 SELECT '  TR-' || CAST(n_nationkey AS VARCHAR) || ' ' AS clientid,
@@ -4880,9 +4973,9 @@ def oracle_sql() -> dict[str, str]:
                    id_titolare_fk AS company_id,
                    CASE WHEN replace(trim(stato), ' ', '_') = 'CESTINATA' THEN 'BOZZA'
                         ELSE replace(trim(stato), ' ', '_') END AS status,
-                   data_conclusione AS completion_date,
-                   data_invio_domanda AS sent_date,
-                   data_scadenza AS expiration_date,
+                   CAST(data_conclusione AS TIMESTAMP) AS completion_date,
+                   CAST(data_invio_domanda AS TIMESTAMP) AS sent_date,
+                   CAST(data_scadenza AS TIMESTAMP) AS expiration_date,
                    durata_procedimento AS procedure_duration,
                    massima_durata_procedimento AS max_procedure_duration,
                    numero_procedimento AS procedure_number,
@@ -7060,7 +7153,7 @@ def oracle_sql() -> dict[str, str]:
                        epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
                 FROM s GROUP BY user_id, sess
             )
-            SELECT CAST(start_ts AS DATE) AS day,
+            SELECT CAST(date_trunc('day', start_ts) AS TIMESTAMP) AS day,
                    COUNT(*) AS n_sessions,
                    CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
                        AS n_bounces,
@@ -7110,7 +7203,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM canon
             )
             SELECT COUNT(*) AS n_rows,
-                   CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS checksum
+                   -- VARCHAR not HUGEINT/DECIMAL: duckdb renders both as a
+                   -- LOSSY float64 in pandas while Spark's decimal(38,0) is
+                   -- exact object-Decimal — string is the only exact common
+                   -- representation for the driver canonicalizer
+                   CAST(CAST(SUM(CAST(x AS HUGEINT)) AS DECIMAL(38,0)) AS VARCHAR)
+                       AS checksum
             FROM v
         """,
         "group_sample_n": """
@@ -7126,7 +7224,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, MIN(ts) AS signup_ts
                 FROM events WHERE event_type = 'signup' GROUP BY user_id
             ), j AS (
-                SELECT CAST(date_trunc('week', s.signup_ts) AS DATE) AS cohort_week,
+                SELECT CAST(date_trunc('week', s.signup_ts) AS TIMESTAMP) AS cohort_week,
                        CAST(date_diff('day', CAST(s.signup_ts AS DATE),
                                       CAST(e.ts AS DATE)) AS INT) AS day_offset,
                        CAST(round(e.value * 100) AS BIGINT) AS cents
@@ -7355,7 +7453,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT CAST(unnest(generate_series(DATE '2024-01-01',
                             DATE '2024-12-31', INTERVAL 1 DAY)) AS DATE) AS d
             )
-            SELECT d AS date,
+            SELECT CAST(d AS TIMESTAMP) AS date,
                    CAST(year(d) * 10000 + month(d) * 100 + day(d) AS INT) AS date_key,
                    CAST(year(d) AS INT) AS year,
                    CAST(quarter(d) AS INT) AS quarter,

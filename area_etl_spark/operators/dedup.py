@@ -688,3 +688,77 @@ def prefix_filter_jaccard_join(
             (F.round(jac, 6) + F.lit(0.0)).alias("jaccard"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Exact-substring duplicate REMOVAL — the treatment stage above
+    :func:`duplicate_spans`' diagnosis (Lee et al. 2022: dedup the training
+    set at the substring level, not the document level): every n-token gram
+    appearing in ≥2 documents keeps its tokens only in its FIRST-occurrence
+    owner (min doc id); every other document loses the covered positions,
+    and documents are rebuilt from the surviving tokens in order.
+
+    Output: (id, clean_text, n_tokens, n_removed).  Within-owner repeats of
+    an owned gram survive (the owner keeps ALL its occurrences — the
+    deterministic relational reading of "first occurrence wins").
+
+    Scale: positions→grams is a narrow posexplode; wide stages are one
+    groupBy on the md5 gram key (owner = min id, dup test = min≠max, O(1)
+    state), one equi-join back, an n-way covered-position fan-out
+    (O(dup-grams·n), bounded), a position anti-join, and the per-doc
+    rebuild aggregate — O(total tokens), never doc×doc.  collect_list is
+    per-document (bounded by doc length) and array_sort makes the rebuild
+    order deterministic under any partitioning.
+    """
+    toks = normalize_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    gram_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok_pos = df.select(F.col(id_col), F.posexplode(toks).alias("p", "tok"))
+    g = df.select(F.col(id_col), F.posexplode(gram_arr).alias("s", "gk"))
+    owners = (
+        g.groupBy("gk")
+        .agg(F.min(id_col).alias("_owner"), F.max(id_col).alias("_hi"))
+        .where(F.col("_owner") != F.col("_hi"))
+        .select("gk", "_owner")
+    )
+    marked = (
+        g.join(owners, "gk")
+        .where(F.col(id_col) != F.col("_owner"))
+        .select(id_col, "s")
+    )
+    covered = marked.select(
+        id_col, F.explode(F.sequence(F.col("s"), F.col("s") + (n - 1))).alias("p")
+    ).distinct()
+    kept = tok_pos.join(covered, [id_col, "p"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda st: st.getField("tok"),
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    base = df.select(F.col(id_col), F.size(toks).cast("long").alias("n_tokens"))
+    return (
+        base.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

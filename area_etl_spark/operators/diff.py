@@ -120,3 +120,42 @@ def golden_record(
         )
         aggs.append(best.getField("v").alias(c))
     return df.groupBy(*keys).agg(*aggs)
+
+
+def apply_cdc_log(
+    log: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    payload_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Debezium-style ordered change-log compaction WITH tombstones: replay
+    an I/U/D operation log into the final table state — ``keep_latest``
+    (47w) extended with delete markers, the missing half of a real CDC
+    pipeline (an upsert-only compaction resurrects deleted keys).
+
+    Per key the LATEST operation by ``seq_cols`` wins; if it is the
+    ``delete_op`` the key vanishes, otherwise its payload is the row.  One
+    hash aggregate via the struct-max argmax (map-side combined, no window,
+    no shuffle beyond the key groupBy — the golden_record idiom), so a
+    hot key costs O(1) aggregation state regardless of how many versions
+    it accumulated.  ``seq_cols`` must be a total order per key (CDC logs
+    carry an LSN/offset; ties would make the winner partition-order
+    dependent).
+    """
+    best = F.max(
+        F.struct(
+            *[F.col(c) for c in seq_cols],
+            F.col(op_col).alias("_op"),
+            F.struct(*[F.col(c) for c in payload_cols]).alias("_p"),
+        )
+    ).alias("_best")
+    agg = log.groupBy(*key_cols).agg(best)
+    return (
+        agg.where(F.col("_best._op") != delete_op)
+        .select(
+            *key_cols,
+            *[F.col(f"_best._p.{c}").alias(c) for c in payload_cols],
+        )
+    )

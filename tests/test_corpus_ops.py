@@ -248,3 +248,40 @@ def test_vocab_build_and_encode_roundtrip(spark):
     assert enc[1] == (6, [1, 0, 1, 2, 0, 1])
     assert enc[2] == (3, [0, 2, -1])
     assert enc[3] == (0, [])
+
+
+# --- duplicate span REMOVAL (Lee et al. treatment stage) --------------------
+
+
+def test_remove_duplicate_spans_owner_keeps_loser_loses(spark):
+    from area_etl_spark.operators.dedup import remove_duplicate_spans
+
+    boiler = "please subscribe to our newsletter for updates today"  # 8 tokens
+    a = "alpha beta gamma " + boiler
+    b = "one two three four " + boiler
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(_docs(spark, [(1, a), (2, b)])).collect()
+    }
+    # doc 1 is the min-id owner of both shared 8-grams: untouched
+    assert out[1].clean_text == a and out[1].n_removed == 0
+    # doc 2 loses the covered positions (the 8 boilerplate tokens)
+    assert out[2].clean_text == "one two three four"
+    assert out[2].n_removed == 8 and out[2].n_tokens == 12
+
+
+def test_remove_duplicate_spans_identical_docs_and_short_docs(spark):
+    from area_etl_spark.operators.dedup import remove_duplicate_spans
+
+    t = " ".join(f"w{i}" for i in range(12))
+    out = {
+        r.doc_id: r
+        for r in remove_duplicate_spans(
+            _docs(spark, [(1, t), (2, t), (3, "too short to gram"), (4, None)])
+        ).collect()
+    }
+    assert out[1].clean_text == t and out[1].n_removed == 0
+    assert out[2].clean_text == "" and out[2].n_removed == 12
+    # sub-n docs can never lose tokens; NULL text behaves like empty
+    assert out[3].clean_text == "too short to gram" and out[3].n_removed == 0
+    assert out[4].n_removed == 0

@@ -1279,3 +1279,22 @@ def test_rolling_corr_skew_safe_matches_single_sort(spark):
     b = {(r.k, r.o): r.rolling_corr for r in base.collect()}
     s = {(r.k, r.o): r.rolling_corr for r in safe.collect()}
     assert b == s and len(s) == len(rows)
+
+
+def test_apply_cdc_log_tombstones_and_resurrection(spark):
+    from area_etl_spark.operators.diff import apply_cdc_log
+
+    log = spark.createDataFrame(
+        [
+            (1, 1, "U", 10),  # key 1: two upserts -> latest value wins
+            (1, 2, "U", 20),
+            (2, 1, "U", 5),  # key 2: delete is latest -> key vanishes
+            (2, 2, "D", None),
+            (3, 1, "D", None),  # key 3: deleted then re-inserted -> survives
+            (3, 2, "U", 7),
+            (4, 1, "D", None),  # key 4: only ever a delete -> never appears
+        ],
+        "k int, seq int, op string, v int",
+    )
+    out = {r.k: r.v for r in apply_cdc_log(log, ["k"], ["seq"], ["v"]).collect()}
+    assert out == {1: 20, 3: 7}
