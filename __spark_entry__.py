@@ -3883,6 +3883,182 @@ def q_apply_cdc_log(spark, sf_dir):
     )
 
 
+def q_seasonal_anomaly(spark, sf_dir):
+    """Seasonal-naive anomaly detection on the daily event-count series per
+    event type: forecast = count 7 days earlier, residuals scored with the
+    per-key Iglewicz–Hoaglin robust z (the flag_outliers_robust machinery);
+    |z| > 2 rows surface as anomalies."""
+    from area_etl_spark.operators.quality import seasonal_naive_anomaly
+
+    ev = _tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return seasonal_naive_anomaly(
+        daily, ["event_type"], "day", "n", period=7, z_threshold=2.0
+    )
+
+
+def q_parse_json_quarantine(spark, sf_dir):
+    """Corrupt-record-tolerant JSON ingestion: order payloads rendered as
+    JSON (every 7th truncated mid-document), parsed against an explicit
+    schema with the _corrupt_record contract — clean rows keep their typed
+    fields, broken rows carry ok=false + the raw text for the dead-letter
+    sink.  Narrow, codegen-side, no UDF."""
+    from area_etl_spark.sources.extract import parse_json_quarantine
+
+    o = _tables(spark, sf_dir)["orders"]
+    full = F.concat(
+        F.lit('{"key":'),
+        F.col("o_orderkey").cast("string"),
+        F.lit(',"price_cents":'),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.lit(',"status":"'),
+        F.col("o_orderstatus"),
+        F.lit('"}'),
+    )
+    raw = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.substring(full, 1, 10))
+        .otherwise(full)
+        .alias("payload"),
+    )
+    return parse_json_quarantine(
+        raw,
+        "payload",
+        "key long, price_cents long, status string",
+        keep_cols=["o_orderkey"],
+    )
+
+
+def q_sequence_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-lite sequence mining: per user the ordered
+    event-initial symbol string and the count of non-overlapping
+    view→clicks*→purchase runs ('vc*p') — CEP as one hash aggregate plus a
+    key-local regexp, no state machine."""
+    from area_etl_spark.operators.sequences import sequence_pattern_count
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("sym"),
+    )
+    return sequence_pattern_count(
+        ev, ["user_id"], ["ts", "event_id"], "sym", "vc*p"
+    )
+
+
+def q_agg_state_merge(spark, sf_dir):
+    """Incremental-aggregation mergeability: per-user (n,sum,min,max) states
+    built over two disjoint halves of the event stream merge into exactly
+    the full-scan aggregate (the oracle IS the full scan) — the algebraic
+    merge law that keeps 100 TB rollups O(new partition) instead of
+    O(history)."""
+    from area_etl_spark.operators.aggregates import agg_state, merge_agg_states
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    a = agg_state(ev.where(F.col("event_id") % 2 == 0), ["user_id"], "cents")
+    b = agg_state(ev.where(F.col("event_id") % 2 == 1), ["user_id"], "cents")
+    return merge_agg_states([a, b], ["user_id"]).select(
+        "user_id",
+        "n",
+        F.col("sum").alias("sum_cents"),
+        F.col("min").alias("min_cents"),
+        F.col("max").alias("max_cents"),
+    )
+
+
+def _event_deltas(spark, sf_dir):
+    """Shared signed-cash-flow view of the event stream: purchases deposit,
+    everything else withdraws — deterministic integer deltas for the
+    balance-series operators."""
+    ev = _tables(spark, sf_dir)["events"]
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.unix_micros("ts").alias("us"),
+        F.when(F.col("event_type") == "purchase", cents).otherwise(-cents).alias(
+            "delta"
+        ),
+    )
+
+
+def q_max_drawdown(spark, sf_dir):
+    """Per-user maximum drawdown of the cumulative signed cash-flow series —
+    peak-to-trough risk metric from two stacked window aggregates sharing
+    one sort (cum → running peak → dd), then a struct-max argmax; exact
+    integers, earliest trough on ties."""
+    from area_etl_spark.operators.windows import max_drawdown
+
+    return max_drawdown(_event_deltas(spark, sf_dir), ["user_id"], ["us", "event_id"], "delta")
+
+
+def q_clamped_balance(spark, sf_dir):
+    """Per-user ENDING balance with a zero floor (prepaid-credit semantics:
+    overdrafts truncate, not carry) — non-associative, so the ordered
+    deltas fold once per key with O(1) (balance, floor_hits) state."""
+    from area_etl_spark.operators.windows import clamped_balance
+
+    return clamped_balance(
+        _event_deltas(spark, sf_dir), ["user_id"], ["ts", "event_id"], "delta"
+    )
+
+
+def q_burst_detection(spark, sf_dir):
+    """Trailing event-rate window at event granularity (rate-limit/abuse
+    monitoring): per user the event count in the trailing 30 days by VALUE
+    (RANGE frame over exact micros — ROWS frames silently overcount gapped
+    streams), flagged against a fixed burst threshold."""
+    from pyspark.sql import Window
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", "ts", F.unix_micros("ts").alias("_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("_us")
+        .rangeBetween(-30 * 86400 * 1_000_000, 0)
+    )
+    return (
+        ev.withColumn("n_trailing_30d", F.count(F.lit(1)).over(w))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "n_trailing_30d",
+            (F.col("n_trailing_30d") >= 14).alias("is_burst"),
+        )
+    )
+
+
+def q_minmax_scale(spark, sf_dir):
+    """Per-source min-max scaling of document lengths to [0,1] — spacing-
+    preserving normalization (the complement of rank calibration 90);
+    constant groups → 0.0 by convention."""
+    from area_etl_spark.operators.quality import minmax_scale
+
+    d = _tables(spark, sf_dir)["documents"].select("doc_id", "source", "n_chars")
+    return minmax_scale(d, ["source"], "n_chars")
+
+
+def q_mann_whitney(spark, sf_dir):
+    """Mann–Whitney U rank-sum test comparing purchase vs view value
+    distributions — nonparametric A/B beside 74/104; midranks from
+    per-distinct-value cumulative counts (bounded aggregate-level window),
+    exact integer-or-half rank sums, float only in the final z."""
+    from area_etl_spark.operators.experiments import mann_whitney_u
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return mann_whitney_u(ev, "event_type", "cents", "purchase", "view")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -3976,6 +4152,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_normalize": q_quantile_normalize,
         "remove_duplicate_spans": q_remove_duplicate_spans,
         "apply_cdc_log": q_apply_cdc_log,
+        "seasonal_anomaly": q_seasonal_anomaly,
+        "parse_json_quarantine": q_parse_json_quarantine,
+        "sequence_match": q_sequence_match,
+        "agg_state_merge": q_agg_state_merge,
+        "max_drawdown": q_max_drawdown,
+        "clamped_balance": q_clamped_balance,
+        "burst_detection": q_burst_detection,
+        "minmax_scale": q_minmax_scale,
+        "mann_whitney": q_mann_whitney,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -4873,6 +5058,189 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY ts DESC, event_id DESC) AS rn
                   FROM events)
             WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "seasonal_anomaly": """
+            WITH daily AS (
+                SELECT event_type,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       COUNT(*) AS n
+                FROM events GROUP BY 1, 2
+            ), lagged AS (
+                SELECT *, lag(n, 7) OVER (PARTITION BY event_type
+                                          ORDER BY day) AS forecast
+                FROM daily
+            ), r AS (
+                SELECT event_type, day, n, CAST(forecast AS BIGINT) AS forecast,
+                       CAST(n - forecast AS BIGINT) AS residual
+                FROM lagged WHERE forecast IS NOT NULL
+            ), med AS (
+                SELECT event_type, quantile_cont(residual, 0.5) AS m
+                FROM r GROUP BY event_type
+            ), mad AS (
+                SELECT r.event_type,
+                       quantile_cont(abs(CAST(r.residual AS DOUBLE) - med.m), 0.5) AS mad,
+                       avg(abs(CAST(r.residual AS DOUBLE) - med.m)) AS meanad
+                FROM r JOIN med USING (event_type)
+                GROUP BY r.event_type
+            ), scored AS (
+                SELECT r.event_type, r.day, r.n, r.forecast, r.residual,
+                       round(CASE WHEN mad.mad > 0
+                                  THEN 0.6745 * (CAST(r.residual AS DOUBLE) - med.m) / mad.mad
+                                  WHEN mad.meanad > 0
+                                  THEN 0.7979 * (CAST(r.residual AS DOUBLE) - med.m) / mad.meanad
+                                  ELSE 0.0 END, 6) AS robust_z
+                FROM r JOIN med USING (event_type) JOIN mad USING (event_type)
+            )
+            SELECT * FROM scored WHERE abs(robust_z) > 2.0
+        """,
+        "parse_json_quarantine": """
+            WITH raw AS (
+                SELECT o_orderkey,
+                       '{"key":' || CAST(o_orderkey AS VARCHAR)
+                       || ',"price_cents":'
+                       || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+                       || ',"status":"' || o_orderstatus || '"}' AS full_json
+                FROM orders
+            )
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 <> 0 THEN o_orderkey END AS key,
+                   CASE WHEN o_orderkey % 7 <> 0
+                        THEN CAST(round(o_totalprice * 100) AS BIGINT) END
+                       AS price_cents,
+                   CASE WHEN o_orderkey % 7 <> 0 THEN o_orderstatus END AS status,
+                   o_orderkey % 7 <> 0 AS ok,
+                   CASE WHEN o_orderkey % 7 = 0
+                        THEN substr(full_json, 1, 10) END AS corrupt_raw
+            FROM raw JOIN orders USING (o_orderkey)
+        """,
+        "sequence_match": """
+            SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS symbol_seq,
+                   CAST(len(regexp_extract_all(
+                       string_agg(substr(event_type, 1, 1), ''
+                                  ORDER BY ts, event_id),
+                       'vc*p')) AS INT) AS n_matches
+            FROM events GROUP BY user_id
+        """,
+        "agg_state_merge": """
+            SELECT user_id,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents,
+                   MIN(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+                   MAX(CAST(round(value * 100) AS BIGINT)) AS max_cents
+            FROM events GROUP BY user_id
+        """,
+        "max_drawdown": """
+            WITH d AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us,
+                       CASE WHEN event_type = 'purchase'
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+                FROM events
+            ), c0 AS (
+                SELECT user_id, event_id, us, delta,
+                       SUM(delta) OVER (PARTITION BY user_id
+                           ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum
+                FROM d
+            ), c AS (
+                SELECT *, MAX(cum) OVER (PARTITION BY user_id
+                           ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS peak
+                FROM c0
+            ), ranked AS (
+                SELECT user_id, peak - cum AS dd, peak, cum,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY peak - cum DESC,
+                                                   us ASC, event_id ASC) AS rn
+                FROM c
+            )
+            SELECT user_id,
+                   CAST(dd AS BIGINT) AS max_drawdown,
+                   CAST(peak AS BIGINT) AS peak_at_max,
+                   CAST(cum AS BIGINT) AS trough_at_max
+            FROM ranked WHERE rn = 1
+        """,
+        "clamped_balance": """
+            WITH d AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN event_type = 'purchase'
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+                FROM events
+            ), folded AS (
+                SELECT user_id,
+                       list_reduce(
+                           list_prepend(
+                               [0::BIGINT, 0::BIGINT],
+                               list_transform(
+                                   list(delta ORDER BY ts, event_id),
+                                   x -> [x, 0::BIGINT])),
+                           (acc, x) -> [
+                               greatest(0::BIGINT, acc[1] + x[1]),
+                               acc[2] + CASE WHEN acc[1] + x[1] < 0
+                                             THEN 1 ELSE 0 END]) AS r
+                FROM d GROUP BY user_id
+            )
+            SELECT user_id,
+                   CAST(r[1] AS BIGINT) AS end_balance,
+                   CAST(r[2] AS BIGINT) AS n_floor_hits
+            FROM folded
+        """,
+        "burst_detection": """
+            SELECT user_id, event_id, ts,
+                   COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                                  RANGE BETWEEN 2592000000000 PRECEDING
+                                        AND CURRENT ROW) AS n_trailing_30d,
+                   COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                                  RANGE BETWEEN 2592000000000 PRECEDING
+                                        AND CURRENT ROW) >= 14 AS is_burst
+            FROM events
+        """,
+        "minmax_scale": """
+            WITH b AS (
+                SELECT source, MIN(n_chars) AS lo, MAX(n_chars) AS hi
+                FROM documents GROUP BY source
+            )
+            SELECT doc_id, d.source, n_chars,
+                   CASE WHEN hi > lo
+                        THEN round((CAST(n_chars AS DOUBLE) - lo) / (hi - lo), 6)
+                             + 0.0
+                        ELSE 0.0 END AS scaled
+            FROM documents d JOIN b USING (source)
+        """,
+        "mann_whitney": """
+            WITH two AS (
+                SELECT event_type AS g,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events WHERE event_type IN ('purchase', 'view')
+            ), per_val AS (
+                SELECT v, COUNT(*) AS cnt,
+                       SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS cnt_a
+                FROM two GROUP BY v
+            ), ranked AS (
+                SELECT *,
+                       COALESCE(SUM(cnt) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS cum_before
+                FROM per_val
+            ), agg AS (
+                SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+                       CAST(SUM(cnt - cnt_a) AS BIGINT) AS n_b,
+                       SUM((CAST(cum_before AS DOUBLE) + (cnt + 1) / 2.0)
+                           * cnt_a) AS r_a
+                FROM ranked
+            )
+            SELECT n_a, n_b,
+                   r_a - (n_a * (n_a + 1)) / 2.0 AS u_a,
+                   n_a * n_b - (r_a - (n_a * (n_a + 1)) / 2.0) AS u_b,
+                   round((r_a - (n_a * (n_a + 1)) / 2.0 - n_a * n_b / 2.0)
+                         / sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0), 6) AS z
+            FROM agg
         """,
         "pipeline_requirement_taxonomies": f"""
             WITH tr AS (

@@ -183,3 +183,42 @@ def weighted_median(
         .groupBy(*keys)
         .agg(F.min(value_col).alias("weighted_median"))
     )
+
+
+def agg_state(df, keys: list[str], value_col: str):
+    """Mergeable partial-aggregate state for ``value_col`` per key:
+    (n, sum, min, max).  The building block of incremental aggregation —
+    compute state per batch/partition/day, persist it, and fold new
+    batches in with :func:`merge_agg_states` without ever rescanning
+    history.  avg derives as sum/n at read time."""
+    c = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(c).alias("n"),
+        F.sum(c).alias("sum"),
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+    )
+
+
+def merge_agg_states(states, keys: list[str]):
+    """Merge any number of :func:`agg_state` frames into one equivalent
+    state — the algebraic-aggregate merge step (count/sum re-sum, min/max
+    re-min/max), associative and commutative, so incremental daily states
+    fold into monthly/total states in one map-side-combined groupBy.
+
+    At 100 TB this is THE pattern that keeps rollups incremental: the
+    nightly job aggregates only the new partition (O(day)) and merges it
+    into the running state (O(|keys|)), instead of rescanning the full
+    history; correctness is exactly the mergeability law tested against
+    the direct full-scan aggregate in the oracle.
+    """
+    it = iter(states)
+    u = next(it)
+    for s in it:
+        u = u.unionByName(s)
+    return u.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum").alias("sum"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+    )

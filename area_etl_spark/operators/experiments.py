@@ -133,3 +133,61 @@ def km_survival(
         F.col("n_events").cast("long").alias("n_events"),
         survival.alias("survival"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) two-sample test — the
+    NONPARAMETRIC A/B evaluation beside the two-proportion z-test (74) and
+    CUPED (104): compares whole distributions, so a heavy-tailed metric
+    (revenue, latency) can't be gamed by outliers the way a mean test can.
+
+    Rank computation never global-sorts rows: ranks are assigned per
+    DISTINCT value from cumulative tie counts (avg rank = cum_before +
+    (cnt+1)/2 — midrank convention, exact halves), with the cumulative
+    window running over the |distinct values| aggregate, the bounded
+    aggregate-level window idiom (pareto/id_gap).  U, rank sums, and
+    counts are exact integers-or-halves; only the final z (normal
+    approximation, no tie correction — documented) divides/sqrts.
+
+    Returns one row: (n_a, n_b, u_a, u_b, z) with u_a + u_b = n_a·n_b.
+    """
+    from pyspark.sql import Window
+
+    two = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    )
+    per_val = two.groupBy("_v").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(F.when(F.col("_g") == group_a, 1).otherwise(0)).alias("_cnt_a"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_val.withColumn(
+        "_cum_before", F.coalesce(F.sum("_cnt").over(w), F.lit(0))
+    ).withColumn(
+        "_avg_rank",
+        F.col("_cum_before").cast("double") + (F.col("_cnt") + 1) / 2.0,
+    )
+    agg = ranked.agg(
+        F.sum("_cnt_a").alias("n_a"),
+        F.sum(F.col("_cnt") - F.col("_cnt_a")).alias("n_b"),
+        F.sum(F.col("_avg_rank") * F.col("_cnt_a")).alias("_r_a"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    u_a = F.col("_r_a") - (n_a * (n_a + 1)) / 2.0
+    return agg.select(
+        n_a,
+        n_b,
+        u_a.alias("u_a"),
+        (n_a * n_b - u_a).alias("u_b"),
+        F.round(
+            (u_a - n_a * n_b / 2.0)
+            / F.sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0),
+            6,
+        ).alias("z"),
+    )

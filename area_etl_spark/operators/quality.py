@@ -662,3 +662,68 @@ def quantile_normalize(
         "_row", F.last("_rv", ignorenulls=True).over(w).alias(out_col)
     ).where(F.col("_row").isNotNull())
     return filled.select(*[F.col(f"_row.{c}").alias(c) for c in df.columns], out_col)
+
+
+def seasonal_naive_anomaly(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    period: int = 7,
+    z_threshold: float = 3.5,
+) -> DataFrame:
+    """Seasonal-naive anomaly detection for regular series (the monitoring
+    baseline 'this Monday should look like last Monday'): forecast each
+    point with the value ``period`` steps earlier in its key's series,
+    then flag points whose residual is a robust outlier WITHIN ITS KEY via
+    the Iglewicz–Hoaglin modified z-score (:func:`flag_outliers_robust` —
+    median/MAD, masking-resistant, meanAD fallback).
+
+    The first ``period`` points of every series have no forecast and are
+    excluded (a seasonal-naive model is undefined there).  Returns only
+    the flagged rows: (keys, order, value, forecast, residual, robust_z).
+
+    Distributed shape: ONE window sort per key for the lag (the frame is a
+    single offset — no running state), then the two bounded percentile
+    aggregates of the robust scorer.  Residuals stay integer (count/cents
+    in, count/cents out) so the median/MAD interpolation is exact halves
+    cross-engine.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(order_col)
+    r = (
+        df.withColumn("forecast", F.lag(F.col(value_col), period).over(w))
+        .where(F.col("forecast").isNotNull())
+        .withColumn(
+            "residual", (F.col(value_col) - F.col("forecast")).cast("long")
+        )
+    )
+    return flag_outliers_robust(r, key_cols, "residual", z_threshold)
+
+
+def minmax_scale(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    out_col: str = "scaled",
+) -> DataFrame:
+    """Per-group min-max feature scaling to [0, 1] — the normalization
+    before mixing heterogeneous scores (complement of the rank-based
+    calibrate_percent_rank: preserves SPACING, not just order).  Constant
+    groups scale to 0.0 by convention (documented; NULL would poison
+    downstream sums).  One bounded aggregate + broadcast join + narrow
+    projection; round(…, 6) + 0.0 keeps the float cross-engine stable.
+    """
+    x = F.col(value_col)
+    bounds = df.groupBy(*keys).agg(F.min(x).alias("_lo"), F.max(x).alias("_hi"))
+    scaled = F.when(
+        F.col("_hi") > F.col("_lo"),
+        F.round(
+            (x.cast("double") - F.col("_lo")) / (F.col("_hi") - F.col("_lo")), 6
+        )
+        + F.lit(0.0),
+    ).otherwise(F.lit(0.0))
+    return (
+        df.join(F.broadcast(bounds), keys)
+        .withColumn(out_col, scaled)
+        .drop("_lo", "_hi")
+    )

@@ -1,0 +1,56 @@
+"""Ordered-sequence pattern mining — the MATCH_RECOGNIZE slot.
+
+The reference engine family (Flink CEP, Trino/Snowflake MATCH_RECOGNIZE)
+detects ordered event patterns per key; relationally the per-key event
+sequence collapses to a SYMBOL STRING (one character per event) and the
+pattern becomes a regular expression — counting non-overlapping matches is
+then one regexp scan per key, no joins, no state machine.
+
+Scale: one hash aggregate builds the per-key symbol string
+(``array_sort(collect_list(struct(order, sym)))`` — the deterministic
+collect recipe, bounded by events-per-key, the same bound any CEP engine
+needs to hold a key's pending matches); the regexp runs key-local and
+JVM-side.  A key with millions of events needs session- or day-scoped keys
+first (compose with the sessionization operators) — which is also how the
+streaming engines bound MATCH_RECOGNIZE state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sequence_pattern_count(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    symbol_col: str,
+    pattern: str,
+) -> DataFrame:
+    """Per key: the ordered symbol string and the number of NON-OVERLAPPING
+    occurrences of ``pattern`` (a regex over single-character symbols,
+    e.g. ``'vc*p'`` = view, any clicks, purchase).
+
+    Both Spark (java.util.regex) and standard engines scan left-to-right
+    and resume after each match, so non-overlapping counts agree across
+    engines for patterns without lookaround.  ``order_cols`` must totally
+    order events within a key or the symbol string is partition-order
+    dependent.
+    """
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(*[F.col(c) for c in order_cols], F.col(symbol_col).alias("_s"))
+                )
+            ),
+            lambda st: st.getField("_s"),
+        ),
+        "",
+    )
+    return (
+        df.groupBy(*key_cols)
+        .agg(seq.alias("symbol_seq"))
+        .withColumn("n_matches", F.regexp_count(F.col("symbol_seq"), F.lit(pattern)))
+    )

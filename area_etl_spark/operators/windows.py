@@ -412,3 +412,93 @@ def rolling_corr_skew_safe(
         .where(~F.col("_seed"))
         .drop("_bkt", "_seed", *stats.keys())
     )
+
+
+def max_drawdown(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    delta_col: str,
+) -> DataFrame:
+    """Per-key maximum drawdown of the cumulative series (the peak-to-trough
+    risk/ops metric: worst drop of a running balance, portfolio value, or
+    inventory level from its historical high).
+
+    Although the running balance looks sequential, every piece is an
+    ASSOCIATIVE window aggregate: cum = SUM over the ordered frame, peak =
+    MAX of cum over the same frame, drawdown = peak − cum, and the answer
+    is one MAX per key — two stacked window passes sharing ONE sort+shuffle
+    (Spark plans both frames in a single Window node chain over the same
+    ordering) and a final hash aggregate.  Exact integers throughout.
+
+    ``order_cols`` must totally order rows within a key and be NUMERIC
+    (the earliest-trough tie-break negates them inside a struct-max;
+    convert timestamps with ``unix_micros`` first).  Returns
+    (keys, max_drawdown, peak_at_max, trough_at_max) where the trough row
+    is the FIRST reaching the maximum drawdown (deterministic tie-break on
+    the order columns).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(F.col(delta_col)).over(frame)
+    c = df.withColumn("_cum", cum).withColumn("_peak", F.max("_cum").over(frame))
+    c = c.withColumn("_dd", F.col("_peak") - F.col("_cum"))
+    best = F.max(
+        F.struct(
+            F.col("_dd").alias("dd"),
+            *[(-F.col(o)).alias(f"_neg_{o}") for o in order_cols],
+            F.col("_peak").alias("peak"),
+            F.col("_cum").alias("cum"),
+        )
+    )
+    return (
+        c.groupBy(*key_cols)
+        .agg(best.alias("_b"))
+        .select(
+            *key_cols,
+            F.col("_b.dd").alias("max_drawdown"),
+            F.col("_b.peak").alias("peak_at_max"),
+            F.col("_b.cum").alias("trough_at_max"),
+        )
+    )
+
+
+def clamped_balance(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    delta_col: str,
+    floor: int = 0,
+) -> DataFrame:
+    """Per-key ENDING balance of a running sum clamped at ``floor`` — the
+    inventory-with-lost-sales / prepaid-credit semantics (a withdrawal
+    below the floor is truncated, not carried as debt).  Clamping makes
+    the recurrence max(floor, bal + delta) NON-associative, so no window
+    frame can express it: the key's ordered deltas are folded once with
+    ``aggregate`` (the sorted-fold recipe) carrying (balance, floor_hits)
+    as O(1) state — one hash aggregate, fold bounded by rows-per-key.
+
+    Returns (keys, end_balance, n_floor_hits).  All-integer state: exact
+    and order-deterministic under any partitioning.
+    """
+    items = F.array_sort(
+        F.collect_list(
+            F.struct(*[F.col(o) for o in order_cols], F.col(delta_col).alias("_d"))
+        )
+    )
+    fl = F.lit(floor).cast("long")
+    folded = F.aggregate(
+        items,
+        F.struct(fl.alias("bal"), F.lit(0).cast("long").alias("hits")),
+        lambda acc, x: F.struct(
+            F.greatest(fl, acc.getField("bal") + x.getField("_d")).alias("bal"),
+            (
+                acc.getField("hits")
+                + F.when(acc.getField("bal") + x.getField("_d") < fl, 1).otherwise(0)
+            ).alias("hits"),
+        ),
+    )
+    return df.groupBy(*key_cols).agg(
+        folded.getField("bal").alias("end_balance"),
+        folded.getField("hits").alias("n_floor_hits"),
+    )

@@ -22,7 +22,7 @@ import logging
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 
 def extract_sql(spark: SparkSession, query: str) -> DataFrame:
@@ -219,3 +219,53 @@ def parse_fixed_width(lines, specs, dtypes):
         cols.append(raw.cast(dtypes[col]).alias(col))
         pos += width
     return lines.select(*cols)
+
+
+def parse_json_quarantine(
+    df: DataFrame,
+    json_col: str,
+    schema: StructType | str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Corrupt-record-tolerant JSON ingestion: parse ``json_col`` against an
+    EXPLICIT schema, keep the parsed fields for well-formed records, and
+    quarantine malformed ones instead of failing the load — the
+    ``mode=PERMISSIVE`` + ``_corrupt_record`` contract of ``spark.read.json``
+    re-expressed for a JSON column already inside a DataFrame (Kafka value,
+    CDC payload, log line).
+
+    Spark's modern ``from_json`` under PERMISSIVE returns a struct of
+    NULLs for malformed text — indistinguishable from a parseable document
+    that merely lacks the fields — so the corrupt-record column is
+    appended to the schema explicitly (``columnNameOfCorruptRecord``): on
+    a syntax error every data field is NULL and the raw text lands in the
+    corrupt field; on a clean parse the corrupt field is NULL.  Output:
+    ``keep_cols`` + one column per schema field + ``ok`` + ``corrupt_raw``
+    (raw text for quarantined rows — filter ``ok = false`` into the
+    dead-letter sink; NULL input is quarantined too).
+
+    Scale: a narrow per-row projection — no shuffle, no Python; Jackson
+    parses inside codegen.  The explicit schema is mandatory: schema
+    inference would scan the corpus twice and race corrupt rows.
+    """
+    base = (
+        schema
+        if isinstance(schema, StructType)
+        else StructType.fromDDL(schema)
+    )
+    fields = [f.name for f in base.fields]
+    corrupt = "_corrupt_record"
+    widened = StructType(
+        base.fields + [StructField(corrupt, StringType())]
+    )
+    parsed = F.from_json(
+        F.col(json_col), widened, {"columnNameOfCorruptRecord": corrupt}
+    )
+    tmp = df.withColumn("_parsed", parsed)
+    ok = F.col(json_col).isNotNull() & F.col(f"_parsed.{corrupt}").isNull()
+    return tmp.select(
+        *(keep_cols or []),
+        *[F.col(f"_parsed.{f}").alias(f) for f in fields],
+        ok.alias("ok"),
+        F.when(~ok, F.col(json_col)).alias("corrupt_raw"),
+    )

@@ -1298,3 +1298,127 @@ def test_apply_cdc_log_tombstones_and_resurrection(spark):
     )
     out = {r.k: r.v for r in apply_cdc_log(log, ["k"], ["seq"], ["v"]).collect()}
     assert out == {1: 20, 3: 7}
+
+
+def test_seasonal_naive_anomaly_flags_planted_spike(spark):
+    from area_etl_spark.operators.quality import seasonal_naive_anomaly
+
+    # 6 weeks of a clean weekly pattern (value = weekday*10) with one spike
+    rows = []
+    for d in range(42):
+        v = (d % 7) * 10 + 100
+        if d == 30:
+            v += 500  # planted anomaly
+        rows.append(("k", d, v))
+    df = spark.createDataFrame(rows, "k string, day int, v long")
+    out = seasonal_naive_anomaly(df, ["k"], "day", "v", period=7, z_threshold=3.5)
+    flagged = out.collect()
+    # the spike day AND the day one period later (whose forecast IS the
+    # spike) are the only nonzero residuals -> both flagged
+    assert sorted(r.day for r in flagged) == [30, 37]
+    spike = next(r for r in flagged if r.day == 30)
+    assert spike.residual == 500 and spike.forecast == 100 + (30 % 7) * 10
+
+
+def test_seasonal_naive_anomaly_quiet_series_flags_nothing(spark):
+    from area_etl_spark.operators.quality import seasonal_naive_anomaly
+
+    rows = [("k", d, (d % 7) * 10) for d in range(28)]
+    df = spark.createDataFrame(rows, "k string, day int, v long")
+    assert seasonal_naive_anomaly(df, ["k"], "day", "v", period=7).count() == 0
+
+
+def test_sequence_pattern_count_non_overlapping(spark):
+    from area_etl_spark.operators.sequences import sequence_pattern_count
+
+    ev = spark.createDataFrame(
+        [(1, 1, "v"), (1, 2, "c"), (1, 3, "c"), (1, 4, "p"),
+         (1, 5, "v"), (1, 6, "p"), (2, 1, "p")],
+        "u int, t int, s string",
+    )
+    out = {r.u: r for r in sequence_pattern_count(ev, ["u"], ["t"], "s", "vc*p").collect()}
+    assert out[1].symbol_seq == "vccpvp" and out[1].n_matches == 2
+    assert out[2].symbol_seq == "p" and out[2].n_matches == 0
+
+
+def test_merge_agg_states_equals_full_scan_and_associative(spark):
+    from area_etl_spark.operators.aggregates import agg_state, merge_agg_states
+
+    df = spark.createDataFrame(
+        [(i % 4, (i * 37) % 101 - 50) for i in range(200)], "k int, v long"
+    )
+    full = {r.k: r for r in agg_state(df, ["k"], "v").collect()}
+    parts = [df.where(F.pmod(F.col("v"), F.lit(3)) == i) for i in range(3)]
+    merged = {
+        r.k: r
+        for r in merge_agg_states(
+            [agg_state(p, ["k"], "v") for p in parts], ["k"]
+        ).collect()
+    }
+    assert merged == full
+    # associativity: ((a+b)+c) == (a+(b+c))
+    ab_c = merge_agg_states(
+        [merge_agg_states([agg_state(parts[0], ["k"], "v"), agg_state(parts[1], ["k"], "v")], ["k"]),
+         agg_state(parts[2], ["k"], "v")], ["k"])
+    a_bc = merge_agg_states(
+        [agg_state(parts[0], ["k"], "v"),
+         merge_agg_states([agg_state(parts[1], ["k"], "v"), agg_state(parts[2], ["k"], "v")], ["k"])], ["k"])
+    assert {tuple(r) for r in ab_c.collect()} == {tuple(r) for r in a_bc.collect()}
+
+
+def test_max_drawdown_peak_trough_and_ties(spark):
+    from area_etl_spark.operators.windows import max_drawdown
+
+    df = spark.createDataFrame(
+        [("k", 1, 10), ("k", 2, -4), ("k", 3, -3), ("k", 4, 8),
+         ("k", 5, -12), ("k", 6, 2), ("flat", 1, 5), ("flat", 2, 1)],
+        "k string, t int, d long",
+    )
+    out = {r.k: r for r in max_drawdown(df, ["k"], ["t"], "d").collect()}
+    # cum 10,6,3,11,-1,1; peaks 10,10,10,11,11,11; dd max 12 at t=5
+    assert (out["k"].max_drawdown, out["k"].peak_at_max, out["k"].trough_at_max) == (12, 11, -1)
+    # monotone series never draws down
+    assert out["flat"].max_drawdown == 0
+
+
+def test_clamped_balance_floor_truncates(spark):
+    from area_etl_spark.operators.windows import clamped_balance
+
+    df = spark.createDataFrame(
+        [("k", 1, 10), ("k", 2, -4), ("k", 3, -3), ("k", 4, 8),
+         ("k", 5, -12), ("k", 6, 2), ("rich", 1, 100), ("rich", 2, -5)],
+        "k string, t int, d long",
+    )
+    out = {r.k: r for r in clamped_balance(df, ["k"], ["t"], "d").collect()}
+    # 10,6,3,11 -> -1 clamps to 0 (one hit) -> 2; an unclamped sum would end at -1+2=1
+    assert (out["k"].end_balance, out["k"].n_floor_hits) == (2, 1)
+    assert (out["rich"].end_balance, out["rich"].n_floor_hits) == (95, 0)
+
+
+def test_mann_whitney_hand_computed(spark):
+    import math
+
+    from area_etl_spark.operators.experiments import mann_whitney_u
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 2), ("b", 4), ("b", 5), ("x", 99)],
+        "g string, v long",
+    )
+    r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    # ranks: 1->1, 2->2.5 (tie midrank), 3->4, 4->5, 5->6; R_a=7.5, U_a=1.5
+    assert (r.n_a, r.n_b, r.u_a, r.u_b) == (3, 3, 1.5, 7.5)
+    assert math.isclose(r.z, -3 / math.sqrt(5.25), rel_tol=1e-5)
+    assert r.u_a + r.u_b == r.n_a * r.n_b  # U identity
+
+
+def test_minmax_scale_constant_group_and_bounds(spark):
+    from area_etl_spark.operators.quality import minmax_scale
+
+    df = spark.createDataFrame(
+        [("g", 1, 10), ("g", 2, 20), ("g", 3, 40), ("c", 4, 7), ("c", 5, 7)],
+        "s string, i int, v long",
+    )
+    out = {r.i: r.scaled for r in minmax_scale(df, ["s"], "v").collect()}
+    assert out[1] == 0.0 and out[3] == 1.0 and abs(out[2] - 0.333333) < 1e-9
+    # constant group scales to 0.0, not NULL/NaN
+    assert out[4] == 0.0 and out[5] == 0.0

@@ -104,3 +104,21 @@ def test_load_jdbc_api_gated(spark, tables):
             load_jdbc(src, "jdbc:postgresql://db:5432/x", "t", mode=mode, num_partitions=4)
         msg = str(e.value.java_exception)
         assert "driver" in msg.lower() or "No suitable driver" in msg
+
+
+def test_parse_json_quarantine_contract(spark):
+    """Syntax errors quarantine with raw text; schema GAPS do not (missing
+    field -> NULL field, ok=true); NULL and non-object inputs quarantine."""
+    from area_etl_spark.sources.extract import parse_json_quarantine
+
+    df = spark.createDataFrame(
+        [(1, '{"k":1,"s":"a"}'), (2, '{"k":2'), (3, '{"x":9}'),
+         (4, None), (5, "[1,2]")],
+        "id int, j string",
+    )
+    out = {r.id: r for r in parse_json_quarantine(df, "j", "k long, s string", keep_cols=["id"]).collect()}
+    assert out[1].ok and out[1].k == 1 and out[1].s == "a" and out[1].corrupt_raw is None
+    assert not out[2].ok and out[2].corrupt_raw == '{"k":2'
+    assert out[3].ok and out[3].k is None  # parseable, just missing fields
+    assert not out[4].ok and out[4].corrupt_raw is None
+    assert not out[5].ok and out[5].corrupt_raw == "[1,2]"
