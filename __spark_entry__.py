@@ -4059,6 +4059,27 @@ def q_mann_whitney(spark, sf_dir):
     return mann_whitney_u(ev, "event_type", "cents", "purchase", "view")
 
 
+def q_versioned_roundtrip(spark, sf_dir):
+    """Manifest-pointer atomic table: publish nation as v1, publish an
+    uppercased v2, read back through the manifest — the reader must see
+    exactly the second snapshot (the oracle IS v2's content); v1 stays
+    readable for time travel within retention."""
+    import shutil
+
+    from area_etl_spark.sources.load import read_versioned, write_versioned
+
+    t = _run_tmp(spark, "versioned", "nation")
+    shutil.rmtree(t, ignore_errors=True)
+    n = _tables(spark, sf_dir)["nation"].select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_versioned(n, t, keep_versions=2)
+    write_versioned(
+        n.withColumn("n_name", F.upper(F.col("n_name"))), t, keep_versions=2
+    )
+    return read_versioned(spark, t)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -4161,6 +4182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burst_detection": q_burst_detection,
         "minmax_scale": q_minmax_scale,
         "mann_whitney": q_mann_whitney,
+        "versioned_roundtrip": q_versioned_roundtrip,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -5131,6 +5153,10 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CAST(round(value * 100) AS BIGINT)) AS min_cents,
                    MAX(CAST(round(value * 100) AS BIGINT)) AS max_cents
             FROM events GROUP BY user_id
+        """,
+        "versioned_roundtrip": """
+            SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey
+            FROM nation
         """,
         "max_drawdown": """
             WITH d AS (

@@ -256,8 +256,12 @@ def compact_files(
     exist — concurrent readers in that instant fail, and a crash inside
     the window strands the data at ``<path>__compact_old`` (recoverable by
     a manual rename; the next successful run clears stale debris).  A truly
-    atomic swap needs a transactional table format (Delta/Iceberg), which
-    this container lacks — run compaction in the lake's maintenance window.
+    atomic swap needs either a transactional table format (Delta/Iceberg,
+    absent here) or the manifest-pointer layout — for tables stored via
+    :func:`write_versioned` compaction IS atomic: read the current
+    snapshot, repartition, ``write_versioned`` the result; readers never
+    see a gap.  For plain directories run compaction in the lake's
+    maintenance window.
     """
     import math
     import os
@@ -328,3 +332,114 @@ def file_stats_manifest(
         .groupBy("file")
         .agg(*aggs)
     )
+
+
+def _versions(table_dir: str) -> list[int]:
+    import os
+
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for d in os.listdir(table_dir):
+        if d.startswith("v=") and os.path.isdir(os.path.join(table_dir, d)):
+            try:
+                out.append(int(d[2:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def current_version(table_dir: str) -> int | None:
+    """The published version of a :func:`write_versioned` table (None if
+    never published).  Readers MUST resolve this, not the directory
+    listing — data directories newer than the manifest are in-flight or
+    crashed writes."""
+    import os
+
+    manifest = os.path.join(table_dir, "_CURRENT")
+    if not os.path.exists(manifest):
+        return None
+    with open(manifest, encoding="utf-8") as f:
+        return int(f.read().strip())
+
+
+def write_versioned(
+    df: DataFrame,
+    table_dir: str,
+    fmt: str = "parquet",
+    keep_versions: int = 2,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Atomic table publish via a manifest pointer — the poor-man's
+    transactional table that closes :func:`compact_files`' documented swap
+    window without Delta/Iceberg: data lands in an immutable
+    ``v=<n>/`` directory, then ONE ``os.replace`` of the ``_CURRENT``
+    manifest (POSIX rename atomicity — also how Iceberg's
+    version-hint/metadata pointer commit works) makes it visible.  There
+    is NO instant where a reader can see a missing or half-written table:
+
+    - a reader that resolved the manifest before the publish keeps reading
+      the OLD version's files, which are never mutated — snapshot
+      isolation with a grace of ``keep_versions - 1`` publishes before GC
+      removes its snapshot (size the retention to the longest reader);
+    - a crash mid-write leaves the manifest untouched (readers unaffected)
+      and strands only an orphan data directory, swept by the next
+      successful write;
+    - version numbers grow past orphans (max(existing)+1), so a crashed
+      v=7 can never be confused with a later successful publish.
+
+    Returns the published version number.  Single-writer protocol (like
+    every manifest-pointer design without a lock service, Iceberg
+    included — concurrent writers need a coordinator).
+    """
+    import os
+    import shutil
+
+    os.makedirs(table_dir, exist_ok=True)
+    cur = current_version(table_dir)
+    existing = _versions(table_dir)
+    new_v = max(existing + ([cur] if cur is not None else [0])) + 1
+    data_dir = os.path.join(table_dir, f"v={new_v}")
+    writer = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(data_dir)
+    # atomic publish: write-temp + rename, never truncate-in-place
+    tmp_manifest = os.path.join(table_dir, "_CURRENT.tmp")
+    with open(tmp_manifest, "w", encoding="utf-8") as f:
+        f.write(str(new_v))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_manifest, os.path.join(table_dir, "_CURRENT"))
+    # GC: keep the newest `keep_versions` PUBLISHED snapshots — only
+    # versions at or below the OLD manifest ever were published; dirs
+    # between it and new_v are crashed-write orphans and always sweep
+    keep = {new_v}
+    for v in reversed(_versions(table_dir)):
+        if len(keep) >= keep_versions:
+            break
+        if cur is not None and v <= cur:
+            keep.add(v)
+    for v in _versions(table_dir):
+        if v not in keep:
+            shutil.rmtree(os.path.join(table_dir, f"v={v}"), ignore_errors=True)
+    return new_v
+
+
+def read_versioned(
+    spark: SparkSession,
+    table_dir: str,
+    fmt: str = "parquet",
+    version: int | None = None,
+) -> DataFrame:
+    """Read a :func:`write_versioned` table: resolve the manifest, then
+    scan that immutable snapshot (pass ``version`` for time travel within
+    the retention window).  The resolve-then-scan order IS the isolation
+    mechanism — the returned DataFrame is pinned to its snapshot directory
+    and unaffected by later publishes."""
+    import os
+
+    v = version if version is not None else current_version(table_dir)
+    if v is None:
+        raise FileNotFoundError(f"no published version at {table_dir}")
+    return spark.read.format(fmt).load(os.path.join(table_dir, f"v={v}"))

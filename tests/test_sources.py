@@ -122,3 +122,60 @@ def test_parse_json_quarantine_contract(spark):
     assert out[3].ok and out[3].k is None  # parseable, just missing fields
     assert not out[4].ok and out[4].corrupt_raw is None
     assert not out[5].ok and out[5].corrupt_raw == "[1,2]"
+
+
+def test_versioned_table_publish_and_time_travel(spark, tmp_path):
+    """Manifest-pointer publish: readers resolve _CURRENT; old snapshots
+    survive within retention (time travel) and GC past it."""
+    from area_etl_spark.sources.load import (
+        current_version,
+        read_versioned,
+        write_versioned,
+    )
+
+    t = str(tmp_path / "tbl")
+    d1 = spark.createDataFrame([(1, "a")], "k int, s string")
+    d2 = spark.createDataFrame([(2, "b"), (3, "c")], "k int, s string")
+    v1 = write_versioned(d1, t, keep_versions=2)
+    assert v1 == 1 and current_version(t) == 1
+    # a reader pinned to v1 BEFORE the next publish...
+    pinned = read_versioned(spark, t)
+    v2 = write_versioned(d2, t, keep_versions=2)
+    assert v2 == 2 and current_version(t) == 2
+    # ...still reads its snapshot (files immutable, retained)
+    assert pinned.count() == 1
+    assert read_versioned(spark, t).count() == 2
+    assert read_versioned(spark, t, version=1).count() == 1  # time travel
+    # third publish GCs v1 (keep_versions=2 -> {3, 2} survive)
+    write_versioned(d1, t, keep_versions=2)
+    import pytest
+
+    with pytest.raises(Exception):
+        read_versioned(spark, t, version=1).count()
+    assert read_versioned(spark, t, version=2).count() == 2
+
+
+def test_versioned_table_crash_leaves_readers_unaffected(spark, tmp_path):
+    """A crashed write (data dir exists, manifest never swapped) is
+    invisible to readers and swept by the next successful publish, which
+    also never reuses the orphan's version number."""
+    import os
+
+    from area_etl_spark.sources.load import (
+        current_version,
+        read_versioned,
+        write_versioned,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_versioned(spark.createDataFrame([(1,)], "k int"), t)
+    # simulate a crash: v=2 data written, manifest NOT updated
+    orphan = os.path.join(t, "v=2")
+    spark.createDataFrame([(99,), (98,)], "k int").write.parquet(orphan)
+    assert current_version(t) == 1
+    assert read_versioned(spark, t).count() == 1  # reader sees v1 only
+    # next successful publish: version grows PAST the orphan, orphan swept
+    v = write_versioned(spark.createDataFrame([(2,), (3,)], "k int"), t)
+    assert v == 3
+    assert read_versioned(spark, t).count() == 2
+    assert not os.path.exists(orphan)
