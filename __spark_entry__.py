@@ -4080,6 +4080,50 @@ def q_versioned_roundtrip(spark, sf_dir):
     return read_versioned(spark, t)
 
 
+def q_kfold_assign(spark, sf_dir):
+    """Deterministic 5-fold CV assignment over documents: fold =
+    md5-uniform draw on doc_id — partition/engine-invariant, so folds are
+    reproducible artifacts; zero shuffles."""
+    from area_etl_spark.operators.sampling import kfold_assign
+
+    d = _tables(spark, sf_dir)["documents"].select("doc_id", "lang", "source")
+    return kfold_assign(d, "doc_id", k=5)
+
+
+def q_balance_classes(spark, sf_dir):
+    """Class-balanced undersampling of documents by lang: every class cut
+    to the minority size with the deterministic md5-rank draw; minority
+    size broadcast via the scalar-join idiom, no collect."""
+    from area_etl_spark.operators.sampling import balance_classes
+
+    d = _tables(spark, sf_dir)["documents"].select("doc_id", "lang", "source")
+    return balance_classes(d, "lang", "doc_id")
+
+
+def q_feature_hash(spark, sf_dir):
+    """Hashing-trick bag-of-words over documents: 64 signed buckets from
+    md5 bits — fixed feature width regardless of vocabulary growth, one
+    explode + one hash aggregate."""
+    from area_etl_spark.operators.encoding import feature_hash
+
+    return feature_hash(_tables(spark, sf_dir)["documents"], "text", "doc_id", 64)
+
+
+def q_target_encode_loo(spark, sf_dir):
+    """Leave-one-out target encoding of order priority against price:
+    per-category mean excluding the row's own target, smoothed toward the
+    global mean (m=20) — integer sums, one broadcast join, single float
+    division."""
+    from area_etl_spark.operators.encoding import target_encode_loo
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return target_encode_loo(o, "o_orderpriority", "cents", smoothing=20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -4183,6 +4227,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minmax_scale": q_minmax_scale,
         "mann_whitney": q_mann_whitney,
         "versioned_roundtrip": q_versioned_roundtrip,
+        "kfold_assign": q_kfold_assign,
+        "balance_classes": q_balance_classes,
+        "feature_hash": q_feature_hash,
+        "target_encode_loo": q_target_encode_loo,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -5153,6 +5201,60 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CAST(round(value * 100) AS BIGINT)) AS min_cents,
                    MAX(CAST(round(value * 100) AS BIGINT)) AS max_cents
             FROM events GROUP BY user_id
+        """,
+        "kfold_assign": """
+            SELECT doc_id, lang, source,
+                   CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                             AS BIGINT) % 5 AS INT) AS fold
+            FROM documents
+        """,
+        "balance_classes": """
+            WITH r AS (
+                SELECT doc_id, lang, source,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+                FROM documents
+            ), m AS (
+                SELECT MIN(n) AS min_n
+                FROM (SELECT COUNT(*) AS n FROM documents GROUP BY lang)
+            )
+            SELECT doc_id, lang, source FROM r, m WHERE rn <= min_n
+        """,
+        "feature_hash": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split_regex(
+                           trim(lower(COALESCE(text, ''))), '\\s+')) AS tok
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       CAST(CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) % 64
+                            AS INT) AS bucket,
+                       CASE WHEN (strpos('0123456789abcdef',
+                                         substr(md5(tok), 13, 1)) - 1) % 2 = 0
+                            THEN 1 ELSE -1 END AS s
+                FROM toks WHERE tok <> ''
+            )
+            SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS weight
+            FROM h GROUP BY doc_id, bucket
+            HAVING SUM(s) <> 0
+        """,
+        "target_encode_loo": """
+            WITH o AS (
+                SELECT o_orderkey, o_orderpriority,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+            ), cat AS (
+                SELECT o_orderpriority,
+                       CAST(SUM(cents) AS BIGINT) AS cat_sum,
+                       COUNT(*) AS cat_n
+                FROM o GROUP BY o_orderpriority
+            ), g AS (
+                SELECT CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS gmean FROM o
+            )
+            SELECT o_orderkey, o_orderpriority, cents,
+                   round(((cat_sum - cents) + 20 * gmean)
+                         / ((cat_n - 1) + 20), 6) + 0.0 AS encoded
+            FROM o JOIN cat USING (o_orderpriority), g
         """,
         "versioned_roundtrip": """
             SELECT n_nationkey, upper(n_name) AS n_name, n_regionkey

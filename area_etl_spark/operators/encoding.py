@@ -1,0 +1,105 @@
+"""Feature-encoding operators — the last ML-prep mile before training.
+
+Both operators here are the distributed forms of encoders that are
+trivially leaky or collision-prone when done naively:
+
+- hashing-trick features (Weinberger et al., ICML'09) replace an unbounded
+  vocabulary with a FIXED 2^b-bucket space — no vocabulary build, no
+  driver state, new tokens at inference hash to the same bucket they would
+  have in training;
+- leave-one-out target encoding excludes each row's OWN label from its
+  category mean — the textbook guard against target leakage that a plain
+  per-category mean commits — and smooths small categories toward the
+  global prior.
+
+Portable hashing: md5-prefix → integer (the repo-wide engine-portable
+recipe), never engine-native hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from area_etl_spark.operators.dedup import normalize_tokens
+
+
+def feature_hash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Hashing-trick bag-of-words: each token maps to bucket
+    md5(token) mod 2^b with a ±1 sign from the NEXT hash nibble (the
+    signed variant that keeps collisions mean-zero), aggregated to one
+    (id, bucket, weight) sparse row per nonzero bucket.
+
+    ``n_buckets`` must be a power of two (documented convention — the mod
+    is then a mask of uniform md5 bits).  One explode + one hash
+    aggregate; output size ≤ tokens, typically ≪ (corpus vocabulary) —
+    the whole point: feature width is FIXED at 2^b regardless of corpus
+    growth, so the 100 TB re-train never rebuilds a vocabulary.
+    """
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(normalize_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias(
+            "_tok"
+        ),
+    ).where(F.col("_tok") != "")
+    h = F.md5(F.col("_tok"))
+    bucket = (
+        F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % n_buckets
+    ).cast("int")
+    sign = F.when(
+        F.conv(F.substring(h, 13, 1), 16, 10).cast("int") % 2 == 0, 1
+    ).otherwise(-1)
+    return (
+        toks.select(F.col(id_col), bucket.alias("bucket"), sign.alias("_s"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("_s").cast("long").alias("weight"))
+        .where(F.col("weight") != 0)
+    )
+
+
+def target_encode_loo(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    smoothing: int = 20,
+) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing: each row's
+    category is replaced by
+
+        ((cat_sum − own_y) + m · global_mean) / ((cat_n − 1) + m)
+
+    — the category's mean target EXCLUDING the row itself (no
+    self-leakage), shrunk toward the global mean by pseudo-count ``m``
+    (singleton categories fall back entirely to the prior instead of
+    dividing by zero).
+
+    Exact arithmetic: integer target sums per category + one global
+    1-row aggregate (broadcast scalar-join), the division is the single
+    float step, rounded; one bounded aggregate + broadcast join — no
+    window, no per-row state.
+    """
+    y = F.col(target_col)
+    cat = df.groupBy(category_col).agg(
+        F.sum(y).alias("_cat_sum"), F.count(y).alias("_cat_n")
+    )
+    glob = df.agg(
+        (F.sum(y).cast("double") / F.count(y)).alias("_gmean")
+    )
+    m = F.lit(smoothing)
+    enc = (
+        (F.col("_cat_sum") - y + m * F.col("_gmean"))
+        / (F.col("_cat_n") - 1 + m)
+    )
+    return (
+        df.join(F.broadcast(cat), category_col)
+        .crossJoin(F.broadcast(glob))
+        .withColumn("encoded", F.round(enc, 6) + F.lit(0.0))
+        .drop("_cat_sum", "_cat_n", "_gmean")
+    )

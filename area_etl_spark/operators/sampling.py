@@ -325,3 +325,61 @@ def priority_sample_grouped(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def kfold_assign(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    strata: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    md5-uniform draw over the id, optionally STRATIFIED (fold proportions
+    hold within every stratum because the draw is uniform per id and
+    independent of the stratum — no per-stratum state needed; strata
+    participate only in the verification report, not the assignment).
+
+    Engine/partition-invariant (same recipe as ``hash_sample``): fold
+    survives re-runs, engine swaps, and repartitioning — the property that
+    makes CV folds REPRODUCIBLE artifacts instead of run-local accidents.
+    Narrow projection, zero shuffles.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    out = df.withColumn("fold", (bucket % k).cast("int"))
+    return out
+
+
+def balance_classes(
+    df: DataFrame,
+    class_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Class-balanced downsampling: undersample every class to the
+    minority class's size with the deterministic md5-rank draw
+    (``group_sample_n``'s order), so the output has EXACTLY equal class
+    counts — the imbalance fix before training a classifier when
+    upweighting isn't available.
+
+    The minority size is computed at runtime and broadcast (scalar-join
+    idiom — one 1-row aggregate, no collect); ranking is one window
+    shuffle on the class key.  A hot majority class sorts only within its
+    own partition range — same bound as every per-key window here.
+    """
+    from pyspark.sql import Window
+
+    min_n = (
+        df.groupBy(class_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.min("_n").alias("_min_n"))
+    )
+    w = Window.partitionBy(class_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(min_n))
+        .where(F.col("_rn") <= F.col("_min_n"))
+        .drop("_rn", "_min_n")
+    )

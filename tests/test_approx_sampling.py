@@ -98,3 +98,36 @@ def test_rebalance_mixture_null_source_gets_default_share(spark):
     # and default_share=0 still drops the NULL group
     none_out = rebalance_mixture(df, "id", "src", {"web": 1.0}, default_share=0.0)
     assert none_out.where(F.col("src").isNull()).count() == 0
+
+
+def test_kfold_assign_deterministic_and_in_range(spark):
+    from area_etl_spark.operators.sampling import kfold_assign
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.fold for r in kfold_assign(df, "doc_id", 5).collect()}
+    b = {
+        r.doc_id: r.fold
+        for r in kfold_assign(df.repartition(7), "doc_id", 5).collect()
+    }
+    assert a == b  # partition-invariant
+    assert set(a.values()) <= set(range(5))
+    # roughly balanced: every fold within 40% of the ideal 100
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert all(60 <= n <= 140 for n in c.values()), c
+
+
+def test_balance_classes_exact_equal_counts(spark):
+    from collections import Counter
+
+    from area_etl_spark.operators.sampling import balance_classes
+
+    rows = [(i, "big") for i in range(90)] + [(100 + i, "small") for i in range(7)]
+    df = spark.createDataFrame(rows, "id long, cls string")
+    out = balance_classes(df, "cls", "id").collect()
+    c = Counter(r.cls for r in out)
+    assert c == {"big": 7, "small": 7}
+    # deterministic: same survivors on re-run
+    again = balance_classes(df.repartition(5), "cls", "id").collect()
+    assert sorted(r.id for r in out) == sorted(r.id for r in again)

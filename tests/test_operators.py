@@ -1422,3 +1422,44 @@ def test_minmax_scale_constant_group_and_bounds(spark):
     assert out[1] == 0.0 and out[3] == 1.0 and abs(out[2] - 0.333333) < 1e-9
     # constant group scales to 0.0, not NULL/NaN
     assert out[4] == 0.0 and out[5] == 0.0
+
+
+def test_feature_hash_fixed_width_and_multiplicity(spark):
+    import pytest
+
+    from area_etl_spark.operators.encoding import feature_hash
+
+    df = spark.createDataFrame(
+        [(1, "spark spark spark"), (2, "spark"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = feature_hash(df, "text", "doc_id", 64)
+    rows = out.collect()
+    assert all(0 <= r.bucket < 64 for r in rows)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.bucket] = r.weight
+    # same token -> same bucket; multiplicity scales the signed weight
+    (b1, w1), (b2, w2) = list(by_doc[1].items())[0], list(by_doc[2].items())[0]
+    assert b1 == b2 and w1 == 3 * w2 and abs(w2) == 1
+    assert 3 not in by_doc  # NULL text -> no features
+    with pytest.raises(ValueError):
+        feature_hash(df, "text", "doc_id", 60)  # not a power of two
+
+
+def test_target_encode_loo_excludes_own_label(spark):
+    import math
+
+    from area_etl_spark.operators.encoding import target_encode_loo
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "b", 100)],
+        "id long, cat string, y long",
+    )
+    out = {r.id: r.encoded for r in target_encode_loo(df, "cat", "y", smoothing=2).collect()}
+    g = 160 / 4  # global mean 40
+    # row 1: ((60-10) + 2*40) / (2+2) = 130/4
+    assert math.isclose(out[1], round(130 / 4, 6))
+    assert math.isclose(out[2], round((40 + 80) / 4, 6))
+    # singleton category: cat_sum - y == 0 -> pure smoothed prior
+    assert math.isclose(out[4], round((0 + 2 * g) / (0 + 2), 6))
