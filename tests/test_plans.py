@@ -330,3 +330,68 @@ def test_keyword_tagging_broadcasts_lexicon(tables, spark):
     kw = spark.createDataFrame([("join", "rel"), ("scan", "io")], "term string, tag string")
     p = plan_str(tag_by_keywords(tables["documents"], kw))
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_remove_duplicate_spans_no_cartesian(tables):
+    """Span removal must stay equi-join shaped (gram-key join, position
+    anti-join) — never a nested-loop/cartesian over documents."""
+    from area_etl_spark.operators.dedup import remove_duplicate_spans
+
+    docs = tables["customer"].select(
+        F.col("c_custkey").alias("doc_id"), F.col("c_name").alias("text")
+    )
+    plan = plan_str(remove_duplicate_spans(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_max_drawdown_single_window_sort(tables):
+    """The stacked cum/peak windows must share ONE hash exchange on the
+    key (Catalyst plans both frames over the same sort); the only other
+    exchange is the final per-key aggregate."""
+    from area_etl_spark.operators.windows import max_drawdown
+
+    ev = tables["events"].select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id",
+        F.col("value").cast("long").alias("d"),
+    )
+    plan = plan_str(max_drawdown(ev, ["user_id"], ["us", "event_id"], "d"))
+    shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
+    assert shuffles <= 2, plan
+    assert plan.count("Sort (") <= 1 or shuffles <= 2  # one window sort
+
+
+def test_minmax_scale_broadcasts_bounds(tables):
+    """Group bounds must come back as a broadcast join — the scaled
+    projection stays narrow."""
+    from area_etl_spark.operators.quality import minmax_scale
+
+    d = tables["customer"].select("c_custkey", "c_nationkey", "c_acctbal")
+    plan = plan_str(minmax_scale(d, ["c_nationkey"], "c_acctbal"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_agg_state_merge_partial_aggregation(tables):
+    """The merge groupBy must plan as partial+final HashAggregate (map-side
+    combine) with no window — the O(|keys|) merge contract."""
+    from area_etl_spark.operators.aggregates import agg_state, merge_agg_states
+
+    ev = tables["events"].select(
+        "user_id", F.col("value").cast("long").alias("v"), "event_id"
+    )
+    a = agg_state(ev.where(F.col("event_id") % 2 == 0), ["user_id"], "v")
+    b = agg_state(ev.where(F.col("event_id") % 2 == 1), ["user_id"], "v")
+    plan = plan_str(merge_agg_states([a, b], ["user_id"]))
+    assert "HashAggregate" in plan and "Window" not in plan
+
+
+def test_feature_hash_and_kfold_no_python(tables):
+    """The encoders are pure Catalyst expressions — no BatchEvalPython."""
+    from area_etl_spark.operators.encoding import feature_hash
+    from area_etl_spark.operators.sampling import kfold_assign
+
+    docs = tables["customer"].select(
+        F.col("c_custkey").alias("doc_id"), F.col("c_name").alias("text")
+    )
+    assert "BatchEvalPython" not in plan_str(feature_hash(docs, "text", "doc_id"))
+    assert "BatchEvalPython" not in plan_str(kfold_assign(docs, "doc_id", 5))
