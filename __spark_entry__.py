@@ -4124,6 +4124,98 @@ def q_target_encode_loo(spark, sf_dir):
     return target_encode_loo(o, "o_orderpriority", "cents", smoothing=20)
 
 
+def q_expectation_suite(spark, sf_dir):
+    """Expectation-suite table monitor (the Great Expectations slot): value
+    bounds, null-rate caps, distinct floors, and enum membership over
+    orders — every rule folded into ONE aggregation pass, one report row
+    per rule with observed vs bound."""
+    from area_etl_spark.plans.contracts import Expectation, expect
+
+    o = _tables(spark, sf_dir)["orders"]
+    return expect(
+        o,
+        [
+            Expectation("o_totalprice", min_value=0, max_value=1_000_000),
+            Expectation("o_orderkey", max_null_frac=0.0, min_distinct=100),
+            Expectation(
+                "o_orderstatus", allowed_values=["F", "O", "P"], max_null_frac=0.0
+            ),
+            Expectation("o_custkey", min_value=1),
+        ],
+    )
+
+
+def q_changepoint(spark, sf_dir):
+    """Mean-shift changepoint per event type over the daily revenue
+    series: argmax_k |n·P_k − k·S| (all-integer CUSUM numerator) plus the
+    before/after segment means — cusum_stats' scan report localized."""
+    from area_etl_spark.operators.windows import changepoint_detect
+
+    ev = _tables(spark, sf_dir)["events"]
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    return changepoint_detect(daily, ["event_type"], ["day"], "cents")
+
+
+def q_degree_distribution(spark, sf_dir):
+    """Key-cardinality histogram of lineitem per order in power-of-two
+    buckets (bit length of the count — exact integer log2): the degree
+    SHAPE skew diagnostic behind join/groupBy planning."""
+    from area_etl_spark.operators.quality import degree_distribution
+
+    return degree_distribution(_tables(spark, sf_dir)["lineitem"], ["l_orderkey"])
+
+
+KCORE_K, KCORE_ROUNDS = 3, 3
+
+
+def q_kcore(spark, sf_dir):
+    """Fixed-3-round 3-core peel of the order↔supplier bipartite graph
+    (each round deletes degree<3 nodes + their edges) — dense-subgraph
+    mining with deterministic, oracle-replayable rounds (the
+    pagerank_integer convention)."""
+    from area_etl_spark.operators.graph import kcore_peel
+
+    li = _tables(spark, sf_dir)["lineitem"]
+    edges = li.select(
+        (F.col("l_orderkey") % 1000).alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+    )
+    return kcore_peel(edges, KCORE_K, KCORE_ROUNDS)
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Chained-CTE replay of the fixed-round k-core peel (pagerank
+    convention: possible because each round is pure relational algebra)."""
+    ctes = [
+        """e0 AS (
+            SELECT DISTINCT a, b FROM (
+                SELECT l_orderkey % 1000 AS a, l_suppkey + 1000000 AS b FROM lineitem
+                UNION ALL
+                SELECT l_suppkey + 1000000 AS a, l_orderkey % 1000 AS b FROM lineitem
+            ) WHERE a <> b
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"d{r} AS (SELECT a, COUNT(*) AS d FROM e{p} GROUP BY a)"
+        )
+        ctes.append(f"k{r} AS (SELECT a FROM d{r} WHERE d >= {k})")
+        ctes.append(
+            f"""e{r} AS (
+                SELECT e.a, e.b FROM e{p} e
+                JOIN k{r} x ON e.a = x.a
+                JOIN k{r} y ON e.b = y.a
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT a AS node, COUNT(*) AS degree FROM e{rounds} GROUP BY a"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -4141,6 +4233,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The full r7 window (49/50 green on current testdata) follows, then the
     earlier greens; the rows-only dedup_minhash_lsh stays out of the window
     (test_driver_window_fully_oracled enforces this).
+
+    Below the window sit the r8-built additions as r9 window candidates —
+    all locally gated at sf0.001 AND sf0.01 AND sf0.1 with dtype parity:
+    remove_duplicate_spans, apply_cdc_log, seasonal_anomaly,
+    parse_json_quarantine, sequence_match, agg_state_merge, max_drawdown,
+    clamped_balance, burst_detection, minmax_scale, mann_whitney,
+    versioned_roundtrip, kfold_assign, balance_classes, feature_hash,
+    target_encode_loo, expectation_suite, plus the five committed earlier
+    this round (attribution_time_decay, km_survival, cascade_delete,
+    jaccard_prefix_join, quantile_normalize).
     """
     return {
         # — the r7 err, fixed: CSV-serialized array, re-windowed for green —
@@ -4231,6 +4333,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "balance_classes": q_balance_classes,
         "feature_hash": q_feature_hash,
         "target_encode_loo": q_target_encode_loo,
+        "expectation_suite": q_expectation_suite,
+        "changepoint": q_changepoint,
+        "degree_distribution": q_degree_distribution,
+        "kcore": q_kcore,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -5201,6 +5307,85 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CAST(round(value * 100) AS BIGINT)) AS min_cents,
                    MAX(CAST(round(value * 100) AS BIGINT)) AS max_cents
             FROM events GROUP BY user_id
+        """,
+        "changepoint": """
+            WITH daily AS (
+                SELECT event_type,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                           AS cents
+                FROM events GROUP BY 1, 2
+            ), w AS (
+                SELECT event_type, day, cents,
+                       SUM(cents) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS pk,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY day) AS k,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n,
+                       SUM(cents) OVER (PARTITION BY event_type) AS s
+                FROM daily
+            ), cand AS (
+                SELECT event_type, day, k, pk, n, s,
+                       abs(n * pk - k * s) AS numer,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY abs(n * pk - k * s) DESC, k ASC) AS rn
+                FROM w WHERE k < n
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   day AS change_at_day,
+                   CAST(numer AS BIGINT) AS max_abs_numer,
+                   round(CAST(pk AS DOUBLE) / k, 6) + 0.0 AS mean_before,
+                   round(CAST(s - pk AS DOUBLE) / (n - k), 6) + 0.0 AS mean_after
+            FROM cand WHERE rn = 1
+        """,
+        "degree_distribution": """
+            WITH c AS (
+                SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+            )
+            SELECT CAST(length(bin(cnt)) AS INT) AS bucket,
+                   COUNT(*) AS n_keys,
+                   CAST(MIN(cnt) AS BIGINT) AS min_count,
+                   CAST(MAX(cnt) AS BIGINT) AS max_count,
+                   CAST(SUM(cnt) AS BIGINT) AS n_rows
+            FROM c GROUP BY 1
+        """,
+        "kcore": _kcore_sql(KCORE_K, KCORE_ROUNDS),
+        "expectation_suite": """
+            WITH s AS (
+                SELECT COUNT(*) AS n,
+                       CAST(MIN(o_totalprice) AS DOUBLE) AS min_tp,
+                       CAST(MAX(o_totalprice) AS DOUBLE) AS max_tp,
+                       SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nulls_k,
+                       COUNT(DISTINCT o_orderkey) AS nd_k,
+                       SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nulls_st,
+                       SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                                 AND o_orderstatus IS NOT NULL
+                                THEN 1 ELSE 0 END) AS bad_st,
+                       CAST(MIN(o_custkey) AS DOUBLE) AS min_ck
+                FROM orders
+            )
+            SELECT 'o_totalprice' AS "column", 'min_value' AS rule,
+                   min_tp AS observed, CAST(0.0 AS DOUBLE) AS bound, min_tp >= 0 AS ok FROM s
+            UNION ALL
+            SELECT 'o_totalprice', 'max_value', max_tp, CAST(1000000.0 AS DOUBLE),
+                   max_tp <= 1000000 FROM s
+            UNION ALL
+            SELECT 'o_orderkey', 'max_null_frac',
+                   round(nulls_k / n, 6) + 0.0, CAST(0.0 AS DOUBLE),
+                   round(nulls_k / n, 6) + 0.0 <= 0.0 FROM s
+            UNION ALL
+            SELECT 'o_orderkey', 'min_distinct', CAST(nd_k AS DOUBLE), CAST(100.0 AS DOUBLE),
+                   nd_k >= 100 FROM s
+            UNION ALL
+            SELECT 'o_orderstatus', 'max_null_frac',
+                   round(nulls_st / n, 6) + 0.0, CAST(0.0 AS DOUBLE),
+                   round(nulls_st / n, 6) + 0.0 <= 0.0 FROM s
+            UNION ALL
+            SELECT 'o_orderstatus', 'allowed_values', CAST(bad_st AS DOUBLE),
+                   CAST(0.0 AS DOUBLE), bad_st = 0 FROM s
+            UNION ALL
+            SELECT 'o_custkey', 'min_value', min_ck, CAST(1.0 AS DOUBLE), min_ck >= 1 FROM s
         """,
         "kfold_assign": """
             SELECT doc_id, lang, source,

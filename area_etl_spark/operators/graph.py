@@ -516,3 +516,46 @@ def bom_rollup(
     else:
         raise ValueError(f"hierarchy deeper than 2^{max_depth} or cyclic")
     return state.select("node", F.col("anc").alias("root"), F.col("mult").alias("units"))
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling: each round deletes every node of degree
+    < k together with its edges (the standard peel; dense-subgraph mining,
+    spam/bot ring detection, graph-sampling cores).  After ``rounds``
+    rounds the survivors are a SUPERSET of the true k-core, equal as soon
+    as one round deletes nothing — fixed rounds keep the operator
+    deterministic and oracle-replayable (the pagerank_integer convention;
+    real graphs converge in few rounds because each peel needs a fresh
+    cascade).
+
+    Returns (node, degree) over the surviving subgraph.  Per round: one
+    degree aggregate + two semi-joins on the endpoint keys — all hash
+    shuffles bounded by the shrinking edge set; ``localCheckpoint`` after
+    each round truncates the growing plan (the CC/pagerank lineage
+    discipline).  Undirected input expected as symmetric pairs; pass each
+    edge once and it is symmetrized here.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    for _ in range(rounds):
+        deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("_d"))
+        keep = deg.where(F.col("_d") >= k).select("a")
+        e = (
+            e.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )

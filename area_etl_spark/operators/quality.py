@@ -727,3 +727,27 @@ def minmax_scale(
         .withColumn(out_col, scaled)
         .drop("_lo", "_hi")
     )
+
+
+def degree_distribution(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Per-key-cardinality histogram in power-of-two buckets — the skew
+    diagnostic behind every join/groupBy planning decision: how many keys
+    carry 1 row, 2–3, 4–7, …, and what the heaviest key in each bucket
+    holds.  ``skew_report`` names the top keys; this shows the whole
+    degree SHAPE (a power-law tail shows up as a long flat bucket range).
+
+    Bucket = bit length of the count (length of its binary string — exact
+    integer log2, no float boundary risk).  Two hash aggregates: per-key
+    counts, then O(64) bucket rows.
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_cnt"))
+    bucket = F.length(F.expr("bin(_cnt)")).alias("bucket")
+    return (
+        counts.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min("_cnt").alias("min_count"),
+            F.max("_cnt").alias("max_count"),
+            F.sum("_cnt").alias("n_rows"),
+        )
+    )

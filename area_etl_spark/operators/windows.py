@@ -502,3 +502,68 @@ def clamped_balance(
         folded.getField("bal").alias("end_balance"),
         folded.getField("hits").alias("n_floor_hits"),
     )
+
+
+def changepoint_detect(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Single mean-shift changepoint per key (binary-segmentation step 1,
+    the localization stage :func:`cusum_stats`' scan-level report defers):
+    the changepoint is argmax_k |n·C_k| = |n·P_k − k·S| — all-integer, the
+    float group mean multiplied away — and the segment means before/after
+    split it.
+
+    Returns (keys, n, change_at = the LAST order position of the left
+    segment, max_abs_numer, mean_before, mean_after) with means as exact
+    rounded doubles.  Ties on |n·C_k| break to the EARLIEST position
+    (deterministic).  Same one-shuffle shape as cusum_stats: all windows
+    share the key partitioning; the argmax is a struct-max aggregate.
+
+    The last position is excluded from candidacy (C_n = 0 identically — a
+    split there leaves an empty right segment).
+    """
+    part = Window.partitionBy(*keys)
+    ordered = part.orderBy(*[F.col(c).asc() for c in order_cols]).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    v = F.col(value_col)
+    scored = (
+        df.select(*keys, *order_cols, v.alias("_x"))
+        .withColumn("_pk", F.sum("_x").over(ordered))
+        .withColumn("_k", F.count(F.lit(1)).over(ordered))
+        .withColumn("_n", F.count(F.lit(1)).over(part))
+        .withColumn("_s", F.sum("_x").over(part))
+        .withColumn(
+            "_numer", F.abs(F.col("_n") * F.col("_pk") - F.col("_k") * F.col("_s"))
+        )
+        .where(F.col("_k") < F.col("_n"))
+    )
+    best = F.max(
+        F.struct(
+            F.col("_numer").alias("m"),
+            (-F.col("_k")).alias("_negk"),
+            F.col("_k").alias("k"),
+            F.col("_pk").alias("pk"),
+            *[F.col(c).alias(f"at_{c}") for c in order_cols],
+        )
+    )
+    agg = scored.groupBy(*keys).agg(
+        best.alias("_b"),
+        F.max("_n").alias("n"),
+        F.max("_s").alias("_tot"),
+    )
+    mean_b = F.col("_b.pk").cast("double") / F.col("_b.k")
+    mean_a = (F.col("_tot") - F.col("_b.pk")).cast("double") / (
+        F.col("n") - F.col("_b.k")
+    )
+    return agg.select(
+        *keys,
+        "n",
+        *[F.col(f"_b.at_{c}").alias(f"change_at_{c}") for c in order_cols],
+        F.col("_b.m").alias("max_abs_numer"),
+        (F.round(mean_b, 6) + F.lit(0.0)).alias("mean_before"),
+        (F.round(mean_a, 6) + F.lit(0.0)).alias("mean_after"),
+    )

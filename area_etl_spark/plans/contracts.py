@@ -452,3 +452,112 @@ def enforce_contract(df: DataFrame, contract: TableContract) -> DataFrame:
     if bad:
         raise ValueError(f"contract '{contract.table}' violated: {bad}")
     return shaped
+
+
+@dataclass
+class Expectation:
+    """One statistical expectation on a column — the DISTRIBUTION-level
+    contract the DDL layer (TableContract) cannot express: bounds on
+    values and rates rather than types and nulls."""
+
+    column: str
+    min_value: float | None = None
+    max_value: float | None = None
+    max_null_frac: float | None = None
+    min_distinct: int | None = None
+    allowed_values: list | None = None
+
+
+def expect(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """Expectation-suite validation (the Great Expectations slot): check
+    every statistical expectation in ONE aggregation pass and return one
+    row per rule — (column, rule, observed, bound, ok) — so CI can diff
+    the report and a scheduler can gate a load on ``ok = false`` rows.
+
+    Unlike ``enforce_contract`` (row-level DDL gate: abort) and
+    ``quarantine_rows`` (row-level filter), this is a TABLE-level monitor:
+    nothing is dropped; drift shows up as a failed expectation before it
+    shows up as a broken dashboard.
+
+    Scale: every rule compiles into the same single ``agg`` (min/max/
+    null-count/approx-free distinct per referenced column) — one shuffle of
+    partial aggregates regardless of rule count; the report is O(rules).
+    Multiple exact countDistinct aggregates trigger Spark's EXPAND (one
+    row copy per distinct-rule) — price paid only for columns that declare
+    ``min_distinct``.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, e in enumerate(expectations):
+        c = F.col(e.column)
+        if e.min_value is not None or e.max_value is not None:
+            aggs.append(F.min(c).cast("double").alias(f"_min_{i}"))
+            aggs.append(F.max(c).cast("double").alias(f"_max_{i}"))
+        if e.max_null_frac is not None:
+            aggs.append(
+                F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"_nulls_{i}")
+            )
+        if e.min_distinct is not None:
+            aggs.append(F.countDistinct(c).alias(f"_nd_{i}"))
+        if e.allowed_values is not None:
+            aggs.append(
+                F.sum(F.when(~c.isin(e.allowed_values) & c.isNotNull(), 1).otherwise(0)).alias(
+                    f"_bad_{i}"
+                )
+            )
+    stats = df.agg(*aggs)
+    reports = []
+    for i, e in enumerate(expectations):
+        if e.min_value is not None:
+            reports.append(
+                F.struct(
+                    F.lit(e.column).alias("column"),
+                    F.lit("min_value").alias("rule"),
+                    F.col(f"_min_{i}").alias("observed"),
+                    F.lit(float(e.min_value)).alias("bound"),
+                    (F.col(f"_min_{i}") >= e.min_value).alias("ok"),
+                )
+            )
+        if e.max_value is not None:
+            reports.append(
+                F.struct(
+                    F.lit(e.column).alias("column"),
+                    F.lit("max_value").alias("rule"),
+                    F.col(f"_max_{i}").alias("observed"),
+                    F.lit(float(e.max_value)).alias("bound"),
+                    (F.col(f"_max_{i}") <= e.max_value).alias("ok"),
+                )
+            )
+        if e.max_null_frac is not None:
+            frac = F.round(F.col(f"_nulls_{i}") / F.col("_n"), 6) + F.lit(0.0)
+            reports.append(
+                F.struct(
+                    F.lit(e.column).alias("column"),
+                    F.lit("max_null_frac").alias("rule"),
+                    frac.alias("observed"),
+                    F.lit(float(e.max_null_frac)).alias("bound"),
+                    (frac <= e.max_null_frac).alias("ok"),
+                )
+            )
+        if e.min_distinct is not None:
+            reports.append(
+                F.struct(
+                    F.lit(e.column).alias("column"),
+                    F.lit("min_distinct").alias("rule"),
+                    F.col(f"_nd_{i}").cast("double").alias("observed"),
+                    F.lit(float(e.min_distinct)).alias("bound"),
+                    (F.col(f"_nd_{i}") >= e.min_distinct).alias("ok"),
+                )
+            )
+        if e.allowed_values is not None:
+            reports.append(
+                F.struct(
+                    F.lit(e.column).alias("column"),
+                    F.lit("allowed_values").alias("rule"),
+                    F.col(f"_bad_{i}").cast("double").alias("observed"),
+                    F.lit(0.0).alias("bound"),
+                    (F.col(f"_bad_{i}") == 0).alias("ok"),
+                )
+            )
+    return stats.select(
+        F.explode(F.array(*reports)).alias("_r")
+    ).select("_r.column", "_r.rule", "_r.observed", "_r.bound", "_r.ok")

@@ -96,3 +96,64 @@ def incremental_ingest_sink(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.trigger(availableNow=True).start()
+
+
+def make_versioned_appender(table_dir: str, fmt: str = "parquet", keep_versions: int = 4):
+    """foreachBatch body for an ATOMIC streaming append: each micro-batch
+    publishes current-snapshot ∪ batch as a new :func:`~area_etl_spark.
+    sources.load.write_versioned` version — downstream readers always see a
+    complete snapshot (never a table mid-append) and keep their own
+    snapshot for ``keep_versions - 1`` further batches.
+
+    Exactly-once visibility across restarts: each publish stamps the
+    manifest's version from the directory state, and a REPLAYED batch
+    (same batch_id after a crash) is detected via the ``_batch_id`` column
+    carried in the snapshot — rows of the replayed batch are dropped from
+    the base before re-union, so the replay rewrites rather than
+    duplicates (the dynamic-partition-overwrite idempotence idiom, ported
+    to the manifest world).
+
+    Cost: each publish REWRITES the snapshot (O(table) per batch) — right
+    for dimension-sized streaming sinks (the reference's own tables); for
+    fact-scale append streams use the partitioned ``incremental_ingest``
+    layout and compact under a maintenance window instead.
+    """
+    from area_etl_spark.sources.load import (
+        current_version,
+        read_versioned,
+        write_versioned,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        stamped = batch_df.withColumn("_batch_id", F.lit(batch_id).cast("long"))
+        if current_version(table_dir) is not None:
+            base = read_versioned(spark, table_dir, fmt=fmt).where(
+                F.col("_batch_id") != batch_id
+            )
+            stamped = base.unionByName(stamped)
+        # materialize BEFORE the publish: the new version must not lazily
+        # re-read the old snapshot dir mid-GC
+        rows = stamped.localCheckpoint(eager=True)
+        write_versioned(rows, table_dir, fmt=fmt, keep_versions=keep_versions)
+
+    return _apply
+
+
+def versioned_append_sink(
+    stream_df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    keep_versions: int = 4,
+):
+    """Structured Streaming sink wiring for :func:`make_versioned_appender`
+    (availableNow-friendly; returns the started query)."""
+    return (
+        stream_df.writeStream.foreachBatch(
+            make_versioned_appender(table_dir, fmt=fmt, keep_versions=keep_versions)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1463,3 +1463,45 @@ def test_target_encode_loo_excludes_own_label(spark):
     assert math.isclose(out[2], round((40 + 80) / 4, 6))
     # singleton category: cat_sum - y == 0 -> pure smoothed prior
     assert math.isclose(out[4], round((0 + 2 * g) / (0 + 2), 6))
+
+
+def test_changepoint_detect_localizes_planted_shift(spark):
+    from area_etl_spark.operators.windows import changepoint_detect
+
+    # level 100 for 20 points, then 200 for 10 -> change after position 20
+    rows = [("k", t, 100 if t <= 20 else 200) for t in range(1, 31)]
+    df = spark.createDataFrame(rows, "k string, t int, v long")
+    r = changepoint_detect(df, ["k"], ["t"], "v").collect()[0]
+    assert r.change_at_t == 20 and r.n == 30
+    assert r.mean_before == 100.0 and r.mean_after == 200.0
+
+
+def test_degree_distribution_power_of_two_buckets(spark):
+    from area_etl_spark.operators.quality import degree_distribution
+
+    # keys with 1, 3, 4, and 9 rows -> bit lengths 1, 2, 3, 4
+    rows = (
+        [("a", 0)] + [("b", i) for i in range(3)] + [("c", i) for i in range(4)]
+        + [("d", i) for i in range(9)]
+    )
+    df = spark.createDataFrame(rows, "k string, i int")
+    out = {r.bucket: r for r in degree_distribution(df, ["k"]).collect()}
+    assert out[1].n_keys == 1 and out[1].max_count == 1
+    assert out[2].n_keys == 1 and out[2].min_count == 3
+    assert out[3].n_keys == 1 and out[3].min_count == 4
+    assert out[4].n_keys == 1 and out[4].max_count == 9
+
+
+def test_kcore_peel_cascade(spark):
+    from area_etl_spark.operators.graph import kcore_peel
+
+    # K4 clique survives a 3-core; a pendant path 4-5-6 cascades away only
+    # over successive rounds (5 keeps degree 2 until 6 goes)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = sorted(r.node for r in kcore_peel(df, 3, 3).collect())
+    assert out == [1, 2, 3, 4]
+    deg = {r.node: r.degree for r in kcore_peel(df, 3, 3).collect()}
+    assert all(d == 3 for d in deg.values())
+    # k too high -> everything peels
+    assert kcore_peel(df, 5, 4).count() == 0

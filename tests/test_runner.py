@@ -127,3 +127,27 @@ def test_runner_corpus_module(spark, sf_dir, tmp_path):
     assert packed.count() == n_docs and {"shard", "pack_id"} <= set(packed.columns)
     report = spark.read.parquet(f"{out}/corpus/corpus_report")
     assert report.count() == docs.select("source").distinct().count()
+
+
+def test_expectation_suite_flags_violations(spark):
+    """expect() reports observed vs bound per rule and flags exactly the
+    violated expectations — nothing is dropped or raised."""
+    from area_etl_spark.plans.contracts import Expectation, expect
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 50.0), (3, None, -1.0), (4, "zz", 7.0)],
+        "k int, s string, v double",
+    )
+    out = {(r.column, r.rule): r for r in expect(df, [
+        Expectation("v", min_value=0, max_value=10),
+        Expectation("s", max_null_frac=0.1, allowed_values=["a", "b"]),
+        Expectation("k", min_distinct=3),
+    ]).collect()}
+    assert not out[("v", "min_value")].ok          # -1 < 0
+    assert not out[("v", "max_value")].ok          # 50 > 10
+    assert not out[("s", "max_null_frac")].ok      # 1/4 > 0.1
+    assert out[("s", "max_null_frac")].observed == 0.25
+    assert not out[("s", "allowed_values")].ok     # 'zz'
+    assert out[("s", "allowed_values")].observed == 1.0
+    assert out[("k", "min_distinct")].ok           # 4 >= 3
+    assert len(out) == 5

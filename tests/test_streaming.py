@@ -325,3 +325,35 @@ def test_incremental_ingest_replayed_batch_is_idempotent(spark, tmp_path):
     apply_batch(batch2, 1)
     got = {r.doc_id for r in spark.read.parquet(out + "/corpus").collect()}
     assert got == {1, 2, 10}
+
+
+def test_versioned_append_sink_atomic_and_replay_safe(spark, tmp_path):
+    """Each micro-batch publishes a complete snapshot (union of history +
+    batch); a replayed batch_id rewrites instead of duplicating."""
+    from area_etl_spark.sources.load import current_version, read_versioned
+    from area_etl_spark.streaming.ingestion import (
+        make_versioned_appender,
+        versioned_append_sink,
+    )
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "tbl")
+    ck = str(tmp_path / "ck")
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string")
+    d1.write.parquet(src)
+    stream = spark.readStream.schema(d1.schema).parquet(src)
+    q = versioned_append_sink(stream, table, ck)
+    q.awaitTermination(240)
+    assert read_versioned(spark, table).count() == 2
+    v_after_stream = current_version(table)
+    # drive a second batch directly through the foreachBatch body
+    apply = make_versioned_appender(table)
+    d2 = spark.createDataFrame([(3, "c")], "k int, s string")
+    apply(d2, batch_id=99)
+    assert read_versioned(spark, table).count() == 3
+    assert current_version(table) == v_after_stream + 1
+    # crash-replay of the SAME batch_id must not duplicate rows
+    apply(d2, batch_id=99)
+    out = read_versioned(spark, table)
+    assert out.count() == 3
+    assert sorted(r.k for r in out.select("k").collect()) == [1, 2, 3]

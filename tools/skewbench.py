@@ -193,6 +193,59 @@ def main() -> None:
     timed("rolling_corr sub-bucketed (64k rows/bkt)", lambda: sink(
         rolling_corr_skew_safe(wdf, ["k"], ["o"], "x", "y", 20, bucket)))
 
+    # 8. CEP symbol string under a hot key: sequence_pattern_count's state
+    # is the key's FULL event string, so 95% of events on one user builds a
+    # ~0.95·n-char string in one task.  Mitigation (the docstring's
+    # sessionize-first advice, here as a calendar bucket): a composite
+    # (key, t div 65536) caps every string at the bucket span — pattern
+    # counts then sum per key, losing only bucket-straddling matches (the
+    # session/window semantics CEP engines impose for the same reason).
+    from area_etl_spark.operators.sequences import sequence_pattern_count
+
+    n_s = max(n // 4, 250_000)
+    sdf = spark.range(n_s).select(
+        F.when(F.col("id") % 20 != 0, F.lit(0))
+        .otherwise(F.col("id") % 50_000)
+        .alias("u"),
+        F.col("id").alias("t"),
+        F.element_at(
+            F.array(F.lit("v"), F.lit("c"), F.lit("p"), F.lit("e"), F.lit("s")),
+            (F.col("id") % 5 + 1).cast("int"),
+        ).alias("sym"),
+    )
+    sdf.write.mode("overwrite").parquet("/tmp/skewbench_seq")
+    sdf = spark.read.parquet("/tmp/skewbench_seq")
+    scoped = sdf.withColumn("b", (F.col("t") / 65536).cast("long"))
+    print(f"CEP: {n_s:,} events, hot user holds 95%")
+    timed("sequence_match naive (one string/key)", lambda: sink(
+        sequence_pattern_count(sdf, ["u"], ["t"], "sym", "vc*p")))
+    timed("sequence_match bucket-scoped (64k/bkt)", lambda: sink(
+        sequence_pattern_count(scoped, ["u", "b"], ["t"], "sym", "vc*p")
+        .groupBy("u").agg(F.sum("n_matches").alias("n_matches"))))
+
+    # 9. span removal under a hot gram: thousands of docs sharing one
+    # boilerplate put every boilerplate gram in a hot ownership group —
+    # but the owner aggregate is O(1) state (min/max), the join-back fans
+    # out linearly in occurrences, and covered-position expansion is
+    # bounded at n per occurrence: holds BY CONSTRUCTION, measured here.
+    from area_etl_spark.operators.dedup import remove_duplicate_spans
+
+    n_bp = 3_000
+    bp_txt = ("all rights reserved contact us for terms privacy policy "
+              "subscribe today ")
+    bdocs = spark.range(n_bp).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("body tok"), F.col("id").cast("string"), F.lit(" unique"),
+            (F.col("id") * 17).cast("string"), F.lit(" "), F.lit(bp_txt * 3),
+        ).alias("text"),
+    )
+    bdocs.write.mode("overwrite").parquet("/tmp/skewbench_bp")
+    bdocs = spark.read.parquet("/tmp/skewbench_bp")
+    print(f"span removal: {n_bp:,} docs sharing a 30-token boilerplate")
+    timed("remove_duplicate_spans hot gram", lambda: sink(
+        remove_duplicate_spans(bdocs)))
+
 
 if __name__ == "__main__":
     main()
