@@ -4216,6 +4216,108 @@ def _kcore_sql(k: int, rounds: int) -> str:
     )
 
 
+def q_strip_html(spark, sf_dir):
+    """Crawl-corpus HTML cleaning: documents wrapped in synthetic HTML
+    (script/style blocks with code bodies, comments, entities) must strip
+    back to their visible text — script/style CONTENTS dropped, entities
+    decoded, whitespace collapsed; the oracle asserts the exact expected
+    text from the construction."""
+    from area_etl_spark.operators.cleaning import strip_html
+
+    d = _tables(spark, sf_dir)["documents"]
+    html = F.concat(
+        F.lit('<html><head><script type="text/javascript">var a = 1 < 2;</script>'),
+        F.lit("<style>.x { color: red }</style></head><body><!-- hidden --><p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit('</p> <b>src='),
+        F.col("source"),
+        F.lit("</b>&amp;&nbsp;end</body></html>"),
+    )
+    return strip_html(
+        d.select("doc_id", html.alias("html")), "html"
+    ).select("doc_id", "clean_text")
+
+
+def q_split_sentences(spark, sf_dir):
+    """Sentence segmentation: documents given synthetic sentence
+    punctuation (a period after every third word) split into one row per
+    sentence with stable in-doc ids; empties dropped."""
+    from area_etl_spark.operators.chunking import split_sentences
+
+    d = _tables(spark, sf_dir)["documents"]
+    punct = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")),
+        r"([a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ",
+        r"$1. ",
+    )
+    return split_sentences(d.select("doc_id", punct.alias("text")), "text", "doc_id")
+
+
+def q_parse_money(spark, sf_dir):
+    """Dirty money-string parsing: order totals rendered in four formats
+    ($1,234.56 / €1.234,56 / 1234.56 / "1234,56 EUR") from exact integer
+    cents, then parsed back — the oracle is the ORIGINAL cents, so the
+    parse must recover every row exactly."""
+    from area_etl_spark.functions.transforms import parse_money
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("_c"),
+    )
+    intpart = F.format_number((F.col("_c") / 100).cast("long"), 0)
+    decpart = F.lpad((F.col("_c") % 100).cast("string"), 2, "0")
+    us = F.concat(intpart, F.lit("."), decpart)
+    eu = F.translate(us, ",.", ".,")
+    style = (F.col("o_orderkey") % 4).cast("int")
+    dirty = (
+        F.when(style == 0, F.concat(F.lit("$"), us))
+        .when(style == 1, F.concat(F.lit("€"), eu))
+        .when(style == 2, F.regexp_replace(us, ",", ""))
+        .otherwise(
+            F.concat(F.lit(" "), F.regexp_replace(eu, r"\.", ""), F.lit(" EUR"))
+        )
+    )
+    return o.select(
+        "o_orderkey", style.alias("style"), dirty.alias("raw")
+    ).select("o_orderkey", "style", parse_money("raw"))
+
+
+def q_business_days(spark, sf_dir):
+    """SLA working-day arithmetic: weekday count in [orderdate,
+    orderdate + k) per order via the closed-form full-weeks + bounded
+    remainder fold; the oracle counts the days INDEPENDENTLY with
+    generate_series + isodow."""
+    from area_etl_spark.functions.transforms import business_days_between
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("start_day"),
+        F.date_add(F.col("o_orderdate").cast("date"), (F.col("o_orderkey") % 60).cast("int")).alias(
+            "end_day"
+        ),
+    )
+    return o.select(
+        "o_orderkey",
+        F.col("start_day").cast("timestamp").alias("start_day"),
+        F.col("end_day").cast("timestamp").alias("end_day"),
+        business_days_between("start_day", "end_day").alias("business_days"),
+    )
+
+
+def q_score_linear(spark, sf_dir):
+    """Linear-model scoring over hashed features: feature_hash(documents)
+    ⋈ broadcast integer-micro weights → exact BIGINT margin per doc —
+    bit-reproducible inference, the production filter tier."""
+    from area_etl_spark.operators.encoding import feature_hash, score_linear
+
+    feats = feature_hash(_tables(spark, sf_dir)["documents"], "text", "doc_id", 64)
+    weights = spark.range(64).select(
+        F.col("id").cast("int").alias("bucket"),
+        ((F.col("id") * 7) % 13 - 6).alias("w"),
+    )
+    return score_linear(feats, weights)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -4337,6 +4439,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changepoint": q_changepoint,
         "degree_distribution": q_degree_distribution,
         "kcore": q_kcore,
+        "strip_html": q_strip_html,
+        "split_sentences": q_split_sentences,
+        "parse_money": q_parse_money,
+        "business_days": q_business_days,
+        "score_linear": q_score_linear,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -5307,6 +5414,72 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CAST(round(value * 100) AS BIGINT)) AS min_cents,
                    MAX(CAST(round(value * 100) AS BIGINT)) AS max_cents
             FROM events GROUP BY user_id
+        """,
+        "strip_html": """
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       COALESCE(text, '') || '  src=' || source || '  &  end',
+                       '\\s+', ' ', 'g')) AS clean_text
+            FROM documents
+        """,
+        "split_sentences": """
+            WITH m AS (
+                SELECT doc_id,
+                       string_split(
+                           regexp_replace(
+                               regexp_replace(COALESCE(text, ''),
+                                   '([a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ',
+                                   '\\1. ', 'g'),
+                               '([.!?]+)\\s+', '\\1' || chr(10), 'g'),
+                           chr(10)) AS sents
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(i - 1 AS INT) AS sentence_id,
+                   trim(sents[i]) AS sentence,
+                   CAST(length(trim(sents[i])) AS INT) AS n_chars
+            FROM m, unnest(range(1, len(sents) + 1)) AS u(i)
+            WHERE trim(sents[i]) <> ''
+        """,
+        "parse_money": """
+            SELECT o_orderkey,
+                   CAST(o_orderkey % 4 AS INT) AS style,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        """,
+        "business_days": """
+            SELECT o_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS start_day,
+                   CAST(CAST(o_orderdate AS DATE)
+                        + CAST(o_orderkey % 60 AS INTEGER) AS TIMESTAMP) AS end_day,
+                   CAST((SELECT COUNT(*) FROM unnest(range(0, o_orderkey % 60)) AS v(i)
+                         WHERE isodow(CAST(o_orderdate AS DATE)
+                                      + CAST(i AS INTEGER)) <= 5) AS BIGINT)
+                       AS business_days
+            FROM orders
+        """,
+        "score_linear": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split_regex(
+                           trim(lower(COALESCE(text, ''))), '\\s+')) AS tok
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       CAST(CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) % 64
+                            AS INT) AS bucket,
+                       CASE WHEN (strpos('0123456789abcdef',
+                                         substr(md5(tok), 13, 1)) - 1) % 2 = 0
+                            THEN 1 ELSE -1 END AS s
+                FROM toks WHERE tok <> ''
+            ), f AS (
+                SELECT doc_id, bucket, CAST(SUM(s) AS BIGINT) AS x
+                FROM h GROUP BY doc_id, bucket
+                HAVING SUM(s) <> 0
+            )
+            SELECT doc_id,
+                   CAST(SUM(x * ((bucket * 7) % 13 - 6)) AS BIGINT)
+                       AS margin_micros
+            FROM f GROUP BY doc_id
         """,
         "changepoint": """
             WITH daily AS (

@@ -229,3 +229,72 @@ def pseudonymize(col, salt: str, length: int = 16):
         c.isNotNull(),
         F.substring(F.md5(F.concat_ws(":", F.lit(salt), c.cast("string"))), 1, length),
     )
+
+
+def parse_money(col: str | Column, target_col: str = "cents") -> Column:
+    """Dirty money-string → exact integer cents, handling the EU/US
+    separator ambiguity the reference's production-factor sanitize only
+    brushes (utils.py's numeric handling): strips currency symbols and
+    whitespace, then decides the decimal separator —
+
+    - both ``.`` and ``,`` present: the LAST one is the decimal separator
+      (covers "1,234.56" and "1.234,56");
+    - only one present: it is a THOUSANDS separator iff the string matches
+      the strict grouping pattern ``\\d{1,3}(sep\\d{3})+$`` AND doesn't end
+      with exactly two digits after it — otherwise decimal ("1,56" parses
+      1.56, "1,234" groups to 1234);
+    - parentheses negate (accounting convention).
+
+    Pure when/regexp chain (codegen, engine-portable, no lookaround).
+    Unparseable survivors become NULL — quarantine, don't guess.
+    """
+    raw = _as_col(col).cast("string")
+    neg = raw.contains("(") | raw.rlike(r"^\s*-")
+    s = F.regexp_replace(raw, r"[^0-9.,]", "")
+    has_dot = s.contains(".")
+    has_comma = s.contains(",")
+    # both present: the later separator is the decimal point
+    last_dot = F.length(s) - F.length(F.substring_index(s, ".", -1))
+    last_comma = F.length(s) - F.length(F.substring_index(s, ",", -1))
+    both_norm = F.when(
+        last_dot > last_comma,
+        F.regexp_replace(s, ",", ""),  # 1,234.56
+    ).otherwise(F.translate(s, ".,", ",."))  # 1.234,56 -> 1,234.56 ... then drop ','
+    both_norm = F.regexp_replace(both_norm, ",", "")
+    only_comma_norm = F.when(
+        s.rlike(r"^\d{1,3}(,\d{3})+$"), F.regexp_replace(s, ",", "")
+    ).otherwise(F.regexp_replace(s, ",", "."))
+    only_dot_norm = F.when(
+        s.rlike(r"^\d{1,3}(\.\d{3})+$"), F.regexp_replace(s, r"\.", "")
+    ).otherwise(s)
+    norm = (
+        F.when(has_dot & has_comma, both_norm)
+        .when(has_comma, only_comma_norm)
+        .when(has_dot, only_dot_norm)
+        .otherwise(s)
+    )
+    cents = F.round(norm.cast("double") * 100).cast("long")
+    signed = F.when(neg, -cents).otherwise(cents)
+    return F.when(s == "", F.lit(None).cast("long")).otherwise(signed).alias(target_col)
+
+
+def business_days_between(start_col: str | Column, end_col: str | Column) -> Column:
+    """Weekday count in [start, end) — the SLA/working-duration arithmetic
+    (weekends excluded; holiday calendars are a broadcast-join tier above).
+    Closed form: floor(n/7) full weeks × 5, plus the ≤6-day remainder
+    counted with a bounded fold over its weekday offsets — all integer,
+    engine-portable, narrow.  Negative spans return 0 (end before start).
+    """
+    s = _as_col(start_col).cast("date")
+    e = _as_col(end_col).cast("date")
+    n = F.greatest(F.datediff(e, s), F.lit(0))
+    d0 = F.weekday(s)  # Monday = 0
+    rem = n % 7
+    rem_days = F.aggregate(
+        F.sequence(F.lit(0), F.greatest(rem - 1, F.lit(0))),
+        F.lit(0),
+        lambda acc, i: acc + F.when((d0 + i) % 7 < 5, 1).otherwise(0),
+    )
+    return (
+        (n - rem) / 7 * 5 + F.when(rem > 0, rem_days).otherwise(0)
+    ).cast("long")

@@ -63,3 +63,34 @@ def chunk_documents(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_tokens"),
     )
+
+
+def split_sentences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sentence segmentation into rows — the RAG/alignment unit below
+    :func:`chunk_documents`' token windows: split on sentence-ending
+    punctuation runs followed by whitespace ([.!?]+\\s+), keep the
+    terminator with its sentence, emit (id, sentence_id, sentence,
+    n_chars) and drop empties.
+
+    Regex segmentation, not a language model — abbreviation handling
+    ("Dr. Smith") is a quality tier above, documented; this tier is
+    deterministic, engine-portable (no lookaround: the split point is
+    captured by rewriting terminator+gap to terminator+newline, then
+    splitting on newline), and whole-stage-codegen.  One narrow
+    posexplode; ~sentences-per-doc row expansion.
+    """
+    marked = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), r"([.!?]+)\s+", "$1\n"
+    )
+    parts = F.split(marked, r"\n")
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(parts).alias("sentence_id", "sentence"),
+    ).withColumn("sentence", F.trim(F.col("sentence")))
+    return out.where(F.col("sentence") != "").withColumn(
+        "n_chars", F.length("sentence").cast("int")
+    )

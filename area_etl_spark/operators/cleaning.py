@@ -159,3 +159,34 @@ def canonicalize_urls(
         F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
     )
     return df.withColumn(out_col, canon).withColumn(domain_col, host)
+
+
+HTML_ENTITIES = [
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+]
+
+
+def strip_html(df: DataFrame, text_col: str, out_col: str = "clean_text") -> DataFrame:
+    """Boilerplate HTML → text for crawl-corpus prep: drop
+    ``<script>``/``<style>`` blocks WITH their contents (their text is
+    code, not prose — the classic crawl-cleaning mistake is stripping only
+    the tags), strip remaining tags and comments, decode the common
+    entities, and collapse whitespace runs.
+
+    A regex chain, not a parser — the honest contract of every at-scale
+    crawl cleaner (trafilatura-class DOM extraction is a Python-worker
+    tier; THIS tier handles the 99% and stays whole-stage-codegen).  Narrow
+    projection, zero shuffles.  Patterns are engine-portable: (?s) DOTALL
+    blocks, case-insensitive tag names via character classes, no
+    lookaround.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    c = F.regexp_replace(c, r"(?s)<[sS][cC][rR][iI][pP][tT][^>]*>.*?</[sS][cC][rR][iI][pP][tT]\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<[sS][tT][yY][lL][eE][^>]*>.*?</[sS][tT][yY][lL][eE]\s*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for src, dst in HTML_ENTITIES:
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col, c)

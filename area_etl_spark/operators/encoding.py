@@ -103,3 +103,33 @@ def target_encode_loo(
         .withColumn("encoded", F.round(enc, 6) + F.lit(0.0))
         .drop("_cat_sum", "_cat_n", "_gmean")
     )
+
+
+def score_linear(
+    features: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    bucket_col: str = "bucket",
+    x_col: str = "weight",
+    w_col: str = "w",
+    bias: int = 0,
+) -> DataFrame:
+    """Linear-model inference over sparse hashed features — the scoring
+    half of the :func:`feature_hash` story (train offline on the 2^b-wide
+    vectors, score HERE at corpus scale): margin(id) = Σ_b x_b·w_b + bias
+    as one broadcast join + one hash aggregate.
+
+    Weights are INTEGER micro-units by contract (quantize the trained
+    model once): every product and sum is exact BIGINT, so scores are
+    bit-reproducible across engines/partitionings — the property a
+    threshold-gated production filter needs (a float-summed margin can
+    flip a borderline document between runs).  Missing buckets contribute
+    0 via the inner join.  The weights table is 2^b rows — broadcast by
+    construction.
+    """
+    j = features.join(F.broadcast(weights), bucket_col)
+    return j.groupBy(id_col).agg(
+        (F.sum(F.col(x_col) * F.col(w_col)) + F.lit(bias)).cast("long").alias(
+            "margin_micros"
+        )
+    )

@@ -144,3 +144,36 @@ def test_canonicalize_urls_rules(spark):
     got = {r.i: (r.canon_url, r.domain) for r in canonicalize_urls(df, "url").collect()}
     for i, (_, want_url, want_dom) in enumerate(cases):
         assert got[i] == (want_url, want_dom), (i, got[i])
+
+
+def test_strip_html_drops_script_contents_and_decodes_entities(spark):
+    from area_etl_spark.operators.cleaning import strip_html
+
+    html = (
+        '<html><head><script>var x = "if (a < b) alert(1)";</script>'
+        "<style>.c { color: red }</style></head>"
+        "<body><!-- secret --><h1>Title</h1><p>A &amp; B &lt;tag&gt;"
+        "&nbsp;&quot;q&quot;</p>\n\n<div>  spaced   out </div></body></html>"
+    )
+    df = spark.createDataFrame([(1, html), (2, None)], "id int, t string")
+    out = {r.id: r.clean_text for r in strip_html(df, "t").collect()}
+    # script/style BODIES and the comment are gone, not just their tags
+    assert "alert" not in out[1] and "color" not in out[1] and "secret" not in out[1]
+    assert out[1] == 'Title A & B <tag> "q" spaced out'
+    assert out[2] == ""
+
+
+def test_split_sentences_ids_and_terminators(spark):
+    from area_etl_spark.operators.chunking import split_sentences
+
+    df = spark.createDataFrame(
+        [(1, "Hello world. How are you?? Fine!"), (2, "no terminator"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = split_sentences(df).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.sentence_id, r.sentence))
+    assert by_doc[1] == [(0, "Hello world."), (1, "How are you??"), (2, "Fine!")]
+    assert by_doc[2] == [(0, "no terminator")]
+    assert 3 not in by_doc  # empty doc yields no rows

@@ -1505,3 +1505,19 @@ def test_kcore_peel_cascade(spark):
     assert all(d == 3 for d in deg.values())
     # k too high -> everything peels
     assert kcore_peel(df, 5, 4).count() == 0
+
+
+def test_score_linear_exact_margin(spark):
+    from area_etl_spark.operators.encoding import score_linear
+
+    feats = spark.createDataFrame(
+        [(1, 0, 2), (1, 3, -1), (2, 3, 4), (3, 9, 1)],
+        "doc_id long, bucket int, weight long",
+    )
+    weights = spark.createDataFrame(
+        [(0, 10), (3, -5)], "bucket int, w long"
+    )  # bucket 9 has no weight -> contributes nothing
+    out = {r.doc_id: r.margin_micros for r in score_linear(feats, weights).collect()}
+    assert out[1] == 2 * 10 + (-1) * (-5)
+    assert out[2] == 4 * -5
+    assert 3 not in out  # all-unknown-bucket doc drops (inner join), documented

@@ -81,3 +81,38 @@ def test_handle_year(spark):
     df = spark.createDataFrame([(" 1999 ",), ("abc",), (None,)], "y string")
     got = [r.yy for r in df.select(handle_year("y", "yy")).collect()]
     assert got == [1999, None, None]
+
+
+def test_parse_money_separator_disambiguation(spark):
+    from area_etl_spark.functions.transforms import parse_money
+
+    cases = [
+        ("$1,234.56", 123456), ("€1.234,56", 123456), ("1234.56", 123456),
+        (" 1234,56 EUR", 123456), ("(1,000.00)", -100000), ("-12.50", -1250),
+        ("1,234", 123400),   # strict grouping -> thousands
+        ("1,56", 156),       # not grouping -> decimal comma
+        ("12.345", 1234500),  # strict grouping -> thousands
+        ("", None), (None, None),
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)], "i int, m string")
+    out = {r.i: r.cents for r in df.select("i", parse_money("m")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert out[i] == want, (i, cases[i], out[i])
+
+
+def test_business_days_between_hand_cases(spark):
+    from area_etl_spark.functions.transforms import business_days_between
+
+    cases = [  # 2024-01-01 is a Monday
+        ("2024-01-01", "2024-01-08", 5),   # full week
+        ("2024-01-01", "2024-01-06", 5),   # Mon..Fri
+        ("2024-01-05", "2024-01-08", 1),   # Fri,Sat,Sun -> Fri only
+        ("2024-01-06", "2024-01-08", 0),   # Sat,Sun
+        ("2024-01-01", "2024-01-01", 0),   # empty interval
+        ("2024-01-08", "2024-01-01", 0),   # reversed
+        ("2024-01-01", "2024-01-29", 20),  # four full weeks
+    ]
+    df = spark.createDataFrame([(i, s, e) for i, (s, e, _) in enumerate(cases)], "i int, s string, e string")
+    out = {r.i: r.bd for r in df.select("i", business_days_between("s", "e").alias("bd")).collect()}
+    for i, (_, _, want) in enumerate(cases):
+        assert out[i] == want, (i, cases[i], out[i])
