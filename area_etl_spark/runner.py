@@ -38,7 +38,7 @@ from area_etl_spark.plans import pipelines as P
 from area_etl_spark.plans.contracts import PIPELINE_CONTRACTS, enforce_contract
 from area_etl_spark.session import get_spark, load_tables_lazy
 from area_etl_spark.sources.extract import extract_csv
-from area_etl_spark.sources.load import reload_overwrite
+from area_etl_spark.sources.load import reload_overwrite, write_versioned
 
 
 @dataclass
@@ -169,8 +169,17 @@ def run(
     out_dir: str,
     modules: list[str] | None = None,
     max_parallel: int = 1,
+    versioned: bool = False,
 ) -> dict[str, float]:
-    """Run the selected modules' pipelines into ``out_dir``; returns timings."""
+    """Run the selected modules' pipelines into ``out_dir``; returns timings.
+
+    ``versioned=True`` publishes every table through the manifest-pointer
+    layout (``write_versioned``) instead of a plain directory overwrite —
+    concurrent readers of a previous run keep their snapshot while this
+    run publishes, and a crashed run leaves every table at its prior
+    version (per-table atomicity; cross-table consistency needs a catalog
+    transaction, documented).  Read back with ``read_versioned``.
+    """
     from area_etl_spark.functions.transforms import _now_naive
 
     tables = load_tables_lazy(spark, sf_dir)
@@ -189,7 +198,14 @@ def run(
         contract = PIPELINE_CONTRACTS.get(f"{module}.{spec.name}")
         if contract is not None:
             df = enforce_contract(df, contract)
-        reload_overwrite(df, f"{out_dir}/{module}/{spec.name}", partition_by=spec.partition_by or None)
+        if versioned:
+            write_versioned(
+                df,
+                f"{out_dir}/{module}/{spec.name}",
+                partition_by=spec.partition_by or None,
+            )
+        else:
+            reload_overwrite(df, f"{out_dir}/{module}/{spec.name}", partition_by=spec.partition_by or None)
         timings[f"{module}.{spec.name}"] = round(time.perf_counter() - t0, 3)
         logging.info("runner: %s.%s done in %.2fs", module, spec.name, timings[f"{module}.{spec.name}"])
 

@@ -151,3 +151,20 @@ def test_expectation_suite_flags_violations(spark):
     assert out[("s", "allowed_values")].observed == 1.0
     assert out[("k", "min_distinct")].ok           # 4 >= 3
     assert len(out) == 5
+
+
+def test_runner_versioned_sink(spark, sf_dir, tmp_path):
+    """versioned=True publishes every pipeline through the manifest layout:
+    snapshot dirs + _CURRENT, re-runs bump versions, readers resolve the
+    manifest."""
+    from area_etl_spark.sources.load import current_version, read_versioned
+
+    out = str(tmp_path / "lake")
+    run(spark, sf_dir, out, modules=["cronos"], versioned=True)
+    t = f"{out}/cronos/healthcare_companies"
+    assert current_version(t) == 1
+    n1 = read_versioned(spark, t).count()
+    assert n1 > 0
+    run(spark, sf_dir, out, modules=["cronos"], versioned=True)
+    assert current_version(t) == 2
+    assert read_versioned(spark, t).count() == n1  # same input, same rows
