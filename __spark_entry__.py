@@ -4318,6 +4318,68 @@ def q_score_linear(spark, sf_dir):
     return score_linear(feats, weights)
 
 
+def q_jl_project(spark, sf_dir):
+    """Johnson–Lindenstrauss ±1 projection of int8-quantized embeddings to
+    16 dims — all-integer signed sums with a deterministic md5 sign matrix
+    (plan literal), long-form output; the ANN-prep reduction after the 4×
+    quantization cut."""
+    from area_etl_spark.operators.similarity import jl_project, quantize_int8
+
+    emb = _tables(spark, sf_dir)["embeddings"]
+    return jl_project(quantize_int8(emb))
+
+
+def _jl_sql(out_dim: int = 16, in_dim: int = 64) -> str:
+    """Replay of the JL projection: quantization CTE + one UNION ALL arm
+    per output dimension, the sign rows inlined from the SAME Python
+    jl_signs matrix the Spark plan embeds."""
+    from area_etl_spark.operators.similarity import jl_signs
+
+    signs = jl_signs(out_dim, in_dim)
+    arms = []
+    for k in range(out_dim):
+        lit = "[" + ", ".join(str(s) for s in signs[k]) + "]"
+        arms.append(
+            f"""SELECT vec_id, {k} AS out_dim_idx,
+                CAST(list_sum(list_transform(range(1, {in_dim} + 1),
+                     i -> q[i] * ({lit})[i])) AS BIGINT) AS value
+                FROM q"""
+        )
+    return (
+        """WITH q AS (
+            SELECT vec_id,
+                   CASE WHEN amax > 0
+                        THEN list_transform(embedding,
+                             x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / amax + 0.5)
+                                  AS BIGINT))
+                        ELSE list_transform(embedding, x -> CAST(0 AS BIGINT))
+                        END AS q
+            FROM (
+                SELECT vec_id, embedding,
+                       CAST(list_aggregate(list_transform(embedding,
+                            x -> abs(CAST(x AS DOUBLE))), 'max') AS DOUBLE) AS amax
+                FROM embeddings
+            )
+        )
+        """
+        + " UNION ALL ".join(arms)
+    )
+
+
+def q_standardized_rates(spark, sf_dir):
+    """Direct standardization (Simpson's-paradox guard): per-mktsegment
+    positive-balance rates re-weighted to the pooled nation mix — exact
+    counts, one stratum-sorted float fold per group."""
+    from area_etl_spark.operators.experiments import standardized_rates
+
+    c = _tables(spark, sf_dir)["customer"].select(
+        "c_mktsegment",
+        "c_nationkey",
+        (F.col("c_acctbal") > 0).cast("int").alias("positive"),
+    )
+    return standardized_rates(c, "c_mktsegment", "c_nationkey", "positive")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -4444,6 +4506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_money": q_parse_money,
         "business_days": q_business_days,
         "score_linear": q_score_linear,
+        "jl_project": q_jl_project,
+        "standardized_rates": q_standardized_rates,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -5414,6 +5478,33 @@ def oracle_sql() -> dict[str, str]:
                    MIN(CAST(round(value * 100) AS BIGINT)) AS min_cents,
                    MAX(CAST(round(value * 100) AS BIGINT)) AS max_cents
             FROM events GROUP BY user_id
+        """,
+        "jl_project": _jl_sql(16, 64),
+        "standardized_rates": """
+            WITH cell AS (
+                SELECT c_mktsegment, c_nationkey,
+                       COUNT(*) AS n_gs,
+                       CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS c_gs
+                FROM customer GROUP BY 1, 2
+            ), w AS (
+                SELECT c_nationkey, COUNT(*) AS n_s FROM customer GROUP BY 1
+            ), j AS (
+                SELECT cell.*, w.n_s,
+                       CAST(c_gs AS DOUBLE) / n_gs * n_s AS term
+                FROM cell JOIN w USING (c_nationkey)
+            )
+            SELECT c_mktsegment,
+                   CAST(SUM(n_gs) AS BIGINT) AS n,
+                   CAST(SUM(c_gs) AS BIGINT) AS n_success,
+                   round(CAST(SUM(c_gs) AS DOUBLE) / SUM(n_gs), 6) + 0.0
+                       AS crude_rate,
+                   round(list_reduce(
+                             list_prepend(0.0::DOUBLE,
+                                 list(term ORDER BY c_nationkey)),
+                             (a, b) -> a + b)
+                         / SUM(n_s), 6) + 0.0 AS adjusted_rate
+            FROM j GROUP BY c_mktsegment
         """,
         "strip_html": """
             SELECT doc_id,

@@ -191,3 +191,63 @@ def mann_whitney_u(
             6,
         ).alias("z"),
     )
+
+
+def standardized_rates(
+    df: DataFrame,
+    group_col: str,
+    stratum_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Direct standardization of per-group success rates — the Simpson's-
+    paradox guard for cross-group comparisons (epidemiology's age
+    adjustment; cohort-mix adjustment in product analytics): each group's
+    rate is re-weighted to the POOLED stratum mix, so a group can no
+    longer look better merely by over-indexing on an easy stratum.
+
+    adjusted(g) = Σ_s rate_{g,s} · N_s  /  Σ_s N_s over the strata the
+    group has exposure in (uncovered strata drop from numerator AND
+    denominator — always well-defined; full-coverage comparisons should
+    assert coverage first, documented).  Counts are exact integers; the
+    per-stratum rate division is float, so the Σ_s term sum folds in
+    stratum-sorted order on both engines (the sorted-fold recipe) — the
+    one window-free float reduction; bounded by |strata|.
+
+    Returns (group, n, n_success, crude_rate, adjusted_rate).  Two hash
+    aggregates + one broadcast of the O(|strata|) weight table.
+    """
+    y = F.col(success_col).cast("long")
+    cell = df.groupBy(group_col, stratum_col).agg(
+        F.count(F.lit(1)).alias("_n_gs"), F.sum(y).alias("_c_gs")
+    )
+    weights = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n_s"))
+    j = cell.join(F.broadcast(weights), stratum_col)
+    term = (
+        F.col("_c_gs").cast("double") / F.col("_n_gs") * F.col("_n_s")
+    )
+    per_group = j.groupBy(group_col).agg(
+        F.sum("_n_gs").alias("n"),
+        F.sum("_c_gs").alias("n_success"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(stratum_col).alias("s"), term.alias("t")))
+                ),
+                lambda st: st.getField("t"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_num"),
+        F.sum("_n_s").alias("_den"),
+    )
+    return per_group.select(
+        group_col,
+        "n",
+        "n_success",
+        (F.round(F.col("n_success").cast("double") / F.col("n"), 6) + F.lit(0.0)).alias(
+            "crude_rate"
+        ),
+        (F.round(F.col("_num") / F.col("_den"), 6) + F.lit(0.0)).alias(
+            "adjusted_rate"
+        ),
+    )

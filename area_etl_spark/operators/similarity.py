@@ -599,3 +599,62 @@ def quantize_int8(
     return df.withColumn(out_col, code).withColumn(
         scale_col, F.round(amax / F.lit(127.0), 9)
     )
+
+
+def jl_signs(out_dim: int, in_dim: int) -> list[list[int]]:
+    """Deterministic ±1 Johnson–Lindenstrauss sign matrix from md5(k:i) —
+    engine-independent (plain Python hashlib, embedded as a literal in
+    both the Spark plan and any replaying oracle), so the projection is a
+    REPRODUCIBLE artifact, not a run-local random draw."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"jl:{k}:{i}".encode()).hexdigest()[:2], 16) % 2 == 0
+            else -1
+            for i in range(in_dim)
+        ]
+        for k in range(out_dim)
+    ]
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str = "q8",
+    id_col: str = "vec_id",
+    out_dim: int = 16,
+    in_dim: int = 64,
+) -> DataFrame:
+    """Sparse-free Johnson–Lindenstrauss dimensionality reduction over
+    int8-QUANTIZED vectors (Achlioptas ±1 variant): out_k = Σ_i s_ki·q_i
+    with the deterministic sign matrix of :func:`jl_signs` — ALL-INTEGER
+    sums (compose after :func:`quantize_int8`), so projections are
+    bit-reproducible and the 4× quantization cut becomes a further
+    in_dim/out_dim cut before ANN sharding.
+
+    Output long-form (id, out_dim_idx, value): one narrow projection + a
+    bounded out_dim-way posexplode, zero shuffles, zero Python at row
+    scope (the sign matrix is a plan literal — O(out_dim·in_dim) plan
+    size, constant in rows; keep out_dim·in_dim ≤ ~10⁴, the PQ
+    plan-size lesson in docs/SCALE.md).
+    """
+    signs = jl_signs(out_dim, in_dim)
+    v = F.col(vec_col)
+    sums = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(s) for s in signs[k]]),
+                    lambda a, b: a.cast("long") * b,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for k in range(out_dim)
+        ]
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(sums).alias("out_dim_idx", "value")
+    )

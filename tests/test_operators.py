@@ -1521,3 +1521,44 @@ def test_score_linear_exact_margin(spark):
     assert out[1] == 2 * 10 + (-1) * (-5)
     assert out[2] == 4 * -5
     assert 3 not in out  # all-unknown-bucket doc drops (inner join), documented
+
+
+def test_jl_project_preserves_scaled_dot_products_roughly(spark):
+    import math
+
+    from area_etl_spark.operators.similarity import jl_project, jl_signs
+
+    # two identical vectors project identically; sign matrix deterministic
+    v = list(range(-32, 32))
+    df = spark.createDataFrame([(1, v), (2, v)], "vec_id long, q8 array<int>")
+    out = jl_project(df, "q8", "vec_id", out_dim=8, in_dim=64)
+    rows = out.collect()
+    a = sorted((r.out_dim_idx, r.value) for r in rows if r.vec_id == 1)
+    b = sorted((r.out_dim_idx, r.value) for r in rows if r.vec_id == 2)
+    assert a == b and len(a) == 8
+    # JL norm preservation in expectation: E[||y||^2] = out_dim * ||x||^2
+    nx = sum(x * x for x in v)
+    ny = sum(val * val for _, val in a)
+    assert 0.3 < ny / (8 * nx) < 3.0  # loose concentration sanity bound
+    assert jl_signs(4, 8) == jl_signs(4, 8)  # deterministic
+
+
+def test_standardized_rates_simpsons_paradox_case(spark):
+    from area_etl_spark.operators.experiments import standardized_rates
+
+    # group A: 90% of its rows in the easy stratum (rate .9 there);
+    # group B concentrated in the hard stratum but BETTER within each.
+    rows = (
+        [("A", "easy", 1)] * 90 + [("A", "easy", 0)] * 10      # .90 easy
+        + [("A", "hard", 1)] * 1 + [("A", "hard", 0)] * 9      # .10 hard
+        + [("B", "easy", 1)] * 10                              # 1.0 easy
+        + [("B", "hard", 1)] * 30 + [("B", "hard", 0)] * 70    # .30 hard
+    )
+    df = spark.createDataFrame(rows, "g string, s string, y int")
+    out = {r.g: r for r in standardized_rates(df, "g", "s", "y").collect()}
+    # crude: A looks better (82.7% vs 36.4%)...
+    assert out["A"].crude_rate > out["B"].crude_rate
+    # ...but standardized to the pooled mix (easy 110, hard 110), B wins
+    assert out["B"].adjusted_rate > out["A"].adjusted_rate
+    assert abs(out["A"].adjusted_rate - 0.5) < 1e-6           # (.9+.1)/2
+    assert abs(out["B"].adjusted_rate - 0.65) < 1e-6          # (1+.3)/2
