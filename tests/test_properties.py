@@ -110,3 +110,114 @@ def test_pagerank_mass_bound(spark, edges):
     # every node of the graph is ranked
     nodes = {s for s, _ in edges} | {d for _, d in edges}
     assert {r.node for r in out} == nodes
+
+
+@settings(**SETTINGS)
+@given(
+    log=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # key
+            st.integers(0, 20),         # seq (may tie across keys, unique-ified below)
+            st.booleans(),              # is delete
+            st.integers(-50, 50),       # payload
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_apply_cdc_log_equals_replay(spark, log):
+    """apply_cdc_log ≡ a sequential Python replay of the log for ANY
+    operation sequence (seq unique-ified per key to satisfy the documented
+    total-order contract)."""
+    from area_etl_spark.operators.diff import apply_cdc_log
+
+    seen: dict[tuple[int, int], None] = {}
+    rows = []
+    for k, s, is_del, v in log:
+        while (k, s) in seen:
+            s += 21
+        seen[(k, s)] = None
+        rows.append((k, s, "D" if is_del else "U", v))
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "k int, seq int, op string, v int")
+    got = {r.k: r.v for r in apply_cdc_log(df, ["k"], ["seq"], ["v"]).collect()}
+    state: dict[int, int] = {}
+    for k, s, op, v in sorted(rows, key=lambda r: (r[0], r[1])):
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    assert got == state
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-100, 100)),
+        min_size=0,
+        max_size=30,
+    ),
+    pivot=st.integers(0, 9),
+)
+def test_merge_agg_states_equals_whole(spark, rows, pivot):
+    """Splitting the input ANY way and merging the partial states equals
+    aggregating the whole — the mergeability law."""
+    from area_etl_spark.operators.aggregates import agg_state, merge_agg_states
+
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [(k, v, i) for i, (k, v) in enumerate(rows)], "k int, v long, i int"
+    )
+    whole = {r.k: (r.n, r.sum, r.min, r.max) for r in agg_state(df, ["k"], "v").collect()}
+    a = df.where(F.col("i") % 10 <= pivot)
+    b = df.where(F.col("i") % 10 > pivot)
+    merged = {
+        r.k: (r.n, r.sum, r.min, r.max)
+        for r in merge_agg_states(
+            [agg_state(a, ["k"], "v"), agg_state(b, ["k"], "v")], ["k"]
+        ).collect()
+    }
+    assert merged == whole
+
+
+@settings(**SETTINGS)
+@given(
+    deltas=st.lists(st.integers(-30, 30), min_size=1, max_size=20),
+    floor=st.integers(-10, 10),
+)
+def test_clamped_balance_equals_python_fold(spark, deltas, floor):
+    from area_etl_spark.operators.windows import clamped_balance
+
+    df = spark.createDataFrame(
+        [("k", i, d) for i, d in enumerate(deltas)], "k string, t int, d long"
+    )
+    r = clamped_balance(df, ["k"], ["t"], "d", floor=floor).collect()[0]
+    bal, hits = floor, 0
+    for d in deltas:
+        if bal + d < floor:
+            hits += 1
+        bal = max(floor, bal + d)
+    assert (r.end_balance, r.n_floor_hits) == (bal, hits)
+
+
+@settings(**SETTINGS)
+@given(
+    start=st.dates(),
+    span=st.integers(0, 40),
+)
+def test_business_days_matches_python_count(spark, start, span):
+    import datetime
+
+    from area_etl_spark.functions.transforms import business_days_between
+
+    end = start + datetime.timedelta(days=span)
+    df = spark.createDataFrame([(str(start), str(end))], "s string, e string")
+    got = df.select(business_days_between("s", "e").alias("bd")).collect()[0].bd
+    want = sum(
+        1
+        for i in range(span)
+        if (start + datetime.timedelta(days=i)).weekday() < 5
+    )
+    assert got == want
