@@ -4380,6 +4380,64 @@ def q_standardized_rates(spark, sf_dir):
     return standardized_rates(c, "c_mktsegment", "c_nationkey", "positive")
 
 
+def q_merge_conditional(spark, sf_dir):
+    """Full ANSI MERGE semantics: a customer-dimension refresh where
+    matched rows update only when the source balance differs, rows flagged
+    by the source delete, unmatched source rows insert, and target-only
+    rows survive — one full-outer join + CASE, evaluation order
+    delete→update→keep."""
+    from area_etl_spark.operators.diff import merge_conditional
+
+    c = _tables(spark, sf_dir)["customer"].select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    # source: every 2nd key with shifted balance, every 9th flagged for
+    # delete via bal = -999999; plus brand-new keys past the id range
+    src_existing = c.where(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 9 == 0, F.lit(-999999))
+        .when(F.col("c_custkey") % 4 == 0, F.col("bal_cents") + 555)
+        .otherwise(F.col("bal_cents"))
+        .alias("bal_cents"),
+    )
+    src_new = c.where(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+        F.concat(F.lit("NEW "), F.col("c_name")).alias("c_name"),
+        F.lit(100).cast("long").alias("bal_cents"),
+    )
+    src = src_existing.unionByName(src_new)
+    return merge_conditional(
+        c,
+        src,
+        ["c_custkey"],
+        update_cond=F.col("s_bal_cents") != F.col("t_bal_cents"),
+        delete_cond=F.col("s_bal_cents") == -999999,
+    )
+
+
+def q_mask_columns(spark, sf_dir):
+    """Column masking for a governed release: customer name fully masked,
+    phone-like key partially (last 4 kept), account balance hash-tokenized
+    (referential integrity preserved), nation nulled."""
+    from area_etl_spark.functions.transforms import mask_columns
+
+    c = _tables(spark, sf_dir)["customer"].select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("string").alias("bal"),
+        F.col("c_nationkey").cast("string").alias("nat"),
+        F.concat(F.lit("555-01"), F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0")).alias(
+            "phone"
+        ),
+    )
+    return mask_columns(
+        c, {"c_name": "full", "phone": "partial", "bal": "hash", "nat": "null"}
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -4508,6 +4566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_linear": q_score_linear,
         "jl_project": q_jl_project,
         "standardized_rates": q_standardized_rates,
+        "merge_conditional": q_merge_conditional,
+        "mask_columns": q_mask_columns,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -5480,6 +5540,50 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "jl_project": _jl_sql(16, 64),
+        "merge_conditional": """
+            WITH t AS (
+                SELECT c_custkey, c_name,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+                FROM customer
+            ), s AS (
+                SELECT c_custkey, c_name,
+                       CASE WHEN c_custkey % 9 = 0 THEN -999999
+                            WHEN c_custkey % 4 = 0 THEN bal_cents + 555
+                            ELSE bal_cents END AS bal_cents
+                FROM t WHERE c_custkey % 2 = 0
+                UNION ALL
+                SELECT c_custkey + 10000000, 'NEW ' || c_name, 100
+                FROM t WHERE c_custkey % 7 = 0
+            ), j AS (
+                SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+                       t.c_name AS t_name, t.bal_cents AS t_bal,
+                       s.c_name AS s_name, s.bal_cents AS s_bal,
+                       t.c_custkey IS NOT NULL AS has_t,
+                       s.c_custkey IS NOT NULL AS has_s
+                FROM t FULL OUTER JOIN s USING (c_custkey)
+            )
+            SELECT c_custkey,
+                   CASE WHEN NOT has_t THEN s_name
+                        WHEN has_s AND s_bal <> t_bal THEN s_name
+                        ELSE t_name END AS c_name,
+                   CASE WHEN NOT has_t THEN s_bal
+                        WHEN has_s AND s_bal <> t_bal THEN s_bal
+                        ELSE t_bal END AS bal_cents
+            FROM j
+            WHERE NOT (has_t AND has_s AND s_bal = -999999)
+        """,
+        "mask_columns": """
+            SELECT c_custkey,
+                   CASE WHEN c_name IS NOT NULL THEN '***' END AS c_name,
+                   CASE WHEN c_acctbal IS NOT NULL
+                        THEN substr(md5('mask-v1:' || CAST(c_acctbal AS VARCHAR)),
+                                    1, 16) END AS bal,
+                   CAST(NULL AS VARCHAR) AS nat,
+                   repeat('*', 6) || substr(
+                       '555-01' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'),
+                       7, 4) AS phone
+            FROM customer
+        """,
         "standardized_rates": """
             WITH cell AS (
                 SELECT c_mktsegment, c_nationkey,

@@ -298,3 +298,50 @@ def business_days_between(start_col: str | Column, end_col: str | Column) -> Col
     return (
         (n - rem) / 7 * 5 + F.when(rem > 0, rem_days).otherwise(0)
     ).cast("long")
+
+
+MASK_MODES = ("full", "partial", "hash", "null")
+
+
+def mask_columns(df, policies: dict[str, str], salt: str = "mask-v1"):
+    """Column-level data masking for governed releases — the projection
+    between :func:`pseudonymize` (joinable tokens) and dropping a column:
+
+    - ``full``:    every non-NULL value becomes ``***``;
+    - ``partial``: all but the last 4 characters starred (card/phone tail
+      convention; values ≤4 chars mask fully — a short value must not
+      leak whole);
+    - ``hash``:    salted md5 16-hex token (referential integrity
+      preserved, like pseudonymize — same value, same token);
+    - ``null``:    value replaced by NULL (cardinality hidden too).
+
+    NULLs stay NULL in every mode except ``null`` (already NULL).  Pure
+    narrow projection; policies are data, so a governance catalog can
+    drive it.
+    """
+    out = df
+    for col, mode in policies.items():
+        if mode not in MASK_MODES:
+            raise ValueError(f"unknown mask mode {mode!r} for {col!r}")
+        c = F.col(col).cast("string")
+        if mode == "full":
+            masked = F.when(c.isNotNull(), F.lit("***"))
+        elif mode == "partial":
+            n = F.length(c)
+            masked = F.when(
+                c.isNotNull(),
+                F.when(n <= 4, F.repeat(F.lit("*"), n)).otherwise(
+                    F.concat(
+                        F.repeat(F.lit("*"), n - 4), F.substring(c, -4, 4)
+                    )
+                ),
+            )
+        elif mode == "hash":
+            masked = F.when(
+                c.isNotNull(),
+                F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"), c)), 1, 16),
+            )
+        else:  # null
+            masked = F.lit(None).cast("string")
+        out = out.withColumn(col, masked)
+    return out

@@ -159,3 +159,60 @@ def apply_cdc_log(
             *[F.col(f"_best._p.{c}").alias(c) for c in payload_cols],
         )
     )
+
+
+def merge_conditional(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    update_cond=None,
+    delete_cond=None,
+    insert_cond=None,
+):
+    """Full ANSI ``MERGE INTO`` semantics as one full-outer join + CASE —
+    the conditional tier above :func:`merge_upsert` (which is
+    unconditional new-wins):
+
+    - WHEN MATCHED AND ``delete_cond``  → row removed;
+    - WHEN MATCHED AND ``update_cond``  → source payload wins;
+    - WHEN MATCHED otherwise            → target row kept unchanged;
+    - WHEN NOT MATCHED (source-only) AND ``insert_cond`` → inserted;
+    - target-only rows always survive.
+
+    Conditions are Column expressions over the prefixed columns ``t_<c>``
+    (target) and ``s_<c>`` (source) — e.g.
+    ``F.col("s_updated_at") > F.col("t_updated_at")`` for the classic
+    only-if-newer update.  ``None`` means WHEN MATCHED THEN UPDATE
+    (always), no deletes, and INSERT always, which degrades exactly to
+    merge_upsert.  Non-key columns must match between the two frames.
+
+    ONE shuffle (the full-outer hash join on the key); evaluation order is
+    delete → update → keep, mirroring the standard's first-matching-clause
+    rule.  At 100 TB: broadcast the source side if dimension-sized, and
+    land the result via write_versioned for an atomic publish.
+    """
+    payload = [c for c in target.columns if c not in keys]
+    t = target.select(
+        *[F.col(k) for k in keys], *[F.col(c).alias(f"t_{c}") for c in payload]
+    ).withColumn("_t", F.lit(1))
+    s = source.select(
+        *[F.col(k) for k in keys], *[F.col(c).alias(f"s_{c}") for c in payload]
+    ).withColumn("_s", F.lit(1))
+    j = t.join(s, keys, "full_outer")
+    matched = F.col("_t").isNotNull() & F.col("_s").isNotNull()
+    upd = F.lit(True) if update_cond is None else update_cond
+    dele = F.lit(False) if delete_cond is None else delete_cond
+    ins = F.lit(True) if insert_cond is None else insert_cond
+    keep = F.when(matched & dele, F.lit(False)).otherwise(
+        F.when(F.col("_s").isNull(), F.lit(True)).otherwise(
+            F.when(F.col("_t").isNull(), ins).otherwise(F.lit(True))
+        )
+    )
+    use_source = F.when(matched & ~dele & upd, F.lit(True)).otherwise(
+        F.col("_t").isNull()
+    )
+    out_cols = [
+        F.when(use_source, F.col(f"s_{c}")).otherwise(F.col(f"t_{c}")).alias(c)
+        for c in payload
+    ]
+    return j.where(keep).select(*keys, *out_cols)

@@ -170,6 +170,7 @@ def run(
     modules: list[str] | None = None,
     max_parallel: int = 1,
     versioned: bool = False,
+    ledger: bool = False,
 ) -> dict[str, float]:
     """Run the selected modules' pipelines into ``out_dir``; returns timings.
 
@@ -215,7 +216,33 @@ def run(
     else:
         for item in specs:
             _one(item)
+    if ledger:
+        _write_ledger(spark, out_dir, timings, versioned)
     return timings
+
+
+def _write_ledger(spark, out_dir: str, timings: dict[str, float], versioned: bool) -> None:
+    """Run ledger: one JSON file per invocation recording, for every table
+    the run landed, the row count read back FROM THE SINK (what actually
+    landed, not what the plan promised) plus elapsed seconds — the audit
+    artifact a migration sign-off diffs against the source system.  Written
+    atomically (temp + rename) so a crashed run leaves no half ledger.
+    """
+    import json
+    import os
+
+    from area_etl_spark.sources.load import read_versioned
+
+    entries = {}
+    for key, secs in sorted(timings.items()):
+        module, name = key.split(".", 1)
+        path = f"{out_dir}/{module}/{name}"
+        df = read_versioned(spark, path) if versioned else spark.read.parquet(path)
+        entries[key] = {"rows": df.count(), "seconds": secs}
+    tmp = os.path.join(out_dir, "_run_ledger.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"versioned": versioned, "tables": entries}, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, "_run_ledger.json"))
 
 
 def main() -> None:

@@ -1562,3 +1562,53 @@ def test_standardized_rates_simpsons_paradox_case(spark):
     assert out["B"].adjusted_rate > out["A"].adjusted_rate
     assert abs(out["A"].adjusted_rate - 0.5) < 1e-6           # (.9+.1)/2
     assert abs(out["B"].adjusted_rate - 0.65) < 1e-6          # (1+.3)/2
+
+
+def test_merge_conditional_clause_order_and_semantics(spark):
+    from area_etl_spark.operators.diff import merge_conditional
+
+    t = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k int, name string, v int",
+    )
+    s = spark.createDataFrame(
+        [(1, "a2", 99),   # matched + update_cond -> source wins
+         (2, "b2", 20),   # matched, update_cond false -> target kept
+         (3, "c2", -1),   # matched + delete_cond -> gone (delete beats update)
+         (5, "e", 50),    # unmatched source -> insert
+         (6, "f", -1)],   # unmatched source, delete_cond irrelevant -> insert
+        "k int, name string, v int",
+    )
+    out = {r.k: (r.name, r.v) for r in merge_conditional(
+        t, s, ["k"],
+        update_cond=F.col("s_v") != F.col("t_v"),
+        delete_cond=F.col("s_v") == -1,
+    ).collect()}
+    assert out == {
+        1: ("a2", 99), 2: ("b", 20), 4: ("d", 40), 5: ("e", 50), 6: ("f", -1),
+    }
+    # None conditions degrade to unconditional upsert, no deletes
+    up = {r.k: (r.name, r.v) for r in merge_conditional(t, s, ["k"]).collect()}
+    assert up[2] == ("b2", 20) and up[3] == ("c2", -1) and 4 in up
+
+
+def test_mask_columns_modes(spark):
+    from area_etl_spark.functions.transforms import mask_columns
+
+    df = spark.createDataFrame(
+        [(1, "Alice", "4111111111111111", "x", "it"),
+         (2, None, "abc", "x", None)],
+        "id int, name string, card string, tok string, cc string",
+    )
+    out = {r.id: r for r in mask_columns(
+        df, {"name": "full", "card": "partial", "tok": "hash", "cc": "null"}
+    ).collect()}
+    assert out[1].name == "***" and out[2].name is None  # NULL stays NULL
+    assert out[1].card == "*" * 12 + "1111"
+    assert out[2].card == "***"  # <=4 chars: fully starred, same length
+    assert len(out[1].tok) == 16 and out[1].tok == out[2].tok  # same value, same token
+    assert out[1].cc is None and out[2].cc is None
+    import pytest
+
+    with pytest.raises(ValueError):
+        mask_columns(df, {"name": "rot13"})

@@ -168,3 +168,19 @@ def test_runner_versioned_sink(spark, sf_dir, tmp_path):
     run(spark, sf_dir, out, modules=["cronos"], versioned=True)
     assert current_version(t) == 2
     assert read_versioned(spark, t).count() == n1  # same input, same rows
+
+
+def test_runner_ledger(spark, sf_dir, tmp_path):
+    """ledger=True writes an atomic _run_ledger.json whose row counts match
+    what actually landed in the sinks."""
+    import json
+
+    out = str(tmp_path / "lake")
+    run(spark, sf_dir, out, modules=["cronos"], ledger=True)
+    led = json.load(open(f"{out}/_run_ledger.json"))
+    assert led["versioned"] is False
+    for key, entry in led["tables"].items():
+        module, name = key.split(".", 1)
+        assert entry["rows"] == spark.read.parquet(f"{out}/{module}/{name}").count()
+        assert entry["seconds"] >= 0
+    assert len(led["tables"]) >= 1
