@@ -4438,6 +4438,65 @@ def q_mask_columns(spark, sf_dir):
     )
 
 
+def q_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per day: daily distinct users over trailing-28-day
+    distinct users — the day-offset-explode exact-distinct recipe of
+    rolling_distinct_users (76) at two horizons, one (day,user) distinct
+    each, no windowed state."""
+    ev = _tables(spark, sf_dir)["events"].select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    dau = ev.distinct().groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    spread = ev.distinct().select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(27)),
+                lambda i: F.timestamp_add("DAY", i, F.col("day")),
+            )
+        ).alias("day"),
+        "user_id",
+    )
+    mau = (
+        spread.distinct()
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            (F.round(F.col("dau").cast("double") / F.col("mau"), 6) + F.lit(0.0)).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+def q_fd_violations(spark, sf_dir):
+    """Functional-dependency profiling over lineitem/orders: does
+    l_orderkey → o_custkey hold through the join key, does suppkey →
+    nationkey, and a deliberately violated pair (orderkey → shipdate)."""
+    from area_etl_spark.operators.quality import fd_violations
+
+    t = _tables(spark, sf_dir)
+    li = t["lineitem"].join(
+        t["orders"].select("o_orderkey", "o_custkey"),
+        t["lineitem"]["l_orderkey"] == t["orders"]["o_orderkey"],
+    )
+    df = li.select(
+        "l_orderkey",
+        "o_custkey",
+        "l_suppkey",
+        "l_shipdate",
+    )
+    return fd_violations(
+        df,
+        [("l_orderkey", "o_custkey"), ("l_suppkey", "l_orderkey"), ("l_orderkey", "l_shipdate")],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -4568,6 +4627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "standardized_rates": q_standardized_rates,
         "merge_conditional": q_merge_conditional,
         "mask_columns": q_mask_columns,
+        "stickiness": q_stickiness,
+        "fd_violations": q_fd_violations,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -5540,6 +5601,57 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "jl_project": _jl_sql(16, 64),
+        "stickiness": """
+            WITH du AS (
+                SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       user_id
+                FROM events
+            ), dau AS (
+                SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day
+            ), spread AS (
+                SELECT DISTINCT day + to_days(CAST(i AS INTEGER)) AS day, user_id
+                FROM du, unnest(range(0, 28)) AS u(i)
+            ), mau AS (
+                SELECT day, COUNT(DISTINCT user_id) AS mau FROM spread GROUP BY day
+            )
+            SELECT day, CAST(dau AS BIGINT) AS dau, CAST(mau AS BIGINT) AS mau,
+                   round(CAST(dau AS DOUBLE) / mau, 6) + 0.0 AS stickiness
+            FROM dau JOIN mau USING (day)
+        """,
+        "fd_violations": """
+            WITH j AS (
+                SELECT l_orderkey, o_custkey, l_suppkey, l_shipdate
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            f1 AS (SELECT _a, COUNT(*) AS n FROM
+                   (SELECT DISTINCT l_orderkey AS _a, o_custkey AS _b FROM j)
+                   GROUP BY _a),
+            f2 AS (SELECT _a, COUNT(*) AS n FROM
+                   (SELECT DISTINCT l_suppkey AS _a, l_orderkey AS _b FROM j)
+                   GROUP BY _a),
+            f3 AS (SELECT _a, COUNT(*) AS n FROM
+                   (SELECT DISTINCT l_orderkey AS _a, l_shipdate AS _b FROM j)
+                   GROUP BY _a)
+            SELECT 'l_orderkey' AS column_a, 'o_custkey' AS column_b,
+                   COUNT(*) AS n_determinants,
+                   CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_violating,
+                   CAST(MAX(n) AS BIGINT) AS max_fanout,
+                   SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0 AS holds
+            FROM f1
+            UNION ALL
+            SELECT 'l_suppkey', 'l_orderkey', COUNT(*),
+                   CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(MAX(n) AS BIGINT),
+                   SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0
+            FROM f2
+            UNION ALL
+            SELECT 'l_orderkey', 'l_shipdate', COUNT(*),
+                   CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(MAX(n) AS BIGINT),
+                   SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) = 0
+            FROM f3
+        """,
         "merge_conditional": """
             WITH t AS (
                 SELECT c_custkey, c_name,

@@ -751,3 +751,39 @@ def degree_distribution(df: DataFrame, keys: list[str]) -> DataFrame:
             F.sum("_cnt").alias("n_rows"),
         )
     )
+
+
+def fd_violations(
+    df: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Functional-dependency profiling: for each declared ``A → B`` pair,
+    how many determinant values map to MORE than one dependent value (and
+    the worst fan-out) — the schema-inference/normalization check that
+    catches 'zip → city' violations and duplicate-spelling dimensions
+    before they fan out a join.
+
+    One distinct + one aggregate per pair over (A, B) — each bounded by
+    the pair's distinct combinations; pairs evaluate independently and
+    union into one report (column_a, column_b, n_determinants,
+    n_violating, max_fanout, holds).
+    """
+    reports = []
+    for a, b in pairs:
+        fan = (
+            df.select(F.col(a).alias("_a"), F.col(b).alias("_b"))
+            .distinct()
+            .groupBy("_a")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        rep = fan.agg(
+            F.lit(a).alias("column_a"),
+            F.lit(b).alias("column_b"),
+            F.count(F.lit(1)).alias("n_determinants"),
+            F.sum(F.when(F.col("_n") > 1, 1).otherwise(0)).alias("n_violating"),
+            F.max("_n").alias("max_fanout"),
+        ).withColumn("holds", F.col("n_violating") == 0)
+        reports.append(rep)
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

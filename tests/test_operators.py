@@ -1612,3 +1612,21 @@ def test_mask_columns_modes(spark):
 
     with pytest.raises(ValueError):
         mask_columns(df, {"name": "rot13"})
+
+
+def test_fd_violations_detects_and_clears(spark):
+    from area_etl_spark.operators.quality import fd_violations
+
+    df = spark.createDataFrame(
+        [("z1", "rome", 1), ("z1", "rome", 2), ("z2", "milan", 3),
+         ("z3", "rome", 4), ("z3", "naples", 5)],  # z3 -> two cities
+        "zip string, city string, id int",
+    )
+    out = {(r.column_a, r.column_b): r for r in fd_violations(
+        df, [("zip", "city"), ("id", "zip")]
+    ).collect()}
+    bad = out[("zip", "city")]
+    assert not bad.holds and bad.n_violating == 1 and bad.max_fanout == 2
+    assert bad.n_determinants == 3
+    good = out[("id", "zip")]
+    assert good.holds and good.n_violating == 0 and good.max_fanout == 1
