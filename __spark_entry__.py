@@ -4497,6 +4497,37 @@ def q_fd_violations(spark, sf_dir):
     )
 
 
+def q_feature_matrix(spark, sf_dir):
+    """Point-in-time feature-store join: for every purchase (label row),
+    the most recent view value and most recent click value STRICTLY before
+    the label time — one chained backward as-of join per feature table,
+    missing history → NULL (cold start), no future leakage by
+    construction."""
+    from area_etl_spark.operators.features import FeatureTable, point_in_time_join
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    labels = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.col("cents").alias("label_cents")
+    )
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "cents")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts", "cents")
+    return point_in_time_join(
+        labels,
+        "user_id",
+        "ts",
+        [
+            FeatureTable(views, "ts", ["cents"], "lv"),
+            FeatureTable(clicks, "ts", ["cents"], "lc"),
+        ],
+    ).select("user_id", "ts", "event_id", "label_cents", "lv_cents", "lc_cents")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -4629,6 +4660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mask_columns": q_mask_columns,
         "stickiness": q_stickiness,
         "fd_violations": q_fd_violations,
+        "feature_matrix": q_feature_matrix,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -5601,6 +5633,29 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "jl_project": _jl_sql(16, 64),
+        "feature_matrix": """
+            WITH ev AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), labels AS (
+                SELECT user_id, ts, event_id, cents AS label_cents
+                FROM ev WHERE event_type = 'purchase'
+            ), v AS (
+                SELECT user_id, ts, cents FROM ev WHERE event_type = 'view'
+            ), c AS (
+                SELECT user_id, ts, cents FROM ev WHERE event_type = 'click'
+            ), with_v AS (
+                SELECT l.user_id, l.ts, l.event_id, l.label_cents,
+                       v.cents AS lv_cents
+                FROM labels l
+                ASOF LEFT JOIN v ON l.user_id = v.user_id AND l.ts > v.ts
+            )
+            SELECT w.user_id, w.ts, w.event_id, w.label_cents, w.lv_cents,
+                   c.cents AS lc_cents
+            FROM with_v w
+            ASOF LEFT JOIN c ON w.user_id = c.user_id AND w.ts > c.ts
+        """,
         "stickiness": """
             WITH du AS (
                 SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

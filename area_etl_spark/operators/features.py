@@ -1,0 +1,77 @@
+"""Point-in-time feature assembly — the feature-store training-matrix
+build.
+
+The defining correctness property of a feature store (Feast/Tecton-class
+systems) is POINT-IN-TIME JOINS: each label row may only see feature
+values observed AT OR BEFORE its own timestamp, or the training matrix
+leaks the future and the offline metric lies.  Relationally that is one
+backward as-of join per feature table — this module chains the engine's
+single-shuffle union-merge :func:`~area_etl_spark.operators.asof.asof_join`
+over a declared feature list.
+
+Scale: K feature tables → K as-of joins, each ONE exchange on the entity
+key (the asof operator's proven shape); feature tables are typically
+entity-dimension sized next to the label/event table, and each join's
+output carries only the requested value columns forward, so the matrix
+width grows but the row count never does (as-of is 1:1 by construction).
+A skewed entity (one user = 95% of labels) hits the asof skew bound —
+swap in asof_join_skew_safe per table, same signature.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+from area_etl_spark.operators.asof import asof_join
+
+
+@dataclass
+class FeatureTable:
+    """One feature source: ``df`` must carry the entity key, an
+    observation-time column, and the feature value columns; ``prefix``
+    namespaces them in the output matrix."""
+
+    df: DataFrame
+    time_col: str
+    value_cols: list[str]
+    prefix: str
+    tolerance_seconds: int | None = None
+
+
+def point_in_time_join(
+    labels: DataFrame,
+    key_col: str,
+    label_time_col: str,
+    features: list[FeatureTable],
+    strict: bool = True,
+) -> DataFrame:
+    """Assemble the training matrix: for every label row, each feature
+    table contributes its most recent observation strictly before (default
+    — the safe side against same-instant leakage) the label time; missing
+    history yields NULL features (the model's cold-start reality, not an
+    error).  Output columns: ``{prefix}_{col}`` per feature value.
+    """
+    out = labels
+    for ft in features:
+        t = f"{ft.prefix}_obs_time"  # namespaced: as-of carries the right
+        # time column into the output, which must not collide with the
+        # label time or a previous feature's
+        renamed = ft.df.select(
+            key_col,
+            ft.df[ft.time_col].alias(t),
+            *[ft.df[c].alias(f"{ft.prefix}_{c}") for c in ft.value_cols],
+        )
+        out = asof_join(
+            out,
+            renamed,
+            on=key_col,
+            left_time=label_time_col,
+            right_time=t,
+            value_cols=[f"{ft.prefix}_{c}" for c in ft.value_cols],
+            strict=strict,
+            tolerance_seconds=ft.tolerance_seconds,
+            suffix="",
+        )
+    return out

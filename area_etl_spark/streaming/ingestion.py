@@ -157,3 +157,41 @@ def versioned_append_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def make_leaderboard_applier(
+    state_dir: str,
+    keys: list[str],
+    value_col: str,
+):
+    """foreachBatch body for a streaming leaderboard: each micro-batch's
+    partial aggregate state merges into a persisted (n, sum, min, max)
+    state table via the algebraic
+    :func:`~area_etl_spark.operators.aggregates.merge_agg_states` — the
+    incremental-rollup law applied to a stream, so per-batch cost is
+    O(batch + |keys|), never O(history).
+
+    The state lands through the versioned manifest layout, so readers of
+    the leaderboard always see a complete snapshot and a crashed batch
+    leaves the previous state intact.  Replay caveat (documented): a
+    re-delivered batch re-merges — pair with an upstream dedup
+    (incremental_ingest / dropDuplicatesWithinWatermark) or stamp and
+    anti-join batch ids as in make_versioned_appender when exact-once
+    matters.
+    """
+    from area_etl_spark.operators.aggregates import agg_state, merge_agg_states
+    from area_etl_spark.sources.load import (
+        current_version,
+        read_versioned,
+        write_versioned,
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = agg_state(batch_df, keys, value_col)
+        if current_version(state_dir) is not None:
+            prev = read_versioned(spark, state_dir)
+            part = merge_agg_states([prev, part], keys)
+        write_versioned(part.localCheckpoint(eager=True), state_dir)
+
+    return _apply

@@ -1630,3 +1630,23 @@ def test_fd_violations_detects_and_clears(spark):
     assert bad.n_determinants == 3
     good = out[("id", "zip")]
     assert good.holds and good.n_violating == 0 and good.max_fanout == 1
+
+
+def test_point_in_time_join_never_leaks_future(spark):
+    from area_etl_spark.operators.features import FeatureTable, point_in_time_join
+
+    labels = spark.createDataFrame(
+        [(1, 100, "l1"), (1, 200, "l2"), (2, 50, "l3")],
+        "u int, t long, label string",
+    )
+    feat = spark.createDataFrame(
+        [(1, 100, 111), (1, 150, 222), (2, 60, 333)],  # u2's obs AFTER its label
+        "u int, t long, x long",
+    )
+    out = {r.label: r.f_x for r in point_in_time_join(
+        labels, "u", "t", [FeatureTable(feat, "t", ["x"], "f")]
+    ).collect()}
+    # strict: the t=100 observation is NOT visible to the t=100 label
+    assert out["l1"] is None
+    assert out["l2"] == 222
+    assert out["l3"] is None  # only future observations -> cold start NULL

@@ -357,3 +357,19 @@ def test_versioned_append_sink_atomic_and_replay_safe(spark, tmp_path):
     out = read_versioned(spark, table)
     assert out.count() == 3
     assert sorted(r.k for r in out.select("k").collect()) == [1, 2, 3]
+
+
+def test_leaderboard_sink_incremental_merge(spark, tmp_path):
+    """Per-batch partial states merge into exactly the whole-history
+    aggregate (the mergeability law, streamed)."""
+    from area_etl_spark.sources.load import read_versioned
+    from area_etl_spark.streaming.ingestion import make_leaderboard_applier
+
+    state = str(tmp_path / "state")
+    apply = make_leaderboard_applier(state, ["k"], "v")
+    b1 = spark.createDataFrame([(1, 10), (1, 20), (2, 5)], "k int, v long")
+    b2 = spark.createDataFrame([(1, -3), (3, 7)], "k int, v long")
+    apply(b1, 0)
+    apply(b2, 1)
+    out = {r.k: (r.n, r.sum, r.min, r.max) for r in read_versioned(spark, state).collect()}
+    assert out == {1: (3, 27, -3, 20), 2: (1, 5, 5, 5), 3: (1, 7, 7, 7)}
