@@ -395,3 +395,38 @@ def test_feature_hash_and_kfold_no_python(tables):
     )
     assert "BatchEvalPython" not in plan_str(feature_hash(docs, "text", "doc_id"))
     assert "BatchEvalPython" not in plan_str(kfold_assign(docs, "doc_id", 5))
+
+
+def test_merge_conditional_single_shuffle(tables):
+    """The conditional MERGE is ONE full-outer hash join — no extra
+    exchanges beyond the join's two sides, no nested loop."""
+    from area_etl_spark.operators.diff import merge_conditional
+
+    t = tables["customer"].select("c_custkey", "c_acctbal")
+    s = tables["customer"].select(
+        "c_custkey", (F.col("c_acctbal") + 1).alias("c_acctbal")
+    )
+    plan = plan_str(merge_conditional(t, s, ["c_custkey"]))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    shuffles = plan.count("Exchange (") - plan.count("BroadcastExchange (")
+    assert shuffles <= 2, plan  # one per join side
+
+
+def test_point_in_time_join_exchange_budget(tables):
+    """K=2 feature tables → bounded exchanges (each as-of is the proven
+    single-exchange union-merge), never a per-row nested loop."""
+    from area_etl_spark.operators.features import FeatureTable, point_in_time_join
+
+    ev = tables["events"].select("user_id", "ts", F.col("value").alias("x"))
+    labels = ev.select("user_id", "ts", F.col("x").alias("label"))
+    plan = plan_str(
+        point_in_time_join(
+            labels,
+            "user_id",
+            "ts",
+            [FeatureTable(ev, "ts", ["x"], "a"), FeatureTable(ev, "ts", ["x"], "b")],
+        )
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
