@@ -4528,6 +4528,36 @@ def q_feature_matrix(spark, sf_dir):
     ).select("user_id", "ts", "event_id", "label_cents", "lv_cents", "lc_cents")
 
 
+def q_parse_xml(spark, sf_dir):
+    """Flat-XML legacy-feed ingestion: orders rendered as XML records
+    (entities escaped in the comment field), extracted back to typed
+    columns — the oracle is the original values, so extraction + entity
+    decode + try_cast must recover every row."""
+    from area_etl_spark.sources.extract import parse_xml_flat
+
+    o = _tables(spark, sf_dir)["orders"]
+    esc = F.concat(
+        F.lit("A&amp;B &lt;"), F.col("o_orderpriority"), F.lit("&gt;")
+    )
+    xml = F.concat(
+        F.lit("<order><key>"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("</key><cents>"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.lit("</cents><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status><comment>"),
+        esc,
+        F.lit("</comment></order>"),
+    )
+    return parse_xml_flat(
+        o.select("o_orderkey", xml.alias("xml")),
+        "xml",
+        {"key": "long", "cents": "long", "status": "string", "comment": "string"},
+        keep_cols=["o_orderkey"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -4661,6 +4691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stickiness": q_stickiness,
         "fd_violations": q_fd_violations,
         "feature_matrix": q_feature_matrix,
+        "parse_xml": q_parse_xml,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -5633,6 +5664,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "jl_project": _jl_sql(16, 64),
+        "parse_xml": """
+            SELECT o_orderkey,
+                   o_orderkey AS key,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   o_orderstatus AS status,
+                   'A&B <' || o_orderpriority || '>' AS comment
+            FROM orders
+        """,
         "feature_matrix": """
             WITH ev AS (
                 SELECT user_id, ts, event_id, event_type,

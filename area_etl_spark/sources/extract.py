@@ -269,3 +269,37 @@ def parse_json_quarantine(
         ok.alias("ok"),
         F.when(~ok, F.col(json_col)).alias("corrupt_raw"),
     )
+
+
+def parse_xml_flat(
+    df: DataFrame,
+    xml_col: str,
+    tags: dict[str, str],
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Flat-element XML extraction — the legacy-feed tier (bank/insurance
+    interchange) below a real XML datasource: for each ``name → dtype`` in
+    ``tags``, pull ``<name>value</name>`` with one ``regexp_extract``,
+    decode the five predefined XML entities, and ``try_cast`` to the
+    declared type (malformed → NULL, never a failed job — the
+    parse_access_logs philosophy).
+
+    Contract: FLAT elements only (no nesting inside extracted tags, first
+    occurrence wins, attributes ignored) — stated limits, codegen speed;
+    a document store needing real XPath is a different tool.  Narrow
+    projection, zero shuffles.
+    """
+    out_cols = list(keep_cols or [])
+    x = F.col(xml_col)
+    for tag, dtype in tags.items():
+        raw = F.regexp_extract(x, f"<{tag}>(.*?)</{tag}>", 1)
+        val = raw
+        for src, dst in (
+            ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+            ("&apos;", "'"), ("&amp;", "&"),
+        ):
+            val = F.replace(val, F.lit(src), F.lit(dst))
+        out_cols.append(
+            F.when(raw == "", F.lit(None)).otherwise(val).try_cast(dtype).alias(tag)
+        )
+    return df.select(*out_cols)

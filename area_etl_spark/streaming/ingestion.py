@@ -195,3 +195,29 @@ def make_leaderboard_applier(
         write_versioned(part.localCheckpoint(eager=True), state_dir)
 
     return _apply
+
+
+def make_expectation_monitor(
+    report_dir: str,
+    expectations,
+):
+    """foreachBatch body for CONTINUOUS data-quality monitoring: every
+    micro-batch runs the one-pass expectation suite
+    (:func:`~area_etl_spark.plans.contracts.expect`) and APPENDS its
+    per-rule report stamped with batch_id — drift shows up as a failing
+    rule in the report stream before it reaches a dashboard.  Monitoring,
+    not gating: bad batches still land wherever the main sink puts them;
+    compose with quarantine_rows/enforce_contract when blocking is wanted.
+
+    The report is O(rules) rows per batch — an append-only parquet log a
+    later job aggregates (pass-rate per rule per day, etc.).
+    """
+    from area_etl_spark.plans.contracts import expect
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        rep = expect(batch_df, expectations).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        rep.write.mode("append").parquet(report_dir)
+
+    return _apply

@@ -179,3 +179,20 @@ def test_versioned_table_crash_leaves_readers_unaffected(spark, tmp_path):
     assert v == 3
     assert read_versioned(spark, t).count() == 2
     assert not os.path.exists(orphan)
+
+
+def test_parse_xml_flat_entities_types_and_missing(spark):
+    from area_etl_spark.sources.extract import parse_xml_flat
+
+    df = spark.createDataFrame(
+        [(1, "<r><a>7</a><b>A&amp;B &lt;x&gt;</b></r>"),
+         (2, "<r><a>bad</a></r>"),       # malformed int + missing b
+         (3, "<r><a>1</a><a>2</a><b></b></r>")],  # first wins; empty -> NULL
+        "id int, x string",
+    )
+    out = {r.id: r for r in parse_xml_flat(
+        df, "x", {"a": "int", "b": "string"}, keep_cols=["id"]
+    ).collect()}
+    assert out[1].a == 7 and out[1].b == "A&B <x>"
+    assert out[2].a is None and out[2].b is None
+    assert out[3].a == 1 and out[3].b is None

@@ -373,3 +373,16 @@ def test_leaderboard_sink_incremental_merge(spark, tmp_path):
     apply(b2, 1)
     out = {r.k: (r.n, r.sum, r.min, r.max) for r in read_versioned(spark, state).collect()}
     assert out == {1: (3, 27, -3, 20), 2: (1, 5, 5, 5), 3: (1, 7, 7, 7)}
+
+
+def test_expectation_monitor_appends_per_batch_reports(spark, tmp_path):
+    from area_etl_spark.plans.contracts import Expectation
+    from area_etl_spark.streaming.ingestion import make_expectation_monitor
+
+    rep = str(tmp_path / "reports")
+    apply = make_expectation_monitor(rep, [Expectation("v", min_value=0)])
+    apply(spark.createDataFrame([(5,), (9,)], "v int"), 0)   # clean batch
+    apply(spark.createDataFrame([(-3,), (2,)], "v int"), 1)  # violating batch
+    out = {r.batch_id: r for r in spark.read.parquet(rep).collect()}
+    assert out[0].ok and out[0].observed == 5.0
+    assert not out[1].ok and out[1].observed == -3.0
