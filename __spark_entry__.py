@@ -4558,6 +4558,81 @@ def q_parse_xml(spark, sf_dir):
     )
 
 
+def q_personalized_pagerank(spark, sf_dir):
+    """Seeded-teleport PageRank over the user↔item graph (seeds = every
+    5th user): random-walk-with-restart affinity to the seed set —
+    all-integer, fixed 3 rounds, oracle replays each round as chained
+    CTEs."""
+    from area_etl_spark.operators.graph import personalized_pagerank_integer
+
+    ev = _tables(spark, sf_dir)["events"]
+    edges = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            (F.lit(10_000_000) + F.col("event_id") % 500).alias("dst"),
+        )
+        .unionByName(
+            ev.select(
+                (F.lit(10_000_000) + F.col("event_id") % 500).alias("src"),
+                F.col("user_id").alias("dst"),
+            )
+        )
+        .distinct()
+    )
+    seeds = ev.select("user_id").where(F.col("user_id") % 5 == 0).distinct()
+    return personalized_pagerank_integer(edges, seeds).select(
+        "node", F.col("rank").alias("ppr_rank")
+    )
+
+
+def _ppr_sql(iterations: int = 3, damping_pct: int = 85, scale: int = 10**9) -> str:
+    """Chained-CTE replay of the personalized PageRank (same machinery as
+    _pagerank_sql with seed-gated base/init terms)."""
+    base = (100 - damping_pct) * scale // 100
+    ctes = [
+        """e AS (
+            SELECT DISTINCT user_id AS src, 10000000 + (event_id % 500) AS dst FROM events
+            UNION
+            SELECT DISTINCT 10000000 + (event_id % 500) AS src, user_id AS dst FROM events
+        )""",
+        "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)",
+        """nodes AS (
+            SELECT node, MAX(s) AS seed FROM (
+                SELECT src AS node,
+                       CASE WHEN src < 10000000 AND src % 5 = 0 THEN 1 ELSE 0 END AS s
+                FROM e
+                UNION ALL
+                SELECT dst,
+                       CASE WHEN dst < 10000000 AND dst % 5 = 0 THEN 1 ELSE 0 END
+                FROM e
+            ) GROUP BY node
+        )""",
+        f"""r0 AS (SELECT node,
+                   CAST(CASE WHEN seed = 1 THEN {scale} ELSE 0 END AS BIGINT) AS pr
+                   FROM nodes)""",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""c{k} AS (
+                SELECT e.dst AS node, CAST(SUM(r.pr // g.d) AS BIGINT) AS s
+                FROM e JOIN deg g ON g.src = e.src JOIN r{k - 1} r ON r.node = e.src
+                GROUP BY e.dst
+            )"""
+        )
+        ctes.append(
+            f"""r{k} AS (
+                SELECT n.node,
+                       CAST(CASE WHEN n.seed = 1 THEN {base} ELSE 0 END AS BIGINT)
+                       + ({damping_pct} * COALESCE(c.s, 0)) // 100 AS pr
+                FROM nodes n LEFT JOIN c{k} c ON c.node = n.node
+            )"""
+        )
+    return (
+        f"WITH {', '.join(ctes)} "
+        f"SELECT node, CAST(pr AS BIGINT) AS ppr_rank FROM r{iterations}"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -4692,6 +4767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_violations": q_fd_violations,
         "feature_matrix": q_feature_matrix,
         "parse_xml": q_parse_xml,
+        "personalized_pagerank": q_personalized_pagerank,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -5664,6 +5740,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "jl_project": _jl_sql(16, 64),
+        "personalized_pagerank": _ppr_sql(),
         "parse_xml": """
             SELECT o_orderkey,
                    o_orderkey AS key,

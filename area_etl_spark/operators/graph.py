@@ -559,3 +559,70 @@ def kcore_peel(
         e.groupBy(F.col("a").alias("node"))
         .agg(F.count(F.lit(1)).alias("degree"))
     )
+
+
+def personalized_pagerank_integer(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Personalized (seeded-teleport) PageRank — 'rank everything by
+    proximity to THESE nodes': the restart mass lands only on the seed
+    set, so scores measure random-walk-with-restart affinity to the seeds
+    (recommendation candidates, local community scoring, fraud-ring
+    expansion from known-bad accounts).
+
+    Same conventions as :func:`pagerank_integer` (its docstring carries
+    the full rationale): ALL-INTEGER units of 1/scale, fixed-k iterate,
+    dangling mass leaks, one equi-join + one map-side-combined groupBy per
+    round with localCheckpoint lineage discipline.  Differences: seeds
+    start at ``scale``, everyone else at 0, and the per-round base term is
+    ``(100 − d)·scale div 100`` FOR SEEDS ONLY (0 elsewhere) — non-seed
+    scores are purely inherited walk mass.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    sd = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("_seed", F.lit(1))
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(F.broadcast(sd), "node", "left")
+        .select("node", F.coalesce(F.col("_seed"), F.lit(0)).alias("_seed"))
+        .localCheckpoint(eager=True)
+    )
+    base = (100 - damping_pct) * scale // 100
+    base_col = F.when(F.col("_seed") == 1, F.lit(base)).otherwise(F.lit(0)).cast("long")
+    e_deg = e.join(deg, "src").localCheckpoint(eager=True)
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("_seed") == 1, F.lit(scale)).otherwise(F.lit(0)).cast("long").alias("rank"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            e_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("`rank` div `_deg`").alias("_c"))
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("_c").alias("_s"))
+        ranks = (
+            nodes.join(sums.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    base_col
+                    + F.expr(f"({damping_pct} * coalesce(_s, 0L)) div 100")
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

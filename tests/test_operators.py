@@ -1650,3 +1650,22 @@ def test_point_in_time_join_never_leaks_future(spark):
     assert out["l1"] is None
     assert out["l2"] == 222
     assert out["l3"] is None  # only future observations -> cold start NULL
+
+
+def test_personalized_pagerank_affinity_semantics(spark):
+    from area_etl_spark.operators.graph import (
+        pagerank_integer,
+        personalized_pagerank_integer,
+    )
+
+    # two disconnected triangles; seed only in the first
+    tri = lambda o: [(o, o + 1), (o + 1, o + 2), (o + 2, o)]  # noqa: E731
+    edges = spark.createDataFrame(tri(0) + tri(10), "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    ppr = {r.node: r[1] for r in personalized_pagerank_integer(edges, seeds).collect()}
+    # seed component carries ALL the mass; the unseeded component gets zero
+    assert ppr[0] > 0 and ppr[1] > 0 and ppr[2] > 0
+    assert ppr[10] == 0 and ppr[11] == 0 and ppr[12] == 0
+    # global pagerank by contrast ranks both components equally
+    pr = {r.node: r[1] for r in pagerank_integer(edges).collect()}
+    assert pr[10] == pr[0] > 0
