@@ -4633,6 +4633,23 @@ def _ppr_sql(iterations: int = 3, damping_pct: int = 85, scale: int = 10**9) -> 
     )
 
 
+def q_link_prediction(spark, sf_dir):
+    """Item-item link prediction over the user↔item bipartite graph:
+    common-user counts + neighborhood Jaccard for non-adjacent item pairs
+    (wedges through users; 'users also engaged with') — output bounded by
+    |items|², wedge work by the middle-degree cap."""
+    from area_etl_spark.operators.graph import common_neighbor_scores
+
+    ev = _tables(spark, sf_dir)["events"]
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        (F.lit(10_000_000) + F.col("event_id") % 500).alias("dst"),
+    ).distinct()
+    scored = common_neighbor_scores(edges, min_common=2, max_middle_degree=100000)
+    # keep the item-item side (user-user pairs ride the same machinery)
+    return scored.where(F.col("u") >= 10_000_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -4768,6 +4785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_matrix": q_feature_matrix,
         "parse_xml": q_parse_xml,
         "personalized_pagerank": q_personalized_pagerank,
+        "link_prediction": q_link_prediction,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -5741,6 +5759,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jl_project": _jl_sql(16, 64),
         "personalized_pagerank": _ppr_sql(),
+        "link_prediction": """
+            WITH sym AS (
+                SELECT DISTINCT a, b FROM (
+                    SELECT user_id AS a, 10000000 + (event_id % 500) AS b FROM events
+                    UNION ALL
+                    SELECT 10000000 + (event_id % 500) AS a, user_id AS b FROM events
+                ) WHERE a <> b
+            ), deg AS (
+                SELECT a, COUNT(*) AS d FROM sym GROUP BY a
+            ), mids AS (
+                SELECT b AS m, a AS n FROM sym
+            ), pairs AS (
+                SELECT x.n AS u, y.n AS v, COUNT(*) AS common
+                FROM mids x JOIN mids y ON x.m = y.m AND x.n < y.n
+                GROUP BY x.n, y.n
+                HAVING COUNT(*) >= 2
+            ), cand AS (
+                SELECT p.* FROM pairs p
+                LEFT JOIN (SELECT a AS u, b AS v FROM sym WHERE a < b) e
+                  ON p.u = e.u AND p.v = e.v
+                WHERE e.u IS NULL
+            )
+            SELECT c.u, c.v, CAST(c.common AS BIGINT) AS common,
+                   round(CAST(c.common AS DOUBLE)
+                         / (du.d + dv.d - c.common), 6) + 0.0 AS jaccard
+            FROM cand c
+            JOIN deg du ON du.a = c.u
+            JOIN deg dv ON dv.a = c.v
+            WHERE c.u >= 10000000
+        """,
         "parse_xml": """
             SELECT o_orderkey,
                    o_orderkey AS key,

@@ -626,3 +626,72 @@ def personalized_pagerank_integer(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def common_neighbor_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    min_common: int = 1,
+    max_middle_degree: int | None = 1000,
+) -> DataFrame:
+    """Link prediction by neighborhood overlap: for every non-adjacent
+    pair sharing ≥ ``min_common`` neighbors, the common-neighbor count and
+    neighborhood Jaccard — the classic graph-ML candidate generator
+    (friend-of-friend recommendation, co-purchase 'users also bought').
+
+    Shape: one wedge equi-join on the MIDDLE node (each shared neighbor
+    emits one candidate occurrence — O(Σ deg(m)²) pairs), one pair
+    groupBy, an anti-join removing existing edges, and a broadcastable
+    degree join.  The deg² blowup through a hub is REAL for this operator
+    (unlike triangles, hub-centered wedges are wanted candidates), so the
+    scale knob is ``max_middle_degree``: middles above it (stopword nodes
+    — 'everyone bought the bestseller') are excluded from WEDGE GENERATION
+    with a documented recall tradeoff, while degrees/Jaccard still count
+    the full graph.  Exact integers; Jaccard rounded once.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("_deg"))
+    mids = sym.select(F.col("b").alias("m"), F.col("a").alias("n"))
+    if max_middle_degree is not None:
+        ok = deg.where(F.col("_deg") <= max_middle_degree).select(
+            F.col("a").alias("m")
+        )
+        mids = mids.join(ok, "m", "left_semi")
+    pairs = (
+        mids.alias("x")
+        .join(mids.alias("y"), "m")
+        .where(F.col("x.n") < F.col("y.n"))
+        .groupBy(F.col("x.n").alias("u"), F.col("y.n").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    existing = sym.where(F.col("a") < F.col("b")).select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    )
+    cand = pairs.join(existing, ["u", "v"], "left_anti")
+    du = deg.select(F.col("a").alias("u"), F.col("_deg").alias("_du"))
+    dv = deg.select(F.col("a").alias("v"), F.col("_deg").alias("_dv"))
+    return (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            (
+                F.round(
+                    F.col("common").cast("double")
+                    / (F.col("_du") + F.col("_dv") - F.col("common")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("jaccard"),
+        )
+    )

@@ -1669,3 +1669,18 @@ def test_personalized_pagerank_affinity_semantics(spark):
     # global pagerank by contrast ranks both components equally
     pr = {r.node: r[1] for r in pagerank_integer(edges).collect()}
     assert pr[10] == pr[0] > 0
+
+
+def test_common_neighbor_scores_square_and_hub_cap(spark):
+    from area_etl_spark.operators.graph import common_neighbor_scores
+
+    # square 1-2-3-4: diagonals share both neighbors (jaccard 1.0) and are
+    # the only non-adjacent pairs
+    sq = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long")
+    out = {(r.u, r.v): (r.common, r.jaccard) for r in common_neighbor_scores(sq).collect()}
+    assert out == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+    # hub cap: a star's spoke pairs exist only through the hub; capping the
+    # hub's degree below spoke count suppresses wedge generation entirely
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    assert common_neighbor_scores(star).count() == 10  # 5 choose 2
+    assert common_neighbor_scores(star, max_middle_degree=3).count() == 0
