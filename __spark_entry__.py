@@ -4650,6 +4650,16 @@ def q_link_prediction(spark, sf_dir):
     return scored.where(F.col("u") >= 10_000_000)
 
 
+def q_collocations(spark, sf_dir):
+    """Top-50 collocations by lift over the document corpus — exact
+    integer counts, DECIMAL(38,0) numerator, single rounded division;
+    log-free on purpose (PMI's log orders identically but differs in
+    engine ulps)."""
+    from area_etl_spark.operators.text_analysis import collocations_by_lift
+
+    return collocations_by_lift(_tables(spark, sf_dir)["documents"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -4786,6 +4796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_xml": q_parse_xml,
         "personalized_pagerank": q_personalized_pagerank,
         "link_prediction": q_link_prediction,
+        "collocations": q_collocations,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -5759,6 +5770,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "jl_project": _jl_sql(16, 64),
         "personalized_pagerank": _ppr_sql(),
+        "collocations": """
+            WITH t AS (
+                SELECT string_split_regex(trim(lower(COALESCE(text, ''))),
+                                          '\\s+') AS toks
+                FROM documents
+            ), uni AS (
+                SELECT w, COUNT(*) AS c FROM (
+                    SELECT unnest(toks) AS w FROM t
+                ) WHERE w <> '' GROUP BY w
+            ), tot AS (
+                SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni
+            ), pairs AS (
+                SELECT w1, w2, COUNT(*) AS n_pair FROM (
+                    SELECT toks[i] AS w1, toks[i + 1] AS w2
+                    FROM t, unnest(range(1, len(toks))) AS u(i)
+                ) WHERE w1 <> '' AND w2 <> ''
+                GROUP BY w1, w2 HAVING COUNT(*) >= 5
+            )
+            SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+                   round(CAST(CAST(n_pair AS DECIMAL(38,0))
+                              * CAST(n AS DECIMAL(38,0)) AS DOUBLE)
+                         / (CAST(c1.c AS DOUBLE) * c2.c), 6) + 0.0 AS lift
+            FROM pairs
+            JOIN uni c1 ON c1.w = pairs.w1
+            JOIN uni c2 ON c2.w = pairs.w2
+            CROSS JOIN tot
+            ORDER BY lift DESC, n_pair DESC, w1, w2
+            LIMIT 50
+        """,
         "link_prediction": """
             WITH sym AS (
                 SELECT DISTINCT a, b FROM (

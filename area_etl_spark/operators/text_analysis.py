@@ -515,3 +515,86 @@ def tag_by_keywords(
         .select(id_col, tag_col)
         .distinct()
     )
+
+
+def collocations_by_lift(
+    df: DataFrame,
+    text_col: str = "text",
+    min_pair_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Collocation / phrase mining by LIFT — 'which adjacent word pairs
+    stick together more than chance' (the phrase-vocabulary step before
+    tokenizer training; word2vec's phrase pass uses the same ratio family):
+
+        lift(a,b) = N · c(ab) / (c(a) · c(b))
+
+    over adjacent-token bigrams, with c(·) unigram counts and N the total
+    token count.  PMI is log(lift) — the log is deliberately NOT taken
+    (engine log ulps differ, memory'd pitfall); lift orders identically.
+    Everything except the single final division is exact integers:
+    ``n_pair · N`` can cross 2^63 on a 100 TB corpus, so the numerator is
+    DECIMAL(38,0) (the corr_exact recipe).
+
+    Two hash aggregates (bigrams, unigrams) + two broadcastable joins +
+    global top-k (TakeOrdered heaps); ``min_pair_count`` prunes the long
+    tail before the join.
+    """
+    from area_etl_spark.operators.dedup import normalize_tokens
+
+    toks = normalize_tokens(F.coalesce(F.col(text_col), F.lit("")))
+    t = df.select(toks.alias("_t")).where(F.size("_t") > 0)
+    uni = (
+        t.select(F.explode("_t").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    total = uni.agg(F.sum("_c").alias("_n"))
+    pairs = (
+        t.select(
+            F.explode(
+                F.when(
+                    F.size("_t") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("_t") - 2),
+                        lambda i: F.struct(
+                            F.element_at("_t", i + 1).alias("w1"),
+                            F.element_at("_t", i + 2).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .where((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= min_pair_count)
+    )
+    c1 = uni.select(F.col("w").alias("w1"), F.col("_c").alias("_c1"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("_c").alias("_c2"))
+    scored = (
+        pairs.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            (
+                F.round(
+                    (
+                        F.col("n_pair").cast("decimal(38,0)")
+                        * F.col("_n").cast("decimal(38,0)")
+                    ).cast("double")
+                    / (F.col("_c1").cast("double") * F.col("_c2")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("n_pair").desc(), "w1", "w2"
+    ).limit(top_k)

@@ -196,3 +196,29 @@ def test_parse_xml_flat_entities_types_and_missing(spark):
     assert out[1].a == 7 and out[1].b == "A&B <x>"
     assert out[2].a is None and out[2].b is None
     assert out[3].a == 1 and out[3].b is None
+
+
+def test_versioned_merge_cycle_integration(spark, tmp_path):
+    """The warehouse refresh loop: read current versioned dim →
+    merge_conditional with a change batch → publish as a new version;
+    readers pinned before the publish keep the old state."""
+    from area_etl_spark.operators.diff import merge_conditional
+    from area_etl_spark.sources.load import read_versioned, write_versioned
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "dim")
+    v1 = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k int, v int")
+    write_versioned(v1, t)
+    pinned = read_versioned(spark, t)
+    batch = spark.createDataFrame(
+        [(2, 99), (3, -1), (4, 40)], "k int, v int"
+    )  # update 2, delete 3, insert 4
+    merged = merge_conditional(
+        read_versioned(spark, t), batch, ["k"],
+        update_cond=F.col("s_v") != F.col("t_v"),
+        delete_cond=F.col("s_v") == -1,
+    )
+    write_versioned(merged.localCheckpoint(eager=True), t)
+    now = {r.k: r.v for r in read_versioned(spark, t).collect()}
+    assert now == {1: 10, 2: 99, 4: 40}
+    assert pinned.count() == 3  # old snapshot intact for pinned readers

@@ -485,3 +485,17 @@ def test_embedding_dim_stats_shapes(spark, tables):
     for r in out:
         assert r.min <= r.mean <= r.max
         assert r.std >= 0
+
+
+def test_collocations_lift_identifies_sticky_pairs(spark):
+    from area_etl_spark.operators.text_analysis import collocations_by_lift
+
+    # "new york" always adjacent; "the" everywhere -> low lift for "the x"
+    docs = [(i, "the city of new york and the people of new york") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = collocations_by_lift(df, min_pair_count=5, top_k=5).collect()
+    top = (out[0].w1, out[0].w2)
+    # total 55 tokens; c(new)=c(york)=10, c(new york)=10 -> lift 5.5
+    assert top == ("new", "york") and out[0].lift == 5.5
+    # every returned pair genuinely co-occurs >= threshold
+    assert all(r.n_pair >= 5 for r in out)
