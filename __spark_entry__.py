@@ -4684,8 +4684,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     parse_json_quarantine, sequence_match, agg_state_merge, max_drawdown,
     clamped_balance, burst_detection, minmax_scale, mann_whitney,
     versioned_roundtrip, kfold_assign, balance_classes, feature_hash,
-    target_encode_loo, expectation_suite, plus the five committed earlier
-    this round (attribution_time_decay, km_survival, cascade_delete,
+    target_encode_loo, expectation_suite, changepoint,
+    degree_distribution, kcore, strip_html, split_sentences, parse_money,
+    business_days, score_linear, jl_project, standardized_rates,
+    merge_conditional, mask_columns, stickiness, fd_violations,
+    feature_matrix, parse_xml, personalized_pagerank, link_prediction,
+    collocations, plus the five committed earlier this round
+    (attribution_time_decay, km_survival, cascade_delete,
     jaccard_prefix_join, quantile_normalize).
     """
     return {
