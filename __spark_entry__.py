@@ -4660,6 +4660,63 @@ def q_collocations(spark, sf_dir):
     return collocations_by_lift(_tables(spark, sf_dir)["documents"])
 
 
+def q_growth_accounting(spark, sf_dir):
+    """Daily growth accounting over events: every active user classified
+    new / retained / resurrected per day, churn reported the day after
+    last activity — all lag/lead arithmetic on the distinct (user, day)
+    activity grid, exact integers end to end."""
+    from area_etl_spark.operators.business import growth_accounting
+
+    ev = _tables(spark, sf_dir)["events"]
+    return growth_accounting(
+        ev, "user_id", F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+    )
+
+
+def q_log2_histogram(spark, sf_dir):
+    """Exponential histogram of order value cents: floor(log2) bins taken
+    as integer bit length (length(bin(x))−1), never float log2 — exact at
+    the power-of-two edges where libm rounding flips rows between engines."""
+    from area_etl_spark.operators.quality import log2_histogram
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return log2_histogram(o, "cents")
+
+
+def q_checksum_drilldown(spark, sf_dir):
+    """Reconciliation drill-down: orders vs a deliberately damaged copy
+    (every 1000th row deleted, every 997th mutated) compared as 64
+    md5-bucketed commutative checksums — only the differing buckets come
+    back, localizing a 100 TB diff without shipping rows."""
+    from area_etl_spark.operators.quality import checksum_drilldown
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    damaged = o.where(F.col("o_orderkey") % 1000 != 1).withColumn(
+        "cents",
+        F.when(F.col("o_orderkey") % 997 == 0, F.col("cents") + 1).otherwise(
+            F.col("cents")
+        ),
+    )
+    out = checksum_drilldown(
+        o, damaged, ["o_orderkey"], ["o_orderkey", "o_custkey", "cents"], buckets=64
+    )
+    # decimal(38,0) sums ride as strings for the driver gate (same
+    # canonicalization note as q_table_checksum)
+    return out.select(
+        "bucket",
+        "n_left",
+        "n_right",
+        F.col("sum_left").cast("string").alias("sum_left"),
+        F.col("sum_right").cast("string").alias("sum_right"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -4802,6 +4859,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": q_personalized_pagerank,
         "link_prediction": q_link_prediction,
         "collocations": q_collocations,
+        "growth_accounting": q_growth_accounting,
+        "log2_histogram": q_log2_histogram,
+        "checksum_drilldown": q_checksum_drilldown,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -5803,6 +5863,85 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
             ORDER BY lift DESC, n_pair DESC, w1, w2
             LIMIT 50
+        """,
+        "growth_accounting": """
+            WITH act AS (
+                SELECT DISTINCT user_id AS k,
+                       CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS p
+                FROM events
+            ), cl AS (
+                SELECT p,
+                       lag(p)  OVER (PARTITION BY k ORDER BY p) AS prev,
+                       lead(p) OVER (PARTITION BY k ORDER BY p) AS nxt
+                FROM act
+            ), bs AS (
+                SELECT p,
+                       CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                       CAST(SUM(CASE WHEN prev = p - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+                       CAST(SUM(CASE WHEN prev IS NOT NULL AND prev < p - 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+                FROM cl GROUP BY p
+            ), mx AS (
+                SELECT MAX(p) AS mp FROM act
+            ), ch AS (
+                SELECT p + 1 AS p, CAST(COUNT(*) AS BIGINT) AS n_churned
+                FROM cl, mx
+                WHERE (nxt IS NULL OR nxt > p + 1) AND p + 1 <= mp
+                GROUP BY p + 1
+            )
+            SELECT COALESCE(bs.p, ch.p) AS period,
+                   COALESCE(n_new, 0) AS n_new,
+                   COALESCE(n_retained, 0) AS n_retained,
+                   COALESCE(n_resurrected, 0) AS n_resurrected,
+                   COALESCE(n_churned, 0) AS n_churned
+            FROM bs FULL OUTER JOIN ch ON bs.p = ch.p
+        """,
+        "log2_histogram": """
+            WITH b AS (
+                SELECT CAST(length(printf('%b', x)) - 1 AS INT) AS bin, x
+                FROM (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x
+                      FROM orders)
+                WHERE x > 0
+            )
+            SELECT bin,
+                   CAST(1 AS BIGINT) << bin AS lo,
+                   (CAST(1 AS BIGINT) << (bin + 1)) - 1 AS hi,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(x) AS BIGINT) AS total
+            FROM b GROUP BY bin
+        """,
+        "checksum_drilldown": """
+            WITH lft AS (
+                SELECT o_orderkey, o_custkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+            ), rgt AS (
+                SELECT o_orderkey, o_custkey,
+                       CASE WHEN o_orderkey % 997 = 0 THEN cents + 1 ELSE cents END AS cents
+                FROM lft WHERE o_orderkey % 1000 <> 1
+            ), lb AS (
+                SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12) AS BIGINT) % 64 AS bucket,
+                       COUNT(*) AS n_left,
+                       SUM(CAST('0x' || substr(md5(
+                           CAST(o_orderkey AS VARCHAR) || chr(31)
+                           || CAST(o_custkey AS VARCHAR) || chr(31)
+                           || CAST(cents AS VARCHAR)), 1, 12) AS BIGINT)) AS sum_left
+                FROM lft GROUP BY 1
+            ), rb AS (
+                SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12) AS BIGINT) % 64 AS bucket,
+                       COUNT(*) AS n_right,
+                       SUM(CAST('0x' || substr(md5(
+                           CAST(o_orderkey AS VARCHAR) || chr(31)
+                           || CAST(o_custkey AS VARCHAR) || chr(31)
+                           || CAST(cents AS VARCHAR)), 1, 12) AS BIGINT)) AS sum_right
+                FROM rgt GROUP BY 1
+            )
+            SELECT COALESCE(lb.bucket, rb.bucket) AS bucket,
+                   n_left, n_right,
+                   CAST(sum_left AS VARCHAR) AS sum_left,
+                   CAST(sum_right AS VARCHAR) AS sum_right
+            FROM lb FULL OUTER JOIN rb ON lb.bucket = rb.bucket
+            WHERE n_left IS DISTINCT FROM n_right
+               OR sum_left IS DISTINCT FROM sum_right
         """,
         "link_prediction": """
             WITH sym AS (

@@ -164,3 +164,78 @@ def time_decay_attribution(
             F.countDistinct("_conv_id").alias("n_conversions"),
         )
     )
+
+
+def growth_accounting(
+    events: DataFrame,
+    key_col: str,
+    period_col,
+) -> DataFrame:
+    """Growth accounting — the new / retained / resurrected / churned user
+    decomposition every consumer-product team reports (a.k.a. the "quick
+    ratio" inputs).  ``period_col`` is an integer period index expression
+    (e.g. ``year*12+month``); activity is first collapsed to distinct
+    (key, period) rows, so raw event tables feed in directly.
+
+    Classification is pure lag arithmetic over each key's period sequence:
+    first period → new; previous period = p−1 → retained; previous < p−1 →
+    resurrected.  Churn is the forward mirror: a key active at p with no
+    activity at p+1 churns AT p+1 (reported only up to the observed max
+    period, so the data's edge doesn't fabricate churn).  Identity held by
+    construction: active(p) = new+retained+resurrected(p), and
+    active(p) − active(p−1) = new+resurrected − churned.
+
+    Shape: one distinct shuffle on (key, period), one per-key window (lag
+    and lead share the single sort), two small per-period rollups joined
+    full-outer on the period — per-key partitions are bounded by the number
+    of periods, never by event volume, so a 100 TB event table reduces to
+    |keys|·|periods| rows after the first aggregate.  All counts are exact
+    integers; no floats anywhere.
+    """
+    act = events.select(
+        F.col(key_col).alias("_k"), period_col.cast("long").alias("_p")
+    ).distinct()
+    w = Window.partitionBy("_k").orderBy("_p")
+    classified = act.select(
+        "_p",
+        F.lag("_p").over(w).alias("_prev"),
+        F.lead("_p").over(w).alias("_next"),
+    )
+    status = (
+        F.when(F.col("_prev").isNull(), F.lit("new"))
+        .when(F.col("_prev") == F.col("_p") - 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+    )
+    by_status = (
+        classified.withColumn("_s", status)
+        .groupBy("_p")
+        .agg(
+            F.sum(F.when(F.col("_s") == "new", 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(F.col("_s") == "retained", 1).otherwise(0)).alias(
+                "n_retained"
+            ),
+            F.sum(F.when(F.col("_s") == "resurrected", 1).otherwise(0)).alias(
+                "n_resurrected"
+            ),
+        )
+    )
+    max_p = act.agg(F.max("_p").alias("_max_p"))
+    churned = (
+        classified.where(
+            F.col("_next").isNull() | (F.col("_next") > F.col("_p") + 1)
+        )
+        .select((F.col("_p") + 1).alias("_cp"))
+        .join(F.broadcast(max_p), F.col("_cp") <= F.col("_max_p"))
+        .groupBy(F.col("_cp").alias("_p"))
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        by_status.join(churned, "_p", "full_outer")
+        .select(
+            F.col("_p").alias("period"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0)).alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        )
+    )

@@ -787,3 +787,85 @@ def fd_violations(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def log2_histogram(df: DataFrame, value_col: str) -> DataFrame:
+    """Exponential (log₂-scale) histogram — the right binning for
+    long-tailed positive quantities (latencies, payment amounts, document
+    lengths) where fixed-width bins (``q_histogram_bins``) put 99% of rows
+    in bucket 0.
+
+    The bin index is floor(log₂(x)) computed EXACTLY as the bit length of
+    the integer minus one (``length(bin(x)) − 1``) — never the float
+    ``log2()``, whose rounding at exact powers of two differs per libm and
+    flips rows across bin edges between engines.  Bin bounds come back via
+    integer shifts.  Non-positive values are excluded (they have no log
+    bin); count them separately if they matter.  One narrow projection +
+    one hash aggregate, ~60 output rows max (2⁶³ span).
+    """
+    x = F.col(value_col).cast("long")
+    b = (F.length(F.bin(x)) - 1).alias("bin")
+    binned = df.where(x > 0).select(
+        b,
+        x.alias("_x"),
+    )
+    return binned.groupBy("bin").agg(
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT))").alias("lo"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT) + 1) - 1"
+        ).alias("hi"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_x").alias("total"),
+    )
+
+
+def checksum_drilldown(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    cols: list[str],
+    buckets: int = 64,
+) -> DataFrame:
+    """WHERE do two tables differ — ``table_checksum`` sharded by a
+    portable hash bucket of the key, so a failed whole-table comparison
+    localizes to key ranges without ever shipping rows.  The standard
+    reconciliation drill-down after a migration: compare 100 TB source and
+    target with two scans + a ``buckets``-row join, then re-run on the few
+    red buckets with a finer ``buckets`` (or fetch those buckets' rows)
+    instead of diffing everything.
+
+    Bucket and row hash are both md5-derived (engine-portable, partition
+    invariant); per-bucket checksums sum commutatively in DECIMAL(38,0)
+    exactly like ``table_checksum``.  Returns only buckets that differ,
+    with both sides' row counts and checksums (NULL side = bucket entirely
+    missing there).
+    """
+
+    def per_bucket(df: DataFrame, n_alias: str, c_alias: str) -> DataFrame:
+        keycanon = F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in key_cols],
+        )
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(keycanon), 1, 12), 16, 10).cast("long"),
+            F.lit(buckets),
+        ).alias("bucket")
+        canon = F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in cols],
+        )
+        h48 = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+        return df.select(bucket, h48.alias("_h")).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias(n_alias),
+            F.sum(F.col("_h").cast("decimal(38,0)")).alias(c_alias),
+        )
+
+    lb = per_bucket(left, "n_left", "sum_left")
+    rb = per_bucket(right, "n_right", "sum_right")
+    j = lb.join(rb, "bucket", "full_outer")
+    return j.where(
+        ~(
+            F.col("n_left").eqNullSafe(F.col("n_right"))
+            & F.col("sum_left").eqNullSafe(F.col("sum_right"))
+        )
+    ).select("bucket", "n_left", "n_right", "sum_left", "sum_right")

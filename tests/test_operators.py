@@ -1684,3 +1684,62 @@ def test_common_neighbor_scores_square_and_hub_cap(spark):
     star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
     assert common_neighbor_scores(star).count() == 10  # 5 choose 2
     assert common_neighbor_scores(star, max_middle_degree=3).count() == 0
+
+
+def test_growth_accounting_identities(spark):
+    from area_etl_spark.operators.business import growth_accounting
+
+    # user 1: days 1,2,4  user 2: days 1  user 3: days 2,3
+    rows = [(1, 1), (1, 2), (1, 4), (2, 1), (3, 2), (3, 3)]
+    df = spark.createDataFrame(rows, "u long, d long")
+    out = {
+        r.period: (r.n_new, r.n_retained, r.n_resurrected, r.n_churned)
+        for r in growth_accounting(df, "u", F.col("d")).collect()
+    }
+    assert out[1] == (2, 0, 0, 0)          # users 1,2 appear
+    assert out[2] == (1, 1, 0, 1)          # 3 new, 1 retained, 2 churns
+    assert out[3] == (0, 1, 0, 1)          # 3 retained, 1 churns (gap)
+    assert out[4] == (0, 0, 1, 1)          # 1 resurrects, 3 churns
+    # identity: active(p) == new + retained + resurrected
+    active = {1: 2, 2: 2, 3: 1, 4: 1}
+    for p, (n, r_, rs, _) in out.items():
+        assert n + r_ + rs == active[p]
+    # no churn reported past the last observed period
+    assert max(out) == 4
+
+
+def test_log2_histogram_exact_bins(spark):
+    from area_etl_spark.operators.quality import log2_histogram
+
+    df = spark.createDataFrame(
+        [(0,), (1,), (2,), (3,), (4,), (1023,), (1024,), (-5,)], "v long"
+    )
+    out = {r.bin: r for r in log2_histogram(df, "v").collect()}
+    assert 0 in out and out[0].n_rows == 1 and out[0].lo == 1 and out[0].hi == 1
+    assert out[1].n_rows == 2 and out[1].lo == 2 and out[1].hi == 3
+    assert out[2].n_rows == 1
+    assert out[9].n_rows == 1 and out[9].lo == 512 and out[9].hi == 1023
+    assert out[10].n_rows == 1 and out[10].lo == 1024
+    # zero and negatives excluded
+    assert sum(r.n_rows for r in out.values()) == 6
+
+
+def test_checksum_drilldown_localizes_differences(spark):
+    from area_etl_spark.operators.quality import checksum_drilldown
+
+    left = spark.createDataFrame(
+        [(i, i * 10) for i in range(200)], "k long, v long"
+    )
+    # identical copy → no differing buckets
+    same = checksum_drilldown(left, left, ["k"], ["k", "v"], buckets=16)
+    assert same.count() == 0
+    # mutate one row and delete another → at most two buckets differ,
+    # and the mutated key's bucket is among them
+    right = (
+        left.where(F.col("k") != 7)
+        .withColumn("v", F.when(F.col("k") == 42, F.lit(-1)).otherwise(F.col("v")))
+    )
+    diff = checksum_drilldown(left, right, ["k"], ["k", "v"], buckets=16).collect()
+    assert 1 <= len(diff) <= 2
+    # counts localize the deletion: exactly one bucket lost one row
+    assert sum((r.n_left or 0) - (r.n_right or 0) for r in diff) == 1
