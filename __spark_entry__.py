@@ -4717,6 +4717,38 @@ def q_checksum_drilldown(spark, sf_dir):
     )
 
 
+def q_bloom_prune(spark, sf_dir):
+    """Bloom-filter join pruning: lineitem pre-filtered to suppliers from
+    nation 3 by a 256-bit bitmap built in one bounded pass — the
+    shuffle-avoidance move when the dim side is too big to broadcast as a
+    hash table but its Bloom bitmap is tiny.  The tiny num_bits is chosen
+    to surface deterministic false positives, which the portable md5 hash
+    family reproduces bit-identically in the oracle."""
+    from area_etl_spark.operators.sketches import bloom_prune
+
+    tables = _tables(spark, sf_dir)
+    build = tables["supplier"].where(F.col("s_nationkey") == 3)
+    pruned = bloom_prune(
+        tables["lineitem"], build, "l_suppkey", "s_suppkey", num_bits=256, num_hashes=3
+    )
+    return pruned.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_cents"),
+    )
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters: customers with ≥25 orders estimated
+    from a fixed 3×64 counter table (deliberately narrow so collisions
+    inflate estimates — the estimates-never-undercount guarantee and the
+    exact collision pattern are both reproduced by the oracle)."""
+    from area_etl_spark.operators.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        _tables(spark, sf_dir)["orders"], "o_custkey", threshold=25, width=64, depth=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -4862,6 +4894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "growth_accounting": q_growth_accounting,
         "log2_histogram": q_log2_histogram,
         "checksum_drilldown": q_checksum_drilldown,
+        "bloom_prune": q_bloom_prune,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -5908,6 +5942,55 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows,
                    CAST(SUM(x) AS BIGINT) AS total
             FROM b GROUP BY bin
+        """,
+        "bloom_prune": """
+            WITH bp AS (
+                SELECT DISTINCT
+                       CAST('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || ':'
+                            || CAST(i.i AS VARCHAR)), 1, 12) AS BIGINT) % 256 AS p
+                FROM supplier, (SELECT UNNEST([0, 1, 2]) AS i) i
+                WHERE s_nationkey = 3
+            ), kept AS (
+                SELECT l_suppkey, l_extendedprice
+                FROM lineitem
+                WHERE l_suppkey IS NOT NULL
+                  AND (CAST('0x' || substr(md5(CAST(l_suppkey AS VARCHAR) || ':0'), 1, 12)
+                       AS BIGINT) % 256) IN (SELECT p FROM bp)
+                  AND (CAST('0x' || substr(md5(CAST(l_suppkey AS VARCHAR) || ':1'), 1, 12)
+                       AS BIGINT) % 256) IN (SELECT p FROM bp)
+                  AND (CAST('0x' || substr(md5(CAST(l_suppkey AS VARCHAR) || ':2'), 1, 12)
+                       AS BIGINT) % 256) IN (SELECT p FROM bp)
+            )
+            SELECT l_suppkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM kept GROUP BY l_suppkey
+        """,
+        "cms_heavy_hitters": """
+            WITH sketch AS (
+                SELECT i.i AS row_,
+                       CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR) || ':'
+                            || CAST(i.i AS VARCHAR)), 1, 12) AS BIGINT) % 64 AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM orders, (SELECT UNNEST([0, 1, 2]) AS i) i
+                WHERE o_custkey IS NOT NULL
+                GROUP BY 1, 2
+            ), probes AS (
+                SELECT k.k, i.i AS row_,
+                       CAST('0x' || substr(md5(CAST(k.k AS VARCHAR) || ':'
+                            || CAST(i.i AS VARCHAR)), 1, 12) AS BIGINT) % 64 AS bucket
+                FROM (SELECT DISTINCT o_custkey AS k FROM orders
+                      WHERE o_custkey IS NOT NULL) k,
+                     (SELECT UNNEST([0, 1, 2]) AS i) i
+            ), est AS (
+                SELECT p.k, MIN(COALESCE(s.cnt, 0)) AS est
+                FROM probes p
+                LEFT JOIN sketch s ON p.row_ = s.row_ AND p.bucket = s.bucket
+                GROUP BY p.k
+            )
+            SELECT k AS o_custkey, CAST(est AS BIGINT) AS est
+            FROM est WHERE est >= 25
         """,
         "checksum_drilldown": """
             WITH lft AS (

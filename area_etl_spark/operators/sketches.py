@@ -1,0 +1,193 @@
+"""Mergeable probabilistic sketches: Bloom-filter join pruning and
+count-min heavy hitters.
+
+Parity note: the reference has no sketch tier — its Polars engine joins
+in-memory on one box (/root/reference/src/core.py:818-892 chains plain
+hash joins), so it never needs to cut a shuffle.  On a 1000-executor
+cluster joining a 100 TB fact table against a mid-sized key set, the
+shuffle of never-going-to-match fact rows IS the bottleneck; these
+operators are the standard distributed answers (the same idea as Spark's
+own InjectRuntimeFilter, surfaced as an explicit, portable operator).
+
+Both sketches use the repo's portable hash idiom (md5 prefix →
+``F.conv(..., 16, 10)``, mirrored in DuckDB as ``CAST('0x'||substr(md5(
+...),1,12) AS BIGINT)``), so results — including the deterministic false
+positives — are bit-identical across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hash_pos(key: Column, salt: int, modulus: int) -> Column:
+    """Portable hash position in [0, modulus): 48-bit md5 prefix of
+    ``key:salt`` reduced mod ``modulus``.  48 bits < 2^63, so the value is
+    always positive and ``%``/``pmod`` agree across engines."""
+    canon = F.concat_ws(":", key.cast("string"), F.lit(str(salt)))
+    h48 = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+    return F.pmod(h48, F.lit(modulus))
+
+
+def bloom_bitmap(
+    build: DataFrame, key_col: str, num_bits: int = 1 << 16, num_hashes: int = 3
+) -> list[int]:
+    """Build a Bloom bitmap of ``build``'s keys as ``num_bits // 64``
+    Python ints (the driver-side literal ``bloom_prune`` embeds in its
+    filter expression).
+
+    Scale shape: one distributed pass — per row the ``num_hashes`` bit
+    positions (narrow projection + explode), then ``distinct()`` whose
+    output is bounded by ``num_bits`` rows REGARDLESS of build-side row
+    count, so the driver collect is O(num_bits/64) longs (8 KiB at the
+    2^16 default, 2 MiB at 2^24) — the same bounded-seed contract as the
+    k-means centroid collects (similarity.py).  NULL keys are skipped:
+    NULL never equi-joins, so a pruning filter may drop it.
+    """
+    if num_bits % 64 != 0:
+        raise ValueError("num_bits must be a multiple of 64")
+    key = F.col(key_col)
+    positions = (
+        build.where(key.isNotNull())
+        .select(
+            F.explode(
+                F.array(*[_hash_pos(key, i, num_bits) for i in range(num_hashes)])
+            ).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (num_bits // 64)
+    for row in positions:
+        p = row.pos
+        words[p >> 6] |= 1 << (p & 63)
+    # keep each word in signed-64 range so F.lit builds a long array
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_prune(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Pre-filter ``probe`` to rows whose key MIGHT appear in ``build`` —
+    the shuffle-avoidance move for a fact⋈dim join where the dim is too
+    big to broadcast as a hash table but its Bloom bitmap is tiny.
+
+    Guarantees: no false negatives (every truly matching row survives), a
+    deterministic false-positive set (~``(1-e^{-kn/m})^k``); run the real
+    join afterwards for exact semantics — the point is that the join's
+    shuffle now moves only the surviving sliver of the probe side.
+
+    Physical shape: ONE bounded aggregation on the build side
+    (``bloom_bitmap``), then a pure narrow filter on the probe side —
+    an array literal ``element_at`` + bit test per hash, fully inside
+    whole-stage codegen, no UDF, no join, no shuffle.  Rows with NULL
+    keys are dropped (inner-join pruning semantics).
+    """
+    words = bloom_bitmap(build, build_key, num_bits, num_hashes)
+    bitmap = F.lit(words)
+    key = F.col(probe_key)
+    tests = []
+    for i in range(num_hashes):
+        pos = _hash_pos(key, i, num_bits)
+        # element_at is 1-based; pos >> 6 picks the word, pos & 63 the bit
+        word = F.element_at(bitmap, F.shiftright(pos, 6).cast("int") + 1)
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), pos.bitwiseAND(F.lit(63)).cast("int")
+        )
+        tests.append(word.bitwiseAND(bit) != 0)
+    keep = tests[0]
+    for t in tests[1:]:
+        keep = keep & t
+    return probe.where(key.isNotNull()).where(keep)
+
+
+def cms_build(
+    df: DataFrame, key_col: str, width: int = 1024, depth: int = 3
+) -> DataFrame:
+    """Count-min sketch of ``key_col``'s frequency distribution: a
+    ``depth × width`` counter table — FIXED size regardless of input rows
+    or cardinality, mergeable across batches/partitions by plain counter
+    addition (``cms_merge``), the streaming-friendly way to track
+    frequencies over 100 TB without holding per-key state.
+
+    One narrow projection (depth bucket columns per row via posexplode) +
+    one hash aggregate with ≤ depth·width output groups — map-side combine
+    collapses everything before the shuffle.  NULL keys are skipped.
+    Returns (row, bucket, cnt).
+    """
+    key = F.col(key_col)
+    return (
+        df.where(key.isNotNull())
+        .select(
+            F.posexplode(
+                F.array(*[_hash_pos(key, i, width) for i in range(depth)])
+            ).alias("row", "bucket")
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with the same (width, depth): union
+    + counter addition.  The mergeability is the point — per-partition,
+    per-batch, or per-day sketches roll up without touching raw data."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, width: int, depth: int
+) -> DataFrame:
+    """Point-estimate each key in ``keys`` from the sketch:
+    est = min over rows of counter[row, hash_row(key) % width].  Estimates
+    are exact-or-over, never under (the CMS guarantee), and deterministic
+    given the md5 hash family — hence fully oracle-checkable.
+
+    The sketch is ≤ depth·width rows → broadcast to the keys side; the
+    min-of-depth is a ``least()`` over ``depth`` scalar joins folded into
+    one broadcast join on (row, bucket) + a ≤depth-row-per-key aggregate.
+    """
+    key = F.col(key_col)
+    probes = keys.select(
+        key.alias("_k"),
+        F.posexplode(
+            F.array(*[_hash_pos(key, i, width) for i in range(depth)])
+        ).alias("row", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("_k")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+        .select(F.col("_k").alias(key_col), "est")
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    width: int = 1024,
+    depth: int = 3,
+) -> DataFrame:
+    """Keys whose count-min estimate meets ``threshold`` — the fixed-memory
+    heavy-hitters query.  No false negatives (estimates never undercount);
+    collision-inflated false positives shrink with ``width``.
+
+    Candidate keys here come from the input's distinct keys (exact-ish
+    demo); in a true streaming deployment candidates come from a parallel
+    space-saving pass or the group keys of the current window, and only
+    the sketch is long-lived state.
+    """
+    sketch = cms_build(df, key_col, width, depth)
+    cands = df.where(F.col(key_col).isNotNull()).select(key_col).distinct()
+    est = cms_estimate(sketch, cands, key_col, width, depth)
+    return est.where(F.col("est") >= threshold)

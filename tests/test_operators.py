@@ -1743,3 +1743,58 @@ def test_checksum_drilldown_localizes_differences(spark):
     assert 1 <= len(diff) <= 2
     # counts localize the deletion: exactly one bucket lost one row
     assert sum((r.n_left or 0) - (r.n_right or 0) for r in diff) == 1
+
+
+def test_bloom_prune_no_false_negatives_and_narrow_plan(spark):
+    from area_etl_spark.operators.sketches import bloom_prune
+
+    build = spark.range(0, 50).select((F.col("id") * 7).alias("k"))
+    probe = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("v")
+    )
+    pruned = bloom_prune(probe, build, "k", "k", num_bits=1 << 10, num_hashes=3)
+    true_keys = {r.k for r in build.collect()} & set(range(2000))
+    kept = {r.k for r in pruned.collect()}
+    # the Bloom guarantee: every truly-matching key survives
+    assert true_keys <= kept
+    # a tiny bitmap still prunes the vast majority of non-matching rows
+    assert len(kept) < 200
+    # and the probe side is a pure narrow filter: no exchange, no join
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_bloom_prune_null_keys_dropped(spark):
+    from area_etl_spark.operators.sketches import bloom_prune
+
+    build = spark.createDataFrame([(1,)], "k long")
+    probe = spark.createDataFrame([(1,), (None,), (2,)], "k long")
+    kept = {r.k for r in bloom_prune(probe, build, "k", "k", 256, 2).collect()}
+    assert 1 in kept and None not in kept
+
+
+def test_cms_estimates_never_undercount_and_merge(spark):
+    from area_etl_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    df = spark.range(0, 3000).select(
+        F.when(F.col("id") % 3 == 0, 1).otherwise(F.col("id")).alias("k")
+    )
+    exact = {r.k: r.n for r in df.groupBy("k").agg(F.count("*").alias("n")).collect()}
+    sketch = cms_build(df, "k", width=256, depth=3)
+    # fixed size regardless of input rows
+    assert sketch.count() <= 256 * 3
+    keys = df.select("k").distinct()
+    est = {r.k: r.est for r in cms_estimate(sketch, keys, "k", 256, 3).collect()}
+    assert all(est[k] >= n for k, n in exact.items())
+    # the planted heavy key is found and not wildly inflated
+    assert exact[1] <= est[1] <= exact[1] + 200
+    # partition-wise sketches merge to exactly the single-pass sketch
+    s1 = cms_build(df.where(F.col("k") < 100), "k", 256, 3)
+    s2 = cms_build(df.where(F.col("k") >= 100), "k", 256, 3)
+    merged = cms_merge(s1, s2)
+    assert merged.exceptAll(sketch).count() == 0
+    assert sketch.exceptAll(merged).count() == 0
