@@ -4749,6 +4749,52 @@ def q_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_ivm_agg_update(spark, sf_dir):
+    """Incremental view maintenance: a per-customer (n_orders, sum_cents)
+    aggregate maintained under a synthetic CDC log (inserts = held-out
+    orders, deletes = every 100th, updates = +1000 cents on every 97th)
+    WITHOUT rescanning the base table.  The oracle recomputes the final
+    state from scratch — equality IS the IVM correctness claim."""
+    from area_etl_spark.operators.diff import cdc_to_agg_deltas, ivm_agg_apply
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = o.where(F.col("o_orderkey") % 500 != 3)
+    state = base.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("sum_cents")
+    )
+    nl = F.lit(None).cast("long")
+    ins = o.where(F.col("o_orderkey") % 500 == 3).select(
+        F.lit("I").alias("op"),
+        nl.alias("before_o_custkey"),
+        nl.alias("before_cents"),
+        F.col("o_custkey").alias("after_o_custkey"),
+        F.col("cents").alias("after_cents"),
+    )
+    dels = base.where(F.col("o_orderkey") % 100 == 1).select(
+        F.lit("D").alias("op"),
+        F.col("o_custkey").alias("before_o_custkey"),
+        F.col("cents").alias("before_cents"),
+        nl.alias("after_o_custkey"),
+        nl.alias("after_cents"),
+    )
+    upds = base.where(
+        (F.col("o_orderkey") % 97 == 0) & (F.col("o_orderkey") % 100 != 1)
+    ).select(
+        F.lit("U").alias("op"),
+        F.col("o_custkey").alias("before_o_custkey"),
+        F.col("cents").alias("before_cents"),
+        F.col("o_custkey").alias("after_o_custkey"),
+        (F.col("cents") + 1000).alias("after_cents"),
+    )
+    log = ins.unionByName(dels).unionByName(upds)
+    deltas = cdc_to_agg_deltas(log, ["o_custkey"], ["cents"])
+    return ivm_agg_apply(state, deltas, ["o_custkey"], ["cents"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -4896,6 +4942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checksum_drilldown": q_checksum_drilldown,
         "bloom_prune": q_bloom_prune,
         "cms_heavy_hitters": q_cms_heavy_hitters,
+        "ivm_agg_update": q_ivm_agg_update,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -5942,6 +5989,25 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows,
                    CAST(SUM(x) AS BIGINT) AS total
             FROM b GROUP BY bin
+        """,
+        "ivm_agg_update": """
+            WITH o AS (
+                SELECT o_orderkey, o_custkey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+            ), final AS (
+                SELECT o_custkey,
+                       CASE WHEN o_orderkey % 97 = 0 AND o_orderkey % 100 <> 1
+                            THEN cents + 1000 ELSE cents END AS cents
+                FROM o
+                WHERE o_orderkey % 500 <> 3 AND o_orderkey % 100 <> 1
+                UNION ALL
+                SELECT o_custkey, cents FROM o WHERE o_orderkey % 500 = 3
+            )
+            SELECT o_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM final GROUP BY o_custkey
         """,
         "bloom_prune": """
             WITH bp AS (

@@ -216,3 +216,76 @@ def merge_conditional(
         for c in payload
     ]
     return j.where(keep).select(*keys, *out_cols)
+
+
+def cdc_to_agg_deltas(
+    log: DataFrame,
+    key_cols: list[str],
+    val_cols: list[str],
+    op_col: str = "op",
+    before_prefix: str = "before_",
+    after_prefix: str = "after_",
+) -> DataFrame:
+    """Turn a Debezium-style CDC log (op ∈ I/U/D with before/after images)
+    into additive aggregate deltas: one row per affected group key with
+    (Δn_rows, Δsum_<col>...).  An update is decomposed as delete(before) +
+    insert(after), so key-changing updates move their contribution between
+    groups correctly.
+
+    This is the map step of incremental view maintenance: sums and counts
+    form a group (they have inverses), so a maintained aggregate never
+    needs to rescan the base table.  Two narrow projections + a union —
+    the aggregate itself happens in ``ivm_agg_apply``.
+    """
+    op = F.col(op_col)
+    minus = log.where(op.isin("D", "U")).select(
+        *[F.col(before_prefix + k).alias(k) for k in key_cols],
+        F.lit(-1).cast("long").alias("d_rows"),
+        *[
+            (-F.col(before_prefix + c)).cast("long").alias(f"d_{c}")
+            for c in val_cols
+        ],
+    )
+    plus = log.where(op.isin("I", "U")).select(
+        *[F.col(after_prefix + k).alias(k) for k in key_cols],
+        F.lit(1).cast("long").alias("d_rows"),
+        *[F.col(after_prefix + c).cast("long").alias(f"d_{c}") for c in val_cols],
+    )
+    return minus.unionByName(plus)
+
+
+def ivm_agg_apply(
+    state: DataFrame,
+    deltas: DataFrame,
+    key_cols: list[str],
+    val_cols: list[str],
+) -> DataFrame:
+    """Apply ``cdc_to_agg_deltas`` output to a maintained (key, n_rows,
+    sum_<col>...) aggregate state WITHOUT touching the base table — the
+    incremental-view-maintenance step that turns an O(100 TB) nightly
+    recompute into an O(|changes|) merge.
+
+    Union + one hash aggregate on the group key; groups whose maintained
+    n_rows reaches 0 vanish (their last contributor was deleted).  The
+    state side re-shuffles here in local mode, but a production deployment
+    stores the state bucketed on the key (``write_bucketed``) so the merge
+    is exchange-free on the big side, and drives this from foreachBatch
+    (see streaming/ingestion.py) for exactly-once maintenance.
+
+    Equivalence to recompute-from-scratch is the oracle-checked claim of
+    the ``ivm_agg_update`` gate query.
+    """
+    s = state.select(
+        *key_cols,
+        F.col("n_rows").alias("d_rows"),
+        *[F.col(f"sum_{c}").alias(f"d_{c}") for c in val_cols],
+    )
+    merged = (
+        s.unionByName(deltas)
+        .groupBy(*key_cols)
+        .agg(
+            F.sum("d_rows").alias("n_rows"),
+            *[F.sum(f"d_{c}").alias(f"sum_{c}") for c in val_cols],
+        )
+    )
+    return merged.where(F.col("n_rows") > 0)

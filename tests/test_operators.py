@@ -1798,3 +1798,32 @@ def test_cms_estimates_never_undercount_and_merge(spark):
     merged = cms_merge(s1, s2)
     assert merged.exceptAll(sketch).count() == 0
     assert sketch.exceptAll(merged).count() == 0
+
+
+def test_ivm_agg_apply_matches_recompute_including_key_moves(spark):
+    from area_etl_spark.operators.diff import cdc_to_agg_deltas, ivm_agg_apply
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "id long, k string, v long",
+    )
+    state = base.groupBy("k").agg(
+        F.count("*").alias("n_rows"), F.sum("v").alias("sum_v")
+    )
+    # U moves id=2 from group a to group b and changes v; D removes group
+    # c's only row; I adds a row to a new group d
+    log = spark.createDataFrame(
+        [
+            ("U", "a", 20, "b", 25),
+            ("D", "c", 40, None, None),
+            ("I", None, None, "d", 5),
+        ],
+        "op string, before_k string, before_v long, after_k string, after_v long",
+    )
+    deltas = cdc_to_agg_deltas(log, ["k"], ["v"])
+    got = {
+        r.k: (r.n_rows, r.sum_v)
+        for r in ivm_agg_apply(state, deltas, ["k"], ["v"]).collect()
+    }
+    # recompute from scratch: a={10}, b={30,25}, d={5}; c vanished
+    assert got == {"a": (1, 10), "b": (2, 55), "d": (1, 5)}
