@@ -4749,6 +4749,31 @@ def q_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_manifest_pruned_read(spark, sf_dir):
+    """Manifest-driven file skipping (Iceberg-style data skipping without
+    the table format): orders written range-clustered on o_custkey, a
+    file_stats_manifest built once, then a narrow custkey band answered by
+    opening ONLY the overlapping files — content proven identical to a
+    plain filtered read (the oracle); the I/O skip itself is pytest-proven
+    in tests/test_bucketing.py."""
+    from area_etl_spark.sources.load import (
+        file_stats_manifest,
+        read_pruned,
+        write_range_layout,
+    )
+
+    tables = _tables(spark, sf_dir)
+    src = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    path = _run_tmp(spark, "manifestprune", "orders")
+    write_range_layout(src, path, ["o_custkey"], num_partitions=8)
+    manifest = file_stats_manifest(spark, path, ["o_custkey"])
+    out = read_pruned(spark, manifest, "o_custkey", 100, 400)
+    return out.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sum_cents"),
+    )
+
+
 def q_ivm_agg_update(spark, sf_dir):
     """Incremental view maintenance: a per-customer (n_orders, sum_cents)
     aggregate maintained under a synthetic CDC log (inserts = held-out
@@ -4943,6 +4968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune": q_bloom_prune,
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "ivm_agg_update": q_ivm_agg_update,
+        "manifest_pruned_read": q_manifest_pruned_read,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -5989,6 +6015,15 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows,
                    CAST(SUM(x) AS BIGINT) AS total
             FROM b GROUP BY bin
+        """,
+        "manifest_pruned_read": """
+            SELECT o_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM orders
+            WHERE o_custkey IS NOT NULL AND o_custkey BETWEEN 100 AND 400
+            GROUP BY o_custkey
         """,
         "ivm_agg_update": """
             WITH o AS (

@@ -228,3 +228,36 @@ def test_compact_swap_window_fails_cleanly_and_is_recoverable(spark, tables, tmp
     # documented recovery: manual rename back
     os.rename(path + "__compact_old", path)
     assert sorted(r.s_suppkey for r in spark.read.parquet(path).collect()) == rows
+
+
+def test_read_pruned_opens_file_subset_and_matches_full_scan(spark, tables, tmp_path):
+    """read_pruned must (a) return exactly the plain filtered answer and
+    (b) actually open fewer files — checked via the _metadata file list of
+    what the pruned read touches."""
+    from area_etl_spark.sources.load import (
+        file_stats_manifest,
+        read_pruned,
+        write_range_layout,
+    )
+
+    path = str(tmp_path / "ranged2")
+    src = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    write_range_layout(src, path, ["o_custkey"], num_partitions=8)
+    manifest = file_stats_manifest(spark, path, ["o_custkey"])
+    pruned = read_pruned(spark, manifest, "o_custkey", 100, 300)
+    full = spark.read.parquet(path).where(
+        F.col("o_custkey").isNotNull() & F.col("o_custkey").between(100, 300)
+    )
+    assert pruned.exceptAll(full).count() == 0
+    assert full.exceptAll(pruned).count() == 0
+    touched = {
+        r.f
+        for r in pruned.select(
+            F.col("_metadata.file_path").alias("f")
+        ).distinct().collect()
+    }
+    assert 0 < len(touched) < 8  # the clustered layout makes pruning real
+    # empty-overlap band returns an empty, correctly-typed frame
+    empty = read_pruned(spark, manifest, "o_custkey", -50, -10)
+    assert empty.count() == 0
+    assert empty.schema == spark.read.parquet(path).schema
