@@ -4749,6 +4749,34 @@ def q_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer training on the documents corpus: the 6 most frequent
+    adjacent symbol pairs, each merge applied before the next is counted
+    (Sennrich-style).  All rounds run on the cached word HISTOGRAM — the
+    corpus is exploded exactly once; the oracle unrolls the same 6 rounds
+    as chained CTEs with identical argmax tie-breaks and left-to-right
+    non-overlapping replace semantics."""
+    from area_etl_spark.operators.vocab import train_bpe_merges
+
+    return train_bpe_merges(
+        _tables(spark, sf_dir)["documents"], num_merges=6
+    ).select("rank", F.col("left").alias("lft"), F.col("right").alias("rgt"), "pair_count")
+
+
+def q_bpe_segment(spark, sf_dir):
+    """Documents re-tokenized with the 6 learned BPE merges: per-doc BPE
+    token count.  Training collects 6 bounded argmax rows; application is
+    a pure narrow replace chain — no extra shuffle."""
+    from area_etl_spark.operators.vocab import bpe_segment, train_bpe_merges
+
+    docs = _tables(spark, sf_dir)["documents"]
+    merges = [
+        (r.left, r.right)
+        for r in train_bpe_merges(docs, num_merges=6).collect()
+    ]
+    return bpe_segment(docs, merges)
+
+
 def q_manifest_pruned_read(spark, sf_dir):
     """Manifest-driven file skipping (Iceberg-style data skipping without
     the table format): orders written range-clustered on o_custkey, a
@@ -4969,6 +4997,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": q_cms_heavy_hitters,
         "ivm_agg_update": q_ivm_agg_update,
         "manifest_pruned_read": q_manifest_pruned_read,
+        "bpe_merges": q_bpe_merges,
+        "bpe_segment": q_bpe_segment,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -6015,6 +6045,213 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows,
                    CAST(SUM(x) AS BIGINT) AS total
             FROM b GROUP BY bin
+        """,
+        "bpe_merges": """
+            WITH w0 AS MATERIALIZED (
+                SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+                      FROM documents)
+                WHERE regexp_matches(w, '^[a-z0-9]+$')
+                GROUP BY w
+            ),
+            p0 AS MATERIALIZED (
+                SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+                FROM (SELECT string_split(sym, ' ') AS s, n FROM w0),
+                     LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
+                GROUP BY 1, 2
+            ), m0 AS MATERIALIZED (
+                SELECT l, r, cnt FROM p0 ORDER BY cnt DESC, l, r LIMIT 1
+            ),
+            w1 AS MATERIALIZED (
+                SELECT trim(replace(' ' || sym || ' ',
+                        ' ' || (SELECT l FROM m0) || ' ' || (SELECT r FROM m0) || ' ',
+                        ' ' || (SELECT l FROM m0) || (SELECT r FROM m0) || ' ')) AS sym, n
+                FROM w0
+            ),
+            p1 AS MATERIALIZED (
+                SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+                FROM (SELECT string_split(sym, ' ') AS s, n FROM w1),
+                     LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
+                GROUP BY 1, 2
+            ), m1 AS MATERIALIZED (
+                SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1
+            ),
+            w2 AS MATERIALIZED (
+                SELECT trim(replace(' ' || sym || ' ',
+                        ' ' || (SELECT l FROM m1) || ' ' || (SELECT r FROM m1) || ' ',
+                        ' ' || (SELECT l FROM m1) || (SELECT r FROM m1) || ' ')) AS sym, n
+                FROM w1
+            ),
+            p2 AS MATERIALIZED (
+                SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+                FROM (SELECT string_split(sym, ' ') AS s, n FROM w2),
+                     LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
+                GROUP BY 1, 2
+            ), m2 AS MATERIALIZED (
+                SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1
+            ),
+            w3 AS MATERIALIZED (
+                SELECT trim(replace(' ' || sym || ' ',
+                        ' ' || (SELECT l FROM m2) || ' ' || (SELECT r FROM m2) || ' ',
+                        ' ' || (SELECT l FROM m2) || (SELECT r FROM m2) || ' ')) AS sym, n
+                FROM w2
+            ),
+            p3 AS MATERIALIZED (
+                SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+                FROM (SELECT string_split(sym, ' ') AS s, n FROM w3),
+                     LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
+                GROUP BY 1, 2
+            ), m3 AS MATERIALIZED (
+                SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1
+            ),
+            w4 AS MATERIALIZED (
+                SELECT trim(replace(' ' || sym || ' ',
+                        ' ' || (SELECT l FROM m3) || ' ' || (SELECT r FROM m3) || ' ',
+                        ' ' || (SELECT l FROM m3) || (SELECT r FROM m3) || ' ')) AS sym, n
+                FROM w3
+            ),
+            p4 AS MATERIALIZED (
+                SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+                FROM (SELECT string_split(sym, ' ') AS s, n FROM w4),
+                     LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
+                GROUP BY 1, 2
+            ), m4 AS MATERIALIZED (
+                SELECT l, r, cnt FROM p4 ORDER BY cnt DESC, l, r LIMIT 1
+            ),
+            w5 AS MATERIALIZED (
+                SELECT trim(replace(' ' || sym || ' ',
+                        ' ' || (SELECT l FROM m4) || ' ' || (SELECT r FROM m4) || ' ',
+                        ' ' || (SELECT l FROM m4) || (SELECT r FROM m4) || ' ')) AS sym, n
+                FROM w4
+            ),
+            p5 AS MATERIALIZED (
+                SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+                FROM (SELECT string_split(sym, ' ') AS s, n FROM w5),
+                     LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
+                GROUP BY 1, 2
+            ), m5 AS MATERIALIZED (
+                SELECT l, r, cnt FROM p5 ORDER BY cnt DESC, l, r LIMIT 1
+            ),
+            w6 AS MATERIALIZED (
+                SELECT trim(replace(' ' || sym || ' ',
+                        ' ' || (SELECT l FROM m5) || ' ' || (SELECT r FROM m5) || ' ',
+                        ' ' || (SELECT l FROM m5) || (SELECT r FROM m5) || ' ')) AS sym, n
+                FROM w5
+            )
+            SELECT * FROM (
+                SELECT CAST(0 AS BIGINT) AS rank, l AS lft, r AS rgt, cnt AS pair_count FROM m0
+                UNION ALL SELECT CAST(1 AS BIGINT) AS rank, l AS lft, r AS rgt, cnt AS pair_count FROM m1
+                UNION ALL SELECT CAST(2 AS BIGINT) AS rank, l AS lft, r AS rgt, cnt AS pair_count FROM m2
+                UNION ALL SELECT CAST(3 AS BIGINT) AS rank, l AS lft, r AS rgt, cnt AS pair_count FROM m3
+                UNION ALL SELECT CAST(4 AS BIGINT) AS rank, l AS lft, r AS rgt, cnt AS pair_count FROM m4
+                UNION ALL SELECT CAST(5 AS BIGINT) AS rank, l AS lft, r AS rgt, cnt AS pair_count FROM m5
+            ) ORDER BY rank
+        """,
+        "bpe_segment": """
+            WITH w0 AS MATERIALIZED (
+                SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS sym,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+                      FROM documents)
+                WHERE regexp_matches(w, '^[a-z0-9]+$')
+                GROUP BY w
+            ),
+            p0 AS MATERIALIZED (
+                SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+                FROM (SELECT string_split(sym, ' ') AS s, n FROM w0),
+                     LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
+                GROUP BY 1, 2
+            ), m0 AS MATERIALIZED (
+                SELECT l, r, cnt FROM p0 ORDER BY cnt DESC, l, r LIMIT 1
+            ),
+            w1 AS MATERIALIZED (
+                SELECT trim(replace(' ' || sym || ' ',
+                        ' ' || (SELECT l FROM m0) || ' ' || (SELECT r FROM m0) || ' ',
+                        ' ' || (SELECT l FROM m0) || (SELECT r FROM m0) || ' ')) AS sym, n
+                FROM w0
+            ),
+            p1 AS MATERIALIZED (
+                SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+                FROM (SELECT string_split(sym, ' ') AS s, n FROM w1),
+                     LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
+                GROUP BY 1, 2
+            ), m1 AS MATERIALIZED (
+                SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1
+            ),
+            w2 AS MATERIALIZED (
+                SELECT trim(replace(' ' || sym || ' ',
+                        ' ' || (SELECT l FROM m1) || ' ' || (SELECT r FROM m1) || ' ',
+                        ' ' || (SELECT l FROM m1) || (SELECT r FROM m1) || ' ')) AS sym, n
+                FROM w1
+            ),
+            p2 AS MATERIALIZED (
+                SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+                FROM (SELECT string_split(sym, ' ') AS s, n FROM w2),
+                     LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
+                GROUP BY 1, 2
+            ), m2 AS MATERIALIZED (
+                SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1
+            ),
+            w3 AS MATERIALIZED (
+                SELECT trim(replace(' ' || sym || ' ',
+                        ' ' || (SELECT l FROM m2) || ' ' || (SELECT r FROM m2) || ' ',
+                        ' ' || (SELECT l FROM m2) || (SELECT r FROM m2) || ' ')) AS sym, n
+                FROM w2
+            ),
+            p3 AS MATERIALIZED (
+                SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+                FROM (SELECT string_split(sym, ' ') AS s, n FROM w3),
+                     LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
+                GROUP BY 1, 2
+            ), m3 AS MATERIALIZED (
+                SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1
+            ),
+            w4 AS MATERIALIZED (
+                SELECT trim(replace(' ' || sym || ' ',
+                        ' ' || (SELECT l FROM m3) || ' ' || (SELECT r FROM m3) || ' ',
+                        ' ' || (SELECT l FROM m3) || (SELECT r FROM m3) || ' ')) AS sym, n
+                FROM w3
+            ),
+            p4 AS MATERIALIZED (
+                SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+                FROM (SELECT string_split(sym, ' ') AS s, n FROM w4),
+                     LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
+                GROUP BY 1, 2
+            ), m4 AS MATERIALIZED (
+                SELECT l, r, cnt FROM p4 ORDER BY cnt DESC, l, r LIMIT 1
+            ),
+            w5 AS MATERIALIZED (
+                SELECT trim(replace(' ' || sym || ' ',
+                        ' ' || (SELECT l FROM m4) || ' ' || (SELECT r FROM m4) || ' ',
+                        ' ' || (SELECT l FROM m4) || (SELECT r FROM m4) || ' ')) AS sym, n
+                FROM w4
+            ),
+            p5 AS MATERIALIZED (
+                SELECT s[i] AS l, s[i+1] AS r, CAST(SUM(n) AS BIGINT) AS cnt
+                FROM (SELECT string_split(sym, ' ') AS s, n FROM w5),
+                     LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
+                GROUP BY 1, 2
+            ), m5 AS MATERIALIZED (
+                SELECT l, r, cnt FROM p5 ORDER BY cnt DESC, l, r LIMIT 1
+            ),
+            w6 AS MATERIALIZED (
+                SELECT trim(replace(' ' || sym || ' ',
+                        ' ' || (SELECT l FROM m5) || ' ' || (SELECT r FROM m5) || ' ',
+                        ' ' || (SELECT l FROM m5) || (SELECT r FROM m5) || ' ')) AS sym, n
+                FROM w5
+            ),
+            toks AS MATERIALIZED (
+                SELECT doc_id, w FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+                    FROM documents)
+                WHERE regexp_matches(w, '^[a-z0-9]+$')
+            )
+            SELECT doc_id,
+                   CAST(SUM(len(string_split(trim(replace(replace(replace(replace(replace(replace(' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ', ' ' || (SELECT l FROM m0) || ' ' || (SELECT r FROM m0) || ' ', ' ' || (SELECT l FROM m0) || (SELECT r FROM m0) || ' '), ' ' || (SELECT l FROM m1) || ' ' || (SELECT r FROM m1) || ' ', ' ' || (SELECT l FROM m1) || (SELECT r FROM m1) || ' '), ' ' || (SELECT l FROM m2) || ' ' || (SELECT r FROM m2) || ' ', ' ' || (SELECT l FROM m2) || (SELECT r FROM m2) || ' '), ' ' || (SELECT l FROM m3) || ' ' || (SELECT r FROM m3) || ' ', ' ' || (SELECT l FROM m3) || (SELECT r FROM m3) || ' '), ' ' || (SELECT l FROM m4) || ' ' || (SELECT r FROM m4) || ' ', ' ' || (SELECT l FROM m4) || (SELECT r FROM m4) || ' '), ' ' || (SELECT l FROM m5) || ' ' || (SELECT r FROM m5) || ' ', ' ' || (SELECT l FROM m5) || (SELECT r FROM m5) || ' ')), ' '))) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM toks GROUP BY doc_id
         """,
         "manifest_pruned_read": """
             SELECT o_custkey,

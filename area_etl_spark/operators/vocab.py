@@ -82,3 +82,110 @@ def encode_docs(
         .withColumn("n_tokens", F.size("token_ids").cast("long"))
         .select(id_col, "n_tokens", "token_ids")
     )
+
+
+def train_bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 6,
+) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich-style, the tokenizer-
+    training step of an LLM data pipeline): learn the ``num_merges`` most
+    frequent adjacent symbol pairs, applying each merge before counting
+    the next.
+
+    The scale insight that makes BPE tractable on a 100 TB corpus: merges
+    are a function of the WORD HISTOGRAM, not the corpus — one
+    corpus-sized explode+groupBy builds (word, count) (vocabulary-sized,
+    typically ≤ a few million rows), is cached, and every merge round then
+    runs on that small table: one pair-count aggregate (adjacent symbols
+    via slice+zip_with, weighted by word count) + a 1-row deterministic
+    argmax collect (max count, lexicographically smallest pair on ties —
+    the bounded-seed contract, same as the k-means centroid collects) + a
+    narrow literal ``replace`` that applies the merge left-to-right
+    non-overlapping.  Words are restricted to ``[a-z0-9]+`` so the
+    char-level symbol split is engine-portable (Java regex walks UTF-16
+    units, RE2 walks codepoints — they differ on astral chars; real
+    byte-level BPE sidesteps this the same way).
+
+    Returns (rank, left, right, pair_count) — the ordered merge table a
+    tokenizer consumes.  Stops early if no adjacent pair remains.
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w")
+        )
+        .where(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"), "n"
+        )
+        .persist()
+    )
+    cur = words
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        arr = F.split("sym", " ")
+        pairs = (
+            cur.where(F.size(arr) >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.zip_with(
+                        F.slice(arr, 1, F.size(arr) - 1),
+                        F.slice(arr, 2, F.size(arr) - 1),
+                        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not top:
+            break
+        l, r, cnt = top[0].l, top[0].r, top[0].cnt
+        merges.append((rank, l, r, cnt))
+        cur = cur.select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("sym"), F.lit(" ")),
+                    F.lit(f" {l} {r} "),
+                    F.lit(f" {l}{r} "),
+                )
+            ).alias("sym"),
+            "n",
+        )
+    words.unpersist()
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long"
+    )
+
+
+def bpe_segment(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge list to segment each document's words into
+    BPE tokens: per doc, (doc_id, n_bpe_tokens).  Pure narrow chain — one
+    split + per-word char split + one literal ``replace`` per merge (in
+    training order, left-to-right semantics identical to training), then a
+    token count; no shuffle at all beyond reading the input."""
+    word = F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ).alias("w")
+    toks = docs.select(id_col, word).where(F.col("w").rlike("^[a-z0-9]+$"))
+    sym = F.concat(
+        F.lit(" "), F.trim(F.regexp_replace("w", "(.)", "$1 ")), F.lit(" ")
+    )
+    for l, r in merges:
+        sym = F.replace(sym, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
+    return (
+        toks.select(id_col, F.size(F.split(F.trim(sym), " ")).alias("k"))
+        .groupBy(id_col)
+        .agg(F.sum("k").alias("n_bpe_tokens"))
+    )

@@ -1827,3 +1827,39 @@ def test_ivm_agg_apply_matches_recompute_including_key_moves(spark):
     }
     # recompute from scratch: a={10}, b={30,25}, d={5}; c vanished
     assert got == {"a": (1, 10), "b": (2, 55), "d": (1, 5)}
+
+
+def test_train_bpe_merges_matches_hand_computation(spark):
+    from area_etl_spark.operators.vocab import bpe_segment, train_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in train_bpe_merges(docs, num_merges=5).collect()
+    ]
+    # hand-computed Sennrich rounds: counts, ties broken lexicographically
+    assert got == [
+        (0, "l", "o", 5),
+        (1, "lo", "w", 5),
+        (2, "e", "w", 4),
+        (3, "n", "ew", 4),
+        (4, "e", "r", 2),
+    ]
+    seg = {
+        r.doc_id: r.n_bpe_tokens
+        for r in bpe_segment(docs, [(l, r) for _, l, r, _ in got]).collect()
+    }
+    # doc1: low(1)*3 + low,er(2) + low,e,s,t(4); doc2: new*2 + new,er + new,e,s,t
+    assert seg == {1: 9, 2: 8}
+
+
+def test_train_bpe_merges_stops_when_no_pairs_remain(spark):
+    from area_etl_spark.operators.vocab import train_bpe_merges
+
+    docs = spark.createDataFrame([(1, "ab ab a b")], "doc_id long, text string")
+    got = train_bpe_merges(docs, num_merges=10).collect()
+    # only (a,b) exists; after merging it every word is a single symbol
+    assert len(got) == 1 and (got[0].left, got[0].right) == ("a", "b")
