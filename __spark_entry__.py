@@ -4777,6 +4777,25 @@ def q_bpe_segment(spark, sf_dir):
     return bpe_segment(docs, merges)
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """KMV bottom-16 distinct sketch per market segment: deterministic
+    (md5) bottom-k hashes → distinct-customer estimates that reproduce
+    bit-identically in the oracle — the mergeable distinct-count sketch
+    with set algebra that HLL can't give you (union via kmv_merge is
+    pytest-proven equal to sketching the union)."""
+    from area_etl_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    sk = kmv_sketch(
+        _tables(spark, sf_dir)["customer"], ["c_mktsegment"], "c_custkey", k=16
+    )
+    est = kmv_estimate(sk, 16)
+    return est.select(
+        "c_mktsegment",
+        F.size("hashes").alias("n_hashes"),
+        "est_distinct",
+    )
+
+
 def q_manifest_pruned_read(spark, sf_dir):
     """Manifest-driven file skipping (Iceberg-style data skipping without
     the table format): orders written range-clustered on o_custkey, a
@@ -4999,6 +5018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_pruned_read": q_manifest_pruned_read,
         "bpe_merges": q_bpe_merges,
         "bpe_segment": q_bpe_segment,
+        "kmv_distinct": q_kmv_distinct,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -6280,6 +6300,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
                    CAST(SUM(cents) AS BIGINT) AS sum_cents
             FROM final GROUP BY o_custkey
+        """,
+        "kmv_distinct": """
+            WITH h AS (
+                SELECT DISTINCT c_mktsegment AS seg,
+                       CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12)
+                            AS BIGINT) AS h
+                FROM customer WHERE c_custkey IS NOT NULL
+            ), sk AS (
+                SELECT seg, list_slice(list(h ORDER BY h), 1, 16) AS hs
+                FROM h GROUP BY seg
+            )
+            SELECT seg AS c_mktsegment,
+                   CAST(len(hs) AS INT) AS n_hashes,
+                   CASE WHEN len(hs) < 16 THEN CAST(len(hs) AS DOUBLE)
+                        ELSE CAST(15 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
+                             / CAST(hs[16] AS DOUBLE) END AS est_distinct
+            FROM sk
         """,
         "bloom_prune": """
             WITH bp AS (

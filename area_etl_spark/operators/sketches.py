@@ -191,3 +191,75 @@ def cms_heavy_hitters(
     cands = df.where(F.col(key_col).isNotNull()).select(key_col).distinct()
     est = cms_estimate(sketch, cands, key_col, width, depth)
     return est.where(F.col("est") >= threshold)
+
+
+def kmv_sketch(
+    df: DataFrame, group_cols: list[str], key_col: str, k: int = 64
+) -> DataFrame:
+    """KMV (bottom-k / k-minimum-values) distinct sketch per group: the k
+    smallest 48-bit md5 hashes of the key.  Unlike HLL the sketch is a
+    DETERMINISTIC function of the key set — so estimates reproduce across
+    engines/partitionings (fully oracle-checkable) — and it supports set
+    algebra: union = merge+re-bottom-k (``kmv_merge``), Jaccard between
+    sketches estimates intersection sizes.
+
+    Shape: one (group, hash) dedup aggregate (map-side combined), then a
+    per-group collect bounded by the group's DISTINCT count — for hot
+    groups pre-prune with ``where(hash < t)`` for any threshold t that
+    keeps ≥ k survivors; pruning below t never changes the bottom-k, so
+    the knob affects cost, not the result.  Returns (group..., hashes
+    array<long> ascending, ≤ k long).
+    """
+    h = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("_h")
+    )
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(*group_cols, h)
+        .groupBy(*group_cols, "_h")
+        .agg(F.lit(1).alias("_one"))
+        .groupBy(*group_cols)
+        .agg(
+            F.slice(F.array_sort(F.collect_list("_h")), 1, k).alias("hashes")
+        )
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Union two KMV sketches group-wise: concat, dedup, re-bottom-k —
+    all array expressions, no explode, no extra shuffle beyond the join.
+    bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)), so merging
+    sketches IS sketching the union (the mergeability the pytest proves).
+    Groups present on one side pass through unchanged."""
+    a2 = a.withColumnRenamed("hashes", "_ha")
+    b2 = b.withColumnRenamed("hashes", "_hb")
+    empty = F.array().cast("array<long>")
+    merged = F.slice(
+        F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    F.coalesce("_ha", empty), F.coalesce("_hb", empty)
+                )
+            )
+        ),
+        1,
+        k,
+    )
+    return a2.join(b2, group_cols, "full_outer").select(
+        *group_cols, merged.alias("hashes")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
+    """Distinct-count estimate per group: if the sketch holds fewer than k
+    hashes the count is EXACT (= size); otherwise (k-1) · 2^48 / h_k.
+    Pure narrow projection; the division is IEEE double, identical in
+    every engine given identical operands — which KMV guarantees."""
+    n = F.size("hashes")
+    hk = F.element_at("hashes", k).cast("double")
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(281474976710656.0) / hk
+    )
+    return sketch.withColumn("est_distinct", est)

@@ -1863,3 +1863,33 @@ def test_train_bpe_merges_stops_when_no_pairs_remain(spark):
     got = train_bpe_merges(docs, num_merges=10).collect()
     # only (a,b) exists; after merging it every word is a single symbol
     assert len(got) == 1 and (got[0].left, got[0].right) == ("a", "b")
+
+
+def test_kmv_sketch_merge_and_exact_small_groups(spark):
+    from area_etl_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        (F.col("id") % 3777).alias("key"),
+    )
+    sk = kmv_sketch(df, ["g"], "key", k=64)
+    est = kmv_estimate(sk, 64).collect()
+    for r in est:
+        assert abs(r.est_distinct - 3777) / 3777 < 0.25  # ~1/sqrt(k) error
+    # sketch-of-union == merge-of-sketches (mergeability)
+    s1 = kmv_sketch(df.where(F.col("key") < 2000), ["g"], "key", 64)
+    s2 = kmv_sketch(df.where(F.col("key") >= 2000), ["g"], "key", 64)
+    merged = kmv_merge(s1, s2, ["g"], 64)
+    whole = kmv_sketch(df, ["g"], "key", 64)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+    # groups with < k distinct keys estimate EXACTLY
+    small = spark.createDataFrame(
+        [("a", i) for i in range(10)], "g string, key long"
+    )
+    r = kmv_estimate(kmv_sketch(small, ["g"], "key", 64), 64).collect()[0]
+    assert r.est_distinct == 10.0
