@@ -4796,6 +4796,30 @@ def q_kmv_distinct(spark, sf_dir):
     )
 
 
+def q_l_diversity(spark, sf_dir):
+    """l-diversity privacy gate over orders: per (orderpriority,
+    orderstatus) class, distinct customers — a k-anonymous class whose
+    members share one sensitive value still leaks it."""
+    from area_etl_spark.operators.quality import l_diversity
+
+    return l_diversity(
+        _tables(spark, sf_dir)["orders"],
+        ["o_orderpriority", "o_orderstatus"],
+        "o_custkey",
+        l=5,
+    )
+
+
+def q_kmv_overlap(spark, sf_dir):
+    """Audience-overlap matrix from KMV sketches: pairwise Jaccard of
+    user sets between event types, computed entirely from bottom-16
+    sketches — never re-reading events."""
+    from area_etl_spark.operators.sketches import kmv_pairwise_jaccard, kmv_sketch
+
+    sk = kmv_sketch(_tables(spark, sf_dir)["events"], ["event_type"], "user_id", k=16)
+    return kmv_pairwise_jaccard(sk, "event_type", 16)
+
+
 def q_manifest_pruned_read(spark, sf_dir):
     """Manifest-driven file skipping (Iceberg-style data skipping without
     the table format): orders written range-clustered on o_custkey, a
@@ -5019,6 +5043,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_segment": q_bpe_segment,
         "kmv_distinct": q_kmv_distinct,
+        "l_diversity": q_l_diversity,
+        "kmv_overlap": q_kmv_overlap,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -6317,6 +6343,38 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(15 AS DOUBLE) * CAST(281474976710656 AS DOUBLE)
                              / CAST(hs[16] AS DOUBLE) END AS est_distinct
             FROM sk
+        """,
+        "l_diversity": """
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS class_size,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_sensitive,
+                   COUNT(DISTINCT o_custkey) >= 5 AS is_l_diverse
+            FROM orders GROUP BY 1, 2
+        """,
+        "kmv_overlap": """
+            WITH h AS (
+                SELECT DISTINCT event_type AS seg,
+                       CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)
+                            AS BIGINT) AS h
+                FROM events WHERE user_id IS NOT NULL
+            ), sk AS (
+                SELECT seg, list_slice(list(h ORDER BY h), 1, 16) AS hs
+                FROM h GROUP BY seg
+            ), p AS (
+                SELECT s1.seg AS g1, s1.hs AS ha, s2.seg AS g2, s2.hs AS hb
+                FROM sk s1, sk s2 WHERE s1.seg < s2.seg
+            ), c AS (
+                SELECT g1, g2, ha, hb,
+                       list_slice(list_sort(list_distinct(ha || hb)), 1, 16) AS u
+                FROM p
+            )
+            SELECT g1, g2,
+                   CAST(len(u) AS INT) AS k_used,
+                   CAST(len(list_intersect(list_intersect(u, ha), hb)) AS INT)
+                       AS n_shared,
+                   CAST(len(list_intersect(list_intersect(u, ha), hb)) AS DOUBLE)
+                       / CAST(len(u) AS DOUBLE) AS jaccard
+            FROM c
         """,
         "bloom_prune": """
             WITH bp AS (

@@ -299,6 +299,31 @@ def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int) -> DataFrame:
     )
 
 
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int,
+) -> DataFrame:
+    """Per quasi-identifier equivalence class: the number of DISTINCT
+    sensitive values and whether it meets l-diversity — the k-anonymity
+    companion gate (a k-anonymous class whose members all share one
+    diagnosis still leaks it; distinct-l-diversity requires ≥ l distinct
+    sensitive values per class).
+
+    One countDistinct aggregate — Spark plans it as the two-stage
+    expand/partial path, map-side combined; NULL sensitive values do not
+    count toward diversity (they reveal nothing), NULL quasi-values form
+    their own class like ``k_anonymity``.  Join back on the quasi columns
+    to suppress or generalize failing classes.
+    """
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct(sensitive_col).alias("n_sensitive"),
+        (F.countDistinct(sensitive_col) >= F.lit(l)).alias("is_l_diverse"),
+    )
+
+
 def gini_coefficient(
     df: DataFrame, keys: list[str], value_col, *, out_col: str = "gini"
 ) -> DataFrame:

@@ -263,3 +263,33 @@ def kmv_estimate(sketch: DataFrame, k: int) -> DataFrame:
         F.lit(float(k - 1)) * F.lit(281474976710656.0) / hk
     )
     return sketch.withColumn("est_distinct", est)
+
+
+def kmv_pairwise_jaccard(
+    sketch: DataFrame, group_col: str, k: int
+) -> DataFrame:
+    """All-pairs set overlap between groups, straight from their KMV
+    sketches — the audience-overlap matrix (users shared between any two
+    segments/event types) WITHOUT re-reading data: ρ = |bottom-k(A∪B) ∩ A
+    ∩ B| / |bottom-k(A∪B)| estimates Jaccard, deterministic given md5.
+
+    The self-join is |groups|² over sketch rows of k longs each —
+    broadcast-tiny for the ≤thousands of groups this is for (the pairwise
+    matrix itself is the quadratic object; compute it from sketches, not
+    from data).  Pairs are emitted once (g1 < g2).
+    """
+    a = sketch.select(F.col(group_col).alias("g1"), F.col("hashes").alias("_ha"))
+    b = sketch.select(F.col(group_col).alias("g2"), F.col("hashes").alias("_hb"))
+    pairs = a.join(F.broadcast(b), F.col("g1") < F.col("g2"))
+    union_k = F.slice(
+        F.array_sort(F.array_distinct(F.concat("_ha", "_hb"))), 1, k
+    )
+    shared = F.size(F.array_intersect(F.array_intersect(union_k, "_ha"), "_hb"))
+    k_used = F.size(union_k)
+    return pairs.select(
+        "g1",
+        "g2",
+        k_used.alias("k_used"),
+        shared.alias("n_shared"),
+        (shared.cast("double") / k_used.cast("double")).alias("jaccard"),
+    )

@@ -1893,3 +1893,31 @@ def test_kmv_sketch_merge_and_exact_small_groups(spark):
     )
     r = kmv_estimate(kmv_sketch(small, ["g"], "key", 64), 64).collect()[0]
     assert r.est_distinct == 10.0
+
+
+def test_l_diversity_flags_uniform_sensitive_class(spark):
+    from area_etl_spark.operators.quality import l_diversity
+
+    df = spark.createDataFrame(
+        [("a", 1, "flu"), ("a", 2, "flu"), ("a", 3, "flu"),
+         ("b", 4, "flu"), ("b", 5, "cold"), ("b", 6, None)],
+        "zip string, id long, dx string",
+    )
+    out = {r.zip: (r.class_size, r.n_sensitive, r.is_l_diverse)
+           for r in l_diversity(df, ["zip"], "dx", l=2).collect()}
+    # class a is 3-anonymous but 1-diverse → leaks; NULL adds no diversity
+    assert out["a"] == (3, 1, False)
+    assert out["b"] == (3, 2, True)
+
+
+def test_kmv_pairwise_jaccard_disjoint_and_identical(spark):
+    from area_etl_spark.operators.sketches import kmv_pairwise_jaccard, kmv_sketch
+
+    rows = [("a", i) for i in range(200)] + [("b", i) for i in range(200)] \
+        + [("c", i + 1000) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, key long")
+    sk = kmv_sketch(df, ["g"], "key", k=32)
+    out = {(r.g1, r.g2): r for r in kmv_pairwise_jaccard(sk, "g", 32).collect()}
+    assert out[("a", "b")].jaccard == 1.0      # identical sets
+    assert out[("a", "c")].jaccard == 0.0      # disjoint sets
+    assert out[("b", "c")].n_shared == 0
