@@ -4820,6 +4820,17 @@ def q_kmv_overlap(spark, sf_dir):
     return kmv_pairwise_jaccard(sk, "event_type", 16)
 
 
+def q_compression_ratio(spark, sf_dir):
+    """zlib compression ratio per document (mapInPandas, Arrow-batched
+    stdlib zlib — the one text signal that genuinely needs Python).
+    Rows-only driver check BY DESIGN: zlib output is deterministic per
+    build but not contractually identical across zlib versions, so the
+    value oracle is the pytest on known strings, not cross-engine SQL."""
+    from area_etl_spark.operators.text_analysis import compression_ratio
+
+    return compression_ratio(_tables(spark, sf_dir)["documents"])
+
+
 def q_manifest_pruned_read(spark, sf_dir):
     """Manifest-driven file skipping (Iceberg-style data skipping without
     the table format): orders written range-clustered on o_custkey, a
@@ -5045,6 +5056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct": q_kmv_distinct,
         "l_diversity": q_l_diversity,
         "kmv_overlap": q_kmv_overlap,
+        "compression_ratio": q_compression_ratio,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,

@@ -598,3 +598,54 @@ def collocations_by_lift(
     return scored.orderBy(
         F.col("lift").desc(), F.col("n_pair").desc(), "w1", "w2"
     ).limit(top_k)
+
+
+def compression_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression ratio per document — the classic cheap quality /
+    repetition signal real LLM corpus filters pair with model-based
+    scores (highly repetitive or templated text compresses far below
+    natural prose; random noise barely compresses at all).
+
+    This is the one text operator that legitimately needs Python (no
+    DEFLATE in SQL engines), so it runs the fast Python path:
+    Arrow-batched ``mapInPandas`` (never row-at-a-time ``F.udf``), stdlib
+    zlib, one narrow pass, batch size bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``.  zlib output for a
+    given (input, level) is deterministic for the bundled zlib, but is
+    NOT guaranteed identical across zlib builds — so this ships with a
+    pytest oracle on known strings rather than a cross-engine SQL oracle
+    (and the driver gate checks rows/schema only).
+
+    Returns (id, n_bytes, n_compressed, ratio) — ratio = compressed /
+    original, lower = more repetitive; empty/NULL text yields ratio 1.0.
+    """
+    import zlib
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            n = raw.str.len()
+            comp = raw.map(lambda b: len(zlib.compress(b, level)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n.astype("int64"),
+                    "n_compressed": comp.astype("int64"),
+                    "ratio": (
+                        comp / n.where(n > 0, other=pd.NA)
+                    ).fillna(1.0).astype("float64"),
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        score, schema=f"{id_col} long, n_bytes long, n_compressed long, ratio double"
+    )

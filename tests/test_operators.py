@@ -1921,3 +1921,21 @@ def test_kmv_pairwise_jaccard_disjoint_and_identical(spark):
     assert out[("a", "b")].jaccard == 1.0      # identical sets
     assert out[("a", "c")].jaccard == 0.0      # disjoint sets
     assert out[("b", "c")].n_shared == 0
+
+
+def test_compression_ratio_separates_repetitive_from_natural(spark):
+    import zlib
+
+    from area_etl_spark.operators.text_analysis import compression_ratio
+
+    spam = "spam " * 500
+    prose = "The quick brown fox jumps over the lazy dog. " * 10
+    docs = spark.createDataFrame(
+        [(1, spam), (2, prose), (3, ""), (4, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in compression_ratio(docs).collect()}
+    # exact agreement with driver-side zlib at the same level
+    assert out[1].n_compressed == len(zlib.compress(spam.encode(), 6))
+    assert out[2].n_compressed == len(zlib.compress(prose.encode(), 6))
+    assert out[1].ratio < 0.05 < out[2].ratio < 0.5
+    assert out[3].ratio == 1.0 and out[4].ratio == 1.0
