@@ -4831,6 +4831,29 @@ def q_compression_ratio(spark, sf_dir):
     return compression_ratio(_tables(spark, sf_dir)["documents"])
 
 
+def q_repair_monotonic(spark, sf_dir):
+    """Device-clock repair: per-user timestamps clamped non-decreasing in
+    event_id (ingest) order — running max over one window sort."""
+    from area_etl_spark.operators.telemetry import repair_monotonic
+
+    ev = _tables(spark, sf_dir)["events"].select("user_id", "event_id", "ts")
+    return repair_monotonic(ev, ["user_id"], "ts", "event_id").select(
+        "user_id", "event_id", "ts_repaired", "was_reordered"
+    )
+
+
+def q_counter_increase(spark, sf_dir):
+    """Prometheus increase() semantics: per-user total increase of the
+    value-cents series in time order, counter resets (negative deltas)
+    contributing their post-reset value — exact integers end to end."""
+    from area_etl_spark.operators.telemetry import counter_increase
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return counter_increase(ev, ["user_id"], "ts", "cents")
+
+
 def q_manifest_pruned_read(spark, sf_dir):
     """Manifest-driven file skipping (Iceberg-style data skipping without
     the table format): orders written range-clustered on o_custkey, a
@@ -5057,6 +5080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity": q_l_diversity,
         "kmv_overlap": q_kmv_overlap,
         "compression_ratio": q_compression_ratio,
+        "repair_monotonic": q_repair_monotonic,
+        "counter_increase": q_counter_increase,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -6387,6 +6412,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_intersect(list_intersect(u, ha), hb)) AS DOUBLE)
                        / CAST(len(u) AS DOUBLE) AS jaccard
             FROM c
+        """,
+        "repair_monotonic": """
+            SELECT user_id, event_id,
+                   max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS ts_repaired,
+                   max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       <> ts AS was_reordered
+            FROM events
+        """,
+        "counter_increase": """
+            WITH s AS (
+                SELECT user_id,
+                       CAST(round(value * 100) AS BIGINT) AS cents,
+                       lag(CAST(round(value * 100) AS BIGINT)) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, CAST(round(value * 100) AS BIGINT)
+                       ) AS prev
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_samples,
+                   CAST(SUM(CASE WHEN prev IS NOT NULL AND cents < prev
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+                   CAST(SUM(CASE WHEN prev IS NULL THEN 0
+                                 WHEN cents >= prev THEN cents - prev
+                                 ELSE cents END) AS BIGINT) AS total_increase
+            FROM s GROUP BY user_id
         """,
         "bloom_prune": """
             WITH bp AS (

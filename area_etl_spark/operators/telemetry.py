@@ -1,0 +1,84 @@
+"""Telemetry / sensor-stream repair and rate operators.
+
+The observability trio every metrics pipeline (Prometheus, M3,
+monitoring warehouses) reimplements, expressed as one-shuffle window
+plans over exact integer arithmetic:
+
+- ``repair_monotonic`` — clamp out-of-order timestamps to the running
+  max per series (device clocks jump backwards; downstream
+  sessionization and as-of joins require non-decreasing time);
+- ``counter_increase`` — Prometheus ``increase()`` semantics over a
+  monotonic counter with reset detection (delta < 0 means the process
+  restarted: the post-reset raw value IS the increase).
+
+(TWAP, the third of the trio, already lives at entry
+``q_time_weighted_avg`` / SURVEY 31j.)
+
+Both share the same physical shape: ONE shuffle (the per-key window
+sort), then narrow exact-integer arithmetic — no floats anywhere, so
+results are engine-portable.  Per-key partitions are bounded by events-per-series —
+series with unbounded history should be windowed by day/session first,
+the same bound every TSDB imposes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def repair_monotonic(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    seq_col: str,
+    out_col: str = "ts_repaired",
+) -> DataFrame:
+    """Clamp each series' timestamps to be non-decreasing in arrival
+    order (``seq_col``, a unique ingest sequence): out = running max of
+    the timestamp over the seq-ordered frame.  Adds ``out_col`` and a
+    ``was_reordered`` flag; original columns pass through untouched.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(seq_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fixed = F.max(ts_col).over(w)
+    return df.withColumn(out_col, fixed).withColumn(
+        "was_reordered", F.col(out_col) != F.col(ts_col)
+    )
+
+
+def counter_increase(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-series total increase of a monotonic counter with Prometheus
+    reset semantics: per consecutive pair (ordered by ``ts_col``), the
+    increase is ``cur - prev`` if non-negative, else ``cur`` (a reset
+    zeroed the counter, so everything seen after the restart counts).
+    The first observation contributes nothing (its pre-history is
+    unknown).  Returns (key..., n_samples, n_resets, total_increase) —
+    all exact integers.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, value_col)
+    prev = F.lag(value_col).over(w)
+    inc = F.when(prev.isNull(), F.lit(0)).otherwise(
+        F.when(F.col(value_col) >= prev, F.col(value_col) - prev).otherwise(
+            F.col(value_col)
+        )
+    )
+    reset = F.when(prev.isNotNull() & (F.col(value_col) < prev), 1).otherwise(0)
+    return (
+        df.select(*key_cols, F.col(ts_col), F.col(value_col))
+        .select(*key_cols, inc.alias("_inc"), F.lit(1).alias("_one"), reset.alias("_r"))
+        .groupBy(*key_cols)
+        .agg(
+            F.sum("_one").alias("n_samples"),
+            F.sum("_r").alias("n_resets"),
+            F.sum("_inc").alias("total_increase"),
+        )
+    )

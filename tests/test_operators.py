@@ -1939,3 +1939,29 @@ def test_compression_ratio_separates_repetitive_from_natural(spark):
     assert out[2].n_compressed == len(zlib.compress(prose.encode(), 6))
     assert out[1].ratio < 0.05 < out[2].ratio < 0.5
     assert out[3].ratio == 1.0 and out[4].ratio == 1.0
+
+
+def test_repair_monotonic_clamps_backwards_clock(spark):
+    from area_etl_spark.operators.telemetry import repair_monotonic
+
+    rows = [("d1", 1, 100), ("d1", 2, 90), ("d1", 3, 110), ("d2", 4, 50)]
+    df = spark.createDataFrame(rows, "dev string, seq long, ts long")
+    out = {r.seq: (r.ts_repaired, r.was_reordered)
+           for r in repair_monotonic(df, ["dev"], "ts", "seq").collect()}
+    assert out[1] == (100, False)
+    assert out[2] == (100, True)   # clock jumped back → clamped
+    assert out[3] == (110, False)
+    assert out[4] == (50, False)
+
+
+def test_counter_increase_handles_resets(spark):
+    from area_etl_spark.operators.telemetry import counter_increase
+
+    # counter: 10 → 25 → 3 (reset) → 8  ⇒ increase = 15 + 3 + 5 = 23
+    rows = [("c", 1, 10), ("c", 2, 25), ("c", 3, 3), ("c", 4, 8),
+            ("d", 1, 100)]
+    df = spark.createDataFrame(rows, "k string, ts long, v long")
+    out = {r.k: (r.n_samples, r.n_resets, r.total_increase)
+           for r in counter_increase(df, ["k"], "ts", "v").collect()}
+    assert out["c"] == (4, 1, 23)
+    assert out["d"] == (1, 0, 0)   # single sample: no elapsed increase
