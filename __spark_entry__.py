@@ -4854,6 +4854,21 @@ def q_counter_increase(spark, sf_dir):
     return counter_increase(ev, ["user_id"], "ts", "cents")
 
 
+def q_diff_in_diff(spark, sf_dir):
+    """DiD causal estimate on events: even user_ids "treated", the second
+    half of the observed window "post" — four exact DECIMAL(38,0) cell
+    sums in one pass, means and the interaction evaluated once in
+    doubles."""
+    from area_etl_spark.operators.experiments import diff_in_diff
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        (F.col("user_id") % 2 == 0).alias("treat"),
+        (F.col("ts") >= F.lit("2024-02-01").cast("timestamp")).alias("post"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return diff_in_diff(ev, "treat", "post", "cents")
+
+
 def q_manifest_pruned_read(spark, sf_dir):
     """Manifest-driven file skipping (Iceberg-style data skipping without
     the table format): orders written range-clustered on o_custkey, a
@@ -5082,6 +5097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio": q_compression_ratio,
         "repair_monotonic": q_repair_monotonic,
         "counter_increase": q_counter_increase,
+        "diff_in_diff": q_diff_in_diff,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -6441,6 +6457,35 @@ def oracle_sql() -> dict[str, str]:
                                  WHEN cents >= prev THEN cents - prev
                                  ELSE cents END) AS BIGINT) AS total_increase
             FROM s GROUP BY user_id
+        """,
+        "diff_in_diff": """
+            WITH c AS (
+                SELECT (user_id % 2 = 0) AS treat,
+                       (ts >= TIMESTAMP '2024-02-01') AS post,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+            ), agg AS (
+                SELECT
+                    CAST(SUM(CASE WHEN treat AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+                    CAST(SUM(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+                    CAST(SUM(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+                    CAST(SUM(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre,
+                    SUM(CASE WHEN treat AND post THEN cents ELSE 0 END) AS s_t_post,
+                    SUM(CASE WHEN treat AND NOT post THEN cents ELSE 0 END) AS s_t_pre,
+                    SUM(CASE WHEN NOT treat AND post THEN cents ELSE 0 END) AS s_c_post,
+                    SUM(CASE WHEN NOT treat AND NOT post THEN cents ELSE 0 END) AS s_c_pre
+                FROM c
+            )
+            SELECT n_t_post, n_t_pre, n_c_post, n_c_pre,
+                   round(CAST(s_t_post AS DOUBLE) / n_t_post, 9) + 0.0 AS mean_t_post,
+                   round(CAST(s_t_pre AS DOUBLE) / n_t_pre, 9) + 0.0 AS mean_t_pre,
+                   round(CAST(s_c_post AS DOUBLE) / n_c_post, 9) + 0.0 AS mean_c_post,
+                   round(CAST(s_c_pre AS DOUBLE) / n_c_pre, 9) + 0.0 AS mean_c_pre,
+                   round((CAST(s_t_post AS DOUBLE) / n_t_post
+                          - CAST(s_t_pre AS DOUBLE) / n_t_pre)
+                         - (CAST(s_c_post AS DOUBLE) / n_c_post
+                            - CAST(s_c_pre AS DOUBLE) / n_c_pre), 9) + 0.0 AS did
+            FROM agg
         """,
         "bloom_prune": """
             WITH bp AS (

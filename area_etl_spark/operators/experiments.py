@@ -251,3 +251,52 @@ def standardized_rates(
             "adjusted_rate"
         ),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treat_col: str,
+    post_col: str,
+    value_col: str,
+    digits: int = 9,
+) -> DataFrame:
+    """Difference-in-differences estimator: (treated post − treated pre)
+    − (control post − control pre) — the workhorse causal estimate for a
+    rollout with a pre-period, equivalent to the interaction coefficient
+    of OLS on treat×post.
+
+    ``value_col`` must be integer (pre-scale money to cents): the four
+    cell sums aggregate exactly as DECIMAL(38,0) in ONE map-side-combined
+    pass (conditional sums, no 4-way shuffle), the four means and their
+    differences evaluate once in doubles — deterministic under any
+    partitioning and engine.  Returns one row with the four cell
+    (n, mean) pairs and the DiD estimate; NULL estimate if any cell is
+    empty (the design is unidentified without all four).
+    """
+    t = F.col(treat_col).cast("boolean")
+    p = F.col(post_col).cast("boolean")
+    v = F.col(value_col).cast("decimal(38,0)")
+    cells = {}
+    for name, cond in [
+        ("t_post", t & p),
+        ("t_pre", t & ~p),
+        ("c_post", ~t & p),
+        ("c_pre", ~t & ~p),
+    ]:
+        cells[f"n_{name}"] = F.sum(F.when(cond, 1).otherwise(0)).alias(f"n_{name}")
+        cells[f"s_{name}"] = F.sum(F.when(cond, v).otherwise(F.lit(0).cast("decimal(38,0)"))).alias(f"s_{name}")
+    agg = df.agg(*cells.values())
+
+    def mean(name):
+        return F.when(
+            F.col(f"n_{name}") > 0,
+            F.col(f"s_{name}").cast("double") / F.col(f"n_{name}").cast("double"),
+        )
+
+    did = (mean("t_post") - mean("t_pre")) - (mean("c_post") - mean("c_pre"))
+    out = [F.col(f"n_{n}") for n in ["t_post", "t_pre", "c_post", "c_pre"]]
+    out += [
+        (F.round(mean(n), digits) + F.lit(0.0)).alias(f"mean_{n}")
+        for n in ["t_post", "t_pre", "c_post", "c_pre"]
+    ]
+    return agg.select(*out, (F.round(did, digits) + F.lit(0.0)).alias("did"))

@@ -486,3 +486,29 @@ def read_versioned(
     if v is None:
         raise FileNotFoundError(f"no published version at {table_dir}")
     return spark.read.format(fmt).load(os.path.join(table_dir, f"v={v}"))
+
+
+def load_with_observation(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, object],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> dict:
+    """Write ``df`` and collect named aggregate metrics IN THE SAME PASS
+    via Spark's Observation API (CollectMetrics) — the zero-extra-scan way
+    to record load audit numbers (row counts, null counts, sums) that a
+    separate ``df.agg`` would re-read 100 TB to produce.
+
+    ``metrics`` maps metric name → aggregate Column; returns the observed
+    values as a plain dict after the write job finishes.  Use for the
+    audit row every load writes next to its data (rows_written,
+    nulls_in_key, total_cents) — contracts (plans/contracts.py) remain the
+    gate for hard failures; this is the cheap always-on telemetry.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("load_metrics")
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    observed.write.mode(mode).format(fmt).save(path)
+    return dict(obs.get)

@@ -103,3 +103,25 @@ def stream_stream_join(
             p["purchase_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {within}"),
         ],
     ).select(join_key, "click_id", "click_ts", "purchase_id", "purchase_ts")
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the stream joins
+    a STATIC dimension (broadcast — the dim must be dimension-sized; a big
+    static side would shuffle every micro-batch).  The static side is
+    re-planned per batch, so an overwritten dim parquet is picked up on
+    the next micro-batch without restarting the query — the cheap way to
+    keep slowly-changing enrichment current; for point-in-time correctness
+    against a fast-changing dim use the SCD2 streaming sink instead.
+
+    Stateless (no watermark needed): unlike stream-stream joins this holds
+    ZERO state — the canonical fact-stream × dim-table shape.
+    """
+    from pyspark.sql.functions import broadcast
+
+    return stream.join(broadcast(dim), on, how)

@@ -1965,3 +1965,19 @@ def test_counter_increase_handles_resets(spark):
            for r in counter_increase(df, ["k"], "ts", "v").collect()}
     assert out["c"] == (4, 1, 23)
     assert out["d"] == (1, 0, 0)   # single sample: no elapsed increase
+
+
+def test_diff_in_diff_recovers_planted_effect(spark):
+    from area_etl_spark.operators.experiments import diff_in_diff
+
+    # control: 100 pre / 110 post (trend +10); treated: 200 pre / 240 post
+    # (trend +10 plus a +30 treatment effect)
+    rows = (
+        [(False, False, 100)] * 50 + [(False, True, 110)] * 50
+        + [(True, False, 200)] * 50 + [(True, True, 240)] * 50
+    )
+    df = spark.createDataFrame(rows, "treat boolean, post boolean, v long")
+    r = diff_in_diff(df, "treat", "post", "v").collect()[0]
+    assert r.did == 30.0
+    assert (r.n_t_post, r.n_t_pre, r.n_c_post, r.n_c_pre) == (50, 50, 50, 50)
+    assert r.mean_c_post == 110.0 and r.mean_t_pre == 200.0

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from area_etl_spark.sources.extract import extract_csv, extract_sql
 from area_etl_spark.sources.load import export_csv, load_append, read_back, reload_overwrite
 
@@ -222,3 +224,28 @@ def test_versioned_merge_cycle_integration(spark, tmp_path):
     now = {r.k: r.v for r in read_versioned(spark, t).collect()}
     assert now == {1: 10, 2: 99, 4: 40}
     assert pinned.count() == 3  # old snapshot intact for pinned readers
+
+
+def test_load_with_observation_single_pass_metrics(spark, tables, tmp_path):
+    from area_etl_spark.sources.load import load_with_observation
+
+    src = tables["orders"].select("o_orderkey", "o_custkey", "o_totalprice")
+    path = str(tmp_path / "observed")
+    got = load_with_observation(
+        src,
+        path,
+        {
+            "rows_written": F.count(F.lit(1)),
+            "null_custkeys": F.sum(F.col("o_custkey").isNull().cast("long")),
+            "total_cents": F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ),
+        },
+    )
+    n = src.count()
+    assert got["rows_written"] == n
+    assert got["null_custkeys"] == 0
+    assert got["total_cents"] == src.agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+    ).collect()[0][0]
+    assert spark.read.parquet(path).count() == n

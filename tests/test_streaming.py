@@ -386,3 +386,24 @@ def test_expectation_monitor_appends_per_batch_reports(spark, tmp_path):
     out = {r.batch_id: r for r in spark.read.parquet(rep).collect()}
     assert out[0].ok and out[0].observed == 5.0
     assert not out[1].ok and out[1].observed == -3.0
+
+
+def test_stream_static_enrich_matches_batch_join(spark, tables, tmp_path):
+    from area_etl_spark.streaming.event_stream import stream_static_enrich
+
+    src_dir = str(tmp_path / "enrich_src")
+    ev = tables["events"].select("event_id", "user_id", "ts", "value").limit(500)
+    ev.write.parquet(src_dir)
+    dim = tables["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    _run_to_memory(
+        stream_static_enrich(stream, dim, "user_id"), "enrich_stream_test"
+    )
+    got = spark.table("enrich_stream_test")
+    want = ev.join(dim, "user_id", "left")
+    assert got.count() == 500
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # stateless: enriched rows carry the dim column where the key matches
+    assert got.where(F.col("c_mktsegment").isNotNull()).count() > 0
