@@ -4869,6 +4869,21 @@ def q_diff_in_diff(spark, sf_dir):
     return diff_in_diff(ev, "treat", "post", "cents")
 
 
+def q_select_under_budget(spark, sf_dir):
+    """Quality-first corpus selection under a 50k-token budget: documents
+    ranked by whitespace token count (unique doc_id tie-break), kept while
+    the GLOBAL running total fits — computed via the dense_ids range-
+    shuffle + driver-prefix-sum recipe, never a single-partition window."""
+    from area_etl_spark.operators.sampling import select_under_budget
+
+    docs = _tables(spark, sf_dir)["documents"].select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    out = select_under_budget(docs, "n_tokens", "n_tokens", 50000, "doc_id")
+    return out.select("doc_id", "n_tokens", "cum_tokens")
+
+
 def q_manifest_pruned_read(spark, sf_dir):
     """Manifest-driven file skipping (Iceberg-style data skipping without
     the table format): orders written range-clustered on o_custkey, a
@@ -5098,6 +5113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repair_monotonic": q_repair_monotonic,
         "counter_increase": q_counter_increase,
         "diff_in_diff": q_diff_in_diff,
+        "select_under_budget": q_select_under_budget,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -6486,6 +6502,22 @@ def oracle_sql() -> dict[str, str]:
                          - (CAST(s_c_post AS DOUBLE) / n_c_post
                             - CAST(s_c_pre AS DOUBLE) / n_c_pre), 9) + 0.0 AS did
             FROM agg
+        """,
+        "select_under_budget": """
+            WITH d AS (
+                SELECT doc_id,
+                       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS cum_tokens
+                FROM d
+            )
+            SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM c WHERE cum_tokens <= 50000
         """,
         "bloom_prune": """
             WITH bp AS (

@@ -16,7 +16,7 @@ hash prefix falls under the threshold.  Properties that matter at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -382,4 +382,73 @@ def balance_classes(
         .crossJoin(F.broadcast(min_n))
         .where(F.col("_rn") <= F.col("_min_n"))
         .drop("_rn", "_min_n")
+    )
+
+
+def select_under_budget(
+    df: DataFrame,
+    score_col: str,
+    tokens_col: str,
+    budget: int,
+    id_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy data selection under a token budget: take documents in
+    descending ``score_col`` order (ties broken by ``id_col``) while the
+    running token total stays ≤ ``budget`` — the "best N tokens" corpus
+    curation step (quality-first selection for a fixed training budget).
+
+    The running total is a GLOBAL cumulative sum, computed with the
+    ``dense_ids`` recipe instead of the single-partition window the naive
+    ``SUM() OVER (ORDER BY ...)`` plans: range-repartition on the order
+    key, per-partition token sums (one tiny aggregate), driver prefix-sum
+    over O(partitions) longs folded back as a plan literal, then a
+    partition-local cumulative window.  Identical result to the global
+    window — which is exactly what the SQL oracle replays — with the heavy
+    data crossing ONE range shuffle.  The partitioning is pinned with an
+    eager localCheckpoint (same AQE-resampling caveat as ``dense_ids``).
+
+    Returns the selected rows plus ``cum_tokens`` (running total including
+    the row).  A document larger than the remaining budget is skipped and
+    selection CONTINUES past it only if a later doc still fits the prefix
+    rule — i.e. strict prefix semantics: a row is kept iff its inclusive
+    running total fits, matching the SQL-window formulation.
+    """
+    parts_src = df.withColumn("_negs", -F.col(score_col))
+    order = [F.col("_negs"), F.col(id_col)]
+    parts = (
+        parts_src.repartitionByRange(num_partitions, *order)
+        if num_partitions
+        else parts_src.repartitionByRange(*order)
+    )
+    staged = parts.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+    sums = {
+        r._pid: r.s
+        for r in staged.groupBy("_pid")
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("s"))
+        .collect()
+    }
+    if not sums:
+        return df.withColumn("cum_tokens", F.lit(None).cast("long")).where(F.lit(False))
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid] or 0
+    offset_map = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_negs", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.element_at(offset_map, F.col("_pid")) + F.sum(
+        F.col(tokens_col).cast("long")
+    ).over(w)
+    return (
+        staged.withColumn("cum_tokens", cum.cast("long"))
+        .where(F.col("cum_tokens") <= budget)
+        .drop("_pid", "_negs")
     )

@@ -1981,3 +1981,24 @@ def test_diff_in_diff_recovers_planted_effect(spark):
     assert r.did == 30.0
     assert (r.n_t_post, r.n_t_pre, r.n_c_post, r.n_c_pre) == (50, 50, 50, 50)
     assert r.mean_c_post == 110.0 and r.mean_t_pre == 200.0
+
+
+def test_select_under_budget_matches_global_window(spark):
+    from area_etl_spark.operators.sampling import select_under_budget
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100 + 1) for i in range(500)], "doc_id long, toks long"
+    ).repartition(8)
+    got = select_under_budget(df, "toks", "toks", 2000, "doc_id", num_partitions=4)
+    # reference: single-partition global window
+    rows = sorted(df.collect(), key=lambda r: (-r.toks, r.doc_id))
+    acc, want = 0, {}
+    for r in rows:
+        acc += r.toks
+        if acc <= 2000:
+            want[r.doc_id] = acc
+    gotmap = {r.doc_id: r.cum_tokens for r in got.collect()}
+    assert gotmap == want and len(want) > 0
+    # the plan must not contain a single-partition global sort window
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
