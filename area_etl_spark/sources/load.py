@@ -512,3 +512,99 @@ def load_with_observation(
     observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
     observed.write.mode(mode).format(fmt).save(path)
     return dict(obs.get)
+
+
+def publish_snapshot(
+    tables: dict[str, DataFrame],
+    warehouse_dir: str,
+    fmt: str = "parquet",
+    keep_snapshots: int = 2,
+) -> int:
+    """Atomic MULTI-table publish: write every table's new data, then make
+    them all visible with ONE manifest swap — cross-table consistency that
+    per-table ``write_versioned`` can't give (a reader must never join
+    yesterday's facts to today's dims).
+
+    Layout: ``<wh>/<table>/s=<n>/`` data directories, one
+    ``<wh>/_SNAPSHOT`` file holding the published snapshot number.  The
+    commit is a single ``os.replace`` (POSIX-atomic), after every data
+    write finished — a crash before it leaves only orphan ``s=<n>`` dirs
+    (invisible; swept by the next successful publish); readers that
+    resolved the old number keep reading immutable old directories
+    (snapshot isolation with ``keep_snapshots - 1`` publishes of grace).
+    Single-writer protocol, like every manifest-pointer design without a
+    lock service.  Returns the published snapshot number.
+    """
+    import os
+    import shutil
+
+    os.makedirs(warehouse_dir, exist_ok=True)
+    cur = _read_snapshot_no(warehouse_dir)
+    existing = set()
+    for t in tables:
+        tdir = os.path.join(warehouse_dir, t)
+        if os.path.isdir(tdir):
+            for d in os.listdir(tdir):
+                if d.startswith("s="):
+                    try:
+                        existing.add(int(d[2:]))
+                    except ValueError:
+                        pass
+    new_s = max(existing | ({cur} if cur is not None else {0})) + 1
+    for name, df in tables.items():
+        df.write.mode("overwrite").format(fmt).save(
+            os.path.join(warehouse_dir, name, f"s={new_s}")
+        )
+    tmp = os.path.join(warehouse_dir, "_SNAPSHOT.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(str(new_s))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(warehouse_dir, "_SNAPSHOT"))
+    # GC: keep the newest keep_snapshots PUBLISHED snapshots per table
+    keep = {new_s}
+    published = sorted(
+        [s for s in existing if cur is not None and s <= cur], reverse=True
+    )
+    for s in published:
+        if len(keep) >= keep_snapshots:
+            break
+        keep.add(s)
+    for t in tables:
+        tdir = os.path.join(warehouse_dir, t)
+        if not os.path.isdir(tdir):
+            continue
+        for d in os.listdir(tdir):
+            if d.startswith("s="):
+                try:
+                    v = int(d[2:])
+                except ValueError:
+                    continue
+                if v not in keep:
+                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+    return new_s
+
+
+def _read_snapshot_no(warehouse_dir: str) -> int | None:
+    import os
+
+    p = os.path.join(warehouse_dir, "_SNAPSHOT")
+    if not os.path.exists(p):
+        return None
+    with open(p, encoding="utf-8") as f:
+        return int(f.read().strip())
+
+
+def read_snapshot_table(
+    spark: SparkSession, warehouse_dir: str, table: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Read ``table`` at the currently-published warehouse snapshot.  Two
+    reads in the same snapshot resolution are mutually consistent; pin the
+    number once per job (this helper resolves per call) for multi-table
+    jobs."""
+    import os
+
+    s = _read_snapshot_no(warehouse_dir)
+    if s is None:
+        raise FileNotFoundError(f"no published snapshot in {warehouse_dir}")
+    return spark.read.format(fmt).load(os.path.join(warehouse_dir, table, f"s={s}"))

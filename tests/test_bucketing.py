@@ -261,3 +261,35 @@ def test_read_pruned_opens_file_subset_and_matches_full_scan(spark, tables, tmp_
     empty = read_pruned(spark, manifest, "o_custkey", -50, -10)
     assert empty.count() == 0
     assert empty.schema == spark.read.parquet(path).schema
+
+
+def test_publish_snapshot_cross_table_atomicity(spark, tables, tmp_path):
+    import os
+
+    from area_etl_spark.sources.load import (
+        publish_snapshot,
+        read_snapshot_table,
+    )
+
+    wh = str(tmp_path / "wh")
+    facts1 = tables["orders"].select("o_orderkey").limit(10)
+    dims1 = tables["customer"].select("c_custkey").limit(5)
+    s1 = publish_snapshot({"facts": facts1, "dims": dims1}, wh)
+    assert read_snapshot_table(spark, wh, "facts").count() == 10
+    assert read_snapshot_table(spark, wh, "dims").count() == 5
+
+    # second publish changes BOTH; readers see all-new after one swap
+    s2 = publish_snapshot(
+        {"facts": facts1.limit(7), "dims": dims1.limit(3)}, wh
+    )
+    assert s2 == s1 + 1
+    assert read_snapshot_table(spark, wh, "facts").count() == 7
+    assert read_snapshot_table(spark, wh, "dims").count() == 3
+
+    # crash simulation: data dirs for s=99 exist but manifest untouched →
+    # readers still resolve s2, and the next publish skips past the orphan
+    facts1.limit(1).write.parquet(os.path.join(wh, "facts", "s=99"))
+    assert read_snapshot_table(spark, wh, "facts").count() == 7
+    s3 = publish_snapshot({"facts": facts1, "dims": dims1}, wh)
+    assert s3 == 100  # grows past orphans, never reuses
+    assert read_snapshot_table(spark, wh, "facts").count() == 10
