@@ -345,3 +345,30 @@ def mask_columns(df, policies: dict[str, str], salt: str = "mask-v1"):
             masked = F.lit(None).cast("string")
         out = out.withColumn(col, masked)
     return out
+
+
+def encrypt_column(col, key: str, mode: str = "GCM"):
+    """Reversible column-level encryption via Spark's built-in
+    ``aes_encrypt`` (JVM-side, codegen — no UDF): the step up from
+    :func:`pseudonymize` (one-way) when downstream needs to RECOVER the
+    value with the key — PII vaulting inside an otherwise-open lake table.
+
+    ``mode="GCM"`` (default): random IV per call — semantically secure,
+    but ciphertexts are NON-deterministic (two encryptions of one value
+    differ; never group/join on them).  ``mode="ECB"``: deterministic —
+    equal plaintexts give equal ciphertexts, so the column stays joinable/
+    groupable, at the classic ECB leak (equality patterns are visible).
+    That determinism/leak trade-off is exactly why both modes exist here.
+    Key must be 16/24/32 bytes.  NULL stays NULL.  Returns binary.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aes_encrypt(c.cast("string").cast("binary"), F.lit(key), F.lit(mode))
+
+
+def decrypt_column(col, key: str, mode: str = "GCM"):
+    """Inverse of :func:`encrypt_column` (requires the same key + mode);
+    returns string.  Wrong-key decryption raises in GCM (authenticated)
+    rather than returning garbage — use try_aes_decrypt semantics via
+    ``F.try_aes_decrypt`` if quarantine-not-fail is wanted."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aes_decrypt(c, F.lit(key), F.lit(mode)).cast("string")

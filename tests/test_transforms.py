@@ -1,6 +1,7 @@
 """Unit tests for the scalar transform toolkit (reference src/utils.py:276-619)."""
 
 from __future__ import annotations
+from pyspark.sql import functions as F
 
 from datetime import datetime
 
@@ -116,3 +117,27 @@ def test_business_days_between_hand_cases(spark):
     out = {r.i: r.bd for r in df.select("i", business_days_between("s", "e").alias("bd")).collect()}
     for i, (_, _, want) in enumerate(cases):
         assert out[i] == want, (i, cases[i], out[i])
+
+
+def test_encrypt_decrypt_roundtrip_and_ecb_determinism(spark):
+    from area_etl_spark.functions.transforms import decrypt_column, encrypt_column
+
+    key = "0123456789abcdef"  # 16-byte AES-128 key
+    df = spark.createDataFrame(
+        [(1, "maria"), (2, "maria"), (3, "luca"), (4, None)],
+        "id long, name string",
+    )
+    # GCM round-trips and authenticates; ciphertexts are randomized
+    enc = df.withColumn("ct", encrypt_column("name", key, "GCM"))
+    dec = enc.withColumn("pt", decrypt_column("ct", key, "GCM"))
+    assert {(r.id, r.pt) for r in dec.collect()} == {
+        (1, "maria"), (2, "maria"), (3, "luca"), (4, None)
+    }
+    cts = [r.ct for r in enc.where(F.col("id").isin(1, 2)).collect()]
+    assert cts[0] != cts[1]  # random IV → non-deterministic
+    # ECB is deterministic → joinable/groupable (the documented trade-off)
+    ecb = df.withColumn("ct", encrypt_column("name", key, "ECB"))
+    cts = {r.id: bytes(r.ct) for r in ecb.where(F.col("ct").isNotNull()).collect()}
+    assert cts[1] == cts[2] and cts[1] != cts[3]
+    back = ecb.withColumn("pt", decrypt_column("ct", key, "ECB"))
+    assert {r.pt for r in back.collect()} == {"maria", "luca", None}
