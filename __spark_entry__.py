@@ -4884,6 +4884,33 @@ def q_select_under_budget(spark, sf_dir):
     return out.select("doc_id", "n_tokens", "cum_tokens")
 
 
+def q_subset_closure(spark, sf_dir):
+    """1.5% dev-copy extraction with FK closure: orders hash-sampled,
+    lineitems closed down (every sampled order keeps ALL its lines),
+    customers closed up — verified by per-table counts plus a
+    dangling-FK count that must be zero."""
+    from area_etl_spark.operators.sampling import subset_closure
+
+    t = _tables(spark, sf_dir)
+    sub = subset_closure(
+        t["orders"],
+        "o_orderkey",
+        0.015,
+        children=[(t["lineitem"], "l_orderkey")],
+        parents=[(t["customer"], "c_custkey", "o_custkey")],
+    )
+    o, li, c = sub["root"], sub["child_0"], sub["parent_0"]
+    dangling = li.join(
+        o.select("o_orderkey"), li["l_orderkey"] == o["o_orderkey"], "left_anti"
+    )
+    return (
+        o.agg(F.count(F.lit(1)).alias("n")).select(F.lit("orders").alias("tbl"), "n")
+        .unionByName(li.agg(F.count(F.lit(1)).alias("n")).select(F.lit("lineitem").alias("tbl"), "n"))
+        .unionByName(c.agg(F.count(F.lit(1)).alias("n")).select(F.lit("customer").alias("tbl"), "n"))
+        .unionByName(dangling.agg(F.count(F.lit(1)).alias("n")).select(F.lit("dangling").alias("tbl"), "n"))
+    )
+
+
 def q_manifest_pruned_read(spark, sf_dir):
     """Manifest-driven file skipping (Iceberg-style data skipping without
     the table format): orders written range-clustered on o_custkey, a
@@ -5114,6 +5141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_increase": q_counter_increase,
         "diff_in_diff": q_diff_in_diff,
         "select_under_budget": q_select_under_budget,
+        "subset_closure": q_subset_closure,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -6518,6 +6546,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
             FROM c WHERE cum_tokens <= 50000
+        """,
+        "subset_closure": """
+            WITH o AS (
+                SELECT * FROM orders
+                WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '03d7'
+            )
+            SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n FROM o
+            UNION ALL
+            SELECT 'lineitem', CAST(COUNT(*) AS BIGINT) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM o)
+            UNION ALL
+            SELECT 'customer', CAST(COUNT(*) AS BIGINT) FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM o)
+            UNION ALL
+            SELECT 'dangling', CAST(0 AS BIGINT)
         """,
         "bloom_prune": """
             WITH bp AS (

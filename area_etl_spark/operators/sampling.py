@@ -452,3 +452,44 @@ def select_under_budget(
         .where(F.col("cum_tokens") <= budget)
         .drop("_pid", "_negs")
     )
+
+
+def subset_closure(
+    root: DataFrame,
+    root_key: str,
+    fraction: float,
+    children: list[tuple[DataFrame, str]] | None = None,
+    parents: list[tuple[DataFrame, str, str]] | None = None,
+) -> dict[str, DataFrame]:
+    """Referential-integrity-preserving warehouse subsetting: hash-sample
+    the ROOT entity (deterministic md5 draw — re-runs and engines agree),
+    then close over foreign keys so the dev copy joins exactly like
+    production: every child row whose FK points at a sampled root
+    (semi-join down), every parent row some sampled root points at
+    (semi-join up through ``(parent_df, parent_key, root_fk_col)``).
+
+    This is how a 100 TB warehouse becomes a coherent 1% dev/CI
+    environment — independent per-table samples break every join.  The
+    root predicate is a narrow filter; each closure edge is ONE semi-join
+    against the (already-small) sampled frame — broadcast when the sample
+    fits, which at dev fractions it does.  Nesting: a 1% subset contains
+    the 0.1% subset (hash_sample property), so environments stack.
+
+    Returns {"root": ..., "child_0": ..., "parent_0": ...} keyed by
+    position; callers zip with their table names.
+    """
+    from pyspark.sql.functions import broadcast
+
+    sampled = root.where(hash_sample_predicate(root_key, fraction))
+    out = {"root": sampled}
+    keys = sampled.select(F.col(root_key).alias("_k")).distinct()
+    for i, (child, fk_col) in enumerate(children or []):
+        out[f"child_{i}"] = child.join(
+            broadcast(keys), child[fk_col] == keys["_k"], "left_semi"
+        )
+    for i, (parent, parent_key, root_fk) in enumerate(parents or []):
+        pk = sampled.select(F.col(root_fk).alias("_pk")).distinct()
+        out[f"parent_{i}"] = parent.join(
+            broadcast(pk), parent[parent_key] == pk["_pk"], "left_semi"
+        )
+    return out

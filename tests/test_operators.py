@@ -2002,3 +2002,28 @@ def test_select_under_budget_matches_global_window(spark):
     # the plan must not contain a single-partition global sort window
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_subset_closure_keeps_fk_integrity_and_nests(spark, tables):
+    from area_etl_spark.operators.sampling import subset_closure
+
+    t = tables
+    big = subset_closure(
+        t["orders"], "o_orderkey", 0.10,
+        children=[(t["lineitem"], "l_orderkey")],
+        parents=[(t["customer"], "c_custkey", "o_custkey")],
+    )
+    o, li, c = big["root"], big["child_0"], big["parent_0"]
+    # closure down: no lineitem points outside the sampled orders …
+    assert li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti").count() == 0
+    # … and EVERY line of a sampled order is kept (no partial orders)
+    full_counts = t["lineitem"].groupBy("l_orderkey").count()
+    kept_counts = li.groupBy("l_orderkey").count()
+    joined = full_counts.join(kept_counts.withColumnRenamed("count", "kept"),
+                              "l_orderkey")
+    assert joined.where(F.col("count") != F.col("kept")).count() == 0
+    # closure up: every sampled order's customer is present
+    assert o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti").count() == 0
+    # nesting: the 2% subset is contained in the 10% subset
+    small = subset_closure(t["orders"], "o_orderkey", 0.02)["root"]
+    assert small.join(o, "o_orderkey", "left_anti").count() == 0
