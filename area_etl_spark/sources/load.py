@@ -608,3 +608,55 @@ def read_snapshot_table(
     if s is None:
         raise FileNotFoundError(f"no published snapshot in {warehouse_dir}")
     return spark.read.format(fmt).load(os.path.join(warehouse_dir, table, f"s={s}"))
+
+
+def incremental_partitions(
+    spark: SparkSession,
+    path: str,
+    bookmark_file: str,
+    partition_col: str,
+    fmt: str = "parquet",
+):
+    """Bookmark-driven incremental processing (the Glue-bookmark / Hive
+    high-water-mark pattern): read ONLY hive partitions of ``path`` whose
+    ``partition_col`` value is strictly above the stored bookmark; commit
+    the new high-water mark AFTER downstream success via the returned
+    callback — crash before commit ⇒ the next run re-processes the same
+    partitions (at-least-once; pair with an idempotent sink like
+    ``reload_overwrite``/``merge_upsert``).
+
+    Returns ``(df, new_mark, commit)`` — ``df`` is partition-PRUNED (the
+    filter hits the partition index, zero data files of old partitions
+    are opened), ``new_mark`` the highest value seen (None ⇒ nothing
+    new), ``commit()`` atomically advances the bookmark.  Values compare
+    as strings — zero-pad numeric partition values at write time (date
+    strings are already safe).
+    """
+    import os
+
+    mark = None
+    if os.path.exists(bookmark_file):
+        with open(bookmark_file, encoding="utf-8") as f:
+            mark = f.read().strip() or None
+    vals = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(path)
+        if d.startswith(f"{partition_col}=")
+    )
+    new_vals = [v for v in vals if mark is None or v > mark]
+    df = spark.read.format(fmt).load(path)
+    if mark is not None:
+        df = df.where(F.col(partition_col) > F.lit(mark))
+    new_mark = new_vals[-1] if new_vals else None
+
+    def commit() -> None:
+        if new_mark is None:
+            return
+        tmp = bookmark_file + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(new_mark)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, bookmark_file)
+
+    return df, new_mark, commit

@@ -249,3 +249,42 @@ def test_load_with_observation_single_pass_metrics(spark, tables, tmp_path):
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
     ).collect()[0][0]
     assert spark.read.parquet(path).count() == n
+
+
+def test_incremental_partitions_bookmark_cycle(spark, tables, tmp_path):
+    from area_etl_spark.sources.load import incremental_partitions
+
+    path = str(tmp_path / "hive")
+    bm = str(tmp_path / "bookmark")
+    ev = tables["events"].select(
+        "event_id", "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    )
+    days = sorted(r.day for r in ev.select("day").distinct().collect())
+    first, rest = days[: len(days) // 2], days[len(days) // 2:]
+    ev.where(F.col("day").isin(first)).write.partitionBy("day").parquet(path)
+
+    # run 1: everything is new; commit advances the mark
+    df, mark, commit = incremental_partitions(spark, path, bm, "day")
+    assert mark == first[-1]
+    assert df.count() == ev.where(F.col("day").isin(first)).count()
+    commit()
+
+    # run 2 before new data: nothing to do
+    df, mark, _ = incremental_partitions(spark, path, bm, "day")
+    assert mark is None and df.count() == 0
+
+    # new partitions arrive; only they are read, and the plan prunes
+    ev.where(F.col("day").isin(rest)).write.mode("append").partitionBy(
+        "day"
+    ).parquet(path)
+    df, mark, commit = incremental_partitions(spark, path, bm, "day")
+    assert mark == rest[-1]
+    assert df.count() == ev.where(F.col("day").isin(rest)).count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan or "day#" in plan
+    # crash-before-commit: mark unchanged → same batch comes back
+    df2, mark2, _ = incremental_partitions(spark, path, bm, "day")
+    assert mark2 == mark and df2.count() == df.count()
+    commit()
+    df3, mark3, _ = incremental_partitions(spark, path, bm, "day")
+    assert mark3 is None and df3.count() == 0
