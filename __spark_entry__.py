@@ -4911,6 +4911,26 @@ def q_subset_closure(spark, sf_dir):
     )
 
 
+def q_interpolate_linear(spark, sf_dir):
+    """Gap repair beyond LOCF: every 7th event's value knocked out, then
+    linearly interpolated between its per-user neighbors in (ts,
+    event_id) order — edges stay NULL, non-nulls pass through exactly."""
+    from area_etl_spark.operators.telemetry import interpolate_linear
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.when(
+            F.col("event_id") % 7 != 0, F.round(F.col("value") * 100).cast("long")
+        ).alias("cents"),
+    )
+    out = interpolate_linear(
+        ev, ["user_id"], "us", "cents", order_cols=["us", "event_id"]
+    )
+    return out.select("user_id", "event_id", "value_interp")
+
+
 def q_manifest_pruned_read(spark, sf_dir):
     """Manifest-driven file skipping (Iceberg-style data skipping without
     the table format): orders written range-clustered on o_custkey, a
@@ -5142,6 +5162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_in_diff": q_diff_in_diff,
         "select_under_budget": q_select_under_budget,
         "subset_closure": q_subset_closure,
+        "interpolate_linear": q_interpolate_linear,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -6561,6 +6582,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey IN (SELECT o_custkey FROM o)
             UNION ALL
             SELECT 'dangling', CAST(0 AS BIGINT)
+        """,
+        "interpolate_linear": """
+            WITH s AS (
+                SELECT user_id, event_id, epoch_us(ts) AS us,
+                       CASE WHEN event_id % 7 <> 0
+                            THEN CAST(round(value * 100) AS BIGINT) END AS cents
+                FROM events
+            ), w AS (
+                SELECT user_id, event_id,
+                       CAST(us AS DOUBLE) AS t, cents,
+                       last_value(cents IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS pv,
+                       CAST(last_value(CASE WHEN cents IS NOT NULL THEN us END
+                                       IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS DOUBLE) AS pt,
+                       first_value(cents IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                       ) AS nv,
+                       CAST(first_value(CASE WHEN cents IS NOT NULL THEN us END
+                                        IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                       ) AS DOUBLE) AS nt
+                FROM s
+            )
+            SELECT user_id, event_id,
+                   CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                        WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                            round(CAST(pv AS DOUBLE)
+                                  + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                                    * (t - pt) / (nt - pt), 9) + 0.0
+                        END AS value_interp
+            FROM w
         """,
         "bloom_prune": """
             WITH bp AS (

@@ -82,3 +82,49 @@ def counter_increase(
             F.sum("_inc").alias("total_increase"),
         )
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    order_cols: list[str] | None = None,
+    out_col: str = "value_interp",
+    digits: int = 9,
+) -> DataFrame:
+    """Linear interpolation of missing samples per series — the repair
+    step beyond LOCF (31h) when the gauge moves between observations:
+    a NULL at time t between neighbors (tp, vp) and (tn, vn) becomes
+    vp + (vn−vp)·(t−tp)/(tn−tp).
+
+    ``ts_col`` must be an integer instant; ``order_cols`` (default
+    [ts_col]) must totally order each series.  Leading/trailing NULLs
+    (no neighbor on one side) stay NULL — compose with LOCF for edge
+    fill.  Non-null values pass through EXACTLY (cast to double, no
+    arithmetic).  Two frame-bounded window passes over ONE per-key sort
+    (Spark reuses the partitioning), then narrow IEEE arithmetic —
+    identical in any engine given identical operands, rounded to
+    ``digits``.
+    """
+    order = order_cols or [ts_col]
+    base = Window.partitionBy(*key_cols).orderBy(*order)
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    v = F.col(value_col)
+    t = F.col(ts_col).cast("double")
+    pv = F.last(v, ignorenulls=True).over(wb)
+    pt = F.last(F.when(v.isNotNull(), F.col(ts_col)), ignorenulls=True).over(wb).cast("double")
+    nv = F.first(v, ignorenulls=True).over(wf)
+    nt = F.first(F.when(v.isNotNull(), F.col(ts_col)), ignorenulls=True).over(wf).cast("double")
+    interp = F.round(
+        pv.cast("double")
+        + (nv.cast("double") - pv.cast("double")) * (t - pt) / (nt - pt),
+        digits,
+    ) + F.lit(0.0)
+    out = (
+        F.when(v.isNotNull(), v.cast("double"))
+        .when(pv.isNotNull() & nv.isNotNull(), interp)
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return df.withColumn(out_col, out)

@@ -2027,3 +2027,20 @@ def test_subset_closure_keeps_fk_integrity_and_nests(spark, tables):
     # nesting: the 2% subset is contained in the 10% subset
     small = subset_closure(t["orders"], "o_orderkey", 0.02)["root"]
     assert small.join(o, "o_orderkey", "left_anti").count() == 0
+
+
+def test_interpolate_linear_fills_gaps_keeps_edges_null(spark):
+    from area_etl_spark.operators.telemetry import interpolate_linear
+
+    rows = [
+        ("s", 0, None), ("s", 10, 100), ("s", 14, None), ("s", 20, 200),
+        ("s", 25, None), ("s", 30, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, v long")
+    out = {r.ts: r.value_interp
+           for r in interpolate_linear(df, ["k"], "ts", "v").collect()}
+    assert out[0] is None          # leading edge: no left neighbor
+    assert out[10] == 100.0        # pass-through
+    assert out[14] == 140.0        # 100 + (200-100)*(14-10)/(20-10)
+    assert out[20] == 200.0
+    assert out[25] is None and out[30] is None  # trailing edge
