@@ -4931,6 +4931,21 @@ def q_interpolate_linear(spark, sf_dir):
     return out.select("user_id", "event_id", "value_interp")
 
 
+def q_collapse_rare_levels(spark, sf_dir):
+    """Cardinality guard before encoding: customer names appearing < 2
+    times on orders collapse to __other__ — level counts joined back
+    broadcast, NULL kept distinct."""
+    from area_etl_spark.operators.encoding import collapse_rare_levels
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", (F.col("o_custkey") % 97).cast("string").alias("bucket")
+    )
+    out = collapse_rare_levels(o, "bucket", min_count=100)
+    return out.groupBy(F.col("bucket_collapsed").alias("level")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
 def q_manifest_pruned_read(spark, sf_dir):
     """Manifest-driven file skipping (Iceberg-style data skipping without
     the table format): orders written range-clustered on o_custkey, a
@@ -5163,6 +5178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_under_budget": q_select_under_budget,
         "subset_closure": q_subset_closure,
         "interpolate_linear": q_interpolate_linear,
+        "collapse_rare_levels": q_collapse_rare_levels,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -6620,6 +6636,21 @@ def oracle_sql() -> dict[str, str]:
                                     * (t - pt) / (nt - pt), 9) + 0.0
                         END AS value_interp
             FROM w
+        """,
+        "collapse_rare_levels": """
+            WITH o AS (
+                SELECT o_orderkey, CAST(o_custkey % 97 AS VARCHAR) AS bucket
+                FROM orders
+            ), freq AS (
+                SELECT bucket FROM o WHERE bucket IS NOT NULL
+                GROUP BY bucket HAVING COUNT(*) >= 100
+            )
+            SELECT CASE WHEN o.bucket IS NULL THEN NULL
+                        WHEN f.bucket IS NOT NULL THEN o.bucket
+                        ELSE '__other__' END AS level,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM o LEFT JOIN freq f ON o.bucket = f.bucket
+            GROUP BY 1
         """,
         "bloom_prune": """
             WITH bp AS (

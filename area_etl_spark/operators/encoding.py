@@ -133,3 +133,42 @@ def score_linear(
             "margin_micros"
         )
     )
+
+
+def collapse_rare_levels(
+    df: DataFrame,
+    col: str,
+    min_count: int,
+    other_token: str = "__other__",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Collapse categorical levels seen fewer than ``min_count`` times
+    into one ``other_token`` bucket — the standard cardinality guard
+    before one-hot/target encoding (rare levels overfit, explode feature
+    width, and differ between train and serve).
+
+    Two passes: a level-count aggregate (output bounded by the column's
+    cardinality) joined back broadcast — the frequent-level set is
+    dimension-sized by construction once rare levels are cut.  NULL is
+    never collapsed (it is its own signal; encode it explicitly
+    downstream).  Deterministic: membership depends only on counts.
+    """
+    from pyspark.sql.functions import broadcast
+
+    out = out_col or f"{col}_collapsed"
+    frequent = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_count)
+        .select(F.col(col).alias("_freq_level"))
+    )
+    joined = df.join(
+        broadcast(frequent), df[col] == F.col("_freq_level"), "left"
+    )
+    return joined.withColumn(
+        out,
+        F.when(F.col(col).isNull(), F.lit(None).cast("string"))
+        .when(F.col("_freq_level").isNotNull(), F.col(col).cast("string"))
+        .otherwise(F.lit(other_token)),
+    ).drop("_freq_level")

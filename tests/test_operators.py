@@ -2044,3 +2044,15 @@ def test_interpolate_linear_fills_gaps_keeps_edges_null(spark):
     assert out[14] == 140.0        # 100 + (200-100)*(14-10)/(20-10)
     assert out[20] == 200.0
     assert out[25] is None and out[30] is None  # trailing edge
+
+
+def test_collapse_rare_levels_keeps_null_and_frequent(spark):
+    from area_etl_spark.operators.encoding import collapse_rare_levels
+
+    rows = [("a",)] * 5 + [("b",)] * 2 + [("c",)] * 1 + [(None,)] * 3
+    df = spark.createDataFrame(rows, "cat string")
+    out = collapse_rare_levels(df, "cat", min_count=2)
+    got = {(r.cat, r.cat_collapsed) for r in out.collect()}
+    assert ("a", "a") in got and ("b", "b") in got
+    assert ("c", "__other__") in got
+    assert (None, None) in got  # NULL is its own signal, never collapsed
