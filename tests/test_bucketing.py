@@ -293,3 +293,41 @@ def test_publish_snapshot_cross_table_atomicity(spark, tables, tmp_path):
     s3 = publish_snapshot({"facts": facts1, "dims": dims1}, wh)
     assert s3 == 100  # grows past orphans, never reuses
     assert read_snapshot_table(spark, wh, "facts").count() == 10
+
+
+def test_version_changes_cdc_feed_between_publishes(spark, tables, tmp_path):
+    """Time travel + snapshot_diff = a change data feed between any two
+    retained versions of a write_versioned table — Delta's CDF shape
+    without the format: both versions are immutable directories, so the
+    diff is reproducible as long as retention holds them."""
+    from area_etl_spark.operators.diff import snapshot_diff
+    from area_etl_spark.sources.load import read_versioned, write_versioned
+
+    tdir = str(tmp_path / "vt")
+    base = tables["customer"].select("c_custkey", "c_mktsegment").limit(50)
+    v1 = write_versioned(base, tdir, keep_versions=3)
+    changed = (
+        base.where(F.col("c_custkey") % 7 != 0)  # deletes
+        .withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 5 == 0, F.lit("CHANGED")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+    )
+    v2 = write_versioned(changed, tdir, keep_versions=3)
+    old = read_versioned(spark, tdir, version=v1)
+    new = read_versioned(spark, tdir, version=v2)
+    feed = snapshot_diff(old, new, ["c_custkey"])
+    ops = {r.change_type for r in feed.collect()}
+    got = {
+        r.change_type: r.cnt
+        for r in feed.groupBy("change_type").agg(F.count("*").alias("cnt")).collect()
+    }
+    n_del = base.where(F.col("c_custkey") % 7 == 0).count()
+    n_upd = base.where(
+        (F.col("c_custkey") % 7 != 0) & (F.col("c_custkey") % 5 == 0)
+    ).count()
+    assert got.get("deleted", 0) == n_del
+    assert got.get("updated", 0) == n_upd
+    assert "inserted" not in ops
