@@ -5048,7 +5048,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     feature_matrix, parse_xml, personalized_pagerank, link_prediction,
     collocations, plus the five committed earlier this round
     (attribution_time_decay, km_survival, cascade_delete,
-    jaccard_prefix_join, quantile_normalize).
+    jaccard_prefix_join, quantile_normalize), and the r8-session batch:
+    growth_accounting, log2_histogram, checksum_drilldown, bloom_prune,
+    cms_heavy_hitters, ivm_agg_update, manifest_pruned_read, bpe_merges,
+    bpe_segment, kmv_distinct, l_diversity, kmv_overlap,
+    compression_ratio (rows-only by design: zlib), repair_monotonic,
+    counter_increase, diff_in_diff, select_under_budget, subset_closure,
+    interpolate_linear, collapse_rare_levels.
     """
     return {
         # — the r7 err, fixed: CSV-serialized array, re-windowed for green —
