@@ -5017,6 +5017,207 @@ def q_ivm_agg_update(spark, sf_dir):
     return ivm_agg_apply(state, deltas, ["o_custkey"], ["cents"])
 
 
+def q_fdr_bh(spark, sf_dir):
+    """Benjamini–Hochberg FDR over a 24-test family: per hour-of-day, is
+    the purchase share different from the other 23 hours' pooled share?
+    z from exact counts (divisions/sqrt IEEE-exact), p from the PORTABLE
+    A&S 7.1.26 erfc polynomial (a defined statistic, not a libm erf), then
+    the step-up adjustment via a reverse running-min window over the
+    24-row family table (aggregate-level, bounded)."""
+    from area_etl_spark.operators.experiments import bh_adjust, normal_sf_portable
+
+    ev = _tables(spark, sf_dir)["events"]
+    per = ev.groupBy(F.hour("ts").cast("long").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("k"),
+    )
+    tot = per.agg(F.sum("n").alias("nn"), F.sum("k").alias("kk"))
+    j = per.crossJoin(F.broadcast(tot))  # 1-row scalar join
+    n1 = F.col("n").cast("double")
+    k1 = F.col("k").cast("double")
+    n2 = (F.col("nn") - F.col("n")).cast("double")
+    k2 = (F.col("kk") - F.col("k")).cast("double")
+    pp = F.col("kk").cast("double") / F.col("nn").cast("double")
+    z = (k1 / n1 - k2 / n2) / F.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+    pv = F.least(F.lit(1.0), F.lit(2.0) * normal_sf_portable(F.abs(z)))
+    fam = j.select(F.col("hour"), pv.alias("p_value"))
+    return bh_adjust(fam, "hour", "p_value", alpha=0.05)
+
+
+def q_cohen_kappa(spark, sf_dir):
+    """Cohen's kappa between the language_id heuristic and the gold lang
+    label — chance-corrected labeler agreement with an ALL-INTEGER core
+    (kappa = (agree·n − Σ aₖbₖ) / (n² − Σ aₖbₖ), one exact division)."""
+    from area_etl_spark.operators.experiments import cohen_kappa
+    from area_etl_spark.operators.text_analysis import language_id
+
+    docs = _tables(spark, sf_dir)["documents"]
+    preds = docs.select(
+        F.col("lang").alias("gold"), language_id(F.col("text")).alias("pred")
+    )
+    return cohen_kappa(preds, "gold", "pred")
+
+
+def q_matched_pairs(spark, sf_dir):
+    """Stratified nearest-rank matching (deterministic propensity-matching
+    substitute): BUILDING-segment customers paired with non-BUILDING
+    controls of equal balance rank within $1000 balance buckets — the
+    caliper is the bucket width, unmatched tail ranks drop."""
+    from area_etl_spark.operators.experiments import rank_match
+
+    cust = _tables(spark, sf_dir)["customer"].select(
+        "c_custkey",
+        (F.col("c_mktsegment") == "BUILDING").alias("treated"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    return rank_match(cust, "treated", "bal_cents", "c_custkey", bucket_width=100000)
+
+
+LPA_NODES = ["shard-a", "shard-b", "shard-c", "shard-d"]
+
+
+def q_label_propagation(spark, sf_dir):
+    """Synchronous frequency-LPA community detection over the user↔item
+    interaction graph (3 fixed rounds, most-frequent neighbor label, ties
+    to the smaller label) — deterministic by construction, so the oracle
+    replays every round as chained CTEs."""
+    from area_etl_spark.operators.graph import label_propagation
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        F.col("user_id").alias("src"),
+        (F.pmod(F.col("event_id"), F.lit(500)) + F.lit(10_000_000)).alias("dst"),
+    )
+    return label_propagation(ev, rounds=3)
+
+
+def q_rendezvous_assign(spark, sf_dir):
+    """Rendezvous/HRW-hash shard routing: every customer key to its argmax-
+    md5 node — consistent assignment (removing a node moves only its own
+    keys, pytest-proven), computed as ONE narrow greatest() projection with
+    no shuffle and no lookup state."""
+    from area_etl_spark.operators.ids import rendezvous_assign
+
+    cust = _tables(spark, sf_dir)["customer"].select("c_custkey")
+    return rendezvous_assign(cust, "c_custkey", LPA_NODES)
+
+
+def q_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-20 fused with cosine semantic
+    top-20 by reciprocal-rank fusion (k=60) — rank-based combination needs
+    no score calibration, and with integer ranks + sorted-source folds the
+    FUSED ranking itself holds a full oracle.  doc_id/vec_id share the id
+    space in the testdata corpus."""
+    from pyspark.sql import Window
+
+    from area_etl_spark.operators.indexing import bm25_search, rrf_fuse
+
+    tables = _tables(spark, sf_dir)
+    docs = tables["documents"]
+    lex = bm25_search(docs, ["spark", "window", "merge"], "text", "doc_id", topk=20)
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())  # 20 rows
+    lex = lex.withColumn("rank", F.row_number().over(wl))
+    q = _query_vec(spark, sf_dir)
+    sem = SIM.cosine_topk(tables["embeddings"].where(F.col("vec_id") != 0), q, k=20)
+    ws = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())  # 20 rows
+    sem = sem.withColumn("rank", F.row_number().over(ws)).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    return rrf_fuse([("lex", lex), ("sem", sem)], "doc_id", k=60, topk=10)
+
+
+def q_ann_recall_eval(spark, sf_dir):
+    """Recall@10 of the LSH ANN shortlist vs exact brute-force truth over 5
+    query vectors — the measurement the bits/multi_probe dials are tuned
+    by.  Rounded cosines + id tie-breaks make the k-frontier engine-stable,
+    so even RECALL itself holds a full oracle."""
+    emb = _tables(spark, sf_dir)["embeddings"]
+    return SIM.ann_recall_report(
+        emb.where(F.col("vec_id") >= 5),
+        emb.where(F.col("vec_id") < 5),
+        k=10,
+        bits=4,
+        multi_probe=2,
+    )
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf's-law OLS over the corpus vocabulary (ln freq on ln rank):
+    ln values quantized to 1e-6 fixed point so the five sufficient
+    statistics sum exactly as DECIMAL(38,0) — the corr_exact discipline —
+    and slope/intercept/R² evaluate once in doubles."""
+    from area_etl_spark.operators.vocab import build_vocab, zipf_fit
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return zipf_fit(build_vocab(docs, min_count=1))
+
+
+def q_ipf_raking(spark, sf_dir):
+    """Iterative proportional fitting: rake the (event_type × daypart)
+    event-count table to UNIFORM marginals on both axes in 3 rounds —
+    the two-axis corpus-rebalancing primitive (rebalance_mixture is the
+    one-axis special case).  Marginal sums fold in sorted cross-key order
+    over the 20-cell aggregate table."""
+    from area_etl_spark.operators.sampling import ipf_weights
+
+    ev = _tables(spark, sf_dir)["events"]
+    cells = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.floor(F.hour("ts") / 6).cast("long").alias("daypart"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = cells.agg(
+        F.sum("n").alias("tot"),
+        F.countDistinct("et").alias("nr"),
+        F.countDistinct("daypart").alias("nc"),
+    )
+    row_t = (
+        cells.select("et")
+        .distinct()
+        .crossJoin(F.broadcast(totals))
+        .select("et", (F.col("tot").cast("double") / F.col("nr").cast("double")).alias("target"))
+    )
+    col_t = (
+        cells.select("daypart")
+        .distinct()
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "daypart",
+            (F.col("tot").cast("double") / F.col("nc").cast("double")).alias("target"),
+        )
+    )
+    return ipf_weights(cells, "et", "daypart", "n", row_t, col_t, iters=3)
+
+
+def q_nb_classify(spark, sf_dir):
+    """Multinomial naive Bayes corpus router: train on even doc_ids
+    (class = gold lang), classify odd doc_ids.  Laplace-smoothed
+    log-likelihoods fold in SORTED TOKEN ORDER (the entropy discipline);
+    the argmax breaks float ties by label.  Training = two map-side-combined
+    hash aggregates; classification = one vocab-bounded broadcast join."""
+    from area_etl_spark.operators.classify import nb_classify, nb_train
+
+    docs = _tables(spark, sf_dir)["documents"]
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 == 1)
+    tc, cs = nb_train(train, "lang")
+    out = nb_classify(tc, cs, test)
+    gold = test.select("doc_id", F.col("lang").alias("gold"))
+    return out.join(gold, "doc_id").select("doc_id", "gold", "pred", "log_score")
+
+
+def q_trimmed_mean(spark, sf_dir):
+    """10% trimmed mean of order value per priority — the robust location
+    estimate that DROPS the tails (winsorize clamps them): exact
+    interpolated percentile bounds broadcast back, DECIMAL(38,0) sum of
+    the kept rows, one final division."""
+    from area_etl_spark.operators.aggregates import trimmed_mean
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return trimmed_mean(o, ["o_orderpriority"], "cents", trim=0.1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
@@ -5054,7 +5255,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     bpe_segment, kmv_distinct, l_diversity, kmv_overlap,
     compression_ratio (rows-only by design: zlib), repair_monotonic,
     counter_increase, diff_in_diff, select_under_budget, subset_closure,
-    interpolate_linear, collapse_rare_levels.
+    interpolate_linear, collapse_rare_levels, and the late-r8 batch:
+    fdr_bh, cohen_kappa, matched_pairs, trimmed_mean, nb_classify,
+    zipf_fit, ipf_raking, ann_recall_eval, hybrid_search_rrf,
+    label_propagation, rendezvous_assign.
     """
     return {
         # — the r7 err, fixed: CSV-serialized array, re-windowed for green —
@@ -5185,6 +5389,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subset_closure": q_subset_closure,
         "interpolate_linear": q_interpolate_linear,
         "collapse_rare_levels": q_collapse_rare_levels,
+        "fdr_bh": q_fdr_bh,
+        "cohen_kappa": q_cohen_kappa,
+        "matched_pairs": q_matched_pairs,
+        "trimmed_mean": q_trimmed_mean,
+        "nb_classify": q_nb_classify,
+        "zipf_fit": q_zipf_fit,
+        "ipf_raking": q_ipf_raking,
+        "ann_recall_eval": q_ann_recall_eval,
+        "hybrid_search_rrf": q_hybrid_search_rrf,
+        "label_propagation": q_label_propagation,
+        "rendezvous_assign": q_rendezvous_assign,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -5405,6 +5620,108 @@ def _langid_sql(text: str) -> str:
         expr_lang = f"CASE WHEN {s} > ({expr_score}) THEN '{lang}' ELSE ({expr_lang}) END"
         expr_score = f"CASE WHEN {s} > ({expr_score}) THEN {s} ELSE ({expr_score}) END"
     return expr_lang
+
+
+# DuckDB rendering of experiments.normal_sf_portable over abs(z) — same
+# A&S 7.1.26 constants and operation order as the Spark side.
+from area_etl_spark.operators.experiments import normal_sf_sql as _normal_sf_sql  # noqa: E402
+
+NORMAL_SF_SQL_ABS_Z = _normal_sf_sql("abs(z)")
+
+
+def _lpa_sql(rounds: int = 3) -> str:
+    """DuckDB replay of graph.label_propagation over the user↔item events
+    graph: each fixed round is a neighbor-label count + a (count DESC,
+    label ASC) argmax + a coalesce update — chained CTEs, all-integer."""
+    parts = ["""
+        WITH ev AS (
+            SELECT DISTINCT user_id AS u, (event_id % 500) + 10000000 AS i
+            FROM events
+        ), und AS (
+            SELECT u AS src, i AS dst FROM ev
+            UNION
+            SELECT i AS src, u AS dst FROM ev
+        ), l0 AS (
+            SELECT DISTINCT src AS node, src AS label FROM und
+        )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""", n{r} AS (
+            SELECT e.dst AS node, l.label, COUNT(*) AS c
+            FROM und e JOIN l{r - 1} l ON l.node = e.src
+            GROUP BY 1, 2
+        ), b{r} AS (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY c DESC, label ASC) AS rn
+                FROM n{r}
+            ) WHERE rn = 1
+        ), l{r} AS (
+            SELECT p.node, COALESCE(b.label, p.label) AS label
+            FROM l{r - 1} p LEFT JOIN b{r} b USING (node)
+        )""")
+    parts.append(f"""
+        SELECT node, label FROM l{rounds}
+    """)
+    return "".join(parts)
+
+
+def _hrw_sql(key: str, nodes: list[str]) -> str:
+    """DuckDB rendering of ids.rendezvous_assign: fixed-width md5 hex
+    prefixed strings compared by greatest(), winner name = substr 33+."""
+    alts = ", ".join(
+        f"md5('{n}:' || CAST({key} AS VARCHAR)) || '{n}'" for n in sorted(nodes)
+    )
+    return f"substr(greatest({alts}), 33)"
+
+
+def _ipf_sql(iters: int = 3) -> str:
+    """DuckDB replay of sampling.ipf_weights over the (event_type × daypart)
+    cell table with uniform targets: each round's marginal sums fold over
+    ``list(w·n ORDER BY cross-key)`` — the same float sequence as Spark's
+    array_sort → aggregate fold."""
+    base = """
+        WITH cells AS (
+            SELECT event_type AS et,
+                   CAST(FLOOR(EXTRACT(hour FROM ts) / 6) AS BIGINT) AS daypart,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ), tt AS (
+            SELECT SUM(n) AS tot, COUNT(DISTINCT et) AS nr,
+                   COUNT(DISTINCT daypart) AS nc
+            FROM cells
+        ), it0 AS (
+            SELECT et, daypart, n,
+                   CAST(tot AS DOUBLE) / CAST(nr AS DOUBLE) AS rt,
+                   CAST(tot AS DOUBLE) / CAST(nc AS DOUBLE) AS ct,
+                   CAST(1.0 AS DOUBLE) AS w
+            FROM cells, tt
+        )"""
+    prev = "it0"
+    parts = [base]
+    for i in range(1, iters + 1):
+        parts.append(f""", rs{i} AS (
+            SELECT et, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(w * CAST(n AS DOUBLE) ORDER BY daypart)),
+                       (x, y) -> x + y) AS s
+            FROM {prev} GROUP BY et
+        ), ra{i} AS (
+            SELECT t.et, t.daypart, t.n, t.rt, t.ct, t.w * (t.rt / r.s) AS w
+            FROM {prev} t JOIN rs{i} r USING (et)
+        ), cs{i} AS (
+            SELECT daypart, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(w * CAST(n AS DOUBLE) ORDER BY et)),
+                       (x, y) -> x + y) AS s
+            FROM ra{i} GROUP BY daypart
+        ), it{i} AS (
+            SELECT t.et, t.daypart, t.n, t.rt, t.ct, t.w * (t.ct / c.s) AS w
+            FROM ra{i} t JOIN cs{i} c USING (daypart)
+        )""")
+        prev = f"it{i}"
+    parts.append(f"""
+        SELECT et, daypart, n, round(w, 9) AS weight FROM {prev}
+    """)
+    return "".join(parts)
 
 
 def _cos2_sql(x: str, y: str) -> str:
@@ -6656,6 +6973,309 @@ def oracle_sql() -> dict[str, str]:
                         ELSE '__other__' END AS level,
                    CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM o LEFT JOIN freq f ON o.bucket = f.bucket
+            GROUP BY 1
+        """,
+        "fdr_bh": f"""
+            WITH per AS (
+                SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+                       COUNT(*) AS n,
+                       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+                FROM events GROUP BY 1
+            ), tot AS (
+                SELECT SUM(n) AS nn, SUM(k) AS kk FROM per
+            ), zs AS (
+                SELECT hour,
+                       (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                        - CAST(kk - k AS DOUBLE) / CAST(nn - n AS DOUBLE))
+                       / sqrt((CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+                              * (1 - CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+                              * (1 / CAST(n AS DOUBLE) + 1 / CAST(nn - n AS DOUBLE)))
+                       AS z
+                FROM per, tot
+            ), ps AS (
+                SELECT hour, LEAST(1.0, 2.0 * {NORMAL_SF_SQL_ABS_Z}) AS pv FROM zs
+            ), ranked AS (
+                SELECT hour, pv,
+                       row_number() OVER (ORDER BY pv, hour) AS p_rank,
+                       COUNT(*) OVER () AS m
+                FROM ps
+            )
+            SELECT hour AS key, round(pv, 6) AS p, CAST(p_rank AS BIGINT) AS p_rank,
+                   round(LEAST(1.0, MIN(pv * CAST(m AS DOUBLE) / CAST(p_rank AS DOUBLE))
+                         OVER (ORDER BY pv DESC, hour DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                       AS p_adj,
+                   round(LEAST(1.0, MIN(pv * CAST(m AS DOUBLE) / CAST(p_rank AS DOUBLE))
+                         OVER (ORDER BY pv DESC, hour DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                       <= 0.05 AS significant
+            FROM ranked
+        """,
+        "cohen_kappa": f"""
+            WITH pairs AS (
+                SELECT lang AS gold, {_langid_sql("text")} AS pred FROM documents
+                WHERE lang IS NOT NULL
+            ), pa AS (
+                SELECT gold AS g, CAST(COUNT(*) AS HUGEINT) AS na FROM pairs GROUP BY 1
+            ), pb AS (
+                SELECT pred AS g, CAST(COUNT(*) AS HUGEINT) AS nb FROM pairs GROUP BY 1
+            ), pe AS (
+                SELECT SUM(na * nb) AS pe_num FROM pa JOIN pb USING (g)
+            ), c AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       CAST(SUM(CASE WHEN gold = pred THEN 1 ELSE 0 END) AS HUGEINT)
+                           AS agree
+                FROM pairs
+            )
+            SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+                   round(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE), 9) AS po,
+                   round(CAST(pe_num AS DOUBLE) / CAST(n * n AS DOUBLE), 9) AS pe,
+                   round(CAST(agree * n - pe_num AS DOUBLE)
+                         / CAST(n * n - pe_num AS DOUBLE), 9) AS kappa
+            FROM c, pe
+        """,
+        "matched_pairs": """
+            WITH base AS (
+                SELECT c_custkey AS key,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS score,
+                       (c_mktsegment = 'BUILDING') AS t
+                FROM customer
+            ), b2 AS (
+                SELECT *, CAST(FLOOR(CAST(score AS DOUBLE) / 100000) AS BIGINT)
+                           AS bucket
+                FROM base
+            ), r AS (
+                SELECT *, row_number() OVER (PARTITION BY bucket, t
+                                             ORDER BY score, key) AS pr
+                FROM b2
+            )
+            SELECT tr.bucket, CAST(tr.pr AS BIGINT) AS pair_rank,
+                   tr.key AS treated_key, tr.score AS treated_score,
+                   c.key AS control_key, c.score AS control_score
+            FROM r tr JOIN r c ON tr.bucket = c.bucket AND tr.pr = c.pr
+                               AND tr.t AND NOT c.t
+        """,
+        "label_propagation": _lpa_sql(3),
+        "rendezvous_assign": f"""
+            SELECT c_custkey, {_hrw_sql("c_custkey", LPA_NODES)} AS assigned_node
+            FROM customer
+        """,
+        "hybrid_search_rrf": f"""
+            WITH tk AS (
+                SELECT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+                    FROM documents
+                ) WHERE term <> ''
+            ), dl AS (
+                SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id
+            ), st AS (
+                SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+            ), tfq AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM tk
+                WHERE term IN ('spark', 'window', 'merge') GROUP BY doc_id, term
+            ), dfq AS (
+                SELECT term, COUNT(*) AS df FROM tfq GROUP BY term
+            ), bm AS (
+                SELECT doc_id,
+                       round(SUM(
+                           ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                           * tf * (1.2 + 1)
+                           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                       ), 6) AS score
+                FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+                GROUP BY doc_id
+                ORDER BY score DESC, doc_id
+                LIMIT 20
+            ), lex AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC, doc_id) AS r
+                FROM bm
+            ), qv AS (
+                SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+            ), cs AS (
+                SELECT vec_id AS doc_id,
+                       round({_cos2_sql("qe", "embedding")}, 6) AS cosine
+                FROM embeddings, qv WHERE vec_id <> 0
+                ORDER BY cosine DESC, vec_id
+                LIMIT 20
+            ), sem AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY cosine DESC, doc_id) AS r
+                FROM cs
+            ), u AS (
+                SELECT doc_id, 'lex' AS s, r FROM lex
+                UNION ALL
+                SELECT doc_id, 'sem' AS s, r FROM sem
+            ), per AS (
+                SELECT doc_id, COUNT(*) AS n_sources,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                               list(1.0 / (60.0 + CAST(r AS DOUBLE)) ORDER BY s)),
+                           (x, y) -> x + y) AS score
+                FROM u GROUP BY doc_id
+            )
+            SELECT doc_id, round(score, 9) AS rrf_score,
+                   CAST(n_sources AS BIGINT) AS n_sources,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                       AS rrf_rank
+            FROM per
+            ORDER BY rrf_rank
+            LIMIT 10
+        """,
+        "ann_recall_eval": f"""
+            WITH corpus AS (
+                SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5
+            ), qs AS (
+                SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+                SELECT qid, vec_id,
+                       round({_cos2_sql("qe", "embedding")}, 6) AS cos
+                FROM qs, corpus
+            ), truth AS (
+                SELECT qid, vec_id FROM (
+                    SELECT qid, vec_id,
+                           row_number() OVER (PARTITION BY qid
+                                              ORDER BY cos DESC, vec_id) AS rn
+                    FROM scored
+                ) WHERE rn <= 10
+            ), cb AS (
+                SELECT vec_id, {_lsh_bucket_sql("embedding")} AS b FROM corpus
+            ), qsig AS (
+                SELECT qid, {_lsh_bucket_sql("qe")} AS qb FROM qs
+            ), cand AS (
+                SELECT q.qid, c.vec_id
+                FROM qsig q JOIN cb c ON c.b = q.qb OR c.b = xor(q.qb, 1)
+            ), approx AS (
+                SELECT qid, vec_id FROM (
+                    SELECT s.qid, s.vec_id,
+                           row_number() OVER (PARTITION BY s.qid
+                                              ORDER BY s.cos DESC, s.vec_id) AS rn
+                    FROM scored s JOIN cand USING (qid, vec_id)
+                ) WHERE rn <= 10
+            ), nt AS (
+                SELECT qid, COUNT(*) AS n_truth FROM truth GROUP BY 1
+            ), na AS (
+                SELECT qid, COUNT(*) AS n_approx FROM approx GROUP BY 1
+            ), h AS (
+                SELECT t.qid, COUNT(*) AS n_hit
+                FROM truth t JOIN approx a ON a.qid = t.qid AND a.vec_id = t.vec_id
+                GROUP BY 1
+            )
+            SELECT nt.qid AS query_id, CAST(n_truth AS BIGINT) AS n_truth,
+                   CAST(COALESCE(n_approx, 0) AS BIGINT) AS n_approx,
+                   CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+                   round(CAST(COALESCE(n_hit, 0) AS DOUBLE)
+                         / CAST(n_truth AS DOUBLE), 6) AS recall
+            FROM nt LEFT JOIN na USING (qid) LEFT JOIN h USING (qid)
+        """,
+        "zipf_fit": """
+            WITH counts AS (
+                SELECT token, COUNT(*) AS n FROM (
+                    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                    FROM documents
+                ) WHERE token != '' GROUP BY token
+            ), vocab AS (
+                SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) - 1 AS token_id
+                FROM counts
+            ), q AS (
+                SELECT CAST(round(ln(CAST(token_id + 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+                       CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+                FROM vocab
+            ), s AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+                       SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+                       SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+                       SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+                FROM q
+            )
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+                   round((CAST(sy AS DOUBLE) / 1000000.0
+                          - (CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE))
+                            * (CAST(sx AS DOUBLE) / 1000000.0))
+                         / CAST(n AS DOUBLE), 6) AS intercept,
+                   round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         * CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+            FROM s
+        """,
+        "ipf_raking": _ipf_sql(3),
+        "nb_classify": """
+            WITH train AS (
+                SELECT lang, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                FROM documents WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+            ), test AS (
+                SELECT doc_id, lang AS gold,
+                       string_split_regex(trim(lower(text)), '\\s+') AS toks
+                FROM documents WHERE doc_id % 2 = 1
+            ), tc AS (
+                SELECT lang AS label, token, COUNT(*) AS cnt
+                FROM (SELECT lang, unnest(toks) AS token FROM train)
+                WHERE token <> '' GROUP BY 1, 2
+            ), cs AS (
+                SELECT lang AS label, COUNT(*) AS n_docs,
+                       SUM(len(list_filter(toks, t -> t <> ''))) AS n_tokens
+                FROM train GROUP BY 1
+            ), tot AS (
+                SELECT SUM(n_docs) AS total_docs FROM cs
+            ), v AS (
+                SELECT COUNT(DISTINCT token) AS vs FROM tc
+            ), cls AS (
+                SELECT label, n_tokens, vs,
+                       ln(CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE)) AS prior
+                FROM cs, tot, v
+            ), tf AS (
+                SELECT doc_id, token, COUNT(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS token FROM test)
+                WHERE token <> '' GROUP BY 1, 2
+            ), terms AS (
+                SELECT tf.doc_id, c.label, tf.token,
+                       CAST(tf.tf AS DOUBLE)
+                       * ln(CAST(COALESCE(tc.cnt, 0) + 1 AS DOUBLE)
+                            / CAST(c.n_tokens + c.vs AS DOUBLE)) AS term
+                FROM tf CROSS JOIN cls c
+                LEFT JOIN tc ON tc.label = c.label AND tc.token = tf.token
+            ), folded AS (
+                SELECT doc_id, label,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                                list(term ORDER BY token)),
+                                   (x, y) -> x + y) AS ll
+                FROM terms GROUP BY 1, 2
+            ), scored AS (
+                SELECT i.doc_id, c.label, c.prior + COALESCE(f.ll, 0.0) AS score
+                FROM (SELECT DISTINCT doc_id FROM test) i
+                CROSS JOIN cls c
+                LEFT JOIN folded f ON f.doc_id = i.doc_id AND f.label = c.label
+            ), best AS (
+                SELECT doc_id, label, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, label) AS rn
+                FROM scored
+            )
+            SELECT b.doc_id, t.gold, b.label AS pred, round(b.score, 6) AS log_score
+            FROM best b JOIN (SELECT doc_id, gold FROM test) t USING (doc_id)
+            WHERE rn = 1
+        """,
+        "trimmed_mean": """
+            WITH o AS (
+                SELECT o_orderpriority,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                FROM orders
+            ), b AS (
+                SELECT o_orderpriority, quantile_cont(v, 0.1) AS lo,
+                       quantile_cont(v, 0.9) AS hi, COUNT(v) AS n_total
+                FROM o GROUP BY 1
+            )
+            SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(MAX(b.n_total) AS BIGINT) AS n_total,
+                   round(CAST(SUM(CAST(v AS HUGEINT)) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 9) AS trimmed_mean
+            FROM o JOIN b USING (o_orderpriority)
+            WHERE CAST(v AS DOUBLE) >= lo AND CAST(v AS DOUBLE) <= hi
             GROUP BY 1
         """,
         "bloom_prune": """

@@ -222,3 +222,54 @@ def merge_agg_states(states, keys: list[str]):
         F.min("min").alias("min"),
         F.max("max").alias("max"),
     )
+
+
+def trimmed_mean(
+    df,
+    keys: list[str],
+    value_col: str,
+    trim: float = 0.1,
+) -> "DataFrame":
+    """Per-group trimmed mean — winsorize's sibling that DROPS the tails
+    instead of clamping them (the robust location estimate dashboards quote
+    when a latency/revenue metric has fat tails).
+
+    Rows with value inside the CLOSED interval [p_trim, p_(1-trim)] (exact
+    linear-interpolation percentiles, the DuckDB quantile_cont contract the
+    percentile_agg family already relies on) contribute to an exact
+    DECIMAL(38,0) sum; one final division produces the mean.  Two hash
+    aggregates sharing the partitioning on ``keys`` + one broadcast
+    join-back of the bounds — no window, no sort, scale = groupBy scale.
+    ``value_col`` must be integer (pre-scale to cents).
+
+    Returns (keys..., n_kept, n_total, trimmed_mean) — groups whose kept set
+    is empty (can't happen for trim < 0.5 on non-empty groups: the
+    interval always contains the middle order statistics) yield NULL mean.
+    """
+    v = F.col(value_col).cast("long")
+    bounds = df.groupBy(*keys).agg(
+        F.percentile(v, F.lit(float(trim))).alias("_lo"),
+        F.percentile(v, F.lit(1.0 - float(trim))).alias("_hi"),
+        F.count(v).alias("n_total"),
+    )
+    joined = df.select(*keys, v.alias("_v")).join(F.broadcast(bounds), keys, "inner")
+    kept = joined.where(
+        (F.col("_v").cast("double") >= F.col("_lo"))
+        & (F.col("_v").cast("double") <= F.col("_hi"))
+    )
+    return (
+        kept.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("n_total").alias("n_total"),
+            F.sum(F.col("_v").cast("decimal(38,0)")).alias("_s"),
+        )
+        .select(
+            *keys,
+            "n_kept",
+            "n_total",
+            F.round(F.col("_s").cast("double") / F.col("n_kept").cast("double"), 9).alias(
+                "trimmed_mean"
+            ),
+        )
+    )

@@ -1,0 +1,137 @@
+"""Distributed multinomial naive Bayes — the classical scalable text
+classifier (the workhorse for corpus routing/labeling when an embedding
+model is overkill): training is two hash aggregates over the token explode,
+classification is one vocab-bounded join + a per-document sorted float fold.
+
+Reference parity: the reference has no model training at all; this is part
+of the LLM-pipeline tier the brief adds (labeling/routing stage of a
+training-data pipeline, beside language_id / quality_score).
+
+Engine-portability: every probability is a single exact division evaluated
+once in doubles, the per-document log-likelihood folds in SORTED TOKEN
+ORDER (the entropy_per_user discipline — never shuffle order), and the
+argmax breaks float ties by label, so a SQL oracle replays the scores
+bit-for-bit up to libm ln ULPs (absorbed by round-to-6 on the REPORTED
+score; the argmax compares unrounded doubles identically in both engines).
+
+100 TB story: the training aggregates are map-side combined and bounded by
+|vocab|·|classes|; the model is a dimension table (vocab-bounded — broadcast
+it when it fits, the default here; let AQE shuffle it when a giant vocab
+doesn't).  Classification shuffles test tokens once on (doc, class) — no
+step is quadratic and no state lives on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from area_etl_spark.operators.text_analysis import normalize_tokens
+
+
+def nb_train(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Train multinomial NB: returns ``(token_counts, class_stats)``.
+
+    ``token_counts``: (label, token, cnt) — token frequency per class.
+    ``class_stats``:  (label, n_docs, n_tokens) — the per-class priors and
+    normalizers.  Two hash aggregates, both map-side combined; nothing is
+    collected to the driver.
+    """
+    base = docs.where(F.col(label_col).isNotNull()).select(
+        F.col(label_col).alias("label"), normalize_tokens(F.col(text_col)).alias("_toks")
+    )
+    token_counts = (
+        base.select("label", F.explode("_toks").alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("label", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    class_stats = base.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.filter(F.col("_toks"), lambda t: t != ""))).alias("n_tokens"),
+    )
+    return token_counts, class_stats
+
+
+def nb_classify(
+    token_counts: DataFrame,
+    class_stats: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    digits: int = 6,
+) -> DataFrame:
+    """Classify ``docs`` with a trained model: per document, the label
+    maximizing  ln P(label) + Σ_t tf_t · ln((cnt_{t,label}+1) / (n_tokens_label+V))
+    (Laplace smoothing; unseen tokens contribute the +1 floor).
+
+    The per-(doc, class) log-likelihood folds over an array_sort'ed token
+    list — deterministic under any partitioning and engine.  Ties in the
+    final argmax break by label.  Returns (id, pred, log_score).
+    """
+    classes = class_stats.agg(
+        F.sum("n_docs").alias("_total_docs")
+    ).crossJoin(F.broadcast(class_stats))  # scalar join: 1 row × |classes|
+    vocab = token_counts.agg(F.countDistinct("token").alias("_v"))
+    classes = classes.crossJoin(F.broadcast(vocab)).select(
+        "label",
+        "n_tokens",
+        "_v",
+        F.log(F.col("n_docs").cast("double") / F.col("_total_docs").cast("double")).alias(
+            "_prior"
+        ),
+    )
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"), F.explode(normalize_tokens(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+    tf = toks.groupBy("_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+
+    # (doc token, class) grid → left join model counts → per-pair term
+    grid = tf.crossJoin(F.broadcast(classes.select("label", "n_tokens", "_v")))
+    terms = grid.join(F.broadcast(token_counts), ["label", "token"], "left").select(
+        "_id",
+        "label",
+        "token",
+        (
+            F.col("tf").cast("double")
+            * F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + 1).cast("double")
+                / (F.col("n_tokens") + F.col("_v")).cast("double")
+            )
+        ).alias("_term"),
+    )
+    folded = terms.groupBy("_id", "label").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("token").alias("t"), F.col("_term").alias("x")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("x"),
+        ).alias("_ll")
+    )
+
+    # every (doc × class) pair exists even for token-less documents
+    ids = docs.select(F.col(id_col).alias("_id")).distinct()
+    scored = (
+        ids.crossJoin(F.broadcast(classes.select("label", "_prior")))
+        .join(folded, ["_id", "label"], "left")
+        .select(
+            "_id",
+            "label",
+            (F.col("_prior") + F.coalesce(F.col("_ll"), F.lit(0.0))).alias("_score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_id").orderBy(F.desc("_score"), F.asc("label"))
+    best = scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return best.select(
+        F.col("_id").alias(id_col),
+        F.col("label").alias("pred"),
+        F.round("_score", digits).alias("log_score"),
+    )

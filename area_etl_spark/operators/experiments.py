@@ -300,3 +300,187 @@ def diff_in_diff(
         for n in ["t_post", "t_pre", "c_post", "c_pre"]
     ]
     return agg.select(*out, (F.round(did, digits) + F.lit(0.0)).alias("did"))
+
+
+def normal_sf_portable(z: Column) -> Column:
+    """One-sided normal survival function P(Z > z) for z >= 0, evaluated as
+    the Abramowitz & Stegun 7.1.26 polynomial (max |err| 1.5e-7) written out
+    as plain arithmetic — a DEFINED portable statistic: both Spark and any
+    SQL oracle evaluate the SAME formula, so the result never depends on a
+    platform erf/erfc (which neither engine exposes and IEEE does not pin).
+    """
+    x = z / F.lit(1.4142135623730951)  # z / sqrt(2)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * x)
+    poly = (
+        t
+        * (
+            F.lit(0.254829592)
+            + t
+            * (
+                F.lit(-0.284496736)
+                + t * (F.lit(1.421413741) + t * (F.lit(-1.453152027) + t * F.lit(1.061405429)))
+            )
+        )
+    )
+    # erfc(x) = poly * exp(-x^2);  P(Z > z) = erfc(x) / 2
+    return poly * F.exp(-x * x) / F.lit(2.0)
+
+
+def normal_sf_sql(z_expr: str) -> str:
+    """The DuckDB rendering of :func:`normal_sf_portable` — same constants,
+    same operation order, so both engines compute identical doubles up to
+    libm exp() ULPs (absorbed by the callers' round-to-6)."""
+    x = f"(({z_expr}) / 1.4142135623730951)"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    poly = (
+        f"({t} * (0.254829592 + {t} * (-0.284496736 + {t} * (1.421413741 + "
+        f"{t} * (-1.453152027 + {t} * 1.061405429)))))"
+    )
+    return f"({poly} * exp(-({x}) * ({x})) / 2.0)"
+
+
+def bh_adjust(
+    pvals: DataFrame,
+    key_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg false-discovery-rate adjustment over a FAMILY of
+    hypothesis tests — the multiple-testing correction an experimentation
+    platform applies when one experiment reads out m metrics/segments at
+    once (testing 20 segments at α=0.05 expects one false positive; BH
+    bounds the expected FALSE-DISCOVERY share instead).
+
+    adj_i = min_{j >= i} (p_(j) * m / j) clamped to 1, computed with a
+    reverse running-min window; significant ⇔ adj <= alpha (equivalent to
+    the classic step-up rule).  Both windows run over the AGGREGATE-level
+    family table — m is segments/metrics (tens to thousands), never rows,
+    the pareto/id_gap bounded-single-partition idiom.  Ties on p break by
+    key for a total deterministic order.
+
+    Returns (key, p, p_rank, p_adj, significant) — p and p_adj rounded to 6
+    (upstream p's last operation is a libm exp; see normal_sf_portable).
+    """
+    from pyspark.sql import Window
+
+    fam = pvals.select(F.col(key_col).alias("key"), F.col(p_col).alias("_p"))
+    w_rank = Window.orderBy("_p", "key")
+    w_rev = Window.orderBy(F.desc("_p"), F.desc("key")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    m = fam.count()
+    ranked = fam.withColumn("p_rank", F.row_number().over(w_rank))
+    adj = ranked.withColumn(
+        "_raw", F.col("_p") * F.lit(float(m)) / F.col("p_rank").cast("double")
+    ).withColumn("p_adj", F.least(F.lit(1.0), F.min("_raw").over(w_rev)))
+    return adj.select(
+        "key",
+        F.round("_p", 6).alias("p"),
+        F.col("p_rank").cast("long").alias("p_rank"),
+        F.round("p_adj", 6).alias("p_adj"),
+        (F.round("p_adj", 6) <= F.lit(alpha)).alias("significant"),
+    ).orderBy("p_rank")
+
+
+def cohen_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+) -> DataFrame:
+    """Cohen's kappa inter-rater agreement — the chance-corrected score for
+    comparing two labelers (or a heuristic labeler vs gold labels: kappa
+    near 0 means the classifier is no better than guessing the marginal).
+
+    ALL-INTEGER core: with per-category marginals a_k, b_k (DECIMAL(38,0))
+    and observed agreement count ``agree``,
+
+        kappa = (po - pe) / (1 - pe) = (agree*n - Σ a_k*b_k) / (n² - Σ a_k*b_k)
+
+    — numerator and denominator are exact integers (the float-sum ordering
+    problem never arises; one final division, IEEE-exact).  One hash
+    aggregate over categories (bounded by label cardinality) + one 1-row
+    finish.  NULL labels are excluded (neither rater abstains into a
+    category).  Returns one row (n, agree, po, pe, kappa).
+    """
+    pairs = df.where(
+        F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull()
+    ).select(F.col(rater_a_col).alias("_a"), F.col(rater_b_col).alias("_b"))
+    per_a = pairs.groupBy("_a").agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_na"))
+    per_b = pairs.groupBy("_b").agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_nb"))
+    cross = per_a.join(per_b, per_a["_a"] == per_b["_b"], "inner").agg(
+        F.sum(F.col("_na") * F.col("_nb")).cast("decimal(38,0)").alias("_pe_num")
+    )
+    counts = pairs.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("_agree"),
+    )
+    joined = counts.crossJoin(F.broadcast(cross))  # two 1-row aggregates
+    n, agree, pe_num = F.col("_n"), F.col("_agree"), F.col("_pe_num")
+    # degenerate families guard (ANSI-safe): no pairs at all → every ratio
+    # NULL; pe = 1 (a single shared category) → kappa undefined → NULL
+    return joined.select(
+        n.cast("long").alias("n"),
+        agree.cast("long").alias("agree"),
+        F.round(
+            F.when(n > 0, agree.cast("double") / n.cast("double")), 9
+        ).alias("po"),
+        F.round(
+            F.when(n > 0, pe_num.cast("double") / (n * n).cast("double")), 9
+        ).alias("pe"),
+        F.round(
+            F.when(
+                n * n != pe_num,
+                (agree * n - pe_num).cast("double") / (n * n - pe_num).cast("double"),
+            ),
+            9,
+        ).alias("kappa"),
+    )
+
+
+def rank_match(
+    units: DataFrame,
+    treat_col: str,
+    score_col: str,
+    key_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Stratified nearest-RANK matching — the deterministic, shuffle-once
+    substitute for greedy propensity matching (whose output depends on scan
+    order and therefore can never hold a cross-engine oracle): coarsen the
+    balancing score into fixed-width buckets, rank treated and control units
+    inside each bucket by (score, key), and pair equal ranks.  Unmatched
+    tail ranks drop — the caliper is the bucket width.
+
+    One shuffle on bucket; the per-bucket windows are bounded by bucket
+    occupancy (narrow the width — the caliper — to split a hot bucket, the
+    salting knob).  ``score_col`` must be integer (pre-scale to cents).
+
+    Returns one row per matched pair: (bucket, pair_rank, treated_key,
+    control_key, treated_score, control_score).
+    """
+    from pyspark.sql import Window
+
+    s = F.col(score_col).cast("long")
+    base = units.select(
+        F.col(key_col).alias("_key"),
+        s.alias("_score"),
+        F.col(treat_col).cast("boolean").alias("_t"),
+        F.floor(s / F.lit(bucket_width)).cast("long").alias("bucket"),
+    )
+    w = Window.partitionBy("bucket", "_t").orderBy("_score", "_key")
+    ranked = base.withColumn("pair_rank", F.row_number().over(w).cast("long"))
+    t = ranked.where(F.col("_t")).select(
+        "bucket",
+        "pair_rank",
+        F.col("_key").alias("treated_key"),
+        F.col("_score").alias("treated_score"),
+    )
+    c = ranked.where(~F.col("_t")).select(
+        "bucket",
+        "pair_rank",
+        F.col("_key").alias("control_key"),
+        F.col("_score").alias("control_score"),
+    )
+    return t.join(c, ["bucket", "pair_rank"], "inner")

@@ -695,3 +695,57 @@ def common_neighbor_scores(
             ).alias("jaccard"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous frequency label propagation (Raghavan et al. 2007) —
+    COMMUNITY detection, the denser-than-connectivity grouping
+    connected_components can't give (CC merges everything reachable; LPA
+    groups by where most of your edges point).
+
+    Deterministic and oracle-replayable by construction: labels seed as the
+    node id, each round every node adopts the most frequent label among its
+    neighbors with ties broken by SMALLER label (row_number over
+    (count DESC, label ASC)), all nodes update simultaneously, and the
+    round count is FIXED — the pagerank_integer convention, so a SQL oracle
+    replays rounds as chained CTEs.  Isolated nodes keep their own label.
+
+    Each round = one join (labels→edges) + one (node,label) count + one
+    argmax window partitioned by node (bounded by a node's distinct
+    neighbor labels); ``localCheckpoint(eager)`` truncates lineage per
+    round.  Returns (node, label).
+    """
+    from pyspark.sql import Window
+
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    und = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(rounds):
+        nbr = (
+            und.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            nbr.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", F.col("label").alias("_new"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("_new", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -66,3 +66,32 @@ def dense_ids(
         )
         .drop("_pid")
     )
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str,
+    nodes: list[str],
+    out_col: str = "assigned_node",
+) -> DataFrame:
+    """Rendezvous / highest-random-weight (HRW) hashing (Thaler & Ravishankar
+    '96) — consistent assignment of keys to nodes/shards: each key goes to
+    argmax over nodes of md5(node ':' key).  Removing a node moves ONLY the
+    keys that were assigned to it (every other key's argmax is unchanged) —
+    the property modulo-hashing lacks and the reason stateful services and
+    shard routers use HRW.
+
+    Engine-portable argmax with zero extra state: md5 hex is fixed-width
+    32 chars, so ``greatest(md5 || node)`` compares hash first and breaks
+    exact-collision ties by larger node name; the winner's name is
+    ``substr(.., 33)``.  Pure narrow whole-stage-codegen projection — NO
+    shuffle, NO lookup table, scales with the scan.
+    """
+    if not nodes:
+        raise ValueError("rendezvous_assign needs at least one node")
+    c = F.col(key_col).cast("string")
+    tagged = [
+        F.concat(F.md5(F.concat_ws(":", F.lit(n), c)), F.lit(n)) for n in sorted(nodes)
+    ]
+    best = tagged[0] if len(tagged) == 1 else F.greatest(*tagged)
+    return df.withColumn(out_col, F.substring(best, 33, 2_000_000))

@@ -223,3 +223,68 @@ def phrase_search(
     return base.select(
         F.col(id_col), F.size(F.col("_acc")).alias("n_occurrences")
     )
+
+
+def rrf_fuse(
+    rankings: list[tuple[str, DataFrame]],
+    id_col: str = "doc_id",
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) — the standard
+    hybrid-search combiner: each retrieval tier contributes 1/(k+rank) per
+    document and the fused list re-ranks by the sum.  This is how a lexical
+    BM25 tier and a semantic ANN tier merge into one result list without
+    score calibration (ranks are comparable; raw scores never are).
+
+    Each input is ``(source_name, DataFrame with (id_col, rank))`` where
+    rank is the 1-based position in that tier's top-N.  The fused score
+    folds contributions in SORTED SOURCE-NAME order (the entropy
+    discipline), and every contribution is one exact division of integers —
+    so the fused ranking replays bit-for-bit in a SQL oracle.  All tables
+    are topk-bounded (tens of rows): the single-partition windows here are
+    aggregate-level by construction.
+
+    Returns the fused top-k: (id, rrf_score, n_sources, rrf_rank).
+    """
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    tagged = [
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.lit(name).alias("_src"),
+            F.col("rank").cast("long").alias("_r"),
+        )
+        for name, df in rankings
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), tagged)
+    per = u.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_src").alias("s"),
+                        (F.lit(1.0) / (F.lit(float(k)) + F.col("_r").cast("double"))).alias(
+                            "x"
+                        ),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("x"),
+        ).alias("_score"),
+    )
+    w = Window.orderBy(F.col("_score").desc(), F.col("_id").asc())
+    return (
+        per.withColumn("rrf_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rrf_rank") <= topk)
+        .select(
+            F.col("_id").alias(id_col),
+            F.round("_score", 9).alias("rrf_score"),
+            "n_sources",
+            "rrf_rank",
+        )
+    )

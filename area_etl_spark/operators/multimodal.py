@@ -336,3 +336,156 @@ def extract_features(df: DataFrame, kernel: str = "fake") -> DataFrame:
             )
 
     return df.mapInPandas(_features, schema=FEATURES_SCHEMA)
+
+
+def png_decode_pixels(payload: bytes):
+    """REAL PNG pixel decode, stdlib+numpy only: 8-bit grayscale (color
+    type 0) and truecolor RGB (type 2), non-interlaced — concatenated IDAT
+    inflate (zlib) + per-scanline unfiltering (all five PNG filter types
+    incl. Paeth) + reshape to (height, width, channels) uint8.
+
+    This is the step earlier rounds stubbed as "needs PIL": for the PNG
+    subset it does not — the container is zlib + a 5-case linear filter,
+    both in stdlib/numpy.  Returns None for anything outside the subset
+    (interlaced, paletted, 16-bit, other containers): callers quarantine,
+    one bad blob must not kill a 100 TB decode pass.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    try:
+        if payload[:8] != b"\x89PNG\r\n\x1a\n":
+            return None
+        pos, idat, meta = 8, [], None
+        while pos + 8 <= len(payload):
+            (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            if ctype == b"IHDR":
+                w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+                if depth != 8 or color not in (0, 2) or interlace != 0:
+                    return None
+                meta = (w, h, 1 if color == 0 else 3)
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + data + crc
+        if meta is None or not idat:
+            return None
+        w, h, ch = meta
+        raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+        stride = w * ch
+        if raw.size != h * (stride + 1):
+            return None
+        rows = raw.reshape(h, stride + 1)
+        out = np.zeros((h, stride), dtype=np.uint8)
+        for y in range(h):
+            ftype, line = rows[y, 0], rows[y, 1:].astype(np.int32)
+            above = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+            if ftype == 0:
+                cur = line
+            elif ftype == 2:  # Up
+                cur = (line + above) & 0xFF
+            else:  # Sub/Average/Paeth carry a left dependency — sequential per pixel
+                cur = np.zeros(stride, np.int32)
+                for x in range(stride):
+                    left = cur[x - ch] if x >= ch else 0
+                    up = above[x]
+                    ul = above[x - ch] if x >= ch else 0
+                    if ftype == 1:
+                        pred = left
+                    elif ftype == 3:
+                        pred = (left + up) // 2
+                    elif ftype == 4:
+                        p = left + up - ul
+                        pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                        pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                    else:
+                        return None
+                    cur[x] = (line[x] + pred) & 0xFF
+            out[y] = cur.astype(np.uint8)
+        return out.reshape(h, w, ch)
+    except Exception:  # noqa: BLE001 — malformed container → quarantine
+        return None
+
+
+def _png_pixel_feature_batch(payloads) -> list[list[float]]:
+    """REAL image feature kernel: 15-bin LUMINANCE histogram + mean
+    brightness from actual decoded PNG pixels (png_decode_pixels), the
+    byte-histogram kernel's pixel-space upgrade.  Non-PNG / unsupported
+    payloads embed as the zero vector (callers filter on it)."""
+    import numpy as np
+
+    out: list[list[float]] = []
+    for p in payloads:
+        px = png_decode_pixels(bytes(p)) if p is not None else None
+        if px is None or px.size == 0:
+            out.append([0.0] * FEATURE_DIM)
+            continue
+        lum = px.mean(axis=2, dtype=np.float64).ravel()  # average channels
+        hist = np.histogram(lum, bins=FEATURE_DIM - 1, range=(0.0, 256.0))[0].astype(np.float64)
+        vec = (hist / lum.size).tolist()
+        vec.append(float(lum.mean() / 255.0))
+        out.append(vec)
+    return out
+
+
+FEATURE_KERNELS["png_pixels"] = lambda payloads, lens: _png_pixel_feature_batch(payloads)
+
+
+AUDIO_ENERGY_SCHEMA = (
+    "id long, window_idx int, n_samples int, rms double, peak double"
+)
+
+
+def audio_energy(df: DataFrame, window_ms: int = 100) -> DataFrame:
+    """REAL audio feature extraction: decode WAV PCM samples (stdlib wave +
+    numpy, 8/16-bit mono-or-averaged) and emit per-window RMS + peak energy
+    rows — the VAD/silence-trim signal an audio training pipeline computes
+    before transcription, and the 1→N row-expansion shape of sample_frames
+    with genuine sample math inside.
+
+    Arrow-batched ``mapInPandas``; malformed/non-WAV payloads yield NO rows
+    (quarantine by absence — join back against the id spine to find them).
+    Output is deterministic: energy is integer-sample arithmetic until the
+    final sqrt/division per window.
+    """
+    import numpy as np
+
+    def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            ids, widx, ns, rms, peak = [], [], [], [], []
+            for id_, p in zip(pdf["id"], pdf["payload"]):
+                try:
+                    with wave.open(io.BytesIO(bytes(p))) as wf:
+                        rate, width, nch = wf.getframerate(), wf.getsampwidth(), wf.getnchannels()
+                        raw = wf.readframes(wf.getnframes())
+                    if width == 2:
+                        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                    elif width == 1:
+                        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+                    else:
+                        continue
+                    if nch > 1:
+                        samples = samples[: len(samples) - len(samples) % nch]
+                        samples = samples.reshape(-1, nch).mean(axis=1)
+                    win = max(1, rate * window_ms // 1000)
+                    for i in range(0, len(samples), win):
+                        chunk = samples[i : i + win]
+                        ids.append(int(id_))
+                        widx.append(i // win)
+                        ns.append(len(chunk))
+                        rms.append(float(np.sqrt(np.mean(chunk * chunk))))
+                        peak.append(float(np.abs(chunk).max()))
+                except Exception:  # noqa: BLE001 — malformed audio → no rows
+                    continue
+            yield pd.DataFrame(
+                {"id": ids, "window_idx": widx, "n_samples": ns, "rms": rms, "peak": peak}
+            )
+
+    return df.mapInPandas(_energy, schema=AUDIO_ENERGY_SCHEMA)

@@ -493,3 +493,80 @@ def subset_closure(
             broadcast(pk), parent[parent_key] == pk["_pk"], "left_semi"
         )
     return out
+
+
+def ipf_weights(
+    cells: DataFrame,
+    row_col: str,
+    col_col: str,
+    n_col: str,
+    row_targets: DataFrame,
+    col_targets: DataFrame,
+    iters: int = 3,
+) -> DataFrame:
+    """Iterative proportional fitting (raking) — per-cell weights that make
+    a two-way contingency table match BOTH target marginals: the survey-
+    statistics workhorse, and in a training-data pipeline the principled
+    way to rebalance a corpus to a target (source × time, lang × domain)
+    mix without per-axis independence assumptions (the one-axis version is
+    rebalance_mixture).
+
+    Each round scales rows to their target then columns to theirs; 3
+    rounds is the conventional near-convergence point (IPF converges
+    geometrically when the table has no structural zeros on the target
+    support).  Every marginal sum folds over the cell list in SORTED
+    cross-key order (the entropy discipline), so a SQL oracle replays the
+    float sequence exactly; targets/weights are doubles, divisions exact.
+
+    All aggregates and joins run over the AGGREGATE-level cell table
+    (|rows|·|cols| cells — categories, never raw events), the bounded
+    pareto/id_gap idiom.  Returns (row, col, n, weight).
+    """
+    rt = row_targets.select(F.col(row_col).alias("_r"), F.col("target").alias("_rt"))
+    ct = col_targets.select(F.col(col_col).alias("_c"), F.col("target").alias("_ct"))
+    df = (
+        cells.select(
+            F.col(row_col).alias("_r"),
+            F.col(col_col).alias("_c"),
+            F.col(n_col).alias("_n"),
+        )
+        .join(F.broadcast(rt), "_r")
+        .join(F.broadcast(ct), "_c")
+        .withColumn("_w", F.lit(1.0))
+    )
+
+    def fold(key: str) -> "Column":
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(key).alias("k"),
+                        (F.col("_w") * F.col("_n").cast("double")).alias("x"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("x"),
+        )
+
+    for _ in range(iters):
+        rs = df.groupBy("_r").agg(fold("_c").alias("_rs"))
+        df = df.join(F.broadcast(rs), "_r").withColumn(
+            "_w", F.col("_w") * (F.col("_rt") / F.col("_rs"))
+        ).drop("_rs")
+        cs = df.groupBy("_c").agg(fold("_r").alias("_cs"))
+        df = df.join(F.broadcast(cs), "_c").withColumn(
+            "_w", F.col("_w") * (F.col("_ct") / F.col("_cs"))
+        ).drop("_cs")
+        # truncate lineage each round: every iteration references df twice
+        # (cells ⋈ agg(cells)), so the UNchecked plan doubles per round —
+        # 2^iters analysis blow-up long before any data moves.  The cell
+        # table is aggregate-level (categories², not rows), so an eager
+        # localCheckpoint is O(small) — the connected_components recipe.
+        df = df.localCheckpoint(eager=True)
+    return df.select(
+        F.col("_r").alias(row_col),
+        F.col("_c").alias(col_col),
+        F.col("_n").alias(n_col),
+        F.round("_w", 9).alias("weight"),
+    )

@@ -658,3 +658,98 @@ def jl_project(
     return df.select(
         F.col(id_col), F.posexplode(sums).alias("out_dim_idx", "value")
     )
+
+
+def ann_recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 4,
+    multi_probe: int = 2,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Recall@k evaluation of the LSH shortlist against exact brute-force
+    truth — the measurement an ANN deployment is tuned by (bits/multi_probe
+    trade recall for scanned buckets; this op turns that dial into a
+    number instead of a guess).
+
+    Per query: truth = exact top-k by cosine over the whole corpus (the
+    documented brute verifier tier — run the eval on a SAMPLE of queries at
+    100 TB, the corpus side stays one pass either way because both ranks
+    share ONE scored join); approx = top-k restricted to the probed LSH
+    buckets (the query's signature + its ``multi_probe-1`` lowest-bit
+    flips, same probe set as ``lsh_ann_topk``).  Cosines round to 6 before
+    ranking and ties break by id, so the k-frontier — and therefore recall
+    itself — is engine-stable and fully oracle-checkable.
+
+    Returns (query_id, n_truth, n_approx, n_hit, recall) with
+    recall = n_hit / n_truth (one exact division).
+    """
+    from pyspark.sql import Window
+
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, bits, seed)
+
+    q = queries.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "_qid",
+            "_cid",
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv"))),
+                6,
+            ).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(F.col("_cos").desc(), F.col("_cid").asc())
+    truth = scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+
+    cb = corpus.select(
+        F.col(id_col).alias("_cid"), lsh_signature(F.col(vec_col), planes).alias("_b")
+    )
+    qsig = q.select("_qid", lsh_signature(F.col("_qv"), planes).alias("_qb"))
+    probes = F.array_distinct(
+        F.array(
+            F.col("_qb"),
+            *[F.col("_qb").bitwiseXOR(F.lit(1 << j)) for j in range(max(0, multi_probe - 1))],
+        )
+    )
+    cand = (
+        F.broadcast(qsig.select("_qid", F.explode(probes).alias("_b")))
+        .join(cb, "_b")
+        .select("_qid", "_cid")
+    )
+    approx = (
+        scored.join(cand, ["_qid", "_cid"])
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+    )
+
+    nt = truth.groupBy("_qid").agg(F.count(F.lit(1)).alias("n_truth"))
+    na = approx.groupBy("_qid").agg(F.count(F.lit(1)).alias("n_approx"))
+    hits = (
+        truth.select("_qid", "_cid")
+        .join(approx.select("_qid", "_cid"), ["_qid", "_cid"])
+        .groupBy("_qid")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        nt.join(na, "_qid", "left")
+        .join(hits, "_qid", "left")
+        .select(
+            F.col("_qid").alias("query_id"),
+            "n_truth",
+            F.coalesce("n_approx", F.lit(0)).alias("n_approx"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_truth").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )

@@ -189,3 +189,47 @@ def bpe_segment(
         .groupBy(id_col)
         .agg(F.sum("k").alias("n_bpe_tokens"))
     )
+
+
+def zipf_fit(vocab: DataFrame) -> DataFrame:
+    """Zipf's-law fit over a frequency-ranked vocabulary (from
+    :func:`build_vocab`): OLS of ln(freq) on ln(rank) — slope ≈ −1 is the
+    classic sanity check that a scraped corpus looks like natural language
+    (templated/spam corpora bend the tail; a truncated head means boilerplate
+    dedup leftovers).
+
+    Exactness: ln values are quantized to 1e-6 fixed-point BIGINTs, so the
+    five sufficient statistics aggregate exactly as DECIMAL(38,0) under any
+    partitioning (the corr_exact discipline); slope/intercept/R² are closed
+    forms evaluated once in doubles — the 1e6 scale cancels in the slope
+    ratio by construction.  One map-side-combined aggregate over the
+    |vocab|-sized table.  Returns one row (n_terms, slope, intercept, r2).
+    """
+    q = lambda c: F.round(c * F.lit(1000000.0), 0).cast("long")  # noqa: E731
+    xy = vocab.select(
+        q(F.log((F.col("token_id") + 1).cast("double"))).alias("_x"),
+        q(F.log(F.col("n").cast("double"))).alias("_y"),
+    )
+    d = lambda name: F.col(name).cast("decimal(38,0)")  # noqa: E731
+    s = xy.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum(d("_x")).alias("_sx"),
+        F.sum(d("_y")).alias("_sy"),
+        F.sum(d("_x") * d("_y")).alias("_sxy"),
+        F.sum(d("_x") * d("_x")).alias("_sxx"),
+        F.sum(d("_y") * d("_y")).alias("_syy"),
+    )
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    num = (n * F.col("_sxy") - sx * sy).cast("double")
+    den = (n * F.col("_sxx") - sx * sx).cast("double")
+    syy = (n * F.col("_syy") - sy * sy).cast("double")
+    slope = num / den
+    intercept = (
+        sy.cast("double") / F.lit(1000000.0) - slope * (sx.cast("double") / F.lit(1000000.0))
+    ) / n.cast("double")
+    return s.select(
+        n.cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(num * num / (den * syy), 6).alias("r2"),
+    )

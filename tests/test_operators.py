@@ -2056,3 +2056,192 @@ def test_collapse_rare_levels_keeps_null_and_frequent(spark):
     assert ("a", "a") in got and ("b", "b") in got
     assert ("c", "__other__") in got
     assert (None, None) in got  # NULL is its own signal, never collapsed
+
+
+def test_bh_adjust_hand_computed(spark):
+    """BH step-up on a textbook p family: adj = min over j>=i of p_j*m/j."""
+    from area_etl_spark.operators.experiments import bh_adjust
+
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.04), ("e", 0.5)],
+        ["metric", "p"],
+    )
+    out = {r.key: r for r in bh_adjust(df, "metric", "p", alpha=0.05).collect()}
+    # m=5: raw = [.05, .05, .05, .05, .5]; reverse running-min keeps them
+    assert out["a"].p_adj == 0.05 and out["d"].p_adj == 0.05
+    assert out["e"].p_adj == 0.5
+    assert out["a"].significant and out["d"].significant and not out["e"].significant
+    # monotone non-decreasing in rank
+    ranked = sorted(out.values(), key=lambda r: r.p_rank)
+    assert all(x.p_adj <= y.p_adj for x, y in zip(ranked, ranked[1:]))
+
+
+def test_normal_sf_portable_accuracy(spark):
+    """A&S 7.1.26 vs scipy-free reference values (max err 1.5e-7)."""
+    import math
+
+    from area_etl_spark.operators.experiments import normal_sf_portable
+
+    df = spark.createDataFrame([(0.0,), (1.0,), (1.959964,), (3.0,)], ["z"])
+    rows = df.select(F.col("z"), normal_sf_portable(F.col("z")).alias("sf")).collect()
+    ref = {0.0: 0.5, 1.0: 0.15865525, 1.959964: 0.025, 3.0: 0.00134990}
+    for r in rows:
+        assert abs(r.sf - ref[r.z]) < 2e-7, (r.z, r.sf)
+    # and the SQL rendering is the same arithmetic
+    from area_etl_spark.operators.experiments import normal_sf_sql
+
+    import duckdb
+
+    con = duckdb.connect()
+    for z, want in ref.items():
+        got = con.execute(f"SELECT {normal_sf_sql(str(z))}").fetchone()[0]
+        assert abs(got - want) < 2e-7
+        spark_val = [r.sf for r in rows if r.z == z][0]
+        assert abs(got - spark_val) < 1e-12  # same formula, same doubles
+
+
+def test_cohen_kappa_perfect_and_random(spark):
+    from area_etl_spark.operators.experiments import cohen_kappa
+
+    perfect = spark.createDataFrame([("x", "x")] * 5 + [("y", "y")] * 5, ["a", "b"])
+    r = cohen_kappa(perfect, "a", "b").collect()[0]
+    assert r.kappa == 1.0 and r.po == 1.0 and r.n == 10
+    # independent marginals -> kappa 0: a/b combinations in exact proportion
+    rows = [("x", "x")] * 4 + [("x", "y")] * 4 + [("y", "x")] + [("y", "y")]
+    # pe = (8*5 + 2*5)/100 = 0.5 ; po = 5/10 = 0.5 -> kappa = 0
+    indep = spark.createDataFrame(rows, ["a", "b"])
+    r2 = cohen_kappa(indep, "a", "b").collect()[0]
+    assert r2.kappa == 0.0
+    # NULLs excluded
+    withnull = spark.createDataFrame([("x", "x"), ("x", None)], ["a", "b"])
+    assert cohen_kappa(withnull, "a", "b").collect()[0].n == 1
+
+
+def test_rank_match_pairs_and_caliper(spark):
+    from area_etl_spark.operators.experiments import rank_match
+
+    rows = [
+        # bucket 0 (scores 0..99): 2 treated, 3 controls -> 2 pairs
+        (1, True, 10), (2, True, 20), (3, False, 5), (4, False, 15), (5, False, 25),
+        # bucket 1: 1 treated, 0 controls -> no pair (caliper)
+        (6, True, 150),
+    ]
+    df = spark.createDataFrame(rows, ["key", "t", "score"])
+    out = rank_match(df, "t", "score", "key", bucket_width=100)
+    got = {(r.treated_key, r.control_key) for r in out.collect()}
+    # rank 1: treated 1 (10) matches control 3 (5); rank 2: 2<->4
+    assert got == {(1, 3), (2, 4)}
+    # matched controls are each used once
+    assert out.count() == 2
+
+
+def test_trimmed_mean_drops_tails(spark):
+    from area_etl_spark.operators.aggregates import trimmed_mean
+
+    rows = [("g", v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = trimmed_mean(df, ["g"], "v", trim=0.1).collect()[0]
+    # p10 = 1.9, p90 = 108.1 -> kept 2..9 ... wait: 9 <= 108.1 so 2..9 kept
+    assert r.n_total == 10
+    assert r.n_kept == 8
+    assert abs(r.trimmed_mean - sum(range(2, 10)) / 8) < 1e-9
+
+
+def test_nb_classify_learns_separable_classes(spark):
+    from area_etl_spark.operators.classify import nb_classify, nb_train
+
+    train = spark.createDataFrame(
+        [(i, "apple banana fruit", "food") for i in range(10)]
+        + [(i + 10, "gear engine piston", "machine") for i in range(10)],
+        ["doc_id", "text", "label"],
+    )
+    test = spark.createDataFrame(
+        [(100, "banana apple apple"), (101, "piston engine gear gear"), (102, "")],
+        ["doc_id", "text"],
+    )
+    tc, cs = nb_train(train, "label")
+    out = {r.doc_id: r for r in nb_classify(tc, cs, test).collect()}
+    assert out[100].pred == "food"
+    assert out[101].pred == "machine"
+    # token-less doc still classified (prior only, tie -> lexicographic label)
+    assert out[102].pred == "food"
+    assert len(out) == 3
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    """freq = round(1000 * rank^-1) is a pure Zipf corpus: slope ~ -1, r2 ~ 1."""
+    from area_etl_spark.operators.vocab import zipf_fit
+
+    rows = [(f"t{i:03d}", max(1, round(1000 / i)), i - 1) for i in range(1, 51)]
+    vocab = spark.createDataFrame(rows, ["token", "n", "token_id"])
+    r = zipf_fit(vocab).collect()[0]
+    assert r.n_terms == 50
+    assert abs(r.slope + 1.0) < 0.05
+    assert r.r2 > 0.99
+
+
+def test_ipf_weights_match_both_marginals(spark):
+    from area_etl_spark.operators.sampling import ipf_weights
+
+    cells = spark.createDataFrame(
+        [("r1", "c1", 10), ("r1", "c2", 30), ("r2", "c1", 40), ("r2", "c2", 20)],
+        ["r", "c", "n"],
+    )
+    rt = spark.createDataFrame([("r1", 50.0), ("r2", 50.0)], ["r", "target"])
+    ct = spark.createDataFrame([("c1", 50.0), ("c2", 50.0)], ["c", "target"])
+    out = ipf_weights(cells, "r", "c", "n", rt, ct, iters=8).collect()
+    rowsum = {}
+    colsum = {}
+    for x in out:
+        rowsum[x.r] = rowsum.get(x.r, 0.0) + x.weight * x.n
+        colsum[x.c] = colsum.get(x.c, 0.0) + x.weight * x.n
+    for v in list(rowsum.values()) + list(colsum.values()):
+        assert abs(v - 50.0) < 0.01  # converged to both targets
+
+
+def test_label_propagation_finds_planted_communities(spark):
+    """Two dense cliques joined by one bridge edge: LPA assigns each clique
+    one label; the min-label tie-break makes the result exact."""
+    from area_etl_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in [1, 2, 3, 4] for b in [1, 2, 3, 4] if a < b]
+    c2 = [(a, b) for a in [10, 11, 12, 13] for b in [10, 11, 12, 13] if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [(4, 10)], ["src", "dst"])
+    out = {r.node: r.label for r in label_propagation(edges, rounds=4).collect()}
+    # each clique converges to ONE label and the cliques stay distinct
+    assert len({out[n] for n in [1, 2, 3]}) == 1
+    assert len({out[n] for n in [11, 12, 13]}) == 1
+    assert out[1] != out[11]
+
+
+def test_rendezvous_assign_consistency_on_node_removal(spark):
+    """The HRW property: removing one node moves ONLY the keys that were
+    assigned to it; everything else stays put.  Modulo hashing would
+    reshuffle nearly everything."""
+    from area_etl_spark.operators.ids import rendezvous_assign
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["k"])
+    full = {r.k: r.assigned_node for r in rendezvous_assign(df, "k", ["a", "b", "c"]).collect()}
+    assert set(full.values()) == {"a", "b", "c"}  # all nodes used
+    reduced = {r.k: r.assigned_node for r in rendezvous_assign(df, "k", ["a", "b"]).collect()}
+    for k, node in full.items():
+        if node in ("a", "b"):
+            assert reduced[k] == node  # survivors never move
+        else:
+            assert reduced[k] in ("a", "b")  # orphans redistribute
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF k=60 over two tiers: doc in both tiers at ranks (1, 2) scores
+    1/61 + 1/62 and outranks single-tier rank-1 docs (1/61)."""
+    from area_etl_spark.operators.indexing import rrf_fuse
+
+    lex = spark.createDataFrame([(100, 1), (200, 2), (300, 3)], ["doc_id", "rank"])
+    sem = spark.createDataFrame([(200, 1), (100, 2), (400, 3)], ["doc_id", "rank"])
+    out = {r.doc_id: r for r in rrf_fuse([("lex", lex), ("sem", sem)], topk=4).collect()}
+    assert out[100].n_sources == 2 and out[200].n_sources == 2
+    assert abs(out[100].rrf_score - (1 / 61 + 1 / 62)) < 1e-9
+    assert abs(out[200].rrf_score - (1 / 62 + 1 / 61)) < 1e-9
+    # 100 and 200 tie exactly -> smaller id wins rank 1
+    assert out[100].rrf_rank == 1 and out[200].rrf_rank == 2
+    assert out[300].n_sources == 1 and out[300].rrf_rank > 2

@@ -499,3 +499,152 @@ def test_collocations_lift_identifies_sticky_pairs(spark):
     assert top == ("new", "york") and out[0].lift == 5.5
     # every returned pair genuinely co-occurs >= threshold
     assert all(r.n_pair >= 5 for r in out)
+
+
+def _make_real_png(pixels, filters):
+    """Encode a real PNG (8-bit gray or RGB, non-interlaced) with the given
+    per-row filter cycle — exercises the decoder's full unfilter path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = pixels.shape
+    color = 0 if ch == 1 else 2
+
+    def chunk(ctype, data):
+        c = ctype + data
+        return struct.pack(">I", len(data)) + c + struct.pack(">I", zlib.crc32(c))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b""
+    prev = np.zeros(w * ch, np.int32)
+    for y in range(h):
+        line = pixels[y].reshape(-1).astype(np.int32)
+        f = filters[y % len(filters)]
+        enc = np.zeros(w * ch, np.int32)
+        for x in range(w * ch):
+            left = line[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            enc[x] = (line[x] - pred) & 0xFF
+        raw += bytes([f]) + enc.astype(np.uint8).tobytes()
+        prev = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_pixel_decode_bit_exact():
+    """REAL pixel decode: every PNG filter type (None/Sub/Up/Average/Paeth)
+    over gray and RGB images round-trips bit-exactly; unsupported variants
+    quarantine as None."""
+    import numpy as np
+
+    from area_etl_spark.operators.multimodal import png_decode_pixels
+
+    rng = np.random.RandomState(7)
+    for shape in [(5, 4, 1), (6, 3, 3)]:
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        for filts in [[0], [1], [2], [3], [4], [0, 1, 2, 3, 4]]:
+            got = png_decode_pixels(_make_real_png(px, filts))
+            assert got is not None and np.array_equal(got, px), (shape, filts)
+    assert png_decode_pixels(b"not a png") is None
+    # 16-bit depth is outside the supported subset -> quarantine, not garbage
+    bad = bytearray(_make_real_png(rng.randint(0, 256, (2, 2, 1)).astype(np.uint8), [0]))
+    bad[24] = 16  # IHDR bit depth field
+    assert png_decode_pixels(bytes(bad)) is None
+
+
+def test_png_pixels_feature_kernel(spark):
+    """The png_pixels FEATURE kernel embeds real luminance statistics: an
+    all-black and an all-white PNG land in opposite histogram bins with
+    exact mean brightness; non-PNG payloads embed as the zero vector."""
+    import numpy as np
+
+    from area_etl_spark.operators.multimodal import (
+        FEATURE_DIM,
+        attach_binary_payload,
+        extract_features,
+    )
+
+    black = _make_real_png(np.zeros((4, 4, 3), np.uint8), [0, 4])
+    white = _make_real_png(np.full((4, 4, 1), 255, np.uint8), [1, 2])
+    df = spark.createDataFrame(
+        [(1, bytearray(black)), (2, bytearray(white)), (3, bytearray(b"junk"))],
+        "doc_id int, body binary",
+    )
+    wrapped = attach_binary_payload(df, "body", "image/png", "doc_id")
+    feats = {r.id: r.features for r in extract_features(wrapped, kernel="png_pixels").collect()}
+    assert feats[1][0] == 1.0 and feats[1][-1] == 0.0  # black: lowest bin, mean 0
+    assert feats[2][FEATURE_DIM - 2] == 1.0 and feats[2][-1] == 1.0  # white: top bin, mean 1
+    assert feats[3] == [0.0] * FEATURE_DIM  # quarantined as zero vector
+
+
+def test_audio_energy_windows_exact(spark):
+    """audio_energy computes REAL PCM window energy: a ±1000 square wave has
+    RMS exactly 1000 and peak 1000 in every full window; a silent tail
+    window reports 0; malformed payloads yield no rows."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from area_etl_spark.operators.multimodal import attach_binary_payload, audio_energy
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(1000)  # 100ms window = 100 samples
+        sq = np.tile(np.array([1000, -1000], dtype="<i2"), 125)  # 250 samples
+        wf.writeframes(sq.tobytes())
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"nope"))],
+        "doc_id int, body binary",
+    )
+    wrapped = attach_binary_payload(df, "body", "audio/wav", "doc_id")
+    rows = sorted(audio_energy(wrapped, window_ms=100).collect(), key=lambda r: r.window_idx)
+    assert [r.id for r in rows] == [1, 1, 1]  # 250 samples -> windows of 100/100/50
+    assert [r.n_samples for r in rows] == [100, 100, 50]
+    assert all(abs(r.rms - 1000.0) < 1e-9 and r.peak == 1000.0 for r in rows)
+
+
+def test_ann_recall_report_full_recall_when_colocated(spark):
+    """Vectors pointing the same direction share an LSH bucket, so the
+    shortlist contains the whole corpus and recall@k is exactly 1.0."""
+    from area_etl_spark.operators.similarity import ann_recall_report
+
+    # all positive multiples of one direction -> identical sign signature
+    base = [1.0, 0.5, -0.25, 2.0]
+    corpus = spark.createDataFrame(
+        [(i, [x * (1.0 + 0.1 * i) for x in base]) for i in range(5, 17)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [x * 3.0 for x in base]), (1, [x * 0.5 for x in base])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.query_id: r for r in ann_recall_report(corpus, queries, k=5, bits=4).collect()}
+    assert set(rows) == {0, 1}
+    for r in rows.values():
+        assert r.n_truth == 5 and r.n_approx == 5 and r.n_hit == 5
+        assert r.recall == 1.0
+    # k larger than the corpus: truth saturates at |corpus|
+    r = ann_recall_report(corpus, queries, k=50, bits=4).collect()[0]
+    assert r.n_truth == 12 and r.recall == 1.0
