@@ -5076,6 +5076,76 @@ def q_matched_pairs(spark, sf_dir):
 LPA_NODES = ["shard-a", "shard-b", "shard-c", "shard-d"]
 
 
+def q_modularity(spark, sf_dir):
+    """Newman modularity of the LPA communities over the user↔item graph —
+    the eval score for q_label_propagation: exact integer in_c/d_c/2m
+    statistics, per-community terms folded in sorted label order."""
+    from area_etl_spark.operators.graph import label_propagation, modularity
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        F.col("user_id").alias("src"),
+        (F.pmod(F.col("event_id"), F.lit(500)) + F.lit(10_000_000)).alias("dst"),
+    )
+    labels = label_propagation(ev, rounds=3)
+    return modularity(ev, labels)
+
+
+def q_calibration_curve(spark, sf_dir):
+    """Reliability diagram table: customer account-balance percentile
+    (scaled to [0,1e6]) as an 'order propensity' score vs the observed
+    placed-an-order outcome, 10 fixed-width bins — mean predicted score vs
+    outcome rate per bin from exact sums."""
+    from area_etl_spark.operators.quality import calibration_curve
+
+    tables = _tables(spark, sf_dir)
+    cust = tables["customer"].select(
+        "c_custkey", F.round(F.col("c_acctbal") * 100).cast("long").alias("bal")
+    )
+    # deterministic percentile score without a global sort window: exact
+    # rank via a self-aggregate would shuffle; percent_rank over the
+    # |customers| table is the documented bounded case — instead scale the
+    # balance linearly into [0, 1e6] over its fixed domain [-1000_00, 9999_99]
+    score = F.least(
+        F.lit(1_000_000),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("bal") + 100_000) * F.lit(1_000_000) / F.lit(1_100_000)).cast(
+                "long"
+            ),
+        ),
+    )
+    ordered = tables["orders"].select(F.col("o_custkey").alias("c_custkey")).distinct()
+    units = cust.join(ordered.withColumn("_o", F.lit(1)), "c_custkey", "left").select(
+        score.alias("score"), F.col("_o").isNotNull().alias("placed")
+    )
+    return calibration_curve(units, "score", "placed", n_bins=10)
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population stability index of the order-value distribution, first
+    half of the date range vs second half — per-bin (p−q)·ln(p/q) terms
+    with the standard empty-bin exclusion; PSI magnitude complements
+    drift_chi2's significance."""
+    from area_etl_spark.operators.quality import psi_drift
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_orderdate", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    before = o.where(F.col("o_orderdate") < F.lit("1996-01-01"))
+    after = o.where(F.col("o_orderdate") >= F.lit("1996-01-01"))
+    return psi_drift(before, after, "cents", n_bins=10, lo=0, hi=60_000_000)
+
+
+def q_good_turing(spark, sf_dir):
+    """Good–Turing unseen-token mass + Chao1 total-vocabulary estimate from
+    the corpus vocabulary — the 'how much new vocabulary will the next
+    shard add' corpus-planning numbers."""
+    from area_etl_spark.operators.vocab import build_vocab, good_turing_report
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return good_turing_report(build_vocab(docs, min_count=1))
+
+
 def q_label_propagation(spark, sf_dir):
     """Synchronous frequency-LPA community detection over the user↔item
     interaction graph (3 fixed rounds, most-frequent neighbor label, ties
@@ -5400,6 +5470,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_rrf": q_hybrid_search_rrf,
         "label_propagation": q_label_propagation,
         "rendezvous_assign": q_rendezvous_assign,
+        "modularity": q_modularity,
+        "calibration_curve": q_calibration_curve,
+        "psi_drift": q_psi_drift,
+        "good_turing": q_good_turing,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -5664,6 +5738,13 @@ def _lpa_sql(rounds: int = 3) -> str:
         SELECT node, label FROM l{rounds}
     """)
     return "".join(parts)
+
+
+def _lpa_cte(rounds: int = 3) -> str:
+    """The _lpa_sql WITH-chain without the final SELECT — composable prefix
+    for oracles that post-process the LPA labels (modularity)."""
+    full = _lpa_sql(rounds)
+    return full[: full.rindex("SELECT node, label")]
 
 
 def _hrw_sql(key: str, nodes: list[str]) -> str:
@@ -7056,6 +7137,129 @@ def oracle_sql() -> dict[str, str]:
                                AND tr.t AND NOT c.t
         """,
         "label_propagation": _lpa_sql(3),
+        "modularity": _lpa_cte(3) + """, lab AS (
+                SELECT node, label FROM l3
+            ), twom AS (
+                SELECT COUNT(*) AS twom FROM und
+            ), inc AS (
+                SELECT ls.label, COUNT(*) AS inc
+                FROM und e JOIN lab ls ON ls.node = e.src
+                           JOIN lab ld ON ld.node = e.dst
+                WHERE ls.label = ld.label GROUP BY 1
+            ), deg AS (
+                SELECT src, COUNT(*) AS d FROM und GROUP BY 1
+            ), dc AS (
+                SELECT l.label, SUM(CAST(d AS HUGEINT)) AS dc
+                FROM deg JOIN lab l ON l.node = deg.src GROUP BY 1
+            ), per AS (
+                SELECT dc.label, CAST(COALESCE(inc.inc, 0) AS HUGEINT) AS inc, dc.dc
+                FROM dc LEFT JOIN inc USING (label)
+            ), qq AS (
+                SELECT label,
+                       CAST(inc AS DOUBLE) / CAST(twom AS DOUBLE)
+                       - CAST(dc * dc AS DOUBLE)
+                         / CAST(CAST(twom AS HUGEINT) * CAST(twom AS HUGEINT) AS DOUBLE)
+                           AS q
+                FROM per, twom
+            ), agg AS (
+                SELECT COUNT(*) AS n_communities,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                                list(q ORDER BY label)),
+                                   (x, y) -> x + y) AS qsum
+                FROM qq
+            ), nn AS (
+                SELECT COUNT(*) AS n_nodes FROM lab
+            )
+            SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+                   CAST(n_communities AS BIGINT) AS n_communities,
+                   CAST(twom / 2 AS BIGINT) AS m_edges,
+                   round(qsum, 9) AS modularity
+            FROM nn, agg, twom
+        """,
+        "calibration_curve": """
+            WITH cust AS (
+                SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+                FROM customer
+            ), sc AS (
+                SELECT c_custkey,
+                       LEAST(1000000, GREATEST(0,
+                           CAST(FLOOR((bal + 100000) * 1000000 / 1100000) AS BIGINT)))
+                           AS score
+                FROM cust
+            ), units AS (
+                SELECT sc.score, (o.c IS NOT NULL) AS placed
+                FROM sc LEFT JOIN (SELECT DISTINCT o_custkey AS c FROM orders) o
+                  ON o.c = sc.c_custkey
+            ), b AS (
+                SELECT LEAST(9, CAST(FLOOR(score * 10 / 1000000) AS BIGINT)) AS bin,
+                       score, placed
+                FROM units
+            )
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   round(CAST(SUM(CAST(score AS HUGEINT)) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 9) AS mean_score,
+                   round(CAST(SUM(CASE WHEN placed THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 9) AS outcome_rate
+            FROM b GROUP BY 1
+        """,
+        "psi_drift": """
+            WITH o AS (
+                SELECT o_orderdate,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+            ), bb AS (
+                SELECT LEAST(9, GREATEST(0,
+                           CAST(FLOOR(cents * 10 / 60000000) AS BIGINT))) AS bin,
+                       COUNT(*) AS n_before
+                FROM o WHERE o_orderdate < TIMESTAMP '1996-01-01' GROUP BY 1
+            ), ba AS (
+                SELECT LEAST(9, GREATEST(0,
+                           CAST(FLOOR(cents * 10 / 60000000) AS BIGINT))) AS bin,
+                       COUNT(*) AS n_after
+                FROM o WHERE o_orderdate >= TIMESTAMP '1996-01-01' GROUP BY 1
+            ), tb AS (SELECT SUM(n_before) AS tb FROM bb),
+               ta AS (SELECT SUM(n_after) AS ta FROM ba),
+            j AS (
+                SELECT COALESCE(bb.bin, ba.bin) AS bin,
+                       COALESCE(n_before, 0) AS n_before,
+                       COALESCE(n_after, 0) AS n_after
+                FROM bb FULL OUTER JOIN ba ON bb.bin = ba.bin
+            )
+            SELECT bin, CAST(n_before AS BIGINT) AS n_before,
+                   CAST(n_after AS BIGINT) AS n_after,
+                   round(CAST(n_before AS DOUBLE) / CAST(tb AS DOUBLE), 9) AS p_before,
+                   round(CAST(n_after AS DOUBLE) / CAST(ta AS DOUBLE), 9) AS p_after,
+                   round(CASE WHEN n_before > 0 AND n_after > 0 THEN
+                       (CAST(n_before AS DOUBLE) / CAST(tb AS DOUBLE)
+                        - CAST(n_after AS DOUBLE) / CAST(ta AS DOUBLE))
+                       * ln((CAST(n_before AS DOUBLE) / CAST(tb AS DOUBLE))
+                            / (CAST(n_after AS DOUBLE) / CAST(ta AS DOUBLE)))
+                   END, 9) AS psi_term
+            FROM j, tb, ta
+        """,
+        "good_turing": """
+            WITH counts AS (
+                SELECT token, COUNT(*) AS n FROM (
+                    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+                    FROM documents
+                ) WHERE token != '' GROUP BY token
+            ), s AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS v_obs,
+                       CAST(SUM(CAST(n AS HUGEINT)) AS HUGEINT) AS nt,
+                       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS f1,
+                       CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS HUGEINT) AS f2
+                FROM counts
+            )
+            SELECT v_obs, CAST(nt AS BIGINT) AS n_tokens,
+                   CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
+                   round(CASE WHEN nt > 0 THEN
+                       CAST(f1 AS DOUBLE) / CAST(nt AS DOUBLE) END, 9) AS p0_unseen,
+                   round(CASE WHEN f2 > 0 THEN
+                       CAST(v_obs AS DOUBLE)
+                       + CAST(f1 * f1 AS DOUBLE) / (2.0 * CAST(f2 AS DOUBLE))
+                   END, 6) AS chao1_vocab
+            FROM s
+        """,
         "rendezvous_assign": f"""
             SELECT c_custkey, {_hrw_sql("c_custkey", LPA_NODES)} AS assigned_node
             FROM customer

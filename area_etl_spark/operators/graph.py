@@ -749,3 +749,78 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Newman modularity Q of a community assignment — the standard score
+    for evaluating what label_propagation produced (Q near 0: no better
+    than random; 0.3+: real community structure).
+
+        Q = Σ_c [ in_c/(2m) − (d_c/(2m))² ]
+
+    computed in the directed double-count convention: 2m = |directed
+    edges|, in_c = directed pairs inside c, d_c = Σ degrees — ALL exact
+    integers (DECIMAL(38,0) for d_c²), the per-community terms folding in
+    SORTED LABEL ORDER (the entropy discipline) so the float total is
+    engine-replayable.  Two hash aggregates + one labels join; the fold
+    runs over the |communities| aggregate table.  Returns one row
+    (n_nodes, n_communities, m_edges, modularity).
+    """
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    und = fwd.unionByName(rev).distinct()
+    lab = labels.select(F.col("node"), F.col("label"))
+    both = (
+        und.join(lab.withColumnRenamed("node", "src").withColumnRenamed("label", "_ls"), "src")
+        .join(lab.withColumnRenamed("node", "dst").withColumnRenamed("label", "_ld"), "dst")
+    )
+    twom_df = und.agg(F.count(F.lit(1)).alias("_twom"))
+    in_c = (
+        both.where(F.col("_ls") == F.col("_ld"))
+        .groupBy(F.col("_ls").alias("label"))
+        .agg(F.count(F.lit(1)).alias("_in"))
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    d_c = (
+        deg.join(lab.withColumnRenamed("node", "src"), "src")
+        .groupBy("label")
+        .agg(F.sum("_d").cast("decimal(38,0)").alias("_dc"))
+    )
+    per = d_c.join(in_c, "label", "left").select(
+        "label",
+        F.coalesce("_in", F.lit(0)).cast("decimal(38,0)").alias("_in"),
+        "_dc",
+    )
+    folded = per.crossJoin(F.broadcast(twom_df)).select(
+        "label",
+        (
+            F.col("_in").cast("double") / F.col("_twom").cast("double")
+            - (F.col("_dc") * F.col("_dc")).cast("double")
+            / (F.col("_twom").cast("decimal(38,0)") * F.col("_twom").cast("decimal(38,0)"))
+            .cast("double")
+        ).alias("_q"),
+    )
+    agg = folded.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("label").alias("l"), F.col("_q").alias("x")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("x"),
+        ).alias("_qsum"),
+    )
+    nodes = lab.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        nodes.crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(twom_df))
+        .select(
+            "n_nodes",
+            "n_communities",
+            (F.col("_twom") / 2).cast("long").alias("m_edges"),
+            F.round("_qsum", 9).alias("modularity"),
+        )
+    )

@@ -894,3 +894,112 @@ def checksum_drilldown(
             & F.col("sum_left").eqNullSafe(F.col("sum_right"))
         )
     ).select("bucket", "n_left", "n_right", "sum_left", "sum_right")
+
+
+def calibration_curve(
+    df,
+    score_col: str,
+    outcome_col: str,
+    n_bins: int = 10,
+    score_max: int = 1_000_000,
+) -> "DataFrame":
+    """Reliability diagram / calibration table — per score-bin predicted
+    mean vs observed outcome rate, the standard check that a model's (or
+    heuristic's) score actually MEANS what it claims before it gates a
+    pipeline.  A calibrated scorer tracks the diagonal; the table is what
+    the plot reads from.
+
+    ``score_col`` must be integer on [0, score_max] (pre-scale: a
+    probability × 1e6).  Fixed-width bins (floor-div, top edge clamped
+    into the last bin), exact DECIMAL(38,0) score sums and outcome
+    counts, divisions-only floats.  ONE map-side-combined hash aggregate
+    over ≤ n_bins groups.  Returns (bin, n, mean_score, outcome_rate)
+    with mean_score back on the [0,1] scale.
+    """
+    s = F.col(score_col).cast("long")
+    b = F.least(F.lit(n_bins - 1), F.floor(s * n_bins / F.lit(score_max))).cast("long")
+    o = F.col(outcome_col).cast("boolean")
+    return (
+        df.select(b.alias("bin"), s.alias("_s"), o.alias("_o"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("_s").cast("decimal(38,0)")).alias("_ss"),
+            F.sum(F.when(F.col("_o"), 1).otherwise(0)).cast("decimal(38,0)").alias("_pos"),
+        )
+        .select(
+            "bin",
+            "n",
+            F.round(
+                F.col("_ss").cast("double")
+                / F.col("n").cast("double")
+                / F.lit(float(score_max)),
+                9,
+            ).alias("mean_score"),
+            F.round(F.col("_pos").cast("double") / F.col("n").cast("double"), 9).alias(
+                "outcome_rate"
+            ),
+        )
+    )
+
+
+def psi_drift(
+    before,
+    after,
+    value_col: str,
+    n_bins: int = 10,
+    lo: int = 0,
+    hi: int = 1_000_000,
+) -> "DataFrame":
+    """Population stability index per bin — the risk-model drift monitor
+    (rule of thumb: PSI < 0.1 stable, > 0.25 investigate), the
+    industry-standard companion to drift_chi2's significance test: PSI
+    measures magnitude, χ² measures surprise.
+
+        term_i = (p_i − q_i) · ln(p_i / q_i)
+
+    over fixed-width bins of [lo, hi) (outside values clamp into the edge
+    bins so both snapshots always share the bin space).  Bins empty on
+    EITHER side are excluded (the standard zero-protection; their n's are
+    still reported by the join being full-outer — excluded means term
+    NULL).  Exact counts, divisions-only probabilities, one ln per bin.
+    Two ≤ n_bins hash aggregates + one tiny outer join.  Returns
+    (bin, n_before, n_after, p_before, p_after, psi_term).
+    """
+    def binned(df):
+        v = F.col(value_col).cast("long")
+        b = F.least(
+            F.lit(n_bins - 1),
+            F.greatest(F.lit(0), F.floor((v - lo) * n_bins / F.lit(hi - lo))),
+        ).cast("long")
+        return df.select(b.alias("bin")).groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+
+    nb = binned(before).withColumnRenamed("n", "n_before")
+    na = binned(after).withColumnRenamed("n", "n_after")
+    tb = nb.agg(F.sum("n_before").alias("_tb"))
+    ta = na.agg(F.sum("n_after").alias("_ta"))
+    j = (
+        nb.join(na, "bin", "full_outer")
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(ta))
+        .select(
+            "bin",
+            F.coalesce("n_before", F.lit(0)).alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            "_tb",
+            "_ta",
+        )
+    )
+    p = F.col("n_before").cast("double") / F.col("_tb").cast("double")
+    q = F.col("n_after").cast("double") / F.col("_ta").cast("double")
+    term = F.when(
+        (F.col("n_before") > 0) & (F.col("n_after") > 0), (p - q) * F.log(p / q)
+    )
+    return j.select(
+        "bin",
+        "n_before",
+        "n_after",
+        F.round(p, 9).alias("p_before"),
+        F.round(q, 9).alias("p_after"),
+        F.round(term, 9).alias("psi_term"),
+    )

@@ -233,3 +233,47 @@ def zipf_fit(vocab: DataFrame) -> DataFrame:
         F.round(intercept, 6).alias("intercept"),
         F.round(num * num / (den * syy), 6).alias("r2"),
     )
+
+
+def good_turing_report(vocab: DataFrame) -> DataFrame:
+    """Good–Turing / Chao1 unseen-vocabulary estimation from a frequency-
+    ranked vocabulary (build_vocab output) — the corpus-planning numbers:
+    what probability mass belongs to tokens we have NEVER seen (Good–Turing
+    p₀ = f₁/N), and how many distinct tokens the full population likely has
+    (Chao1: V + f₁²/(2f₂)) — i.e. how much new vocabulary the next shard of
+    a 100 TB corpus will add.
+
+    f₁/f₂ are counts of once/twice-seen tokens, N the total token count —
+    one exact aggregate over the |vocab| table; the two estimates are
+    single divisions.  Returns one row
+    (v_obs, n_tokens, f1, f2, p0_unseen, chao1_vocab).
+    """
+    agg = vocab.agg(
+        F.count(F.lit(1)).alias("v_obs"),
+        F.sum(F.col("n").cast("decimal(38,0)")).alias("_nt"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("decimal(38,0)").alias("_f1"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0)).cast("decimal(38,0)").alias("_f2"),
+    )
+    return agg.select(
+        "v_obs",
+        F.col("_nt").cast("long").alias("n_tokens"),
+        F.col("_f1").cast("long").alias("f1"),
+        F.col("_f2").cast("long").alias("f2"),
+        F.round(
+            F.when(
+                F.col("_nt") > 0, F.col("_f1").cast("double") / F.col("_nt").cast("double")
+            ),
+            9,
+        ).alias("p0_unseen"),
+        # Chao1 undefined without doubletons (ANSI-safe NULL, the standard
+        # caveat — use the bias-corrected f1(f1-1)/2 variant upstream if f2=0)
+        F.round(
+            F.when(
+                F.col("_f2") > 0,
+                F.col("v_obs").cast("double")
+                + (F.col("_f1") * F.col("_f1")).cast("double")
+                / (F.lit(2.0) * F.col("_f2").cast("double")),
+            ),
+            6,
+        ).alias("chao1_vocab"),
+    )

@@ -2245,3 +2245,67 @@ def test_rrf_fuse_hand_computed(spark):
     # 100 and 200 tie exactly -> smaller id wins rank 1
     assert out[100].rrf_rank == 1 and out[200].rrf_rank == 2
     assert out[300].n_sources == 1 and out[300].rrf_rank > 2
+
+
+def test_modularity_two_cliques(spark):
+    """Two disjoint triangles labeled as their own communities: the known
+    closed form gives Q = 1/2 exactly (in_c=6 directed, d_c=6, 2m=12)."""
+    from area_etl_spark.operators.graph import modularity
+
+    t1 = [(1, 2), (2, 3), (1, 3)]
+    t2 = [(4, 5), (5, 6), (4, 6)]
+    edges = spark.createDataFrame(t1 + t2, ["src", "dst"])
+    labels = spark.createDataFrame([(n, 1) for n in [1, 2, 3]] + [(n, 4) for n in [4, 5, 6]], ["node", "label"])
+    r = modularity(edges, labels).collect()[0]
+    assert r.n_nodes == 6 and r.n_communities == 2 and r.m_edges == 6
+    assert abs(r.modularity - 0.5) < 1e-12
+    # everything in ONE community scores 0 by construction
+    one = spark.createDataFrame([(n, 1) for n in [1, 2, 3, 4, 5, 6]], ["node", "label"])
+    assert abs(modularity(edges, one).collect()[0].modularity) < 1e-12
+
+
+def test_calibration_curve_exact_bins(spark):
+    from area_etl_spark.operators.quality import calibration_curve
+
+    rows = (
+        [(50_000, True)] * 1 + [(50_000, False)] * 3      # bin 0: rate .25
+        + [(950_000, True)] * 3 + [(950_000, False)] * 1  # bin 9: rate .75
+        + [(1_000_000, True)]                              # top edge clamps into bin 9
+    )
+    df = spark.createDataFrame(rows, ["score", "hit"])
+    out = {r.bin: r for r in calibration_curve(df, "score", "hit", n_bins=10).collect()}
+    assert set(out) == {0, 9}
+    assert out[0].n == 4 and out[0].outcome_rate == 0.25 and out[0].mean_score == 0.05
+    assert out[9].n == 5 and out[9].outcome_rate == 0.8
+
+
+def test_psi_drift_detects_shift(spark):
+    from area_etl_spark.operators.quality import psi_drift
+
+    before = spark.createDataFrame([(v,) for v in [100] * 80 + [900] * 20], ["v"])
+    same = spark.createDataFrame([(v,) for v in [100] * 80 + [900] * 20], ["v"])
+    shifted = spark.createDataFrame([(v,) for v in [100] * 20 + [900] * 80], ["v"])
+    stable = psi_drift(before, same, "v", n_bins=10, lo=0, hi=1000).collect()
+    assert all(r.psi_term == 0.0 for r in stable if r.psi_term is not None)
+    drift = psi_drift(before, shifted, "v", n_bins=10, lo=0, hi=1000).collect()
+    total = sum(r.psi_term for r in drift if r.psi_term is not None)
+    assert total > 0.25  # the "investigate" threshold
+
+
+def test_good_turing_hand_computed(spark):
+    from area_etl_spark.operators.vocab import good_turing_report
+
+    # 4 singletons, 2 doubletons, 1 token seen 10 times: N=18, f1=4, f2=2
+    vocab = spark.createDataFrame(
+        [(f"s{i}", 1, i) for i in range(4)]
+        + [(f"d{i}", 2, 10 + i) for i in range(2)]
+        + [("big", 10, 20)],
+        ["token", "n", "token_id"],
+    )
+    r = good_turing_report(vocab).collect()[0]
+    assert (r.v_obs, r.n_tokens, r.f1, r.f2) == (7, 18, 4, 2)
+    assert abs(r.p0_unseen - 4 / 18) < 1e-9
+    assert abs(r.chao1_vocab - (7 + 16 / 4)) < 1e-9  # 7 + f1²/(2·f2) = 11
+    # no doubletons -> Chao1 undefined, NULL not a crash
+    nod = spark.createDataFrame([("a", 1, 0), ("b", 3, 1)], ["token", "n", "token_id"])
+    assert good_turing_report(nod).collect()[0].chao1_vocab is None
