@@ -5076,6 +5076,38 @@ def q_matched_pairs(spark, sf_dir):
 LPA_NODES = ["shard-a", "shard-b", "shard-c", "shard-d"]
 
 
+def q_classification_report(spark, sf_dir):
+    """Per-class precision/recall/F1 of the language_id heuristic against
+    the gold lang label — exact tp/fp/fn counts, the one-division F1 form
+    2tp/(2tp+fp+fn), NULL on zero denominators (sklearn convention)."""
+    from area_etl_spark.operators.classify import classification_report
+    from area_etl_spark.operators.text_analysis import language_id
+
+    docs = _tables(spark, sf_dir)["documents"]
+    preds = docs.select(
+        F.col("lang").alias("gold"), language_id(F.col("text")).alias("pred")
+    )
+    return classification_report(preds, "gold", "pred")
+
+
+def q_roc_auc(spark, sf_dir):
+    """EXACT ROC AUC of the balance-derived propensity score against the
+    placed-an-order outcome — the Mann–Whitney identity U⁺/(n⁺·n⁻) from
+    midranks over distinct scores; every quantity an exact 0.5-multiple, so
+    the single division is bit-reproducible."""
+    from area_etl_spark.operators.experiments import roc_auc
+
+    tables = _tables(spark, sf_dir)
+    cust = tables["customer"].select(
+        "c_custkey", F.round(F.col("c_acctbal") * 100).cast("long").alias("score")
+    )
+    ordered = tables["orders"].select(F.col("o_custkey").alias("c_custkey")).distinct()
+    units = cust.join(ordered.withColumn("_o", F.lit(1)), "c_custkey", "left").select(
+        "score", F.col("_o").isNotNull().alias("placed")
+    )
+    return roc_auc(units, "score", "placed")
+
+
 def q_modularity(spark, sf_dir):
     """Newman modularity of the LPA communities over the user↔item graph —
     the eval score for q_label_propagation: exact integer in_c/d_c/2m
@@ -5474,6 +5506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_curve": q_calibration_curve,
         "psi_drift": q_psi_drift,
         "good_turing": q_good_turing,
+        "classification_report": q_classification_report,
+        "roc_auc": q_roc_auc,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -7175,6 +7209,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(twom / 2 AS BIGINT) AS m_edges,
                    round(qsum, 9) AS modularity
             FROM nn, agg, twom
+        """,
+        "classification_report": f"""
+            WITH pairs AS (
+                SELECT lang AS g, {_langid_sql("text")} AS p FROM documents
+                WHERE lang IS NOT NULL
+            ), per_gold AS (
+                SELECT g AS label, COUNT(*) AS support,
+                       SUM(CASE WHEN g = p THEN 1 ELSE 0 END) AS tp_g
+                FROM pairs GROUP BY 1
+            ), per_pred AS (
+                SELECT p AS label, COUNT(*) AS n_pred FROM pairs GROUP BY 1
+            ), j AS (
+                SELECT COALESCE(per_gold.label, per_pred.label) AS label,
+                       COALESCE(tp_g, 0) AS tp,
+                       COALESCE(n_pred, 0) - COALESCE(tp_g, 0) AS fp,
+                       COALESCE(support, 0) - COALESCE(tp_g, 0) AS fn,
+                       COALESCE(support, 0) AS support
+                FROM per_gold FULL OUTER JOIN per_pred
+                  ON per_gold.label = per_pred.label
+            )
+            SELECT label, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                   CAST(fn AS BIGINT) AS fn, CAST(support AS BIGINT) AS support,
+                   round(CASE WHEN tp + fp > 0 THEN
+                       CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+                   END, 9) AS precision,
+                   round(CASE WHEN tp + fn > 0 THEN
+                       CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+                   END, 9) AS recall,
+                   round(CASE WHEN 2 * tp + fp + fn > 0 THEN
+                       2 * CAST(tp AS DOUBLE)
+                       / (2 * CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE)
+                          + CAST(fn AS DOUBLE))
+                   END, 9) AS f1
+            FROM j
+        """,
+        "roc_auc": """
+            WITH cust AS (
+                SELECT c_custkey,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS score
+                FROM customer
+            ), units AS (
+                SELECT cust.score, (o.c IS NOT NULL) AS placed
+                FROM cust LEFT JOIN (SELECT DISTINCT o_custkey AS c FROM orders) o
+                  ON o.c = cust.c_custkey
+            ), per_val AS (
+                SELECT score AS v, COUNT(*) AS cnt,
+                       SUM(CASE WHEN placed THEN 1 ELSE 0 END) AS cnt_pos
+                FROM units GROUP BY 1
+            ), ranked AS (
+                SELECT *,
+                       COALESCE(SUM(cnt) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS cum_before
+                FROM per_val
+            ), agg AS (
+                SELECT CAST(SUM(cnt_pos) AS BIGINT) AS n_pos,
+                       CAST(SUM(cnt - cnt_pos) AS BIGINT) AS n_neg,
+                       SUM((CAST(cum_before AS DOUBLE) + (cnt + 1) / 2.0)
+                           * cnt_pos) AS r_pos
+                FROM ranked
+            )
+            SELECT n_pos, n_neg,
+                   round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                       (r_pos - (n_pos * (n_pos + 1)) / 2.0)
+                       / CAST(n_pos * n_neg AS DOUBLE)
+                   END, 9) AS auc
+            FROM agg
         """,
         "calibration_curve": """
             WITH cust AS (

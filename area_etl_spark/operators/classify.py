@@ -135,3 +135,56 @@ def nb_classify(
         F.col("label").alias("pred"),
         F.round("_score", digits).alias("log_score"),
     )
+
+
+def classification_report(
+    df: DataFrame,
+    gold_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision / recall / F1 with supports — the evaluation
+    table for any labeler (nb_classify, language_id, a fine-tuned router):
+    one row per class that appears as a gold label OR a prediction.
+
+    ALL-INTEGER core: tp/fp/fn are exact counts from two ≤|classes|
+    aggregates joined full-outer; precision = tp/(tp+fp), recall =
+    tp/(tp+fn), and F1 = 2·tp/(2·tp+fp+fn) (the algebraic form that needs
+    ONE division, avoiding the p·r/(p+r) float compounding).  Zero
+    denominators → NULL (ANSI-safe), the sklearn zero_division=NaN
+    convention.  Returns (label, tp, fp, fn, support, precision, recall,
+    f1) sorted by label.
+    """
+    pairs = df.select(F.col(gold_col).alias("_g"), F.col(pred_col).alias("_p")).where(
+        F.col(gold_col).isNotNull() & F.col(pred_col).isNotNull()
+    )
+    per_gold = pairs.groupBy(F.col("_g").alias("label")).agg(
+        F.count(F.lit(1)).alias("support"),
+        F.sum(F.when(F.col("_g") == F.col("_p"), 1).otherwise(0)).alias("_tp_g"),
+    )
+    per_pred = pairs.groupBy(F.col("_p").alias("label")).agg(
+        F.count(F.lit(1)).alias("_n_pred"),
+    )
+    j = per_gold.join(per_pred, "label", "full_outer").select(
+        "label",
+        F.coalesce("_tp_g", F.lit(0)).alias("tp"),
+        (F.coalesce("_n_pred", F.lit(0)) - F.coalesce("_tp_g", F.lit(0))).alias("fp"),
+        (F.coalesce("support", F.lit(0)) - F.coalesce("_tp_g", F.lit(0))).alias("fn"),
+        F.coalesce("support", F.lit(0)).alias("support"),
+    )
+    tp, fp, fn = F.col("tp").cast("double"), F.col("fp").cast("double"), F.col("fn").cast("double")
+    return j.select(
+        "label",
+        "tp",
+        "fp",
+        "fn",
+        "support",
+        F.round(F.when(F.col("tp") + F.col("fp") > 0, tp / (tp + fp)), 9).alias("precision"),
+        F.round(F.when(F.col("tp") + F.col("fn") > 0, tp / (tp + fn)), 9).alias("recall"),
+        F.round(
+            F.when(
+                2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                2 * tp / (2 * tp + fp + fn),
+            ),
+            9,
+        ).alias("f1"),
+    ).orderBy("label")

@@ -484,3 +484,55 @@ def rank_match(
         F.col("_score").alias("control_score"),
     )
     return t.join(c, ["bucket", "pair_rank"], "inner")
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """EXACT ROC AUC — the probability a random positive outscores a random
+    negative, with ties counting half: AUC = U⁺/(n⁺·n⁻), the Mann–Whitney
+    identity, so it computes from the same midrank machinery as
+    mann_whitney_u and never needs a threshold sweep or a curve.
+
+    Ranks are assigned per DISTINCT score from cumulative tie counts (the
+    bounded aggregate-level window over |distinct scores|, never a
+    row-level sort), rank sums are exact integers-or-halves, and the single
+    final division makes AUC bit-reproducible across engines.  Returns one
+    row (n_pos, n_neg, auc); NULL auc when either class is empty.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(score_col).alias("_v"), F.col(label_col).cast("boolean").alias("_y")
+    ).where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+    per_val = base.groupBy("_v").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("_cnt_pos"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_val.withColumn(
+        "_cum_before", F.coalesce(F.sum("_cnt").over(w), F.lit(0))
+    ).withColumn(
+        "_avg_rank",
+        F.col("_cum_before").cast("double") + (F.col("_cnt") + 1) / 2.0,
+    )
+    agg = ranked.agg(
+        F.sum("_cnt_pos").alias("n_pos"),
+        F.sum(F.col("_cnt") - F.col("_cnt_pos")).alias("n_neg"),
+        F.sum(F.col("_avg_rank") * F.col("_cnt_pos")).alias("_r_pos"),
+    )
+    n_pos, n_neg = F.col("n_pos"), F.col("n_neg")
+    u_pos = F.col("_r_pos") - (n_pos * (n_pos + 1)) / 2.0
+    return agg.select(
+        n_pos,
+        n_neg,
+        F.round(
+            F.when(
+                (n_pos > 0) & (n_neg > 0),
+                u_pos / (n_pos * n_neg).cast("double"),
+            ),
+            9,
+        ).alias("auc"),
+    )

@@ -2309,3 +2309,40 @@ def test_good_turing_hand_computed(spark):
     # no doubletons -> Chao1 undefined, NULL not a crash
     nod = spark.createDataFrame([("a", 1, 0), ("b", 3, 1)], ["token", "n", "token_id"])
     assert good_turing_report(nod).collect()[0].chao1_vocab is None
+
+
+def test_classification_report_hand_computed(spark):
+    from area_etl_spark.operators.classify import classification_report
+
+    # gold: a,a,a,b,b ; pred: a,a,b,b,c
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "c")], ["g", "p"]
+    )
+    out = {r.label: r for r in classification_report(df, "g", "p").collect()}
+    a, b, c = out["a"], out["b"], out["c"]
+    assert (a.tp, a.fp, a.fn, a.support) == (2, 0, 1, 3)
+    assert a.precision == 1.0 and abs(a.recall - 2 / 3) < 1e-9 and abs(a.f1 - 0.8) < 1e-9
+    assert (b.tp, b.fp, b.fn) == (1, 1, 1)
+    assert b.precision == 0.5 and b.recall == 0.5 and b.f1 == 0.5
+    # c never appears as gold: precision 0, recall NULL (0/0), support 0
+    assert (c.tp, c.fp, c.support) == (0, 1, 0)
+    assert c.precision == 0.0 and c.recall is None
+
+
+def test_roc_auc_known_cases(spark):
+    from area_etl_spark.operators.experiments import roc_auc
+
+    # perfectly separated -> AUC 1; reversed -> 0; ties everywhere -> 0.5
+    sep = spark.createDataFrame([(10, False), (20, False), (30, True), (40, True)], ["s", "y"])
+    assert roc_auc(sep, "s", "y").collect()[0].auc == 1.0
+    rev = spark.createDataFrame([(40, False), (30, False), (20, True), (10, True)], ["s", "y"])
+    assert roc_auc(rev, "s", "y").collect()[0].auc == 0.0
+    tie = spark.createDataFrame([(5, True), (5, False)] * 10, ["s", "y"])
+    assert roc_auc(tie, "s", "y").collect()[0].auc == 0.5
+    # one class empty -> NULL not crash
+    onec = spark.createDataFrame([(5, True), (6, True)], ["s", "y"])
+    assert roc_auc(onec, "s", "y").collect()[0].auc is None
+    # hand case with a tie straddling the classes: scores 1-,2+,2- ,3+
+    hand = spark.createDataFrame([(1, False), (2, True), (2, False), (3, True)], ["s", "y"])
+    # pairs: (2+,1-)=1, (2+,2-)=.5, (3+,1-)=1, (3+,2-)=1 -> 3.5/4
+    assert abs(roc_auc(hand, "s", "y").collect()[0].auc - 0.875) < 1e-9
