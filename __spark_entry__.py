@@ -5076,6 +5076,20 @@ def q_matched_pairs(spark, sf_dir):
 LPA_NODES = ["shard-a", "shard-b", "shard-c", "shard-d"]
 
 
+def q_pool_embeddings(spark, sf_dir):
+    """Chunk→document mean pooling: vectors grouped 50-to-a-doc, components
+    pooled via exact 1e-6 fixed-point DECIMAL sums, vector reassembled from
+    a dim-bounded sorted collect — then exploded back to (group, pos, val)
+    rows so the oracle hashes scalars, not arrays (the vocab_encode
+    canonicalizer lesson)."""
+    emb = _tables(spark, sf_dir)["embeddings"]
+    grouped = emb.select((F.col("vec_id") % 50).alias("grp"), "embedding")
+    pooled = SIM.pool_embeddings(grouped, "grp")
+    return pooled.select(
+        "grp", "n_vecs", F.posexplode("pooled").alias("pos", "val")
+    ).select("grp", "n_vecs", "pos", F.round("val", 9).alias("val"))
+
+
 def q_classification_report(spark, sf_dir):
     """Per-class precision/recall/F1 of the language_id heuristic against
     the gold lang label — exact tp/fp/fn counts, the one-division F1 form
@@ -5360,7 +5374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     interpolate_linear, collapse_rare_levels, and the late-r8 batch:
     fdr_bh, cohen_kappa, matched_pairs, trimmed_mean, nb_classify,
     zipf_fit, ipf_raking, ann_recall_eval, hybrid_search_rrf,
-    label_propagation, rendezvous_assign.
+    label_propagation, rendezvous_assign, modularity, calibration_curve,
+    psi_drift, good_turing, classification_report, roc_auc,
+    pool_embeddings.
     """
     return {
         # — the r7 err, fixed: CSV-serialized array, re-windowed for green —
@@ -5508,6 +5524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "good_turing": q_good_turing,
         "classification_report": q_classification_report,
         "roc_auc": q_roc_auc,
+        "pool_embeddings": q_pool_embeddings,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -7209,6 +7226,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(twom / 2 AS BIGINT) AS m_edges,
                    round(qsum, 9) AS modularity
             FROM nn, agg, twom
+        """,
+        "pool_embeddings": """
+            WITH ex AS (
+                SELECT vec_id % 50 AS grp, i.i AS pos,
+                       CAST(FLOOR(CAST(embedding[i.i + 1] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+                FROM embeddings,
+                     (SELECT unnest(generate_series(0, 63)) AS i) i
+            ), per AS (
+                SELECT grp, pos, COUNT(*) AS n,
+                       SUM(CAST(q AS HUGEINT)) AS s
+                FROM ex GROUP BY 1, 2
+            )
+            SELECT grp, CAST(n AS BIGINT) AS n_vecs, CAST(pos AS INTEGER) AS pos,
+                   round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 9) AS val
+            FROM per
         """,
         "classification_report": f"""
             WITH pairs AS (

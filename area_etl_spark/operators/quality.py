@@ -966,16 +966,30 @@ def psi_drift(
     Two ≤ n_bins hash aggregates + one tiny outer join.  Returns
     (bin, n_before, n_after, p_before, p_after, psi_term).
     """
-    def binned(df):
-        v = F.col(value_col).cast("long")
-        b = F.least(
-            F.lit(n_bins - 1),
-            F.greatest(F.lit(0), F.floor((v - lo) * n_bins / F.lit(hi - lo))),
-        ).cast("long")
-        return df.select(b.alias("bin")).groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    nb = psi_bin_counts(before, value_col, n_bins, lo, hi).withColumnRenamed(
+        "n", "n_before"
+    )
+    na = psi_bin_counts(after, value_col, n_bins, lo, hi).withColumnRenamed(
+        "n", "n_after"
+    )
+    return psi_from_bin_counts(nb, na)
 
-    nb = binned(before).withColumnRenamed("n", "n_before")
-    na = binned(after).withColumnRenamed("n", "n_after")
+
+def psi_bin_counts(df, value_col: str, n_bins: int, lo: int, hi: int) -> "DataFrame":
+    """Fixed-width bin counts (bin, n) for the PSI family — persist THIS for
+    a baseline window (≤ n_bins rows) so monitors never rescan raw data."""
+    v = F.col(value_col).cast("long")
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((v - lo) * n_bins / F.lit(hi - lo))),
+    ).cast("long")
+    return df.select(b.alias("bin")).groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+
+
+def psi_from_bin_counts(nb, na) -> "DataFrame":
+    """PSI report from pre-binned counts — nb: (bin, n_before), na:
+    (bin, n_after).  The bins-level core of :func:`psi_drift`, reused by the
+    streaming monitor against a persisted baseline."""
     tb = nb.agg(F.sum("n_before").alias("_tb"))
     ta = na.agg(F.sum("n_after").alias("_ta"))
     j = (

@@ -753,3 +753,46 @@ def ann_recall_report(
             ).alias("recall"),
         )
     )
+
+
+def pool_embeddings(
+    df: DataFrame,
+    group_col: str,
+    *,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Mean-pool vectors per group — the chunk→document embedding step of a
+    RAG/near-dup stack (embed overlapping chunks, pool to one vector per
+    document, feed the ANN tier).
+
+    Engine-exact: components FLOOR-quantize to 1e-6 fixed point (the
+    KMEANS_QUANT discipline) so per-(group, position) sums aggregate
+    EXACTLY as DECIMAL(38,0) under any partitioning; each mean is two
+    divisions.  One posexplode + one hash aggregate keyed on
+    (group, position) — dim-bounded fan-out, map-side combined — then the
+    vector reassembles with a sorted collect per group (bounded by dim).
+    Returns (group, n_vecs, pooled array<double>).
+    """
+    # floor, not round: float32 inputs land exactly on .5 quanta often
+    # enough to expose engine rounding-rule differences (the KMEANS_QUANT
+    # note); floor of the same double is identical everywhere
+    q = F.floor(F.col("val") * F.lit(float(scale))).cast("long")
+    exploded = df.select(
+        F.col(group_col).alias("_g"), F.posexplode(F.col(vec_col)).alias("pos", "val")
+    ).select("_g", "pos", q.alias("_q"))
+    per_pos = exploded.groupBy("_g", "pos").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_q").cast("decimal(38,0)")).alias("_s"),
+    )
+    mean = (
+        F.col("_s").cast("double") / F.col("_n").cast("double") / F.lit(float(scale))
+    )
+    assembled = per_pos.select("_g", "pos", F.col("_n"), mean.alias("_m")).groupBy("_g").agg(
+        F.max("_n").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("_m")))),
+            lambda s: s.getField("_m"),
+        ).alias("pooled"),
+    )
+    return assembled.select(F.col("_g").alias(group_col), "n_vecs", "pooled")

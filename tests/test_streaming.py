@@ -407,3 +407,33 @@ def test_stream_static_enrich_matches_batch_join(spark, tables, tmp_path):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
     # stateless: enriched rows carry the dim column where the key matches
     assert got.where(F.col("c_mktsegment").isNotNull()).count() > 0
+
+
+def test_drift_monitor_sink_flags_shifted_batch(spark, tmp_path):
+    """Streaming PSI monitor: baseline persisted as binned counts, two
+    micro-batches driven through the foreachBatch body — the matching batch
+    scores PSI 0, the shifted one crosses the 0.25 investigate threshold;
+    replaying a batch_id overwrites its row instead of double-counting."""
+    import math
+
+    from area_etl_spark.streaming.monitor import make_drift_monitor, write_baseline_bins
+
+    base = spark.createDataFrame([(v,) for v in [100] * 80 + [900] * 20], ["v"])
+    bdir, mdir = str(tmp_path / "baseline"), str(tmp_path / "monitor")
+    write_baseline_bins(base, "v", bdir, n_bins=10, lo=0, hi=1000)
+    assert spark.read.parquet(bdir).count() <= 10  # bins, not rows
+
+    apply_batch = make_drift_monitor(bdir, mdir, "v", n_bins=10, lo=0, hi=1000)
+    same = spark.createDataFrame([(v,) for v in [100] * 40 + [900] * 10], ["v"])
+    shifted = spark.createDataFrame([(v,) for v in [100] * 10 + [900] * 40], ["v"])
+    apply_batch(same, 0)
+    apply_batch(shifted, 1)
+    rows = {r.batch_id: r for r in spark.read.parquet(mdir).collect()}
+    assert rows[0].psi == 0.0 and rows[0].n_rows == 50
+    assert rows[1].psi > 0.25 and rows[1].n_rows == 50
+    # exact expected PSI for the shift: p=(.8,.2) -> q=(.2,.8) on 2 bins
+    want = (0.8 - 0.2) * math.log(0.8 / 0.2) + (0.2 - 0.8) * math.log(0.2 / 0.8)
+    assert abs(rows[1].psi - want) < 5e-9  # terms are pre-rounded to 9
+    # replay idempotence: re-deliver batch 1 -> still exactly two rows
+    apply_batch(shifted, 1)
+    assert spark.read.parquet(mdir).count() == 2

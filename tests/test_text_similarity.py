@@ -648,3 +648,18 @@ def test_ann_recall_report_full_recall_when_colocated(spark):
     # k larger than the corpus: truth saturates at |corpus|
     r = ann_recall_report(corpus, queries, k=50, bits=4).collect()[0]
     assert r.n_truth == 12 and r.recall == 1.0
+
+
+def test_pool_embeddings_exact_mean(spark):
+    from area_etl_spark.operators.similarity import pool_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (1, [3.0, 2.0, 1.0]), (2, [10.0, 0.0, -10.0])],
+        "doc int, embedding array<double>",
+    )
+    out = {r.doc: r for r in pool_embeddings(df, "doc").collect()}
+    assert out[1].n_vecs == 2 and out[1].pooled == [2.0, 2.0, 2.0]
+    assert out[2].n_vecs == 1 and out[2].pooled == [10.0, 0.0, -10.0]
+    # order of components survives the sorted reassembly
+    asym = spark.createDataFrame([(3, [0.5, -0.25, 0.125, 99.0])], "doc int, embedding array<double>")
+    assert pool_embeddings(asym, "doc").collect()[0].pooled == [0.5, -0.25, 0.125, 99.0]
