@@ -716,12 +716,13 @@ def label_propagation(
     replays rounds as chained CTEs.  Isolated nodes keep their own label.
 
     Each round = one join (labels→edges) + one (node,label) count + one
-    argmax window partitioned by node (bounded by a node's distinct
-    neighbor labels); ``localCheckpoint(eager)`` truncates lineage per
-    round.  Returns (node, label).
+    struct-max ARGMAX AGGREGATE per node — max(struct(c, −label)) picks
+    (count DESC, label ASC) with no window at all, so both aggregates are
+    map-side combinable and a power-law hub (one node, millions of
+    neighbor labels) never lands in a single sort task (the hot-node skew
+    a row_number argmax would create); ``localCheckpoint(eager)``
+    truncates lineage per round.  Returns (node, label).
     """
-    from pyspark.sql import Window
-
     fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     rev = edges.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
     und = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
@@ -731,7 +732,6 @@ def label_propagation(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
     for _ in range(rounds):
         nbr = (
             und.join(labels.withColumnRenamed("node", "src"), "src")
@@ -739,9 +739,9 @@ def label_propagation(
             .agg(F.count(F.lit(1)).alias("c"))
         )
         best = (
-            nbr.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("node", F.col("label").alias("_new"))
+            nbr.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("_b"))
+            .select("node", (-F.col("_b").getField("nl")).alias("_new"))
         )
         labels = (
             labels.join(best, "node", "left")
