@@ -5076,6 +5076,39 @@ def q_matched_pairs(spark, sf_dir):
 LPA_NODES = ["shard-a", "shard-b", "shard-c", "shard-d"]
 
 
+def q_quantile_ci(spark, sf_dir):
+    """Distribution-free median CI per order priority (binomial rank
+    bounds, order statistics at k = nq ± z√(nq(1−q))) — the 'p50 with
+    error bars' SRE number; ranks from cumulative DISTINCT-value counts,
+    never a raw-row sort."""
+    from area_etl_spark.operators.quality import quantile_order_stat_ci
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return quantile_order_stat_ci(o, ["o_orderpriority"], "cents", q=0.5)
+
+
+def q_stratified_ate(spark, sf_dir):
+    """Post-stratification ATE of BUILDING-segment membership on customer
+    order revenue, stratified by nation — bucket-level exact sums, arms
+    required in every used bucket (positivity), final weighted sum folded
+    in sorted bucket order."""
+    from area_etl_spark.operators.experiments import stratified_ate
+
+    tables = _tables(spark, sf_dir)
+    rev = tables["orders"].groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("_rev")
+    )
+    units = tables["customer"].join(rev, "c_custkey", "left").select(
+        F.col("c_nationkey").alias("nation"),
+        (F.col("c_mktsegment") == "BUILDING").alias("treated"),
+        F.coalesce("_rev", F.lit(0)).alias("rev_cents"),
+    )
+    return stratified_ate(units, "nation", "treated", "rev_cents")
+
+
 def q_pool_embeddings(spark, sf_dir):
     """Chunk→document mean pooling: vectors grouped 50-to-a-doc, components
     pooled via exact 1e-6 fixed-point DECIMAL sums, vector reassembled from
@@ -5525,6 +5558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classification_report": q_classification_report,
         "roc_auc": q_roc_auc,
         "pool_embeddings": q_pool_embeddings,
+        "quantile_ci": q_quantile_ci,
+        "stratified_ate": q_stratified_ate,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -7226,6 +7261,75 @@ def oracle_sql() -> dict[str, str]:
                    CAST(twom / 2 AS BIGINT) AS m_edges,
                    round(qsum, 9) AS modularity
             FROM nn, agg, twom
+        """,
+        "quantile_ci": """
+            WITH o AS (
+                SELECT o_orderpriority AS k,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                FROM orders
+            ), dv AS (
+                SELECT k, v, COUNT(*) AS cnt FROM o GROUP BY 1, 2
+            ), c AS (
+                SELECT *,
+                       SUM(cnt) OVER (PARTITION BY k ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                       SUM(cnt) OVER (PARTITION BY k) AS n
+                FROM dv
+            ), f AS (
+                SELECT *,
+                       GREATEST(1, CAST(FLOOR(CAST(n AS DOUBLE) * 0.5
+                           - 1.959964 * sqrt((CAST(n AS DOUBLE) * 0.5) * 0.5))
+                           AS BIGINT)) AS k_lo,
+                       LEAST(n, GREATEST(1, CAST(CEIL(CAST(n AS DOUBLE) * 0.5)
+                           AS BIGINT))) AS k_pt,
+                       LEAST(n, CAST(CEIL(CAST(n AS DOUBLE) * 0.5
+                           + 1.959964 * sqrt((CAST(n AS DOUBLE) * 0.5) * 0.5))
+                           AS BIGINT)) AS k_hi
+                FROM c
+            )
+            SELECT k AS o_orderpriority, CAST(MAX(n) AS BIGINT) AS n,
+                   MIN(CASE WHEN cum - cnt < k_lo AND k_lo <= cum THEN v END) AS lo,
+                   MIN(CASE WHEN cum - cnt < k_pt AND k_pt <= cum THEN v END) AS point,
+                   MIN(CASE WHEN cum - cnt < k_hi AND k_hi <= cum THEN v END) AS hi
+            FROM f GROUP BY 1
+        """,
+        "stratified_ate": """
+            WITH rev AS (
+                SELECT o_custkey AS c_custkey,
+                       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS r
+                FROM orders GROUP BY 1
+            ), units AS (
+                SELECT c_nationkey AS b,
+                       (c_mktsegment = 'BUILDING') AS t,
+                       CAST(COALESCE(r, 0) AS HUGEINT) AS y
+                FROM customer LEFT JOIN rev USING (c_custkey)
+            ), per AS (
+                SELECT b, COUNT(*) AS n,
+                       SUM(CASE WHEN t THEN 1 ELSE 0 END) AS nt,
+                       SUM(CASE WHEN t THEN y ELSE 0 END) AS syt,
+                       SUM(CASE WHEN NOT t THEN y ELSE 0 END) AS syc
+                FROM units GROUP BY 1
+            ), scored AS (
+                SELECT b, n, (nt > 0 AND nt < n) AS ok,
+                       CASE WHEN nt > 0 AND nt < n THEN
+                           CAST(n AS DOUBLE)
+                           * (CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+                              - CAST(syc AS DOUBLE) / CAST(n - nt AS DOUBLE))
+                       END AS term
+                FROM per
+            )
+            SELECT CAST(SUM(n) AS BIGINT) AS n_units,
+                   CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_buckets_used,
+                   CAST(SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_excluded,
+                   round(CASE WHEN SUM(CASE WHEN ok THEN n ELSE 0 END) > 0 THEN
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(term ORDER BY b) FILTER (WHERE ok)),
+                           (x, y) -> x + y)
+                       / CAST(SUM(CASE WHEN ok THEN n ELSE 0 END) AS DOUBLE)
+                   END, 9) AS ate
+            FROM scored
         """,
         "pool_embeddings": """
             WITH ex AS (

@@ -536,3 +536,70 @@ def roc_auc(
             9,
         ).alias("auc"),
     )
+
+
+def stratified_ate(
+    units: DataFrame,
+    bucket_col: str,
+    treat_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Post-stratification / bucket-propensity IPW average treatment
+    effect: ATE = Σ_b (n_b/N)·(ȳ_treated,b − ȳ_control,b) — the estimator
+    rank_match's caliper pairing approximates, computed over ALL units
+    instead of matched pairs (algebraically identical to Horvitz–Thompson
+    IPW when the propensity is the bucket's empirical treatment rate).
+
+    Buckets missing either arm are EXCLUDED (positivity violation — the
+    standard practice) and counted in n_excluded.  ``outcome_col`` must be
+    integer (cents): per-bucket sums are exact DECIMAL(38,0), per-bucket
+    means single divisions, and the final weighted sum folds in SORTED
+    BUCKET ORDER over the |buckets| aggregate table (entropy discipline).
+    ONE map-side-combined pass + one bounded fold.  Returns one row
+    (n_units, n_buckets_used, n_excluded, ate).
+    """
+    t = F.col(treat_col).cast("boolean")
+    y = F.col(outcome_col).cast("decimal(38,0)")
+    zero = F.lit(0).cast("decimal(38,0)")
+    per = units.groupBy(F.col(bucket_col).alias("_b")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.when(t, 1).otherwise(0)).alias("_nt"),
+        F.sum(F.when(t, y).otherwise(zero)).alias("_syt"),
+        F.sum(F.when(~t, y).otherwise(zero)).alias("_syc"),
+    )
+    usable = (F.col("_nt") > 0) & (F.col("_nt") < F.col("_n"))
+    diff = F.col("_syt").cast("double") / F.col("_nt").cast("double") - F.col(
+        "_syc"
+    ).cast("double") / (F.col("_n") - F.col("_nt")).cast("double")
+    scored = per.select(
+        "_b",
+        "_n",
+        usable.alias("_ok"),
+        F.when(usable, F.col("_n").cast("double") * diff).alias("_term"),
+    )
+    agg = scored.agg(
+        F.sum("_n").alias("_n_all"),
+        F.sum(F.when(F.col("_ok"), F.col("_n")).otherwise(F.lit(0))).alias("_n_used"),
+        F.sum(F.when(F.col("_ok"), 1).otherwise(0)).alias("n_buckets_used"),
+        F.sum(F.when(~F.col("_ok"), 1).otherwise(0)).alias("n_excluded"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_ok"), F.struct(F.col("_b"), F.col("_term")))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("_term"),
+        ).alias("_wsum"),
+    )
+    return agg.select(
+        F.col("_n_all").alias("n_units"),
+        "n_buckets_used",
+        "n_excluded",
+        F.round(
+            F.when(
+                F.col("_n_used") > 0, F.col("_wsum") / F.col("_n_used").cast("double")
+            ),
+            9,
+        ).alias("ate"),
+    )

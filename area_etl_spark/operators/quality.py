@@ -1017,3 +1017,59 @@ def psi_from_bin_counts(nb, na) -> "DataFrame":
         F.round(q, 9).alias("p_after"),
         F.round(term, 9).alias("psi_term"),
     )
+
+
+def quantile_order_stat_ci(
+    df,
+    keys: list[str],
+    value_col: str,
+    q: float = 0.5,
+    z: float = 1.959964,
+) -> "DataFrame":
+    """Distribution-free confidence interval for a quantile per group — the
+    SRE dashboard number behind "p99 latency 212ms [201, 230]": order
+    statistics at the binomial rank bounds k = n·q ± z·√(n·q(1−q)), the
+    classic nonparametric CI (no normality assumption about the VALUES —
+    only the binomial count of observations below the quantile).
+
+    Exact and engine-replayable: ranks come from cumulative counts over
+    DISTINCT values (the midrank machinery — one shuffle on keys, the
+    window runs over per-key distinct values, never raw rows); the three
+    rank cutoffs are floor/ceil of doubles computed from exact integers
+    (sqrt is IEEE-correctly-rounded); the selected values are exact inputs.
+    Point estimate = lower quantile_disc (smallest v with cum ≥ ⌈q·n⌉).
+    Returns (keys..., n, lo, point, hi).
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col)
+    dv = df.select(*keys, v.alias("_v")).groupBy(*keys, "_v").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    part = Window.partitionBy(*keys)
+    w = part.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = dv.withColumn("_cum", F.sum("_cnt").over(w)).withColumn(
+        "_n", F.sum("_cnt").over(part)
+    )
+    nq = F.col("_n").cast("double") * F.lit(float(q))
+    half = F.lit(float(z)) * F.sqrt(nq * F.lit(1.0 - float(q)))
+    k_lo = F.greatest(F.lit(1), F.floor(nq - half).cast("long"))
+    k_pt = F.least(F.col("_n"), F.greatest(F.lit(1), F.ceil(nq).cast("long")))
+    k_hi = F.least(F.col("_n"), F.ceil(nq + half).cast("long"))
+    flagged = cum.select(
+        *keys,
+        "_v",
+        "_cum",
+        "_cnt",
+        "_n",
+        ((F.col("_cum") - F.col("_cnt")) < k_lo).alias("_a_lo")
+        & (k_lo <= F.col("_cum")).alias("_b_lo"),
+        ((F.col("_cum") - F.col("_cnt")) < k_pt) & (k_pt <= F.col("_cum")),
+        ((F.col("_cum") - F.col("_cnt")) < k_hi) & (k_hi <= F.col("_cum")),
+    ).toDF(*keys, "_v", "_cum", "_cnt", "_n", "_is_lo", "_is_pt", "_is_hi")
+    return flagged.groupBy(*keys).agg(
+        F.max("_n").alias("n"),
+        F.min(F.when(F.col("_is_lo"), F.col("_v"))).alias("lo"),
+        F.min(F.when(F.col("_is_pt"), F.col("_v"))).alias("point"),
+        F.min(F.when(F.col("_is_hi"), F.col("_v"))).alias("hi"),
+    )

@@ -2346,3 +2346,36 @@ def test_roc_auc_known_cases(spark):
     hand = spark.createDataFrame([(1, False), (2, True), (2, False), (3, True)], ["s", "y"])
     # pairs: (2+,1-)=1, (2+,2-)=.5, (3+,1-)=1, (3+,2-)=1 -> 3.5/4
     assert abs(roc_auc(hand, "s", "y").collect()[0].auc - 0.875) < 1e-9
+
+
+def test_quantile_order_stat_ci_hand_computed(spark):
+    from area_etl_spark.operators.quality import quantile_order_stat_ci
+
+    # values 1..25 in one group: n=25, q=.5 -> nq=12.5, half=1.96*2.5=4.9
+    # k_lo=floor(7.6)=7, k_pt=ceil(12.5)=13, k_hi=ceil(17.4)=18
+    df = spark.createDataFrame([("g", v) for v in range(1, 26)], ["k", "v"])
+    r = quantile_order_stat_ci(df, ["k"], "v", q=0.5).collect()[0]
+    assert (r.n, r.lo, r.point, r.hi) == (25, 7, 13, 18)
+    # duplicates collapse into distinct-value rows but ranks still count rows
+    dup = spark.createDataFrame([("g", 5)] * 10 + [("g", 9)] * 10, ["k", "v"])
+    r2 = quantile_order_stat_ci(dup, ["k"], "v", q=0.5).collect()[0]
+    assert r2.point == 5 and r2.lo == 5 and r2.hi == 9  # k_pt=10 falls in 5's run
+
+
+def test_stratified_ate_recovers_planted_effect(spark):
+    from area_etl_spark.operators.experiments import stratified_ate
+
+    rows = []
+    # bucket A: base outcome 100, bucket B: base 500; treatment adds exactly 50
+    for b, base in [("A", 100), ("B", 500)]:
+        rows += [(b, True, base + 50)] * 10 + [(b, False, base)] * 30
+    # bucket C has only controls -> excluded
+    rows += [("C", False, 9999)] * 5
+    df = spark.createDataFrame(rows, ["b", "t", "y"])
+    r = stratified_ate(df, "b", "t", "y").collect()[0]
+    assert r.n_units == 85 and r.n_buckets_used == 2 and r.n_excluded == 1
+    assert abs(r.ate - 50.0) < 1e-9  # confounding by bucket removed exactly
+    # naive difference of means WOULD be biased; sanity-check the setup
+    naive_t = sum(y for b, t, y in rows if t) / 20
+    naive_c = sum(y for b, t, y in rows if not t) / 65
+    assert abs((naive_t - naive_c) - 50.0) > 10.0
