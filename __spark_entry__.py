@@ -5076,6 +5076,39 @@ def q_matched_pairs(spark, sf_dir):
 LPA_NODES = ["shard-a", "shard-b", "shard-c", "shard-d"]
 
 
+def q_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov: purchase vs view event-value
+    distributions — EXACT D from integer cumulative-count cross products,
+    argmax location, and the truncated-Kolmogorov-series p (a defined
+    portable statistic, 5 terms both engines)."""
+    from area_etl_spark.operators.experiments import ks_test
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return ks_test(ev, "event_type", "cents", "purchase", "view")
+
+
+def q_mutual_information(spark, sf_dir):
+    """Target-leakage screen: mutual information of four categorical
+    features with the high-value-order label — including a PLANTED copy of
+    the label, which must score ig_ratio 1.0 (perfect leakage) while real
+    features score near 0."""
+    from area_etl_spark.operators.features import mutual_information
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.month("o_orderdate").alias("ship_month"),
+        (F.round(F.col("o_totalprice") * 100).cast("long") >= 20_000_000).alias(
+            "is_high"
+        ),
+    ).withColumn("leak_label_copy", F.col("is_high").cast("string"))
+    return mutual_information(
+        o, ["o_orderpriority", "o_orderstatus", "ship_month", "leak_label_copy"], "is_high"
+    )
+
+
 def q_quantile_ci(spark, sf_dir):
     """Distribution-free median CI per order priority (binomial rank
     bounds, order statistics at k = nq ± z√(nq(1−q))) — the 'p50 with
@@ -5560,6 +5593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pool_embeddings": q_pool_embeddings,
         "quantile_ci": q_quantile_ci,
         "stratified_ate": q_stratified_ate,
+        "ks_test": q_ks_test,
+        "mutual_information": q_mutual_information,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -5840,6 +5875,52 @@ def _hrw_sql(key: str, nodes: list[str]) -> str:
         f"md5('{n}:' || CAST({key} AS VARCHAR)) || '{n}'" for n in sorted(nodes)
     )
     return f"substr(greatest({alts}), 33)"
+
+
+def _ks_p_sql(lam: str) -> str:
+    """Truncated Kolmogorov series, same 5 terms and addition order as the
+    Spark fold in experiments.ks_test."""
+    expr = "0.0"
+    for k in range(1, 6):
+        sign = "+" if k % 2 == 1 else "-"
+        expr = f"({expr} {sign} exp(({-2.0 * k * k}) * {lam} * {lam}))"
+    return f"LEAST(1.0, GREATEST(0.0, 2.0 * {expr}))"
+
+
+def _mi_feature_sql(feature: str) -> str:
+    """One UNION-ALL arm of the mutual_information oracle: MI of ``feature``
+    (a column of the projected ``o`` CTE) with the is_high label, the term
+    sum folded in sorted (value, label) order like
+    features.mutual_information.  ``hlab``/``nn`` CTEs are shared."""
+    return f"""
+            SELECT '{feature}' AS feature,
+                   (SELECT CAST(COUNT(DISTINCT CAST({feature} AS VARCHAR)) AS BIGINT)
+                    FROM o) AS n_levels,
+                   (SELECT round(hl, 9) FROM hlab) AS label_entropy,
+                   round(mi, 9) AS mutual_info,
+                   round(CASE WHEN (SELECT hl FROM hlab) > 0
+                         THEN mi / (SELECT hl FROM hlab) END, 9) AS ig_ratio
+            FROM (
+                SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(t ORDER BY v, l)), (x, y) -> x + y) AS mi
+                FROM (
+                    SELECT cells.v, cells.l,
+                           (CAST(cvl AS DOUBLE) / CAST(nn.n AS DOUBLE))
+                           * ln((CAST(cvl AS DOUBLE) * CAST(nn.n AS DOUBLE))
+                                / (CAST(pv.cv AS DOUBLE) * CAST(pl.cl AS DOUBLE)))
+                               AS t
+                    FROM (
+                        SELECT CAST({feature} AS VARCHAR) AS v,
+                               CAST(is_high AS VARCHAR) AS l, COUNT(*) AS cvl
+                        FROM o GROUP BY 1, 2
+                    ) cells
+                    JOIN (SELECT CAST({feature} AS VARCHAR) AS v, COUNT(*) AS cv
+                          FROM o GROUP BY 1) pv USING (v)
+                    JOIN (SELECT CAST(is_high AS VARCHAR) AS l, COUNT(*) AS cl
+                          FROM o GROUP BY 1) pl USING (l)
+                    CROSS JOIN nn
+                )
+            )"""
 
 
 def _ipf_sql(iters: int = 3) -> str:
@@ -7261,6 +7342,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(twom / 2 AS BIGINT) AS m_edges,
                    round(qsum, 9) AS modularity
             FROM nn, agg, twom
+        """,
+        "ks_test": f"""
+            WITH two AS (
+                SELECT event_type AS g,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events WHERE event_type IN ('purchase', 'view')
+            ), pv AS (
+                SELECT v,
+                       SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS ca,
+                       SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS cb
+                FROM two GROUP BY 1
+            ), c AS (
+                SELECT v,
+                       SUM(ca) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+                       SUM(cb) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+                FROM pv
+            ), t AS (
+                SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+                FROM pv
+            ), s AS (
+                SELECT v, abs(cuma * nb - cumb * na) AS num, na, nb FROM c, t
+            ), b AS (
+                SELECT MAX(na) AS na, MAX(nb) AS nb, MAX(num) AS dnum,
+                       (SELECT MIN(v) FROM s WHERE num = (SELECT MAX(num) FROM s))
+                           AS d_at
+                FROM s
+            )
+            SELECT na AS n_a, nb AS n_b,
+                   round(CAST(dnum AS DOUBLE) / CAST(na * nb AS DOUBLE), 9) AS d,
+                   d_at,
+                   round({_ks_p_sql("((CAST(dnum AS DOUBLE) / CAST(na * nb AS DOUBLE)) * sqrt(CAST(na * nb AS DOUBLE) / CAST(na + nb AS DOUBLE)))")}, 6)
+                       AS p_value
+            FROM b
+        """,
+        "mutual_information": f"""
+            WITH o AS (
+                SELECT o_orderpriority, o_orderstatus,
+                       EXTRACT(month FROM o_orderdate) AS ship_month_raw,
+                       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER)
+                           AS ship_month,
+                       (CAST(round(o_totalprice * 100) AS BIGINT) >= 20000000)
+                           AS is_high,
+                       CAST((CAST(round(o_totalprice * 100) AS BIGINT) >= 20000000)
+                            AS VARCHAR) AS leak_label_copy
+                FROM orders
+            ), nn AS (
+                SELECT COUNT(*) AS n FROM o
+            ), hlab AS (
+                SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(x ORDER BY l)), (a, b) -> a + b) AS hl
+                FROM (
+                    SELECT CAST(is_high AS VARCHAR) AS l,
+                           -(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(nn.n) AS DOUBLE))
+                           * ln(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(nn.n) AS DOUBLE))
+                               AS x
+                    FROM o CROSS JOIN nn GROUP BY 1
+                )
+            )
+            {_mi_feature_sql("o_orderpriority")}
+            UNION ALL {_mi_feature_sql("o_orderstatus")}
+            UNION ALL {_mi_feature_sql("ship_month")}
+            UNION ALL {_mi_feature_sql("leak_label_copy")}
         """,
         "quantile_ci": """
             WITH o AS (

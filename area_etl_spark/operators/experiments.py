@@ -603,3 +603,78 @@ def stratified_ate(
             9,
         ).alias("ate"),
     )
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test — the distribution-equality check
+    that sees SHAPE changes a mean test misses (the drift-family member for
+    continuous metrics; psi_drift needs bins, KS doesn't).
+
+    EXACT D: with cumulative counts cum_a/cum_b over merged DISTINCT
+    values, D = max|cum_a·n_b − cum_b·n_a| / (n_a·n_b) — the numerator is
+    an exact integer max, the division single; d_at reports the smallest
+    value attaining it.  The window runs over merged distinct values (the
+    mann_whitney bounded aggregate-level idiom).  The p-value is the
+    asymptotic Kolmogorov series 2Σ(−1)^{k−1}e^{−2k²λ²} truncated at k=5
+    (a DEFINED portable statistic — both engines evaluate the same five
+    terms; |truncation error| < 1e-8 for λ > 0.5), λ = D·√(n_a·n_b/(n_a+n_b)).
+    Returns one row (n_a, n_b, d, d_at, p_value).
+    """
+    from pyspark.sql import Window
+
+    two = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    )
+    per_val = two.groupBy("_v").agg(
+        F.sum(F.when(F.col("_g") == group_a, 1).otherwise(0)).alias("_ca"),
+        F.sum(F.when(F.col("_g") == group_b, 1).otherwise(0)).alias("_cb"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = per_val.select(
+        "_v",
+        F.sum("_ca").over(w).alias("_cuma"),
+        F.sum("_cb").over(w).alias("_cumb"),
+    )
+    tot = two.agg(
+        F.sum(F.when(F.col("_g") == group_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("_g") == group_b, 1).otherwise(0)).alias("n_b"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    num = F.abs(F.col("_cuma") * F.col("n_b") - F.col("_cumb") * F.col("n_a"))
+    scored = j.select("_v", "n_a", "n_b", num.alias("_num"))
+    # argmax via struct-max: (num, -v-as-sortable) — smallest attaining v on
+    # ties; one aggregate, no second pass over the distinct-value table
+    best = scored.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("_num").alias("_dnum"),
+        F.min(F.struct((-F.col("_num")).alias("nn"), F.col("_v").alias("v"))).alias("_b"),
+    ).select(
+        "n_a",
+        "n_b",
+        "_dnum",
+        F.col("_b").getField("v").alias("_at"),
+    )
+    d = F.col("_dnum").cast("double") / (F.col("n_a") * F.col("n_b")).cast("double")
+    lam = d * F.sqrt(
+        (F.col("n_a") * F.col("n_b")).cast("double")
+        / (F.col("n_a") + F.col("n_b")).cast("double")
+    )
+    p = F.lit(0.0)
+    for k in range(1, 6):
+        sign = 1.0 if k % 2 == 1 else -1.0
+        p = p + F.lit(sign) * F.exp(F.lit(-2.0 * k * k) * lam * lam)
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.lit(2.0) * p))
+    return best.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(d, 9).alias("d"),
+        F.col("_at").alias("d_at"),
+        F.round(p, 6).alias("p_value"),
+    )

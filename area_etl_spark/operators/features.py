@@ -23,6 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from area_etl_spark.operators.asof import asof_join
 
@@ -75,3 +76,84 @@ def point_in_time_join(
             suffix="",
         )
     return out
+
+
+def mutual_information(
+    df: "DataFrame",
+    feature_cols: list[str],
+    label_col: str,
+) -> "DataFrame":
+    """Mutual information of each categorical feature with the label — the
+    TARGET-LEAKAGE screen run before training: a feature whose MI ≈ H(label)
+    determines the label (an id, a post-outcome field, a join artifact) and
+    must not ship in the feature set; near-zero MI flags dead features.
+
+    MI(F;L) = Σ_{v,l} p_vl · ln(p_vl / (p_v · p_l)), all probabilities
+    exact-count divisions, the sum folded in SORTED (value, label) order
+    over the |levels × labels| aggregate table (entropy discipline) — one
+    hash aggregate per feature, each map-side combined.  Returns one row
+    per feature: (feature, n_levels, label_entropy, mutual_info, ig_ratio)
+    with ig_ratio = MI / H(label) ∈ [0,1] (1 ⇒ perfect leakage).
+    """
+    from functools import reduce
+
+    n_df = df.agg(F.count(F.lit(1)).alias("_n"))
+    lab = df.groupBy(F.col(label_col).cast("string").alias("_l")).agg(
+        F.count(F.lit(1)).alias("_cl")
+    )
+    h_label = (
+        lab.crossJoin(F.broadcast(n_df))
+        .select(
+            (F.col("_cl").cast("double") / F.col("_n").cast("double")).alias("_p"),
+            "_l",
+        )
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(F.col("_l"), (-F.col("_p") * F.log("_p")).alias("x")))),
+                F.lit(0.0),
+                lambda acc, s: acc + s.getField("x"),
+            ).alias("_h")
+        )
+    )
+
+    outs = []
+    for feat in feature_cols:
+        cells = df.groupBy(
+            F.col(feat).cast("string").alias("_v"),
+            F.col(label_col).cast("string").alias("_l"),
+        ).agg(F.count(F.lit(1)).alias("_cvl"))
+        pv = cells.groupBy("_v").agg(F.sum("_cvl").alias("_cv"))
+        pl = cells.groupBy("_l").agg(F.sum("_cvl").alias("_cl"))
+        j = (
+            cells.join(F.broadcast(pv), "_v")
+            .join(F.broadcast(pl), "_l")
+            .crossJoin(F.broadcast(n_df))
+        )
+        term = (F.col("_cvl").cast("double") / F.col("_n").cast("double")) * F.log(
+            (F.col("_cvl").cast("double") * F.col("_n").cast("double"))
+            / (F.col("_cv").cast("double") * F.col("_cl").cast("double"))
+        )
+        mi = j.select("_v", "_l", term.alias("_t")).agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_v"), F.col("_l"), F.col("_t")))
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s.getField("_t"),
+            ).alias("_mi"),
+        )
+        nl = pv.agg(F.count(F.lit(1)).alias("_nl"))
+        outs.append(
+            mi.crossJoin(F.broadcast(nl))
+            .crossJoin(F.broadcast(h_label))
+            .select(
+                F.lit(feat).alias("feature"),
+                F.col("_nl").cast("long").alias("n_levels"),
+                F.round("_h", 9).alias("label_entropy"),
+                F.round("_mi", 9).alias("mutual_info"),
+                F.round(
+                    F.when(F.col("_h") > 0, F.col("_mi") / F.col("_h")), 9
+                ).alias("ig_ratio"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -2379,3 +2379,46 @@ def test_stratified_ate_recovers_planted_effect(spark):
     naive_t = sum(y for b, t, y in rows if t) / 20
     naive_c = sum(y for b, t, y in rows if not t) / 65
     assert abs((naive_t - naive_c) - 50.0) > 10.0
+
+
+def test_ks_test_known_values(spark):
+    from area_etl_spark.operators.experiments import ks_test
+
+    # identical samples -> D = 0, p = 1
+    same = spark.createDataFrame(
+        [("a", v) for v in range(50)] + [("b", v) for v in range(50)], ["g", "v"]
+    )
+    r0 = ks_test(same, "g", "v", "a", "b").collect()[0]
+    assert r0.d == 0.0 and r0.p_value == 1.0
+    # disjoint supports -> D = 1
+    disj = spark.createDataFrame(
+        [("a", v) for v in range(50)] + [("b", v + 100) for v in range(50)], ["g", "v"]
+    )
+    r1 = ks_test(disj, "g", "v", "a", "b").collect()[0]
+    assert r1.d == 1.0 and r1.d_at == 49 and r1.p_value < 1e-6
+    # shift by 30 over 100 -> D = 0.3 at the pre-shift edge
+    rows = [("a", v) for v in range(100)] + [("b", v + 30) for v in range(100)]
+    r2 = ks_test(spark.createDataFrame(rows, ["g", "v"]), "g", "v", "a", "b").collect()[0]
+    assert abs(r2.d - 0.3) < 1e-12 and r2.d_at == 29
+    assert abs(r2.p_value - 0.000247) < 5e-5  # scipy asymptotic ~2.47e-4
+
+
+def test_mutual_information_leakage_screen(spark):
+    from area_etl_spark.operators.features import mutual_information
+
+    import math
+
+    rows = []
+    for i in range(200):
+        label = i % 2 == 0
+        rows.append((str(label), "const", str(i % 7), label))
+    df = spark.createDataFrame(rows, ["leak", "dead", "noise", "y"])
+    out = {r.feature: r for r in mutual_information(df, ["leak", "dead", "noise"], "y").collect()}
+    # the planted label copy is perfect leakage
+    assert abs(out["leak"].ig_ratio - 1.0) < 1e-9
+    assert abs(out["leak"].mutual_info - math.log(2)) < 1e-9
+    # a constant feature carries zero information
+    assert out["dead"].mutual_info == 0.0 and out["dead"].n_levels == 1
+    # i%7 vs i%2 over a 200-row range: near-zero but not exactly (140 vs 60 split)
+    assert out["noise"].ig_ratio < 0.01
+    assert all(r.label_entropy == out["leak"].label_entropy for r in out.values())
