@@ -1,0 +1,89 @@
+"""Arbitrary stateful streaming on the Spark 4 transformWithState API.
+
+``applyInPandasWithState`` (sessions.py) is the legacy arbitrary-state
+operator; ``transformWithStateInPandas`` is its successor — typed state
+variables (value/list/map), state TTL, and timers, backed by the RocksDB
+state store.  This module carries the running-totals processor: per-key
+lifetime counters (events seen, exact cents sum) that survive micro-batches
+and restarts, emitting an updated snapshot row whenever a key receives
+data — the "customer lifetime stats" / per-key quota pattern.
+
+Scale: state is per-key O(1) (two BIGINTs), partitioned by the grouping key
+across executors like any shuffle; RocksDB spills it off-heap, and TTL
+(``ttl_ms``) bounds the store for churning key spaces.  The processor body
+is Arrow-batched per key-batch, not per row.
+
+Determinism: counters are exact integers, so snapshots are reproducible
+for any micro-batch slicing of the same input — pytest drives two
+different slicings to the same final state.
+
+Environment note: the transformWithState worker protocol imports
+google.protobuf, which this container does not ship (and installs are
+off-limits), so the end-to-end streaming test auto-skips there; the
+processor's state-transition logic is unit-tested directly against a stub
+handle, and the wiring runs unchanged wherever protobuf exists.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql.streaming.stateful_processor import TimerValues
+
+RUNNING_TOTALS_OUTPUT = "user_id bigint, n_events bigint, sum_cents bigint"
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-key lifetime (count, exact-cents sum) with optional state TTL."""
+
+    def __init__(self, ttl_ms: int | None = None):
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [StructField("n", LongType()), StructField("s", LongType())]
+        )
+        if self._ttl_ms is None:
+            self._totals = handle.getValueState("totals", schema)
+        else:
+            self._totals = handle.getValueState("totals", schema, ttlDurationMs=self._ttl_ms)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        n, s = 0, 0
+        prev = self._totals.get()
+        if prev is not None:
+            n, s = int(prev[0]), int(prev[1])
+        for pdf in rows:
+            n += len(pdf)
+            s += int(pdf["cents"].sum())
+        self._totals.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [int(key[0])], "n_events": [n], "sum_cents": [s]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_totals(stream: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """Wire the processor: input needs (user_id, cents) columns; output is
+    one updated snapshot row per key per micro-batch it appears in."""
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        RunningTotalsProcessor(ttl_ms),
+        outputStructType=RUNNING_TOTALS_OUTPUT,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from area_etl_spark.streaming.event_stream import (
@@ -437,3 +439,119 @@ def test_drift_monitor_sink_flags_shifted_batch(spark, tmp_path):
     # replay idempotence: re-deliver batch 1 -> still exactly two rows
     apply_batch(shifted, 1)
     assert spark.read.parquet(mdir).count() == 2
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's worker protocol needs google.protobuf, "
+    "not installed in this container (pip install is off-limits)",
+)
+def test_transform_with_state_running_totals(spark, tables, tmp_path):
+    """Spark 4 transformWithStateInPandas: per-user lifetime (count, cents)
+    survives micro-batch boundaries — the file-per-trigger slicing must end
+    at the same snapshots as one batch pass; RocksDB provider required."""
+    import os
+
+    ev = tables["events"].select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    ).where(F.col("user_id") < 20)
+    src = str(tmp_path / "tws_src")
+    # several files so maxFilesPerTrigger yields several micro-batches
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        from area_etl_spark.streaming.state import running_totals
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            running_totals(stream)
+            .writeStream.format("memory")
+            .queryName("tws_totals")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # LAST emitted snapshot per user == batch ground truth
+        rows = spark.sql(
+            "SELECT user_id, n_events, sum_cents FROM tws_totals"
+        ).collect()
+        last = {}
+        for r in rows:  # memory sink appends in emission order per batch
+            last[r.user_id] = (r.n_events, r.sum_cents)
+        truth = {
+            r.user_id: (r.n, r.s)
+            for r in ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+            .collect()
+        }
+        # snapshots only grow, so max per user is the final state
+        finals = {}
+        for r in rows:
+            cur = finals.get(r.user_id)
+            if cur is None or r.n_events > cur[0]:
+                finals[r.user_id] = (r.n_events, r.sum_cents)
+        assert finals == truth
+        assert os.path.isdir(str(tmp_path / "tws_ckpt"))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_running_totals_processor_logic_direct():
+    """The processor's state transitions, driven directly against a stub
+    ValueState — covers the logic the streaming e2e (skipped without
+    protobuf) would exercise: fresh key, accumulation across calls, and
+    multi-chunk Arrow delivery within one call."""
+    import pandas as pd
+
+    from area_etl_spark.streaming.state import RunningTotalsProcessor
+
+    class StubState:
+        def __init__(self):
+            self.v = None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    class StubHandle:
+        def __init__(self):
+            self.state = StubState()
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            return self.state
+
+    proc = RunningTotalsProcessor()
+    h = StubHandle()
+    proc.init(h)
+    out1 = list(proc.handleInputRows((7,), iter([pd.DataFrame({"cents": [100, 250]})]), None))
+    assert out1[0].to_dict("records") == [{"user_id": 7, "n_events": 2, "sum_cents": 350}]
+    # second micro-batch accumulates onto persisted state, chunked delivery
+    chunks = iter([pd.DataFrame({"cents": [50]}), pd.DataFrame({"cents": [1, 2]})])
+    out2 = list(proc.handleInputRows((7,), chunks, None))
+    assert out2[0].to_dict("records") == [{"user_id": 7, "n_events": 5, "sum_cents": 403}]
+    assert h.state.v == (5, 403)
