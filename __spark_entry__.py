@@ -5076,6 +5076,52 @@ def q_matched_pairs(spark, sf_dir):
 LPA_NODES = ["shard-a", "shard-b", "shard-c", "shard-d"]
 
 
+IP_NETWORKS = [
+    ("internal-10", "10.0.0.0/8"),
+    ("office-lan", "192.168.0.0/16"),
+    ("office-floor1", "192.168.1.0/24"),
+    ("google-dns", "8.8.8.0/24"),
+]
+
+
+def q_geohash_cells(spark, sf_dir):
+    """Standard geohash-6 cell rollup over synthetic order coordinates —
+    the interoperable spatial bucket key (same cells as every geohash
+    library, proven on reference vectors in pytest), computed as ONE
+    narrow closed-form bit-interleave projection in the scan stage."""
+    from area_etl_spark.operators.geo import geohash_encode
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        ((F.col("o_custkey") % 17000) / 100.0 - 85.0).alias("lat"),
+        ((F.col("o_orderkey") % 35000) / 100.0 - 175.0).alias("lon"),
+    )
+    return o.select(geohash_encode(F.col("lat"), F.col("lon"), 6).alias("cell")).groupBy(
+        "cell"
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def q_ip_networks(spark, sf_dir):
+    """IPv4 → CIDR classification of synthetic access ips (parse_logs'
+    natural downstream): dotted-quad parse with malformed-input quarantine,
+    broadcast band join on the numeric ip, MOST-SPECIFIC block wins."""
+    from area_etl_spark.operators.geo import tag_ip_networks
+
+    c = _tables(spark, sf_dir)["customer"].select("c_custkey")
+    ip = F.concat_ws(
+        ".",
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("10"))
+        .when(F.col("c_custkey") % 3 == 1, F.lit("192"))
+        .otherwise(F.lit("8")),
+        F.when(F.col("c_custkey") % 3 == 0, (F.col("c_custkey") % 200).cast("string"))
+        .when(F.col("c_custkey") % 3 == 1, F.lit("168"))
+        .otherwise(F.lit("8")),
+        (F.col("c_custkey") % 7).cast("string"),
+        ((F.col("c_custkey") * 3) % 256).cast("string"),
+    )
+    df = c.select("c_custkey", ip.alias("ip"))
+    return tag_ip_networks(df, "ip", IP_NETWORKS)
+
+
 def q_ks_test(spark, sf_dir):
     """Two-sample Kolmogorov–Smirnov: purchase vs view event-value
     distributions — EXACT D from integer cumulative-count cross products,
@@ -5595,6 +5641,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_ate": q_stratified_ate,
         "ks_test": q_ks_test,
         "mutual_information": q_mutual_information,
+        "geohash_cells": q_geohash_cells,
+        "ip_networks": q_ip_networks,
         # — the r7 window: all green in CORRECTNESS_r07 on current testdata —
         "pagerank": q_pagerank,
         "id_normalize": q_id_normalize,
@@ -5875,6 +5923,42 @@ def _hrw_sql(key: str, nodes: list[str]) -> str:
         f"md5('{n}:' || CAST({key} AS VARCHAR)) || '{n}'" for n in sorted(nodes)
     )
     return f"substr(greatest({alts}), 33)"
+
+
+def _geohash_sql(lat: str, lon: str, precision: int = 6) -> str:
+    """DuckDB replay of geo.geohash_encode: same quantization, same
+    lon-first bit interleave, same base32 lookup."""
+    half = 5 * precision // 2
+    scale = 1 << half
+    lonq = (
+        f"LEAST({scale - 1}, GREATEST(0, CAST(FLOOR((({lon} + 180.0) / 360.0) "
+        f"* {float(scale)}) AS BIGINT)))"
+    )
+    latq = (
+        f"LEAST({scale - 1}, GREATEST(0, CAST(FLOOR((({lat} + 90.0) / 180.0) "
+        f"* {float(scale)}) AS BIGINT)))"
+    )
+    total = 2 * half
+    # every term fully parenthesized: SQL gives '+' HIGHER precedence than
+    # '<<', so a bare `x << 29 + y << 27` parses as `x << (29 + y) << 27`
+    terms = []
+    for i in range(half):
+        terms.append(f"(((lonq >> {half - 1 - i}) & 1) << {total - 1 - 2 * i})")
+        terms.append(f"(((latq >> {half - 1 - i}) & 1) << {total - 2 - 2 * i})")
+    g = " + ".join(terms)
+    chars = []
+    for j in range(precision):
+        chars.append(
+            "substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+            f"CAST((g >> {5 * (precision - 1 - j)}) & 31 AS INTEGER) + 1, 1)"
+        )
+    concat = " || ".join(chars)
+    # correlated scalar subqueries decorrelate wrongly in the FROM position;
+    # LATERAL keeps the per-row evaluation explicit
+    return {"lonq": lonq, "latq": latq, "g": g, "concat": concat}
+
+
+_GH = _geohash_sql("lat", "lon", 6)
 
 
 def _ks_p_sql(lam: str) -> str:
@@ -7342,6 +7426,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(twom / 2 AS BIGINT) AS m_edges,
                    round(qsum, 9) AS modularity
             FROM nn, agg, twom
+        """,
+        "geohash_cells": f"""
+            WITH o AS (
+                SELECT ((o_custkey % 17000) / 100.0 - 85.0) AS lat,
+                       ((o_orderkey % 35000) / 100.0 - 175.0) AS lon
+                FROM orders
+            ), cells AS (
+                SELECT {_GH["concat"]} AS cell
+                FROM o,
+                     LATERAL (SELECT {_GH["lonq"]} AS lonq,
+                                     {_GH["latq"]} AS latq) q1,
+                     LATERAL (SELECT ({_GH["g"]}) AS g) q2
+            )
+            SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM cells GROUP BY 1
+        """,
+        "ip_networks": f"""
+            WITH c AS (
+                SELECT c_custkey,
+                       (CASE WHEN c_custkey % 3 = 0 THEN '10'
+                             WHEN c_custkey % 3 = 1 THEN '192' ELSE '8' END)
+                       || '.' ||
+                       (CASE WHEN c_custkey % 3 = 0 THEN CAST(c_custkey % 200 AS VARCHAR)
+                             WHEN c_custkey % 3 = 1 THEN '168' ELSE '8' END)
+                       || '.' || CAST(c_custkey % 7 AS VARCHAR)
+                       || '.' || CAST((c_custkey * 3) % 256 AS VARCHAR) AS ip
+                FROM customer
+            ), p AS (
+                SELECT c_custkey, ip, string_split(ip, '.') AS parts FROM c
+            ), n AS (
+                SELECT c_custkey, ip,
+                       TRY_CAST(parts[1] AS BIGINT) * 16777216
+                       + TRY_CAST(parts[2] AS BIGINT) * 65536
+                       + TRY_CAST(parts[3] AS BIGINT) * 256
+                       + TRY_CAST(parts[4] AS BIGINT) AS ip_num
+                FROM p
+            ), dim AS (
+                SELECT * FROM (VALUES {", ".join(f"('{name}', {__import__('area_etl_spark.operators.geo', fromlist=['cidr_bounds']).cidr_bounds(cidr)[0]}, {__import__('area_etl_spark.operators.geo', fromlist=['cidr_bounds']).cidr_bounds(cidr)[1]})" for name, cidr in IP_NETWORKS)})
+                       AS t(net_name, net_lo, net_hi)
+            ), j AS (
+                SELECT n.c_custkey, n.ip, n.ip_num, d.net_name, d.net_lo,
+                       row_number() OVER (
+                           PARTITION BY n.c_custkey
+                           ORDER BY d.net_lo DESC NULLS LAST,
+                                    d.net_name DESC NULLS LAST) AS rn
+                FROM n LEFT JOIN dim d
+                  ON n.ip_num >= d.net_lo AND n.ip_num <= d.net_hi
+            )
+            SELECT c_custkey, ip, ip_num,
+                   CASE WHEN net_lo IS NOT NULL THEN net_name END AS network
+            FROM j WHERE rn = 1
         """,
         "ks_test": f"""
             WITH two AS (

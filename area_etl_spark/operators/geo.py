@@ -1,0 +1,133 @@
+"""Geo / network-address primitives — geohash cells and CIDR matching.
+
+Reference parity: the reference stores operational-office latitude/longitude
+as plain floats (src/core.py operational_offices) and never computes on
+them; these are the operators a warehouse actually runs on such columns —
+geohash cell keys for spatial bucketing/joins (the radius_join grid with a
+standard, interoperable cell id) and IPv4→CIDR classification for access-log
+analytics (parse_logs' natural downstream).
+
+Both are PURE NARROW Catalyst expression chains — closed-form bit
+arithmetic, no UDF, no shuffle, engine-portable bit-for-bit (integer
+shifts/masks and exact float quantization mirrored in the SQL oracles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lat: Column, lon: Column, precision: int = 6) -> Column:
+    """Standard geohash cell id (base32, ``precision`` chars) as a closed
+    form: quantize lat/lon to ``5·precision/2``-bit integers, interleave
+    bits lon-first (the geohash convention), emit base32 — identical cells
+    to every geohash library, so the column joins against external datasets.
+
+    Unlike the loop form this is ~5·precision shift/mask terms of plain
+    integer arithmetic in ONE projection: whole-stage-codegen keeps it in
+    the scan stage, and the SQL oracle replays it exactly.  Inputs clamp to
+    the valid ranges (the +180/+90 edges land in the top cell).
+    """
+    if precision % 2 != 0:
+        raise ValueError("closed-form interleave needs even precision")
+    half_bits = 5 * precision // 2  # bits per axis
+    scale = 1 << half_bits
+    lon_q = F.least(
+        F.lit(scale - 1),
+        F.greatest(
+            F.lit(0), F.floor(((lon + F.lit(180.0)) / F.lit(360.0)) * F.lit(float(scale)))
+        ),
+    ).cast("long")
+    lat_q = F.least(
+        F.lit(scale - 1),
+        F.greatest(
+            F.lit(0), F.floor(((lat + F.lit(90.0)) / F.lit(180.0)) * F.lit(float(scale)))
+        ),
+    ).cast("long")
+    total_bits = 2 * half_bits
+    g = F.lit(0).cast("long")
+    for i in range(half_bits):  # i = 0 is each axis's MSB
+        lon_bit = F.shiftright(lon_q, half_bits - 1 - i).bitwiseAND(F.lit(1))
+        lat_bit = F.shiftright(lat_q, half_bits - 1 - i).bitwiseAND(F.lit(1))
+        g = g + F.shiftleft(lon_bit, total_bits - 1 - 2 * i)
+        g = g + F.shiftleft(lat_bit, total_bits - 2 - 2 * i)
+    chars = F.array(*[F.lit(c) for c in GEOHASH_BASE32])
+    out = []
+    for j in range(precision):
+        idx = F.shiftright(g, 5 * (precision - 1 - j)).bitwiseAND(F.lit(31))
+        out.append(F.element_at(chars, (idx + 1).cast("int")))
+    return F.concat(*out)
+
+
+def ip4_to_long(ip: Column) -> Column:
+    """Dotted-quad IPv4 string → uint32-as-long; NULL for malformed input
+    (wrong field count or out-of-range octet) — quarantine, don't guess."""
+    parts = F.split(ip, r"\.")
+    # F.get: 0-based, NULL when out of bounds; try_cast: NULL (not an ANSI
+    # error) on non-numeric octets
+    octets = [F.get(parts, i).try_cast("long") for i in range(4)]
+    valid = (F.size(parts) == 4) & F.coalesce(
+        F.get(parts, 0).rlike("^[0-9]+$"), F.lit(False)
+    )
+    for o in octets:
+        valid = valid & o.isNotNull() & (o >= 0) & (o <= 255)
+    val = (
+        octets[0] * F.lit(16777216)
+        + octets[1] * F.lit(65536)
+        + octets[2] * F.lit(256)
+        + octets[3]
+    )
+    return F.when(valid, val)
+
+
+def cidr_bounds(cidr: str) -> tuple[int, int]:
+    """(lo, hi) numeric range of a CIDR block — driver-side literal math for
+    building broadcast network dimension tables."""
+    net, _, bits_s = cidr.partition("/")
+    bits = int(bits_s) if bits_s else 32
+    a, b, c, d = (int(x) for x in net.split("."))
+    base = (a << 24) | (b << 16) | (c << 8) | d
+    mask = ((1 << bits) - 1) << (32 - bits) if bits else 0
+    lo = base & mask
+    return lo, lo | (~mask & 0xFFFFFFFF)
+
+
+def tag_ip_networks(df, ip_col: str, networks: list[tuple[str, str]]):
+    """Classify each row's IPv4 against a CIDR table: ``networks`` is
+    [(name, cidr)] — internal ranges, bot ASNs, office egress.  The blocks
+    become a broadcast (name, lo, hi) dimension and the match is a
+    BROADCAST band join on the numeric ip (the range_band_join shape) —
+    first matching block by (lo DESC) wins, i.e. the most specific prefix,
+    via a bounded per-row argmax.  Unmatched/malformed ips tag NULL.
+    """
+    from functools import reduce
+
+    spark = df.sparkSession
+    rows = []
+    for name, cidr in networks:
+        lo, hi = cidr_bounds(cidr)
+        rows.append((name, lo, hi))
+    dim = spark.createDataFrame(rows, "net_name string, net_lo long, net_hi long")
+    ipn = df.withColumn("_ipn", ip4_to_long(F.col(ip_col)))
+    joined = ipn.join(
+        F.broadcast(dim),
+        (F.col("_ipn") >= F.col("net_lo")) & (F.col("_ipn") <= F.col("net_hi")),
+        "left",
+    )
+    # most specific block = largest net_lo wins (ties impossible for
+    # distinct blocks containing the same ip unless identical lo; break by
+    # name for total determinism)
+    keys = [c for c in df.columns]
+    best = joined.groupBy(*keys, "_ipn").agg(
+        F.max(F.struct(F.col("net_lo"), F.col("net_name").alias("n"))).alias("_b")
+    )
+    return best.select(
+        *keys,
+        F.col("_ipn").alias("ip_num"),
+        F.when(F.col("_b").getField("net_lo").isNotNull(), F.col("_b").getField("n")).alias(
+            "network"
+        ),
+    )

@@ -2422,3 +2422,49 @@ def test_mutual_information_leakage_screen(spark):
     # i%7 vs i%2 over a 200-row range: near-zero but not exactly (140 vs 60 split)
     assert out["noise"].ig_ratio < 0.01
     assert all(r.label_entropy == out["leak"].label_entropy for r in out.values())
+
+
+def test_geohash_encode_reference_vectors(spark):
+    """Cells must match every standard geohash library (interoperability IS
+    the point): the classic Jutland example, the origin, Curitiba, and the
+    ±edge clamps."""
+    from area_etl_spark.operators.geo import geohash_encode
+
+    df = spark.createDataFrame(
+        [
+            (57.64911, 10.40744, "u4pruy"),
+            (0.0, 0.0, "s00000"),
+            (-25.382708, -49.265506, "6gkzwg"),
+            (90.0, 180.0, "zzzzzz"),   # top edge clamps into the last cell
+            (-90.0, -180.0, "000000"),
+        ],
+        ["lat", "lon", "want"],
+    )
+    rows = df.select("want", geohash_encode(F.col("lat"), F.col("lon"), 6).alias("gh")).collect()
+    for r in rows:
+        assert r.gh == r.want, (r.want, r.gh)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        geohash_encode(F.lit(0.0), F.lit(0.0), precision=5)  # odd precision
+
+
+def test_ip_cidr_tagging(spark):
+    from area_etl_spark.operators.geo import cidr_bounds, tag_ip_networks
+
+    assert cidr_bounds("10.0.0.0/8") == (167772160, 184549375)
+    assert cidr_bounds("0.0.0.0/0") == (0, 4294967295)
+    assert cidr_bounds("1.2.3.4/32") == (16909060, 16909060)
+    ips = spark.createDataFrame(
+        [(1, "10.1.2.3"), (2, "192.168.1.9"), (3, "192.168.9.9"),
+         (4, "8.8.8.8"), (5, "nonsense"), (6, "1.2.3.999")],
+        ["k", "ip"],
+    )
+    nets = [("ten", "10.0.0.0/8"), ("lan", "192.168.0.0/16"), ("floor1", "192.168.1.0/24")]
+    out = {r.k: r for r in tag_ip_networks(ips, "ip", nets).collect()}
+    assert out[1].network == "ten"
+    assert out[2].network == "floor1"  # most-specific block wins
+    assert out[3].network == "lan"
+    assert out[4].network is None and out[4].ip_num == 134744072
+    assert out[5].network is None and out[5].ip_num is None  # malformed
+    assert out[6].ip_num is None  # octet out of range
