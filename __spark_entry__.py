@@ -4050,13 +4050,18 @@ def q_mann_whitney(spark, sf_dir):
     """Mann–Whitney U rank-sum test comparing purchase vs view value
     distributions — nonparametric A/B beside 74/104; midranks from
     per-distinct-value cumulative counts (bounded aggregate-level window),
-    exact integer-or-half rank sums, float only in the final z."""
+    exact integer-or-half rank sums, float only in the final z.  Tie
+    correction ON (VERDICT r8 item 6): integer cents tie heavily, and the
+    uncorrected variance understates |z|; the Σ(t³−t) term comes from the
+    same per-value aggregate as exact BIGINTs."""
     from area_etl_spark.operators.experiments import mann_whitney_u
 
     ev = _tables(spark, sf_dir)["events"].select(
         "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
-    return mann_whitney_u(ev, "event_type", "cents", "purchase", "view")
+    return mann_whitney_u(
+        ev, "event_type", "cents", "purchase", "view", tie_correction=True
+    )
 
 
 def q_versioned_roundtrip(spark, sf_dir):
@@ -5446,10 +5451,142 @@ def q_trimmed_mean(spark, sf_dir):
     return trimmed_mean(o, ["o_orderpriority"], "cents", trim=0.1)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+# ---------------------------------------------------------------------------
+# Driver correctness window (round 9)
+# ---------------------------------------------------------------------------
+# The driver checks the FIRST 50 queries() entries.  VERDICT r8 item 1: rotate
+# 50 of the 92 never-driver-checked keys into the window — the 7 r7-era
+# stragglers first, then the LLM-critical r8 operators, then fill.  The
+# remaining 42 backlog keys are queued immediately below the window
+# (_R10_QUEUE) so round 10's rotation clears the backlog entirely; new r9
+# registrations sit AFTER the queue so they only enter a window once the
+# backlog is gone.  stratified_sample_by is rows-only by design (Spark-RNG
+# sampleBy; its portable twin sample_stratified_hash is driver-green) — it
+# occupies a window slot to collect its rows-only CORRECTNESS row as VERDICT
+# r8 prescribed.
+_R9_WINDOW = [
+    # — r7-era stragglers (never driver-checked compositions) —
+    "session_paths",
+    "ltv_curve",
+    "decline_streaks",
+    "session_quality_report",
+    "share_of_parent",
+    "time_in_state",
+    "stratified_sample_by",
+    # — LLM-brief load-bearing r8 operators —
+    "jaccard_prefix_join",
+    "remove_duplicate_spans",
+    "bpe_merges",
+    "bpe_segment",
+    "select_under_budget",
+    "feature_matrix",
+    "mutual_information",
+    "ks_test",
+    "label_propagation",
+    "kcore",
+    "ivm_agg_update",
+    "versioned_roundtrip",
+    "merge_conditional",
+    "apply_cdc_log",
+    "bloom_prune",
+    "cms_heavy_hitters",
+    "kmv_distinct",
+    # — fill: remaining never-checked r8 keys, registration order —
+    "attribution_time_decay",
+    "km_survival",
+    "cascade_delete",
+    "quantile_normalize",
+    "seasonal_anomaly",
+    "parse_json_quarantine",
+    "sequence_match",
+    "agg_state_merge",
+    "max_drawdown",
+    "clamped_balance",
+    "burst_detection",
+    "minmax_scale",
+    "mann_whitney",
+    "kfold_assign",
+    "balance_classes",
+    "feature_hash",
+    "target_encode_loo",
+    "expectation_suite",
+    "changepoint",
+    "degree_distribution",
+    "strip_html",
+    "split_sentences",
+    "parse_money",
+    "business_days",
+    "score_linear",
+    "jl_project",
+]
 
-    ORDER MATTERS: the driver's correctness gate checks the FIRST 50 entries.
+# The 42 backlog keys left for round 10's window (then new-r9 keys follow).
+_R10_QUEUE = [
+    "standardized_rates",
+    "mask_columns",
+    "stickiness",
+    "fd_violations",
+    "parse_xml",
+    "personalized_pagerank",
+    "link_prediction",
+    "collocations",
+    "growth_accounting",
+    "log2_histogram",
+    "checksum_drilldown",
+    "manifest_pruned_read",
+    "l_diversity",
+    "kmv_overlap",
+    "compression_ratio",
+    "repair_monotonic",
+    "counter_increase",
+    "diff_in_diff",
+    "subset_closure",
+    "interpolate_linear",
+    "collapse_rare_levels",
+    "fdr_bh",
+    "cohen_kappa",
+    "matched_pairs",
+    "trimmed_mean",
+    "nb_classify",
+    "zipf_fit",
+    "ipf_raking",
+    "ann_recall_eval",
+    "hybrid_search_rrf",
+    "rendezvous_assign",
+    "modularity",
+    "calibration_curve",
+    "psi_drift",
+    "good_turing",
+    "classification_report",
+    "roc_auc",
+    "pool_embeddings",
+    "quantile_ci",
+    "stratified_ate",
+    "geohash_cells",
+    "ip_networks",
+]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registered operators, reordered so the driver's 50-slot correctness
+    window (the FIRST 50 entries) is exactly the round-9 backlog rotation:
+    _R9_WINDOW, then _R10_QUEUE (the rest of the never-checked backlog, plus
+    new r9 registrations), then the already-driver-green keys in their
+    original registration order."""
+    reg = _queries_registry()
+    ordered = [*_R9_WINDOW, *_R10_QUEUE]
+    seen = set(ordered)
+    missing = [k for k in ordered if k not in reg]
+    assert not missing, f"window/queue keys not registered: {missing}"
+    out = {k: reg[k] for k in ordered}
+    out.update({k: v for k, v in reg.items() if k not in seen})
+    return out
+
+
+def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """One entry per implemented operator from SURVEY.md §2 (registration
+    order; window ordering is applied by queries() above).
+
     Round-8 rotation (VERDICT r7 items 1–2): the window is exactly the keys
     with no driver green yet — vocab_encode (the r7 err, its token_ids array
     now CSV-serialized on both engine sides), the three new auac 1:1
@@ -8567,14 +8704,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
                        CAST(SUM(cnt - cnt_a) AS BIGINT) AS n_b,
                        SUM((CAST(cum_before AS DOUBLE) + (cnt + 1) / 2.0)
-                           * cnt_a) AS r_a
+                           * cnt_a) AS r_a,
+                       CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS tie3
                 FROM ranked
             )
             SELECT n_a, n_b,
                    r_a - (n_a * (n_a + 1)) / 2.0 AS u_a,
                    n_a * n_b - (r_a - (n_a * (n_a + 1)) / 2.0) AS u_b,
                    round((r_a - (n_a * (n_a + 1)) / 2.0 - n_a * n_b / 2.0)
-                         / sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0), 6) AS z
+                         / sqrt(n_a * n_b / 12.0
+                                * ((n_a + n_b + 1)
+                                   - tie3 / ((n_a + n_b) * (n_a + n_b - 1.0)))),
+                         6) AS z
             FROM agg
         """,
         "pipeline_requirement_taxonomies": f"""

@@ -141,6 +141,7 @@ def mann_whitney_u(
     value_col: str,
     group_a: str,
     group_b: str,
+    tie_correction: bool = False,
 ) -> DataFrame:
     """Mann–Whitney U (Wilcoxon rank-sum) two-sample test — the
     NONPARAMETRIC A/B evaluation beside the two-proportion z-test (74) and
@@ -153,7 +154,15 @@ def mann_whitney_u(
     window running over the |distinct values| aggregate, the bounded
     aggregate-level window idiom (pareto/id_gap).  U, rank sums, and
     counts are exact integers-or-halves; only the final z (normal
-    approximation, no tie correction — documented) divides/sqrts.
+    approximation) divides/sqrts.
+
+    ``tie_correction=True`` (VERDICT r8 item 6) applies the standard tie
+    term to the variance — Var(U) = n_a·n_b/12 · [(n+1) − Σ(t³−t)/(n(n−1))]
+    with t the per-distinct-value tie counts (exact BIGINTs from the same
+    per-value aggregate; the subtraction is one closed-form float).  With
+    heavy ties (integer cents) the uncorrected z is conservative —
+    variance overstated, |z| understated; correction is the right default
+    for discrete metrics but kept opt-in for r7-era result stability.
 
     Returns one row: (n_a, n_b, u_a, u_b, z) with u_a + u_b = n_a·n_b.
     """
@@ -177,19 +186,23 @@ def mann_whitney_u(
         F.sum("_cnt_a").alias("n_a"),
         F.sum(F.col("_cnt") - F.col("_cnt_a")).alias("n_b"),
         F.sum(F.col("_avg_rank") * F.col("_cnt_a")).alias("_r_a"),
+        F.sum(
+            F.col("_cnt") * F.col("_cnt") * F.col("_cnt") - F.col("_cnt")
+        ).alias("_tie3"),
     )
     n_a, n_b = F.col("n_a"), F.col("n_b")
     u_a = F.col("_r_a") - (n_a * (n_a + 1)) / 2.0
+    n = n_a + n_b
+    if tie_correction:
+        var_u = n_a * n_b / 12.0 * ((n + 1) - F.col("_tie3") / (n * (n - 1.0)))
+    else:
+        var_u = n_a * n_b * (n + 1) / 12.0
     return agg.select(
         n_a,
         n_b,
         u_a.alias("u_a"),
         (n_a * n_b - u_a).alias("u_b"),
-        F.round(
-            (u_a - n_a * n_b / 2.0)
-            / F.sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0),
-            6,
-        ).alias("z"),
+        F.round((u_a - n_a * n_b / 2.0) / F.sqrt(var_u), 6).alias("z"),
     )
 
 

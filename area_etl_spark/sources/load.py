@@ -406,12 +406,86 @@ def current_version(table_dir: str) -> int | None:
         return int(f.read().strip())
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A second writer attempted to publish a manifest table while another
+    writer held the table lock.  The failed writer published NOTHING —
+    neither manifest nor stranded half-versions confuse readers; retry after
+    the holder commits (or after the stale window if it crashed)."""
+
+
+from contextlib import contextmanager as _contextmanager  # noqa: E402
+
+
+@_contextmanager
+def _writer_lock(dir_path: str, stale_after_s: float = 3600.0):
+    """Best-effort single-writer lock for the manifest-pointer layouts
+    (VERDICT r8 item 2) — turns the documented single-writer caveat of
+    :func:`write_versioned` / :func:`publish_snapshot` into an ENFORCED
+    error path.
+
+    Protocol: ``O_CREAT|O_EXCL`` on ``<dir>/_LOCK`` (POSIX-atomic creation
+    — exactly one writer wins).  A lock older than ``stale_after_s`` is a
+    crashed writer; takeover unlinks it and re-races the O_EXCL create, so
+    two simultaneous takeovers still resolve to one winner.  The loser
+    raises :class:`ConcurrentWriteError` BEFORE any version allocation or
+    data write — a concurrent publish fails cleanly instead of two writers
+    allocating the same ``v=<n>`` directory and silently clobbering each
+    other's data files.
+
+    Like Iceberg's/Delta's commit protocols this assumes the filesystem
+    gives atomic create/rename (POSIX, HDFS do; raw S3 needs a DynamoDB-ish
+    coordinator — same caveat those formats document)."""
+    import os
+    import time
+
+    os.makedirs(dir_path, exist_ok=True)
+    lock = os.path.join(dir_path, "_LOCK")
+
+    def _try_acquire() -> int | None:
+        try:
+            return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return None
+
+    fd = _try_acquire()
+    if fd is None:
+        try:
+            age = time.time() - os.stat(lock).st_mtime
+        except FileNotFoundError:
+            age = None  # holder released between our create and stat
+        if age is not None and age < stale_after_s:
+            raise ConcurrentWriteError(
+                f"another writer holds {lock} (age {age:.0f}s); "
+                f"retry after it commits or after {stale_after_s:.0f}s if crashed"
+            )
+        if age is not None:  # stale: take over (unlink tolerates a racer)
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+        fd = _try_acquire()
+        if fd is None:
+            raise ConcurrentWriteError(f"lost takeover race for {lock}")
+    try:
+        os.write(fd, f"pid={os.getpid()} t={time.time():.3f}\n".encode())
+    finally:
+        os.close(fd)
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
+
+
 def write_versioned(
     df: DataFrame,
     table_dir: str,
     fmt: str = "parquet",
     keep_versions: int = 2,
     partition_by: list[str] | None = None,
+    lock_stale_after_s: float = 3600.0,
 ) -> int:
     """Atomic table publish via a manifest pointer — the poor-man's
     transactional table that closes :func:`compact_files`' documented swap
@@ -431,42 +505,43 @@ def write_versioned(
     - version numbers grow past orphans (max(existing)+1), so a crashed
       v=7 can never be confused with a later successful publish.
 
-    Returns the published version number.  Single-writer protocol (like
-    every manifest-pointer design without a lock service, Iceberg
-    included — concurrent writers need a coordinator).
+    Returns the published version number.  Writer concurrency is ENFORCED
+    by :func:`_writer_lock`: a second concurrent writer raises
+    :class:`ConcurrentWriteError` before touching any state (a crashed
+    holder's lock is taken over after ``lock_stale_after_s``).
     """
     import os
     import shutil
 
-    os.makedirs(table_dir, exist_ok=True)
-    cur = current_version(table_dir)
-    existing = _versions(table_dir)
-    new_v = max(existing + ([cur] if cur is not None else [0])) + 1
-    data_dir = os.path.join(table_dir, f"v={new_v}")
-    writer = df.write.mode("overwrite").format(fmt)
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.save(data_dir)
-    # atomic publish: write-temp + rename, never truncate-in-place
-    tmp_manifest = os.path.join(table_dir, "_CURRENT.tmp")
-    with open(tmp_manifest, "w", encoding="utf-8") as f:
-        f.write(str(new_v))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp_manifest, os.path.join(table_dir, "_CURRENT"))
-    # GC: keep the newest `keep_versions` PUBLISHED snapshots — only
-    # versions at or below the OLD manifest ever were published; dirs
-    # between it and new_v are crashed-write orphans and always sweep
-    keep = {new_v}
-    for v in reversed(_versions(table_dir)):
-        if len(keep) >= keep_versions:
-            break
-        if cur is not None and v <= cur:
-            keep.add(v)
-    for v in _versions(table_dir):
-        if v not in keep:
-            shutil.rmtree(os.path.join(table_dir, f"v={v}"), ignore_errors=True)
-    return new_v
+    with _writer_lock(table_dir, stale_after_s=lock_stale_after_s):
+        cur = current_version(table_dir)
+        existing = _versions(table_dir)
+        new_v = max(existing + ([cur] if cur is not None else [0])) + 1
+        data_dir = os.path.join(table_dir, f"v={new_v}")
+        writer = df.write.mode("overwrite").format(fmt)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(data_dir)
+        # atomic publish: write-temp + rename, never truncate-in-place
+        tmp_manifest = os.path.join(table_dir, "_CURRENT.tmp")
+        with open(tmp_manifest, "w", encoding="utf-8") as f:
+            f.write(str(new_v))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp_manifest, os.path.join(table_dir, "_CURRENT"))
+        # GC: keep the newest `keep_versions` PUBLISHED snapshots — only
+        # versions at or below the OLD manifest ever were published; dirs
+        # between it and new_v are crashed-write orphans and always sweep
+        keep = {new_v}
+        for v in reversed(_versions(table_dir)):
+            if len(keep) >= keep_versions:
+                break
+            if cur is not None and v <= cur:
+                keep.add(v)
+        for v in _versions(table_dir):
+            if v not in keep:
+                shutil.rmtree(os.path.join(table_dir, f"v={v}"), ignore_errors=True)
+        return new_v
 
 
 def read_versioned(
@@ -532,57 +607,59 @@ def publish_snapshot(
     (invisible; swept by the next successful publish); readers that
     resolved the old number keep reading immutable old directories
     (snapshot isolation with ``keep_snapshots - 1`` publishes of grace).
-    Single-writer protocol, like every manifest-pointer design without a
-    lock service.  Returns the published snapshot number.
+    Writer concurrency is ENFORCED by :func:`_writer_lock` on the warehouse
+    root — a second concurrent publisher raises
+    :class:`ConcurrentWriteError` before any data write.  Returns the
+    published snapshot number.
     """
     import os
     import shutil
 
-    os.makedirs(warehouse_dir, exist_ok=True)
-    cur = _read_snapshot_no(warehouse_dir)
-    existing = set()
-    for t in tables:
-        tdir = os.path.join(warehouse_dir, t)
-        if os.path.isdir(tdir):
+    with _writer_lock(warehouse_dir):
+        cur = _read_snapshot_no(warehouse_dir)
+        existing = set()
+        for t in tables:
+            tdir = os.path.join(warehouse_dir, t)
+            if os.path.isdir(tdir):
+                for d in os.listdir(tdir):
+                    if d.startswith("s="):
+                        try:
+                            existing.add(int(d[2:]))
+                        except ValueError:
+                            pass
+        new_s = max(existing | ({cur} if cur is not None else {0})) + 1
+        for name, df in tables.items():
+            df.write.mode("overwrite").format(fmt).save(
+                os.path.join(warehouse_dir, name, f"s={new_s}")
+            )
+        tmp = os.path.join(warehouse_dir, "_SNAPSHOT.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(str(new_s))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(warehouse_dir, "_SNAPSHOT"))
+        # GC: keep the newest keep_snapshots PUBLISHED snapshots per table
+        keep = {new_s}
+        published = sorted(
+            [s for s in existing if cur is not None and s <= cur], reverse=True
+        )
+        for s in published:
+            if len(keep) >= keep_snapshots:
+                break
+            keep.add(s)
+        for t in tables:
+            tdir = os.path.join(warehouse_dir, t)
+            if not os.path.isdir(tdir):
+                continue
             for d in os.listdir(tdir):
                 if d.startswith("s="):
                     try:
-                        existing.add(int(d[2:]))
+                        v = int(d[2:])
                     except ValueError:
-                        pass
-    new_s = max(existing | ({cur} if cur is not None else {0})) + 1
-    for name, df in tables.items():
-        df.write.mode("overwrite").format(fmt).save(
-            os.path.join(warehouse_dir, name, f"s={new_s}")
-        )
-    tmp = os.path.join(warehouse_dir, "_SNAPSHOT.tmp")
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write(str(new_s))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(warehouse_dir, "_SNAPSHOT"))
-    # GC: keep the newest keep_snapshots PUBLISHED snapshots per table
-    keep = {new_s}
-    published = sorted(
-        [s for s in existing if cur is not None and s <= cur], reverse=True
-    )
-    for s in published:
-        if len(keep) >= keep_snapshots:
-            break
-        keep.add(s)
-    for t in tables:
-        tdir = os.path.join(warehouse_dir, t)
-        if not os.path.isdir(tdir):
-            continue
-        for d in os.listdir(tdir):
-            if d.startswith("s="):
-                try:
-                    v = int(d[2:])
-                except ValueError:
-                    continue
-                if v not in keep:
-                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
-    return new_s
+                        continue
+                    if v not in keep:
+                        shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+        return new_s
 
 
 def _read_snapshot_no(warehouse_dir: str) -> int | None:

@@ -1409,6 +1409,12 @@ def test_mann_whitney_hand_computed(spark):
     assert (r.n_a, r.n_b, r.u_a, r.u_b) == (3, 3, 1.5, 7.5)
     assert math.isclose(r.z, -3 / math.sqrt(5.25), rel_tol=1e-5)
     assert r.u_a + r.u_b == r.n_a * r.n_b  # U identity
+    # tie correction ON: Σ(t³−t)=6 (one pair tied at v=2), n=6 →
+    # Var = 3·3/12 · (7 − 6/30) = 0.75·6.8 = 5.1; |z| grows (ties shrink Var)
+    rc = mann_whitney_u(df, "g", "v", "a", "b", tie_correction=True).collect()[0]
+    assert (rc.n_a, rc.n_b, rc.u_a, rc.u_b) == (3, 3, 1.5, 7.5)
+    assert math.isclose(rc.z, -3 / math.sqrt(5.1), rel_tol=1e-5)
+    assert abs(rc.z) > abs(r.z)
 
 
 def test_minmax_scale_constant_group_and_bounds(spark):

@@ -52,10 +52,22 @@ def test_gate_contract_callable_and_key_aligned():
 
 def test_driver_window_fully_oracled():
     """The driver checks the FIRST 50 queries() entries; a window slot
-    without an oracle is a wasted green. Every windowed entry must have one."""
+    without an oracle is a wasted green. Every windowed entry must have one —
+    except stratified_sample_by, which VERDICT r8 explicitly rotated in to
+    collect its rows-only CORRECTNESS row (Spark-RNG; its portable twin
+    sample_stratified_hash is driver-green with a full oracle)."""
     first50 = list(QUERIES)[:50]
-    missing = [k for k in first50 if k not in ORACLES]
+    missing = [k for k in first50 if k not in ORACLES and k != "stratified_sample_by"]
     assert missing == []
+
+
+def test_r9_window_is_the_prescribed_backlog_rotation():
+    """VERDICT r8 item 1: the r9 window must be ≥80% never-driver-checked
+    backlog keys.  Ours is 100% — assert the exact composition so a stray
+    registration can't silently displace a backlog key from the window."""
+    first50 = list(QUERIES)[:50]
+    assert first50 == entrymod._R9_WINDOW
+    assert len(first50) == 50
 
 
 def test_every_query_has_oracle_or_is_documented_rows_only():
