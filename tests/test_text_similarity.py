@@ -663,3 +663,198 @@ def test_pool_embeddings_exact_mean(spark):
     # order of components survives the sorted reassembly
     asym = spark.createDataFrame([(3, [0.5, -0.25, 0.125, 99.0])], "doc int, embedding array<double>")
     assert pool_embeddings(asym, "doc").collect()[0].pooled == [0.5, -0.25, 0.125, 99.0]
+
+
+# --- JPEG baseline decode (VERDICT r8 item 3) -------------------------------
+
+# ITU T.81 Annex K.3.3 luminance Huffman specs (public-domain constants)
+_JPG_DC_COUNTS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPG_DC_SYMS = list(range(12))
+_JPG_AC_COUNTS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPG_AC_SYMS = [int(h, 16) for h in (
+    "01 02 03 00 04 11 05 12 21 31 41 06 13 51 61 07 22 71 14 32 81 91 a1 08"
+    " 23 42 b1 c1 15 52 d1 f0 24 33 62 72 82 09 0a 16 17 18 19 1a 25 26 27 28"
+    " 29 2a 34 35 36 37 38 39 3a 43 44 45 46 47 48 49 4a 53 54 55 56 57 58 59"
+    " 5a 63 64 65 66 67 68 69 6a 73 74 75 76 77 78 79 7a 83 84 85 86 87 88 89"
+    " 8a 92 93 94 95 96 97 98 99 9a a2 a3 a4 a5 a6 a7 a8 a9 aa b2 b3 b4 b5 b6"
+    " b7 b8 b9 ba c2 c3 c4 c5 c6 c7 c8 c9 ca d2 d3 d4 d5 d6 d7 d8 d9 da e1 e2"
+    " e3 e4 e5 e6 e7 e8 e9 ea f1 f2 f3 f4 f5 f6 f7 f8 f9 fa"
+).split()]
+
+
+def _jpg_canonical(counts, syms):
+    enc, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            enc[syms[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc
+
+
+class _JpgBitWriter:
+    def __init__(self):
+        self.out, self.acc, self.n = bytearray(), 0, 0
+
+    def write(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self):
+        while self.n:
+            self.write(1, 1)  # pad with 1s per T.81
+        return bytes(self.out)
+
+
+def _make_real_jpeg(pixels):
+    """Encode a real baseline grayscale JPEG (quant table all-ones, Annex K
+    luminance Huffman tables) — forward orthonormal DCT + canonical-code
+    entropy coding, so the decoder's huffman/dequant/IDCT path is exercised
+    end to end."""
+    import struct
+
+    import numpy as np
+
+    from area_etl_spark.operators.multimodal import _JPEG_ZIGZAG, _jpeg_idct_matrix
+
+    h, w = pixels.shape[:2]
+    m = _jpeg_idct_matrix()
+    dc_enc = _jpg_canonical(_JPG_DC_COUNTS, _JPG_DC_SYMS)
+    ac_enc = _jpg_canonical(_JPG_AC_COUNTS, _JPG_AC_SYMS)
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    padded = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    padded[:h, :w] = pixels.reshape(h, w).astype(np.float64)
+    # edge-replicate padding keeps partial-block reconstruction in range
+    if h < bh * 8:
+        padded[h:, :w] = padded[h - 1, :w]
+    if w < bw * 8:
+        padded[:, w:] = padded[:, w - 1 : w]
+    writer = _JpgBitWriter()
+
+    def put(enc, sym):
+        length, code = enc[sym]
+        writer.write(code, length)
+
+    def mag(v):
+        size = int(v).bit_length() if v >= 0 else int(-v).bit_length()
+        bits = v if v >= 0 else v + (1 << size) - 1
+        return size, bits
+
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            f = m @ (padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0) @ m.T
+            z = np.round(f.reshape(-1)[_JPEG_ZIGZAG]).astype(int)
+            size, bits = mag(int(z[0]) - pred)
+            pred = int(z[0])
+            put(dc_enc, size)
+            writer.write(bits, size)
+            nz = np.nonzero(z[1:])[0]
+            k = 1
+            for idx in nz:
+                pos = idx + 1
+                run = pos - k
+                while run >= 16:
+                    put(ac_enc, 0xF0)  # ZRL
+                    run -= 16
+                size, bits = mag(int(z[pos]))
+                put(ac_enc, (run << 4) | size)
+                writer.write(bits, size)
+                k = pos + 1
+            if k < 64:
+                put(ac_enc, 0x00)  # EOB
+    entropy = writer.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dht(cls, tid, counts, syms):
+        return seg(0xC4, bytes([cls << 4 | tid]) + bytes(counts) + bytes(syms))
+
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes([1] * 64))
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+        + dht(0, 0, _JPG_DC_COUNTS, _JPG_DC_SYMS)
+        + dht(1, 0, _JPG_AC_COUNTS, _JPG_AC_SYMS)
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
+def test_jpeg_pixel_decode_bit_tolerant():
+    """Baseline-JPEG decode round-trip: with an all-ones quant table the
+    only loss is coefficient rounding (±0.5/coef), so decoded pixels must
+    sit within 2 of the source; a uniform block (integer DC, zero ACs)
+    round-trips EXACTLY.  Outside-subset variants quarantine as None."""
+    import numpy as np
+
+    from area_etl_spark.operators.multimodal import jpeg_decode_pixels
+
+    # uniform image: DC-only, integer coefficient -> exact
+    uni = np.full((16, 8), 100, np.uint8)
+    got = jpeg_decode_pixels(_make_real_jpeg(uni))
+    assert got is not None and got.shape == (16, 8, 1)
+    assert np.array_equal(got.reshape(16, 8), uni)
+
+    # gradient + texture, non-multiple-of-8 dims (partial blocks cropped)
+    y, x = np.mgrid[0:21, 0:13]
+    img = ((y * 9 + x * 5 + (x * y) % 7) % 256).astype(np.uint8)
+    got = jpeg_decode_pixels(_make_real_jpeg(img))
+    assert got is not None and got.shape == (21, 13, 1)
+    assert int(np.abs(got.reshape(21, 13).astype(int) - img.astype(int)).max()) <= 2
+
+    # random noise stresses every AC run/size path incl. ZRL
+    rng = np.random.RandomState(3)
+    noise = rng.randint(0, 256, (8, 24)).astype(np.uint8)
+    got = jpeg_decode_pixels(_make_real_jpeg(noise))
+    assert got is not None
+    assert int(np.abs(got.reshape(8, 24).astype(int) - noise.astype(int)).max()) <= 2
+
+    # quarantine: junk, truncation, progressive SOF, color SOF
+    blob = _make_real_jpeg(uni)
+    assert jpeg_decode_pixels(b"not a jpeg") is None
+    assert jpeg_decode_pixels(blob[: len(blob) // 2]) is None
+    prog = bytearray(blob)
+    prog[blob.index(b"\xff\xc0") + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    assert jpeg_decode_pixels(bytes(prog)) is None
+    color = bytearray(blob)
+    color[blob.index(b"\xff\xc0") + 9] = 3  # ncomp 1 -> 3 (header lies; subset check fires)
+    assert jpeg_decode_pixels(bytes(color)) is None
+
+
+def test_image_pixels_feature_kernel_jpeg_flows_to_ann(spark):
+    """The image_pixels kernel dispatches on magic bytes: JPEG luminance
+    histograms land beside PNG ones in the same FEATURE_DIM embedding
+    space, so decoded attachments flow straight into the ANN operators."""
+    import numpy as np
+
+    from area_etl_spark.operators.multimodal import (
+        FEATURE_DIM,
+        attach_binary_payload,
+        extract_features,
+    )
+
+    dark = _make_real_jpeg(np.full((8, 8), 8, np.uint8))
+    bright = _make_real_jpeg(np.full((8, 8), 240, np.uint8))
+    png = _make_real_png(np.full((4, 4, 1), 240, np.uint8), [0])
+    df = spark.createDataFrame(
+        [(1, bytearray(dark)), (2, bytearray(bright)), (3, bytearray(png)), (4, bytearray(b"x"))],
+        "doc_id int, body binary",
+    )
+    wrapped = attach_binary_payload(df, "body", "image/jpeg", "doc_id")
+    feats = {r.id: r.features for r in extract_features(wrapped, kernel="image_pixels").collect()}
+    assert len(feats[1]) == FEATURE_DIM
+    assert feats[1][0] == 1.0 and abs(feats[1][-1] - 8 / 255) < 1e-9  # dark: lowest bin
+    assert feats[2][FEATURE_DIM - 2] == 1.0 and abs(feats[2][-1] - 240 / 255) < 1e-9
+    # JPEG and PNG of the same brightness embed into the SAME bin
+    assert feats[3][FEATURE_DIM - 2] == 1.0
+    assert feats[4] == [0.0] * FEATURE_DIM  # junk quarantined
