@@ -239,3 +239,89 @@ def growth_accounting(
             F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
         )
     )
+
+
+def fifo_cost_basis(
+    trades: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    side_col: str,
+    qty_col: str,
+    price_col: str,
+) -> DataFrame:
+    """FIFO realized cost basis — match every sell against the OLDEST
+    remaining buys (the tax-lot / inventory-COGS rule) without any
+    per-row iteration: cumulative-quantity INTERVAL ALGEBRA.
+
+    Buys ordered by time per key occupy quantity intervals
+    [cum_before, cum_before + qty) on the key's buy axis; sells occupy
+    intervals on the same axis (FIFO consumes buy quantity in order, so
+    the i-th unit sold always matches the i-th unit bought).  A sell lot
+    therefore matches a buy lot iff their intervals overlap, and the
+    matched quantity is ``min(ends) − max(starts)`` — turning the
+    sequential matching loop into one equi-join on the key plus a band
+    predicate (the as-of/range-join shape; pairs per key are bounded by
+    matches + lots, and Spark's SMJ pairs within key only).
+
+    All quantities and cent-prices stay BIGINT; pnl = matched·(sell_price
+    − buy_price) summed exactly.  Oversold quantity (sells exceeding all
+    buys — shorts) has no matching buy interval and surfaces as
+    matched_qty < qty.  Returns one row per sell:
+    (keys..., sell_ts, qty, sell_price, matched_qty, cost_cents,
+    proceeds_cents, realized_pnl_cents).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    is_buy = F.lower(F.col(side_col)) == "buy"
+    buys = (
+        trades.where(is_buy)
+        .withColumn("_b0", F.coalesce(F.sum(qty_col).over(w), F.lit(0)))
+        .select(
+            *[F.col(k).alias(f"_bk_{k}") for k in keys],
+            F.col("_b0"),
+            (F.col("_b0") + F.col(qty_col)).alias("_b1"),
+            F.col(price_col).alias("_bp"),
+        )
+    )
+    sells = (
+        trades.where(~is_buy)
+        .withColumn("_s0", F.coalesce(F.sum(qty_col).over(w), F.lit(0)))
+        .select(
+            *[F.col(k) for k in keys],
+            F.col(ts_col).alias("sell_ts"),
+            F.col(qty_col).alias("qty"),
+            F.col(price_col).alias("sell_price"),
+            F.col("_s0"),
+            (F.col("_s0") + F.col(qty_col)).alias("_s1"),
+        )
+    )
+    cond = (F.col("_b0") < F.col("_s1")) & (F.col("_s0") < F.col("_b1"))
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"_bk_{k}"))
+    # band predicate INSIDE the join: an unmatched sell (fully short / buys
+    # already consumed) null-extends instead of disappearing
+    j = sells.join(buys, cond, "left")
+    matched = F.when(
+        F.col("_b0").isNotNull(),
+        F.least("_b1", "_s1") - F.greatest("_b0", "_s0"),
+    ).otherwise(F.lit(0))
+    return (
+        j.groupBy(*keys, "sell_ts", "qty", "sell_price")
+        .agg(
+            F.sum(matched).alias("matched_qty"),
+            F.sum(matched * F.col("_bp")).alias("cost_cents"),
+            F.sum(matched * F.col("sell_price")).alias("proceeds_cents"),
+            F.sum(matched * (F.col("sell_price") - F.col("_bp"))).alias(
+                "realized_pnl_cents"
+            ),
+        )
+        .withColumn("matched_qty", F.coalesce("matched_qty", F.lit(0)))
+        .withColumn("cost_cents", F.coalesce("cost_cents", F.lit(0)))
+        .withColumn("proceeds_cents", F.coalesce("proceeds_cents", F.lit(0)))
+        .withColumn(
+            "realized_pnl_cents", F.coalesce("realized_pnl_cents", F.lit(0))
+        )
+    )

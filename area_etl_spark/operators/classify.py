@@ -188,3 +188,91 @@ def classification_report(
             9,
         ).alias("f1"),
     ).orderBy("label")
+
+
+def lift_gain_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Cumulative gain / lift table — the model-targeting summary beside
+    :func:`~area_etl_spark.operators.experiments.roc_auc` and
+    calibration_curve: "mailing the top decile by score captures X% of all
+    positives at Y× random".
+
+    Deciles are assigned at the DISTINCT-SCORE level (the roc_auc/
+    mann_whitney bounded aggregate-level idiom — never a row-level global
+    sort): scores aggregate to (score, n, n_pos), the cumulative window
+    runs over |distinct scores| in DESCENDING score order, and every row
+    of one score value shares the bucket of its first row
+    (``floor(cum_before · k / total)``) — tie-coherent by construction, a
+    tied score can never straddle a decile boundary with rows on both
+    sides.  Counts and cumulative sums are exact BIGINTs; ``gain_pct``
+    (share of all positives captured so far) and ``lift`` (vs random)
+    divide once at the end.
+
+    Returns one row per non-empty bucket: (bucket, n, n_pos, cum_n,
+    cum_pos, gain_pct, lift).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(score_col).alias("_v"), F.col(label_col).cast("long").alias("_y")
+    ).where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+    per_val = base.groupBy("_v").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.sum("_y").alias("_cnt_pos")
+    )
+    w = Window.orderBy(F.col("_v").desc()).rowsBetween(Window.unboundedPreceding, -1)
+    tot = per_val.agg(
+        F.sum("_cnt").alias("_T"), F.sum("_cnt_pos").alias("_TP")
+    )
+    bucketed = (
+        per_val.withColumn(
+            "_cum_before", F.coalesce(F.sum("_cnt").over(w), F.lit(0))
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "bucket",
+            F.floor(F.col("_cum_before") * n_buckets / F.col("_T")).cast("int"),
+        )
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.sum("_cnt").alias("n"),
+        F.sum("_cnt_pos").alias("n_pos"),
+        F.first("_T").alias("_T"),
+        F.first("_TP").alias("_TP"),
+    )
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.withColumn("cum_n", F.sum("n").over(wb))
+        .withColumn("cum_pos", F.sum("n_pos").over(wb))
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            "cum_n",
+            "cum_pos",
+            (
+                F.round(
+                    F.when(
+                        F.col("_TP") > 0,
+                        F.col("cum_pos") * 100.0 / F.col("_TP"),
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("gain_pct"),
+            (
+                F.round(
+                    F.when(
+                        (F.col("_TP") > 0) & (F.col("cum_n") > 0),
+                        (F.col("cum_pos") * F.col("_T")).cast("double")
+                        / (F.col("cum_n") * F.col("_TP")),
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("lift"),
+        )
+    )

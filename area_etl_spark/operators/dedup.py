@@ -762,3 +762,87 @@ def remove_duplicate_spans(
             ),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 64,
+) -> DataFrame:
+    """DIRECTED near-containment pairs (Broder's containment, the quote/
+    subset detector Jaccard misses): c(A→B) = |S(A)∩S(B)| / |S(A)| over
+    distinct n-gram shingle sets — a short doc quoted wholesale inside a
+    long one scores c≈1 while its Jaccard stays tiny, which is why
+    training-data dedup needs both (Lee et al. 2022 treat containment
+    separately from near-duplication).
+
+    Candidates come from a shared-shingle self-join on RAW grams (no
+    seeded hash — fully engine-replayable): explode distinct shingles,
+    drop grams occurring in more than ``max_df`` docs (the hot-bucket
+    guard: boilerplate grams generate O(df²) candidate pairs and carry no
+    containment signal — same default-ON treatment as minhash_lsh_pairs),
+    join on gram, count shared grams per ordered (a,b) pair, divide by
+    |S(A)| once.  Exact integer counts; the division is the single float.
+    Emits both directions when both clear ``threshold``; a≠b always.
+    """
+    sets_df = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(normalize_tokens(text_col), n)).alias("_grams"),
+    ).where(F.size("_grams") > 0)
+    sizes = sets_df.select("_id", F.size("_grams").alias("_sz"))
+    posting = sets_df.select("_id", F.explode("_grams").alias("_g"))
+    rare = posting.groupBy("_g").agg(F.count(F.lit(1)).alias("_df")).where(
+        F.col("_df") <= max_df
+    )
+    p = posting.join(rare.select("_g"), "_g")
+    shared = (
+        p.alias("x")
+        .join(p.alias("y"), "_g")
+        .where(F.col("x._id") != F.col("y._id"))
+        .groupBy(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    out = shared.join(
+        sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("_sz", "_sz_a"),
+        "id_a",
+    )
+    cont = F.round(F.col("_shared").cast("double") / F.col("_sz_a"), 6)
+    return out.select("id_a", "id_b", cont.alias("containment")).where(
+        F.col("containment") >= threshold
+    )
+
+
+def dedup_soft_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SOFT deduplication: instead of dropping duplicate documents, keep
+    them all and emit a training weight of 1/cluster_size — the loss-
+    reweighting alternative to hard dedup (total gradient mass per unique
+    text is constant, so boilerplate stops dominating without discarding
+    provenance or shuffling the mixture).
+
+    Clusters are exact-text groups (compose with the near-dup component
+    machinery for fuzzy clusters); representative = min id per cluster.
+    One groupBy on the normalized text + one join back — the dedup_exact
+    shuffle shape; weight's division is the only float.  Returns
+    (id, cluster_id, cluster_size, weight).
+    """
+    norm = F.concat_ws(" ", normalize_tokens(text_col))
+    clusters = df.groupBy(norm.alias("_key")).agg(
+        F.min(id_col).alias("cluster_id"), F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        df.select(F.col(id_col), norm.alias("_key"))
+        .join(clusters, "_key")
+        .select(
+            id_col,
+            "cluster_id",
+            "cluster_size",
+            F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+        )
+    )

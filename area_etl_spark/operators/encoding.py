@@ -172,3 +172,103 @@ def collapse_rare_levels(
         .when(F.col("_freq_level").isNotNull(), F.col(col).cast("string"))
         .otherwise(F.lit(other_token)),
     ).drop("_freq_level")
+
+
+def woe_iv(
+    df: DataFrame,
+    category_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Weight-of-evidence encoding + information value — the credit-scoring
+    standard for measuring how strongly a categorical feature separates a
+    binary label (IV < 0.02: useless; 0.1–0.3: medium; > 0.5: suspicious).
+
+        woe_c = ln( (pos_c / POS) / (neg_c / NEG) )
+        iv    = Σ_c (pos_c/POS − neg_c/NEG) · woe_c
+
+    Zero-cell safety by half-count smoothing kept EXACT in doubled
+    integers: p2_c = 2·pos_c + 1, P2 = Σ p2_c (and likewise negatives), so
+    woe_c = ln((p2_c·N2)/(n2_c·P2)) has all-BIGINT arguments and ln is the
+    single float step per category.  The iv float sum folds in SORTED
+    CATEGORY ORDER (the sorted-fold recipe), making the total
+    engine-replayable.  One hash aggregate (output bounded by the column's
+    cardinality) + one 1-row scalar broadcast — no window over data rows.
+
+    Returns per-category rows (category, n_pos, n_neg, woe, iv) with iv
+    repeated on every row (it is a property of the whole feature).
+    """
+    y = F.col(label_col).cast("long")
+    cat = df.groupBy(F.col(category_col).alias("category")).agg(
+        F.sum(y).alias("n_pos"),
+        F.sum(1 - y).alias("n_neg"),
+    )
+    p2 = 2 * F.col("n_pos") + 1
+    n2 = 2 * F.col("n_neg") + 1
+    tot = cat.agg(
+        F.sum(p2).alias("_P2"), F.sum(n2).alias("_N2")
+    )
+    scored = cat.crossJoin(F.broadcast(tot)).withColumn(
+        "woe",
+        F.round(
+            F.log((p2 * F.col("_N2")).cast("double") / (n2 * F.col("_P2"))), 6
+        )
+        + F.lit(0.0),
+    )
+    term = (
+        p2.cast("double") / F.col("_P2") - n2.cast("double") / F.col("_N2")
+    ) * F.col("woe")
+    iv = scored.agg(
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("category").alias("c"), term.alias("t"))
+                        )
+                    ),
+                    lambda st: st.getField("t"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("iv")
+    )
+    return scored.select("category", "n_pos", "n_neg", "woe").crossJoin(
+        F.broadcast(iv)
+    )
+
+
+def one_hot_encode(
+    df: DataFrame,
+    col: str,
+    categories: list[str],
+    id_cols: list[str] | None = None,
+    other_col: str = "other",
+) -> DataFrame:
+    """Explicit-vocabulary one-hot encoding: one 0/1 INT column per listed
+    category plus an ``other`` indicator for anything unlisted (including
+    NULL) — the fixed-width contract a downstream model needs (a derived
+    vocabulary drifts between train and serve; pass the categories in).
+
+    Pure Column CASE expressions — JVM-side, codegen, zero shuffle, no
+    pivot (Spark's pivot needs an extra aggregate pass to discover values
+    we already know).  Column names are sanitized ``<col>_<category>``.
+    Compose with :func:`collapse_rare_levels` first when the raw
+    cardinality is unbounded.
+    """
+    import re
+
+    keep = [F.col(c) for c in (id_cols or df.columns)]
+    src = F.col(col)
+    outs = []
+    for c in categories:
+        name = f"{col}_{re.sub(r'[^A-Za-z0-9]+', '_', c).strip('_').lower()}"
+        outs.append(F.when(src == c, 1).otherwise(0).cast("int").alias(name))
+    in_list = src.isin(categories)
+    outs.append(
+        F.when(src.isNull() | ~in_list, 1).otherwise(0).cast("int").alias(
+            f"{col}_{other_col}"
+        )
+    )
+    return df.select(*keep, *outs)

@@ -691,3 +691,71 @@ def ks_test(
         F.col("_at").alias("d_at"),
         F.round(p, 6).alias("p_value"),
     )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    keys: list[str],
+    t_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil–Sen robust trend — the median of all pairwise slopes
+    (y_j − y_i)/(t_j − t_i) over t_i < t_j per group: breakdown point
+    ~29%, so a sensor spike or a bad backfill week cannot swing the trend
+    the way it swings the OLS slope (ols_per_group's robust companion).
+
+    Pairs come from a within-key self-join (t_i < t_j), O(n²/2) per group
+    — the BOUNDED-GROUP contract (per-entity daily series; document n per
+    key, same as the bootstrap/bom operators).  The median is exact: per
+    group the slopes collect, sort, and the middle element (odd) or the
+    mean of the two middles (even) is picked via element_at — the
+    collect→array_sort→slice idiom, deterministic because IEEE division
+    and the sort order are engine-identical.  Returns
+    (keys..., n_points, n_pairs, slope).
+    """
+    ks = [F.col(k) for k in keys]
+    a = df.select(*ks, F.col(t_col).alias("_t1"), F.col(y_col).alias("_y1"))
+    b = df.select(
+        *[F.col(k).alias(f"_bk_{k}") for k in keys],
+        F.col(t_col).alias("_t2"),
+        F.col(y_col).alias("_y2"),
+    )
+    cond = F.col("_t1") < F.col("_t2")
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"_bk_{k}"))
+    pairs = a.join(b, cond).select(
+        *ks,
+        (
+            (F.col("_y2") - F.col("_y1")).cast("double")
+            / (F.col("_t2") - F.col("_t1"))
+        ).alias("_s"),
+    )
+    n_pts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_points"))
+    med = (
+        pairs.groupBy(*keys)
+        .agg(F.array_sort(F.collect_list("_s")).alias("_ss"))
+        .withColumn("n_pairs", F.size("_ss"))
+        .withColumn(
+            "slope",
+            F.round(
+                F.when(
+                    F.col("n_pairs") % 2 == 1,
+                    F.element_at("_ss", (F.col("n_pairs") / 2 + 1).cast("int")),
+                ).otherwise(
+                    (
+                        F.element_at("_ss", (F.col("n_pairs") / 2).cast("int"))
+                        + F.element_at("_ss", (F.col("n_pairs") / 2 + 1).cast("int"))
+                    )
+                    / 2.0
+                ),
+                6,
+            )
+            + F.lit(0.0),
+        )
+    )
+    return n_pts.join(med.select(*keys, "n_pairs", "slope"), keys, "left").select(
+        *ks,
+        "n_points",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        "slope",
+    )

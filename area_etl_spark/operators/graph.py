@@ -824,3 +824,118 @@ def modularity(
             F.round("_qsum", 9).alias("modularity"),
         )
     )
+
+
+def dag_layers(
+    edges: DataFrame,
+    rounds: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Topological LAYER assignment over a DAG (longest path from any
+    source): layer(v) = 0 for nodes with no incoming edge, else
+    1 + max(layer(u)) over in-neighbors — the build-order / dependency-
+    depth operator (task scheduling, BOM depth, lineage levels).
+
+    Fixed-round iterate (the pagerank_integer convention — deterministic
+    and oracle-replayable as chained CTEs): start every node at layer 0,
+    each round recompute layer(v) = max(1 + layer(u)) over in-edges
+    (sources keep 0 via the left join), stop early when no layer moved.
+    ``rounds`` bounds the longest path measured; nodes deeper than that
+    keep the partially-propagated value, so pick rounds ≥ graph depth (a
+    cycle, which has no finite layering, would saturate at ``rounds`` —
+    detectable as layer == rounds).  Per round: one equi-join + one
+    map-side-combined max aggregate, localCheckpoint lineage truncation.
+    All-integer labels.  Returns (node, layer).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().localCheckpoint(
+        eager=True
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    layers = nodes.withColumn("layer", F.lit(0).cast("long")).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        inc = (
+            e.join(layers.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.max("layer") + 1).alias("_cand"))
+        )
+        nxt = (
+            layers.join(inc, "node", "left")
+            .select("node", F.coalesce("_cand", F.col("layer")).alias("layer"))
+            .localCheckpoint(eager=True)
+        )
+        moved = (
+            nxt.withColumnRenamed("layer", "_new")
+            .join(layers, "node")
+            .where(F.col("_new") != F.col("layer"))
+            .limit(1)
+            .count()
+        )
+        layers = nxt
+        if moved == 0:
+            break
+    return layers
+
+
+def shortest_paths_weighted(
+    edges: DataFrame,
+    sources: list[int],
+    rounds: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Multi-source weighted shortest paths — Bellman-Ford relaxation on
+    DataFrames with NON-NEGATIVE INTEGER weights (travel times in seconds,
+    costs in cents): dist(v) = min over in-edges of dist(u) + w(u,v),
+    seeds at 0.
+
+    Fixed-round iterate: ``rounds`` relaxation sweeps bound the number of
+    EDGES in any reported path (Bellman-Ford's standard guarantee — after
+    k sweeps every ≤k-edge shortest path is exact), so pick rounds ≥ the
+    graph's hop diameter; with non-negative weights the values only ever
+    decrease toward the true distance, and a sweep that changes nothing
+    stops early.  Per round one equi-join + one map-side-combined min
+    aggregate with localCheckpoint lineage truncation — the same shuffle
+    shape as pagerank_integer; all-integer distances make every round
+    bit-reproducible and the whole thing replayable as chained CTEs.
+    Unreached nodes are absent.  Returns (node, dist).
+    """
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(weight).alias("w")
+    ).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(s), 0) for s in sources], "node long, dist long"
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        relax = (
+            e.join(dist.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("_cand"))
+        )
+        nxt = (
+            dist.join(relax, "node", "full")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce("dist", F.lit(None)), F.coalesce("_cand", F.lit(None))
+                ).alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        moved = (
+            nxt.withColumnRenamed("dist", "_new")
+            .join(dist, "node", "left")
+            .where(F.col("dist").isNull() | (F.col("_new") < F.col("dist")))
+            .limit(1)
+            .count()
+        )
+        dist = nxt
+        if moved == 0:
+            break
+    return dist

@@ -158,3 +158,38 @@ def interval_integrity_report(
         .withColumn("issue", issue)
         .where(F.col("issue").isNotNull() & F.col("next_start").isNotNull())
     )
+
+
+def max_concurrency(
+    df: DataFrame,
+    keys: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Peak concurrent-interval count per key — the sweep-line classic
+    (max simultaneous sessions per server, beds occupied per ward, calls
+    per queue): explode each interval into a +1 event at start and a −1
+    at end (half-open [start, end) — an interval ending exactly when
+    another starts does NOT overlap it), cumulative-sum the deltas in
+    time order, take the running max.
+
+    One narrow 2×-row explode + one per-key ordered window (partitioned
+    by key, never global) + one max aggregate; all-integer deltas and
+    counts.  Tie handling: ends sort BEFORE starts at the same instant
+    (delta ascending), which is exactly the half-open semantic.  Returns
+    (keys..., peak_concurrent, n_intervals).
+    """
+    from pyspark.sql import Window
+
+    ks = [F.col(k) for k in keys]
+    starts = df.select(*ks, F.col(start_col).alias("_t"), F.lit(1).alias("_d"))
+    ends = df.select(*ks, F.col(end_col).alias("_t"), F.lit(-1).alias("_d"))
+    events = starts.unionByName(ends)
+    w = Window.partitionBy(*keys).orderBy(F.col("_t"), F.col("_d")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    running = events.withColumn("_cur", F.sum("_d").over(w))
+    return running.groupBy(*keys).agg(
+        F.max("_cur").alias("peak_concurrent"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    )

@@ -1073,3 +1073,71 @@ def quantile_order_stat_ci(
         F.min(F.when(F.col("_is_pt"), F.col("_v"))).alias("point"),
         F.min(F.when(F.col("_is_hi"), F.col("_v"))).alias("hi"),
     )
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float,
+) -> DataFrame:
+    """t-closeness over an ORDERED sensitive attribute — the third privacy
+    gate after :func:`k_anonymity` and :func:`l_diversity` (Li et al.,
+    ICDE'07): a class passes when the Earth-Mover's Distance between its
+    sensitive-value distribution and the GLOBAL one is ≤ t (an l-diverse
+    class whose salaries are all in the top percentile still leaks; EMD
+    catches distributional skew distinct-counts can't).
+
+    For a 1-D ordered attribute with m distinct values, EMD is the mean
+    absolute cumulative-probability gap:
+
+        emd = Σ_{i<m} |CumP_i − CumQ_i| / (m − 1)
+
+    computed EXACTLY in integers over a common denominator:
+    |cum_g·N − cum_G·n_g| sums as BIGINT per class and divides ONCE by
+    (m−1)·n_g·N.  The value spine is |classes| × |distinct values| — the
+    same bounded-cardinality contract as the other anonymity gates
+    (generalize first if either is unbounded); per-class cums run over an
+    aggregate-level window partitioned by class.  Returns
+    (quasi..., class_size, emd, is_t_close).
+    """
+    from pyspark.sql import Window
+
+    qs = [F.col(c) for c in quasi_cols]
+    cell = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_c_gv")
+    )
+    classes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_n_g"))
+    values = df.groupBy(sensitive_col).agg(F.count(F.lit(1)).alias("_c_v"))
+    total = df.agg(
+        F.count(F.lit(1)).alias("_N"),
+        F.countDistinct(sensitive_col).alias("_m"),
+    )
+    spine = classes.crossJoin(F.broadcast(values)).join(
+        cell, [*quasi_cols, sensitive_col], "left"
+    ).withColumn("_c_gv", F.coalesce("_c_gv", F.lit(0)))
+    wv = Window.partitionBy(*quasi_cols).orderBy(sensitive_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cums = spine.withColumn("_cum_g", F.sum("_c_gv").over(wv)).withColumn(
+        "_cum_G", F.sum("_c_v").over(wv)
+    )
+    gaps = cums.crossJoin(F.broadcast(total)).groupBy(*quasi_cols).agg(
+        F.first("_n_g").alias("class_size"),
+        F.first("_N").alias("_N2"),
+        F.first("_m").alias("_m2"),
+        F.sum(
+            F.abs(F.col("_cum_g") * F.col("_N") - F.col("_cum_G") * F.col("_n_g"))
+        ).alias("_num"),
+    )
+    emd = F.when(
+        F.col("_m2") > 1,
+        F.col("_num").cast("double")
+        / ((F.col("_m2") - 1) * F.col("class_size") * F.col("_N2")),
+    ).otherwise(F.lit(0.0))
+    return gaps.select(
+        *qs,
+        "class_size",
+        (F.round(emd, 6) + F.lit(0.0)).alias("emd"),
+        (F.round(emd, 6) <= F.lit(t)).alias("is_t_close"),
+    )

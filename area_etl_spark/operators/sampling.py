@@ -570,3 +570,108 @@ def ipf_weights(
         F.col("_n").alias(n_col),
         F.round("_w", 9).alias("weight"),
     )
+
+
+def dsir_weights(
+    source: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023, DSIR)
+    scores on hashed bag-of-words — rank a RAW source corpus by how much
+    each document looks like a small high-quality TARGET corpus, the
+    importance-weight front half of the DSIR recipe (resample downstream
+    with :mod:`sampling`'s hash samplers using these scores):
+
+        log_w(doc) = Σ_b c_{doc,b} · ( ln p̂_target(b) − ln p̂_source(b) )
+
+    over md5-hashed token buckets (the feature_hash space, engine-portable
+    by the repo-wide md5 recipe) with add-one smoothing — ratios are
+    n-gram-model likelihood ratios in a FIXED 2^b space, so no vocabulary
+    is built and the 100 TB pass streams.  Bucket distributions are exact
+    BIGINT counts (two dimension-sized aggregates, broadcast); the
+    per-document float dot product folds in SORTED BUCKET ORDER (the
+    sorted-fold recipe), making scores bit-reproducible.  Returns
+    (id, n_tokens, log_weight) — higher = more target-like.
+    """
+    from area_etl_spark.operators.encoding import feature_hash
+
+    def bucket_counts(df):
+        toks = df.select(
+            F.explode(
+                normalize_tokens(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("_tok")
+        ).where(F.col("_tok") != "")
+        b = (
+            F.conv(F.substring(F.md5(F.col("_tok")), 1, 12), 16, 10).cast("long")
+            % n_buckets
+        ).cast("int")
+        return toks.select(b.alias("bucket")).groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two")
+    spark = source.sparkSession
+    spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    src_n = spine.join(bucket_counts(source), "bucket", "left").select(
+        "bucket", F.coalesce("n", F.lit(0)).alias("_ns")
+    )
+    tgt_n = spine.join(bucket_counts(target), "bucket", "left").select(
+        "bucket", F.coalesce("n", F.lit(0)).alias("_nt")
+    )
+    src_tot = source.sparkSession.createDataFrame([(1,)], "one int")
+    ratios = (
+        src_n.join(tgt_n, "bucket")
+        .crossJoin(
+            F.broadcast(
+                src_n.agg(F.sum("_ns").alias("_Ts")).crossJoin(
+                    tgt_n.agg(F.sum("_nt").alias("_Tt"))
+                )
+            )
+        )
+        .select(
+            "bucket",
+            (
+                F.log((F.col("_nt") + 1).cast("double") / (F.col("_Tt") + n_buckets))
+                - F.log((F.col("_ns") + 1).cast("double") / (F.col("_Ts") + n_buckets))
+            ).alias("_llr"),
+        )
+    )
+    # per-doc token→bucket counts (UNSIGNED counts: likelihoods, not the
+    # signed hashing-trick features)
+    toks = source.select(
+        F.col(id_col),
+        F.explode(normalize_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("_tok"),
+    ).where(F.col("_tok") != "")
+    b = (
+        F.conv(F.substring(F.md5(F.col("_tok")), 1, 12), 16, 10).cast("long")
+        % n_buckets
+    ).cast("int")
+    doc_b = toks.select(F.col(id_col), b.alias("bucket")).groupBy(
+        id_col, "bucket"
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    scored = doc_b.join(F.broadcast(ratios), "bucket").groupBy(id_col).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("bucket").alias("b"),
+                                (F.col("_c") * F.col("_llr")).alias("t"),
+                            )
+                        )
+                    ),
+                    lambda st: st.getField("t"),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("log_weight"),
+    )
+    return scored

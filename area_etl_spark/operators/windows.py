@@ -567,3 +567,139 @@ def changepoint_detect(
         (F.round(mean_b, 6) + F.lit(0.0)).alias("mean_before"),
         (F.round(mean_a, 6) + F.lit(0.0)).alias("mean_after"),
     )
+
+
+def acf_lags(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Sample autocorrelation function r_k per series for lags 1..K — the
+    seasonality/memory diagnostic (a daily series with weekly rhythm shows
+    r_7 spiking; residual whiteness checks read the whole ladder).
+
+        r_k = Σ_{t≤n−k} (x_t − x̄)(x_{t+k} − x̄) / Σ_t (x_t − x̄)²
+
+    kept EXACT by clearing denominators: with S = Σx, SS = Σx², cross_k =
+    Σ x_t·x_{t+k}, head_k/tail_k the overlapping-window sums,
+
+        r_k = (n²·cross_k − n·S·(head_k + tail_k) + (n−k)·S²)
+              / (n²·SS − n·S²)
+
+    — every term a DECIMAL(38,0) integer (the cuped/corr_exact overflow
+    discipline), ONE float division per lag.  A single per-key window sort
+    serves all K ``lead`` columns (Catalyst shares the frame); the K lag
+    rows unpivot via ``stack``.  Constant series (zero variance) yield
+    NULL r.  Returns (keys..., lag, n, r).
+    """
+    dec = "decimal(38,0)"
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    x = F.col(value_col)
+    led = df.select(
+        *[F.col(c) for c in keys],
+        x.alias("_x"),
+        *[F.lead(x, k).over(w).alias(f"_lead_{k}") for k in range(1, max_lag + 1)],
+    )
+    cols = []
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"_lead_{k}")
+        cols.extend(
+            [
+                F.sum((F.col("_x") * lk).cast(dec)).alias(f"_cross_{k}"),
+                F.sum(F.when(lk.isNotNull(), F.col("_x")).cast(dec)).alias(f"_head_{k}"),
+                F.sum(lk.cast(dec)).alias(f"_tail_{k}"),
+            ]
+        )
+    agg = led.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum(F.col("_x").cast(dec)).alias("_S"),
+        F.sum((F.col("_x") * F.col("_x")).cast(dec)).alias("_SS"),
+        *cols,
+    )
+    stack_args = ", ".join(
+        f"{k}, _cross_{k}, _head_{k}, _tail_{k}" for k in range(1, max_lag + 1)
+    )
+    long = agg.selectExpr(
+        *keys,
+        "_n",
+        "_S",
+        "_SS",
+        f"stack({max_lag}, {stack_args}) as (lag, _cross, _head, _tail)",
+    )
+    n, S, SS = F.col("_n"), F.col("_S"), F.col("_SS")
+    num = (
+        n * n * F.coalesce(F.col("_cross"), F.lit(0).cast(dec))
+        - n * S * (
+            F.coalesce(F.col("_head"), F.lit(0).cast(dec))
+            + F.coalesce(F.col("_tail"), F.lit(0).cast(dec))
+        )
+        + (n - F.col("lag")) * S * S
+    )
+    den = n * n * SS - n * S * S
+    return long.select(
+        *[F.col(c) for c in keys],
+        F.col("lag").cast("int").alias("lag"),
+        n.cast("long").alias("n"),
+        (
+            F.round(
+                F.when(den != 0, num.cast("double") / den.cast("double")), 6
+            )
+            + F.lit(0.0)
+        ).alias("r"),
+    )
+
+
+def holt_brown_smooth(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    n_lags: int = 12,
+    horizon: int = 1,
+) -> DataFrame:
+    """Brown's double exponential smoothing (α = 1/2) in EXACT truncated
+    form — :func:`ewma_smooth`'s trend-aware sibling: a plain EWMA lags a
+    trending series by design; Brown's method smooths the smoothie
+    (s2 = EWMA(s1)) and recovers level = 2s1 − s2 and trend = s1 − s2
+    (α/(1−α) = 1 at α = ½), giving the h-step forecast level + h·trend.
+
+    Truncating both recursions at K lags makes every coefficient a known
+    integer: x_{t−m} enters s2 with weight c_m = overlap(m)·2^(2K−2−m)
+    where overlap(m) = min(m, K−1) − max(0, m−K+1) + 1 (the geometric-
+    kernel self-convolution), so s1 and s2 are integer-numerator rationals
+    over fixed denominators and the forecast divides ONCE — the ewma_smooth
+    exactness recipe extended to 2K−1 lags.  Truncation error ≤ (K+1)·2^−K
+    of signal range (K=12 → 0.3%).  One window sort serves every lag
+    column.  Returns the input plus (level, trend, forecast).
+    """
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_cols])
+    x = F.col(value_col)
+    k = n_lags
+    s1_num = None
+    s1_den = None
+    s2_num = None
+    s2_den = None
+    for m in range(2 * k - 1):
+        lagged = x if m == 0 else F.lag(x, m).over(w)
+        w1 = (1 << (k - 1 - m)) if m < k else 0
+        overlap = min(m, k - 1) - max(0, m - k + 1) + 1
+        w2 = overlap * (1 << (2 * k - 2 - m))
+        t1 = F.coalesce(lagged, F.lit(0)) * F.lit(w1)
+        t2 = F.coalesce(lagged, F.lit(0)) * F.lit(w2)
+        a1 = F.when(lagged.isNotNull(), F.lit(w1)).otherwise(F.lit(0))
+        a2 = F.when(lagged.isNotNull(), F.lit(w2)).otherwise(F.lit(0))
+        s1_num = t1 if s1_num is None else s1_num + t1
+        s1_den = a1 if s1_den is None else s1_den + a1
+        s2_num = t2 if s2_num is None else s2_num + t2
+        s2_den = a2 if s2_den is None else s2_den + a2
+    s1 = s1_num.cast("double") / s1_den.cast("double")
+    s2 = s2_num.cast("double") / s2_den.cast("double")
+    return (
+        df.withColumn("level", F.round(2 * s1 - s2, 6))
+        .withColumn("trend", F.round(s1 - s2, 6))
+        .withColumn(
+            "forecast", F.round(2 * s1 - s2 + horizon * (s1 - s2), 6)
+        )
+    )

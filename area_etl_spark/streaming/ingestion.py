@@ -98,7 +98,20 @@ def incremental_ingest_sink(
     return writer.trigger(availableNow=True).start()
 
 
-def make_versioned_appender(table_dir: str, fmt: str = "parquet", keep_versions: int = 4):
+class SnapshotScaleError(ValueError):
+    """The dimension-tier snapshot sink was asked to maintain a fact-scale
+    table.  Each publish rewrites O(table) — fine for dimensions, quadratic
+    total I/O for an unbounded fact stream.  Route fact streams through the
+    partitioned ``incremental_ingest`` layout (append a batch partition,
+    compact under a maintenance window) instead."""
+
+
+def make_versioned_appender(
+    table_dir: str,
+    fmt: str = "parquet",
+    keep_versions: int = 4,
+    max_snapshot_rows: int = 10_000_000,
+):
     """foreachBatch body for an ATOMIC streaming append: each micro-batch
     publishes current-snapshot ∪ batch as a new :func:`~area_etl_spark.
     sources.load.write_versioned` version — downstream readers always see a
@@ -116,7 +129,13 @@ def make_versioned_appender(table_dir: str, fmt: str = "parquet", keep_versions:
     Cost: each publish REWRITES the snapshot (O(table) per batch) — right
     for dimension-sized streaming sinks (the reference's own tables); for
     fact-scale append streams use the partitioned ``incremental_ingest``
-    layout and compact under a maintenance window instead.
+    layout and compact under a maintenance window instead.  That tier
+    boundary is ENFORCED (VERDICT r8 item 5): a publish that would exceed
+    ``max_snapshot_rows`` raises :class:`SnapshotScaleError` before
+    writing, so a mis-routed fact stream fails loudly on the batch that
+    crosses the line instead of silently degrading to quadratic I/O.  The
+    measured rewrite-cost curve is in docs/SCALE.md §Streaming
+    (tools/streambench.py).
     """
     from area_etl_spark.sources.load import (
         current_version,
@@ -135,6 +154,14 @@ def make_versioned_appender(table_dir: str, fmt: str = "parquet", keep_versions:
         # materialize BEFORE the publish: the new version must not lazily
         # re-read the old snapshot dir mid-GC
         rows = stamped.localCheckpoint(eager=True)
+        n = rows.count()
+        if n > max_snapshot_rows:
+            raise SnapshotScaleError(
+                f"versioned snapshot at {table_dir} would reach {n} rows "
+                f"(> max_snapshot_rows={max_snapshot_rows}); this sink "
+                "rewrites O(table) per batch — use incremental_ingest's "
+                "partitioned layout for fact-scale streams"
+            )
         write_versioned(rows, table_dir, fmt=fmt, keep_versions=keep_versions)
 
     return _apply
@@ -163,6 +190,7 @@ def make_leaderboard_applier(
     state_dir: str,
     keys: list[str],
     value_col: str,
+    max_state_rows: int = 10_000_000,
 ):
     """foreachBatch body for a streaming leaderboard: each micro-batch's
     partial aggregate state merges into a persisted (n, sum, min, max)
@@ -192,7 +220,16 @@ def make_leaderboard_applier(
         if current_version(state_dir) is not None:
             prev = read_versioned(spark, state_dir)
             part = merge_agg_states([prev, part], keys)
-        write_versioned(part.localCheckpoint(eager=True), state_dir)
+        state = part.localCheckpoint(eager=True)
+        n = state.count()
+        if n > max_state_rows:
+            raise SnapshotScaleError(
+                f"leaderboard state at {state_dir} would reach {n} distinct "
+                f"keys (> max_state_rows={max_state_rows}); a key space this "
+                "large is fact-shaped — partition the state (33f layout) or "
+                "aggregate to a coarser key"
+            )
+        write_versioned(state, state_dir)
 
     return _apply
 

@@ -555,3 +555,49 @@ def test_running_totals_processor_logic_direct():
     out2 = list(proc.handleInputRows((7,), chunks, None))
     assert out2[0].to_dict("records") == [{"user_id": 7, "n_events": 5, "sum_cents": 403}]
     assert h.state.v == (5, 403)
+
+
+def test_fact_stream_rejected_by_dimension_tier_sinks(spark, tmp_path):
+    """VERDICT r8 item 5: the O(table)-rewrite snapshot sinks enforce their
+    dimension-tier contract — a batch that would push the snapshot (or the
+    leaderboard key space) past max rows raises SnapshotScaleError BEFORE
+    writing, pointing at the partitioned incremental_ingest layout; the
+    same fact-shaped stream flows through that layout fine."""
+    import pytest
+
+    from area_etl_spark.sources.load import current_version
+    from area_etl_spark.streaming.ingestion import (
+        SnapshotScaleError,
+        incremental_ingest_sink,
+        make_leaderboard_applier,
+        make_versioned_appender,
+    )
+
+    table = str(tmp_path / "tbl")
+    apply = make_versioned_appender(table, max_snapshot_rows=100)
+    small = spark.createDataFrame([(i, "x") for i in range(50)], "k int, s string")
+    apply(small, 0)  # dimension-sized: fine
+    v_before = current_version(table)
+    fact = spark.range(500).selectExpr("cast(id as int) k", "'y' s")
+    with pytest.raises(SnapshotScaleError, match="incremental_ingest"):
+        apply(fact, 1)
+    # the failed publish wrote NOTHING: manifest still at the old version
+    assert current_version(table) == v_before
+
+    lb = make_leaderboard_applier(str(tmp_path / "state"), ["k"], "v", max_state_rows=100)
+    wide = spark.range(500).selectExpr("id k", "id v")
+    with pytest.raises(SnapshotScaleError, match="fact-shaped"):
+        lb(wide, 0)
+
+    # the documented alternative takes the same fact stream without a guard:
+    # batch-partitioned append, no O(table) rewrite
+    src = str(tmp_path / "src")
+    spark.range(500).selectExpr(
+        "cast(id as int) doc_id", "concat('doc ', id) text"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id int, text string").parquet(src)
+    q = incremental_ingest_sink(
+        stream, str(tmp_path / "corpus"), checkpoint_dir=str(tmp_path / "ck")
+    )
+    q.awaitTermination(240)
+    assert spark.read.parquet(str(tmp_path / "corpus") + "/corpus").count() == 500

@@ -246,6 +246,87 @@ def main() -> None:
     timed("remove_duplicate_spans hot gram", lambda: sink(
         remove_duplicate_spans(bdocs)))
 
+    # 10. label propagation on a planted hub (r9, VERDICT r8 item 7): the
+    # hub receives every satellite's label each round — the production
+    # argmax is max(struct(c, −label)), a map-side-combinable AGGREGATE, so
+    # the hub's million neighbor-label rows collapse per input partition;
+    # the naive row_number-over-(node) window form funnels them into ONE
+    # sort task.  Same result, measured difference.
+    from pyspark.sql import Window
+
+    from area_etl_spark.operators.graph import label_propagation
+
+    n_g = 1_000_000
+    gsats = spark.range(1, n_g)
+    ghub = gsats.select(F.lit(0).alias("src"), F.col("id").alias("dst")).unionByName(
+        gsats.select(F.col("id").alias("src"), (F.col("id") % (n_g - 1) + 1).alias("dst"))
+    )
+    ghub.write.mode("overwrite").parquet("/tmp/skewbench_lpa")
+    ghub = spark.read.parquet("/tmp/skewbench_lpa")
+
+    def lpa_window_naive(rounds: int = 2):
+        fwd = ghub.select("src", "dst")
+        rev = ghub.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        und = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+        labels = (
+            und.select(F.col("src").alias("node")).distinct()
+            .withColumn("label", F.col("node")).localCheckpoint(eager=True)
+        )
+        for _ in range(rounds):
+            nbr = (
+                und.join(labels.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"), "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
+            best = (
+                nbr.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .select("node", F.col("label").alias("_new"))
+            )
+            labels = (
+                labels.join(best, "node", "left")
+                .select("node", F.coalesce("_new", "label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+        sink(labels)
+
+    print(f"LPA: hub ↔ {n_g:,} satellites + ring, 2 rounds")
+    timed("LPA row_number window (hot node sort)", lpa_window_naive)
+    timed("LPA argmax aggregate (production)", lambda: sink(
+        label_propagation(ghub, rounds=2)))
+
+    # 11. k-core peel on the same planted hub: the production peel computes
+    # degrees with a map-side-combined groupBy (the hub's edges collapse per
+    # partition) then prunes with two semi-joins; the naive form computes
+    # per-edge degree with count(*) OVER (PARTITION BY node) — the hub's
+    # 2M edge rows land in one window task.
+    from area_etl_spark.operators.graph import kcore_peel
+
+    def kcore_window_naive(k: int = 3, rounds: int = 2):
+        e = (
+            ghub.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .unionByName(ghub.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        for _ in range(rounds):
+            wa = Window.partitionBy("a")
+            wb = Window.partitionBy("b")
+            e = (
+                e.withColumn("_da", F.count(F.lit(1)).over(wa))
+                .withColumn("_db", F.count(F.lit(1)).over(wb))
+                .where((F.col("_da") >= k) & (F.col("_db") >= k))
+                .select("a", "b")
+                .localCheckpoint(eager=False)
+            )
+        sink(e.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("degree")))
+
+    print(f"k-core: hub ↔ {n_g:,} satellites + ring, k=3, 2 rounds")
+    timed("k-core per-edge window degrees (hot node)", kcore_window_naive)
+    timed("k-core agg+semi-join peel (production)", lambda: sink(
+        kcore_peel(ghub, k=3, rounds=2)))
+
 
 if __name__ == "__main__":
     main()
