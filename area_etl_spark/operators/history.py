@@ -111,3 +111,57 @@ def role_permission_fanout(
         df.select(F.col(id_col), map_role(source_col).alias("role"))
         .select(id_col, "role", F.explode(permissions_for_role("role")).alias("permission"))
     )
+
+
+def bitemporal_asof(
+    versions: DataFrame,
+    queries: DataFrame,
+    key_cols: list[str],
+    valid_at_col: str = "valid_at",
+    tx_at_col: str = "tx_at",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    tx_from: str = "tx_from",
+    tx_to: str = "tx_to",
+) -> DataFrame:
+    """Bitemporal point lookup — "what did we BELIEVE at transaction time
+    T the world looked like at valid time V?": the audit/backtest query a
+    single-axis SCD2 can't answer (a late correction rewrites valid
+    history; only the transaction axis remembers what reports computed
+    before the fix).
+
+    ``versions`` carries two half-open intervals per row —
+    [valid_from, valid_to) on the real-world axis and [tx_from, tx_to) on
+    the database axis (NULL = open / current on either) — the standard
+    bitemporal table shape (Snodgrass; SQL:2011 system+application time).
+    The lookup is ONE left join: key equality (hash-partitionable — the
+    two interval predicates filter within key groups, the scd2_lookup
+    shape) plus containment on both axes.  A well-formed bitemporal table
+    has at most one version per (key, V, T) point; queries before any
+    version null-extend.  Returns every query row + the version's
+    non-key, non-interval attribute columns.
+    """
+    attrs = [
+        c
+        for c in versions.columns
+        if c not in {*key_cols, valid_from, valid_to, tx_from, tx_to}
+    ]
+    v = versions.select(
+        *[F.col(k).alias(f"_vk_{k}") for k in key_cols],
+        F.col(valid_from).alias("_vf"),
+        F.col(valid_to).alias("_vt"),
+        F.col(tx_from).alias("_tf"),
+        F.col(tx_to).alias("_tt"),
+        *[F.col(a) for a in attrs],
+    )
+    cond = (
+        (F.col("_vf") <= F.col(valid_at_col))
+        & (F.col("_vt").isNull() | (F.col(valid_at_col) < F.col("_vt")))
+        & (F.col("_tf") <= F.col(tx_at_col))
+        & (F.col("_tt").isNull() | (F.col(tx_at_col) < F.col("_tt")))
+    )
+    for k in key_cols:
+        cond = cond & (F.col(k) == F.col(f"_vk_{k}"))
+    return queries.join(v, cond, "left").select(
+        *queries.columns, *attrs
+    )

@@ -1119,15 +1119,17 @@ def t_closeness(
     wv = Window.partitionBy(*quasi_cols).orderBy(sensitive_col).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    cums = spine.withColumn("_cum_g", F.sum("_c_gv").over(wv)).withColumn(
-        "_cum_G", F.sum("_c_v").over(wv)
+    # distinct names, not just distinct case: Spark column resolution is
+    # case-insensitive, so _cum_g/_cum_G would silently collide
+    cums = spine.withColumn("_cum_cls", F.sum("_c_gv").over(wv)).withColumn(
+        "_cum_all", F.sum("_c_v").over(wv)
     )
     gaps = cums.crossJoin(F.broadcast(total)).groupBy(*quasi_cols).agg(
         F.first("_n_g").alias("class_size"),
         F.first("_N").alias("_N2"),
         F.first("_m").alias("_m2"),
         F.sum(
-            F.abs(F.col("_cum_g") * F.col("_N") - F.col("_cum_G") * F.col("_n_g"))
+            F.abs(F.col("_cum_cls") * F.col("_N") - F.col("_cum_all") * F.col("_n_g"))
         ).alias("_num"),
     )
     emd = F.when(

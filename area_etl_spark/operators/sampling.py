@@ -596,7 +596,7 @@ def dsir_weights(
     sorted-fold recipe), making scores bit-reproducible.  Returns
     (id, n_tokens, log_weight) — higher = more target-like.
     """
-    from area_etl_spark.operators.encoding import feature_hash
+    from area_etl_spark.operators.dedup import normalize_tokens
 
     def bucket_counts(df):
         toks = df.select(

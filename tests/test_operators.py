@@ -2474,3 +2474,189 @@ def test_ip_cidr_tagging(spark):
     assert out[4].network is None and out[4].ip_num == 134744072
     assert out[5].network is None and out[5].ip_num is None  # malformed
     assert out[6].ip_num is None  # octet out of range
+
+
+# --- r9 operator batch -------------------------------------------------------
+
+
+def test_woe_iv_hand_computed(spark):
+    import math
+
+    from area_etl_spark.operators.encoding import woe_iv
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 0), ("b", 0), ("b", 1), ("c", 0)],
+        "cat string, y int",
+    )
+    out = {r.category: r for r in woe_iv(df, "cat", "y").collect()}
+    # doubled-integer smoothing: a=(5,3) b=(3,3) c=(1,3); P2=N2=9
+    assert math.isclose(out["a"].woe, math.log(5 / 3), abs_tol=1e-6)
+    assert out["b"].woe == 0.0
+    assert math.isclose(out["c"].woe, math.log(1 / 3), abs_tol=1e-6)
+    iv = sum((p / 9 - n / 9) * math.log(p / n) for p, n in [(5, 3), (3, 3), (1, 3)])
+    assert math.isclose(out["a"].iv, round(iv, 6), abs_tol=1e-6)
+    assert len({r.iv for r in out.values()}) == 1  # iv identical on every row
+
+
+def test_one_hot_encode_explicit_vocab(spark):
+    from area_etl_spark.operators.encoding import one_hot_encode
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "zz"), (4, None)], "id int, cat string"
+    )
+    out = {r.id: r for r in one_hot_encode(df, "cat", ["a", "b"], id_cols=["id"]).collect()}
+    assert (out[1].cat_a, out[1].cat_b, out[1].cat_other) == (1, 0, 0)
+    assert (out[2].cat_a, out[2].cat_b, out[2].cat_other) == (0, 1, 0)
+    assert (out[3].cat_a, out[3].cat_b, out[3].cat_other) == (0, 0, 1)
+    assert (out[4].cat_a, out[4].cat_b, out[4].cat_other) == (0, 0, 1)  # NULL -> other
+
+
+def test_lift_gain_table_tie_coherent(spark):
+    from area_etl_spark.operators.classify import lift_gain_table
+
+    df = spark.createDataFrame(
+        [(90, 1), (80, 1), (80, 0), (70, 0), (60, 1), (50, 0), (40, 0), (30, 0), (20, 0), (10, 0)],
+        "s int, y int",
+    )
+    rows = {r.bucket: r for r in lift_gain_table(df, "s", "y", n_buckets=5).collect()}
+    # tied 80s stay together in bucket 0 -> n=3 there, bucket sizes absorb
+    assert rows[0].n == 3 and rows[0].n_pos == 2
+    assert abs(rows[0].gain_pct - 200 / 3) < 1e-6
+    assert abs(rows[0].lift - (2 / 3) / (3 / 10)) < 1e-6
+    assert rows[4].cum_n == 10 and rows[4].cum_pos == 3
+    assert rows[4].lift == 1.0  # full population = random
+
+
+def test_dag_layers_longest_path_and_early_stop(spark):
+    from area_etl_spark.operators.graph import dag_layers
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 3), (3, 4), (9, 4)], "src long, dst long")
+    out = {r.node: r.layer for r in dag_layers(e, rounds=10).collect()}
+    # layer = LONGEST path from a source: 3 is max(1+layer(2), 1+layer(1)) = 2
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 9: 0}
+
+
+def test_shortest_paths_weighted_bellman_ford(spark):
+    from area_etl_spark.operators.graph import shortest_paths_weighted
+
+    e = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 1), (1, 3, 10), (3, 4, 2), (7, 8, 1)],
+        "src long, dst long, w long",
+    )
+    out = {r.node: r.dist for r in shortest_paths_weighted(e, [1], rounds=8).collect()}
+    assert out == {1: 0, 2: 5, 3: 6, 4: 8}  # 7,8 unreachable -> absent
+    multi = {r.node: r.dist for r in shortest_paths_weighted(e, [1, 7], rounds=8).collect()}
+    assert multi[8] == 1 and multi[4] == 8
+
+
+def test_max_concurrency_half_open(spark):
+    from area_etl_spark.operators.intervals import max_concurrency
+
+    df = spark.createDataFrame(
+        [("k", 0, 10), ("k", 5, 15), ("k", 10, 20), ("k", 20, 30), ("q", 1, 2)],
+        "k string, s long, e long",
+    )
+    out = {r.k: r for r in max_concurrency(df, ["k"], "s", "e").collect()}
+    # [0,10) and [10,20) do NOT overlap (half-open); peak is 2 at t in [5,10)
+    assert (out["k"].peak_concurrent, out["k"].n_intervals) == (2, 4)
+    assert (out["q"].peak_concurrent, out["q"].n_intervals) == (1, 1)
+
+
+def test_fifo_cost_basis_matches_hand_lots(spark):
+    from area_etl_spark.operators.business import fifo_cost_basis
+
+    tr = spark.createDataFrame(
+        [
+            ("X", 1, "buy", 10, 100),
+            ("X", 2, "buy", 5, 120),
+            ("X", 3, "sell", 12, 130),
+            ("X", 4, "sell", 5, 110),   # only 3 units left to match
+            ("X", 5, "sell", 3, 140),   # fully short: nothing left
+        ],
+        "sym string, ts long, side string, q long, p long",
+    )
+    out = {r.sell_ts: r for r in fifo_cost_basis(tr, ["sym"], "ts", "side", "q", "p").collect()}
+    assert (out[3].matched_qty, out[3].cost_cents, out[3].realized_pnl_cents) == (12, 10 * 100 + 2 * 120, 320)
+    assert (out[4].matched_qty, out[4].cost_cents, out[4].realized_pnl_cents) == (3, 360, -30)
+    assert (out[5].matched_qty, out[5].realized_pnl_cents) == (0, 0)
+
+
+def test_t_closeness_emd_hand_computed(spark):
+    from area_etl_spark.operators.quality import t_closeness
+
+    df = spark.createDataFrame(
+        [("g1", 1), ("g1", 1), ("g1", 2), ("g2", 1), ("g2", 3), ("g2", 3)],
+        "q string, s int",
+    )
+    out = {r.q: r for r in t_closeness(df, ["q"], "s", 0.3).collect()}
+    # m=3 values; both classes: sum|cum diffs|*N*n = 9 -> 9/(2*3*6) = 0.25
+    assert out["g1"].emd == 0.25 and out["g1"].is_t_close
+    assert out["g2"].emd == 0.25 and out["g2"].is_t_close
+    strict = {r.q: r for r in t_closeness(df, ["q"], "s", 0.2).collect()}
+    assert not strict["g1"].is_t_close
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    from area_etl_spark.operators.experiments import theil_sen_slope
+
+    clean = spark.createDataFrame(
+        [("a", t, 2 * t) for t in range(9)], "k string, t long, y long"
+    )
+    spiked = spark.createDataFrame(
+        [("a", t, 2 * t if t != 8 else 1000) for t in range(9)],
+        "k string, t long, y long",
+    )
+    assert theil_sen_slope(clean, ["k"], "t", "y").collect()[0].slope == 2.0
+    r = theil_sen_slope(spiked, ["k"], "t", "y").collect()[0]
+    assert r.slope == 2.0  # median of pairwise slopes shrugs off the spike
+    assert r.n_pairs == 36
+
+
+def test_acf_alternating_series(spark):
+    from area_etl_spark.operators.windows import acf_lags
+
+    df = spark.createDataFrame(
+        [("a", i, 100 if i % 2 == 0 else 0) for i in range(10)],
+        "k string, t long, x long",
+    )
+    out = {r.lag: r.r for r in acf_lags(df, ["k"], "t", "x", max_lag=3).collect()}
+    # alternating series: strong negative r1, positive r2 (textbook values
+    # for n=10: r1 = -0.9, r2 = +0.8, r3 = -0.7 with the biased estimator)
+    assert out[1] == -0.9 and out[2] == 0.8 and out[3] == -0.7
+
+
+def test_holt_brown_tracks_linear_trend(spark):
+    from area_etl_spark.operators.windows import holt_brown_smooth
+
+    df = spark.createDataFrame(
+        [("a", t, 10 * t) for t in range(1, 30)], "k string, t long, v long"
+    )
+    rows = holt_brown_smooth(df, ["k"], ["t"], "v", n_lags=12, horizon=1).orderBy("t").collect()
+    last = rows[-1]
+    # on a pure linear trend, level -> current value, trend -> slope,
+    # forecast -> next value (within the documented truncation tolerance)
+    assert abs(last.level - 290.0) < 0.5
+    assert abs(last.trend - 10.0) < 0.5
+    assert abs(last.forecast - 300.0) < 1.0
+
+
+def test_bitemporal_asof_correction_visibility(spark):
+    from area_etl_spark.operators.history import bitemporal_asof
+
+    vers = spark.createDataFrame(
+        [
+            (1, 0, 10, 0, 5, "v1"),       # original belief
+            (1, 0, 10, 5, None, "v1c"),   # correction recorded at tx=5
+            (1, 10, None, 0, None, "v2"),
+        ],
+        "k long, valid_from long, valid_to long, tx_from long, tx_to long, val string",
+    )
+    qs = spark.createDataFrame(
+        [(1, 3, 2), (1, 3, 7), (1, 12, 7), (2, 1, 1)],
+        "k long, valid_at long, tx_at long",
+    )
+    out = {(r.k, r.valid_at, r.tx_at): r.val for r in bitemporal_asof(vers, qs, ["k"]).collect()}
+    assert out[(1, 3, 2)] == "v1"    # before the correction was known
+    assert out[(1, 3, 7)] == "v1c"   # same valid time, after the correction
+    assert out[(1, 12, 7)] == "v2"
+    assert out[(2, 1, 1)] is None    # unknown key null-extends

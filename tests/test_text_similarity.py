@@ -858,3 +858,68 @@ def test_image_pixels_feature_kernel_jpeg_flows_to_ann(spark):
     # JPEG and PNG of the same brightness embed into the SAME bin
     assert feats[3][FEATURE_DIM - 2] == 1.0
     assert feats[4] == [0.0] * FEATURE_DIM  # junk quarantined
+
+
+def test_containment_detects_quote_jaccard_misses(spark):
+    from area_etl_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon"),  # fully contained in 1
+            (3, "totally unrelated words that share nothing at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.containment for r in containment_pairs(docs, threshold=0.9).collect()}
+    assert pairs[(2, 1)] == 1.0          # the short doc is inside the long one
+    assert (1, 2) not in pairs           # direction matters: 1 is NOT inside 2
+    # the same pair fails a 0.5 Jaccard gate — that's the point
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    assert ngram_jaccard_pairs(docs, cand, threshold=0.5).count() == 0
+
+
+def test_containment_hot_gram_guard(spark):
+    from area_etl_spark.operators.dedup import containment_pairs
+
+    # 20 docs all sharing one boilerplate shingle + nothing else pairwise:
+    # with max_df=4 the shared gram is dropped, so no candidate survives
+    docs = spark.createDataFrame(
+        [(i, f"common boiler plate u{i} v{i} w{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    assert containment_pairs(docs, threshold=0.3, max_df=4).count() == 0
+
+
+def test_dedup_soft_weights_mass_conservation(spark):
+    from area_etl_spark.operators.dedup import dedup_soft_weights
+
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "same  TEXT "), (4, "unique doc")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_soft_weights(docs).collect()}
+    # normalization folds case/whitespace: 1,2,3 cluster together
+    assert out[1].cluster_id == out[2].cluster_id == out[3].cluster_id == 1
+    assert out[1].cluster_size == 3 and abs(out[1].weight - 1 / 3) < 1e-5
+    assert out[4].cluster_size == 1 and out[4].weight == 1.0
+    # total weight == number of unique texts
+    assert abs(sum(r.weight for r in out.values()) - 2.0) < 1e-4
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    from area_etl_spark.operators.sampling import dsir_weights
+
+    src = spark.createDataFrame(
+        [
+            (1, "cats dogs cats dogs pets"),
+            (2, "stocks bonds markets trading finance"),
+            (3, "cats stocks dogs bonds mixed"),
+        ],
+        "doc_id long, text string",
+    )
+    tgt = spark.createDataFrame(
+        [(9, "cats cats dogs dogs pets pets cats")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.log_weight for r in dsir_weights(src, tgt).collect()}
+    assert out[1] > out[3] > out[2]  # pet-like > mixed > finance
