@@ -5452,6 +5452,246 @@ def q_trimmed_mean(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# r9 operator batch
+# ---------------------------------------------------------------------------
+
+
+def q_woe_iv(spark, sf_dir):
+    """Weight-of-evidence + information value of market segment vs the
+    positive-balance label — doubled-integer smoothing keeps every count
+    exact; ln is the single float per category, iv folds in sorted
+    category order."""
+    from area_etl_spark.operators.encoding import woe_iv
+
+    c = _tables(spark, sf_dir)["customer"].select(
+        "c_mktsegment", (F.col("c_acctbal") > 0).cast("int").alias("y")
+    )
+    return woe_iv(c, "c_mktsegment", "y")
+
+
+def q_one_hot_segment(spark, sf_dir):
+    """Explicit-vocabulary one-hot of market segment (3 listed categories
+    + other) — pure CASE columns, no pivot pass, fixed width."""
+    from area_etl_spark.operators.encoding import one_hot_encode
+
+    c = _tables(spark, sf_dir)["customer"]
+    return one_hot_encode(
+        c, "c_mktsegment", ["BUILDING", "MACHINERY", "AUTOMOBILE"],
+        id_cols=["c_custkey"],
+    )
+
+
+def q_lift_gain(spark, sf_dir):
+    """Cumulative gain/lift deciles of event value-cents as a purchase
+    score — distinct-score bucketing (tie-coherent), exact integer cums,
+    two divisions per bucket at the end."""
+    from area_etl_spark.operators.classify import lift_gain_table
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        F.round(F.col("value") * 100).cast("long").alias("score"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    return lift_gain_table(ev, "score", "y", n_buckets=10)
+
+
+def _dag_edges(spark, sf_dir):
+    """Deterministic 3-layer DAG from the dimension tables: nation keys
+    feed supplier-derived mid nodes feed customer-derived leaves (strictly
+    increasing id ranges — acyclic by construction)."""
+    t = _tables(spark, sf_dir)
+    e1 = t["nation"].select(
+        (F.col("n_nationkey") % 20).alias("src"),
+        (100 + F.col("n_nationkey") % 40).alias("dst"),
+    )
+    e2 = t["supplier"].select(
+        (100 + F.col("s_suppkey") % 40).alias("src"),
+        (200 + F.col("s_suppkey") % 60).alias("dst"),
+    )
+    e3 = t["supplier"].select(
+        (F.col("s_suppkey") % 20).alias("src"),
+        (200 + (F.col("s_suppkey") * 7) % 60).alias("dst"),
+    )
+    return e1.unionByName(e2).unionByName(e3).distinct()
+
+
+def q_dag_layers(spark, sf_dir):
+    """Topological layers (longest path from sources) over a constructed
+    3-tier DAG — fixed-round max-propagation, chained-CTE replayable."""
+    from area_etl_spark.operators.graph import dag_layers
+
+    return dag_layers(_dag_edges(spark, sf_dir), rounds=4)
+
+
+def q_shortest_paths(spark, sf_dir):
+    """Multi-source Bellman-Ford over the same DAG with integer weights
+    (src+dst derived), seeds = nation-layer nodes 0..4; 4 relaxation
+    sweeps cover the 2-hop diameter."""
+    from area_etl_spark.operators.graph import shortest_paths_weighted
+
+    e = _dag_edges(spark, sf_dir).withColumn(
+        "w", (F.col("src") + F.col("dst")) % 7 + 1
+    )
+    return shortest_paths_weighted(e, [0, 1, 2, 3, 4], rounds=4)
+
+
+def q_max_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per event type: each event opens a
+    half-open interval [ts_micros, ts_micros + value-cents·1k) — sweep-line
+    +1/−1 deltas, per-key cumulative window, exact integers."""
+    from area_etl_spark.operators.intervals import max_concurrency
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (
+            F.unix_micros(F.col("ts"))
+            + F.round(F.col("value") * 100).cast("long") * 1000
+        ).alias("e"),
+    )
+    return max_concurrency(ev, ["event_type"], "s", "e")
+
+
+def q_fifo_cost_basis(spark, sf_dir):
+    """FIFO tax-lot matching over event-derived trades (event_id is the
+    UNIQUE deterministic trade time — lineitem's (orderkey, linenumber) is
+    not unique in this synthetic data, and FIFO price attribution is
+    order-sensitive under ties) — cumulative-quantity interval algebra,
+    all-BIGINT, one row per sell."""
+    from area_etl_spark.operators.business import fifo_cost_basis
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    tr = _tables(spark, sf_dir)["events"].select(
+        (F.col("user_id") % 50).alias("sym"),
+        F.col("event_id").alias("ts"),
+        F.when(F.col("event_id") % 2 == 1, "buy").otherwise("sell").alias("side"),
+        (cents % 50 + 1).alias("q"),
+        (cents % 1000 + 1).alias("p"),
+    )
+    return fifo_cost_basis(tr, ["sym"], "ts", "side", "q", "p")
+
+
+def q_t_closeness(spark, sf_dir):
+    """t-closeness of nationkey (ordered sensitive attribute) within
+    market-segment classes — exact common-denominator EMD, one division
+    per class."""
+    from area_etl_spark.operators.quality import t_closeness
+
+    c = _tables(spark, sf_dir)["customer"]
+    return t_closeness(c, ["c_mktsegment"], "c_nationkey", 0.1)
+
+
+def q_theil_sen(spark, sf_dir):
+    """Theil–Sen robust balance trend per nation (t = custkey, y = balance
+    cents): median of pairwise slopes via the collect→sort→middle idiom;
+    bounded groups (≤ n/25 customers per nation)."""
+    from area_etl_spark.operators.experiments import theil_sen_slope
+
+    c = _tables(spark, sf_dir)["customer"].select(
+        "c_nationkey",
+        F.col("c_custkey").alias("t"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("y"),
+    )
+    return theil_sen_slope(c, ["c_nationkey"], "t", "y")
+
+
+def q_acf_lags(spark, sf_dir):
+    """Autocorrelation ladder (lags 1..3) of value-cents per event type
+    ordered by event id — denominator-cleared exact DECIMAL arithmetic,
+    one float division per lag."""
+    from area_etl_spark.operators.windows import acf_lags
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "event_type",
+        F.col("event_id").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    return acf_lags(ev, ["event_type"], "t", "x", max_lag=3)
+
+
+def q_holt_brown(spark, sf_dir):
+    """Brown double-exponential smoothing over per-day event totals per
+    type (bounded daily series): exact truncated integer-weight form,
+    level/trend/one-step forecast."""
+    from area_etl_spark.operators.windows import holt_brown_smooth
+
+    daily = (
+        _tables(spark, sf_dir)["events"]
+        .groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("v"))
+    )
+    return holt_brown_smooth(daily, ["event_type"], ["day"], "v", n_lags=8)
+
+
+def q_bitemporal_asof(spark, sf_dir):
+    """Bitemporal point lookups: three constructed belief versions per
+    nation (correction at tx 500, valid split at 1000) probed by customer
+    (valid_at, tx_at) points — one key-equi join with two interval
+    containments, every probe matches at most one version."""
+    from area_etl_spark.operators.history import bitemporal_asof
+
+    t = _tables(spark, sf_dir)
+    n = t["nation"]
+    v1 = n.select(
+        F.col("n_nationkey").alias("k"),
+        F.lit(0).alias("valid_from"), F.lit(1000).alias("valid_to"),
+        F.lit(0).alias("tx_from"), F.lit(500).alias("tx_to"),
+        F.concat(F.lit("v1:"), F.col("n_name")).alias("belief"),
+    )
+    v1c = n.select(
+        F.col("n_nationkey").alias("k"),
+        F.lit(0).alias("valid_from"), F.lit(1000).alias("valid_to"),
+        F.lit(500).alias("tx_from"), F.lit(None).cast("int").alias("tx_to"),
+        F.concat(F.lit("v1c:"), F.col("n_name")).alias("belief"),
+    )
+    v2 = n.select(
+        F.col("n_nationkey").alias("k"),
+        F.lit(1000).alias("valid_from"), F.lit(None).cast("int").alias("valid_to"),
+        F.lit(0).alias("tx_from"), F.lit(None).cast("int").alias("tx_to"),
+        F.concat(F.lit("v2:"), F.col("n_name")).alias("belief"),
+    )
+    versions = v1.unionByName(v1c).unionByName(v2)
+    qs = t["customer"].select(
+        F.col("c_custkey"),
+        F.col("c_nationkey").alias("k"),
+        (F.col("c_custkey") % 2000).alias("valid_at"),
+        (F.col("c_custkey") * 7 % 1000).alias("tx_at"),
+    )
+    return bitemporal_asof(versions, qs, ["k"])
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Directed near-containment (|A∩B|/|A| over raw 3-gram shingles) on
+    documents — the quote detector; hot-gram guard max_df=64 default-on,
+    fully SQL-replayable (no seeded hash)."""
+    from area_etl_spark.operators.dedup import containment_pairs
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return containment_pairs(docs, threshold=0.6)
+
+
+def q_dedup_soft_weights(spark, sf_dir):
+    """Soft dedup: 1/cluster_size training weights over exact-normalized
+    text clusters — keeps every doc, equalizes gradient mass per unique
+    text."""
+    from area_etl_spark.operators.dedup import dedup_soft_weights
+
+    return dedup_soft_weights(_tables(spark, sf_dir)["documents"])
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights: every 20th document is the 'target'
+    corpus; hashed-unigram (md5, 64 buckets) add-one likelihood ratios,
+    per-doc sorted-fold dot product."""
+    from area_etl_spark.operators.sampling import dsir_weights
+
+    docs = _tables(spark, sf_dir)["documents"]
+    target = docs.where(F.col("doc_id") % 20 == 0)
+    return dsir_weights(docs, target)
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness window (round 9)
 # ---------------------------------------------------------------------------
 # The driver checks the FIRST 50 queries() entries.  VERDICT r8 item 1: rotate
@@ -5967,6 +6207,22 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "contract_enforce": q_contract_enforce,
         "contract_violations": q_contract_violations,
+        # — r9 batch (window candidates for r11 after the backlog clears) —
+        "woe_iv": q_woe_iv,
+        "one_hot_segment": q_one_hot_segment,
+        "lift_gain": q_lift_gain,
+        "dag_layers": q_dag_layers,
+        "shortest_paths": q_shortest_paths,
+        "max_concurrency": q_max_concurrency,
+        "fifo_cost_basis": q_fifo_cost_basis,
+        "t_closeness": q_t_closeness,
+        "theil_sen": q_theil_sen,
+        "acf_lags": q_acf_lags,
+        "holt_brown": q_holt_brown,
+        "bitemporal_asof": q_bitemporal_asof,
+        "containment_pairs": q_containment_pairs,
+        "dedup_soft_weights": q_dedup_soft_weights,
+        "dsir_weights": q_dsir_weights,
         # — rows-only by design (seeded-hash candidate generators; no oracle) —
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -6495,6 +6751,98 @@ def _role_perms_sql() -> str:
         for r, perms in ROLE_PERMISSIONS.items()
     )
     return f"CASE {whens} ELSE [] END"
+
+
+_DAG_EDGES_SQL = """e AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT n_nationkey % 20 AS src, 100 + n_nationkey % 40 AS dst FROM nation
+        UNION ALL
+        SELECT 100 + s_suppkey % 40, 200 + s_suppkey % 60 FROM supplier
+        UNION ALL
+        SELECT s_suppkey % 20, 200 + (s_suppkey * 7) % 60 FROM supplier
+    )
+)"""
+
+
+def _dag_layers_sql(rounds: int = 4) -> str:
+    """Chained-CTE replay of dag_layers' fixed-round max propagation (the
+    pagerank oracle convention)."""
+    ctes = [
+        _DAG_EDGES_SQL,
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "l0 AS (SELECT node, CAST(0 AS BIGINT) AS layer FROM nodes)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"c{r} AS (SELECT e.dst AS node, MAX(l.layer) + 1 AS cand "
+            f"FROM e JOIN l{r - 1} l ON l.node = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"l{r} AS (SELECT l.node, CAST(COALESCE(c.cand, l.layer) AS BIGINT) AS layer "
+            f"FROM l{r - 1} l LEFT JOIN c{r} c USING (node))"
+        )
+    return f"WITH {', '.join(ctes)} SELECT node, layer FROM l{rounds}"
+
+
+def _shortest_paths_sql(rounds: int = 4) -> str:
+    """Chained-CTE Bellman-Ford replay: min-relaxation sweeps over the DAG
+    edges with w = (src+dst)%7+1, seeds 0..4 at distance 0."""
+    ctes = [
+        _DAG_EDGES_SQL,
+        "we AS (SELECT src, dst, (src + dst) % 7 + 1 AS w FROM e)",
+        "d0 AS (SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"c{r} AS (SELECT we.dst AS node, MIN(d.dist + we.w) AS cand "
+            f"FROM we JOIN d{r - 1} d ON d.node = we.src GROUP BY we.dst)"
+        )
+        ctes.append(
+            f"d{r} AS (SELECT node, CAST(CASE WHEN d.dist IS NULL THEN c.cand "
+            f"WHEN c.cand IS NULL THEN d.dist "
+            f"WHEN c.cand < d.dist THEN c.cand ELSE d.dist END AS BIGINT) AS dist "
+            f"FROM d{r - 1} d FULL JOIN c{r} c USING (node))"
+        )
+    return f"WITH {', '.join(ctes)} SELECT node, dist FROM d{rounds}"
+
+
+def _holt_brown_sql(n_lags: int = 8, horizon: int = 1) -> str:
+    """Replay of holt_brown_smooth over per-day event totals: the same
+    integer lag weights (w1 geometric, w2 its self-convolution), per-row
+    linear combinations over LAG columns, one double division per smooth."""
+    k = n_lags
+    lag_cols = ", ".join(
+        f"LAG(v, {m}) OVER w AS g{m}" for m in range(1, 2 * k - 1)
+    )
+    s1n, s1d, s2n, s2d = [], [], [], []
+    for m in range(2 * k - 1):
+        g = "v" if m == 0 else f"g{m}"
+        w1 = (1 << (k - 1 - m)) if m < k else 0
+        overlap = min(m, k - 1) - max(0, m - k + 1) + 1
+        w2 = overlap * (1 << (2 * k - 2 - m))
+        s1n.append(f"COALESCE({g}, 0) * {w1}")
+        s1d.append(f"CASE WHEN {g} IS NOT NULL THEN {w1} ELSE 0 END")
+        s2n.append(f"COALESCE({g}, 0) * {w2}")
+        s2d.append(f"CASE WHEN {g} IS NOT NULL THEN {w2} ELSE 0 END")
+    s1 = f"(CAST({' + '.join(s1n)} AS DOUBLE) / CAST({' + '.join(s1d)} AS DOUBLE))"
+    s2 = f"(CAST({' + '.join(s2n)} AS DOUBLE) / CAST({' + '.join(s2d)} AS DOUBLE))"
+    return f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+            FROM events GROUP BY 1, 2
+        ), led AS (
+            SELECT event_type, day, v, {lag_cols}
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        )
+        SELECT event_type, day, v,
+               round(2 * {s1} - {s2}, 6) AS level,
+               round({s1} - {s2}, 6) AS trend,
+               round(2 * {s1} - {s2} + {horizon} * ({s1} - {s2}), 6) AS forecast
+        FROM led
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -12013,6 +12361,338 @@ def oracle_sql() -> dict[str, str]:
                    round(AVG({qscore}), 6) AS avg_quality
             FROM documents
             GROUP BY source
+        """,
+        # —— r9 batch ——
+        "woe_iv": """
+            WITH cat AS (
+                SELECT c_mktsegment AS category,
+                       CAST(SUM(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+                       CAST(SUM(CASE WHEN c_acctbal > 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+                FROM customer GROUP BY 1
+            ), tot AS (
+                SELECT CAST(SUM(2 * n_pos + 1) AS BIGINT) AS P2,
+                       CAST(SUM(2 * n_neg + 1) AS BIGINT) AS N2
+                FROM cat
+            ), scored AS (
+                SELECT category, n_pos, n_neg,
+                       round(ln(CAST((2 * n_pos + 1) * N2 AS DOUBLE)
+                                / ((2 * n_neg + 1) * P2)), 6) + 0.0 AS woe,
+                       (CAST(2 * n_pos + 1 AS DOUBLE) / P2
+                        - CAST(2 * n_neg + 1 AS DOUBLE) / N2) AS d
+                FROM cat, tot
+            ), iv AS (
+                SELECT round(list_reduce(
+                           list_prepend(0.0::DOUBLE, list(d * woe ORDER BY category)),
+                           (a, b) -> a + b), 6) AS iv
+                FROM scored
+            )
+            SELECT category, n_pos, n_neg, woe, iv FROM scored, iv
+        """,
+        "one_hot_segment": """
+            SELECT c_custkey,
+                   CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS INT) AS c_mktsegment_building,
+                   CAST(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS INT) AS c_mktsegment_machinery,
+                   CAST(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS INT) AS c_mktsegment_automobile,
+                   CAST(CASE WHEN c_mktsegment IS NULL
+                             OR c_mktsegment NOT IN ('BUILDING', 'MACHINERY', 'AUTOMOBILE')
+                        THEN 1 ELSE 0 END AS INT) AS c_mktsegment_other
+            FROM customer
+        """,
+        "lift_gain": """
+            WITH base AS (
+                SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                       CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+                FROM events
+            ), per_val AS (
+                SELECT v, COUNT(*) AS cnt, CAST(SUM(y) AS BIGINT) AS cnt_pos
+                FROM base GROUP BY v
+            ), tot AS (
+                SELECT CAST(SUM(cnt) AS BIGINT) AS T, CAST(SUM(cnt_pos) AS BIGINT) AS TP
+                FROM per_val
+            ), b AS (
+                SELECT *, COALESCE(SUM(cnt) OVER (ORDER BY v DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+                FROM per_val
+            ), pb AS (
+                SELECT CAST(floor(cum_before * 10 / T) AS INT) AS bucket,
+                       CAST(SUM(cnt) AS BIGINT) AS n,
+                       CAST(SUM(cnt_pos) AS BIGINT) AS n_pos,
+                       MAX(T) AS T, MAX(TP) AS TP
+                FROM b, tot GROUP BY 1
+            ), fin AS (
+                SELECT bucket, n, n_pos,
+                       CAST(SUM(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+                       CAST(SUM(n_pos) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_pos,
+                       T, TP
+                FROM pb
+            )
+            SELECT bucket, n, n_pos, cum_n, cum_pos,
+                   round(cum_pos * 100.0 / TP, 6) + 0.0 AS gain_pct,
+                   round(CAST(cum_pos * T AS DOUBLE) / (cum_n * TP), 6) + 0.0 AS lift
+            FROM fin
+        """,
+        "dag_layers": _dag_layers_sql(rounds=4),
+        "shortest_paths": _shortest_paths_sql(rounds=4),
+        "max_concurrency": """
+            WITH iv AS (
+                SELECT event_type, epoch_us(ts) AS s,
+                       epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 1000 AS e
+                FROM events
+            ), ev AS (
+                SELECT event_type, s AS t, 1 AS d FROM iv
+                UNION ALL
+                SELECT event_type, e, -1 FROM iv
+            ), run AS (
+                SELECT event_type, SUM(d) OVER (PARTITION BY event_type
+                    ORDER BY t, d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur
+                FROM ev
+            )
+            SELECT event_type,
+                   CAST(MAX(cur) AS BIGINT) AS peak_concurrent,
+                   CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals
+            FROM run GROUP BY event_type
+        """,
+        "fifo_cost_basis": """
+            WITH li AS (
+                SELECT user_id % 50 AS sym,
+                       event_id AS ts,
+                       CASE WHEN event_id % 2 = 1 THEN 'buy' ELSE 'sell' END AS side,
+                       CAST(round(value * 100) AS BIGINT) % 50 + 1 AS q,
+                       CAST(round(value * 100) AS BIGINT) % 1000 + 1 AS p
+                FROM events
+            ), buys AS (
+                SELECT sym,
+                       COALESCE(SUM(q) OVER (PARTITION BY sym ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b0,
+                       COALESCE(SUM(q) OVER (PARTITION BY sym ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + q AS b1,
+                       p AS bp
+                FROM li WHERE side = 'buy'
+            ), sells AS (
+                SELECT sym, ts AS sell_ts, q, p AS sell_price,
+                       COALESCE(SUM(q) OVER (PARTITION BY sym ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s0,
+                       COALESCE(SUM(q) OVER (PARTITION BY sym ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + q AS s1
+                FROM li WHERE side = 'sell'
+            ), j AS (
+                SELECT s.sym, s.sell_ts, s.q, s.sell_price, s.s0, s.s1,
+                       b.b0, b.b1, b.bp
+                FROM sells s LEFT JOIN buys b
+                  ON s.sym = b.sym AND b.b0 < s.s1 AND s.s0 < b.b1
+            )
+            SELECT sym, sell_ts, q AS qty, sell_price,
+                   CAST(COALESCE(SUM(CASE WHEN b0 IS NOT NULL
+                       THEN LEAST(b1, s1) - GREATEST(b0, s0) END), 0) AS BIGINT) AS matched_qty,
+                   CAST(COALESCE(SUM(CASE WHEN b0 IS NOT NULL
+                       THEN (LEAST(b1, s1) - GREATEST(b0, s0)) * bp END), 0) AS BIGINT) AS cost_cents,
+                   CAST(COALESCE(SUM(CASE WHEN b0 IS NOT NULL
+                       THEN (LEAST(b1, s1) - GREATEST(b0, s0)) * sell_price END), 0) AS BIGINT) AS proceeds_cents,
+                   CAST(COALESCE(SUM(CASE WHEN b0 IS NOT NULL
+                       THEN (LEAST(b1, s1) - GREATEST(b0, s0)) * (sell_price - bp) END), 0) AS BIGINT) AS realized_pnl_cents
+            FROM j GROUP BY sym, sell_ts, q, sell_price
+        """,
+        "t_closeness": """
+            WITH cell AS (
+                SELECT c_mktsegment, c_nationkey, COUNT(*) AS c_gv
+                FROM customer GROUP BY 1, 2
+            ), cls AS (
+                SELECT c_mktsegment, COUNT(*) AS n_g FROM customer GROUP BY 1
+            ), vals AS (
+                SELECT c_nationkey, COUNT(*) AS c_v FROM customer GROUP BY 1
+            ), tot AS (
+                SELECT COUNT(*) AS N, COUNT(DISTINCT c_nationkey) AS m FROM customer
+            ), spine AS (
+                SELECT cls.c_mktsegment, cls.n_g, vals.c_nationkey, vals.c_v,
+                       COALESCE(cell.c_gv, 0) AS c_gv
+                FROM cls CROSS JOIN vals
+                LEFT JOIN cell USING (c_mktsegment, c_nationkey)
+            ), cums AS (
+                SELECT *,
+                       SUM(c_gv) OVER w AS cum_cls,
+                       SUM(c_v) OVER w AS cum_all
+                FROM spine
+                WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_nationkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), g AS (
+                SELECT c_mktsegment, MAX(n_g) AS class_size,
+                       SUM(ABS(cum_cls * N - cum_all * n_g)) AS num,
+                       MAX(N) AS N2, MAX(m) AS m2
+                FROM cums, tot GROUP BY 1
+            )
+            SELECT c_mktsegment, CAST(class_size AS BIGINT) AS class_size,
+                   round(CASE WHEN m2 > 1 THEN CAST(num AS DOUBLE)
+                              / ((m2 - 1) * class_size * N2) ELSE 0.0 END, 6) + 0.0 AS emd,
+                   round(CASE WHEN m2 > 1 THEN CAST(num AS DOUBLE)
+                              / ((m2 - 1) * class_size * N2) ELSE 0.0 END, 6) <= 0.1 AS is_t_close
+            FROM g
+        """,
+        "theil_sen": """
+            WITH c AS (
+                SELECT c_nationkey, c_custkey AS t,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS y
+                FROM customer
+            ), pairs AS (
+                SELECT a.c_nationkey,
+                       CAST(b.y - a.y AS DOUBLE) / (b.t - a.t) AS s
+                FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey AND a.t < b.t
+            ), m AS (
+                SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       round(median(s), 6) + 0.0 AS slope
+                FROM pairs GROUP BY 1
+            ), n AS (
+                SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_points
+                FROM c GROUP BY 1
+            )
+            SELECT n.c_nationkey, n.n_points,
+                   COALESCE(m.n_pairs, 0) AS n_pairs, m.slope
+            FROM n LEFT JOIN m USING (c_nationkey)
+        """,
+        "acf_lags": """
+            WITH b AS (
+                SELECT event_type, event_id AS t,
+                       CAST(round(value * 100) AS BIGINT) AS x
+                FROM events
+            ), led AS (
+                SELECT event_type, x,
+                       LEAD(x, 1) OVER w AS l1,
+                       LEAD(x, 2) OVER w AS l2,
+                       LEAD(x, 3) OVER w AS l3
+                FROM b
+                WINDOW w AS (PARTITION BY event_type ORDER BY t)
+            ), agg AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS HUGEINT) AS n,
+                       CAST(SUM(x) AS HUGEINT) AS S,
+                       CAST(SUM(x * x) AS HUGEINT) AS SS,
+                       CAST(SUM(CASE WHEN l1 IS NOT NULL THEN x * l1 END) AS HUGEINT) AS cr1,
+                       CAST(SUM(CASE WHEN l1 IS NOT NULL THEN x END) AS HUGEINT) AS hd1,
+                       CAST(SUM(l1) AS HUGEINT) AS tl1,
+                       CAST(SUM(CASE WHEN l2 IS NOT NULL THEN x * l2 END) AS HUGEINT) AS cr2,
+                       CAST(SUM(CASE WHEN l2 IS NOT NULL THEN x END) AS HUGEINT) AS hd2,
+                       CAST(SUM(l2) AS HUGEINT) AS tl2,
+                       CAST(SUM(CASE WHEN l3 IS NOT NULL THEN x * l3 END) AS HUGEINT) AS cr3,
+                       CAST(SUM(CASE WHEN l3 IS NOT NULL THEN x END) AS HUGEINT) AS hd3,
+                       CAST(SUM(l3) AS HUGEINT) AS tl3
+                FROM led GROUP BY 1
+            ), long AS (
+                SELECT event_type, 1 AS lag, cr1 AS cr, hd1 AS hd, tl1 AS tl, n, S, SS FROM agg
+                UNION ALL
+                SELECT event_type, 2, cr2, hd2, tl2, n, S, SS FROM agg
+                UNION ALL
+                SELECT event_type, 3, cr3, hd3, tl3, n, S, SS FROM agg
+            )
+            SELECT event_type, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n,
+                   CASE WHEN n * n * SS - n * S * S <> 0 THEN
+                       round(CAST(n * n * COALESCE(cr, 0)
+                                  - n * S * (COALESCE(hd, 0) + COALESCE(tl, 0))
+                                  + (n - lag) * S * S AS DOUBLE)
+                             / CAST(n * n * SS - n * S * S AS DOUBLE), 6)
+                   END + 0.0 AS r
+            FROM long
+        """,
+        "holt_brown": _holt_brown_sql(n_lags=8, horizon=1),
+        "bitemporal_asof": """
+            WITH v AS (
+                SELECT n_nationkey AS vk, 0 AS vf, 1000 AS vt, 0 AS tf, 500 AS tt,
+                       'v1:' || n_name AS belief FROM nation
+                UNION ALL
+                SELECT n_nationkey, 0, 1000, 500, NULL, 'v1c:' || n_name FROM nation
+                UNION ALL
+                SELECT n_nationkey, 1000, NULL, 0, NULL, 'v2:' || n_name FROM nation
+            ), q AS (
+                SELECT c_custkey, c_nationkey AS k,
+                       c_custkey % 2000 AS valid_at,
+                       c_custkey * 7 % 1000 AS tx_at
+                FROM customer
+            )
+            SELECT q.c_custkey, q.k, q.valid_at, q.tx_at, v.belief
+            FROM q LEFT JOIN v
+              ON q.k = v.vk
+             AND v.vf <= q.valid_at AND (v.vt IS NULL OR q.valid_at < v.vt)
+             AND v.tf <= q.tx_at AND (v.tt IS NULL OR q.tx_at < v.tt)
+        """,
+        "containment_pairs": f"""
+            WITH s AS (
+                SELECT doc_id AS id, list_distinct({_shingles3_sql()}) AS grams
+                FROM documents
+            ), s2 AS (
+                SELECT id, grams, len(grams) AS sz FROM s WHERE len(grams) > 0
+            ), p AS (
+                SELECT id, unnest(grams) AS g FROM s2
+            ), rare AS (
+                SELECT g FROM p GROUP BY g HAVING COUNT(*) <= 64
+            ), pr AS (
+                SELECT p.id, p.g FROM p JOIN rare USING (g)
+            ), sh AS (
+                SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS shared
+                FROM pr x JOIN pr y USING (g)
+                WHERE x.id <> y.id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(CAST(shared AS DOUBLE) / s2.sz, 6) AS containment
+            FROM sh JOIN s2 ON s2.id = sh.id_a
+            WHERE round(CAST(shared AS DOUBLE) / s2.sz, 6) >= 0.6
+        """,
+        "dedup_soft_weights": """
+            WITH n AS (
+                SELECT doc_id,
+                       array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ') AS key
+                FROM documents
+            ), c AS (
+                SELECT key, MIN(doc_id) AS cluster_id, COUNT(*) AS cluster_size
+                FROM n GROUP BY key
+            )
+            SELECT n.doc_id, c.cluster_id,
+                   CAST(c.cluster_size AS BIGINT) AS cluster_size,
+                   round(1.0 / c.cluster_size, 6) AS weight
+            FROM n JOIN c USING (key)
+        """,
+        "dsir_weights": """
+            WITH src_tok AS (
+                SELECT unnest(string_split_regex(trim(lower(COALESCE(text, ''))), '\\s+')) AS tok
+                FROM documents
+            ), tgt_tok AS (
+                SELECT unnest(string_split_regex(trim(lower(COALESCE(text, ''))), '\\s+')) AS tok
+                FROM documents WHERE doc_id % 20 = 0
+            ), sn AS (
+                SELECT CAST(CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) % 64 AS INT) AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS ns
+                FROM src_tok WHERE tok <> '' GROUP BY 1
+            ), tn AS (
+                SELECT CAST(CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) % 64 AS INT) AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS nt
+                FROM tgt_tok WHERE tok <> '' GROUP BY 1
+            ), spine AS (
+                SELECT CAST(unnest(range(64)) AS INT) AS bucket
+            ), tots AS (
+                SELECT (SELECT CAST(COALESCE(SUM(ns), 0) AS BIGINT) FROM sn) AS Ts,
+                       (SELECT CAST(COALESCE(SUM(nt), 0) AS BIGINT) FROM tn) AS Tt
+            ), r AS (
+                SELECT spine.bucket,
+                       ln(CAST(COALESCE(tn.nt, 0) + 1 AS DOUBLE) / (Tt + 64))
+                       - ln(CAST(COALESCE(sn.ns, 0) + 1 AS DOUBLE) / (Ts + 64)) AS llr
+                FROM spine
+                LEFT JOIN sn USING (bucket)
+                LEFT JOIN tn USING (bucket)
+                CROSS JOIN tots
+            ), doc_tok AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(lower(COALESCE(text, ''))), '\\s+')) AS tok
+                FROM documents
+            ), doc_b AS (
+                SELECT doc_id,
+                       CAST(CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) % 64 AS INT) AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM doc_tok WHERE tok <> '' GROUP BY 1, 2
+            )
+            SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   round(list_reduce(
+                       list_prepend(0.0::DOUBLE, list(c * llr ORDER BY bucket)),
+                       (a, b) -> a + b), 6) AS log_weight
+            FROM doc_b JOIN r USING (bucket)
+            GROUP BY doc_id
         """,
     }
 

@@ -622,7 +622,6 @@ def dsir_weights(
     tgt_n = spine.join(bucket_counts(target), "bucket", "left").select(
         "bucket", F.coalesce("n", F.lit(0)).alias("_nt")
     )
-    src_tot = source.sparkSession.createDataFrame([(1,)], "one int")
     ratios = (
         src_n.join(tgt_n, "bucket")
         .crossJoin(
