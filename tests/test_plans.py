@@ -430,3 +430,75 @@ def test_point_in_time_join_exchange_budget(tables):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_containment_pairs_equi_join_on_gram(tables):
+    """The containment candidate join must be an equi-join on the shingle
+    key (hash or sort-merge) — never a nested-loop over doc pairs; and the
+    final size join keys on the doc id."""
+    from area_etl_spark.operators.dedup import containment_pairs
+
+    docs = tables["documents"].select("doc_id", "text")
+    plan = plan_str(containment_pairs(docs, threshold=0.6))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fifo_join_is_keyed_not_nested(tables):
+    """FIFO's band predicate rides a key-equi join (SMJ/SHJ on sym) — the
+    cumulative-interval trick exists precisely so the matcher never plans
+    a nested loop over all (sell, buy) pairs."""
+    from area_etl_spark.operators.business import fifo_cost_basis
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    tr = tables["events"].select(
+        (F.col("user_id") % 50).alias("sym"),
+        F.col("event_id").alias("ts"),
+        F.when(F.col("event_id") % 2 == 1, "buy").otherwise("sell").alias("side"),
+        (cents % 50 + 1).alias("q"),
+        (cents % 1000 + 1).alias("p"),
+    )
+    plan = plan_str(fifo_cost_basis(tr, ["sym"], "ts", "side", "q", "p"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_ratio_table_broadcasts(tables):
+    """DSIR's 2^b-row likelihood-ratio table must broadcast to the per-doc
+    count join — a shuffle there would hash the whole corpus for a
+    64-row dimension."""
+    from area_etl_spark.operators.sampling import dsir_weights
+
+    docs = tables["documents"].select("doc_id", "text")
+    plan = plan_str(dsir_weights(docs, docs.where(F.col("doc_id") % 20 == 0)))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_woe_iv_single_aggregate_no_row_window(tables):
+    """woe_iv is two hash aggregates + scalar broadcasts — no window over
+    data rows may appear (the per-category table is the only windowless
+    aggregate-level structure)."""
+    from area_etl_spark.operators.encoding import woe_iv
+
+    c = tables["customer"].select(
+        "c_mktsegment", (F.col("c_acctbal") > 0).cast("int").alias("y")
+    )
+    plan = plan_str(woe_iv(c, "c_mktsegment", "y"))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_max_concurrency_window_is_partitioned(tables):
+    """The sweep-line cumulative window must be PARTITIONED by the key —
+    a global window would funnel every event through one task."""
+    from area_etl_spark.operators.intervals import max_concurrency
+
+    ev = tables["events"].select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + 1000).alias("e"),
+    )
+    plan = plan_str(max_concurrency(ev, ["event_type"], "s", "e"))
+    assert "Window" in plan
+    # partitioned window: the exchange before the window hashes the key
+    assert "hashpartitioning(event_type" in plan
