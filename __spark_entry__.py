@@ -5691,6 +5691,87 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_weights(docs, target)
 
 
+def q_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard over the same signup→purchase
+    time-to-event construction as km_survival — additive hazard, ordered
+    sorted-fold float sum, exact risk-set counts."""
+    from area_etl_spark.operators.experiments import nelson_aalen
+
+    ev = _tables(spark, sf_dir)["events"]
+    s = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t0")
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    tmax = ev.agg(F.max("ts").alias("tmax"))
+    subj = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            F.datediff(
+                F.coalesce(F.col("t1"), F.col("tmax")).cast("date"),
+                F.col("t0").cast("date"),
+            ).alias("dur"),
+            F.col("t1").isNotNull().alias("ev"),
+        )
+    )
+    return nelson_aalen(subj, "dur", "ev")
+
+
+def q_sprt_ab(spark, sf_dir):
+    """Wald SPRT per event type: is the odd-cents rate 0.55 rather than
+    0.45?  Cumulative integer (n, s) walk ordered by event id; the two
+    log-likelihood slopes are Python literals injected identically into
+    the oracle, so llr is bit-identical per step; earliest crossing via
+    struct-min argmin."""
+    from area_etl_spark.operators.experiments import sprt_decisions
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "event_type",
+        F.col("event_id").alias("t"),
+        (F.round(F.col("value") * 100).cast("long") % 2).alias("y"),
+    )
+    return sprt_decisions(ev, ["event_type"], "t", "y", p0=0.45, p1=0.55)
+
+
+def q_power_two_proportions(spark, sf_dir):
+    """Sample-size table: per nation a (baseline, uplift) scenario in
+    basis points → required n per arm at α=5%/80% power; closed-form
+    projection with literal z constants."""
+    from area_etl_spark.operators.experiments import power_two_proportions
+
+    n = _tables(spark, sf_dir)["nation"].select(
+        "n_nationkey",
+        (2000 + F.col("n_nationkey") * 50).alias("p0_bp"),
+        (2300 + F.col("n_nationkey") * 50 + (F.col("n_nationkey") % 5) * 100).alias(
+            "p1_bp"
+        ),
+    )
+    return power_two_proportions(n, "p0_bp", "p1_bp")
+
+
+def q_fifo_open_lots(spark, sf_dir):
+    """Open tax lots after FIFO consumption over the same event-derived
+    trades as fifo_cost_basis — per-key cumulative buys vs one total-sold
+    aggregate, no pairwise join."""
+    from area_etl_spark.operators.business import fifo_open_lots
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    tr = _tables(spark, sf_dir)["events"].select(
+        (F.col("user_id") % 50).alias("sym"),
+        F.col("event_id").alias("ts"),
+        F.when(F.col("event_id") % 2 == 1, "buy").otherwise("sell").alias("side"),
+        (cents % 50 + 1).alias("q"),
+        (cents % 1000 + 1).alias("p"),
+    )
+    return fifo_open_lots(tr, ["sym"], "ts", "side", "q", "p")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (round 9)
 # ---------------------------------------------------------------------------
@@ -6223,6 +6304,10 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "dedup_soft_weights": q_dedup_soft_weights,
         "dsir_weights": q_dsir_weights,
+        "nelson_aalen": q_nelson_aalen,
+        "sprt_ab": q_sprt_ab,
+        "power_two_proportions": q_power_two_proportions,
+        "fifo_open_lots": q_fifo_open_lots,
         # — rows-only by design (seeded-hash candidate generators; no oracle) —
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -6843,6 +6928,79 @@ def _holt_brown_sql(n_lags: int = 8, horizon: int = 1) -> str:
                round(2 * {s1} - {s2} + {horizon} * ({s1} - {s2}), 6) AS forecast
         FROM led
     """
+
+
+def _sprt_sql(p0: float = 0.45, p1: float = 0.55, alpha: float = 0.05, beta: float = 0.2) -> str:
+    """Replay of sprt_decisions over events: the SAME Python-literal
+    log-likelihood slopes and boundaries (repr round-trips doubles, so
+    both engines walk bit-identical llr)."""
+    import math
+
+    l1, l0 = math.log(p1 / p0), math.log((1 - p1) / (1 - p0))
+    up, lo = math.log((1 - beta) / alpha), math.log(beta / (1 - alpha))
+    return f"""
+        WITH ev AS (
+            SELECT event_type, event_id AS t,
+                   CAST(round(value * 100) AS BIGINT) % 2 AS y
+            FROM events
+        ), w AS (
+            SELECT event_type,
+                   CAST(COUNT(*) OVER win AS BIGINT) AS n,
+                   CAST(SUM(y) OVER win AS BIGINT) AS s
+            FROM ev
+            WINDOW win AS (PARTITION BY event_type ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), marked AS (
+            SELECT event_type, n,
+                   CASE WHEN s * {l1!r} + (n - s) * {l0!r} >= {up!r} THEN 'accept_h1'
+                        WHEN s * {l1!r} + (n - s) * {l0!r} <= {lo!r} THEN 'accept_h0'
+                   END AS dec
+            FROM w
+        ), first_cross AS (
+            SELECT event_type, arg_min(dec, n) AS decision, MIN(n) AS decided_at_n
+            FROM marked WHERE dec IS NOT NULL GROUP BY event_type
+        ), totals AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total FROM ev GROUP BY event_type
+        )
+        SELECT t.event_type,
+               COALESCE(f.decision, 'continue') AS decision,
+               CAST(COALESCE(f.decided_at_n, 0) AS BIGINT) AS decided_at_n,
+               t.n_total
+        FROM totals t LEFT JOIN first_cross f USING (event_type)
+    """
+
+
+def _power_sql(z_alpha: float = 1.959963984540054, z_beta: float = 0.8416212335729143) -> str:
+    p0 = "(CAST(p0_bp AS DOUBLE) / 10000.0)"
+    p1 = "(CAST(p1_bp AS DOUBLE) / 10000.0)"
+    pbar = f"(({p0} + {p1}) / 2.0)"
+    num = (
+        f"({z_alpha!r} * sqrt(2.0 * {pbar} * (1.0 - {pbar}))"
+        f" + {z_beta!r} * sqrt({p0} * (1.0 - {p0}) + {p1} * (1.0 - {p1})))"
+    )
+    return f"""
+        WITH s AS (
+            SELECT n_nationkey,
+                   2000 + n_nationkey * 50 AS p0_bp,
+                   2300 + n_nationkey * 50 + (n_nationkey % 5) * 100 AS p1_bp
+            FROM nation
+        )
+        SELECT n_nationkey, p0_bp, p1_bp,
+               CASE WHEN {p1} <> {p0} THEN
+                   CAST(ceil({num} * {num} / (({p1} - {p0}) * ({p1} - {p0}))) AS BIGINT)
+               END AS n_per_arm
+        FROM s
+    """
+
+
+_FIFO_TRADES_SQL = """li AS (
+    SELECT user_id % 50 AS sym,
+           event_id AS ts,
+           CASE WHEN event_id % 2 = 1 THEN 'buy' ELSE 'sell' END AS side,
+           CAST(round(value * 100) AS BIGINT) % 50 + 1 AS q,
+           CAST(round(value * 100) AS BIGINT) % 1000 + 1 AS p
+    FROM events
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -12648,6 +12806,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.cluster_size AS BIGINT) AS cluster_size,
                    round(1.0 / c.cluster_size, 6) AS weight
             FROM n JOIN c USING (key)
+        """,
+        "nelson_aalen": """
+            WITH s AS (
+                SELECT user_id, MIN(ts) AS t0 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id
+            ), p AS (
+                SELECT e.user_id, MIN(e.ts) AS t1
+                FROM events e JOIN s USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s.t0
+                GROUP BY e.user_id
+            ), m AS (SELECT MAX(ts) AS tmax FROM events),
+            subj AS (
+                SELECT date_diff('day', CAST(s.t0 AS DATE),
+                                 CAST(COALESCE(p.t1, m.tmax) AS DATE)) AS day,
+                       p.t1 IS NOT NULL AS ev
+                FROM s LEFT JOIN p USING (user_id), m
+            ), c AS (
+                SELECT day, COUNT(*) AS n_all,
+                       CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS n_events
+                FROM subj GROUP BY day
+            ), r AS (
+                SELECT day, n_events,
+                       SUM(n_all) OVER (ORDER BY day DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+                FROM c
+            ), f AS (
+                SELECT day, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+                       CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS inc
+                FROM r WHERE n_events > 0
+            )
+            SELECT day, n_risk, n_events,
+                   round(list_reduce(list(inc) OVER (ORDER BY day ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                       (a, b) -> a + b), 6) + 0.0 AS cum_hazard
+            FROM f
+        """,
+        "sprt_ab": _sprt_sql(),
+        "power_two_proportions": _power_sql(),
+        "fifo_open_lots": f"""
+            WITH {_FIFO_TRADES_SQL},
+            buys AS (
+                SELECT sym, ts AS buy_ts, p AS price, q AS qty,
+                       COALESCE(SUM(q) OVER (PARTITION BY sym ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b0,
+                       COALESCE(SUM(q) OVER (PARTITION BY sym ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + q AS b1
+                FROM li WHERE side = 'buy'
+            ), sold AS (
+                SELECT sym, CAST(SUM(q) AS BIGINT) AS sq
+                FROM li WHERE side = 'sell' GROUP BY sym
+            )
+            SELECT b.sym, b.buy_ts, b.price, b.qty,
+                   CAST(b.b1 - GREATEST(b.b0, COALESCE(s.sq, 0)) AS BIGINT) AS remaining_qty,
+                   CAST((b.b1 - GREATEST(b.b0, COALESCE(s.sq, 0))) * b.price AS BIGINT) AS remaining_value_cents
+            FROM buys b LEFT JOIN sold s USING (sym)
+            WHERE b.b1 > COALESCE(s.sq, 0)
         """,
         "dsir_weights": """
             WITH src_tok AS (

@@ -325,3 +325,59 @@ def fifo_cost_basis(
             "realized_pnl_cents", F.coalesce("realized_pnl_cents", F.lit(0))
         )
     )
+
+
+def fifo_open_lots(
+    trades: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    side_col: str,
+    qty_col: str,
+    price_col: str,
+) -> DataFrame:
+    """The inventory complement of :func:`fifo_cost_basis`: the OPEN tax
+    lots left after all sells consume buys FIFO — what an aging /
+    unrealized-P&L report reads (each surviving lot keeps its original
+    buy time and price).
+
+    Same cumulative-quantity axis: a buy lot [b0, b1) survives (fully or
+    partially) iff b1 > total_sold(key); its remaining quantity is
+    b1 − max(b0, total_sold).  One per-key cumulative window over buys +
+    one 1-row-per-key sell aggregate joined back (broadcast-or-shuffle on
+    the key), no pairwise join at all.  All BIGINT.  Returns one row per
+    open lot: (keys..., buy_ts, price, qty, remaining_qty,
+    remaining_value_cents).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    is_buy = F.lower(F.col(side_col)) == "buy"
+    buys = (
+        trades.where(is_buy)
+        .withColumn("_b0", F.coalesce(F.sum(qty_col).over(w), F.lit(0)))
+        .select(
+            *[F.col(k) for k in keys],
+            F.col(ts_col).alias("buy_ts"),
+            F.col(price_col).alias("price"),
+            F.col(qty_col).alias("qty"),
+            F.col("_b0"),
+            (F.col("_b0") + F.col(qty_col)).alias("_b1"),
+        )
+    )
+    sold = trades.where(~is_buy).groupBy(*keys).agg(
+        F.sum(qty_col).alias("_sold")
+    )
+    j = buys.join(sold, keys, "left").withColumn(
+        "_sold", F.coalesce("_sold", F.lit(0))
+    )
+    remaining = F.col("_b1") - F.greatest(F.col("_b0"), F.col("_sold"))
+    return (
+        j.where(F.col("_b1") > F.col("_sold"))
+        .withColumn("remaining_qty", remaining)
+        .withColumn(
+            "remaining_value_cents", remaining * F.col("price")
+        )
+        .drop("_b0", "_b1", "_sold")
+    )

@@ -759,3 +759,149 @@ def theil_sen_slope(
         F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
         "slope",
     )
+
+
+def nelson_aalen(
+    subjects: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Nelson–Aalen cumulative hazard H(t) = Σ_{u≤t} d_u / n_u —
+    :func:`km_survival`'s additive twin (KM estimates survival by product,
+    NA estimates cumulative hazard by sum; preferred for small risk sets
+    and for hazard-ratio eyeballing).
+
+    Identical machinery to km_survival: one hash aggregate keyed on
+    duration, a reversed running sum for the risk set, and the float
+    hazard increments folding in ascending-duration order via the
+    explicit collect→F.aggregate sequential fold, so both engines add in
+    the SAME order.  Returns one row per duration with ≥1 event:
+    (day, n_risk, n_events, cum_hazard).
+    """
+    from pyspark.sql import Window
+
+    counts = subjects.groupBy(F.col(duration_col).alias("day")).agg(
+        F.count(F.lit(1)).alias("_n_all"),
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+    )
+    w_desc = Window.orderBy(F.col("day").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = counts.withColumn("n_risk", F.sum("_n_all").over(w_desc))
+    evd = at_risk.where(F.col("n_events") > 0).withColumn(
+        "_inc",
+        F.col("n_events").cast("double") / F.col("n_risk").cast("double"),
+    )
+    w_asc = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hazard = F.round(
+        F.aggregate(
+            F.collect_list("_inc").over(w_asc), F.lit(0.0), lambda a, x: a + x
+        ),
+        6,
+    ) + F.lit(0.0)
+    return evd.select(
+        "day",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        hazard.alias("cum_hazard"),
+    )
+
+
+def sprt_decisions(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    success_col: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test per key — the always-valid
+    alternative to a fixed-horizon z-test (peek at every observation, stop
+    the moment the evidence crosses a boundary, error rates guaranteed):
+
+        llr_n = s·ln(p1/p0) + (n−s)·ln((1−p1)/(1−p0))
+        accept H1 when llr ≥ ln((1−β)/α); accept H0 when llr ≤ ln(β/(1−α))
+
+    The walk is a per-key cumulative window over exact integer (n, s);
+    llr multiplies those integers by two PYTHON-LITERAL doubles (injected
+    identically into the SQL oracle — repr round-trips, so both engines
+    compute bit-identical llr at every step).  The decision is the
+    EARLIEST crossing: a struct-min argmin over crossing rows, no second
+    window.  Keys that never cross report 'continue' with their final n.
+    Returns (keys..., decision, decided_at_n, n_total).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    l1 = math.log(p1 / p0)
+    l0 = math.log((1 - p1) / (1 - p0))
+    up = math.log((1 - beta) / alpha)
+    lo = math.log(beta / (1 - alpha))
+    w = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    y = F.col(success_col).cast("long")
+    walked = df.withColumn("_n", F.count(F.lit(1)).over(w)).withColumn(
+        "_s", F.sum(y).over(w)
+    )
+    llr = F.col("_s") * F.lit(l1) + (F.col("_n") - F.col("_s")) * F.lit(l0)
+    crossing = F.when(llr >= up, F.lit("accept_h1")).when(
+        llr <= lo, F.lit("accept_h0")
+    )
+    marked = walked.withColumn("_dec", crossing)
+    first_cross = (
+        marked.where(F.col("_dec").isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.min(F.struct(F.col("_n").alias("n"), F.col("_dec").alias("d"))).alias("_f")
+        )
+        .select(
+            *keys,
+            F.col("_f").getField("d").alias("decision"),
+            F.col("_f").getField("n").alias("decided_at_n"),
+        )
+    )
+    totals = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_total"))
+    return totals.join(first_cross, keys, "left").select(
+        *[F.col(k) for k in keys],
+        F.coalesce("decision", F.lit("continue")).alias("decision"),
+        F.coalesce("decided_at_n", F.lit(0)).alias("decided_at_n"),
+        "n_total",
+    )
+
+
+def power_two_proportions(
+    scenarios: DataFrame,
+    p0_col: str,
+    p1_col: str,
+    z_alpha: float = 1.959963984540054,
+    z_beta: float = 0.8416212335729143,
+) -> DataFrame:
+    """Required sample size per arm for a two-proportion test (α = 5%
+    two-sided, 80% power by default) — the experiment-design table an A/B
+    platform precomputes for every metric/segment row:
+
+        n = (z_α·√(2·p̄·q̄) + z_β·√(p0·q0 + p1·q1))² / (p1 − p0)²
+
+    Pure closed-form projection over scenario rows (proportions in basis
+    points → exact integer inputs, float math in one fixed expression
+    order, z constants Python literals injected identically into the
+    oracle), ceil to whole subjects.  Degenerate scenarios (p1 == p0)
+    yield NULL.  Returns input + n_per_arm.
+    """
+    p0 = F.col(p0_col).cast("double") / 10000.0
+    p1 = F.col(p1_col).cast("double") / 10000.0
+    pbar = (p0 + p1) / 2.0
+    num = (
+        F.lit(z_alpha) * F.sqrt(2.0 * pbar * (1.0 - pbar))
+        + F.lit(z_beta) * F.sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1))
+    )
+    n = F.when(
+        p1 != p0, F.ceil(num * num / ((p1 - p0) * (p1 - p0))).cast("long")
+    )
+    return scenarios.withColumn("n_per_arm", n)

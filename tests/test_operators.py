@@ -2660,3 +2660,66 @@ def test_bitemporal_asof_correction_visibility(spark):
     assert out[(1, 3, 7)] == "v1c"   # same valid time, after the correction
     assert out[(1, 12, 7)] == "v2"
     assert out[(2, 1, 1)] is None    # unknown key null-extends
+
+
+def test_nelson_aalen_hand_computed(spark):
+    from area_etl_spark.operators.experiments import nelson_aalen
+
+    df = spark.createDataFrame(
+        [(1, True), (2, True), (2, False), (3, True)], "d int, e boolean"
+    )
+    out = {r.day: r for r in nelson_aalen(df, "d", "e").collect()}
+    # day1: 1/4; day2: +1/3; day3: +1/1 (censored subject leaves risk set)
+    assert (out[1].n_risk, out[1].n_events) == (4, 1)
+    assert abs(out[1].cum_hazard - 0.25) < 1e-6
+    assert abs(out[2].cum_hazard - (0.25 + 1 / 3)) < 1e-6
+    assert abs(out[3].cum_hazard - (0.25 + 1 / 3 + 1.0)) < 1e-6
+
+
+def test_sprt_stops_at_first_crossing(spark):
+    import math
+
+    from area_etl_spark.operators.experiments import sprt_decisions
+
+    # arm "hot": 20 straight successes -> crosses the H1 boundary early;
+    # arm "mix": alternating -> llr drifts slowly, never crosses in 20 obs
+    rows = [("hot", i, 1) for i in range(20)] + [
+        ("mix", i, i % 2) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "arm string, t int, y int")
+    out = {r.arm: r for r in sprt_decisions(df, ["arm"], "t", "y", p0=0.4, p1=0.6).collect()}
+    assert out["hot"].decision == "accept_h1"
+    # hand-computed first crossing: n·ln(1.5) >= ln(0.95/0.05) -> n >= 8
+    need = math.ceil(math.log(0.8 / 0.05) / math.log(0.6 / 0.4))
+    assert out["hot"].decided_at_n == need
+    assert out["mix"].decision == "continue" and out["mix"].decided_at_n == 0
+    assert out["mix"].n_total == 20
+
+
+def test_power_two_proportions_textbook_value(spark):
+    from area_etl_spark.operators.experiments import power_two_proportions
+
+    df = spark.createDataFrame([(5000, 5500), (5000, 5000)], "p0 int, p1 int")
+    out = {r.p0 * 100000 + r.p1: r.n_per_arm for r in power_two_proportions(df, "p0", "p1").collect()}
+    # 50% -> 55%, alpha 5%, power 80%: the textbook answer is ~1565 per arm
+    assert 1500 <= out[500005500] <= 1620
+    assert out[500005000] is None  # degenerate
+
+
+def test_fifo_open_lots_complements_cost_basis(spark):
+    from area_etl_spark.operators.business import fifo_open_lots
+
+    tr = spark.createDataFrame(
+        [
+            ("X", 1, "buy", 10, 100),
+            ("X", 2, "buy", 5, 120),
+            ("X", 3, "sell", 12, 130),
+            ("Y", 1, "buy", 7, 50),
+        ],
+        "sym string, ts long, side string, q long, p long",
+    )
+    out = {(r.sym, r.buy_ts): r for r in fifo_open_lots(tr, ["sym"], "ts", "side", "q", "p").collect()}
+    # X sold 12: lot1 fully consumed (absent), lot2 keeps 3 of 5
+    assert ("X", 1) not in out
+    assert (out[("X", 2)].remaining_qty, out[("X", 2)].remaining_value_cents) == (3, 360)
+    assert (out[("Y", 1)].remaining_qty, out[("Y", 1)].qty) == (7, 7)
