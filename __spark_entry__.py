@@ -5772,6 +5772,25 @@ def q_fifo_open_lots(spark, sf_dir):
     return fifo_open_lots(tr, ["sym"], "ts", "side", "q", "p")
 
 
+def q_tfidf_cosine(spark, sf_dir):
+    """Sparse TF-IDF cosine pairs on documents — integer micro-unit idf
+    weights make norms and dot products exact DECIMAL ints; one sqrt/
+    division per emitted pair; default-ON max_df hot-term guard."""
+    from area_etl_spark.operators.text_analysis import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(_tables(spark, sf_dir)["documents"], threshold=0.5)
+
+
+def q_hll_distinct(spark, sf_dir):
+    """Portable HyperLogLog over event user ids — md5 string-arithmetic
+    registers (no float log in extraction), sorted-fold harmonic sum,
+    small-range correction; bit-identical under any partitioning and in
+    DuckDB."""
+    from area_etl_spark.operators.sketches import hll_distinct_portable
+
+    return hll_distinct_portable(_tables(spark, sf_dir)["events"], "user_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (round 9)
 # ---------------------------------------------------------------------------
@@ -6308,6 +6327,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sprt_ab": q_sprt_ab,
         "power_two_proportions": q_power_two_proportions,
         "fifo_open_lots": q_fifo_open_lots,
+        "tfidf_cosine": q_tfidf_cosine,
+        "hll_distinct": q_hll_distinct,
         # — rows-only by design (seeded-hash candidate generators; no oracle) —
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -6992,6 +7013,12 @@ def _power_sql(z_alpha: float = 1.959963984540054, z_beta: float = 0.84162123357
         FROM s
     """
 
+
+from area_etl_spark.operators.sketches import HLL_DIGIT_ZEROS as _HLL_DZ  # noqa: E402
+
+_HLL_DIGIT_CASE_SQL = " ".join(
+    f"WHEN '{d}' THEN {z}" for d, z in _HLL_DZ.items()
+)
 
 _FIFO_TRADES_SQL = """li AS (
     SELECT user_id % 50 AS sym,
@@ -12806,6 +12833,74 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.cluster_size AS BIGINT) AS cluster_size,
                    round(1.0 / c.cluster_size, 6) AS weight
             FROM n JOIN c USING (key)
+        """,
+        "tfidf_cosine": """
+            WITH toks AS (
+                SELECT doc_id AS id,
+                       unnest(string_split_regex(trim(lower(COALESCE(text, ''))), '\\s+')) AS t
+                FROM documents
+            ), tf AS (
+                SELECT id, t, COUNT(*) AS tf FROM toks WHERE t <> '' GROUP BY 1, 2
+            ), nd AS (
+                SELECT COUNT(DISTINCT doc_id) AS N FROM documents
+            ), dfq AS (
+                SELECT t, COUNT(*) AS df FROM tf GROUP BY t HAVING COUNT(*) <= 64
+            ), posting AS (
+                SELECT id, tf.t,
+                       CAST(tf * CAST(round(ln(CAST(N AS DOUBLE) / df) * 1000000.0) AS BIGINT) AS HUGEINT) AS w
+                FROM tf JOIN dfq USING (t) CROSS JOIN nd
+            ), norms AS (
+                SELECT id, SUM(w * w) AS norm2 FROM posting GROUP BY id
+            ), dots AS (
+                SELECT x.id AS id_a, y.id AS id_b, SUM(x.w * y.w) AS dot
+                FROM posting x JOIN posting y ON x.t = y.t AND x.id < y.id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(CAST(dot AS DOUBLE)
+                         / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))), 6) AS cosine
+            FROM dots
+            JOIN norms na ON na.id = dots.id_a
+            JOIN norms nb ON nb.id = dots.id_b
+            WHERE round(CAST(dot AS DOUBLE)
+                        / (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE))), 6) >= 0.5
+        """,
+        "hll_distinct": f"""
+            WITH h AS (
+                SELECT md5(CAST(user_id AS VARCHAR)) AS h FROM events
+            ), ext AS (
+                SELECT CAST(CAST('0x' || substr(h, 1, 12) AS BIGINT) % 64 AS INT) AS b,
+                       substr(h, 13, 15) AS tail
+                FROM h
+            ), rho AS (
+                SELECT b,
+                       CASE WHEN regexp_replace(tail, '^0+', '') = '' THEN 61
+                            ELSE (length(tail) - length(regexp_replace(tail, '^0+', ''))) * 4
+                                 + CASE substr(regexp_replace(tail, '^0+', ''), 1, 1)
+                                   {_HLL_DIGIT_CASE_SQL}
+                                   END + 1
+                       END AS rho
+                FROM ext
+            ), regs AS (
+                SELECT b, MAX(rho) AS m FROM rho GROUP BY b
+            ), spine AS (
+                SELECT CAST(unnest(range(64)) AS INT) AS b
+            ), filled AS (
+                SELECT spine.b, COALESCE(regs.m, 0) AS m
+                FROM spine LEFT JOIN regs USING (b)
+            ), agg AS (
+                SELECT list_reduce(
+                           list_prepend(0.0::DOUBLE,
+                               list(pow(2.0, -CAST(m AS DOUBLE)) ORDER BY b)),
+                           (a, x) -> a + x) AS S,
+                       CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+                FROM filled
+            )
+            SELECT 64 AS m, v_zero,
+                   round(CASE WHEN 0.709 * 64 * 64 / S <= 2.5 * 64 AND v_zero > 0
+                              THEN 64.0 * ln(64.0 / CAST(v_zero AS DOUBLE))
+                              ELSE 0.709 * 64 * 64 / S END, 3) + 0.0 AS estimate
+            FROM agg
         """,
         "nelson_aalen": """
             WITH s AS (

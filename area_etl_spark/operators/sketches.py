@@ -293,3 +293,84 @@ def kmv_pairwise_jaccard(
         shared.alias("n_shared"),
         (shared.cast("double") / k_used.cast("double")).alias("jaccard"),
     )
+
+
+# HLL register-extraction pieces (module-level so the oracle generator and
+# the operator share one definition)
+HLL_M = 64  # 2^6 buckets
+HLL_ALPHA_64 = 0.709  # Flajolet et al. 2007 α_64 (m=64 constant)
+# extra leading zero bits contributed by the first non-zero hex digit
+HLL_DIGIT_ZEROS = {
+    "1": 3, "2": 2, "3": 2, "4": 1, "5": 1, "6": 1, "7": 1,
+    "8": 0, "9": 0, "a": 0, "b": 0, "c": 0, "d": 0, "e": 0, "f": 0,
+}
+
+
+def hll_distinct_portable(df: DataFrame, col: str) -> DataFrame:
+    """HyperLogLog distinct-count estimate that is FULLY deterministic and
+    engine-replayable — the third sketch tier beside KMV and the exact
+    bitmap: where Spark's approx_count_distinct is rows-only forever
+    (private hash), this one builds its registers from md5 STRING
+    arithmetic both engines spell identically.
+
+    Register extraction without any float log: bucket = md5 int prefix
+    mod 64; rho = 1 + leading-zero BITS of the next 60 hash bits, counted
+    as 4·(leading '0' hex chars) + a 15-case digit table — pure string
+    ops.  Registers are exact integer maxima; the harmonic sum Σ2^(−M_j)
+    adds EXACT binary fractions in sorted bucket order (the sorted-fold
+    recipe), and the standard small-range correction (E ≤ 2.5m with empty
+    registers → m·ln(m/V)) applies identically.  One hash aggregate over
+    64 groups — map-side combined, mergeable across partitions by
+    construction (max is the merge), the property that makes HLL the
+    100 TB distinct-count workhorse.
+
+    Returns one row: (m, v_zero, estimate) with estimate rounded to 3
+    decimals (a float estimate — the EXACT tiers are bitmap_distinct /
+    kmv_distinct; standard error here is 1.04/√64 ≈ 13%).
+    """
+    h = F.md5(F.col(col).cast("string"))
+    bucket = (F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % HLL_M).cast("int")
+    tail = F.substring(h, 13, 15)  # 60 bits
+    stripped = F.regexp_replace(tail, "^0+", "")
+    nz = F.length(tail) - F.length(stripped)
+    first = F.substring(stripped, 1, 1)
+    offset = F.lit(None).cast("int")
+    expr = None
+    for d, z in HLL_DIGIT_ZEROS.items():
+        cond = F.when(first == d, F.lit(z))
+        expr = cond if expr is None else expr.when(first == d, F.lit(z))
+    rho = F.when(stripped == "", F.lit(61)).otherwise(
+        (nz * 4 + expr + 1).cast("int")
+    )
+    regs = (
+        df.select(bucket.alias("_b"), rho.alias("_rho"))
+        .groupBy("_b")
+        .agg(F.max("_rho").alias("_m"))
+    )
+    spark = df.sparkSession
+    spine = spark.range(HLL_M).select(F.col("id").cast("int").alias("_b"))
+    full = spine.join(regs, "_b", "left").select(
+        "_b", F.coalesce("_m", F.lit(0)).alias("_m")
+    )
+    # sorted fold of exact powers of two; then the closed-form estimate
+    agg = full.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("_b"), F.col("_m")))),
+                lambda st: F.pow(F.lit(2.0), -st.getField("_m").cast("double")),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("_S"),
+        F.sum(F.when(F.col("_m") == 0, 1).otherwise(0)).alias("v_zero"),
+    )
+    raw = F.lit(HLL_ALPHA_64) * HLL_M * HLL_M / F.col("_S")
+    corrected = F.when(
+        (raw <= 2.5 * HLL_M) & (F.col("v_zero") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("v_zero").cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        F.lit(HLL_M).alias("m"),
+        F.col("v_zero").cast("long").alias("v_zero"),
+        (F.round(corrected, 3) + F.lit(0.0)).alias("estimate"),
+    )

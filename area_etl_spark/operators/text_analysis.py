@@ -649,3 +649,78 @@ def compression_ratio(
     return docs.select(id_col, text_col).mapInPandas(
         score, schema=f"{id_col} long, n_bytes long, n_compressed long, ratio double"
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 64,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs — the lexical similarity tier
+    between exact dedup and embedding cosine (IR-classic: near-topical
+    pairs share weighted vocabulary even when shingles don't align).
+
+    Determinism by INTEGER weights: idf is quantized once to micro-units
+    (round(ln(N/df)·10⁶) — one ln per TERM, identically rounded on both
+    engines), so every per-document weight w = tf·idf_micros, every norm²
+    = Σw², and every pair dot product Σ w_a·w_b are EXACT DECIMAL(38,0)
+    integers; the only floats are the final sqrt/division per pair.
+
+    Shape: postings (doc, term, w) self-join on the term key with the
+    default-ON ``max_df`` hot-term guard (stopword-grade terms generate
+    df² candidate pairs and carry ~zero idf anyway — the containment/LSH
+    guard applied to IR), then one pair aggregate + two broadcast-or-
+    shuffle norm joins.  Emits ordered pairs (id_a < id_b) with cosine ≥
+    threshold.  The verification-tier pricing of containment_pairs
+    applies: block first at corpus scale.
+    """
+    from area_etl_spark.operators.dedup import normalize_tokens
+
+    dec = "decimal(38,0)"
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(normalize_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("_t"),
+    ).where(F.col("_t") != "")
+    tf = toks.groupBy("_id", "_t").agg(F.count(F.lit(1)).alias("_tf"))
+    n_docs = df.select(F.countDistinct(id_col).alias("_N"))
+    dfreq = tf.groupBy("_t").agg(F.count(F.lit(1)).alias("_df")).where(
+        F.col("_df") <= max_df
+    )
+    posting = (
+        tf.join(dfreq, "_t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "_id",
+            "_t",
+            (
+                F.col("_tf")
+                * F.round(
+                    F.log(F.col("_N").cast("double") / F.col("_df")) * 1000000.0
+                ).cast("long")
+            ).cast(dec).alias("_w"),
+        )
+    )
+    norms = posting.groupBy("_id").agg(
+        F.sum(F.col("_w") * F.col("_w")).alias("_norm2")
+    )
+    x, y = posting.alias("x"), posting.alias("y")
+    dots = (
+        x.join(y, "_t")
+        .where(F.col("x._id") < F.col("y._id"))
+        .groupBy(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .agg(F.sum(F.col("x._w") * F.col("y._w")).alias("_dot"))
+    )
+    out = (
+        dots.join(norms.withColumnRenamed("_id", "id_a").withColumnRenamed("_norm2", "_na"), "id_a")
+        .join(norms.withColumnRenamed("_id", "id_b").withColumnRenamed("_norm2", "_nb"), "id_b")
+    )
+    cos = F.round(
+        F.col("_dot").cast("double")
+        / (F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double"))),
+        6,
+    )
+    return out.select("id_a", "id_b", cos.alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )

@@ -923,3 +923,52 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     )
     out = {r.doc_id: r.log_weight for r in dsir_weights(src, tgt).collect()}
     assert out[1] > out[3] > out[2]  # pet-like > mixed > finance
+
+
+def test_tfidf_cosine_orders_pairs_sensibly(spark):
+    from area_etl_spark.operators.text_analysis import tfidf_cosine_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry date"),
+            (2, "apple banana cherry fig"),
+            (3, "quantum flux capacitor engine"),
+            (4, "apple banana cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.id_a, r.id_b): r.cosine for r in tfidf_cosine_pairs(docs, threshold=0.05).collect()}
+    assert out[(1, 4)] == 1.0                      # identical docs
+    assert 0 < out[(1, 2)] < out[(1, 4)]           # 3-of-4 overlap in between
+    assert (1, 3) not in out and (2, 3) not in out  # disjoint vocab: no pair
+    assert out[(1, 2)] == out[(2, 4)]              # 4 is a copy of 1
+
+
+def test_tfidf_cosine_hot_term_guard(spark):
+    from area_etl_spark.operators.text_analysis import tfidf_cosine_pairs
+
+    # every doc shares one stopword-grade term and nothing else: with
+    # max_df=4 the term drops, so no candidate pair survives
+    docs = spark.createDataFrame(
+        [(i, f"the unique{i} token{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    assert tfidf_cosine_pairs(docs, threshold=0.0, max_df=4).count() == 0
+
+
+def test_hll_portable_deterministic_and_in_band(spark):
+    from pyspark.sql import functions as F
+
+    from area_etl_spark.operators.sketches import hll_distinct_portable
+
+    df = spark.range(20000).select(F.col("id").alias("u"))
+    r1 = hll_distinct_portable(df, "u").collect()[0]
+    # deterministic: same input, ANY partitioning -> bit-identical estimate
+    r2 = hll_distinct_portable(df.repartition(13), "u").collect()[0]
+    assert r1.estimate == r2.estimate and r1.v_zero == r2.v_zero
+    # m=64 -> SE ~13%; assert a generous 3-sigma band
+    assert 0.6 * 20000 < r1.estimate < 1.4 * 20000
+    # small-range correction engages when registers are mostly empty
+    small = spark.createDataFrame([(i % 7,) for i in range(50)], "u int")
+    rs = hll_distinct_portable(small, "u").collect()[0]
+    assert rs.v_zero > 0 and 3 <= rs.estimate <= 12
