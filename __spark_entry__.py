@@ -5781,6 +5781,20 @@ def q_tfidf_cosine(spark, sf_dir):
     return tfidf_cosine_pairs(_tables(spark, sf_dir)["documents"], threshold=0.5)
 
 
+def q_quantile_treatment_effect(spark, sf_dir):
+    """Distributional A/B: purchase-vs-view value-cents quantile gaps at
+    p25/p50/p75/p90 — exact type-7 quantiles via integer rank arithmetic
+    and aggregate-level cum lookups, never a per-arm collect."""
+    from area_etl_spark.operators.experiments import quantile_treatment_effect
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return quantile_treatment_effect(
+        ev, "event_type", "cents", "purchase", "view", q_pcts=[25, 50, 75, 90]
+    )
+
+
 def q_hll_distinct(spark, sf_dir):
     """Portable HyperLogLog over event user ids — md5 string-arithmetic
     registers (no float log in extraction), sorted-fold harmonic sum,
@@ -6329,6 +6343,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fifo_open_lots": q_fifo_open_lots,
         "tfidf_cosine": q_tfidf_cosine,
         "hll_distinct": q_hll_distinct,
+        "quantile_treatment_effect": q_quantile_treatment_effect,
         # — rows-only by design (seeded-hash candidate generators; no oracle) —
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -12833,6 +12848,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.cluster_size AS BIGINT) AS cluster_size,
                    round(1.0 / c.cluster_size, 6) AS weight
             FROM n JOIN c USING (key)
+        """,
+        "quantile_treatment_effect": """
+            WITH two AS (
+                SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+                FROM events WHERE event_type IN ('purchase', 'view')
+            ), per_val AS (
+                SELECT g, v, COUNT(*) AS cnt FROM two GROUP BY 1, 2
+            ), cums AS (
+                SELECT *, SUM(cnt) OVER (PARTITION BY g ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                FROM per_val
+            ), ns AS (
+                SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM two GROUP BY g
+            ), pos AS (
+                SELECT g, n, q_pct,
+                       (n - 1) * q_pct // 100 + 1 AS k1,
+                       LEAST((n - 1) * q_pct // 100 + 2, n) AS k2,
+                       (n - 1) * q_pct % 100 AS frac
+                FROM ns, (SELECT unnest([25, 50, 75, 90]) AS q_pct)
+            ), ranks AS (
+                SELECT g, q_pct, n, frac, k1 AS k, 1 AS which FROM pos
+                UNION ALL
+                SELECT g, q_pct, n, frac, k2, 2 FROM pos
+            ), looked AS (
+                SELECT r.g, r.q_pct, r.n, r.frac, r.which, c.v
+                FROM ranks r JOIN cums c
+                  ON r.g = c.g AND c.cum - c.cnt < r.k AND r.k <= c.cum
+            ), per_arm AS (
+                SELECT g, q_pct, MAX(n) AS n, MAX(frac) AS frac,
+                       MAX(CASE WHEN which = 1 THEN v END) AS v1,
+                       MAX(CASE WHEN which = 2 THEN v END) AS v2
+                FROM looked GROUP BY 1, 2
+            ), qv AS (
+                SELECT g, q_pct, n,
+                       CAST(v1 AS DOUBLE) + frac * (v2 - v1) / 100.0 AS q
+                FROM per_arm
+            ), piv AS (
+                SELECT CAST(q_pct AS INT) AS q_pct,
+                       MAX(CASE WHEN g = 'purchase' THEN n END) AS n_treat,
+                       MAX(CASE WHEN g = 'view' THEN n END) AS n_control,
+                       round(MAX(CASE WHEN g = 'purchase' THEN q END), 6) AS q_treat,
+                       round(MAX(CASE WHEN g = 'view' THEN q END), 6) AS q_control
+                FROM qv GROUP BY 1
+            )
+            SELECT q_pct, n_treat, n_control, q_treat, q_control,
+                   round(q_treat - q_control, 6) + 0.0 AS qte
+            FROM piv
         """,
         "tfidf_cosine": """
             WITH toks AS (

@@ -905,3 +905,87 @@ def power_two_proportions(
         p1 != p0, F.ceil(num * num / ((p1 - p0) * (p1 - p0))).cast("long")
     )
     return scenarios.withColumn("n_per_arm", n)
+
+
+def quantile_treatment_effect(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_treat: str,
+    group_control: str,
+    q_pcts: list[int] | None = None,
+) -> DataFrame:
+    """Quantile treatment effects — the distributional A/B readout a mean
+    test hides (a change can move the p90 of latency while leaving the
+    median alone): QTE(q) = Q_treat(q) − Q_control(q) at the requested
+    percentiles, with EXACT type-7 (numpy/DuckDB quantile_cont) quantiles
+    computed WITHOUT collecting an arm to one task.
+
+    The rank machinery is all-integer: with integer percents, h·100 =
+    (n−1)·q is exact, the bracketing ranks are h100 div 100 + 1 and +2,
+    and the interpolation weight is (h100 mod 100)/100 — so
+    Q(q) = v₁ + (h100 mod 100)·(v₂ − v₁)/100 has ONE float step.  Rank
+    lookup is the aggregate-level idiom: per-distinct-value cumulative
+    counts (window over |distinct values| per arm, the mann_whitney
+    shape), then an equi-join of the O(|q|) rank table against the cum
+    ranges — never a per-arm collect, never a global row sort.
+
+    Returns one row per percentile: (q_pct, n_treat, n_control, q_treat,
+    q_control, qte).
+    """
+    from pyspark.sql import Window
+
+    qs = q_pcts or [25, 50, 75]
+    two = df.where(F.col(group_col).isin([group_treat, group_control])).select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    )
+    per_val = two.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_cnt"))
+    w = Window.partitionBy("_g").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cums = per_val.withColumn("_cum", F.sum("_cnt").over(w))
+    ns = two.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    q_lits = F.array(*[F.lit(int(q)) for q in qs])
+    pos = (
+        ns.select("_g", "_n", F.explode(q_lits).alias("q_pct"))
+        .withColumn("_h100", (F.col("_n") - 1) * F.col("q_pct"))
+        .withColumn("_k1", (F.col("_h100") / 100).cast("long") + 1)
+        .withColumn("_k2", F.least((F.col("_h100") / 100).cast("long") + 2, F.col("_n")))
+        .withColumn("_frac", F.col("_h100") % 100)
+    )
+    ranks = pos.select(
+        "_g", "q_pct", "_n", "_frac", F.col("_k1").alias("_k"), F.lit(1).alias("_which")
+    ).unionByName(
+        pos.select(
+            "_g", "q_pct", "_n", "_frac", F.col("_k2").alias("_k"), F.lit(2).alias("_which")
+        )
+    )
+    looked = ranks.join(
+        cums,
+        (ranks["_g"] == cums["_g"])
+        & (F.col("_cum") - F.col("_cnt") < F.col("_k"))
+        & (F.col("_k") <= F.col("_cum")),
+    ).select(ranks["_g"].alias("_g"), "q_pct", "_n", "_frac", "_which", "_v")
+    per_arm_q = looked.groupBy("_g", "q_pct").agg(
+        F.first("_n").alias("_n"),
+        F.first("_frac").alias("_frac"),
+        F.max(F.when(F.col("_which") == 1, F.col("_v"))).alias("_v1"),
+        F.max(F.when(F.col("_which") == 2, F.col("_v"))).alias("_v2"),
+    ).withColumn(
+        "_q",
+        F.col("_v1").cast("double")
+        + F.col("_frac") * (F.col("_v2") - F.col("_v1")) / 100.0,
+    )
+    t = F.when(F.col("_g") == group_treat, 1).otherwise(0)
+    return (
+        per_arm_q.groupBy("q_pct")
+        .agg(
+            F.max(F.when(t == 1, F.col("_n"))).alias("n_treat"),
+            F.max(F.when(t == 0, F.col("_n"))).alias("n_control"),
+            F.round(F.max(F.when(t == 1, F.col("_q"))), 6).alias("q_treat"),
+            F.round(F.max(F.when(t == 0, F.col("_q"))), 6).alias("q_control"),
+        )
+        .withColumn(
+            "qte", F.round(F.col("q_treat") - F.col("q_control"), 6) + F.lit(0.0)
+        )
+    )

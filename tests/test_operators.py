@@ -2723,3 +2723,21 @@ def test_fifo_open_lots_complements_cost_basis(spark):
     assert ("X", 1) not in out
     assert (out[("X", 2)].remaining_qty, out[("X", 2)].remaining_value_cents) == (3, 360)
     assert (out[("Y", 1)].remaining_qty, out[("Y", 1)].qty) == (7, 7)
+
+
+def test_qte_matches_numpy_type7(spark):
+    import numpy as np
+
+    from area_etl_spark.operators.experiments import quantile_treatment_effect
+
+    t_vals = [10, 20, 30, 40, 100]
+    c_vals = [5, 15, 25, 35]
+    df = spark.createDataFrame(
+        [("t", v) for v in t_vals] + [("c", v) for v in c_vals], "g string, v long"
+    )
+    out = {r.q_pct: r for r in quantile_treatment_effect(df, "g", "v", "t", "c").collect()}
+    for q in (25, 50, 75):
+        assert abs(out[q].q_treat - float(np.quantile(t_vals, q / 100))) < 1e-9
+        assert abs(out[q].q_control - float(np.quantile(c_vals, q / 100))) < 1e-9
+    assert out[50].qte == 10.0
+    assert (out[25].n_treat, out[25].n_control) == (5, 4)
