@@ -5781,6 +5781,15 @@ def q_tfidf_cosine(spark, sf_dir):
     return tfidf_cosine_pairs(_tables(spark, sf_dir)["documents"], threshold=0.5)
 
 
+def q_rake_keyphrases(spark, sf_dir):
+    """RAKE top-3 keyphrases per document — gaps-and-islands phrase
+    candidates, exact integer (degree, freq) word stats broadcast back,
+    word-position-ordered score fold, total-order top-k."""
+    from area_etl_spark.operators.text_analysis import rake_keyphrases
+
+    return rake_keyphrases(_tables(spark, sf_dir)["documents"], topk=3)
+
+
 def q_quantile_treatment_effect(spark, sf_dir):
     """Distributional A/B: purchase-vs-view value-cents quantile gaps at
     p25/p50/p75/p90 — exact type-7 quantiles via integer rank arithmetic
@@ -6344,6 +6353,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_cosine": q_tfidf_cosine,
         "hll_distinct": q_hll_distinct,
         "quantile_treatment_effect": q_quantile_treatment_effect,
+        "rake_keyphrases": q_rake_keyphrases,
         # — rows-only by design (seeded-hash candidate generators; no oracle) —
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -12848,6 +12858,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.cluster_size AS BIGINT) AS cluster_size,
                    round(1.0 / c.cluster_size, 6) AS weight
             FROM n JOIN c USING (key)
+        """,
+        "rake_keyphrases": f"""
+            WITH tk AS (
+                SELECT doc_id AS id,
+                       string_split_regex(trim(lower(COALESCE(text, ''))), '\\s+') AS a
+                FROM documents
+            ), toks AS (
+                SELECT id, i - 1 AS pos, a[i] AS tok
+                FROM tk, LATERAL (SELECT unnest(generate_series(1, len(a))) AS i)
+                WHERE a[i] <> ''
+            ), nonstop AS (
+                SELECT id, pos, tok FROM toks
+                WHERE tok NOT IN ({", ".join(repr(s) for s in sorted(TA.LANG_STOPWORDS["en"]))})
+            ), isl AS (
+                SELECT id, pos, tok,
+                       pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS g
+                FROM nonstop
+            ), ph AS (
+                SELECT id, g,
+                       list_slice(list(tok ORDER BY pos), 1, 4) AS words
+                FROM isl GROUP BY id, g
+            ), ph2 AS (
+                SELECT id, g, words, len(words) AS n_words FROM ph
+            ), wstats AS (
+                SELECT w, CAST(SUM(n_words) AS BIGINT) AS degree, COUNT(*) AS freq
+                FROM (SELECT n_words, unnest(words) AS w FROM ph2)
+                GROUP BY w
+            ), expl AS (
+                SELECT id, g, n_words, words, i AS wp, words[i] AS w
+                FROM ph2, LATERAL (SELECT unnest(generate_series(1, len(words))) AS i)
+            ), scored AS (
+                SELECT expl.id, expl.g,
+                       MAX(expl.n_words) AS n_words,
+                       array_to_string(MAX(expl.words), ' ') AS phrase,
+                       round(list_reduce(
+                           list_prepend(0.0::DOUBLE,
+                               list(CAST(degree AS DOUBLE) / freq ORDER BY wp)),
+                           (acc, x) -> acc + x), 6) AS score
+                FROM expl JOIN wstats ON wstats.w = expl.w
+                GROUP BY expl.id, expl.g
+            ), ranked AS (
+                SELECT id AS doc_id, phrase, CAST(n_words AS INT) AS n_words, score,
+                       CAST(row_number() OVER (PARTITION BY id
+                           ORDER BY score DESC, phrase ASC, g ASC) AS INT) AS rank
+                FROM scored
+            )
+            SELECT doc_id, phrase, n_words, score, rank FROM ranked WHERE rank <= 3
         """,
         "quantile_treatment_effect": """
             WITH two AS (

@@ -724,3 +724,112 @@ def tfidf_cosine_pairs(
     return out.select("id_a", "id_b", cos.alias("cosine")).where(
         F.col("cosine") >= threshold
     )
+
+
+def rake_keyphrases(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: tuple[str, ...] = LANG_STOPWORDS["en"],
+    topk: int = 3,
+    max_phrase_len: int = 4,
+) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) — unsupervised
+    multi-word keywords: candidate phrases are maximal stopword-free token
+    runs, each word scores degree/frequency over the CORPUS phrase set
+    (degree = Σ lengths of phrases containing the word — co-occurrence
+    rewards words that travel in long phrases), and a phrase scores the
+    sum of its word scores; top-k phrases per document.
+
+    Distributed as gaps-and-islands over token positions: posexplode →
+    drop stopwords → island id = position − per-doc non-stop rank (one
+    per-doc window; consecutive survivors share an island) → phrases
+    rebuild per (doc, island) with an ordered collect bounded by
+    ``max_phrase_len``-truncation.  Word scores are an EXACT integer
+    (degree, freq) aggregate over the corpus vocabulary (dimension-sized,
+    broadcast back); the phrase score folds word scores IN WORD-POSITION
+    ORDER (the sorted-fold recipe — each term is the single division
+    degree/freq).  Top-k per doc via row_number over (score desc, phrase)
+    — total order, deterministic.  Returns (id, phrase, n_words, score,
+    rank).
+    """
+    from pyspark.sql import Window
+
+    from area_etl_spark.operators.dedup import normalize_tokens
+
+    sw = F.array(*[F.lit(s) for s in sorted(stopwords)])
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            normalize_tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("_pos", "_tok"),
+    ).where(F.col("_tok") != "")
+    nonstop = toks.where(~F.array_contains(sw, F.col("_tok")))
+    w = Window.partitionBy("_id").orderBy("_pos")
+    islands = nonstop.withColumn(
+        "_isl", F.col("_pos") - F.row_number().over(w)
+    )
+    phrases = (
+        islands.groupBy("_id", "_isl")
+        .agg(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_pos"), F.col("_tok")))
+                    ),
+                    lambda st: st.getField("_tok"),
+                ),
+                1,
+                max_phrase_len,
+            ).alias("_words")
+        )
+        .withColumn("n_words", F.size("_words"))
+    )
+    word_stats = (
+        phrases.select(F.explode("_words").alias("_w"), F.col("n_words"))
+        .groupBy("_w")
+        .agg(
+            F.sum("n_words").alias("_degree"),
+            F.count(F.lit(1)).alias("_freq"),
+        )
+    )
+    exploded = phrases.select(
+        "_id", "_isl", "_words", "n_words", F.posexplode("_words").alias("_wp", "_w")
+    )
+    scored = (
+        exploded.join(F.broadcast(word_stats), "_w")
+        .groupBy("_id", "_isl")
+        .agg(
+            F.first("n_words").alias("n_words"),
+            F.concat_ws(" ", F.first("_words")).alias("phrase"),
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("_wp"),
+                                    (
+                                        F.col("_degree").cast("double")
+                                        / F.col("_freq")
+                                    ).alias("_s"),
+                                )
+                            )
+                        ),
+                        lambda st: st.getField("_s"),
+                    ),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    wr = Window.partitionBy("_id").orderBy(
+        F.col("score").desc(), F.col("phrase").asc(), F.col("_isl").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= topk)
+        .select(F.col("_id").alias(id_col), "phrase", "n_words", "score", "rank")
+    )

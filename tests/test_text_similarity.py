@@ -972,3 +972,24 @@ def test_hll_portable_deterministic_and_in_band(spark):
     small = spark.createDataFrame([(i % 7,) for i in range(50)], "u int")
     rs = hll_distinct_portable(small, "u").collect()[0]
     assert rs.v_zero > 0 and 3 <= rs.estimate <= 12
+
+
+def test_rake_keyphrases_textbook_behavior(spark):
+    from area_etl_spark.operators.text_analysis import rake_keyphrases
+
+    docs = spark.createDataFrame(
+        [
+            (1, "machine learning systems and the deep neural network models for machine learning"),
+            (2, "the quick brown fox is in a hurry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.doc_id, r.rank): r for r in rake_keyphrases(docs, topk=3).collect()}
+    # stopwords split phrases; the longest distinctive run wins
+    assert out[(1, 1)].phrase == "deep neural network models" and out[(1, 1)].score == 16.0
+    assert out[(1, 2)].phrase == "machine learning systems"
+    # repeated words share degree across phrases: 'machine learning' (freq 2)
+    # still ranks because degree accumulates
+    assert out[(1, 3)].phrase == "machine learning"
+    assert out[(2, 1)].phrase == "quick brown fox" and out[(2, 1)].score == 9.0
+    assert out[(2, 2)].phrase == "hurry" and out[(2, 2)].n_words == 1
