@@ -12662,27 +12662,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals
             FROM run GROUP BY event_type
         """,
-        "fifo_cost_basis": """
-            WITH li AS (
-                SELECT user_id % 50 AS sym,
-                       event_id AS ts,
-                       CASE WHEN event_id % 2 = 1 THEN 'buy' ELSE 'sell' END AS side,
-                       CAST(round(value * 100) AS BIGINT) % 50 + 1 AS q,
-                       CAST(round(value * 100) AS BIGINT) % 1000 + 1 AS p
-                FROM events
-            ), buys AS (
+        "fifo_cost_basis": f"""
+            WITH {_FIFO_TRADES_SQL}, buys AS (
                 SELECT sym,
-                       COALESCE(SUM(q) OVER (PARTITION BY sym ORDER BY ts
+                       COALESCE(SUM(q) OVER (PARTITION BY sym ORDER BY ts, q, p
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b0,
-                       COALESCE(SUM(q) OVER (PARTITION BY sym ORDER BY ts
+                       COALESCE(SUM(q) OVER (PARTITION BY sym ORDER BY ts, q, p
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + q AS b1,
                        p AS bp
                 FROM li WHERE side = 'buy'
             ), sells AS (
                 SELECT sym, ts AS sell_ts, q, p AS sell_price,
-                       COALESCE(SUM(q) OVER (PARTITION BY sym ORDER BY ts
+                       COALESCE(SUM(q) OVER (PARTITION BY sym ORDER BY ts, q, p
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s0,
-                       COALESCE(SUM(q) OVER (PARTITION BY sym ORDER BY ts
+                       COALESCE(SUM(q) OVER (PARTITION BY sym ORDER BY ts, q, p
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + q AS s1
                 FROM li WHERE side = 'sell'
             ), j AS (
@@ -12700,7 +12693,7 @@ def oracle_sql() -> dict[str, str]:
                        THEN (LEAST(b1, s1) - GREATEST(b0, s0)) * sell_price END), 0) AS BIGINT) AS proceeds_cents,
                    CAST(COALESCE(SUM(CASE WHEN b0 IS NOT NULL
                        THEN (LEAST(b1, s1) - GREATEST(b0, s0)) * (sell_price - bp) END), 0) AS BIGINT) AS realized_pnl_cents
-            FROM j GROUP BY sym, sell_ts, q, sell_price
+            FROM j GROUP BY sym, sell_ts, q, sell_price, s0
         """,
         "t_closeness": """
             WITH cell AS (
@@ -12793,7 +12786,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type, 3, cr3, hd3, tl3, n, S, SS FROM agg
             )
             SELECT event_type, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n,
-                   CASE WHEN n * n * SS - n * S * S <> 0 THEN
+                   CASE WHEN n * n * SS - n * S * S <> 0 AND n > lag THEN
                        round(CAST(n * n * COALESCE(cr, 0)
                                   - n * S * (COALESCE(hd, 0) + COALESCE(tl, 0))
                                   + (n - lag) * S * S AS DOUBLE)
@@ -12848,7 +12841,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_soft_weights": """
             WITH n AS (
                 SELECT doc_id,
-                       array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ') AS key
+                       array_to_string(string_split_regex(trim(lower(COALESCE(text, ''))), '\\s+'), ' ') AS key
                 FROM documents
             ), c AS (
                 SELECT key, MIN(doc_id) AS cluster_id, COUNT(*) AS cluster_size
@@ -13062,9 +13055,9 @@ def oracle_sql() -> dict[str, str]:
             WITH {_FIFO_TRADES_SQL},
             buys AS (
                 SELECT sym, ts AS buy_ts, p AS price, q AS qty,
-                       COALESCE(SUM(q) OVER (PARTITION BY sym ORDER BY ts
+                       COALESCE(SUM(q) OVER (PARTITION BY sym ORDER BY ts, q, p
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS b0,
-                       COALESCE(SUM(q) OVER (PARTITION BY sym ORDER BY ts
+                       COALESCE(SUM(q) OVER (PARTITION BY sym ORDER BY ts, q, p
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + q AS b1
                 FROM li WHERE side = 'buy'
             ), sold AS (

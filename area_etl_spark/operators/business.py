@@ -266,15 +266,21 @@ def fifo_cost_basis(
     All quantities and cent-prices stay BIGINT; pnl = matched·(sell_price
     − buy_price) summed exactly.  Oversold quantity (sells exceeding all
     buys — shorts) has no matching buy interval and surfaces as
-    matched_qty < qty.  Returns one row per sell:
-    (keys..., sell_ts, qty, sell_price, matched_qty, cost_cents,
+    matched_qty < qty.  Returns ONE ROW PER SELL — the cumulative
+    interval start identifies the sell, so two sells sharing (ts, qty,
+    price) stay separate rows.  Tied timestamps order by (ts, qty, price):
+    attribution is then deterministic up to fully-identical rows, which
+    are exchangeable (same totals either way); give trades a unique time
+    (sequence number) when per-lot identity under ties matters.
+
+    Output: (keys..., sell_ts, qty, sell_price, matched_qty, cost_cents,
     proceeds_cents, realized_pnl_cents).
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col), F.col(qty_col), F.col(price_col)
+    ).rowsBetween(Window.unboundedPreceding, -1)
     is_buy = F.lower(F.col(side_col)) == "buy"
     buys = (
         trades.where(is_buy)
@@ -309,7 +315,7 @@ def fifo_cost_basis(
         F.least("_b1", "_s1") - F.greatest("_b0", "_s0"),
     ).otherwise(F.lit(0))
     return (
-        j.groupBy(*keys, "sell_ts", "qty", "sell_price")
+        j.groupBy(*keys, "sell_ts", "qty", "sell_price", "_s0")
         .agg(
             F.sum(matched).alias("matched_qty"),
             F.sum(matched * F.col("_bp")).alias("cost_cents"),
@@ -324,6 +330,7 @@ def fifo_cost_basis(
         .withColumn(
             "realized_pnl_cents", F.coalesce("realized_pnl_cents", F.lit(0))
         )
+        .drop("_s0")
     )
 
 
@@ -344,15 +351,17 @@ def fifo_open_lots(
     partially) iff b1 > total_sold(key); its remaining quantity is
     b1 − max(b0, total_sold).  One per-key cumulative window over buys +
     one 1-row-per-key sell aggregate joined back (broadcast-or-shuffle on
-    the key), no pairwise join at all.  All BIGINT.  Returns one row per
-    open lot: (keys..., buy_ts, price, qty, remaining_qty,
+    the key), no pairwise join at all.  All BIGINT.  Tied buy timestamps
+    order by (ts, qty, price) — the fifo_cost_basis tie convention, so
+    the two operators attribute the same lots.  Returns one row per open
+    lot: (keys..., buy_ts, price, qty, remaining_qty,
     remaining_value_cents).
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col), F.col(qty_col), F.col(price_col)
+    ).rowsBetween(Window.unboundedPreceding, -1)
     is_buy = F.lower(F.col(side_col)) == "buy"
     buys = (
         trades.where(is_buy)

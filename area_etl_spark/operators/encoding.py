@@ -262,9 +262,17 @@ def one_hot_encode(
     keep = [F.col(c) for c in (id_cols or df.columns)]
     src = F.col(col)
     outs = []
+    names = []
     for c in categories:
         name = f"{col}_{re.sub(r'[^A-Za-z0-9]+', '_', c).strip('_').lower()}"
+        names.append(name)
         outs.append(F.when(src == c, 1).otherwise(0).cast("int").alias(name))
+    names.append(f"{col}_{other_col}")
+    if len(set(names)) != len(names):  # 'US-East' vs 'US East' — same slug
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(
+            f"one_hot_encode: categories collide after sanitization: {dupes}"
+        )
     in_list = src.isin(categories)
     outs.append(
         F.when(src.isNull() | ~in_list, 1).otherwise(0).cast("int").alias(

@@ -590,38 +590,50 @@ def dsir_weights(
     over md5-hashed token buckets (the feature_hash space, engine-portable
     by the repo-wide md5 recipe) with add-one smoothing — ratios are
     n-gram-model likelihood ratios in a FIXED 2^b space, so no vocabulary
-    is built and the 100 TB pass streams.  Bucket distributions are exact
-    BIGINT counts (two dimension-sized aggregates, broadcast); the
-    per-document float dot product folds in SORTED BUCKET ORDER (the
-    sorted-fold recipe), making scores bit-reproducible.  Returns
-    (id, n_tokens, log_weight) — higher = more target-like.
+    is built and the 100 TB pass streams.  The SOURCE corpus (the big
+    side) is tokenized and hashed ONCE: the per-document bucket counts
+    are computed first and the source distribution rolls up from them
+    (a 64-row second-stage aggregate), so the expensive explode+md5 scan
+    never runs twice.  Bucket distributions are exact BIGINT counts
+    (dimension-sized, broadcast); the per-document float dot product
+    folds in SORTED BUCKET ORDER (the sorted-fold recipe), making scores
+    bit-reproducible.  Returns (id, n_tokens, log_weight) — higher =
+    more target-like.
     """
     from area_etl_spark.operators.dedup import normalize_tokens
 
-    def bucket_counts(df):
-        toks = df.select(
-            F.explode(
-                normalize_tokens(F.coalesce(F.col(text_col), F.lit("")))
-            ).alias("_tok")
-        ).where(F.col("_tok") != "")
-        b = (
-            F.conv(F.substring(F.md5(F.col("_tok")), 1, 12), 16, 10).cast("long")
+    def _bucket(col):
+        return (
+            F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("long")
             % n_buckets
         ).cast("int")
-        return toks.select(b.alias("bucket")).groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("n")
-        )
 
     if n_buckets & (n_buckets - 1):
         raise ValueError("n_buckets must be a power of two")
     spark = source.sparkSession
     spine = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
-    src_n = spine.join(bucket_counts(source), "bucket", "left").select(
-        "bucket", F.coalesce("n", F.lit(0)).alias("_ns")
-    )
-    tgt_n = spine.join(bucket_counts(target), "bucket", "left").select(
-        "bucket", F.coalesce("n", F.lit(0)).alias("_nt")
-    )
+    # ONE tokenize+hash pass over the source: per-doc counts first ...
+    src_toks = source.select(
+        F.col(id_col),
+        F.explode(normalize_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("_tok"),
+    ).where(F.col("_tok") != "")
+    doc_b = src_toks.select(F.col(id_col), _bucket(F.col("_tok")).alias("bucket")).groupBy(
+        id_col, "bucket"
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    # ... then the source distribution is a 64-row rollup of those counts
+    src_n = spine.join(
+        doc_b.groupBy("bucket").agg(F.sum("_c").alias("n")), "bucket", "left"
+    ).select("bucket", F.coalesce("n", F.lit(0)).alias("_ns"))
+    tgt_toks = target.select(
+        F.explode(normalize_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("_tok")
+    ).where(F.col("_tok") != "")
+    tgt_n = spine.join(
+        tgt_toks.select(_bucket(F.col("_tok")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n")),
+        "bucket",
+        "left",
+    ).select("bucket", F.coalesce("n", F.lit(0)).alias("_nt"))
     ratios = (
         src_n.join(tgt_n, "bucket")
         .crossJoin(
@@ -639,19 +651,6 @@ def dsir_weights(
             ).alias("_llr"),
         )
     )
-    # per-doc token→bucket counts (UNSIGNED counts: likelihoods, not the
-    # signed hashing-trick features)
-    toks = source.select(
-        F.col(id_col),
-        F.explode(normalize_tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("_tok"),
-    ).where(F.col("_tok") != "")
-    b = (
-        F.conv(F.substring(F.md5(F.col("_tok")), 1, 12), 16, 10).cast("long")
-        % n_buckets
-    ).cast("int")
-    doc_b = toks.select(F.col(id_col), b.alias("bucket")).groupBy(
-        id_col, "bucket"
-    ).agg(F.count(F.lit(1)).alias("_c"))
     scored = doc_b.join(F.broadcast(ratios), "bucket").groupBy(id_col).agg(
         F.sum("_c").alias("n_tokens"),
         F.round(

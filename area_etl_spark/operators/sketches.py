@@ -334,7 +334,6 @@ def hll_distinct_portable(df: DataFrame, col: str) -> DataFrame:
     stripped = F.regexp_replace(tail, "^0+", "")
     nz = F.length(tail) - F.length(stripped)
     first = F.substring(stripped, 1, 1)
-    offset = F.lit(None).cast("int")
     expr = None
     for d, z in HLL_DIGIT_ZEROS.items():
         cond = F.when(first == d, F.lit(z))

@@ -644,7 +644,13 @@ def acf_lags(
         n.cast("long").alias("n"),
         (
             F.round(
-                F.when(den != 0, num.cast("double") / den.cast("double")), 6
+                # lag ≥ n has no overlapping pairs: the formula's (n−k)·S²
+                # term would fabricate a value (even |r| > 1) — NULL it
+                F.when(
+                    (den != 0) & (n > F.col("lag")),
+                    num.cast("double") / den.cast("double"),
+                ),
+                6,
             )
             + F.lit(0.0)
         ).alias("r"),

@@ -424,31 +424,46 @@ def _writer_lock(dir_path: str, stale_after_s: float = 3600.0):
     error path.
 
     Protocol: ``O_CREAT|O_EXCL`` on ``<dir>/_LOCK`` (POSIX-atomic creation
-    — exactly one writer wins).  A lock older than ``stale_after_s`` is a
-    crashed writer; takeover unlinks it and re-races the O_EXCL create, so
-    two simultaneous takeovers still resolve to one winner.  The loser
-    raises :class:`ConcurrentWriteError` BEFORE any version allocation or
-    data write — a concurrent publish fails cleanly instead of two writers
-    allocating the same ``v=<n>`` directory and silently clobbering each
-    other's data files.
+    — exactly one writer wins), with a unique OWNERSHIP TOKEN written into
+    the file.  A lock older than ``stale_after_s`` is presumed crashed;
+    takeover RENAMES it aside (atomic — exactly one of N simultaneous
+    takeover racers succeeds, and a fresh lock created in the stat→rename
+    window cannot be destroyed because the rename moves whatever file is
+    there, which the racer then re-checks) and re-races the O_EXCL create.
+    Release is ownership-checked: the holder unlinks only a lock that
+    still carries ITS token, so a writer whose lock was (mis)taken over —
+    e.g. one genuinely slower than the stale window — cannot remove the
+    new holder's lock and re-admit a third writer.  The residual risk is
+    inherent to every lease without a coordinator: a writer that stalls
+    past ``stale_after_s`` can lose the lock mid-write — size the window
+    to the slowest plausible publish.
 
     Like Iceberg's/Delta's commit protocols this assumes the filesystem
     gives atomic create/rename (POSIX, HDFS do; raw S3 needs a DynamoDB-ish
     coordinator — same caveat those formats document)."""
     import os
     import time
+    import uuid
 
     os.makedirs(dir_path, exist_ok=True)
     lock = os.path.join(dir_path, "_LOCK")
+    token = f"pid={os.getpid()} token={uuid.uuid4().hex}\n"
 
-    def _try_acquire() -> int | None:
+    def _try_acquire() -> bool:
         try:
-            return os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
-            return None
+            return False
+        try:
+            os.write(fd, token.encode())
+        except Exception:
+            os.close(fd)
+            os.unlink(lock)  # never leave an empty lock we can't identify
+            raise
+        os.close(fd)
+        return True
 
-    fd = _try_acquire()
-    if fd is None:
+    if not _try_acquire():
         try:
             age = time.time() - os.stat(lock).st_mtime
         except FileNotFoundError:
@@ -458,23 +473,20 @@ def _writer_lock(dir_path: str, stale_after_s: float = 3600.0):
                 f"another writer holds {lock} (age {age:.0f}s); "
                 f"retry after it commits or after {stale_after_s:.0f}s if crashed"
             )
-        if age is not None:  # stale: take over (unlink tolerates a racer)
+        if age is not None:  # stale: move it aside — atomic, one racer wins
             try:
-                os.unlink(lock)
+                os.rename(lock, f"{lock}.stale.{uuid.uuid4().hex}")
             except FileNotFoundError:
-                pass
-        fd = _try_acquire()
-        if fd is None:
+                pass  # a racer already took it over / released
+        if not _try_acquire():
             raise ConcurrentWriteError(f"lost takeover race for {lock}")
-    try:
-        os.write(fd, f"pid={os.getpid()} t={time.time():.3f}\n".encode())
-    finally:
-        os.close(fd)
     try:
         yield
     finally:
         try:
-            os.unlink(lock)
+            with open(lock, encoding="utf-8") as f:
+                if f.read() == token:  # ownership check: unlink OUR lock only
+                    os.unlink(lock)
         except FileNotFoundError:
             pass
 

@@ -2741,3 +2741,45 @@ def test_qte_matches_numpy_type7(spark):
         assert abs(out[q].q_control - float(np.quantile(c_vals, q / 100))) < 1e-9
     assert out[50].qte == 10.0
     assert (out[25].n_treat, out[25].n_control) == (5, 4)
+
+
+def test_fifo_tied_identical_sells_stay_separate_rows(spark):
+    """Review fix (r9): two sells sharing (ts, qty, price) must emit TWO
+    rows (identified by their cumulative interval), and tie order is
+    (ts, qty, price) so totals are deterministic."""
+    from area_etl_spark.operators.business import fifo_cost_basis
+
+    tr = spark.createDataFrame(
+        [
+            ("X", 1, "buy", 10, 100),
+            ("X", 5, "sell", 4, 120),
+            ("X", 5, "sell", 4, 120),  # identical tied sell
+        ],
+        "sym string, ts long, side string, q long, p long",
+    )
+    rows = fifo_cost_basis(tr, ["sym"], "ts", "side", "q", "p").collect()
+    assert len(rows) == 2
+    assert all(r.matched_qty == 4 and r.cost_cents == 400 for r in rows)
+
+
+def test_acf_lag_beyond_series_is_null(spark):
+    """Review fix (r9): a lag with zero overlapping pairs must be NULL,
+    not a fabricated value from the (n−k)·S² term."""
+    from area_etl_spark.operators.windows import acf_lags
+
+    df = spark.createDataFrame([("a", 0, 1), ("a", 1, 3)], "k string, t long, x long")
+    out = {r.lag: r.r for r in acf_lags(df, ["k"], "t", "x", max_lag=3).collect()}
+    assert out[1] is not None
+    assert out[2] is None and out[3] is None
+
+
+def test_one_hot_rejects_colliding_category_slugs(spark):
+    import pytest
+
+    from area_etl_spark.operators.encoding import one_hot_encode
+
+    df = spark.createDataFrame([(1, "US-East")], "id int, region string")
+    with pytest.raises(ValueError, match="collide"):
+        one_hot_encode(df, "region", ["US-East", "US East"], id_cols=["id"])
+    with pytest.raises(ValueError, match="collide"):
+        one_hot_encode(df, "region", ["other"], id_cols=["id"])

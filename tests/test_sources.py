@@ -389,3 +389,24 @@ def test_avro_roundtrip_gated(spark, tables, tmp_path):
     else:
         with pytest.raises(AnalysisException, match="(?i)avro"):
             reload_overwrite(src, path, fmt="avro")
+
+
+def test_writer_lock_release_is_ownership_checked(spark, tmp_path):
+    """Review fix (r9): a writer whose lock was taken over (slower than the
+    stale window) must NOT remove the new holder's lock on exit."""
+    import os
+
+    from area_etl_spark.sources.load import _writer_lock
+
+    t = str(tmp_path / "tbl")
+    lock = os.path.join(t, "_LOCK")
+    slow = _writer_lock(t, stale_after_s=3600.0)
+    slow.__enter__()
+    # simulate the takeover: a new holder replaced the slow writer's lock
+    os.unlink(lock)
+    with open(lock, "w", encoding="utf-8") as f:
+        f.write("pid=999 token=someoneelse\n")
+    slow.__exit__(None, None, None)  # slow writer exits...
+    assert os.path.exists(lock)      # ...but the new holder's lock survives
+    with open(lock, encoding="utf-8") as f:
+        assert "someoneelse" in f.read()
