@@ -5781,6 +5781,20 @@ def q_tfidf_cosine(spark, sf_dir):
     return tfidf_cosine_pairs(_tables(spark, sf_dir)["documents"], threshold=0.5)
 
 
+def q_mix_shift(spark, sf_dir):
+    """Mix-shift decomposition of the 1995→1996 average order value by
+    priority segment — mix/rate/interaction effects that reconcile exactly
+    to the overall delta; exact integer sums, fixed-order float effects."""
+    from area_etl_spark.operators.business import mix_shift_decomposition
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        F.year(F.col("o_orderdate")).alias("yr"),
+        F.col("o_orderpriority").alias("seg"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return mix_shift_decomposition(o, "yr", "seg", "cents", 1995, 1996)
+
+
 def q_rake_keyphrases(spark, sf_dir):
     """RAKE top-3 keyphrases per document — gaps-and-islands phrase
     candidates, exact integer (degree, freq) word stats broadcast back,
@@ -6354,6 +6368,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "quantile_treatment_effect": q_quantile_treatment_effect,
         "rake_keyphrases": q_rake_keyphrases,
+        "mix_shift": q_mix_shift,
         # — rows-only by design (seeded-hash candidate generators; no oracle) —
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -12851,6 +12866,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.cluster_size AS BIGINT) AS cluster_size,
                    round(1.0 / c.cluster_size, 6) AS weight
             FROM n JOIN c USING (key)
+        """,
+        "mix_shift": """
+            WITH two AS (
+                SELECT year(o_orderdate) = 1996 AS is_b,
+                       o_orderpriority AS segment,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+            ), seg AS (
+                SELECT segment,
+                       CAST(SUM(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                       CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                       CAST(SUM(CASE WHEN NOT is_b THEN v ELSE 0 END) AS BIGINT) AS s_a,
+                       CAST(SUM(CASE WHEN is_b THEN v ELSE 0 END) AS BIGINT) AS s_b
+                FROM two GROUP BY segment
+            ), tot AS (
+                SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a, CAST(SUM(n_b) AS BIGINT) AS tot_b FROM seg
+            ), fx AS (
+                SELECT segment, n_a, n_b,
+                       CAST(n_a AS DOUBLE) / tot_a AS w1,
+                       CAST(n_b AS DOUBLE) / tot_b AS w2,
+                       CASE WHEN n_a > 0 THEN CAST(s_a AS DOUBLE) / n_a ELSE 0.0 END AS r1,
+                       CASE WHEN n_b > 0 THEN CAST(s_b AS DOUBLE) / n_b ELSE 0.0 END AS r2
+                FROM seg, tot
+            )
+            SELECT segment, n_a, n_b,
+                   round(r1, 6) + 0.0 AS rate_a,
+                   round(r2, 6) + 0.0 AS rate_b,
+                   round((w2 - w1) * r1, 6) + 0.0 AS mix_effect,
+                   round(w1 * (r2 - r1), 6) + 0.0 AS rate_effect,
+                   round((w2 - w1) * (r2 - r1), 6) + 0.0 AS interaction,
+                   round((w2 - w1) * r1 + w1 * (r2 - r1) + (w2 - w1) * (r2 - r1), 6) + 0.0 AS total_effect
+            FROM fx
         """,
         "rake_keyphrases": f"""
             WITH tk AS (

@@ -390,3 +390,66 @@ def fifo_open_lots(
         )
         .drop("_b0", "_b1", "_sold")
     )
+
+
+def mix_shift_decomposition(
+    df: DataFrame,
+    period_col: str,
+    segment_col: str,
+    value_col: str,
+    period_a,
+    period_b,
+) -> DataFrame:
+    """Mix-shift decomposition of a period-over-period rate/mean change —
+    the "did the metric move, or did the mix move?" answer every KPI
+    review needs: with w = segment share of volume and r = segment mean,
+
+        Δoverall = Σ_seg [ (w₂−w₁)·r₁  +  w₁·(r₂−r₁)  +  (w₂−w₁)·(r₂−r₁) ]
+                      mix effect          rate effect       interaction
+
+    — exact by construction: the three effects sum to r₂_overall −
+    r₁_overall segment by segment (algebraic identity), so the bridge
+    always reconciles.  Inputs are exact integer values (cents); one hash
+    aggregate per (period, segment) + a 1-row-per-period broadcast;
+    segments absent from a period enter with w = 0 and r = 0 — their
+    whole contribution lands in mix + interaction, the standard
+    convention.  Returns one row per segment: (segment, n_a, n_b,
+    rate_a, rate_b, mix_effect, rate_effect, interaction, total_effect).
+    """
+    two = df.where(F.col(period_col).isin([period_a, period_b])).select(
+        (F.col(period_col) == period_b).alias("_is_b"),
+        F.col(segment_col).alias("segment"),
+        F.col(value_col).alias("_v"),
+    )
+    seg = two.groupBy("segment").agg(
+        F.sum(F.when(~F.col("_is_b"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("_is_b"), 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(~F.col("_is_b"), F.col("_v")).otherwise(0)).alias("_s_a"),
+        F.sum(F.when(F.col("_is_b"), F.col("_v")).otherwise(0)).alias("_s_b"),
+    )
+    tot = seg.agg(
+        F.sum("n_a").alias("_N_a"), F.sum("n_b").alias("_N_b")
+    )
+    j = seg.crossJoin(F.broadcast(tot))
+    w1 = F.col("n_a").cast("double") / F.col("_N_a")
+    w2 = F.col("n_b").cast("double") / F.col("_N_b")
+    r1 = F.when(
+        F.col("n_a") > 0, F.col("_s_a").cast("double") / F.col("n_a")
+    ).otherwise(F.lit(0.0))
+    r2 = F.when(
+        F.col("n_b") > 0, F.col("_s_b").cast("double") / F.col("n_b")
+    ).otherwise(F.lit(0.0))
+    mix = (w2 - w1) * r1
+    rate = w1 * (r2 - r1)
+    inter = (w2 - w1) * (r2 - r1)
+    return j.select(
+        "segment",
+        "n_a",
+        "n_b",
+        (F.round(r1, 6) + F.lit(0.0)).alias("rate_a"),
+        (F.round(r2, 6) + F.lit(0.0)).alias("rate_b"),
+        (F.round(mix, 6) + F.lit(0.0)).alias("mix_effect"),
+        (F.round(rate, 6) + F.lit(0.0)).alias("rate_effect"),
+        (F.round(inter, 6) + F.lit(0.0)).alias("interaction"),
+        (F.round(mix + rate + inter, 6) + F.lit(0.0)).alias("total_effect"),
+    )

@@ -2783,3 +2783,28 @@ def test_one_hot_rejects_colliding_category_slugs(spark):
         one_hot_encode(df, "region", ["US-East", "US East"], id_cols=["id"])
     with pytest.raises(ValueError, match="collide"):
         one_hot_encode(df, "region", ["other"], id_cols=["id"])
+
+
+def test_mix_shift_reconciles_to_overall_delta(spark):
+    from area_etl_spark.operators.business import mix_shift_decomposition
+
+    rows = (
+        [("a", "s1", 100)] * 6 + [("a", "s2", 200)] * 4
+        + [("b", "s1", 110)] * 3 + [("b", "s2", 210)] * 7
+    )
+    df = spark.createDataFrame(rows, "p string, seg string, v long")
+    out = mix_shift_decomposition(df, "p", "seg", "v", "a", "b").collect()
+    r_a = (6 * 100 + 4 * 200) / 10
+    r_b = (3 * 110 + 7 * 210) / 10
+    # the bridge reconciles exactly: effects sum to the overall delta
+    assert abs(sum(r.total_effect for r in out) - (r_b - r_a)) < 1e-6
+    s2 = {r.segment: r for r in out}["s2"]
+    assert s2.mix_effect > 0  # s2 gained share
+    assert s2.rate_effect > 0  # and its own rate rose
+    # a segment absent from period b contributes only mix+interaction
+    df2 = spark.createDataFrame(
+        [("a", "gone", 100), ("a", "s1", 100), ("b", "s1", 100)],
+        "p string, seg string, v long",
+    )
+    gone = {r.segment: r for r in mix_shift_decomposition(df2, "p", "seg", "v", "a", "b").collect()}["gone"]
+    assert gone.rate_b == 0.0 and gone.rate_effect != 0 or gone.mix_effect != 0
