@@ -268,7 +268,11 @@ def trimmed_mean(
             *keys,
             "n_kept",
             "n_total",
-            F.round(F.col("_s").cast("double") / F.col("n_kept").cast("double"), 9).alias(
+            # ONE division of two exact integers — bit-identical across
+            # engines.  No cosmetic rounding: round(double, 9) itself
+            # diverges between engines when the quotient sits near a
+            # digit-9 half boundary (the r10 tightened-gate finding).
+            (F.col("_s").cast("double") / F.col("n_kept").cast("double")).alias(
                 "trimmed_mean"
             ),
         )

@@ -80,28 +80,40 @@ def target_encode_loo(
     (singleton categories fall back entirely to the prior instead of
     dividing by zero).
 
-    Exact arithmetic: integer target sums per category + one global
-    1-row aggregate (broadcast scalar-join), the division is the single
-    float step, rounded; one bounded aggregate + broadcast join — no
-    window, no per-row state.
+    Exact arithmetic (the corr_exact discipline): the smoothed mean is
+    evaluated as ONE division of two exact integers by clearing the
+    global-mean denominator —
+
+        ((cat_sum − own_y) · N + m · G) / (N · (cat_n − 1 + m))
+
+    with N = global count, G = global target sum, the numerator summed
+    as DECIMAL(38,0).  A two-float-step form (pre-computed double
+    ``global_mean``, then the outer division) lands 1-ulp apart between
+    engines on round-half boundaries — the single exact division is
+    bit-identical under any partitioning and across engines, so no
+    cosmetic rounding is applied.  One bounded aggregate + broadcast
+    scalar-join — no window, no per-row state.
     """
+    dec = "decimal(38,0)"
     y = F.col(target_col)
     cat = df.groupBy(category_col).agg(
-        F.sum(y).alias("_cat_sum"), F.count(y).alias("_cat_n")
+        F.sum(y.cast(dec)).alias("_cat_sum"), F.count(y).alias("_cat_n")
     )
     glob = df.agg(
-        (F.sum(y).cast("double") / F.count(y)).alias("_gmean")
+        F.sum(y.cast(dec)).alias("_gsum"), F.count(y).alias("_gn")
     )
     m = F.lit(smoothing)
-    enc = (
-        (F.col("_cat_sum") - y + m * F.col("_gmean"))
-        / (F.col("_cat_n") - 1 + m)
+    num = (
+        (F.col("_cat_sum") - y.cast(dec)) * F.col("_gn").cast(dec)
+        + m.cast(dec) * F.col("_gsum")
     )
+    den = F.col("_gn").cast(dec) * (F.col("_cat_n") - 1 + m).cast(dec)
+    enc = num.cast("double") / den.cast("double")
     return (
         df.join(F.broadcast(cat), category_col)
         .crossJoin(F.broadcast(glob))
-        .withColumn("encoded", F.round(enc, 6) + F.lit(0.0))
-        .drop("_cat_sum", "_cat_n", "_gmean")
+        .withColumn("encoded", enc)
+        .drop("_cat_sum", "_cat_n", "_gsum", "_gn")
     )
 
 

@@ -687,15 +687,22 @@ def holt_brown_smooth(
     s1_den = None
     s2_num = None
     s2_den = None
+    dec = "decimal(38,0)"
     for m in range(2 * k - 1):
         lagged = x if m == 0 else F.lag(x, m).over(w)
         w1 = (1 << (k - 1 - m)) if m < k else 0
         overlap = min(m, k - 1) - max(0, m - k + 1) + 1
         w2 = overlap * (1 << (2 * k - 2 - m))
-        t1 = F.coalesce(lagged, F.lit(0)) * F.lit(w1)
-        t2 = F.coalesce(lagged, F.lit(0)) * F.lit(w2)
-        a1 = F.when(lagged.isNotNull(), F.lit(w1)).otherwise(F.lit(0))
-        a2 = F.when(lagged.isNotNull(), F.lit(w2)).otherwise(F.lit(0))
+        # value × weight accumulates as DECIMAL(38,0) (the acf_lags
+        # overflow discipline): w2 reaches n_lags·2^(2·n_lags−2) ≈ 5e7 at
+        # K=12, so a LONG numerator silently overflows at |v| ≳ 8e9 —
+        # wrong level/trend/forecast with no error.  The weight sums are
+        # LONG (they overflow 32-bit int at K ≥ 13).
+        val = F.coalesce(lagged, F.lit(0)).cast(dec)
+        t1 = val * F.lit(w1)
+        t2 = val * F.lit(w2)
+        a1 = F.when(lagged.isNotNull(), F.lit(w1)).otherwise(F.lit(0)).cast("long")
+        a2 = F.when(lagged.isNotNull(), F.lit(w2)).otherwise(F.lit(0)).cast("long")
         s1_num = t1 if s1_num is None else s1_num + t1
         s1_den = a1 if s1_den is None else s1_den + a1
         s2_num = t2 if s2_num is None else s2_num + t2

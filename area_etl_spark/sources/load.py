@@ -427,9 +427,14 @@ def _writer_lock(dir_path: str, stale_after_s: float = 3600.0):
     — exactly one writer wins), with a unique OWNERSHIP TOKEN written into
     the file.  A lock older than ``stale_after_s`` is presumed crashed;
     takeover RENAMES it aside (atomic — exactly one of N simultaneous
-    takeover racers succeeds, and a fresh lock created in the stat→rename
-    window cannot be destroyed because the rename moves whatever file is
-    there, which the racer then re-checks) and re-races the O_EXCL create.
+    takeover racers succeeds) and then RE-CHECKS the moved file's age: a
+    fresh lock created in the stat→rename window (the old holder released
+    and a NEW writer acquired between our stat and our rename) is moved
+    BACK and the takeover aborted with :class:`ConcurrentWriteError` —
+    without this re-check the rename would silently destroy a live
+    writer's lock and admit two concurrent writers.  A confirmed-stale
+    moved file is unlinked (no ``.stale.*`` litter), then the O_EXCL
+    create is re-raced.
     Release is ownership-checked: the holder unlinks only a lock that
     still carries ITS token, so a writer whose lock was (mis)taken over —
     e.g. one genuinely slower than the stale window — cannot remove the
@@ -474,10 +479,42 @@ def _writer_lock(dir_path: str, stale_after_s: float = 3600.0):
                 f"retry after it commits or after {stale_after_s:.0f}s if crashed"
             )
         if age is not None:  # stale: move it aside — atomic, one racer wins
+            moved = f"{lock}.stale.{uuid.uuid4().hex}"
             try:
-                os.rename(lock, f"{lock}.stale.{uuid.uuid4().hex}")
+                os.rename(lock, moved)
             except FileNotFoundError:
                 pass  # a racer already took it over / released
+            else:
+                # Re-check WHAT we moved: between our stat (which saw a
+                # stale lock) and our rename, the stale holder may have
+                # released and a FRESH writer acquired — moving that fresh
+                # lock aside must not admit us as a second writer.
+                try:
+                    moved_age = time.time() - os.stat(moved).st_mtime
+                except FileNotFoundError:
+                    moved_age = None
+                if moved_age is not None and moved_age < stale_after_s:
+                    # Restore via link(2): unlike rename it FAILS if a
+                    # racer re-created the lock meanwhile, so we can never
+                    # overwrite a second live lock while restoring the
+                    # first.  Either way we are NOT the writer — abort.
+                    try:
+                        os.link(moved, lock)
+                    except OSError:
+                        pass  # lock recreated meanwhile; leave theirs
+                    try:
+                        os.unlink(moved)
+                    except FileNotFoundError:
+                        pass
+                    raise ConcurrentWriteError(
+                        f"another writer acquired {lock} during takeover; "
+                        f"retry after it commits"
+                    )
+                if moved_age is not None:
+                    try:
+                        os.unlink(moved)  # confirmed stale: no litter
+                    except FileNotFoundError:
+                        pass
         if not _try_acquire():
             raise ConcurrentWriteError(f"lost takeover race for {lock}")
     try:
@@ -770,5 +807,35 @@ def avro_available(spark: SparkSession) -> bool:
             "avro", conf
         )
         return True
-    except Exception:  # noqa: BLE001 — lookup failed → module not deployed
-        return False
+    except Exception as e:  # noqa: BLE001
+        # Only a data-source-resolution failure means "not deployed".  Any
+        # OTHER failure (AttributeError / reflection signature drift when a
+        # Spark upgrade moves this private API) means the PROBE broke — do
+        # not fail-closed on a deployed module; fall back to the definitive
+        # check, an actual 1-row format("avro") write.
+        msg = str(e)
+        if (
+            "ClassNotFoundException" in msg
+            or "Failed to find" in msg
+            or "FAILED_TO_LOAD_DATA_SOURCE" in msg
+            or "DATA_SOURCE_NOT_FOUND" in msg
+        ):
+            return False
+        import logging
+        import shutil
+        import tempfile
+
+        logging.getLogger(__name__).warning(
+            "avro_available: lookupDataSource probe failed unexpectedly "
+            "(%s: %s); falling back to a write probe",
+            type(e).__name__,
+            e,
+        )
+        tmp = tempfile.mkdtemp(prefix="avro_probe_")
+        try:
+            spark.range(1).write.mode("overwrite").format("avro").save(tmp)
+            return True
+        except Exception:  # noqa: BLE001 — write failed → not deployed
+            return False
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)

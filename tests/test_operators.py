@@ -1463,12 +1463,52 @@ def test_target_encode_loo_excludes_own_label(spark):
         "id long, cat string, y long",
     )
     out = {r.id: r.encoded for r in target_encode_loo(df, "cat", "y", smoothing=2).collect()}
-    g = 160 / 4  # global mean 40
-    # row 1: ((60-10) + 2*40) / (2+2) = 130/4
-    assert math.isclose(out[1], round(130 / 4, 6))
-    assert math.isclose(out[2], round((40 + 80) / 4, 6))
-    # singleton category: cat_sum - y == 0 -> pure smoothed prior
-    assert math.isclose(out[4], round((0 + 2 * g) / (0 + 2), 6))
+    # single exact division: ((cat_sum - y)*N + m*G) / (N*(cat_n - 1 + m))
+    # row 1: ((60-10)*4 + 2*160) / (4*(3-1+2)) = 520/16
+    assert math.isclose(out[1], 520 / 16)
+    assert math.isclose(out[2], ((60 - 20) * 4 + 320) / 16)
+    # singleton category: cat_sum - y == 0 -> pure smoothed prior 320/8
+    assert math.isclose(out[4], (0 + 2 * 160) / (4 * 2))
+
+
+def test_target_encode_loo_round_half_boundary_matches_duckdb():
+    """r9 driver-red regression: the two-float-step form (double global
+    mean, then the outer division) put Spark and DuckDB 1 ulp apart on
+    round-half boundaries at sf0.01 orderkeys 819/2555/11012.  The single
+    exact-integer division must be bit-identical to DuckDB's HUGEINT form
+    at FULL double precision (repr round-trip, no tolerance)."""
+    import os
+
+    import duckdb
+    import pytest
+
+    sf_dir = "/root/testdata/sf0.01"
+    if not os.path.exists(f"{sf_dir}/orders.parquet"):
+        pytest.skip("sf0.01 testdata not present")
+
+    import __spark_entry__ as entrymod
+    from area_etl_spark.session import get_spark
+
+    spark = get_spark("tests")
+    sdf = entrymod.queries()["target_encode_loo"](spark, sf_dir)
+    keys = (819, 2555, 11012)
+    got = {
+        r.o_orderkey: r.encoded
+        for r in sdf.where(sdf.o_orderkey.isin(*keys)).collect()
+    }
+    con = duckdb.connect()
+    for t in ("orders",):
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    orows = con.execute(
+        f"SELECT o_orderkey, encoded FROM ({entrymod.oracle_sql()['target_encode_loo']})"
+        f" WHERE o_orderkey IN {keys}"
+    ).fetchall()
+    want = dict(orows)
+    assert set(got) == set(keys)
+    for k in keys:
+        assert repr(got[k]) == repr(want[k]), (k, got[k], want[k])
 
 
 def test_changepoint_detect_localizes_planted_shift(spark):
@@ -2638,6 +2678,27 @@ def test_holt_brown_tracks_linear_trend(spark):
     assert abs(last.level - 290.0) < 0.5
     assert abs(last.trend - 10.0) < 0.5
     assert abs(last.forecast - 300.0) < 1.0
+
+
+def test_holt_brown_large_values_no_overflow(spark):
+    """Review fix (r10): value × integer-kernel weight (up to ~5e7 at
+    K=12) must accumulate as DECIMAL(38,0), not LONG — a constant series
+    at |v| ≈ 2e11 silently overflowed the old LONG numerator and produced
+    garbage level/trend with no error."""
+    from area_etl_spark.operators.windows import holt_brown_smooth
+
+    v = 200_000_000_000  # 2e11: v·w2 ≈ 1e19 > LONG max per term
+    df = spark.createDataFrame(
+        [("a", t, v) for t in range(1, 30)], "k string, t long, v long"
+    )
+    last = (
+        holt_brown_smooth(df, ["k"], ["t"], "v", n_lags=12, horizon=1)
+        .orderBy("t")
+        .collect()[-1]
+    )
+    # constant series: level == v exactly, trend == 0, forecast == v
+    assert last.level == float(v) and last.trend == 0.0
+    assert last.forecast == float(v)
 
 
 def test_bitemporal_asof_correction_visibility(spark):

@@ -27,8 +27,11 @@ def duck():
 
 
 def norm_cell(v):
+    # %.17g round-trips a double exactly — at least as strict as the
+    # driver's value hash (the old %.9g masked the r9 target_encode_loo
+    # 1-ulp divergence).
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else f"{v:.9g}"
+        return "NaN" if math.isnan(v) else f"{v:.17g}"
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
@@ -53,21 +56,28 @@ def test_gate_contract_callable_and_key_aligned():
 def test_driver_window_fully_oracled():
     """The driver checks the FIRST 50 queries() entries; a window slot
     without an oracle is a wasted green. Every windowed entry must have one —
-    except stratified_sample_by, which VERDICT r8 explicitly rotated in to
-    collect its rows-only CORRECTNESS row (Spark-RNG; its portable twin
-    sample_stratified_hash is driver-green with a full oracle)."""
+    except compression_ratio, which is rows-only by design (zlib bytes are
+    per-build deterministic; the value oracle is the exact-zlib pytest) and
+    occupies its slot to collect the rows-only CORRECTNESS row, following
+    the stratified_sample_by precedent from r9."""
     first50 = list(QUERIES)[:50]
-    missing = [k for k in first50 if k not in ORACLES and k != "stratified_sample_by"]
+    missing = [k for k in first50 if k not in ORACLES and k != "compression_ratio"]
     assert missing == []
 
 
-def test_r9_window_is_the_prescribed_backlog_rotation():
-    """VERDICT r8 item 1: the r9 window must be ≥80% never-driver-checked
-    backlog keys.  Ours is 100% — assert the exact composition so a stray
-    registration can't silently displace a backlog key from the window."""
+def test_r10_window_is_the_prescribed_rotation():
+    """VERDICT r9 items 1+3: the r10 window is the fixed target_encode_loo
+    (slot 1, for its re-green) + the 42-key _R10_QUEUE backlog + 7 of the 8
+    prescribed r9 promotions (fifo_cost_basis heads _R11_QUEUE — items 1 and
+    3 name 51 keys for 50 slots).  Assert the exact composition so a stray
+    registration can't silently displace a key from the window."""
     first50 = list(QUERIES)[:50]
-    assert first50 == entrymod._R9_WINDOW
+    assert first50 == entrymod._R10_WINDOW
     assert len(first50) == 50
+    assert first50[0] == "target_encode_loo"
+    # everything after the window head is never-driver-checked backlog
+    queued = list(QUERIES)[50 : 50 + len(entrymod._R11_QUEUE)]
+    assert queued == entrymod._R11_QUEUE
 
 
 def test_every_query_has_oracle_or_is_documented_rows_only():

@@ -341,6 +341,52 @@ def test_versioned_stale_lock_takeover(spark, tmp_path):
     d = spark.createDataFrame([(1,)], "k int")
     assert write_versioned(d, t) == 1  # takeover succeeds
     assert not os.path.exists(lock)
+    # review fix (r10): confirmed-stale moved locks are unlinked, not
+    # left as .stale.* litter
+    assert not [f for f in os.listdir(t) if f.startswith("_LOCK.stale")]
+
+
+def test_writer_lock_takeover_rechecks_freshness(tmp_path):
+    """Review fix (r10): between a racer's staleness stat and its rename, the
+    stale holder can release and a FRESH writer can acquire — the racer's
+    rename then moves a LIVE lock aside.  The takeover must re-check what it
+    moved, restore the live lock, and abort instead of admitting itself as a
+    second concurrent writer."""
+    import os
+    import time
+    from types import SimpleNamespace
+
+    import pytest
+
+    from area_etl_spark.sources.load import ConcurrentWriteError, _writer_lock
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(t)
+    lock = os.path.join(t, "_LOCK")
+    with open(lock, "w", encoding="utf-8") as f:
+        f.write("pid=123 token=freshholder\n")  # a LIVE writer's lock
+
+    real_stat = os.stat
+
+    def lying_stat(path, *a, **k):
+        # the staleness probe on the lock path sees a 2h-old lock (the
+        # state BEFORE the fresh holder swapped in); the re-check on the
+        # moved-aside file sees the true fresh mtime
+        if str(path) == lock:
+            return SimpleNamespace(st_mtime=time.time() - 7200)
+        return real_stat(path, *a, **k)
+
+    os.stat = lying_stat
+    try:
+        with pytest.raises(ConcurrentWriteError, match="during takeover"):
+            with _writer_lock(t, stale_after_s=3600.0):
+                pass
+    finally:
+        os.stat = real_stat
+    # the live lock was restored intact, and no .stale.* litter remains
+    with open(lock, encoding="utf-8") as f:
+        assert "freshholder" in f.read()
+    assert not [f for f in os.listdir(t) if f.startswith("_LOCK.stale")]
 
 
 def test_publish_snapshot_concurrent_publisher_fails_cleanly(spark, tmp_path):

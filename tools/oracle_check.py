@@ -24,7 +24,11 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # 17 significant digits round-trips a double exactly — at least as
+        # strict as the driver's value hash.  A looser format (the old
+        # %.9g) masked 1-ulp engine divergences that the driver then
+        # caught (the r9 target_encode_loo episode).
+        return f"{v:.17g}"
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
