@@ -5594,6 +5594,25 @@ def q_theil_sen(spark, sf_dir):
     return theil_sen_slope(c, ["c_nationkey"], "t", "y")
 
 
+def q_theil_sen_bounded(spark, sf_dir):
+    """The SCALE-SAFE Theil–Sen composition docs/SCALE.md prescribes
+    (VERDICT r9 item 6): pre-aggregate events to one row per
+    (event_type, day) — group size is then bounded by the CALENDAR, not
+    the corpus, so the O(n²/2) pairwise-slope stage is invariant as rows
+    grow 100× — then take the robust daily-revenue trend per event type.
+    Exact integer daily sums; slope median via the collect→sort→middle
+    idiom."""
+    from area_etl_spark.operators.experiments import theil_sen_slope
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.sum("cents").alias("y"))
+    return theil_sen_slope(daily, ["event_type"], "day", "y")
+
+
 def q_acf_lags(spark, sf_dir):
     """Autocorrelation ladder (lags 1..3) of value-cents per event type
     ordered by event id — denominator-cleared exact DECIMAL arithmetic,
@@ -5669,6 +5688,18 @@ def q_containment_pairs(spark, sf_dir):
 
     docs = _tables(spark, sf_dir)["documents"]
     return containment_pairs(docs, threshold=0.6)
+
+
+def q_containment_blocked(spark, sf_dir):
+    """Two-tier directed containment (VERDICT r9 item 6): asymmetric
+    prefix-filter blocking (probe side carries only each doc's globally
+    rarest grams — no false negatives by the prefix theorem) + exact
+    array_intersect verify on blocked pairs only.  The oracle is the
+    UNBLOCKED all-shared-grams form, so every green proves the blocker
+    lost nothing."""
+    from area_etl_spark.operators.dedup import containment_blocked
+
+    return containment_blocked(_tables(spark, sf_dir)["documents"], threshold=0.75)
 
 
 def q_dedup_soft_weights(spark, sf_dir):
@@ -6404,6 +6435,9 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_treatment_effect": q_quantile_treatment_effect,
         "rake_keyphrases": q_rake_keyphrases,
         "mix_shift": q_mix_shift,
+        # — new r10: the composed two-tier scale stories (VERDICT r9 item 6) —
+        "containment_blocked": q_containment_blocked,
+        "theil_sen_bounded": q_theil_sen_bounded,
         # — rows-only by design (seeded-hash candidate generators; no oracle) —
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -12803,6 +12837,29 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(m.n_pairs, 0) AS n_pairs, m.slope
             FROM n LEFT JOIN m USING (c_nationkey)
         """,
+        "theil_sen_bounded": """
+            WITH daily AS (
+                SELECT event_type,
+                       CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INT) AS day,
+                       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+                FROM events GROUP BY 1, 2
+            ), pairs AS (
+                SELECT a.event_type,
+                       CAST(b.y - a.y AS DOUBLE) / (b.day - a.day) AS s
+                FROM daily a JOIN daily b
+                  ON a.event_type = b.event_type AND a.day < b.day
+            ), m AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       round(median(s), 6) + 0.0 AS slope
+                FROM pairs GROUP BY 1
+            ), n AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points
+                FROM daily GROUP BY 1
+            )
+            SELECT n.event_type, n.n_points,
+                   COALESCE(m.n_pairs, 0) AS n_pairs, m.slope
+            FROM n LEFT JOIN m USING (event_type)
+        """,
         "acf_lags": """
             WITH b AS (
                 SELECT event_type, event_id AS t,
@@ -12889,6 +12946,27 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(shared AS DOUBLE) / s2.sz, 6) AS containment
             FROM sh JOIN s2 ON s2.id = sh.id_a
             WHERE round(CAST(shared AS DOUBLE) / s2.sz, 6) >= 0.6
+        """,
+        # The UNBLOCKED brute form — every green proves the Spark side's
+        # asymmetric prefix-filter blocker has no false negatives.
+        "containment_blocked": f"""
+            WITH s AS (
+                SELECT doc_id AS id, list_distinct({_shingles3_sql()}) AS grams
+                FROM documents
+            ), s2 AS (
+                SELECT id, grams, len(grams) AS sz FROM s WHERE len(grams) > 0
+            ), p AS (
+                SELECT id, unnest(grams) AS g FROM s2
+            ), sh AS (
+                SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS shared
+                FROM p x JOIN p y USING (g)
+                WHERE x.id <> y.id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(shared AS DOUBLE) / CAST(s2.sz AS DOUBLE) AS containment
+            FROM sh JOIN s2 ON s2.id = sh.id_a
+            WHERE CAST(shared AS DOUBLE) / CAST(s2.sz AS DOUBLE) >= 0.75
         """,
         "dedup_soft_weights": """
             WITH n AS (

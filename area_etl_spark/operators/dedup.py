@@ -815,6 +815,103 @@ def containment_pairs(
     )
 
 
+def _containment_prefix_candidates(sets_df: DataFrame, threshold: float) -> DataFrame:
+    """The blocking tier of :func:`containment_blocked`, exposed so tests
+    can price it: distinct (``_ida``, ``_idb``) candidate pairs from the
+    asymmetric prefix-filter join over ``sets_df`` (``_id``, ``_grams``),
+    with the exact length filter applied.  No false negatives for
+    c(A→B) ≥ ``threshold`` — see the theorem in the caller's docstring."""
+    from pyspark.sql import Window
+
+    posting = sets_df.select(
+        "_id", F.size("_grams").alias("_sz"), F.explode("_grams").alias("_g")
+    )
+    freq = posting.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy(F.col("_df").asc(), F.col("_g").asc())
+    prefix = (
+        posting.join(freq, "_g")
+        .withColumn("_rank", F.row_number().over(w))
+        .where(
+            F.col("_rank")
+            <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+        )
+        .select(F.col("_id").alias("_ida"), "_g", F.col("_sz").alias("_sza_f"))
+    )
+    # length filter (also exact): |S(A)∩S(B)| ≥ ⌈t·|S(A)|⌉ forces
+    # |S(B)| ≥ ⌈t·|S(A)|⌉ — prune short B before the distinct
+    return (
+        prefix.join(
+            posting.select(F.col("_id").alias("_idb"), F.col("_sz").alias("_szb_f"), "_g"),
+            "_g",
+        )
+        .where(
+            (F.col("_ida") != F.col("_idb"))
+            & (F.col("_szb_f") >= F.ceil(F.lit(threshold) * F.col("_sza_f")))
+        )
+        .select("_ida", "_idb")
+        .distinct()
+    )
+
+
+def containment_blocked(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.75,
+) -> DataFrame:
+    """Two-tier directed containment — the composed scale-safe form of
+    :func:`containment_pairs` that docs/SCALE.md prescribes (VERDICT r9
+    item 6): an ASYMMETRIC prefix-filter blocker generates candidates,
+    and the exact containment verify runs on blocked pairs only.
+
+    Blocker (no false negatives): sort every doc's distinct n-gram
+    shingles in one global order (document frequency asc, gram asc — the
+    prefix_filter_jaccard_join order); if c(A→B) = |S(A)∩S(B)|/|S(A)| ≥ t
+    then B shares at least one gram with A's first
+    ``|S(A)| − ⌈t·|S(A)|⌉ + 1`` grams (remove the prefix and at most
+    ⌈t·|S(A)|⌉ − 1 grams remain — too few to reach the intersection), so
+    candidates come from A-PREFIX ⋈ B-FULL-POSTING on the gram key.
+    Output therefore EQUALS brute-force exact containment — the oracle is
+    the unblocked all-shared-gram form, which proves no-false-negatives
+    at every SF.
+
+    Scale shape: prefixes hold each doc's globally RAREST grams, so a
+    boilerplate gram (huge df) almost never appears on the probe side and
+    its posting list never fans out — the inverse of the raw
+    containment_pairs df² blowup (8.1×/decade measured); per-gram join
+    cost is df_prefix(g)·df(g) with df_prefix(g) collapsing as df(g)
+    grows.  Verify is one candidate-distinct + array_intersect pass; the
+    single integer division is the only float (bit-identical across
+    engines, no cosmetic rounding).  ``threshold`` should be exactly
+    binary-representable (0.75 default) so ⌈t·|S|⌉ is engine-portable.
+    Emits both directions when both clear ``threshold``; a≠b always.
+    """
+    sets_df = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(normalize_tokens(text_col), n)).alias("_grams"),
+    ).where(F.size("_grams") > 0)
+    cand = _containment_prefix_candidates(sets_df, threshold)
+    a_side = sets_df.select(
+        F.col("_id").alias("_ida"),
+        F.col("_grams").alias("_ga"),
+        F.size("_grams").alias("_sza"),
+    )
+    b_side = sets_df.select(F.col("_id").alias("_idb"), F.col("_grams").alias("_gb"))
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    cont = inter.cast("double") / F.col("_sza").cast("double")
+    return (
+        cand.join(a_side, "_ida")
+        .join(b_side, "_idb")
+        .where(cont >= F.lit(threshold))
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            cont.alias("containment"),
+        )
+    )
+
+
 def dedup_soft_weights(
     df: DataFrame,
     text_col: str = "text",

@@ -444,6 +444,19 @@ def test_containment_pairs_equi_join_on_gram(tables):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_containment_blocked_equi_joins_no_python(tables):
+    """The two-tier containment: blocker candidates from an equi-join on
+    the gram key, verify from equi-joins on doc ids — never a nested loop
+    over doc pairs, and no Python in the plan."""
+    from area_etl_spark.operators.dedup import containment_blocked
+
+    docs = tables["documents"].select("doc_id", "text")
+    plan = plan_str(containment_blocked(docs, threshold=0.75))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_fifo_join_is_keyed_not_nested(tables):
     """FIFO's band predicate rides a key-equi join (SMJ/SHJ on sym) — the
     cumulative-interval trick exists precisely so the matcher never plans
