@@ -5373,6 +5373,46 @@ def q_ann_recall_eval(spark, sf_dir):
     )
 
 
+def q_retrieval_eval(spark, sf_dir):
+    """Retrieval-quality harness (VERDICT r9 item 8): nDCG@10 / MRR /
+    precision@10 of the RRF-fused hybrid ranking AGAINST its own BM25 and
+    cosine legs, over term-coverage graded qrels (rel = how many of the
+    three query terms the doc contains) — the ann_recall_report pattern
+    applied to retrieval quality, fully oracled via literal log2 discount
+    weights and sorted float folds."""
+    from pyspark.sql import Window
+
+    from area_etl_spark.operators.dedup import normalize_tokens
+    from area_etl_spark.operators.indexing import bm25_search, retrieval_eval, rrf_fuse
+
+    tables = _tables(spark, sf_dir)
+    docs = tables["documents"]
+    terms = ["spark", "window", "merge"]
+    lex = bm25_search(docs, terms, "text", "doc_id", topk=20)
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())  # 20 rows
+    lex = lex.withColumn("rank", F.row_number().over(wl))
+    q = _query_vec(spark, sf_dir)
+    sem = SIM.cosine_topk(tables["embeddings"].where(F.col("vec_id") != 0), q, k=20)
+    ws = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())  # 20 rows
+    sem = sem.withColumn("rank", F.row_number().over(ws)).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    fused = rrf_fuse([("lex", lex), ("sem", sem)], "doc_id", k=60, topk=10)
+    fused = fused.withColumnRenamed("rrf_rank", "rank")
+    qrels = docs.select(
+        "doc_id",
+        F.size(
+            F.array_intersect(
+                F.array_distinct(normalize_tokens("text")),
+                F.array(*[F.lit(t) for t in terms]),
+            )
+        ).alias("rel"),
+    )
+    return retrieval_eval(
+        [("bm25", lex), ("cosine", sem), ("rrf", fused)], qrels, k=10
+    )
+
+
 def q_zipf_fit(spark, sf_dir):
     """Zipf's-law OLS over the corpus vocabulary (ln freq on ln rank):
     ln values quantized to 1e-6 fixed point so the five sufficient
@@ -6438,6 +6478,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # — new r10: the composed two-tier scale stories (VERDICT r9 item 6) —
         "containment_blocked": q_containment_blocked,
         "theil_sen_bounded": q_theil_sen_bounded,
+        "retrieval_eval": q_retrieval_eval,
         # — rows-only by design (seeded-hash candidate generators; no oracle) —
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -6662,6 +6703,25 @@ def _ipf_sql(iters: int = 3) -> str:
         SELECT et, daypart, n, round(w, 9) AS weight FROM {prev}
     """)
     return "".join(parts)
+
+
+# Literal nDCG@10 discount weights (1/log2(i+1)) and prefix sums — the SAME
+# Python-computed doubles the Spark plan uses (indexing.ndcg_weights), so no
+# engine libm log2 ever runs; repr() round-trips each double exactly.
+def _ndcg_literals_sql(k: int = 10) -> tuple[str, str]:
+    from area_etl_spark.operators.indexing import ndcg_weights
+
+    w, p = ndcg_weights(k)
+    # E-notation parses directly as a correctly-rounded DOUBLE; a bare
+    # decimal literal is DECIMAL in DuckDB and its decimal→double CAST
+    # drops the 17th significant digit (measured: 0.38685280723454163
+    # casts to …416), which shifts the fold by an ulp
+    lit = lambda x: repr(x) if "e" in repr(x) else f"{x!r}e0"  # noqa: E731
+    fmt = lambda xs: "[" + ", ".join(lit(x) for x in xs) + "]"  # noqa: E731
+    return fmt(w), fmt(p)
+
+
+_NDCG_W10_SQL, _NDCG_P10_SQL = _ndcg_literals_sql(10)
 
 
 def _cos2_sql(x: str, y: str) -> str:
@@ -8621,6 +8681,122 @@ def oracle_sql() -> dict[str, str]:
             FROM per
             ORDER BY rrf_rank
             LIMIT 10
+        """,
+        # Shares the hybrid_search_rrf CTE chain; metrics use the SAME
+        # literal 1/log2(i+1) weights (and their prefix sums) injected into
+        # the Spark plan — no engine libm log2 runs on either side.
+        "retrieval_eval": f"""
+            WITH tk AS (
+                SELECT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+                    FROM documents
+                ) WHERE term <> ''
+            ), dl AS (
+                SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id
+            ), st AS (
+                SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+            ), tfq AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM tk
+                WHERE term IN ('spark', 'window', 'merge') GROUP BY doc_id, term
+            ), dfq AS (
+                SELECT term, COUNT(*) AS df FROM tfq GROUP BY term
+            ), bm AS (
+                SELECT doc_id,
+                       round(SUM(
+                           ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                           * tf * (1.2 + 1)
+                           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                       ), 6) AS score
+                FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+                GROUP BY doc_id
+                ORDER BY score DESC, doc_id
+                LIMIT 20
+            ), lex AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC, doc_id) AS r
+                FROM bm
+            ), qv AS (
+                SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+            ), cs AS (
+                SELECT vec_id AS doc_id,
+                       round({_cos2_sql("qe", "embedding")}, 6) AS cosine
+                FROM embeddings, qv WHERE vec_id <> 0
+                ORDER BY cosine DESC, vec_id
+                LIMIT 20
+            ), sem AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY cosine DESC, doc_id) AS r
+                FROM cs
+            ), uu AS (
+                SELECT doc_id, 'lex' AS s, r FROM lex
+                UNION ALL
+                SELECT doc_id, 'sem' AS s, r FROM sem
+            ), per AS (
+                SELECT doc_id, COUNT(*) AS n_sources,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                               list(1.0 / (60.0 + CAST(r AS DOUBLE)) ORDER BY s)),
+                           (x, y) -> x + y) AS score
+                FROM uu GROUP BY doc_id
+            ), fused AS (
+                SELECT doc_id, r FROM (
+                    SELECT doc_id,
+                           row_number() OVER (ORDER BY score DESC, doc_id) AS r
+                    FROM per
+                ) WHERE r <= 10
+            ), runs AS (
+                SELECT 'bm25' AS system, doc_id, r FROM lex WHERE r <= 10
+                UNION ALL
+                SELECT 'cosine' AS system, doc_id, r FROM sem WHERE r <= 10
+                UNION ALL
+                SELECT 'rrf' AS system, doc_id, r FROM fused
+            ), qr AS (
+                SELECT doc_id,
+                       len(list_intersect(
+                           list_distinct(string_split_regex(
+                               trim(lower(COALESCE(text, ''))), '\\s+')),
+                           ['spark', 'window', 'merge'])) AS rel
+                FROM documents
+            ), gr AS (
+                SELECT rel, COUNT(*) AS n FROM qr WHERE rel > 0 GROUP BY rel
+            ), g2 AS (
+                SELECT rel, n,
+                       COALESCE(SUM(n) OVER (ORDER BY rel DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS slots_before
+                FROM gr
+            ), idcg AS (
+                SELECT COALESCE(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(CAST((1 << rel) - 1 AS DOUBLE)
+                                * (list_extract({_NDCG_P10_SQL},
+                                       CAST(least(10, slots_before + n) AS INT) + 1)
+                                   - list_extract({_NDCG_P10_SQL},
+                                       CAST(least(10, slots_before) AS INT) + 1))
+                                ORDER BY rel DESC)),
+                       (x, y) -> x + y), 0.0) AS v
+                FROM g2
+            ), jj AS (
+                SELECT runs.system, runs.r AS rank, COALESCE(qr.rel, 0) AS rel
+                FROM runs LEFT JOIN qr USING (doc_id)
+            ), psys AS (
+                SELECT system, CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+                       CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_rel_at_k,
+                       MIN(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(CAST((1 << rel) - 1 AS DOUBLE)
+                                * list_extract({_NDCG_W10_SQL}, CAST(rank AS INT))
+                                ORDER BY rank)),
+                           (x, y) -> x + y) AS dcg
+                FROM jj GROUP BY system
+            )
+            SELECT system, n_retrieved, n_rel_at_k,
+                   CAST(n_rel_at_k AS DOUBLE) / 10.0 AS precision_at_k,
+                   CASE WHEN first_rel IS NOT NULL
+                        THEN 1.0 / CAST(first_rel AS DOUBLE) ELSE 0.0 END AS mrr,
+                   CASE WHEN idcg.v > 0 THEN dcg / idcg.v ELSE 0.0 END
+                       AS ndcg_at_k
+            FROM psys, idcg
         """,
         "ann_recall_eval": f"""
             WITH corpus AS (

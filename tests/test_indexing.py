@@ -95,3 +95,47 @@ def test_phrase_search_adjacency_and_counts(spark):
     tri = {r.doc_id: r.n_occurrences
            for r in phrase_search(idx, ["sort", "merge", "join"]).collect()}
     assert tri == {1: 1}
+
+
+def test_retrieval_eval_hand_computed_metrics(spark):
+    """nDCG@k / MRR / precision@k against values computed longhand with
+    math.log2 — including the ideal-DCG slot filling from grade counts and
+    the zero cases (no relevant retrieved -> mrr 0; empty qrels -> ndcg 0)."""
+    import math
+
+    from area_etl_spark.operators.indexing import retrieval_eval
+
+    # qrels: grades 2 (one doc), 1 (two docs); doc 9 irrelevant
+    qrels = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 1), (9, 0)], "doc_id long, rel long"
+    )
+    # system A retrieves [2, 1, 9] -> rels (1, 2, 0)
+    # system B retrieves [9] only -> nothing relevant
+    run_a = spark.createDataFrame([(2, 1), (1, 2), (9, 3)], "doc_id long, rank long")
+    run_b = spark.createDataFrame([(9, 1)], "doc_id long, rank long")
+    out = {
+        r.system: r
+        for r in retrieval_eval([("a", run_a), ("b", run_b)], qrels, k=3).collect()
+    }
+    w = [1.0 / math.log2(i + 1) for i in (1, 2, 3)]
+    dcg_a = 1 * w[0] + 3 * w[1] + 0 * w[2]          # gains 2^rel - 1
+    idcg = 3 * w[0] + 1 * w[1] + 1 * w[2]           # ideal: grades 2,1,1
+    a = out["a"]
+    assert a.n_retrieved == 3 and a.n_rel_at_k == 2
+    assert a.precision_at_k == 2 / 3 * 1.0 or abs(a.precision_at_k - 2 / 3) < 1e-15
+    assert a.mrr == 1.0                              # first relevant at rank 1
+    assert abs(a.ndcg_at_k - dcg_a / idcg) < 1e-12
+    b = out["b"]
+    assert b.n_rel_at_k == 0 and b.mrr == 0.0 and b.ndcg_at_k == 0.0
+    assert b.precision_at_k == 0.0
+
+    # empty qrels (nothing relevant anywhere): idcg = 0 -> ndcg defined 0
+    none_rel = spark.createDataFrame([(1, 0), (2, 0)], "doc_id long, rel long")
+    z = retrieval_eval([("a", run_a)], none_rel, k=3).collect()[0]
+    assert z.ndcg_at_k == 0.0 and z.mrr == 0.0
+
+    # ideal slot filling caps at k: 5 docs of grade 1, k=2 -> idcg = w1+w2
+    many = spark.createDataFrame([(i, 1) for i in range(1, 6)], "doc_id long, rel long")
+    run_c = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+    c = retrieval_eval([("c", run_c)], many, k=2).collect()[0]
+    assert abs(c.ndcg_at_k - 1.0) < 1e-12           # retrieved = ideal
