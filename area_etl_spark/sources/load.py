@@ -711,6 +711,61 @@ def publish_snapshot(
         return new_s
 
 
+def incremental_publish_cycle(
+    spark: SparkSession,
+    landing_path: str,
+    warehouse_dir: str,
+    bookmark_file: str,
+    partition_col: str,
+    key_cols: list[str],
+    build_tables,
+    fmt: str = "parquet",
+) -> tuple[int | None, str | None]:
+    """One bookmark → accumulate → transform → ATOMIC multi-table publish
+    cycle — the runner that composes :func:`incremental_partitions` with
+    :func:`publish_snapshot` into an EXACTLY-ONCE streaming→lake path
+    (VERDICT r9 item 9), without a transactional table format:
+
+    1. read only landing partitions above the bookmark (partition-pruned);
+    2. accumulate: new increment ∪ the previously published ``raw`` table,
+       deduplicated on ``key_cols`` — the idempotence that absorbs replays;
+    3. derive: ``build_tables(raw)`` returns the downstream tables
+       (aggregates, dims, …) recomputed from the accumulated raw;
+    4. publish ``raw`` + derived tables in ONE snapshot swap (readers never
+       see the raw of cycle N next to an aggregate of cycle N−1);
+    5. ONLY THEN commit the bookmark.
+
+    Exactly-once by composition, for every crash point:
+    a crash before the snapshot swap leaves orphan ``s=<n>`` dirs and an
+    untouched bookmark (reader state unchanged; rerun reprocesses); a
+    crash AFTER the swap but BEFORE the bookmark commit re-reads the same
+    partitions next cycle, and the key-dedup accumulate republishes the
+    IDENTICAL table contents — duplicate delivery, single effect.  Rows
+    must be immutable per key (append-only landing); late data lands in
+    new partitions.
+
+    Returns ``(snapshot_no, new_mark)`` — ``(None, None)`` when nothing
+    new arrived (no write, no snapshot churn).
+    """
+    inc, new_mark, commit = incremental_partitions(
+        spark, landing_path, bookmark_file, partition_col, fmt=fmt
+    )
+    if new_mark is None:
+        return None, None
+    try:
+        prev = read_snapshot_table(spark, warehouse_dir, "raw", fmt=fmt)
+        raw = prev.unionByName(inc.select(*prev.columns))
+    except FileNotFoundError:
+        raw = inc
+    raw = raw.dropDuplicates(key_cols)
+    derived = build_tables(raw)
+    if "raw" in derived:
+        raise ValueError("build_tables must not emit a table named 'raw'")
+    snap = publish_snapshot({"raw": raw, **derived}, warehouse_dir, fmt=fmt)
+    commit()
+    return snap, new_mark
+
+
 def _read_snapshot_no(warehouse_dir: str) -> int | None:
     import os
 

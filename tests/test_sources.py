@@ -456,3 +456,112 @@ def test_writer_lock_release_is_ownership_checked(spark, tmp_path):
     assert os.path.exists(lock)      # ...but the new holder's lock survives
     with open(lock, encoding="utf-8") as f:
         assert "someoneelse" in f.read()
+
+
+def test_incremental_publish_cycle_crash_resume_exactly_once(spark, tmp_path, monkeypatch):
+    """VERDICT r9 item 9: the bookmark→accumulate→atomic-publish runner
+    survives a mid-cycle crash at BOTH crash points with exactly-once table
+    states across two tables — (a) crash during transform (before publish):
+    reader state untouched, resume processes everything; (b) REAL
+    fault-injected crash after the snapshot swap but before the bookmark
+    commit (bookmark dir made read-only): duplicate delivery on resume,
+    single effect — final raw+agg identical to a never-crashed run."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from area_etl_spark.sources.load import (
+        _read_snapshot_no,
+        incremental_publish_cycle,
+        read_snapshot_table,
+    )
+
+    landing = str(tmp_path / "landing")
+    wh = str(tmp_path / "wh")
+    bmdir = tmp_path / "bm"
+    bmdir.mkdir()
+    bm = str(bmdir / "bookmark")
+
+    def land(day: str, rows):
+        spark.createDataFrame(rows, "k long, v long").withColumn(
+            "day", F.lit(day)
+        ).write.mode("append").partitionBy("day").parquet(landing)
+
+    def agg(raw):
+        return {
+            "by_key": raw.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+            )
+        }
+
+    def states():
+        raw = sorted(
+            map(tuple, read_snapshot_table(spark, wh, "raw").select("k", "v", "day").collect())
+        )
+        by_key = sorted(map(tuple, read_snapshot_table(spark, wh, "by_key").collect()))
+        return raw, by_key
+
+    land("01", [(1, 10), (2, 20)])
+    land("02", [(3, 30)])
+    snap, mark = incremental_publish_cycle(
+        spark, landing, wh, bm, "day", ["k"], agg
+    )
+    assert snap == 1 and mark == "02"
+    raw1, agg1 = states()
+    assert len(raw1) == 3 and dict((k, (n, sv)) for k, n, sv in agg1) == {
+        1: (1, 10), 2: (1, 20), 3: (1, 30)
+    }
+
+    # (a) crash DURING transform: nothing published, bookmark unmoved
+    land("03", [(4, 40)])
+
+    def exploding(raw):
+        raise RuntimeError("transform crashed")
+
+    with pytest.raises(RuntimeError, match="transform crashed"):
+        incremental_publish_cycle(spark, landing, wh, bm, "day", ["k"], exploding)
+    assert _read_snapshot_no(wh) == 1 and states() == (raw1, agg1)
+    assert open(bm).read() == "02"
+
+    # (b) crash AFTER publish, BEFORE bookmark commit — fault injection
+    # at exactly the bookmark swap (root ignores directory permissions,
+    # so chmod can't inject this)
+    real_replace = os.replace
+
+    def dying_replace(src, dst, *a, **kw):
+        if str(dst) == bm:
+            raise PermissionError("injected crash before bookmark commit")
+        return real_replace(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "replace", dying_replace)
+    try:
+        with pytest.raises(PermissionError, match="injected crash"):
+            incremental_publish_cycle(spark, landing, wh, bm, "day", ["k"], agg)
+    finally:
+        monkeypatch.setattr(os, "replace", real_replace)
+    assert _read_snapshot_no(wh) == 2          # the swap landed...
+    raw2, agg2 = states()
+    assert len(raw2) == 4                       # ...with day=03 visible
+    assert open(bm).read() == "02"              # ...but the bookmark did not
+
+    # resume: duplicate delivery of day=03, single effect
+    snap, mark = incremental_publish_cycle(spark, landing, wh, bm, "day", ["k"], agg)
+    assert snap == 3 and mark == "03"
+    assert states() == (raw2, agg2)             # identical contents, no dupes
+    assert open(bm).read() == "03"
+
+    # cross-table consistency at the final snapshot: agg == groupBy(raw)
+    raw3, agg3 = states()
+    expect = {}
+    for k, v, _day in raw3:
+        n, sv = expect.get(k, (0, 0))
+        expect[k] = (n + 1, sv + v)
+    assert {k: (n, sv) for k, n, sv in agg3} == expect
+
+    # idle cycle: nothing new -> no snapshot churn
+    assert incremental_publish_cycle(spark, landing, wh, bm, "day", ["k"], agg) == (
+        None,
+        None,
+    )
+    assert _read_snapshot_no(wh) == 3
