@@ -565,21 +565,56 @@ def _jpeg_extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _jpeg_decode_block(bits, dct, act, pred, q, m):
+    """Decode one 8×8 block: huffman DC delta + run/size ACs, dequantize,
+    un-zigzag, IDCT.  Returns (pixel block float64 pre-level-shift applied,
+    new predictor) or raises/returns None on stream corruption."""
+    import numpy as np
+
+    coefs = np.zeros(64, dtype=np.int64)
+    size = _jpeg_huffman_decode(bits, dct)
+    pred += _jpeg_extend(bits.read_bits(size), size)
+    coefs[0] = pred
+    k = 1
+    while k < 64:
+        rs = _jpeg_huffman_decode(bits, act)
+        run, sz = rs >> 4, rs & 0x0F
+        if sz == 0:
+            if run == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC index overflow")
+        coefs[k] = _jpeg_extend(bits.read_bits(sz), sz)
+        k += 1
+    block = np.zeros(64, dtype=np.float64)
+    block[_JPEG_ZIGZAG] = coefs * q
+    px = m.T @ block.reshape(8, 8) @ m + 128.0
+    return px, pred
+
+
 def jpeg_decode_pixels(payload: bytes):
     """REAL baseline-JPEG pixel decode, stdlib+numpy only — the PNG
     decoder's (png_decode_pixels) DCT sibling, matching the reference's
     attachment handling tier (/root/reference/src/core.py:937 stores and
     ships image attachments as opaque blobs; feature extraction is ours).
 
-    Subset: baseline DCT (SOF0), 8-bit, SINGLE component (grayscale),
-    1×1 sampling, no restart intervals.  Pipeline: marker parse (DQT/
-    DHT/SOF0/SOS, APPn/COM skipped) → canonical Huffman tables → per-block
-    DC-predictor + run/size AC entropy decode with FF00 unstuffing →
-    dequantize → un-zigzag → orthonormal 8×8 IDCT (numpy matrix product)
-    → +128 level shift, clamp, crop to (h, w).  Everything outside the
-    subset (progressive, chroma-subsampled color, 12-bit, DRI≠0) returns
+    Subset: baseline DCT (SOF0), 8-bit, no restart intervals, and (r10,
+    VERDICT r9 item 7) one of the three layouts that cover essentially all
+    crawl images: single-component grayscale (1×1), 3-component YCbCr
+    4:4:4 (all 1×1), or 3-component YCbCr 4:2:0 (luma 2×2, chroma 1×1 —
+    the camera/web default).  Pipeline: marker parse (DQT/DHT/SOF0/SOS,
+    APPn/COM skipped) → canonical Huffman tables → MCU-interleaved
+    per-component DC-predictor + run/size AC entropy decode with FF00
+    unstuffing → dequantize → un-zigzag → orthonormal 8×8 IDCT → +128
+    level shift; color planes upsample chroma by pixel replication and
+    convert BT.601/JFIF YCbCr→RGB.  Everything outside the subset
+    (progressive, 4:2:2/4:1:1, 12-bit, DRI≠0, arithmetic coding) returns
     None: callers quarantine, one bad blob must not kill a 100 TB decode
-    pass.  Returns an (h, w, 1) uint8 array like the PNG path.
+    pass.  Returns (h, w, 1) uint8 for grayscale, (h, w, 3) RGB for
+    color — the shapes the shared feature kernels take.
     """
     import numpy as np
 
@@ -589,7 +624,8 @@ def jpeg_decode_pixels(payload: bytes):
         qt: dict[int, "np.ndarray"] = {}
         huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
         w = h = None
-        dc_id = ac_id = qt_id = None
+        comps: list[dict] = []  # SOF order: {cid, hs, vs, qt}
+        sos_tbl: dict[int, tuple[int, int]] = {}  # cid -> (dc_id, ac_id)
         pos = 2
         data = payload
         while pos + 4 <= len(data):
@@ -629,59 +665,95 @@ def jpeg_decode_pixels(payload: bytes):
                 h = int.from_bytes(seg[1:3], "big")
                 w = int.from_bytes(seg[3:5], "big")
                 ncomp = seg[5]
-                if ncomp != 1 or seg[7] != 0x11:
-                    return None  # color / subsampled: outside subset
-                qt_id = seg[8]
+                if ncomp not in (1, 3):
+                    return None  # CMYK etc.: outside subset
+                for ci in range(ncomp):
+                    samp = seg[7 + 3 * ci]
+                    comps.append(
+                        {
+                            "cid": seg[6 + 3 * ci],
+                            "hs": samp >> 4,
+                            "vs": samp & 0x0F,
+                            "qt": seg[8 + 3 * ci],
+                        }
+                    )
+                samps = [(c["hs"], c["vs"]) for c in comps]
+                if ncomp == 1 and samps != [(1, 1)]:
+                    return None
+                if ncomp == 3 and samps not in (
+                    [(1, 1), (1, 1), (1, 1)],  # 4:4:4
+                    [(2, 2), (1, 1), (1, 1)],  # 4:2:0
+                ):
+                    return None  # 4:2:2 / 4:1:1 / exotic: outside subset
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # progressive/extended/arithmetic SOF
             elif marker == 0xDD:  # DRI
                 if int.from_bytes(seg[0:2], "big") != 0:
                     return None  # restart intervals: outside subset
             elif marker == 0xDA:  # SOS — entropy data follows
-                if seg[0] != 1:
-                    return None
-                dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
+                if seg[0] != len(comps) or not comps:
+                    return None  # multi-scan / headerless: outside subset
+                for cj in range(seg[0]):
+                    sos_tbl[seg[1 + 2 * cj]] = (
+                        seg[2 + 2 * cj] >> 4,
+                        seg[2 + 2 * cj] & 0x0F,
+                    )
                 pos = pos + 2 + seg_len
                 break
             pos += 2 + seg_len
-        if None in (w, h, qt_id, dc_id, ac_id) or qt_id not in qt:
+        if None in (w, h) or not comps or len(sos_tbl) != len(comps):
             return None
-        dct, act = huff.get((0, dc_id)), huff.get((1, ac_id))
-        if dct is None or act is None:
-            return None
-        q = qt[qt_id]
         m = _jpeg_idct_matrix()
-        bw, bh = (w + 7) // 8, (h + 7) // 8
-        img = np.zeros((bh * 8, bw * 8), dtype=np.uint8)
+        hmax = max(c["hs"] for c in comps)
+        vmax = max(c["vs"] for c in comps)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        planes: list["np.ndarray"] = []
+        tables: list[tuple[dict, dict, "np.ndarray"]] = []
+        for c in comps:
+            if c["cid"] not in sos_tbl or c["qt"] not in qt:
+                return None
+            dc_id, ac_id = sos_tbl[c["cid"]]
+            dct, act = huff.get((0, dc_id)), huff.get((1, ac_id))
+            if dct is None or act is None:
+                return None
+            tables.append((dct, act, qt[c["qt"]]))
+            planes.append(
+                np.zeros((mcuy * c["vs"] * 8, mcux * c["hs"] * 8), dtype=np.uint8)
+            )
         bits = _JpegBits(data, pos)
-        pred = 0
-        for by in range(bh):
-            for bx in range(bw):
-                coefs = np.zeros(64, dtype=np.int64)
-                size = _jpeg_huffman_decode(bits, dct)
-                pred += _jpeg_extend(bits.read_bits(size), size)
-                coefs[0] = pred
-                k = 1
-                while k < 64:
-                    rs = _jpeg_huffman_decode(bits, act)
-                    run, sz = rs >> 4, rs & 0x0F
-                    if sz == 0:
-                        if run == 15:  # ZRL: sixteen zeros
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += run
-                    if k > 63:
-                        return None
-                    coefs[k] = _jpeg_extend(bits.read_bits(sz), sz)
-                    k += 1
-                block = np.zeros(64, dtype=np.float64)
-                block[_JPEG_ZIGZAG] = coefs * q
-                px = m.T @ block.reshape(8, 8) @ m + 128.0
-                img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    np.round(px), 0, 255
-                ).astype(np.uint8)
-        return img[:h, :w].reshape(h, w, 1)
+        preds = [0] * len(comps)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, c in enumerate(comps):
+                    dct, act, q = tables[ci]
+                    for vy in range(c["vs"]):
+                        for vx in range(c["hs"]):
+                            px, preds[ci] = _jpeg_decode_block(
+                                bits, dct, act, preds[ci], q, m
+                            )
+                            y0 = (my * c["vs"] + vy) * 8
+                            x0 = (mx * c["hs"] + vx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = np.clip(
+                                np.round(px), 0, 255
+                            ).astype(np.uint8)
+        if len(comps) == 1:
+            return planes[0][:h, :w].reshape(h, w, 1)
+        # upsample chroma by replication to the luma grid, crop, convert
+        full = []
+        for ci, c in enumerate(comps):
+            p = planes[ci]
+            fy, fx = vmax // c["vs"], hmax // c["hs"]
+            if fy > 1 or fx > 1:
+                p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+            full.append(p[:h, :w].astype(np.float64))
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        return np.clip(
+            np.round(np.stack([r, g, b], axis=2)), 0, 255
+        ).astype(np.uint8)
     except Exception:  # noqa: BLE001 — malformed container → quarantine
         return None
 
