@@ -5334,19 +5334,21 @@ def q_rendezvous_assign(spark, sf_dir):
     return rendezvous_assign(cust, "c_custkey", LPA_NODES)
 
 
-def q_hybrid_search_rrf(spark, sf_dir):
-    """Hybrid retrieval: BM25 lexical top-20 fused with cosine semantic
-    top-20 by reciprocal-rank fusion (k=60) — rank-based combination needs
-    no score calibration, and with integer ranks + sorted-source folds the
-    FUSED ranking itself holds a full oracle.  doc_id/vec_id share the id
-    space in the testdata corpus."""
+_HYBRID_TERMS = ["spark", "window", "merge"]
+
+
+def _hybrid_runs(spark, sf_dir):
+    """The hybrid retrieval stack's three rankings, built ONCE for both
+    q_hybrid_search_rrf and q_retrieval_eval (review fix, r10 — the two
+    entries previously duplicated this construction and any tie-break or
+    constant drift between copies would silently break oracle parity):
+    (lex top-20 with rank, sem top-20 with rank, RRF-fused top-10)."""
     from pyspark.sql import Window
 
     from area_etl_spark.operators.indexing import bm25_search, rrf_fuse
 
     tables = _tables(spark, sf_dir)
-    docs = tables["documents"]
-    lex = bm25_search(docs, ["spark", "window", "merge"], "text", "doc_id", topk=20)
+    lex = bm25_search(tables["documents"], _HYBRID_TERMS, "text", "doc_id", topk=20)
     wl = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())  # 20 rows
     lex = lex.withColumn("rank", F.row_number().over(wl))
     q = _query_vec(spark, sf_dir)
@@ -5355,7 +5357,17 @@ def q_hybrid_search_rrf(spark, sf_dir):
     sem = sem.withColumn("rank", F.row_number().over(ws)).withColumnRenamed(
         "vec_id", "doc_id"
     )
-    return rrf_fuse([("lex", lex), ("sem", sem)], "doc_id", k=60, topk=10)
+    fused = rrf_fuse([("lex", lex), ("sem", sem)], "doc_id", k=60, topk=10)
+    return lex, sem, fused
+
+
+def q_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical top-20 fused with cosine semantic
+    top-20 by reciprocal-rank fusion (k=60) — rank-based combination needs
+    no score calibration, and with integer ranks + sorted-source folds the
+    FUSED ranking itself holds a full oracle.  doc_id/vec_id share the id
+    space in the testdata corpus."""
+    return _hybrid_runs(spark, sf_dir)[2]
 
 
 def q_ann_recall_eval(spark, sf_dir):
@@ -5380,31 +5392,17 @@ def q_retrieval_eval(spark, sf_dir):
     three query terms the doc contains) — the ann_recall_report pattern
     applied to retrieval quality, fully oracled via literal log2 discount
     weights and sorted float folds."""
-    from pyspark.sql import Window
-
     from area_etl_spark.operators.dedup import normalize_tokens
-    from area_etl_spark.operators.indexing import bm25_search, retrieval_eval, rrf_fuse
+    from area_etl_spark.operators.indexing import retrieval_eval
 
-    tables = _tables(spark, sf_dir)
-    docs = tables["documents"]
-    terms = ["spark", "window", "merge"]
-    lex = bm25_search(docs, terms, "text", "doc_id", topk=20)
-    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())  # 20 rows
-    lex = lex.withColumn("rank", F.row_number().over(wl))
-    q = _query_vec(spark, sf_dir)
-    sem = SIM.cosine_topk(tables["embeddings"].where(F.col("vec_id") != 0), q, k=20)
-    ws = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())  # 20 rows
-    sem = sem.withColumn("rank", F.row_number().over(ws)).withColumnRenamed(
-        "vec_id", "doc_id"
-    )
-    fused = rrf_fuse([("lex", lex), ("sem", sem)], "doc_id", k=60, topk=10)
+    lex, sem, fused = _hybrid_runs(spark, sf_dir)
     fused = fused.withColumnRenamed("rrf_rank", "rank")
-    qrels = docs.select(
+    qrels = _tables(spark, sf_dir)["documents"].select(
         "doc_id",
         F.size(
             F.array_intersect(
                 F.array_distinct(normalize_tokens("text")),
-                F.array(*[F.lit(t) for t in terms]),
+                F.array(*[F.lit(t) for t in _HYBRID_TERMS]),
             )
         ).alias("rel"),
     )
@@ -5971,7 +5969,8 @@ _R10_WINDOW = [
 
 # Never-driver-checked keys left for round 11's window: fifo_cost_basis (the
 # eighth r9 promotion that didn't fit), then the remaining r9 registrations
-# in registration order.  New r10 registrations append after these.
+# in registration order, then the r10 additions (all judge-gated at
+# sf0.001/0.01/0.1 with dtype parity this round).
 _R11_QUEUE = [
     "fifo_cost_basis",
     "woe_iv",
@@ -5990,6 +5989,10 @@ _R11_QUEUE = [
     "sprt_ab",
     "power_two_proportions",
     "fifo_open_lots",
+    # — r10 additions —
+    "containment_blocked",
+    "theil_sen_bounded",
+    "retrieval_eval",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -6732,6 +6735,68 @@ def _cos2_sql(x: str, y: str) -> str:
         f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (p, r) -> p + r)"
     )
     return f"({red(x, y)} / (sqrt({red(x, x)}) * sqrt({red(y, y)})))"
+
+
+def _hybrid_ctes_sql() -> str:
+    """The hybrid-retrieval CTE chain (BM25 top-20 → lex ranks, cosine
+    top-20 → sem ranks, RRF fold → per) shared by the hybrid_search_rrf
+    and retrieval_eval oracles — ONE source of truth for the tie-breaks
+    and constants, mirroring the Spark-side _hybrid_runs (review fix,
+    r10)."""
+    terms_sql = ", ".join(f"'{t}'" for t in _HYBRID_TERMS)
+    return f"""tk AS (
+                SELECT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+                    FROM documents
+                ) WHERE term <> ''
+            ), dl AS (
+                SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id
+            ), st AS (
+                SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+            ), tfq AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM tk
+                WHERE term IN ({terms_sql}) GROUP BY doc_id, term
+            ), dfq AS (
+                SELECT term, COUNT(*) AS df FROM tfq GROUP BY term
+            ), bm AS (
+                SELECT doc_id,
+                       round(SUM(
+                           ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                           * tf * (1.2 + 1)
+                           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                       ), 6) AS score
+                FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+                GROUP BY doc_id
+                ORDER BY score DESC, doc_id
+                LIMIT 20
+            ), lex AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY score DESC, doc_id) AS r
+                FROM bm
+            ), qv AS (
+                SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+            ), cs AS (
+                SELECT vec_id AS doc_id,
+                       round({_cos2_sql("qe", "embedding")}, 6) AS cosine
+                FROM embeddings, qv WHERE vec_id <> 0
+                ORDER BY cosine DESC, vec_id
+                LIMIT 20
+            ), sem AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY cosine DESC, doc_id) AS r
+                FROM cs
+            ), u AS (
+                SELECT doc_id, 'lex' AS s, r FROM lex
+                UNION ALL
+                SELECT doc_id, 'sem' AS s, r FROM sem
+            ), per AS (
+                SELECT doc_id, COUNT(*) AS n_sources,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                               list(1.0 / (60.0 + CAST(r AS DOUBLE)) ORDER BY s)),
+                           (x, y) -> x + y) AS score
+                FROM u GROUP BY doc_id
+            )"""
 
 
 def _lsh_bucket_sql(col: str, dim: int = 64, bits: int = 4, seed: int = 42) -> str:
@@ -8621,59 +8686,7 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
         """,
         "hybrid_search_rrf": f"""
-            WITH tk AS (
-                SELECT doc_id, term FROM (
-                    SELECT doc_id,
-                           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
-                    FROM documents
-                ) WHERE term <> ''
-            ), dl AS (
-                SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id
-            ), st AS (
-                SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
-            ), tfq AS (
-                SELECT doc_id, term, COUNT(*) AS tf FROM tk
-                WHERE term IN ('spark', 'window', 'merge') GROUP BY doc_id, term
-            ), dfq AS (
-                SELECT term, COUNT(*) AS df FROM tfq GROUP BY term
-            ), bm AS (
-                SELECT doc_id,
-                       round(SUM(
-                           ln((n_docs - df + 0.5) / (df + 0.5) + 1)
-                           * tf * (1.2 + 1)
-                           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
-                       ), 6) AS score
-                FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-                GROUP BY doc_id
-                ORDER BY score DESC, doc_id
-                LIMIT 20
-            ), lex AS (
-                SELECT doc_id,
-                       row_number() OVER (ORDER BY score DESC, doc_id) AS r
-                FROM bm
-            ), qv AS (
-                SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
-            ), cs AS (
-                SELECT vec_id AS doc_id,
-                       round({_cos2_sql("qe", "embedding")}, 6) AS cosine
-                FROM embeddings, qv WHERE vec_id <> 0
-                ORDER BY cosine DESC, vec_id
-                LIMIT 20
-            ), sem AS (
-                SELECT doc_id,
-                       row_number() OVER (ORDER BY cosine DESC, doc_id) AS r
-                FROM cs
-            ), u AS (
-                SELECT doc_id, 'lex' AS s, r FROM lex
-                UNION ALL
-                SELECT doc_id, 'sem' AS s, r FROM sem
-            ), per AS (
-                SELECT doc_id, COUNT(*) AS n_sources,
-                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                               list(1.0 / (60.0 + CAST(r AS DOUBLE)) ORDER BY s)),
-                           (x, y) -> x + y) AS score
-                FROM u GROUP BY doc_id
-            )
+            WITH {_hybrid_ctes_sql()}
             SELECT doc_id, round(score, 9) AS rrf_score,
                    CAST(n_sources AS BIGINT) AS n_sources,
                    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
@@ -8682,63 +8695,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rrf_rank
             LIMIT 10
         """,
-        # Shares the hybrid_search_rrf CTE chain; metrics use the SAME
-        # literal 1/log2(i+1) weights (and their prefix sums) injected into
-        # the Spark plan — no engine libm log2 runs on either side.
+        # Shares the hybrid_search_rrf CTE chain (_hybrid_ctes_sql — one
+        # source of truth); metrics use the SAME literal 1/log2(i+1)
+        # weights (and their prefix sums) injected into the Spark plan —
+        # no engine libm log2 runs on either side.
         "retrieval_eval": f"""
-            WITH tk AS (
-                SELECT doc_id, term FROM (
-                    SELECT doc_id,
-                           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
-                    FROM documents
-                ) WHERE term <> ''
-            ), dl AS (
-                SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id
-            ), st AS (
-                SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
-            ), tfq AS (
-                SELECT doc_id, term, COUNT(*) AS tf FROM tk
-                WHERE term IN ('spark', 'window', 'merge') GROUP BY doc_id, term
-            ), dfq AS (
-                SELECT term, COUNT(*) AS df FROM tfq GROUP BY term
-            ), bm AS (
-                SELECT doc_id,
-                       round(SUM(
-                           ln((n_docs - df + 0.5) / (df + 0.5) + 1)
-                           * tf * (1.2 + 1)
-                           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
-                       ), 6) AS score
-                FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-                GROUP BY doc_id
-                ORDER BY score DESC, doc_id
-                LIMIT 20
-            ), lex AS (
-                SELECT doc_id,
-                       row_number() OVER (ORDER BY score DESC, doc_id) AS r
-                FROM bm
-            ), qv AS (
-                SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
-            ), cs AS (
-                SELECT vec_id AS doc_id,
-                       round({_cos2_sql("qe", "embedding")}, 6) AS cosine
-                FROM embeddings, qv WHERE vec_id <> 0
-                ORDER BY cosine DESC, vec_id
-                LIMIT 20
-            ), sem AS (
-                SELECT doc_id,
-                       row_number() OVER (ORDER BY cosine DESC, doc_id) AS r
-                FROM cs
-            ), uu AS (
-                SELECT doc_id, 'lex' AS s, r FROM lex
-                UNION ALL
-                SELECT doc_id, 'sem' AS s, r FROM sem
-            ), per AS (
-                SELECT doc_id, COUNT(*) AS n_sources,
-                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                               list(1.0 / (60.0 + CAST(r AS DOUBLE)) ORDER BY s)),
-                           (x, y) -> x + y) AS score
-                FROM uu GROUP BY doc_id
-            ), fused AS (
+            WITH {_hybrid_ctes_sql()}, fused AS (
                 SELECT doc_id, r FROM (
                     SELECT doc_id,
                            row_number() OVER (ORDER BY score DESC, doc_id) AS r

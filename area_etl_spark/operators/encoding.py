@@ -87,14 +87,24 @@ def target_encode_loo(
         ((cat_sum − own_y) · N + m · G) / (N · (cat_n − 1 + m))
 
     with N = global count, G = global target sum, the numerator summed
-    as DECIMAL(38,0).  A two-float-step form (pre-computed double
-    ``global_mean``, then the outer division) lands 1-ulp apart between
-    engines on round-half boundaries — the single exact division is
-    bit-identical under any partitioning and across engines, so no
-    cosmetic rounding is applied.  One bounded aggregate + broadcast
-    scalar-join — no window, no per-row state.
+    as DECIMAL(38,0) for INTEGRAL targets.  A two-float-step form
+    (pre-computed double ``global_mean``, then the outer division) lands
+    1-ulp apart between engines on round-half boundaries — the single
+    exact division is bit-identical under any partitioning and across
+    engines, so no cosmetic rounding is applied.  FRACTIONAL targets keep
+    the same single-division form over DOUBLE sums (a decimal(38,0) cast
+    would silently ROUND 19.99 → 20 — review fix, r10); their sums carry
+    ordinary float-summation order sensitivity, so pre-scale to integer
+    units when bit-reproducibility matters.  One bounded aggregate +
+    broadcast scalar-join — no window, no per-row state.
     """
-    dec = "decimal(38,0)"
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    integral = isinstance(
+        df.schema[target_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+    dec = "decimal(38,0)" if integral else "double"
     y = F.col(target_col)
     cat = df.groupBy(category_col).agg(
         F.sum(y.cast(dec)).alias("_cat_sum"), F.count(y).alias("_cat_n")

@@ -687,18 +687,26 @@ def holt_brown_smooth(
     s1_den = None
     s2_num = None
     s2_den = None
-    dec = "decimal(38,0)"
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    # INTEGRAL values accumulate value × weight as DECIMAL(38,0) (the
+    # acf_lags overflow discipline): w2 reaches n_lags·2^(2·n_lags−2) ≈ 5e7
+    # at K=12, so a LONG numerator silently overflows at |v| ≳ 8e9 — wrong
+    # level/trend/forecast with no error.  FRACTIONAL values keep double
+    # arithmetic (a decimal(38,0) cast would silently ROUND 0.4 → 0 —
+    # review fix, r10); their smoothing carries ordinary float error.  The
+    # weight sums are LONG either way (int overflows at K ≥ 13).
+    integral = isinstance(
+        df.schema[value_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+    acc_type = "decimal(38,0)" if integral else "double"
     for m in range(2 * k - 1):
         lagged = x if m == 0 else F.lag(x, m).over(w)
         w1 = (1 << (k - 1 - m)) if m < k else 0
         overlap = min(m, k - 1) - max(0, m - k + 1) + 1
         w2 = overlap * (1 << (2 * k - 2 - m))
-        # value × weight accumulates as DECIMAL(38,0) (the acf_lags
-        # overflow discipline): w2 reaches n_lags·2^(2·n_lags−2) ≈ 5e7 at
-        # K=12, so a LONG numerator silently overflows at |v| ≳ 8e9 —
-        # wrong level/trend/forecast with no error.  The weight sums are
-        # LONG (they overflow 32-bit int at K ≥ 13).
-        val = F.coalesce(lagged, F.lit(0)).cast(dec)
+        val = F.coalesce(lagged, F.lit(0)).cast(acc_type)
         t1 = val * F.lit(w1)
         t2 = val * F.lit(w2)
         a1 = F.when(lagged.isNotNull(), F.lit(w1)).otherwise(F.lit(0)).cast("long")

@@ -429,12 +429,18 @@ def _writer_lock(dir_path: str, stale_after_s: float = 3600.0):
     takeover RENAMES it aside (atomic — exactly one of N simultaneous
     takeover racers succeeds) and then RE-CHECKS the moved file's age: a
     fresh lock created in the stat→rename window (the old holder released
-    and a NEW writer acquired between our stat and our rename) is moved
-    BACK and the takeover aborted with :class:`ConcurrentWriteError` —
-    without this re-check the rename would silently destroy a live
-    writer's lock and admit two concurrent writers.  A confirmed-stale
-    moved file is unlinked (no ``.stale.*`` litter), then the O_EXCL
-    create is re-raced.
+    and a NEW writer acquired between our stat and our rename) is restored
+    via link(2) and the takeover aborted with
+    :class:`ConcurrentWriteError` — the racer itself never proceeds after
+    moving a live lock.  A narrower window REMAINS (inherent without a
+    coordinator): between the rename-aside and the link restore, a third
+    writer's O_EXCL create can succeed while the moved fresh holder is
+    still publishing — two writers, with the restore failing EEXIST and
+    the fresh holder's lock gone.  That requires two back-to-back
+    microsecond races on top of a stale-lock takeover; treat
+    ``stale_after_s`` as the real safety margin.  A confirmed-stale moved
+    file is unlinked (no ``.stale.*`` litter), then the O_EXCL create is
+    re-raced.
     Release is ownership-checked: the holder unlinks only a lock that
     still carries ITS token, so a writer whose lock was (mis)taken over —
     e.g. one genuinely slower than the stale window — cannot remove the
@@ -661,54 +667,66 @@ def publish_snapshot(
     :class:`ConcurrentWriteError` before any data write.  Returns the
     published snapshot number.
     """
+    with _writer_lock(warehouse_dir):
+        return _publish_snapshot_locked(tables, warehouse_dir, fmt, keep_snapshots)
+
+
+def _publish_snapshot_locked(
+    tables: dict[str, DataFrame],
+    warehouse_dir: str,
+    fmt: str,
+    keep_snapshots: int,
+) -> int:
+    """:func:`publish_snapshot`'s body, for callers that ALREADY hold the
+    warehouse writer lock (``incremental_publish_cycle`` serializes its
+    whole read-accumulate-publish-commit critical section under it)."""
     import os
     import shutil
 
-    with _writer_lock(warehouse_dir):
-        cur = _read_snapshot_no(warehouse_dir)
-        existing = set()
-        for t in tables:
-            tdir = os.path.join(warehouse_dir, t)
-            if os.path.isdir(tdir):
-                for d in os.listdir(tdir):
-                    if d.startswith("s="):
-                        try:
-                            existing.add(int(d[2:]))
-                        except ValueError:
-                            pass
-        new_s = max(existing | ({cur} if cur is not None else {0})) + 1
-        for name, df in tables.items():
-            df.write.mode("overwrite").format(fmt).save(
-                os.path.join(warehouse_dir, name, f"s={new_s}")
-            )
-        tmp = os.path.join(warehouse_dir, "_SNAPSHOT.tmp")
-        with open(tmp, "w", encoding="utf-8") as f:
-            f.write(str(new_s))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(warehouse_dir, "_SNAPSHOT"))
-        # GC: keep the newest keep_snapshots PUBLISHED snapshots per table
-        keep = {new_s}
-        published = sorted(
-            [s for s in existing if cur is not None and s <= cur], reverse=True
-        )
-        for s in published:
-            if len(keep) >= keep_snapshots:
-                break
-            keep.add(s)
-        for t in tables:
-            tdir = os.path.join(warehouse_dir, t)
-            if not os.path.isdir(tdir):
-                continue
+    cur = _read_snapshot_no(warehouse_dir)
+    existing = set()
+    for t in tables:
+        tdir = os.path.join(warehouse_dir, t)
+        if os.path.isdir(tdir):
             for d in os.listdir(tdir):
                 if d.startswith("s="):
                     try:
-                        v = int(d[2:])
+                        existing.add(int(d[2:]))
                     except ValueError:
-                        continue
-                    if v not in keep:
-                        shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
-        return new_s
+                        pass
+    new_s = max(existing | ({cur} if cur is not None else {0})) + 1
+    for name, df in tables.items():
+        df.write.mode("overwrite").format(fmt).save(
+            os.path.join(warehouse_dir, name, f"s={new_s}")
+        )
+    tmp = os.path.join(warehouse_dir, "_SNAPSHOT.tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write(str(new_s))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(warehouse_dir, "_SNAPSHOT"))
+    # GC: keep the newest keep_snapshots PUBLISHED snapshots per table
+    keep = {new_s}
+    published = sorted(
+        [s for s in existing if cur is not None and s <= cur], reverse=True
+    )
+    for s in published:
+        if len(keep) >= keep_snapshots:
+            break
+        keep.add(s)
+    for t in tables:
+        tdir = os.path.join(warehouse_dir, t)
+        if not os.path.isdir(tdir):
+            continue
+        for d in os.listdir(tdir):
+            if d.startswith("s="):
+                try:
+                    v = int(d[2:])
+                except ValueError:
+                    continue
+                if v not in keep:
+                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+    return new_s
 
 
 def incremental_publish_cycle(
@@ -735,6 +753,14 @@ def incremental_publish_cycle(
        see the raw of cycle N next to an aggregate of cycle N−1);
     5. ONLY THEN commit the bookmark.
 
+    The ENTIRE cycle holds the warehouse writer lock (review fix, r10):
+    serializing only the publish would let two overlapping runners pin
+    different snapshots and bookmarks in their read phase — the loser
+    would publish a snapshot MISSING the winner's rows and regress the
+    bookmark.  Under the lock, read-accumulate-publish-commit is one
+    critical section; a second concurrent runner fails fast with
+    :class:`ConcurrentWriteError` before reading any state.
+
     Exactly-once by composition, for every crash point:
     a crash before the snapshot swap leaves orphan ``s=<n>`` dirs and an
     untouched bookmark (reader state unchanged; rerun reprocesses); a
@@ -747,23 +773,27 @@ def incremental_publish_cycle(
     Returns ``(snapshot_no, new_mark)`` — ``(None, None)`` when nothing
     new arrived (no write, no snapshot churn).
     """
-    inc, new_mark, commit = incremental_partitions(
-        spark, landing_path, bookmark_file, partition_col, fmt=fmt
-    )
-    if new_mark is None:
-        return None, None
-    try:
-        prev = read_snapshot_table(spark, warehouse_dir, "raw", fmt=fmt)
-        raw = prev.unionByName(inc.select(*prev.columns))
-    except FileNotFoundError:
-        raw = inc
-    raw = raw.dropDuplicates(key_cols)
-    derived = build_tables(raw)
-    if "raw" in derived:
-        raise ValueError("build_tables must not emit a table named 'raw'")
-    snap = publish_snapshot({"raw": raw, **derived}, warehouse_dir, fmt=fmt)
-    commit()
-    return snap, new_mark
+    with _writer_lock(warehouse_dir):
+        inc, new_mark, commit = incremental_partitions(
+            spark, landing_path, bookmark_file, partition_col, fmt=fmt
+        )
+        if new_mark is None:
+            return None, None
+        try:
+            prev = read_snapshot_table(spark, warehouse_dir, "raw", fmt=fmt)
+            raw = prev.unionByName(inc.select(*prev.columns))
+        except FileNotFoundError:
+            raw = inc
+        raw = raw.dropDuplicates(key_cols)
+        derived = build_tables(raw)
+        if "raw" in derived:
+            raise ValueError("build_tables must not emit a table named 'raw'")
+        snap = _publish_snapshot_locked(
+            {"raw": raw, **derived}, warehouse_dir, fmt, keep_snapshots=2
+        )
+        commit()
+        return snap, new_mark
+
 
 
 def _read_snapshot_no(warehouse_dir: str) -> int | None:

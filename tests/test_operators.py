@@ -1471,6 +1471,40 @@ def test_target_encode_loo_excludes_own_label(spark):
     assert math.isclose(out[4], (0 + 2 * 160) / (4 * 2))
 
 
+def test_target_encode_loo_fractional_targets_not_rounded(spark):
+    """Review fix (r10): a DOUBLE target must be encoded from its real
+    values — the integral-path decimal(38,0) cast would silently round
+    19.99 → 20 before summing."""
+    import math
+
+    from area_etl_spark.operators.encoding import target_encode_loo
+
+    df = spark.createDataFrame(
+        [(1, "a", 0.25), (2, "a", 0.75), (3, "a", 0.25), (4, "b", 10.5)],
+        "id long, cat string, y double",
+    )
+    out = {r.id: r.encoded for r in target_encode_loo(df, "cat", "y", smoothing=2).collect()}
+    # ((1.25 - 0.25)*4 + 2*11.75) / (4*(3-1+2)) — exact binary fractions
+    assert math.isclose(out[1], (1.0 * 4 + 2 * 11.75) / 16)
+    assert math.isclose(out[4], (0 + 2 * 11.75) / 8)
+
+
+def test_holt_brown_fractional_values_not_rounded(spark):
+    """Review fix (r10): a DOUBLE series must smooth its real values — the
+    integral-path decimal cast would round 0.4 → 0 and zero the level."""
+    from area_etl_spark.operators.windows import holt_brown_smooth
+
+    df = spark.createDataFrame(
+        [("a", t, 0.4) for t in range(1, 30)], "k string, t long, v double"
+    )
+    last = (
+        holt_brown_smooth(df, ["k"], ["t"], "v", n_lags=12, horizon=1)
+        .orderBy("t")
+        .collect()[-1]
+    )
+    assert abs(last.level - 0.4) < 1e-6 and abs(last.trend) < 1e-6
+
+
 def test_target_encode_loo_round_half_boundary_matches_duckdb():
     """r9 driver-red regression: the two-float-step form (double global
     mean, then the outer division) put Spark and DuckDB 1 ulp apart on

@@ -565,3 +565,39 @@ def test_incremental_publish_cycle_crash_resume_exactly_once(spark, tmp_path, mo
         None,
     )
     assert _read_snapshot_no(wh) == 3
+
+
+def test_incremental_publish_cycle_concurrent_runner_fails_fast(spark, tmp_path):
+    """Review fix (r10): the WHOLE cycle holds the warehouse writer lock —
+    a second runner fails with ConcurrentWriteError before reading any
+    state (bookmark and snapshot untouched), instead of pinning a stale
+    snapshot and publishing a row-dropping regression."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from area_etl_spark.sources.load import (
+        ConcurrentWriteError,
+        _read_snapshot_no,
+        _writer_lock,
+        incremental_publish_cycle,
+    )
+
+    landing = str(tmp_path / "landing")
+    wh = str(tmp_path / "wh")
+    bm = str(tmp_path / "bookmark")
+    spark.createDataFrame([(1, 10)], "k long, v long").withColumn(
+        "day", F.lit("01")
+    ).write.mode("append").partitionBy("day").parquet(landing)
+
+    agg = lambda raw: {"n": raw.groupBy().agg(F.count(F.lit(1)).alias("n"))}  # noqa: E731
+    assert incremental_publish_cycle(spark, landing, wh, bm, "day", ["k"], agg)[0] == 1
+
+    spark.createDataFrame([(2, 20)], "k long, v long").withColumn(
+        "day", F.lit("02")
+    ).write.mode("append").partitionBy("day").parquet(landing)
+    with _writer_lock(wh):  # another runner is mid-cycle
+        with pytest.raises(ConcurrentWriteError):
+            incremental_publish_cycle(spark, landing, wh, bm, "day", ["k"], agg)
+    assert _read_snapshot_no(wh) == 1 and open(bm).read() == "01"
+    # the holder released -> the retry wins
+    assert incremental_publish_cycle(spark, landing, wh, bm, "day", ["k"], agg)[0] == 2
