@@ -5740,6 +5740,18 @@ def q_containment_blocked(spark, sf_dir):
     return containment_blocked(_tables(spark, sf_dir)["documents"], threshold=0.75)
 
 
+def q_dedup_candidate_eval(spark, sf_dir):
+    """Dedup-candidate quality harness: precision/recall/F1 of the
+    portable MinHash banding (16 hashes, 4 bands) vs exact 3-gram-Jaccard
+    truth at t=0.5 — the measurement the banding dials are tuned by,
+    fully oracled (the ann_recall_report pattern applied to dedup)."""
+    from area_etl_spark.operators.dedup import dedup_candidate_eval
+
+    return dedup_candidate_eval(
+        _tables(spark, sf_dir)["documents"], threshold=0.5, num_hashes=16, bands=4
+    )
+
+
 def q_dedup_soft_weights(spark, sf_dir):
     """Soft dedup: 1/cluster_size training weights over exact-normalized
     text clusters — keeps every doc, equalizes gradient mass per unique
@@ -5993,6 +6005,7 @@ _R11_QUEUE = [
     "containment_blocked",
     "theil_sen_bounded",
     "retrieval_eval",
+    "dedup_candidate_eval",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -6482,6 +6495,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_blocked": q_containment_blocked,
         "theil_sen_bounded": q_theil_sen_bounded,
         "retrieval_eval": q_retrieval_eval,
+        "dedup_candidate_eval": q_dedup_candidate_eval,
         # — rows-only by design (seeded-hash candidate generators; no oracle) —
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -13105,6 +13119,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(shared AS DOUBLE) / CAST(s2.sz AS DOUBLE) AS containment
             FROM sh JOIN s2 ON s2.id = sh.id_a
             WHERE CAST(shared AS DOUBLE) / CAST(s2.sz AS DOUBLE) >= 0.75
+        """,
+        # Truth = exact all-shared-gram Jaccard >= 0.5; candidates = the
+        # portable MinHash banding CTEs (one source of truth with the
+        # dedup_minhash_portable oracle); metrics are exact counts + one
+        # division each, f1 in the same expression order as Spark.
+        "dedup_candidate_eval": f"""
+            WITH {_minhash_portable_ctes(16, 4)}, ts AS (
+                SELECT doc_id AS id, list_distinct({_shingles3_sql()}) AS grams
+                FROM documents
+            ), ts2 AS (
+                SELECT id, len(grams) AS sz FROM ts WHERE len(grams) > 0
+            ), tp AS (
+                SELECT id, unnest(grams) AS g FROM ts WHERE len(grams) > 0
+            ), tsh AS (
+                SELECT x.id AS id_a, y.id AS id_b, COUNT(*) AS shared
+                FROM tp x JOIN tp y USING (g)
+                WHERE x.id < y.id
+                GROUP BY 1, 2
+            ), truth AS (
+                SELECT tsh.id_a, tsh.id_b
+                FROM tsh
+                JOIN ts2 a ON a.id = tsh.id_a
+                JOIN ts2 b ON b.id = tsh.id_b
+                WHERE CAST(shared AS DOUBLE)
+                      / CAST(a.sz + b.sz - shared AS DOUBLE) >= 0.5
+            ), hits AS (
+                SELECT t.id_a, t.id_b
+                FROM truth t JOIN cands c
+                  ON c.id_a = t.id_a AND c.id_b = t.id_b
+            ), counts AS (
+                SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+                       (SELECT COUNT(*) FROM cands) AS n_cand,
+                       (SELECT COUNT(*) FROM hits) AS n_hit
+            ), pr AS (
+                SELECT n_truth, n_cand, n_hit,
+                       CASE WHEN n_cand > 0
+                            THEN CAST(n_hit AS DOUBLE) / CAST(n_cand AS DOUBLE)
+                            ELSE 0.0 END AS precision,
+                       CASE WHEN n_truth > 0
+                            THEN CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+                            ELSE 0.0 END AS recall
+                FROM counts
+            )
+            SELECT n_truth, n_cand, n_hit, precision, recall,
+                   CASE WHEN precision + recall > 0
+                        THEN 2.0 * precision * recall / (precision + recall)
+                        ELSE 0.0 END AS f1
+            FROM pr
         """,
         "dedup_soft_weights": """
             WITH n AS (

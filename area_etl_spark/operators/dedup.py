@@ -912,6 +912,94 @@ def containment_blocked(
     )
 
 
+def dedup_candidate_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Candidate-generator quality harness — precision / recall / F1 of
+    the portable MinHash banding against EXACT n-gram-Jaccard ground
+    truth, the measurement the (num_hashes, bands) dials are tuned by:
+    banding trades false positives (precision, wasted verify work)
+    against false negatives (recall, duplicates that survive dedup).
+    Closes the measurement loop on the dedup stack the way
+    ``ann_recall_report`` did for ANN and ``retrieval_eval`` for hybrid
+    retrieval.
+
+    Truth is the brute verification tier: all pairs sharing ≥1 shingle,
+    exact Jaccard ≥ ``threshold`` (shared-gram equi-join — never i×j
+    all-pairs; at corpus scale run the eval on a SAMPLE, the standard
+    harness contract documented for ann_recall_report).  Candidates come
+    from :func:`minhash_lsh_pairs_portable` — fully SQL-replayable, so
+    even precision/recall themselves hold a DuckDB oracle.  Returns ONE
+    row: (n_truth, n_cand, n_hit, precision, recall, f1) — exact integer
+    counts, one division each for p and r, f1 = 2·p·r/(p+r) evaluated in
+    the same expression order on both engines.
+    """
+    sets_df = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(normalize_tokens(text_col), n)).alias("_grams"),
+    ).where(F.size("_grams") > 0)
+    sizes = sets_df.select("_id", F.size("_grams").alias("_sz"))
+    posting = sets_df.select("_id", F.explode("_grams").alias("_g"))
+    shared = (
+        posting.alias("x")
+        .join(posting.alias("y"), "_g")
+        .where(F.col("x._id") < F.col("y._id"))
+        .groupBy(F.col("x._id").alias("id_a"), F.col("y._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    jac = F.col("_shared").cast("double") / (
+        F.col("_sza") + F.col("_szb") - F.col("_shared")
+    ).cast("double")
+    truth = (
+        shared.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb")),
+            "id_b",
+        )
+        .where(jac >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+    cand = minhash_lsh_pairs_portable(df, text_col, id_col, num_hashes, bands)
+    hits = truth.join(cand, ["id_a", "id_b"])
+    row = (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    p = F.when(
+        F.col("n_cand") > 0,
+        F.col("n_hit").cast("double") / F.col("n_cand").cast("double"),
+    ).otherwise(F.lit(0.0))
+    r = F.when(
+        F.col("n_truth") > 0,
+        F.col("n_hit").cast("double") / F.col("n_truth").cast("double"),
+    ).otherwise(F.lit(0.0))
+    out = row.select(
+        "n_truth",
+        "n_cand",
+        "n_hit",
+        p.alias("precision"),
+        r.alias("recall"),
+    )
+    f1 = F.when(
+        F.col("precision") + F.col("recall") > 0,
+        F.lit(2.0)
+        * F.col("precision")
+        * F.col("recall")
+        / (F.col("precision") + F.col("recall")),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("f1", f1)
+
+
 def dedup_soft_weights(
     df: DataFrame,
     text_col: str = "text",

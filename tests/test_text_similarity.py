@@ -1255,3 +1255,37 @@ def test_rake_keyphrases_textbook_behavior(spark):
     assert out[(1, 3)].phrase == "machine learning"
     assert out[(2, 1)].phrase == "quick brown fox" and out[(2, 1)].score == 9.0
     assert out[(2, 2)].phrase == "hurry" and out[(2, 2)].n_words == 1
+
+
+def test_dedup_candidate_eval_metrics_consistent(spark):
+    """The dedup-candidate harness: exact duplicates are truth AND hit
+    (banding can't miss identical signatures), counts are consistent, and
+    f1 reconciles with p/r; a corpus with no near-dups yields zero truth
+    and zero-division-free metrics."""
+    from area_etl_spark.operators.dedup import dedup_candidate_eval
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                      # exact dup of 1: J=1
+            (3, "completely different words about spark shuffles and joins"),
+            (4, "another unrelated document mentioning parquet footers only"),
+        ],
+        "doc_id long, text string",
+    )
+    r = dedup_candidate_eval(docs, threshold=0.5).collect()[0]
+    assert r.n_truth >= 1 and r.n_hit >= 1          # the (1,2) pair
+    assert r.n_hit <= min(r.n_truth, r.n_cand)
+    assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
+    if r.precision + r.recall > 0:
+        assert abs(r.f1 - 2 * r.precision * r.recall / (r.precision + r.recall)) < 1e-15
+    assert r.recall == 1.0                           # identical sigs always band together
+
+    lonely = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta"),
+         (2, "totally disjoint tokens nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    z = dedup_candidate_eval(lonely, threshold=0.5).collect()[0]
+    assert z.n_truth == 0 and z.recall == 0.0 and z.f1 == 0.0
