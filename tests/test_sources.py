@@ -601,3 +601,28 @@ def test_incremental_publish_cycle_concurrent_runner_fails_fast(spark, tmp_path)
     assert _read_snapshot_no(wh) == 1 and open(bm).read() == "01"
     # the holder released -> the retry wins
     assert incremental_publish_cycle(spark, landing, wh, bm, "day", ["k"], agg)[0] == 2
+
+
+def test_orc_sink_pushdown_and_partition_pruning(spark, tables, tmp_path):
+    """ORC (in-core Spark, no external jar): filters reach the ORC scan as
+    PushedFilters, and a hive-partitioned ORC layout prunes at the
+    directory level — the same data-skipping contract the parquet path
+    pins."""
+    from pyspark.sql import functions as F
+
+    from area_etl_spark.sources.load import read_back, reload_overwrite
+
+    src = tables["documents"].select("doc_id", "lang", "n_chars")
+    flat = str(tmp_path / "docs_orc")
+    reload_overwrite(src, flat, fmt="orc")
+    out = read_back(spark, flat, fmt="orc").where(F.col("n_chars") > 100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "n_chars" in plan
+    assert out.count() == src.where(F.col("n_chars") > 100).count()
+
+    parts = str(tmp_path / "docs_orc_by_lang")
+    reload_overwrite(src, parts, fmt="orc", partition_by=["lang"])
+    pruned = read_back(spark, parts, fmt="orc").where(F.col("lang") == "en")
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in pplan
+    assert pruned.count() == src.where(F.col("lang") == "en").count()
