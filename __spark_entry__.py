@@ -2555,6 +2555,17 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return SIM.embedding_near_dup_pairs(emb, threshold=0.38, bits=8, num_tables=2)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup — bit-reproducible
+    k-means clusters the embedding space (k=16, 3 Lloyd rounds), then a
+    within-cluster min-id shadow prune on rounded cosines (t=0.35, tuned
+    to this corpus's spread) — pairwise work bounded by cluster size,
+    never corpus², and the WHOLE train+assign+prune pipeline replays in
+    the DuckDB oracle."""
+    emb = _tables(spark, sf_dir)["embeddings"].where(F.col("vec_id") != 0)
+    return SIM.semdedup_prune(emb, k=16, iters=3, threshold=0.35)
+
+
 def q_multimodal_frame_sample(spark, sf_dir):
     tables = _tables(spark, sf_dir)
     payloads = MM.attach_binary_payload(tables["documents"], "text", "video/mp4", "doc_id")
@@ -6020,6 +6031,7 @@ _R11_QUEUE = [
     "retrieval_eval",
     "dedup_candidate_eval",
     "orc_roundtrip",
+    "semdedup",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -6511,6 +6523,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": q_retrieval_eval,
         "dedup_candidate_eval": q_dedup_candidate_eval,
         "orc_roundtrip": q_orc_roundtrip,
+        "semdedup": q_semdedup,
         # — rows-only by design (seeded-hash candidate generators; no oracle) —
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -6845,16 +6858,13 @@ def _lsh_bucket_sql(col: str, dim: int = 64, bits: int = 4, seed: int = 42) -> s
     return "(" + " + ".join(terms) + ")"
 
 
-def _ivf_trained_sql(k: int = 16, iters: int = 3, nprobe: int = 2, topk: int = 10) -> str:
-    """DuckDB replay of the deterministic k-means-trained IVF pipeline.
-
-    ``train_kmeans_codebook`` is bit-reproducible (fixed-point per-dim sums,
-    sequential-fold cosines), so the oracle UNROLLS the same ``iters`` Lloyd
-    rounds in SQL — seed centroids, assign (argmax cosine, ties to lowest
-    cid), fixed-point means with empty-bucket carry-over — then probes the
-    ``nprobe`` top-dot centroids and exact-ranks inside them, exactly as
-    ``q_ann_ivf_trained_topk`` does on Spark.
-    """
+def _kmeans_train_ctes(k: int, iters: int) -> tuple[list[str], str]:
+    """The bit-reproducible Lloyd's-training CTE chain shared by the
+    trained-IVF and semdedup oracles (one source of truth): seed
+    centroids, per-round assign (argmax cosine, ties to lowest cid) +
+    fixed-point means with empty-bucket carry-over, and a final ``af``
+    assignment of every vector to its trained cluster.  Returns
+    (ctes, final_centroids_cte_name); ``af`` is always the last CTE."""
     from area_etl_spark.operators.similarity import KMEANS_QUANT
 
     q = repr(KMEANS_QUANT)
@@ -6893,7 +6903,20 @@ def _ivf_trained_sql(k: int = 16, iters: int = 3, nprobe: int = 2, topk: int = 1
                                      FROM m{it} GROUP BY cid) n USING (cid)
         )""")
         prev = f"c{it}"
+    ctes.append(assign("af", prev))
+    return ctes, prev
 
+
+def _ivf_trained_sql(k: int = 16, iters: int = 3, nprobe: int = 2, topk: int = 10) -> str:
+    """DuckDB replay of the deterministic k-means-trained IVF pipeline.
+
+    ``train_kmeans_codebook`` is bit-reproducible (fixed-point per-dim sums,
+    sequential-fold cosines), so the oracle UNROLLS the same ``iters`` Lloyd
+    rounds in SQL (``_kmeans_train_ctes``) — then probes the ``nprobe``
+    top-dot centroids and exact-ranks inside them, exactly as
+    ``q_ann_ivf_trained_topk`` does on Spark.
+    """
+    ctes, prev = _kmeans_train_ctes(k, iters)
     dot_qc = (
         "list_reduce(list_transform(generate_series(1, len(c.ce)), "
         "j -> c.ce[j] * q.qe[j]), (x, y) -> x + y)"
@@ -6902,13 +6925,32 @@ def _ivf_trained_sql(k: int = 16, iters: int = 3, nprobe: int = 2, topk: int = 1
         SELECT cid FROM (SELECT c.cid, {dot_qc} AS dot FROM {prev} c CROSS JOIN qv q)
         ORDER BY dot DESC, cid LIMIT {nprobe}
     )""")
-    ctes.append(assign("af", prev))
     return f"""
         WITH {', '.join(ctes)}
         SELECT a.vec_id, round({_cos2_sql("a.embedding", "q.qe")}, 6) AS cosine
         FROM af a JOIN probes p USING (cid) CROSS JOIN qv q
         ORDER BY cosine DESC, a.vec_id
         LIMIT {topk}
+    """
+
+
+def _semdedup_sql(k: int = 16, iters: int = 3, threshold: float = 0.35) -> str:
+    """DuckDB replay of semdedup_prune: the SAME trained assignment as the
+    IVF oracle (``_kmeans_train_ctes``), then the within-cluster min-id
+    shadow prune on rounded cosines."""
+    ctes, _ = _kmeans_train_ctes(k, iters)
+    cos_ab = _cos2_sql("a.embedding", "b.embedding")
+    return f"""
+        WITH {', '.join(ctes)}, dups AS (
+            SELECT a.vec_id AS ida, MIN(b.vec_id) AS dup_of
+            FROM af a JOIN af b
+              ON b.cid = a.cid AND b.vec_id < a.vec_id
+            WHERE round({cos_ab}, 6) >= {threshold!r}
+            GROUP BY a.vec_id
+        )
+        SELECT a.vec_id, a.cid AS cluster,
+               d.dup_of IS NULL AS keep, d.dup_of
+        FROM af a LEFT JOIN dups d ON d.ida = a.vec_id
     """
 
 
@@ -9770,6 +9812,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "ann_ivf_trained_topk": _ivf_trained_sql(k=16, iters=3, nprobe=2, topk=10),
+        "semdedup": _semdedup_sql(k=16, iters=3, threshold=0.35),
         "text_repetition": f"""
             WITH per AS (
                 SELECT doc_id, term, COUNT(*) AS tf

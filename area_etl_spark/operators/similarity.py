@@ -796,3 +796,64 @@ def pool_embeddings(
         ).alias("pooled"),
     )
     return assembled.select(F.col("_g").alias(group_col), "n_vecs", "pooled")
+
+
+def semdedup_prune(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    iters: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): SEMANTIC deduplication — k-means
+    cluster the embedding space, then prune cosine-near-duplicates WITHIN
+    each cluster only, so the pairwise stage is bounded by cluster size
+    and never touches corpus×corpus (the paper's core scaling argument;
+    the lexical tiers in ``operators/dedup.py`` can't see paraphrases —
+    this tier can).
+
+    Pruning contract (deterministic relational reading of "keep one per
+    duplicate set"): a vector is DROPPED iff a LOWER-id vector in the same
+    cluster sits within ``threshold`` rounded-cosine — first-occurrence
+    wins, the same min-id convention as ``remove_duplicate_spans``.  A
+    dropped vector still shadows later ones (one pass, no sequential
+    dependency); that over-drops relative to a sequential greedy when
+    chains A~B~C have cos(A,C) < t — acceptable for dedup (the kept set
+    never contains a pair within threshold).
+
+    Determinism end to end: the codebook is the bit-reproducible
+    fixed-point :func:`train_kmeans_codebook`; assignment ties break to
+    the lowest centroid id; cosines round to 6 before the threshold so
+    the drop frontier is engine-stable — the WHOLE pipeline (train +
+    assign + prune) replays in a DuckDB oracle.  Returns one row per
+    input vector: (id, cluster, keep, dup_of) with ``dup_of`` the
+    minimum shadowing id (NULL when kept).
+    """
+    cents = train_kmeans_codebook(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+    assigned = assign_ivf_buckets(df, cents, vec_col, id_col)
+    a = assigned.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), F.col("ivf_bucket").alias("_b")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), F.col("ivf_bucket").alias("_b")
+    )
+    cos = F.round(
+        _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))), 6
+    )
+    dups = (
+        a.join(b, "_b")
+        .where(F.col("_idb") < F.col("_ida"))
+        .where(cos >= F.lit(threshold))
+        .groupBy("_ida")
+        .agg(F.min("_idb").alias("dup_of"))
+    )
+    return (
+        assigned.join(dups, assigned[id_col] == dups["_ida"], "left")
+        .select(
+            F.col(id_col),
+            F.col("ivf_bucket").alias("cluster"),
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )

@@ -1289,3 +1289,42 @@ def test_dedup_candidate_eval_metrics_consistent(spark):
     )
     z = dedup_candidate_eval(lonely, threshold=0.5).collect()[0]
     assert z.n_truth == 0 and z.recall == 0.0 and z.f1 == 0.0
+
+
+def test_semdedup_prune_within_cluster_min_id_wins(spark):
+    """SemDeDup: near-identical vectors in the SAME trained cluster keep
+    only the lowest id (dup_of points at it); distinct-direction vectors
+    survive; and the kept set never contains a same-cluster pair within
+    threshold."""
+    from area_etl_spark.operators.similarity import semdedup_prune
+
+    rows = (
+        # direction-cluster A with two near-dups of vector 1
+        [(1, [10.0, 0.1]), (2, [10.0, 0.1001]), (3, [9.9, 0.1])]
+        # distinct member of A (same half-plane, far angle-wise)
+        + [(4, [10.0, 6.0])]
+        # direction-cluster B
+        + [(10, [0.1, 10.0]), (11, [0.1001, 10.0])]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in semdedup_prune(df, k=2, iters=3, threshold=0.999).collect()}
+    assert len(out) == 6
+    assert out[1].keep and out[1].dup_of is None
+    assert not out[2].keep and out[2].dup_of == 1
+    assert not out[3].keep and out[3].dup_of == 1
+    assert out[4].keep                       # same cluster, below threshold
+    assert out[10].keep
+    assert not out[11].keep and out[11].dup_of == 10
+    # kept set contains no same-cluster pair within threshold
+    import itertools
+
+    import numpy as np
+
+    vecs = dict(rows)
+    kept = [i for i, r in out.items() if r.keep]
+    for a, b in itertools.combinations(kept, 2):
+        if out[a].cluster != out[b].cluster:
+            continue
+        va, vb = np.array(vecs[a]), np.array(vecs[b])
+        cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert round(cos, 6) < 0.999
