@@ -135,19 +135,6 @@ def q_reload_idempotent(spark, sf_dir):
     return read_back(spark, path)
 
 
-def q_orc_roundtrip(spark, sf_dir):
-    """ORC sink/source round-trip (r10): ORC ships IN core Spark — unlike
-    Avro there is no external jar to gate on — so the lake-format surface
-    (parquet/CSV/JSON/ORC) is complete natively.  Write once via the same
-    reload_overwrite sink the parquet path uses, read back, compare to the
-    source table's oracle."""
-    tables = _tables(spark, sf_dir)
-    src = tables["customer"].select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
-    path = _run_tmp(spark, "orc", "customer")
-    reload_overwrite(src, path, fmt="orc")
-    return read_back(spark, path, fmt="orc")
-
-
 def q_export_csv_roundtrip(spark, sf_dir):
     tables = _tables(spark, sf_dir)
     src = tables["region"].select("r_regionkey", "r_name")
@@ -6030,7 +6017,6 @@ _R11_QUEUE = [
     "theil_sen_bounded",
     "retrieval_eval",
     "dedup_candidate_eval",
-    "orc_roundtrip",
     "semdedup",
 ]
 
@@ -6522,7 +6508,6 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_bounded": q_theil_sen_bounded,
         "retrieval_eval": q_retrieval_eval,
         "dedup_candidate_eval": q_dedup_candidate_eval,
-        "orc_roundtrip": q_orc_roundtrip,
         "semdedup": q_semdedup,
         # — rows-only by design (seeded-hash candidate generators; no oracle) —
         "dedup_simhash": q_dedup_simhash,
@@ -7397,9 +7382,6 @@ def oracle_sql() -> dict[str, str]:
                           columns = {{'region_code': 'VARCHAR', 'name': 'VARCHAR', 'population': 'BIGINT'}})
         """,
         "load_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
-        "orc_roundtrip": (
-            "SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer"
-        ),
         "reload_idempotent": "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
         "export_csv_roundtrip": "SELECT r_regionkey, r_name FROM region",
         "attachment_id_remap": """
