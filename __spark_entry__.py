@@ -2542,6 +2542,25 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     return SIM.embedding_near_dup_pairs(emb, threshold=0.38, bits=8, num_tables=2)
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher rule-based quality gate (Rae et al. 2021): the seven
+    published per-document rules as named booleans + overall pass — every
+    threshold an INTEGER cross-multiplication, so no float ever
+    materializes and the gate is bit-identical across engines by
+    construction."""
+    from area_etl_spark.operators.text_analysis import gopher_rules
+
+    # anchor lexicon adapted to the synthetic corpus's function words (the
+    # stopword rule is language-specific by design; the paper's English
+    # anchors are the operator default)
+    return gopher_rules(
+        _tables(spark, sf_dir)["documents"],
+        word_count_min=20,
+        required_stopwords=("the", "a"),
+        min_required=2,
+    )
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): semantic dedup — bit-reproducible
     k-means clusters the embedding space (k=16, 3 Lloyd rounds), then a
@@ -6018,6 +6037,7 @@ _R11_QUEUE = [
     "retrieval_eval",
     "dedup_candidate_eval",
     "semdedup",
+    "gopher_rules",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -6509,6 +6529,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": q_retrieval_eval,
         "dedup_candidate_eval": q_dedup_candidate_eval,
         "semdedup": q_semdedup,
+        "gopher_rules": q_gopher_rules,
         # — rows-only by design (seeded-hash candidate generators; no oracle) —
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -9795,6 +9816,56 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_ivf_trained_topk": _ivf_trained_sql(k=16, iters=3, nprobe=2, topk=10),
         "semdedup": _semdedup_sql(k=16, iters=3, threshold=0.35),
+        # Integer cross-multiplication thresholds — no float in the gate.
+        "gopher_rules": """
+            WITH base AS (
+                SELECT doc_id,
+                       COALESCE(text, '') AS c,
+                       list_filter(string_split_regex(trim(lower(COALESCE(text, ''))), '\\s+'),
+                                   t -> t <> '') AS toks,
+                       list_filter(string_split(COALESCE(text, ''), chr(10)),
+                                   ln -> trim(ln) <> '') AS lines
+                FROM documents
+            ), stats AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_words,
+                       CAST(len(lines) AS BIGINT) AS n_lines,
+                       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list_transform(toks, t -> CAST(len(t) AS BIGINT))),
+                           (a, b) -> a + b) AS chars,
+                       CAST(len(c) - len(replace(c, '#', '')) AS BIGINT) AS n_hash,
+                       CAST((len(c) - len(replace(c, '...', ''))) / 3 AS BIGINT) AS n_ell,
+                       CAST(len(list_filter(lines, ln ->
+                           starts_with(trim(ln), '•') OR starts_with(trim(ln), '-')
+                           OR starts_with(trim(ln), '*'))) AS BIGINT) AS n_bullet,
+                       CAST(len(list_filter(lines, ln ->
+                           ends_with(trim(ln), '...') OR ends_with(trim(ln), '…')))
+                           AS BIGINT) AS n_ell_lines,
+                       CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+                           AS BIGINT) AS n_alpha,
+                       CAST(len(list_intersect(list_distinct(toks),
+                           ['the', 'a'])) AS BIGINT) AS n_stop
+                FROM base
+            ), ruled AS (
+                SELECT doc_id, n_words, n_lines,
+                       n_words >= 20 AND n_words <= 100000 AS rule_word_count,
+                       chars >= 3 * n_words AND chars <= 10 * n_words AS rule_mean_word_len,
+                       (n_hash + n_ell) * 10 <= n_words AS rule_symbol_ratio,
+                       n_bullet * 10 <= n_lines AS rule_bullet_lines,
+                       n_ell_lines * 10 <= 3 * n_lines AS rule_ellipsis_lines,
+                       n_alpha * 10 >= 8 * n_words AS rule_alpha_words,
+                       n_stop >= 2 AS rule_stopwords
+                FROM stats
+            )
+            SELECT doc_id, n_words, n_lines,
+                   rule_word_count, rule_mean_word_len, rule_symbol_ratio,
+                   rule_bullet_lines, rule_ellipsis_lines, rule_alpha_words,
+                   rule_stopwords,
+                   rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+                   AND rule_bullet_lines AND rule_ellipsis_lines
+                   AND rule_alpha_words AND rule_stopwords AS passes
+            FROM ruled
+        """,
         "text_repetition": f"""
             WITH per AS (
                 SELECT doc_id, term, COUNT(*) AS tf

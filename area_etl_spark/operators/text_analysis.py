@@ -833,3 +833,108 @@ def rake_keyphrases(
         .where(F.col("rank") <= topk)
         .select(F.col("_id").alias(id_col), "phrase", "n_words", "score", "rank")
     )
+
+
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    word_count_min: int = 50,
+    word_count_max: int = 100_000,
+    required_stopwords: tuple[str, ...] = GOPHER_REQUIRED_STOPWORDS,
+    min_required: int = 2,
+) -> DataFrame:
+    """The Gopher document-quality rules (Rae et al. 2021, Appendix A) as a
+    per-rule boolean gate — the canonical RULE-BASED corpus filter that
+    sits before any model-based scoring (quality_score is the soft score;
+    THIS is the published hard gate, and reporting per-rule booleans is
+    what makes the filter debuggable: you see WHICH rule kills a slice).
+
+    Rules (thresholds per the paper; words = lowercased whitespace tokens,
+    matching the repo-wide normalize_tokens convention):
+
+    1. word count within [word_count_min, word_count_max];
+    2. mean word length within [3, 10] characters;
+    3. symbol-to-word ratio (``#`` or ``...``) ≤ 0.1;
+    4. ≥ 90% of lines do NOT start with a bullet ( ``•``/``-``/``*`` )
+       — i.e. bullet lines ≤ 10%;
+    5. ≤ 30% of lines end with an ellipsis;
+    6. ≥ 80% of words contain at least one alphabetic character;
+    7. at least ``min_required`` of the ``required_stopwords`` appear
+       (default: 2 of the paper's 8 English anchors,
+       :data:`GOPHER_REQUIRED_STOPWORDS` — swap the lexicon for
+       non-English corpora, the rule is language-specific by nature).
+
+    Every threshold evaluates as an INTEGER cross-multiplication
+    (``n_alpha·10 ≥ n_words·8``, never ``n_alpha/n_words ≥ 0.8``) — no
+    float ever materializes, so the gate is bit-identical across engines
+    and partitionings by construction.  One narrow projection pass:
+    token/line arrays stay inside higher-order functions (JVM-side), no
+    explode, no shuffle.  Returns (id, n_words, n_lines, rule_1..rule_7
+    named booleans, passes).
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.array_remove(normalize_tokens(c), "")
+    lines = F.filter(F.split(c, "\n"), lambda ln: F.trim(ln) != "")
+    w = F.size(toks)
+    n_lines = F.size(lines)
+    chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+    ).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.trim(ln).startswith("•")
+            | F.trim(ln).startswith("-")
+            | F.trim(ln).startswith("*"),
+        )
+    )
+    n_ell_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.trim(ln).endswith("...") | F.trim(ln).endswith("…"),
+        )
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_lit = F.array(*[F.lit(s) for s in required_stopwords])
+    n_req_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_lit))
+
+    staged = df.select(
+        F.col(id_col),
+        w.cast("long").alias("n_words"),
+        n_lines.cast("long").alias("n_lines"),
+        chars.alias("_chars"),
+        n_hash.cast("long").alias("_hash"),
+        n_ellipsis.alias("_ell"),
+        n_bullet.cast("long").alias("_bullet"),
+        n_ell_lines.cast("long").alias("_ell_lines"),
+        n_alpha.cast("long").alias("_alpha"),
+        n_req_stop.cast("long").alias("_stop"),
+    )
+    wc = F.col("n_words")
+    rules = {
+        "rule_word_count": (wc >= word_count_min) & (wc <= word_count_max),
+        "rule_mean_word_len": (F.col("_chars") >= 3 * wc) & (F.col("_chars") <= 10 * wc),
+        "rule_symbol_ratio": (F.col("_hash") + F.col("_ell")) * 10 <= wc,
+        "rule_bullet_lines": F.col("_bullet") * 10 <= F.col("n_lines"),
+        "rule_ellipsis_lines": F.col("_ell_lines") * 10 <= 3 * F.col("n_lines"),
+        "rule_alpha_words": F.col("_alpha") * 10 >= 8 * wc,
+        "rule_stopwords": F.col("_stop") >= min_required,
+    }
+    out = staged.select(
+        F.col(id_col),
+        "n_words",
+        "n_lines",
+        *[v.alias(k) for k, v in rules.items()],
+    )
+    passes = None
+    for k in rules:
+        passes = F.col(k) if passes is None else passes & F.col(k)
+    return out.withColumn("passes", passes)

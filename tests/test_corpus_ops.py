@@ -285,3 +285,49 @@ def test_remove_duplicate_spans_identical_docs_and_short_docs(spark):
     # sub-n docs can never lose tokens; NULL text behaves like empty
     assert out[3].clean_text == "too short to gram" and out[3].n_removed == 0
     assert out[4].n_removed == 0
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """Gopher gate (Rae et al. 2021): one crafted document per rule
+    violation, each failing EXACTLY its target rule; a clean document
+    passes all seven.  Thresholds are integer cross-multiplications — no
+    float in the plan."""
+    from area_etl_spark.operators.text_analysis import gopher_rules
+
+    good_words = ("the quick brown fox jumps with energy and grace that "
+                  "everyone would love to have seen today ") * 3  # 51 words
+    docs = [
+        (1, good_words),
+        (2, "the and short"),                                   # word count < 20
+        (3, "a " * 60 + "the and"),                             # mean word len < 3
+        (4, good_words + " " + "#" * 1 + " #### ## # # # # #"), # symbols > 10%
+        (5, good_words + "\n" + "\n".join("- bullet" for _ in range(9))),  # bullets
+        (6, good_words + "\n" + "\n".join("trailing..." for _ in range(9))),  # ellipsis
+        (7, ("12345 " * 20) + "the and have with to of be that"),  # alpha < 80%
+        (8, good_words.replace("the", "xxx").replace("and", "yyy")
+            .replace("that", "zzz").replace("with", "www")
+            .replace("to", "qq").replace("have", "rr")),        # no required stopwords
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+
+    assert out[1].passes, out[1]
+    assert not out[2].rule_word_count and not out[2].passes
+    assert not out[3].rule_mean_word_len
+    assert not out[4].rule_symbol_ratio
+    assert not out[5].rule_bullet_lines
+    assert not out[6].rule_ellipsis_lines
+    assert not out[7].rule_alpha_words
+    assert not out[8].rule_stopwords and not out[8].passes
+    # anchor lexicon is swappable (language-specific rule)
+    fr = spark.createDataFrame([(1, ("le chat et " * 20))], "doc_id long, text string")
+    r = gopher_rules(fr, required_stopwords=("le", "et"), min_required=2).collect()[0]
+    assert r.rule_stopwords
+
+
+def test_gopher_rules_no_python_in_plan(spark):
+    from area_etl_spark.operators.text_analysis import gopher_rules
+
+    df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
