@@ -277,9 +277,12 @@ def minhash_lsh_pairs_portable(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
+    n: int = 3,
 ) -> DataFrame:
     """Candidate near-dup pairs via md5-based MinHash — the ENGINE-PORTABLE
-    variant with a full SQL oracle.
+    variant with a full SQL oracle.  ``n`` is the shingle width (tokens per
+    gram); it must match whatever ground truth the candidates are scored
+    against (``dedup_candidate_eval`` passes its own ``n`` through).
 
     ``minhash_lsh_pairs`` (the scale path) folds ``xxhash64`` signatures in
     one pass — fast, but no other engine reproduces Spark's seeded xxhash64,
@@ -295,7 +298,7 @@ def minhash_lsh_pairs_portable(
     (band_id, band_hash), distinct pairs — never all-pairs.
     """
     rows_per_band = num_hashes // bands
-    toks = F.array_distinct(shingles(normalize_tokens(text_col), 3))
+    toks = F.array_distinct(shingles(normalize_tokens(text_col), n))
     exploded = df.select(F.col(id_col), F.explode(toks).alias("tok")).where(F.col("tok") != "")
     sigs = exploded.groupBy(id_col).agg(
         *[
@@ -968,7 +971,10 @@ def dedup_candidate_eval(
         .where(jac >= F.lit(threshold))
         .select("id_a", "id_b")
     )
-    cand = minhash_lsh_pairs_portable(df, text_col, id_col, num_hashes, bands)
+    # n flows through to the candidate generator so truth and candidates
+    # are always scored over the SAME shingling (ADVICE r10: a hard-coded
+    # 3-gram candidate side made n != 3 evals silently meaningless)
+    cand = minhash_lsh_pairs_portable(df, text_col, id_col, num_hashes, bands, n)
     hits = truth.join(cand, ["id_a", "id_b"])
     row = (
         truth.agg(F.count(F.lit(1)).alias("n_truth"))

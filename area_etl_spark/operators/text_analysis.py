@@ -858,9 +858,12 @@ def gopher_rules(
 
     1. word count within [word_count_min, word_count_max];
     2. mean word length within [3, 10] characters;
-    3. symbol-to-word ratio (``#`` or ``...``) ≤ 0.1;
-    4. ≥ 90% of lines do NOT start with a bullet ( ``•``/``-``/``*`` )
-       — i.e. bullet lines ≤ 10%;
+    3. symbol-to-word ratio ≤ 0.1 for EACH symbol class separately —
+       ``#`` per-word ratio ≤ 0.1 AND ellipsis (``...`` or ``…``)
+       per-word ratio ≤ 0.1, per the paper (not a pooled budget);
+    4. bullet-starting lines ( ``•``/``-``/``*`` ) ≤ 90% — the paper
+       removes documents where MORE than 90% of lines start with a
+       bullet (Rae et al. 2021, App. A);
     5. ≤ 30% of lines end with an ellipsis;
     6. ≥ 80% of words contain at least one alphabetic character;
     7. at least ``min_required`` of the ``required_stopwords`` appear
@@ -885,8 +888,11 @@ def gopher_rules(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     )
     n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    # both ellipsis spellings count as ONE ellipsis each, the same notion
+    # rule 5's line-endings use (ADVICE r10: the two were inconsistent)
     n_ellipsis = (
         (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+        + (F.length(c) - F.length(F.replace(c, F.lit("…"), F.lit(""))))
     ).cast("long")
     n_bullet = F.size(
         F.filter(
@@ -922,8 +928,8 @@ def gopher_rules(
     rules = {
         "rule_word_count": (wc >= word_count_min) & (wc <= word_count_max),
         "rule_mean_word_len": (F.col("_chars") >= 3 * wc) & (F.col("_chars") <= 10 * wc),
-        "rule_symbol_ratio": (F.col("_hash") + F.col("_ell")) * 10 <= wc,
-        "rule_bullet_lines": F.col("_bullet") * 10 <= F.col("n_lines"),
+        "rule_symbol_ratio": (F.col("_hash") * 10 <= wc) & (F.col("_ell") * 10 <= wc),
+        "rule_bullet_lines": F.col("_bullet") * 10 <= 9 * F.col("n_lines"),
         "rule_ellipsis_lines": F.col("_ell_lines") * 10 <= 3 * F.col("n_lines"),
         "rule_alpha_words": F.col("_alpha") * 10 >= 8 * wc,
         "rule_stopwords": F.col("_stop") >= min_required,

@@ -507,11 +507,19 @@ def _writer_lock(dir_path: str, stale_after_s: float = 3600.0):
                     try:
                         os.link(moved, lock)
                     except OSError:
-                        pass  # lock recreated meanwhile; leave theirs
-                    try:
-                        os.unlink(moved)
-                    except FileNotFoundError:
+                        # Lock recreated meanwhile by a third writer: leave
+                        # BOTH files alone.  Unlinking `moved` here would
+                        # destroy the fresh holder's live lock content the
+                        # moment the third writer releases (it is the same
+                        # inode only when our link succeeded); the moved
+                        # file is uniquely named, so leaving it aside costs
+                        # one stray file and preserves it for diagnosis.
                         pass
+                    else:
+                        try:
+                            os.unlink(moved)  # restored: drop the extra name
+                        except FileNotFoundError:
+                            pass
                     raise ConcurrentWriteError(
                         f"another writer acquired {lock} during takeover; "
                         f"retry after it commits"

@@ -301,12 +301,17 @@ def test_gopher_rules_each_rule_fires(spark):
         (2, "the and short"),                                   # word count < 20
         (3, "a " * 60 + "the and"),                             # mean word len < 3
         (4, good_words + " " + "#" * 1 + " #### ## # # # # #"), # symbols > 10%
-        (5, good_words + "\n" + "\n".join("- bullet" for _ in range(9))),  # bullets
+        # paper removes docs with MORE than 90% bullet-starting lines:
+        # 19 of 20 lines = 95% fails; 9 of 10 = 90% must PASS (doc 9)
+        (5, good_words + "\n" + "\n".join("- bullet" for _ in range(19))),  # bullets
         (6, good_words + "\n" + "\n".join("trailing..." for _ in range(9))),  # ellipsis
         (7, ("12345 " * 20) + "the and have with to of be that"),  # alpha < 80%
         (8, good_words.replace("the", "xxx").replace("and", "yyy")
             .replace("that", "zzz").replace("with", "www")
             .replace("to", "qq").replace("have", "rr")),        # no required stopwords
+        # exactly-90%-bullet and unicode-ellipsis boundary docs
+        (9, good_words + "\n" + "\n".join("- bullet" for _ in range(9))),
+        (10, good_words + " " + "… " * 9),                      # 9 '…' in 60 words
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = {r.doc_id: r for r in gopher_rules(df).collect()}
@@ -319,6 +324,10 @@ def test_gopher_rules_each_rule_fires(spark):
     assert not out[6].rule_ellipsis_lines
     assert not out[7].rule_alpha_words
     assert not out[8].rule_stopwords and not out[8].passes
+    # boundary: exactly 90% bullet lines is KEPT (paper removes only >90%)
+    assert out[9].rule_bullet_lines and out[9].passes
+    # unicode '…' counts toward the per-symbol ellipsis ratio (9 in 60 words)
+    assert not out[10].rule_symbol_ratio
     # anchor lexicon is swappable (language-specific rule)
     fr = spark.createDataFrame([(1, ("le chat et " * 20))], "doc_id long, text string")
     r = gopher_rules(fr, required_stopwords=("le", "et"), min_required=2).collect()[0]

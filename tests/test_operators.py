@@ -1124,13 +1124,29 @@ def test_rfm_segments_monotone(spark, tables):
         "o_custkey", "o_orderdate",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    rows = rfm_segments(o, "o_custkey", "o_orderdate", "cents", "2003-01-01").collect()
+    out = rfm_segments(o, "o_custkey", "o_orderdate", "cents", "2003-01-01")
+    # VERDICT r10 item 2: no single-partition sort/exchange anywhere — ranks
+    # come from the dense_ids range shuffle, ntile is a scalar projection
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert "ntile" not in plan
+    rows = out.collect()
     # every score in 1..5; the max-monetary customer must hold m_score 5
     assert all(1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5 for r in rows)
     best_m = max(rows, key=lambda r: r.monetary)
     assert best_m.m_score == 5
     stalest = max(rows, key=lambda r: r.recency_days)
     assert stalest.r_score == 1
+    # exact ntile parity on an awkward N: 7 keys into 5 buckets → the first
+    # 2 buckets take 2 rows ([1,1,2,2,3,4,5] in rank order per axis)
+    import pyspark.sql.functions as SF
+    seven = o.sparkSession.createDataFrame(
+        [(k, f"200{k % 2}-01-0{k}", k * 10) for k in range(1, 8)],
+        "k long, d string, cents long",
+    ).withColumn("d", SF.to_date("d"))
+    r7 = rfm_segments(seven, "k", "d", "cents", "2003-01-01")
+    by_rank = sorted((r.monetary, r.m_score) for r in r7.collect())
+    assert [s for _, s in by_rank] == [1, 1, 2, 2, 3, 4, 5]
 
 
 def test_drift_chi2_zero_for_identical_nonzero_for_shifted(spark):

@@ -56,28 +56,37 @@ def test_gate_contract_callable_and_key_aligned():
 def test_driver_window_fully_oracled():
     """The driver checks the FIRST 50 queries() entries; a window slot
     without an oracle is a wasted green. Every windowed entry must have one —
-    except compression_ratio, which is rows-only by design (zlib bytes are
-    per-build deterministic; the value oracle is the exact-zlib pytest) and
-    occupies its slot to collect the rows-only CORRECTNESS row, following
-    the stratified_sample_by precedent from r9."""
+    except the four r2-stale dedup fast-path keys, which are rows-only by
+    design (seeded xxhash64, no DuckDB hash equivalent; each value-verified
+    by its driver-green portable md5 twin) and occupy their slots per the
+    VERDICT r10 item-1 prescription (the 4 r2-latest stale greens re-check
+    in r11)."""
+    rows_only_by_design = {
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_ngram_jaccard",
+        "dedup_full_pipeline",
+    }
     first50 = list(QUERIES)[:50]
-    missing = [k for k in first50 if k not in ORACLES and k != "compression_ratio"]
+    missing = [k for k in first50 if k not in ORACLES and k not in rows_only_by_design]
     assert missing == []
 
 
-def test_r10_window_is_the_prescribed_rotation():
-    """VERDICT r9 items 1+3: the r10 window is the fixed target_encode_loo
-    (slot 1, for its re-green) + the 42-key _R10_QUEUE backlog + 7 of the 8
-    prescribed r9 promotions (fifo_cost_basis heads _R11_QUEUE — items 1 and
-    3 name 51 keys for 50 slots).  Assert the exact composition so a stray
-    registration can't silently displace a key from the window."""
+def test_r11_window_is_the_prescribed_rotation():
+    """VERDICT r10 item 1: the r11 window is the 23-key _R11_QUEUE (every
+    remaining never-driver-checked key, fifo_cost_basis first) + the 27
+    oldest stale greens (the 4 r2-latest + 23 of the 26 r3-latest; the 3
+    bench-exercised deferrals head _R12_QUEUE).  Assert the exact
+    composition so a stray registration can't silently displace a key from
+    the window."""
     first50 = list(QUERIES)[:50]
-    assert first50 == entrymod._R10_WINDOW
+    assert first50 == entrymod._R11_WINDOW
     assert len(first50) == 50
-    assert first50[0] == "target_encode_loo"
-    # everything after the window head is never-driver-checked backlog
-    queued = list(QUERIES)[50 : 50 + len(entrymod._R11_QUEUE)]
-    assert queued == entrymod._R11_QUEUE
+    assert first50[: len(entrymod._R11_QUEUE)] == entrymod._R11_QUEUE
+    assert first50[0] == "fifo_cost_basis"
+    # immediately after the window: the deferred stale keys + r11 additions
+    queued = list(QUERIES)[50 : 50 + len(entrymod._R12_QUEUE)]
+    assert queued == entrymod._R12_QUEUE
 
 
 def test_every_query_has_oracle_or_is_documented_rows_only():

@@ -1290,6 +1290,12 @@ def test_dedup_candidate_eval_metrics_consistent(spark):
     z = dedup_candidate_eval(lonely, threshold=0.5).collect()[0]
     assert z.n_truth == 0 and z.recall == 0.0 and z.f1 == 0.0
 
+    # n flows through to the candidate generator (ADVICE r10): with n=2 the
+    # exact-dup pair must still be truth AND candidate — identical 2-gram
+    # shingle sets band identically, so recall stays 1.0
+    r2 = dedup_candidate_eval(docs, threshold=0.5, n=2).collect()[0]
+    assert r2.n_truth >= 1 and r2.recall == 1.0
+
 
 def test_semdedup_prune_within_cluster_min_id_wins(spark):
     """SemDeDup: near-identical vectors in the SAME trained cluster keep
