@@ -5269,6 +5269,24 @@ def q_roc_auc(spark, sf_dir):
     return roc_auc(units, "score", "placed")
 
 
+def q_roc_auc_quantized(spark, sf_dir):
+    """roc_auc's cardinality contract exercised end-to-end (VERDICT r10
+    item 3): the RAW continuous c_acctbal double is the score, and
+    ``quantize=50.0`` bins it to floor(v/50)·50 BEFORE the per-value
+    aggregate — the unpartitioned cumulative window then runs over
+    range/50 bins instead of |distinct doubles|.  The binning is one
+    divide + exact floor + one multiply, identical IEEE ops in DuckDB."""
+    from area_etl_spark.operators.experiments import roc_auc
+
+    tables = _tables(spark, sf_dir)
+    cust = tables["customer"].select("c_custkey", F.col("c_acctbal").alias("score"))
+    ordered = tables["orders"].select(F.col("o_custkey").alias("c_custkey")).distinct()
+    units = cust.join(ordered.withColumn("_o", F.lit(1)), "c_custkey", "left").select(
+        "score", F.col("_o").isNotNull().alias("placed")
+    )
+    return roc_auc(units, "score", "placed", quantize=50.0)
+
+
 def q_modularity(spark, sf_dir):
     """Newman modularity of the LPA communities over the user↔item graph —
     the eval score for q_label_propagation: exact integer in_c/d_c/2m
@@ -6095,6 +6113,8 @@ _R12_QUEUE = [
     "groupby_agg",
     "tpch_q3ish",
     "tpch_q5ish",
+    # — r11 registrations (never driver-checked; judge-gated locally) —
+    "roc_auc_quantized",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -6362,6 +6382,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "good_turing": q_good_turing,
         "classification_report": q_classification_report,
         "roc_auc": q_roc_auc,
+        "roc_auc_quantized": q_roc_auc_quantized,
         "pool_embeddings": q_pool_embeddings,
         "quantile_ci": q_quantile_ci,
         "stratified_ate": q_stratified_ate,
@@ -8703,6 +8724,39 @@ def oracle_sql() -> dict[str, str]:
             WITH cust AS (
                 SELECT c_custkey,
                        CAST(round(c_acctbal * 100) AS BIGINT) AS score
+                FROM customer
+            ), units AS (
+                SELECT cust.score, (o.c IS NOT NULL) AS placed
+                FROM cust LEFT JOIN (SELECT DISTINCT o_custkey AS c FROM orders) o
+                  ON o.c = cust.c_custkey
+            ), per_val AS (
+                SELECT score AS v, COUNT(*) AS cnt,
+                       SUM(CASE WHEN placed THEN 1 ELSE 0 END) AS cnt_pos
+                FROM units GROUP BY 1
+            ), ranked AS (
+                SELECT *,
+                       COALESCE(SUM(cnt) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS cum_before
+                FROM per_val
+            ), agg AS (
+                SELECT CAST(SUM(cnt_pos) AS BIGINT) AS n_pos,
+                       CAST(SUM(cnt - cnt_pos) AS BIGINT) AS n_neg,
+                       SUM((CAST(cum_before AS DOUBLE) + (cnt + 1) / 2.0)
+                           * cnt_pos) AS r_pos
+                FROM ranked
+            )
+            SELECT n_pos, n_neg,
+                   round(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                       (r_pos - (n_pos * (n_pos + 1)) / 2.0)
+                       / CAST(n_pos * n_neg AS DOUBLE)
+                   END, 9) AS auc
+            FROM agg
+        """,
+        "roc_auc_quantized": """
+            WITH cust AS (
+                SELECT c_custkey,
+                       floor(c_acctbal / 50.0e0) * 50.0e0 AS score
                 FROM customer
             ), units AS (
                 SELECT cust.score, (o.c IS NOT NULL) AS placed

@@ -195,6 +195,7 @@ def lift_gain_table(
     score_col: str,
     label_col: str,
     n_buckets: int = 10,
+    quantize: float | None = None,
 ) -> DataFrame:
     """Cumulative gain / lift table — the model-targeting summary beside
     :func:`~area_etl_spark.operators.experiments.roc_auc` and
@@ -214,11 +215,20 @@ def lift_gain_table(
 
     Returns one row per non-empty bucket: (bucket, n, n_pos, cum_n,
     cum_pos, gain_pct, lift).
+
+    CARDINALITY CONTRACT: the cumulative window is unpartitioned over
+    |distinct scores| — bounded for discrete scores, O(rows) for a raw
+    continuous double.  Set ``quantize`` to bin scores first
+    (:func:`area_etl_spark.operators.experiments.quantize_values`; bucket
+    edges then fall on bin edges, the same tie-coherence guarantee).
     """
     from pyspark.sql import Window
 
+    from area_etl_spark.operators.experiments import quantize_values
+
     base = df.select(
-        F.col(score_col).alias("_v"), F.col(label_col).cast("long").alias("_y")
+        quantize_values(F.col(score_col), quantize).alias("_v"),
+        F.col(label_col).cast("long").alias("_y"),
     ).where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
     per_val = base.groupBy("_v").agg(
         F.count(F.lit(1)).alias("_cnt"), F.sum("_y").alias("_cnt_pos")

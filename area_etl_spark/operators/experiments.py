@@ -14,8 +14,32 @@ divisions, so the result is bit-reproducible across engines/partitionings.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def quantize_values(col: Column, quantize: float | None) -> Column:
+    """The distinct-cardinality contract for the rank-statistic family
+    (mann_whitney_u / roc_auc / ks_test / lift_gain_table), IN CODE
+    (VERDICT r10 item 3, docs/SCALE.md): those operators run ONE
+    unpartitioned cumulative window over the |distinct values| aggregate —
+    bounded for discrete metrics (integer cents, counts), but O(rows) for
+    a raw continuous double.  Passing ``quantize=q`` bins the metric to
+    ``floor(v/q)·q`` BEFORE the per-value aggregate, capping the window at
+    range/q rows at the cost of the documented approximation (ranks within
+    one bin collapse to the bin's midrank — the standard grouped-data
+    convention for rank statistics).
+
+    Engine-portable by construction: one divide, one exact floor (integral
+    double < 2^53), one multiply — identical IEEE ops in Spark and DuckDB.
+    ``None`` (the default) keeps the metric raw and the operator exact.
+    """
+    if quantize is None:
+        return col
+    if quantize <= 0:
+        raise ValueError(f"quantize must be positive, got {quantize}")
+    q = F.lit(float(quantize))
+    return F.floor(col / q) * q
 
 
 def cuped_adjusted_means(
@@ -142,6 +166,7 @@ def mann_whitney_u(
     group_a: str,
     group_b: str,
     tie_correction: bool = False,
+    quantize: float | None = None,
 ) -> DataFrame:
     """Mann–Whitney U (Wilcoxon rank-sum) two-sample test — the
     NONPARAMETRIC A/B evaluation beside the two-proportion z-test (74) and
@@ -164,12 +189,19 @@ def mann_whitney_u(
     variance overstated, |z| understated; correction is the right default
     for discrete metrics but kept opt-in for r7-era result stability.
 
+    CARDINALITY CONTRACT: the cumulative window is unpartitioned over
+    |distinct values| — bounded for discrete metrics, O(rows) for a raw
+    continuous double.  Set ``quantize`` to bin the metric first
+    (:func:`quantize_values`; ranks within a bin collapse to the bin
+    midrank — the grouped-data rank convention).
+
     Returns one row: (n_a, n_b, u_a, u_b, z) with u_a + u_b = n_a·n_b.
     """
     from pyspark.sql import Window
 
     two = df.where(F.col(group_col).isin([group_a, group_b])).select(
-        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+        F.col(group_col).alias("_g"),
+        quantize_values(F.col(value_col), quantize).alias("_v"),
     )
     per_val = two.groupBy("_v").agg(
         F.count(F.lit(1)).alias("_cnt"),
@@ -503,6 +535,7 @@ def roc_auc(
     df: DataFrame,
     score_col: str,
     label_col: str,
+    quantize: float | None = None,
 ) -> DataFrame:
     """EXACT ROC AUC — the probability a random positive outscores a random
     negative, with ties counting half: AUC = U⁺/(n⁺·n⁻), the Mann–Whitney
@@ -514,11 +547,18 @@ def roc_auc(
     row-level sort), rank sums are exact integers-or-halves, and the single
     final division makes AUC bit-reproducible across engines.  Returns one
     row (n_pos, n_neg, auc); NULL auc when either class is empty.
+
+    CARDINALITY CONTRACT: the cumulative window is unpartitioned over
+    |distinct scores| — bounded for discrete scores, O(rows) for a raw
+    continuous double.  Set ``quantize`` to bin scores first
+    (:func:`quantize_values`; the AUC becomes the binned-score AUC, ties
+    within a bin counting half — the standard grouped-ROC convention).
     """
     from pyspark.sql import Window
 
     base = df.select(
-        F.col(score_col).alias("_v"), F.col(label_col).cast("boolean").alias("_y")
+        quantize_values(F.col(score_col), quantize).alias("_v"),
+        F.col(label_col).cast("boolean").alias("_y"),
     ).where(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
     per_val = base.groupBy("_v").agg(
         F.count(F.lit(1)).alias("_cnt"),
@@ -624,6 +664,7 @@ def ks_test(
     value_col: str,
     group_a: str,
     group_b: str,
+    quantize: float | None = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov test — the distribution-equality check
     that sees SHAPE changes a mean test misses (the drift-family member for
@@ -638,11 +679,19 @@ def ks_test(
     (a DEFINED portable statistic — both engines evaluate the same five
     terms; |truncation error| < 1e-8 for λ > 0.5), λ = D·√(n_a·n_b/(n_a+n_b)).
     Returns one row (n_a, n_b, d, d_at, p_value).
+
+    CARDINALITY CONTRACT: the cumulative window is unpartitioned over
+    merged |distinct values| — bounded for discrete metrics, O(rows) for a
+    raw continuous double.  Set ``quantize`` to bin values first
+    (:func:`quantize_values`; D is then evaluated at bin edges — the
+    binned-ECDF convention, understating D by at most the largest
+    within-bin ECDF change).
     """
     from pyspark.sql import Window
 
     two = df.where(F.col(group_col).isin([group_a, group_b])).select(
-        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+        F.col(group_col).alias("_g"),
+        quantize_values(F.col(value_col), quantize).alias("_v"),
     )
     per_val = two.groupBy("_v").agg(
         F.sum(F.when(F.col("_g") == group_a, 1).otherwise(0)).alias("_ca"),

@@ -2444,6 +2444,56 @@ def test_roc_auc_known_cases(spark):
     assert abs(roc_auc(hand, "s", "y").collect()[0].auc - 0.875) < 1e-9
 
 
+def test_quantize_contract_rank_family(spark):
+    """VERDICT r10 item 3: the distinct-cardinality contract for the
+    rank-statistic family, in code.  quantize=None is the exact identity;
+    quantize=q equals running the operator on a manually pre-binned frame
+    (floor(v/q)·q); q<=0 raises."""
+    import pytest
+    from pyspark.sql import functions as SF
+
+    from area_etl_spark.operators.classify import lift_gain_table
+    from area_etl_spark.operators.experiments import (
+        ks_test,
+        mann_whitney_u,
+        quantize_values,
+        roc_auc,
+    )
+
+    with pytest.raises(ValueError):
+        quantize_values(SF.col("x"), 0.0)
+
+    rows = [(float(i) + 0.37 * (i % 7), i % 3 == 0, "a" if i % 2 else "b")
+            for i in range(60)]
+    df = spark.createDataFrame(rows, ["s", "y", "g"])
+    binned = df.withColumn("s", SF.floor(SF.col("s") / 5.0) * 5.0)
+
+    # roc_auc: quantized == operator-on-prebinned; None == raw
+    q = roc_auc(df, "s", "y", quantize=5.0).collect()[0]
+    manual = roc_auc(binned, "s", "y").collect()[0]
+    assert (q.n_pos, q.n_neg, q.auc) == (manual.n_pos, manual.n_neg, manual.auc)
+    assert roc_auc(df, "s", "y").collect()[0] != q  # binning really coarsens
+
+    # mann_whitney_u and ks_test: same equivalence on the grouped frame
+    mq = mann_whitney_u(df, "g", "s", "a", "b", quantize=5.0).collect()[0]
+    mm = mann_whitney_u(binned, "g", "s", "a", "b").collect()[0]
+    assert mq == mm
+    kq = ks_test(df, "g", "s", "a", "b", quantize=5.0).collect()[0]
+    km = ks_test(binned, "g", "s", "a", "b").collect()[0]
+    assert kq == km
+
+    # lift_gain_table: bucket rows identical to the prebinned run
+    lq = sorted(map(tuple, lift_gain_table(df, "s", "y", quantize=5.0).collect()))
+    lm = sorted(map(tuple, lift_gain_table(binned, "s", "y").collect()))
+    assert lq == lm
+
+    # already-on-grid integers are a fixed point: quantize=1 changes nothing
+    ints = spark.createDataFrame([(i % 10, i % 4 == 0) for i in range(40)], ["s", "y"])
+    exact = roc_auc(ints, "s", "y").collect()[0]
+    fixed = roc_auc(ints, "s", "y", quantize=1.0).collect()[0]
+    assert exact.auc == fixed.auc
+
+
 def test_quantile_order_stat_ci_hand_computed(spark):
     from area_etl_spark.operators.quality import quantile_order_stat_ci
 
