@@ -1828,6 +1828,32 @@ def q_ab_test_ztest(spark, sf_dir):
     )
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC crawl-archive ingestion round-trip (sources/warc.py): each
+    document becomes a spec-conformant WARC/1.0 response record (exact
+    UTF-8 octet Content-Lengths, pure Column arithmetic), then the REAL
+    length-prefixed binary parser (Arrow-batched mapInPandas) reads the
+    bytes back.  Metadata is SQL-replayable the parse_logs way: the DuckDB
+    oracle rebuilds the identical record string and measures the same
+    octet lengths — every offset/length/url/status must agree and the
+    payload must round-trip byte-exactly to the source text."""
+    from area_etl_spark.sources.warc import format_warc_records, parse_warc
+
+    docs = _tables(spark, sf_dir)["documents"].withColumn(
+        "url", F.concat(F.lit("http://corpus.example/doc/"), F.col("doc_id"))
+    )
+    recs = format_warc_records(docs, "url", "text", "doc_id")
+    parsed = parse_warc(recs, content_col="warc_bytes", source_col="doc_id")
+    return parsed.select(
+        F.col("source").cast("long").alias("doc_id"),
+        "url",
+        "http_status",
+        F.length("payload").cast("long").alias("payload_len"),
+        "record_length",
+        F.decode(F.col("payload"), "UTF-8").alias("text"),
+    )
+
+
 def q_parse_logs(spark, sf_dir):
     """Raw text-source ETL: synthesize access-log lines from events (3% of
     them deliberately corrupted), round-trip through spark.read.text, parse
@@ -6115,6 +6141,7 @@ _R12_QUEUE = [
     "tpch_q5ish",
     # — r11 registrations (never driver-checked; judge-gated locally) —
     "roc_auc_quantized",
+    "warc_roundtrip",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -6434,6 +6461,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_interpolate": q_linear_interpolate,
         "ab_test_ztest": q_ab_test_ztest,
         "parse_logs": q_parse_logs,
+        "warc_roundtrip": q_warc_roundtrip,
         "hopping_window_agg": q_hopping_window_agg,
         "hierarchy_paths": q_hierarchy_paths,
         "priority_sample": q_priority_sample,
@@ -12496,6 +12524,41 @@ def oracle_sql() -> dict[str, str]:
                                 * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
                                 * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z_stat
             FROM agg
+        """,
+        "warc_roundtrip": """
+            WITH k AS (SELECT chr(13) || chr(10) AS crlf),
+            base AS (
+                SELECT doc_id,
+                       COALESCE(text, '') AS t,
+                       'http://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url
+                FROM documents
+            ), http AS (
+                SELECT doc_id, t, url,
+                       'HTTP/1.1 200 OK' || crlf
+                       || 'Content-Type: text/html' || crlf
+                       || 'Content-Length: '
+                       || CAST(octet_length(encode(t)) AS VARCHAR)
+                       || crlf || crlf || t AS h
+                FROM base CROSS JOIN k
+            ), rec AS (
+                SELECT doc_id, t, url,
+                       'WARC/1.0' || crlf
+                       || 'WARC-Type: response' || crlf
+                       || 'WARC-Record-ID: <urn:id:' || CAST(doc_id AS VARCHAR)
+                       || '>' || crlf
+                       || 'WARC-Target-URI: ' || url || crlf
+                       || 'Content-Type: application/http;msgtype=response' || crlf
+                       || 'Content-Length: '
+                       || CAST(octet_length(encode(h)) AS VARCHAR)
+                       || crlf || crlf || h || crlf || crlf AS r
+                FROM http CROSS JOIN k
+            )
+            SELECT doc_id, url,
+                   CAST(200 AS INTEGER) AS http_status,
+                   CAST(octet_length(encode(t)) AS BIGINT) AS payload_len,
+                   CAST(octet_length(encode(r)) AS BIGINT) AS record_length,
+                   t AS text
+            FROM rec
         """,
         "parse_logs": """
             WITH clean AS (

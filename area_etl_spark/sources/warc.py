@@ -1,0 +1,232 @@
+"""WARC (ISO 28500) crawl-archive ingestion — the raw-crawl source format
+the log/fixed-width/XML extractors don't cover, and the front door of the
+LLM corpus funnel: parse_warc → strip_html → clean_lines (C4) →
+gopher_rules → dedup.
+
+Two halves, both engine-honest:
+
+- ``format_warc_records`` builds a spec-conformant WARC ``response`` record
+  per row as pure Column arithmetic (Content-Length = exact UTF-8 octet
+  count, no Python) — the synthetic-source half that makes the round-trip
+  SQL-replayable, the ``parse_access_logs``/``format_fixed_width`` recipe.
+- ``parse_warc`` is the real parser: a length-prefixed binary scanner over
+  raw archive bytes in ONE Arrow-batched ``mapInPandas`` stage — the same
+  quarantine-on-malformed contract as the multimodal decoders (bad record →
+  ``ok=false`` + reason, the scan resynchronizes at the next record marker;
+  a broken record never kills the job).
+
+Scale shape: WARC is processed file-per-task (each archive member is one
+binary payload — the standard cluster layout is many ~1 GB WARC files), the
+kernel is a single linear pass per payload (length-prefixed jumps, no
+backtracking), and output rows carry offsets/lengths so a downstream range
+read can re-fetch any record without re-parsing the archive.  Per-batch
+memory is bounded by the largest archive member in the batch — the
+documented mapInPandas contract shared with ``operators/multimodal.py``.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_CRLF = "\r\n"
+_VERSION_RE = re.compile(rb"^WARC/\d+\.\d+$")
+
+PARSE_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("record_offset", LongType()),
+        StructField("record_length", LongType()),
+        StructField("warc_type", StringType()),
+        StructField("record_id", StringType()),
+        StructField("url", StringType()),
+        StructField("http_status", IntegerType()),
+        StructField("http_content_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("ok", BooleanType()),
+        StructField("reason", StringType()),
+    ]
+)
+
+
+def format_warc_records(
+    df: DataFrame,
+    url_col: str,
+    text_col: str,
+    id_col: str,
+    http_content_type: str = "text/html",
+) -> DataFrame:
+    """One WARC/1.0 ``response`` record per row, as a UTF-8 ``binary``
+    column ``warc_bytes`` (plus the pass-through id for joins).
+
+    Pure Column arithmetic — both Content-Length headers are exact octet
+    counts (``F.octet_length``, NOT char length: a multibyte document would
+    otherwise truncate the block and desync every later record in a
+    concatenated archive).  The HTTP block is a minimal 200 response; the
+    WARC headers carry the record id and target URI.  Deterministic bytes →
+    the parse round-trip holds a full DuckDB oracle.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    http = F.concat(
+        F.lit(
+            "HTTP/1.1 200 OK" + _CRLF + f"Content-Type: {http_content_type}" + _CRLF
+            + "Content-Length: "
+        ),
+        F.octet_length(text).cast("string"),
+        F.lit(_CRLF + _CRLF),
+        text,
+    )
+    record = F.concat(
+        F.lit("WARC/1.0" + _CRLF + "WARC-Type: response" + _CRLF),
+        F.concat(F.lit("WARC-Record-ID: <urn:id:"), F.col(id_col).cast("string"), F.lit(">" + _CRLF)),
+        F.concat(F.lit("WARC-Target-URI: "), F.col(url_col), F.lit(_CRLF)),
+        F.lit("Content-Type: application/http;msgtype=response" + _CRLF),
+        F.concat(F.lit("Content-Length: "), F.octet_length(http).cast("string"), F.lit(_CRLF + _CRLF)),
+        http,
+        F.lit(_CRLF + _CRLF),
+    )
+    return df.select(
+        F.col(id_col), F.encode(record, "UTF-8").alias("warc_bytes")
+    )
+
+
+def _parse_one_archive(source: str, blob: bytes) -> Iterator[dict[str, Any]]:
+    """Linear length-prefixed scan of one archive member.
+
+    Malformed records emit ``ok=False`` with a reason and the scan jumps to
+    the next ``WARC/`` marker — resynchronization, not failure (one corrupt
+    record in a 1 GB archive must not cost the other ~50k records).
+    """
+    marker = b"WARC/"
+    n = len(blob)
+    pos = blob.find(marker)
+    while pos != -1 and pos < n:
+        row: dict[str, Any] = {
+            "source": source,
+            "record_offset": pos,
+            "record_length": None,
+            "warc_type": None,
+            "record_id": None,
+            "url": None,
+            "http_status": None,
+            "http_content_type": None,
+            "payload": None,
+            "ok": False,
+            "reason": None,
+        }
+        hdr_end = blob.find(b"\r\n\r\n", pos)
+        if hdr_end == -1:
+            row["reason"] = "truncated_warc_header"
+            yield row
+            return
+        header_block = blob[pos:hdr_end]
+        lines = header_block.split(b"\r\n")
+        version = lines[0]
+        headers: dict[str, str] = {}
+        for ln in lines[1:]:
+            k, sep, v = ln.partition(b":")
+            if sep:
+                headers[k.strip().lower().decode("ascii", "replace")] = (
+                    v.strip().decode("utf-8", "replace")
+                )
+        row["warc_type"] = headers.get("warc-type")
+        row["record_id"] = headers.get("warc-record-id")
+        row["url"] = headers.get("warc-target-uri")
+        next_marker = blob.find(marker, pos + len(marker))
+        if not _VERSION_RE.match(version):
+            row["reason"] = "bad_version_line"
+            yield row
+            pos = next_marker
+            continue
+        clen_s = headers.get("content-length")
+        if clen_s is None or not clen_s.isdigit():
+            row["reason"] = "missing_content_length"
+            yield row
+            pos = next_marker
+            continue
+        clen = int(clen_s)
+        block_start = hdr_end + 4
+        block_end = block_start + clen
+        if block_end > n:
+            row["reason"] = "truncated_block"
+            yield row
+            return
+        block = blob[block_start:block_end]
+        # record terminator: two CRLFs after the block (spec §4); tolerate
+        # EOF right after the block for the final record
+        term_end = block_end
+        if blob[block_end : block_end + 4] == b"\r\n\r\n":
+            term_end = block_end + 4
+        row["record_length"] = term_end - pos
+        if row["warc_type"] == "response" and block[:5] == b"HTTP/":
+            http_hdr_end = block.find(b"\r\n\r\n")
+            if http_hdr_end == -1:
+                row["reason"] = "truncated_http_header"
+                yield row
+                pos = blob.find(marker, term_end)
+                continue
+            status_line = block[: block.find(b"\r\n")].split(b" ")
+            try:
+                row["http_status"] = int(status_line[1])
+            except (IndexError, ValueError):
+                row["reason"] = "bad_http_status_line"
+                yield row
+                pos = blob.find(marker, term_end)
+                continue
+            for ln in block[: http_hdr_end].split(b"\r\n")[1:]:
+                k, sep, v = ln.partition(b":")
+                if sep and k.strip().lower() == b"content-type":
+                    row["http_content_type"] = v.strip().decode("utf-8", "replace")
+            row["payload"] = block[http_hdr_end + 4 :]
+        else:
+            # non-response records (warcinfo, request, metadata …) keep the
+            # whole block as payload — callers filter on warc_type
+            row["payload"] = block
+        row["ok"] = True
+        yield row
+        pos = blob.find(marker, term_end)
+
+
+def parse_warc(
+    archives: DataFrame,
+    content_col: str = "content",
+    source_col: str | None = "path",
+) -> DataFrame:
+    """Parse raw WARC archive bytes into one row per record.
+
+    ``archives``: one row per archive member — e.g. ``spark.read.format(
+    "binaryFile").load("…/*.warc")`` (columns path/content) or any frame
+    with a binary column.  Output: (source, record_offset, record_length,
+    warc_type, record_id, url, http_status, http_content_type, payload,
+    ok, reason) — offsets are byte positions within the member, so a range
+    read can re-fetch any record without re-parsing.
+    """
+    src = F.col(source_col) if source_col else F.lit("")
+    slim = archives.select(src.cast("string").alias("_src"), F.col(content_col).alias("_blob"))
+
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PARSE_SCHEMA.fields]
+        for pdf in batches:
+            rows = [
+                row
+                for _, rec in pdf.iterrows()
+                for row in _parse_one_archive(rec["_src"], bytes(rec["_blob"]))
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return slim.mapInPandas(_kernel, schema=PARSE_SCHEMA)

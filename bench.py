@@ -51,6 +51,21 @@ HEADLINE = [
     "groupby_rollup",
 ]
 
+# Second bench group (VERDICT r10 item 4): the LLM-corpus operators that now
+# dominate the repo — dedup, quality gating, retrieval, tokenizer training —
+# were invisible to the r2-era headline set; regressions here matter as much
+# as the relational surface.  Reported as a separate total so round-over-
+# round A/B covers both.
+CORPUS = [
+    "gopher_rules",
+    "containment_blocked",
+    "dedup_pipeline_portable",
+    "semdedup",
+    "bm25_search",
+    "hybrid_search_rrf",
+    "bpe_merges",
+]
+
 
 def _run_against(commit: str) -> None:
     """Same-session A/B: bench <commit> (worktree) then HEAD, print ratio."""
@@ -89,20 +104,34 @@ def _run_against(commit: str) -> None:
         for q in results["head"]["queries"]
         if q in results["against"].get("queries", {})
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_wall_ratio_vs_prior",
-                "value": round(ratio, 3),
-                "unit": "ratio",
-                "against_commit": commit,
-                "head_sec": results["head"]["value"],
-                "against_sec": results["against"]["value"],
-                "query_ratios": per_query,
-                "sf": results["head"]["sf"],
+    payload = {
+        "metric": "headline_wall_ratio_vs_prior",
+        "value": round(ratio, 3),
+        "unit": "ratio",
+        "against_commit": commit,
+        "head_sec": results["head"]["value"],
+        "against_sec": results["against"]["value"],
+        "query_ratios": per_query,
+        "sf": results["head"]["sf"],
+    }
+    # corpus group exists on both sides only from r11 onward — ratio when
+    # comparable, absolute-only when the prior commit predates the group
+    if "corpus_value" in results["head"]:
+        payload["corpus_head_sec"] = results["head"]["corpus_value"]
+        if "corpus_value" in results["against"]:
+            payload["corpus_ratio"] = round(
+                results["head"]["corpus_value"] / results["against"]["corpus_value"], 3
+            )
+            payload["corpus_query_ratios"] = {
+                q: round(
+                    results["head"]["corpus_queries"][q]
+                    / results["against"]["corpus_queries"][q],
+                    3,
+                )
+                for q in results["head"].get("corpus_queries", {})
+                if results["against"].get("corpus_queries", {}).get(q)
             }
-        )
-    )
+    print(json.dumps(payload))
 
 
 def main() -> None:
@@ -126,18 +155,23 @@ def main() -> None:
     # best-of-2 per query: the first run includes codegen compilation and is
     # subject to scheduler noise on a shared box; the minimum reflects the
     # engine's steady-state cost, which is what a regression check needs.
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = qs[name]
-        best = float("inf")
-        for _ in range(2):
-            start = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
-        total += best
+    def time_group(names: list[str]) -> tuple[dict[str, float], float]:
+        timings: dict[str, float] = {}
+        total = 0.0
+        for name in names:
+            fn = qs[name]
+            best = float("inf")
+            for _ in range(2):
+                start = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
+            timings[name] = round(best, 3)
+            total += best
+        return timings, total
+
+    timings, total = time_group(HEADLINE)
+    corpus_timings, corpus_total = time_group(CORPUS)
 
     print(
         json.dumps(
@@ -146,6 +180,9 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "corpus_metric": "corpus_queries_total_wall",
+                "corpus_value": round(corpus_total, 3),
+                "corpus_queries": corpus_timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

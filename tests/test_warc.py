@@ -1,0 +1,122 @@
+"""WARC ingestion: crafted-bytes parser cases, malformed-record quarantine,
+format→parse round-trip, and the corpus-funnel composition."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _record(url: str, body: bytes, *, status: int = 200, wtype: str = "response",
+            rid: str = "<urn:id:1>", ctype: str = "text/html") -> bytes:
+    http = (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+    hdr = (
+        f"WARC/1.0\r\nWARC-Type: {wtype}\r\nWARC-Record-ID: {rid}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"Content-Type: application/http;msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    return hdr + http + b"\r\n\r\n"
+
+
+def test_parse_warc_multi_record_archive(spark):
+    from area_etl_spark.sources.warc import parse_warc
+
+    blob = (
+        _record("http://a.example/1", b"<html>one</html>")
+        + _record("http://a.example/2", "café — two".encode(), status=404)
+        # a request record: parsed, payload kept, but not an HTTP response
+        + _record("http://a.example/3", b"GET / HTTP/1.1", wtype="request")
+    )
+    df = spark.createDataFrame([("f1.warc", bytearray(blob))], "path string, content binary")
+    rows = sorted(parse_warc(df).collect(), key=lambda r: r.record_offset)
+    assert [r.ok for r in rows] == [True, True, True]
+    assert rows[0].url == "http://a.example/1" and rows[0].http_status == 200
+    assert bytes(rows[0].payload) == b"<html>one</html>"
+    assert rows[1].http_status == 404
+    assert bytes(rows[1].payload).decode() == "café — two"
+    assert rows[2].warc_type == "request" and rows[2].http_status is None
+    # offsets/lengths tile the archive exactly (range-read contract)
+    assert rows[0].record_offset == 0
+    assert rows[0].record_length + rows[1].record_length + rows[2].record_length == len(blob)
+    assert rows[1].record_offset == rows[0].record_length
+
+
+def test_parse_warc_quarantines_malformed_and_resyncs(spark):
+    from area_etl_spark.sources.warc import parse_warc
+
+    good = _record("http://ok.example/", b"fine")
+    no_len = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://bad.example/\r\n\r\n"
+    )
+    bad_version = b"WARC/XX\r\nContent-Length: 4\r\n\r\nzzzz\r\n\r\n"
+    truncated = _record("http://trunc.example/", b"0123456789")[:-16]
+    # malformed record FIRST: the scan must still recover the good record
+    blob = no_len + good + bad_version
+    df = spark.createDataFrame(
+        [("a.warc", bytearray(blob)), ("b.warc", bytearray(truncated))],
+        "path string, content binary",
+    )
+    rows = parse_warc(df).collect()
+    by_reason = {r.reason for r in rows if not r.ok}
+    assert "missing_content_length" in by_reason
+    assert "bad_version_line" in by_reason
+    assert "truncated_block" in by_reason
+    oks = [r for r in rows if r.ok]
+    assert len(oks) == 1 and oks[0].url == "http://ok.example/"
+    # payload bytes containing the record marker must NOT desync the scan
+    tricky = _record("http://t.example/", b"WARC/1.0 inside payload \r\n\r\n x")
+    df2 = spark.createDataFrame([("t.warc", bytearray(tricky + good))], "path string, content binary")
+    rows2 = parse_warc(df2).collect()
+    assert [r.ok for r in rows2] == [True, True]
+    assert {r.url for r in rows2} == {"http://t.example/", "http://ok.example/"}
+
+
+def test_format_parse_roundtrip_octet_exact(spark):
+    from area_etl_spark.sources.warc import format_warc_records, parse_warc
+
+    docs = spark.createDataFrame(
+        [
+            (1, "plain ascii body"),
+            (2, "multibyte café — 中文"),  # octet != char length
+            (3, None),  # null text → empty payload, not a crash
+        ],
+        "doc_id long, text string",
+    )
+    recs = format_warc_records(
+        docs.withColumn("url", F.concat(F.lit("http://c.example/doc/"), F.col("doc_id"))),
+        "url", "text", "doc_id",
+    )
+    parsed = parse_warc(recs, content_col="warc_bytes", source_col=None)
+    out = {r.url: r for r in parsed.collect()}
+    assert all(r.ok for r in out.values())
+    assert bytes(out["http://c.example/doc/2"].payload).decode() == "multibyte café — 中文"
+    assert bytes(out["http://c.example/doc/3"].payload) == b""
+    assert out["http://c.example/doc/1"].http_status == 200
+
+
+def test_warc_feeds_the_corpus_funnel(spark):
+    """The front door composes: parse_warc → strip_html → gopher_rules."""
+    from area_etl_spark.operators.cleaning import strip_html
+    from area_etl_spark.operators.text_analysis import gopher_rules
+    from area_etl_spark.sources.warc import parse_warc
+
+    body = ("<html><body><p>" + "the quick brown fox jumps with energy and grace "
+            "that everyone would love to have seen today " * 3 + "</p></body></html>")
+    blob = _record("http://f.example/", body.encode())
+    df = spark.createDataFrame([("f.warc", bytearray(blob))], "path string, content binary")
+    docs = (
+        parse_warc(df)
+        .where(F.col("ok") & (F.col("warc_type") == "response"))
+        .select(
+            F.col("url").alias("doc_id"),
+            F.decode(F.col("payload"), "UTF-8").alias("html"),
+        )
+    )
+    cleaned = strip_html(docs, text_col="html", out_col="text")
+    gated = gopher_rules(cleaned.select("doc_id", "text"))
+    row = gated.collect()[0]
+    assert row.passes, row
