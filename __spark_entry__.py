@@ -5549,6 +5549,22 @@ def q_nb_classify(spark, sf_dir):
     return out.join(gold, "doc_id").select("doc_id", "gold", "pred", "log_score")
 
 
+def q_language_id_trained(spark, sf_dir):
+    """TRAINED char-3-gram NB language ID (VERDICT r10 item 6): featurize
+    with char_ngram_text (whitespace→'_', overlapping 3-grams), train on
+    the even-doc_id half's gold lang labels, classify the odd half — the
+    whole chain (featurize → nb_train → nb_classify) replays in DuckDB,
+    inheriting nb_classify's sorted-fold / label-tie-break exactness."""
+    from area_etl_spark.operators.classify import language_id_trained
+
+    docs = _tables(spark, sf_dir)["documents"]
+    seed = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 == 1)
+    out = language_id_trained(seed, test)
+    gold = test.select("doc_id", F.col("lang").alias("gold"))
+    return out.join(gold, "doc_id").select("doc_id", "gold", "pred", "log_score")
+
+
 def q_trimmed_mean(spark, sf_dir):
     """10% trimmed mean of order value per priority — the robust location
     estimate that DROPS the tails (winsorize clamps them): exact
@@ -6142,6 +6158,7 @@ _R12_QUEUE = [
     # — r11 registrations (never driver-checked; judge-gated locally) —
     "roc_auc_quantized",
     "warc_roundtrip",
+    "language_id_trained",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -6397,6 +6414,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matched_pairs": q_matched_pairs,
         "trimmed_mean": q_trimmed_mean,
         "nb_classify": q_nb_classify,
+        "language_id_trained": q_language_id_trained,
         "zipf_fit": q_zipf_fit,
         "ipf_raking": q_ipf_raking,
         "ann_recall_eval": q_ann_recall_eval,
@@ -9067,6 +9085,71 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, lang AS gold,
                        string_split_regex(trim(lower(text)), '\\s+') AS toks
                 FROM documents WHERE doc_id % 2 = 1
+            ), tc AS (
+                SELECT lang AS label, token, COUNT(*) AS cnt
+                FROM (SELECT lang, unnest(toks) AS token FROM train)
+                WHERE token <> '' GROUP BY 1, 2
+            ), cs AS (
+                SELECT lang AS label, COUNT(*) AS n_docs,
+                       SUM(len(list_filter(toks, t -> t <> ''))) AS n_tokens
+                FROM train GROUP BY 1
+            ), tot AS (
+                SELECT SUM(n_docs) AS total_docs FROM cs
+            ), v AS (
+                SELECT COUNT(DISTINCT token) AS vs FROM tc
+            ), cls AS (
+                SELECT label, n_tokens, vs,
+                       ln(CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE)) AS prior
+                FROM cs, tot, v
+            ), tf AS (
+                SELECT doc_id, token, COUNT(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS token FROM test)
+                WHERE token <> '' GROUP BY 1, 2
+            ), terms AS (
+                SELECT tf.doc_id, c.label, tf.token,
+                       CAST(tf.tf AS DOUBLE)
+                       * ln(CAST(COALESCE(tc.cnt, 0) + 1 AS DOUBLE)
+                            / CAST(c.n_tokens + c.vs AS DOUBLE)) AS term
+                FROM tf CROSS JOIN cls c
+                LEFT JOIN tc ON tc.label = c.label AND tc.token = tf.token
+            ), folded AS (
+                SELECT doc_id, label,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                                list(term ORDER BY token)),
+                                   (x, y) -> x + y) AS ll
+                FROM terms GROUP BY 1, 2
+            ), scored AS (
+                SELECT i.doc_id, c.label, c.prior + COALESCE(f.ll, 0.0) AS score
+                FROM (SELECT DISTINCT doc_id FROM test) i
+                CROSS JOIN cls c
+                LEFT JOIN folded f ON f.doc_id = i.doc_id AND f.label = c.label
+            ), best AS (
+                SELECT doc_id, label, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, label) AS rn
+                FROM scored
+            )
+            SELECT b.doc_id, t.gold, b.label AS pred, round(b.score, 6) AS log_score
+            FROM best b JOIN (SELECT doc_id, gold FROM test) t USING (doc_id)
+            WHERE rn = 1
+        """,
+        "language_id_trained": """
+            WITH gr AS (
+                SELECT doc_id, lang,
+                       regexp_replace(lower(COALESCE(text, '')), '\\s+', '_', 'g') AS c
+                FROM documents
+            ), train AS (
+                SELECT lang, CASE WHEN len(c) >= 3
+                            THEN list_transform(range(1, len(c) - 1),
+                                                i -> substr(c, i, 3))
+                            ELSE [c] END AS toks
+                FROM gr WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+            ), test AS (
+                SELECT doc_id, lang AS gold, CASE WHEN len(c) >= 3
+                            THEN list_transform(range(1, len(c) - 1),
+                                                i -> substr(c, i, 3))
+                            ELSE [c] END AS toks
+                FROM gr WHERE doc_id % 2 = 1
             ), tc AS (
                 SELECT lang AS label, token, COUNT(*) AS cnt
                 FROM (SELECT lang, unnest(toks) AS token FROM train)

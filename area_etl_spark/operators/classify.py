@@ -137,6 +137,63 @@ def nb_classify(
     )
 
 
+def char_ngram_text(col: "F.Column | str", n: int = 3) -> "F.Column":
+    """Character n-gram featurization for language ID: lowercase, collapse
+    whitespace runs to ``_`` (so a gram can span a word boundary — the
+    signal char-gram lang-ID lives on), emit the overlapping n-grams
+    space-joined, ready for the whitespace tokenizer ``nb_train`` uses.
+    Documents shorter than ``n`` chars become their whole string as one
+    gram (empty text → the empty gram, which the NB token filter drops).
+    Pure Column HOFs — no explode, no Python."""
+    raw = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(F.lower(F.coalesce(raw, F.lit(""))), r"\s+", "_")
+    grams = F.when(
+        F.length(c) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - n + 1),
+            lambda i: c.substr(i, F.lit(n)),
+        ),
+    ).otherwise(F.array(c))
+    return F.array_join(grams, " ")
+
+
+def language_id_trained(
+    seed: DataFrame,
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    digits: int = 6,
+) -> DataFrame:
+    """TRAINED language identification (VERDICT r10 item 6): char-n-gram
+    multinomial naive Bayes — the published fastText/langid.py recipe's
+    classical core — complementing the stopword HEURISTIC
+    (``text_analysis.language_id``): the heuristic needs a curated lexicon
+    per language, the trained model needs only a labeled seed frame and
+    captures orthography (accents, CJK codepoints, digraphs) the lexicon
+    can't.
+
+    Pure composition: :func:`char_ngram_text` featurizes BOTH frames, then
+    the existing ``nb_train``/``nb_classify`` machinery does the rest — so
+    every exactness/portability property (sorted-fold log-likelihoods,
+    label-tie-broken argmax, full SQL oracle) is inherited, and the
+    evaluation loop closes with ``classification_report`` /
+    ``cohen_kappa`` against the heuristic.  Scale: the model is
+    |grams|·|langs| bounded (broadcast), docs shuffle once on (doc, class)
+    — the nb_classify contract unchanged.  Returns (id, pred, log_score).
+    """
+    tr = seed.select(
+        F.col(label_col).alias("_lang"),
+        char_ngram_text(F.col(text_col), n).alias("_gram_text"),
+    )
+    te = docs.select(
+        F.col(id_col), char_ngram_text(F.col(text_col), n).alias("_gram_text")
+    )
+    tc, cs = nb_train(tr, "_lang", text_col="_gram_text")
+    return nb_classify(tc, cs, te, id_col=id_col, text_col="_gram_text", digits=digits)
+
+
 def classification_report(
     df: DataFrame,
     gold_col: str,

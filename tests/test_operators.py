@@ -2407,6 +2407,66 @@ def test_good_turing_hand_computed(spark):
     assert good_turing_report(nod).collect()[0].chao1_vocab is None
 
 
+def test_language_id_trained_multilingual_seed(spark):
+    """Trained char-3-gram NB lang-ID (VERDICT r10 item 6): on a small
+    public-sample multilingual seed it classifies held-out sentences the
+    stopword heuristic's lexicon would need hand-curation for — accents,
+    umlauts, CJK codepoints are exactly what char grams capture.  The eval
+    loop closes with classification_report (per-class F1) and cohen_kappa
+    (trained vs gold)."""
+    from area_etl_spark.operators.classify import (
+        classification_report,
+        language_id_trained,
+    )
+    from area_etl_spark.operators.experiments import cohen_kappa
+
+    seed_rows = [
+        ("en", "the quick brown fox jumps over the lazy dog in the morning"),
+        ("en", "she was walking through the forest with her little brother"),
+        ("en", "this is another plain english sentence about the weather today"),
+        ("fr", "le renard brun saute par-dessus le chien paresseux ce matin"),
+        ("fr", "elle marchait dans la forêt avec son petit frère hier soir"),
+        ("fr", "voici une autre phrase française à propos du temps aujourd'hui"),
+        ("de", "der schnelle braune fuchs springt über den faulen hund morgens"),
+        ("de", "sie ging durch den wald mit ihrem kleinen bruder gestern"),
+        ("de", "dies ist ein weiterer deutscher satz über das wetter heute"),
+        ("es", "el zorro marrón salta sobre el perro perezoso por la mañana"),
+        ("es", "ella caminaba por el bosque con su hermano pequeño anoche"),
+        ("es", "esta es otra oración española sobre el clima de hoy"),
+        ("es", "los estudiantes leen muchos libros en la biblioteca de la ciudad"),
+        ("zh", "敏捷的棕色狐狸在早晨跳过懒惰的狗"),
+        ("zh", "她昨晚和她的小弟弟一起走过森林"),
+        ("zh", "这是另一个关于今天天气的中文句子"),
+    ]
+    held_out = [
+        (1, "en", "the children were playing near the old house by the river"),
+        (2, "fr", "les enfants jouaient près de la vieille maison au bord de la rivière"),
+        (3, "de", "die kinder spielten in der nähe des alten hauses am fluss"),
+        (4, "es", "los niños jugaban cerca de la casa vieja junto al río"),
+        (5, "zh", "孩子们在河边的老房子附近玩耍"),
+        (6, "en", ""),  # empty text must not crash; predicts SOME label
+    ]
+    seed = spark.createDataFrame(seed_rows, "lang string, text string")
+    docs = spark.createDataFrame(held_out, "doc_id long, gold string, text string")
+    # char BIGRAMS for a tiny seed: 3-gram coverage is too sparse at ~3
+    # sentences/language (unseen-gram smoothing then favors the class with
+    # the smallest token mass — the standard small-seed NB artifact); n is
+    # the operator's documented dial for exactly this trade
+    pred = language_id_trained(seed, docs, n=2).join(
+        docs.select("doc_id", "gold"), "doc_id"
+    )
+    rows = {r.doc_id: r for r in pred.collect()}
+    assert len(rows) == 6 and rows[6].pred is not None
+    assert all(rows[i].pred == rows[i].gold for i in range(1, 6)), rows
+    # eval harness: per-class F1 == 1 on the five real sentences
+    rep = classification_report(
+        pred.where(F.col("doc_id") <= 5), "gold", "pred"
+    ).collect()
+    assert all(r.f1 == 1.0 for r in rep), rep
+    kap = cohen_kappa(pred.where(F.col("doc_id") <= 5), "gold", "pred").collect()[0]
+    assert kap.kappa == 1.0
+
+
 def test_classification_report_hand_computed(spark):
     from area_etl_spark.operators.classify import classification_report
 
