@@ -5565,6 +5565,28 @@ def q_language_id_trained(spark, sf_dir):
     return out.join(gold, "doc_id").select("doc_id", "gold", "pred", "log_score")
 
 
+def q_luhn_card_scan(spark, sf_dir):
+    """Luhn-validated card redaction (VERDICT r10 item 7): card-shaped
+    16-digit strings synthesized from order keys, the mod-10 HOF fold
+    deciding which are checksum-valid, and redact_card_numbers replacing
+    exactly those — DuckDB replays the fold with the same list_reduce, so
+    validity AND the redacted text are value-checked."""
+    from area_etl_spark.operators.text_analysis import (
+        luhn_checksum_valid,
+        redact_card_numbers,
+    )
+
+    o = _tables(spark, sf_dir)["orders"]
+    digits = F.lpad(F.col("o_orderkey").cast("string"), 16, "0")
+    text = F.concat(F.lit("ref "), digits, F.lit(" ok"))
+    return o.select(
+        "o_orderkey",
+        digits.alias("card_digits"),
+        luhn_checksum_valid(digits).alias("luhn_ok"),
+        redact_card_numbers(text).alias("redacted"),
+    )
+
+
 def q_trimmed_mean(spark, sf_dir):
     """10% trimmed mean of order value per priority — the robust location
     estimate that DROPS the tails (winsorize clamps them): exact
@@ -6159,6 +6181,7 @@ _R12_QUEUE = [
     "roc_auc_quantized",
     "warc_roundtrip",
     "language_id_trained",
+    "luhn_card_scan",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -6415,6 +6438,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean": q_trimmed_mean,
         "nb_classify": q_nb_classify,
         "language_id_trained": q_language_id_trained,
+        "luhn_card_scan": q_luhn_card_scan,
         "zipf_fit": q_zipf_fit,
         "ipf_raking": q_ipf_raking,
         "ann_recall_eval": q_ann_recall_eval,
@@ -9132,6 +9156,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.doc_id, t.gold, b.label AS pred, round(b.score, 6) AS log_score
             FROM best b JOIN (SELECT doc_id, gold FROM test) t USING (doc_id)
             WHERE rn = 1
+        """,
+        "luhn_card_scan": """
+            WITH d AS (
+                SELECT o_orderkey,
+                       lpad(CAST(o_orderkey AS VARCHAR), 16, '0') AS num
+                FROM orders
+            ), s AS (
+                SELECT o_orderkey, num,
+                       list_reduce(list_transform(range(1, 17), i ->
+                           CASE WHEN (16 - i) % 2 = 1
+                                THEN CASE WHEN 2 * CAST(substr(num, i, 1) AS INT) > 9
+                                          THEN 2 * CAST(substr(num, i, 1) AS INT) - 9
+                                          ELSE 2 * CAST(substr(num, i, 1) AS INT) END
+                                ELSE CAST(substr(num, i, 1) AS INT) END),
+                           (a, b) -> a + b) % 10 = 0 AS ok
+                FROM d
+            )
+            SELECT o_orderkey, num AS card_digits, ok AS luhn_ok,
+                   CASE WHEN ok THEN 'ref [CARD] ok'
+                        ELSE 'ref ' || num || ' ok' END AS redacted
+            FROM s
         """,
         "language_id_trained": """
             WITH gr AS (

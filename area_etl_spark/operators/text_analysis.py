@@ -258,6 +258,64 @@ def pii_redact(text_col: str | Column) -> Column:
     return c
 
 
+# candidate card numbers: 13–19 digits with optional single space/dash
+# separators, word-bounded — syntax shared by Java regex and RE2 (no
+# lookaround) so the extraction replays in SQL
+CARD_CANDIDATE_PATTERN = r"\b(?:\d[ -]?){12,18}\d\b"
+
+
+def luhn_checksum_valid(digits: Column) -> Column:
+    """Luhn mod-10 validity of a digit-only string (ISO/IEC 7812) — the
+    published checksum every real payment-card number satisfies, as ONE
+    integer HOF fold: from the right, every second digit doubles (minus 9
+    when >9), the total must divide by 10.  All-integer, no UDF — a SQL
+    oracle replays it with the same list_reduce.  Empty/non-digit input →
+    false (never an error: candidates come from a digits-only regex).
+    """
+    n = F.length(digits)
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            (n - i) % 2 == 1,
+            F.when(
+                digits.substr(i, F.lit(1)).cast("int") * 2 > 9,
+                digits.substr(i, F.lit(1)).cast("int") * 2 - 9,
+            ).otherwise(digits.substr(i, F.lit(1)).cast("int") * 2),
+        ).otherwise(digits.substr(i, F.lit(1)).cast("int")),
+    )
+    return F.when((n > 0) & digits.rlike("^[0-9]+$"), total % 10 == 0).otherwise(
+        F.lit(False)
+    )
+
+
+def redact_card_numbers(text_col: str | Column, replacement: str = "[CARD]") -> Column:
+    """Checksum-VALIDATED card redaction (VERDICT r10 item 7): extract
+    card-shaped digit runs, keep only the Luhn-valid ones, and replace
+    exactly those — so redaction precision no longer rides on raw digit
+    length (``pii_redact``'s long_id rule nukes every 9+-digit run: order
+    ids, timestamps, ISBNs).  A random digit run passes Luhn ~10% of the
+    time, so validation removes ~90% of card false positives while keeping
+    recall at 100% (every real card validates, by issuance).
+
+    Shape: regexp_extract_all → HOF filter (the Luhn fold, nested lambda)
+    → HOF fold of literal replaces — one narrow codegen projection, no
+    explode, no shuffle, no Python.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    cands = F.regexp_extract_all(c, F.lit(CARD_CANDIDATE_PATTERN), F.lit(0))
+    valid = F.filter(
+        cands,
+        lambda x: luhn_checksum_valid(F.regexp_replace(x, r"[ -]", "")),
+    )
+    return F.aggregate(
+        F.array_distinct(valid),
+        c,
+        lambda acc, x: F.replace(acc, x, F.lit(replacement)),
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass profile: every text-analysis feature computed once (features
     projection, then the score derived from the feature COLUMNS — see

@@ -361,6 +361,52 @@ def test_pii_redact_patterns(spark):
     assert got[4] == "clean text stays clean"
 
 
+def test_luhn_validated_card_redaction_precision(spark):
+    """VERDICT r10 item 7: card redaction validated by the Luhn mod-10
+    fold.  Planted corpus: every true card (public test numbers — all
+    Luhn-valid by issuance) is redacted (recall 1.0), every card-SHAPED
+    non-card (order ids, an off-by-one digit) survives (precision 1.0) —
+    the false positives pii_redact's raw-length rule would have nuked."""
+    from area_etl_spark.operators.text_analysis import (
+        luhn_checksum_valid,
+        redact_card_numbers,
+    )
+
+    true_cards = [
+        "4111 1111 1111 1111",   # the canonical public Visa test number
+        "5500-0000-0000-0004",   # public MC test number, dash-separated
+        "378282246310005",       # public Amex test number, 15 digits
+    ]
+    false_positives = [
+        "4111 1111 1111 1112",   # one digit off: fails Luhn
+        "1234 5678 9012 3456",   # order-id-shaped
+        "9999999999999999",      # plain 16-digit id
+    ]
+    rows = [(i, f"pay with {c} today") for i, c in enumerate(true_cards)] + [
+        (100 + i, f"order ref {c} shipped") for i, c in enumerate(false_positives)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.red for r in
+           df.select("id", redact_card_numbers("text").alias("red")).collect()}
+    for i in range(3):
+        assert got[i] == "pay with [CARD] today", got[i]
+    for i in range(3):
+        assert "[CARD]" not in got[100 + i], got[100 + i]
+
+    # the fold itself, directly: valid / invalid / non-digit / empty
+    probe = spark.createDataFrame(
+        [("79927398713",), ("79927398710",), ("",), ("12a4",)], "d string"
+    ).select(luhn_checksum_valid(F.col("d")).alias("ok"))
+    assert [r.ok for r in probe.collect()] == [True, False, False, False]
+    # multiple cards in one doc all redact; duplicates don't double-replace
+    multi = spark.createDataFrame(
+        [(1, "a 4111 1111 1111 1111 b 4111 1111 1111 1111 c 378282246310005 d")],
+        "id long, text string",
+    )
+    out = multi.select(redact_card_numbers("text").alias("r")).collect()[0].r
+    assert out == "a [CARD] b [CARD] c [CARD] d"
+
+
 def test_minhash_portable_cross_validates_fast_path(spark, tables):
     """The md5 portable MinHash (full DuckDB oracle) and the xxhash64 fast
     path are independent hash families over the same shingle sets — on the
