@@ -5565,6 +5565,39 @@ def q_language_id_trained(spark, sf_dir):
     return out.join(gold, "doc_id").select("doc_id", "gold", "pred", "log_score")
 
 
+_MEDIA_TEMPLATES_HEX = {
+    # deterministic header-class template blobs (hex → unhex binary):
+    # a REAL 1×1 grayscale PNG (full pixel decode works on it), an
+    # admissible baseline-JPEG marker stream, and one representative of
+    # each documented quarantine class
+    0: "89504e470d0a1a0a0000000d49484452000000010000000108000000003a7e9b550000000a4944415478da6368000000820081da45083b0000000049454e44ae426082",
+    1: "ffd8ffc0000b080001000101011100ffda0008010100003f00ffd9",
+    2: "ffd8ffc2000b080001000101011100ffd9",
+    3: "ffd8ffc00011080001000103012100021100031100ffda000c03010002000300003f00ffd9",
+    4: "ffd8ffdd00040064ffc0000b080001000101011100ffda0008010100003f00ffd9",
+    5: "6e6f7420616e20696d61676520617420616c6c2e2e2e2e2e",
+}
+
+
+def q_multimodal_quarantine_report(spark, sf_dir):
+    """Multimodal quarantine telemetry (VERDICT r10 item 8): every doc_id
+    maps to one of six deterministic header-class blobs (real PNG,
+    baseline JPEG, progressive, 4:2:2, restart-interval, garbage); the
+    REAL header classifier (image_decode_diagnose, the same subset checks
+    as jpeg_decode_pixels) must land each blob on exactly its class, and
+    the corpus report aggregates (fmt, ok, reason) — the reasons are a
+    pure function of doc_id % 6, so DuckDB replays the whole report."""
+    from area_etl_spark.operators.multimodal import decode_quarantine_report
+
+    docs = _tables(spark, sf_dir)["documents"]
+    hex_expr = None
+    for k, hx in _MEDIA_TEMPLATES_HEX.items():
+        cond = F.col("doc_id") % 6 == k
+        hex_expr = F.when(cond, F.lit(hx)) if hex_expr is None else hex_expr.when(cond, F.lit(hx))
+    blobs = docs.select(F.col("doc_id").alias("id"), F.unhex(hex_expr).alias("payload"))
+    return decode_quarantine_report(blobs)
+
+
 def q_luhn_card_scan(spark, sf_dir):
     """Luhn-validated card redaction (VERDICT r10 item 7): card-shaped
     16-digit strings synthesized from order keys, the mod-10 HOF fold
@@ -6182,6 +6215,7 @@ _R12_QUEUE = [
     "warc_roundtrip",
     "language_id_trained",
     "luhn_card_scan",
+    "multimodal_quarantine_report",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -6439,6 +6473,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_classify": q_nb_classify,
         "language_id_trained": q_language_id_trained,
         "luhn_card_scan": q_luhn_card_scan,
+        "multimodal_quarantine_report": q_multimodal_quarantine_report,
         "zipf_fit": q_zipf_fit,
         "ipf_raking": q_ipf_raking,
         "ann_recall_eval": q_ann_recall_eval,
@@ -9156,6 +9191,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT b.doc_id, t.gold, b.label AS pred, round(b.score, 6) AS log_score
             FROM best b JOIN (SELECT doc_id, gold FROM test) t USING (doc_id)
             WHERE rn = 1
+        """,
+        "multimodal_quarantine_report": """
+            SELECT fmt, ok, reason, CAST(COUNT(*) AS BIGINT) AS n_blobs
+            FROM (
+                SELECT CASE doc_id % 6
+                           WHEN 0 THEN 'png'
+                           WHEN 5 THEN 'unknown'
+                           ELSE 'jpeg' END AS fmt,
+                       (doc_id % 6) IN (0, 1) AS ok,
+                       CASE doc_id % 6
+                           WHEN 0 THEN 'baseline_subset_ok'
+                           WHEN 1 THEN 'baseline_subset_ok'
+                           WHEN 2 THEN 'jpeg_progressive_sof'
+                           WHEN 3 THEN 'jpeg_subsampling'
+                           WHEN 4 THEN 'jpeg_restart_interval'
+                           ELSE 'unknown_format' END AS reason
+                FROM documents
+            ) GROUP BY 1, 2, 3
         """,
         "luhn_card_scan": """
             WITH d AS (

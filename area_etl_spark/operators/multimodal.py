@@ -768,6 +768,119 @@ def image_decode_pixels(payload: bytes):
     return None
 
 
+DIAGNOSE_SCHEMA = "id bigint, fmt string, ok boolean, reason string"
+
+
+def image_decode_diagnose(payload: bytes) -> dict[str, Any]:
+    """Header-level decode admissibility classifier (VERDICT r10 item 8):
+    WHY would ``image_decode_pixels`` quarantine this blob?  The pixel
+    decoders return a bare ``None`` on anything outside the baseline
+    subset — right for the hot path (no reason-string allocation per
+    blob), but blind at corpus scale: operators need to know whether the
+    quarantine is 40% progressive JPEG (worth building) or 0.1% exotica
+    (ignore).  This walks ONLY the marker/header structure — no entropy
+    decode, no pixel pass — and names the first disqualifier it meets,
+    mirroring ``jpeg_decode_pixels``' subset checks one-for-one.
+
+    Reasons: ``baseline_subset_ok`` (PNG or in-subset JPEG),
+    ``png_truncated``, ``jpeg_progressive_sof``, ``jpeg_unsupported_sof``,
+    ``jpeg_12bit_precision``, ``jpeg_16bit_quant``, ``jpeg_components``,
+    ``jpeg_subsampling``, ``jpeg_restart_interval``, ``jpeg_no_scan``,
+    ``jpeg_truncated``, ``unknown_format``.
+    """
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            # IHDR must be the first chunk with its full 13-byte body
+            if len(payload) >= 33 and payload[12:16] == b"IHDR":
+                return {"fmt": "png", "ok": True, "reason": "baseline_subset_ok"}
+            return {"fmt": "png", "ok": False, "reason": "png_truncated"}
+        if payload[:2] != b"\xff\xd8":
+            return {"fmt": "unknown", "ok": False, "reason": "unknown_format"}
+        data, pos = payload, 2
+        saw_sof = False
+        while pos + 2 <= len(data):
+            if data[pos] != 0xFF:
+                return {"fmt": "jpeg", "ok": False, "reason": "jpeg_truncated"}
+            marker = data[pos + 1]
+            if marker == 0xFF:  # legal fill byte
+                pos += 1
+                continue
+            if marker == 0xD9:  # EOI before SOS
+                return {"fmt": "jpeg", "ok": False, "reason": "jpeg_no_scan"}
+            if pos + 4 > len(data):  # marker with no room for its length
+                return {"fmt": "jpeg", "ok": False, "reason": "jpeg_truncated"}
+            seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
+            seg = data[pos + 4 : pos + 2 + seg_len]
+            if marker == 0xC2:
+                return {"fmt": "jpeg", "ok": False, "reason": "jpeg_progressive_sof"}
+            if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return {"fmt": "jpeg", "ok": False, "reason": "jpeg_unsupported_sof"}
+            if marker == 0xDB:
+                i = 0
+                while i < len(seg):
+                    if seg[i] >> 4 != 0:
+                        return {"fmt": "jpeg", "ok": False, "reason": "jpeg_16bit_quant"}
+                    i += 65
+            elif marker == 0xC0:
+                if seg[0] != 8:
+                    return {"fmt": "jpeg", "ok": False, "reason": "jpeg_12bit_precision"}
+                ncomp = seg[5]
+                if ncomp not in (1, 3):
+                    return {"fmt": "jpeg", "ok": False, "reason": "jpeg_components"}
+                samps = [
+                    (seg[7 + 3 * ci] >> 4, seg[7 + 3 * ci] & 0x0F) for ci in range(ncomp)
+                ]
+                if ncomp == 1 and samps != [(1, 1)]:
+                    return {"fmt": "jpeg", "ok": False, "reason": "jpeg_subsampling"}
+                if ncomp == 3 and samps not in (
+                    [(1, 1), (1, 1), (1, 1)],
+                    [(2, 2), (1, 1), (1, 1)],
+                ):
+                    return {"fmt": "jpeg", "ok": False, "reason": "jpeg_subsampling"}
+                saw_sof = True
+            elif marker == 0xDD:
+                if int.from_bytes(seg[0:2], "big") != 0:
+                    return {"fmt": "jpeg", "ok": False, "reason": "jpeg_restart_interval"}
+            elif marker == 0xDA:
+                if not saw_sof:
+                    return {"fmt": "jpeg", "ok": False, "reason": "jpeg_no_scan"}
+                return {"fmt": "jpeg", "ok": True, "reason": "baseline_subset_ok"}
+            pos += 2 + seg_len
+        return {"fmt": "jpeg", "ok": False, "reason": "jpeg_truncated"}
+    except Exception:  # noqa: BLE001 — malformed header → quarantine reason
+        return {"fmt": "unknown", "ok": False, "reason": "unknown_format"}
+
+
+def diagnose_media(df: DataFrame, payload_col: str = "payload", id_col: str = "id") -> DataFrame:
+    """Per-blob decode-admissibility rows via one Arrow-batched pass."""
+    slim = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("_p"))
+
+    def _diag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            records = []
+            for i in range(len(pdf)):
+                p = pdf["_p"].iloc[i]
+                d = image_decode_diagnose(bytes(p) if p is not None else b"")
+                records.append({"id": pdf["id"].iloc[i], **d})
+            yield pd.DataFrame.from_records(records)
+
+    return slim.mapInPandas(_diag, schema=DIAGNOSE_SCHEMA)
+
+
+def decode_quarantine_report(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "id"
+) -> DataFrame:
+    """Corpus-level quarantine telemetry: (fmt, ok, reason, n_blobs) — the
+    aggregate that makes the multimodal tier's quarantine rate observable
+    at scale (which decode capability to build next is read straight off
+    this table).  One diagnose pass + one map-side-combined aggregate."""
+    return (
+        diagnose_media(df, payload_col, id_col)
+        .groupBy("fmt", "ok", "reason")
+        .agg(F.count(F.lit(1)).alias("n_blobs"))
+    )
+
+
 def _image_pixel_feature_batch(payloads) -> list[list[float]]:
     """Pixel-space luminance features (15-bin histogram + mean brightness)
     over BOTH real decoders via magic-byte dispatch — the png_pixels

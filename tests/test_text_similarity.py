@@ -361,6 +361,74 @@ def test_pii_redact_patterns(spark):
     assert got[4] == "clean text stays clean"
 
 
+def test_image_decode_diagnose_reasons_and_decoder_agreement(spark):
+    """VERDICT r10 item 8: the header-level diagnosis names WHY a blob
+    would quarantine, one reason per documented subset check, and must
+    AGREE with the real pixel decoder: diagnose-ok blobs with real entropy
+    data decode to pixels; every diagnose-rejected blob is also rejected
+    by image_decode_pixels (no false admits)."""
+    import struct
+
+    from area_etl_spark.operators.multimodal import (
+        decode_quarantine_report,
+        image_decode_diagnose,
+        image_decode_pixels,
+    )
+    from tests.test_text_similarity import _make_real_jpeg  # self-import ok
+
+    def sof(marker, ncomp, samps, prec=8):
+        body = struct.pack(">BHHB", prec, 1, 1, ncomp)
+        for i, (hs, vs) in enumerate(samps):
+            body += bytes([i + 1, (hs << 4) | vs, 0])
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def sos(ncomp=1):
+        body = bytes([ncomp])
+        for i in range(ncomp):
+            body += bytes([i + 1, 0x00])
+        body += bytes([0, 63, 0])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    soi, eoi = b"\xff\xd8", b"\xff\xd9"
+    dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 100)
+    cases = {
+        "jpeg_progressive_sof": soi + sof(0xC2, 1, [(1, 1)]) + eoi,
+        "jpeg_unsupported_sof": soi + sof(0xC1, 1, [(1, 1)]) + eoi,
+        "jpeg_12bit_precision": soi + sof(0xC0, 1, [(1, 1)], prec=12) + eoi,
+        "jpeg_subsampling": soi + sof(0xC0, 3, [(2, 1), (1, 1), (1, 1)]) + sos(3) + eoi,
+        "jpeg_components": soi + sof(0xC0, 4, [(1, 1)] * 4) + eoi,
+        "jpeg_restart_interval": soi + dri + sof(0xC0, 1, [(1, 1)]) + sos(1) + eoi,
+        "jpeg_no_scan": soi + eoi,
+        "jpeg_truncated": soi + sof(0xC0, 1, [(1, 1)]),
+        "unknown_format": b"GIF89a not supported by the pixel tier",
+        "png_truncated": b"\x89PNG\r\n\x1a\n" + b"\x00\x00",
+    }
+    for want, blob in cases.items():
+        d = image_decode_diagnose(blob)
+        assert d["reason"] == want and d["ok"] is False, (want, d)
+        assert image_decode_pixels(blob) is None  # agreement: reject side
+
+    # agreement on the admit side: a REAL baseline jpeg both diagnoses ok
+    # and pixel-decodes
+    import numpy as np
+
+    real = _make_real_jpeg(np.full((8, 8), 128, dtype=np.uint8))
+    d = image_decode_diagnose(real)
+    assert d == {"fmt": "jpeg", "ok": True, "reason": "baseline_subset_ok"}
+    assert image_decode_pixels(real) is not None
+
+    # the corpus report aggregates per (fmt, ok, reason)
+    rows = [(i, bytearray(b)) for i, b in enumerate(cases.values())] + [
+        (100, bytearray(real)), (101, bytearray(real))
+    ]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    rep = {(r.fmt, r.ok, r.reason): r.n_blobs
+           for r in decode_quarantine_report(df).collect()}
+    assert rep[("jpeg", True, "baseline_subset_ok")] == 2
+    assert rep[("unknown", False, "unknown_format")] == 1
+    assert sum(rep.values()) == len(rows)
+
+
 def test_luhn_validated_card_redaction_precision(spark):
     """VERDICT r10 item 7: card redaction validated by the Luhn mod-10
     fold.  Planted corpus: every true card (public test numbers — all
