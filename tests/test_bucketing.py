@@ -295,6 +295,54 @@ def test_publish_snapshot_cross_table_atomicity(spark, tables, tmp_path):
     assert read_snapshot_table(spark, wh, "facts").count() == 10
 
 
+def test_snapshot_gc_grace_protects_pinned_reader(spark, tables, tmp_path):
+    """VERDICT r10 item 9 — the GC race, adversarially: a reader PINNED on
+    snapshot N (number resolved, DataFrame planned, nothing collected yet)
+    must keep working across the next publish's GC — that is exactly the
+    keep_snapshots - 1 grace publish_snapshot's docstring promises.  One
+    publish LATER the grace is spent: N's directories are gone, the pinned
+    plan fails on re-execution, and the failure mode is a clean read error,
+    never wrong rows.  Also pins WHICH snapshots survive on disk."""
+    import os
+
+    from area_etl_spark.sources.load import publish_snapshot, read_snapshot_table
+
+    wh = str(tmp_path / "wh")
+    base = tables["customer"].select("c_custkey")
+    s1 = publish_snapshot({"t": base.limit(10)}, wh, keep_snapshots=2)
+
+    # reader pins snapshot s1: resolves the number and PLANS the read now
+    pinned = read_snapshot_table(spark, wh, "t")
+    assert pinned.count() == 10
+
+    # concurrent publish + GC happens mid-read-lifetime
+    s2 = publish_snapshot({"t": base.limit(4)}, wh, keep_snapshots=2)
+    assert s2 == s1 + 1
+    # grace: s1's immutable directory survived this GC → the pinned reader
+    # re-executes its plan successfully and still sees ITS snapshot
+    assert pinned.count() == 10
+    assert sorted(
+        d for d in os.listdir(os.path.join(wh, "t")) if d.startswith("s=")
+    ) == [f"s={s1}", f"s={s2}"]
+    # a fresh resolution sees the new snapshot, mid-flight
+    assert read_snapshot_table(spark, wh, "t").count() == 4
+
+    # one more publish: the grace window (keep_snapshots - 1 = 1 publish)
+    # is spent; s1 is GC'd, the stale pinned plan now fails CLEANLY
+    s3 = publish_snapshot({"t": base.limit(6)}, wh, keep_snapshots=2)
+    assert sorted(
+        d for d in os.listdir(os.path.join(wh, "t")) if d.startswith("s=")
+    ) == [f"s={s2}", f"s={s3}"]
+    try:
+        n = pinned.count()
+        # parquet scans MAY serve cached footers; if it still answers, the
+        # rows must be s1's — never a torn mix of snapshots
+        assert n == 10
+    except Exception:
+        pass  # clean read failure on the vanished directory is the contract
+    assert read_snapshot_table(spark, wh, "t").count() == 6
+
+
 def test_version_changes_cdc_feed_between_publishes(spark, tables, tmp_path):
     """Time travel + snapshot_diff = a change data feed between any two
     retained versions of a write_versioned table — Delta's CDF shape
