@@ -5105,6 +5105,32 @@ def q_fdr_bh(spark, sf_dir):
     return bh_adjust(fam, "hour", "p_value", alpha=0.05)
 
 
+def q_holm_bonferroni(spark, sf_dir):
+    """Holm-Bonferroni step-down over the SAME 24-test hour-of-day family
+    as q_fdr_bh - the FWER-controlling sibling (confirmatory decisions)
+    beside BH's FDR control (exploratory readouts): adj = forward
+    running-max of (m-rank+1)*p over the p-sorted family, uniformly more
+    powerful than plain Bonferroni at the same guarantee."""
+    from area_etl_spark.operators.experiments import holm_adjust, normal_sf_portable
+
+    ev = _tables(spark, sf_dir)["events"]
+    per = ev.groupBy(F.hour("ts").cast("long").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("k"),
+    )
+    tot = per.agg(F.sum("n").alias("nn"), F.sum("k").alias("kk"))
+    j = per.crossJoin(F.broadcast(tot))  # 1-row scalar join
+    n1 = F.col("n").cast("double")
+    k1 = F.col("k").cast("double")
+    n2 = (F.col("nn") - F.col("n")).cast("double")
+    k2 = (F.col("kk") - F.col("k")).cast("double")
+    pp = F.col("kk").cast("double") / F.col("nn").cast("double")
+    z = (k1 / n1 - k2 / n2) / F.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+    pv = F.least(F.lit(1.0), F.lit(2.0) * normal_sf_portable(F.abs(z)))
+    fam = j.select(F.col("hour"), pv.alias("p_value"))
+    return holm_adjust(fam, "hour", "p_value", alpha=0.05)
+
+
 def q_cohen_kappa(spark, sf_dir):
     """Cohen's kappa between the language_id heuristic and the gold lang
     label — chance-corrected labeler agreement with an ALL-INTEGER core
@@ -6216,6 +6242,7 @@ _R12_QUEUE = [
     "language_id_trained",
     "luhn_card_scan",
     "multimodal_quarantine_report",
+    "holm_bonferroni",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -6467,6 +6494,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_linear": q_interpolate_linear,
         "collapse_rare_levels": q_collapse_rare_levels,
         "fdr_bh": q_fdr_bh,
+        "holm_bonferroni": q_holm_bonferroni,
         "cohen_kappa": q_cohen_kappa,
         "matched_pairs": q_matched_pairs,
         "trimmed_mean": q_trimmed_mean,
@@ -8504,6 +8532,42 @@ def oracle_sql() -> dict[str, str]:
                        AS p_adj,
                    round(LEAST(1.0, MIN(pv * CAST(m AS DOUBLE) / CAST(p_rank AS DOUBLE))
                          OVER (ORDER BY pv DESC, hour DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                       <= 0.05 AS significant
+            FROM ranked
+        """,
+        "holm_bonferroni": f"""
+            WITH per AS (
+                SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+                       COUNT(*) AS n,
+                       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+                FROM events GROUP BY 1
+            ), tot AS (
+                SELECT SUM(n) AS nn, SUM(k) AS kk FROM per
+            ), zs AS (
+                SELECT hour,
+                       (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                        - CAST(kk - k AS DOUBLE) / CAST(nn - n AS DOUBLE))
+                       / sqrt((CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+                              * (1 - CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+                              * (1 / CAST(n AS DOUBLE) + 1 / CAST(nn - n AS DOUBLE)))
+                       AS z
+                FROM per, tot
+            ), ps AS (
+                SELECT hour, LEAST(1.0, 2.0 * {NORMAL_SF_SQL_ABS_Z}) AS pv FROM zs
+            ), ranked AS (
+                SELECT hour, pv,
+                       row_number() OVER (ORDER BY pv, hour) AS p_rank,
+                       COUNT(*) OVER () AS m
+                FROM ps
+            )
+            SELECT hour AS key, round(pv, 6) AS p, CAST(p_rank AS BIGINT) AS p_rank,
+                   round(LEAST(1.0, MAX(pv * CAST(m + 1 - p_rank AS DOUBLE))
+                         OVER (ORDER BY pv, hour
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+                       AS p_adj,
+                   round(LEAST(1.0, MAX(pv * CAST(m + 1 - p_rank AS DOUBLE))
+                         OVER (ORDER BY pv, hour
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
                        <= 0.05 AS significant
             FROM ranked

@@ -157,6 +157,25 @@ def char_ngram_text(col: "F.Column | str", n: int = 3) -> "F.Column":
     return F.array_join(grams, " ")
 
 
+def _hash_grams(gram_text: "F.Column", hash_buckets: int) -> "F.Column":
+    """Hashing trick over the gram stream: each gram → ``h<md5 mod B>`` —
+    bounds the NB model at B·|langs| rows regardless of corpus size (the
+    feature_hash recipe applied to the lang-ID vocabulary).  md5, not
+    xxhash64, so a SQL oracle replays the buckets."""
+    toks = F.split(gram_text, " ")
+    hashed = F.transform(
+        toks,
+        lambda g: F.concat(
+            F.lit("h"),
+            (
+                F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+                % hash_buckets
+            ).cast("string"),
+        ),
+    )
+    return F.array_join(hashed, " ")
+
+
 def language_id_trained(
     seed: DataFrame,
     docs: DataFrame,
@@ -165,6 +184,7 @@ def language_id_trained(
     id_col: str = "doc_id",
     n: int = 3,
     digits: int = 6,
+    hash_buckets: int | None = None,
 ) -> DataFrame:
     """TRAINED language identification (VERDICT r10 item 6): char-n-gram
     multinomial naive Bayes — the published fastText/langid.py recipe's
@@ -181,14 +201,27 @@ def language_id_trained(
     evaluation loop closes with ``classification_report`` /
     ``cohen_kappa`` against the heuristic.  Scale: the model is
     |grams|·|langs| bounded (broadcast), docs shuffle once on (doc, class)
-    — the nb_classify contract unchanged.  Returns (id, pred, log_score).
+    — the nb_classify contract unchanged.  The raw char-n-gram vocabulary
+    GROWS with the corpus (measured 5.4×/decade at sf0.1 — the model join
+    dominates); ``hash_buckets=B`` applies the hashing trick (feature_hash
+    recipe, md5 so SQL-replayable) and pins the model at B·|langs| rows —
+    the documented dial for corpus-scale runs; collisions cost accuracy
+    gracefully (Weinberger et al. 2009).  Returns (id, pred, log_score).
     """
+    featurize = char_ngram_text
+    if hash_buckets is not None:
+        if hash_buckets <= 0:
+            raise ValueError(f"hash_buckets must be positive, got {hash_buckets}")
+
+        def featurize(col, k=n):  # noqa: ANN001 — Column helper
+            return _hash_grams(char_ngram_text(col, k), hash_buckets)
+
     tr = seed.select(
         F.col(label_col).alias("_lang"),
-        char_ngram_text(F.col(text_col), n).alias("_gram_text"),
+        featurize(F.col(text_col), n).alias("_gram_text"),
     )
     te = docs.select(
-        F.col(id_col), char_ngram_text(F.col(text_col), n).alias("_gram_text")
+        F.col(id_col), featurize(F.col(text_col), n).alias("_gram_text")
     )
     tc, cs = nb_train(tr, "_lang", text_col="_gram_text")
     return nb_classify(tc, cs, te, id_col=id_col, text_col="_gram_text", digits=digits)

@@ -427,6 +427,48 @@ def bh_adjust(
     ).orderBy("p_rank")
 
 
+def holm_adjust(
+    pvals: DataFrame,
+    key_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Holm–Bonferroni step-down adjustment — ``bh_adjust``'s FWER sibling:
+    where BH bounds the false-discovery RATE (exploratory readouts), Holm
+    bounds the FAMILY-WISE error (any false positive at all — the
+    correction for confirmatory/launch decisions), uniformly more powerful
+    than plain Bonferroni at the same guarantee.
+
+    adj_i = max_{j <= i} ((m − j + 1) · p_(j)) clamped to 1 — a FORWARD
+    running-max over the p-sorted family (BH is the reverse running-min);
+    significant ⇔ adj ≤ alpha, equivalent to the classic step-down rule.
+    Same bounded aggregate-level window contract as bh_adjust: m is the
+    family size (tests, never data rows); ties on p break by key.
+
+    Returns (key, p, p_rank, p_adj, significant) sorted by p_rank.
+    """
+    from pyspark.sql import Window
+
+    fam = pvals.select(F.col(key_col).alias("key"), F.col(p_col).alias("_p"))
+    w_rank = Window.orderBy("_p", "key")
+    w_fwd = Window.orderBy("_p", "key").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    m = fam.count()
+    ranked = fam.withColumn("p_rank", F.row_number().over(w_rank))
+    adj = ranked.withColumn(
+        "_raw",
+        F.col("_p") * (F.lit(float(m + 1)) - F.col("p_rank").cast("double")),
+    ).withColumn("p_adj", F.least(F.lit(1.0), F.max("_raw").over(w_fwd)))
+    return adj.select(
+        "key",
+        F.round("_p", 6).alias("p"),
+        F.col("p_rank").cast("long").alias("p_rank"),
+        F.round("p_adj", 6).alias("p_adj"),
+        (F.round("p_adj", 6) <= F.lit(alpha)).alias("significant"),
+    ).orderBy("p_rank")
+
+
 def cohen_kappa(
     df: DataFrame,
     rater_a_col: str,

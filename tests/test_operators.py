@@ -2466,6 +2466,18 @@ def test_language_id_trained_multilingual_seed(spark):
     kap = cohen_kappa(pred.where(F.col("doc_id") <= 5), "gold", "pred").collect()[0]
     assert kap.kappa == 1.0
 
+    # the corpus-scale dial: hashing-trick buckets bound the model without
+    # costing accuracy on this well-separated seed
+    hashed = language_id_trained(seed, docs, n=2, hash_buckets=4096).join(
+        docs.select("doc_id", "gold"), "doc_id"
+    )
+    hrows = {r.doc_id: r for r in hashed.collect()}
+    assert all(hrows[i].pred == hrows[i].gold for i in range(1, 6)), hrows
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        language_id_trained(seed, docs, hash_buckets=0)
+
 
 def test_classification_report_hand_computed(spark):
     from area_etl_spark.operators.classify import classification_report
@@ -2502,6 +2514,27 @@ def test_roc_auc_known_cases(spark):
     hand = spark.createDataFrame([(1, False), (2, True), (2, False), (3, True)], ["s", "y"])
     # pairs: (2+,1-)=1, (2+,2-)=.5, (3+,1-)=1, (3+,2-)=1 -> 3.5/4
     assert abs(roc_auc(hand, "s", "y").collect()[0].auc - 0.875) < 1e-9
+
+
+def test_holm_adjust_hand_computed(spark):
+    """Holm step-down vs hand math, m=4: p=(.01,.02,.03,.04) →
+    raw=(4·.01, 3·.02, 2·.03, 1·.04)=(.04,.06,.06,.04); forward running
+    max=(.04,.06,.06,.06).  Monotone by construction, FWER-clamped at 1,
+    and strictly ≥ the BH adjustment on the same family (FWER ⊇ FDR)."""
+    from area_etl_spark.operators.experiments import bh_adjust, holm_adjust
+
+    fam = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.04)], "k string, p double"
+    )
+    rows = holm_adjust(fam, "k", "p", alpha=0.05).collect()
+    assert [r.p_adj for r in rows] == [0.04, 0.06, 0.06, 0.06]
+    assert [r.significant for r in rows] == [True, False, False, False]
+    # never below BH on the same family
+    bh = {r.key: r.p_adj for r in bh_adjust(fam, "k", "p").collect()}
+    assert all(r.p_adj >= bh[r.key] for r in rows)
+    # clamps at 1
+    big = spark.createDataFrame([("x", 0.9), ("y", 0.95)], "k string, p double")
+    assert all(r.p_adj == 1.0 for r in holm_adjust(big, "k", "p").collect())
 
 
 def test_quantize_contract_rank_family(spark):
