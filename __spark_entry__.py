@@ -5131,6 +5131,24 @@ def q_holm_bonferroni(spark, sf_dir):
     return holm_adjust(fam, "hour", "p_value", alpha=0.05)
 
 
+def q_randomization_test(spark, sf_dir):
+    """Approximate randomization test (Noreen 1989) - does URGENT-priority
+    order value differ from HIGH?  199 deterministic md5 relabelings of
+    order keys, one explode + one hash aggregate on perm id (never a
+    per-permutation sort); p = add-one Monte-Carlo share of relabelings
+    at least as extreme as the observed mean diff."""
+    from area_etl_spark.operators.experiments import approx_randomization_test
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return approx_randomization_test(
+        o, "o_orderkey", "o_orderpriority", "cents", "1-URGENT", "2-HIGH", n_perm=199
+    )
+
+
 def q_cohen_kappa(spark, sf_dir):
     """Cohen's kappa between the language_id heuristic and the gold lang
     label — chance-corrected labeler agreement with an ALL-INTEGER core
@@ -6243,6 +6261,7 @@ _R12_QUEUE = [
     "luhn_card_scan",
     "multimodal_quarantine_report",
     "holm_bonferroni",
+    "randomization_test",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -6495,6 +6514,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_rare_levels": q_collapse_rare_levels,
         "fdr_bh": q_fdr_bh,
         "holm_bonferroni": q_holm_bonferroni,
+        "randomization_test": q_randomization_test,
         "cohen_kappa": q_cohen_kappa,
         "matched_pairs": q_matched_pairs,
         "trimmed_mean": q_trimmed_mean,
@@ -8535,6 +8555,61 @@ def oracle_sql() -> dict[str, str]:
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
                        <= 0.05 AS significant
             FROM ranked
+        """,
+        "randomization_test": """
+            WITH two AS (
+                SELECT o_orderkey AS id,
+                       (o_orderpriority = '1-URGENT') AS is_a,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                FROM orders
+                WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+            ), obs AS (
+                SELECT CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                       CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+                       SUM(CASE WHEN is_a THEN v ELSE 0 END) AS sa,
+                       SUM(CASE WHEN is_a THEN 0 ELSE v END) AS sb
+                FROM two
+            ), obs2 AS (
+                SELECT n_a, n_b,
+                       CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+                       - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS observed_diff
+                FROM obs
+            ), lab AS (
+                SELECT p._perm, t.v,
+                       list_reduce(list_transform(range(1, 9), i ->
+                           CAST(strpos('0123456789abcdef',
+                                substr(md5(concat_ws(':', 'art', CAST(p._perm AS VARCHAR),
+                                                     CAST(t.id AS VARCHAR))), i, 1)) - 1
+                                AS BIGINT)),
+                           (a, b) -> a * 16 + b)
+                       * (o.n_a + o.n_b) < o.n_a * 4294967296 AS to_a
+                FROM two t
+                CROSS JOIN (SELECT unnest(range(1, 200)) AS _perm) p
+                CROSS JOIN obs2 o
+            ), per AS (
+                SELECT _perm,
+                       SUM(CASE WHEN to_a THEN 1 ELSE 0 END) AS pna,
+                       SUM(CASE WHEN to_a THEN 0 ELSE 1 END) AS pnb,
+                       SUM(CASE WHEN to_a THEN v ELSE 0 END) AS psa,
+                       SUM(CASE WHEN to_a THEN 0 ELSE v END) AS psb
+                FROM lab GROUP BY 1
+            ), diffs AS (
+                SELECT CAST(psa AS DOUBLE) / CAST(pna AS DOUBLE)
+                       - CAST(psb AS DOUBLE) / CAST(pnb AS DOUBLE) AS pdiff
+                FROM per WHERE pna > 0 AND pnb > 0
+            ), tallied AS (
+                SELECT MAX(o.n_a) AS n_a, MAX(o.n_b) AS n_b,
+                       MAX(o.observed_diff) AS observed_diff,
+                       CAST(COUNT(*) AS BIGINT) AS n_perms_used,
+                       CAST(SUM(CASE WHEN abs(pdiff) >= abs(o.observed_diff)
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+                FROM diffs CROSS JOIN obs2 o
+            )
+            SELECT n_a, n_b, round(observed_diff, 9) AS observed_diff,
+                   n_perms_used, n_extreme,
+                   round(CAST(n_extreme + 1 AS DOUBLE)
+                         / CAST(n_perms_used + 1 AS DOUBLE), 9) AS p_value
+            FROM tallied
         """,
         "holm_bonferroni": f"""
             WITH per AS (

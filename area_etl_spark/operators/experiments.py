@@ -427,6 +427,115 @@ def bh_adjust(
     ).orderBy("p_rank")
 
 
+def approx_randomization_test(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    n_perm: int = 199,
+    seed: str = "art",
+) -> DataFrame:
+    """Approximate randomization test (Noreen 1989; the NLP-standard
+    significance test, Riezler & Maxwell 2005) for a difference in means —
+    the assumption-free sibling of the z-test family: under H0 labels are
+    exchangeable, so each of ``n_perm`` pseudo-random relabelings
+    (unit → side A with probability n_a/n, decided by an md5 hash of
+    (seed, perm, unit value row) — deterministic, engine-portable) yields
+    a null diff; p = (1 + #{|diff_perm| ≥ |observed|}) / (n_perm + 1), the
+    standard add-one Monte-Carlo estimate.
+
+    Shape: ONE explode of each row into its n_perm relabelings (linear ×B,
+    B bounded — the bootstrap_ci contract) folded by a single map-side-
+    combined hash aggregate on perm id; no per-permutation sort, no
+    data-sized window, nothing driver-side.  Sums are exact BIGINTs
+    (integer metric contract), each mean one division.  Permutations where
+    either side lands empty are dropped from the count (documented; at any
+    real n they don't occur).  Returns one row
+    (n_a, n_b, observed_diff, n_perms_used, n_extreme, p_value).
+    """
+    two = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(id_col).alias("_id"),
+        (F.col(group_col) == group_a).alias("_is_a"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+    obs = two.agg(
+        F.sum(F.when(F.col("_is_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("_is_a"), 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("_is_a"), F.col("_v")).otherwise(F.lit(0))).alias("_sa"),
+        F.sum(F.when(~F.col("_is_a"), F.col("_v")).otherwise(F.lit(0))).alias("_sb"),
+    ).select(
+        "n_a",
+        "n_b",
+        (
+            F.col("_sa").cast("double") / F.col("n_a").cast("double")
+            - F.col("_sb").cast("double") / F.col("n_b").cast("double")
+        ).alias("observed_diff"),
+    )
+    # probability threshold on the first 8 md5 hex chars (uint32 space),
+    # fixed from the OBSERVED group sizes via a 1-row broadcast
+    per_perm = (
+        two.crossJoin(F.broadcast(obs.select("n_a", "n_b")))
+        .select(
+            "_v",
+            F.explode(F.sequence(F.lit(1), F.lit(n_perm))).alias("_perm"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", F.lit(seed), F.col("_perm"), F.col("_id")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                * (F.col("n_a") + F.col("n_b"))
+                < F.col("n_a") * F.lit(4294967296)
+            ).alias("_to_a"),
+        )
+        .groupBy("_perm")
+        .agg(
+            F.sum(F.when(F.col("_to_a"), 1).otherwise(0)).alias("_pna"),
+            F.sum(F.when(~F.col("_to_a"), 1).otherwise(0)).alias("_pnb"),
+            F.sum(F.when(F.col("_to_a"), F.col("_v")).otherwise(F.lit(0))).alias("_psa"),
+            F.sum(F.when(~F.col("_to_a"), F.col("_v")).otherwise(F.lit(0))).alias("_psb"),
+        )
+        .where((F.col("_pna") > 0) & (F.col("_pnb") > 0))
+        .select(
+            (
+                F.col("_psa").cast("double") / F.col("_pna").cast("double")
+                - F.col("_psb").cast("double") / F.col("_pnb").cast("double")
+            ).alias("_pdiff")
+        )
+    )
+    tallied = per_perm.crossJoin(F.broadcast(obs)).agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.max("observed_diff").alias("observed_diff"),
+        F.count(F.lit(1)).alias("n_perms_used"),
+        F.sum(
+            F.when(F.abs(F.col("_pdiff")) >= F.abs(F.col("observed_diff")), 1).otherwise(0)
+        ).alias("n_extreme"),
+    )
+    return tallied.select(
+        "n_a",
+        "n_b",
+        F.round("observed_diff", 9).alias("observed_diff"),
+        "n_perms_used",
+        "n_extreme",
+        F.round(
+            (F.col("n_extreme") + 1).cast("double")
+            / (F.col("n_perms_used") + 1).cast("double"),
+            9,
+        ).alias("p_value"),
+    )
+
+
 def holm_adjust(
     pvals: DataFrame,
     key_col: str,

@@ -2516,6 +2516,35 @@ def test_roc_auc_known_cases(spark):
     assert abs(roc_auc(hand, "s", "y").collect()[0].auc - 0.875) < 1e-9
 
 
+def test_approx_randomization_test_signal_and_null(spark):
+    """Noreen's approximate randomization: a large mean shift must be
+    extreme vs essentially every relabeling (p ≈ 1/(B+1)); the null
+    (labels assigned independently of value) must NOT be significant.
+    Deterministic: same seed → identical output; different seed → same
+    decision."""
+    from area_etl_spark.operators.experiments import approx_randomization_test
+
+    shifted = spark.createDataFrame(
+        [(i, "a", 100 + (i % 7)) for i in range(60)]
+        + [(1000 + i, "b", 500 + (i % 7)) for i in range(60)],
+        "id long, g string, v long",
+    )
+    r = approx_randomization_test(shifted, "id", "g", "v", "a", "b", n_perm=99).collect()[0]
+    assert (r.n_a, r.n_b) == (60, 60)
+    assert abs(r.observed_diff + 400.0) < 1e-9
+    assert r.n_extreme == 0 and r.p_value == 0.01  # 1/(99+1)
+
+    null = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", 100 + (i * 37) % 50) for i in range(200)],
+        "id long, g string, v long",
+    )
+    rn = approx_randomization_test(null, "id", "g", "v", "a", "b", n_perm=99).collect()[0]
+    assert rn.p_value > 0.05, rn
+    # deterministic under the same seed
+    rn2 = approx_randomization_test(null, "id", "g", "v", "a", "b", n_perm=99).collect()[0]
+    assert rn == rn2
+
+
 def test_holm_adjust_hand_computed(spark):
     """Holm step-down vs hand math, m=4: p=(.01,.02,.03,.04) →
     raw=(4·.01, 3·.02, 2·.03, 1·.04)=(.04,.06,.06,.04); forward running
