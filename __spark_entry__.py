@@ -5402,6 +5402,53 @@ def q_calibration_curve(spark, sf_dir):
     return calibration_curve(units, "score", "placed", n_bins=10)
 
 
+def q_isotonic_calibration(spark, sf_dir):
+    """Isotonic (PAV) calibration of the balance-derived propensity score
+    vs the placed-an-order outcome - the closed-form minimax solution
+    iso_i = max_{j<=i} min_{k>=i} rate(j..k) over the 10 calibration bins
+    (Ayer et al. 1955): no iterative pooling, two bounded |bins|^2 joins,
+    every segment rate one division of exact integer prefix sums."""
+    from area_etl_spark.operators.quality import isotonic_calibration
+
+    tables = _tables(spark, sf_dir)
+    cust = tables["customer"].select(
+        "c_custkey", F.round(F.col("c_acctbal") * 100).cast("long").alias("bal")
+    )
+    score = F.least(
+        F.lit(1_000_000),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("bal") + 100_000) * F.lit(1_000_000) / F.lit(1_100_000)).cast(
+                "long"
+            ),
+        ),
+    )
+    ordered = tables["orders"].select(F.col("o_custkey").alias("c_custkey")).distinct()
+    units = cust.join(ordered.withColumn("_o", F.lit(1)), "c_custkey", "left").select(
+        score.alias("score"), F.col("_o").isNotNull().alias("placed")
+    )
+    return isotonic_calibration(units, "score", "placed", n_bins=10)
+
+
+def q_mantel_haenszel(spark, sf_dir):
+    """Mantel-Haenszel nation-adjusted odds ratio: does the BUILDING
+    market segment place orders at different odds, pooling per-nation 2x2
+    tables - the Simpson's-paradox-safe confounder adjustment; exact cell
+    counts, one division per stratum, sorted-stratum float folds."""
+    from area_etl_spark.operators.experiments import mantel_haenszel
+
+    tables = _tables(spark, sf_dir)
+    ordered = tables["orders"].select(F.col("o_custkey").alias("c_custkey")).distinct()
+    units = tables["customer"].join(
+        ordered.withColumn("_o", F.lit(1)), "c_custkey", "left"
+    ).select(
+        F.col("c_nationkey").alias("nation"),
+        (F.col("c_mktsegment") == "BUILDING").alias("treated"),
+        F.col("_o").isNotNull().alias("placed"),
+    )
+    return mantel_haenszel(units, "nation", "treated", "placed")
+
+
 def q_psi_drift(spark, sf_dir):
     """Population stability index of the order-value distribution, first
     half of the date range vs second half — per-bin (p−q)·ln(p/q) terms
@@ -6262,6 +6309,8 @@ _R12_QUEUE = [
     "multimodal_quarantine_report",
     "holm_bonferroni",
     "randomization_test",
+    "isotonic_calibration",
+    "mantel_haenszel",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -6530,6 +6579,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rendezvous_assign": q_rendezvous_assign,
         "modularity": q_modularity,
         "calibration_curve": q_calibration_curve,
+        "isotonic_calibration": q_isotonic_calibration,
+        "mantel_haenszel": q_mantel_haenszel,
         "psi_drift": q_psi_drift,
         "good_turing": q_good_turing,
         "classification_report": q_classification_report,
@@ -9028,6 +9079,83 @@ def oracle_sql() -> dict[str, str]:
                        (r_pos - (n_pos * (n_pos + 1)) / 2.0)
                        / CAST(n_pos * n_neg AS DOUBLE)
                    END, 9) AS auc
+            FROM agg
+        """,
+        "isotonic_calibration": """
+            WITH cust AS (
+                SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+                FROM customer
+            ), sc AS (
+                SELECT c_custkey,
+                       LEAST(1000000, GREATEST(0,
+                           CAST(FLOOR((bal + 100000) * 1000000 / 1100000) AS BIGINT)))
+                           AS score
+                FROM cust
+            ), units AS (
+                SELECT sc.score, (o.c IS NOT NULL) AS placed
+                FROM sc LEFT JOIN (SELECT DISTINCT o_custkey AS c FROM orders) o
+                  ON o.c = sc.c_custkey
+            ), bins AS (
+                SELECT LEAST(9, CAST(FLOOR(score * 10 / 1000000) AS BIGINT)) AS bin,
+                       COUNT(*) AS n,
+                       SUM(CASE WHEN placed THEN 1 ELSE 0 END) AS pos
+                FROM units GROUP BY 1
+            ), pref AS (
+                SELECT bin, n, pos,
+                       SUM(n) OVER (ORDER BY bin) AS cn,
+                       SUM(pos) OVER (ORDER BY bin) AS cp
+                FROM bins
+            ), segments AS (
+                SELECT lo.bin AS j, hi.bin AS k,
+                       CAST(hi.cp - (lo.cp - lo.pos) AS DOUBLE)
+                       / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE) AS rate
+                FROM pref lo JOIN pref hi ON lo.bin <= hi.bin
+            ), inner_min AS (
+                SELECT a.bin AS i, s.j, MIN(s.rate) AS mn
+                FROM segments s JOIN pref a ON s.j <= a.bin AND a.bin <= s.k
+                GROUP BY 1, 2
+            ), iso AS (
+                SELECT i AS bin, MAX(mn) AS iso FROM inner_min GROUP BY 1
+            )
+            SELECT p.bin, CAST(p.n AS BIGINT) AS n, CAST(p.pos AS BIGINT) AS pos,
+                   round(CAST(p.pos AS DOUBLE) / CAST(p.n AS DOUBLE), 9) AS rate_raw,
+                   round(iso.iso, 9) AS rate_iso
+            FROM pref p JOIN iso ON iso.bin = p.bin
+        """,
+        "mantel_haenszel": """
+            WITH units AS (
+                SELECT c.c_nationkey AS s,
+                       (c.c_mktsegment = 'BUILDING') AS t,
+                       (o.ck IS NOT NULL) AS y
+                FROM customer c
+                LEFT JOIN (SELECT DISTINCT o_custkey AS ck FROM orders) o
+                  ON o.ck = c.c_custkey
+            ), per AS (
+                SELECT s,
+                       SUM(CASE WHEN t AND y THEN 1 ELSE 0 END) AS a,
+                       SUM(CASE WHEN t AND NOT y THEN 1 ELSE 0 END) AS b,
+                       SUM(CASE WHEN NOT t AND y THEN 1 ELSE 0 END) AS c,
+                       SUM(CASE WHEN NOT t AND NOT y THEN 1 ELSE 0 END) AS d,
+                       COUNT(*) AS n
+                FROM units GROUP BY 1
+            ), terms AS (
+                SELECT s, n,
+                       CAST(a * d AS DOUBLE) / CAST(n AS DOUBLE) AS num,
+                       CAST(b * c AS DOUBLE) / CAST(n AS DOUBLE) AS den
+                FROM per
+            ), agg AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+                       CAST(SUM(n) AS BIGINT) AS n_units,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                                list(num ORDER BY s)),
+                                   (x, y) -> x + y) AS snum,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                                list(den ORDER BY s)),
+                                   (x, y) -> x + y) AS sden
+                FROM terms
+            )
+            SELECT n_strata, n_units,
+                   round(CASE WHEN sden > 0 THEN snum / sden END, 9) AS or_mh
             FROM agg
         """,
         "calibration_curve": """

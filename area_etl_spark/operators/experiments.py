@@ -536,6 +536,66 @@ def approx_randomization_test(
     )
 
 
+def mantel_haenszel(
+    df: DataFrame,
+    stratum_col: str,
+    treat_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Mantel–Haenszel pooled odds ratio across strata — the classic
+    confounder-adjusted 2×2 estimator (Mantel & Haenszel 1959) beside
+    ``stratified_ate`` (additive effects) and ``diff_in_diff``: each
+    stratum contributes its own 2×2 table (a=treated·outcome, b=treated·no,
+    c=control·outcome, d=control·no) and
+
+        OR_MH = Σ_i (a_i·d_i / n_i) / Σ_i (b_i·c_i / n_i)
+
+    — robust to sparse strata (no per-stratum OR blowups), the
+    Simpson's-paradox-safe pooled effect.
+
+    Exactness: cell counts are exact integers from ONE map-side-combined
+    hash aggregate over strata; each stratum term is one exact-int product
+    divided once; the two cross-stratum float sums fold in SORTED STRATUM
+    ORDER (the entropy/stratified_ate discipline — never shuffle order).
+    NULL OR when the denominator sum is 0 (no discordant pairs).  Strata
+    are group-level — bounded, never data-sized.  Returns one row
+    (n_strata, n_units, or_mh).
+    """
+    t = F.col(treat_col).cast("boolean")
+    o = F.col(outcome_col).cast("boolean")
+    per = df.groupBy(F.col(stratum_col).alias("_s")).agg(
+        F.sum(F.when(t & o, 1).otherwise(0)).alias("_a"),
+        F.sum(F.when(t & ~o, 1).otherwise(0)).alias("_b"),
+        F.sum(F.when(~t & o, 1).otherwise(0)).alias("_c"),
+        F.sum(F.when(~t & ~o, 1).otherwise(0)).alias("_d"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    num = (F.col("_a") * F.col("_d")).cast("double") / F.col("_n").cast("double")
+    den = (F.col("_b") * F.col("_c")).cast("double") / F.col("_n").cast("double")
+    terms = per.select("_s", "_n", num.alias("_num"), den.alias("_den"))
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("_n").alias("n_units"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("_s"), F.col("_num")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("_num"),
+        ).alias("_snum"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("_s"), F.col("_den")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("_den"),
+        ).alias("_sden"),
+    )
+    return agg.select(
+        "n_strata",
+        F.col("n_units").cast("long").alias("n_units"),
+        F.round(
+            F.when(F.col("_sden") > 0, F.col("_snum") / F.col("_sden")), 9
+        ).alias("or_mh"),
+    )
+
+
 def holm_adjust(
     pvals: DataFrame,
     key_col: str,

@@ -943,6 +943,92 @@ def calibration_curve(
     )
 
 
+def isotonic_calibration(
+    df,
+    score_col: str,
+    outcome_col: str,
+    n_bins: int = 10,
+    score_max: int = 1_000_000,
+) -> "DataFrame":
+    """Isotonic (PAV) calibration over the calibration_curve bins — the
+    standard non-parametric calibrator beside Platt scaling: the fitted
+    rate per bin is the CLOSED-FORM minimax solution
+
+        iso_i = max_{j ≤ i} min_{k ≥ i} (pos_{j..k} / n_{j..k})
+
+    (Ayer et al. 1955) — algebraically identical to pool-adjacent-
+    violators but with NO iterative pooling, so it computes as two bounded
+    joins instead of a sequential loop and replays verbatim in SQL.
+    Segment rates are single divisions of exact integer prefix sums;
+    min/max over them is order-free.  Cost: the (j,k) segment grid is
+    |bins|² ≤ 400 rows — aggregate-level, never data-sized (the
+    equidepth-histogram class).  Binning convention shared with
+    :func:`calibration_curve` (integer score on [0, score_max],
+    fixed-width, top edge clamped).
+
+    Returns (bin, n, pos, rate_raw, rate_iso) with rate_iso monotone
+    non-decreasing in bin — the property test's invariant.
+    """
+    from pyspark.sql import Window
+
+    s = F.col(score_col).cast("long")
+    b = F.least(F.lit(n_bins - 1), F.floor(s * n_bins / F.lit(score_max))).cast("long")
+    o = F.col(outcome_col).cast("boolean")
+    bins = (
+        df.select(b.alias("bin"), o.alias("_o"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("_o"), 1).otherwise(0)).alias("pos"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pref = bins.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(w).alias("_cn"),
+        F.sum("pos").over(w).alias("_cp"),
+    )
+    lo = pref.select(
+        F.col("bin").alias("_j"),
+        (F.col("_cn") - F.col("n")).alias("_cn_before"),
+        (F.col("_cp") - F.col("pos")).alias("_cp_before"),
+    )
+    hi = pref.select(
+        F.col("bin").alias("_k"), F.col("_cn").alias("_cn_k"), F.col("_cp").alias("_cp_k")
+    )
+    segments = lo.join(hi, F.col("_j") <= F.col("_k")).select(
+        "_j",
+        "_k",
+        (
+            (F.col("_cp_k") - F.col("_cp_before")).cast("double")
+            / (F.col("_cn_k") - F.col("_cn_before")).cast("double")
+        ).alias("_rate"),
+    )
+    anchors = pref.select(F.col("bin").alias("_i"))
+    inner = (
+        segments.join(
+            anchors, (F.col("_j") <= F.col("_i")) & (F.col("_i") <= F.col("_k"))
+        )
+        .groupBy("_i", "_j")
+        .agg(F.min("_rate").alias("_mn"))
+    )
+    iso = inner.groupBy("_i").agg(F.max("_mn").alias("_iso"))
+    return (
+        pref.join(iso, pref["bin"] == iso["_i"])
+        .select(
+            "bin",
+            "n",
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("pos").cast("double") / F.col("n").cast("double"), 9).alias(
+                "rate_raw"
+            ),
+            F.round(F.col("_iso"), 9).alias("rate_iso"),
+        )
+    )
+
+
 def psi_drift(
     before,
     after,

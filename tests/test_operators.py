@@ -2516,6 +2516,63 @@ def test_roc_auc_known_cases(spark):
     assert abs(roc_auc(hand, "s", "y").collect()[0].auc - 0.875) < 1e-9
 
 
+def test_mantel_haenszel_hand_computed(spark):
+    """MH pooled OR vs hand math over two strata, including the Simpson
+    case: each stratum's OR is 1.0 but the crude pooled 2×2 shows an
+    effect — MH must report 1.0 (confounder-adjusted), which is the whole
+    point of stratifying."""
+    from area_etl_spark.operators.experiments import mantel_haenszel
+
+    # stratum 1: a=10 b=10 c=10 d=10 (OR 1); stratum 2: a=40 b=10 c=20 d=5
+    # (OR = 40·5/(10·20) = 1) — but crude OR = (50·15)/(20·30) = 1.25
+    rows = []
+    rows += [("s1", True, True)] * 10 + [("s1", True, False)] * 10
+    rows += [("s1", False, True)] * 10 + [("s1", False, False)] * 10
+    rows += [("s2", True, True)] * 40 + [("s2", True, False)] * 10
+    rows += [("s2", False, True)] * 20 + [("s2", False, False)] * 5
+    df = spark.createDataFrame(rows, "s string, t boolean, y boolean")
+    r = mantel_haenszel(df, "s", "t", "y").collect()[0]
+    assert (r.n_strata, r.n_units) == (2, 115)
+    assert abs(r.or_mh - 1.0) < 1e-9
+    # no discordant pairs → NULL, not a division error
+    conc = spark.createDataFrame(
+        [("s1", True, True)] * 3 + [("s1", False, False)] * 3,
+        "s string, t boolean, y boolean",
+    )
+    assert mantel_haenszel(conc, "s", "t", "y").collect()[0].or_mh is None
+
+
+def test_isotonic_calibration_matches_pav(spark):
+    """Minimax closed form ≡ classic PAV, hand-computed: equal-n bins with
+    raw rates (.1, .5, .3, .7) pool the middle violators to .4; a weighted
+    violation pools by weighted mean; output is always monotone."""
+    from area_etl_spark.operators.quality import isotonic_calibration
+
+    # 4 bins × 10 rows each: rates .1, .5, .3, .7 on a 0..1e6 score scale
+    rows = []
+    for b, rate in enumerate([0.1, 0.5, 0.3, 0.7]):
+        for i in range(10):
+            rows.append((b * 250_000 + 10, i < rate * 10))
+    df = spark.createDataFrame(rows, "s long, y boolean")
+    out = {r.bin: r for r in isotonic_calibration(df, "s", "y", n_bins=4).collect()}
+    assert [out[i].rate_raw for i in range(4)] == [0.1, 0.5, 0.3, 0.7]
+    assert [out[i].rate_iso for i in range(4)] == [0.1, 0.4, 0.4, 0.7]
+
+    # weighted pooling: n=(10, 30) rates (.8, .4) → pooled (8+12)/40 = .5
+    rows2 = [(10, i < 8) for i in range(10)] + [(600_000, i < 12) for i in range(30)]
+    df2 = spark.createDataFrame(rows2, "s long, y boolean")
+    out2 = sorted(isotonic_calibration(df2, "s", "y", n_bins=4).collect(),
+                  key=lambda r: r.bin)
+    assert [r.rate_iso for r in out2] == [0.5, 0.5]
+    # already-monotone input is a fixed point
+    rows3 = [(b * 250_000 + 10, i < b * 2) for b in range(4) for i in range(10)]
+    out3 = sorted(isotonic_calibration(
+        spark.createDataFrame(rows3, "s long, y boolean"), "s", "y", n_bins=4
+    ).collect(), key=lambda r: r.bin)
+    assert [r.rate_iso for r in out3] == [r.rate_raw for r in out3]
+    assert all(a.rate_iso <= b.rate_iso for a, b in zip(out3, out3[1:]))
+
+
 def test_approx_randomization_test_signal_and_null(spark):
     """Noreen's approximate randomization: a large mean shift must be
     extreme vs essentially every relabeling (p ≈ 1/(B+1)); the null
