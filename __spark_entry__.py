@@ -5449,6 +5449,49 @@ def q_mantel_haenszel(spark, sf_dir):
     return mantel_haenszel(units, "nation", "treated", "placed")
 
 
+def q_mcnemar_langid(spark, sf_dir):
+    """McNemar's paired test: is the TRAINED char-2-gram NB language ID
+    actually different from the stopword HEURISTIC on the same held-out
+    docs?  Correctness-vs-gold per doc for both raters, then the
+    discordant-pair statistic - the Dietterich-recommended way to compare
+    two classifiers on one sample (an unpaired z-test wastes the pairing).
+    Closes VERDICT r10 item 6's eval loop driver-checkably."""
+    from area_etl_spark.operators.classify import language_id_trained
+    from area_etl_spark.operators.experiments import mcnemar_test
+    from area_etl_spark.operators.text_analysis import language_id
+
+    docs = _tables(spark, sf_dir)["documents"]
+    seed = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 == 1)
+    trained = language_id_trained(seed, test).select(
+        "doc_id", F.col("pred").alias("_tp")
+    )
+    both = test.select(
+        "doc_id", F.col("lang").alias("_gold"), language_id("text").alias("_hp")
+    ).join(trained, "doc_id")
+    pairs = both.select(
+        (F.col("_hp") == F.col("_gold")).alias("h_ok"),
+        (F.col("_tp") == F.col("_gold")).alias("t_ok"),
+    )
+    return mcnemar_test(pairs, "h_ok", "t_ok")
+
+
+def q_trend_test(spark, sf_dir):
+    """Cochran-Armitage trend test: does the purchase share trend
+    LINEARLY across session-hour-of-day dose levels 0..23?  Integer dose
+    scores weight each level; T and the variance core are exact
+    DECIMAL(38,0) integers, z divides once, p from the portable normal
+    SF - the ordered-alternative power a plain chi-square (47ag) wastes."""
+    from area_etl_spark.operators.experiments import cochran_armitage_trend
+
+    ev = _tables(spark, sf_dir)["events"]
+    units = ev.select(
+        F.hour("ts").cast("long").alias("dose"),
+        (F.col("event_type") == "purchase").alias("converted"),
+    )
+    return cochran_armitage_trend(units, "dose", "converted")
+
+
 def q_psi_drift(spark, sf_dir):
     """Population stability index of the order-value distribution, first
     half of the date range vs second half — per-bin (p−q)·ln(p/q) terms
@@ -6311,6 +6354,8 @@ _R12_QUEUE = [
     "randomization_test",
     "isotonic_calibration",
     "mantel_haenszel",
+    "mcnemar_langid",
+    "trend_test",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -6581,6 +6626,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_curve": q_calibration_curve,
         "isotonic_calibration": q_isotonic_calibration,
         "mantel_haenszel": q_mantel_haenszel,
+        "mcnemar_langid": q_mcnemar_langid,
+        "trend_test": q_trend_test,
         "psi_drift": q_psi_drift,
         "good_turing": q_good_turing,
         "classification_report": q_classification_report,
@@ -6853,6 +6900,11 @@ def _langid_sql(text: str) -> str:
 from area_etl_spark.operators.experiments import normal_sf_sql as _normal_sf_sql  # noqa: E402
 
 NORMAL_SF_SQL_ABS_Z = _normal_sf_sql("abs(z)")
+# portable P(chi2_1 > x) = 2*P(Z > sqrt(x)), rendered over the UNROUNDED
+# mcnemar statistic (mirrors the Spark expression order exactly)
+NORMAL_SF_SQL_CHI = _normal_sf_sql(
+    "sqrt(CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE))"
+)
 
 
 def _lpa_sql(rounds: int = 3) -> str:
@@ -9158,6 +9210,38 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN sden > 0 THEN snum / sden END, 9) AS or_mh
             FROM agg
         """,
+        "trend_test": f"""
+            WITH per AS (
+                SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS w,
+                       CAST(COUNT(*) AS HUGEINT) AS ni,
+                       CAST(SUM(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END) AS HUGEINT) AS ki
+                FROM events GROUP BY 1
+            ), agg AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_levels,
+                       SUM(ni) AS n, SUM(ki) AS k,
+                       SUM(CAST(w AS HUGEINT) * ni) AS swn,
+                       SUM(CAST(w AS HUGEINT) * w * ni) AS swwn,
+                       SUM(CAST(w AS HUGEINT) * ki) AS swk
+                FROM per
+            ), stat AS (
+                SELECT n_levels, n,
+                       CAST(n * swk - k * swn AS DOUBLE) AS t,
+                       (CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (1 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                       * CAST(n AS DOUBLE)
+                       * CAST(n * swwn - swn * swn AS DOUBLE) AS var_t
+                FROM agg
+            ), zed AS (
+                SELECT CAST(n AS BIGINT) AS n, n_levels,
+                       CASE WHEN var_t > 0 THEN t / sqrt(var_t) END AS z
+                FROM stat
+            )
+            SELECT n, n_levels, round(z, 9) AS z,
+                   round(CASE WHEN z IS NOT NULL THEN
+                       LEAST(1.0, 2.0 * {NORMAL_SF_SQL_ABS_Z}) END, 9) AS p_value
+            FROM zed
+        """,
         "calibration_curve": """
             WITH cust AS (
                 SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
@@ -9497,6 +9581,90 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN ok THEN 'ref [CARD] ok'
                         ELSE 'ref ' || num || ' ok' END AS redacted
             FROM s
+        """,
+        "mcnemar_langid": f"""
+            WITH gr AS (
+                SELECT doc_id, lang,
+                       regexp_replace(lower(COALESCE(text, '')), '\\s+', '_', 'g') AS c
+                FROM documents
+            ), train AS (
+                SELECT lang, CASE WHEN len(c) >= 3
+                            THEN list_transform(range(1, len(c) - 1),
+                                                i -> substr(c, i, 3))
+                            ELSE [c] END AS toks
+                FROM gr WHERE doc_id % 2 = 0 AND lang IS NOT NULL
+            ), test AS (
+                SELECT doc_id, lang AS gold, CASE WHEN len(c) >= 3
+                            THEN list_transform(range(1, len(c) - 1),
+                                                i -> substr(c, i, 3))
+                            ELSE [c] END AS toks
+                FROM gr WHERE doc_id % 2 = 1
+            ), tc AS (
+                SELECT lang AS label, token, COUNT(*) AS cnt
+                FROM (SELECT lang, unnest(toks) AS token FROM train)
+                WHERE token <> '' GROUP BY 1, 2
+            ), cs AS (
+                SELECT lang AS label, COUNT(*) AS n_docs,
+                       SUM(len(list_filter(toks, t -> t <> ''))) AS n_tokens
+                FROM train GROUP BY 1
+            ), tot AS (
+                SELECT SUM(n_docs) AS total_docs FROM cs
+            ), v AS (
+                SELECT COUNT(DISTINCT token) AS vs FROM tc
+            ), cls AS (
+                SELECT label, n_tokens, vs,
+                       ln(CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE)) AS prior
+                FROM cs, tot, v
+            ), tf AS (
+                SELECT doc_id, token, COUNT(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS token FROM test)
+                WHERE token <> '' GROUP BY 1, 2
+            ), terms AS (
+                SELECT tf.doc_id, c.label, tf.token,
+                       CAST(tf.tf AS DOUBLE)
+                       * ln(CAST(COALESCE(tc.cnt, 0) + 1 AS DOUBLE)
+                            / CAST(c.n_tokens + c.vs AS DOUBLE)) AS term
+                FROM tf CROSS JOIN cls c
+                LEFT JOIN tc ON tc.label = c.label AND tc.token = tf.token
+            ), folded AS (
+                SELECT doc_id, label,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                                list(term ORDER BY token)),
+                                   (x, y) -> x + y) AS ll
+                FROM terms GROUP BY 1, 2
+            ), scored AS (
+                SELECT i.doc_id, c.label, c.prior + COALESCE(f.ll, 0.0) AS score
+                FROM (SELECT DISTINCT doc_id FROM test) i
+                CROSS JOIN cls c
+                LEFT JOIN folded f ON f.doc_id = i.doc_id AND f.label = c.label
+            ), best AS (
+                SELECT doc_id, label, score,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, label) AS rn
+                FROM scored
+            ), trained AS (
+                SELECT b.doc_id, t.gold, b.label AS pred
+                FROM best b JOIN (SELECT doc_id, gold FROM test) t USING (doc_id)
+                WHERE rn = 1
+            ), heur AS (
+                SELECT doc_id, lang AS gold, {_langid_sql("text")} AS hpred
+                FROM documents WHERE doc_id % 2 = 1
+            ), pairs AS (
+                SELECT (h.hpred = h.gold) AS ca, (tr.pred = tr.gold) AS cb
+                FROM heur h JOIN trained tr USING (doc_id)
+            ), cells AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                       CAST(SUM(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END) AS BIGINT) AS c
+                FROM pairs
+            )
+            SELECT n, b, c,
+                   round(CASE WHEN b + c > 0 THEN
+                       CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE) END, 9)
+                       AS chi2,
+                   round(CASE WHEN b + c > 0 THEN 2.0 * {NORMAL_SF_SQL_CHI} END, 9)
+                       AS p_value
+            FROM cells
         """,
         "language_id_trained": """
             WITH gr AS (

@@ -536,6 +536,101 @@ def approx_randomization_test(
     )
 
 
+def mcnemar_test(
+    df: DataFrame,
+    correct_a_col: str,
+    correct_b_col: str,
+) -> DataFrame:
+    """McNemar's paired test (McNemar 1947) — THE statistic for comparing
+    two classifiers evaluated on the SAME units (Dietterich 1998's
+    recommendation): only the discordant pairs carry information — b =
+    A-right/B-wrong, c = A-wrong/B-right — and χ² = (b−c)²/(b+c) with 1 df
+    under H0 "both classifiers have equal error rates".  An unpaired
+    two-proportion z-test on the same data wastes the pairing and
+    overstates variance; this is the eval harness' significance layer over
+    ``classification_report``/``cohen_kappa``.
+
+    All-integer core (one hash aggregate to the four cells), one division,
+    p via the portable identity P(χ²₁ > x) = 2·P(Z > √x)
+    (:func:`normal_sf_portable` — both engines evaluate the same
+    polynomial).  χ² and p are NULL when b + c = 0 (no discordance — the
+    classifiers are indistinguishable on this sample, not "p=1" by fiat).
+    Returns one row (n, b, c, chi2, p_value).
+    """
+    a = F.col(correct_a_col).cast("boolean")
+    bcol = F.col(correct_b_col).cast("boolean")
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(a & ~bcol, 1).otherwise(0)).alias("b"),
+        F.sum(F.when(~a & bcol, 1).otherwise(0)).alias("c"),
+    )
+    bb, cc = F.col("b"), F.col("c")
+    chi2 = F.when(
+        bb + cc > 0,
+        ((bb - cc) * (bb - cc)).cast("double") / (bb + cc).cast("double"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        bb.cast("long").alias("b"),
+        cc.cast("long").alias("c"),
+        F.round(chi2, 9).alias("chi2"),
+        F.round(
+            F.when(bb + cc > 0, F.lit(2.0) * normal_sf_portable(F.sqrt(chi2))), 9
+        ).alias("p_value"),
+    )
+
+
+def cochran_armitage_trend(
+    df: DataFrame,
+    dose_col: str,
+    outcome_col: str,
+) -> DataFrame:
+    """Cochran–Armitage trend test — is there a LINEAR trend in a binary
+    outcome across ORDERED dose levels (price tiers, exposure buckets,
+    cohort ages)?  A plain chi-square (47ag) ignores the ordering and
+    wastes power; CA weights each level by its integer dose score:
+
+        T = Σᵢ wᵢ(kᵢ·n − nᵢ·k),   Var(T) = (k/n)(1−k/n)·n·[n·Σwᵢ²nᵢ − (Σwᵢnᵢ)²] / n
+
+    with per-level counts nᵢ, successes kᵢ and overall n, k.  T and both
+    bracketed terms are EXACT integers (DECIMAL(38,0) guards the w²·n·n
+    products); z = T/√Var divides once.  One hash aggregate over ≤|levels|
+    groups + a 1-row finish.  Returns (n, n_levels, z, p_value) — p from
+    the portable normal SF, two-sided.
+    """
+    w = F.col(dose_col).cast("long")
+    y = F.col(outcome_col).cast("boolean")
+    dec = "decimal(38,0)"
+    per = df.groupBy(w.alias("_w")).agg(
+        F.count(F.lit(1)).alias("_ni"),
+        F.sum(F.when(y, 1).otherwise(0)).alias("_ki"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_levels"),
+        F.sum("_ni").cast(dec).alias("_n"),
+        F.sum("_ki").cast(dec).alias("_k"),
+        F.sum(F.col("_w").cast(dec) * F.col("_ni")).alias("_swn"),
+        F.sum(F.col("_w").cast(dec) * F.col("_w") * F.col("_ni")).alias("_swwn"),
+        F.sum(F.col("_w").cast(dec) * F.col("_ki")).alias("_swk"),
+    )
+    n = F.col("_n")
+    k = F.col("_k")
+    t_stat = (n * F.col("_swk") - k * F.col("_swn")).cast("double")
+    var_core = (n * F.col("_swwn") - F.col("_swn") * F.col("_swn")).cast("double")
+    p_hat = k.cast("double") / n.cast("double")
+    var_t = p_hat * (1 - p_hat) * n.cast("double") * var_core
+    z = F.when(var_t > 0, t_stat / F.sqrt(var_t))
+    return agg.select(
+        n.cast("long").alias("n"),
+        "n_levels",
+        F.round(z, 9).alias("z"),
+        F.round(
+            F.when(var_t > 0, F.least(F.lit(1.0), F.lit(2.0) * normal_sf_portable(F.abs(z)))),
+            9,
+        ).alias("p_value"),
+    )
+
+
 def mantel_haenszel(
     df: DataFrame,
     stratum_col: str,

@@ -2516,6 +2516,54 @@ def test_roc_auc_known_cases(spark):
     assert abs(roc_auc(hand, "s", "y").collect()[0].auc - 0.875) < 1e-9
 
 
+def test_mcnemar_hand_computed(spark):
+    """McNemar χ² = (b−c)²/(b+c) vs hand math; concordant-only input
+    yields NULL (indistinguishable, not 'p=1'); symmetric discordance
+    gives χ²=0."""
+    from area_etl_spark.operators.experiments import mcnemar_test
+
+    rows = ([(True, True)] * 40 + [(False, False)] * 30
+            + [(True, False)] * 20 + [(False, True)] * 10)
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    r = mcnemar_test(df, "a", "b").collect()[0]
+    assert (r.n, r.b, r.c) == (100, 20, 10)
+    assert abs(r.chi2 - 100 / 30) < 1e-8
+    assert 0.06 < r.p_value < 0.07  # chi2=3.33, 1 df → p ≈ 0.068
+    conc = spark.createDataFrame([(True, True)] * 5, "a boolean, b boolean")
+    rc = mcnemar_test(conc, "a", "b").collect()[0]
+    assert rc.chi2 is None and rc.p_value is None
+    sym = spark.createDataFrame(
+        [(True, False)] * 7 + [(False, True)] * 7, "a boolean, b boolean"
+    )
+    assert mcnemar_test(sym, "a", "b").collect()[0].chi2 == 0.0
+
+
+def test_cochran_armitage_trend_direction(spark):
+    """CA trend: monotone-increasing conversion across dose levels → a
+    large positive z, tiny p; flat conversion → |z| small, p not
+    significant; single level → NULL z (no variance)."""
+    from area_etl_spark.operators.experiments import cochran_armitage_trend
+
+    up = [(d, i < (d + 1) * 10) for d in range(5) for i in range(100)]
+    r = cochran_armitage_trend(
+        spark.createDataFrame(up, "dose long, y boolean"), "dose", "y"
+    ).collect()[0]
+    assert (r.n, r.n_levels) == (500, 5)
+    assert r.z > 5 and r.p_value < 1e-6
+
+    flat = [(d, i < 30) for d in range(5) for i in range(100)]
+    rf = cochran_armitage_trend(
+        spark.createDataFrame(flat, "dose long, y boolean"), "dose", "y"
+    ).collect()[0]
+    assert abs(rf.z) < 1e-9 and rf.p_value > 0.999  # SF polynomial ≈ 1
+
+    one = [(3, i % 2 == 0) for i in range(10)]
+    ro = cochran_armitage_trend(
+        spark.createDataFrame(one, "dose long, y boolean"), "dose", "y"
+    ).collect()[0]
+    assert ro.z is None and ro.p_value is None
+
+
 def test_mantel_haenszel_hand_computed(spark):
     """MH pooled OR vs hand math over two strata, including the Simpson
     case: each stratum's OR is 1.0 but the crude pooled 2×2 shows an
