@@ -5492,6 +5492,20 @@ def q_trend_test(spark, sf_dir):
     return cochran_armitage_trend(units, "dose", "converted")
 
 
+def q_ntile_scalable(spark, sf_dir):
+    """scalable_ntile == NTILE() OVER (ORDER BY ...), proven against the
+    window function itself: customer deciles by (acctbal cents, custkey)
+    - the rank comes from the dense_ids range shuffle, the decile from
+    NTILE's piecewise integer split, no single-partition sort in the plan
+    (the rfm_segments machinery as a first-class operator)."""
+    from area_etl_spark.operators.ids import scalable_ntile
+
+    cust = _tables(spark, sf_dir)["customer"].select(
+        "c_custkey", F.round(F.col("c_acctbal") * 100).cast("long").alias("bal")
+    )
+    return scalable_ntile(cust, ["bal", "c_custkey"], 10, "decile")
+
+
 def q_psi_drift(spark, sf_dir):
     """Population stability index of the order-value distribution, first
     half of the date range vs second half — per-bin (p−q)·ln(p/q) terms
@@ -6356,6 +6370,7 @@ _R12_QUEUE = [
     "mantel_haenszel",
     "mcnemar_langid",
     "trend_test",
+    "ntile_scalable",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -6628,6 +6643,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mantel_haenszel": q_mantel_haenszel,
         "mcnemar_langid": q_mcnemar_langid,
         "trend_test": q_trend_test,
+        "ntile_scalable": q_ntile_scalable,
         "psi_drift": q_psi_drift,
         "good_turing": q_good_turing,
         "classification_report": q_classification_report,
@@ -9241,6 +9257,14 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN z IS NOT NULL THEN
                        LEAST(1.0, 2.0 * {NORMAL_SF_SQL_ABS_Z}) END, 9) AS p_value
             FROM zed
+        """,
+        "ntile_scalable": """
+            SELECT c_custkey,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+                   CAST(ntile(10) OVER (
+                       ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey)
+                       AS INT) AS decile
+            FROM customer
         """,
         "calibration_curve": """
             WITH cust AS (

@@ -81,7 +81,7 @@ def rfm_segments(
     splits exact.  Cost: one count job + three range shuffles over the
     per-key aggregate — all parallel, no data-sized partition anywhere.
     """
-    from area_etl_spark.operators.ids import dense_ids
+    from area_etl_spark.operators.ids import scalable_ntile
 
     per_key = orders.groupBy(key_col).agg(
         F.max(ts_col).alias("_last"),
@@ -90,36 +90,17 @@ def rfm_segments(
     ).withColumn("recency_days", F.datediff(F.lit(as_of).cast("date"), F.col("_last").cast("date")))
     # recency: SMALLER is better → rank ascending on (-days) like the others
     ranked = per_key.withColumn("_neg_rec", -F.col("recency_days"))
-    n_keys = ranked.count()
-
-    def _ntile_of_rank(rank_col: str):
-        # NTILE(b) as an exact integer function of the 1-based rank p over
-        # n rows: base = n div b, rem = n mod b; the first rem buckets hold
-        # base+1 rows.  `div` keeps everything in BIGINT (no doubles).
-        base, rem = divmod(n_keys, buckets)
-        if base == 0:  # fewer rows than buckets: ntile gives bucket = rank
-            return F.col(rank_col).cast("int")
-        split = rem * (base + 1)
-        return (
-            F.when(
-                F.col(rank_col) <= F.lit(split),
-                F.expr(f"({rank_col} + {base}) div {base + 1}"),
-            )
-            .otherwise(F.lit(rem) + F.expr(f"({rank_col} - {split} + {base - 1}) div {base}"))
-            .cast("int")
-        )
-
-    ranked = dense_ids(ranked, ["_neg_rec", key_col], "_pr")
-    ranked = dense_ids(ranked, ["frequency", key_col], "_pf")
-    ranked = dense_ids(ranked, ["monetary", key_col], "_pm")
+    ranked = scalable_ntile(ranked, ["_neg_rec", key_col], buckets, "r_score")
+    ranked = scalable_ntile(ranked, ["frequency", key_col], buckets, "f_score")
+    ranked = scalable_ntile(ranked, ["monetary", key_col], buckets, "m_score")
     return ranked.select(
         F.col(key_col),
         "recency_days",
         "frequency",
         "monetary",
-        _ntile_of_rank("_pr").alias("r_score"),
-        _ntile_of_rank("_pf").alias("f_score"),
-        _ntile_of_rank("_pm").alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     ).withColumn(
         "segment",
         (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast("int"),

@@ -2516,6 +2516,41 @@ def test_roc_auc_known_cases(spark):
     assert abs(roc_auc(hand, "s", "y").collect()[0].auc - 0.875) < 1e-9
 
 
+def test_scalable_ntile_equals_window_ntile(spark):
+    """scalable_ntile must equal NTILE() OVER (ORDER BY ...) exactly —
+    including awkward N where N mod b != 0 — while carrying no
+    SinglePartition exchange; empty input keeps the schema."""
+    from pyspark.sql import Window
+
+    from area_etl_spark.operators.ids import scalable_ntile
+
+    for n, b in [(7, 5), (100, 7), (3, 10), (40, 4)]:
+        df = spark.createDataFrame(
+            [((i * 37) % n, i) for i in range(n)], "v long, k long"
+        )
+        got = {
+            r.k: r.t for r in scalable_ntile(df, ["v", "k"], b, "t").collect()
+        }
+        want = {
+            r.k: r.t
+            for r in df.select(
+                "k", F.ntile(b).over(Window.orderBy("v", "k")).alias("t")
+            ).collect()
+        }
+        assert got == want, (n, b)
+    plan = (
+        scalable_ntile(
+            spark.createDataFrame([(1, 1)], "v long, k long"), ["v", "k"], 3
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
+    assert "ntile(" not in plan  # the window FUNCTION, not the out_col alias
+    empty = spark.createDataFrame([], "v long, k long")
+    out = scalable_ntile(empty, ["v", "k"], 5, "t")
+    assert out.count() == 0 and "t" in out.columns
+
+
 def test_mcnemar_hand_computed(spark):
     """McNemar χ² = (b−c)²/(b+c) vs hand math; concordant-only input
     yields NULL (indistinguishable, not 'p=1'); symmetric discordance
