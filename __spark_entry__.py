@@ -5506,6 +5506,34 @@ def q_ntile_scalable(spark, sf_dir):
     return scalable_ntile(cust, ["bal", "c_custkey"], 10, "decile")
 
 
+def q_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation between line-item quantity and extended
+    price - midranks from cumulative tie counts per DISTINCT value (never
+    a row-level sort), doubled-rank sums exact in DECIMAL(38,0), one
+    closed-form division."""
+    from area_etl_spark.operators.experiments import spearman_corr
+
+    li = _tables(spark, sf_dir)["lineitem"].select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return spearman_corr(li, "qty", "cents")
+
+
+def q_kruskal_wallis(spark, sf_dir):
+    """Kruskal-Wallis H across the five order priorities: one-way ANOVA
+    on ranks with tie correction - the k-group generalization of
+    mann_whitney over the same distinct-value midrank machinery;
+    Wilson-Hilferty chi-square approximation on the portable normal SF."""
+    from area_etl_spark.operators.experiments import kruskal_wallis
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return kruskal_wallis(o, "o_orderpriority", "cents")
+
+
 def q_psi_drift(spark, sf_dir):
     """Population stability index of the order-value distribution, first
     half of the date range vs second half — per-bin (p−q)·ln(p/q) terms
@@ -6371,6 +6399,8 @@ _R12_QUEUE = [
     "mcnemar_langid",
     "trend_test",
     "ntile_scalable",
+    "spearman_corr",
+    "kruskal_wallis",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -6644,6 +6674,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mcnemar_langid": q_mcnemar_langid,
         "trend_test": q_trend_test,
         "ntile_scalable": q_ntile_scalable,
+        "spearman_corr": q_spearman_corr,
+        "kruskal_wallis": q_kruskal_wallis,
         "psi_drift": q_psi_drift,
         "good_turing": q_good_turing,
         "classification_report": q_classification_report,
@@ -9265,6 +9297,96 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY CAST(round(c_acctbal * 100) AS BIGINT), c_custkey)
                        AS INT) AS decile
             FROM customer
+        """,
+        "spearman_corr": """
+            WITH pairs AS (
+                SELECT CAST(l_quantity AS BIGINT) AS x,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                FROM lineitem
+            ), px AS (
+                SELECT x AS v, COUNT(*) AS cnt FROM pairs GROUP BY 1
+            ), rx AS (
+                SELECT v, 2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + cnt + 1 AS r2
+                FROM px
+            ), py AS (
+                SELECT y AS v, COUNT(*) AS cnt FROM pairs GROUP BY 1
+            ), ry AS (
+                SELECT v, 2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + cnt + 1 AS r2
+                FROM py
+            ), ranked AS (
+                SELECT CAST(rx.r2 AS HUGEINT) AS rx2, CAST(ry.r2 AS HUGEINT) AS ry2
+                FROM pairs JOIN rx ON rx.v = pairs.x JOIN ry ON ry.v = pairs.y
+            ), agg AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(rx2) AS sx, SUM(ry2) AS sy,
+                       SUM(rx2 * ry2) AS sxy,
+                       SUM(rx2 * rx2) AS sxx, SUM(ry2 * ry2) AS syy
+                FROM ranked
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                       THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                   * CAST(n * syy - sy * sy AS DOUBLE))
+                   END, 9) AS rho
+            FROM agg
+        """,
+        "kruskal_wallis": f"""
+            WITH base AS (
+                SELECT o_orderpriority AS g,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                FROM orders
+            ), per_val AS (
+                SELECT v, COUNT(*) AS cnt FROM base GROUP BY 1
+            ), rv AS (
+                SELECT v, 2 * COALESCE(SUM(cnt) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + cnt + 1 AS r2
+                FROM per_val
+            ), per_gv AS (
+                SELECT g, v, COUNT(*) AS gvn FROM base GROUP BY 1, 2
+            ), per_g AS (
+                SELECT g, SUM(gvn) AS ng,
+                       SUM(CAST(gvn AS HUGEINT) * rv.r2) AS rg2
+                FROM per_gv JOIN rv USING (v) GROUP BY 1
+            ), gagg AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                       CAST(SUM(ng) AS DOUBLE) AS n,
+                       CAST(SUM(ng) AS BIGINT) AS n_int,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(CAST(rg2 * rg2 AS DOUBLE)
+                                / (4.0 * CAST(ng AS DOUBLE)) ORDER BY g)),
+                           (a, b) -> a + b) AS sumg
+                FROM per_g
+            ), ties AS (
+                SELECT SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS t3
+                FROM per_val
+            ), hh AS (
+                SELECT n_int, k,
+                       CASE WHEN 1.0 - CAST(t3 AS DOUBLE) / (n * n * n - n) > 0
+                            THEN (12.0 / (n * (n + 1)) * sumg - 3.0 * (n + 1))
+                                 / (1.0 - CAST(t3 AS DOUBLE) / (n * n * n - n))
+                       END AS h,
+                       CAST(k - 1 AS DOUBLE) AS dfree
+                FROM gagg CROSS JOIN ties
+            ), zed AS (
+                SELECT n_int, k, h,
+                       (pow(h / dfree, 0.3333333333333333e0)
+                        - (1.0 - 2.0 / (9.0 * dfree)))
+                       / sqrt(2.0 / (9.0 * dfree)) AS z
+                FROM hh
+            )
+            SELECT n_int AS n, k, round(h, 9) AS h,
+                   round(CASE WHEN h IS NOT NULL AND k > 1 AND h > 0 THEN
+                       LEAST(1.0, GREATEST(0.0,
+                           CASE WHEN z >= 0 THEN {_normal_sf_sql("z")}
+                                ELSE 1.0 - {_normal_sf_sql("(-z)")} END))
+                       WHEN h IS NOT NULL THEN 1.0 END, 6) AS p_value
+            FROM zed
         """,
         "calibration_curve": """
             WITH cust AS (

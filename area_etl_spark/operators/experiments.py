@@ -536,6 +536,160 @@ def approx_randomization_test(
     )
 
 
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    quantize: float | None = None,
+) -> DataFrame:
+    """Spearman rank correlation — Pearson over midranks, the monotone-
+    association measure that survives outliers and nonlinearity
+    (`corr_exact`/47v is the linear tier; THIS is what screens feature
+    monotonicity and detects rank-preserving drift).
+
+    Ranks are assigned per DISTINCT value from cumulative tie counts (the
+    mann_whitney midrank idiom — the cumulative window runs over
+    |distinct x| + |distinct y| aggregates, never a row-level sort), then
+    Pearson's closed form evaluates over exact sums of (rank_x, rank_y)
+    pairs.  Midranks are exact halves, so 2·rank is an exact integer:
+    sums accumulate in DECIMAL(38,0) on the DOUBLED ranks and the closed
+    form divides once — engine-identical.
+
+    CARDINALITY CONTRACT (the rank-family clause): distinct-value windows
+    are O(rows) for raw continuous doubles — ``quantize`` bins both
+    variables first (:func:`quantize_values`).  Returns one row
+    (n, rho); NULL rho when either variable is constant.
+    """
+    from pyspark.sql import Window
+
+    pairs = df.select(
+        quantize_values(F.col(x_col), quantize).alias("_x"),
+        quantize_values(F.col(y_col), quantize).alias("_y"),
+    ).where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+
+    def midranks(col: str) -> DataFrame:
+        per = pairs.groupBy(F.col(col).alias("_v")).agg(F.count(F.lit(1)).alias("_cnt"))
+        w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+        # doubled midrank = 2·cum_before + cnt + 1 — an exact BIGINT
+        return per.withColumn(
+            "_r2",
+            2 * F.coalesce(F.sum("_cnt").over(w), F.lit(0)) + F.col("_cnt") + 1,
+        ).select(F.col("_v"), F.col("_r2"))
+    rx = midranks("_x").withColumnRenamed("_v", "_x").withColumnRenamed("_r2", "_rx2")
+    ry = midranks("_y").withColumnRenamed("_v", "_y").withColumnRenamed("_r2", "_ry2")
+    ranked = pairs.join(rx, "_x").join(ry, "_y")
+    dec = "decimal(38,0)"
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum(F.col("_rx2").cast(dec)).alias("_sx"),
+        F.sum(F.col("_ry2").cast(dec)).alias("_sy"),
+        F.sum((F.col("_rx2") * F.col("_ry2")).cast(dec)).alias("_sxy"),
+        F.sum((F.col("_rx2") * F.col("_rx2")).cast(dec)).alias("_sxx"),
+        F.sum((F.col("_ry2") * F.col("_ry2")).cast(dec)).alias("_syy"),
+    )
+    n = F.col("_n")
+    cov = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    vx = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    vy = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    return agg.select(
+        n.cast("long").alias("n"),
+        F.round(
+            F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), 9
+        ).alias("rho"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantize: float | None = None,
+) -> DataFrame:
+    """Kruskal–Wallis H test — ``mann_whitney_u`` generalized to k groups
+    (one-way ANOVA on ranks): H = (12/(n(n+1)))·Σ R_g²/n_g − 3(n+1),
+    with the standard tie correction H' = H / (1 − Σ(t³−t)/(n³−n)).
+
+    Same distinct-value midrank machinery as mann_whitney (cumulative
+    window over the |distinct values| aggregate; per-(value, group)
+    counts ride the same pass), doubled-rank sums exact in
+    DECIMAL(38,0); H and the tie term divide once each.  p-value from
+    the chi-square (k−1 df) survival function via the Wilson–Hilferty
+    cube-root normal approximation on the portable normal SF (a DEFINED
+    portable statistic — both engines evaluate the same expression;
+    accurate to ~1e-3 for df ≥ 2, the documented contract).
+
+    CARDINALITY CONTRACT: ``quantize`` bins the metric first.  Returns
+    one row (n, k, h, p_value); NULL when every value ties.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        quantize_values(F.col(value_col), quantize).alias("_v"),
+    ).where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+    per_val = base.groupBy("_v").agg(F.count(F.lit(1)).alias("_cnt"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked_vals = per_val.withColumn(
+        "_r2", 2 * F.coalesce(F.sum("_cnt").over(w), F.lit(0)) + F.col("_cnt") + 1
+    )
+    per_gv = base.groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_gvn"))
+    dec = "decimal(38,0)"
+    per_g = (
+        per_gv.join(ranked_vals.select("_v", "_r2"), "_v")
+        .groupBy("_g")
+        .agg(
+            F.sum("_gvn").alias("_ng"),
+            F.sum((F.col("_gvn") * F.col("_r2")).cast(dec)).alias("_rg2"),
+        )
+    )
+    # Σ R_g²/n_g on doubled ranks = Σ (R2_g)²/(4·n_g); keep the /4 exact
+    gterm = (
+        (F.col("_rg2") * F.col("_rg2")).cast("double")
+        / (F.lit(4.0) * F.col("_ng").cast("double"))
+    )
+    gagg = per_g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_ng").alias("_n"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("_g"), gterm.alias("_t")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("_t"),
+        ).alias("_sumg"),
+    )
+    ties = per_val.agg(
+        F.sum(
+            (F.col("_cnt").cast(dec) * F.col("_cnt") * F.col("_cnt") - F.col("_cnt")).cast(dec)
+        ).alias("_t3")
+    )
+    j = gagg.crossJoin(F.broadcast(ties))
+    n = F.col("_n").cast("double")
+    h = F.lit(12.0) / (n * (n + 1)) * F.col("_sumg") - F.lit(3.0) * (n + 1)
+    tie_den = F.lit(1.0) - F.col("_t3").cast("double") / (n * n * n - n)
+    h_corr = F.when(tie_den > 0, h / tie_den)
+    dfree = (F.col("k") - 1).cast("double")
+    # Wilson–Hilferty: P(χ²_df > h) ≈ P(Z > ((h/df)^(1/3) − (1 − 2/(9df))) / √(2/(9df)))
+    wh_z = (
+        (F.pow(h_corr / dfree, F.lit(1.0 / 3.0)) - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dfree)))
+        / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dfree))
+    )
+    # the A&S polynomial is defined for z >= 0: reflect for negative z
+    sf = F.when(wh_z >= 0, normal_sf_portable(wh_z)).otherwise(
+        F.lit(1.0) - normal_sf_portable(-wh_z)
+    )
+    p = F.when(
+        h_corr.isNotNull() & (F.col("k") > 1) & (h_corr > 0),
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), sf)),
+    ).otherwise(F.when(h_corr.isNotNull(), F.lit(1.0)))
+    return j.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(h_corr, 9).alias("h"),
+        # round-to-6: the Wilson–Hilferty cube root is a libm pow — the one
+        # op whose last ULP engines may disagree on (the fdr/ks precedent)
+        F.round(p, 6).alias("p_value"),
+    )
+
+
 def mcnemar_test(
     df: DataFrame,
     correct_a_col: str,

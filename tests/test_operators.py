@@ -2516,6 +2516,83 @@ def test_roc_auc_known_cases(spark):
     assert abs(roc_auc(hand, "s", "y").collect()[0].auc - 0.875) < 1e-9
 
 
+def _py_midranks(vals):
+    from collections import Counter
+
+    cnt = Counter(vals)
+    ranks, cum = {}, 0
+    for v in sorted(cnt):
+        ranks[v] = cum + (cnt[v] + 1) / 2
+        cum += cnt[v]
+    return [ranks[v] for v in vals]
+
+
+def test_spearman_corr_known_cases(spark):
+    from area_etl_spark.operators.experiments import spearman_corr
+
+    mono = spark.createDataFrame([(i, i * i) for i in range(20)], "x long, y long")
+    assert spearman_corr(mono, "x", "y").collect()[0].rho == 1.0
+    rev = spark.createDataFrame([(i, -i * i * i) for i in range(20)], "x long, y long")
+    assert spearman_corr(rev, "x", "y").collect()[0].rho == -1.0
+    const = spark.createDataFrame([(i, 5) for i in range(10)], "x long, y long")
+    assert spearman_corr(const, "x", "y").collect()[0].rho is None
+    # tie-heavy case vs a pure-python midrank Pearson reference
+    xs = [1, 2, 2, 3, 3, 3, 4, 9, 9, 10]
+    ys = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    rx, ry = _py_midranks(xs), _py_midranks(ys)
+    n = len(xs)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    want = (n * sxy - sx * sy) / ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+    df = spark.createDataFrame(list(zip(xs, ys)), "x long, y long")
+    got = spearman_corr(df, "x", "y").collect()[0].rho
+    assert abs(got - want) < 1e-9, (got, want)
+
+
+def test_kruskal_wallis_vs_python_reference(spark):
+    from area_etl_spark.operators.experiments import kruskal_wallis
+
+    groups = {
+        "a": [27, 2, 4, 18, 7, 9],
+        "b": [20, 8, 14, 36, 21, 22],
+        "c": [34, 31, 3, 23, 30, 6],
+    }
+    vals = [(g, v) for g, vs in groups.items() for v in vs]
+    allv = [v for _, v in vals]
+    ranks = dict(zip(range(len(allv)), _py_midranks(allv)))
+    n = len(allv)
+    h = 0.0
+    idx = 0
+    for g, vs in groups.items():
+        rg = sum(ranks[i] for i in range(idx, idx + len(vs)))
+        idx += len(vs)
+        h += rg * rg / len(vs)
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    df = spark.createDataFrame(vals, "g string, v long")
+    r = kruskal_wallis(df, "g", "v").collect()[0]
+    assert (r.n, r.k) == (18, 3)
+    assert abs(r.h - h) < 1e-8, (r.h, h)  # no ties → correction is 1
+    assert 0.0 <= r.p_value <= 1.0
+    # a huge separation is significant; identical groups are not
+    sep = spark.createDataFrame(
+        [("a", i) for i in range(50)] + [("b", 1000 + i) for i in range(50)],
+        "g string, v long",
+    )
+    assert kruskal_wallis(sep, "g", "v").collect()[0].p_value < 1e-6
+    same = spark.createDataFrame(
+        [("a", i % 10) for i in range(50)] + [("b", i % 10) for i in range(50)],
+        "g string, v long",
+    )
+    assert kruskal_wallis(same, "g", "v").collect()[0].p_value > 0.9
+    # all-tied values → NULL h (tie denominator 0), not a crash
+    tied = spark.createDataFrame(
+        [("a", 5)] * 5 + [("b", 5)] * 5, "g string, v long"
+    )
+    assert kruskal_wallis(tied, "g", "v").collect()[0].h is None
+
+
 def test_scalable_ntile_equals_window_ntile(spark):
     """scalable_ntile must equal NTILE() OVER (ORDER BY ...) exactly —
     including awkward N where N mod b != 0 — while carrying no
