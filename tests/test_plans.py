@@ -101,12 +101,13 @@ def test_plans_md_covers_every_bench_headline_query():
     import os
     import re
 
+    from bench import CORPUS as bench_corpus
     from bench import HEADLINE as bench_headline
 
     plans_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "PLANS.md")
     with open(plans_path) as f:
         documented = set(re.findall(r"^## (\S+)", f.read(), flags=re.M))
-    missing = [q for q in bench_headline if q not in documented]
+    missing = [q for q in bench_headline + bench_corpus if q not in documented]
     assert not missing, f"bench queries missing from docs/PLANS.md: {missing}"
 
 
