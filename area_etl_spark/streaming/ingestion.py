@@ -75,6 +75,50 @@ def make_batch_applier(out_dir: str, text_col: str = "text", id_col: str = "doc_
     return _apply
 
 
+def warc_ingest_stream(
+    spark,
+    landing_dir: str,
+    pattern: str = "*.warc",
+) -> DataFrame:
+    """Continuous crawl-archive ingestion: WARC files landing in a
+    directory become a stream of parsed response documents — the streaming
+    front door of the corpus funnel (compose with
+    :func:`incremental_ingest_sink` for the dedup-on-arrival tier, or any
+    writeStream sink).
+
+    ``readStream.format("binaryFile")`` tails the landing directory (one
+    row per NEW archive member, exactly-once per file via the source's
+    file index), and :func:`area_etl_spark.sources.warc.parse_warc` — the
+    same Arrow-batched kernel as batch — runs unchanged on the streaming
+    frame (mapInPandas is streaming-capable; the parse is stateless
+    per-file, so no watermark is needed).  Output: ok response records as
+    (doc_id = source url, text = UTF-8 payload) plus quarantine columns
+    for a dead-letter split upstream of the sink.
+    """
+    from area_etl_spark.sources.warc import parse_warc
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        # binaryFile's schema is FIXED by the source, but streaming sources
+        # require it spelled out (no inference pass over a stream)
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .load(landing_dir)
+    )
+    parsed = parse_warc(raw, content_col="content", source_col="path")
+    return parsed.select(
+        F.col("url").alias("doc_id"),
+        F.when(
+            F.col("ok") & (F.col("warc_type") == "response"),
+            F.decode(F.col("payload"), "UTF-8"),
+        ).alias("text"),
+        "source",
+        "record_offset",
+        "ok",
+        "reason",
+    )
+
+
 def incremental_ingest_sink(
     stream: DataFrame,
     out_dir: str,

@@ -221,3 +221,86 @@ def test_business_days_matches_python_count(spark, start, span):
         if (start + datetime.timedelta(days=i)).weekday() < 5
     )
     assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    n=st.integers(1, 40),
+    b=st.integers(1, 8),
+    seed=st.integers(0, 10_000),
+)
+def test_scalable_ntile_equals_window_ntile_property(spark, n, b, seed):
+    """scalable_ntile ≡ NTILE() OVER (ORDER BY v, k) for ANY (n, b) and any
+    value multiset — the piecewise integer split is exactly the window
+    function's partitioning."""
+    from pyspark.sql import Window
+
+    from area_etl_spark.operators.ids import scalable_ntile
+
+    rows = [(((i * 2654435761 + seed) % 7), i) for i in range(n)]
+    df = spark.createDataFrame(rows, "v long, k long")
+    got = {r.k: r.t for r in scalable_ntile(df, ["v", "k"], b, "t").collect()}
+    want = {
+        r.k: r.t
+        for r in df.select("k", F.ntile(b).over(Window.orderBy("v", "k")).alias("t")).collect()
+    }
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    rates=st.lists(st.tuples(st.integers(1, 9), st.integers(1, 12)), min_size=1, max_size=6),
+)
+def test_isotonic_calibration_invariants(spark, rates):
+    """For ANY bin profile: rate_iso is monotone non-decreasing, bounded by
+    [min(raw), max(raw)], preserves the pos-weighted mean exactly (PAV is a
+    projection), and is a fixed point on already-monotone input."""
+    from area_etl_spark.operators.quality import isotonic_calibration
+
+    # rates[i] = (pos_i out of n_i) for bin i on a 0..1e6 score scale
+    rows = []
+    width = 1_000_000 // max(len(rates), 1)
+    for i, (p, n) in enumerate(rates):
+        p = min(p, n)
+        for j in range(n):
+            rows.append((i * width + 1, j < p))
+    df = spark.createDataFrame(rows, "s long, y boolean")
+    out = sorted(
+        isotonic_calibration(df, "s", "y", n_bins=len(rates)).collect(),
+        key=lambda r: r.bin,
+    )
+    isos = [r.rate_iso for r in out]
+    raws = [r.rate_raw for r in out]
+    assert all(a <= b + 1e-12 for a, b in zip(isos, isos[1:]))
+    assert min(raws) - 1e-9 <= min(isos) and max(isos) <= max(raws) + 1e-9
+    # weighted-mean preservation: Σ n_i·iso_i == Σ pos_i (within rounding)
+    tot_iso = sum(r.n * r.rate_iso for r in out)
+    tot_pos = sum(r.pos for r in out)
+    assert abs(tot_iso - tot_pos) < 1e-5 * max(tot_pos, 1)
+    if raws == sorted(raws):
+        assert all(abs(a - b) < 1e-9 for a, b in zip(isos, raws))
+
+
+@settings(**SETTINGS)
+@given(body=st.integers(10**11, 10**17))
+def test_luhn_check_digit_construction_always_validates(spark, body):
+    """Appending the CONSTRUCTED Luhn check digit to any digit body yields a
+    string luhn_checksum_valid accepts; corrupting any single digit breaks
+    it (the defining property of the mod-10 code)."""
+    from area_etl_spark.operators.text_analysis import luhn_checksum_valid
+
+    digits = str(body)
+    # standard check-digit construction over the body
+    total = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = int(ch)
+        if i % 2 == 0:  # doubled positions once the check digit is appended
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    card = digits + str((10 - total % 10) % 10)
+    corrupted = str((int(card[0]) + 1) % 10) + card[1:]
+    df = spark.createDataFrame([(card,), (corrupted,)], "d string")
+    ok = [r.ok for r in df.select(luhn_checksum_valid(F.col("d")).alias("ok")).collect()]
+    assert ok == [True, False]

@@ -98,6 +98,54 @@ def test_format_parse_roundtrip_octet_exact(spark):
     assert out["http://c.example/doc/1"].http_status == 200
 
 
+def test_warc_streaming_ingestion_incremental(spark, tmp_path):
+    """Streaming front door: WARC files landing in a directory flow
+    through the SAME parse kernel into the dedup-on-arrival corpus sink;
+    a second landing batch is picked up incrementally from the checkpoint
+    and cross-batch duplicates are dropped by the hash index."""
+    import os
+
+    from area_etl_spark.streaming.ingestion import (
+        incremental_ingest_sink,
+        warc_ingest_stream,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    (landing / "a.warc").write_bytes(
+        _record("http://s.example/1", b"alpha document body one")
+        + _record("http://s.example/2", b"beta document body two")
+    )
+    stream = warc_ingest_stream(spark, str(landing)).where(F.col("ok")).select(
+        "doc_id", "text"
+    )
+    q = incremental_ingest_sink(stream, out, checkpoint_dir=ckpt)
+    q.awaitTermination()
+    first = spark.read.parquet(os.path.join(out, "corpus"))
+    assert sorted(r.doc_id for r in first.collect()) == [
+        "http://s.example/1", "http://s.example/2",
+    ]
+
+    # second landing: one NEW doc + one exact duplicate of doc 1's text
+    # under a new url — the cross-batch hash index must drop it
+    (landing / "b.warc").write_bytes(
+        _record("http://s.example/3", b"gamma document body three")
+        + _record("http://s.example/1-copy", b"alpha document body one")
+    )
+    stream2 = warc_ingest_stream(spark, str(landing)).where(F.col("ok")).select(
+        "doc_id", "text"
+    )
+    q2 = incremental_ingest_sink(stream2, out, checkpoint_dir=ckpt)
+    q2.awaitTermination()
+    final = {r.doc_id for r in spark.read.parquet(os.path.join(out, "corpus")).collect()}
+    assert final == {
+        "http://s.example/1", "http://s.example/2", "http://s.example/3",
+    }
+
+
 def test_warc_feeds_the_corpus_funnel(spark):
     """The front door composes: parse_warc → strip_html → gopher_rules."""
     from area_etl_spark.operators.cleaning import strip_html
