@@ -5534,6 +5534,22 @@ def q_kruskal_wallis(spark, sf_dir):
     return kruskal_wallis(o, "o_orderpriority", "cents")
 
 
+def q_js_divergence(spark, sf_dir):
+    """Jensen-Shannon drift between the first- and second-half order-value
+    distributions - the bounded symmetric member of the drift family
+    (psi magnitude, chi-square surprise, JSD bounded score): one-sided
+    bins contribute p/2*ln2 exactly instead of being excluded."""
+    from area_etl_spark.operators.quality import js_divergence
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    before = o.where(F.col("o_orderdate") < "1996-01-01")
+    after = o.where(F.col("o_orderdate") >= "1996-01-01")
+    return js_divergence(before, after, "cents", n_bins=10, lo=0, hi=60_000_000)
+
+
 def q_psi_drift(spark, sf_dir):
     """Population stability index of the order-value distribution, first
     half of the date range vs second half — per-bin (p−q)·ln(p/q) terms
@@ -6401,6 +6417,7 @@ _R12_QUEUE = [
     "ntile_scalable",
     "spearman_corr",
     "kruskal_wallis",
+    "js_divergence",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -6677,6 +6694,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_corr": q_spearman_corr,
         "kruskal_wallis": q_kruskal_wallis,
         "psi_drift": q_psi_drift,
+        "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
         "classification_report": q_classification_report,
         "roc_auc": q_roc_auc,
@@ -9413,6 +9431,52 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(SUM(CASE WHEN placed THEN 1 ELSE 0 END) AS DOUBLE)
                          / CAST(COUNT(*) AS DOUBLE), 9) AS outcome_rate
             FROM b GROUP BY 1
+        """,
+        "js_divergence": """
+            WITH o AS (
+                SELECT o_orderdate,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+            ), bb AS (
+                SELECT LEAST(9, GREATEST(0,
+                           CAST(FLOOR(cents * 10 / 60000000) AS BIGINT))) AS bin,
+                       COUNT(*) AS nb
+                FROM o WHERE o_orderdate < TIMESTAMP '1996-01-01' GROUP BY 1
+            ), ba AS (
+                SELECT LEAST(9, GREATEST(0,
+                           CAST(FLOOR(cents * 10 / 60000000) AS BIGINT))) AS bin,
+                       COUNT(*) AS na
+                FROM o WHERE o_orderdate >= TIMESTAMP '1996-01-01' GROUP BY 1
+            ), tb AS (SELECT SUM(nb) AS tb FROM bb),
+               ta AS (SELECT SUM(na) AS ta FROM ba),
+            j AS (
+                SELECT COALESCE(bb.bin, ba.bin) AS bin,
+                       COALESCE(nb, 0) AS nb, COALESCE(na, 0) AS na
+                FROM bb FULL OUTER JOIN ba ON bb.bin = ba.bin
+            ), terms AS (
+                SELECT bin, nb, na,
+                       (CASE WHEN nb > 0 THEN
+                            0.5 * (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
+                            * ln(2.0 * (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE))
+                                 / (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)
+                                    + CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)))
+                        ELSE 0.0 END)
+                       + (CASE WHEN na > 0 THEN
+                            0.5 * (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
+                            * ln(2.0 * (CAST(na AS DOUBLE) / CAST(ta AS DOUBLE))
+                                 / (CAST(nb AS DOUBLE) / CAST(tb AS DOUBLE)
+                                    + CAST(na AS DOUBLE) / CAST(ta AS DOUBLE)))
+                        ELSE 0.0 END) AS t
+                FROM j CROSS JOIN tb CROSS JOIN ta
+            )
+            SELECT CAST(SUM(nb) AS BIGINT) AS n_before,
+                   CAST(SUM(na) AS BIGINT) AS n_after,
+                   CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+                   round(GREATEST(0.0,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                                list(t ORDER BY bin)),
+                                   (a, b) -> a + b)), 9) AS jsd
+            FROM terms
         """,
         "psi_drift": """
             WITH o AS (

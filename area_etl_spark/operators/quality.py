@@ -1061,6 +1061,72 @@ def psi_drift(
     return psi_from_bin_counts(nb, na)
 
 
+def js_divergence(
+    before,
+    after,
+    value_col: str,
+    n_bins: int = 10,
+    lo: int = 0,
+    hi: int = 1_000_000,
+) -> "DataFrame":
+    """Jensen–Shannon divergence between two snapshots' binned
+    distributions — the BOUNDED, SYMMETRIC drift score (0 ≤ JSD ≤ ln 2)
+    that completes the drift family: psi_drift blows up on bins empty on
+    one side (excluded by zero-protection), JSD handles them exactly
+    (a one-sided bin contributes ½p·ln 2 — no exclusion, no infinities),
+    so disjoint supports score ln 2 instead of 'undefined'.
+
+        JSD = ½·Σ p·ln(2p/(p+q)) + ½·Σ q·ln(2q/(p+q))
+
+    over the SAME fixed-width clamped bins as psi_drift (shared
+    psi_bin_counts machinery).  Exact counts, divisions-only
+    probabilities, one ln per (bin, side), and the cross-bin float sum
+    folds in SORTED BIN ORDER (the entropy discipline).  Returns one row
+    (n_before, n_after, n_bins_used, jsd) — round-9, normalized score:
+    divide by ln 2 downstream if a [0,1] scale is wanted.
+    """
+    nb = psi_bin_counts(before, value_col, n_bins, lo, hi).withColumnRenamed("n", "nb")
+    na = psi_bin_counts(after, value_col, n_bins, lo, hi).withColumnRenamed("n", "na")
+    tb = nb.agg(F.sum("nb").alias("_tb"))
+    ta = na.agg(F.sum("na").alias("_ta"))
+    j = (
+        nb.join(na, "bin", "full_outer")
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(ta))
+        .select(
+            "bin",
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+            F.coalesce("na", F.lit(0)).alias("na"),
+            "_tb",
+            "_ta",
+        )
+    )
+    p = F.col("nb").cast("double") / F.col("_tb").cast("double")
+    q = F.col("na").cast("double") / F.col("_ta").cast("double")
+    # 0·ln(…) := 0 — the defining convention; guard each side separately
+    term = (
+        F.when(F.col("nb") > 0, F.lit(0.5) * p * F.log(F.lit(2.0) * p / (p + q))).otherwise(F.lit(0.0))
+        + F.when(F.col("na") > 0, F.lit(0.5) * q * F.log(F.lit(2.0) * q / (p + q))).otherwise(F.lit(0.0))
+    )
+    scored = j.select("bin", F.col("nb").alias("n_b"), F.col("na").alias("n_a"), term.alias("_t"))
+    agg = scored.agg(
+        F.sum("n_b").alias("n_before"),
+        F.sum("n_a").alias("n_after"),
+        F.count(F.lit(1)).alias("n_bins_used"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("bin"), F.col("_t")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("_t"),
+        ).alias("_jsd"),
+    )
+    return agg.select(
+        F.col("n_before").cast("long").alias("n_before"),
+        F.col("n_after").cast("long").alias("n_after"),
+        F.col("n_bins_used").cast("long").alias("n_bins_used"),
+        F.round(F.greatest(F.lit(0.0), F.col("_jsd")), 9).alias("jsd"),
+    )
+
+
 def psi_bin_counts(df, value_col: str, n_bins: int, lo: int, hi: int) -> "DataFrame":
     """Fixed-width bin counts (bin, n) for the PSI family — persist THIS for
     a baseline window (≤ n_bins rows) so monitors never rescan raw data."""

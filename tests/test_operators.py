@@ -2702,6 +2702,26 @@ def test_mantel_haenszel_hand_computed(spark):
     assert mantel_haenszel(conc, "s", "t", "y").collect()[0].or_mh is None
 
 
+def test_js_divergence_bounds_and_known_values(spark):
+    """JSD: identical snapshots → 0; disjoint supports → ln 2 exactly (the
+    bound psi_drift can't express — its one-sided bins are excluded);
+    symmetric in its arguments."""
+    import math
+
+    from area_etl_spark.operators.quality import js_divergence
+
+    a = spark.createDataFrame([(i % 10 * 100_000,) for i in range(1000)], "v long")
+    same = js_divergence(a, a, "v").collect()[0]
+    assert same.jsd == 0.0 and same.n_before == same.n_after == 1000
+    lo = spark.createDataFrame([(100_000,)] * 50, "v long")
+    hi = spark.createDataFrame([(900_000,)] * 70, "v long")
+    dis = js_divergence(lo, hi, "v").collect()[0]
+    assert abs(dis.jsd - math.log(2)) < 1e-9
+    ab = js_divergence(lo, hi, "v").collect()[0].jsd
+    ba = js_divergence(hi, lo, "v").collect()[0].jsd
+    assert ab == ba
+
+
 def test_isotonic_calibration_matches_pav(spark):
     """Minimax closed form ≡ classic PAV, hand-computed: equal-n bins with
     raw rates (.1, .5, .3, .7) pool the middle violators to .4; a weighted
