@@ -6246,6 +6246,159 @@ def q_hll_distinct(spark, sf_dir):
     return hll_distinct_portable(_tables(spark, sf_dir)["events"], "user_id")
 
 
+def q_query_likelihood(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty 2001)
+    over the documents corpus — the LM counterpart of bm25_search on the
+    same query, computed sparsely via the standard three-term
+    decomposition (no dense doc×term join at any scale)."""
+    from area_etl_spark.operators.indexing import query_likelihood_dirichlet
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return query_likelihood_dirichlet(
+        docs, ["spark", "window", "merge"], mu=2000.0, topk=20
+    )
+
+
+def q_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser–Ney bigram LM over the documents corpus — the
+    continuation-count smoothing (Chen & Goodman 1998) upgrading
+    bigram_lm_score's raw MLE; top-50 bigram types with their P_KN."""
+    from area_etl_spark.operators.text_analysis import kneser_ney_bigram
+
+    docs = _tables(spark, sf_dir)["documents"]
+    return kneser_ney_bigram(docs, discount=0.75, topk=50)
+
+
+def q_seasonal_decompose(spark, sf_dir):
+    """Classical additive decomposition of the monthly revenue series
+    (period 12, the even-period 2×MA path): exact BIGINT trend numerators,
+    per-phase exact detrended means, sorted-fold phase centering — the
+    decomposition STL descends from, on the grain monthly_revenue_rollup
+    already produces."""
+    from area_etl_spark.operators.windows import seasonal_decompose_classical
+
+    o = _tables(spark, sf_dir)["orders"]
+    monthly = o.groupBy(
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"))
+    return seasonal_decompose_classical(monthly, [], ["month"], "rev", 12)
+
+
+def q_rsi_cutler(spark, sf_dir):
+    """Cutler's RSI (the SMA, non-recursive form — Wilder's EWMA is a
+    sequential recursion no engine parallelizes; the variant choice is
+    documented) over per-priority daily revenue: exact integer gain/loss
+    window sums, one division, warm-up rows stay NULL."""
+    from area_etl_spark.operators.windows import rsi_cutler
+
+    o = _tables(spark, sf_dir)["orders"]
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"))
+    return rsi_cutler(daily, ["o_orderpriority"], ["day"], "rev", 14)
+
+
+def q_bollinger_bands(spark, sf_dir):
+    """Bollinger bands over the same per-priority daily revenue series:
+    20-row moving mean ± 2 sample stddevs from EXACT window sums (Σv, Σv²
+    in DECIMAL) — no catastrophic cancellation, one division per band."""
+    from area_etl_spark.operators.windows import bollinger_bands
+
+    o = _tables(spark, sf_dir)["orders"]
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"))
+    return bollinger_bands(daily, ["o_orderpriority"], ["day"], "rev", 20, 2.0)
+
+
+def q_anova_oneway(spark, sf_dir):
+    """One-way ANOVA F across the five order priorities — the parametric
+    complement of kruskal_wallis on the same grouping: exact DECIMAL
+    per-group sums, SSB folded in sorted group order, p from the Paulson
+    (1942) two-Wilson-Hilferty F approximation on the portable normal SF."""
+    from area_etl_spark.operators.experiments import anova_oneway
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return anova_oneway(o, "o_orderpriority", "cents")
+
+
+def q_levene_test(spark, sf_dir):
+    """Levene's homogeneity-of-variances gate in front of that ANOVA —
+    |v − mean_g| never materializes as a float: the deviation numerator
+    |n_g·v − S_g| stays an exact DECIMAL and every ANOVA-on-z sum is a
+    rational with a per-group integer denominator."""
+    from area_etl_spark.operators.experiments import levene_test
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return levene_test(o, "o_orderpriority", "cents")
+
+
+def q_wilcoxon_signed_rank(spark, sf_dir):
+    """Wilcoxon signed-rank on paired pre/post data: each customer's FIRST
+    vs LAST order value (deterministic struct-min/max by (date, orderkey)).
+    Zero differences Pratt-drop, |d| midranks from the distinct-value
+    cumulative window, doubled-rank sums exact in DECIMAL(38,0)."""
+    from area_etl_spark.operators.experiments import wilcoxon_signed_rank
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_custkey", "o_orderdate", "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    pairs = o.groupBy("o_custkey").agg(
+        F.min(F.struct("o_orderdate", "o_orderkey", "cents"))
+        .getField("cents")
+        .alias("first_cents"),
+        F.max(F.struct("o_orderdate", "o_orderkey", "cents"))
+        .getField("cents")
+        .alias("last_cents"),
+    )
+    return wilcoxon_signed_rank(pairs, "last_cents", "first_cents")
+
+
+def q_fisher_exact(spark, sf_dir):
+    """Fisher's exact test: is the BUILDING market segment independent of a
+    negative account balance?  No factorials — the hypergeometric pmf walks
+    its support by the exact-integer ratio recurrence, one window cumsum of
+    ln ratios in k order, scipy's two-sided as-or-less-probable rule."""
+    from area_etl_spark.operators.experiments import fisher_exact_2x2
+
+    c = _tables(spark, sf_dir)["customer"]
+    return fisher_exact_2x2(
+        c,
+        F.col("c_mktsegment") == "BUILDING",
+        F.col("c_acctbal") < 0,
+    )
+
+
+def q_cohens_effect(spark, sf_dir):
+    """Cohen's d / Hedges' g between URGENT and LOW priority order values —
+    the effect-size companion to the significance family: exact integer
+    (n, Σv, Σv²) per group in one aggregate, closed form at the end."""
+    from area_etl_spark.operators.experiments import cohens_effect_sizes
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return cohens_effect_sizes(o, "o_orderpriority", "cents", "1-URGENT", "5-LOW")
+
+
+def q_cramers_v(spark, sf_dir):
+    """Cramér's V for order priority × order status — chi-square's [0,1]
+    effect size via the observed-cells-only identity χ² = Σ n·o²/(r_t·c_t) − n,
+    every numerator an exact DECIMAL, cells folded in sorted order."""
+    from area_etl_spark.operators.experiments import cramers_v
+
+    o = _tables(spark, sf_dir)["orders"]
+    return cramers_v(o, "o_orderpriority", "o_orderstatus")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (round 10)
 # ---------------------------------------------------------------------------
@@ -6418,6 +6571,18 @@ _R12_QUEUE = [
     "spearman_corr",
     "kruskal_wallis",
     "js_divergence",
+    # — r11 second-session registrations (classical-stats completions) —
+    "anova_oneway",
+    "levene_test",
+    "wilcoxon_signed_rank",
+    "fisher_exact",
+    "cohens_effect",
+    "cramers_v",
+    "seasonal_decompose",
+    "rsi_cutler",
+    "bollinger_bands",
+    "query_likelihood",
+    "kneser_ney",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -6693,6 +6858,17 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntile_scalable": q_ntile_scalable,
         "spearman_corr": q_spearman_corr,
         "kruskal_wallis": q_kruskal_wallis,
+        "anova_oneway": q_anova_oneway,
+        "levene_test": q_levene_test,
+        "wilcoxon_signed_rank": q_wilcoxon_signed_rank,
+        "fisher_exact": q_fisher_exact,
+        "cohens_effect": q_cohens_effect,
+        "cramers_v": q_cramers_v,
+        "seasonal_decompose": q_seasonal_decompose,
+        "rsi_cutler": q_rsi_cutler,
+        "bollinger_bands": q_bollinger_bands,
+        "query_likelihood": q_query_likelihood,
+        "kneser_ney": q_kneser_ney,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -6964,6 +7140,7 @@ def _langid_sql(text: str) -> str:
 # DuckDB rendering of experiments.normal_sf_portable over abs(z) — same
 # A&S 7.1.26 constants and operation order as the Spark side.
 from area_etl_spark.operators.experiments import normal_sf_sql as _normal_sf_sql  # noqa: E402
+from area_etl_spark.operators.experiments import f_sf_paulson_sql as _f_sf_paulson_sql  # noqa: E402
 
 NORMAL_SF_SQL_ABS_Z = _normal_sf_sql("abs(z)")
 # portable P(chi2_1 > x) = 2*P(Z > sqrt(x)), rendered over the UNROUNDED
@@ -9477,6 +9654,452 @@ def oracle_sql() -> dict[str, str]:
                                                 list(t ORDER BY bin)),
                                    (a, b) -> a + b)), 9) AS jsd
             FROM terms
+        """,
+        "query_likelihood": """
+            WITH tk AS (
+                SELECT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+                    FROM documents
+                ) WHERE term <> ''
+            ), dl AS (
+                SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY 1
+            ), tot AS (
+                SELECT SUM(dl) AS tt FROM dl
+            ), cf AS (
+                SELECT term, COUNT(*) AS cf FROM tk
+                WHERE term IN ('merge', 'spark', 'window') GROUP BY 1
+            ), consts AS (
+                SELECT COUNT(*) AS nq,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(ln(2000.0 * (CAST(cf AS DOUBLE) / CAST(tt AS DOUBLE)))
+                                ORDER BY term)), (a, b) -> a + b) AS c0
+                FROM cf CROSS JOIN tot
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf FROM tk
+                WHERE term IN ('merge', 'spark', 'window') GROUP BY 1, 2
+            ), sp AS (
+                SELECT doc_id,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(ln(1.0 + CAST(tf AS DOUBLE)
+                                / (2000.0 * (CAST(cf AS DOUBLE) / CAST(tt AS DOUBLE))))
+                                ORDER BY term)), (a, b) -> a + b) AS bonus
+                FROM tf JOIN cf USING (term) CROSS JOIN tot
+                GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   round(c0 - CAST(nq AS DOUBLE) * ln(CAST(dl AS DOUBLE) + 2000.0)
+                         + COALESCE(bonus, 0.0), 6) AS score
+            FROM dl LEFT JOIN sp USING (doc_id) CROSS JOIN consts
+            ORDER BY score DESC, doc_id
+            LIMIT 20
+        """,
+        "kneser_ney": """
+            WITH t AS (
+                SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks
+                FROM documents
+            ), p AS (
+                SELECT toks[i] AS w1, toks[i + 1] AS w2
+                FROM t, unnest(range(1, len(toks))) AS u(i)
+            ), m AS (
+                SELECT w1, w2, COUNT(*) AS c12 FROM p GROUP BY 1, 2
+            ), l AS (
+                SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f FROM m GROUP BY 1
+            ), r AS (
+                SELECT w2, COUNT(*) AS n1b FROM m GROUP BY 1
+            ), ty AS (
+                SELECT COUNT(*) AS nt FROM m
+            )
+            SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+                   round(greatest(CAST(c12 AS DOUBLE) - 0.75, 0.0)
+                             / CAST(c1 AS DOUBLE)
+                         + 0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)
+                             * (CAST(n1b AS DOUBLE) / CAST(nt AS DOUBLE)), 6) AS p_kn
+            FROM m JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN ty
+            ORDER BY c12 DESC, w1, w2
+            LIMIT 50
+        """,
+        "seasonal_decompose": """
+            WITH m AS (
+                SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+                FROM orders GROUP BY 1
+            ), st AS (
+                SELECT month, rev,
+                       ROW_NUMBER() OVER (ORDER BY month) AS rn,
+                       2 * SUM(rev) OVER (ORDER BY month
+                           ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+                       + COALESCE(lag(rev, 6) OVER (ORDER BY month), 0)
+                       + COALESCE(lead(rev, 6) OVER (ORDER BY month), 0) AS num0,
+                       COUNT(rev) OVER (ORDER BY month
+                           ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS cnt,
+                       lag(rev, 6) OVER (ORDER BY month) AS lg,
+                       lead(rev, 6) OVER (ORDER BY month) AS ld
+                FROM m
+            ), st2 AS (
+                SELECT month, rev, (rn - 1) % 12 AS phase,
+                       CASE WHEN cnt = 13 AND lg IS NOT NULL AND ld IS NOT NULL
+                            THEN num0 END AS num
+                FROM st
+            ), dn AS (
+                SELECT month, rev, phase, num,
+                       CASE WHEN num IS NOT NULL THEN rev * 24 - num END AS dnv
+                FROM st2
+            ), pp AS (
+                SELECT phase, SUM(dnv) AS sdn, COUNT(*) AS np
+                FROM dn WHERE dnv IS NOT NULL GROUP BY 1
+            ), ppr AS (
+                SELECT phase,
+                       CAST(sdn AS DOUBLE) / (24.0 * CAST(np AS DOUBLE)) AS s_raw
+                FROM pp
+            ), cen AS (
+                SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(s_raw ORDER BY phase)), (a, b) -> a + b) AS ssum,
+                       COUNT(*) AS nph
+                FROM ppr
+            ), sea AS (
+                SELECT phase, s_raw - ssum / CAST(nph AS DOUBLE) AS seasonal
+                FROM ppr CROSS JOIN cen
+            )
+            SELECT month, rev AS value,
+                   CAST(round(CAST(num AS DOUBLE) / 24.0) AS BIGINT) AS trend,
+                   CAST(round(seasonal) AS BIGINT) AS seasonal,
+                   CAST(round(CAST(rev AS DOUBLE) - CAST(num AS DOUBLE) / 24.0
+                              - seasonal) AS BIGINT) AS residual
+            FROM dn LEFT JOIN sea USING (phase)
+        """,
+        "rsi_cutler": """
+            WITH d AS (
+                SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+                       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+                FROM orders GROUP BY 1, 2
+            ), g AS (
+                SELECT o_orderpriority, day, rev,
+                       rev - lag(rev, 1) OVER (PARTITION BY o_orderpriority
+                           ORDER BY day) AS diff
+                FROM d
+            ), gl AS (
+                SELECT o_orderpriority, day, rev,
+                       CASE WHEN diff IS NOT NULL THEN GREATEST(diff, 0) END AS gain,
+                       CASE WHEN diff IS NOT NULL THEN GREATEST(-diff, 0) END AS loss
+                FROM g
+            ), s AS (
+                SELECT o_orderpriority, day, rev,
+                       SUM(gain) OVER (PARTITION BY o_orderpriority ORDER BY day
+                           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS sg,
+                       SUM(loss) OVER (PARTITION BY o_orderpriority ORDER BY day
+                           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS sl,
+                       COUNT(gain) OVER (PARTITION BY o_orderpriority ORDER BY day
+                           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS nd
+                FROM gl
+            )
+            SELECT o_orderpriority, day, rev,
+                   round(CASE WHEN nd = 14 THEN
+                       CASE WHEN sg + sl > 0
+                            THEN 100.0 * CAST(sg AS DOUBLE) / CAST(sg + sl AS DOUBLE)
+                            ELSE 50.0 END
+                   END, 9) AS rsi
+            FROM s
+        """,
+        "bollinger_bands": """
+            WITH d AS (
+                SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+                       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+                FROM orders GROUP BY 1, 2
+            ), s AS (
+                SELECT o_orderpriority, day, rev,
+                       SUM(CAST(rev AS HUGEINT)) OVER (
+                           PARTITION BY o_orderpriority ORDER BY day
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sv,
+                       SUM(CAST(rev AS HUGEINT) * rev) OVER (
+                           PARTITION BY o_orderpriority ORDER BY day
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS qv,
+                       COUNT(rev) OVER (
+                           PARTITION BY o_orderpriority ORDER BY day
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS cnt
+                FROM d
+            ), calc AS (
+                SELECT o_orderpriority, day, rev, cnt,
+                       CAST(sv AS DOUBLE) / 20.0 AS mean,
+                       sqrt(GREATEST(CAST(20 * qv - sv * sv AS DOUBLE) / 380.0,
+                                     0.0)) AS std
+                FROM s
+            )
+            SELECT o_orderpriority, day, rev,
+                   CAST(round(CASE WHEN cnt = 20 THEN mean END) AS BIGINT) AS bb_mean,
+                   CAST(round(CASE WHEN cnt = 20 THEN mean + 2.0 * std END)
+                        AS BIGINT) AS bb_upper,
+                   CAST(round(CASE WHEN cnt = 20 THEN mean - 2.0 * std END)
+                        AS BIGINT) AS bb_lower
+            FROM calc
+        """,
+        "anova_oneway": f"""
+            WITH base AS (
+                SELECT o_orderpriority AS g,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                FROM orders
+            ), per_g AS (
+                SELECT g, COUNT(*) AS ng,
+                       SUM(CAST(v AS HUGEINT)) AS sg,
+                       SUM(CAST(v AS HUGEINT) * v) AS qg
+                FROM base GROUP BY 1
+            ), packed AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                       CAST(SUM(ng) AS BIGINT) AS n_int,
+                       CAST(SUM(sg) AS DOUBLE) AS s,
+                       CAST(SUM(qg) AS DOUBLE) AS q,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                                / CAST(ng AS DOUBLE) ORDER BY g)),
+                           (a, b) -> a + b) AS sumg
+                FROM per_g
+            ), stats AS (
+                SELECT n_int, k, CAST(n_int AS DOUBLE) AS n,
+                       CAST(k AS DOUBLE) AS kk,
+                       sumg - s * s / CAST(n_int AS DOUBLE) AS ssb,
+                       q - sumg AS ssw
+                FROM packed
+            ), fs AS (
+                SELECT n_int, k,
+                       CASE WHEN kk - 1.0 > 0 AND n - kk > 0 AND ssw > 0
+                            THEN (ssb / (kk - 1.0)) / (ssw / (n - kk)) END AS f,
+                       kk - 1.0 AS d1, n - kk AS d2
+                FROM stats
+            )
+            SELECT n_int AS n, k, round(f, 9) AS f_stat,
+                   round(LEAST(1.0, GREATEST(0.0,
+                       CASE WHEN f IS NOT NULL AND f > 0
+                            THEN {_f_sf_paulson_sql("f", "d1", "d2")}
+                            WHEN f IS NOT NULL THEN 1.0 END)), 6) AS p_value
+            FROM fs
+        """,
+        "levene_test": f"""
+            WITH base AS (
+                SELECT o_orderpriority AS g,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                FROM orders
+            ), sums AS (
+                SELECT g, COUNT(*) AS ng, SUM(CAST(v AS HUGEINT)) AS sg
+                FROM base GROUP BY 1
+            ), wrows AS (
+                SELECT base.g AS g, ng,
+                       abs(CAST(ng AS HUGEINT) * v - sg) AS w
+                FROM base JOIN sums ON base.g = sums.g
+            ), per_g AS (
+                SELECT g, MAX(ng) AS ng, SUM(w) AS w1, SUM(w * w) AS w2
+                FROM wrows GROUP BY 1
+            ), terms AS (
+                SELECT g, ng,
+                       CAST(w1 AS DOUBLE) / CAST(ng AS DOUBLE) AS sz,
+                       (CAST(w1 AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(ng AS DOUBLE)))
+                       * (CAST(w1 AS DOUBLE) / (CAST(ng AS DOUBLE) * CAST(ng AS DOUBLE)))
+                       * CAST(ng AS DOUBLE) AS sb,
+                       (CAST(w2 AS DOUBLE)
+                        - CAST(w1 AS DOUBLE) * CAST(w1 AS DOUBLE) / CAST(ng AS DOUBLE))
+                       / (CAST(ng AS DOUBLE) * CAST(ng AS DOUBLE)) AS sw
+                FROM per_g
+            ), packed AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                       CAST(SUM(ng) AS BIGINT) AS n_int,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(sz ORDER BY g)), (a, b) -> a + b) AS szs,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(sb ORDER BY g)), (a, b) -> a + b) AS sbs,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(sw ORDER BY g)), (a, b) -> a + b) AS sws
+                FROM terms
+            ), stats AS (
+                SELECT n_int, k, CAST(n_int AS DOUBLE) AS n,
+                       CAST(k AS DOUBLE) AS kk,
+                       sbs - CAST(n_int AS DOUBLE) * (szs / CAST(n_int AS DOUBLE))
+                           * (szs / CAST(n_int AS DOUBLE)) AS ssb,
+                       sws AS ssw
+                FROM packed
+            ), fs AS (
+                SELECT n_int, k,
+                       CASE WHEN kk - 1.0 > 0 AND n - kk > 0 AND ssw > 0
+                            THEN (ssb / (kk - 1.0)) / (ssw / (n - kk)) END AS f,
+                       kk - 1.0 AS d1, n - kk AS d2
+                FROM stats
+            )
+            SELECT n_int AS n, k, round(f, 9) AS w_stat,
+                   round(LEAST(1.0, GREATEST(0.0,
+                       CASE WHEN f IS NOT NULL AND f > 0
+                            THEN {_f_sf_paulson_sql("f", "d1", "d2")}
+                            WHEN f IS NOT NULL THEN 1.0 END)), 6) AS p_value
+            FROM fs
+        """,
+        "wilcoxon_signed_rank": f"""
+            WITH o AS (
+                SELECT o_custkey AS ck, o_orderdate AS dt, o_orderkey AS okey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                FROM orders
+            ), pr AS (
+                SELECT ck,
+                       first(v ORDER BY dt, okey) AS firstv,
+                       last(v ORDER BY dt, okey) AS lastv
+                FROM o GROUP BY 1
+            ), dd AS (
+                SELECT lastv - firstv AS d FROM pr WHERE lastv <> firstv
+            ), per_abs AS (
+                SELECT abs(d) AS a, COUNT(*) AS cnt,
+                       SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS pos
+                FROM dd GROUP BY 1
+            ), ranked AS (
+                SELECT a, cnt, pos,
+                       2 * COALESCE(SUM(cnt) OVER (ORDER BY a
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + cnt + 1 AS r2
+                FROM per_abs
+            ), agg AS (
+                SELECT CAST(SUM(cnt) AS BIGINT) AS n_int,
+                       SUM(CAST(pos AS HUGEINT) * r2) AS w2p,
+                       SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS t3
+                FROM ranked
+            ), st AS (
+                SELECT n_int, CAST(n_int AS DOUBLE) AS n,
+                       CAST(w2p AS DOUBLE) AS w2pd, CAST(t3 AS DOUBLE) AS t3d
+                FROM agg
+            ), zz AS (
+                SELECT n_int, w2pd,
+                       CASE WHEN n * (n + 1) * (2 * n + 1) / 6.0 - t3d / 12.0 > 0
+                            THEN (abs(w2pd - n * (n + 1) / 2.0) - 1.0)
+                                 / sqrt(n * (n + 1) * (2 * n + 1) / 6.0 - t3d / 12.0)
+                       END AS z
+                FROM st
+            )
+            SELECT n_int AS n, w2pd / 2.0 AS w_plus, round(z, 9) AS z,
+                   round(CASE WHEN z IS NOT NULL THEN LEAST(1.0,
+                       2.0 * {_normal_sf_sql("GREATEST(0.0, z)")}) END, 6) AS p_value
+            FROM zz
+        """,
+        "fisher_exact": """
+            WITH fl AS (
+                SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS r,
+                       CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS c
+                FROM customer
+            ), t AS (
+                SELECT CAST(SUM(r * c) AS BIGINT) AS a,
+                       CAST(SUM(r * (1 - c)) AS BIGINT) AS b,
+                       CAST(SUM((1 - r) * c) AS BIGINT) AS c2,
+                       CAST(SUM((1 - r) * (1 - c)) AS BIGINT) AS d
+                FROM fl
+            ), m AS (
+                SELECT a, b, c2, d, a + b + c2 + d AS n, a + b AS kk,
+                       a + c2 AS n1,
+                       GREATEST(0, (a + b) + (a + c2) - (a + b + c2 + d)) AS klo,
+                       LEAST(a + b, a + c2) AS khi
+                FROM t
+            ), grid AS (
+                SELECT m.*, unnest(generate_series(klo, khi)) AS k FROM m
+            ), lr AS (
+                SELECT a, khi, k,
+                       CASE WHEN k > klo THEN
+                           ln(CAST(kk - k + 1 AS DOUBLE) * CAST(n1 - k + 1 AS DOUBLE))
+                           - ln(CAST(k AS DOUBLE) * CAST(n - kk - n1 + k AS DOUBLE))
+                       ELSE 0.0 END AS lrv
+                FROM grid
+            ), lp AS (
+                SELECT a, khi, k,
+                       SUM(lrv) OVER (ORDER BY k
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lpv
+                FROM lr
+            ), w AS (
+                SELECT a, khi, k, lpv,
+                       MAX(lpv) OVER () AS mx,
+                       MAX(CASE WHEN k = a THEN lpv END) OVER () AS lobs
+                FROM lp
+            ), s AS (
+                SELECT khi, k,
+                       SUM(CASE WHEN lpv <= lobs + 1e-7
+                                THEN exp(lpv - mx) ELSE 0.0 END)
+                           OVER (ORDER BY k
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+                       SUM(exp(lpv - mx))
+                           OVER (ORDER BY k
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt
+                FROM w
+            )
+            SELECT (SELECT a FROM t) AS a, (SELECT b FROM t) AS b,
+                   (SELECT c2 FROM t) AS c, (SELECT d FROM t) AS d,
+                   round(LEAST(1.0, ps / pt), 6) AS p_value
+            FROM s WHERE k = khi
+        """,
+        "cohens_effect": """
+            WITH base AS (
+                SELECT o_orderpriority AS g,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                FROM orders
+                WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            ), agg AS (
+                SELECT
+                    CAST(SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS na_i,
+                    SUM(CASE WHEN g = '1-URGENT' THEN CAST(v AS HUGEINT) END) AS sa,
+                    SUM(CASE WHEN g = '1-URGENT' THEN CAST(v AS HUGEINT) * v END) AS qa,
+                    CAST(SUM(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS nb_i,
+                    SUM(CASE WHEN g = '5-LOW' THEN CAST(v AS HUGEINT) END) AS sb,
+                    SUM(CASE WHEN g = '5-LOW' THEN CAST(v AS HUGEINT) * v END) AS qb
+                FROM base
+            ), st AS (
+                SELECT na_i, nb_i,
+                       CAST(na_i AS DOUBLE) AS na, CAST(nb_i AS DOUBLE) AS nb,
+                       CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+                       CAST(qa AS DOUBLE) AS qad, CAST(qb AS DOUBLE) AS qbd
+                FROM agg
+            ), calc AS (
+                SELECT na_i, nb_i, na, nb,
+                       sad / na - sbd / nb AS diff,
+                       ((qad - sad * sad / na) + (qbd - sbd * sbd / nb))
+                           / (na + nb - 2.0) AS pooled
+                FROM st
+            ), dv AS (
+                SELECT na_i, nb_i, diff,
+                       CASE WHEN na > 1 AND nb > 1 AND pooled > 0
+                            THEN diff / sqrt(pooled) END AS d,
+                       1.0 - 3.0 / (4.0 * (na + nb) - 9.0) AS j
+                FROM calc
+            )
+            SELECT na_i AS n_a, nb_i AS n_b,
+                   round(diff, 9) AS mean_diff,
+                   round(d, 9) AS cohens_d,
+                   round(d * j, 9) AS hedges_g
+            FROM dv
+        """,
+        "cramers_v": """
+            WITH base AS (
+                SELECT o_orderpriority AS a, o_orderstatus AS b
+                FROM orders
+                WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+            ), cells AS (
+                SELECT a, b, COUNT(*) AS o FROM base GROUP BY 1, 2
+            ), rt AS (
+                SELECT a, COUNT(*) AS rt FROM base GROUP BY 1
+            ), ct AS (
+                SELECT b, COUNT(*) AS ct FROM base GROUP BY 1
+            ), nn AS (
+                SELECT COUNT(*) AS nn FROM base
+            ), fullc AS (
+                SELECT cells.a, cells.b, o, rt.rt, ct.ct, nn.nn
+                FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN nn
+            ), packed AS (
+                SELECT MAX(nn) AS n_i,
+                       CAST(COUNT(DISTINCT a) AS BIGINT) AS r,
+                       CAST(COUNT(DISTINCT b) AS BIGINT) AS c,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(CAST(CAST(nn AS HUGEINT) * o * o AS DOUBLE)
+                                / CAST(CAST(rt AS HUGEINT) * ct AS DOUBLE)
+                                ORDER BY a, b)),
+                           (x, y) -> x + y) AS s
+                FROM fullc
+            )
+            SELECT CAST(n_i AS BIGINT) AS n, r AS n_rows, c AS n_cols,
+                   round(s - CAST(n_i AS DOUBLE), 9) AS chi2,
+                   round(CASE WHEN CAST(LEAST(r, c) AS DOUBLE) - 1.0 > 0
+                              AND s - CAST(n_i AS DOUBLE) >= 0
+                         THEN sqrt((s - CAST(n_i AS DOUBLE))
+                              / (CAST(n_i AS DOUBLE)
+                                 * (CAST(LEAST(r, c) AS DOUBLE) - 1.0))) END, 9) AS v
+            FROM packed
         """,
         "psi_drift": """
             WITH o AS (

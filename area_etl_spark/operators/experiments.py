@@ -1498,3 +1498,470 @@ def quantile_treatment_effect(
             "qte", F.round(F.col("q_treat") - F.col("q_control"), 6) + F.lit(0.0)
         )
     )
+
+
+def f_sf_paulson(f: Column, d1: Column, d2: Column) -> Column:
+    """Survival function P(F' > f) of the F(d1, d2) distribution via the
+    Paulson (1942) normal approximation — the two-Wilson–Hilferty
+    construction: each chi-square in the F ratio gets the cube-root
+    normalizing transform, and the ratio of two approximate normals
+    collapses to one z score:
+
+        z = ((1 − 2/(9·d2))·f^(1/3) − (1 − 2/(9·d1)))
+            / sqrt(2/(9·d1) + f^(2/3)·2/(9·d2))
+
+    A DEFINED portable statistic (the kruskal_wallis precedent): both
+    engines evaluate the same expression on the same doubles, so the only
+    divergence surface is the libm pow/exp ULP, absorbed by the callers'
+    round-to-6.  Accuracy ~1e-3 for d1, d2 ≥ 3 — the documented contract,
+    same grade as the Wilson–Hilferty chi-square path.
+    """
+    a1 = F.lit(2.0) / (F.lit(9.0) * d1)
+    a2 = F.lit(2.0) / (F.lit(9.0) * d2)
+    f13 = F.pow(f, F.lit(1.0 / 3.0))
+    z = ((F.lit(1.0) - a2) * f13 - (F.lit(1.0) - a1)) / F.sqrt(a1 + f13 * f13 * a2)
+    return F.when(z >= 0, normal_sf_portable(z)).otherwise(
+        F.lit(1.0) - normal_sf_portable(-z)
+    )
+
+
+def f_sf_paulson_sql(f_expr: str, d1_expr: str, d2_expr: str) -> str:
+    """DuckDB rendering of :func:`f_sf_paulson` — same constants, same
+    operation order (the normal_sf_sql discipline)."""
+    a1 = f"(2.0 / (9.0 * ({d1_expr})))"
+    a2 = f"(2.0 / (9.0 * ({d2_expr})))"
+    f13 = f"pow(({f_expr}), 0.3333333333333333e0)"
+    z = f"(((1.0 - {a2}) * {f13} - (1.0 - {a1})) / sqrt({a1} + {f13} * {f13} * {a2}))"
+    return (
+        f"(CASE WHEN {z} >= 0 THEN {normal_sf_sql(z)} "
+        f"ELSE 1.0 - {normal_sf_sql(f'(-({z}))')} END)"
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantize: float | None = None,
+) -> DataFrame:
+    """One-way ANOVA F test — the parametric complement of
+    :func:`kruskal_wallis` (which tests the same k-group hypothesis on
+    ranks): F = (SSB/(k−1)) / (SSW/(n−k)).
+
+    Exactness: values must be integers (cents).  Per-group (n_g, Σv) and
+    the global Σv² accumulate in DECIMAL(38,0); SSB's per-group terms
+    S_g²/n_g become doubles only at the final closed form and fold in
+    SORTED group order (the kruskal/chi_square determinism discipline), so
+    the statistic is engine-identical up to the one sorted float fold.
+    p-value via :func:`f_sf_paulson` (round-to-6, the documented libm-pow
+    contract).
+
+    CARDINALITY CONTRACT: one hash aggregate per grain; group count k is
+    the only collected cardinality (sorted fold over k structs) — safe for
+    any k that fits one row (≤ ~1e6).  ``quantize`` bins the metric first
+    (rank-family clause, here only to tame extreme value magnitudes).
+    Returns one row (n, k, f_stat, p_value); NULL f when SSW == 0 or
+    degrees of freedom vanish.
+    """
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        quantize_values(F.col(value_col), quantize).cast("long").alias("_v"),
+    ).where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+    per_g = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_ng"),
+        F.sum(F.col("_v").cast(dec)).alias("_sg"),
+        F.sum((F.col("_v").cast(dec) * F.col("_v")).cast(dec)).alias("_qg"),
+    )
+    # per-group double terms, folded in sorted group order
+    term = (
+        F.col("_sg").cast("double") * F.col("_sg").cast("double")
+        / F.col("_ng").cast("double")
+    )
+    packed = per_g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_ng").alias("_n"),
+        F.sum("_sg").alias("_s"),
+        F.sum("_qg").alias("_q"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("_g"), term.alias("_t")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("_t"),
+        ).alias("_sumg"),
+    )
+    n = F.col("_n").cast("double")
+    k = F.col("k").cast("double")
+    ssb = F.col("_sumg") - F.col("_s").cast("double") * F.col("_s").cast("double") / n
+    ssw = F.col("_q").cast("double") - F.col("_sumg")
+    d1 = k - F.lit(1.0)
+    d2 = n - k
+    fstat = F.when((d1 > 0) & (d2 > 0) & (ssw > 0), (ssb / d1) / (ssw / d2))
+    p = F.when(fstat.isNotNull() & (fstat > 0), f_sf_paulson(fstat, d1, d2)).otherwise(
+        F.when(fstat.isNotNull(), F.lit(1.0))
+    )
+    return packed.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(fstat, 9).alias("f_stat"),
+        F.round(F.least(F.lit(1.0), F.greatest(F.lit(0.0), p)), 6).alias("p_value"),
+    )
+
+
+def levene_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Levene's test for homogeneity of variances (Levene 1960,
+    mean-centered variant) — the gate in front of ANOVA: one-way F on the
+    absolute deviations z_ij = |v_ij − mean_g|.
+
+    The float trap is that z is a double the moment the group mean
+    divides — so this implementation never materializes z per row.  With
+    integer values, |v − S_g/n_g| = |n_g·v − S_g| / n_g, and the
+    numerator w = |n_g·v − S_g| is an EXACT DECIMAL(38,0).  Per group we
+    accumulate W1 = Σw and W2 = Σw² exactly; every ANOVA-on-z sum is then
+    a rational with per-group denominator n_g or n_g², folded over groups
+    in sorted order as doubles:
+
+        Σz        = Σ_g W1_g/n_g           z̄_g = W1_g/n_g²
+        SSB_z     = Σ_g n_g·z̄_g² − n·z̄²    SSW_z = Σ_g (W2_g − W1_g²/n_g)/n_g²
+
+    W statistic = (SSB_z/(k−1)) / (SSW_z/(n−k)); p via
+    :func:`f_sf_paulson`.  One extra broadcast join ships the k-row
+    per-group sums back to the rows — the only data-sized pass is the two
+    hash aggregates.  Returns one row (n, k, w_stat, p_value).
+    """
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).cast("long").alias("_v")
+    ).where(F.col(group_col).isNotNull() & F.col(value_col).isNotNull())
+    sums = base.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_ng"), F.sum(F.col("_v").cast(dec)).alias("_sg")
+    )
+    w = F.abs(F.col("_ng").cast(dec) * F.col("_v") - F.col("_sg"))
+    per_g = (
+        base.join(F.broadcast(sums), "_g")
+        .select(F.col("_g"), F.col("_ng"), w.alias("_w"))
+        .groupBy("_g")
+        .agg(
+            F.first("_ng").alias("_ng"),
+            F.sum(F.col("_w").cast(dec)).alias("_w1"),
+            F.sum((F.col("_w") * F.col("_w")).cast(dec)).alias("_w2"),
+        )
+    )
+    ng = F.col("_ng").cast("double")
+    w1 = F.col("_w1").cast("double")
+    w2 = F.col("_w2").cast("double")
+    sum_z = w1 / ng
+    ssb_g = (w1 / (ng * ng)) * (w1 / (ng * ng)) * ng  # n_g · z̄_g²
+    ssw_g = (w2 - w1 * w1 / ng) / (ng * ng)
+    packed = per_g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("_ng").alias("_n"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_g"),
+                        sum_z.alias("_sz"),
+                        ssb_g.alias("_sb"),
+                        ssw_g.alias("_sw"),
+                    )
+                )
+            ),
+            F.struct(
+                F.lit(0.0).alias("sz"), F.lit(0.0).alias("sb"), F.lit(0.0).alias("sw")
+            ),
+            lambda acc, s: F.struct(
+                (acc.getField("sz") + s.getField("_sz")).alias("sz"),
+                (acc.getField("sb") + s.getField("_sb")).alias("sb"),
+                (acc.getField("sw") + s.getField("_sw")).alias("sw"),
+            ),
+        ).alias("_f"),
+    )
+    n = F.col("_n").cast("double")
+    k = F.col("k").cast("double")
+    zbar = F.col("_f").getField("sz") / n
+    ssb = F.col("_f").getField("sb") - n * zbar * zbar
+    ssw = F.col("_f").getField("sw")
+    d1 = k - F.lit(1.0)
+    d2 = n - k
+    wstat = F.when((d1 > 0) & (d2 > 0) & (ssw > 0), (ssb / d1) / (ssw / d2))
+    p = F.when(wstat.isNotNull() & (wstat > 0), f_sf_paulson(wstat, d1, d2)).otherwise(
+        F.when(wstat.isNotNull(), F.lit(1.0))
+    )
+    return packed.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(wstat, 9).alias("w_stat"),
+        F.round(F.least(F.lit(1.0), F.greatest(F.lit(0.0), p)), 6).alias("p_value"),
+    )
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Wilcoxon signed-rank test — the PAIRED complement of
+    :func:`mann_whitney_u`: same units measured twice (pre/post), test
+    whether the median difference is zero without assuming normality.
+
+    Pratt-excluded zeros (the scipy default ``mode='wilcox'``): d = x − y
+    must be integers; zero differences drop, |d| gets distinct-value
+    midranks (the mann_whitney cumulative-window idiom — never a row
+    sort), and W+ sums the ranks of positive differences.  Doubled ranks
+    keep every sum an exact DECIMAL(38,0): 2·W+ = Σ cnt_pos·r2.  Normal
+    approximation with tie correction and 0.5 continuity correction:
+
+        E[2W+] = n(n+1)/2        Var[2W+] = n(n+1)(2n+1)/6 − Σ(t³−t)/12
+        z = (|2W+ − E| − 1) / sqrt(Var)     p = 2·P(Z > z)
+
+    (the −1 is the doubled 0.5 correction).  Returns one row
+    (n, w_plus, z, p_value); n counts nonzero pairs.
+    """
+    dec = "decimal(38,0)"
+    pairs = df.select(
+        (F.col(x_col).cast("long") - F.col(y_col).cast("long")).alias("_d")
+    ).where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull() & (F.col(x_col) != F.col(y_col)))
+    per_abs = pairs.groupBy(F.abs(F.col("_d")).alias("_a")).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(F.when(F.col("_d") > 0, 1).otherwise(0)).alias("_pos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_a").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_abs.withColumn(
+        "_r2", 2 * F.coalesce(F.sum("_cnt").over(w), F.lit(0)) + F.col("_cnt") + 1
+    )
+    agg = ranked.agg(
+        F.sum("_cnt").alias("_n"),
+        F.sum((F.col("_pos").cast(dec) * F.col("_r2")).cast(dec)).alias("_w2p"),
+        F.sum(
+            (F.col("_cnt").cast(dec) * F.col("_cnt") * F.col("_cnt") - F.col("_cnt")).cast(dec)
+        ).alias("_t3"),
+    )
+    n = F.col("_n").cast("double")
+    w2p = F.col("_w2p").cast("double")
+    mean2 = n * (n + 1) / F.lit(2.0)
+    var2 = n * (n + 1) * (2 * n + 1) / F.lit(6.0) - F.col("_t3").cast("double") / F.lit(12.0)
+    z = F.when(var2 > 0, (F.abs(w2p - mean2) - F.lit(1.0)) / F.sqrt(var2))
+    zc = F.greatest(F.lit(0.0), z)  # continuity correction can cross zero
+    p = F.when(z.isNotNull(), F.least(F.lit(1.0), F.lit(2.0) * normal_sf_portable(zc)))
+    return agg.select(
+        F.col("_n").cast("long").alias("n"),
+        # W+ itself is an exact multiple of 0.5 — the /2 is lossless
+        (F.col("_w2p").cast("double") / F.lit(2.0)).alias("w_plus"),
+        F.round(z, 9).alias("z"),
+        F.round(p, 6).alias("p_value"),
+    )
+
+
+def fisher_exact_2x2(
+    df: DataFrame,
+    row_flag: Column,
+    col_flag: Column,
+    *,
+    max_range: int = 5_000_000,
+) -> DataFrame:
+    """Fisher's exact test on the 2×2 table of two boolean markers — THE
+    small-count independence test (chi-square's asymptotics fail exactly
+    where Fisher is exact).  Two-sided p by the standard "sum all tables
+    as or less probable than the observed" rule (the scipy convention,
+    with its 1+1e-7 tie tolerance).
+
+    No factorials are ever evaluated: with margins fixed, the
+    hypergeometric pmf satisfies the RATIO recurrence
+
+        P(k+1)/P(k) = (K−k)(n1−k) / ((k+1)(N−K−n1+k+1))
+
+    so log-pmf (relative to the support's low end) is one cumulative sum
+    of ln ratios over the support k ∈ [max(0, K+n1−N), min(K, n1)] —
+    generated with ``sequence``, ordered by k, both cumulative sums
+    (selected mass, total mass) ride the same window and the k_max row
+    carries the answer.  Everything before the ln is an exact integer;
+    the window accumulates in k order in BOTH engines, so the float
+    stream is instruction-identical (accumulated libm-ln ULP drift is
+    ~1e-11 over 1e5 terms — far under the 1e-7 tie tolerance and the
+    round-to-6).
+
+    SCALE CONTRACT: the support has min-margin+1 rows — O(1e5) even at
+    sf0.1, but a 100 TB table with huge margins is chi-square territory
+    (statistically too: Fisher's point is small counts).  ``max_range``
+    raises beyond 5e6 support points and the error message says to use
+    the chi-square path.  Returns one row (a, b, c, d, p_value).
+    """
+    from pyspark.sql import Window
+
+    flags = df.select(
+        F.when(row_flag, 1).otherwise(0).alias("_r"),
+        F.when(col_flag, 1).otherwise(0).alias("_c"),
+    )
+    table = flags.agg(
+        F.sum(F.expr("_r * _c")).alias("_a"),
+        F.sum(F.expr("_r * (1 - _c)")).alias("_b"),
+        F.sum(F.expr("(1 - _r) * _c")).alias("_c2"),
+        F.sum(F.expr("(1 - _r) * (1 - _c)")).alias("_d"),
+    )
+    row0 = table.first()
+    a, b, c, d = row0["_a"], row0["_b"], row0["_c2"], row0["_d"]
+    big_n, big_k, n1 = a + b + c + d, a + b, a + c
+    k_lo = max(0, big_k + n1 - big_n)
+    k_hi = min(big_k, n1)
+    if k_hi - k_lo + 1 > max_range:
+        raise ValueError(
+            f"fisher_exact_2x2 support has {k_hi - k_lo + 1} points (> {max_range}); "
+            "margins this large are chi-square territory — use the chi_square path"
+        )
+    spark = df.sparkSession
+    grid = spark.range(k_lo, k_hi + 1).select(F.col("id").alias("k"))
+    # ln P(k)/P(k-1) for k > k_lo (exact integers inside the ln)
+    lr = F.when(
+        F.col("k") > k_lo,
+        F.log(
+            (F.lit(big_k) - F.col("k") + 1).cast("double")
+            * (F.lit(n1) - F.col("k") + 1).cast("double")
+        )
+        - F.log(
+            F.col("k").cast("double")
+            * (F.lit(big_n - big_k - n1) + F.col("k")).cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    lp = grid.withColumn("_lp", F.sum(lr).over(wk))
+    # normalize by the max so exp never overflows
+    m = lp.agg(F.max("_lp").alias("_m"))
+    lp = lp.crossJoin(F.broadcast(m))
+    obs = lp.where(F.col("k") == a).select(F.col("_lp").alias("_lobs"))
+    lp = lp.crossJoin(F.broadcast(obs))
+    term = F.exp(F.col("_lp") - F.col("_m"))
+    sel = F.when(F.col("_lp") <= F.col("_lobs") + F.lit(1e-7), term).otherwise(F.lit(0.0))
+    summed = lp.select(
+        "k",
+        F.sum(sel).over(wk).alias("_ps"),
+        F.sum(term).over(wk).alias("_pt"),
+    ).where(F.col("k") == k_hi)
+    return summed.select(
+        F.lit(a).cast("long").alias("a"),
+        F.lit(b).cast("long").alias("b"),
+        F.lit(c).cast("long").alias("c"),
+        F.lit(d).cast("long").alias("d"),
+        F.round(
+            F.least(F.lit(1.0), F.col("_ps") / F.col("_pt")), 6
+        ).alias("p_value"),
+    )
+
+
+def cohens_effect_sizes(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Cohen's d and Hedges' g between two named groups — the effect-size
+    companion every significance test in this family needs (a p-value
+    says "not noise"; d says "how big").
+
+    d = (x̄_a − x̄_b) / s_pooled with the pooled SAMPLE variance
+    ((n_a−1)s_a² + (n_b−1)s_b²)/(n_a+n_b−2); g applies the small-sample
+    correction J = 1 − 3/(4(n_a+n_b)−9) (Hedges 1981).  Values must be
+    integers: all sums (n, Σv, Σv²) are exact DECIMAL(38,0) per group —
+    one hash aggregate — and the closed form divides at the end.
+    Returns one row (n_a, n_b, mean_diff, cohens_d, hedges_g).
+    """
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(group_col).alias("_g"), F.col(value_col).cast("long").alias("_v")
+    ).where(F.col(group_col).isin([group_a, group_b]) & F.col(value_col).isNotNull())
+    agg = base.agg(
+        *[
+            agg_f
+            for tag, flt in (("a", group_a), ("b", group_b))
+            for agg_f in (
+                F.sum(F.when(F.col("_g") == flt, 1).otherwise(0)).alias(f"_n{tag}"),
+                F.sum(F.when(F.col("_g") == flt, F.col("_v").cast(dec))).alias(f"_s{tag}"),
+                F.sum(
+                    F.when(F.col("_g") == flt, (F.col("_v").cast(dec) * F.col("_v")).cast(dec))
+                ).alias(f"_q{tag}"),
+            )
+        ]
+    )
+    na, nb = F.col("_na").cast("double"), F.col("_nb").cast("double")
+    sa, sb = F.col("_sa").cast("double"), F.col("_sb").cast("double")
+    qa, qb = F.col("_qa").cast("double"), F.col("_qb").cast("double")
+    ssa = qa - sa * sa / na
+    ssb = qb - sb * sb / nb
+    pooled = (ssa + ssb) / (na + nb - F.lit(2.0))
+    diff = sa / na - sb / nb
+    dval = F.when((na > 1) & (nb > 1) & (pooled > 0), diff / F.sqrt(pooled))
+    j = F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (na + nb) - F.lit(9.0))
+    return agg.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.round(diff, 9).alias("mean_diff"),
+        F.round(dval, 9).alias("cohens_d"),
+        F.round(dval * j, 9).alias("hedges_g"),
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cramér's V — the [0,1] effect size for an r×c contingency table
+    (chi-square's magnitude, freed from n): V = sqrt(χ²/(n·(min(r,c)−1))).
+
+    χ² is computed without ever materializing float expecteds per cell:
+    with o the observed count and (r_t, c_t, n) the margins,
+    (o − r_t·c_t/n)²/(r_t·c_t/n) = (n·o − r_t·c_t)²/(n·r_t·c_t) whose
+    numerator is an EXACT DECIMAL — each cell becomes one double and the
+    cells fold in sorted (a, b) order (the chi_square entry discipline,
+    packaged as a module operator).  Only observed cells contribute;
+    zero-count cells add o²-free mass handled by the complement term
+    Σ_cells r_t·c_t/n — instead we fold the IDENTITY χ² = Σ n·o²/(r_t·c_t) − n,
+    which needs only observed cells, exactly.  Two hash aggregates +
+    two broadcast joins.  Returns one row (n, n_rows, n_cols, chi2, v).
+    """
+    base = df.select(F.col(a_col).alias("_a"), F.col(b_col).alias("_b")).where(
+        F.col(a_col).isNotNull() & F.col(b_col).isNotNull()
+    )
+    cells = base.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_o"))
+    row_t = base.groupBy("_a").agg(F.count(F.lit(1)).alias("_rt"))
+    col_t = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
+    nn = base.agg(F.count(F.lit(1)).alias("_nn"))
+    full = (
+        cells.join(F.broadcast(row_t), "_a")
+        .join(F.broadcast(col_t), "_b")
+        .join(F.broadcast(nn))
+    )
+    dec = "decimal(38,0)"
+    term = (
+        (F.col("_nn").cast(dec) * F.col("_o") * F.col("_o")).cast("double")
+        / (F.col("_rt").cast(dec) * F.col("_ct")).cast("double")
+    )
+    packed = full.agg(
+        F.first("_nn").alias("_n"),
+        F.countDistinct("_a").alias("_r"),
+        F.countDistinct("_b").alias("_c"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_a"), F.col("_b"), term.alias("_t")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("_t"),
+        ).alias("_sum"),
+    )
+    n = F.col("_n").cast("double")
+    chi2 = F.col("_sum") - n
+    mdim = F.least(F.col("_r"), F.col("_c")).cast("double") - F.lit(1.0)
+    v = F.when((mdim > 0) & (chi2 >= 0), F.sqrt(chi2 / (n * mdim)))
+    return packed.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_r").cast("long").alias("n_rows"),
+        F.col("_c").cast("long").alias("n_cols"),
+        F.round(chi2, 9).alias("chi2"),
+        F.round(v, 9).alias("v"),
+    )

@@ -421,3 +421,103 @@ def retrieval_eval(
         .otherwise(F.lit(0.0))
         .alias("ndcg_at_k"),
     )
+
+
+def query_likelihood_dirichlet(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mu: float = 2000.0,
+    topk: int = 20,
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai & Lafferty
+    2001) — the language-modeling counterpart of :func:`bm25_search`:
+
+        score(q, d) = Σ_t ln((tf_{t,d} + μ·p(t|C)) / (dl_d + μ))
+
+    Dense in theory (every document scores every query term through the
+    collection prior), computed SPARSELY via the standard decomposition
+
+        score = Σ_t ln(μ·p_t)  −  |q|·ln(dl_d + μ)
+                + Σ_{t: tf>0} ln(1 + tf / (μ·p_t))
+
+    so the per-document work is one row per MATCHING (doc, term) plus the
+    doc-length relation — no dense cross join at any scale.  Query terms
+    absent from the corpus carry zero information under the MLE collection
+    model (p=0) and are dropped, documented.
+
+    Determinism: the sparse per-doc sum folds its ≤|q| terms in sorted
+    term order; score rounds to 6 BEFORE the top-k cut and ties break by
+    id (the bm25_search discipline).  Same scale shape as bm25: corpus
+    stats and per-term cf are broadcast dimensions, the only data-sized
+    shuffles are the token aggregate and the per-doc join.
+    """
+    wanted = sorted({t.lower() for t in terms})
+    toks = docs.select(
+        F.col(id_col), F.explode(normalize_tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    total = doclen.agg(F.sum("dl").alias("tt"))
+    cf = (
+        toks.where(F.col("term").isin(wanted))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    # corpus-side constants: |q'| and Σ ln(μ·p_t), folded in sorted term order
+    consts = cf.crossJoin(F.broadcast(total)).agg(
+        F.count(F.lit(1)).alias("nq"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("term"),
+                        F.log(
+                            F.lit(mu) * (F.col("cf").cast("double") / F.col("tt").cast("double"))
+                        ).alias("_l"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("_l"),
+        ).alias("c0"),
+    )
+    tf = (
+        toks.where(F.col("term").isin(wanted))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    bonus = F.log(
+        F.lit(1.0)
+        + F.col("tf").cast("double")
+        / (F.lit(mu) * (F.col("cf").cast("double") / F.col("tt").cast("double")))
+    )
+    sparse = (
+        tf.join(F.broadcast(cf), "term")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(F.col("term"), bonus.alias("_b")))),
+                F.lit(0.0),
+                lambda acc, s: acc + s.getField("_b"),
+            ).alias("bonus")
+        )
+    )
+    scored = (
+        doclen.join(sparse, id_col, "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.col("c0")
+                - F.col("nq").cast("double")
+                * F.log(F.col("dl").cast("double") + F.lit(mu))
+                + F.coalesce(F.col("bonus"), F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(topk)
+    )
+    return scored

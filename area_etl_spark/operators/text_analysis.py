@@ -1002,3 +1002,74 @@ def gopher_rules(
     for k in rules:
         passes = F.col(k) if passes is None else passes & F.col(k)
     return out.withColumn("passes", passes)
+
+
+def kneser_ney_bigram(
+    df: DataFrame,
+    text_col: str = "text",
+    discount: float = 0.75,
+    topk: int = 50,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities — the smoothing that
+    made n-gram LMs competitive (Kneser & Ney 1995; Chen & Goodman 1998's
+    recommended form) and the natural upgrade of :func:`bigram_lm_score`'s
+    raw MLE:
+
+        P_KN(w2|w1) = max(c(w1,w2) − D, 0)/c(w1)
+                      + D·N1+(w1·)/c(w1) · N1+(·w2)/N1+(··)
+
+    The continuation probability N1+(·w2)/N1+(··) asks "in how many
+    DISTINCT contexts does w2 complete a bigram" — the insight that "San
+    Francisco" should not make "Francisco" likely after everything.
+
+    Every quantity is an exact integer count off ONE bigram-type relation
+    (c12 per (w1,w2); c1 and N1+(w1·) are one groupBy over it; N1+(·w2)
+    another; N1+(··) its row count) — map-side combine collapses each
+    partition's vocabulary first, and the joins back are equi-joins on w1
+    / w2 that AQE broadcasts for dimension-sized vocabularies.  The
+    probability divides in one fixed expression order and rounds to 6;
+    output is the top-k bigram types by (count desc, w1, w2) — a
+    deterministic cut.  Σ_{w2} P_KN(w2|w1) = 1 exactly (the interpolation
+    identity), pinned by the unit test.
+    """
+    toks = normalize_tokens(F.col(text_col))
+    bg = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.element_at(toks, i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = df.select(F.explode(bg).alias("_bg")).select(
+        F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")
+    )
+    m = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left = m.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    right = m.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    types = m.agg(F.count(F.lit(1)).alias("nt"))
+    p = (
+        F.greatest(F.col("c12").cast("double") - F.lit(discount), F.lit(0.0))
+        / F.col("c1").cast("double")
+        + F.lit(discount)
+        * F.col("n1f").cast("double")
+        / F.col("c1").cast("double")
+        * (F.col("n1b").cast("double") / F.col("nt").cast("double"))
+    )
+    return (
+        m.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.round(p, 6).alias("p_kn"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(topk)
+    )

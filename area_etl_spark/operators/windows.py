@@ -724,3 +724,211 @@ def holt_brown_smooth(
             "forecast", F.round(2 * s1 - s2 + horizon * (s1 - s2), 6)
         )
     )
+
+
+def seasonal_decompose_classical(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    period: int,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average method
+    STL descends from): value = trend + seasonal + residual.
+
+    - **trend** — centered moving average over one period.  Odd period:
+      plain p-row window.  Even period: the standard 2×MA with half
+      weights at the ends — numerator v_{t−p/2} + 2·Σ middle + v_{t+p/2}
+      over denominator 2p.  Values must be integers, so the numerator is
+      an EXACT BIGINT and the trend a rational; rows without a full
+      window get NULL trend (never a shrunken average).
+    - **seasonal** — per-phase mean of the detrended series, where
+      detrended keeps the exact numerator v·den − S (no float until the
+      final division), then centered to zero mean over the period's
+      phases with a sorted fold (period is small by definition).
+    - **residual** — value − trend − seasonal.
+
+    Phases come from ROW_NUMBER within the key, so the series must be
+    regular (one row per step — the resampled grain ohlc_bars/
+    calendar_gapfill produce).  SCALE: the window partitions by ``keys``;
+    a single global series is one partition, which is fine because a
+    TIME-GRAIN series is bounded (a century of days is 37k rows) — the
+    holt_brown/ewma contract.  Emits (keys, order_cols, value, trend,
+    seasonal, residual).
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_cols])
+    v = F.col(value_col)
+    half = period // 2
+    if period % 2 == 1:
+        frame = w.rowsBetween(-half, half)
+        num = F.sum(v).over(frame)
+        cnt = F.count(v).over(frame)
+        den = period
+        full = cnt == period
+    else:
+        mid = w.rowsBetween(-(half - 1), half - 1)
+        ends = w.rowsBetween(-half, half)
+        num = (
+            2 * F.sum(v).over(mid)
+            + F.coalesce(F.lag(v, half).over(w), F.lit(0))
+            + F.coalesce(F.lead(v, half).over(w), F.lit(0))
+        )
+        cnt = F.count(v).over(ends)
+        den = 2 * period
+        full = (
+            (cnt == period + 1)
+            & F.lag(v, half).over(w).isNotNull()
+            & F.lead(v, half).over(w).isNotNull()
+        )
+    staged = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_num", F.when(full, num)
+    )
+    staged = staged.withColumn("_phase", (F.col("_rn") - 1) % period)
+    # detrended numerator: v·den − num (exact BIGINT); per-phase exact mean
+    dn = F.when(
+        F.col("_num").isNotNull(), v.cast("long") * F.lit(den) - F.col("_num")
+    )
+    staged = staged.withColumn("_dn", dn)
+    per_phase = (
+        staged.where(F.col("_dn").isNotNull())
+        .groupBy(*keys, "_phase")
+        .agg(F.sum("_dn").alias("_sdn"), F.count(F.lit(1)).alias("_np"))
+        .withColumn(
+            "_s_raw",
+            F.col("_sdn").cast("double")
+            / (F.lit(float(den)) * F.col("_np").cast("double")),
+        )
+    )
+    # center phases to zero mean with a sorted fold (period entries)
+    centered = per_phase.groupBy(*keys).agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_phase"), F.col("_s_raw").alias("_s")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("_s"),
+        ).alias("_ssum"),
+        F.count(F.lit(1)).alias("_nph"),
+    )
+    seasonal = (
+        per_phase.join(centered, keys or [], "inner")
+        if keys
+        else per_phase.crossJoin(F.broadcast(centered))
+    )
+    seasonal = seasonal.select(
+        *keys,
+        "_phase",
+        (F.col("_s_raw") - F.col("_ssum") / F.col("_nph").cast("double")).alias(
+            "_seasonal"
+        ),
+    )
+    out = staged.join(F.broadcast(seasonal), [*keys, "_phase"], "left")
+    trend = F.col("_num").cast("double") / F.lit(float(den))
+    # components round to INTEGER units (cents), not to 9 decimals: the
+    # unrounded doubles are bit-identical across engines by construction,
+    # but fractional round(x, 9) is NOT portable once |x|·1e9 passes 2^53
+    # (DuckDB's multiply-based round degrades); integer rounding is — both
+    # engines take representable halves away from zero
+    return out.select(
+        *keys,
+        *order_cols,
+        v.alias("value"),
+        F.round(trend, 0).cast("long").alias("trend"),
+        F.round(F.col("_seasonal"), 0).cast("long").alias("seasonal"),
+        F.round(v.cast("double") - trend - F.col("_seasonal"), 0)
+        .cast("long")
+        .alias("residual"),
+    )
+
+
+def rsi_cutler(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    n: int = 14,
+) -> DataFrame:
+    """Relative Strength Index, Cutler's variant — the simple-moving-average
+    form (Wilder's original uses a recursive EWMA no engine parallelizes
+    and no SQL oracle replays; Cutler's SMA form is the standard
+    non-recursive substitute and is what this implements, DOCUMENTED).
+
+    gain_t = max(Δv, 0), loss_t = max(−Δv, 0) stay exact BIGINTs; the
+    n-row window sums are exact; RSI = 100·Σgain/(Σgain+Σloss) divides
+    once.  Rows without n full diffs get NULL; a flat window (both sums
+    zero) pins RSI to 50 (the no-information point, documented).  One
+    window sort per key serves lag + both sums.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_cols])
+    v = F.col(value_col).cast("long")
+    d = v - F.lag(v, 1).over(w)
+    # greatest() SKIPS nulls in both engines — gate explicitly so the
+    # series head stays NULL (a warm-up row, not a flat day) and the
+    # window count gives the full-n check real teeth
+    staged = df.withColumn(
+        "_gain", F.when(d.isNotNull(), F.greatest(d, F.lit(0)))
+    ).withColumn("_loss", F.when(d.isNotNull(), F.greatest(-d, F.lit(0))))
+    frame = w.rowsBetween(-(n - 1), 0)
+    sg = F.sum("_gain").over(frame)
+    sl = F.sum("_loss").over(frame)
+    nd = F.count("_gain").over(frame)
+    rsi = F.when(
+        nd == n,
+        F.when(
+            (sg + sl) > 0,
+            F.lit(100.0) * sg.cast("double") / (sg + sl).cast("double"),
+        ).otherwise(F.lit(50.0)),
+    )
+    return staged.withColumn("rsi", F.round(rsi, 9)).drop("_gain", "_loss")
+
+
+def bollinger_bands(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    n: int = 20,
+    width: float = 2.0,
+) -> DataFrame:
+    """Bollinger bands — n-row moving mean ± width·moving SAMPLE stddev.
+
+    The window sums Σv and Σv² are exact BIGINTs (values must be integer
+    cents), so mean = S/n and var = (n·Q − S²)/(n·(n−1)) are rationals
+    that become floats in ONE division each — engine-identical, no
+    catastrophic cancellation (the sums are exact, the subtraction is of
+    exact integers).  Rows without a full window get NULLs.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_cols])
+    frame = w.rowsBetween(-(n - 1), 0)
+    v = F.col(value_col).cast("long")
+    dec = "decimal(38,0)"
+    s = F.sum(v.cast(dec)).over(frame)
+    q = F.sum((v.cast(dec) * v).cast(dec)).over(frame)
+    cnt = F.count(v).over(frame)
+    mean = s.cast("double") / F.lit(float(n))
+    var = (F.lit(n) * q - s * s).cast("double") / F.lit(float(n * (n - 1)))
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    fullw = cnt == n
+    # bands round to INTEGER units (cents): fractional round(x, 9) is not
+    # engine-portable once |x|·1e9 passes 2^53 (the seasonal_decompose
+    # lesson); the unrounded doubles are bit-identical, integer rounding
+    # keeps them so
+    return (
+        df.withColumn(
+            "bb_mean", F.round(F.when(fullw, mean), 0).cast("long")
+        )
+        .withColumn(
+            "bb_upper",
+            F.round(F.when(fullw, mean + F.lit(width) * std), 0).cast("long"),
+        )
+        .withColumn(
+            "bb_lower",
+            F.round(F.when(fullw, mean - F.lit(width) * std), 0).cast("long"),
+        )
+    )

@@ -139,3 +139,37 @@ def test_retrieval_eval_hand_computed_metrics(spark):
     run_c = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
     c = retrieval_eval([("c", run_c)], many, k=2).collect()[0]
     assert abs(c.ndcg_at_k - 1.0) < 1e-12           # retrieved = ideal
+
+
+def test_query_likelihood_dirichlet_reference(spark):
+    import math
+
+    from area_etl_spark.operators.indexing import query_likelihood_dirichlet
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark merge window"),
+            (2, "spark other words here"),
+            (3, "nothing relevant at all"),
+        ],
+        "doc_id long, text string",
+    )
+    mu = 10.0
+    out = {r.doc_id: r.score for r in query_likelihood_dirichlet(
+        docs, ["spark", "merge"], mu=mu, topk=10
+    ).collect()}
+    # hand-computed dense form: score = Σ_t ln((tf + μ p_t)/(dl + μ))
+    tt = 12
+    p = {"spark": 3 / tt, "merge": 1 / tt}
+    tf = {1: {"spark": 2, "merge": 1}, 2: {"spark": 1, "merge": 0}, 3: {}}
+    dl = {1: 4, 2: 4, 3: 4}
+    for d in (1, 2, 3):
+        want = sum(
+            math.log((tf[d].get(t, 0) + mu * p[t]) / (dl[d] + mu)) for t in p
+        )
+        assert abs(out[d] - want) < 1e-5, (d, out[d], want)
+    # the doc with both terms outranks the one with one, which outranks none
+    assert out[1] > out[2] > out[3]
+    # terms absent from the corpus are dropped, not ln(0)
+    out2 = query_likelihood_dirichlet(docs, ["zzz_absent"], mu=mu).collect()
+    assert all(r.score == 0.0 for r in out2)  # empty query' → score 0

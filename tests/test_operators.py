@@ -3328,3 +3328,229 @@ def test_mix_shift_reconciles_to_overall_delta(spark):
     )
     gone = {r.segment: r for r in mix_shift_decomposition(df2, "p", "seg", "v", "a", "b").collect()}["gone"]
     assert gone.rate_b == 0.0 and gone.rate_effect != 0 or gone.mix_effect != 0
+
+
+def test_anova_oneway_reference(spark):
+    from area_etl_spark.operators.experiments import anova_oneway
+
+    groups = {"a": [3, 1, 2], "b": [5, 4, 6], "c": [7, 9, 8]}
+    vals = [(g, v) for g, vs in groups.items() for v in vs]
+    # hand ANOVA: grand mean 5; SSB = 3·(2−5)² + 3·(5−5)² + 3·(8−5)² = 54
+    # SSW = Σ within = 2 + 2 + 2 = 6;  F = (54/2)/(6/6) = 27
+    df = spark.createDataFrame(vals, "g string, v long")
+    r = anova_oneway(df, "g", "v").collect()[0]
+    assert (r.n, r.k) == (9, 3)
+    assert abs(r.f_stat - 27.0) < 1e-9
+    assert 0.0 <= r.p_value < 0.01
+    # identical groups → F ≈ 0, p ≈ 1
+    same = spark.createDataFrame(
+        [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (1, 2, 3)],
+        "g string, v long",
+    )
+    rs = same.transform(lambda d: anova_oneway(d, "g", "v")).collect()[0]
+    assert abs(rs.f_stat) < 1e-12 and rs.p_value > 0.9
+    # zero within-variance → NULL f (ssw == 0), not a crash
+    degen = spark.createDataFrame([("a", 1), ("a", 1), ("b", 2), ("b", 2)], "g string, v long")
+    assert anova_oneway(degen, "g", "v").collect()[0].f_stat is None
+
+
+def test_levene_test_reference(spark):
+    from area_etl_spark.operators.experiments import levene_test
+
+    # equal spread → W ≈ 0 within noise, p large
+    a = [10, 20, 30, 40, 50]
+    b = [110, 120, 130, 140, 150]  # same variance, shifted mean
+    df = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in b], "g string, v long"
+    )
+    r = levene_test(df, "g", "v").collect()[0]
+    assert (r.n, r.k) == (10, 2)
+    assert abs(r.w_stat) < 1e-9  # identical |deviations| per group
+    assert r.p_value > 0.9
+    # wildly different spreads → significant
+    tight = [(i, "t") for i in (100, 101, 99, 100, 101, 99, 100, 101, 99, 100)]
+    wide = [(i, "w") for i in (0, 200, 10, 190, 20, 180, 30, 170, 40, 160)]
+    df2 = spark.createDataFrame(
+        [(g, v) for v, g in tight + wide], "g string, v long"
+    )
+    r2 = levene_test(df2, "g", "v").collect()[0]
+    assert r2.w_stat > 10 and r2.p_value < 0.01
+    # hand check against the float-naive formula on a small case
+    xs = {"a": [1, 5, 9], "b": [2, 2, 2, 8]}
+    rows = [(g, v) for g, vs in xs.items() for v in vs]
+    zs = []
+    for g, vs in xs.items():
+        m = sum(vs) / len(vs)
+        zs.append([abs(v - m) for v in vs])
+    za = [z for grp in zs for z in grp]
+    zbar = sum(za) / len(za)
+    ssb = sum(len(grp) * (sum(grp) / len(grp) - zbar) ** 2 for grp in zs)
+    ssw = sum((z - sum(grp) / len(grp)) ** 2 for grp in zs for z in grp)
+    want = (ssb / 1) / (ssw / (len(za) - 2))
+    df3 = spark.createDataFrame(rows, "g string, v long")
+    got = levene_test(df3, "g", "v").collect()[0].w_stat
+    assert abs(got - want) < 1e-8, (got, want)
+
+
+def test_wilcoxon_signed_rank_reference(spark):
+    from area_etl_spark.operators.experiments import wilcoxon_signed_rank
+
+    # textbook pairs: diffs with ties and zeros; zeros drop (Pratt-excluded)
+    x = [125, 115, 130, 140, 140, 115, 140, 125, 140, 135]
+    y = [110, 122, 125, 120, 140, 124, 123, 137, 135, 145]
+    df = spark.createDataFrame(list(zip(x, y)), "x long, y long")
+    r = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+    # one zero diff (140, 140) → n = 9
+    assert r.n == 9
+    d = [a - b for a, b in zip(x, y) if a != b]
+    ranks = _py_midranks([abs(v) for v in d])
+    wplus = sum(rk for rk, v in zip(ranks, d) if v > 0)
+    assert abs(r.w_plus - wplus) < 1e-12, (r.w_plus, wplus)
+    assert 0.0 <= r.p_value <= 1.0
+    # strongly one-sided diffs → tiny p
+    big = spark.createDataFrame([(i + 100, i) for i in range(40)], "x long, y long")
+    assert wilcoxon_signed_rank(big, "x", "y").collect()[0].p_value < 1e-6
+    # symmetric diffs → p near 1
+    sym = spark.createDataFrame(
+        [(10 + k, 10) for k in range(1, 21)] + [(10 - k, 10) for k in range(1, 21)],
+        "x long, y long",
+    )
+    assert wilcoxon_signed_rank(sym, "x", "y").collect()[0].p_value > 0.9
+
+
+def test_fisher_exact_tea_tasting(spark):
+    from pyspark.sql import functions as F
+
+    from area_etl_spark.operators.experiments import fisher_exact_2x2
+
+    # Fisher's tea-tasting table [[3,1],[1,3]] → two-sided p = 34/70
+    rows = (
+        [(1, 1)] * 3 + [(1, 0)] * 1 + [(0, 1)] * 1 + [(0, 0)] * 3
+    )
+    df = spark.createDataFrame(rows, "r int, c int")
+    r = fisher_exact_2x2(df, F.col("r") == 1, F.col("c") == 1)
+    row = r.collect()[0]
+    assert (row.a, row.b, row.c, row.d) == (3, 1, 1, 3)
+    assert abs(row.p_value - 34 / 70) < 1e-6
+    # independence on a big balanced table → p = 1
+    rows2 = [(i % 2, (i // 2) % 2) for i in range(400)]
+    df2 = spark.createDataFrame(rows2, "r int, c int")
+    p2 = fisher_exact_2x2(df2, F.col("r") == 1, F.col("c") == 1).collect()[0].p_value
+    assert p2 > 0.99
+    # max_range guard
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="chi-square"):
+        fisher_exact_2x2(df2, F.col("r") == 1, F.col("c") == 1, max_range=10)
+
+
+def test_cohens_effect_sizes_reference(spark):
+    from area_etl_spark.operators.experiments import cohens_effect_sizes
+
+    df = spark.createDataFrame(
+        [("a", 2), ("a", 4), ("a", 6), ("b", 1), ("b", 2), ("b", 3)],
+        "g string, v long",
+    )
+    r = cohens_effect_sizes(df, "g", "v", "a", "b").collect()[0]
+    assert (r.n_a, r.n_b) == (3, 3)
+    assert abs(r.mean_diff - 2.0) < 1e-12
+    pooled = (8 + 2) / 4  # ((n−1)s²)_a + _b over n_a+n_b−2
+    want_d = 2.0 / pooled**0.5
+    assert abs(r.cohens_d - want_d) < 1e-9
+    assert abs(r.hedges_g - want_d * (1 - 3 / 15)) < 1e-9
+    # one-point group → NULL d (pooled undefined), not a crash
+    tiny = spark.createDataFrame([("a", 5), ("b", 1), ("b", 2)], "g string, v long")
+    assert cohens_effect_sizes(tiny, "g", "v", "a", "b").collect()[0].cohens_d is None
+
+
+def test_cramers_v_bounds(spark):
+    from area_etl_spark.operators.experiments import cramers_v
+
+    # perfect association → V = 1
+    perf = spark.createDataFrame(
+        [("x", "p")] * 5 + [("y", "q")] * 5, "a string, b string"
+    )
+    r = cramers_v(perf, "a", "b").collect()[0]
+    assert (r.n, r.n_rows, r.n_cols) == (10, 2, 2)
+    assert abs(r.chi2 - 10.0) < 1e-9
+    assert abs(r.v - 1.0) < 1e-9
+    # independence → V = 0
+    ind = spark.createDataFrame(
+        [("x", "p"), ("x", "q"), ("y", "p"), ("y", "q")] * 5, "a string, b string"
+    )
+    r2 = cramers_v(ind, "a", "b").collect()[0]
+    assert abs(r2.chi2) < 1e-9 and abs(r2.v) < 1e-9
+
+
+def test_seasonal_decompose_reference(spark):
+    from area_etl_spark.operators.windows import seasonal_decompose_classical
+
+    # pure seasonal signal, period 4 (even): base + season[phase], no trend
+    season = [100, -50, 25, -75]
+    rows = [(i, 10000 + season[i % 4]) for i in range(24)]
+    df = spark.createDataFrame(rows, "t long, v long")
+    out = seasonal_decompose_classical(df, [], ["t"], "v", 4).collect()
+    by_t = {r.t: r for r in out}
+    # interior rows: trend == base, residual == 0, seasonal == centered season
+    mean_season = sum(season) / 4.0
+    for t in range(2, 22):
+        r = by_t[t]
+        assert r.trend == 10000, (t, r)
+        assert abs(r.seasonal - round(season[t % 4] - mean_season)) <= 1, (t, r)
+        assert abs(r.residual) <= 1, (t, r)
+    # edges have NULL trend/residual
+    assert by_t[0].trend is None and by_t[23].trend is None
+    # odd period path
+    rows3 = [(i, 1000 + (i % 3) * 30) for i in range(15)]
+    df3 = spark.createDataFrame(rows3, "t long, v long")
+    out3 = {r.t: r for r in seasonal_decompose_classical(df3, [], ["t"], "v", 3).collect()}
+    assert out3[0].trend is None and out3[1].trend is not None
+    assert abs(out3[7].residual) <= 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="period"):
+        seasonal_decompose_classical(df3, [], ["t"], "v", 1)
+
+
+def test_rsi_cutler_reference(spark):
+    from area_etl_spark.operators.windows import rsi_cutler
+
+    # strictly rising series → RSI 100 once warmed up; falling → 0; flat → 50
+    rows = [("up", i, 100 + i * 10) for i in range(10)]
+    rows += [("down", i, 1000 - i * 10) for i in range(10)]
+    rows += [("flat", i, 500) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    out = rsi_cutler(df, ["k"], ["t"], "v", 5).collect()
+    for r in out:
+        if r.t < 5:
+            assert r.rsi is None, r  # warm-up: fewer than n diffs
+        elif r.k == "up":
+            assert r.rsi == 100.0, r
+        elif r.k == "down":
+            assert r.rsi == 0.0, r
+        else:
+            assert r.rsi == 50.0, r
+    # hand-check a mixed window: gains 10+30, losses 20 → RSI 40/60·100
+    mixed = [("m", 0, 100), ("m", 1, 110), ("m", 2, 90), ("m", 3, 120)]
+    got = {
+        r.t: r.rsi
+        for r in rsi_cutler(
+            spark.createDataFrame(mixed, "k string, t long, v long"), ["k"], ["t"], "v", 3
+        ).collect()
+    }
+    assert abs(got[3] - 100.0 * 40 / 60) < 1e-9
+
+
+def test_bollinger_bands_reference(spark):
+    from area_etl_spark.operators.windows import bollinger_bands
+
+    vals = [10, 20, 30, 40, 50]
+    df = spark.createDataFrame([("s", i, v) for i, v in enumerate(vals)], "k string, t long, v long")
+    out = {r.t: r for r in bollinger_bands(df, ["k"], ["t"], "v", 5, 2.0).collect()}
+    assert out[3].bb_mean is None  # not yet a full window
+    r = out[4]
+    mean = sum(vals) / 5.0
+    var = sum((v - mean) ** 2 for v in vals) / 4.0
+    assert r.bb_mean == round(mean)
+    assert r.bb_upper == round(mean + 2 * var**0.5)
+    assert r.bb_lower == round(mean - 2 * var**0.5)

@@ -1448,3 +1448,48 @@ def test_semdedup_prune_within_cluster_min_id_wins(spark):
         va, vb = np.array(vecs[a]), np.array(vecs[b])
         cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
         assert round(cos, 6) < 0.999
+
+
+def test_kneser_ney_bigram_sums_to_one(spark):
+    from pyspark.sql import functions as F
+
+    from area_etl_spark.operators.text_analysis import kneser_ney_bigram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "san francisco is a city"),
+            (2, "new york is a city"),
+            (3, "san francisco has a bay"),
+            (4, "the city has a park"),
+        ],
+        "doc_id long, text string",
+    )
+    full = kneser_ney_bigram(docs, topk=10_000)
+    rows = {(r.w1, r.w2): r for r in full.collect()}
+    # interpolation identity over the FULL vocabulary: observed rows carry
+    # Σ p_kn, unobserved w2 carry backoff-only mass λ·(1 − Σ_obs Pcont);
+    # together they must sum to 1 for every context w1
+    nt = len(rows)
+    n1b = {}
+    for (_, w2) in rows:
+        n1b[w2] = n1b.get(w2, 0) + 1
+    by_w1 = {}
+    for (w1, w2), r in rows.items():
+        by_w1.setdefault(w1, []).append((w2, r))
+    for w1, lst in by_w1.items():
+        c1 = sum(r.c12 for _, r in lst)
+        lam = 0.75 * len(lst) / c1
+        obs = sum(r.p_kn for _, r in lst)
+        pcont_obs = sum(n1b[w2] / nt for w2, _ in lst)
+        total = obs + lam * (1 - pcont_obs)
+        assert abs(total - 1.0) < 1e-4, (w1, total)
+    # "francisco" only ever follows "san": max-discounted MLE + backoff
+    r = rows[("san", "francisco")]
+    assert r.c12 == 2
+    # c1(san)=2, D=0.75: (2−0.75)/2 + 0.75·(1/2)·Pcont(francisco)
+    # francisco completes 1 distinct bigram type of the total
+    nt = len(rows)
+    want = (2 - 0.75) / 2 + 0.75 * (1 / 2) * (1 / nt)
+    assert abs(r.p_kn - want) < 1e-6, (r.p_kn, want)
+    # continuation insight: P(city | the) uses distinct-context counts
+    assert ("the", "city") in rows
