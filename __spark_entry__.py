@@ -6246,6 +6246,44 @@ def q_hll_distinct(spark, sf_dir):
     return hll_distinct_portable(_tables(spark, sf_dir)["events"], "user_id")
 
 
+def q_hits_scores(spark, sf_dir):
+    """HITS hubs/authorities over the DIRECTED user→item interaction graph
+    (users are hubs, items authorities) — fixed-3-round unnormalized power
+    iteration in exact DECIMAL integers (normalization only rescales, so
+    skipping it keeps every intermediate engine-exact); top-20 authorities
+    with max-normalized ratios."""
+    from area_etl_spark.operators.graph import hits_scores
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        F.col("user_id").alias("src"),
+        (F.pmod(F.col("event_id"), F.lit(500)) + F.lit(10_000_000)).alias("dst"),
+    ).distinct()
+    return hits_scores(ev, iterations=3, topk=20)
+
+
+def q_dp_noisy_counts(spark, sf_dir):
+    """ε-DP event-type counts (Laplace mechanism, ε = 0.5) with the
+    SEEDED engine-portable noise draw: md5 digits → uniform → inverse-CDF
+    Laplace — same release, same noise, any engine."""
+    from area_etl_spark.operators.quality import dp_noisy_counts
+
+    ev = _tables(spark, sf_dir)["events"]
+    return dp_noisy_counts(ev, "event_type", epsilon=0.5, seed="dp")
+
+
+def q_decision_stump(spark, sf_dir):
+    """Best Gini split of account balance for predicting the BUILDING
+    segment — the one-level decision tree over the rank-family cumulative
+    machinery; argmin via struct-min so the split is engine-identical."""
+    from area_etl_spark.operators.classify import decision_stump
+
+    c = _tables(spark, sf_dir)["customer"].select(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        (F.col("c_mktsegment") == "BUILDING").alias("is_building"),
+    )
+    return decision_stump(c, "bal_cents", "is_building")
+
+
 def q_query_likelihood(spark, sf_dir):
     """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty 2001)
     over the documents corpus — the LM counterpart of bm25_search on the
@@ -6583,6 +6621,9 @@ _R12_QUEUE = [
     "bollinger_bands",
     "query_likelihood",
     "kneser_ney",
+    "hits_scores",
+    "dp_noisy_counts",
+    "decision_stump",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -6869,6 +6910,9 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bollinger_bands": q_bollinger_bands,
         "query_likelihood": q_query_likelihood,
         "kneser_ney": q_kneser_ney,
+        "hits_scores": q_hits_scores,
+        "dp_noisy_counts": q_dp_noisy_counts,
+        "decision_stump": q_decision_stump,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -9654,6 +9698,138 @@ def oracle_sql() -> dict[str, str]:
                                                 list(t ORDER BY bin)),
                                    (a, b) -> a + b)), 9) AS jsd
             FROM terms
+        """,
+        "hits_scores": """
+            WITH ev AS (
+                SELECT DISTINCT user_id AS src,
+                       (event_id % 500) + 10000000 AS dst
+                FROM events
+            ), nodes AS (
+                SELECT DISTINCT node FROM (
+                    SELECT src AS node FROM ev
+                    UNION ALL SELECT dst AS node FROM ev
+                )
+            ), h0 AS (
+                SELECT node, CAST(1 AS HUGEINT) AS h FROM nodes
+            ), s1 AS (
+                SELECT dst AS node, SUM(h) AS a FROM ev
+                JOIN h0 ON h0.node = ev.src GROUP BY 1
+            ), a1 AS (
+                SELECT n.node, COALESCE(s1.a, 0) AS a
+                FROM nodes n LEFT JOIN s1 USING (node)
+            ), t1 AS (
+                SELECT src AS node, SUM(a) AS h FROM ev
+                JOIN a1 ON a1.node = ev.dst GROUP BY 1
+            ), h1 AS (
+                SELECT n.node, COALESCE(t1.h, 0) AS h
+                FROM nodes n LEFT JOIN t1 USING (node)
+            ), s2 AS (
+                SELECT dst AS node, SUM(h) AS a FROM ev
+                JOIN h1 ON h1.node = ev.src GROUP BY 1
+            ), a2 AS (
+                SELECT n.node, COALESCE(s2.a, 0) AS a
+                FROM nodes n LEFT JOIN s2 USING (node)
+            ), t2 AS (
+                SELECT src AS node, SUM(a) AS h FROM ev
+                JOIN a2 ON a2.node = ev.dst GROUP BY 1
+            ), h2 AS (
+                SELECT n.node, COALESCE(t2.h, 0) AS h
+                FROM nodes n LEFT JOIN t2 USING (node)
+            ), s3 AS (
+                SELECT dst AS node, SUM(h) AS a FROM ev
+                JOIN h2 ON h2.node = ev.src GROUP BY 1
+            ), a3 AS (
+                SELECT n.node, COALESCE(s3.a, 0) AS a
+                FROM nodes n LEFT JOIN s3 USING (node)
+            ), t3 AS (
+                SELECT src AS node, SUM(a) AS h FROM ev
+                JOIN a3 ON a3.node = ev.dst GROUP BY 1
+            ), h3 AS (
+                SELECT n.node, COALESCE(t3.h, 0) AS h
+                FROM nodes n LEFT JOIN t3 USING (node)
+            ), j AS (
+                SELECT a3.node AS node, a3.a AS a, h3.h AS h
+                FROM a3 JOIN h3 USING (node)
+            ), mx AS (
+                SELECT MAX(a) AS ma, MAX(h) AS mh FROM j
+            )
+            SELECT node,
+                   round(CASE WHEN ma > 0
+                         THEN CAST(a AS DOUBLE) / CAST(ma AS DOUBLE)
+                         ELSE 0.0 END, 9) AS auth_ratio,
+                   round(CASE WHEN mh > 0
+                         THEN CAST(h AS DOUBLE) / CAST(mh AS DOUBLE)
+                         ELSE 0.0 END, 9) AS hub_ratio
+            FROM j CROSS JOIN mx
+            ORDER BY auth_ratio DESC, node
+            LIMIT 20
+        """,
+        "dp_noisy_counts": """
+            WITH c AS (
+                SELECT event_type AS grp, COUNT(*) AS n FROM events GROUP BY 1
+            ), hx AS (
+                SELECT grp, n, md5('dp:' || CAST(grp AS VARCHAR)) AS h FROM c
+            ), dg AS (
+                SELECT grp, n,
+                       ascii(substr(h, 1, 1)) - CASE WHEN ascii(substr(h, 1, 1)) <= 57
+                           THEN 48 ELSE 87 END AS d1,
+                       ascii(substr(h, 2, 1)) - CASE WHEN ascii(substr(h, 2, 1)) <= 57
+                           THEN 48 ELSE 87 END AS d2,
+                       ascii(substr(h, 3, 1)) - CASE WHEN ascii(substr(h, 3, 1)) <= 57
+                           THEN 48 ELSE 87 END AS d3,
+                       ascii(substr(h, 4, 1)) - CASE WHEN ascii(substr(h, 4, 1)) <= 57
+                           THEN 48 ELSE 87 END AS d4,
+                       ascii(substr(h, 5, 1)) - CASE WHEN ascii(substr(h, 5, 1)) <= 57
+                           THEN 48 ELSE 87 END AS d5,
+                       ascii(substr(h, 6, 1)) - CASE WHEN ascii(substr(h, 6, 1)) <= 57
+                           THEN 48 ELSE 87 END AS d6
+                FROM hx
+            ), uu AS (
+                SELECT grp, n,
+                       (CAST((((((d1 * 16 + d2) * 16 + d3) * 16 + d4) * 16 + d5)
+                              * 16 + d6) AS DOUBLE) + 0.5) / 16777216.0 AS u
+                FROM dg
+            ), nz AS (
+                SELECT grp, n,
+                       -2.0 * (CASE WHEN u - 0.5 >= 0 THEN 1.0 ELSE -1.0 END)
+                       * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+                FROM uu
+            )
+            SELECT grp, round(CAST(n AS DOUBLE) + noise, 6) AS noisy_count
+            FROM nz
+        """,
+        "decision_stump": """
+            WITH base AS (
+                SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS f,
+                       CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS y
+                FROM customer
+            ), per_f AS (
+                SELECT f, COUNT(*) AS cnt, SUM(y) AS pos FROM base GROUP BY 1
+            ), cum AS (
+                SELECT f,
+                       SUM(cnt) OVER (ORDER BY f
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ln,
+                       SUM(pos) OVER (ORDER BY f
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lp
+                FROM per_f
+            ), tot AS (
+                SELECT SUM(cnt) AS n, SUM(pos) AS p, MAX(f) AS fmax FROM per_f
+            ), cand AS (
+                SELECT f, ln, lp, n, p FROM cum CROSS JOIN tot WHERE f < fmax
+            ), g AS (
+                SELECT f, ln, lp, n - ln AS rn, p - lp AS rp,
+                       (2.0 * CAST(lp AS DOUBLE)
+                            * (CAST(ln AS DOUBLE) - CAST(lp AS DOUBLE))
+                            / CAST(ln AS DOUBLE)
+                        + 2.0 * CAST(p - lp AS DOUBLE)
+                            * (CAST(n - ln AS DOUBLE) - CAST(p - lp AS DOUBLE))
+                            / CAST(n - ln AS DOUBLE)) / CAST(n AS DOUBLE) AS gini
+                FROM cand
+            )
+            SELECT CAST(f AS BIGINT) AS threshold, round(gini, 9) AS gini,
+                   CAST(ln AS BIGINT) AS left_n, CAST(lp AS BIGINT) AS left_pos,
+                   CAST(rn AS BIGINT) AS right_n, CAST(rp AS BIGINT) AS right_pos
+            FROM g ORDER BY gini, f LIMIT 1
         """,
         "query_likelihood": """
             WITH tk AS (

@@ -376,3 +376,81 @@ def lift_gain_table(
             ).alias("lift"),
         )
     )
+
+
+def decision_stump(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    quantize: float | None = None,
+) -> DataFrame:
+    """Best single-feature threshold split by weighted Gini impurity — the
+    one-level decision tree (the weak learner boosting stacks, and the
+    fastest useful answer to "does this feature separate the classes").
+
+    Candidate thresholds are the DISTINCT feature values; for each, the
+    left/right (count, positives) come from ONE cumulative window over the
+    per-value aggregate (the rank-family machinery — never a row-level
+    sort), and the weighted Gini
+
+        G(t) = (2·lp·(ln−lp)/ln + 2·rp·(rn−rp)/rn) / N
+
+    is a fixed-order double expression over exact integers — deterministic
+    per candidate, so the argmin via min(struct(gini, threshold)) picks
+    the same split in any engine (ties break toward the smaller
+    threshold).  The last value is excluded (empty right side).
+
+    CARDINALITY CONTRACT (quantize_values): the cumulative window is
+    O(|distinct values|) — pass ``quantize`` for raw continuous features.
+    Returns one row (threshold, gini, left_n, left_pos, right_n,
+    right_pos); NULL threshold when fewer than 2 distinct values.
+    """
+    from pyspark.sql import Window
+
+    from area_etl_spark.operators.experiments import quantize_values
+
+    base = df.select(
+        quantize_values(F.col(feature_col), quantize).cast("long").alias("_f"),
+        F.when(F.col(label_col).cast("boolean"), 1).otherwise(0).alias("_y"),
+    ).where(F.col(feature_col).isNotNull())
+    per_f = base.groupBy("_f").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.sum("_y").alias("_pos")
+    )
+    w = Window.orderBy("_f").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_f.select(
+        F.col("_f"),
+        F.sum("_cnt").over(w).alias("_ln"),
+        F.sum("_pos").over(w).alias("_lp"),
+    )
+    totals = per_f.agg(
+        F.sum("_cnt").alias("_n"),
+        F.sum("_pos").alias("_p"),
+        F.max("_f").alias("_fmax"),
+    )
+    cand = cum.crossJoin(F.broadcast(totals)).where(F.col("_f") < F.col("_fmax"))
+    ln = F.col("_ln").cast("double")
+    lp = F.col("_lp").cast("double")
+    rn = (F.col("_n") - F.col("_ln")).cast("double")
+    rp = (F.col("_p") - F.col("_lp")).cast("double")
+    gini = (
+        F.lit(2.0) * lp * (ln - lp) / ln + F.lit(2.0) * rp * (rn - rp) / rn
+    ) / F.col("_n").cast("double")
+    best = cand.select(
+        F.struct(
+            gini.alias("g"),
+            F.col("_f").alias("t"),
+            F.col("_ln").alias("ln"),
+            F.col("_lp").alias("lp"),
+            (F.col("_n") - F.col("_ln")).alias("rn"),
+            (F.col("_p") - F.col("_lp")).alias("rp"),
+        ).alias("_s")
+    ).agg(F.min("_s").alias("_b"))
+    b = F.col("_b")
+    return best.select(
+        b.getField("t").cast("long").alias("threshold"),
+        F.round(b.getField("g"), 9).alias("gini"),
+        b.getField("ln").cast("long").alias("left_n"),
+        b.getField("lp").cast("long").alias("left_pos"),
+        b.getField("rn").cast("long").alias("right_n"),
+        b.getField("rp").cast("long").alias("right_pos"),
+    )

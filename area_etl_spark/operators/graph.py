@@ -939,3 +939,92 @@ def shortest_paths_weighted(
         if moved == 0:
             break
     return dist
+
+
+def hits_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    topk: int = 20,
+) -> DataFrame:
+    """HITS hub/authority scores (Kleinberg 1999) by fixed-k UNNORMALIZED
+    power iteration in exact DECIMAL(38,0) integers — the pagerank_integer
+    determinism idea pushed further: HITS' per-round normalization only
+    rescales (the ranking and the final ratios are normalization-
+    invariant), so skipping it keeps every intermediate an exact integer
+    that any engine replays as chained CTEs, with no float sum order to
+    disagree on.
+
+        auth'(v) = Σ_{u→v} hub(u)        hub'(u) = Σ_{u→v} auth'(v)
+
+    starting from hub = 1.  Growth bound: after k rounds values are at
+    most n·d_max^(2k) — DECIMAL(38,0) holds d_max ~ 1e4 graphs at k = 3
+    with room (1e24 of 1e38); raise ``iterations`` only with that bound
+    in mind (documented contract, asserted at runtime is impossible
+    without a count, so the docstring is the contract).
+
+    Output: top-k nodes by authority with auth_ratio/hub_ratio — each
+    score over its max, the normalization-invariant quantity — rounded to
+    9 (ratios are ≤ 1, safely inside portable-round range).  Ties break
+    by node id.  Scale shape per round: two equi-joins + two groupBys
+    with map-side combine (the Pregel-on-DataFrames pattern);
+    ``localCheckpoint(eager)`` truncates lineage per round.
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    dec = "decimal(38,0)"
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hub = nodes.withColumn("h", F.lit(1).cast(dec))
+    auth = None
+    for i in range(iterations):
+        a_sums = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+        )
+        auth = nodes.join(
+            a_sums.withColumnRenamed("dst", "node"), "node", "left"
+        ).select("node", F.coalesce(F.col("a"), F.lit(0).cast(dec)).alias("a"))
+        h_sums = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+        )
+        hub = nodes.join(
+            h_sums.withColumnRenamed("src", "node"), "node", "left"
+        ).select("node", F.coalesce(F.col("h"), F.lit(0).cast(dec)).alias("h"))
+        if i < iterations - 1:
+            hub = hub.localCheckpoint(eager=True)
+    joined = auth.join(hub, "node")
+    maxes = joined.agg(
+        F.max("a").alias("ma"), F.max("h").alias("mh")
+    )
+    return (
+        joined.crossJoin(F.broadcast(maxes))
+        .select(
+            "node",
+            F.round(
+                F.when(
+                    F.col("ma") > 0, F.col("a").cast("double") / F.col("ma").cast("double")
+                ).otherwise(F.lit(0.0)),
+                9,
+            ).alias("auth_ratio"),
+            F.round(
+                F.when(
+                    F.col("mh") > 0, F.col("h").cast("double") / F.col("mh").cast("double")
+                ).otherwise(F.lit(0.0)),
+                9,
+            ).alias("hub_ratio"),
+        )
+        .orderBy(F.col("auth_ratio").desc(), "node")
+        .limit(topk)
+    )

@@ -1295,3 +1295,57 @@ def t_closeness(
         (F.round(emd, 6) + F.lit(0.0)).alias("emd"),
         (F.round(emd, 6) <= F.lit(t)).alias("is_t_close"),
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> DataFrame:
+    """ε-differentially-private group counts via the Laplace mechanism —
+    count queries have sensitivity 1, so noise ~ Laplace(1/ε) gives
+    ε-DP (Dwork et al. 2006).  The true count is deliberately NOT in the
+    output (publishing it would defeat the mechanism); the noise itself
+    is pinned by unit tests instead.
+
+    The draw is the repo's ENGINE-PORTABLE seeded uniform (the
+    hash_sample discipline, upgraded from a 4-hex-digit compare to a
+    numeric): the first 6 hex digits of md5(seed:group) become an integer
+    by explicit per-digit ascii arithmetic (no engine-specific hex parse),
+    u = (int + 0.5)/16⁶ ∈ (0,1) — never exactly 0, ½-centered so the
+    inverse-CDF below never sees ln(0) — and
+
+        noise = −(1/ε) · sign(u − ½) · ln(1 − 2·|u − ½|)
+
+    is the standard Laplace inverse-CDF.  Same hash → same noise in any
+    engine; determinism is the point (a per-release noise draw, not a
+    per-query one — re-running a published release must reproduce it).
+
+    One hash aggregate + a narrow projection; noise magnitude ~1/ε keeps
+    round-to-6 portable for counts up to ~9e9 (the |x|·1e6 < 2^53 bound —
+    documented; beyond that emit integer-rounded counts instead).
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be positive, got {epsilon}")
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col("grp").cast("string")))
+    val = None
+    for i in range(1, 7):
+        c = F.ascii(F.substring(h, i, 1))
+        dv = c - F.when(c <= 57, F.lit(48)).otherwise(F.lit(87))
+        val = dv if val is None else val * 16 + dv
+    u = (val.cast("double") + F.lit(0.5)) / F.lit(float(16**6))
+    centered = u - F.lit(0.5)
+    sign = F.when(centered >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = (
+        -F.lit(1.0 / epsilon)
+        * sign
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return counts.select(
+        "grp",
+        F.round(F.col("_n").cast("double") + noise, 6).alias("noisy_count"),
+    )

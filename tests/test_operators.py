@@ -3554,3 +3554,79 @@ def test_bollinger_bands_reference(spark):
     assert r.bb_mean == round(mean)
     assert r.bb_upper == round(mean + 2 * var**0.5)
     assert r.bb_lower == round(mean - 2 * var**0.5)
+
+
+def test_hits_scores_reference(spark):
+    from area_etl_spark.operators.graph import hits_scores
+
+    # 1→a, 1→b, 2→a: unnormalized rounds give auth a:b = 13:8 at k=3,
+    # hubs 1:2 = 21:13 (hand-iterated)
+    edges = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 100)], "src long, dst long"
+    )
+    rows = {r.node: r for r in hits_scores(edges, iterations=3, topk=10).collect()}
+    assert rows[100].auth_ratio == 1.0
+    assert abs(rows[200].auth_ratio - 8 / 13) < 1e-9
+    assert rows[1].hub_ratio == 1.0
+    assert abs(rows[2].hub_ratio - 13 / 21) < 1e-9
+    # pure sources have zero authority, pure sinks zero hub
+    assert rows[1].auth_ratio == 0.0 and rows[100].hub_ratio == 0.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="iterations"):
+        hits_scores(edges, iterations=0)
+
+
+def test_dp_noisy_counts_properties(spark):
+    from area_etl_spark.operators.quality import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [("a",)] * 100 + [("b",)] * 50 + [("c",)] * 10, "g string"
+    )
+    out1 = {r.grp: r.noisy_count for r in dp_noisy_counts(df, "g", 0.5, "s1").collect()}
+    out2 = {r.grp: r.noisy_count for r in dp_noisy_counts(df, "g", 0.5, "s1").collect()}
+    assert out1 == out2  # seeded: a release reproduces exactly
+    out3 = {r.grp: r.noisy_count for r in dp_noisy_counts(df, "g", 0.5, "s2").collect()}
+    assert out1 != out3  # a different seed is a different release
+    true = {"a": 100, "b": 50, "c": 10}
+    # Laplace(1/ε) with the 6-hex-digit draw: |noise| ≤ (1/ε)·ln(16⁶) ≈ 33.3
+    for g, n in true.items():
+        assert abs(out1[g] - n) <= (1 / 0.5) * 17 + 1, (g, out1[g])
+        assert out1[g] != n  # noise is actually applied
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="epsilon"):
+        dp_noisy_counts(df, "g", 0.0)
+
+
+def test_decision_stump_reference(spark):
+    from area_etl_spark.operators.classify import decision_stump
+
+    # perfectly separable: f ≤ 4 all negative, f ≥ 5 all positive
+    rows = [(f, False) for f in (1, 2, 3, 4)] + [(f, True) for f in (5, 6, 7)]
+    df = spark.createDataFrame(rows, "f long, y boolean")
+    r = decision_stump(df, "f", "y").collect()[0]
+    assert r.threshold == 4 and r.gini == 0.0
+    assert (r.left_n, r.left_pos, r.right_n, r.right_pos) == (4, 0, 3, 3)
+    # hand-computed impure case: y = [0,0,1,0,1,1] over f = 1..6
+    rows2 = list(zip(range(1, 7), [False, False, True, False, True, True]))
+    df2 = spark.createDataFrame(rows2, "f long, y boolean")
+    r2 = decision_stump(df2, "f", "y").collect()[0]
+    import itertools
+
+    best = None
+    ys = [0, 0, 1, 0, 1, 1]
+    for t in range(1, 6):
+        left = ys[:t]
+        right = ys[t:]
+        gini = (
+            2 * sum(left) * (len(left) - sum(left)) / len(left)
+            + 2 * sum(right) * (len(right) - sum(right)) / len(right)
+        ) / 6
+        if best is None or (gini, t) < best:
+            best = (gini, t)
+    assert r2.threshold == best[1]
+    assert abs(r2.gini - best[0]) < 1e-9
+    # degenerate single value → NULL threshold
+    one = spark.createDataFrame([(1, True), (1, False)], "f long, y boolean")
+    assert decision_stump(one, "f", "y").collect()[0].threshold is None
