@@ -6246,6 +6246,43 @@ def q_hll_distinct(spark, sf_dir):
     return hll_distinct_portable(_tables(spark, sf_dir)["events"], "user_id")
 
 
+_PIP_POLYGON = [(100, 100), (900, 200), (800, 800), (400, 950), (50, 600)]
+
+
+def q_point_in_polygon(spark, sf_dir):
+    """Even–odd ray-cast point-in-polygon in EXACT integer arithmetic —
+    the crossing test clears its division by sign-adjusted
+    cross-multiplication, so no float (and no epsilon contract) exists
+    anywhere; customers mapped onto a synthetic 1000×1000 grid against a
+    literal pentagon, the predicate folded edge-by-edge in codegen."""
+    from area_etl_spark.operators.geo import point_in_polygon
+
+    c = _tables(spark, sf_dir)["customer"].select(
+        "c_custkey",
+        F.pmod(F.col("c_custkey"), F.lit(1000)).alias("px"),
+        F.pmod(F.round(F.col("c_acctbal") * 100).cast("long"), F.lit(1000)).alias(
+            "py"
+        ),
+    )
+    return point_in_polygon(c, "px", "py", _PIP_POLYGON)
+
+
+def q_ransac_line(spark, sf_dir):
+    """Deterministic RANSAC line fit over the daily order-count series —
+    candidate pairs are the smallest-md5 sample points (seeded, engine-
+    portable), the inlier test is all-integer cross-multiplication, the
+    winner emits slope/intercept in one exact division each."""
+    from area_etl_spark.operators.experiments import ransac_line
+
+    o = _tables(spark, sf_dir)["orders"]
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")).alias(
+            "x"
+        )
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return ransac_line(daily, "x", "y", eps=20, n_candidates=16, seed="ransac")
+
+
 def q_hits_scores(spark, sf_dir):
     """HITS hubs/authorities over the DIRECTED user→item interaction graph
     (users are hubs, items authorities) — fixed-3-round unnormalized power
@@ -6624,6 +6661,8 @@ _R12_QUEUE = [
     "hits_scores",
     "dp_noisy_counts",
     "decision_stump",
+    "point_in_polygon",
+    "ransac_line",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -6913,6 +6952,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": q_hits_scores,
         "dp_noisy_counts": q_dp_noisy_counts,
         "decision_stump": q_decision_stump,
+        "point_in_polygon": q_point_in_polygon,
+        "ransac_line": q_ransac_line,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -7185,6 +7226,7 @@ def _langid_sql(text: str) -> str:
 # A&S 7.1.26 constants and operation order as the Spark side.
 from area_etl_spark.operators.experiments import normal_sf_sql as _normal_sf_sql  # noqa: E402
 from area_etl_spark.operators.experiments import f_sf_paulson_sql as _f_sf_paulson_sql  # noqa: E402
+from area_etl_spark.operators.geo import point_in_polygon_sql as _pip_sql  # noqa: E402
 
 NORMAL_SF_SQL_ABS_Z = _normal_sf_sql("abs(z)")
 # portable P(chi2_1 > x) = 2*P(Z > sqrt(x)), rendered over the UNROUNDED
@@ -9698,6 +9740,63 @@ def oracle_sql() -> dict[str, str]:
                                                 list(t ORDER BY bin)),
                                    (a, b) -> a + b)), 9) AS jsd
             FROM terms
+        """,
+        "point_in_polygon": f"""
+            WITH pts AS (
+                SELECT c_custkey,
+                       ((c_custkey % 1000) + 1000) % 1000 AS px,
+                       ((CAST(round(c_acctbal * 100) AS BIGINT) % 1000) + 1000)
+                           % 1000 AS py
+                FROM customer
+            )
+            SELECT c_custkey, px, py,
+                   {_pip_sql("px", "py", _PIP_POLYGON)} AS inside
+            FROM pts
+        """,
+        "ransac_line": """
+            WITH pts AS (
+                SELECT date_diff('day', DATE '1992-01-01',
+                                 CAST(o_orderdate AS DATE)) AS x,
+                       COUNT(*) AS y
+                FROM orders GROUP BY 1
+            ), d AS (
+                SELECT DISTINCT x, y FROM pts
+            ), s AS (
+                SELECT x, y,
+                       md5('ransac:' || CAST(x AS VARCHAR) || ':'
+                           || CAST(y AS VARCHAR)) AS h
+                FROM d ORDER BY h, x, y LIMIT 32
+            ), r AS (
+                SELECT x, y, ROW_NUMBER() OVER (ORDER BY h, x, y) AS rn FROM s
+            ), a AS (
+                SELECT CAST((rn + 1) / 2 AS BIGINT) AS cand_id,
+                       x AS x1, y AS y1 FROM r WHERE rn % 2 = 1
+            ), b AS (
+                SELECT CAST(rn / 2 AS BIGINT) AS cand_id,
+                       x AS x2, y AS y2 FROM r WHERE rn % 2 = 0
+            ), cands AS (
+                SELECT a.cand_id, x1, y1, x2, y2
+                FROM a JOIN b USING (cand_id) WHERE x1 <> x2
+            ), sc AS (
+                SELECT cand_id, x1, y1, x2, y2,
+                       SUM(CASE WHEN abs(p.y * (x2 - x1) - y1 * (x2 - x1)
+                                         - (y2 - y1) * (p.x - x1))
+                                     <= 20 * abs(x2 - x1)
+                                THEN 1 ELSE 0 END) AS inl,
+                       COUNT(*) AS npts
+                FROM pts p CROSS JOIN cands
+                GROUP BY 1, 2, 3, 4, 5
+            ), best AS (
+                SELECT * FROM sc ORDER BY inl DESC, cand_id LIMIT 1
+            )
+            SELECT round(CAST(y2 - y1 AS DOUBLE) / CAST(x2 - x1 AS DOUBLE), 6)
+                       AS slope,
+                   round(CAST(y1 * (x2 - x1) - (y2 - y1) * x1 AS DOUBLE)
+                         / CAST(x2 - x1 AS DOUBLE), 6) AS intercept,
+                   CAST(inl AS BIGINT) AS n_inliers,
+                   CAST(npts AS BIGINT) AS n_points,
+                   cand_id
+            FROM best
         """,
         "hits_scores": """
             WITH ev AS (

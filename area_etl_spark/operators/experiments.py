@@ -1965,3 +1965,115 @@ def cramers_v(
         F.round(chi2, 9).alias("chi2"),
         F.round(v, 9).alias("v"),
     )
+
+
+def ransac_line(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    eps: int,
+    n_candidates: int = 16,
+    seed: str = "ransac",
+) -> DataFrame:
+    """RANSAC line fit (Fischler & Bolles 1981) made FULLY deterministic
+    and engine-exact — the robust alternative to OLS when outliers are
+    structural (sensor glitches, mixed populations), complementing
+    theil_sen (which wants O(n²) pairs or sampling; RANSAC is O(K·n)).
+
+    Determinism replaces the random sampler: the 2K sample points are the
+    distinct (x, y) pairs with the smallest md5(seed:x:y) (the
+    hash_sample discipline), consecutive ranks pair up, and vertical
+    pairs (x1 = x2) are dropped.  The inlier test clears its division by
+    cross-multiplication,
+
+        |y·(x2−x1) − y1·(x2−x1) − (y2−y1)·(x−x1)| ≤ eps·|x2−x1|,
+
+    ALL integers — no float enters until the winning model's slope and
+    intercept emit (one exact division each, round-6).  The winner
+    maximizes inliers with smaller-candidate-id tie-break via struct-min.
+
+    Scale: candidates are a ≤K-row broadcast; the only data-sized pass is
+    one narrow broadcast-join + count per candidate (O(K·n) work, no
+    shuffle of the points).  Values must be integers with
+    |y·x_range| < 2^63 (the cross-multiplication bound, documented).
+    Returns one row (slope, intercept, n_inliers, n_points, cand_id).
+    """
+    if n_candidates < 1:
+        raise ValueError(f"n_candidates must be >= 1, got {n_candidates}")
+    pts = df.select(
+        F.col(x_col).cast("long").alias("_x"), F.col(y_col).cast("long").alias("_y")
+    ).where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    distinct = pts.distinct()
+    h = F.md5(
+        F.concat(
+            F.lit(f"{seed}:"),
+            F.col("_x").cast("string"),
+            F.lit(":"),
+            F.col("_y").cast("string"),
+        )
+    )
+    sampled = (
+        distinct.withColumn("_h", h)
+        .orderBy("_h", "_x", "_y")
+        .limit(2 * n_candidates)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("_h", "_x", "_y")
+    ranked = sampled.withColumn("_rn", F.row_number().over(w))
+    a = ranked.where(F.col("_rn") % 2 == 1).select(
+        ((F.col("_rn") + 1) / 2).cast("long").alias("cand_id"),
+        F.col("_x").alias("_x1"),
+        F.col("_y").alias("_y1"),
+    )
+    b = ranked.where(F.col("_rn") % 2 == 0).select(
+        (F.col("_rn") / 2).cast("long").alias("cand_id"),
+        F.col("_x").alias("_x2"),
+        F.col("_y").alias("_y2"),
+    )
+    cands = a.join(b, "cand_id").where(F.col("_x1") != F.col("_x2"))
+    dx = F.col("_x2") - F.col("_x1")
+    dy = F.col("_y2") - F.col("_y1")
+    resid = F.abs(
+        F.col("_y") * dx - F.col("_y1") * dx - dy * (F.col("_x") - F.col("_x1"))
+    )
+    scored = (
+        pts.crossJoin(F.broadcast(cands))
+        .groupBy("cand_id")
+        .agg(
+            F.first("_x1").alias("_x1"),
+            F.first("_y1").alias("_y1"),
+            F.first("_x2").alias("_x2"),
+            F.first("_y2").alias("_y2"),
+            F.sum(
+                F.when(resid <= F.lit(eps) * F.abs(dx), 1).otherwise(0)
+            ).alias("_inl"),
+            F.count(F.lit(1)).alias("_npts"),
+        )
+    )
+    best = scored.select(
+        F.struct(
+            (-F.col("_inl")).alias("neg"),
+            F.col("cand_id").alias("cid"),
+            F.col("_x1").alias("x1"),
+            F.col("_y1").alias("y1"),
+            F.col("_x2").alias("x2"),
+            F.col("_y2").alias("y2"),
+            F.col("_inl").alias("inl"),
+            F.col("_npts").alias("npts"),
+        ).alias("_s")
+    ).agg(F.min("_s").alias("_b"))
+    bb = F.col("_b")
+    bdx = bb.getField("x2") - bb.getField("x1")
+    bdy = bb.getField("y2") - bb.getField("y1")
+    slope = bdy.cast("double") / bdx.cast("double")
+    intercept = (
+        bb.getField("y1") * bdx - bdy * bb.getField("x1")
+    ).cast("double") / bdx.cast("double")
+    return best.select(
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        bb.getField("inl").cast("long").alias("n_inliers"),
+        bb.getField("npts").cast("long").alias("n_points"),
+        bb.getField("cid").cast("long").alias("cand_id"),
+    )

@@ -131,3 +131,79 @@ def tag_ip_networks(df, ip_col: str, networks: list[tuple[str, str]]):
             "network"
         ),
     )
+
+
+def point_in_polygon(
+    df,
+    x_col: str,
+    y_col: str,
+    polygon: list[tuple[int, int]],
+    out_col: str = "inside",
+):
+    """Point-in-polygon by the even–odd (ray-casting) rule in EXACT integer
+    arithmetic — coordinates must be integers (quantized micro-degrees,
+    the geohash_encode convention): an edge (x1,y1)→(x2,y2) crosses the
+    rightward ray from (x, y) iff
+
+        (y1 > y) ≠ (y2 > y)   AND   the intersection lies right of x,
+
+    and the intersection test clears its division by cross-multiplying —
+    sign-adjusted by (y2 − y1) so the inequality never flips unseen:
+
+        (x1 − x)·(y2 − y1) + (y − y1)·(x2 − x1)  compared to 0,
+        '>' when y2 > y1, '<' when y2 < y1.
+
+    No float enters at any point, so the predicate is engine-identical by
+    construction (no epsilon, no round contract needed).  Boundary
+    convention: the half-open crossing rule ((y1 > y) ≠ (y2 > y)) counts
+    each vertex once; points exactly ON a horizontal edge follow the
+    even–odd parity of the remaining crossings (the standard ray-cast
+    convention, documented rather than special-cased).
+
+    The polygon is a SMALL literal (it rides into the plan as an array
+    constant — broadcast by value, not by join), and the test is one
+    narrow fold over its edges inside whole-stage codegen: zero shuffle,
+    scales with the point table only.
+    """
+    if len(polygon) < 3:
+        raise ValueError(f"polygon needs >= 3 vertices, got {len(polygon)}")
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    crossings = None
+    n = len(polygon)
+    for i in range(n):
+        x1, y1 = polygon[i]
+        x2, y2 = polygon[(i + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edges never satisfy the half-open rule
+        straddles = (F.lit(y1) > y) != (F.lit(y2) > y)
+        lhs = (F.lit(x1) - x) * F.lit(y2 - y1) + (y - F.lit(y1)) * F.lit(x2 - x1)
+        right_of = lhs > 0 if y2 > y1 else lhs < 0
+        c = F.when(straddles & right_of, 1).otherwise(0)
+        crossings = c if crossings is None else crossings + c
+    if crossings is None:
+        raise ValueError("degenerate polygon: all edges horizontal")
+    return df.withColumn(out_col, (crossings % 2) == 1)
+
+
+def point_in_polygon_sql(
+    x_expr: str, y_expr: str, polygon: list[tuple[int, int]]
+) -> str:
+    """DuckDB rendering of :func:`point_in_polygon`'s predicate — the same
+    integer cross-multiplications in the same order (exact, so order only
+    matters for readability)."""
+    terms = []
+    n = len(polygon)
+    for i in range(n):
+        x1, y1 = polygon[i]
+        x2, y2 = polygon[(i + 1) % n]
+        if y1 == y2:
+            continue
+        straddles = f"(({y1} > ({y_expr})) <> ({y2} > ({y_expr})))"
+        lhs = (
+            f"(({x1} - ({x_expr})) * ({y2 - y1}) "
+            f"+ (({y_expr}) - {y1}) * ({x2 - x1}))"
+        )
+        cmp = ">" if y2 > y1 else "<"
+        terms.append(f"(CASE WHEN {straddles} AND {lhs} {cmp} 0 THEN 1 ELSE 0 END)")
+    return f"((({' + '.join(terms)}) % 2) = 1)"

@@ -3630,3 +3630,53 @@ def test_decision_stump_reference(spark):
     # degenerate single value → NULL threshold
     one = spark.createDataFrame([(1, True), (1, False)], "f long, y boolean")
     assert decision_stump(one, "f", "y").collect()[0].threshold is None
+
+
+def test_point_in_polygon_reference(spark):
+    from area_etl_spark.operators.geo import point_in_polygon
+
+    # unit square (0,0)-(10,10): inside, outside, above, and ray-grazing points
+    square = [(0, 0), (10, 0), (10, 10), (0, 10)]
+    pts = [
+        (1, 5, 5, True),    # center
+        (2, 15, 5, False),  # right of it
+        (3, -5, 5, False),  # left of it
+        (4, 5, 15, False),  # above
+        (5, 5, -5, False),  # below
+        (6, 0, 5, True),    # on the left edge: ray crosses right edge only
+        (7, 10, 5, False),  # on the right edge: half-open rule puts it out
+    ]
+    df = spark.createDataFrame([(i, x, y) for i, x, y, _ in pts], "i long, x long, y long")
+    got = {r.i: r.inside for r in point_in_polygon(df, "x", "y", square).collect()}
+    for i, _, _, want in pts:
+        assert got[i] == want, (i, got[i], want)
+    # concave polygon: the notch is outside
+    concave = [(0, 0), (10, 0), (10, 10), (5, 3), (0, 10)]
+    df2 = spark.createDataFrame([(1, 5, 8), (2, 2, 5)], "i long, x long, y long")
+    got2 = {r.i: r.inside for r in point_in_polygon(df2, "x", "y", concave).collect()}
+    assert got2[1] is False and got2[2] is True
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vertices"):
+        point_in_polygon(df2, "x", "y", [(0, 0), (1, 1)])
+    with _pytest.raises(ValueError, match="horizontal"):
+        point_in_polygon(df2, "x", "y", [(0, 0), (5, 0), (9, 0)])
+
+
+def test_ransac_line_reference(spark):
+    from area_etl_spark.operators.experiments import ransac_line
+
+    # clean line y = 3x + 7 with 20% wild outliers: RANSAC recovers the line
+    rows = [(x, 3 * x + 7) for x in range(100)]
+    rows += [(x, 100_000 + x) for x in range(100, 125)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = ransac_line(df, "x", "y", eps=2, n_candidates=16).collect()[0]
+    assert r.slope == 3.0 and r.intercept == 7.0, r
+    assert r.n_inliers == 100 and r.n_points == 125
+    # determinism: same seed, same answer; the fit reproduces
+    r2 = ransac_line(df, "x", "y", eps=2, n_candidates=16).collect()[0]
+    assert r == r2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_candidates"):
+        ransac_line(df, "x", "y", eps=2, n_candidates=0)
