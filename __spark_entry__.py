@@ -6246,6 +6246,69 @@ def q_hll_distinct(spark, sf_dir):
     return hll_distinct_portable(_tables(spark, sf_dir)["events"], "user_id")
 
 
+def q_cochran_q(spark, sf_dir):
+    """Cochran's Q across three binary checks evaluated on the SAME
+    customers (positive balance / BUILDING segment / key divisible by 3)
+    — mcnemar generalized to k treatments, the textbook statistic cleared
+    to an all-integer ratio; Wilson–Hilferty p."""
+    from area_etl_spark.operators.experiments import cochran_q
+
+    c = _tables(spark, sf_dir)["customer"]
+    long = c.select(
+        F.col("c_custkey").alias("blk"),
+        F.expr(
+            "stack(3, 't1', c_acctbal > 0, 't2', c_mktsegment = 'BUILDING', "
+            "'t3', c_custkey % 3 = 0) AS (t, s)"
+        ),
+    ).select("blk", "t", "s")
+    return cochran_q(long, "blk", "t", "s")
+
+
+def q_friedman_test(spark, sf_dir):
+    """Friedman test over per-customer repeated measures — each customer's
+    FIRST, LAST, and MAX order values ranked WITHIN the customer (block-
+    partitioned midrank windows, never a global sort), doubled-rank sums
+    exact, the tie-robust statistic in one division."""
+    from area_etl_spark.operators.experiments import friedman_test
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_custkey", "o_orderdate", "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.min(F.struct("o_orderdate", "o_orderkey", "cents"))
+        .getField("cents")
+        .alias("first_c"),
+        F.max(F.struct("o_orderdate", "o_orderkey", "cents"))
+        .getField("cents")
+        .alias("last_c"),
+        F.max("cents").alias("max_c"),
+    )
+    long = per.select(
+        F.col("o_custkey").alias("blk"),
+        F.expr(
+            "stack(3, 'first', first_c, 'last', last_c, 'max', max_c) AS (t, v)"
+        ),
+    ).select("blk", "t", "v")
+    return friedman_test(long, "blk", "t", "v")
+
+
+def q_bayes_ab_beta(spark, sf_dir):
+    """Exact Bayesian A/B: P(positive-balance rate of odd-key customers
+    beats even-key) under Beta(1,1) priors — the Beta-Binomial identity
+    evaluated with NO special functions, two ln-ratio window cumsums (the
+    fisher_exact discipline twice), max-normalized exp."""
+    from area_etl_spark.operators.experiments import bayes_ab_beta
+
+    c = _tables(spark, sf_dir)["customer"].select(
+        F.when(F.pmod(F.col("c_custkey"), F.lit(2)) == 0, F.lit("control"))
+        .otherwise(F.lit("treatment"))
+        .alias("variant"),
+        (F.col("c_acctbal") > 0).alias("positive"),
+    )
+    return bayes_ab_beta(c, "variant", "positive", "control", "treatment")
+
+
 _PIP_POLYGON = [(100, 100), (900, 200), (800, 800), (400, 950), (50, 600)]
 
 
@@ -6663,6 +6726,9 @@ _R12_QUEUE = [
     "decision_stump",
     "point_in_polygon",
     "ransac_line",
+    "bayes_ab_beta",
+    "cochran_q",
+    "friedman_test",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -6954,6 +7020,9 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decision_stump": q_decision_stump,
         "point_in_polygon": q_point_in_polygon,
         "ransac_line": q_ransac_line,
+        "bayes_ab_beta": q_bayes_ab_beta,
+        "cochran_q": q_cochran_q,
+        "friedman_test": q_friedman_test,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -9740,6 +9809,170 @@ def oracle_sql() -> dict[str, str]:
                                                 list(t ORDER BY bin)),
                                    (a, b) -> a + b)), 9) AS jsd
             FROM terms
+        """,
+        "cochran_q": f"""
+            WITH long AS (
+                SELECT c_custkey AS b, 't1' AS t,
+                       CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS s
+                FROM customer
+                UNION ALL
+                SELECT c_custkey, 't2',
+                       CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                FROM customer
+                UNION ALL
+                SELECT c_custkey, 't3',
+                       CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END
+                FROM customer
+            ), ct AS (
+                SELECT t, SUM(s) AS cj FROM long GROUP BY 1
+            ), cb AS (
+                SELECT b, SUM(s) AS ri FROM long GROUP BY 1
+            ), at2 AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+                       SUM(CAST(cj AS HUGEINT)) AS n,
+                       SUM(CAST(cj AS HUGEINT) * cj) AS c2
+                FROM ct
+            ), ab2 AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+                       SUM(CAST(ri AS HUGEINT) * ri) AS r2
+                FROM cb
+            ), qq AS (
+                SELECT nb, CAST(k AS BIGINT) AS k,
+                       CASE WHEN CAST(k * n - r2 AS DOUBLE) > 0 THEN
+                           CAST((k - 1) * (k * c2 - n * n) AS DOUBLE)
+                           / CAST(k * n - r2 AS DOUBLE) END AS q,
+                       CAST(k - 1 AS DOUBLE) AS dfree
+                FROM at2 CROSS JOIN ab2
+            ), zed AS (
+                SELECT nb, k, q,
+                       (pow(q / dfree, 0.3333333333333333e0)
+                        - (1.0 - 2.0 / (9.0 * dfree)))
+                       / sqrt(2.0 / (9.0 * dfree)) AS z
+                FROM qq
+            )
+            SELECT nb AS n_blocks, k, round(q, 9) AS q,
+                   round(CASE WHEN q IS NOT NULL AND k > 1 AND q > 0 THEN
+                       LEAST(1.0, GREATEST(0.0,
+                           CASE WHEN z >= 0 THEN {_normal_sf_sql("z")}
+                                ELSE 1.0 - {_normal_sf_sql("(-z)")} END))
+                       WHEN q IS NOT NULL THEN 1.0 END, 6) AS p_value
+            FROM zed
+        """,
+        "friedman_test": f"""
+            WITH o AS (
+                SELECT o_custkey AS ck, o_orderdate AS dt, o_orderkey AS okey,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders
+            ), per AS (
+                SELECT ck,
+                       first(cents ORDER BY dt, okey) AS first_c,
+                       last(cents ORDER BY dt, okey) AS last_c,
+                       MAX(cents) AS max_c
+                FROM o GROUP BY 1
+            ), long AS (
+                SELECT ck AS b, 'first' AS t, first_c AS v FROM per
+                UNION ALL SELECT ck, 'last', last_c FROM per
+                UNION ALL SELECT ck, 'max', max_c FROM per
+            ), per_bv AS (
+                SELECT b, v, COUNT(*) AS cnt FROM long GROUP BY 1, 2
+            ), ranked_v AS (
+                SELECT b, v,
+                       2 * COALESCE(SUM(cnt) OVER (PARTITION BY b ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       + cnt + 1 AS r2
+                FROM per_bv
+            ), ranked AS (
+                SELECT long.t, r2 FROM long JOIN ranked_v USING (b, v)
+            ), per_t AS (
+                SELECT t, SUM(CAST(r2 AS HUGEINT)) AS rj2, COUNT(*) AS nb
+                FROM ranked GROUP BY 1
+            ), a2t AS (
+                SELECT SUM(CAST(r2 AS HUGEINT) * r2) AS a2 FROM ranked
+            ), agg AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS k,
+                       CAST(MAX(nb) AS HUGEINT) AS n,
+                       SUM(rj2) AS sr,
+                       SUM(rj2 * rj2) AS sr2
+                FROM per_t
+            ), st AS (
+                SELECT CAST(n AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+                       CASE WHEN CAST(n * k * a2 - sr * sr AS DOUBLE) > 0 THEN
+                           CAST((k - 1) * n * (k * sr2 - sr * sr) AS DOUBLE)
+                           / CAST(n * k * a2 - sr * sr AS DOUBLE) END AS chi2,
+                       CAST(k - 1 AS DOUBLE) AS dfree
+                FROM agg CROSS JOIN a2t
+            ), zed AS (
+                SELECT n_blocks, k, chi2,
+                       (pow(chi2 / dfree, 0.3333333333333333e0)
+                        - (1.0 - 2.0 / (9.0 * dfree)))
+                       / sqrt(2.0 / (9.0 * dfree)) AS z
+                FROM st
+            )
+            SELECT n_blocks, k, round(chi2, 9) AS chi2,
+                   round(CASE WHEN chi2 IS NOT NULL AND k > 1 AND chi2 > 0 THEN
+                       LEAST(1.0, GREATEST(0.0,
+                           CASE WHEN z >= 0 THEN {_normal_sf_sql("z")}
+                                ELSE 1.0 - {_normal_sf_sql("(-z)")} END))
+                       WHEN chi2 IS NOT NULL THEN 1.0 END, 6) AS p_value
+            FROM zed
+        """,
+        "bayes_ab_beta": """
+            WITH flags AS (
+                SELECT CASE WHEN c_custkey % 2 = 0 THEN 'control'
+                            ELSE 'treatment' END AS v,
+                       CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS s
+                FROM customer
+            ), c AS (
+                SELECT SUM(CASE WHEN v = 'control' THEN s ELSE 0 END) AS sa,
+                       SUM(CASE WHEN v = 'control' THEN 1 ELSE 0 END) AS na,
+                       SUM(CASE WHEN v = 'treatment' THEN s ELSE 0 END) AS sb,
+                       SUM(CASE WHEN v = 'treatment' THEN 1 ELSE 0 END) AS nb
+                FROM flags
+            ), p AS (
+                SELECT sa, na, sb, nb,
+                       sa + 1 AS aa, na - sa + 1 AS ba,
+                       sb + 1 AS abb, nb - sb + 1 AS bb
+                FROM c
+            ), gj AS (
+                SELECT p.*, unnest(generate_series(0, CAST(bb - 1 AS BIGINT))) AS j FROM p
+            ), l0c AS (
+                SELECT j, bb,
+                       SUM(ln(CAST(ba + j AS DOUBLE))
+                           - ln(CAST(aa + ba + j AS DOUBLE)))
+                           OVER (ORDER BY j
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+                FROM gj
+            ), l0 AS (
+                SELECT c AS l0 FROM l0c WHERE j = bb - 1
+            ), gi AS (
+                SELECT p.*, unnest(generate_series(0, CAST(abb - 1 AS BIGINT))) AS i FROM p
+            ), ltc AS (
+                SELECT i, abb,
+                       SUM(CASE WHEN i > 0 THEN
+                               ln(CAST(aa + i - 1 AS DOUBLE)
+                                  * CAST(bb + i - 1 AS DOUBLE))
+                               - ln(CAST(aa + ba + bb + i - 1 AS DOUBLE)
+                                    * CAST(i AS DOUBLE))
+                           ELSE 0.0 END)
+                           OVER (ORDER BY i
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+                FROM gi
+            ), mx AS (
+                SELECT MAX(lt) AS m FROM ltc
+            ), sm AS (
+                SELECT i, abb,
+                       SUM(exp(lt - m)) OVER (ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+                       m
+                FROM ltc CROSS JOIN mx
+            )
+            SELECT CAST((SELECT sa FROM c) AS BIGINT) AS successes_a,
+                   CAST((SELECT na FROM c) AS BIGINT) AS trials_a,
+                   CAST((SELECT sb FROM c) AS BIGINT) AS successes_b,
+                   CAST((SELECT nb FROM c) AS BIGINT) AS trials_b,
+                   round(LEAST(1.0, exp((SELECT l0 FROM l0) + m + ln(s))), 6)
+                       AS prob_b_beats_a
+            FROM sm WHERE i = abb - 1
         """,
         "point_in_polygon": f"""
             WITH pts AS (

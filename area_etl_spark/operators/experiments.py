@@ -2077,3 +2077,268 @@ def ransac_line(
         bb.getField("npts").cast("long").alias("n_points"),
         bb.getField("cid").cast("long").alias("cand_id"),
     )
+
+
+def bayes_ab_beta(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    variant_a: str,
+    variant_b: str,
+    *,
+    max_range: int = 5_000_000,
+) -> DataFrame:
+    """Exact Bayesian A/B readout: P(p_B > p_A) under independent
+    Beta(1,1)-prior Binomial models — the number an experimentation
+    platform actually wants ("probability B is better"), not a p-value.
+
+    The closed form (the standard Beta-Binomial identity)
+
+        P(p_B > p_A) = Σ_{i=0}^{α_B−1} B(α_A+i, β_A+β_B)
+                       / ((β_B+i) · B(1+i, β_B) · B(α_A, β_A))
+
+    is evaluated with NO special functions — the fisher_exact_2x2
+    discipline applied twice:
+
+    - the i=0 term normalized by B(α_A, β_A) telescopes to
+      Π_{j<β_B} (β_A+j)/(α_A+β_A+j) — one cumulative sum of ln ratios
+      over a j-grid;
+    - successive terms obey t_{i+1}/t_i = (α_A+i)(β_B+i) /
+      ((α_A+β_A+β_B+i)(1+i)) — a second ln-ratio cumsum over the i-grid,
+      max-normalized before exp so nothing overflows.
+
+    Both grids are window cumsums in index order — instruction-identical
+    float streams in any engine; accumulated libm-ln ULP drift is orders
+    below the round-to-6.  Grid sizes are β_B and α_B (the B arm's
+    failure/success counts); ``max_range`` guards the degenerate ask
+    (beyond ~5e6 the normal approximation is exact to 1e-6 anyway —
+    the documented escape hatch).  Returns one row
+    (successes_a, trials_a, successes_b, trials_b, prob_b_beats_a).
+    """
+    from pyspark.sql import Window
+
+    flags = df.select(
+        F.col(variant_col).alias("_v"),
+        F.when(F.col(success_col).cast("boolean"), 1).otherwise(0).alias("_s"),
+    ).where(F.col(variant_col).isin([variant_a, variant_b]))
+    counts = flags.agg(
+        F.sum(F.when(F.col("_v") == variant_a, F.col("_s"))).alias("_sa"),
+        F.sum(F.when(F.col("_v") == variant_a, 1).otherwise(0)).alias("_na"),
+        F.sum(F.when(F.col("_v") == variant_b, F.col("_s"))).alias("_sb"),
+        F.sum(F.when(F.col("_v") == variant_b, 1).otherwise(0)).alias("_nb"),
+    ).first()
+    sa, na, sb, nb = counts["_sa"], counts["_na"], counts["_sb"], counts["_nb"]
+    aa, ba = sa + 1, (na - sa) + 1  # Beta(1,1) posterior of arm A
+    ab, bb = sb + 1, (nb - sb) + 1
+    if max(ab, bb) > max_range:
+        raise ValueError(
+            f"bayes_ab_beta grids need {ab}+{bb} points (> {max_range}); at these "
+            "counts the normal approximation is exact to 1e-6 — use ab_test_ztest"
+        )
+    spark = df.sparkSession
+    wj = Window.orderBy("j").rowsBetween(Window.unboundedPreceding, 0)
+    # ln Π_{j<β_B} (β_A+j)/(α_A+β_A+j), one cumsum, last row carries it
+    gj = spark.range(0, bb).select(F.col("id").alias("j"))
+    l0 = (
+        gj.withColumn(
+            "_l",
+            F.log((F.lit(ba) + F.col("j")).cast("double"))
+            - F.log((F.lit(aa + ba) + F.col("j")).cast("double")),
+        )
+        .select(F.sum("_l").over(wj).alias("_c"), "j")
+        .where(F.col("j") == bb - 1)
+        .select(F.col("_c").alias("_l0"))
+    )
+    wi = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    gi = spark.range(0, ab).select(F.col("id").alias("i"))
+    lr = F.when(
+        F.col("i") > 0,
+        F.log(
+            (F.lit(aa) + F.col("i") - 1).cast("double")
+            * (F.lit(bb) + F.col("i") - 1).cast("double")
+        )
+        - F.log(
+            (F.lit(aa + ba + bb) + F.col("i") - 1).cast("double")
+            * F.col("i").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    lt = gi.withColumn("_lt", F.sum(lr).over(wi))
+    m = lt.agg(F.max("_lt").alias("_m"))
+    summed = (
+        lt.crossJoin(F.broadcast(m))
+        .select("i", F.sum(F.exp(F.col("_lt") - F.col("_m"))).over(wi).alias("_s"), "_m")
+        .where(F.col("i") == ab - 1)
+    )
+    out = summed.crossJoin(F.broadcast(l0)).select(
+        F.lit(sa).cast("long").alias("successes_a"),
+        F.lit(na).cast("long").alias("trials_a"),
+        F.lit(sb).cast("long").alias("successes_b"),
+        F.lit(nb).cast("long").alias("trials_b"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.exp(F.col("_l0") + F.col("_m") + F.log(F.col("_s"))),
+            ),
+            6,
+        ).alias("prob_b_beats_a"),
+    )
+    return out
+
+
+def cochran_q(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Cochran's Q test — mcnemar_test generalized to k binary treatments
+    on the SAME blocks (does any of k checks/variants differ in pass
+    rate?).  With column totals C_j, row totals R_i, grand total N:
+
+        Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²)
+
+    — the textbook form cleared to ALL-INTEGER numerator and denominator
+    (Σ(C_j − N/k)² = ΣC_j² − N²/k, multiplied through), so Q is one
+    exact division.  p via the Wilson–Hilferty chi-square path (k−1 df)
+    on the portable normal SF.  Blocks missing any treatment are dropped
+    (complete-block design, documented).  Two hash aggregates + one
+    broadcast semi-join.  Returns one row (n_blocks, k, q, p_value).
+    """
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(block_col).alias("_b"),
+        F.col(treatment_col).alias("_t"),
+        F.when(F.col(success_col).cast("boolean"), 1).otherwise(0).alias("_s"),
+    )
+    k_total = base.select("_t").distinct().count()
+    complete = (
+        base.groupBy("_b")
+        .agg(F.countDistinct("_t").alias("_kt"))
+        .where(F.col("_kt") == k_total)
+        .select("_b")
+    )
+    kept = base.join(F.broadcast(complete), "_b")
+    rows_t = kept.groupBy("_t").agg(F.sum("_s").alias("_cj"))
+    rows_b = kept.groupBy("_b").agg(F.sum("_s").alias("_ri"))
+    agg_t = rows_t.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("_cj").cast(dec)).alias("_n"),
+        F.sum((F.col("_cj").cast(dec) * F.col("_cj")).cast(dec)).alias("_c2"),
+    )
+    agg_b = rows_b.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum((F.col("_ri").cast(dec) * F.col("_ri")).cast(dec)).alias("_r2"),
+    )
+    j = agg_t.crossJoin(F.broadcast(agg_b))
+    k = F.col("k").cast(dec)
+    num = ((k - 1) * (k * F.col("_c2") - F.col("_n") * F.col("_n"))).cast("double")
+    den = (k * F.col("_n") - F.col("_r2")).cast("double")
+    q = F.when(den > 0, num / den)
+    dfree = (F.col("k") - 1).cast("double")
+    wh_z = (
+        F.pow(q / dfree, F.lit(1.0 / 3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dfree))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dfree))
+    sf = F.when(wh_z >= 0, normal_sf_portable(wh_z)).otherwise(
+        F.lit(1.0) - normal_sf_portable(-wh_z)
+    )
+    p = F.when(
+        q.isNotNull() & (F.col("k") > 1) & (q > 0),
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), sf)),
+    ).otherwise(F.when(q.isNotNull(), F.lit(1.0)))
+    return j.select(
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("k").cast("long").alias("k"),
+        F.round(q, 9).alias("q"),
+        F.round(p, 6).alias("p_value"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman test — kruskal_wallis for REPEATED measures: k treatments
+    ranked WITHIN each block, so between-block level differences cancel
+    by construction.  Within-block midranks come from per-(block, value)
+    tie counts and a block-PARTITIONED cumulative window (scales with
+    blocks — never a global sort).  Doubled ranks keep every sum an
+    exact DECIMAL; with doubled rank sums R2_j and A2 = Σ(2r)²:
+
+        χ²_F = (k−1)·(k·ΣR2_j² − (Σ R2_j)²) / (k·A2 − k·n·(k+1)²·... )
+
+    evaluated in the tie-robust sums form χ²_F = (k−1)·Σ(R_j − n(k+1)/2)²
+    / ((A − C)) with A = Σr², C = nk(k+1)²/4, all cleared to doubled-rank
+    integers.  p via Wilson–Hilferty (k−1 df).  Incomplete blocks drop
+    (complete-block design, documented).  Returns one row
+    (n_blocks, k, chi2, p_value); NULL when A = C (all ranks tie).
+    """
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(block_col).alias("_b"),
+        F.col(treatment_col).alias("_t"),
+        F.col(value_col).cast("long").alias("_v"),
+    ).where(F.col(value_col).isNotNull())
+    k_total = base.select("_t").distinct().count()
+    complete = (
+        base.groupBy("_b")
+        .agg(F.countDistinct("_t").alias("_kt"), F.count(F.lit(1)).alias("_ct"))
+        .where((F.col("_kt") == k_total) & (F.col("_ct") == k_total))
+        .select("_b")
+    )
+    kept = base.join(F.broadcast(complete), "_b")
+    from pyspark.sql import Window
+
+    per_bv = kept.groupBy("_b", "_v").agg(F.count(F.lit(1)).alias("_cnt"))
+    w = Window.partitionBy("_b").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked_v = per_bv.withColumn(
+        "_r2", 2 * F.coalesce(F.sum("_cnt").over(w), F.lit(0)) + F.col("_cnt") + 1
+    )
+    ranked = kept.join(ranked_v.select("_b", "_v", "_r2"), ["_b", "_v"])
+    per_t = ranked.groupBy("_t").agg(
+        F.sum(F.col("_r2").cast(dec)).alias("_rj2"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    a2 = ranked.agg(
+        F.sum((F.col("_r2").cast(dec) * F.col("_r2")).cast(dec)).alias("_a2")
+    )
+    agg = per_t.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("_nb").alias("_n"),
+        F.sum("_rj2").alias("_sr"),
+        F.sum((F.col("_rj2") * F.col("_rj2")).cast(dec)).alias("_sr2"),
+    ).crossJoin(F.broadcast(a2))
+    # doubled-rank algebra: R2_j = 2R_j, A2 = 4A, and ΣR2_j = n·k·(k+1) is
+    # forced (each block's doubled midranks sum to k(k+1)), so
+    #   Σ(R_j − n(k+1)/2)² = (k·ΣR2_j² − (ΣR2_j)²) / (4k)
+    #   A − C             = (n·k·A2 − (ΣR2_j)²) / (4·n·k)
+    # and the 4k clears:  χ² = (k−1)·n·(k·ΣR2² − (ΣR2)²) / (n·k·A2 − (ΣR2)²)
+    k = F.col("k").cast(dec)
+    n = F.col("_n").cast(dec)
+    num = (
+        (k - 1) * n * (k * F.col("_sr2") - F.col("_sr") * F.col("_sr"))
+    ).cast("double")
+    den = (n * k * F.col("_a2") - F.col("_sr") * F.col("_sr")).cast("double")
+    chi2 = F.when(den > 0, num / den)
+    dfree = (F.col("k") - 1).cast("double")
+    wh_z = (
+        F.pow(chi2 / dfree, F.lit(1.0 / 3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dfree))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dfree))
+    sf = F.when(wh_z >= 0, normal_sf_portable(wh_z)).otherwise(
+        F.lit(1.0) - normal_sf_portable(-wh_z)
+    )
+    p = F.when(
+        chi2.isNotNull() & (F.col("k") > 1) & (chi2 > 0),
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), sf)),
+    ).otherwise(F.when(chi2.isNotNull(), F.lit(1.0)))
+    return agg.select(
+        F.col("_n").cast("long").alias("n_blocks"),
+        F.col("k").cast("long").alias("k"),
+        F.round(chi2, 9).alias("chi2"),
+        F.round(p, 6).alias("p_value"),
+    )

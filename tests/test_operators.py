@@ -3680,3 +3680,117 @@ def test_ransac_line_reference(spark):
 
     with _pytest.raises(ValueError, match="n_candidates"):
         ransac_line(df, "x", "y", eps=2, n_candidates=0)
+
+
+def test_bayes_ab_beta_reference(spark):
+    import math
+
+    from area_etl_spark.operators.experiments import bayes_ab_beta
+
+    def lgamma_exact(sa, na, sb, nb):
+        aa, ba, ab, bb = sa + 1, na - sa + 1, sb + 1, nb - sb + 1
+        lb = lambda a, b: math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
+        return sum(
+            math.exp(
+                lb(aa + i, ba + bb) - math.log(bb + i) - lb(1 + i, bb) - lb(aa, ba)
+            )
+            for i in range(ab)
+        )
+
+    cases = [(5, 20, 10, 20), (0, 10, 5, 10), (30, 100, 45, 100)]
+    rows = []
+    for idx, (sa, na, sb, nb) in enumerate(cases):
+        rows += [(f"c{idx}", "a", True)] * sa + [(f"c{idx}", "a", False)] * (na - sa)
+        rows += [(f"c{idx}", "b", True)] * sb + [(f"c{idx}", "b", False)] * (nb - sb)
+    df = spark.createDataFrame(rows, "case string, v string, s boolean")
+    for idx, (sa, na, sb, nb) in enumerate(cases):
+        sub = df.where(df["case"] == f"c{idx}")
+        r = bayes_ab_beta(sub, "v", "s", "a", "b").collect()[0]
+        assert (r.successes_a, r.trials_a, r.successes_b, r.trials_b) == (
+            sa, na, sb, nb,
+        )
+        want = lgamma_exact(sa, na, sb, nb)
+        assert abs(r.prob_b_beats_a - want) < 1e-5, (idx, r.prob_b_beats_a, want)
+    # symmetric arms → probability ~0.5
+    sym = spark.createDataFrame(
+        [("a", True)] * 30 + [("a", False)] * 30
+        + [("b", True)] * 30 + [("b", False)] * 30,
+        "v string, s boolean",
+    )
+    p = bayes_ab_beta(sym, "v", "s", "a", "b").collect()[0].prob_b_beats_a
+    assert abs(p - 0.5) < 1e-6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ztest"):
+        bayes_ab_beta(sym, "v", "s", "a", "b", max_range=10)
+
+
+def test_cochran_q_reference(spark):
+    from area_etl_spark.operators.experiments import cochran_q
+
+    # classic 3-treatment binary table over 8 blocks
+    data = {
+        1: (1, 1, 0), 2: (1, 1, 1), 3: (0, 1, 0), 4: (1, 0, 0),
+        5: (1, 1, 1), 6: (1, 1, 0), 7: (1, 0, 0), 8: (0, 1, 0),
+    }
+    rows = [
+        (b, t, bool(v))
+        for b, vs in data.items()
+        for t, v in zip(("t1", "t2", "t3"), vs)
+    ]
+    df = spark.createDataFrame(rows, "b long, t string, s boolean")
+    r = cochran_q(df, "b", "t", "s").collect()[0]
+    assert (r.n_blocks, r.k) == (8, 3)
+    k = 3
+    cj = [sum(v[j] for v in data.values()) for j in range(3)]
+    ri = [sum(v) for v in data.values()]
+    n_tot = sum(cj)
+    want = (k - 1) * (k * sum(c * c for c in cj) - n_tot**2) / (
+        k * n_tot - sum(x * x for x in ri)
+    )
+    assert abs(r.q - want) < 1e-9, (r.q, want)
+    assert 0.0 <= r.p_value <= 1.0
+    # incomplete blocks drop: adding a 2-treatment block changes nothing
+    df2 = df.unionByName(
+        spark.createDataFrame([(99, "t1", True), (99, "t2", False)], "b long, t string, s boolean")
+    )
+    r2 = cochran_q(df2, "b", "t", "s").collect()[0]
+    assert (r2.n_blocks, r2.q) == (8, r.q)
+
+
+def test_friedman_test_reference(spark):
+    from area_etl_spark.operators.experiments import friedman_test
+
+    # no ties: classic formula 12/(nk(k+1))·ΣR_j² − 3n(k+1)
+    blocks = {
+        1: (10, 20, 30), 2: (15, 25, 5), 3: (12, 30, 20),
+        4: (8, 18, 28), 5: (30, 10, 20), 6: (11, 21, 31),
+    }
+    rows = [
+        (b, t, v)
+        for b, vs in blocks.items()
+        for t, v in zip(("a", "b", "c"), vs)
+    ]
+    df = spark.createDataFrame(rows, "blk long, t string, v long")
+    r = friedman_test(df, "blk", "t", "v").collect()[0]
+    n, k = 6, 3
+    ranks = {t: 0.0 for t in ("a", "b", "c")}
+    for vs in blocks.values():
+        order = sorted(range(3), key=lambda j: vs[j])
+        for rank0, j in enumerate(order):
+            ranks[("a", "b", "c")[j]] += rank0 + 1
+    want = 12.0 / (n * k * (k + 1)) * sum(v * v for v in ranks.values()) - 3 * n * (k + 1)
+    assert (r.n_blocks, r.k) == (6, 3)
+    assert abs(r.chi2 - want) < 1e-9, (r.chi2, want)
+    # ties within a block use midranks: all-equal blocks → chi2 NULL (A == C)
+    flat = spark.createDataFrame(
+        [(b, t, 5) for b in range(4) for t in ("a", "b", "c")],
+        "blk long, t string, v long",
+    )
+    assert friedman_test(flat, "blk", "t", "v").collect()[0].chi2 is None
+    # strong consistent ordering across many blocks → significant
+    strong = spark.createDataFrame(
+        [(b, t, i * 10 + (b % 2)) for b in range(20) for i, t in enumerate(("a", "b", "c"))],
+        "blk long, t string, v long",
+    )
+    assert friedman_test(strong, "blk", "t", "v").collect()[0].p_value < 1e-4
