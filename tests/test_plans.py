@@ -516,3 +516,29 @@ def test_max_concurrency_window_is_partitioned(tables):
     assert "Window" in plan
     # partitioned window: the exchange before the window hashes the key
     assert "hashpartitioning(event_type" in plan
+
+
+def test_point_in_polygon_zero_shuffle(tables):
+    from area_etl_spark.operators.geo import point_in_polygon
+
+    pts = tables["customer"].select(
+        F.pmod(F.col("c_custkey"), F.lit(1000)).alias("px"),
+        F.pmod(F.round(F.col("c_acctbal") * 100).cast("long"), F.lit(1000)).alias("py"),
+    )
+    plan = plan_str(point_in_polygon(pts, "px", "py", [(0, 0), (10, 0), (5, 10)]))
+    # the predicate is a literal edge fold inside codegen: no exchange at all
+    assert "Exchange" not in plan
+    # formatted mode stars codegen nodes: the projection must be inside one
+    assert "* Project" in plan
+
+
+def test_hits_scores_no_sort_merge_on_small_rank_side(tables):
+    from area_etl_spark.operators.graph import hits_scores
+
+    ev = tables["events"].select(
+        F.col("user_id").alias("src"),
+        (F.pmod(F.col("event_id"), F.lit(500)) + F.lit(10_000_000)).alias("dst"),
+    ).distinct()
+    plan = plan_str(hits_scores(ev, iterations=2, topk=5))
+    # the final top-k must be TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
