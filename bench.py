@@ -64,6 +64,10 @@ CORPUS = [
     "bm25_search",
     "hybrid_search_rrf",
     "bpe_merges",
+    # r11b: the LM-retrieval surface (query-likelihood mirrors bm25's shape;
+    # kneser_ney is the heaviest new corpus op — linear in bigram types)
+    "query_likelihood",
+    "kneser_ney",
 ]
 
 
