@@ -6246,6 +6246,70 @@ def q_hll_distinct(spark, sf_dir):
     return hll_distinct_portable(_tables(spark, sf_dir)["events"], "user_id")
 
 
+def q_logrank_test(spark, sf_dir):
+    """Log-rank comparison of the time-to-first-purchase curves of odd- vs
+    even-id signup users (the km_survival cohort split in two) — at-risk
+    counts from one distinct-time cumulative window, E/V as ordered
+    cumsums, χ²₁'s p is EXACTLY 2·Φ̄(√χ²) on the portable SF."""
+    from area_etl_spark.operators.experiments import logrank_test
+
+    ev = _tables(spark, sf_dir)["events"]
+    s = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t0")
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    tmax = ev.agg(F.max("ts").alias("tmax"))
+    subj = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            F.datediff(
+                F.coalesce(F.col("t1"), F.col("tmax")).cast("date"),
+                F.col("t0").cast("date"),
+            ).alias("dur"),
+            F.col("t1").isNotNull().alias("ev"),
+            F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+        )
+    )
+    return logrank_test(subj, F.col("arm") == 1, "dur", "ev")
+
+
+def q_partial_corr(spark, sf_dir):
+    """Partial correlation of line-item quantity and extended price with
+    the discount held fixed — three pairwise Pearsons off ONE exact
+    DECIMAL aggregate, the first-order recursion in one division."""
+    from area_etl_spark.operators.experiments import partial_corr
+
+    li = _tables(spark, sf_dir)["lineitem"].select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
+    )
+    return partial_corr(li, "qty", "cents", "disc")
+
+
+def q_durbin_watson(spark, sf_dir):
+    """Durbin–Watson autocorrelation diagnostic of the daily order-count
+    trend residuals — the residuals never exist as floats (the OLS
+    denominators clear to exact DECIMAL integers, and DW's ratio is
+    scale-invariant, so the clearing factor cancels)."""
+    from area_etl_spark.operators.experiments import durbin_watson
+
+    o = _tables(spark, sf_dir)["orders"]
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")).alias(
+            "x"
+        )
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return durbin_watson(daily, "x", "y")
+
+
 def q_cochran_q(spark, sf_dir):
     """Cochran's Q across three binary checks evaluated on the SAME
     customers (positive balance / BUILDING segment / key divisible by 3)
@@ -6729,6 +6793,9 @@ _R12_QUEUE = [
     "bayes_ab_beta",
     "cochran_q",
     "friedman_test",
+    "logrank_test",
+    "partial_corr",
+    "durbin_watson",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -7023,6 +7090,9 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bayes_ab_beta": q_bayes_ab_beta,
         "cochran_q": q_cochran_q,
         "friedman_test": q_friedman_test,
+        "logrank_test": q_logrank_test,
+        "partial_corr": q_partial_corr,
+        "durbin_watson": q_durbin_watson,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -9809,6 +9879,154 @@ def oracle_sql() -> dict[str, str]:
                                                 list(t ORDER BY bin)),
                                    (a, b) -> a + b)), 9) AS jsd
             FROM terms
+        """,
+        "logrank_test": f"""
+            WITH s AS (
+                SELECT user_id, MIN(ts) AS t0 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id
+            ), p AS (
+                SELECT e.user_id, MIN(e.ts) AS t1
+                FROM events e JOIN s USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s.t0
+                GROUP BY e.user_id
+            ), m AS (SELECT MAX(ts) AS tmax FROM events),
+            subj AS (
+                SELECT date_diff('day', CAST(s.t0 AS DATE),
+                                 CAST(COALESCE(p.t1, m.tmax) AS DATE)) AS t,
+                       CASE WHEN p.t1 IS NOT NULL THEN 1 ELSE 0 END AS e,
+                       CASE WHEN s.user_id % 2 = 1 THEN 1 ELSE 0 END AS g
+                FROM s LEFT JOIN p USING (user_id), m
+            ), per_t AS (
+                SELECT t, COUNT(*) AS cnt, SUM(g) AS cnt1,
+                       SUM(e) AS d, SUM(e * g) AS d1
+                FROM subj GROUP BY 1
+            ), tot AS (
+                SELECT SUM(cnt) AS n, SUM(cnt1) AS n1,
+                       SUM(d1) AS o1, MAX(t) AS tmx
+                FROM per_t
+            ), st AS (
+                SELECT t, d, tmx, n, n1, o1,
+                       n - COALESCE(SUM(cnt) OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nr,
+                       n1 - COALESCE(SUM(cnt1) OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nr1
+                FROM per_t CROSS JOIN tot
+            ), tm AS (
+                SELECT t, tmx, n, n1, o1,
+                       SUM(CASE WHEN d > 0 THEN CAST(d AS DOUBLE)
+                               * (CAST(nr1 AS DOUBLE) / CAST(nr AS DOUBLE))
+                           ELSE 0.0 END) OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e1,
+                       SUM(CASE WHEN d > 0 AND nr > 1 THEN CAST(d AS DOUBLE)
+                               * (CAST(nr1 AS DOUBLE) / CAST(nr AS DOUBLE))
+                               * (1.0 - CAST(nr1 AS DOUBLE) / CAST(nr AS DOUBLE))
+                               * CAST(nr - d AS DOUBLE) / CAST(nr - 1 AS DOUBLE)
+                           ELSE 0.0 END) OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+                FROM st
+            ), fin AS (
+                SELECT CAST(n AS BIGINT) AS n, CAST(n1 AS BIGINT) AS n1,
+                       CAST(o1 AS BIGINT) AS o1, e1,
+                       CASE WHEN v > 0 THEN (CAST(o1 AS DOUBLE) - e1)
+                           * (CAST(o1 AS DOUBLE) - e1) / v END AS chi2
+                FROM tm WHERE t = tmx
+            )
+            SELECT n, n1, o1, round(e1, 6) AS e1, round(chi2, 9) AS chi2,
+                   round(CASE WHEN chi2 IS NOT NULL THEN
+                       LEAST(1.0, 2.0 * {_normal_sf_sql("sqrt(chi2)")}) END, 6)
+                       AS p_value
+            FROM fin
+        """,
+        "partial_corr": """
+            WITH base AS (
+                SELECT CAST(l_quantity AS BIGINT) AS x,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+                       CAST(round(l_discount * 100) AS BIGINT) AS z
+                FROM lineitem
+            ), sums AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(CAST(x AS HUGEINT)) AS sx,
+                       SUM(CAST(y AS HUGEINT)) AS sy,
+                       SUM(CAST(z AS HUGEINT)) AS sz,
+                       SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                       SUM(CAST(y AS HUGEINT) * y) AS syy,
+                       SUM(CAST(z AS HUGEINT) * z) AS szz,
+                       SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                       SUM(CAST(x AS HUGEINT) * z) AS sxz,
+                       SUM(CAST(y AS HUGEINT) * z) AS syz
+                FROM base
+            ), rr AS (
+                SELECT CAST(n AS BIGINT) AS n_int,
+                       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                             AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                        * CAST(n * syy - sy * sy AS DOUBLE)) END AS rxy,
+                       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                             AND CAST(n * szz - sz * sz AS DOUBLE) > 0
+                            THEN CAST(n * sxz - sx * sz AS DOUBLE)
+                                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                        * CAST(n * szz - sz * sz AS DOUBLE)) END AS rxz,
+                       CASE WHEN CAST(n * syy - sy * sy AS DOUBLE) > 0
+                             AND CAST(n * szz - sz * sz AS DOUBLE) > 0
+                            THEN CAST(n * syz - sy * sz AS DOUBLE)
+                                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+                                        * CAST(n * szz - sz * sz AS DOUBLE)) END AS ryz
+                FROM sums
+            )
+            SELECT n_int AS n,
+                   round(rxy, 9) AS r_xy,
+                   round(rxz, 9) AS r_xz,
+                   round(ryz, 9) AS r_yz,
+                   round(CASE WHEN (1.0 - rxz * rxz) * (1.0 - ryz * ryz) > 0
+                         THEN (rxy - rxz * ryz)
+                              / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) END, 9)
+                       AS partial_r
+            FROM rr
+        """,
+        "durbin_watson": """
+            WITH daily AS (
+                SELECT date_diff('day', DATE '1992-01-01',
+                                 CAST(o_orderdate AS DATE)) AS x,
+                       COUNT(*) AS y
+                FROM orders GROUP BY 1
+            ), sums AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(CAST(x AS HUGEINT)) AS sx,
+                       SUM(CAST(y AS HUGEINT)) AS sy,
+                       SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                       SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                       MAX(x) AS xmax
+                FROM daily
+            ), cons AS (
+                SELECT n, sx, sy, xmax,
+                       n * sxx - sx * sx AS dd,
+                       n * sxy - sx * sy AS nb
+                FROM sums
+            ), staged AS (
+                SELECT x, n, xmax,
+                       CAST(n * dd * y - (sy * dd - nb * sx) - n * nb * x
+                            AS DOUBLE) AS e,
+                       CAST(dd AS DOUBLE) AS ddd,
+                       CAST(nb AS DOUBLE) / CAST(dd AS DOUBLE) AS slope
+                FROM daily CROSS JOIN cons
+            ), lagged AS (
+                SELECT x, n, xmax, ddd, slope, e,
+                       lag(e, 1) OVER (ORDER BY x) AS ep
+                FROM staged
+            ), summed AS (
+                SELECT x, n, xmax, ddd, slope,
+                       SUM(CASE WHEN ep IS NOT NULL THEN (e - ep) * (e - ep)
+                           ELSE 0.0 END) OVER (ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS num,
+                       SUM(e * e) OVER (ORDER BY x
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS den
+                FROM lagged
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(CASE WHEN ddd <> 0 THEN slope END, 9) AS slope,
+                   round(CASE WHEN den > 0 AND ddd <> 0 THEN num / den END, 9) AS dw
+            FROM summed WHERE x = xmax
         """,
         "cochran_q": f"""
             WITH long AS (

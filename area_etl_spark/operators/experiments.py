@@ -2342,3 +2342,243 @@ def friedman_test(
         F.round(chi2, 9).alias("chi2"),
         F.round(p, 6).alias("p_value"),
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    group_flag: Column,
+    time_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Log-rank test (Mantel 1966) — the km_survival companion: do two
+    arms' survival curves differ?  At each distinct DEATH time t with
+    d(t) deaths, d₁(t) of them in arm 1, and (n(t), n₁(t)) at risk:
+
+        O₁ = Σ d₁        E₁ = Σ d·n₁/n
+        V  = Σ d·(n₁/n)·(1 − n₁/n)·(n − d)/(n − 1)
+        χ²₁ = (O₁ − E₁)² / V          p = 2·P(Z > √χ²)
+
+    (the df=1 chi-square survival is EXACTLY 2·normal_sf(√x) — no
+    Wilson–Hilferty approximation needed here).  At-risk counts come
+    from one cumulative window over the DISTINCT-time aggregate
+    (n(t) = N − #{time < t} — the rank-family machinery), E₁ and V are
+    ordered cumulative sums whose last row carries the totals (the
+    fisher_exact idiom), O₁ is an exact integer.  Censored subjects
+    (event = 0) leave the risk set at their time without contributing a
+    death — the standard right-censoring treatment.
+
+    ``group_flag`` is a boolean Column (True = arm 1).  Returns one row
+    (n, n1, o1, e1, chi2, p_value); NULL chi2 when V = 0.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.when(group_flag, 1).otherwise(0).alias("_g"),
+        F.col(time_col).cast("long").alias("_t"),
+        F.when(F.col(event_col).cast("boolean"), 1).otherwise(0).alias("_e"),
+    ).where(F.col(time_col).isNotNull())
+    per_t = base.groupBy("_t").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum("_g").alias("_cnt1"),
+        F.sum("_e").alias("_d"),
+        F.sum(F.col("_e") * F.col("_g")).alias("_d1"),
+    )
+    totals = per_t.agg(
+        F.sum("_cnt").alias("_n"),
+        F.sum("_cnt1").alias("_n1"),
+        F.sum("_d").alias("_o"),
+        F.sum("_d1").alias("_o1"),
+        F.max("_t").alias("_tmax"),
+    )
+    w = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, 0)
+    staged = per_t.crossJoin(F.broadcast(totals)).select(
+        "_t",
+        "_d",
+        "_d1",
+        "_tmax",
+        (F.col("_n") - F.coalesce(F.sum("_cnt").over(w), F.lit(0))).alias("_nr"),
+        (F.col("_n1") - F.coalesce(F.sum("_cnt1").over(w), F.lit(0))).alias("_nr1"),
+        F.col("_n"),
+        F.col("_n1"),
+        F.col("_o1"),
+    )
+    frac = F.col("_nr1").cast("double") / F.col("_nr").cast("double")
+    e1_term = F.when(F.col("_d") > 0, F.col("_d").cast("double") * frac).otherwise(
+        F.lit(0.0)
+    )
+    v_term = F.when(
+        (F.col("_d") > 0) & (F.col("_nr") > 1),
+        F.col("_d").cast("double")
+        * frac
+        * (F.lit(1.0) - frac)
+        * (F.col("_nr") - F.col("_d")).cast("double")
+        / (F.col("_nr") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    summed = staged.select(
+        "_t",
+        "_tmax",
+        F.col("_n"),
+        F.col("_n1"),
+        F.col("_o1"),
+        F.sum(e1_term).over(wc).alias("_e1"),
+        F.sum(v_term).over(wc).alias("_v"),
+    ).where(F.col("_t") == F.col("_tmax"))
+    diff = F.col("_o1").cast("double") - F.col("_e1")
+    chi2 = F.when(F.col("_v") > 0, diff * diff / F.col("_v"))
+    p = F.when(
+        chi2.isNotNull(),
+        F.least(F.lit(1.0), F.lit(2.0) * normal_sf_portable(F.sqrt(chi2))),
+    )
+    return summed.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_n1").cast("long").alias("n1"),
+        F.col("_o1").cast("long").alias("o1"),
+        F.round(F.col("_e1"), 6).alias("e1"),
+        F.round(chi2, 9).alias("chi2"),
+        F.round(p, 6).alias("p_value"),
+    )
+
+
+def partial_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    z_col: str,
+) -> DataFrame:
+    """First-order partial correlation r_xy·z — the x↔y association with
+    the confounder z held fixed:
+
+        r_xy·z = (r_xy − r_xz·r_yz) / sqrt((1 − r_xz²)(1 − r_yz²))
+
+    All three pairwise Pearson correlations come from ONE aggregate of
+    exact DECIMAL sums (n, Σ of each variable, each square, each cross
+    product — values must be integers), each r is a fixed-order closed
+    form, and the partial divides once.  Returns one row
+    (n, r_xy, r_xz, r_yz, partial_r); NULL partial when either
+    denominator correlation is ±1 or any variable is constant.
+    """
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+        F.col(z_col).cast("long").alias("_z"),
+    ).where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull() & F.col(z_col).isNotNull()
+    )
+    sums = base.agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        *[
+            F.sum(expr.cast(dec)).alias(name)
+            for name, expr in [
+                ("_sx", F.col("_x")),
+                ("_sy", F.col("_y")),
+                ("_sz", F.col("_z")),
+                ("_sxx", F.col("_x").cast(dec) * F.col("_x")),
+                ("_syy", F.col("_y").cast(dec) * F.col("_y")),
+                ("_szz", F.col("_z").cast(dec) * F.col("_z")),
+                ("_sxy", F.col("_x").cast(dec) * F.col("_y")),
+                ("_sxz", F.col("_x").cast(dec) * F.col("_z")),
+                ("_syz", F.col("_y").cast(dec) * F.col("_z")),
+            ]
+        ],
+    )
+    n = F.col("_n")
+
+    def corr(sab, sa, sb, saa, sbb):
+        cov = (n * F.col(sab) - F.col(sa) * F.col(sb)).cast("double")
+        va = (n * F.col(saa) - F.col(sa) * F.col(sa)).cast("double")
+        vb = (n * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double")
+        return F.when((va > 0) & (vb > 0), cov / F.sqrt(va * vb))
+
+    rxy = corr("_sxy", "_sx", "_sy", "_sxx", "_syy")
+    rxz = corr("_sxz", "_sx", "_sz", "_sxx", "_szz")
+    ryz = corr("_syz", "_sy", "_sz", "_syy", "_szz")
+    den = (F.lit(1.0) - rxz * rxz) * (F.lit(1.0) - ryz * ryz)
+    partial = F.when(den > 0, (rxy - rxz * ryz) / F.sqrt(den))
+    return sums.select(
+        n.cast("long").alias("n"),
+        F.round(rxy, 9).alias("r_xy"),
+        F.round(rxz, 9).alias("r_xz"),
+        F.round(ryz, 9).alias("r_yz"),
+        F.round(partial, 9).alias("partial_r"),
+    )
+
+
+def durbin_watson(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Durbin–Watson statistic of the OLS residuals of y on x, ordered by
+    x — the residual-autocorrelation diagnostic (DW ≈ 2 means none,
+    → 0 positive, → 4 negative):
+
+        DW = Σ_{t≥2} (e_t − e_{t−1})² / Σ e_t²
+
+    The residuals are never floats with data-dependent error: clearing
+    the OLS denominators, ẽ_t = n·D·e_t = n·D·y_t − (Σy·D − N_b·Σx)
+    − n·N_b·x_t with D = nΣx²−(Σx)², N_b = nΣxy−ΣxΣy is an EXACT
+    DECIMAL integer, and DW is scale-invariant so the n·D factor
+    cancels.  ẽ casts to double once (deterministic nearest-even), the
+    two quadratic sums ride one ordered cumulative window whose last row
+    carries them (the fisher_exact idiom — the series grain is bounded,
+    the documented single-partition contract of the time-series family).
+    Returns one row (n, slope, dw); NULL when x is constant or n < 2.
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(x_col).cast("long").alias("_x"), F.col(y_col).cast("long").alias("_y")
+    ).where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    sums = base.agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum(F.col("_x").cast(dec)).alias("_sx"),
+        F.sum(F.col("_y").cast(dec)).alias("_sy"),
+        F.sum((F.col("_x").cast(dec) * F.col("_x")).cast(dec)).alias("_sxx"),
+        F.sum((F.col("_x").cast(dec) * F.col("_y")).cast(dec)).alias("_sxy"),
+        F.max("_x").alias("_xmax"),
+    )
+    n = F.col("_n")
+    dd = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    nb = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    staged = base.crossJoin(F.broadcast(sums)).select(
+        "_x",
+        "_n",
+        "_xmax",
+        (
+            n * dd * F.col("_y")
+            - (F.col("_sy") * dd - nb * F.col("_sx"))
+            - n * nb * F.col("_x")
+        )
+        .cast("double")
+        .alias("_e"),
+        dd.cast("double").alias("_ddd"),
+        (nb.cast("double") / dd.cast("double")).alias("_slope"),
+    )
+    w = Window.orderBy("_x")
+    wc = Window.orderBy("_x").rowsBetween(Window.unboundedPreceding, 0)
+    lagged = staged.withColumn("_ep", F.lag("_e", 1).over(w))
+    d_term = F.when(
+        F.col("_ep").isNotNull(),
+        (F.col("_e") - F.col("_ep")) * (F.col("_e") - F.col("_ep")),
+    ).otherwise(F.lit(0.0))
+    summed = lagged.select(
+        "_x",
+        "_n",
+        "_xmax",
+        "_ddd",
+        "_slope",
+        F.sum(d_term).over(wc).alias("_num"),
+        F.sum(F.col("_e") * F.col("_e")).over(wc).alias("_den"),
+    ).where(F.col("_x") == F.col("_xmax"))
+    return summed.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(F.when(F.col("_ddd") != 0, F.col("_slope")), 9).alias("slope"),
+        F.round(
+            F.when((F.col("_den") > 0) & (F.col("_ddd") != 0),
+                   F.col("_num") / F.col("_den")),
+            9,
+        ).alias("dw"),
+    )

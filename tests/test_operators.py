@@ -3794,3 +3794,112 @@ def test_friedman_test_reference(spark):
         "blk long, t string, v long",
     )
     assert friedman_test(strong, "blk", "t", "v").collect()[0].p_value < 1e-4
+
+
+def test_logrank_test_reference(spark):
+    from pyspark.sql import functions as F
+
+    from area_etl_spark.operators.experiments import logrank_test
+
+    # hand-computable two-arm study with censoring
+    # arm 1: deaths at 1, 3; censored at 4.  arm 0: deaths at 2, 3; censored at 5.
+    rows = [
+        (1, 1, 1), (1, 3, 1), (1, 4, 0),
+        (0, 2, 1), (0, 3, 1), (0, 5, 0),
+    ]
+    df = spark.createDataFrame(rows, "g int, t long, e int")
+    r = logrank_test(df, F.col("g") == 1, "t", "e").collect()[0]
+
+    def py_logrank(rows):
+        times = sorted({t for _, t, e in rows if e == 1})
+        o1 = sum(1 for g, _, e in rows if e == 1 and g == 1)
+        e1 = v = 0.0
+        for t in times:
+            at = [(g, tt, e) for g, tt, e in rows if tt >= t]
+            n, n1 = len(at), sum(1 for g, _, _ in at if g == 1)
+            d = sum(1 for _, tt, e in at if tt == t and e == 1)
+            d1 = sum(1 for g, tt, e in at if tt == t and e == 1 and g == 1)
+            e1 += d * n1 / n
+            if n > 1:
+                v += d * (n1 / n) * (1 - n1 / n) * (n - d) / (n - 1)
+        return o1, e1, v
+
+    o1, e1, v = py_logrank(rows)
+    assert r.o1 == o1 and r.n == 6 and r.n1 == 3
+    assert abs(r.e1 - e1) < 1e-6
+    assert abs(r.chi2 - (o1 - e1) ** 2 / v) < 1e-6
+    # identical arms → p near 1; separated arms → small p
+    same = spark.createDataFrame(
+        [(g, t, 1) for g in (0, 1) for t in range(1, 40)], "g int, t long, e int"
+    )
+    assert logrank_test(same, F.col("g") == 1, "t", "e").collect()[0].p_value > 0.9
+    sep = spark.createDataFrame(
+        [(1, t, 1) for t in range(1, 40)] + [(0, t + 100, 1) for t in range(1, 40)],
+        "g int, t long, e int",
+    )
+    assert logrank_test(sep, F.col("g") == 1, "t", "e").collect()[0].p_value < 1e-6
+
+
+def test_partial_corr_reference(spark):
+    from area_etl_spark.operators.experiments import partial_corr
+
+    import math
+    import random
+
+    random.seed(7)
+    rows = []
+    for _ in range(200):
+        z = random.randint(0, 50)
+        x = z * 2 + random.randint(-5, 5)
+        y = z * 3 + random.randint(-5, 5)
+        rows.append((x, y, z))
+    df = spark.createDataFrame(rows, "x long, y long, z long")
+    r = partial_corr(df, "x", "y", "z").collect()[0]
+
+    def pearson(a, b):
+        n = len(a)
+        sa, sb = sum(a), sum(b)
+        return (n * sum(p * q for p, q in zip(a, b)) - sa * sb) / math.sqrt(
+            (n * sum(p * p for p in a) - sa * sa) * (n * sum(q * q for q in b) - sb * sb)
+        )
+
+    xs, ys, zs = zip(*rows)
+    rxy, rxz, ryz = pearson(xs, ys), pearson(xs, zs), pearson(ys, zs)
+    want = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
+    assert abs(r.r_xy - rxy) < 1e-9 and abs(r.partial_r - want) < 1e-8
+    # x and y are only linked THROUGH z: raw corr high, partial near 0
+    assert r.r_xy > 0.9 and abs(r.partial_r) < 0.2
+    # perfectly collinear confounder → NULL partial, not a crash
+    col = spark.createDataFrame([(i, i, i) for i in range(10)], "x long, y long, z long")
+    assert partial_corr(col, "x", "y", "z").collect()[0].partial_r is None
+
+
+def test_durbin_watson_reference(spark):
+    from area_etl_spark.operators.experiments import durbin_watson
+
+    # alternating residuals around a known line y = 2x + 1 → DW near 4
+    rows = [(x, 2 * x + 1 + (1 if x % 2 == 0 else -1)) for x in range(1, 41)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = durbin_watson(df, "x", "y").collect()[0]
+    assert r.n == 40 and abs(r.slope - 2.0) < 0.01
+    assert r.dw > 3.5, r.dw
+    # smooth low-frequency residuals → strong positive autocorrelation, DW near 0
+    rows2 = [(x, 2 * x + (20 if x <= 20 else -20)) for x in range(1, 41)]
+    r2 = durbin_watson(spark.createDataFrame(rows2, "x long, y long"), "x", "y").collect()[0]
+    assert r2.dw < 0.5, r2.dw
+    # python cross-check of the exact cleared-residual form
+    import statistics
+
+    xs, ys = zip(*rows)
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    dd = n * sxx - sx * sx
+    nb = n * sxy - sx * sy
+    e = [n * dd * y - (sy * dd - nb * sx) - n * nb * x for x, y in rows]
+    want = sum((a - b) ** 2 for a, b in zip(e[1:], e[:-1])) / sum(v * v for v in e)
+    assert abs(r.dw - want) < 1e-9
+    # exact fit → zero residuals → NULL dw
+    fit = spark.createDataFrame([(x, 3 * x) for x in range(10)], "x long, y long")
+    assert durbin_watson(fit, "x", "y").collect()[0].dw is None
