@@ -6246,6 +6246,56 @@ def q_hll_distinct(spark, sf_dir):
     return hll_distinct_portable(_tables(spark, sf_dir)["events"], "user_id")
 
 
+def q_ljung_box(spark, sf_dir):
+    """Ljung–Box whiteness test per event-type series (the acf_lags ladder
+    it is built on is already driver-green): Q = n(n+2)·Σ r²/(n−k) folded
+    in sorted lag order, Wilson–Hilferty p — the residual diagnostic that
+    closes the acf → forecast loop."""
+    from area_etl_spark.operators.windows import ljung_box
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "event_type",
+        F.col("event_id").alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+    )
+    return ljung_box(ev, ["event_type"], "t", "x", max_lag=5)
+
+
+def q_haar_transform(spark, sf_dir):
+    """Unnormalized Haar decomposition of the monthly revenue series —
+    every coefficient an EXACT BIGINT (approx = pair sum, detail = pair
+    difference; the 1/√2 normalization would make every level a float),
+    three levels, each ONE hash aggregate."""
+    from area_etl_spark.operators.windows import haar_transform
+
+    o = _tables(spark, sf_dir)["orders"]
+    monthly = o.groupBy(
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"))
+    return haar_transform(monthly, "month", "rev", levels=3)
+
+
+def q_granger_causality(spark, sf_dir):
+    """Does yesterday's URGENT order count predict today's total order
+    count beyond yesterday's total?  One-lag Granger F test with the 2×2
+    normal equations solved in closed form over exact DECIMAL n-scaled
+    sums — no iterative fit anywhere."""
+    from area_etl_spark.operators.experiments import granger_causality_1lag
+
+    o = _tables(spark, sf_dir)["orders"]
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")).alias(
+            "day"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("y"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        ).alias("x"),
+    )
+    return granger_causality_1lag(daily, "day", "y", "x")
+
+
 def q_logrank_test(spark, sf_dir):
     """Log-rank comparison of the time-to-first-purchase curves of odd- vs
     even-id signup users (the km_survival cohort split in two) — at-risk
@@ -6796,6 +6846,9 @@ _R12_QUEUE = [
     "logrank_test",
     "partial_corr",
     "durbin_watson",
+    "ljung_box",
+    "haar_transform",
+    "granger_causality",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -7093,6 +7146,9 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logrank_test": q_logrank_test,
         "partial_corr": q_partial_corr,
         "durbin_watson": q_durbin_watson,
+        "ljung_box": q_ljung_box,
+        "haar_transform": q_haar_transform,
+        "granger_causality": q_granger_causality,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -9879,6 +9935,191 @@ def oracle_sql() -> dict[str, str]:
                                                 list(t ORDER BY bin)),
                                    (a, b) -> a + b)), 9) AS jsd
             FROM terms
+        """,
+        "ljung_box": f"""
+            WITH b AS (
+                SELECT event_type, event_id AS t,
+                       CAST(round(value * 100) AS BIGINT) AS x
+                FROM events
+            ), led AS (
+                SELECT event_type, x,
+                       LEAD(x, 1) OVER w AS l1, LEAD(x, 2) OVER w AS l2,
+                       LEAD(x, 3) OVER w AS l3, LEAD(x, 4) OVER w AS l4,
+                       LEAD(x, 5) OVER w AS l5
+                FROM b
+                WINDOW w AS (PARTITION BY event_type ORDER BY t)
+            ), agg AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS HUGEINT) AS n,
+                       CAST(SUM(x) AS HUGEINT) AS S,
+                       CAST(SUM(x * x) AS HUGEINT) AS SS,
+                       CAST(SUM(CASE WHEN l1 IS NOT NULL THEN x * l1 END) AS HUGEINT) AS cr1,
+                       CAST(SUM(CASE WHEN l1 IS NOT NULL THEN x END) AS HUGEINT) AS hd1,
+                       CAST(SUM(l1) AS HUGEINT) AS tl1,
+                       CAST(SUM(CASE WHEN l2 IS NOT NULL THEN x * l2 END) AS HUGEINT) AS cr2,
+                       CAST(SUM(CASE WHEN l2 IS NOT NULL THEN x END) AS HUGEINT) AS hd2,
+                       CAST(SUM(l2) AS HUGEINT) AS tl2,
+                       CAST(SUM(CASE WHEN l3 IS NOT NULL THEN x * l3 END) AS HUGEINT) AS cr3,
+                       CAST(SUM(CASE WHEN l3 IS NOT NULL THEN x END) AS HUGEINT) AS hd3,
+                       CAST(SUM(l3) AS HUGEINT) AS tl3,
+                       CAST(SUM(CASE WHEN l4 IS NOT NULL THEN x * l4 END) AS HUGEINT) AS cr4,
+                       CAST(SUM(CASE WHEN l4 IS NOT NULL THEN x END) AS HUGEINT) AS hd4,
+                       CAST(SUM(l4) AS HUGEINT) AS tl4,
+                       CAST(SUM(CASE WHEN l5 IS NOT NULL THEN x * l5 END) AS HUGEINT) AS cr5,
+                       CAST(SUM(CASE WHEN l5 IS NOT NULL THEN x END) AS HUGEINT) AS hd5,
+                       CAST(SUM(l5) AS HUGEINT) AS tl5
+                FROM led GROUP BY 1
+            ), long AS (
+                SELECT event_type, 1 AS lag, cr1 AS cr, hd1 AS hd, tl1 AS tl, n, S, SS FROM agg
+                UNION ALL SELECT event_type, 2, cr2, hd2, tl2, n, S, SS FROM agg
+                UNION ALL SELECT event_type, 3, cr3, hd3, tl3, n, S, SS FROM agg
+                UNION ALL SELECT event_type, 4, cr4, hd4, tl4, n, S, SS FROM agg
+                UNION ALL SELECT event_type, 5, cr5, hd5, tl5, n, S, SS FROM agg
+            ), rr AS (
+                SELECT event_type, lag, n,
+                       CASE WHEN n * n * SS - n * S * S <> 0 AND n > lag THEN
+                           round(CAST(n * n * COALESCE(cr, 0)
+                                      - n * S * (COALESCE(hd, 0) + COALESCE(tl, 0))
+                                      + (n - lag) * S * S AS DOUBLE)
+                                 / CAST(n * n * SS - n * S * S AS DOUBLE), 6)
+                       END + 0.0 AS r
+                FROM long
+            ), packed AS (
+                SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+                       CAST(COUNT(*) AS BIGINT) AS h,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(r * r / CAST(n - lag AS DOUBLE) ORDER BY lag)),
+                           (a, b) -> a + b) AS s
+                FROM rr WHERE r IS NOT NULL GROUP BY 1
+            ), qq AS (
+                SELECT event_type, n, h,
+                       CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2) * s AS q,
+                       CAST(h AS DOUBLE) AS dfree
+                FROM packed
+            ), zed AS (
+                SELECT event_type, n, h, q,
+                       (pow(q / dfree, 0.3333333333333333e0)
+                        - (1.0 - 2.0 / (9.0 * dfree)))
+                       / sqrt(2.0 / (9.0 * dfree)) AS z
+                FROM qq
+            )
+            SELECT event_type, n, h, round(q, 9) AS q_stat,
+                   round(CASE WHEN h > 0 AND q > 0 THEN
+                       LEAST(1.0, GREATEST(0.0,
+                           CASE WHEN z >= 0 THEN {_normal_sf_sql("z")}
+                                ELSE 1.0 - {_normal_sf_sql("(-z)")} END))
+                       ELSE 1.0 END, 6) AS p_value
+            FROM zed
+        """,
+        "haar_transform": """
+            WITH m AS (
+                SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+                FROM orders GROUP BY 1
+            ), s0 AS (
+                SELECT ROW_NUMBER() OVER (ORDER BY month) - 1 AS idx, rev AS val
+                FROM m
+            ), l1 AS (
+                SELECT CAST(floor(idx / 2) AS BIGINT) AS idx, COUNT(*) AS cnt,
+                       MIN(CASE WHEN idx % 2 = 0 THEN val END) AS ev,
+                       MIN(CASE WHEN idx % 2 = 1 THEN val END) AS od
+                FROM s0 GROUP BY 1
+            ), h1 AS (
+                SELECT 1 AS level, idx, ev + od AS approx, ev - od AS detail
+                FROM l1 WHERE cnt = 2
+            ), s1 AS (
+                SELECT idx, approx AS val FROM h1
+            ), l2 AS (
+                SELECT CAST(floor(idx / 2) AS BIGINT) AS idx, COUNT(*) AS cnt,
+                       MIN(CASE WHEN idx % 2 = 0 THEN val END) AS ev,
+                       MIN(CASE WHEN idx % 2 = 1 THEN val END) AS od
+                FROM s1 GROUP BY 1
+            ), h2 AS (
+                SELECT 2 AS level, idx, ev + od AS approx, ev - od AS detail
+                FROM l2 WHERE cnt = 2
+            ), s2 AS (
+                SELECT idx, approx AS val FROM h2
+            ), l3 AS (
+                SELECT CAST(floor(idx / 2) AS BIGINT) AS idx, COUNT(*) AS cnt,
+                       MIN(CASE WHEN idx % 2 = 0 THEN val END) AS ev,
+                       MIN(CASE WHEN idx % 2 = 1 THEN val END) AS od
+                FROM s2 GROUP BY 1
+            ), h3 AS (
+                SELECT 3 AS level, idx, ev + od AS approx, ev - od AS detail
+                FROM l3 WHERE cnt = 2
+            )
+            SELECT level, idx, approx, detail FROM h1
+            UNION ALL SELECT level, idx, approx, detail FROM h2
+            UNION ALL SELECT level, idx, approx, detail FROM h3
+        """,
+        "granger_causality": f"""
+            WITH daily AS (
+                SELECT date_diff('day', DATE '1992-01-01',
+                                 CAST(o_orderdate AS DATE)) AS day,
+                       COUNT(*) AS y,
+                       SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                                THEN 1 ELSE 0 END) AS x
+                FROM orders GROUP BY 1
+            ), lagged AS (
+                SELECT y, lag(y, 1) OVER (ORDER BY day) AS y1,
+                       lag(x, 1) OVER (ORDER BY day) AS x1
+                FROM daily
+            ), kept AS (
+                SELECT y, y1, x1 FROM lagged
+                WHERE y1 IS NOT NULL AND x1 IS NOT NULL
+            ), sums AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(CAST(y AS HUGEINT)) AS sy,
+                       SUM(CAST(y1 AS HUGEINT)) AS s1,
+                       SUM(CAST(x1 AS HUGEINT)) AS s2,
+                       SUM(CAST(y AS HUGEINT) * y) AS syy0,
+                       SUM(CAST(y1 AS HUGEINT) * y1) AS s11x,
+                       SUM(CAST(x1 AS HUGEINT) * x1) AS s22x,
+                       SUM(CAST(y1 AS HUGEINT) * y) AS s1yx,
+                       SUM(CAST(x1 AS HUGEINT) * y) AS s2yx,
+                       SUM(CAST(y1 AS HUGEINT) * x1) AS s12x
+                FROM kept
+            ), cs AS (
+                SELECT CAST(n AS BIGINT) AS n_int, CAST(n AS DOUBLE) AS nd,
+                       CAST(n * syy0 - sy * sy AS DOUBLE) AS syyc,
+                       CAST(n * s11x - s1 * s1 AS DOUBLE) AS s11,
+                       CAST(n * s22x - s2 * s2 AS DOUBLE) AS s22,
+                       CAST(n * s1yx - s1 * sy AS DOUBLE) AS s1y,
+                       CAST(n * s2yx - s2 * sy AS DOUBLE) AS s2y,
+                       CAST(n * s12x - s1 * s2 AS DOUBLE) AS s12
+                FROM sums
+            ), coefs AS (
+                SELECT *, s11 * s22 - s12 * s12 AS det FROM cs
+            ), bc AS (
+                SELECT *,
+                       CASE WHEN det <> 0
+                            THEN (s1y * s22 - s2y * s12) / det END AS b,
+                       CASE WHEN det <> 0
+                            THEN (s2y * s11 - s1y * s12) / det END AS c
+                FROM coefs
+            ), rs AS (
+                SELECT *,
+                       CASE WHEN s11 > 0 THEN syyc - s1y * s1y / s11 END AS rssr,
+                       syyc - (b * s1y + c * s2y) AS rssu
+                FROM bc
+            ), ff AS (
+                SELECT n_int, det, b, c, rssr, rssu, nd,
+                       CASE WHEN det <> 0 AND rssr IS NOT NULL
+                                 AND rssu > 0 AND nd > 3
+                            THEN (rssr - rssu) * (nd - 3.0) / rssu END AS f
+                FROM rs
+            )
+            SELECT n_int AS n,
+                   round(CASE WHEN det <> 0 THEN b END, 6) AS coef_ylag,
+                   round(CASE WHEN det <> 0 THEN c END, 6) AS coef_xlag,
+                   round(f, 9) AS f_stat,
+                   round(CASE WHEN f IS NOT NULL THEN LEAST(1.0,
+                           2.0 * {_normal_sf_sql("sqrt(GREATEST(f, 0.0))")})
+                         WHEN det <> 0 AND rssr IS NOT NULL AND rssu <= 0
+                              AND nd > 3 AND rssr > 0 THEN 0.0
+                         WHEN det <> 0 AND rssr IS NOT NULL AND rssu <= 0
+                              AND nd > 3 THEN 1.0 END, 6) AS p_value
+            FROM ff
         """,
         "logrank_test": f"""
             WITH s AS (

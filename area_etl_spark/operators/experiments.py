@@ -2555,7 +2555,10 @@ def durbin_watson(
         .cast("double")
         .alias("_e"),
         dd.cast("double").alias("_ddd"),
-        (nb.cast("double") / dd.cast("double")).alias("_slope"),
+        # ANSI mode: keep the division behind the constant-x guard
+        F.when(
+            dd.cast("double") != 0, nb.cast("double") / dd.cast("double")
+        ).alias("_slope"),
     )
     w = Window.orderBy("_x")
     wc = Window.orderBy("_x").rowsBetween(Window.unboundedPreceding, 0)
@@ -2581,4 +2584,90 @@ def durbin_watson(
                    F.col("_num") / F.col("_den")),
             9,
         ).alias("dw"),
+    )
+
+
+def granger_causality_1lag(
+    df: DataFrame,
+    order_col: str,
+    y_col: str,
+    x_col: str,
+) -> DataFrame:
+    """One-lag Granger causality: does yesterday's x predict today's y
+    BEYOND what yesterday's y already does?  Compares the restricted
+    AR(1) regression y_t ~ y_{t−1} against the unrestricted
+    y_t ~ y_{t−1} + x_{t−1} by the incremental-F test:
+
+        F = (RSS_r − RSS_u) · (n − 3) / RSS_u          df = (1, n−3)
+
+    The two-regressor solution is the CLOSED-FORM 2×2 normal-equation
+    inverse over n-scaled centered sums S_ab = n·Σab − Σa·Σb — every S
+    an exact DECIMAL integer, b/c/det/RSS fixed-order doubles from them
+    (the n-scaling cancels inside F, so no /n ever happens).  The lag is
+    the OBSERVATION lag over ``order_col`` (calendar gaps count as one
+    step — the acf_lags convention, documented).  p-value by the
+    df₁=1 identity P(F₁,d > f) = P(|t_d| > √f) ≈ 2·Φ̄(√F) (exact as
+    d → ∞; at series length it's the documented approximation).
+    Returns one row (n, coef_ylag, coef_xlag, f_stat, p_value); NULL
+    when the design is collinear.
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    w = Window.orderBy(F.col(order_col).asc())
+    staged = df.select(
+        F.col(y_col).cast("long").alias("_y"),
+        F.lag(F.col(y_col).cast("long"), 1).over(w).alias("_y1"),
+        F.lag(F.col(x_col).cast("long"), 1).over(w).alias("_x1"),
+    ).where(F.col("_y1").isNotNull() & F.col("_x1").isNotNull())
+    sums = staged.agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum(F.col("_y").cast(dec)).alias("_sy"),
+        F.sum(F.col("_y1").cast(dec)).alias("_s1"),
+        F.sum(F.col("_x1").cast(dec)).alias("_s2"),
+        F.sum((F.col("_y").cast(dec) * F.col("_y")).cast(dec)).alias("_syy"),
+        F.sum((F.col("_y1").cast(dec) * F.col("_y1")).cast(dec)).alias("_s11"),
+        F.sum((F.col("_x1").cast(dec) * F.col("_x1")).cast(dec)).alias("_s22"),
+        F.sum((F.col("_y1").cast(dec) * F.col("_y")).cast(dec)).alias("_s1y"),
+        F.sum((F.col("_x1").cast(dec) * F.col("_y")).cast(dec)).alias("_s2y"),
+        F.sum((F.col("_y1").cast(dec) * F.col("_x1")).cast(dec)).alias("_s12"),
+    )
+    n = F.col("_n")
+    syy = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    s11 = (n * F.col("_s11") - F.col("_s1") * F.col("_s1")).cast("double")
+    s22 = (n * F.col("_s22") - F.col("_s2") * F.col("_s2")).cast("double")
+    s1y = (n * F.col("_s1y") - F.col("_s1") * F.col("_sy")).cast("double")
+    s2y = (n * F.col("_s2y") - F.col("_s2") * F.col("_sy")).cast("double")
+    s12 = (n * F.col("_s12") - F.col("_s1") * F.col("_s2")).cast("double")
+    det = s11 * s22 - s12 * s12
+    # ANSI mode: divisions must stay behind their guards
+    b = F.when(det != 0, (s1y * s22 - s2y * s12) / det)
+    c = F.when(det != 0, (s2y * s11 - s1y * s12) / det)
+    rss_r = F.when(s11 > 0, syy - s1y * s1y / s11)
+    rss_u = syy - (b * s1y + c * s2y)
+    nd = n.cast("double")
+    fstat = F.when(
+        (det != 0) & rss_r.isNotNull() & (rss_u > 0) & (nd > 3),
+        (rss_r - rss_u) * (nd - F.lit(3.0)) / rss_u,
+    )
+    perfect = (det != 0) & rss_r.isNotNull() & (rss_u <= 0) & (nd > 3)
+    p = (
+        F.when(
+            fstat.isNotNull(),
+            F.least(
+                F.lit(1.0),
+                F.lit(2.0) * normal_sf_portable(F.sqrt(F.greatest(fstat, F.lit(0.0)))),
+            ),
+        )
+        # RSS_u = 0 is a perfect unrestricted fit: the F statistic diverges
+        # (reported NULL) but the verdict is certain
+        .when(perfect & (rss_r > 0), F.lit(0.0))
+        .when(perfect, F.lit(1.0))
+    )
+    return sums.select(
+        n.cast("long").alias("n"),
+        F.round(F.when(det != 0, b), 6).alias("coef_ylag"),
+        F.round(F.when(det != 0, c), 6).alias("coef_xlag"),
+        F.round(fstat, 9).alias("f_stat"),
+        F.round(p, 6).alias("p_value"),
     )

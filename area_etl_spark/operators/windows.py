@@ -932,3 +932,114 @@ def bollinger_bands(
             F.round(F.when(fullw, mean - F.lit(width) * std), 0).cast("long"),
         )
     )
+
+
+def ljung_box(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Ljung–Box portmanteau whiteness test per series — "is there ANY
+    autocorrelation in the first h lags?", the standard residual
+    diagnostic after a forecast fit:
+
+        Q = n(n+2) · Σ_{k=1..h} r_k² / (n−k)      ~  χ²_h under H₀
+
+    Built directly on :func:`acf_lags` (same exact-cleared r_k, already
+    round-6 — both engines square the SAME rounded doubles), with the
+    per-key lag ladder folded in sorted lag order.  h counts the lags
+    that exist (NULL r_k — lag ≥ n or zero variance — drop out).  p via
+    the Wilson–Hilferty chi-square path.  Returns
+    (keys..., n, h, q_stat, p_value).
+    """
+    acf = acf_lags(df, keys, order_col, value_col, max_lag)
+    term = (
+        F.col("r")
+        * F.col("r")
+        / (F.col("n") - F.col("lag")).cast("double")
+    )
+    packed = acf.where(F.col("r").isNotNull()).groupBy(*keys).agg(
+        F.first("n").alias("_n"),
+        F.count(F.lit(1)).alias("h"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("lag"), term.alias("_t")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("_t"),
+        ).alias("_sum"),
+    )
+    n = F.col("_n").cast("double")
+    q = n * (n + 2) * F.col("_sum")
+    dfree = F.col("h").cast("double")
+    wh_z = (
+        F.pow(q / dfree, F.lit(1.0 / 3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dfree))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dfree))
+    from area_etl_spark.operators.experiments import normal_sf_portable
+
+    sf = F.when(wh_z >= 0, normal_sf_portable(wh_z)).otherwise(
+        F.lit(1.0) - normal_sf_portable(-wh_z)
+    )
+    p = F.when(
+        (F.col("h") > 0) & (q > 0),
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), sf)),
+    ).otherwise(F.lit(1.0))
+    return packed.select(
+        *keys,
+        F.col("_n").cast("long").alias("n"),
+        F.col("h").cast("long").alias("h"),
+        F.round(q, 9).alias("q_stat"),
+        F.round(p, 6).alias("p_value"),
+    )
+
+
+def haar_transform(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    levels: int = 3,
+) -> DataFrame:
+    """Unnormalized Haar wavelet decomposition of an integer series — the
+    multi-resolution view (level-ℓ approximations are 2^ℓ-window sums,
+    details are the information lost going coarser; spikes localize in
+    fine-level details, trends in coarse approximations).
+
+    UNNORMALIZED on purpose: approx(i) = a(2i) + a(2i+1), detail(i) =
+    a(2i) − a(2i+1) keeps every coefficient an EXACT BIGINT (the usual
+    1/√2 factors would make every level a float) — reconstruction divides
+    by 2^ℓ, documented.  A trailing odd element at any level is dropped
+    (that level's coverage is ⌊n/2⌋ pairs, the standard truncation).
+
+    Each level is ONE groupBy(idx div 2) with deterministic (idx % 2)
+    min/max pair extraction — k levels = k hash aggregates, no windows
+    after the initial row_number.  The series grain is bounded (the
+    time-series-family contract).  Returns (level, idx, approx, detail)
+    for levels 1..k.
+    """
+    if levels < 1:
+        raise ValueError(f"levels must be >= 1, got {levels}")
+    w = Window.orderBy(F.col(order_col).asc())
+    cur = df.select(
+        (F.row_number().over(w) - 1).alias("idx"),
+        F.col(value_col).cast("long").alias("val"),
+    )
+    outs = []
+    for level in range(1, levels + 1):
+        paired = cur.groupBy((F.col("idx") / 2).cast("long").alias("idx")).agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.min(F.when(F.col("idx") % 2 == 0, F.col("val"))).alias("_even"),
+            F.min(F.when(F.col("idx") % 2 == 1, F.col("val"))).alias("_odd"),
+        ).where(F.col("_cnt") == 2)
+        lvl = paired.select(
+            F.lit(level).alias("level"),
+            "idx",
+            (F.col("_even") + F.col("_odd")).alias("approx"),
+            (F.col("_even") - F.col("_odd")).alias("detail"),
+        )
+        outs.append(lvl)
+        cur = lvl.select("idx", F.col("approx").alias("val"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

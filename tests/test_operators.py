@@ -3903,3 +3903,81 @@ def test_durbin_watson_reference(spark):
     # exact fit → zero residuals → NULL dw
     fit = spark.createDataFrame([(x, 3 * x) for x in range(10)], "x long, y long")
     assert durbin_watson(fit, "x", "y").collect()[0].dw is None
+
+
+def test_ljung_box_reference(spark):
+    from area_etl_spark.operators.windows import acf_lags, ljung_box
+
+    # white noise → Q small, p large; strongly autocorrelated ramp → p tiny
+    import random
+
+    random.seed(3)
+    noise = [(i, random.randint(0, 96)) for i in range(80)]
+    df = spark.createDataFrame([("w", t, v) for t, v in noise], "k string, t long, v long")
+    r = {row.k: row for row in ljung_box(df, ["k"], "t", "v", 5).collect()}["w"]
+    assert r.h == 5 and r.n == 80
+    # cross-check Q against the acf ladder it is built on
+    acf = {row.lag: row.r for row in acf_lags(df, ["k"], "t", "v", 5).collect()}
+    want = 80 * 82 * sum(acf[k] ** 2 / (80 - k) for k in range(1, 6))
+    assert abs(r.q_stat - want) < 1e-6, (r.q_stat, want)
+    assert r.p_value > 0.05
+    ramp = spark.createDataFrame([("r", i, i * 3) for i in range(80)], "k string, t long, v long")
+    assert ljung_box(ramp, ["k"], "t", "v", 5).collect()[0].p_value < 1e-6
+
+
+def test_haar_transform_reference(spark):
+    from area_etl_spark.operators.windows import haar_transform
+
+    vals = [4, 6, 10, 12, 8, 8, 2, 4]
+    df = spark.createDataFrame(list(enumerate(vals)), "t long, v long")
+    out = haar_transform(df, "t", "v", levels=3).collect()
+    lv = {}
+    for r in out:
+        lv.setdefault(r.level, {})[r.idx] = (r.approx, r.detail)
+    assert lv[1] == {0: (10, -2), 1: (22, -2), 2: (16, 0), 3: (6, -2)}
+    assert lv[2] == {0: (32, -12), 1: (22, 10)}
+    assert lv[3] == {0: (54, 10)}
+    # level-3 approx is the total sum (unnormalized telescoping)
+    assert lv[3][0][0] == sum(vals)
+    # odd-length series: the trailing element drops at level 1
+    odd = spark.createDataFrame(list(enumerate([1, 2, 3])), "t long, v long")
+    o = haar_transform(odd, "t", "v", levels=1).collect()
+    assert len(o) == 1 and (o[0].approx, o[0].detail) == (3, -1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="levels"):
+        haar_transform(odd, "t", "v", levels=0)
+
+
+def test_granger_causality_reference(spark):
+    from area_etl_spark.operators.experiments import granger_causality_1lag
+
+    # y_t = 2·x_{t-1} + noise: x strongly Granger-causes y
+    xs = [(i * 2654435761) % 50 for i in range(60)]
+    rows = [
+        (t, (xs[t - 1] if t > 0 else 0) * 2 + 5 + (1 if t % 2 == 0 else -1), xs[t])
+        for t in range(60)
+    ]
+    df = spark.createDataFrame(rows, "t long, y long, x long")
+    r = granger_causality_1lag(df, "t", "y", "x").collect()[0]
+    assert r.n == 59
+    assert abs(r.coef_xlag - 2.0) < 0.01  # the planted coefficient
+    assert r.p_value < 1e-6
+    # PERFECT unrestricted fit: F diverges (NULL) but the verdict is p = 0
+    exact = spark.createDataFrame(
+        [(t, (xs[t - 1] if t > 0 else 0) * 2 + 5, xs[t]) for t in range(60)],
+        "t long, y long, x long",
+    )
+    re = granger_causality_1lag(exact, "t", "y", "x").collect()[0]
+    assert re.f_stat is None and re.p_value == 0.0
+    # y independent of x → F small, p not significant
+    ind_rows = [(t, (t * 40503) % 83, (t * 9973) % 71) for t in range(200)]
+    df2 = spark.createDataFrame(ind_rows, "t long, y long, x long")
+    r2 = granger_causality_1lag(df2, "t", "y", "x").collect()[0]
+    assert r2.p_value > 0.01, r2
+    # collinear design (x == y) → NULL coefficients, not a crash
+    col_rows = [(t, v, v) for t, v in enumerate([3, 1, 4, 1, 5, 9, 2, 6])]
+    r3 = granger_causality_1lag(
+        spark.createDataFrame(col_rows, "t long, y long, x long"), "t", "y", "x"
+    ).collect()[0]
+    assert r3.coef_ylag is None and r3.f_stat is None
