@@ -6246,6 +6246,34 @@ def q_hll_distinct(spark, sf_dir):
     return hll_distinct_portable(_tables(spark, sf_dir)["events"], "user_id")
 
 
+def q_mmr_diversify(spark, sf_dir):
+    """MMR re-ranking of the ann_cosine_topk pool: the top-20 relevance
+    cut and the pool×pool cosine matrix are distributed; the inherently
+    sequential greedy runs over that bounded round-6 matrix and replays
+    in SQL as five chained argmax CTEs (ties by id, (1−λ) kept as a
+    subtraction so both engines see the same double)."""
+    from area_etl_spark.operators.similarity import mmr_diversify
+
+    emb = _tables(spark, sf_dir)["embeddings"].where(F.col("vec_id") != 0)
+    return mmr_diversify(emb, _query_vec(spark, sf_dir), k=5, lam=0.7, pool=20)
+
+
+def q_reg_discontinuity(spark, sf_dir):
+    """Sharp regression discontinuity on the daily order-count series at
+    the 1996-01-01 boundary (day 1461): local lines on each side from one
+    conditional exact-DECIMAL aggregate, effect = intercept gap at the
+    cutoff."""
+    from area_etl_spark.operators.experiments import reg_discontinuity
+
+    o = _tables(spark, sf_dir)["orders"]
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")).alias(
+            "day"
+        )
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return reg_discontinuity(daily, "day", "y", cutoff=1461, bandwidth=365)
+
+
 def q_ljung_box(spark, sf_dir):
     """Ljung–Box whiteness test per event-type series (the acf_lags ladder
     it is built on is already driver-green): Q = n(n+2)·Σ r²/(n−k) folded
@@ -6849,6 +6877,8 @@ _R12_QUEUE = [
     "ljung_box",
     "haar_transform",
     "granger_causality",
+    "mmr_diversify",
+    "reg_discontinuity",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -7149,6 +7179,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ljung_box": q_ljung_box,
         "haar_transform": q_haar_transform,
         "granger_causality": q_granger_causality,
+        "mmr_diversify": q_mmr_diversify,
+        "reg_discontinuity": q_reg_discontinuity,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -8198,6 +8230,66 @@ _FIFO_TRADES_SQL = """li AS (
            CAST(round(value * 100) AS BIGINT) % 1000 + 1 AS p
     FROM events
 )"""
+
+
+def _mmr_sql(k: int = 5, lam: float = 0.7, pool: int = 20) -> str:
+    """Chained-CTE replay of mmr_diversify's greedy: the pool and sims are
+    plain SQL; each selection step is one argmax CTE over the not-yet-
+    selected rows, scoring λ·rel − (1−λ)·max sim-to-selected with the SAME
+    (1−λ) subtraction the Python greedy performs."""
+
+    def _d(av, bv):
+        return (
+            f"list_reduce(list_transform(generate_series(1, len({av})), "
+            f"i -> CAST({av}[i] AS DOUBLE) * CAST({bv}[i] AS DOUBLE)), (x, y) -> x + y)"
+        )
+
+    def _n(av):
+        return f"sqrt({_d(av, av)})"
+
+    qdot = _d("e.embedding", "q.qe")
+    qne = _n("e.embedding")
+    qnq = _n("q.qe")
+    pdot = _d("a.embedding", "b.embedding")
+    pna = _n("a.embedding")
+    pnb = _n("b.embedding")
+    parts = [
+        "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)",
+        f"""pool AS (
+            SELECT e.vec_id AS id, e.embedding,
+                   round({qdot} / ({qne} * {qnq}), 6) AS rel
+            FROM embeddings e, q WHERE e.vec_id <> 0
+            ORDER BY rel DESC, id LIMIT {pool}
+        )""",
+        f"""sims AS (
+            SELECT a.id AS i, b.id AS j,
+                   round({pdot} / ({pna} * {pnb}), 6) AS s
+            FROM pool a JOIN pool b ON a.id <> b.id
+        )""",
+        "sel1 AS (SELECT id, rel FROM pool ORDER BY rel DESC, id LIMIT 1)",
+        "acc1 AS (SELECT id FROM sel1)",
+    ]
+    for step in range(2, k + 1):
+        parts.append(
+            f"""c{step} AS (
+            SELECT p.id, p.rel,
+                   {lam} * p.rel - (1.0 - {lam}) * (
+                       SELECT MAX(s) FROM sims
+                       WHERE sims.i = p.id
+                         AND sims.j IN (SELECT id FROM acc{step - 1})) AS score
+            FROM pool p WHERE p.id NOT IN (SELECT id FROM acc{step - 1})
+        )"""
+        )
+        parts.append(
+            f"sel{step} AS (SELECT id, rel FROM c{step} ORDER BY score DESC, id LIMIT 1)"
+        )
+        parts.append(
+            f"acc{step} AS (SELECT id FROM acc{step - 1} UNION ALL SELECT id FROM sel{step})"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS rank, id, rel FROM sel{i}" for i in range(1, k + 1)
+    )
+    return ",\n".join(parts) + f"\n{selects}"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -9935,6 +10027,53 @@ def oracle_sql() -> dict[str, str]:
                                                 list(t ORDER BY bin)),
                                    (a, b) -> a + b)), 9) AS jsd
             FROM terms
+        """,
+        "mmr_diversify": _mmr_sql(k=5, lam=0.7, pool=20),
+        "reg_discontinuity": """
+            WITH daily AS (
+                SELECT date_diff('day', DATE '1992-01-01',
+                                 CAST(o_orderdate AS DATE)) AS day,
+                       COUNT(*) AS y
+                FROM orders GROUP BY 1
+            ), base AS (
+                SELECT day - 1461 AS u, y FROM daily
+                WHERE day >= 1461 - 365 AND day <= 1461 + 365
+            ), agg AS (
+                SELECT
+                    SUM(CASE WHEN u < 0 THEN 1 ELSE 0 END) AS nl,
+                    SUM(CASE WHEN u < 0 THEN CAST(u AS HUGEINT) END) AS sul,
+                    SUM(CASE WHEN u < 0 THEN CAST(y AS HUGEINT) END) AS syl,
+                    SUM(CASE WHEN u < 0 THEN CAST(u AS HUGEINT) * u END) AS suul,
+                    SUM(CASE WHEN u < 0 THEN CAST(u AS HUGEINT) * y END) AS suyl,
+                    SUM(CASE WHEN u >= 0 THEN 1 ELSE 0 END) AS nr,
+                    SUM(CASE WHEN u >= 0 THEN CAST(u AS HUGEINT) END) AS sur,
+                    SUM(CASE WHEN u >= 0 THEN CAST(y AS HUGEINT) END) AS syr,
+                    SUM(CASE WHEN u >= 0 THEN CAST(u AS HUGEINT) * u END) AS suur,
+                    SUM(CASE WHEN u >= 0 THEN CAST(u AS HUGEINT) * y END) AS suyr
+                FROM base
+            ), fits AS (
+                SELECT CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+                       CASE WHEN CAST(nl * suul - sul * sul AS DOUBLE) <> 0
+                            THEN CAST(syl * suul - sul * suyl AS DOUBLE)
+                                 / CAST(nl * suul - sul * sul AS DOUBLE) END AS al,
+                       CASE WHEN CAST(nl * suul - sul * sul AS DOUBLE) <> 0
+                            THEN CAST(nl * suyl - sul * syl AS DOUBLE)
+                                 / CAST(nl * suul - sul * sul AS DOUBLE) END AS bl,
+                       CASE WHEN CAST(nr * suur - sur * sur AS DOUBLE) <> 0
+                            THEN CAST(syr * suur - sur * suyr AS DOUBLE)
+                                 / CAST(nr * suur - sur * sur AS DOUBLE) END AS ar,
+                       CASE WHEN CAST(nr * suur - sur * sur AS DOUBLE) <> 0
+                            THEN CAST(nr * suyr - sur * syr AS DOUBLE)
+                                 / CAST(nr * suur - sur * sur AS DOUBLE) END AS br
+                FROM agg
+            )
+            SELECT n_left, n_right,
+                   round(al, 6) AS intercept_left,
+                   round(ar, 6) AS intercept_right,
+                   round(bl, 6) AS slope_left,
+                   round(br, 6) AS slope_right,
+                   round(ar - al, 6) AS effect
+            FROM fits
         """,
         "ljung_box": f"""
             WITH b AS (

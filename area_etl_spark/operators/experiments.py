@@ -2671,3 +2671,74 @@ def granger_causality_1lag(
         F.round(fstat, 9).alias("f_stat"),
         F.round(p, 6).alias("p_value"),
     )
+
+
+def reg_discontinuity(
+    df: DataFrame,
+    running_col: str,
+    outcome_col: str,
+    cutoff: int,
+    bandwidth: int,
+) -> DataFrame:
+    """Sharp regression discontinuity (Thistlethwaite & Campbell 1960):
+    the causal jump at a threshold rule — fit a local line on each side
+    of the cutoff within ``bandwidth`` and read the effect as the gap
+    between the two intercepts AT the cutoff:
+
+        effect = lim_{x↓c} E[y|x] − lim_{x↑c} E[y|x]
+
+    Both OLS fits are closed forms over exact DECIMAL sums of the
+    CENTERED running variable u = x − cutoff (exact integers): intercept
+    a = (Σy·Σu² − Σu·Σuy) / (n·Σu² − (Σu)²), slope b = (n·Σuy − Σu·Σy)
+    / same — one conditional aggregate computes both sides at once, two
+    divisions each.  The left side is u ∈ [−bw, 0), the right u ∈
+    [0, bw] (treatment starts AT the cutoff — the sharp-design
+    convention).  Returns one row (n_left, n_right, intercept_left,
+    intercept_right, slope_left, slope_right, effect); NULLs when a side
+    is degenerate.
+    """
+    dec = "decimal(38,0)"
+    u = F.col(running_col).cast("long") - F.lit(int(cutoff))
+    base = df.select(
+        u.alias("_u"), F.col(outcome_col).cast("long").alias("_y")
+    ).where(
+        (F.col(running_col).cast("long") >= cutoff - bandwidth)
+        & (F.col(running_col).cast("long") <= cutoff + bandwidth)
+    )
+    right = F.col("_u") >= 0
+
+    def side(tag, cond):
+        return [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"_n{tag}"),
+            F.sum(F.when(cond, F.col("_u").cast(dec))).alias(f"_su{tag}"),
+            F.sum(F.when(cond, F.col("_y").cast(dec))).alias(f"_sy{tag}"),
+            F.sum(F.when(cond, (F.col("_u").cast(dec) * F.col("_u")).cast(dec))).alias(
+                f"_suu{tag}"
+            ),
+            F.sum(F.when(cond, (F.col("_u").cast(dec) * F.col("_y")).cast(dec))).alias(
+                f"_suy{tag}"
+            ),
+        ]
+
+    agg = base.agg(*side("l", ~right), *side("r", right))
+
+    def fit(tag):
+        n = F.col(f"_n{tag}").cast(dec)
+        su, sy = F.col(f"_su{tag}"), F.col(f"_sy{tag}")
+        suu, suy = F.col(f"_suu{tag}"), F.col(f"_suy{tag}")
+        det = (n * suu - su * su).cast("double")
+        a = F.when(det != 0, (sy * suu - su * suy).cast("double") / det)
+        b = F.when(det != 0, (n * suy - su * sy).cast("double") / det)
+        return a, b
+
+    al, bl = fit("l")
+    ar, br = fit("r")
+    return agg.select(
+        F.col("_nl").cast("long").alias("n_left"),
+        F.col("_nr").cast("long").alias("n_right"),
+        F.round(al, 6).alias("intercept_left"),
+        F.round(ar, 6).alias("intercept_right"),
+        F.round(bl, 6).alias("slope_left"),
+        F.round(br, 6).alias("slope_right"),
+        F.round(ar - al, 6).alias("effect"),
+    )

@@ -857,3 +857,77 @@ def semdedup_prune(
             "dup_of",
         )
     )
+
+
+def mmr_diversify(
+    df: DataFrame,
+    query: list[float],
+    k: int = 5,
+    lam: float = 0.7,
+    pool: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "DataFrame":
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    — the diversification step between retrieval and presentation: pick k
+    results that are relevant AND not near-duplicates of each other,
+
+        next = argmax_d  λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s).
+
+    Split along the scale boundary: the DISTRIBUTED part is the top-`pool`
+    relevance cut (TakeOrdered over the corpus — the cosine_topk plan) and
+    the pool×pool cosine matrix (one self-join); the inherently SEQUENTIAL
+    greedy then runs over that ≤pool² matrix of round-6 doubles on the
+    driver — bounded by construction (diversification happens AFTER the
+    top-N cut; pool is a UI-page constant, not a data size).  Both engines
+    see the same rounded inputs and apply the same fixed-order score
+    arithmetic (λ·rel − (1−λ)·maxsim with the (1−λ) SUBTRACTION, never a
+    pre-folded literal — 1−0.7 and 0.3 are different doubles), ties break
+    by id, so the selection replays exactly in SQL as k chained argmax
+    CTEs.  Returns (rank, id, rel).
+    """
+    if k < 1 or pool < k:
+        raise ValueError(f"need pool >= k >= 1, got k={k}, pool={pool}")
+    rel_df = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.round(cosine_similarity(F.col(vec_col), query), 6).alias("_rel"),
+        )
+        .orderBy(F.col("_rel").desc(), F.col("_id"))
+        .limit(pool)
+    )
+    a = rel_df.alias("a")
+    b = rel_df.alias("b")
+    sim = F.round(
+        _dot(F.col("a._v"), F.col("b._v"))
+        / (_norm(F.col("a._v")) * _norm(F.col("b._v"))),
+        6,
+    )
+    pairs = (
+        a.crossJoin(b)
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("i"), F.col("b._id").alias("j"), sim.alias("s"))
+    )
+    rels = {r["_id"]: r["_rel"] for r in rel_df.select("_id", "_rel").collect()}
+    simmap = {}
+    for r in pairs.collect():
+        simmap[(r["i"], r["j"])] = r["s"]
+        simmap[(r["j"], r["i"])] = r["s"]
+    selected: list[tuple[int, float]] = []
+    remaining = dict(rels)
+    while remaining and len(selected) < k:
+        if not selected:
+            best_id = min(remaining, key=lambda d: (-remaining[d], d))
+        else:
+            def mmr_score(d):
+                ms = max(simmap[(d, s)] for s, _ in selected)
+                return lam * remaining[d] - (1 - lam) * ms
+
+            best_id = min(remaining, key=lambda d: (-mmr_score(d), d))
+        selected.append((best_id, remaining.pop(best_id)))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(rank + 1, did, rel) for rank, (did, rel) in enumerate(selected)],
+        "rank int, id long, rel double",
+    )

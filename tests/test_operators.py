@@ -3981,3 +3981,58 @@ def test_granger_causality_reference(spark):
         spark.createDataFrame(col_rows, "t long, y long, x long"), "t", "y", "x"
     ).collect()[0]
     assert r3.coef_ylag is None and r3.f_stat is None
+
+
+def test_mmr_diversify_reference(spark):
+    from area_etl_spark.operators.similarity import mmr_diversify
+
+    docs = [
+        (1, [1.0, 0.0]),      # exact query match
+        (2, [0.995, 0.1]),    # near-dup of 1, still very relevant
+        (3, [0.7, 0.7]),      # relevant but diverse
+        (4, [0.0, 1.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(docs, "vec_id long, embedding array<double>")
+    out = mmr_diversify(df, [1.0, 0.0], k=3, lam=0.7, pool=4).collect()
+    ranks = [r.id for r in sorted(out, key=lambda r: r.rank)]
+    # greedy: 1 first (max rel); then 3 beats 2 (2 is a near-dup of 1);
+    # then 2 vs 4 — replicate the scoring to assert the exact choice
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return round(dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))), 6)
+
+    rel = {i: cos(v, [1.0, 0.0]) for i, v in docs}
+    sims = {(i, j): cos(vi, vj) for i, vi in docs for j, vj in docs if i != j}
+    assert ranks[0] == 1
+    s2 = 0.7 * rel[2] - (1 - 0.7) * sims[(2, 1)]
+    s3 = 0.7 * rel[3] - (1 - 0.7) * sims[(3, 1)]
+    assert (ranks[1] == 3) == (s3 > s2)
+    assert len(ranks) == 3 and len(set(ranks)) == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pool"):
+        mmr_diversify(df, [1.0, 0.0], k=5, pool=3)
+
+
+def test_reg_discontinuity_reference(spark):
+    from area_etl_spark.operators.experiments import reg_discontinuity
+
+    # y = 2u + 10 left of the cutoff, y = 2u + 50 right: effect = 40 exactly
+    rows = [(x, 2 * (x - 100) + (50 if x >= 100 else 10)) for x in range(60, 141)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = reg_discontinuity(df, "x", "y", cutoff=100, bandwidth=40).collect()[0]
+    assert (r.n_left, r.n_right) == (40, 41)
+    assert r.intercept_left == 10.0 and r.intercept_right == 50.0
+    assert r.slope_left == 2.0 and r.slope_right == 2.0
+    assert r.effect == 40.0
+    # no jump → effect 0
+    flat = spark.createDataFrame(
+        [(x, 3 * x) for x in range(60, 141)], "x long, y long"
+    )
+    assert reg_discontinuity(flat, "x", "y", 100, 40).collect()[0].effect == 0.0
+    # degenerate side (single point) → NULL intercepts there
+    thin = spark.createDataFrame([(99, 5), (100, 7), (101, 9)], "x long, y long")
+    rt = reg_discontinuity(thin, "x", "y", 100, 1).collect()[0]
+    assert rt.intercept_left is None  # one left point: no line
