@@ -6246,6 +6246,37 @@ def q_hll_distinct(spark, sf_dir):
     return hll_distinct_portable(_tables(spark, sf_dir)["events"], "user_id")
 
 
+def q_ipw_ate(spark, sf_dir):
+    """IPW treatment effect of BUILDING-segment membership on account
+    balance, propensities from the closed-form Naive-Bayes factorization
+    over two discrete covariates — exact counts in, fixed-order ln fold,
+    sorted-profile contribution fold; no iterative fit anywhere."""
+    from area_etl_spark.operators.experiments import ipw_ate
+
+    c = _tables(spark, sf_dir)["customer"].select(
+        (F.col("c_mktsegment") == "BUILDING").alias("t"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("y"),
+        F.pmod(F.col("c_nationkey"), F.lit(5)).alias("g1"),
+        F.pmod(F.col("c_custkey"), F.lit(2)).alias("g2"),
+    )
+    return ipw_ate(c, "t", "y", ["g1", "g2"])
+
+
+def q_fe_within(spark, sf_dir):
+    """Panel fixed-effects within estimator: price-per-quantity slope
+    WITHIN each supplier (supplier-level confounders cancel by
+    construction) — per-entity exact DECIMAL numerators, one entity-
+    ordered cumulative window carries both sums."""
+    from area_etl_spark.operators.experiments import fe_within_estimator
+
+    li = _tables(spark, sf_dir)["lineitem"].select(
+        F.col("l_suppkey").alias("e"),
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    return fe_within_estimator(li, "e", "x", "y")
+
+
 def q_mmr_diversify(spark, sf_dir):
     """MMR re-ranking of the ann_cosine_topk pool: the top-20 relevance
     cut and the pool×pool cosine matrix are distributed; the inherently
@@ -6879,6 +6910,8 @@ _R12_QUEUE = [
     "granger_causality",
     "mmr_diversify",
     "reg_discontinuity",
+    "ipw_ate",
+    "fe_within",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -7181,6 +7214,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "granger_causality": q_granger_causality,
         "mmr_diversify": q_mmr_diversify,
         "reg_discontinuity": q_reg_discontinuity,
+        "ipw_ate": q_ipw_ate,
+        "fe_within": q_fe_within,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -10029,6 +10064,103 @@ def oracle_sql() -> dict[str, str]:
             FROM terms
         """,
         "mmr_diversify": _mmr_sql(k=5, lam=0.7, pool=20),
+        "ipw_ate": """
+            WITH b AS (
+                SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS y,
+                       CAST(((c_nationkey % 5) + 5) % 5 AS VARCHAR) AS g1,
+                       CAST(((c_custkey % 2) + 2) % 2 AS VARCHAR) AS g2
+                FROM customer
+            ), tot AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+                       CAST(SUM(t) AS BIGINT) AS n_tr,
+                       CAST((SELECT COUNT(DISTINCT g1) FROM b) AS DOUBLE) AS k1,
+                       CAST((SELECT COUNT(DISTINCT g2) FROM b) AS DOUBLE) AS k2
+                FROM b
+            ), prof AS (
+                SELECT g1, g2,
+                       SUM(CAST(t * y AS HUGEINT)) AS syt,
+                       SUM(CAST((1 - t) * y AS HUGEINT)) AS syc
+                FROM b GROUP BY 1, 2
+            ), c1 AS (
+                SELECT g1, SUM(t) AS vt1, SUM(1 - t) AS vc1 FROM b GROUP BY 1
+            ), c2 AS (
+                SELECT g2, SUM(t) AS vt2, SUM(1 - t) AS vc2 FROM b GROUP BY 1
+            ), scored AS (
+                SELECT g1, g2, syt, syc,
+                       GREATEST(-30.0, LEAST(30.0,
+                           ln(CAST(n_tr AS DOUBLE)
+                              / CAST(n_all - n_tr AS DOUBLE))
+                           + (ln((CAST(vt1 AS DOUBLE) + 1.0)
+                                 / (CAST(n_tr AS DOUBLE) + 1.0 * k1))
+                              - ln((CAST(vc1 AS DOUBLE) + 1.0)
+                                   / (CAST(n_all - n_tr AS DOUBLE) + 1.0 * k1)))
+                           + (ln((CAST(vt2 AS DOUBLE) + 1.0)
+                                 / (CAST(n_tr AS DOUBLE) + 1.0 * k2))
+                              - ln((CAST(vc2 AS DOUBLE) + 1.0)
+                                   / (CAST(n_all - n_tr AS DOUBLE) + 1.0 * k2)))
+                       )) AS lo,
+                       n_all, n_tr
+                FROM prof JOIN c1 USING (g1) JOIN c2 USING (g2) CROSS JOIN tot
+            ), contrib AS (
+                SELECT g1, g2, n_all, n_tr,
+                       CAST(syt AS DOUBLE) / (1.0 / (1.0 + exp(-lo)))
+                       - CAST(syc AS DOUBLE)
+                         / (1.0 - 1.0 / (1.0 + exp(-lo))) AS w
+                FROM scored
+            ), packed AS (
+                SELECT MAX(n_all) AS n_all, MAX(n_tr) AS n_tr,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(w ORDER BY g1, g2)), (a, b) -> a + b) AS sumw
+                FROM contrib
+            ), sums AS (
+                SELECT CAST(SUM(t * y) AS DOUBLE) AS st,
+                       CAST(SUM((1 - t) * y) AS DOUBLE) AS sc
+                FROM b
+            )
+            SELECT n_all AS n, n_tr AS n_treat,
+                   round(st / CAST(n_tr AS DOUBLE)
+                         - sc / (CAST(n_all AS DOUBLE) - CAST(n_tr AS DOUBLE)), 6)
+                       AS ate_naive,
+                   round(sumw / CAST(n_all AS DOUBLE), 6) AS ate_ipw
+            FROM packed CROSS JOIN sums
+        """,
+        "fe_within": """
+            WITH base AS (
+                SELECT l_suppkey AS e, CAST(l_quantity AS BIGINT) AS x,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+                FROM lineitem
+            ), per_e AS (
+                SELECT e, COUNT(*) AS ni,
+                       SUM(CAST(x AS HUGEINT)) AS sx,
+                       SUM(CAST(y AS HUGEINT)) AS sy,
+                       SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                       SUM(CAST(x AS HUGEINT) * y) AS sxy
+                FROM base GROUP BY 1
+            ), terms AS (
+                SELECT e, ni,
+                       CAST(ni * sxy - sx * sy AS DOUBLE)
+                           / CAST(ni AS DOUBLE) AS numi,
+                       CAST(ni * sxx - sx * sx AS DOUBLE)
+                           / CAST(ni AS DOUBLE) AS deni
+                FROM per_e
+            ), summed AS (
+                SELECT e,
+                       SUM(numi) OVER (ORDER BY e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS num,
+                       SUM(deni) OVER (ORDER BY e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS den,
+                       SUM(ni) OVER (ORDER BY e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ncum,
+                       COUNT(*) OVER (ORDER BY e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ecum,
+                       MAX(e) OVER () AS emax
+                FROM terms
+            )
+            SELECT CAST(ncum AS BIGINT) AS n, CAST(ecum AS BIGINT) AS n_entities,
+                   round(CASE WHEN den > 0 THEN num / den END, 6) AS beta
+            FROM summed WHERE e = emax
+        """,
         "reg_discontinuity": """
             WITH daily AS (
                 SELECT date_diff('day', DATE '1992-01-01',

@@ -2742,3 +2742,177 @@ def reg_discontinuity(
         F.round(br, 6).alias("slope_right"),
         F.round(ar - al, 6).alias("effect"),
     )
+
+
+def ipw_ate(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    covariate_cols: list[str],
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect with a
+    NAIVE-BAYES propensity model — the closed-form member of the causal
+    family (stratified_ate conditions exactly, diff_in_diff uses time,
+    reg_discontinuity a threshold; IPW reweights by P(T|x), and the NB
+    factorization keeps that propensity an exact-count expression instead
+    of an iteratively-fitted logistic):
+
+        ln odds(x) = ln(n_T/n_C) + Σ_j [ln P̂(x_j|T) − ln P̂(x_j|C)]
+        e(x) = 1/(1+exp(−ln odds))       (Laplace-α smoothed, so e ∈ (0,1))
+        ATE  = (1/n)·Σ [T·y/e(x) − (1−T)·y/(1−e(x))]
+
+    Everything aggregates per covariate PROFILE (one groupBy over the
+    joint covariates), per-covariate conditional counts broadcast back,
+    ln terms fold in FIXED column order, and the profile contributions
+    fold in sorted profile order — deterministic end to end.  Outcomes
+    must be integers.  Returns one row (n, n_treat, ate_naive, ate_ipw).
+
+    SCALE: one data-sized aggregate + j dimension-sized count joins; the
+    profile relation is |Π covariate cardinalities|-bounded — discrete
+    covariates by contract (collapse_rare_levels / quantize first).
+    """
+    if not covariate_cols:
+        raise ValueError("need at least one covariate")
+    dec = "decimal(38,0)"
+    t = F.when(F.col(treat_col).cast("boolean"), 1).otherwise(0)
+    base = df.select(
+        t.alias("_t"),
+        F.col(outcome_col).cast("long").alias("_y"),
+        *[F.col(c).cast("string").alias(f"_c{j}") for j, c in enumerate(covariate_cols)],
+    )
+    prof_cols = [f"_c{j}" for j in range(len(covariate_cols))]
+    profiles = base.groupBy(*prof_cols).agg(
+        F.sum("_t").alias("_nt"),
+        F.sum(F.lit(1) - F.col("_t")).alias("_nc"),
+        F.sum(F.when(F.col("_t") == 1, F.col("_y")).otherwise(0)).cast(dec).alias("_syt"),
+        F.sum(F.when(F.col("_t") == 0, F.col("_y")).otherwise(0)).cast(dec).alias("_syc"),
+    )
+    totals = base.agg(
+        F.count(F.lit(1)).alias("_n_all"),
+        F.sum("_t").alias("_n_treat_tot"),
+    )
+    joined = profiles.crossJoin(F.broadcast(totals))
+    log_odds = F.log(
+        (F.col("_n_treat_tot").cast("double"))
+        / ((F.col("_n_all") - F.col("_n_treat_tot")).cast("double"))
+    )
+    for j in range(len(covariate_cols)):
+        cv = (
+            base.groupBy(F.col(f"_c{j}"))
+            .agg(
+                F.sum("_t").alias(f"_vt{j}"),
+                F.sum(F.lit(1) - F.col("_t")).alias(f"_vc{j}"),
+            )
+        )
+        kj = cv.count()
+        joined = joined.join(F.broadcast(cv), f"_c{j}")
+        log_odds = log_odds + (
+            F.log(
+                (F.col(f"_vt{j}").cast("double") + F.lit(alpha))
+                / (F.col("_n_treat_tot").cast("double") + F.lit(alpha * kj))
+            )
+            - F.log(
+                (F.col(f"_vc{j}").cast("double") + F.lit(alpha))
+                / ((F.col("_n_all") - F.col("_n_treat_tot")).cast("double")
+                   + F.lit(alpha * kj))
+            )
+        )
+    # clamp: |ln odds| ≤ 30 keeps e strictly inside (0,1) in doubles, so the
+    # IPW divisions can never hit an ANSI divide-by-zero on extreme profiles
+    log_odds = F.greatest(F.lit(-30.0), F.least(F.lit(30.0), log_odds))
+    e = F.lit(1.0) / (F.lit(1.0) + F.exp(-log_odds))
+    contrib = (
+        F.col("_syt").cast("double") / e
+        - F.col("_syc").cast("double") / (F.lit(1.0) - e)
+    )
+    packed = joined.agg(
+        F.first("_n_all").alias("_n_all"),
+        F.first("_n_treat_tot").alias("_n_treat_tot"),
+        F.sum("_nt").alias("_snt"),
+        F.sum("_syt").alias("_st"),
+        F.sum("_syc").alias("_sc"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(*[F.col(c) for c in prof_cols], contrib.alias("_w")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("_w"),
+        ).alias("_sumw"),
+    )
+    n = F.col("_n_all").cast("double")
+    nT = F.col("_n_treat_tot").cast("double")
+    naive = F.col("_st").cast("double") / nT - F.col("_sc").cast("double") / (n - nT)
+    return packed.select(
+        F.col("_n_all").cast("long").alias("n"),
+        F.col("_n_treat_tot").cast("long").alias("n_treat"),
+        F.round(naive, 6).alias("ate_naive"),
+        F.round(F.col("_sumw") / n, 6).alias("ate_ipw"),
+    )
+
+
+def fe_within_estimator(
+    df: DataFrame,
+    entity_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Panel regression with entity fixed effects — the within estimator:
+    demean x and y inside each entity, regress the residuals.  Kills every
+    time-invariant entity confounder by construction (THE workhorse of
+    applied panel econometrics), and has a closed form:
+
+        β_within = Σ_i (n_i·Σxy_i − Σx_i·Σy_i)/n_i
+                   ───────────────────────────────
+                   Σ_i (n_i·Σxx_i − Σx_i·Σx_i)/n_i
+
+    Per-entity numerators are EXACT DECIMAL integers (one hash aggregate);
+    each entity contributes one double (exact / n_i), and both sums ride
+    one cumulative window ordered by entity whose last row carries the
+    totals (the fisher_exact idiom — the window is |entities|-sized, the
+    rank-family contract).  Single-entity groups contribute zero (their
+    within variation with one row is zero — they drop from both sums
+    automatically).  Returns one row (n, n_entities, beta); NULL beta
+    when no entity has within-x variation.
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(entity_col).alias("_e"),
+        F.col(x_col).cast("long").alias("_x"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    per_e = base.groupBy("_e").agg(
+        F.count(F.lit(1)).alias("_ni"),
+        F.sum(F.col("_x").cast(dec)).alias("_sx"),
+        F.sum(F.col("_y").cast(dec)).alias("_sy"),
+        F.sum((F.col("_x").cast(dec) * F.col("_x")).cast(dec)).alias("_sxx"),
+        F.sum((F.col("_x").cast(dec) * F.col("_y")).cast(dec)).alias("_sxy"),
+    )
+    ni = F.col("_ni").cast(dec)
+    num_i = (ni * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double") / F.col(
+        "_ni"
+    ).cast("double")
+    den_i = (ni * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double") / F.col(
+        "_ni"
+    ).cast("double")
+    w = Window.orderBy("_e").rowsBetween(Window.unboundedPreceding, 0)
+    summed = per_e.select(
+        "_e",
+        F.col("_ni"),
+        F.sum(num_i).over(w).alias("_num"),
+        F.sum(den_i).over(w).alias("_den"),
+        F.sum("_ni").over(w).alias("_ncum"),
+        F.count(F.lit(1)).over(w).alias("_ecum"),
+        F.max("_e").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_emax"),
+    ).where(F.col("_e") == F.col("_emax"))
+    return summed.select(
+        F.col("_ncum").cast("long").alias("n"),
+        F.col("_ecum").cast("long").alias("n_entities"),
+        F.round(
+            F.when(F.col("_den") > 0, F.col("_num") / F.col("_den")), 6
+        ).alias("beta"),
+    )

@@ -4036,3 +4036,67 @@ def test_reg_discontinuity_reference(spark):
     thin = spark.createDataFrame([(99, 5), (100, 7), (101, 9)], "x long, y long")
     rt = reg_discontinuity(thin, "x", "y", 100, 1).collect()[0]
     assert rt.intercept_left is None  # one left point: no line
+
+
+def test_ipw_ate_reference(spark):
+    from area_etl_spark.operators.experiments import ipw_ate
+
+    # confounded assignment: covariate g drives BOTH treatment odds and the
+    # outcome; the true effect is +10 everywhere.  Naive comparison is
+    # biased upward; IPW recovers ~+10.
+    rows = []
+    for g, (n_t, n_c, base_y) in {"hi": (80, 20, 100), "lo": (20, 80, 0)}.items():
+        rows += [(1, base_y + 10, g)] * n_t + [(0, base_y, g)] * n_c
+    df = spark.createDataFrame(rows, "t int, y long, g string")
+    r = ipw_ate(df, "t", "y", ["g"]).collect()[0]
+    assert (r.n, r.n_treat) == (200, 100)
+    assert r.ate_naive > 40  # confounding inflates the naive gap
+    assert abs(r.ate_ipw - 10.0) < 3.0, r.ate_ipw  # IPW recovers the effect
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="covariate"):
+        ipw_ate(df, "t", "y", [])
+
+
+def test_fe_within_estimator_reference(spark):
+    from area_etl_spark.operators.experiments import fe_within_estimator
+
+    # y = 5x + entity_effect: pooled OLS is confounded by the entity levels,
+    # the within estimator recovers beta = 5 exactly
+    rows = []
+    for e, level in [("a", 1000), ("b", -500), ("c", 0)]:
+        for x in range(10):
+            rows.append((e, x, 5 * x + level))
+    df = spark.createDataFrame(rows, "e string, x long, y long")
+    r = fe_within_estimator(df, "e", "x", "y").collect()[0]
+    assert (r.n, r.n_entities) == (30, 3)
+    assert r.beta == 5.0
+    # python cross-check with heterogeneous entity sizes and noise
+    import random
+
+    random.seed(11)
+    rows2 = []
+    for e in range(20):
+        for _ in range(random.randint(2, 8)):
+            x = random.randint(0, 50)
+            rows2.append((str(e), x, 3 * x + e * 100 + random.randint(-5, 5)))
+    df2 = spark.createDataFrame(rows2, "e string, x long, y long")
+    r2 = fe_within_estimator(df2, "e", "x", "y").collect()[0]
+    by_e = {}
+    for e, x, y in rows2:
+        by_e.setdefault(e, []).append((x, y))
+    num = den = 0.0
+    for pts in by_e.values():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        num += (n * sxy - sx * sy) / n
+        den += (n * sxx - sx * sx) / n
+    assert abs(r2.beta - num / den) < 1e-5
+    # no within variation anywhere → NULL beta
+    flat = spark.createDataFrame(
+        [("a", 1, 10), ("a", 1, 12), ("b", 2, 5)], "e string, x long, y long"
+    )
+    assert fe_within_estimator(flat, "e", "x", "y").collect()[0].beta is None
