@@ -6246,6 +6246,30 @@ def q_hll_distinct(spark, sf_dir):
     return hll_distinct_portable(_tables(spark, sf_dir)["events"], "user_id")
 
 
+def q_kendall_tau(spark, sf_dir):
+    """Kendall's τ-b between line-item quantity and discount — C/D/ties
+    from the joint frequency grid (G×G combo pairs, never an O(n²) row
+    scan), exact integer products, Gamma and Somers' D from the same
+    sums; the third member of the correlation family."""
+    from area_etl_spark.operators.experiments import kendall_tau_b
+
+    li = _tables(spark, sf_dir)["lineitem"].select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
+    )
+    return kendall_tau_b(li, "qty", "disc")
+
+
+def q_theil_u(spark, sf_dir):
+    """Theil's U(priority | status) on orders — the asymmetric nominal
+    association cramers_v can't express: exact-count entropies folded in
+    sorted category order."""
+    from area_etl_spark.operators.experiments import theil_u
+
+    o = _tables(spark, sf_dir)["orders"]
+    return theil_u(o, "o_orderpriority", "o_orderstatus")
+
+
 def q_ipw_ate(spark, sf_dir):
     """IPW treatment effect of BUILDING-segment membership on account
     balance, propensities from the closed-form Naive-Bayes factorization
@@ -6912,6 +6936,8 @@ _R12_QUEUE = [
     "reg_discontinuity",
     "ipw_ate",
     "fe_within",
+    "kendall_tau",
+    "theil_u",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -7216,6 +7242,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reg_discontinuity": q_reg_discontinuity,
         "ipw_ate": q_ipw_ate,
         "fe_within": q_fe_within,
+        "kendall_tau": q_kendall_tau,
+        "theil_u": q_theil_u,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -10064,6 +10092,85 @@ def oracle_sql() -> dict[str, str]:
             FROM terms
         """,
         "mmr_diversify": _mmr_sql(k=5, lam=0.7, pool=20),
+        "kendall_tau": """
+            WITH base AS (
+                SELECT CAST(l_quantity AS BIGINT) AS x,
+                       CAST(round(l_discount * 100) AS BIGINT) AS y
+                FROM lineitem
+            ), grid AS (
+                SELECT x, y, COUNT(*) AS c FROM base GROUP BY 1, 2
+            ), ps AS (
+                SELECT
+                    SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                               OR (a.x > b.x AND a.y > b.y)
+                        THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS cc,
+                    SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                               OR (a.x > b.x AND a.y < b.y)
+                        THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS dd
+                FROM grid a JOIN grid b
+                  ON (a.x < b.x) OR (a.x = b.x AND a.y < b.y)
+            ), t1 AS (
+                SELECT SUM((CAST(t AS HUGEINT) * (t - 1)) // 2) AS n1
+                FROM (SELECT COUNT(*) AS t FROM base GROUP BY x)
+            ), t2 AS (
+                SELECT SUM((CAST(t AS HUGEINT) * (t - 1)) // 2) AS n2
+                FROM (SELECT COUNT(*) AS t FROM base GROUP BY y)
+            ), tot AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM base
+            ), f AS (
+                SELECT cc, dd, n1, n2, n, (n * (n - 1)) // 2 AS n0
+                FROM ps, t1, t2, tot
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(cc AS BIGINT) AS concordant,
+                   CAST(dd AS BIGINT) AS discordant,
+                   round(CASE WHEN CAST(n0 - n1 AS DOUBLE)
+                                   * CAST(n0 - n2 AS DOUBLE) > 0
+                         THEN CAST(cc - dd AS DOUBLE)
+                              / sqrt(CAST(n0 - n1 AS DOUBLE)
+                                     * CAST(n0 - n2 AS DOUBLE)) END, 9) AS tau_b,
+                   round(CASE WHEN CAST(cc + dd AS DOUBLE) > 0
+                         THEN CAST(cc - dd AS DOUBLE)
+                              / CAST(cc + dd AS DOUBLE) END, 9) AS gamma,
+                   round(CASE WHEN CAST(n0 - n1 AS DOUBLE) > 0
+                         THEN CAST(cc - dd AS DOUBLE)
+                              / CAST(n0 - n1 AS DOUBLE) END, 9) AS somers_d_yx
+            FROM f
+        """,
+        "theil_u": """
+            WITH base AS (
+                SELECT CAST(o_orderpriority AS VARCHAR) AS a,
+                       CAST(o_orderstatus AS VARCHAR) AS b
+                FROM orders
+                WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+            ), tot AS (
+                SELECT COUNT(*) AS n FROM base
+            ), ma AS (
+                SELECT a, COUNT(*) AS c FROM base GROUP BY 1
+            ), ha AS (
+                SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                         * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                         ORDER BY a)), (x, y) -> x + y) AS ha_neg
+                FROM ma CROSS JOIN tot
+            ), cells AS (
+                SELECT a, b, COUNT(*) AS c FROM base GROUP BY 1, 2
+            ), nb AS (
+                SELECT b, COUNT(*) AS nb FROM base GROUP BY 1
+            ), hab AS (
+                SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                         * ln(CAST(c AS DOUBLE) / CAST(nb AS DOUBLE))
+                         ORDER BY a, b)), (x, y) -> x + y) AS hab_neg
+                FROM cells JOIN nb USING (b) CROSS JOIN tot
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(-ha_neg, 9) AS h_a,
+                   round(-hab_neg, 9) AS h_a_given_b,
+                   round(CASE WHEN -ha_neg > 0
+                         THEN (-ha_neg - (-hab_neg)) / (-ha_neg) END, 9) AS u
+            FROM ha CROSS JOIN hab CROSS JOIN tot
+        """,
         "ipw_ate": """
             WITH b AS (
                 SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS t,

@@ -2916,3 +2916,162 @@ def fe_within_estimator(
             F.when(F.col("_den") > 0, F.col("_num") / F.col("_den")), 6
         ).alias("beta"),
     )
+
+
+def kendall_tau_b(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    quantize: float | None = None,
+) -> DataFrame:
+    """Kendall's τ-b with tie correction — the third member of the
+    correlation family (Pearson: linear, Spearman: monotone-by-rank,
+    Kendall: concordance of PAIRS, the most robust and the one with the
+    cleanest probabilistic reading P(concordant) − P(discordant)):
+
+        τ_b = (C − D) / sqrt((n₀ − n₁)(n₀ − n₂)),   n₀ = n(n−1)/2
+
+    The naive form is an O(n²) pair scan.  This computes C, D, and both
+    tie terms from the JOINT frequency grid: group to (x, y, count) —
+    G distinct combos — then ONE G×G self-join classifies each combo
+    pair as concordant/discordant/tied with exact integer products.
+    Gamma (Goodman–Kruskal) and Somers' D ride along for free from the
+    same C/D/tie sums.
+
+    CARDINALITY CONTRACT (the rank-family clause, squared): work is
+    O(G²) — bounded for discrete/bucketed variables; ``quantize`` bins
+    continuous inputs first.  Returns one row
+    (n, concordant, discordant, tau_b, gamma, somers_d_yx); NULLs when a
+    variable is constant.
+    """
+    dec = "decimal(38,0)"
+    base = df.select(
+        quantize_values(F.col(x_col), quantize).cast("long").alias("_x"),
+        quantize_values(F.col(y_col), quantize).cast("long").alias("_y"),
+    ).where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+    grid = base.groupBy("_x", "_y").agg(F.count(F.lit(1)).alias("_c"))
+    a = grid.alias("a")
+    b = grid.alias("b")
+    prod = (F.col("a._c").cast(dec) * F.col("b._c")).cast(dec)
+    conc = (
+        (F.col("a._x") < F.col("b._x")) & (F.col("a._y") < F.col("b._y"))
+    ) | ((F.col("a._x") > F.col("b._x")) & (F.col("a._y") > F.col("b._y")))
+    disc = (
+        (F.col("a._x") < F.col("b._x")) & (F.col("a._y") > F.col("b._y"))
+    ) | ((F.col("a._x") > F.col("b._x")) & (F.col("a._y") < F.col("b._y")))
+    pair_sums = (
+        a.crossJoin(b)
+        .where(
+            (F.col("a._x") < F.col("b._x"))
+            | ((F.col("a._x") == F.col("b._x")) & (F.col("a._y") < F.col("b._y")))
+        )
+        .agg(
+            F.sum(F.when(conc, prod).otherwise(F.lit(0).cast(dec))).alias("_C"),
+            F.sum(F.when(disc, prod).otherwise(F.lit(0).cast(dec))).alias("_D"),
+        )
+    )
+    # tie terms from the marginals: n1 = Σ t_x(t_x−1)/2, n2 = Σ t_y(t_y−1)/2
+    tx = base.groupBy("_x").agg(F.count(F.lit(1)).alias("_t"))
+    ty = base.groupBy("_y").agg(F.count(F.lit(1)).alias("_t"))
+    n1 = tx.agg(
+        F.sum((F.col("_t").cast(dec) * (F.col("_t") - 1) / 2).cast(dec)).alias("_n1")
+    )
+    n2 = ty.agg(
+        F.sum((F.col("_t").cast(dec) * (F.col("_t") - 1) / 2).cast(dec)).alias("_n2")
+    )
+    tot = base.agg(F.count(F.lit(1)).alias("_n"))
+    j = (
+        pair_sums.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.col("_n").cast(dec)
+    n0 = (n * (n - 1) / 2).cast(dec)
+    cd = (F.col("_C") - F.col("_D")).cast("double")
+    den_t = (n0 - F.col("_n1")).cast("double") * (n0 - F.col("_n2")).cast("double")
+    tau = F.when(den_t > 0, cd / F.sqrt(den_t))
+    gamma = F.when(
+        (F.col("_C") + F.col("_D")).cast("double") > 0,
+        cd / (F.col("_C") + F.col("_D")).cast("double"),
+    )
+    somers = F.when(
+        (n0 - F.col("_n1")).cast("double") > 0,
+        cd / (n0 - F.col("_n1")).cast("double"),
+    )
+    return j.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_C").cast("long").alias("concordant"),
+        F.col("_D").cast("long").alias("discordant"),
+        F.round(tau, 9).alias("tau_b"),
+        F.round(gamma, 9).alias("gamma"),
+        F.round(somers, 9).alias("somers_d_yx"),
+    )
+
+
+def theil_u(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Theil's uncertainty coefficient U(A|B) — the ASYMMETRIC nominal
+    association (cramers_v is symmetric; U answers "how much does knowing
+    B reduce uncertainty about A", in [0,1]):
+
+        U(A|B) = (H(A) − H(A|B)) / H(A)
+
+    Entropies come from exact counts — each term (c/n)·ln(c/n) is a
+    fixed-order double folded in SORTED category order (the
+    entropy_per_user discipline): H(A) over the A marginal, H(A|B) =
+    Σ_b (n_b/n)·H(A|B=b) over the joint cells grouped per b.  Returns
+    one row (n, h_a, h_a_given_b, u); NULL u when H(A) = 0.
+    """
+    base = df.select(
+        F.col(a_col).cast("string").alias("_a"), F.col(b_col).cast("string").alias("_b")
+    ).where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+    tot = base.agg(F.count(F.lit(1)).alias("_n"))
+    ma = base.groupBy("_a").agg(F.count(F.lit(1)).alias("_c"))
+    term_a = (
+        F.col("_c").cast("double")
+        / F.col("_n").cast("double")
+        * F.log(F.col("_c").cast("double") / F.col("_n").cast("double"))
+    )
+    ha = ma.crossJoin(F.broadcast(tot)).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("_a"), term_a.alias("_t")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("_t"),
+        ).alias("_ha_neg")
+    )
+    cells = base.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    # H(A|B) = −Σ_{a,b} (c_ab/n)·ln(c_ab/n_b)
+    nb = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_nb"))
+    term_ab = (
+        F.col("_c").cast("double")
+        / F.col("_n").cast("double")
+        * F.log(F.col("_c").cast("double") / F.col("_nb").cast("double"))
+    )
+    hab = (
+        cells.join(F.broadcast(nb), "_b")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("_a"), F.col("_b"), term_ab.alias("_t"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s.getField("_t"),
+            ).alias("_hab_neg")
+        )
+    )
+    j = ha.crossJoin(F.broadcast(hab)).crossJoin(F.broadcast(tot))
+    h_a = -F.col("_ha_neg")
+    h_ab = -F.col("_hab_neg")
+    u = F.when(h_a > 0, (h_a - h_ab) / h_a)
+    return j.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(h_a, 9).alias("h_a"),
+        F.round(h_ab, 9).alias("h_a_given_b"),
+        F.round(u, 9).alias("u"),
+    )

@@ -4100,3 +4100,64 @@ def test_fe_within_estimator_reference(spark):
         [("a", 1, 10), ("a", 1, 12), ("b", 2, 5)], "e string, x long, y long"
     )
     assert fe_within_estimator(flat, "e", "x", "y").collect()[0].beta is None
+
+
+def test_kendall_tau_b_reference(spark):
+    from area_etl_spark.operators.experiments import kendall_tau_b
+
+    import itertools
+    import math
+    import random
+
+    random.seed(5)
+    rows = [(random.randint(0, 8), random.randint(0, 8)) for _ in range(60)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = kendall_tau_b(df, "x", "y").collect()[0]
+    C = D = 0
+    for (x1, y1), (x2, y2) in itertools.combinations(rows, 2):
+        s = (x1 - x2) * (y1 - y2)
+        C += s > 0
+        D += s < 0
+    n = len(rows)
+    n0 = n * (n - 1) // 2
+    tx = {}
+    ty = {}
+    for x, y in rows:
+        tx[x] = tx.get(x, 0) + 1
+        ty[y] = ty.get(y, 0) + 1
+    n1 = sum(t * (t - 1) // 2 for t in tx.values())
+    n2 = sum(t * (t - 1) // 2 for t in ty.values())
+    want = (C - D) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert (r.concordant, r.discordant) == (C, D)
+    assert abs(r.tau_b - want) < 1e-9
+    assert abs(r.gamma - (C - D) / (C + D)) < 1e-9
+    assert abs(r.somers_d_yx - (C - D) / (n0 - n1)) < 1e-9
+    # perfect monotone → tau 1; reversed → −1
+    mono = spark.createDataFrame([(i, i * 2) for i in range(20)], "x long, y long")
+    assert kendall_tau_b(mono, "x", "y").collect()[0].tau_b == 1.0
+    rev = spark.createDataFrame([(i, -i) for i in range(20)], "x long, y long")
+    assert kendall_tau_b(rev, "x", "y").collect()[0].tau_b == -1.0
+
+
+def test_theil_u_reference(spark):
+    from area_etl_spark.operators.experiments import theil_u
+
+    # B determines A exactly → U = 1 (but not the reverse direction)
+    det = spark.createDataFrame(
+        [("p", "x1"), ("p", "x2"), ("q", "x3"), ("q", "x4")] * 5,
+        "a string, b string",
+    )
+    r = theil_u(det, "a", "b").collect()[0]
+    assert abs(r.u - 1.0) < 1e-9
+    rev = theil_u(det, "b", "a").collect()[0]
+    assert rev.u < 0.999  # knowing A does NOT pin B (two b's per a)
+    # independence → U ≈ 0
+    ind = spark.createDataFrame(
+        [(a, b) for a in "pq" for b in "xy"] * 10, "a string, b string"
+    )
+    assert abs(theil_u(ind, "a", "b").collect()[0].u) < 1e-9
+    # hand-check H(A) against math
+    import math
+
+    r2 = theil_u(det, "a", "b").collect()[0]
+    assert abs(r2.h_a - math.log(2)) < 1e-9
