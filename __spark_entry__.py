@@ -6246,6 +6246,28 @@ def q_hll_distinct(spark, sf_dir):
     return hll_distinct_portable(_tables(spark, sf_dir)["events"], "user_id")
 
 
+def q_novelty_score(spark, sf_dir):
+    """Per-document 8-gram novelty over the corpus in id order — the
+    corpus-increment triage scalar (a slice whose novelty collapses is
+    re-crawling what the corpus holds): first-owner MIN per shingle, one
+    join back, exact counts."""
+    from area_etl_spark.operators.text_analysis import novelty_score
+
+    return novelty_score(_tables(spark, sf_dir)["documents"], n=8)
+
+
+def q_term_burstiness(spark, sf_dir):
+    """Church–Gale term burstiness: variance-to-mean of per-document term
+    counts over containing documents, cleared to one exact-integer
+    ratio — content words clump (VMR ≫ 1), function words sit near the
+    Poisson floor; top-50 bursty terms with min-df support."""
+    from area_etl_spark.operators.text_analysis import term_burstiness
+
+    return term_burstiness(
+        _tables(spark, sf_dir)["documents"], min_df=5, topk=50
+    )
+
+
 def q_kendall_tau(spark, sf_dir):
     """Kendall's τ-b between line-item quantity and discount — C/D/ties
     from the joint frequency grid (G×G combo pairs, never an O(n²) row
@@ -6938,6 +6960,8 @@ _R12_QUEUE = [
     "fe_within",
     "kendall_tau",
     "theil_u",
+    "novelty_score",
+    "term_burstiness",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -7244,6 +7268,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fe_within": q_fe_within,
         "kendall_tau": q_kendall_tau,
         "theil_u": q_theil_u,
+        "novelty_score": q_novelty_score,
+        "term_burstiness": q_term_burstiness,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -10092,6 +10118,52 @@ def oracle_sql() -> dict[str, str]:
             FROM terms
         """,
         "mmr_diversify": _mmr_sql(k=5, lam=0.7, pool=20),
+        "novelty_score": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+                FROM documents
+            ), g AS (
+                SELECT DISTINCT doc_id,
+                       md5(array_to_string(toks[i : i + 7], ' ')) AS gk
+                FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+            ), fo AS (
+                SELECT gk, MIN(doc_id) AS first FROM g GROUP BY 1
+            ), pd AS (
+                SELECT doc_id, COUNT(*) AS n_shingles,
+                       SUM(CASE WHEN doc_id = first THEN 1 ELSE 0 END) AS n_novel
+                FROM g JOIN fo USING (gk) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(pd.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CAST(COALESCE(pd.n_novel, 0) AS BIGINT) AS n_novel,
+                   round(CASE WHEN pd.n_shingles > 0
+                         THEN CAST(pd.n_novel AS DOUBLE)
+                              / CAST(pd.n_shingles AS DOUBLE) END, 6) AS novelty
+            FROM documents d LEFT JOIN pd USING (doc_id)
+        """,
+        "term_burstiness": """
+            WITH tk AS (
+                SELECT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+                    FROM documents
+                ) WHERE term <> ''
+            ), dt AS (
+                SELECT doc_id, term, COUNT(*) AS c FROM tk GROUP BY 1, 2
+            ), pt AS (
+                SELECT term, COUNT(*) AS dfq,
+                       SUM(CAST(c AS HUGEINT)) AS s,
+                       SUM(CAST(c AS HUGEINT) * c) AS q
+                FROM dt GROUP BY 1
+            )
+            SELECT term, CAST(dfq AS BIGINT) AS df,
+                   CAST(s AS BIGINT) AS total_count,
+                   round(CAST(CAST(dfq AS HUGEINT) * q - s * s AS DOUBLE)
+                         / CAST(CAST(dfq AS HUGEINT) * s AS DOUBLE), 6) AS vmr
+            FROM pt WHERE dfq >= 5
+            ORDER BY vmr DESC, term
+            LIMIT 50
+        """,
         "kendall_tau": """
             WITH base AS (
                 SELECT CAST(l_quantity AS BIGINT) AS x,

@@ -1073,3 +1073,121 @@ def kneser_ney_bigram(
         .orderBy(F.col("c12").desc(), "w1", "w2")
         .limit(topk)
     )
+
+
+def novelty_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document n-gram novelty — what fraction of this document's
+    ``n``-gram shingles appears HERE FIRST (by ascending id), versus
+    already covered by earlier documents?  The corpus-increment triage
+    number: a crawl slice whose novelty collapses is re-crawling what the
+    corpus already holds, whatever exact-dedup says (it catches partial
+    overlap, boilerplate, and near-dups in one scalar).
+
+    Mechanics: explode token shingles (md5'd — the minhash_portable
+    shingle), one groupBy(shingle) computes the first-owner id (MIN), one
+    join back counts per document the shingles it owns first.  DISTINCT
+    shingles per doc (type novelty, not token novelty — repeated
+    boilerplate inside one doc counts once, documented).  Exact integer
+    counts; one division, round-6.  Docs with fewer than ``n`` tokens get
+    NULL novelty.  Two shuffles on the shingle hash — the dedup-family
+    scale shape.
+    """
+    toks = normalize_tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(toks, i + 1, n))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = (
+        df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g"))
+        .distinct()
+    )
+    first_owner = pairs.groupBy("_g").agg(F.min("_id").alias("_first"))
+    per_doc = (
+        pairs.join(first_owner, "_g")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_id") == F.col("_first"), 1).otherwise(0)).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.when(
+                    F.col("n_shingles") > 0,
+                    F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"),
+                ),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+def term_burstiness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 5,
+    topk: int = 50,
+) -> DataFrame:
+    """Term burstiness (Church & Gale 1995): content words CLUMP — when a
+    document mentions a topical term it mentions it repeatedly — while
+    function words spread evenly.  The clumping measure is the
+    variance-to-mean ratio of the per-document term count OVER THE
+    DOCUMENTS CONTAINING the term (VMR = 1 is Poisson; ≫ 1 is bursty,
+    the content-word signature; stopwords sit near 1):
+
+        VMR = (df·Σc² − (Σc)²) / (df·Σc)
+
+    cleared to one exact-integer ratio (c = per-doc count, df = docs
+    containing).  Keyword extractors and stopword-list builders read this
+    column directly.  One (doc, term) aggregate → one per-term aggregate;
+    output the top-k by (VMR round-6 desc, term) among terms with
+    ``min_df`` support — a deterministic cut.  Returns
+    (term, df, total_count, vmr).
+    """
+    dec = "decimal(38,0)"
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(normalize_tokens(F.col(text_col))).alias("_t"),
+    ).where(F.col("_t") != "")
+    per_dt = toks.groupBy("_doc", "_t").agg(F.count(F.lit(1)).alias("_c"))
+    per_t = per_dt.groupBy("_t").agg(
+        F.count(F.lit(1)).alias("_df"),
+        F.sum(F.col("_c").cast(dec)).alias("_s"),
+        F.sum((F.col("_c").cast(dec) * F.col("_c")).cast(dec)).alias("_q"),
+    )
+    vmr = (
+        (F.col("_df").cast(dec) * F.col("_q") - F.col("_s") * F.col("_s")).cast(
+            "double"
+        )
+        / (F.col("_df").cast(dec) * F.col("_s")).cast("double")
+    )
+    return (
+        per_t.where(F.col("_df") >= min_df)
+        .select(
+            F.col("_t").alias("term"),
+            F.col("_df").cast("long").alias("df"),
+            F.col("_s").cast("long").alias("total_count"),
+            F.round(vmr, 6).alias("vmr"),
+        )
+        .orderBy(F.col("vmr").desc(), "term")
+        .limit(topk)
+    )

@@ -340,3 +340,43 @@ def test_gopher_rules_no_python_in_plan(spark):
     df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
     plan = gopher_rules(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_novelty_score_reference(spark):
+    from area_etl_spark.operators.text_analysis import novelty_score
+
+    docs = [
+        (1, "a b c d e f g h i j"),          # all novel (first doc)
+        (2, "a b c d e f g h i j"),          # exact dup → novelty 0
+        (3, "a b c d e f g h x y"),          # partial overlap
+        (4, "q w e r t y u i o p"),          # fresh content → novelty 1
+        (5, "short"),                        # < n tokens → NULL
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in novelty_score(df, n=8).collect()}
+    assert out[1].novelty == 1.0
+    assert out[2].novelty == 0.0
+    assert out[4].novelty == 1.0
+    # doc 3 shares its first shingle (a..h) with doc 1; the shifted ones are new
+    assert 0.0 < out[3].novelty < 1.0
+    assert out[5].novelty is None and out[5].n_shingles == 0
+
+
+def test_term_burstiness_reference(spark):
+    from area_etl_spark.operators.text_analysis import term_burstiness
+
+    # "topic" clumps (8 mentions in one doc, 1 in others); "the" is uniform
+    docs = [(1, "topic " * 8 + "the filler words here")] + [
+        (i, "topic appears once the filler words here") for i in range(2, 8)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.term: r for r in term_burstiness(df, min_df=5, topk=50).collect()}
+    assert "topic" in out and "the" in out
+    # hand VMR for "topic": counts [8,1,1,1,1,1,1] over df=7
+    cs = [8, 1, 1, 1, 1, 1, 1]
+    dfreq, s, q = len(cs), sum(cs), sum(c * c for c in cs)
+    want = (dfreq * q - s * s) / (dfreq * s)
+    assert abs(out["topic"].vmr - want) < 1e-6
+    assert out["topic"].vmr > 1.0 > out["the"].vmr >= 0.0
+    # uniform terms sit at the Poisson floor: VMR ≈ 0 for constant counts
+    assert out["the"].vmr < 0.1
