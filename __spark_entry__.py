@@ -6246,6 +6246,29 @@ def q_hll_distinct(spark, sf_dir):
     return hll_distinct_portable(_tables(spark, sf_dir)["events"], "user_id")
 
 
+def q_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit over the documents corpus in id
+    order — V at each checkpoint via the first-owner trick (no per-prefix
+    distinct scan), the ln-ln OLS on one ordered cumulative window."""
+    from area_etl_spark.operators.text_analysis import heaps_law
+
+    return heaps_law(_tables(spark, sf_dir)["documents"])
+
+
+def q_conformal_interval(spark, sf_dir):
+    """Split-conformal interval for a fixed unit-price model of extended
+    price: q̂ is the EXACT ⌈(n+1)(1−α)⌉-th order statistic of the
+    absolute residuals (distinct-value cumulative counts, never a
+    percentile approximation)."""
+    from area_etl_spark.operators.quality import conformal_interval
+
+    li = _tables(spark, sf_dir)["lineitem"].select(
+        (F.col("l_quantity").cast("long") * 101800).alias("pred"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("actual"),
+    )
+    return conformal_interval(li, "pred", "actual", alpha=0.1)
+
+
 def q_novelty_score(spark, sf_dir):
     """Per-document 8-gram novelty over the corpus in id order — the
     corpus-increment triage scalar (a slice whose novelty collapses is
@@ -6962,6 +6985,8 @@ _R12_QUEUE = [
     "theil_u",
     "novelty_score",
     "term_burstiness",
+    "heaps_law",
+    "conformal_interval",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -7270,6 +7295,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_u": q_theil_u,
         "novelty_score": q_novelty_score,
         "term_burstiness": q_term_burstiness,
+        "heaps_law": q_heaps_law,
+        "conformal_interval": q_conformal_interval,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -10118,6 +10145,86 @@ def oracle_sql() -> dict[str, str]:
             FROM terms
         """,
         "mmr_diversify": _mmr_sql(k=5, lam=0.7, pool=20),
+        "heaps_law": """
+            WITH tk AS (
+                SELECT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+                    FROM documents
+                ) WHERE term <> ''
+            ), pdt AS (
+                SELECT doc_id, COUNT(*) AS ntok FROM tk GROUP BY 1
+            ), fo AS (
+                SELECT term, MIN(doc_id) AS first FROM tk GROUP BY 1
+            ), np AS (
+                SELECT first AS doc_id, COUNT(*) AS nnew FROM fo GROUP BY 1
+            ), st AS (
+                SELECT p.doc_id, ntok, COALESCE(nnew, 0) AS nnew
+                FROM pdt p LEFT JOIN np USING (doc_id)
+            ), cum AS (
+                SELECT doc_id,
+                       SUM(ntok) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nn,
+                       SUM(nnew) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vv,
+                       COUNT(*) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS d,
+                       MAX(doc_id) OVER () AS idmax
+                FROM st
+            ), f AS (
+                SELECT doc_id, idmax, d,
+                       ln(CAST(nn AS DOUBLE)) AS x, ln(CAST(vv AS DOUBLE)) AS y
+                FROM cum WHERE vv > 0
+            ), s AS (
+                SELECT doc_id, idmax, d,
+                       SUM(x) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sx,
+                       SUM(y) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sy,
+                       SUM(x * x) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sxx,
+                       SUM(x * y) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sxy,
+                       CAST(COUNT(*) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS DOUBLE) AS m
+                FROM f
+            )
+            SELECT CAST(d AS BIGINT) AS n_docs,
+                   round(CASE WHEN m * sxx - sx * sx <> 0
+                         THEN (m * sxy - sx * sy) / (m * sxx - sx * sx) END, 6)
+                       AS beta,
+                   round(CASE WHEN m * sxx - sx * sx <> 0
+                         THEN exp((sy * sxx - sx * sxy) / (m * sxx - sx * sx)) END, 6)
+                       AS k_est
+            FROM s WHERE doc_id = idmax
+        """,
+        "conformal_interval": """
+            WITH res AS (
+                SELECT abs(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           - CAST(l_quantity AS BIGINT) * 101800) AS r
+                FROM lineitem
+            ), pr AS (
+                SELECT r, COUNT(*) AS c FROM res GROUP BY 1
+            ), tot AS (
+                SELECT SUM(c) AS n FROM pr
+            ), cum AS (
+                SELECT r, n,
+                       SUM(c) OVER (ORDER BY r
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
+                FROM pr CROSS JOIN tot
+            ), hit AS (
+                SELECT * FROM cum
+                WHERE cumc >= ceil(CAST(n + 1 AS DOUBLE) * 0.9)
+                ORDER BY r LIMIT 1
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(ceil(CAST(n + 1 AS DOUBLE) * 0.9) AS BIGINT) AS q_index,
+                   CAST(r AS BIGINT) AS q_hat,
+                   round(LEAST(1.0, CAST(cumc AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                       AS coverage_at_qhat
+            FROM hit
+        """,
         "novelty_score": """
             WITH t AS (
                 SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks

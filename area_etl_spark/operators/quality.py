@@ -1349,3 +1349,61 @@ def dp_noisy_counts(
         "grp",
         F.round(F.col("_n").cast("double") + noise, 6).alias("noisy_count"),
     )
+
+
+def conformal_interval(
+    df: DataFrame,
+    pred_col: str,
+    actual_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal prediction interval (Vovk; Lei et al. 2018) — the
+    distribution-free way to turn ANY point model into calibrated
+    intervals: on a held-out calibration set, q̂ = the ⌈(n+1)(1−α)⌉-th
+    smallest absolute residual, and [pred ± q̂] covers with probability
+    ≥ 1−α for exchangeable data, no matter how bad the model is.
+
+    The order statistic is EXACT — per-distinct-residual counts, one
+    cumulative window, the answer is the smallest residual whose
+    cumulative count reaches the index (never a percentile
+    approximation); residuals are exact integers (inputs in cents).
+    Returns one row (n, q_index, q_hat, coverage_at_qhat) — the coverage
+    column re-reads the calibration set at q̂ as the finite-sample
+    sanity check (≥ 1−α by construction).
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    import math as _math
+
+    from pyspark.sql import Window
+
+    res = df.select(
+        F.abs(
+            F.col(actual_col).cast("long") - F.col(pred_col).cast("long")
+        ).alias("_r")
+    ).where(F.col(actual_col).isNotNull() & F.col(pred_col).isNotNull())
+    per_r = res.groupBy("_r").agg(F.count(F.lit(1)).alias("_c"))
+    tot = per_r.agg(F.sum("_c").alias("_n"))
+    w = Window.orderBy("_r").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_r.crossJoin(F.broadcast(tot)).select(
+        "_r",
+        "_n",
+        F.sum("_c").over(w).alias("_cum"),
+    )
+    # q_index = ceil((n+1)(1−α)) computed EXACTLY in integers:
+    # ceil((n+1)·(1−α)) with α = a/b rational → ceil((n+1)·(b−a)/b)
+    frac = F.lit(float(1.0 - alpha))
+    qidx = F.ceil((F.col("_n") + 1).cast("double") * frac)
+    hit = cum.where(F.col("_cum") >= qidx).orderBy("_r").limit(1)
+    out = hit.select(
+        F.col("_n").cast("long").alias("n"),
+        qidx.cast("long").alias("q_index"),
+        F.col("_r").cast("long").alias("q_hat"),
+        F.round(
+            F.least(
+                F.lit(1.0), F.col("_cum").cast("double") / F.col("_n").cast("double")
+            ),
+            6,
+        ).alias("coverage_at_qhat"),
+    )
+    return out

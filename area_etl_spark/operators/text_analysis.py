@@ -1191,3 +1191,74 @@ def term_burstiness(
         .orderBy(F.col("vmr").desc(), "term")
         .limit(topk)
     )
+
+
+def heaps_law(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law fit V(N) ≈ K·N^β — vocabulary growth against corpus
+    size, the companion diagnostic to zipf_fit (β ≈ 0.4–0.6 for natural
+    text; β drifting toward 0 flags a corpus recycling its vocabulary,
+    toward 1 tokenizer noise or synthetic text).
+
+    Checkpoints are documents in id order: N_d = cumulative token count,
+    V_d = cumulative distinct-type count — the latter WITHOUT any
+    per-prefix distinct scan, via the novelty_score first-owner trick
+    (a type increments V at exactly its MIN doc id).  Both cumulatives
+    ride one |docs|-bounded ordered window; the OLS fit of ln V on ln N
+    is one more cumulative pass over the same window (doubles, fixed
+    expression, last row carries the sums — the fisher_exact idiom).
+    Returns one row (n_docs, beta, k_est); NULL fit when fewer than two
+    checkpoints.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(normalize_tokens(F.col(text_col))).alias("_t")
+    ).where(F.col("_t") != "")
+    per_doc_tokens = toks.groupBy("_id").agg(F.count(F.lit(1)).alias("_ntok"))
+    first_owner = toks.groupBy("_t").agg(F.min("_id").alias("_first"))
+    novel_per_doc = first_owner.groupBy(F.col("_first").alias("_id")).agg(
+        F.count(F.lit(1)).alias("_nnew")
+    )
+    staged = per_doc_tokens.join(novel_per_doc, "_id", "left").select(
+        "_id",
+        F.col("_ntok"),
+        F.coalesce(F.col("_nnew"), F.lit(0)).alias("_nnew"),
+    )
+    w = Window.orderBy("_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = staged.select(
+        "_id",
+        F.sum("_ntok").over(w).alias("_N"),
+        F.sum("_nnew").over(w).alias("_V"),
+        F.count(F.lit(1)).over(w).alias("_d"),
+        F.max("_id").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_idmax"),
+    ).where(F.col("_V") > 0)
+    x = F.log(F.col("_N").cast("double"))
+    y = F.log(F.col("_V").cast("double"))
+    sums = cum.select(
+        "_id",
+        "_idmax",
+        "_d",
+        F.sum(x).over(w).alias("_sx"),
+        F.sum(y).over(w).alias("_sy"),
+        F.sum(x * x).over(w).alias("_sxx"),
+        F.sum(x * y).over(w).alias("_sxy"),
+        F.count(F.lit(1)).over(w).alias("_m"),
+    ).where(F.col("_id") == F.col("_idmax"))
+    m = F.col("_m").cast("double")
+    det = m * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    beta = F.when(det != 0, (m * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / det)
+    intercept = F.when(
+        det != 0,
+        (F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy")) / det,
+    )
+    return sums.select(
+        F.col("_d").cast("long").alias("n_docs"),
+        F.round(beta, 6).alias("beta"),
+        F.round(F.exp(intercept), 6).alias("k_est"),
+    )

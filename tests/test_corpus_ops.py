@@ -380,3 +380,58 @@ def test_term_burstiness_reference(spark):
     assert out["topic"].vmr > 1.0 > out["the"].vmr >= 0.0
     # uniform terms sit at the Poisson floor: VMR ≈ 0 for constant counts
     assert out["the"].vmr < 0.1
+
+
+def test_heaps_law_reference(spark):
+    from area_etl_spark.operators.text_analysis import heaps_law
+
+    import math
+    import random
+
+    # synthetic Zipf-ish corpus: vocabulary grows sublinearly
+    random.seed(13)
+    vocab = [f"w{i}" for i in range(400)]
+    docs = []
+    for d in range(40):
+        words = [vocab[min(int(random.paretovariate(1.2)), 399)] for _ in range(60)]
+        docs.append((d, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    r = heaps_law(df).collect()[0]
+    assert r.n_docs == 40
+    assert 0.1 < r.beta < 1.0, r.beta  # sublinear vocabulary growth
+    # python cross-check of the exact fit over the same checkpoints
+    seen = set()
+    pts = []
+    ntok = 0
+    for d, text in docs:
+        toks = text.split()
+        ntok += len(toks)
+        seen.update(toks)
+        pts.append((math.log(ntok), math.log(len(seen))))
+    m = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    beta = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    assert abs(r.beta - beta) < 1e-4, (r.beta, beta)
+
+
+def test_conformal_interval_reference(spark):
+    from area_etl_spark.operators.quality import conformal_interval
+
+    # residuals 1..100: with alpha=0.1, q_index = ceil(101*0.9) = 91 → q_hat 91
+    rows = [(0, r) for r in range(1, 101)]
+    df = spark.createDataFrame(rows, "pred long, actual long")
+    r = conformal_interval(df, "pred", "actual", alpha=0.1).collect()[0]
+    assert (r.n, r.q_index, r.q_hat) == (100, 91, 91)
+    assert abs(r.coverage_at_qhat - 0.91) < 1e-9
+    # ties: duplicate residuals — q_hat is the value whose cum count reaches the index
+    tied = spark.createDataFrame([(0, v) for v in [5] * 50 + [10] * 50], "pred long, actual long")
+    rt = conformal_interval(tied, "pred", "actual", alpha=0.2).collect()[0]
+    # q_index = ceil(101*0.8) = 81 → falls in the 10-block
+    assert (rt.q_index, rt.q_hat) == (81, 10)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        conformal_interval(df, "pred", "actual", alpha=1.5)
