@@ -10215,14 +10215,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM pr CROSS JOIN tot
             ), hit AS (
                 SELECT * FROM cum
-                WHERE cumc >= ceil(CAST(n + 1 AS DOUBLE) * 0.9)
+                WHERE cumc >= LEAST(ceil(CAST(n + 1 AS DOUBLE) * 0.9),
+                                    CAST(n AS DOUBLE))
                 ORDER BY r LIMIT 1
             )
             SELECT CAST(n AS BIGINT) AS n,
                    CAST(ceil(CAST(n + 1 AS DOUBLE) * 0.9) AS BIGINT) AS q_index,
-                   CAST(r AS BIGINT) AS q_hat,
-                   round(LEAST(1.0, CAST(cumc AS DOUBLE) / CAST(n AS DOUBLE)), 6)
-                       AS coverage_at_qhat
+                   CASE WHEN ceil(CAST(n + 1 AS DOUBLE) * 0.9) <= n
+                        THEN CAST(r AS BIGINT) END AS q_hat,
+                   round(CASE WHEN ceil(CAST(n + 1 AS DOUBLE) * 0.9) <= n
+                        THEN LEAST(1.0, CAST(cumc AS DOUBLE) / CAST(n AS DOUBLE))
+                   END, 6) AS coverage_at_qhat
             FROM hit
         """,
         "novelty_score": """

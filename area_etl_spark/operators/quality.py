@@ -1394,14 +1394,22 @@ def conformal_interval(
     # ceil((n+1)·(1−α)) with α = a/b rational → ceil((n+1)·(b−a)/b)
     frac = F.lit(float(1.0 - alpha))
     qidx = F.ceil((F.col("_n") + 1).cast("double") * frac)
-    hit = cum.where(F.col("_cum") >= qidx).orderBy("_r").limit(1)
+    # ⌈(n+1)(1−α)⌉ > n means the calibration set is too small for this α:
+    # the conformal guarantee then needs the INFINITE interval (Lei et al.
+    # convention) — reported as NULL q_hat, never an empty result
+    finite = qidx <= F.col("_n")
+    hit = cum.where(F.col("_cum") >= F.least(qidx, F.col("_n"))).orderBy("_r").limit(1)
     out = hit.select(
         F.col("_n").cast("long").alias("n"),
         qidx.cast("long").alias("q_index"),
-        F.col("_r").cast("long").alias("q_hat"),
+        F.when(finite, F.col("_r")).cast("long").alias("q_hat"),
         F.round(
-            F.least(
-                F.lit(1.0), F.col("_cum").cast("double") / F.col("_n").cast("double")
+            F.when(
+                finite,
+                F.least(
+                    F.lit(1.0),
+                    F.col("_cum").cast("double") / F.col("_n").cast("double"),
+                ),
             ),
             6,
         ).alias("coverage_at_qhat"),

@@ -304,3 +304,100 @@ def test_luhn_check_digit_construction_always_validates(spark, body):
     df = spark.createDataFrame([(card,), (corrupted,)], "d string")
     ok = [r.ok for r in df.select(luhn_checksum_valid(F.col("d")).alias("ok")).collect()]
     assert ok == [True, False]
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=4, max_size=24),
+)
+def test_haar_transform_reconstruction_property(spark, vals):
+    from area_etl_spark.operators.windows import haar_transform
+
+    df = spark.createDataFrame(list(enumerate(vals)), "t long, v long")
+    out = haar_transform(df, "t", "v", levels=2).collect()
+    lv1 = {r.idx: r for r in out if r.level == 1}
+    # exact reconstruction: even = (approx+detail)/2, odd = (approx−detail)/2
+    for i, r in lv1.items():
+        assert vals[2 * i] == (r.approx + r.detail) // 2
+        assert vals[2 * i + 1] == (r.approx - r.detail) // 2
+        assert (r.approx + r.detail) % 2 == 0
+    # level-2 approx telescopes: sum of its 4-block equals the coefficient
+    for r in out:
+        if r.level == 2:
+            blk = vals[4 * r.idx : 4 * r.idx + 4]
+            assert r.approx == sum(blk)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)), min_size=5, max_size=40
+    )
+)
+def test_kendall_tau_bounds_and_self_property(spark, rows):
+    from area_etl_spark.operators.experiments import kendall_tau_b
+
+    df = spark.createDataFrame(rows, "x long, y long")
+    r = kendall_tau_b(df, "x", "y").collect()[0]
+    if r.tau_b is not None:
+        assert -1.0 <= r.tau_b <= 1.0
+        assert -1.0 <= r.gamma <= 1.0 if r.gamma is not None else True
+    # self-correlation is exactly 1 whenever x varies
+    rs = kendall_tau_b(df.select("x", F.col("x").alias("y")), "x", "y").collect()[0]
+    if len({x for x, _ in rows}) > 1:
+        assert rs.tau_b == 1.0
+
+
+@settings(**SETTINGS)
+@given(
+    resid=st.lists(st.integers(0, 500), min_size=3, max_size=40),
+    alpha_pct=st.integers(5, 50),
+)
+def test_conformal_coverage_property(spark, resid, alpha_pct):
+    from area_etl_spark.operators.quality import conformal_interval
+
+    alpha = alpha_pct / 100.0
+    df = spark.createDataFrame([(0, r) for r in resid], "pred long, actual long")
+    r = conformal_interval(df, "pred", "actual", alpha=alpha).collect()[0]
+    if r is None:
+        return
+    n = len(resid)
+    import math
+
+    want_idx = math.ceil((n + 1) * (1 - alpha))
+    if want_idx <= n:
+        assert r.q_index == want_idx
+        # the guarantee: coverage at q_hat reaches the target index share
+        # (coverage is rounded to 6 decimals — allow that slack)
+        assert r.coverage_at_qhat >= want_idx / n - 1e-6
+        # q_hat is an actual residual value
+        assert r.q_hat in resid
+    else:
+        # too-small calibration set: the infinite interval, never empty
+        assert r.q_hat is None and r.coverage_at_qhat is None
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 50)),
+        min_size=6,
+        max_size=40,
+    ),
+    shift=st.integers(-1000, 1000),
+)
+def test_anova_shift_invariance_property(spark, rows, shift):
+    from area_etl_spark.operators.experiments import anova_oneway
+
+    df = spark.createDataFrame(rows, "g string, v long")
+    r1 = anova_oneway(df, "g", "v").collect()[0]
+    r2 = anova_oneway(
+        df.select("g", (F.col("v") + shift).alias("v")), "g", "v"
+    ).collect()[0]
+    # the F statistic is location-invariant (exact sums make this testable
+    # to float equality of the rounded statistic)
+    assert r1.f_stat == r2.f_stat or (
+        r1.f_stat is not None
+        and r2.f_stat is not None
+        and abs(r1.f_stat - r2.f_stat) < 1e-6
+    )
