@@ -6246,6 +6246,34 @@ def q_hll_distinct(spark, sf_dir):
     return hll_distinct_portable(_tables(spark, sf_dir)["events"], "user_id")
 
 
+def q_ece_brier(spark, sf_dir):
+    """Brier / ECE / MCE of the balance-derived propensity score against
+    the placed-an-order outcome — the one-row probability-quality summary
+    the calibration_curve table drills into: Brier exact (integer
+    micro-probability squared errors in DECIMAL), ECE a sorted-bin fold,
+    MCE a deterministic max."""
+    from area_etl_spark.operators.quality import ece_brier
+
+    tables = _tables(spark, sf_dir)
+    cust = tables["customer"].select(
+        "c_custkey", F.round(F.col("c_acctbal") * 100).cast("long").alias("bal")
+    )
+    score = F.least(
+        F.lit(1_000_000),
+        F.greatest(
+            F.lit(0),
+            F.floor(
+                (F.col("bal") + 100_000) * F.lit(1_000_000) / F.lit(1_100_000)
+            ).cast("long"),
+        ),
+    )
+    ordered = tables["orders"].select(F.col("o_custkey").alias("c_custkey")).distinct()
+    units = cust.join(ordered.withColumn("_o", F.lit(1)), "c_custkey", "left").select(
+        score.alias("score"), F.col("_o").isNotNull().alias("placed")
+    )
+    return ece_brier(units, "score", "placed", n_bins=10)
+
+
 def q_heaps_law(spark, sf_dir):
     """Heaps'-law vocabulary-growth fit over the documents corpus in id
     order — V at each checkpoint via the first-owner trick (no per-prefix
@@ -6987,6 +7015,7 @@ _R12_QUEUE = [
     "term_burstiness",
     "heaps_law",
     "conformal_interval",
+    "ece_brier",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -7297,6 +7326,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_burstiness": q_term_burstiness,
         "heaps_law": q_heaps_law,
         "conformal_interval": q_conformal_interval,
+        "ece_brier": q_ece_brier,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -10145,6 +10175,54 @@ def oracle_sql() -> dict[str, str]:
             FROM terms
         """,
         "mmr_diversify": _mmr_sql(k=5, lam=0.7, pool=20),
+        "ece_brier": """
+            WITH cust AS (
+                SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+                FROM customer
+            ), sc AS (
+                SELECT c_custkey,
+                       LEAST(1000000, GREATEST(0,
+                           CAST(FLOOR((bal + 100000) * 1000000 / 1100000) AS BIGINT)))
+                           AS score
+                FROM cust
+            ), units AS (
+                SELECT sc.score,
+                       CASE WHEN o.c IS NOT NULL THEN 1 ELSE 0 END AS y
+                FROM sc LEFT JOIN (SELECT DISTINCT o_custkey AS c FROM orders) o
+                  ON o.c = sc.c_custkey
+            ), base AS (
+                SELECT score, y,
+                       LEAST(9, CAST(FLOOR(score * 10 / 1000000) AS BIGINT)) AS b
+                FROM units
+            ), per_bin AS (
+                SELECT b, COUNT(*) AS nb, SUM(y) AS pos,
+                       SUM(CAST(score AS HUGEINT)) AS ssum
+                FROM base GROUP BY 1
+            ), bn AS (
+                SELECT COUNT(*) AS n,
+                       SUM((CAST(score AS HUGEINT) - 1000000 * y)
+                           * (CAST(score AS HUGEINT) - 1000000 * y)) AS briern
+                FROM base
+            ), gaps AS (
+                SELECT b, nb,
+                       abs(CAST(pos AS DOUBLE) / CAST(nb AS DOUBLE)
+                           - CAST(ssum AS DOUBLE)
+                             / (CAST(nb AS DOUBLE) * 1000000.0)) AS gap
+                FROM per_bin
+            ), packed AS (
+                SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(CAST(nb AS DOUBLE) * gap ORDER BY b)),
+                           (a, s) -> a + s) AS wsum,
+                       MAX(gap) AS mce
+                FROM gaps
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(CAST(briern AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * 1000000.0 * 1000000.0), 9) AS brier,
+                   round(wsum / CAST(n AS DOUBLE), 9) AS ece,
+                   round(mce, 9) AS mce
+            FROM packed CROSS JOIN bn
+        """,
         "heaps_law": """
             WITH tk AS (
                 SELECT doc_id, term FROM (

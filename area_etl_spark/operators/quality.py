@@ -1415,3 +1415,80 @@ def conformal_interval(
         ).alias("coverage_at_qhat"),
     )
     return out
+
+
+def ece_brier(
+    df,
+    score_col: str,
+    outcome_col: str,
+    n_bins: int = 10,
+    score_max: int = 1_000_000,
+) -> "DataFrame":
+    """Probability-quality scalars for a [0, score_max]-integer score:
+    Brier score, Expected Calibration Error, and Maximum Calibration
+    Error — the one-row summary the per-bin reliability table
+    (:func:`calibration_curve`) drills into.
+
+    Brier is EXACT: with integer micro-probabilities,
+    Σ(score − y·score_max)² is an exact DECIMAL and Brier divides once by
+    n·score_max².  ECE = Σ_b (n_b/n)·|acc_b − conf_b| and MCE = max_b of
+    the same gap come from per-bin exact sums (the calibration_curve
+    bins), each bin one fixed-order double, folded in sorted bin order /
+    max'd.  Returns one row (n, brier, ece, mce).
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    dec = "decimal(38,0)"
+    y = F.when(F.col(outcome_col).cast("boolean"), 1).otherwise(0)
+    s = F.col(score_col).cast("long")
+    base = df.select(
+        s.alias("_s"),
+        y.alias("_y"),
+        F.least(
+            F.lit(n_bins - 1), F.floor(s * F.lit(n_bins) / F.lit(score_max))
+        ).alias("_b"),
+    )
+    per_bin = base.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_nb"),
+        F.sum("_y").alias("_pos"),
+        F.sum(F.col("_s").cast(dec)).alias("_ssum"),
+    )
+    err = (
+        F.col("_s").cast(dec) - F.lit(score_max) * F.col("_y")
+    )
+    brier_num = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum((err * err).cast(dec)).alias("_bn"),
+    )
+    acc = F.col("_pos").cast("double") / F.col("_nb").cast("double")
+    conf = F.col("_ssum").cast("double") / (
+        F.col("_nb").cast("double") * F.lit(float(score_max))
+    )
+    gap = F.abs(acc - conf)
+    packed = per_bin.crossJoin(F.broadcast(brier_num)).agg(
+        F.first("_n").alias("_n"),
+        F.first("_bn").alias("_bn"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_b"),
+                        (F.col("_nb").cast("double") * gap).alias("_w"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda a, sct: a + sct.getField("_w"),
+        ).alias("_wsum"),
+        F.max(gap).alias("_mce"),
+    )
+    n = F.col("_n").cast("double")
+    brier = F.col("_bn").cast("double") / (
+        n * F.lit(float(score_max)) * F.lit(float(score_max))
+    )
+    return packed.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(brier, 9).alias("brier"),
+        F.round(F.col("_wsum") / n, 9).alias("ece"),
+        F.round(F.col("_mce"), 9).alias("mce"),
+    )

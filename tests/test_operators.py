@@ -4161,3 +4161,33 @@ def test_theil_u_reference(spark):
 
     r2 = theil_u(det, "a", "b").collect()[0]
     assert abs(r2.h_a - math.log(2)) < 1e-9
+
+
+def test_ece_brier_reference(spark):
+    from area_etl_spark.operators.quality import ece_brier
+
+    # perfectly calibrated coin at p=0.5-ish and a confident-wrong block
+    rows = (
+        [(500_000, True)] * 50 + [(500_000, False)] * 50   # calibrated bin
+        + [(950_000, False)] * 20                          # confident & wrong
+    )
+    df = spark.createDataFrame(rows, "score long, placed boolean")
+    r = ece_brier(df, "score", "placed", n_bins=10).collect()[0]
+    assert r.n == 120
+    # hand Brier: Σ(p−y)²/n with p ∈ {0.5, 0.95}
+    want_brier = (50 * 0.25 + 50 * 0.25 + 20 * 0.95**2) / 120
+    assert abs(r.brier - want_brier) < 1e-9
+    # bins: the 0.5 block (acc .5, conf .5, gap 0) and the 0.95 block
+    # (acc 0, conf .95, gap .95): ECE = (100/120)·0 + (20/120)·0.95
+    assert abs(r.ece - (20 / 120) * 0.95) < 1e-9
+    assert abs(r.mce - 0.95) < 1e-9
+    # perfect hard classifier → all three zero
+    perf = spark.createDataFrame(
+        [(1_000_000, True)] * 10 + [(0, False)] * 10, "score long, placed boolean"
+    )
+    rp = ece_brier(perf, "score", "placed").collect()[0]
+    assert rp.brier == 0.0 and rp.ece == 0.0 and rp.mce == 0.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_bins"):
+        ece_brier(df, "score", "placed", n_bins=0)
