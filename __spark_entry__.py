@@ -6246,6 +6246,35 @@ def q_hll_distinct(spark, sf_dir):
     return hll_distinct_portable(_tables(spark, sf_dir)["events"], "user_id")
 
 
+def q_pacf_lags(spark, sf_dir):
+    """PACF of the daily order-count series via Durbin–Levinson over the
+    exact-cleared ACF ladder — the AR-order diagnostic; ONE Python loop
+    both evaluates the recursion and generates its SQL replica, so the
+    float streams are instruction-identical."""
+    from area_etl_spark.operators.windows import pacf_lags
+
+    o = _tables(spark, sf_dir)["orders"]
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")).alias(
+            "day"
+        )
+    ).agg(F.count(F.lit(1)).alias("y"))
+    return pacf_lags(daily, "day", "y", max_lag=5)
+
+
+def q_seasonal_strength(spark, sf_dir):
+    """Wang–Smith–Hyndman seasonal/trend strength of the monthly revenue
+    series — exact-BIGINT decomposition components in, two variance
+    ratios out, every variance one division of exact DECIMAL sums."""
+    from area_etl_spark.operators.windows import seasonal_strength
+
+    o = _tables(spark, sf_dir)["orders"]
+    monthly = o.groupBy(
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month")
+    ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"))
+    return seasonal_strength(monthly, [], ["month"], "rev", 12)
+
+
 def q_ece_brier(spark, sf_dir):
     """Brier / ECE / MCE of the balance-derived propensity score against
     the placed-an-order outcome — the one-row probability-quality summary
@@ -6958,7 +6987,10 @@ _R11_WINDOW = [
 ]
 
 # Stale-green keys deferred from the r11 window (bench-exercised every
-# round), then any keys registered during r11 — the head of the r12 window.
+# round), then every key registered during r11 — first the r11 opening
+# batch, then the r11b second-session registrations (all judge-gated
+# locally at sf0.001/0.01/0.1 on registration).  54 keys: the r12 window
+# takes the first 50 and the overflow heads _R13.
 _R12_QUEUE = [
     "groupby_agg",
     "tpch_q3ish",
@@ -7016,6 +7048,8 @@ _R12_QUEUE = [
     "heaps_law",
     "conformal_interval",
     "ece_brier",
+    "pacf_lags",
+    "seasonal_strength",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -7327,6 +7361,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_law": q_heaps_law,
         "conformal_interval": q_conformal_interval,
         "ece_brier": q_ece_brier,
+        "pacf_lags": q_pacf_lags,
+        "seasonal_strength": q_seasonal_strength,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -8376,6 +8412,74 @@ _FIFO_TRADES_SQL = """li AS (
            CAST(round(value * 100) AS BIGINT) % 1000 + 1 AS p
     FROM events
 )"""
+
+
+def _pacf_sql(max_lag: int = 5) -> str:
+    """Chained-CTE replay of pacf_lags on the daily order-count series:
+    the acf ladder (no partition), pivoted wide, then the Durbin–Levinson
+    levels generated by the SAME loop the Spark side evaluates."""
+    from area_etl_spark.operators.windows import pacf_sql_lines
+
+    leads = ",\n                       ".join(
+        f"LEAD(x, {k}) OVER (ORDER BY t) AS l{k}" for k in range(1, max_lag + 1)
+    )
+    aggs = ",\n                       ".join(
+        f"CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN x * l{k} END) AS HUGEINT) AS cr{k},\n"
+        f"                       CAST(SUM(CASE WHEN l{k} IS NOT NULL THEN x END) AS HUGEINT) AS hd{k},\n"
+        f"                       CAST(SUM(l{k}) AS HUGEINT) AS tl{k}"
+        for k in range(1, max_lag + 1)
+    )
+    rws = "\n                UNION ALL ".join(
+        f"SELECT {k} AS lag, cr{k} AS cr, hd{k} AS hd, tl{k} AS tl, n, S, SS FROM agg"
+        for k in range(1, max_lag + 1)
+    )
+    pivots = ",\n                       ".join(
+        f"MAX(CASE WHEN lag = {k} THEN r END) AS r{k}" for k in range(1, max_lag + 1)
+    )
+    ctes = []
+    prev = "wide"
+    for i, line in enumerate(pacf_sql_lines(max_lag), start=1):
+        ctes.append(f"l{i} AS ({line.replace('__prev__', prev)})")
+        prev = f"l{i}"
+    level_ctes = ",\n            ".join(ctes)
+    finals = "\n            UNION ALL ".join(
+        f"SELECT {k} AS lag, round(p{k}_{k}, 6) AS pacf FROM {prev}"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+            WITH daily AS (
+                SELECT date_diff('day', DATE '1992-01-01',
+                                 CAST(o_orderdate AS DATE)) AS t,
+                       COUNT(*) AS x
+                FROM orders GROUP BY 1
+            ), led AS (
+                SELECT x,
+                       {leads}
+                FROM daily
+            ), agg AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       CAST(SUM(x) AS HUGEINT) AS S,
+                       CAST(SUM(x * x) AS HUGEINT) AS SS,
+                       {aggs}
+                FROM led
+            ), longr AS (
+                {rws}
+            ), rr AS (
+                SELECT lag,
+                       CASE WHEN n * n * SS - n * S * S <> 0 AND n > lag THEN
+                           round(CAST(n * n * COALESCE(cr, 0)
+                                      - n * S * (COALESCE(hd, 0) + COALESCE(tl, 0))
+                                      + (n - lag) * S * S AS DOUBLE)
+                                 / CAST(n * n * SS - n * S * S AS DOUBLE), 6)
+                       END + 0.0 AS r
+                FROM longr
+            ), wide AS (
+                SELECT {pivots}
+                FROM rr
+            ),
+            {level_ctes}
+            {finals}
+    """
 
 
 def _mmr_sql(k: int = 5, lam: float = 0.7, pool: int = 20) -> str:
@@ -10175,6 +10279,81 @@ def oracle_sql() -> dict[str, str]:
             FROM terms
         """,
         "mmr_diversify": _mmr_sql(k=5, lam=0.7, pool=20),
+        "pacf_lags": _pacf_sql(5),
+        "seasonal_strength": """
+            WITH m AS (
+                SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+                FROM orders GROUP BY 1
+            ), st AS (
+                SELECT month, rev,
+                       ROW_NUMBER() OVER (ORDER BY month) AS rn,
+                       2 * SUM(rev) OVER (ORDER BY month
+                           ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+                       + COALESCE(lag(rev, 6) OVER (ORDER BY month), 0)
+                       + COALESCE(lead(rev, 6) OVER (ORDER BY month), 0) AS num0,
+                       COUNT(rev) OVER (ORDER BY month
+                           ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) AS cnt,
+                       lag(rev, 6) OVER (ORDER BY month) AS lg,
+                       lead(rev, 6) OVER (ORDER BY month) AS ld
+                FROM m
+            ), st2 AS (
+                SELECT month, rev, (rn - 1) % 12 AS phase,
+                       CASE WHEN cnt = 13 AND lg IS NOT NULL AND ld IS NOT NULL
+                            THEN num0 END AS num
+                FROM st
+            ), dn AS (
+                SELECT month, rev, phase, num,
+                       CASE WHEN num IS NOT NULL THEN rev * 24 - num END AS dnv
+                FROM st2
+            ), pp AS (
+                SELECT phase, SUM(dnv) AS sdn, COUNT(*) AS np
+                FROM dn WHERE dnv IS NOT NULL GROUP BY 1
+            ), ppr AS (
+                SELECT phase,
+                       CAST(sdn AS DOUBLE) / (24.0 * CAST(np AS DOUBLE)) AS s_raw
+                FROM pp
+            ), cen AS (
+                SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(s_raw ORDER BY phase)), (a, b) -> a + b) AS ssum,
+                       COUNT(*) AS nph
+                FROM ppr
+            ), sea AS (
+                SELECT phase, s_raw - ssum / CAST(nph AS DOUBLE) AS seasonal
+                FROM ppr CROSS JOIN cen
+            ), comp AS (
+                SELECT CAST(round(CAST(num AS DOUBLE) / 24.0) AS BIGINT) AS trend,
+                       CAST(round(seasonal) AS BIGINT) AS seasonal,
+                       CAST(round(CAST(rev AS DOUBLE) - CAST(num AS DOUBLE) / 24.0
+                                  - seasonal) AS BIGINT) AS residual
+                FROM dn LEFT JOIN sea USING (phase)
+            ), kept AS (
+                SELECT CAST(seasonal + residual AS HUGEINT) AS sr,
+                       CAST(trend + residual AS HUGEINT) AS tr,
+                       CAST(residual AS HUGEINT) AS rr
+                FROM comp WHERE residual IS NOT NULL
+            ), agg AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(rr) AS s_r, SUM(rr * rr) AS q_r,
+                       SUM(sr) AS s_s, SUM(sr * sr) AS q_s,
+                       SUM(tr) AS s_t, SUM(tr * tr) AS q_t
+                FROM kept
+            ), vs AS (
+                SELECT CAST(n AS BIGINT) AS n_int,
+                       CAST(n * q_r - s_r * s_r AS DOUBLE) AS vr,
+                       CAST(n * q_s - s_s * s_s AS DOUBLE) AS vss,
+                       CAST(n * q_t - s_t * s_t AS DOUBLE) AS vt
+                FROM agg
+            )
+            SELECT n_int AS n,
+                   round(CASE WHEN vss > 0
+                         THEN GREATEST(0.0, 1.0 - vr / vss) END, 6)
+                       AS seasonal_strength,
+                   round(CASE WHEN vt > 0
+                         THEN GREATEST(0.0, 1.0 - vr / vt) END, 6)
+                       AS trend_strength
+            FROM vs
+        """,
         "ece_brier": """
             WITH cust AS (
                 SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal

@@ -1043,3 +1043,150 @@ def haar_transform(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _durbin_levinson(rs: list):
+    """Shared Durbin–Levinson unrolling for :func:`pacf_lags` — one Python
+    loop produces BOTH the driver-side float evaluation and (via
+    :func:`pacf_sql_lines`) the SQL replica, so the operation ORDER is
+    identical by construction: sums accumulate left-associated in j
+    order, one division per level."""
+    k = len(rs)
+    phi = {}
+    pacf = []
+    phi[(1, 1)] = rs[0]
+    pacf.append(rs[0])
+    for m in range(2, k + 1):
+        num = rs[m - 1]
+        den = 1.0
+        for j in range(1, m):
+            num = num - phi[(m - 1, j)] * rs[m - 1 - j]
+            den = den - phi[(m - 1, j)] * rs[j - 1]
+        pmm = num / den if den != 0 else float("nan")
+        phi[(m, m)] = pmm
+        for j in range(1, m):
+            phi[(m, j)] = phi[(m - 1, j)] - pmm * phi[(m - 1, m - j)]
+        pacf.append(pmm)
+    return pacf
+
+
+def pacf_sql_lines(k: int, r_name: str = "r") -> list:
+    """SQL SELECT expressions replaying :func:`_durbin_levinson` for
+    ``k`` lags over columns ``r1..rk`` — same left-associated sum order,
+    same single division per level.  Returns a list of CTE bodies; the
+    caller chains them (each level references the previous level's φ
+    columns)."""
+    lines = []
+    lines.append(f"SELECT *, {r_name}1 AS p1_1 FROM __prev__")
+    for m in range(2, k + 1):
+        num = f"{r_name}{m}"
+        den = "1.0"
+        for j in range(1, m):
+            num = f"({num} - p{m-1}_{j} * {r_name}{m - j})"
+            den = f"({den} - p{m-1}_{j} * {r_name}{j})"
+        sel = [f"CASE WHEN {den} <> 0 THEN {num} / {den} END AS p{m}_{m}"]
+        for j in range(1, m):
+            sel.append(f"(p{m-1}_{j} - ({num} / {den}) * p{m-1}_{m-j}) AS p{m}_{j}")
+        lines.append("SELECT *, " + ", ".join(sel) + " FROM __prev__")
+    return lines
+
+
+def pacf_lags(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Partial autocorrelation function for lags 1..k via Durbin–Levinson
+    over the :func:`acf_lags` ladder — THE AR-order diagnostic (an AR(p)
+    series' PACF cuts off after lag p; ACF alone can't see that).
+
+    The distributed work is acf_lags' exact-cleared r_k (round-6, both
+    engines square the same doubles); the Durbin–Levinson recursion is
+    O(k²) scalar arithmetic on those k doubles — evaluated driver-side by
+    the SAME Python loop that generates the SQL replica
+    (:func:`_durbin_levinson` / :func:`pacf_sql_lines`), so the float
+    streams are instruction-identical.  Returns (lag, pacf) rows,
+    round-6; lags whose r is NULL (lag ≥ n, zero variance) truncate the
+    ladder.
+    """
+    acf = acf_lags(df, [], order_col, value_col, max_lag)
+    rows = {r["lag"]: r["r"] for r in acf.collect()}
+    rs = []
+    for lag in range(1, max_lag + 1):
+        v = rows.get(lag)
+        if v is None:
+            break
+        rs.append(v)
+    spark = df.sparkSession
+    if not rs:
+        return spark.createDataFrame([], "lag int, pacf double")
+    vals = _durbin_levinson(rs)
+    import math as _math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round6(v: float) -> float:
+        # exact-binary-expansion HALF_UP — the round() both engines apply
+        # (python's built-in round is banker's, which would diverge on ties)
+        return float(Decimal(v).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    out = [
+        (i + 1, _round6(v) if not _math.isnan(v) else None)
+        for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(out, "lag int, pacf double")
+
+
+def seasonal_strength(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    period: int,
+) -> DataFrame:
+    """Seasonal and trend STRENGTH of a series (the Wang–Smith–Hyndman
+    time-series features): how much of the detrended variance the
+    seasonal component explains, and how much of the deseasonalized
+    variance the trend explains —
+
+        F_s = max(0, 1 − Var(resid)/Var(seasonal + resid))
+        F_t = max(0, 1 − Var(resid)/Var(trend + resid))
+
+    Built directly on :func:`seasonal_decompose_classical` (components
+    are EXACT BIGINTs): every variance is (n·Σx² − (Σx)²)/n² from exact
+    DECIMAL sums, one division each — the strengths are then two fixed-
+    order double expressions.  Rows without a full trend window drop (the
+    decomposition's NULL edge).  Returns one row per key group
+    (n, seasonal_strength, trend_strength); NULL when a denominator
+    variance is zero.
+    """
+    dec = "decimal(38,0)"
+    comp = seasonal_decompose_classical(df, keys, order_cols, value_col, period).where(
+        F.col("residual").isNotNull()
+    )
+    sr = (F.col("seasonal") + F.col("residual")).cast(dec)
+    tr = (F.col("trend") + F.col("residual")).cast(dec)
+    rr = F.col("residual").cast(dec)
+    agg = comp.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(rr).alias("_sr"),
+        F.sum((rr * rr).cast(dec)).alias("_qr"),
+        F.sum(sr).alias("_ss"),
+        F.sum((sr * sr).cast(dec)).alias("_qs"),
+        F.sum(tr).alias("_st"),
+        F.sum((tr * tr).cast(dec)).alias("_qt"),
+    )
+    n = F.col("_n").cast(dec)
+
+    def var(s, q):
+        return (n * F.col(q) - F.col(s) * F.col(s)).cast("double")
+
+    vr, vs, vt = var("_sr", "_qr"), var("_ss", "_qs"), var("_st", "_qt")
+    fs = F.when(vs > 0, F.greatest(F.lit(0.0), F.lit(1.0) - vr / vs))
+    ft = F.when(vt > 0, F.greatest(F.lit(0.0), F.lit(1.0) - vr / vt))
+    return agg.select(
+        *keys,
+        F.col("_n").cast("long").alias("n"),
+        F.round(fs, 6).alias("seasonal_strength"),
+        F.round(ft, 6).alias("trend_strength"),
+    )

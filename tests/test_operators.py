@@ -4191,3 +4191,55 @@ def test_ece_brier_reference(spark):
 
     with _pytest.raises(ValueError, match="n_bins"):
         ece_brier(df, "score", "placed", n_bins=0)
+
+
+def test_pacf_lags_reference(spark):
+    from area_etl_spark.operators.windows import _durbin_levinson, acf_lags, pacf_lags
+
+    import random
+
+    random.seed(17)
+    # AR(1)-flavored integer series: strong lag-1 memory
+    vals = [0]
+    for _ in range(199):
+        vals.append(int(0.8 * vals[-1]) + random.randint(-10, 10))
+    df = spark.createDataFrame(list(enumerate(vals)), "t long, v long")
+    out = {r.lag: r.pacf for r in pacf_lags(df, "t", "v", max_lag=5).collect()}
+    acf = {r.lag: r.r for r in acf_lags(df, [], "t", "v", 5).collect()}
+    # lag-1 PACF IS the lag-1 ACF
+    assert abs(out[1] - round(acf[1], 6)) < 1e-9
+    # replication: same recursion over the same rounded acf values
+    rs = [acf[k] for k in range(1, 6)]
+    want = _durbin_levinson(rs)
+    for k in range(1, 6):
+        assert abs(out[k] - want[k - 1]) < 1e-6, (k, out[k], want[k - 1])
+    # AR(1): higher-order partials collapse toward zero
+    assert abs(out[1]) > 0.5 and abs(out[3]) < 0.3
+    for k, v in out.items():
+        assert -1.001 <= v <= 1.001
+
+
+def test_seasonal_strength_reference(spark):
+    from area_etl_spark.operators.windows import seasonal_strength
+
+    import random
+
+    # strong period-4 seasonality, no trend → seasonal_strength near 1
+    season = [400, -200, 100, -300]
+    rows = [(i, 10_000 + season[i % 4]) for i in range(48)]
+    df = spark.createDataFrame(rows, "t long, v long")
+    r = seasonal_strength(df, [], ["t"], "v", 4).collect()[0]
+    assert r.seasonal_strength is not None and r.seasonal_strength > 0.99
+    # pure noise → weak seasonal strength
+    random.seed(23)
+    noisy = [(i, 10_000 + random.randint(-500, 500)) for i in range(48)]
+    rn = seasonal_strength(
+        spark.createDataFrame(noisy, "t long, v long"), [], ["t"], "v", 4
+    ).collect()[0]
+    assert rn.seasonal_strength < 0.6, rn.seasonal_strength
+    # strong linear trend → trend_strength near 1
+    trend = [(i, 100 * i + random.randint(-20, 20)) for i in range(48)]
+    rt = seasonal_strength(
+        spark.createDataFrame(trend, "t long, v long"), [], ["t"], "v", 4
+    ).collect()[0]
+    assert rt.trend_strength > 0.95, rt.trend_strength
