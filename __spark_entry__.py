@@ -6246,6 +6246,33 @@ def q_hll_distinct(spark, sf_dir):
     return hll_distinct_portable(_tables(spark, sf_dir)["events"], "user_id")
 
 
+def q_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail on the even/odd customer split
+    against a 1:1 design — exact-count chi-square GOF with the p < 0.001
+    industry alarm; the 2-arm case uses the exact df=1 identity, never
+    the Wilson–Hilferty tail."""
+    from area_etl_spark.operators.experiments import srm_check
+
+    c = _tables(spark, sf_dir)["customer"].select(
+        F.when(F.pmod(F.col("c_custkey"), F.lit(2)) == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("arm")
+    )
+    return srm_check(c, "arm", {"even": 1, "odd": 1})
+
+
+def q_power_two_means(spark, sf_dir):
+    """Sample-size planning for a two-arm balance experiment: σ̂ from the
+    exact DECIMAL pilot sums, both z's from the PORTABLE Acklam inverse
+    normal — n/arm to detect a $1000 shift at α=.05, power .8."""
+    from area_etl_spark.operators.experiments import power_two_means
+
+    c = _tables(spark, sf_dir)["customer"].select(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal")
+    )
+    return power_two_means(c, "bal", delta=100_000)
+
+
 def q_pacf_lags(spark, sf_dir):
     """PACF of the daily order-count series via Durbin–Levinson over the
     exact-cleared ACF ladder — the AR-order diagnostic; ONE Python loop
@@ -7050,6 +7077,8 @@ _R12_QUEUE = [
     "ece_brier",
     "pacf_lags",
     "seasonal_strength",
+    "srm_check",
+    "power_two_means",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -7363,6 +7392,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ece_brier": q_ece_brier,
         "pacf_lags": q_pacf_lags,
         "seasonal_strength": q_seasonal_strength,
+        "srm_check": q_srm_check,
+        "power_two_means": q_power_two_means,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -7636,6 +7667,7 @@ def _langid_sql(text: str) -> str:
 from area_etl_spark.operators.experiments import normal_sf_sql as _normal_sf_sql  # noqa: E402
 from area_etl_spark.operators.experiments import f_sf_paulson_sql as _f_sf_paulson_sql  # noqa: E402
 from area_etl_spark.operators.geo import point_in_polygon_sql as _pip_sql  # noqa: E402
+from area_etl_spark.operators.experiments import normal_quantile_sql as _nq_sql  # noqa: E402
 
 NORMAL_SF_SQL_ABS_Z = _normal_sf_sql("abs(z)")
 # portable P(chi2_1 > x) = 2*P(Z > sqrt(x)), rendered over the UNROUNDED
@@ -10279,6 +10311,87 @@ def oracle_sql() -> dict[str, str]:
             FROM terms
         """,
         "mmr_diversify": _mmr_sql(k=5, lam=0.7, pool=20),
+        "srm_check": f"""
+            WITH counts AS (
+                SELECT CASE WHEN c_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS a,
+                       COUNT(*) AS o
+                FROM customer GROUP BY 1
+            ), st AS (
+                SELECT a, o,
+                       CASE WHEN a = 'even' THEN 1 WHEN a = 'odd' THEN 1
+                            ELSE 0 END AS w
+                FROM counts
+            ), tot AS (
+                SELECT SUM(o) AS n FROM st
+            ), terms AS (
+                SELECT a, o, w, n,
+                       CASE WHEN w > 0 THEN
+                           (CAST(o AS DOUBLE)
+                            - CAST(n AS DOUBLE) * CAST(w AS DOUBLE) / 2.0)
+                           * (CAST(o AS DOUBLE)
+                              - CAST(n AS DOUBLE) * CAST(w AS DOUBLE) / 2.0)
+                           / (CAST(n AS DOUBLE) * CAST(w AS DOUBLE) / 2.0)
+                       ELSE 0.0 END AS t
+                FROM st CROSS JOIN tot
+            ), packed AS (
+                SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+                       SUM(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS bad,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(t ORDER BY a)), (x, y) -> x + y) AS chi2r
+                FROM terms
+            ), ch AS (
+                SELECT n, k, bad,
+                       CASE WHEN bad = 0 THEN chi2r END AS chi2,
+                       CAST(k - 1 AS DOUBLE) AS dfree
+                FROM packed
+            ), zed AS (
+                SELECT *,
+                       (pow(chi2 / dfree, 0.3333333333333333e0)
+                        - (1.0 - 2.0 / (9.0 * dfree)))
+                       / sqrt(2.0 / (9.0 * dfree)) AS z
+                FROM ch
+            ), ps AS (
+                SELECT n, k, chi2, bad,
+                       CASE WHEN chi2 IS NOT NULL AND k > 1 AND chi2 > 0
+                            THEN LEAST(1.0, GREATEST(0.0,
+                                CASE WHEN k = 2
+                                     THEN 2.0 * {_normal_sf_sql("sqrt(chi2)")}
+                                     WHEN z >= 0 THEN {_normal_sf_sql("z")}
+                                     ELSE 1.0 - {_normal_sf_sql("(-z)")} END))
+                            WHEN chi2 IS NOT NULL THEN 1.0 END AS p
+                FROM zed
+            )
+            SELECT n, k, round(chi2, 9) AS chi2, round(p, 6) AS p_value,
+                   CASE WHEN bad > 0 THEN true ELSE p < 0.001 END AS srm_detected
+            FROM ps
+        """,
+        "power_two_means": f"""
+            WITH base AS (
+                SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS v FROM customer
+            ), s AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(CAST(v AS HUGEINT)) AS sv,
+                       SUM(CAST(v AS HUGEINT) * v) AS qv
+                FROM base
+            ), c AS (
+                SELECT CAST(n AS BIGINT) AS n_int, CAST(n AS DOUBLE) AS nd,
+                       sqrt(GREATEST(CAST(n * qv - sv * sv AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)),
+                           0.0)) AS sigma
+                FROM s
+            ), z AS (
+                SELECT *, {_nq_sql("0.975")} AS za, {_nq_sql("0.8")} AS zp FROM c
+            )
+            SELECT n_int AS n_pilot,
+                   round(sigma, 6) AS sigma_est,
+                   round(za, 6) AS z_alpha,
+                   round(zp, 6) AS z_power,
+                   CASE WHEN nd > 1 THEN CAST(ceil(
+                       2.0 * ((za + zp) * sigma / 100000.0)
+                           * ((za + zp) * sigma / 100000.0)) AS BIGINT) END
+                       AS n_per_arm
+            FROM z
+        """,
         "pacf_lags": _pacf_sql(5),
         "seasonal_strength": """
             WITH m AS (

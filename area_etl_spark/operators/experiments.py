@@ -3075,3 +3075,204 @@ def theil_u(
         F.round(h_ab, 9).alias("h_a_given_b"),
         F.round(u, 9).alias("u"),
     )
+
+
+def normal_quantile_portable(p: Column) -> Column:
+    """Inverse normal CDF Φ⁻¹(p) via Acklam's piecewise rational
+    approximation (max |err| ~1.15e-9) written out as plain arithmetic —
+    a DEFINED portable statistic exactly like :func:`normal_sf_portable`:
+    both engines evaluate the SAME polynomial, so no platform
+    erfinv/qnorm is ever consulted.  Valid for p ∈ (0, 1)."""
+    a = [-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+         1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+         6.680131188771972e+01, -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+         -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+         3.754408661907416e+00]
+    plow = 0.02425
+
+    def poly(coeffs, x):
+        acc = F.lit(coeffs[0])
+        for co in coeffs[1:]:
+            acc = acc * x + F.lit(co)
+        return acc
+
+    # central region: q = p − 0.5, r = q²
+    q_c = p - F.lit(0.5)
+    r_c = q_c * q_c
+    central = (poly(a, r_c) * q_c) / (poly(b, r_c) * r_c + F.lit(1.0))
+    # lower tail: q = sqrt(−2 ln p)
+    q_l = F.sqrt(F.lit(-2.0) * F.log(p))
+    lower = poly(c, q_l) / (poly(d, q_l) * q_l + F.lit(1.0))
+    # upper tail: q = sqrt(−2 ln(1−p))
+    q_u = F.sqrt(F.lit(-2.0) * F.log(F.lit(1.0) - p))
+    upper = -(poly(c, q_u) / (poly(d, q_u) * q_u + F.lit(1.0)))
+    return (
+        F.when(p < F.lit(plow), lower)
+        .when(p <= F.lit(1.0 - plow), central)
+        .otherwise(upper)
+    )
+
+
+def normal_quantile_sql(p_expr: str) -> str:
+    """DuckDB rendering of :func:`normal_quantile_portable` — same
+    constants, same Horner order."""
+    a = [-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+         1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+         6.680131188771972e+01, -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+         -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+         3.754408661907416e+00]
+
+    def poly(coeffs, x):
+        # CAST every constant: DuckDB parses plain decimal literals as
+        # DECIMAL and the Horner chain would explode its scale
+        acc = f"CAST({coeffs[0]!r} AS DOUBLE)"
+        for co in coeffs[1:]:
+            acc = f"({acc} * {x} + CAST({co!r} AS DOUBLE))"
+        return acc
+
+    qc = f"(({p_expr}) - 0.5)"
+    rc = f"({qc} * {qc})"
+    central = f"(({poly(a, rc)} * {qc}) / ({poly(b, rc)} * {rc} + 1.0))"
+    ql = f"sqrt(-2.0 * ln({p_expr}))"
+    lower = f"({poly(c, ql)} / ({poly(d, ql)} * {ql} + 1.0))"
+    qu = f"sqrt(-2.0 * ln(1.0 - ({p_expr})))"
+    upper = f"(-({poly(c, qu)} / ({poly(d, qu)} * {qu} + 1.0)))"
+    return (
+        f"(CASE WHEN ({p_expr}) < 0.02425 THEN {lower} "
+        f"WHEN ({p_expr}) <= 0.97575 THEN {central} "
+        f"ELSE {upper} END)"
+    )
+
+
+def srm_check(
+    df: DataFrame,
+    arm_col: str,
+    expected: dict[str, int],
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the FIRST check every A/B readout
+    must pass (a 50/50 experiment observing 50.5/49.5 at scale means the
+    assignment or logging pipeline is broken, and every downstream metric
+    is garbage): chi-square goodness-of-fit of observed arm counts
+    against the design ratios, with the industry-standard p < 0.001
+    alarm.
+
+    Expected weights are INTEGERS (50/50, 9/1, …): e_a = n·w_a/Σw stays
+    rational and each (o−e)²/e term is one fixed-order double from exact
+    integers, folded in sorted arm order; Wilson–Hilferty p (k−1 df).
+    Arms observed but not in the design get weight 0 → e = 0 → their mere
+    presence is an automatic alarm (chi2 NULL + srm_detected true,
+    documented).  Returns one row (n, k, chi2, p_value, srm_detected).
+    """
+    if not expected or any(w < 0 for w in expected.values()):
+        raise ValueError("expected must map arms to non-negative integer weights")
+    wsum = sum(expected.values())
+    counts = df.groupBy(F.col(arm_col).alias("_a")).agg(
+        F.count(F.lit(1)).alias("_o")
+    )
+    wmap = F.create_map(
+        *[x for k, v in sorted(expected.items()) for x in (F.lit(k), F.lit(int(v)))]
+    )
+    staged = counts.withColumn("_w", F.coalesce(wmap[F.col("_a")], F.lit(0)))
+    tot = staged.agg(F.sum("_o").alias("_n"))
+    j = staged.crossJoin(F.broadcast(tot))
+    e = F.col("_n").cast("double") * F.col("_w").cast("double") / F.lit(float(wsum))
+    term = F.when(
+        F.col("_w") > 0,
+        (F.col("_o").cast("double") - e) * (F.col("_o").cast("double") - e) / e,
+    )
+    packed = j.agg(
+        F.first("_n").alias("_n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.when(F.col("_w") == 0, 1).otherwise(0)).alias("_bad"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_a"), F.coalesce(term, F.lit(0.0)).alias("_t")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("_t"),
+        ).alias("_chi2"),
+    )
+    chi2 = F.when(F.col("_bad") == 0, F.col("_chi2"))
+    dfree = (F.col("k") - 1).cast("double")
+    wh_z = (
+        F.pow(chi2 / dfree, F.lit(1.0 / 3.0))
+        - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dfree))
+    ) / F.sqrt(F.lit(2.0) / (F.lit(9.0) * dfree))
+    sf = F.when(wh_z >= 0, normal_sf_portable(wh_z)).otherwise(
+        F.lit(1.0) - normal_sf_portable(-wh_z)
+    )
+    # the 2-arm case (df = 1) is THE common design and the alarm threshold
+    # sits in the far tail — use the exact identity P(χ²₁ > x) = 2·Φ̄(√x)
+    # there instead of Wilson–Hilferty (whose df=1 tail error could flip a
+    # borderline alarm); WH for k > 2 per the kruskal precedent
+    sf = F.when(
+        F.col("k") == 2, F.lit(2.0) * normal_sf_portable(F.sqrt(chi2))
+    ).otherwise(sf)
+    p = F.when(
+        chi2.isNotNull() & (F.col("k") > 1) & (chi2 > 0),
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), sf)),
+    ).otherwise(F.when(chi2.isNotNull(), F.lit(1.0)))
+    detected = F.when(F.col("_bad") > 0, F.lit(True)).otherwise(p < 0.001)
+    return packed.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(chi2, 9).alias("chi2"),
+        F.round(p, 6).alias("p_value"),
+        detected.alias("srm_detected"),
+    )
+
+
+def power_two_means(
+    df: DataFrame,
+    value_col: str,
+    delta: int,
+    alpha: float = 0.05,
+    power: float = 0.8,
+) -> DataFrame:
+    """Sample-size calculation for a two-arm mean comparison — the planning
+    complement of power_two_proportions: from a PILOT column's variance,
+    how many units per arm detect a difference of ``delta`` (same units,
+    integer cents)?
+
+        n/arm = ⌈ 2·((z_{1−α/2} + z_{power})·σ̂/δ)² ⌉
+
+    σ̂² is the sample variance from exact DECIMAL sums; both z's come from
+    the PORTABLE Acklam inverse normal (:func:`normal_quantile_portable`)
+    — no platform qnorm.  Returns one row
+    (n_pilot, sigma_est, z_alpha, z_power, n_per_arm).
+    """
+    if not 0 < alpha < 1 or not 0 < power < 1:
+        raise ValueError("alpha and power must be in (0,1)")
+    if delta <= 0:
+        raise ValueError(f"delta must be positive, got {delta}")
+    dec = "decimal(38,0)"
+    sums = df.select(F.col(value_col).cast("long").alias("_v")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_v").cast(dec)).alias("_s"),
+        F.sum((F.col("_v").cast(dec) * F.col("_v")).cast(dec)).alias("_q"),
+    )
+    n = F.col("_n").cast("double")
+    var = (
+        (F.col("_n").cast(dec) * F.col("_q") - F.col("_s") * F.col("_s")).cast("double")
+        / (n * (n - F.lit(1.0)))
+    )
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    za = normal_quantile_portable(F.lit(1.0 - alpha / 2.0))
+    zp = normal_quantile_portable(F.lit(float(power)))
+    n_arm = F.ceil(
+        F.lit(2.0) * ((za + zp) * sigma / F.lit(float(delta)))
+        * ((za + zp) * sigma / F.lit(float(delta)))
+    )
+    return sums.select(
+        F.col("_n").cast("long").alias("n_pilot"),
+        F.round(sigma, 6).alias("sigma_est"),
+        F.round(za, 6).alias("z_alpha"),
+        F.round(zp, 6).alias("z_power"),
+        F.when(n > 1, n_arm).cast("long").alias("n_per_arm"),
+    )

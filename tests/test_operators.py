@@ -4243,3 +4243,76 @@ def test_seasonal_strength_reference(spark):
         spark.createDataFrame(trend, "t long, v long"), [], ["t"], "v", 4
     ).collect()[0]
     assert rt.trend_strength > 0.95, rt.trend_strength
+
+
+def test_normal_quantile_portable_accuracy(spark):
+    from pyspark.sql import functions as F
+
+    from area_etl_spark.operators.experiments import normal_quantile_portable
+
+    # pin against known quantiles (tables): Φ⁻¹(0.975)=1.959964, Φ⁻¹(0.8)=0.841621
+    df = spark.range(1).select(
+        *[
+            normal_quantile_portable(F.lit(p)).alias(f"q{i}")
+            for i, p in enumerate([0.975, 0.8, 0.5, 0.025, 0.001, 0.999])
+        ]
+    )
+    r = df.collect()[0]
+    known = [1.959964, 0.841621, 0.0, -1.959964, -3.090232, 3.090232]
+    for i, want in enumerate(known):
+        assert abs(r[f"q{i}"] - want) < 1e-5, (i, r[f"q{i}"], want)
+
+
+def test_srm_check_reference(spark):
+    from area_etl_spark.operators.experiments import srm_check
+
+    # healthy 50/50 at small imbalance → no alarm
+    ok = spark.createDataFrame(
+        [("a",)] * 5050 + [("b",)] * 4950, "arm string"
+    )
+    r = srm_check(ok, "arm", {"a": 1, "b": 1}).collect()[0]
+    assert (r.n, r.k) == (10_000, 2)
+    want_chi2 = (5050 - 5000) ** 2 / 5000 + (4950 - 5000) ** 2 / 5000
+    assert abs(r.chi2 - want_chi2) < 1e-9
+    assert r.srm_detected is False
+    # broken logging: a 52/48 split on a 50/50 design at this n → alarm
+    bad = spark.createDataFrame([("a",)] * 5200 + [("b",)] * 4800, "arm string")
+    rb = srm_check(bad, "arm", {"a": 1, "b": 1}).collect()[0]
+    assert rb.srm_detected is True and rb.p_value < 0.001
+    # unknown arm present → automatic alarm with NULL chi2
+    ghost = spark.createDataFrame(
+        [("a",)] * 50 + [("b",)] * 50 + [("zz",)] * 3, "arm string"
+    )
+    rg = srm_check(ghost, "arm", {"a": 1, "b": 1}).collect()[0]
+    assert rg.srm_detected is True and rg.chi2 is None
+    # 90/10 design honored → fine
+    nn = spark.createDataFrame([("a",)] * 900 + [("b",)] * 100, "arm string")
+    assert srm_check(nn, "arm", {"a": 9, "b": 1}).collect()[0].srm_detected is False
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="weights"):
+        srm_check(nn, "arm", {"a": -1})
+
+
+def test_power_two_means_reference(spark):
+    from area_etl_spark.operators.experiments import power_two_means
+
+    import math
+    import random
+
+    random.seed(29)
+    vals = [random.randint(0, 1000) for _ in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    r = power_two_means(df, "v", delta=50).collect()[0]
+    n = len(vals)
+    mean = sum(vals) / n
+    sd = math.sqrt(sum((v - mean) ** 2 for v in vals) / (n - 1))
+    assert abs(r.sigma_est - sd) < 1e-4
+    assert abs(r.z_alpha - 1.959964) < 1e-4
+    assert abs(r.z_power - 0.841621) < 1e-4
+    want = math.ceil(2 * ((1.9599640 + 0.8416212) * sd / 50) ** 2)
+    assert abs(r.n_per_arm - want) <= 1  # ceil of float can be off by one ulp-tick
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="delta"):
+        power_two_means(df, "v", delta=0)
