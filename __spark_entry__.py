@@ -6246,6 +6246,31 @@ def q_hll_distinct(spark, sf_dir):
     return hll_distinct_portable(_tables(spark, sf_dir)["events"], "user_id")
 
 
+def q_qini_curve(spark, sf_dir):
+    """Qini uplift curve of a nation-derived targeting score on the
+    positive-balance outcome under the even/odd pseudo-experiment —
+    cumulative incremental responders vs proportional-control expectation
+    per descending score bin, all from exact counts."""
+    from area_etl_spark.operators.experiments import qini_curve
+
+    c = _tables(spark, sf_dir)["customer"].select(
+        (F.col("c_nationkey").cast("long") * 40000).alias("score"),
+        (F.pmod(F.col("c_custkey"), F.lit(2)) == 1).alias("t"),
+        (F.col("c_acctbal") > 0).alias("y"),
+    )
+    return qini_curve(c, "t", "y", "score", n_bins=10)
+
+
+def q_krippendorff_alpha(spark, sf_dir):
+    """Krippendorff's alpha (nominal) over each user's event types — the
+    many-rater reliability cohen_kappa can't express: exact per-unit
+    disagreement integers, singleton units drop per the definition."""
+    from area_etl_spark.operators.experiments import krippendorff_alpha
+
+    ev = _tables(spark, sf_dir)["events"]
+    return krippendorff_alpha(ev, "user_id", "event_type")
+
+
 def q_srm_check(spark, sf_dir):
     """Sample-ratio-mismatch guardrail on the even/odd customer split
     against a 1:1 design — exact-count chi-square GOF with the p < 0.001
@@ -7079,6 +7104,8 @@ _R12_QUEUE = [
     "seasonal_strength",
     "srm_check",
     "power_two_means",
+    "qini_curve",
+    "krippendorff_alpha",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -7394,6 +7421,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_strength": q_seasonal_strength,
         "srm_check": q_srm_check,
         "power_two_means": q_power_two_means,
+        "qini_curve": q_qini_curve,
+        "krippendorff_alpha": q_krippendorff_alpha,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -10311,6 +10340,88 @@ def oracle_sql() -> dict[str, str]:
             FROM terms
         """,
         "mmr_diversify": _mmr_sql(k=5, lam=0.7, pool=20),
+        "qini_curve": """
+            WITH units AS (
+                SELECT c_nationkey * 40000 AS score,
+                       CASE WHEN c_custkey % 2 = 1 THEN 1 ELSE 0 END AS t,
+                       CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y
+                FROM customer
+            ), base AS (
+                SELECT 9 - LEAST(9, CAST(FLOOR(score * 10 / 1000000) AS BIGINT)) AS b,
+                       t, y
+                FROM units
+            ), per AS (
+                SELECT b, SUM(t) AS nt, SUM(1 - t) AS nc,
+                       SUM(t * y) AS yt, SUM((1 - t) * y) AS yc
+                FROM base GROUP BY 1
+            ), cum AS (
+                SELECT b,
+                       SUM(nt) OVER wnd AS cnt_t, SUM(nc) OVER wnd AS cnt_c,
+                       SUM(yt) OVER wnd AS res_t, SUM(yc) OVER wnd AS res_c
+                FROM per
+                WINDOW wnd AS (ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT CAST(b AS BIGINT) AS bin_rank,
+                   CAST(cnt_t AS BIGINT) AS n_treat_cum,
+                   CAST(cnt_c AS BIGINT) AS n_ctrl_cum,
+                   round(CASE WHEN cnt_c > 0 THEN CAST(res_t AS DOUBLE)
+                              - CAST(res_c AS DOUBLE)
+                                * (CAST(cnt_t AS DOUBLE) / CAST(cnt_c AS DOUBLE))
+                         END, 6) AS qini,
+                   round(CASE WHEN cnt_t > 0 AND cnt_c > 0
+                         THEN CAST(res_t AS DOUBLE) / CAST(cnt_t AS DOUBLE)
+                              - CAST(res_c AS DOUBLE) / CAST(cnt_c AS DOUBLE)
+                         END, 6) AS uplift_cum
+            FROM cum
+        """,
+        "krippendorff_alpha": """
+            WITH base AS (
+                SELECT user_id AS u, CAST(event_type AS VARCHAR) AS c
+                FROM events WHERE event_type IS NOT NULL
+            ), cells AS (
+                SELECT u, c, COUNT(*) AS o FROM base GROUP BY 1, 2
+            ), units AS (
+                SELECT u, SUM(o) AS m, SUM(CAST(o AS HUGEINT) * o) AS o2
+                FROM cells GROUP BY 1 HAVING SUM(o) >= 2
+            ), su AS (
+                SELECT u, m,
+                       CAST(CAST(m AS HUGEINT) * m - o2 AS DOUBLE)
+                           / CAST(m - 1 AS DOUBLE) AS innr
+                FROM units
+            ), cums AS (
+                SELECT u,
+                       SUM(innr) OVER wnd AS do_num,
+                       SUM(m) OVER wnd AS np,
+                       COUNT(*) OVER wnd AS nu,
+                       MAX(u) OVER () AS umax
+                FROM su
+                WINDOW wnd AS (ORDER BY u
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), lastrow AS (
+                SELECT * FROM cums WHERE u = umax
+            ), ncat AS (
+                SELECT c, SUM(o) AS nc FROM cells JOIN units USING (u) GROUP BY 1
+            ), de AS (
+                SELECT SUM(CAST(nc AS HUGEINT)
+                           * ((SELECT np FROM lastrow) - nc)) AS de_num
+                FROM ncat
+            )
+            SELECT CAST(np AS BIGINT) AS n_pairable,
+                   CAST(nu AS BIGINT) AS n_units,
+                   round(do_num / CAST(np AS DOUBLE), 9) AS d_o,
+                   round(CAST(de_num AS DOUBLE)
+                         / (CAST(np AS DOUBLE) * (CAST(np AS DOUBLE) - 1.0)), 9)
+                       AS d_e,
+                   round(CASE WHEN CAST(de_num AS DOUBLE)
+                                   / (CAST(np AS DOUBLE)
+                                      * (CAST(np AS DOUBLE) - 1.0)) > 0
+                         THEN 1.0 - (do_num / CAST(np AS DOUBLE))
+                              / (CAST(de_num AS DOUBLE)
+                                 / (CAST(np AS DOUBLE)
+                                    * (CAST(np AS DOUBLE) - 1.0))) END, 9) AS alpha
+            FROM lastrow CROSS JOIN de
+        """,
         "srm_check": f"""
             WITH counts AS (
                 SELECT CASE WHEN c_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS a,

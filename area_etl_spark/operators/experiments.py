@@ -3276,3 +3276,144 @@ def power_two_means(
         F.round(zp, 6).alias("z_power"),
         F.when(n > 1, n_arm).cast("long").alias("n_per_arm"),
     )
+
+
+def qini_curve(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    score_col: str,
+    n_bins: int = 10,
+    score_max: int = 1_000_000,
+) -> DataFrame:
+    """Qini curve — the targeting-quality diagnostic for uplift models
+    (Radcliffe 2007): rank units by the model's score, and at each depth
+    ask how many INCREMENTAL responders targeting that slice captured
+    versus proportional-control expectation:
+
+        Qini(k) = Y_t(k) − Y_c(k) · N_t(k)/N_c(k)
+
+    over the cumulative top-k score bins (descending — bin 0 is the
+    model's best slice).  One hash aggregate per fixed-width score bin,
+    one |bins|-row cumulative window, every ratio a fixed-order double
+    from exact integer counts.  The cumulative uplift
+    (Y_t/N_t − Y_c/N_c) rides along.  Returns per-bin rows
+    (bin_rank, n_treat_cum, n_ctrl_cum, qini, uplift_cum); NULL where a
+    cumulative control count is still zero.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    from pyspark.sql import Window
+
+    t = F.when(F.col(treat_col).cast("boolean"), 1).otherwise(0)
+    y = F.when(F.col(outcome_col).cast("boolean"), 1).otherwise(0)
+    s = F.col(score_col).cast("long")
+    asc_bin = F.least(F.lit(n_bins - 1), F.floor(s * F.lit(n_bins) / F.lit(score_max)))
+    base = df.select(
+        (F.lit(n_bins - 1) - asc_bin).alias("_b"),  # 0 = best scores
+        t.alias("_t"),
+        y.alias("_y"),
+    )
+    per_bin = base.groupBy("_b").agg(
+        F.sum("_t").alias("_nt"),
+        F.sum(F.lit(1) - F.col("_t")).alias("_nc"),
+        F.sum(F.col("_t") * F.col("_y")).alias("_yt"),
+        F.sum((F.lit(1) - F.col("_t")) * F.col("_y")).alias("_yc"),
+    )
+    w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_bin.select(
+        F.col("_b"),
+        F.sum("_nt").over(w).alias("_Nt"),
+        F.sum("_nc").over(w).alias("_Nc"),
+        F.sum("_yt").over(w).alias("_Yt"),
+        F.sum("_yc").over(w).alias("_Yc"),
+    )
+    nt = F.col("_Nt").cast("double")
+    nc = F.col("_Nc").cast("double")
+    yt = F.col("_Yt").cast("double")
+    yc = F.col("_Yc").cast("double")
+    qini = F.when(F.col("_Nc") > 0, yt - yc * (nt / nc))
+    uplift = F.when((F.col("_Nt") > 0) & (F.col("_Nc") > 0), yt / nt - yc / nc)
+    return cum.select(
+        F.col("_b").cast("long").alias("bin_rank"),
+        F.col("_Nt").cast("long").alias("n_treat_cum"),
+        F.col("_Nc").cast("long").alias("n_ctrl_cum"),
+        F.round(qini, 6).alias("qini"),
+        F.round(uplift, 6).alias("uplift_cum"),
+    )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha, nominal data — inter-rater reliability that
+    handles ANY number of raters per unit and missing ratings (the
+    many-rater generalization cohen_kappa can't express):
+
+        α = 1 − D_o / D_e
+        D_o = (1/n_p)·Σ_u Σ_c o_uc·(m_u − o_uc)/(m_u − 1)
+        D_e = Σ_c n_c·(n_p − n_c) / (n_p·(n_p − 1))
+
+    with o_uc the count of category c in unit u, m_u the unit's rating
+    count, n_p the pairable total (units with m_u ≥ 2 only — singleton
+    units carry no agreement information and drop, per the definition).
+
+    Exactness: each unit's inner sum Σ_c o_uc·(m_u − o_uc) is an EXACT
+    integer (one hash aggregate over (unit, category) cells, one over
+    units); the single per-unit division by (m_u − 1) makes one double
+    per unit, accumulated on a units-ordered cumulative window (the
+    fisher_exact idiom); D_e is one exact-integer ratio.  Returns one row
+    (n_pairable, n_units, d_o, d_e, alpha); NULL when D_e = 0.
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(unit_col).alias("_u"), F.col(value_col).cast("string").alias("_c")
+    ).where(F.col(value_col).isNotNull())
+    cells = base.groupBy("_u", "_c").agg(F.count(F.lit(1)).alias("_o"))
+    units = cells.groupBy("_u").agg(
+        F.sum("_o").alias("_m"),
+        F.sum((F.col("_o").cast(dec) * F.col("_o")).cast(dec)).alias("_o2"),
+    ).where(F.col("_m") >= 2)
+    # Σ_c o(m−o) = m² − Σ o²  (exact integers)
+    inner = (
+        F.col("_m").cast(dec) * F.col("_m") - F.col("_o2")
+    ).cast("double") / (F.col("_m") - 1).cast("double")
+    w = Window.orderBy("_u").rowsBetween(Window.unboundedPreceding, 0)
+    summed = units.select(
+        "_u",
+        F.sum(inner).over(w).alias("_do_num"),
+        F.sum("_m").over(w).alias("_np"),
+        F.count(F.lit(1)).over(w).alias("_nu"),
+        F.max("_u").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_umax"),
+    ).where(F.col("_u") == F.col("_umax"))
+    # category totals over PAIRABLE units only
+    n_c = (
+        cells.join(units.select("_u"), "_u")
+        .groupBy("_c")
+        .agg(F.sum("_o").alias("_ncat"))
+    )
+    de_sums = n_c.crossJoin(
+        F.broadcast(summed.select(F.col("_np").alias("_np2")))
+    ).agg(
+        F.sum(
+            (F.col("_ncat").cast(dec) * (F.col("_np2") - F.col("_ncat"))).cast(dec)
+        ).alias("_de_num")
+    )
+    j = summed.crossJoin(F.broadcast(de_sums))
+    np_ = F.col("_np").cast("double")
+    d_o = F.col("_do_num") / np_
+    d_e = F.col("_de_num").cast("double") / (np_ * (np_ - F.lit(1.0)))
+    alpha = F.when(d_e > 0, F.lit(1.0) - d_o / d_e)
+    return j.select(
+        F.col("_np").cast("long").alias("n_pairable"),
+        F.col("_nu").cast("long").alias("n_units"),
+        F.round(d_o, 9).alias("d_o"),
+        F.round(d_e, 9).alias("d_e"),
+        F.round(alpha, 9).alias("alpha"),
+    )

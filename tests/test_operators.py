@@ -4316,3 +4316,77 @@ def test_power_two_means_reference(spark):
 
     with _pytest.raises(ValueError, match="delta"):
         power_two_means(df, "v", delta=0)
+
+
+def test_qini_curve_reference(spark):
+    from area_etl_spark.operators.experiments import qini_curve
+
+    # model that works: high scores get a real uplift, low scores none
+    rows = []
+    # top bin (score 950k): treated respond 80%, control 20%
+    rows += [(950_000, True, r < 8) for r in range(10)]
+    rows += [(950_000, False, r < 2) for r in range(10)]
+    # bottom bin (score 50k): no uplift (30% both)
+    rows += [(50_000, True, r < 3) for r in range(10)]
+    rows += [(50_000, False, r < 3) for r in range(10)]
+    df = spark.createDataFrame(rows, "score long, t boolean, y boolean")
+    out = {r.bin_rank: r for r in qini_curve(df, "t", "y", "score", n_bins=10).collect()}
+    top = out[0]
+    assert (top.n_treat_cum, top.n_ctrl_cum) == (10, 10)
+    assert abs(top.qini - (8 - 2 * (10 / 10))) < 1e-9  # 6 incremental responders
+    assert abs(top.uplift_cum - 0.6) < 1e-9
+    full = out[9]
+    assert (full.n_treat_cum, full.n_ctrl_cum) == (20, 20)
+    assert abs(full.qini - (11 - 5 * 1.0)) < 1e-9
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_bins"):
+        qini_curve(df, "t", "y", "score", n_bins=0)
+
+
+def test_krippendorff_alpha_reference(spark):
+    from area_etl_spark.operators.experiments import krippendorff_alpha
+
+    # perfect agreement → α = 1
+    perfect = spark.createDataFrame(
+        [(u, "x" if u % 2 else "y") for u in range(10) for _ in range(3)],
+        "unit long, v string",
+    )
+    r = krippendorff_alpha(perfect, "unit", "v").collect()[0]
+    assert r.alpha == 1.0 and r.n_pairable == 30
+    # textbook-style hand check with disagreement and a singleton unit
+    ratings = {
+        1: ["a", "a", "b"],
+        2: ["b", "b", "b"],
+        3: ["a", "b"],
+        4: ["a"],          # singleton: drops from the pairable set
+    }
+    rows = [(u, v) for u, vs in ratings.items() for v in vs]
+    df = spark.createDataFrame(rows, "unit long, v string")
+    got = krippendorff_alpha(df, "unit", "v").collect()[0]
+    pairable = {u: vs for u, vs in ratings.items() if len(vs) >= 2}
+    n_p = sum(len(vs) for vs in pairable.values())
+    do = 0.0
+    for vs in pairable.values():
+        m = len(vs)
+        for c in set(vs):
+            o = vs.count(c)
+            do += o * (m - o) / (m - 1)
+    do /= n_p
+    cat = {}
+    for vs in pairable.values():
+        for v in vs:
+            cat[v] = cat.get(v, 0) + 1
+    de = sum(nc * (n_p - nc) for nc in cat.values()) / (n_p * (n_p - 1))
+    want = 1 - do / de
+    assert got.n_pairable == n_p and got.n_units == 3
+    assert abs(got.alpha - want) < 1e-9, (got.alpha, want)
+    # random-ish labels → α near 0 (can be slightly negative)
+    import random
+
+    random.seed(31)
+    rnd = spark.createDataFrame(
+        [(u, random.choice("ab")) for u in range(60) for _ in range(2)],
+        "unit long, v string",
+    )
+    assert abs(krippendorff_alpha(rnd, "unit", "v").collect()[0].alpha) < 0.3
