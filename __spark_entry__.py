@@ -6246,6 +6246,43 @@ def q_hll_distinct(spark, sf_dir):
     return hll_distinct_portable(_tables(spark, sf_dir)["events"], "user_id")
 
 
+def q_page_hinkley(spark, sf_dir):
+    """Page–Hinkley sequential mean-shift detection on per-priority daily
+    order counts, warmup-reference form — the WHOLE detector state stays
+    in exact BIGINTs (the online-mean form's dyadic tie points land on
+    round-half boundaries where engines' window-sum ulp orders disagree;
+    clearing by the fixed warmup denominator removes every float from the
+    alarm decision)."""
+    from area_etl_spark.operators.windows import page_hinkley
+
+    o = _tables(spark, sf_dir)["orders"]
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")).alias(
+            "day"
+        ),
+    ).agg(F.count(F.lit(1)).alias("v"))
+    return page_hinkley(
+        daily, ["o_orderpriority"], "day", "v", warmup=30, delta=0, lambda_threshold=50
+    )
+
+
+def q_newey_west(spark, sf_dir):
+    """Newey–West (HAC) standard error of the mean daily order count —
+    the autocorrelation-robust CI the i.i.d. formula understates:
+    exact-cleared autocovariances (the acf discipline), Bartlett weights,
+    one sqrt per se."""
+    from area_etl_spark.operators.experiments import newey_west_se
+
+    o = _tables(spark, sf_dir)["orders"]
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")).alias(
+            "day"
+        )
+    ).agg(F.count(F.lit(1)).alias("v"))
+    return newey_west_se(daily, "day", "v", max_lag=5)
+
+
 def q_qini_curve(spark, sf_dir):
     """Qini uplift curve of a nation-derived targeting score on the
     positive-balance outcome under the even/odd pseudo-experiment —
@@ -7106,6 +7143,8 @@ _R12_QUEUE = [
     "power_two_means",
     "qini_curve",
     "krippendorff_alpha",
+    "page_hinkley",
+    "newey_west",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -7423,6 +7462,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "power_two_means": q_power_two_means,
         "qini_curve": q_qini_curve,
         "krippendorff_alpha": q_krippendorff_alpha,
+        "page_hinkley": q_page_hinkley,
+        "newey_west": q_newey_west,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -10340,6 +10381,104 @@ def oracle_sql() -> dict[str, str]:
             FROM terms
         """,
         "mmr_diversify": _mmr_sql(k=5, lam=0.7, pool=20),
+        "page_hinkley": """
+            WITH d AS (
+                SELECT o_orderpriority,
+                       date_diff('day', DATE '1992-01-01',
+                                 CAST(o_orderdate AS DATE)) AS day,
+                       COUNT(*) AS v
+                FROM orders GROUP BY 1, 2
+            ), numbered AS (
+                SELECT o_orderpriority, day, v,
+                       ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                           ORDER BY day) AS rn
+                FROM d
+            ), st AS (
+                SELECT o_orderpriority, day, v, rn,
+                       SUM(CASE WHEN rn <= 30 THEN v END)
+                           OVER (PARTITION BY o_orderpriority) AS sw
+                FROM numbered
+            ), m AS (
+                SELECT o_orderpriority, day, v AS value, rn,
+                       SUM(CASE WHEN rn > 30 THEN 30 * v - sw - 0 ELSE 0 END)
+                           OVER wnd AS m
+                FROM st
+                WINDOW wnd AS (PARTITION BY o_orderpriority ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT o_orderpriority, day, value,
+                   round(CASE WHEN rn > 30 THEN
+                       CAST(m - MIN(m) OVER wnd AS DOUBLE) / 30.0 END, 6) AS ph,
+                   COALESCE(CASE WHEN rn > 30
+                       THEN (m - MIN(m) OVER wnd) > 1500 END, false) AS alarm
+            FROM m
+            WINDOW wnd AS (PARTITION BY o_orderpriority ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "newey_west": """
+            WITH daily AS (
+                SELECT date_diff('day', DATE '1992-01-01',
+                                 CAST(o_orderdate AS DATE)) AS t,
+                       COUNT(*) AS x
+                FROM orders GROUP BY 1
+            ), led AS (
+                SELECT x,
+                       LEAD(x, 1) OVER (ORDER BY t) AS l1,
+                       LEAD(x, 2) OVER (ORDER BY t) AS l2,
+                       LEAD(x, 3) OVER (ORDER BY t) AS l3,
+                       LEAD(x, 4) OVER (ORDER BY t) AS l4,
+                       LEAD(x, 5) OVER (ORDER BY t) AS l5
+                FROM daily
+            ), agg AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                       CAST(SUM(x) AS HUGEINT) AS s,
+                       CAST(SUM(x * x) AS HUGEINT) AS ss,
+                       CAST(SUM(CASE WHEN l1 IS NOT NULL THEN x * l1 END) AS HUGEINT) AS cr1,
+                       CAST(SUM(CASE WHEN l1 IS NOT NULL THEN x END) AS HUGEINT) AS hd1,
+                       CAST(SUM(l1) AS HUGEINT) AS tl1,
+                       CAST(SUM(CASE WHEN l2 IS NOT NULL THEN x * l2 END) AS HUGEINT) AS cr2,
+                       CAST(SUM(CASE WHEN l2 IS NOT NULL THEN x END) AS HUGEINT) AS hd2,
+                       CAST(SUM(l2) AS HUGEINT) AS tl2,
+                       CAST(SUM(CASE WHEN l3 IS NOT NULL THEN x * l3 END) AS HUGEINT) AS cr3,
+                       CAST(SUM(CASE WHEN l3 IS NOT NULL THEN x END) AS HUGEINT) AS hd3,
+                       CAST(SUM(l3) AS HUGEINT) AS tl3,
+                       CAST(SUM(CASE WHEN l4 IS NOT NULL THEN x * l4 END) AS HUGEINT) AS cr4,
+                       CAST(SUM(CASE WHEN l4 IS NOT NULL THEN x END) AS HUGEINT) AS hd4,
+                       CAST(SUM(l4) AS HUGEINT) AS tl4,
+                       CAST(SUM(CASE WHEN l5 IS NOT NULL THEN x * l5 END) AS HUGEINT) AS cr5,
+                       CAST(SUM(CASE WHEN l5 IS NOT NULL THEN x END) AS HUGEINT) AS hd5,
+                       CAST(SUM(l5) AS HUGEINT) AS tl5
+                FROM led
+            ), g AS (
+                SELECT n,
+                       CAST(n AS DOUBLE) AS nd,
+                       CAST(s AS DOUBLE) AS sd,
+                       CAST(n * (n * ss) - n * (s * s) AS DOUBLE) AS g0,
+                       CAST(n * (n * COALESCE(cr1, 0) - s * (COALESCE(hd1, 0) + COALESCE(tl1, 0))) + (n - 1) * (s * s) AS DOUBLE) AS g1,
+                       CAST(n * (n * COALESCE(cr2, 0) - s * (COALESCE(hd2, 0) + COALESCE(tl2, 0))) + (n - 2) * (s * s) AS DOUBLE) AS g2,
+                       CAST(n * (n * COALESCE(cr3, 0) - s * (COALESCE(hd3, 0) + COALESCE(tl3, 0))) + (n - 3) * (s * s) AS DOUBLE) AS g3,
+                       CAST(n * (n * COALESCE(cr4, 0) - s * (COALESCE(hd4, 0) + COALESCE(tl4, 0))) + (n - 4) * (s * s) AS DOUBLE) AS g4,
+                       CAST(n * (n * COALESCE(cr5, 0) - s * (COALESCE(hd5, 0) + COALESCE(tl5, 0))) + (n - 5) * (s * s) AS DOUBLE) AS g5
+                FROM agg
+            ), v AS (
+                SELECT n, nd, sd, g0,
+                       g0 + 1.6666666666666667 * g1 + 1.3333333333333335 * g2
+                          + 1.0 * g3 + 0.6666666666666667 * g4
+                          + 0.33333333333333326 * g5 AS lrv,
+                       nd * nd * nd AS n3
+                FROM g
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(sd / nd, 6) AS mean,
+                   round(CASE WHEN n > 5
+                         THEN sqrt(GREATEST(g0 / n3, 0.0) / nd) END, 6) AS se_iid,
+                   round(CASE WHEN n > 5
+                         THEN sqrt(GREATEST(lrv / n3, 0.0) / nd) END, 6) AS se_nw,
+                   round(CASE WHEN n > 5 AND sqrt(GREATEST(g0 / n3, 0.0) / nd) > 0
+                         THEN sqrt(GREATEST(lrv / n3, 0.0) / nd)
+                              / sqrt(GREATEST(g0 / n3, 0.0) / nd) END, 6) AS inflation
+            FROM v
+        """,
         "qini_curve": """
             WITH units AS (
                 SELECT c_nationkey * 40000 AS score,

@@ -3417,3 +3417,81 @@ def krippendorff_alpha(
         F.round(d_e, 9).alias("d_e"),
         F.round(alpha, 9).alias("alpha"),
     )
+
+
+def newey_west_se(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Autocorrelation-robust (Newey–West/HAC) standard error of a series
+    mean — the fix for the classic trap of quoting an i.i.d. CI on an
+    autocorrelated metric (with positive autocorrelation the naive SE is
+    too SMALL and every "significant" daily movement is noise):
+
+        lrv = γ̂₀ + 2·Σ_{k=1..L} (1 − k/(L+1))·γ̂_k,   se = √(lrv/n)
+
+    with Bartlett weights.  Each autocovariance γ̂_k is EXACT-cleared
+    (the acf_lags discipline): n²·γ̂_k·n = n·(n·cross_k − S·(head_k +
+    tail_k)) + (n−k)·S² over DECIMAL integers, one double per lag, the
+    lag ladder folded in sorted order.  Returns one row
+    (n, mean, se_iid, se_nw, inflation); NULL when n ≤ L.
+    """
+    from pyspark.sql import Window  # noqa: F401 — parity with siblings
+
+    dec = "decimal(38,0)"
+    w = Window.orderBy(F.col(order_col).asc())
+    x = F.col(value_col).cast("long")
+    led = df.select(
+        x.alias("_x"),
+        *[F.lead(x, k).over(w).alias(f"_l{k}") for k in range(1, max_lag + 1)],
+    )
+    cols = []
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"_l{k}")
+        cols.extend(
+            [
+                F.sum((F.col("_x") * lk).cast(dec)).alias(f"_cr{k}"),
+                F.sum(F.when(lk.isNotNull(), F.col("_x")).cast(dec)).alias(f"_hd{k}"),
+                F.sum(lk.cast(dec)).alias(f"_tl{k}"),
+            ]
+        )
+    agg = led.agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum(F.col("_x").cast(dec)).alias("_S"),
+        F.sum((F.col("_x") * F.col("_x")).cast(dec)).alias("_SS"),
+        *cols,
+    )
+    n = F.col("_n")
+    nd = n.cast("double")
+    # γ̂₀·n³ = n·(n·SS) − n·S²  (population covariances, 1/n convention)
+    g0 = (n * (n * F.col("_SS")) - n * (F.col("_S") * F.col("_S"))).cast("double")
+    lrv = g0
+    for k in range(1, max_lag + 1):
+        gk = (
+            n
+            * (
+                n * F.coalesce(F.col(f"_cr{k}"), F.lit(0).cast(dec))
+                - F.col("_S")
+                * (
+                    F.coalesce(F.col(f"_hd{k}"), F.lit(0).cast(dec))
+                    + F.coalesce(F.col(f"_tl{k}"), F.lit(0).cast(dec))
+                )
+            )
+            + (n - k) * (F.col("_S") * F.col("_S"))
+        ).cast("double")
+        weight = 1.0 - k / (max_lag + 1.0)
+        lrv = lrv + F.lit(2.0 * weight) * gk
+    # the n³ clearing factor: γ values above are γ̂·n³
+    n3 = nd * nd * nd
+    se_iid = F.sqrt(F.greatest(g0 / n3, F.lit(0.0)) / nd)
+    se_nw = F.sqrt(F.greatest(lrv / n3, F.lit(0.0)) / nd)
+    ok = n > max_lag
+    return agg.select(
+        n.cast("long").alias("n"),
+        F.round(F.col("_S").cast("double") / nd, 6).alias("mean"),
+        F.round(F.when(ok, se_iid), 6).alias("se_iid"),
+        F.round(F.when(ok, se_nw), 6).alias("se_nw"),
+        F.round(F.when(ok & (se_iid > 0), se_nw / se_iid), 6).alias("inflation"),
+    )

@@ -1190,3 +1190,71 @@ def seasonal_strength(
         F.round(fs, 6).alias("seasonal_strength"),
         F.round(ft, 6).alias("trend_strength"),
     )
+
+
+def page_hinkley(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    warmup: int = 30,
+    delta: int = 0,
+    lambda_threshold: int = 50,
+) -> DataFrame:
+    """Page–Hinkley sequential mean-shift detector, WARMUP-REFERENCE form
+    (Page 1954; Hinkley 1971): estimate the in-control mean from the
+    first ``warmup`` observations, then alarm when the cumulative
+    deviation exceeds its running minimum by λ:
+
+        μ̂ = mean(x_1..x_W)      m_t = Σ_{i>W, i≤t} (x_i − μ̂ − δ)
+        PH_t = m_t − min m      alarm ⇔ PH_t > λ
+
+    The variant choice is the determinism lesson learned the hard way:
+    the textbook ONLINE-mean form makes every m_t a float sum of
+    rationals with growing denominators, and its dyadic tie points
+    (2 + 37/128, …) land exactly on round-half boundaries where engines'
+    window-sum ulp orders disagree.  With a FIXED warmup denominator the
+    whole state clears to integers: m·W = Σ (W·x_i − S_W − W·δ) is an
+    exact BIGINT cumulative sum, the running min is integer, and the
+    alarm is the EXACT integer comparison m·W − min·W > λ·W — no float
+    anywhere in the decision.  The reported ph = (scaled)/W divides once
+    (tie-free at round-6 for W = 30: 10k ≡ 15 (mod 30) has no solution).
+    Warmup rows report NULL ph / false alarm.  Returns per-row
+    (keys..., order, value, ph, alarm).
+    """
+    from pyspark.sql import Window
+
+    if warmup < 1:
+        raise ValueError(f"warmup must be >= 1, got {warmup}")
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    x = F.col(value_col).cast("long")
+    numbered = df.select(
+        *keys, F.col(order_col), x.alias("_x"), F.row_number().over(w).alias("_rn")
+    )
+    staged = numbered.withColumn(
+        "_sw",
+        F.sum(F.when(F.col("_rn") <= warmup, F.col("_x"))).over(wall),
+    )
+    dev = F.when(
+        F.col("_rn") > warmup,
+        F.lit(warmup) * F.col("_x") - F.col("_sw") - F.lit(warmup * delta),
+    ).otherwise(F.lit(0))
+    m = staged.withColumn("_m", F.sum(dev).over(wc))
+    ph_scaled = F.col("_m") - F.min("_m").over(wc)
+    return m.select(
+        *keys,
+        F.col(order_col),
+        F.col("_x").alias("value"),
+        F.round(
+            F.when(
+                F.col("_rn") > warmup,
+                ph_scaled.cast("double") / F.lit(float(warmup)),
+            ),
+            6,
+        ).alias("ph"),
+        F.when(
+            F.col("_rn") > warmup, ph_scaled > F.lit(lambda_threshold * warmup)
+        ).otherwise(F.lit(False)).alias("alarm"),
+    )

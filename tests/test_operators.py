@@ -4390,3 +4390,66 @@ def test_krippendorff_alpha_reference(spark):
         "unit long, v string",
     )
     assert abs(krippendorff_alpha(rnd, "unit", "v").collect()[0].alpha) < 0.3
+
+
+def test_page_hinkley_reference(spark):
+    from area_etl_spark.operators.windows import page_hinkley
+
+    # warmup on the flat level, then a shift: alarm fires after, never before
+    rows = [("s", t, 100) for t in range(40)] + [("s", t, 200) for t in range(40, 70)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    out = sorted(
+        page_hinkley(df, ["k"], "t", "v", warmup=30, lambda_threshold=50).collect(),
+        key=lambda r: r.t,
+    )
+    assert all(r.ph is None and not r.alarm for r in out if r.t < 30)  # warmup
+    assert all(not r.alarm for r in out if 30 <= r.t < 40)
+    assert any(r.alarm for r in out if r.t >= 41)
+    # exact form: after the shift, each row adds (200 − 100) = 100 to m
+    got41 = [r.ph for r in out if r.t == 41][0]
+    assert got41 == 200.0  # two post-shift rows × 100, min stays at pre-shift
+    # steady noise never alarms at a sane lambda
+    import random
+
+    random.seed(37)
+    noise = [("n", t, 100 + random.randint(-5, 5)) for t in range(100)]
+    outs = page_hinkley(
+        spark.createDataFrame(noise, "k string, t long, v long"),
+        ["k"], "t", "v", warmup=30, lambda_threshold=200,
+    ).collect()
+    assert all(not r.alarm for r in outs)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="warmup"):
+        page_hinkley(df, ["k"], "t", "v", warmup=0)
+
+
+def test_newey_west_se_reference(spark):
+    from area_etl_spark.operators.experiments import newey_west_se
+
+    import math
+    import random
+
+    # strongly positively autocorrelated series: NW inflates the SE
+    random.seed(41)
+    vals = [0]
+    for _ in range(299):
+        vals.append(int(0.9 * vals[-1]) + random.randint(-10, 10))
+    df = spark.createDataFrame(list(enumerate(vals)), "t long, v long")
+    r = newey_west_se(df, "t", "v", max_lag=5).collect()[0]
+    assert r.inflation > 1.5, r.inflation
+    # python cross-check (population covariances, Bartlett weights)
+    n = len(vals)
+    mean = sum(vals) / n
+    def gamma(k):
+        return sum((vals[i] - mean) * (vals[i + k] - mean) for i in range(n - k)) / n
+    lrv = gamma(0) + 2 * sum((1 - k / 6) * gamma(k) for k in range(1, 6))
+    want = math.sqrt(lrv / n)
+    assert abs(r.se_nw - want) < 1e-4, (r.se_nw, want)
+    assert abs(r.se_iid - math.sqrt(gamma(0) / n)) < 1e-4
+    # white noise: inflation near 1
+    wn = spark.createDataFrame(
+        [(t, random.randint(0, 100)) for t in range(300)], "t long, v long"
+    )
+    rw = newey_west_se(wn, "t", "v", max_lag=5).collect()[0]
+    assert 0.6 < rw.inflation < 1.4, rw.inflation
