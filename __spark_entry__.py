@@ -6246,6 +6246,20 @@ def q_hll_distinct(spark, sf_dir):
     return hll_distinct_portable(_tables(spark, sf_dir)["events"], "user_id")
 
 
+def q_cliff_delta(spark, sf_dir):
+    """Cliff's δ / Vargha–Delaney Â between URGENT and LOW order values —
+    the ordinal effect size next to mann_whitney's p: gt/lt/ties as
+    exact DECIMAL dot products over one distinct-value cumulative
+    window, never a pair scan."""
+    from area_etl_spark.operators.experiments import cliff_delta
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    return cliff_delta(o, "o_orderpriority", "cents", "1-URGENT", "5-LOW")
+
+
 def q_page_hinkley(spark, sf_dir):
     """Page–Hinkley sequential mean-shift detection on per-priority daily
     order counts, warmup-reference form — the WHOLE detector state stays
@@ -7145,6 +7159,7 @@ _R12_QUEUE = [
     "krippendorff_alpha",
     "page_hinkley",
     "newey_west",
+    "cliff_delta",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -7464,6 +7479,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "krippendorff_alpha": q_krippendorff_alpha,
         "page_hinkley": q_page_hinkley,
         "newey_west": q_newey_west,
+        "cliff_delta": q_cliff_delta,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -10381,6 +10397,47 @@ def oracle_sql() -> dict[str, str]:
             FROM terms
         """,
         "mmr_diversify": _mmr_sql(k=5, lam=0.7, pool=20),
+        "cliff_delta": """
+            WITH base AS (
+                SELECT o_orderpriority AS g,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                FROM orders
+                WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+            ), per_v AS (
+                SELECT v,
+                       SUM(CASE WHEN g = '1-URGENT' THEN 1 ELSE 0 END) AS na,
+                       SUM(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS nb
+                FROM base GROUP BY 1
+            ), cum AS (
+                SELECT v, na, nb,
+                       COALESCE(SUM(nb) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS nb_lt
+                FROM per_v
+            ), tot AS (
+                SELECT SUM(na) AS tot_a, SUM(nb) AS tot_b FROM per_v
+            ), agg AS (
+                SELECT MAX(tot_a) AS tot_a, MAX(tot_b) AS tot_b,
+                       SUM(CAST(na AS HUGEINT) * nb_lt) AS gt,
+                       SUM(CAST(na AS HUGEINT) * (tot_b - nb_lt - nb)) AS lt,
+                       SUM(CAST(na AS HUGEINT) * nb) AS ties
+                FROM cum CROSS JOIN tot
+            )
+            SELECT CAST(tot_a AS BIGINT) AS n_a,
+                   CAST(tot_b AS BIGINT) AS n_b,
+                   CAST(gt AS BIGINT) AS gt,
+                   CAST(lt AS BIGINT) AS lt,
+                   CAST(ties AS BIGINT) AS ties,
+                   round(CASE WHEN CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE) > 0
+                         THEN CAST(gt - lt AS DOUBLE)
+                              / (CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE))
+                         END, 9) AS cliff_d,
+                   round(CASE WHEN CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE) > 0
+                         THEN (CAST(gt AS DOUBLE) + CAST(ties AS DOUBLE) / 2.0)
+                              / (CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE))
+                         END, 9) AS vd_a
+            FROM agg
+        """,
         "page_hinkley": """
             WITH d AS (
                 SELECT o_orderpriority,

@@ -3495,3 +3495,82 @@ def newey_west_se(
         F.round(F.when(ok, se_nw), 6).alias("se_nw"),
         F.round(F.when(ok & (se_iid > 0), se_nw / se_iid), 6).alias("inflation"),
     )
+
+
+def cliff_delta(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    quantize: float | None = None,
+) -> DataFrame:
+    """Cliff's delta and Vargha–Delaney Â — the ordinal effect sizes that
+    belong next to mann_whitney's p-value (δ = P(a > b) − P(a < b),
+    Â = P(a > b) + ½P(a = b); the standard magnitude language of
+    software-engineering and behavioural experiments):
+
+        gt = #{(a, b): a > b}   lt = #{a < b}   ties = #{a = b}
+        δ = (gt − lt)/(n_a·n_b)        Â = (gt + ties/2)/(n_a·n_b)
+
+    Never the O(n²) pair scan: per-distinct-value counts for both groups
+    ride ONE cumulative window over the merged value domain (the
+    mann_whitney midrank machinery), and gt/lt/ties are exact DECIMAL
+    dot products of those counts — three integers, two divisions.
+    ``quantize`` bins continuous metrics (rank-family contract).
+    Returns one row (n_a, n_b, gt, lt, ties, cliff_d, vd_a).
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        quantize_values(F.col(value_col), quantize).cast("long").alias("_v"),
+    ).where(F.col(group_col).isin([group_a, group_b]) & F.col(value_col).isNotNull())
+    per_v = base.groupBy("_v").agg(
+        F.sum(F.when(F.col("_g") == group_a, 1).otherwise(0)).alias("_na"),
+        F.sum(F.when(F.col("_g") == group_b, 1).otherwise(0)).alias("_nb"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_v.select(
+        "_v",
+        "_na",
+        "_nb",
+        F.coalesce(F.sum("_nb").over(w), F.lit(0)).alias("_nb_lt"),
+    )
+    tot = per_v.agg(
+        F.sum("_na").alias("_tot_a"), F.sum("_nb").alias("_tot_b")
+    )
+    agg = cum.crossJoin(F.broadcast(tot)).agg(
+        F.first("_tot_a").alias("_tot_a"),
+        F.first("_tot_b").alias("_tot_b"),
+        F.sum((F.col("_na").cast(dec) * F.col("_nb_lt")).cast(dec)).alias("_gt"),
+        F.sum(
+            (
+                F.col("_na").cast(dec)
+                * (F.col("_tot_b") - F.col("_nb_lt") - F.col("_nb"))
+            ).cast(dec)
+        ).alias("_lt"),
+        F.sum((F.col("_na").cast(dec) * F.col("_nb")).cast(dec)).alias("_ties"),
+    )
+    na = F.col("_tot_a").cast("double")
+    nb = F.col("_tot_b").cast("double")
+    pairs = na * nb
+    d = F.when(
+        pairs > 0,
+        (F.col("_gt") - F.col("_lt")).cast("double") / pairs,
+    )
+    a_hat = F.when(
+        pairs > 0,
+        (F.col("_gt").cast("double") + F.col("_ties").cast("double") / F.lit(2.0))
+        / pairs,
+    )
+    return agg.select(
+        F.col("_tot_a").cast("long").alias("n_a"),
+        F.col("_tot_b").cast("long").alias("n_b"),
+        F.col("_gt").cast("long").alias("gt"),
+        F.col("_lt").cast("long").alias("lt"),
+        F.col("_ties").cast("long").alias("ties"),
+        F.round(d, 9).alias("cliff_d"),
+        F.round(a_hat, 9).alias("vd_a"),
+    )

@@ -4453,3 +4453,35 @@ def test_newey_west_se_reference(spark):
     )
     rw = newey_west_se(wn, "t", "v", max_lag=5).collect()[0]
     assert 0.6 < rw.inflation < 1.4, rw.inflation
+
+
+def test_cliff_delta_reference(spark):
+    from area_etl_spark.operators.experiments import cliff_delta
+
+    import itertools
+    import random
+
+    random.seed(43)
+    a = [random.randint(0, 20) for _ in range(40)]
+    b = [random.randint(5, 25) for _ in range(35)]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = cliff_delta(df, "g", "v", "a", "b").collect()[0]
+    gt = sum(1 for x, y in itertools.product(a, b) if x > y)
+    lt = sum(1 for x, y in itertools.product(a, b) if x < y)
+    ties = sum(1 for x, y in itertools.product(a, b) if x == y)
+    assert (r.gt, r.lt, r.ties) == (gt, lt, ties)
+    assert abs(r.cliff_d - (gt - lt) / (len(a) * len(b))) < 1e-9
+    assert abs(r.vd_a - (gt + ties / 2) / (len(a) * len(b))) < 1e-9
+    # complete separation → δ = ±1, Â ∈ {0, 1}
+    sep = spark.createDataFrame(
+        [("a", v) for v in (10, 11, 12)] + [("b", v) for v in (1, 2)], "g string, v long"
+    )
+    rs = cliff_delta(sep, "g", "v", "a", "b").collect()[0]
+    assert rs.cliff_d == 1.0 and rs.vd_a == 1.0
+    # identical groups → δ = 0, Â = 0.5
+    same = spark.createDataFrame(
+        [("a", v) for v in (1, 2, 3)] + [("b", v) for v in (1, 2, 3)], "g string, v long"
+    )
+    ri = cliff_delta(same, "g", "v", "a", "b").collect()[0]
+    assert ri.cliff_d == 0.0 and ri.vd_a == 0.5
