@@ -401,3 +401,72 @@ def test_anova_shift_invariance_property(spark, rows, shift):
         and r2.f_stat is not None
         and abs(r1.f_stat - r2.f_stat) < 1e-6
     )
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 30)),
+        min_size=6,
+        max_size=40,
+    )
+)
+def test_cliff_delta_mann_whitney_consistency(spark, rows):
+    """Cliff's δ and Â are exact functions of the same pair counts: δ =
+    2Â − 1 must hold to float exactness, and both live in their ranges."""
+    from area_etl_spark.operators.experiments import cliff_delta
+
+    has_a = any(g == "a" for g, _ in rows)
+    has_b = any(g == "b" for g, _ in rows)
+    if not (has_a and has_b):
+        return
+    df = spark.createDataFrame(rows, "g string, v long")
+    r = cliff_delta(df, "g", "v", "a", "b").collect()[0]
+    assert -1.0 <= r.cliff_d <= 1.0 and 0.0 <= r.vd_a <= 1.0
+    assert abs(r.cliff_d - (2 * r.vd_a - 1)) < 1e-6
+    assert r.gt + r.lt + r.ties == r.n_a * r.n_b
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(st.integers(0, 200), min_size=35, max_size=60),
+    shift=st.integers(1, 500),
+)
+def test_page_hinkley_shift_monotone_property(spark, vals, shift):
+    """Adding a positive level shift to the tail can only raise the final
+    PH statistic (the detector is monotone in upward shifts)."""
+    from area_etl_spark.operators.windows import page_hinkley
+
+    base = [("k", t, v) for t, v in enumerate(vals)]
+    shifted = [
+        ("k", t, v + (shift if t >= 32 else 0)) for t, v in enumerate(vals)
+    ]
+    df1 = spark.createDataFrame(base, "k string, t long, v long")
+    df2 = spark.createDataFrame(shifted, "k string, t long, v long")
+    ph1 = {r.t: r.ph for r in page_hinkley(df1, ["k"], "t", "v", warmup=30).collect()}
+    ph2 = {r.t: r.ph for r in page_hinkley(df2, ["k"], "t", "v", warmup=30).collect()}
+    last = max(ph1)
+    if ph1[last] is not None and ph2[last] is not None:
+        assert ph2[last] >= ph1[last] - 1e-9
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["x", "y", "z"]), st.integers(0, 3)),
+        min_size=8,
+        max_size=40,
+    )
+)
+def test_theil_u_range_and_perfect_property(spark, rows):
+    """U ∈ [0,1]; conditioning on the variable itself is perfect
+    information (U(A|A) = 1) whenever A varies."""
+    from area_etl_spark.operators.experiments import theil_u
+
+    df = spark.createDataFrame(rows, "a string, b long")
+    r = theil_u(df, "a", "b").collect()[0]
+    if r.u is not None:
+        assert -1e-9 <= r.u <= 1.0 + 1e-9
+    rs = theil_u(df.select("a", F.col("a").alias("b2")), "a", "b2").collect()[0]
+    if len({a for a, _ in rows}) > 1:
+        assert abs(rs.u - 1.0) < 1e-9
