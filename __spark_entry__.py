@@ -7092,8 +7092,13 @@ _R11_WINDOW = [
 # Stale-green keys deferred from the r11 window (bench-exercised every
 # round), then every key registered during r11 — first the r11 opening
 # batch, then the r11b second-session registrations (all judge-gated
-# locally at sf0.001/0.01/0.1 on registration).  54 keys: the r12 window
-# takes the first 50 and the overflow heads _R13.
+# locally at sf0.001/0.01/0.1 on registration).  63 keys: the r12 window
+# takes the 50 in _R12_WINDOW below and the 13-key overflow heads _R13
+# (overflow picked = the most property-tested r11b tail keys, least
+# likely to drift unchecked; the five operators the r12 ADVICE pass
+# touched — durbin_watson, conformal_interval, ece_brier, srm_check,
+# qini_curve — are all pulled INTO the window so the driver validates
+# the fixes this round).
 _R12_QUEUE = [
     "groupby_agg",
     "tpch_q3ish",
@@ -7162,6 +7167,28 @@ _R12_QUEUE = [
     "cliff_delta",
 ]
 
+# The 13-key r12 overflow (re-windowed first in r13), then every key
+# registered during r12, in registration order.
+_R13_QUEUE = [
+    "fe_within",
+    "kendall_tau",
+    "theil_u",
+    "novelty_score",
+    "term_burstiness",
+    "heaps_law",
+    "pacf_lags",
+    "seasonal_strength",
+    "power_two_means",
+    "krippendorff_alpha",
+    "page_hinkley",
+    "newey_west",
+    "cliff_delta",
+]
+
+# The r12 driver window: the _R12_QUEUE minus the 13 deferred keys.
+_R12_WINDOW = [k for k in _R12_QUEUE if k not in set(_R13_QUEUE)]
+assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
+
 # Historical r9 window (kept for the rotation audit trail; every key in it
 # now holds a driver CORRECTNESS_r09 row).
 _R9_WINDOW = [
@@ -7222,13 +7249,14 @@ _R9_WINDOW = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered operators, reordered so the driver's 50-slot correctness
-    window (the FIRST 50 entries) is exactly the round-11 rotation:
-    _R11_WINDOW (the 23-key never-checked _R11_QUEUE + the 27 oldest
-    r2/r3-stale greens), then _R12_QUEUE (the 3 deferred stale keys + r11
-    registrations), then the already-driver-green keys in their original
-    registration order."""
+    window (the FIRST 50 entries) is exactly the round-12 rotation:
+    _R12_WINDOW (3 r3-stale bench-headline greens + the oldest 47 of the
+    never-driver-checked r11 registrations, with the five operators the
+    r12 ADVICE pass touched pulled in), then _R13_QUEUE (the 13-key
+    overflow + r12 registrations), then the already-driver-green keys in
+    their original registration order."""
     reg = _queries_registry()
-    ordered = [*_R11_WINDOW, *_R12_QUEUE]
+    ordered = [*_R12_WINDOW, *_R13_QUEUE, *_R11_WINDOW]
     seen = set(ordered)
     missing = [k for k in ordered if k not in reg]
     assert not missing, f"window/queue keys not registered: {missing}"
@@ -10132,7 +10160,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM sc LEFT JOIN (SELECT DISTINCT o_custkey AS c FROM orders) o
                   ON o.c = sc.c_custkey
             ), bins AS (
-                SELECT LEAST(9, CAST(FLOOR(score * 10 / 1000000) AS BIGINT)) AS bin,
+                SELECT LEAST(9, GREATEST(0, CAST(FLOOR(score * 10 / 1000000) AS BIGINT))) AS bin,
                        COUNT(*) AS n,
                        SUM(CASE WHEN placed THEN 1 ELSE 0 END) AS pos
                 FROM units GROUP BY 1
@@ -10339,7 +10367,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM sc LEFT JOIN (SELECT DISTINCT o_custkey AS c FROM orders) o
                   ON o.c = sc.c_custkey
             ), b AS (
-                SELECT LEAST(9, CAST(FLOOR(score * 10 / 1000000) AS BIGINT)) AS bin,
+                SELECT LEAST(9, GREATEST(0, CAST(FLOOR(score * 10 / 1000000) AS BIGINT))) AS bin,
                        score, placed
                 FROM units
             )
@@ -10543,7 +10571,7 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y
                 FROM customer
             ), base AS (
-                SELECT 9 - LEAST(9, CAST(FLOOR(score * 10 / 1000000) AS BIGINT)) AS b,
+                SELECT 9 - LEAST(9, GREATEST(0, CAST(FLOOR(score * 10 / 1000000) AS BIGINT))) AS b,
                        t, y
                 FROM units
             ), per AS (
@@ -10623,11 +10651,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT CASE WHEN c_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS a,
                        COUNT(*) AS o
                 FROM customer GROUP BY 1
+            ), design AS (
+                SELECT 'even' AS a, 1 AS w UNION ALL SELECT 'odd', 1
             ), st AS (
-                SELECT a, o,
-                       CASE WHEN a = 'even' THEN 1 WHEN a = 'odd' THEN 1
-                            ELSE 0 END AS w
-                FROM counts
+                SELECT COALESCE(d.a, c.a) AS a,
+                       COALESCE(c.o, 0) AS o,
+                       COALESCE(d.w, 0) AS w
+                FROM design d FULL OUTER JOIN counts c ON d.a = c.a
+                WHERE COALESCE(d.w, 0) > 0 OR COALESCE(c.o, 0) > 0
             ), tot AS (
                 SELECT SUM(o) AS n FROM st
             ), terms AS (
@@ -10642,7 +10673,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM st CROSS JOIN tot
             ), packed AS (
                 SELECT CAST(MAX(n) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
-                       SUM(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS bad,
+                       SUM(CASE WHEN w = 0 AND o > 0 THEN 1 ELSE 0 END) AS bad,
                        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                            list(t ORDER BY a)), (x, y) -> x + y) AS chi2r
                 FROM terms
@@ -10791,7 +10822,7 @@ def oracle_sql() -> dict[str, str]:
                   ON o.c = sc.c_custkey
             ), base AS (
                 SELECT score, y,
-                       LEAST(9, CAST(FLOOR(score * 10 / 1000000) AS BIGINT)) AS b
+                       LEAST(9, GREATEST(0, CAST(FLOOR(score * 10 / 1000000) AS BIGINT))) AS b
                 FROM units
             ), per_bin AS (
                 SELECT b, COUNT(*) AS nb, SUM(y) AS pos,
@@ -10891,16 +10922,16 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc
                 FROM pr CROSS JOIN tot
             ), hit AS (
+                -- q_index = ceil((n+1)*9/10) EXACT in integers (alpha = 1/10)
                 SELECT * FROM cum
-                WHERE cumc >= LEAST(ceil(CAST(n + 1 AS DOUBLE) * 0.9),
-                                    CAST(n AS DOUBLE))
+                WHERE cumc >= LEAST(((n + 1) * 9 + 9) // 10, n)
                 ORDER BY r LIMIT 1
             )
             SELECT CAST(n AS BIGINT) AS n,
-                   CAST(ceil(CAST(n + 1 AS DOUBLE) * 0.9) AS BIGINT) AS q_index,
-                   CASE WHEN ceil(CAST(n + 1 AS DOUBLE) * 0.9) <= n
+                   CAST(((n + 1) * 9 + 9) // 10 AS BIGINT) AS q_index,
+                   CASE WHEN ((n + 1) * 9 + 9) // 10 <= n
                         THEN CAST(r AS BIGINT) END AS q_hat,
-                   round(CASE WHEN ceil(CAST(n + 1 AS DOUBLE) * 0.9) <= n
+                   round(CASE WHEN ((n + 1) * 9 + 9) // 10 <= n
                         THEN LEAST(1.0, CAST(cumc AS DOUBLE) / CAST(n AS DOUBLE))
                    END, 6) AS coverage_at_qhat
             FROM hit
@@ -11473,38 +11504,38 @@ def oracle_sql() -> dict[str, str]:
                        SUM(CAST(x AS HUGEINT)) AS sx,
                        SUM(CAST(y AS HUGEINT)) AS sy,
                        SUM(CAST(x AS HUGEINT) * x) AS sxx,
-                       SUM(CAST(x AS HUGEINT) * y) AS sxy,
-                       MAX(x) AS xmax
+                       SUM(CAST(x AS HUGEINT) * y) AS sxy
                 FROM daily
             ), cons AS (
-                SELECT n, sx, sy, xmax,
+                SELECT n, sx, sy,
                        n * sxx - sx * sx AS dd,
                        n * sxy - sx * sy AS nb
                 FROM sums
             ), staged AS (
-                SELECT x, n, xmax,
+                SELECT x, n,
                        CAST(n * dd * y - (sy * dd - nb * sx) - n * nb * x
                             AS DOUBLE) AS e,
                        CAST(dd AS DOUBLE) AS ddd,
                        CAST(nb AS DOUBLE) / CAST(dd AS DOUBLE) AS slope
                 FROM daily CROSS JOIN cons
             ), lagged AS (
-                SELECT x, n, xmax, ddd, slope, e,
-                       lag(e, 1) OVER (ORDER BY x) AS ep
+                SELECT x, n, ddd, slope, e,
+                       lag(e, 1) OVER (ORDER BY x, e) AS ep,
+                       row_number() OVER (ORDER BY x, e) AS rn
                 FROM staged
             ), summed AS (
-                SELECT x, n, xmax, ddd, slope,
+                SELECT n, rn, ddd, slope,
                        SUM(CASE WHEN ep IS NOT NULL THEN (e - ep) * (e - ep)
-                           ELSE 0.0 END) OVER (ORDER BY x
+                           ELSE 0.0 END) OVER (ORDER BY x, e
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS num,
-                       SUM(e * e) OVER (ORDER BY x
+                       SUM(e * e) OVER (ORDER BY x, e
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS den
                 FROM lagged
             )
             SELECT CAST(n AS BIGINT) AS n,
                    round(CASE WHEN ddd <> 0 THEN slope END, 9) AS slope,
                    round(CASE WHEN den > 0 AND ddd <> 0 THEN num / den END, 9) AS dw
-            FROM summed WHERE x = xmax
+            FROM summed WHERE rn = CAST(n AS BIGINT)
         """,
         "cochran_q": f"""
             WITH long AS (

@@ -1708,7 +1708,9 @@ def wilcoxon_signed_rank(
     :func:`mann_whitney_u`: same units measured twice (pre/post), test
     whether the median difference is zero without assuming normality.
 
-    Pratt-excluded zeros (the scipy default ``mode='wilcox'``): d = x − y
+    Zeros are DROPPED before ranking (scipy's default
+    ``zero_method='wilcox'`` — not the Pratt variant, which keeps zeros
+    in the ranking and then discards their ranks): d = x − y
     must be integers; zero differences drop, |d| gets distinct-value
     midranks (the mann_whitney cumulative-window idiom — never a row
     sort), and W+ sums the ranks of positive differences.  Doubled ranks
@@ -2524,6 +2526,13 @@ def durbin_watson(
     two quadratic sums ride one ordered cumulative window whose last row
     carries them (the fisher_exact idiom — the series grain is bounded,
     the documented single-partition contract of the time-series family).
+
+    Tied x values are ordered by the residual itself (ẽ is a
+    deterministic function of (x, y), so the sequence — and DW — is
+    engine-independent even when x repeats; a DW over a tied-x series is
+    inherently order-dependent and this picks the canonical order), and
+    the single output row is selected by row_number = n, never by
+    x = max(x) (which would emit one row per max-x tie).
     Returns one row (n, slope, dw); NULL when x is constant or n < 2.
     """
     from pyspark.sql import Window
@@ -2538,7 +2547,6 @@ def durbin_watson(
         F.sum(F.col("_y").cast(dec)).alias("_sy"),
         F.sum((F.col("_x").cast(dec) * F.col("_x")).cast(dec)).alias("_sxx"),
         F.sum((F.col("_x").cast(dec) * F.col("_y")).cast(dec)).alias("_sxy"),
-        F.max("_x").alias("_xmax"),
     )
     n = F.col("_n")
     dd = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
@@ -2546,7 +2554,6 @@ def durbin_watson(
     staged = base.crossJoin(F.broadcast(sums)).select(
         "_x",
         "_n",
-        "_xmax",
         (
             n * dd * F.col("_y")
             - (F.col("_sy") * dd - nb * F.col("_sx"))
@@ -2560,22 +2567,21 @@ def durbin_watson(
             dd.cast("double") != 0, nb.cast("double") / dd.cast("double")
         ).alias("_slope"),
     )
-    w = Window.orderBy("_x")
-    wc = Window.orderBy("_x").rowsBetween(Window.unboundedPreceding, 0)
+    w = Window.orderBy("_x", "_e")
+    wc = Window.orderBy("_x", "_e").rowsBetween(Window.unboundedPreceding, 0)
     lagged = staged.withColumn("_ep", F.lag("_e", 1).over(w))
     d_term = F.when(
         F.col("_ep").isNotNull(),
         (F.col("_e") - F.col("_ep")) * (F.col("_e") - F.col("_ep")),
     ).otherwise(F.lit(0.0))
     summed = lagged.select(
-        "_x",
         "_n",
-        "_xmax",
         "_ddd",
         "_slope",
+        F.row_number().over(w).alias("_rn"),
         F.sum(d_term).over(wc).alias("_num"),
         F.sum(F.col("_e") * F.col("_e")).over(wc).alias("_den"),
-    ).where(F.col("_x") == F.col("_xmax"))
+    ).where(F.col("_rn") == F.col("_n").cast("long"))
     return summed.select(
         F.col("_n").cast("long").alias("n"),
         F.round(F.when(F.col("_ddd") != 0, F.col("_slope")), 9).alias("slope"),
@@ -3167,18 +3173,34 @@ def srm_check(
     integers, folded in sorted arm order; Wilson–Hilferty p (k−1 df).
     Arms observed but not in the design get weight 0 → e = 0 → their mere
     presence is an automatic alarm (chi2 NULL + srm_detected true,
-    documented).  Returns one row (n, k, chi2, p_value, srm_detected).
+    documented).  Designed arms with ZERO observed rows — the most extreme
+    mismatch (e.g. logging broken for one arm) — are synthesized with
+    o = 0 so k reflects the DESIGN and the chi-square alarms instead of
+    silently shrinking to the observed arms; arm values are compared as
+    strings (the ``expected`` keys).  Returns one row
+    (n, k, chi2, p_value, srm_detected).
     """
     if not expected or any(w < 0 for w in expected.values()):
         raise ValueError("expected must map arms to non-negative integer weights")
     wsum = sum(expected.values())
-    counts = df.groupBy(F.col(arm_col).alias("_a")).agg(
+    counts = df.groupBy(F.col(arm_col).cast("string").alias("_a")).agg(
         F.count(F.lit(1)).alias("_o")
     )
-    wmap = F.create_map(
-        *[x for k, v in sorted(expected.items()) for x in (F.lit(k), F.lit(int(v)))]
+    design = df.sparkSession.createDataFrame(
+        [(a, int(w)) for a, w in sorted(expected.items())], "_a string, _w int"
     )
-    staged = counts.withColumn("_w", F.coalesce(wmap[F.col("_a")], F.lit(0)))
+    # full-outer against the design: a designed-but-unobserved arm becomes
+    # an o = 0 row (alarm fuel), an observed-but-undesigned arm a w = 0 row
+    # (automatic alarm); zero-weight zero-count rows carry no information.
+    staged = (
+        design.join(counts, "_a", "full_outer")
+        .select(
+            "_a",
+            F.coalesce("_o", F.lit(0)).alias("_o"),
+            F.coalesce("_w", F.lit(0)).alias("_w"),
+        )
+        .where((F.col("_w") > 0) | (F.col("_o") > 0))
+    )
     tot = staged.agg(F.sum("_o").alias("_n"))
     j = staged.crossJoin(F.broadcast(tot))
     e = F.col("_n").cast("double") * F.col("_w").cast("double") / F.lit(float(wsum))
@@ -3189,7 +3211,9 @@ def srm_check(
     packed = j.agg(
         F.first("_n").alias("_n"),
         F.count(F.lit(1)).alias("k"),
-        F.sum(F.when(F.col("_w") == 0, 1).otherwise(0)).alias("_bad"),
+        F.sum(
+            F.when((F.col("_w") == 0) & (F.col("_o") > 0), 1).otherwise(0)
+        ).alias("_bad"),
         F.aggregate(
             F.array_sort(
                 F.collect_list(F.struct(F.col("_a"), F.coalesce(term, F.lit(0.0)).alias("_t")))
@@ -3297,9 +3321,12 @@ def qini_curve(
     model's best slice).  One hash aggregate per fixed-width score bin,
     one |bins|-row cumulative window, every ratio a fixed-order double
     from exact integer counts.  The cumulative uplift
-    (Y_t/N_t − Y_c/N_c) rides along.  Returns per-bin rows
-    (bin_rank, n_treat_cum, n_ctrl_cum, qini, uplift_cum); NULL where a
-    cumulative control count is still zero.
+    (Y_t/N_t − Y_c/N_c) rides along.  Scores carry the ece_brier
+    contract — integers in [0, score_max] — and the bin index is clamped
+    on BOTH ends, so an out-of-range score lands in the edge bin instead
+    of minting a phantom bin_rank outside [0, n_bins).  Returns per-bin
+    rows (bin_rank, n_treat_cum, n_ctrl_cum, qini, uplift_cum); NULL
+    where a cumulative control count is still zero.
     """
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
@@ -3308,7 +3335,10 @@ def qini_curve(
     t = F.when(F.col(treat_col).cast("boolean"), 1).otherwise(0)
     y = F.when(F.col(outcome_col).cast("boolean"), 1).otherwise(0)
     s = F.col(score_col).cast("long")
-    asc_bin = F.least(F.lit(n_bins - 1), F.floor(s * F.lit(n_bins) / F.lit(score_max)))
+    asc_bin = F.greatest(
+        F.lit(0),
+        F.least(F.lit(n_bins - 1), F.floor(s * F.lit(n_bins) / F.lit(score_max))),
+    )
     base = df.select(
         (F.lit(n_bins - 1) - asc_bin).alias("_b"),  # 0 = best scores
         t.alias("_t"),
@@ -3573,4 +3603,163 @@ def cliff_delta(
         F.col("_ties").cast("long").alias("ties"),
         F.round(d, 9).alias("cliff_d"),
         F.round(a_hat, 9).alias("vd_a"),
+    )
+
+
+def jarque_bera(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Jarque–Bera normality test — the moment-based check (skewness and
+    excess kurtosis jointly zero under normality) that gates every
+    "assume Gaussian" shortcut downstream (z-intervals, 3-sigma rules,
+    control limits):
+
+        JB = n·(S²/6 + (K−3)²/24)        S = m₃/m₂^{3/2},  K = m₄/m₂²
+
+    and — the reason this operator can promise an EXACT p-value — JB is
+    asymptotically χ² with df = 2, whose survival function is the closed
+    form P(χ²₂ > x) = exp(−x/2): no Wilson–Hilferty, no series.
+
+    Exactness: values are integers (cents); pass 1 takes (n, Σx) and an
+    integer pivot c = Σx DIV n, pass 2 sums the PIVOT-CENTERED powers
+    Σd..Σd⁴ (d = x − c) as DECIMAL(38,0) — centering keeps d⁴ within
+    DECIMAL range where raw x⁴ would overflow.  The central moments are
+    fixed-order doubles from those exact integers (μd = Σd/n, then the
+    standard binomial expansions), so the result is bit-reproducible.
+    Returns one row (n, skewness, kurtosis, jb, p_value); NULL when the
+    variance is zero or n < 2.  Kurtosis is the RAW m₄/m₂² (normal = 3).
+    """
+    dec = "decimal(38,0)"
+    base = df.select(F.col(value_col).cast("long").alias("_x")).where(
+        F.col(value_col).isNotNull()
+    )
+    p1 = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_x").cast(dec)).alias("_s1"),
+    ).select(
+        "_n",
+        F.expr("CAST(_s1 DIV _n AS BIGINT)").alias("_c"),
+    )
+    d = F.col("_x") - F.col("_c")
+    dd = d.cast(dec)
+    p2 = (
+        base.crossJoin(F.broadcast(p1))
+        .select("_n", dd.alias("_d"))
+        .agg(
+            F.first("_n").alias("_n"),
+            F.sum("_d").alias("_t1"),
+            F.sum((F.col("_d") * F.col("_d")).cast(dec)).alias("_t2"),
+            F.sum((F.col("_d") * F.col("_d") * F.col("_d")).cast(dec)).alias("_t3"),
+            F.sum(
+                (F.col("_d") * F.col("_d") * F.col("_d") * F.col("_d")).cast(dec)
+            ).alias("_t4"),
+        )
+    )
+    n = F.col("_n").cast("double")
+    mu = F.col("_t1").cast("double") / n
+    m2 = F.col("_t2").cast("double") / n - mu * mu
+    m3 = F.col("_t3").cast("double") / n - F.lit(3.0) * mu * (
+        F.col("_t2").cast("double") / n
+    ) + F.lit(2.0) * mu * mu * mu
+    m4 = (
+        F.col("_t4").cast("double") / n
+        - F.lit(4.0) * mu * (F.col("_t3").cast("double") / n)
+        + F.lit(6.0) * mu * mu * (F.col("_t2").cast("double") / n)
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    ok = (F.col("_n") > 1) & (m2 > 0)
+    skew = F.when(ok, m3 / F.pow(m2, F.lit(1.5)))
+    kurt = F.when(ok, m4 / (m2 * m2))
+    jb = F.when(
+        ok,
+        n * (skew * skew / F.lit(6.0) + (kurt - 3.0) * (kurt - 3.0) / F.lit(24.0)),
+    )
+    p = F.when(jb.isNotNull(), F.exp(-jb / F.lit(2.0)))
+    return p2.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(skew, 9).alias("skewness"),
+        F.round(kurt, 9).alias("kurtosis"),
+        F.round(jb, 9).alias("jb"),
+        F.round(p, 9).alias("p_value"),
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann–Kendall trend test — the non-parametric significance companion
+    to :func:`theil_sen_slope` (which gives the magnitude): is the series
+    monotonically trending at all?
+
+        S = Σ_{i<j} sgn(x_j − x_i)
+        Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18   (tie-corrected)
+        z = (S ∓ 1)/√Var(S)  (continuity-corrected),  p = 2·Φ̄(|z|)
+
+    S and both variance terms are EXACT integers (pairwise self-join on
+    order_col < order_col', per-value tie counts), so the only floats are
+    the final /18, √ and the portable normal tail.  The pair join is
+    O(n²/2) on the SERIES grain — the theil_sen bounded-group contract
+    (aggregate to daily/bucket first; see theil_sen_bounded for the
+    windowed form at scale).  Returns one row
+    (n, s_stat, var_s, z, p_value, trend) with trend ∈
+    {'increasing','decreasing','no_trend'} at the 0.05 level; z and p are
+    NULL when Var(S) = 0 (all values tied) or n < 2.
+    """
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(order_col).alias("_t"), F.col(value_col).cast("long").alias("_v")
+    ).where(F.col(order_col).isNotNull() & F.col(value_col).isNotNull())
+    a = base.select(F.col("_t").alias("_t1"), F.col("_v").alias("_v1"))
+    b = base.select(F.col("_t").alias("_t2"), F.col("_v").alias("_v2"))
+    s_agg = (
+        a.join(b, F.col("_t1") < F.col("_t2"))
+        .select(F.signum((F.col("_v2") - F.col("_v1")).cast("double")).alias("_sgn"))
+        .agg(F.sum(F.col("_sgn").cast("long")).alias("_s"))
+    )
+    ties = (
+        base.groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_tc"))
+        .agg(
+            F.count(F.lit(1)).alias("_k"),
+            F.sum("_tc").alias("_n"),
+            F.sum(
+                (
+                    F.col("_tc").cast(dec)
+                    * (F.col("_tc") - 1)
+                    * (2 * F.col("_tc") + 5)
+                ).cast(dec)
+            ).alias("_tie_term"),
+        )
+    )
+    j = s_agg.crossJoin(F.broadcast(ties))
+    nn = F.col("_n").cast(dec)
+    var_num = (nn * (F.col("_n") - 1) * (2 * F.col("_n") + 5)).cast(dec) - F.col(
+        "_tie_term"
+    )
+    var_s = var_num.cast("double") / F.lit(18.0)
+    s = F.col("_s").cast("double")
+    z = F.when(
+        (var_s > 0) & (F.col("_n") > 1),
+        F.when(F.col("_s") > 0, (s - 1) / F.sqrt(var_s))
+        .when(F.col("_s") < 0, (s + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0)),
+    )
+    p = F.when(
+        z.isNotNull(),
+        F.least(F.lit(1.0), F.lit(2.0) * normal_sf_portable(F.abs(z))),
+    )
+    trend = F.when(
+        p.isNotNull() & (p < 0.05),
+        F.when(F.col("_s") > 0, F.lit("increasing")).otherwise(F.lit("decreasing")),
+    ).otherwise(F.when(F.col("_n") > 1, F.lit("no_trend")))
+    return j.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_s").cast("long").alias("s_stat"),
+        F.round(F.when(F.col("_n") > 1, var_s), 9).alias("var_s"),
+        F.round(z, 9).alias("z"),
+        F.round(p, 9).alias("p_value"),
+        trend.alias("trend"),
     )

@@ -910,14 +910,16 @@ def calibration_curve(
     the plot reads from.
 
     ``score_col`` must be integer on [0, score_max] (pre-scale: a
-    probability × 1e6).  Fixed-width bins (floor-div, top edge clamped
-    into the last bin), exact DECIMAL(38,0) score sums and outcome
+    probability × 1e6).  Fixed-width bins (floor-div, BOTH edges
+    clamped into the end bins), exact DECIMAL(38,0) score sums and outcome
     counts, divisions-only floats.  ONE map-side-combined hash aggregate
     over ≤ n_bins groups.  Returns (bin, n, mean_score, outcome_rate)
     with mean_score back on the [0,1] scale.
     """
     s = F.col(score_col).cast("long")
-    b = F.least(F.lit(n_bins - 1), F.floor(s * n_bins / F.lit(score_max))).cast("long")
+    b = F.greatest(
+        F.lit(0), F.least(F.lit(n_bins - 1), F.floor(s * n_bins / F.lit(score_max)))
+    ).cast("long")
     o = F.col(outcome_col).cast("boolean")
     return (
         df.select(b.alias("bin"), s.alias("_s"), o.alias("_o"))
@@ -964,7 +966,7 @@ def isotonic_calibration(
     |bins|² ≤ 400 rows — aggregate-level, never data-sized (the
     equidepth-histogram class).  Binning convention shared with
     :func:`calibration_curve` (integer score on [0, score_max],
-    fixed-width, top edge clamped).
+    fixed-width, both edges clamped).
 
     Returns (bin, n, pos, rate_raw, rate_iso) with rate_iso monotone
     non-decreasing in bin — the property test's invariant.
@@ -972,7 +974,9 @@ def isotonic_calibration(
     from pyspark.sql import Window
 
     s = F.col(score_col).cast("long")
-    b = F.least(F.lit(n_bins - 1), F.floor(s * n_bins / F.lit(score_max))).cast("long")
+    b = F.greatest(
+        F.lit(0), F.least(F.lit(n_bins - 1), F.floor(s * n_bins / F.lit(score_max)))
+    ).cast("long")
     o = F.col(outcome_col).cast("boolean")
     bins = (
         df.select(b.alias("bin"), o.alias("_o"))
@@ -1366,16 +1370,24 @@ def conformal_interval(
     The order statistic is EXACT — per-distinct-residual counts, one
     cumulative window, the answer is the smallest residual whose
     cumulative count reaches the index (never a percentile
-    approximation); residuals are exact integers (inputs in cents).
+    approximation); residuals are exact integers (inputs in cents), and
+    the index itself is exact: α is rationalized to a/b (nearest
+    fraction with denominator ≤ 10⁶, so 0.1 means one-tenth, not the
+    binary double near it) and ⌈(n+1)(b−a)/b⌉ is one integer DIV —
+    no float product whose 1-ulp excess could bump the index (or
+    spuriously trip the infinite-interval path at q_index = n+1).
     Returns one row (n, q_index, q_hat, coverage_at_qhat) — the coverage
     column re-reads the calibration set at q̂ as the finite-sample
     sanity check (≥ 1−α by construction).
     """
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0,1), got {alpha}")
-    import math as _math
+    from fractions import Fraction
 
     from pyspark.sql import Window
+
+    fr = Fraction(alpha).limit_denominator(1_000_000)
+    a_num, b_den = fr.numerator, fr.denominator
 
     res = df.select(
         F.abs(
@@ -1391,9 +1403,12 @@ def conformal_interval(
         F.sum("_c").over(w).alias("_cum"),
     )
     # q_index = ceil((n+1)(1−α)) computed EXACTLY in integers:
-    # ceil((n+1)·(1−α)) with α = a/b rational → ceil((n+1)·(b−a)/b)
-    frac = F.lit(float(1.0 - alpha))
-    qidx = F.ceil((F.col("_n") + 1).cast("double") * frac)
+    # α = a/b rational → ⌈(n+1)(b−a)/b⌉ = ((n+1)(b−a) + b − 1) DIV b,
+    # DECIMAL inside so the cross-multiplication can't overflow a long
+    qidx = F.expr(
+        f"CAST(((CAST(_n AS DECIMAL(38,0)) + 1) * {b_den - a_num}"
+        f" + {b_den - 1}) DIV {b_den} AS BIGINT)"
+    )
     # ⌈(n+1)(1−α)⌉ > n means the calibration set is too small for this α:
     # the conformal guarantee then needs the INFINITE interval (Lei et al.
     # convention) — reported as NULL q_hat, never an empty result
@@ -1444,8 +1459,13 @@ def ece_brier(
     base = df.select(
         s.alias("_s"),
         y.alias("_y"),
-        F.least(
-            F.lit(n_bins - 1), F.floor(s * F.lit(n_bins) / F.lit(score_max))
+        # clamp BOTH ends: a score outside [0, score_max] lands in the
+        # edge bin instead of minting an out-of-range bin index
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(n_bins - 1), F.floor(s * F.lit(n_bins) / F.lit(score_max))
+            ),
         ).alias("_b"),
     )
     per_bin = base.groupBy("_b").agg(

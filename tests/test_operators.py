@@ -3903,6 +3903,27 @@ def test_durbin_watson_reference(spark):
     # exact fit → zero residuals → NULL dw
     fit = spark.createDataFrame([(x, 3 * x) for x in range(10)], "x long, y long")
     assert durbin_watson(fit, "x", "y").collect()[0].dw is None
+    # tied x values: ONE row out (row_number tail, not x = max(x)) and a
+    # deterministic DW — ties ordered by the exact residual, so the value
+    # matches the python replay of that canonical order
+    tied = [(1, 3), (2, 5), (3, 9), (3, 6)]
+    out = durbin_watson(
+        spark.createDataFrame(tied, "x long, y long"), "x", "y"
+    ).collect()
+    assert len(out) == 1 and out[0].n == 4
+    xs, ys = zip(*tied)
+    n, sx, sy = len(xs), sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    dd, nb = n * sxx - sx * sx, n * sxy - sx * sy
+    e = sorted(
+        (x, n * dd * y - (sy * dd - nb * sx) - n * nb * x) for x, y in tied
+    )
+    es = [v for _, v in e]
+    want_t = sum((a - b) ** 2 for a, b in zip(es[1:], es[:-1])) / sum(
+        v * v for v in es
+    )
+    assert abs(out[0].dw - round(want_t, 9)) < 1e-12, (out[0].dw, want_t)
 
 
 def test_ljung_box_reference(spark):
@@ -4288,6 +4309,21 @@ def test_srm_check_reference(spark):
     # 90/10 design honored → fine
     nn = spark.createDataFrame([("a",)] * 900 + [("b",)] * 100, "arm string")
     assert srm_check(nn, "arm", {"a": 9, "b": 1}).collect()[0].srm_detected is False
+    # a designed arm with ZERO observed rows (logging dead for one arm) is
+    # the most extreme mismatch: k must reflect the DESIGN, chi2 = n, alarm
+    dead = spark.createDataFrame([("a",)] * 1000, "arm string")
+    rd = srm_check(dead, "arm", {"a": 1, "b": 1}).collect()[0]
+    assert (rd.n, rd.k) == (1000, 2)
+    assert abs(rd.chi2 - 1000.0) < 1e-9  # (1000-500)²/500 + (0-500)²/500
+    assert rd.srm_detected is True and rd.p_value < 0.001
+    # a zero-weight designed arm that is also unobserved carries no
+    # information: no alarm, no k inflation
+    rz = srm_check(dead.limit(100), "arm", {"a": 1, "retired": 0}).collect()[0]
+    assert (rz.k, rz.srm_detected) == (1, False)
+    # ...but observing rows in a zero-weight arm still alarms
+    mixed = spark.createDataFrame([("a",)] * 100 + [("retired",)] * 2, "arm string")
+    rm = srm_check(mixed, "arm", {"a": 1, "retired": 0}).collect()[0]
+    assert rm.srm_detected is True and rm.chi2 is None
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="weights"):
@@ -4342,6 +4378,28 @@ def test_qini_curve_reference(spark):
 
     with _pytest.raises(ValueError, match="n_bins"):
         qini_curve(df, "t", "y", "score", n_bins=0)
+    # out-of-range scores clamp into the edge bins — never a phantom
+    # bin_rank outside [0, n_bins)
+    oob = spark.createDataFrame(
+        [(-5, True, True), (-5, False, False), (2_000_000, True, True),
+         (2_000_000, False, False)],
+        "score long, t boolean, y boolean",
+    )
+    ranks = {r.bin_rank for r in qini_curve(oob, "t", "y", "score", n_bins=10).collect()}
+    assert ranks == {0, 9}, ranks
+
+
+def test_ece_brier_clamps_out_of_range_scores(spark):
+    from area_etl_spark.operators.quality import calibration_curve, ece_brier
+
+    oob = spark.createDataFrame(
+        [(-5, True), (2_000_000, False), (500_000, True)], "score long, y boolean"
+    )
+    # one row out, no crash, Brier still finite
+    r = ece_brier(oob, "score", "y", n_bins=10).collect()[0]
+    assert r.n == 3 and r.brier is not None
+    bins = {row.bin for row in calibration_curve(oob, "score", "y").collect()}
+    assert bins == {0, 5, 9}, bins
 
 
 def test_krippendorff_alpha_reference(spark):
@@ -4485,3 +4543,64 @@ def test_cliff_delta_reference(spark):
     )
     ri = cliff_delta(same, "g", "v", "a", "b").collect()[0]
     assert ri.cliff_d == 0.0 and ri.vd_a == 0.5
+
+
+def test_jarque_bera_reference(spark):
+    from area_etl_spark.operators.experiments import jarque_bera
+
+    vals = [3, 7, 7, 8, 12, 13, 14, 18, 21, 45]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    r = jarque_bera(df, "v").collect()[0]
+    n = len(vals)
+    mu = sum(vals) / n
+    m2 = sum((x - mu) ** 2 for x in vals) / n
+    m3 = sum((x - mu) ** 3 for x in vals) / n
+    m4 = sum((x - mu) ** 4 for x in vals) / n
+    s = m3 / m2**1.5
+    k = m4 / m2**2
+    import math
+
+    jb = n * (s * s / 6 + (k - 3) ** 2 / 24)
+    assert r.n == n
+    assert abs(r.skewness - s) < 1e-6, (r.skewness, s)
+    assert abs(r.kurtosis - k) < 1e-6
+    assert abs(r.jb - jb) < 1e-6
+    assert abs(r.p_value - math.exp(-jb / 2)) < 1e-6
+    # symmetric data → skewness exactly 0 (uniform is platykurtic, so JB
+    # still carries the (K−3)² term — only the skew leg must vanish)
+    sym = spark.createDataFrame([(v,) for v in [1, 2, 3, 4, 5] * 4], "v long")
+    rs = jarque_bera(sym, "v").collect()[0]
+    assert abs(rs.skewness) < 1e-12 and abs(rs.kurtosis - 1.7) < 1e-9
+    # constant series → NULL everything
+    const = spark.createDataFrame([(5,)] * 10, "v long")
+    rc = jarque_bera(const, "v").collect()[0]
+    assert rc.jb is None and rc.p_value is None
+
+
+def test_mann_kendall_reference(spark):
+    from area_etl_spark.operators.experiments import mann_kendall
+
+    inc = spark.createDataFrame([(t, t * 2) for t in range(1, 11)], "t long, v long")
+    r = mann_kendall(inc, "t", "v").collect()[0]
+    n = 10
+    assert (r.n, r.s_stat) == (n, n * (n - 1) // 2)  # all pairs concordant
+    want_var = n * (n - 1) * (2 * n + 5) / 18
+    assert abs(r.var_s - want_var) < 1e-9
+    assert r.trend == "increasing" and r.p_value < 0.05
+    # strictly decreasing mirrors the sign
+    dec = spark.createDataFrame([(t, -3 * t) for t in range(1, 11)], "t long, v long")
+    rd = mann_kendall(dec, "t", "v").collect()[0]
+    assert rd.s_stat == -45 and rd.trend == "decreasing"
+    # all tied → Var(S)=0 → NULL z/p, no_trend
+    tied = spark.createDataFrame([(t, 7) for t in range(1, 8)], "t long, v long")
+    rt = mann_kendall(tied, "t", "v").collect()[0]
+    assert rt.s_stat == 0 and rt.z is None and rt.trend == "no_trend"
+    # tie correction: hand-check S and Var on a small mixed series
+    rows = [(1, 1), (2, 2), (3, 2), (4, 3)]
+    rm = mann_kendall(
+        spark.createDataFrame(rows, "t long, v long"), "t", "v"
+    ).collect()[0]
+    # pairs: (1,2)+,(1,2)+,(1,3)+,(2,2)0,(2,3)+,(2,3)+ → S=5
+    assert rm.s_stat == 5
+    want = (4 * 3 * 13 - 2 * 1 * 9) / 18
+    assert abs(rm.var_s - want) < 1e-9

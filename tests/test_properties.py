@@ -362,9 +362,9 @@ def test_conformal_coverage_property(spark, resid, alpha_pct):
     if r is None:
         return
     n = len(resid)
-    import math
-
-    want_idx = math.ceil((n + 1) * (1 - alpha))
+    # exact integer ceil of (n+1)(100-alpha_pct)/100 — NOT the float
+    # product, which lands 1 ulp above exact integers and over-indexes
+    want_idx = ((n + 1) * (100 - alpha_pct) + 99) // 100
     if want_idx <= n:
         assert r.q_index == want_idx
         # the guarantee: coverage at q_hat reaches the target index share
