@@ -6939,6 +6939,32 @@ def q_cramers_v(spark, sf_dir):
     return cramers_v(o, "o_orderpriority", "o_orderstatus")
 
 
+def q_jarque_bera(spark, sf_dir):
+    """Jarque–Bera normality test on customer balance cents: skewness and
+    kurtosis from pivot-centered exact DECIMAL power sums, JB ~ chi2 df=2
+    whose survival is the CLOSED FORM exp(-JB/2) — an exact p-value."""
+    from area_etl_spark.operators.experiments import jarque_bera
+
+    c = _tables(spark, sf_dir)["customer"].select(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents")
+    )
+    return jarque_bera(c, "cents")
+
+
+def q_mann_kendall(spark, sf_dir):
+    """Mann–Kendall trend significance on the monthly revenue series —
+    the non-parametric companion to theil_sen: exact integer S and
+    tie-corrected Var(S), continuity-corrected z, portable normal tail."""
+    from area_etl_spark.operators.experiments import mann_kendall
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("t"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    ser = o.groupBy("t").agg(F.sum("cents").alias("v"))
+    return mann_kendall(ser, "t", "v")
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window (round 10)
 # ---------------------------------------------------------------------------
@@ -7183,6 +7209,9 @@ _R13_QUEUE = [
     "page_hinkley",
     "newey_west",
     "cliff_delta",
+    # — r12 registrations (judge-gated locally at registration) —
+    "jarque_bera",
+    "mann_kendall",
 ]
 
 # The r12 driver window: the _R12_QUEUE minus the 13 deferred keys.
@@ -7508,6 +7537,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_hinkley": q_page_hinkley,
         "newey_west": q_newey_west,
         "cliff_delta": q_cliff_delta,
+        "jarque_bera": q_jarque_bera,
+        "mann_kendall": q_mann_kendall,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -10702,6 +10733,99 @@ def oracle_sql() -> dict[str, str]:
             SELECT n, k, round(chi2, 9) AS chi2, round(p, 6) AS p_value,
                    CASE WHEN bad > 0 THEN true ELSE p < 0.001 END AS srm_detected
             FROM ps
+        """,
+        "jarque_bera": """
+            WITH base AS (
+                SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS x
+                FROM customer WHERE c_acctbal IS NOT NULL
+            ), p1 AS (
+                SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS s1 FROM base
+            ), pc AS (
+                -- integer pivot, truncating division (matches Spark DIV)
+                SELECT n, CAST(s1 // n AS BIGINT) AS c FROM p1
+            ), p2 AS (
+                SELECT MAX(n) AS n,
+                       SUM(CAST(x - c AS HUGEINT)) AS t1,
+                       SUM(CAST(x - c AS HUGEINT) * (x - c)) AS t2,
+                       SUM(CAST(x - c AS HUGEINT) * (x - c) * (x - c)) AS t3,
+                       SUM(CAST(x - c AS HUGEINT) * (x - c) * (x - c) * (x - c)) AS t4
+                FROM base CROSS JOIN pc
+            ), mm AS (
+                SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+                       CAST(t1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                       CAST(t2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+                       CAST(t3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+                       CAST(t4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+                FROM p2
+            ), cm AS (
+                SELECT n, nd,
+                       r2 - mu * mu AS m2,
+                       r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+                       r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2
+                          - 3.0 * mu * mu * mu * mu AS m4
+                FROM mm
+            ), sk AS (
+                SELECT n, nd,
+                       CASE WHEN n > 1 AND m2 > 0 THEN m3 / pow(m2, 1.5) END AS s,
+                       CASE WHEN n > 1 AND m2 > 0 THEN m4 / (m2 * m2) END AS k
+                FROM cm
+            ), jbx AS (
+                SELECT n, s, k,
+                       nd * (s * s / 6.0 + (k - 3.0) * (k - 3.0) / 24.0) AS jb
+                FROM sk
+            )
+            SELECT n,
+                   round(s, 9) AS skewness,
+                   round(k, 9) AS kurtosis,
+                   round(jb, 9) AS jb,
+                   round(CASE WHEN jb IS NOT NULL THEN exp(-jb / 2.0) END, 9)
+                       AS p_value
+            FROM jbx
+        """,
+        "mann_kendall": f"""
+            WITH ser AS (
+                SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS t,
+                       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+                FROM orders GROUP BY 1
+            ), sgn AS (
+                SELECT SUM(CASE WHEN b.v > a.v THEN 1
+                                WHEN b.v < a.v THEN -1 ELSE 0 END) AS s_stat
+                FROM ser a JOIN ser b ON a.t < b.t
+            ), ties AS (
+                SELECT SUM(c) AS n,
+                       SUM(CAST(c AS HUGEINT) * (c - 1) * (2 * c + 5)) AS tie_term
+                FROM (SELECT v, COUNT(*) AS c FROM ser GROUP BY 1)
+            ), vz AS (
+                SELECT n, s_stat,
+                       CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - tie_term
+                            AS DOUBLE) / 18.0 AS var_s
+                FROM sgn CROSS JOIN ties
+            ), zz AS (
+                SELECT n, s_stat, var_s,
+                       CASE WHEN var_s > 0 AND n > 1 THEN
+                           CASE WHEN s_stat > 0
+                                    THEN (CAST(s_stat AS DOUBLE) - 1) / sqrt(var_s)
+                                WHEN s_stat < 0
+                                    THEN (CAST(s_stat AS DOUBLE) + 1) / sqrt(var_s)
+                                ELSE 0.0 END END AS z
+                FROM vz
+            ), pp AS (
+                SELECT n, s_stat, var_s, z,
+                       CASE WHEN z IS NOT NULL
+                            THEN LEAST(1.0, 2.0 * {_normal_sf_sql("abs(z)")})
+                       END AS p
+                FROM zz
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(s_stat AS BIGINT) AS s_stat,
+                   round(CASE WHEN n > 1 THEN var_s END, 9) AS var_s,
+                   round(z, 9) AS z,
+                   round(p, 9) AS p_value,
+                   CASE WHEN p IS NOT NULL AND p < 0.05
+                        THEN CASE WHEN s_stat > 0 THEN 'increasing'
+                                  ELSE 'decreasing' END
+                        WHEN n > 1 THEN 'no_trend' END AS trend
+            FROM pp
         """,
         "power_two_means": f"""
             WITH base AS (
