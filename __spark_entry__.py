@@ -6939,6 +6939,44 @@ def q_cramers_v(spark, sf_dir):
     return cramers_v(o, "o_orderpriority", "o_orderstatus")
 
 
+def q_hhi_concentration(spark, sf_dir):
+    """Revenue-concentration HHI per market segment: per-customer exact
+    DECIMAL revenue sums, HHI = Σv²/V² as two exact integers and one
+    division, CR4 via a PARTITIONED top-k window."""
+    from area_etl_spark.operators.business import hhi_concentration
+
+    t = _tables(spark, sf_dir)
+    df = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_custkey").alias("cust"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    return hhi_concentration(df, "segment", "cust", "cents", top_k=4)
+
+
+def q_abc_classification(spark, sf_dir):
+    """ABC / Pareto classes of customer revenue within each nation —
+    integer cross-multiplied cum-share boundaries (cum·100 ≤ pct·total),
+    partitioned rank window, (value desc, entity asc) tie-break."""
+    from area_etl_spark.operators.business import abc_classification
+
+    t = _tables(spark, sf_dir)
+    df = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_custkey").alias("cust"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    return abc_classification(df, "nation", "cust", "cents")
+
+
 def q_jarque_bera(spark, sf_dir):
     """Jarque–Bera normality test on customer balance cents: skewness and
     kurtosis from pivot-centered exact DECIMAL power sums, JB ~ chi2 df=2
@@ -7212,6 +7250,8 @@ _R13_QUEUE = [
     # — r12 registrations (judge-gated locally at registration) —
     "jarque_bera",
     "mann_kendall",
+    "hhi_concentration",
+    "abc_classification",
 ]
 
 # The r12 driver window: the _R12_QUEUE minus the 13 deferred keys.
@@ -7539,6 +7579,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cliff_delta": q_cliff_delta,
         "jarque_bera": q_jarque_bera,
         "mann_kendall": q_mann_kendall,
+        "hhi_concentration": q_hhi_concentration,
+        "abc_classification": q_abc_classification,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -10733,6 +10775,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT n, k, round(chi2, 9) AS chi2, round(p, 6) AS p_value,
                    CASE WHEN bad > 0 THEN true ELSE p < 0.001 END AS srm_detected
             FROM ps
+        """,
+        "hhi_concentration": """
+            WITH pe AS (
+                SELECT c.c_mktsegment AS segment, c.c_custkey AS e,
+                       SUM(CAST(round(o.o_totalprice * 100) AS HUGEINT)) AS ev
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2
+            ), rk AS (
+                SELECT segment, e, ev,
+                       row_number() OVER (PARTITION BY segment
+                           ORDER BY ev DESC, e ASC) AS rk
+                FROM pe
+            ), ag AS (
+                SELECT segment, COUNT(*) AS n, MIN(ev) AS minv,
+                       SUM(ev) AS tot, SUM(ev * ev) AS sq,
+                       SUM(CASE WHEN rk <= 4 THEN ev ELSE 0 END) AS topv
+                FROM rk GROUP BY 1
+            )
+            SELECT segment,
+                   CAST(n AS BIGINT) AS n_entities,
+                   CAST(tot AS BIGINT) AS total,
+                   round(CASE WHEN minv >= 0 AND tot > 0
+                        THEN CAST(sq AS DOUBLE)
+                             / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) END,
+                        9) AS hhi,
+                   round(CASE WHEN minv >= 0 AND tot > 0 AND n > 1
+                        THEN (CAST(sq AS DOUBLE)
+                              / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))
+                              - 1.0 / CAST(n AS DOUBLE))
+                             / (1.0 - 1.0 / CAST(n AS DOUBLE)) END, 9)
+                       AS hhi_normalized,
+                   round(CASE WHEN minv >= 0 AND tot > 0
+                        THEN CAST(topv AS DOUBLE) / CAST(tot AS DOUBLE) END, 9)
+                       AS cr_k
+            FROM ag
+        """,
+        "abc_classification": """
+            WITH pe AS (
+                SELECT c.c_nationkey AS nation, c.c_custkey AS cust,
+                       SUM(CAST(round(o.o_totalprice * 100) AS HUGEINT)) AS ev
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2
+            ), tot AS (
+                SELECT nation, SUM(ev) AS tot FROM pe GROUP BY 1
+            ), rk AS (
+                SELECT pe.nation, cust, ev, tot,
+                       row_number() OVER (PARTITION BY pe.nation
+                           ORDER BY ev DESC, cust ASC) AS rk,
+                       SUM(ev) OVER (PARTITION BY pe.nation
+                           ORDER BY ev DESC, cust ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cum
+                FROM pe JOIN tot USING (nation)
+            )
+            SELECT nation, cust,
+                   CAST(ev AS BIGINT) AS value,
+                   CAST(rk AS BIGINT) AS rank,
+                   CAST(cum AS BIGINT) AS cum_value,
+                   CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                        WHEN cum * 100 <= tot * 95 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM rk
         """,
         "jarque_bera": """
             WITH base AS (

@@ -460,3 +460,126 @@ def mix_shift_decomposition(
         (F.round(inter, 6) + F.lit(0.0)).alias("interaction"),
         (F.round(mix + rate + inter, 6) + F.lit(0.0)).alias("total_effect"),
     )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+    value_col: str,
+    top_k: int = 4,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per group — the antitrust
+    (and supplier-risk / revenue-concentration) staple: with entity
+    shares s_i = v_i/V inside each group,
+
+        HHI = Σ s_i²  ∈ (0, 1]          CR_k = Σ of the top-k shares
+
+    plus the normalized form (HHI − 1/n)/(1 − 1/n) that compares groups
+    of different entity counts.  EXACT where it matters: per-entity sums
+    v_i and Σv_i² ride DECIMAL(38,0), so HHI = Σv_i²/V² is two exact
+    integers and ONE division — partition-order-free.  CR_k takes the
+    top-k per group by (value, entity) — the deterministic tie-break —
+    via a PARTITIONED rank window (never global).  Entities with
+    negative totals are rejected (shares lose meaning); zero-total
+    groups return NULLs.  Returns one row per group
+    (group, n_entities, total, hhi, hhi_normalized, cr_k).
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    dec = "decimal(38,0)"
+    per_entity = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.col(entity_col).alias("_e"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+        .groupBy("_g", "_e")
+        .agg(F.sum(F.col("_v").cast(dec)).alias("_ev"))
+    )
+    w = Window.partitionBy("_g").orderBy(F.col("_ev").desc(), F.col("_e").asc())
+    ranked = per_entity.withColumn("_rk", F.row_number().over(w))
+    agg = ranked.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.min("_ev").alias("_minv"),
+        F.sum("_ev").alias("_tot"),
+        F.sum((F.col("_ev") * F.col("_ev")).cast(dec)).alias("_sq"),
+        F.sum(F.when(F.col("_rk") <= top_k, F.col("_ev")).otherwise(F.lit(0).cast(dec))).alias(
+            "_topv"
+        ),
+    )
+    ok = (F.col("_minv") >= 0) & (F.col("_tot") > 0)
+    tot = F.col("_tot").cast("double")
+    hhi = F.when(ok, F.col("_sq").cast("double") / (tot * tot))
+    nent = F.col("_n").cast("double")
+    hhi_norm = F.when(
+        ok & (F.col("_n") > 1),
+        (hhi - F.lit(1.0) / nent) / (F.lit(1.0) - F.lit(1.0) / nent),
+    )
+    crk = F.when(ok, F.col("_topv").cast("double") / tot)
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n_entities"),
+        F.col("_tot").cast("long").alias("total"),
+        F.round(hhi, 9).alias("hhi"),
+        F.round(hhi_norm, 9).alias("hhi_normalized"),
+        F.round(crk, 9).alias("cr_k"),
+    )
+
+
+def abc_classification(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+    value_col: str,
+    a_pct: int = 80,
+    b_pct: int = 95,
+) -> DataFrame:
+    """ABC / Pareto classification per group — the inventory-management
+    cut of the 80/20 rule: rank entities by value descending, classify
+    the ones covering the first ``a_pct``% of cumulative value as A, up
+    to ``b_pct``% as B, the tail as C.
+
+    The class boundary is an INTEGER cross-multiplication — entity e is
+    class A iff cum(e)·100 ≤ a_pct·total over exact DECIMAL sums (never
+    a float share compared to 0.8) — and the rank window is PARTITIONED
+    by group with the (value desc, entity asc) deterministic tie-break.
+    The entity that CROSSES a boundary belongs to the inner class (cum
+    share ≤ threshold fails, so it falls to the next class — the
+    standard convention; boundary-exact entities stay inner via ≤).
+    Returns per-entity rows
+    (group, entity, value, rank, cum_value, abc_class).
+    """
+    if not 0 < a_pct < b_pct <= 100:
+        raise ValueError(f"need 0 < a_pct < b_pct <= 100, got {a_pct}/{b_pct}")
+    dec = "decimal(38,0)"
+    per_entity = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.col(entity_col).alias("_e"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+        .groupBy("_g", "_e")
+        .agg(F.sum(F.col("_v").cast(dec)).alias("_ev"))
+    )
+    w = Window.partitionBy("_g").orderBy(F.col("_ev").desc(), F.col("_e").asc())
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    tot = per_entity.groupBy("_g").agg(F.sum("_ev").alias("_tot"))
+    ranked = (
+        per_entity.join(tot, "_g")
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn("_cum", F.sum("_ev").over(wc))
+    )
+    cls = (
+        F.when(F.col("_cum") * 100 <= F.col("_tot") * a_pct, F.lit("A"))
+        .when(F.col("_cum") * 100 <= F.col("_tot") * b_pct, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return ranked.select(
+        F.col("_g").alias(group_col),
+        F.col("_e").alias(entity_col),
+        F.col("_ev").cast("long").alias("value"),
+        F.col("_rk").cast("long").alias("rank"),
+        F.col("_cum").cast("long").alias("cum_value"),
+        cls.alias("abc_class"),
+    )

@@ -4604,3 +4604,52 @@ def test_mann_kendall_reference(spark):
     assert rm.s_stat == 5
     want = (4 * 3 * 13 - 2 * 1 * 9) / 18
     assert abs(rm.var_s - want) < 1e-9
+
+
+def test_hhi_concentration_reference(spark):
+    from area_etl_spark.operators.business import hhi_concentration
+
+    rows = [
+        ("g1", "e1", 60), ("g1", "e2", 20), ("g1", "e3", 20),
+        ("g2", "solo", 100),
+        ("g3", "a", 10), ("g3", "b", -5),
+    ]
+    df = spark.createDataFrame(rows, "g string, e string, v long")
+    out = {r.g: r for r in hhi_concentration(df, "g", "e", "v", top_k=2).collect()}
+    r1 = out["g1"]
+    assert r1.n_entities == 3 and r1.total == 100
+    assert abs(r1.hhi - 0.44) < 1e-12  # (60²+20²+20²)/100²
+    assert abs(r1.hhi_normalized - (0.44 - 1 / 3) / (2 / 3)) < 1e-9
+    assert abs(r1.cr_k - 0.8) < 1e-12  # top-2 = 60+20
+    # monopoly: HHI = 1, normalized undefined at n=1
+    r2 = out["g2"]
+    assert r2.hhi == 1.0 and r2.hhi_normalized is None and r2.cr_k == 1.0
+    # negative entity total → shares meaningless → NULLs
+    r3 = out["g3"]
+    assert r3.hhi is None and r3.cr_k is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="top_k"):
+        hhi_concentration(df, "g", "e", "v", top_k=0)
+
+
+def test_abc_classification_reference(spark):
+    from area_etl_spark.operators.business import abc_classification
+
+    rows = [("g", "w", 50), ("g", "x", 30), ("g", "y", 15), ("g", "z", 5)]
+    df = spark.createDataFrame(rows, "g string, e string, v long")
+    out = {r.e: r for r in abc_classification(df, "g", "e", "v").collect()}
+    # cum shares: 50 (A), 80 (A — boundary-exact stays inner), 95 (B), 100 (C)
+    assert [out[e].abc_class for e in "wxyz"] == ["A", "A", "B", "C"]
+    assert [out[e].rank for e in "wxyz"] == [1, 2, 3, 4]
+    assert out["z"].cum_value == 100
+    # deterministic tie-break: equal values order by entity asc
+    ties = spark.createDataFrame(
+        [("g", "b", 10), ("g", "a", 10)], "g string, e string, v long"
+    )
+    ranked = {r.e: r.rank for r in abc_classification(ties, "g", "e", "v").collect()}
+    assert ranked == {"a": 1, "b": 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="a_pct"):
+        abc_classification(df, "g", "e", "v", a_pct=95, b_pct=80)
