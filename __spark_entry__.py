@@ -6939,6 +6939,33 @@ def q_cramers_v(spark, sf_dir):
     return cramers_v(o, "o_orderpriority", "o_orderstatus")
 
 
+def q_dedup_threshold_curve(spark, sf_dir):
+    """Jaccard-threshold sweep for near-dedup tuning: one exact shared-
+    gram similarity pass feeds every cutoff; qualification is the integer
+    cross-multiplication 100·|∩| ≥ t·|∪|, so the whole curve is exact."""
+    from area_etl_spark.operators.dedup import dedup_threshold_curve
+
+    d = _tables(spark, sf_dir)["documents"]
+    return dedup_threshold_curve(d, thresholds_pct=(50, 60, 70, 80, 90))
+
+
+def q_bcubed_eval(spark, sf_dir):
+    """B³ precision/recall/F1 of a whitespace/case-normalized exact-dedup
+    clustering against raw exact-duplicate gold clusters — the final-
+    clustering quality gauge one level above dedup_candidate_eval's pair
+    harness.  Contingency-table form: no item×item join."""
+    from area_etl_spark.operators.dedup import bcubed_eval
+
+    d = _tables(spark, sf_dir)["documents"].select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        ).alias("pred"),
+        F.md5(F.col("text")).alias("gold"),
+    )
+    return bcubed_eval(d, "doc_id", "pred", "gold")
+
+
 def q_hhi_concentration(spark, sf_dir):
     """Revenue-concentration HHI per market segment: per-customer exact
     DECIMAL revenue sums, HHI = Σv²/V² as two exact integers and one
@@ -7252,6 +7279,8 @@ _R13_QUEUE = [
     "mann_kendall",
     "hhi_concentration",
     "abc_classification",
+    "bcubed_eval",
+    "dedup_threshold_curve",
 ]
 
 # The r12 driver window: the _R12_QUEUE minus the 13 deferred keys.
@@ -7581,6 +7610,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "hhi_concentration": q_hhi_concentration,
         "abc_classification": q_abc_classification,
+        "bcubed_eval": q_bcubed_eval,
+        "dedup_threshold_curve": q_dedup_threshold_curve,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -10775,6 +10806,86 @@ def oracle_sql() -> dict[str, str]:
             SELECT n, k, round(chi2, 9) AS chi2, round(p, 6) AS p_value,
                    CASE WHEN bad > 0 THEN true ELSE p < 0.001 END AS srm_detected
             FROM ps
+        """,
+        "dedup_threshold_curve": f"""
+            WITH ts AS (
+                SELECT doc_id AS id, list_distinct({_shingles3_sql()}) AS grams
+                FROM documents
+            ), ts2 AS (
+                SELECT id, len(grams) AS sz FROM ts WHERE len(grams) > 0
+            ), tp AS (
+                SELECT id, unnest(grams) AS g FROM ts WHERE len(grams) > 0
+            ), sh AS (
+                SELECT x.id AS ida, y.id AS idb, COUNT(*) AS shared
+                FROM tp x JOIN tp y USING (g)
+                WHERE x.id < y.id GROUP BY 1, 2
+            ), pr AS (
+                SELECT ida, idb, shared * 100 AS s100,
+                       a.sz + b.sz - shared AS un
+                FROM sh JOIN ts2 a ON a.id = sh.ida
+                        JOIN ts2 b ON b.id = sh.idb
+            ), grid AS (
+                SELECT unnest([50, 60, 70, 80, 90]) AS threshold_pct
+            ), qual AS (
+                SELECT g.threshold_pct, ida, idb
+                FROM pr JOIN grid g ON s100 >= g.threshold_pct * un
+            ), pt AS (
+                SELECT threshold_pct, COUNT(*) AS n_pairs FROM qual GROUP BY 1
+            ), dt AS (
+                SELECT threshold_pct, COUNT(DISTINCT d) AS n_docs
+                FROM (SELECT threshold_pct, unnest([ida, idb]) AS d FROM qual)
+                GROUP BY 1
+            )
+            SELECT CAST(g.threshold_pct AS BIGINT) AS threshold_pct,
+                   CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+                   CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs
+            FROM grid g LEFT JOIN pt USING (threshold_pct)
+                        LEFT JOIN dt USING (threshold_pct)
+        """,
+        "bcubed_eval": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                           AS p,
+                       md5(text) AS t
+                FROM documents
+            ), cells AS (
+                SELECT p, t, COUNT(*) AS npt FROM base GROUP BY 1, 2
+            ), psz AS (
+                SELECT p, SUM(npt) AS np FROM cells GROUP BY 1
+            ), tsz AS (
+                SELECT t, SUM(npt) AS nt FROM cells GROUP BY 1
+            ), terms AS (
+                SELECT c.p, c.t, c.npt,
+                       CAST(c.npt AS DOUBLE) * CAST(c.npt AS DOUBLE)
+                           / CAST(np AS DOUBLE) AS tp,
+                       CAST(c.npt AS DOUBLE) * CAST(c.npt AS DOUBLE)
+                           / CAST(nt AS DOUBLE) AS tr
+                FROM cells c JOIN psz USING (p) JOIN tsz USING (t)
+            ), folded AS (
+                SELECT SUM(npt) AS n,
+                       COUNT(DISTINCT p) AS kp,
+                       COUNT(DISTINCT t) AS kt,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(tp ORDER BY p, t)), (x, y) -> x + y) AS sp,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(tr ORDER BY p, t)), (x, y) -> x + y) AS sr
+                FROM terms
+            ), pr AS (
+                SELECT n, kp, kt,
+                       CASE WHEN n > 0 THEN sp / CAST(n AS DOUBLE) END AS p,
+                       CASE WHEN n > 0 THEN sr / CAST(n AS DOUBLE) END AS r
+                FROM folded
+            )
+            SELECT CAST(n AS BIGINT) AS n_items,
+                   CAST(kp AS BIGINT) AS n_pred_clusters,
+                   CAST(kt AS BIGINT) AS n_true_clusters,
+                   round(p, 9) AS precision,
+                   round(r, 9) AS recall,
+                   round(CASE WHEN p IS NOT NULL AND r IS NOT NULL
+                              AND p + r > 0
+                         THEN 2.0 * p * r / (p + r) END, 9) AS f1
+            FROM pr
         """,
         "hhi_concentration": """
             WITH pe AS (

@@ -1037,3 +1037,157 @@ def dedup_soft_weights(
             F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
         )
     )
+
+
+def bcubed_eval(
+    df: DataFrame,
+    id_col: str,
+    pred_col: str,
+    true_col: str,
+) -> DataFrame:
+    """B-cubed (B³) clustering quality — the per-ITEM precision/recall
+    that the entity-resolution literature prefers over pair-counting
+    (Bagga & Baldwin 1998; Amigó et al. 2009): for each item, precision
+    is the fraction of its PREDICTED cluster sharing its gold cluster,
+    recall the fraction of its GOLD cluster sharing its predicted one.
+    Completes the dedup measurement loop one level above
+    :func:`dedup_candidate_eval`: that harness scores candidate PAIRS,
+    this one scores the final CLUSTERING the pipeline ships.
+
+    The whole metric reduces to the contingency table — with
+    n(p,t) = |predicted cluster p ∩ gold cluster t|,
+
+        B³-precision = (1/N)·Σ_{p,t} n(p,t)²/n(p)
+        B³-recall    = (1/N)·Σ_{p,t} n(p,t)²/n(t)
+
+    so the plan is hash aggregates + two joins of per-cluster counts
+    back onto the cells — NEVER an item×item pair join; it scales to any
+    clustering whose contingency fits the cluster grain.  All counts are
+    exact integers; the per-cell ratio terms are doubles folded in
+    sorted (p, t) cell order (the srm_check fold idiom) so the sums are
+    engine- and partitioning-independent.  The one-row collect is the
+    documented eval-harness contract (cells ≤ N; sample at corpus
+    scale, like ann_recall_report).  Items with a NULL assignment on
+    either side are dropped.  Returns one row
+    (n_items, n_pred_clusters, n_true_clusters, precision, recall, f1).
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(pred_col).cast("string").alias("_p"),
+        F.col(true_col).cast("string").alias("_t"),
+    ).where(F.col(pred_col).isNotNull() & F.col(true_col).isNotNull())
+    cells = base.groupBy("_p", "_t").agg(F.count(F.lit(1)).alias("_npt"))
+    psz = cells.groupBy("_p").agg(F.sum("_npt").alias("_np"))
+    tsz = cells.groupBy("_t").agg(F.sum("_npt").alias("_nt"))
+    j = cells.join(psz, "_p").join(tsz, "_t")
+    npt = F.col("_npt").cast("double")
+    terms = j.select(
+        "_p",
+        "_t",
+        "_npt",
+        (npt * npt / F.col("_np").cast("double")).alias("_tp"),
+        (npt * npt / F.col("_nt").cast("double")).alias("_tr"),
+    )
+    folded = terms.agg(
+        F.sum("_npt").alias("_n"),
+        F.count_distinct("_p").alias("_kp"),
+        F.count_distinct("_t").alias("_kt"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("_p", "_t", F.col("_tp").alias("_v")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("_v"),
+        ).alias("_sp"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("_p", "_t", F.col("_tr").alias("_v")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("_v"),
+        ).alias("_sr"),
+    )
+    nd = F.col("_n").cast("double")
+    prec = F.when(F.col("_n") > 0, F.col("_sp") / nd)
+    rec = F.when(F.col("_n") > 0, F.col("_sr") / nd)
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+        F.lit(2.0) * prec * rec / (prec + rec),
+    )
+    return folded.select(
+        F.col("_n").cast("long").alias("n_items"),
+        F.col("_kp").cast("long").alias("n_pred_clusters"),
+        F.col("_kt").cast("long").alias("n_true_clusters"),
+        F.round(prec, 9).alias("precision"),
+        F.round(rec, 9).alias("recall"),
+        F.round(f1, 9).alias("f1"),
+    )
+
+
+def dedup_threshold_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresholds_pct: tuple[int, ...] = (50, 60, 70, 80, 90),
+    n: int = 3,
+) -> DataFrame:
+    """Threshold-sweep tuning curve for near-dedup — before committing to
+    a Jaccard cutoff, see what each candidate threshold would DO to the
+    corpus: how many pairs qualify and how many documents get touched.
+    One exact-similarity pass feeds every threshold (the sweep is a
+    bounded broadcast grid join, never a re-scan per threshold).
+
+    Pairs come from the shared-n-gram equi-join (the candidate_eval truth
+    tier — never i×j all-pairs; sample at corpus scale, documented), and
+    the threshold test is an INTEGER cross-multiplication
+    100·|∩| ≥ t·|∪| — so every count on the curve is exact and
+    engine-independent, no float Jaccard compared to 0.7.  Returns one
+    row per threshold (threshold_pct, n_pairs, n_docs) with n_docs =
+    distinct documents appearing in ≥1 qualifying pair.  Thresholds are
+    integer percents in (0, 100].
+    """
+    ts = sorted(set(int(t) for t in thresholds_pct))
+    if not ts or ts[0] <= 0 or ts[-1] > 100:
+        raise ValueError(f"thresholds_pct must be integer percents in (0,100]: {ts}")
+    sets_df = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(normalize_tokens(text_col), n)).alias("_grams"),
+    ).where(F.size("_grams") > 0)
+    sizes = sets_df.select("_id", F.size("_grams").alias("_sz"))
+    posting = sets_df.select("_id", F.explode("_grams").alias("_g"))
+    shared = (
+        posting.alias("x")
+        .join(posting.alias("y"), "_g")
+        .where(F.col("x._id") < F.col("y._id"))
+        .groupBy(F.col("x._id").alias("_ida"), F.col("y._id").alias("_idb"))
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    pairs = (
+        shared.join(sizes.withColumnRenamed("_id", "_ida").withColumnRenamed("_sz", "_sza"), "_ida")
+        .join(sizes.withColumnRenamed("_id", "_idb").withColumnRenamed("_sz", "_szb"), "_idb")
+        .select(
+            "_ida",
+            "_idb",
+            (F.col("_shared") * 100).alias("_s100"),
+            (F.col("_sza") + F.col("_szb") - F.col("_shared")).alias("_union"),
+        )
+    )
+    grid = df.sparkSession.createDataFrame([(t,) for t in ts], "threshold_pct int")
+    qual = pairs.join(
+        F.broadcast(grid),
+        F.col("_s100") >= F.col("threshold_pct") * F.col("_union"),
+    )
+    per_t = qual.groupBy("threshold_pct").agg(F.count(F.lit(1)).alias("n_pairs"))
+    # distinct docs need the pair ids unpivoted first (count_distinct over
+    # an exploded array can't sit inside the same agg)
+    docs = (
+        qual.select("threshold_pct", F.explode(F.array("_ida", "_idb")).alias("_d"))
+        .groupBy("threshold_pct")
+        .agg(F.count_distinct("_d").alias("n_docs"))
+    )
+    out = (
+        grid.join(per_t, "threshold_pct", "left")
+        .join(docs, "threshold_pct", "left")
+        .select(
+            F.col("threshold_pct").cast("long").alias("threshold_pct"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        )
+    )
+    return out

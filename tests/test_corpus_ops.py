@@ -435,3 +435,60 @@ def test_conformal_interval_reference(spark):
 
     with _pytest.raises(ValueError, match="alpha"):
         conformal_interval(df, "pred", "actual", alpha=1.5)
+
+
+def test_bcubed_eval_reference(spark):
+    from area_etl_spark.operators.dedup import bcubed_eval
+
+    # textbook: gold clusters {1,2,3},{4,5}; prediction merges everything
+    rows = [(i, "P", "g1" if i <= 3 else "g2") for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "id long, pred string, gold string")
+    r = bcubed_eval(df, "id", "pred", "gold").collect()[0]
+    # recall: every gold mate is inside the single predicted cluster → 1
+    assert r.recall == 1.0
+    # precision: items of g1 see 3/5, items of g2 see 2/5 → (3·3/5 + 2·2/5)/5
+    want_p = (3 * 3 / 5 + 2 * 2 / 5) / 5
+    assert abs(r.precision - want_p) < 1e-9
+    assert abs(r.f1 - 2 * want_p * 1.0 / (want_p + 1.0)) < 1e-9
+    assert (r.n_items, r.n_pred_clusters, r.n_true_clusters) == (5, 1, 2)
+    # perfect clustering → all ones
+    perfect = spark.createDataFrame(
+        [(i, f"c{i % 3}", f"c{i % 3}") for i in range(12)],
+        "id long, pred string, gold string",
+    )
+    rp = bcubed_eval(perfect, "id", "pred", "gold").collect()[0]
+    assert (rp.precision, rp.recall, rp.f1) == (1.0, 1.0, 1.0)
+    # all-singletons prediction: precision 1, recall = Σ 1/|gold(i)| / N
+    singl = spark.createDataFrame(
+        [(i, f"s{i}", "g") for i in range(4)], "id long, pred string, gold string"
+    )
+    rs = bcubed_eval(singl, "id", "pred", "gold").collect()[0]
+    assert rs.precision == 1.0 and abs(rs.recall - 0.25) < 1e-9
+
+
+def test_dedup_threshold_curve_reference(spark):
+    from area_etl_spark.operators.dedup import dedup_threshold_curve
+
+    docs = [
+        (1, "the cat sat on the mat today"),
+        (2, "the cat sat on the mat today"),          # exact dup of 1
+        (3, "the cat sat on the mat now"),            # near dup: 4/6 grams shared
+        (4, "completely different text about spark"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.threshold_pct: r
+        for r in dedup_threshold_curve(
+            df, thresholds_pct=(50, 90, 100)
+        ).collect()
+    }
+    # exact dup pair (1,2) qualifies at every threshold
+    assert out[100].n_pairs == 1 and out[100].n_docs == 2
+    # near-dup pairs join at lower thresholds: curve is monotone
+    assert out[50].n_pairs >= out[90].n_pairs >= out[100].n_pairs
+    assert out[50].n_pairs == 3  # (1,2), (1,3), (2,3) share >half their grams
+    assert out[50].n_docs == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="thresholds_pct"):
+        dedup_threshold_curve(df, thresholds_pct=(0, 50))
