@@ -6939,6 +6939,31 @@ def q_cramers_v(spark, sf_dir):
     return cramers_v(o, "o_orderpriority", "o_orderstatus")
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (sub-word tokens per whitespace
+    word) and chars-per-subtoken from the GPT-2-shaped pre-tokenizer
+    counts — exact integer sums, two divisions."""
+    from area_etl_spark.operators.text_analysis import tokenizer_fertility
+
+    return tokenizer_fertility(_tables(spark, sf_dir)["documents"])
+
+
+def q_adamic_adar(spark, sf_dir):
+    """Adamic–Adar + resource-allocation link prediction over the same
+    user↔item bipartite graph as link_prediction — each shared neighbor
+    weighted down by its degree (1/ln deg, 1/deg), weight sums folded in
+    sorted middle order.  Item-item side kept."""
+    from area_etl_spark.operators.graph import adamic_adar_scores
+
+    ev = _tables(spark, sf_dir)["events"]
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        (F.lit(10_000_000) + F.col("event_id") % 500).alias("dst"),
+    ).distinct()
+    scored = adamic_adar_scores(edges, min_common=2, max_middle_degree=100000)
+    return scored.where(F.col("u") >= 10_000_000)
+
+
 def q_dedup_threshold_curve(spark, sf_dir):
     """Jaccard-threshold sweep for near-dedup tuning: one exact shared-
     gram similarity pass feeds every cutoff; qualification is the integer
@@ -7281,6 +7306,8 @@ _R13_QUEUE = [
     "abc_classification",
     "bcubed_eval",
     "dedup_threshold_curve",
+    "adamic_adar",
+    "tokenizer_fertility",
 ]
 
 # The r12 driver window: the _R12_QUEUE minus the 13 deferred keys.
@@ -7612,6 +7639,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abc_classification": q_abc_classification,
         "bcubed_eval": q_bcubed_eval,
         "dedup_threshold_curve": q_dedup_threshold_curve,
+        "adamic_adar": q_adamic_adar,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -10806,6 +10835,81 @@ def oracle_sql() -> dict[str, str]:
             SELECT n, k, round(chi2, 9) AS chi2, round(p, 6) AS p_value,
                    CASE WHEN bad > 0 THEN true ELSE p < 0.001 END AS srm_detected
             FROM ps
+        """,
+        "tokenizer_fertility": r"""
+            WITH pre AS (
+                SELECT lang,
+                       regexp_replace(
+                           regexp_replace(text, '([^\s\p{L}\p{N}])', ' \1 ', 'g'),
+                           '(\p{N}+)', ' \1 ', 'g') AS p2,
+                       text
+                FROM documents
+            ), base AS (
+                SELECT lang,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+'))
+                       END AS w,
+                       CASE WHEN length(trim(p2)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(p2), '\s+'))
+                       END AS s,
+                       length(regexp_replace(text, '\s+', '', 'g')) AS c
+                FROM pre
+            ), ag AS (
+                SELECT lang, COUNT(*) AS n_docs, SUM(w) AS n_words,
+                       SUM(s) AS n_subtokens, SUM(c) AS chars
+                FROM base GROUP BY 1
+            )
+            SELECT lang,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(n_subtokens AS BIGINT) AS n_subtokens,
+                   round(CASE WHEN n_words > 0 THEN
+                       CAST(n_subtokens AS DOUBLE) / CAST(n_words AS DOUBLE)
+                   END, 9) AS fertility,
+                   round(CASE WHEN n_subtokens > 0 THEN
+                       CAST(chars AS DOUBLE) / CAST(n_subtokens AS DOUBLE)
+                   END, 9) AS chars_per_subtoken
+            FROM ag
+        """,
+        "adamic_adar": """
+            WITH e0 AS (
+                SELECT DISTINCT user_id AS src,
+                       10000000 + event_id % 500 AS dst
+                FROM events
+            ), sym AS (
+                SELECT DISTINCT a, b FROM (
+                    SELECT src AS a, dst AS b FROM e0
+                    UNION ALL SELECT dst, src FROM e0
+                ) WHERE a <> b
+            ), deg AS (
+                SELECT a, COUNT(*) AS d FROM sym GROUP BY 1
+            ), mids AS (
+                SELECT s.b AS m, s.a AS n
+                FROM sym s JOIN deg ON deg.a = s.b
+                WHERE deg.d <= 100000
+            ), wedges AS (
+                SELECT x.n AS u, y.n AS v, x.m, deg.d AS mdeg
+                FROM mids x JOIN mids y USING (m)
+                JOIN deg ON deg.a = x.m
+                WHERE x.n < y.n
+            ), pairs AS (
+                SELECT u, v, COUNT(*) AS common,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(1.0 / ln(CAST(mdeg AS DOUBLE)) ORDER BY m)),
+                           (x, y) -> x + y) AS aa,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(1.0 / CAST(mdeg AS DOUBLE) ORDER BY m)),
+                           (x, y) -> x + y) AS ra
+                FROM wedges GROUP BY 1, 2
+                HAVING COUNT(*) >= 2
+            ), existing AS (
+                SELECT a AS u, b AS v FROM sym WHERE a < b
+            )
+            SELECT p.u, p.v, CAST(common AS BIGINT) AS common,
+                   round(aa, 9) AS aa_score,
+                   round(ra, 9) AS ra_score
+            FROM pairs p ANTI JOIN existing e ON p.u = e.u AND p.v = e.v
+            WHERE p.u >= 10000000
         """,
         "dedup_threshold_curve": f"""
             WITH ts AS (

@@ -1262,3 +1262,57 @@ def heaps_law(
         F.round(beta, 6).alias("beta"),
         F.round(F.exp(intercept), 6).alias("k_est"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility report per language — the multilingual-corpus
+    planning number: how many sub-word tokens does a word cost in each
+    language?  High-fertility languages burn sequence length (and
+    training budget) faster, so mixture weights and max-length choices
+    read this table first.
+
+        fertility = sub-word tokens / whitespace words
+        chars_per_subtoken = non-whitespace chars / sub-word tokens
+
+    Sub-word counts come from :func:`bpe_ish_token_count` (the GPT-2
+    pre-tokenizer shape — letter runs, digit runs, single punctuation
+    marks — the vocabulary-free upper bound a trained BPE refines).  Per
+    language: exact integer sums, two final divisions.  Returns
+    (lang, n_docs, n_words, n_subtokens, fertility, chars_per_subtoken).
+    """
+    base = df.select(
+        F.col(lang_col).alias("lang"),
+        token_count(text_col).cast("long").alias("_w"),
+        bpe_ish_token_count(text_col).cast("long").alias("_s"),
+        F.length(F.regexp_replace(F.col(text_col), r"\s+", "")).cast("long").alias("_c"),
+    )
+    agg = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_w").alias("n_words"),
+        F.sum("_s").alias("n_subtokens"),
+        F.sum("_c").alias("_chars"),
+    )
+    return agg.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_subtokens").cast("long").alias("n_subtokens"),
+        F.round(
+            F.when(
+                F.col("n_words") > 0,
+                F.col("n_subtokens").cast("double") / F.col("n_words").cast("double"),
+            ),
+            9,
+        ).alias("fertility"),
+        F.round(
+            F.when(
+                F.col("n_subtokens") > 0,
+                F.col("_chars").cast("double") / F.col("n_subtokens").cast("double"),
+            ),
+            9,
+        ).alias("chars_per_subtoken"),
+    )

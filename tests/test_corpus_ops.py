@@ -492,3 +492,22 @@ def test_dedup_threshold_curve_reference(spark):
 
     with _pytest.raises(ValueError, match="thresholds_pct"):
         dedup_threshold_curve(df, thresholds_pct=(0, 50))
+
+
+def test_tokenizer_fertility_reference(spark):
+    from area_etl_spark.operators.text_analysis import tokenizer_fertility
+
+    rows = [
+        ("en", "hello world"),            # 2 words, 2 subtokens
+        ("en", "it's 2024 now"),          # 3 words → it ' s 2024 now = 5
+        ("zh", ""),                       # blank: 0 words, 0 subtokens
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    out = {r.lang: r for r in tokenizer_fertility(df).collect()}
+    en = out["en"]
+    assert (en.n_docs, en.n_words, en.n_subtokens) == (2, 5, 7)
+    assert abs(en.fertility - 7 / 5) < 1e-12
+    # chars: "helloworld"=10 + "it's2024now"=11 → 21 over 7 subtokens
+    assert abs(en.chars_per_subtoken - 3.0) < 1e-12
+    zh = out["zh"]
+    assert zh.n_words == 0 and zh.fertility is None

@@ -4653,3 +4653,31 @@ def test_abc_classification_reference(spark):
 
     with _pytest.raises(ValueError, match="a_pct"):
         abc_classification(df, "g", "e", "v", a_pct=95, b_pct=80)
+
+
+def test_adamic_adar_reference(spark):
+    from area_etl_spark.operators.graph import adamic_adar_scores
+
+    import math
+
+    # path graph 1-2-3 plus hub 9 connected to 1,3,4,5: pair (1,3) shares
+    # middles {2 (deg 2), 9 (deg 4)}
+    edges = [(1, 2), (2, 3), (9, 1), (9, 3), (9, 4), (9, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {(r.u, r.v): r for r in adamic_adar_scores(df).collect()}
+    r13 = out[(1, 3)]
+    assert r13.common == 2
+    want_aa = 1 / math.log(2) + 1 / math.log(4)
+    assert abs(r13.aa_score - want_aa) < 1e-9
+    assert abs(r13.ra_score - (1 / 2 + 1 / 4)) < 1e-9
+    # adjacent pairs are excluded: (1,2) is an edge, never a candidate
+    assert (1, 2) not in out
+    # hub-only pairs: (4,5) share just the hub → AA = 1/ln 4
+    assert abs(out[(4, 5)].aa_score - 1 / math.log(4)) < 1e-9
+    # middle-degree cap removes hub wedges but keeps low-degree middles
+    capped = {
+        (r.u, r.v): r
+        for r in adamic_adar_scores(df, max_middle_degree=2).collect()
+    }
+    assert (4, 5) not in capped
+    assert abs(capped[(1, 3)].aa_score - 1 / math.log(2)) < 1e-9
