@@ -1690,6 +1690,77 @@ def _ewma_sql(n_lags: int = 16) -> str:
     """
 
 
+def _ewma_chart_sql(n_lags: int = 16, l_sigma: float = 3.0) -> str:
+    """DuckDB replay of ewma_control_chart over the events/user grain:
+    the _ewma_sql lag terms plus per-user exact mean/sample-std and the
+    exact (1 − 4^{−t})/3 limit-width factor."""
+    terms, avail = [], []
+    for i in range(n_lags):
+        w = 1 << (n_lags - 1 - i)
+        lag = "x" if i == 0 else f"lag(x, {i}) OVER w"
+        terms.append(f"COALESCE({lag}, 0) * {w}")
+        avail.append(f"CASE WHEN {lag} IS NOT NULL THEN {w} ELSE 0 END")
+    return f"""
+        WITH s AS (
+            SELECT user_id, ts, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS x
+            FROM events
+        ), lg AS (
+            SELECT user_id, event_id,
+                   round(CAST(({' + '.join(terms)}) AS DOUBLE)
+                         / CAST(({' + '.join(avail)}) AS DOUBLE), 6) AS ewma,
+                   row_number() OVER w AS t
+            FROM s
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), st AS (
+            SELECT user_id, COUNT(*) AS n,
+                   SUM(CAST(x AS HUGEINT)) AS sx,
+                   SUM(CAST(x AS HUGEINT) * x) AS qx
+            FROM s GROUP BY 1
+        ), j AS (
+            SELECT lg.user_id, event_id, ewma, t, n,
+                   CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                   CASE WHEN n > 1 THEN sqrt(GREATEST(
+                       CAST(n * qx - sx * sx AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)),
+                       0.0))
+                   END AS sigma
+            FROM lg JOIN st USING (user_id)
+        ), k AS (
+            SELECT user_id, event_id, ewma, mu, sigma,
+                   {l_sigma} * sigma
+                   * sqrt((1.0 - pow(0.25, CAST(t AS DOUBLE))) / 3.0) AS width
+            FROM j
+        )
+        SELECT user_id, event_id, ewma,
+               round(mu, 6) AS center,
+               round(CASE WHEN sigma > 0 THEN mu + width END, 6) AS ucl,
+               round(CASE WHEN sigma > 0 THEN mu - width END, 6) AS lcl,
+               CASE WHEN sigma > 0
+                    THEN (ewma > mu + width OR ewma < mu - width)
+               END AS out_of_control
+        FROM k
+    """
+
+
+def q_ewma_control_chart(spark, sf_dir):
+    """EWMA control chart per user over event value cents: exact
+    truncated α=1/2 EWMA vs μ ± 3σ·√((1−4^{−t})/3) — mean/std from exact
+    DECIMAL sums, the time-dependent width exact by construction."""
+    from area_etl_spark.operators.windows import ewma_control_chart
+
+    ev = _tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = ewma_control_chart(ev, ["user_id"], ["ts", "event_id"], "cents")
+    return out.select(
+        "user_id", "event_id", "ewma", "center", "ucl", "lcl", "out_of_control"
+    )
+
+
 def q_rolling_distinct_users(spark, sf_dir):
     """Exact trailing-7-day distinct users per day (DAU→WAU rollup).
 
@@ -6939,6 +7010,27 @@ def q_cramers_v(spark, sf_dir):
     return cramers_v(o, "o_orderpriority", "o_orderstatus")
 
 
+def q_forecast_accuracy(spark, sf_dir):
+    """MAE/RMSE/MAPE/sMAPE/MASE scorecard of a seasonal-naive (lag-7)
+    forecast of the daily order count — exact DECIMAL error sums, float
+    only in the per-row MAPE/sMAPE terms on one ordered window."""
+    from pyspark.sql import Window as W
+
+    from area_etl_spark.operators.windows import forecast_accuracy
+
+    daily = (
+        _tables(spark, sf_dir)["orders"]
+        .groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")).alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    fc = daily.select(
+        "d", "a", F.lag("a", 7).over(W.orderBy("d")).alias("f")
+    ).where(F.col("f").isNotNull())
+    return forecast_accuracy(fc, "d", "a", "f")
+
+
 def q_tokenizer_fertility(spark, sf_dir):
     """Per-language tokenizer fertility (sub-word tokens per whitespace
     word) and chars-per-subtoken from the GPT-2-shaped pre-tokenizer
@@ -7308,6 +7400,8 @@ _R13_QUEUE = [
     "dedup_threshold_curve",
     "adamic_adar",
     "tokenizer_fertility",
+    "forecast_accuracy",
+    "ewma_control_chart",
 ]
 
 # The r12 driver window: the _R12_QUEUE minus the 13 deferred keys.
@@ -7641,6 +7735,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_threshold_curve": q_dedup_threshold_curve,
         "adamic_adar": q_adamic_adar,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "forecast_accuracy": q_forecast_accuracy,
+        "ewma_control_chart": q_ewma_control_chart,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -10835,6 +10931,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT n, k, round(chi2, 9) AS chi2, round(p, 6) AS p_value,
                    CASE WHEN bad > 0 THEN true ELSE p < 0.001 END AS srm_detected
             FROM ps
+        """,
+        "forecast_accuracy": """
+            WITH daily AS (
+                SELECT date_diff('day', DATE '1992-01-01',
+                                 CAST(o_orderdate AS DATE)) AS d,
+                       COUNT(*) AS a
+                FROM orders GROUP BY 1
+            ), fc AS (
+                SELECT d, a, lag(a, 7) OVER (ORDER BY d) AS f FROM daily
+            ), base AS (
+                SELECT d, a, f FROM fc WHERE f IS NOT NULL
+            ), lagd AS (
+                SELECT d, a, f,
+                       abs(a - f) AS ae,
+                       CAST(a - f AS HUGEINT) * (a - f) AS se,
+                       CASE WHEN a <> 0 THEN CAST(abs(a - f) AS DOUBLE)
+                            / CAST(abs(a) AS DOUBLE) END AS mape_t,
+                       CASE WHEN abs(a) + abs(f) > 0
+                            THEN 2.0 * CAST(abs(a - f) AS DOUBLE)
+                                 / CAST(abs(a) + abs(f) AS DOUBLE)
+                       END AS smape_t,
+                       COALESCE(abs(a - lag(a, 1) OVER (ORDER BY d, a, f)), 0)
+                           AS naive
+                FROM base
+            ), cum AS (
+                SELECT row_number() OVER (ORDER BY d, a, f) AS rn,
+                       SUM(ae) OVER win AS sae,
+                       SUM(se) OVER win AS sse,
+                       SUM(naive) OVER win AS snaive,
+                       SUM(COALESCE(mape_t, 0.0)) OVER win AS smn,
+                       SUM(CASE WHEN mape_t IS NOT NULL THEN 1 ELSE 0 END)
+                           OVER win AS nm,
+                       SUM(COALESCE(smape_t, 0.0)) OVER win AS ssm,
+                       SUM(CASE WHEN smape_t IS NOT NULL THEN 1 ELSE 0 END)
+                           OVER win AS ns,
+                       COUNT(*) OVER () AS n
+                FROM lagd
+                WINDOW win AS (ORDER BY d, a, f
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(CAST(sae AS DOUBLE) / CAST(n AS DOUBLE), 9) AS mae,
+                   round(sqrt(CAST(sse AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+                       AS rmse,
+                   round(CASE WHEN nm > 0
+                        THEN smn / CAST(nm AS DOUBLE) END, 9) AS mape,
+                   round(CASE WHEN ns > 0
+                        THEN ssm / CAST(ns AS DOUBLE) END, 9) AS smape,
+                   round(CASE WHEN n > 1 AND snaive > 0
+                        THEN (CAST(sae AS DOUBLE) / CAST(n AS DOUBLE))
+                             / (CAST(snaive AS DOUBLE)
+                                / (CAST(n AS DOUBLE) - 1.0)) END, 9) AS mase
+            FROM cum WHERE rn = n
         """,
         "tokenizer_fertility": r"""
             WITH pre AS (
@@ -16450,6 +16599,7 @@ def oracle_sql() -> dict[str, str]:
             FROM packed
         """,
         "ewma_smooth": _ewma_sql(),
+        "ewma_control_chart": _ewma_chart_sql(),
         "fk_orphans": """
             SELECT 'orders->customer' AS relation,
                    (SELECT COUNT(*) FROM orders) AS n_rows,

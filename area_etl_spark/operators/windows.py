@@ -1258,3 +1258,156 @@ def page_hinkley(
             F.col("_rn") > warmup, ph_scaled > F.lit(lambda_threshold * warmup)
         ).otherwise(F.lit(False)).alias("alarm"),
     )
+
+
+def forecast_accuracy(
+    df: DataFrame,
+    order_col: str,
+    actual_col: str,
+    forecast_col: str,
+) -> DataFrame:
+    """Forecast-accuracy scorecard — the metric row every backtest ends
+    with: MAE, RMSE, MAPE, sMAPE, and MASE (Hyndman & Koehler 2006) of a
+    forecast column against actuals over an ordered series.
+
+    Exactness discipline: errors are integers (cents), so MAE/RMSE come
+    from exact DECIMAL Σ|e| and Σe²; MASE is the ratio of two exact sums
+    (scaled by the in-sample naive walk Σ|a_t − a_{t−1}|); only MAPE and
+    sMAPE have per-row float terms, and those accumulate on ONE ordered
+    cumulative window — ties broken by (actual, forecast) — whose tail
+    row (row_number = n) carries the totals, the durbin_watson idiom
+    (bounded series grain, documented single-partition contract).
+    MAPE skips a = 0 rows, sMAPE skips |a| + |f| = 0 rows (standard
+    conventions); MASE is NULL for a constant series or n < 2.  Returns
+    one row (n, mae, rmse, mape, smape, mase).
+    """
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(order_col).alias("_o"),
+        F.col(actual_col).cast("long").alias("_a"),
+        F.col(forecast_col).cast("long").alias("_f"),
+    ).where(
+        F.col(order_col).isNotNull()
+        & F.col(actual_col).isNotNull()
+        & F.col(forecast_col).isNotNull()
+    )
+    e = F.col("_a") - F.col("_f")
+    w = Window.orderBy("_o", "_a", "_f")
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    ae = F.abs(e)
+    mape_t = F.when(
+        F.col("_a") != 0, ae.cast("double") / F.abs(F.col("_a")).cast("double")
+    )
+    smape_den = F.abs(F.col("_a")) + F.abs(F.col("_f"))
+    smape_t = F.when(
+        smape_den > 0, F.lit(2.0) * ae.cast("double") / smape_den.cast("double")
+    )
+    prev_a = F.lag("_a", 1).over(w)
+    naive = F.when(prev_a.isNotNull(), F.abs(F.col("_a") - prev_a)).otherwise(
+        F.lit(0)
+    )
+    cum = (
+        base.select(
+            F.row_number().over(w).alias("_rn"),
+            F.sum(ae.cast(dec)).over(wc).alias("_sae"),
+            F.sum((e.cast(dec) * e).cast(dec)).over(wc).alias("_sse"),
+            F.sum(naive.cast(dec)).over(wc).alias("_snaive"),
+            F.sum(F.coalesce(mape_t, F.lit(0.0))).over(wc).alias("_smape_num"),
+            F.sum(F.when(mape_t.isNotNull(), 1).otherwise(0)).over(wc).alias("_n_mape"),
+            F.sum(F.coalesce(smape_t, F.lit(0.0))).over(wc).alias("_ssmape"),
+            F.sum(F.when(smape_t.isNotNull(), 1).otherwise(0)).over(wc).alias("_n_smape"),
+            F.count(F.lit(1))
+            .over(
+                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            )
+            .alias("_n"),
+        )
+    )
+    tail = cum.where(F.col("_rn") == F.col("_n"))
+    nd = F.col("_n").cast("double")
+    mae = F.col("_sae").cast("double") / nd
+    rmse = F.sqrt(F.col("_sse").cast("double") / nd)
+    mape = F.when(
+        F.col("_n_mape") > 0,
+        F.col("_smape_num") / F.col("_n_mape").cast("double"),
+    )
+    smape = F.when(
+        F.col("_n_smape") > 0, F.col("_ssmape") / F.col("_n_smape").cast("double")
+    )
+    mase = F.when(
+        (F.col("_n") > 1) & (F.col("_snaive") > 0),
+        mae / (F.col("_snaive").cast("double") / (nd - F.lit(1.0))),
+    )
+    return tail.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(mae, 9).alias("mae"),
+        F.round(rmse, 9).alias("rmse"),
+        F.round(mape, 9).alias("mape"),
+        F.round(smape, 9).alias("smape"),
+        F.round(mase, 9).alias("mase"),
+    )
+
+
+def ewma_control_chart(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    n_lags: int = 16,
+    l_sigma: float = 3.0,
+) -> DataFrame:
+    """EWMA control chart (Roberts 1959; the SPC small-shift detector
+    beside the big-jump Shewhart chart and the cumulative CUSUM): flag
+    points where the exact truncated α=1/2 EWMA (:func:`ewma_smooth`)
+    leaves the center line by more than L·σ_EWMA, with the
+    time-dependent limit width
+
+        σ_EWMA(t) = σ·√( λ/(2−λ) · (1 − (1−λ)^{2t}) )  =  σ·√((1−4^{−t})/3)
+
+    — the λ=1/2 steady state is reached in a handful of steps, and the
+    early-t tightening comes out exactly as (1 − 4^{−t}).  Center μ and
+    σ are the per-key mean and SAMPLE std from exact DECIMAL sums (the
+    power_two_means discipline); every float is a fixed-order expression
+    over exact integers.  Limits (and the flag) are NULL while n < 2 or
+    σ = 0.  Returns the input grain plus
+    (ewma, center, ucl, lcl, out_of_control).
+    """
+    dec = "decimal(38,0)"
+    ew = ewma_smooth(df, keys, order_cols, value_col, n_lags=n_lags)
+    x = F.col(value_col).cast("long")
+    stats = (
+        df.select(*[F.col(k) for k in keys], x.alias("_x"))
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_x").cast(dec)).alias("_s"),
+            F.sum((F.col("_x").cast(dec) * F.col("_x")).cast(dec)).alias("_q"),
+        )
+    )
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_cols])
+    j = ew.withColumn("_t", F.row_number().over(w)).join(stats, keys)
+    nd = F.col("_n").cast("double")
+    mu = F.col("_s").cast("double") / nd
+    var = (F.col("_n").cast(dec) * F.col("_q") - F.col("_s") * F.col("_s")).cast(
+        "double"
+    ) / (nd * (nd - F.lit(1.0)))
+    sigma = F.when(F.col("_n") > 1, F.sqrt(F.greatest(var, F.lit(0.0))))
+    width = (
+        F.lit(float(l_sigma))
+        * sigma
+        * F.sqrt((F.lit(1.0) - F.pow(F.lit(0.25), F.col("_t").cast("double"))) / F.lit(3.0))
+    )
+    ucl = F.when(sigma > 0, mu + width)
+    lcl = F.when(sigma > 0, mu - width)
+    flag = F.when(
+        ucl.isNotNull(), (F.col("ewma") > ucl) | (F.col("ewma") < lcl)
+    )
+    return j.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c) for c in order_cols],
+        F.col("ewma"),
+        F.round(mu, 6).alias("center"),
+        F.round(ucl, 6).alias("ucl"),
+        F.round(lcl, 6).alias("lcl"),
+        flag.alias("out_of_control"),
+    )

@@ -4681,3 +4681,66 @@ def test_adamic_adar_reference(spark):
     }
     assert (4, 5) not in capped
     assert abs(capped[(1, 3)].aa_score - 1 / math.log(2)) < 1e-9
+
+
+def test_forecast_accuracy_reference(spark):
+    from area_etl_spark.operators.windows import forecast_accuracy
+
+    import math
+
+    rows = [(1, 100, 90), (2, 200, 210), (3, 0, 10), (4, 400, 380)]
+    df = spark.createDataFrame(rows, "t long, a long, f long")
+    r = forecast_accuracy(df, "t", "a", "f").collect()[0]
+    errs = [a - f for _, a, f in rows]
+    assert r.n == 4
+    assert abs(r.mae - sum(abs(e) for e in errs) / 4) < 1e-9
+    assert abs(r.rmse - math.sqrt(sum(e * e for e in errs) / 4)) < 1e-9
+    # MAPE skips the a=0 row
+    want_mape = (10 / 100 + 10 / 200 + 20 / 400) / 3
+    assert abs(r.mape - want_mape) < 1e-9
+    want_smape = (
+        2 * 10 / 190 + 2 * 10 / 410 + 2 * 10 / 10 + 2 * 20 / 780
+    ) / 4
+    assert abs(r.smape - want_smape) < 1e-9
+    # MASE: naive walk |Δa| = 100+200+400 = 700 over n-1=3
+    want_mase = r.mae / (700 / 3)
+    assert abs(r.mase - want_mase) < 1e-6
+    # constant actuals → NULL MASE, perfect forecast → zero errors
+    const = spark.createDataFrame([(t, 5, 5) for t in range(5)], "t long, a long, f long")
+    rc = forecast_accuracy(const, "t", "a", "f").collect()[0]
+    assert rc.mae == 0.0 and rc.mase is None and rc.mape == 0.0
+
+
+def test_ewma_control_chart_reference(spark):
+    from area_etl_spark.operators.windows import ewma_control_chart
+
+    import math
+
+    # 20 quiet alternating points, then a sustained level shift to 30:
+    # the EWMA crosses the 3-sigma band on the 4th shifted point
+    vals = [10, 12] * 10 + [30] * 5
+    rows = [("k", t, v) for t, v in enumerate(vals, start=1)]
+    df = spark.createDataFrame(rows, "k string, t long, v long")
+    out = {
+        r.t: r
+        for r in ewma_control_chart(df, ["k"], ["t"], "v", l_sigma=3.0).collect()
+    }
+    n = len(vals)
+    mu = sum(vals) / n
+    var = (n * sum(v * v for v in vals) - sum(vals) ** 2) / (n * (n - 1))
+    sigma = math.sqrt(var)
+    # python replay of the truncated alpha=1/2 EWMA + limits at each t
+    for t in range(1, n + 1):
+        avail = list(range(min(t, 16)))
+        num = sum(vals[t - 1 - i] * (1 << (15 - i)) for i in avail)
+        den = sum(1 << (15 - i) for i in avail)
+        want_ewma = round(num / den, 6)
+        assert abs(out[t].ewma - want_ewma) < 1e-9, t
+        width = 3.0 * sigma * math.sqrt((1 - 0.25**t) / 3.0)
+        assert abs(out[t].ucl - round(mu + width, 6)) < 1e-6
+        assert out[t].center == round(mu, 6)
+    assert [t for t in range(1, n + 1) if out[t].out_of_control] == [24, 25]
+    # single-point key: no sigma → NULL limits and flag
+    single = spark.createDataFrame([("s", 1, 7)], "k string, t long, v long")
+    rs = ewma_control_chart(single, ["k"], ["t"], "v").collect()[0]
+    assert rs.ucl is None and rs.out_of_control is None
