@@ -7010,6 +7010,35 @@ def q_cramers_v(spark, sf_dir):
     return cramers_v(o, "o_orderpriority", "o_orderstatus")
 
 
+def q_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test on the even/odd customer balance
+    split: exact per-arm DECIMAL sums, Welch–Satterthwaite df, portable
+    large-df normal tail (documented approximation)."""
+    from area_etl_spark.operators.experiments import welch_ttest
+
+    c = _tables(spark, sf_dir)["customer"].select(
+        F.when(F.pmod(F.col("c_custkey"), F.lit(2)) == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("arm"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    return welch_ttest(c, "arm", "cents")
+
+
+def q_hodges_lehmann(spark, sf_dir):
+    """Hodges–Lehmann location estimate of the monthly order-count
+    series — the median of all Walsh averages via the rank self-join +
+    exact array-median idiom (bounded series grain)."""
+    from area_etl_spark.operators.experiments import hodges_lehmann
+
+    ser = (
+        _tables(spark, sf_dir)["orders"]
+        .groupBy(F.date_trunc("month", F.col("o_orderdate").cast("date")).alias("t"))
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return hodges_lehmann(ser, "v")
+
+
 def q_forecast_accuracy(spark, sf_dir):
     """MAE/RMSE/MAPE/sMAPE/MASE scorecard of a seasonal-naive (lag-7)
     forecast of the daily order count — exact DECIMAL error sums, float
@@ -7402,6 +7431,8 @@ _R13_QUEUE = [
     "tokenizer_fertility",
     "forecast_accuracy",
     "ewma_control_chart",
+    "welch_ttest",
+    "hodges_lehmann",
 ]
 
 # The r12 driver window: the _R12_QUEUE minus the 13 deferred keys.
@@ -7737,6 +7768,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": q_tokenizer_fertility,
         "forecast_accuracy": q_forecast_accuracy,
         "ewma_control_chart": q_ewma_control_chart,
+        "welch_ttest": q_welch_ttest,
+        "hodges_lehmann": q_hodges_lehmann,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -10931,6 +10964,88 @@ def oracle_sql() -> dict[str, str]:
             SELECT n, k, round(chi2, 9) AS chi2, round(p, 6) AS p_value,
                    CASE WHEN bad > 0 THEN true ELSE p < 0.001 END AS srm_detected
             FROM ps
+        """,
+        "welch_ttest": f"""
+            WITH base AS (
+                SELECT CASE WHEN c_custkey % 2 = 0 THEN 'even' ELSE 'odd' END
+                           AS a,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS v
+                FROM customer
+            ), per AS (
+                SELECT a, COUNT(*) AS n,
+                       SUM(CAST(v AS HUGEINT)) AS s,
+                       SUM(CAST(v AS HUGEINT) * v) AS q
+                FROM base GROUP BY 1
+            ), pick AS (
+                SELECT COUNT(*) AS k, MIN(a) AS arm_a, MAX(a) AS arm_b FROM per
+            ), j AS (
+                SELECT k, arm_a, arm_b,
+                       p1.n AS n1, p1.s AS s1, p1.q AS q1,
+                       p2.n AS n2, p2.s AS s2, p2.q AS q2
+                FROM pick JOIN per p1 ON p1.a = pick.arm_a
+                          JOIN per p2 ON p2.a = pick.arm_b
+            ), st AS (
+                SELECT *,
+                       CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS ma,
+                       CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mb,
+                       CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                           / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+                           AS va,
+                       CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+                           / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0))
+                           AS vb
+                FROM j
+            ), se AS (
+                SELECT *,
+                       va / CAST(n1 AS DOUBLE) + vb / CAST(n2 AS DOUBLE) AS se2,
+                       (k = 2 AND n1 > 1 AND n2 > 1) AS two_ok
+                FROM st
+            ), tt AS (
+                SELECT *,
+                       CASE WHEN two_ok AND se2 > 0
+                            THEN (ma - mb) / sqrt(se2) END AS t,
+                       CASE WHEN two_ok AND se2 > 0
+                            THEN se2 * se2 / (
+                                (va / CAST(n1 AS DOUBLE)) * (va / CAST(n1 AS DOUBLE))
+                                    / (CAST(n1 AS DOUBLE) - 1.0)
+                                + (vb / CAST(n2 AS DOUBLE)) * (vb / CAST(n2 AS DOUBLE))
+                                    / (CAST(n2 AS DOUBLE) - 1.0)) END AS dfw
+                FROM se
+            )
+            SELECT CAST(k AS BIGINT) AS n_arms, arm_a, arm_b,
+                   CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+                   round(ma, 9) AS mean_a, round(mb, 9) AS mean_b,
+                   round(t, 9) AS t_stat, round(dfw, 9) AS df_welch,
+                   round(CASE WHEN t IS NOT NULL THEN
+                       LEAST(1.0, 2.0 * {_normal_sf_sql("abs(t)")}) END, 9)
+                       AS p_value
+            FROM tt
+        """,
+        "hodges_lehmann": """
+            WITH ser AS (
+                SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS t,
+                       COUNT(*) AS v
+                FROM orders GROUP BY 1
+            ), idx AS (
+                SELECT v, row_number() OVER (ORDER BY v) AS rn FROM ser
+            ), sums AS (
+                SELECT a.v + b.v AS s FROM idx a JOIN idx b ON a.rn <= b.rn
+            ), ag AS (
+                SELECT COUNT(*) AS np, list_sort(list(s)) AS ss FROM sums
+            ), nn AS (
+                SELECT COUNT(*) AS n FROM ser
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST(np AS BIGINT) AS n_pairs,
+                   round(CASE WHEN np > 0 THEN
+                       CASE WHEN np % 2 = 1
+                            THEN CAST(ss[CAST((np + 1) // 2 AS BIGINT)] AS DOUBLE)
+                            ELSE (CAST(ss[CAST(np // 2 AS BIGINT)] AS DOUBLE)
+                                  + CAST(ss[CAST(np // 2 + 1 AS BIGINT)] AS DOUBLE))
+                                 / 2.0
+                       END / 2.0
+                   END, 9) AS hl_estimate
+            FROM ag CROSS JOIN nn
         """,
         "forecast_accuracy": """
             WITH daily AS (

@@ -3763,3 +3763,153 @@ def mann_kendall(
         F.round(p, 9).alias("p_value"),
         trend.alias("trend"),
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    arm_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test — the default two-arm
+    mean comparison (Welch 1947; the "just use Welch" consensus since
+    equal-variance Student rarely holds in practice):
+
+        t  = (m_a − m_b) / √(v_a/n_a + v_b/n_b)
+        df = (v_a/n_a + v_b/n_b)² / [ (v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1) ]
+
+    Per-arm mean and SAMPLE variance come from exact DECIMAL sums (the
+    power_two_means discipline); arms are compared as strings with
+    arm_a = MIN(arm), arm_b = MAX(arm) — deterministic sides.  The
+    p-value uses the large-df normal tail 2·Φ̄(|t|) via the portable
+    normal (the granger_causality precedent — exact as df → ∞ and a
+    documented approximation at small n; for n ≲ 30 read df_welch and
+    consult a t-table).  Returns one row (n_arms, arm_a, arm_b, n_a,
+    n_b, mean_a, mean_b, t_stat, df_welch, p_value); t/df/p are NULL
+    unless EXACTLY two arms with n ≥ 2 each and a positive variance sum.
+    """
+    dec = "decimal(38,0)"
+    per = (
+        df.select(
+            F.col(arm_col).cast("string").alias("_a"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+        .where(F.col(arm_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy("_a")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_v").cast(dec)).alias("_s"),
+            F.sum((F.col("_v").cast(dec) * F.col("_v")).cast(dec)).alias("_q"),
+        )
+    )
+    pick = per.agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.min("_a").alias("_arm_a"),
+        F.max("_a").alias("_arm_b"),
+    )
+
+    def _side(tag: str) -> DataFrame:
+        return per.select(
+            F.col("_a").alias(f"_a{tag}"),
+            F.col("_n").alias(f"_n{tag}"),
+            F.col("_s").alias(f"_s{tag}"),
+            F.col("_q").alias(f"_q{tag}"),
+        )
+
+    j = (
+        pick.join(F.broadcast(_side("1")), F.col("_arm_a") == F.col("_a1"))
+        .join(F.broadcast(_side("2")), F.col("_arm_b") == F.col("_a2"))
+    )
+
+    def _stats(tag: str):
+        n = F.col(f"_n{tag}").cast("double")
+        mean = F.col(f"_s{tag}").cast("double") / n
+        var = (
+            F.col(f"_n{tag}").cast(dec) * F.col(f"_q{tag}")
+            - F.col(f"_s{tag}") * F.col(f"_s{tag}")
+        ).cast("double") / (n * (n - F.lit(1.0)))
+        return n, mean, var
+
+    na, ma, va = _stats("1")
+    nb, mb, vb = _stats("2")
+    se2 = va / na + vb / nb
+    ok = (
+        (F.col("_k") == 2)
+        & (F.col("_n1") > 1)
+        & (F.col("_n2") > 1)
+        & (se2 > 0)
+    )
+    t = F.when(ok, (ma - mb) / F.sqrt(se2))
+    dfw = F.when(
+        ok,
+        se2 * se2
+        / ((va / na) * (va / na) / (na - 1.0) + (vb / nb) * (vb / nb) / (nb - 1.0)),
+    )
+    p = F.when(
+        t.isNotNull(),
+        F.least(F.lit(1.0), F.lit(2.0) * normal_sf_portable(F.abs(t))),
+    )
+    return j.select(
+        F.col("_k").cast("long").alias("n_arms"),
+        F.col("_arm_a").alias("arm_a"),
+        F.col("_arm_b").alias("arm_b"),
+        F.col("_n1").cast("long").alias("n_a"),
+        F.col("_n2").cast("long").alias("n_b"),
+        F.round(ma, 9).alias("mean_a"),
+        F.round(mb, 9).alias("mean_b"),
+        F.round(t, 9).alias("t_stat"),
+        F.round(dfw, 9).alias("df_welch"),
+        F.round(p, 9).alias("p_value"),
+    )
+
+
+def hodges_lehmann(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Hodges–Lehmann location estimate — the median of all Walsh
+    averages (x_i + x_j)/2 over i ≤ j: the point estimate the Wilcoxon
+    signed-rank test inverts (feed it paired differences and it estimates
+    the median treatment shift), robust like the median but ~2× more
+    efficient at the Gaussian.
+
+    Pairs come from a rank self-join (rn_i ≤ rn_j over the value sort) —
+    O(n²/2) on the SERIES grain, the theil_sen bounded-group contract
+    (sample first at scale).  Walsh SUMS stay integers; the exact median
+    picks the middle sum (odd) or the mean of the two middles (even) via
+    the collect→array_sort→element_at idiom, and the single final /2 is
+    the only float.  Returns one row (n, n_pairs, hl_estimate).
+    """
+    base = df.select(F.col(value_col).cast("long").alias("_v")).where(
+        F.col(value_col).isNotNull()
+    )
+    from pyspark.sql import Window
+
+    idx = base.select(
+        "_v", F.row_number().over(Window.orderBy("_v")).alias("_rn")
+    )
+    a = idx.select(F.col("_v").alias("_va"), F.col("_rn").alias("_ra"))
+    b = idx.select(F.col("_v").alias("_vb"), F.col("_rn").alias("_rb"))
+    sums = a.join(b, F.col("_ra") <= F.col("_rb")).select(
+        (F.col("_va") + F.col("_vb")).alias("_s")
+    )
+    agg = sums.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.array_sort(F.collect_list("_s")).alias("_ss"),
+    ).crossJoin(F.broadcast(base.agg(F.count(F.lit(1)).alias("n"))))
+    k = F.col("n_pairs")
+    mid = F.when(
+        k % 2 == 1,
+        F.element_at("_ss", ((k + 1) / 2).cast("int")).cast("double"),
+    ).otherwise(
+        (
+            F.element_at("_ss", (k / 2).cast("int")).cast("double")
+            + F.element_at("_ss", (k / 2 + 1).cast("int")).cast("double")
+        )
+        / F.lit(2.0)
+    )
+    hl = F.when(k > 0, mid / F.lit(2.0))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        k.cast("long").alias("n_pairs"),
+        F.round(hl, 9).alias("hl_estimate"),
+    )

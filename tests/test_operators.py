@@ -4744,3 +4744,68 @@ def test_ewma_control_chart_reference(spark):
     single = spark.createDataFrame([("s", 1, 7)], "k string, t long, v long")
     rs = ewma_control_chart(single, ["k"], ["t"], "v").collect()[0]
     assert rs.ucl is None and rs.out_of_control is None
+
+
+def test_welch_ttest_reference(spark):
+    from area_etl_spark.operators.experiments import welch_ttest
+
+    import math
+
+    a = [10, 12, 14, 16, 18]
+    b = [20, 25, 30, 35, 40, 45]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "arm string, v long")
+    r = welch_ttest(df, "arm", "v").collect()[0]
+    na, nb = len(a), len(b)
+    ma, mb = sum(a) / na, sum(b) / nb
+    va = sum((x - ma) ** 2 for x in a) / (na - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (nb - 1)
+    se2 = va / na + vb / nb
+    want_t = (ma - mb) / math.sqrt(se2)
+    want_df = se2**2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert (r.n_arms, r.arm_a, r.arm_b, r.n_a, r.n_b) == (2, "a", "b", na, nb)
+    assert abs(r.t_stat - want_t) < 1e-6
+    assert abs(r.df_welch - want_df) < 1e-6
+    assert r.p_value < 0.001  # clearly separated samples
+    # identical arms → t ~ 0, p ~ 1
+    same = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in a], "arm string, v long"
+    )
+    rs = welch_ttest(same, "arm", "v").collect()[0]
+    assert rs.t_stat == 0.0 and rs.p_value > 0.999  # portable-normal tail at 0
+    # three arms → NULL stats, n_arms visible
+    three = spark.createDataFrame(
+        rows + [("c", 1)], "arm string, v long"
+    )
+    rt = welch_ttest(three, "arm", "v").collect()[0]
+    assert rt.n_arms == 3 and rt.t_stat is None
+
+
+def test_hodges_lehmann_reference(spark):
+    from area_etl_spark.operators.experiments import hodges_lehmann
+
+    odd = spark.createDataFrame([(v,) for v in [1, 3, 5, 7, 9]], "v long")
+    r = hodges_lehmann(odd, "v").collect()[0]
+    assert (r.n, r.n_pairs) == (5, 15)
+    assert r.hl_estimate == 5.0  # symmetric sample → the median itself
+    even = spark.createDataFrame([(v,) for v in [1, 2, 6, 8]], "v long")
+    re_ = hodges_lehmann(even, "v").collect()[0]
+    # Walsh sums sorted: [2,3,4,7,8,9,10,12,14,16] → mid (8+9)/2 → HL 4.25
+    assert (re_.n, re_.n_pairs) == (4, 10)
+    assert abs(re_.hl_estimate - 4.25) < 1e-12
+    # python brute check on an asymmetric sample
+    vals = [1, 1, 2, 5, 9, 40]
+    walsh = sorted(
+        (vals[i] + vals[j]) / 2
+        for i in range(len(vals))
+        for j in range(i, len(vals))
+    )
+    mid = (
+        walsh[len(walsh) // 2]
+        if len(walsh) % 2 == 1
+        else (walsh[len(walsh) // 2 - 1] + walsh[len(walsh) // 2]) / 2
+    )
+    rb = hodges_lehmann(
+        spark.createDataFrame([(v,) for v in vals], "v long"), "v"
+    ).collect()[0]
+    assert abs(rb.hl_estimate - mid) < 1e-12
