@@ -7010,6 +7010,24 @@ def q_cramers_v(spark, sf_dir):
     return cramers_v(o, "o_orderpriority", "o_orderstatus")
 
 
+def q_hurst_exponent(spark, sf_dir):
+    """Classical R/S Hurst exponent of the daily order-count series —
+    per-block R·s and S·s exact over DECIMAL integers, one sqrt + one
+    division per block, ln-ln OLS slope across dyadic block sizes."""
+    from area_etl_spark.operators.windows import hurst_exponent
+
+    daily = (
+        _tables(spark, sf_dir)["orders"]
+        .groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+            ).alias("d")
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return hurst_exponent(daily, "d", "v", (8, 16, 32, 64))
+
+
 def q_welch_ttest(spark, sf_dir):
     """Welch's unequal-variance t-test on the even/odd customer balance
     split: exact per-arm DECIMAL sums, Welch–Satterthwaite df, portable
@@ -7433,6 +7451,7 @@ _R13_QUEUE = [
     "ewma_control_chart",
     "welch_ttest",
     "hodges_lehmann",
+    "hurst_exponent",
 ]
 
 # The r12 driver window: the _R12_QUEUE minus the 13 deferred keys.
@@ -7770,6 +7789,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_control_chart": q_ewma_control_chart,
         "welch_ttest": q_welch_ttest,
         "hodges_lehmann": q_hodges_lehmann,
+        "hurst_exponent": q_hurst_exponent,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -10964,6 +10984,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT n, k, round(chi2, 9) AS chi2, round(p, 6) AS p_value,
                    CASE WHEN bad > 0 THEN true ELSE p < 0.001 END AS srm_detected
             FROM ps
+        """,
+        "hurst_exponent": """
+            WITH daily AS (
+                SELECT date_diff('day', DATE '1992-01-01',
+                                 CAST(o_orderdate AS DATE)) AS o,
+                       COUNT(*) AS v
+                FROM orders GROUP BY 1
+            ), base AS (
+                SELECT v, row_number() OVER (ORDER BY o) - 1 AS i FROM daily
+            ), grid AS (
+                SELECT unnest([8, 16, 32, 64]) AS bs
+            ), rws AS (
+                SELECT bs, v, i // bs AS b, i % bs AS k
+                FROM base CROSS JOIN grid
+            ), staged AS (
+                SELECT bs, b, k, v,
+                       SUM(CAST(v AS HUGEINT)) OVER (PARTITION BY bs, b
+                           ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum,
+                       SUM(CAST(v AS HUGEINT)) OVER (PARTITION BY bs, b)
+                           AS tot,
+                       COUNT(*) OVER (PARTITION BY bs, b) AS cnt
+                FROM rws
+            ), blocks AS (
+                SELECT bs, b,
+                       MAX(CAST(bs AS HUGEINT) * cum - (k + 1) * tot) AS maxsy,
+                       MIN(CAST(bs AS HUGEINT) * cum - (k + 1) * tot) AS minsy,
+                       MAX(tot) AS tot,
+                       SUM(CAST(v AS HUGEINT) * v) AS q
+                FROM staged WHERE cnt = bs GROUP BY 1, 2
+            ), valid AS (
+                SELECT bs, b,
+                       CAST(maxsy - minsy AS DOUBLE)
+                       / sqrt(CAST(CAST(bs AS HUGEINT) * q - tot * tot
+                                   AS DOUBLE)) AS rs
+                FROM blocks
+                WHERE CAST(CAST(bs AS HUGEINT) * q - tot * tot AS DOUBLE) > 0
+            ), per_size AS (
+                SELECT bs, COUNT(*) AS n_blocks,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(rs ORDER BY b)), (x, y) -> x + y)
+                       / CAST(COUNT(*) AS DOUBLE) AS mean_rs
+                FROM valid GROUP BY 1
+            ), reg AS (
+                SELECT COUNT(*) AS m,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(ln(CAST(bs AS DOUBLE)) ORDER BY bs)),
+                           (x, y) -> x + y) AS sx,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(ln(mean_rs) ORDER BY bs)),
+                           (x, y) -> x + y) AS sy,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(ln(CAST(bs AS DOUBLE)) * ln(mean_rs)
+                                ORDER BY bs)), (x, y) -> x + y) AS sxy,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(ln(CAST(bs AS DOUBLE)) * ln(CAST(bs AS DOUBLE))
+                                ORDER BY bs)), (x, y) -> x + y) AS sxx
+                FROM per_size
+            ), h AS (
+                SELECT CASE WHEN m > 1 THEN
+                    (CAST(m AS DOUBLE) * sxy - sx * sy)
+                    / (CAST(m AS DOUBLE) * sxx - sx * sx) END AS hurst
+                FROM reg
+            ), nt AS (
+                SELECT COUNT(*) AS n FROM base
+            )
+            SELECT CAST(bs AS BIGINT) AS block_size,
+                   CAST(n_blocks AS BIGINT) AS n_blocks,
+                   round(mean_rs, 9) AS mean_rs,
+                   round(hurst, 9) AS hurst,
+                   CAST(n AS BIGINT) AS n
+            FROM per_size CROSS JOIN h CROSS JOIN nt
         """,
         "welch_ttest": f"""
             WITH base AS (

@@ -1411,3 +1411,141 @@ def ewma_control_chart(
         F.round(lcl, 6).alias("lcl"),
         flag.alias("out_of_control"),
     )
+
+
+def hurst_exponent(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    block_sizes: tuple[int, ...] = (8, 16, 32, 64),
+) -> DataFrame:
+    """Hurst exponent by classical rescaled-range (R/S) analysis (Hurst
+    1951; Mandelbrot & Wallis 1969) — the long-memory diagnostic beside
+    the short-lag ACF/PACF ladder: H ≈ 0.5 for a memoryless walk, > 0.5
+    persistent (trends feed themselves), < 0.5 anti-persistent.
+
+    For each block size s the ordered series splits into ⌊n/s⌋ FULL
+    blocks; per block the rescaled range R/S is EXACT-over-sqrt:
+    clearing the mean denominator, s·Y_k = s·Σ_{i≤k}v − (k+1)·Σ_block v
+    is an exact DECIMAL integer, so R·s = max−min of them is too, and
+    S·s = √(s·Σv² − (Σv)²) is one sqrt of an exact integer — R/S is a
+    single division of the two.  Per-size means fold in block order;
+    H is the OLS slope of ln(mean R/S) on ln(s) across sizes.  Zero-
+    variance blocks are skipped; sizes with no valid block drop out.
+    The row_number pass is the documented bounded-series single-partition
+    contract.  Returns one row per block size
+    (block_size, n_blocks, mean_rs, hurst) — hurst repeated (the slope
+    over all listed sizes), NULL when fewer than 2 sizes survive.
+    """
+    sizes = sorted(set(int(s) for s in block_sizes))
+    if not sizes or sizes[0] < 4:
+        raise ValueError(f"block_sizes must be >= 4, got {block_sizes}")
+    dec = "decimal(38,0)"
+    base = (
+        df.select(
+            F.col(order_col).alias("_o"),
+            F.col(value_col).cast("long").alias("_v"),
+        )
+        .where(F.col(order_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            "_v",
+            (F.row_number().over(Window.orderBy("_o")) - 1).alias("_i"),
+        )
+    )
+    grid = df.sparkSession.createDataFrame([(s,) for s in sizes], "block_size int")
+    rows = base.crossJoin(F.broadcast(grid)).select(
+        "block_size",
+        "_v",
+        F.expr("_i DIV block_size").alias("_b"),
+        F.expr("_i % block_size").alias("_k"),
+    )
+    wb = Window.partitionBy("block_size", "_b")
+    wcum = wb.orderBy("_k").rowsBetween(Window.unboundedPreceding, 0)
+    staged = rows.select(
+        "block_size",
+        "_b",
+        "_k",
+        "_v",
+        F.sum(F.col("_v").cast(dec)).over(wcum).alias("_cum"),
+        F.sum(F.col("_v").cast(dec)).over(wb).alias("_tot"),
+        F.count(F.lit(1)).over(wb).alias("_cnt"),
+    )
+    sy = (
+        F.col("block_size").cast(dec) * F.col("_cum")
+        - (F.col("_k") + 1).cast(dec) * F.col("_tot")
+    )
+    blocks = (
+        staged.where(F.col("_cnt") == F.col("block_size"))
+        .groupBy("block_size", "_b")
+        .agg(
+            F.max(sy).alias("_maxsy"),
+            F.min(sy).alias("_minsy"),
+            F.first("_tot").alias("_tot"),
+            F.sum((F.col("_v").cast(dec) * F.col("_v")).cast(dec)).alias("_q"),
+        )
+    )
+    ss2 = (F.col("block_size").cast(dec) * F.col("_q") - F.col("_tot") * F.col("_tot"))
+    rs = (F.col("_maxsy") - F.col("_minsy")).cast("double") / F.sqrt(
+        ss2.cast("double")
+    )
+    valid = blocks.where(ss2.cast("double") > 0).select(
+        "block_size", "_b", rs.alias("_rs")
+    )
+    per_size = valid.groupBy("block_size").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("_b", F.col("_rs").alias("_r")))),
+                F.lit(0.0),
+                lambda acc, s: acc + s.getField("_r"),
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_rs"),
+    )
+    # ln-ln regression across the surviving sizes: ≤|sizes| rows, folded
+    # in sorted size order
+    reg = per_size.agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("block_size", "mean_rs"))),
+            F.struct(
+                F.lit(0.0).alias("sx"),
+                F.lit(0.0).alias("sy"),
+                F.lit(0.0).alias("sxy"),
+                F.lit(0.0).alias("sxx"),
+            ),
+            lambda acc, r: F.struct(
+                (acc.getField("sx") + F.log(r.getField("block_size").cast("double"))).alias("sx"),
+                (acc.getField("sy") + F.log(r.getField("mean_rs"))).alias("sy"),
+                (
+                    acc.getField("sxy")
+                    + F.log(r.getField("block_size").cast("double"))
+                    * F.log(r.getField("mean_rs"))
+                ).alias("sxy"),
+                (
+                    acc.getField("sxx")
+                    + F.log(r.getField("block_size").cast("double"))
+                    * F.log(r.getField("block_size").cast("double"))
+                ).alias("sxx"),
+            ),
+        ).alias("_f"),
+    )
+    m = F.col("_m").cast("double")
+    slope = F.when(
+        F.col("_m") > 1,
+        (m * F.col("_f.sxy") - F.col("_f.sx") * F.col("_f.sy"))
+        / (m * F.col("_f.sxx") - F.col("_f.sx") * F.col("_f.sx")),
+    )
+    hurst = reg.select(F.round(slope, 9).alias("hurst"))
+    n_tot = base.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_size.crossJoin(F.broadcast(hurst))
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            F.col("block_size").cast("long").alias("block_size"),
+            F.col("n_blocks").cast("long").alias("n_blocks"),
+            F.round("mean_rs", 9).alias("mean_rs"),
+            F.col("hurst"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )

@@ -4809,3 +4809,54 @@ def test_hodges_lehmann_reference(spark):
         spark.createDataFrame([(v,) for v in vals], "v long"), "v"
     ).collect()[0]
     assert abs(rb.hl_estimate - mid) < 1e-12
+
+
+def test_hurst_exponent_reference(spark):
+    from area_etl_spark.operators.windows import hurst_exponent
+
+    import math
+    import random
+
+    rng = random.Random(7)
+    # a persistent (trending) series and its python R/S replay
+    vals = []
+    x = 0
+    for _ in range(256):
+        x += rng.choice([1, 2, 3])  # strictly increasing → persistent
+        vals.append(x)
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "t long, v long")
+    sizes = (8, 16, 32, 64)
+    out = {r.block_size: r for r in hurst_exponent(df, "t", "v", sizes).collect()}
+
+    def rs_mean(s):
+        rss = []
+        for b in range(len(vals) // s):
+            blk = vals[b * s : (b + 1) * s]
+            tot = sum(blk)
+            q = sum(v * v for v in blk)
+            sy = [s * sum(blk[: k + 1]) - (k + 1) * tot for k in range(s)]
+            ss2 = s * q - tot * tot
+            if ss2 > 0:
+                rss.append((max(sy) - min(sy)) / math.sqrt(ss2))
+        return sum(rss) / len(rss), len(rss)
+
+    pts = []
+    for s in sizes:
+        want_mean, want_nb = rs_mean(s)
+        assert out[s].n_blocks == want_nb
+        assert abs(out[s].mean_rs - want_mean) < 1e-6, s
+        pts.append((math.log(s), math.log(want_mean)))
+    m = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    want_h = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    assert abs(out[8].hurst - want_h) < 1e-6
+    # a trending series is persistent: H well above 0.5
+    assert out[8].hurst > 0.8
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="block_sizes"):
+        hurst_exponent(df, "t", "v", (2,))
