@@ -7010,6 +7010,34 @@ def q_cramers_v(spark, sf_dir):
     return cramers_v(o, "o_orderpriority", "o_orderstatus")
 
 
+def q_group_sequential(spark, sf_dir):
+    """Group-sequential A/B monitoring over yearly looks: cumulative
+    two-proportion z per look vs the published O'Brien–Fleming and
+    Pocock boundary tables (two-sided α=0.05) — peeking-safe readouts."""
+    from area_etl_spark.operators.experiments import group_sequential_looks
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        F.year(F.col("o_orderdate").cast("date")).alias("look"),
+        F.when(F.pmod(F.col("o_custkey"), F.lit(2)) == 0, F.lit("even"))
+        .otherwise(F.lit("odd"))
+        .alias("arm"),
+        (F.col("o_totalprice") > 150000).alias("ok"),
+    )
+    return group_sequential_looks(o, "look", "arm", "ok")
+
+
+def q_disproportionality(spark, sf_dir):
+    """PRR/ROR disproportionality of short documents per source — which
+    sources are over-represented among quality failures; exact 2×2
+    integer counts, Evans signal rule (PRR ≥ 2, a ≥ 3)."""
+    from area_etl_spark.operators.quality import disproportionality
+
+    d = _tables(spark, sf_dir)["documents"].select(
+        "source", (F.col("n_chars") < 200).alias("short")
+    )
+    return disproportionality(d, "source", "short")
+
+
 def q_hurst_exponent(spark, sf_dir):
     """Classical R/S Hurst exponent of the daily order-count series —
     per-block R·s and S·s exact over DECIMAL integers, one sqrt + one
@@ -7452,6 +7480,8 @@ _R13_QUEUE = [
     "welch_ttest",
     "hodges_lehmann",
     "hurst_exponent",
+    "group_sequential",
+    "disproportionality",
 ]
 
 # The r12 driver window: the _R12_QUEUE minus the 13 deferred keys.
@@ -7790,6 +7820,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_ttest": q_welch_ttest,
         "hodges_lehmann": q_hodges_lehmann,
         "hurst_exponent": q_hurst_exponent,
+        "group_sequential": q_group_sequential,
+        "disproportionality": q_disproportionality,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -10984,6 +11016,129 @@ def oracle_sql() -> dict[str, str]:
             SELECT n, k, round(chi2, 9) AS chi2, round(p, 6) AS p_value,
                    CASE WHEN bad > 0 THEN true ELSE p < 0.001 END AS srm_detected
             FROM ps
+        """,
+        "group_sequential": """
+            WITH base AS (
+                SELECT year(CAST(o_orderdate AS DATE)) AS lk,
+                       CASE WHEN o_custkey % 2 = 0 THEN 'even' ELSE 'odd' END
+                           AS a,
+                       CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS x
+                FROM orders
+            ), per AS (
+                SELECT lk, a, COUNT(*) AS n, SUM(x) AS s
+                FROM base GROUP BY 1, 2
+            ), cum AS (
+                SELECT lk, a,
+                       SUM(n) OVER (PARTITION BY a ORDER BY lk
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cn,
+                       SUM(s) OVER (PARTITION BY a ORDER BY lk
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS cs
+                FROM per
+            ), arms AS (
+                SELECT MIN(a) AS arm_a, MAX(a) AS arm_b FROM per
+            ), looks AS (
+                SELECT DISTINCT lk FROM per
+            ), kk AS (
+                SELECT COUNT(*) AS k FROM looks
+            ), nt AS (
+                SELECT COUNT(*) AS ntot FROM base
+            ), j AS (
+                SELECT l.lk,
+                       ca.cn AS na, ca.cs AS xa,
+                       cb.cn AS nb, cb.cs AS xb,
+                       k, ntot
+                FROM looks l CROSS JOIN arms
+                JOIN cum ca ON ca.lk = l.lk AND ca.a = arms.arm_a
+                JOIN cum cb ON cb.lk = l.lk AND cb.a = arms.arm_b
+                CROSS JOIN kk CROSS JOIN nt
+            ), zz AS (
+                SELECT *,
+                       CAST(xa AS DOUBLE) / CAST(na AS DOUBLE) AS pa,
+                       CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE) AS pb,
+                       CAST(xa + xb AS DOUBLE) / CAST(na + nb AS DOUBLE) AS pp,
+                       CAST(na + nb AS DOUBLE) / CAST(ntot AS DOUBLE) AS t
+                FROM j
+            ), ss AS (
+                SELECT *,
+                       pp * (1.0 - pp) * (1.0 / CAST(na AS DOUBLE)
+                                          + 1.0 / CAST(nb AS DOUBLE)) AS se2,
+                       CASE WHEN k <= 10 THEN
+                           (CAST([1.960, 1.977, 2.004, 2.024, 2.040,
+                                  2.053, 2.063, 2.072, 2.080, 2.087]
+                                 AS DOUBLE[]))[CAST(k AS BIGINT)]
+                           / sqrt(t) END AS obf,
+                       CASE WHEN k <= 10 THEN
+                           (CAST([1.960, 2.178, 2.289, 2.361, 2.413,
+                                  2.453, 2.485, 2.512, 2.535, 2.555]
+                                 AS DOUBLE[]))[CAST(k AS BIGINT)]
+                       END AS poc
+                FROM zz
+            ), fin AS (
+                SELECT *,
+                       CASE WHEN na > 0 AND nb > 0 AND se2 > 0
+                            THEN (pa - pb) / sqrt(se2) END AS z
+                FROM ss
+            )
+            SELECT CAST(lk AS BIGINT) AS look,
+                   round(t, 9) AS info_frac,
+                   CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   CAST(xa AS BIGINT) AS x_a, CAST(xb AS BIGINT) AS x_b,
+                   round(z, 9) AS z_obs,
+                   round(obf, 9) AS obf_bound,
+                   round(poc, 9) AS pocock_bound,
+                   CASE WHEN z IS NOT NULL AND obf IS NOT NULL
+                        THEN abs(z) > obf END AS cross_obf,
+                   CASE WHEN z IS NOT NULL AND poc IS NOT NULL
+                        THEN abs(z) > poc END AS cross_pocock
+            FROM fin
+        """,
+        "disproportionality": """
+            WITH base AS (
+                SELECT source AS i,
+                       CASE WHEN n_chars < 200 THEN 1 ELSE 0 END AS f
+                FROM documents WHERE source IS NOT NULL
+            ), per AS (
+                SELECT i, SUM(f) AS a, SUM(1 - f) AS b FROM base GROUP BY 1
+            ), tot AS (
+                SELECT SUM(f) AS ta, SUM(1 - f) AS tb FROM base
+            ), j AS (
+                SELECT i, a, b, ta - a AS c, tb - b AS d
+                FROM per CROSS JOIN tot
+            ), st AS (
+                SELECT *,
+                       CASE WHEN a + b > 0 AND c > 0 THEN
+                           (CAST(a AS DOUBLE) / (CAST(a AS DOUBLE)
+                                                 + CAST(b AS DOUBLE)))
+                           / (CAST(c AS DOUBLE) / (CAST(c AS DOUBLE)
+                                                   + CAST(d AS DOUBLE)))
+                       END AS prr,
+                       a > 0 AND b > 0 AND c > 0 AND d > 0 AS all_pos
+                FROM j
+            ), rr AS (
+                SELECT *,
+                       CASE WHEN all_pos THEN
+                           CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                           / (CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) END AS ror,
+                       1.96 * sqrt(1.0 / CAST(a AS DOUBLE)
+                                   + 1.0 / CAST(b AS DOUBLE)
+                                   + 1.0 / CAST(c AS DOUBLE)
+                                   + 1.0 / CAST(d AS DOUBLE)) AS half
+                FROM st
+            )
+            SELECT i AS source,
+                   CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                   CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d,
+                   round(prr, 9) AS prr,
+                   round(ror, 9) AS ror,
+                   round(CASE WHEN all_pos THEN exp(ln(ror) - half) END, 9)
+                       AS ror_lo,
+                   round(CASE WHEN all_pos THEN exp(ln(ror) + half) END, 9)
+                       AS ror_hi,
+                   CASE WHEN prr IS NOT NULL
+                        THEN prr >= 2.0 AND a >= 3 END AS signal
+            FROM rr
         """,
         "hurst_exponent": """
             WITH daily AS (

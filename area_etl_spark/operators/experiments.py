@@ -3913,3 +3913,116 @@ def hodges_lehmann(
         k.cast("long").alias("n_pairs"),
         F.round(hl, 9).alias("hl_estimate"),
     )
+
+
+# Published two-sided α=0.05 group-sequential constants for K = 1..10
+# looks (Pocock 1977 table 1; O'Brien & Fleming 1979 as tabulated in
+# Jennison & Turnbull 2000, ch. 2) — public reference tables.
+_POCOCK_C = (1.960, 2.178, 2.289, 2.361, 2.413, 2.453, 2.485, 2.512, 2.535, 2.555)
+_OBF_C = (1.960, 1.977, 2.004, 2.024, 2.040, 2.053, 2.063, 2.072, 2.080, 2.087)
+
+
+def group_sequential_looks(
+    df: DataFrame,
+    look_col: str,
+    arm_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Group-sequential A/B monitoring — the peeking-safe readout: at
+    each interim look, the CUMULATIVE two-proportion z against the
+    O'Brien–Fleming and Pocock stopping boundaries for K total looks
+    (two-sided α = 0.05, the published constant tables).  OBF spends
+    almost nothing early (boundary c/√t_k — hard to stop at look 1,
+    full power at the end); Pocock spends evenly (constant boundary).
+    The SPRT (:func:`sprt_ab`) is the per-row sequential cousin; this is
+    the batched-look industry form.
+
+    Counts are exact integers per (look, arm) with cumulative sums over
+    the look order; the pooled two-proportion z is one closed form per
+    look; arms are min/max of the arm strings (the welch_ttest
+    convention).  K must be ≤ 10 (the table's range).  Returns one row
+    per look (look, info_frac, n_a, n_b, x_a, x_b, z_obs, obf_bound,
+    pocock_bound, cross_obf, cross_pocock); z is NULL where the pooled
+    variance is zero.
+    """
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(look_col).alias("_lk"),
+        F.col(arm_col).cast("string").alias("_a"),
+        F.when(F.col(success_col).cast("boolean"), 1).otherwise(0).alias("_x"),
+    ).where(F.col(look_col).isNotNull() & F.col(arm_col).isNotNull())
+    per = base.groupBy("_lk", "_a").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_x").alias("_s")
+    )
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("_a")
+        .orderBy("_lk")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per.select(
+        "_lk",
+        "_a",
+        F.sum("_n").over(wcum).alias("_cn"),
+        F.sum("_s").over(wcum).alias("_cs"),
+    )
+    arms = per.agg(F.min("_a").alias("_arm_a"), F.max("_a").alias("_arm_b"))
+    a_side = cum.select(
+        F.col("_lk").alias("_lka"),
+        F.col("_a").alias("_aa"),
+        F.col("_cn").alias("_na"),
+        F.col("_cs").alias("_xa"),
+    )
+    b_side = cum.select(
+        F.col("_lk").alias("_lkb"),
+        F.col("_a").alias("_ab"),
+        F.col("_cn").alias("_nb"),
+        F.col("_cs").alias("_xb"),
+    )
+    looks = (
+        per.select("_lk")
+        .distinct()
+        .crossJoin(F.broadcast(arms))
+        .join(
+            a_side,
+            (F.col("_lk") == F.col("_lka")) & (F.col("_arm_a") == F.col("_aa")),
+        )
+        .join(
+            b_side,
+            (F.col("_lk") == F.col("_lkb")) & (F.col("_arm_b") == F.col("_ab")),
+        )
+    )
+    ktot = per.select("_lk").distinct().agg(
+        F.count(F.lit(1)).alias("_k"),
+    )
+    ntot = base.agg(F.count(F.lit(1)).alias("_ntot"))
+    j = looks.crossJoin(F.broadcast(ktot)).crossJoin(F.broadcast(ntot))
+    na, nb = F.col("_na").cast("double"), F.col("_nb").cast("double")
+    xa, xb = F.col("_xa").cast("double"), F.col("_xb").cast("double")
+    pa, pb = xa / na, xb / nb
+    pp = (xa + xb) / (na + nb)
+    se2 = pp * (F.lit(1.0) - pp) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    z = F.when((na > 0) & (nb > 0) & (se2 > 0), (pa - pb) / F.sqrt(se2))
+    t = (F.col("_na") + F.col("_nb")).cast("double") / F.col("_ntot").cast("double")
+    obf_c = F.element_at(F.array(*[F.lit(c) for c in _OBF_C]), F.col("_k").cast("int"))
+    poc_c = F.element_at(
+        F.array(*[F.lit(c) for c in _POCOCK_C]), F.col("_k").cast("int")
+    )
+    obf = F.when(F.col("_k") <= 10, obf_c / F.sqrt(t))
+    poc = F.when(F.col("_k") <= 10, poc_c)
+    return j.select(
+        F.col("_lk").alias("look"),
+        F.round(t, 9).alias("info_frac"),
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.col("_xa").cast("long").alias("x_a"),
+        F.col("_xb").cast("long").alias("x_b"),
+        F.round(z, 9).alias("z_obs"),
+        F.round(obf, 9).alias("obf_bound"),
+        F.round(poc, 9).alias("pocock_bound"),
+        F.when(z.isNotNull() & obf.isNotNull(), F.abs(z) > obf).alias("cross_obf"),
+        F.when(z.isNotNull() & poc.isNotNull(), F.abs(z) > poc).alias(
+            "cross_pocock"
+        ),
+    )

@@ -1512,3 +1512,78 @@ def ece_brier(
         F.round(F.col("_wsum") / n, 9).alias("ece"),
         F.round(F.col("_mce"), 9).alias("mce"),
     )
+
+
+def disproportionality(
+    df,
+    item_col: str,
+    flag_col: str,
+    prr_threshold: float = 2.0,
+    min_a: int = 3,
+) -> "DataFrame":
+    """PRR / ROR disproportionality screen — the pharmacovigilance
+    standard (Evans 2001 PRR; ROR with its ln-scale CI) repurposed as a
+    data-quality detector: which items (sources, pipelines, segments)
+    are OVER-REPRESENTED among flagged rows relative to everything else?
+    For each item the 2×2 table a,b,c,d (item/rest × flag/ok) gives
+
+        PRR = (a/(a+b)) / (c/(c+d))        ROR = a·d / (b·c)
+        CI95(ROR) = exp(ln ROR ± 1.96·√(1/a + 1/b + 1/c + 1/d))
+
+    ONE hash aggregate per item plus a broadcast grand total — c and d
+    are differences, never a second scan; everything is exact integers
+    until the final divisions/logs.  The classic signal rule (PRR ≥
+    threshold AND a ≥ min_a, Evans' defaults) is reported as a boolean.
+    ROR and its CI are NULL when any cell is zero (the ln-CI needs all
+    four).  Returns one row per item
+    (item, a, b, c, d, prr, ror, ror_lo, ror_hi, signal).
+    """
+    base = df.select(
+        F.col(item_col).alias("_i"),
+        F.when(F.col(flag_col).cast("boolean"), 1).otherwise(0).alias("_f"),
+    ).where(F.col(item_col).isNotNull())
+    per = base.groupBy("_i").agg(
+        F.sum("_f").alias("_a"),
+        F.sum(F.lit(1) - F.col("_f")).alias("_b"),
+    )
+    tot = base.agg(
+        F.sum("_f").alias("_ta"), F.sum(F.lit(1) - F.col("_f")).alias("_tb")
+    )
+    j = per.crossJoin(F.broadcast(tot)).select(
+        "_i",
+        "_a",
+        "_b",
+        (F.col("_ta") - F.col("_a")).alias("_c"),
+        (F.col("_tb") - F.col("_b")).alias("_d"),
+    )
+    a, b = F.col("_a").cast("double"), F.col("_b").cast("double")
+    c, d = F.col("_c").cast("double"), F.col("_d").cast("double")
+    prr = F.when(
+        (F.col("_a") + F.col("_b") > 0) & (F.col("_c") > 0),
+        (a / (a + b)) / (c / (c + d)),
+    )
+    all_pos = (
+        (F.col("_a") > 0) & (F.col("_b") > 0) & (F.col("_c") > 0) & (F.col("_d") > 0)
+    )
+    ror = F.when(all_pos, a * d / (b * c))
+    half = F.lit(1.96) * F.sqrt(
+        F.lit(1.0) / a + F.lit(1.0) / b + F.lit(1.0) / c + F.lit(1.0) / d
+    )
+    lo = F.when(all_pos, F.exp(F.log(ror) - half))
+    hi = F.when(all_pos, F.exp(F.log(ror) + half))
+    signal = F.when(
+        prr.isNotNull(),
+        (prr >= F.lit(float(prr_threshold))) & (F.col("_a") >= min_a),
+    )
+    return j.select(
+        F.col("_i").alias(item_col),
+        F.col("_a").cast("long").alias("a"),
+        F.col("_b").cast("long").alias("b"),
+        F.col("_c").cast("long").alias("c"),
+        F.col("_d").cast("long").alias("d"),
+        F.round(prr, 9).alias("prr"),
+        F.round(ror, 9).alias("ror"),
+        F.round(lo, 9).alias("ror_lo"),
+        F.round(hi, 9).alias("ror_hi"),
+        signal.alias("signal"),
+    )

@@ -4860,3 +4860,68 @@ def test_hurst_exponent_reference(spark):
 
     with _pytest.raises(ValueError, match="block_sizes"):
         hurst_exponent(df, "t", "v", (2,))
+
+
+def test_group_sequential_looks_reference(spark):
+    from area_etl_spark.operators.experiments import group_sequential_looks
+
+    import math
+
+    # 3 looks, arm b pulls ahead from look 2
+    rows = []
+    for look, (ca, cb, n) in enumerate(
+        [(50, 52, 100), (48, 70, 100), (51, 72, 100)], start=1
+    ):
+        rows += [(look, "a", i < ca) for i in range(n)]
+        rows += [(look, "b", i < cb) for i in range(n)]
+    df = spark.createDataFrame(rows, "look long, arm string, ok boolean")
+    out = {r.look: r for r in group_sequential_looks(df, "look", "arm", "ok").collect()}
+    assert len(out) == 3
+    # cumulative counts at look 2
+    r2 = out[2]
+    assert (r2.n_a, r2.x_a, r2.n_b, r2.x_b) == (200, 98, 200, 122)
+    # hand z at look 2
+    pa, pb, pp = 98 / 200, 122 / 200, 220 / 400
+    want_z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / 200 + 1 / 200))
+    assert abs(r2.z_obs - want_z) < 1e-9
+    # K=3 boundaries: OBF c=2.004 scaled by 1/sqrt(t), Pocock flat 2.289
+    assert abs(out[3].info_frac - 1.0) < 1e-12
+    assert abs(out[3].obf_bound - 2.004) < 1e-9
+    assert abs(out[1].obf_bound - 2.004 / math.sqrt(1 / 3)) < 1e-6
+    assert all(abs(out[k].pocock_bound - 2.289) < 1e-9 for k in (1, 2, 3))
+    # OBF is stricter early: boundary decreasing in t
+    assert out[1].obf_bound > out[2].obf_bound > out[3].obf_bound
+    # the strong look-2/3 effect crosses Pocock
+    assert out[3].cross_pocock is True
+
+
+def test_disproportionality_reference(spark):
+    from area_etl_spark.operators.quality import disproportionality
+
+    import math
+
+    # source s1: 30 flagged / 70 ok; rest: 20 flagged / 180 ok
+    rows = (
+        [("s1", True)] * 30 + [("s1", False)] * 70
+        + [("s2", True)] * 10 + [("s2", False)] * 90
+        + [("s3", True)] * 10 + [("s3", False)] * 90
+    )
+    df = spark.createDataFrame(rows, "src string, bad boolean")
+    out = {r.src: r for r in disproportionality(df, "src", "bad").collect()}
+    r = out["s1"]
+    assert (r.a, r.b, r.c, r.d) == (30, 70, 20, 180)
+    want_prr = (30 / 100) / (20 / 200)
+    assert abs(r.prr - want_prr) < 1e-9
+    want_ror = 30 * 180 / (70 * 20)
+    assert abs(r.ror - want_ror) < 1e-9
+    half = 1.96 * math.sqrt(1 / 30 + 1 / 70 + 1 / 20 + 1 / 180)
+    assert abs(r.ror_lo - math.exp(math.log(want_ror) - half)) < 1e-6
+    assert r.signal is True  # PRR 3 ≥ 2, a ≥ 3
+    assert out["s2"].signal is False
+    # zero cell → NULL ROR/CI but PRR still defined when c > 0
+    zero = spark.createDataFrame(
+        [("x", True)] * 5 + [("y", True)] * 2 + [("y", False)] * 3,
+        "src string, bad boolean",
+    )
+    rz = {r.src: r for r in disproportionality(zero, "src", "bad").collect()}
+    assert rz["x"].ror is None and rz["x"].b == 0
