@@ -542,3 +542,61 @@ def test_hits_scores_no_sort_merge_on_small_rank_side(tables):
     plan = plan_str(hits_scores(ev, iterations=2, topk=5))
     # the final top-k must be TakeOrdered, not a global sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hhi_concentration_partitioned_window_only(tables):
+    from area_etl_spark.operators.business import hhi_concentration
+
+    df = tables["orders"].join(
+        tables["customer"], F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_custkey").alias("cust"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    plan = plan_str(hhi_concentration(df, "segment", "cust", "cents"))
+    # the top-k rank window is PARTITIONED by group — never a global
+    # single-partition sort
+    assert "SinglePartition" not in plan
+
+
+def test_abc_classification_partitioned_windows(tables):
+    from area_etl_spark.operators.business import abc_classification
+
+    df = tables["orders"].join(
+        tables["customer"], F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_custkey").alias("cust"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    plan = plan_str(abc_classification(df, "nation", "cust", "cents"))
+    assert "SinglePartition" not in plan
+
+
+def test_bcubed_eval_no_pair_join(tables):
+    from area_etl_spark.operators.dedup import bcubed_eval
+
+    d = tables["documents"].select(
+        "doc_id",
+        F.md5(F.lower(F.col("text"))).alias("pred"),
+        F.md5(F.col("text")).alias("gold"),
+    )
+    plan = plan_str(bcubed_eval(d, "doc_id", "pred", "gold"))
+    # contingency-table form: hash aggregates + equi-joins only — the
+    # item×item pair join (cartesian / nested-loop on ids) must not appear
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_disproportionality_single_scan_shape(tables):
+    from area_etl_spark.operators.quality import disproportionality
+
+    d = tables["documents"].select(
+        "source", (F.col("n_chars") < 200).alias("short")
+    )
+    plan = plan_str(disproportionality(d, "source", "short"))
+    # c/d are broadcast-total differences: the only join is the 1-row
+    # broadcast of the grand totals, never a shuffle join
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
