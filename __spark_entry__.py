@@ -1743,6 +1743,66 @@ def _ewma_chart_sql(n_lags: int = 16, l_sigma: float = 3.0) -> str:
     """
 
 
+def _bradley_terry_sql(iters: int = 5) -> str:
+    """DuckDB replay of q_bradley_terry: the within-order brand matches,
+    then ``iters`` unrolled Hunter MM CTE rounds with every float sum a
+    sorted list_reduce fold — mirrors bradley_terry's iteration algebra."""
+    cte = ["""
+        li AS MATERIALIZED (
+            SELECT l_orderkey AS o, l_linenumber AS ln, p_brand AS b,
+                   CAST(l_quantity AS BIGINT) AS q
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ), ms AS MATERIALIZED (
+            SELECT CASE WHEN x.q > y.q THEN x.b ELSE y.b END AS w,
+                   CASE WHEN x.q > y.q THEN y.b ELSE x.b END AS l
+            FROM li x JOIN li y ON x.o = y.o AND x.ln < y.ln
+            WHERE x.b <> y.b AND x.q <> y.q
+        ), sym AS MATERIALIZED (
+            SELECT w AS i, l AS j FROM ms
+            UNION ALL SELECT l, w FROM ms
+        ), pairs AS MATERIALIZED (
+            SELECT i, j, COUNT(*) AS n FROM sym GROUP BY 1, 2
+        ), wins AS MATERIALIZED (
+            SELECT w AS i, COUNT(*) AS wn FROM ms GROUP BY 1
+        ), stats AS MATERIALIZED (
+            SELECT m.i, COALESCE(wn, 0) AS wn, m
+            FROM (SELECT i, SUM(n) AS m FROM pairs GROUP BY 1) m
+            LEFT JOIN wins USING (i)
+        ), p0 AS MATERIALIZED (
+            SELECT i, CAST(1.0 AS DOUBLE) AS p FROM stats
+        )"""]
+    for t in range(iters):
+        cte.append(f""", d{t} AS MATERIALIZED (
+            SELECT c.i,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(CAST(n AS DOUBLE) / (pi.p + pj.p) ORDER BY c.j)),
+                       (x, y) -> x + y) AS d
+            FROM pairs c JOIN p{t} pi ON pi.i = c.i
+                         JOIN p{t} pj ON pj.i = c.j
+            GROUP BY c.i
+        ), r{t} AS MATERIALIZED (
+            SELECT s.i,
+                   CASE WHEN d > 0 THEN CAST(wn AS DOUBLE) / d
+                        ELSE 0.0 END AS pr
+            FROM stats s JOIN d{t} ON d{t}.i = s.i
+        ), s{t} AS MATERIALIZED (
+            SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(pr ORDER BY i)), (x, y) -> x + y) AS s
+            FROM r{t}
+        ), p{t + 1} AS MATERIALIZED (
+            SELECT i, pr / s AS p FROM r{t} CROSS JOIN s{t}
+        )""")
+    return f"""
+        WITH {''.join(cte)}
+        SELECT st.i AS item,
+               CAST(wn AS BIGINT) AS wins,
+               CAST(m AS BIGINT) AS matches,
+               round(p, 9) AS score,
+               row_number() OVER (ORDER BY p DESC, st.i ASC) AS rank
+        FROM stats st JOIN p{iters} USING (i)
+    """
+
+
 def q_ewma_control_chart(spark, sf_dir):
     """EWMA control chart per user over event value cents: exact
     truncated α=1/2 EWMA vs μ ± 3σ·√((1−4^{−t})/3) — mean/std from exact
@@ -7010,6 +7070,46 @@ def q_cramers_v(spark, sf_dir):
     return cramers_v(o, "o_orderpriority", "o_orderstatus")
 
 
+def q_bradley_terry(spark, sf_dir):
+    """Bradley–Terry strengths of part brands from within-order quantity
+    'matches' (higher quantity wins the pair) — 5 Hunter MM iterations,
+    every float a sorted fold; the arena-leaderboard aggregation."""
+    from area_etl_spark.operators.ranking import bradley_terry
+
+    t = _tables(spark, sf_dir)
+    li = (
+        t["lineitem"]
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("l_orderkey").alias("o"),
+            F.col("l_linenumber").alias("ln"),
+            F.col("p_brand").alias("b"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+    )
+    x = li.select(
+        F.col("o").alias("oa"), F.col("ln").alias("lna"),
+        F.col("b").alias("ba"), F.col("q").alias("qa"),
+    )
+    y = li.select(
+        F.col("o").alias("ob"), F.col("ln").alias("lnb"),
+        F.col("b").alias("bb"), F.col("q").alias("qb"),
+    )
+    ms = (
+        x.join(y, (F.col("oa") == F.col("ob")) & (F.col("lna") < F.col("lnb")))
+        .where((F.col("ba") != F.col("bb")) & (F.col("qa") != F.col("qb")))
+        .select(
+            F.when(F.col("qa") > F.col("qb"), F.col("ba"))
+            .otherwise(F.col("bb"))
+            .alias("w"),
+            F.when(F.col("qa") > F.col("qb"), F.col("bb"))
+            .otherwise(F.col("ba"))
+            .alias("l"),
+        )
+    )
+    return bradley_terry(ms, "w", "l", iterations=5)
+
+
 def q_group_sequential(spark, sf_dir):
     """Group-sequential A/B monitoring over yearly looks: cumulative
     two-proportion z per look vs the published O'Brien–Fleming and
@@ -7482,6 +7582,7 @@ _R13_QUEUE = [
     "hurst_exponent",
     "group_sequential",
     "disproportionality",
+    "bradley_terry",
 ]
 
 # The r12 driver window: the _R12_QUEUE minus the 13 deferred keys.
@@ -7822,6 +7923,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hurst_exponent": q_hurst_exponent,
         "group_sequential": q_group_sequential,
         "disproportionality": q_disproportionality,
+        "bradley_terry": q_bradley_terry,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -11017,6 +11119,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN bad > 0 THEN true ELSE p < 0.001 END AS srm_detected
             FROM ps
         """,
+        "bradley_terry": _bradley_terry_sql(5),
         "group_sequential": """
             WITH base AS (
                 SELECT year(CAST(o_orderdate AS DATE)) AS lk,

@@ -4925,3 +4925,48 @@ def test_disproportionality_reference(spark):
     )
     rz = {r.src: r for r in disproportionality(zero, "src", "bad").collect()}
     assert rz["x"].ror is None and rz["x"].b == 0
+
+
+def test_bradley_terry_reference(spark):
+    from area_etl_spark.operators.ranking import bradley_terry
+
+    # small tournament: a > b > c overall
+    matches = (
+        [("a", "b")] * 3 + [("b", "a")] * 1
+        + [("b", "c")] * 3 + [("c", "b")] * 1
+        + [("a", "c")] * 2
+    )
+    df = spark.createDataFrame(matches, "w string, l string")
+    out = {r.item: r for r in bradley_terry(df, "w", "l", iterations=5).collect()}
+    assert [out[i].rank for i in "abc"] == [1, 2, 3]
+    assert out["a"].wins == 5 and out["a"].matches == 6
+    assert abs(sum(out[i].score for i in "abc") - 1.0) < 1e-9
+    # python replay of the exact MM iterations (sorted fold order)
+    items = ["a", "b", "c"]
+    n = {("a", "b"): 4, ("b", "a"): 4, ("b", "c"): 4, ("c", "b"): 4,
+         ("a", "c"): 2, ("c", "a"): 2}
+    w = {"a": 5, "b": 4, "c": 1}
+    p = {i: 1.0 for i in items}
+    for _ in range(5):
+        d = {}
+        for i in items:
+            acc = 0.0
+            for j in sorted(items):
+                if (i, j) in n:
+                    acc = acc + n[(i, j)] / (p[i] + p[j])
+            d[i] = acc
+        raw = {i: (w[i] / d[i] if d[i] > 0 else 0.0) for i in items}
+        s = 0.0
+        for i in sorted(items):
+            s = s + raw[i]
+        p = {i: raw[i] / s for i in items}
+    for i in items:
+        assert abs(out[i].score - round(p[i], 9)) < 1e-12, i
+    # an item that never wins converges to 0
+    shut = spark.createDataFrame([("a", "z")] * 4, "w string, l string")
+    rz = {r.item: r for r in bradley_terry(shut, "w", "l").collect()}
+    assert rz["z"].score == 0.0 and rz["a"].score == 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="iterations"):
+        bradley_terry(df, "w", "l", iterations=0)
