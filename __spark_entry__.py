@@ -3988,6 +3988,38 @@ def q_km_survival(spark, sf_dir):
     return km_survival(subj, "dur", "ev")
 
 
+def q_km_survival_ci(spark, sf_dir):
+    """Kaplan–Meier time-to-conversion curve WITH the Greenwood variance
+    and complementary log-log 95% band — same subjects as km_survival,
+    both cumulative folds in ascending-day order."""
+    from area_etl_spark.operators.experiments import km_survival_ci
+
+    ev = _tables(spark, sf_dir)["events"]
+    s = ev.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("t0")
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    tmax = ev.agg(F.max("ts").alias("tmax"))
+    subj = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            F.datediff(
+                F.coalesce(F.col("t1"), F.col("tmax")).cast("date"),
+                F.col("t0").cast("date"),
+            ).alias("dur"),
+            F.col("t1").isNotNull().alias("ev"),
+        )
+    )
+    return km_survival_ci(subj, "dur", "ev")
+
+
 def q_cascade_delete(spark, sf_dir):
     """GDPR right-to-erasure cascade: erase nation 3's customers, propagate
     through orders to lineitem via FK anti-joins; report (table_name,
@@ -7583,6 +7615,7 @@ _R13_QUEUE = [
     "group_sequential",
     "disproportionality",
     "bradley_terry",
+    "km_survival_ci",
 ]
 
 # The r12 driver window: the _R12_QUEUE minus the 13 deferred keys.
@@ -7924,6 +7957,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sequential": q_group_sequential,
         "disproportionality": q_disproportionality,
         "bradley_terry": q_bradley_terry,
+        "km_survival_ci": q_km_survival_ci,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -9392,6 +9426,72 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                        (a, b) -> a * b), 6) + 0.0 AS survival
             FROM f
+        """,
+        "km_survival_ci": """
+            WITH s AS (
+                SELECT user_id, MIN(ts) AS t0 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id
+            ), p AS (
+                SELECT e.user_id, MIN(e.ts) AS t1
+                FROM events e JOIN s USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s.t0
+                GROUP BY e.user_id
+            ), m AS (SELECT MAX(ts) AS tmax FROM events),
+            subj AS (
+                SELECT date_diff('day', CAST(s.t0 AS DATE),
+                                 CAST(COALESCE(p.t1, m.tmax) AS DATE)) AS day,
+                       p.t1 IS NOT NULL AS ev
+                FROM s LEFT JOIN p USING (user_id), m
+            ), c AS (
+                SELECT day, COUNT(*) AS n_all,
+                       CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_events
+                FROM subj GROUP BY day
+            ), r AS (
+                SELECT day, n_events,
+                       SUM(n_all) OVER (ORDER BY day DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS n_risk
+                FROM c
+            ), f AS (
+                SELECT day, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+                       1.0 - CAST(n_events AS DOUBLE)
+                             / CAST(n_risk AS DOUBLE) AS factor,
+                       COALESCE(CASE WHEN n_risk > n_events THEN
+                           CAST(n_events AS DOUBLE)
+                           / (CAST(n_risk AS DOUBLE)
+                              * (CAST(n_risk AS DOUBLE)
+                                 - CAST(n_events AS DOUBLE))) END,
+                           CAST('nan' AS DOUBLE)) AS gterm
+                FROM r WHERE n_events > 0
+            ), ff AS (
+                SELECT day, n_risk, n_events,
+                       list_reduce(list(factor) OVER win, (a, b) -> a * b)
+                           AS sraw,
+                       list_reduce(list(gterm) OVER win, (a, b) -> a + b)
+                           AS vraw
+                FROM f
+                WINDOW win AS (ORDER BY day ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ), gg AS (
+                SELECT day, n_risk, n_events, sraw,
+                       CASE WHEN NOT isnan(vraw) THEN vraw END AS v
+                FROM ff
+            ), hh AS (
+                SELECT *,
+                       CASE WHEN v IS NOT NULL AND sraw > 0 AND sraw < 1
+                            THEN sqrt(v) / abs(ln(sraw)) END AS sig
+                FROM gg
+            )
+            SELECT day, n_risk, n_events,
+                   round(sraw, 6) + 0.0 AS survival,
+                   round(CASE WHEN v IS NOT NULL
+                        THEN sraw * sqrt(v) END, 9) AS se_greenwood,
+                   round(CASE WHEN sig IS NOT NULL
+                        THEN pow(sraw, exp(1.96 * sig)) END, 9) AS ci_lo,
+                   round(CASE WHEN sig IS NOT NULL
+                        THEN pow(sraw, exp(-1.96 * sig)) END, 9) AS ci_hi
+            FROM hh
         """,
         "cascade_delete": """
             WITH del_c AS (SELECT c_custkey FROM customer WHERE c_nationkey = 3),

@@ -4026,3 +4026,77 @@ def group_sequential_looks(
             "cross_pocock"
         ),
     )
+
+
+def km_survival_ci(
+    subjects: DataFrame,
+    duration_col: str,
+    event_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Kaplan–Meier curve WITH Greenwood variance and the complementary
+    log-log 95% band — the confidence envelope every published survival
+    curve draws (:func:`km_survival` gives the point estimate only):
+
+        Var(S) = S² · Σ_{u≤t} d_u / (n_u (n_u − d_u))     (Greenwood 1926)
+        CI     = S^{exp(± z·√V̂ / |ln S|)}                 (log-log: stays in (0,1))
+
+    Counts are exact integers; both the survival product and the
+    Greenwood cumulative sum fold in ascending-duration order via the
+    explicit collect-fold (the km_survival recipe), so every float is
+    engine- and partition-independent.  When the curve hits 0 (a day
+    with n = d) the Greenwood term is undefined — the NULL propagates
+    through the fold, so se/CI are NULL from that day on (the standard
+    convention); CI is also NULL while S = 1 or S = 0.  Returns one row
+    per event day (day, n_risk, n_events, survival, se_greenwood,
+    ci_lo, ci_hi).
+    """
+    from pyspark.sql import Window
+
+    counts = subjects.groupBy(F.col(duration_col).alias("day")).agg(
+        F.count(F.lit(1)).alias("_n_all"),
+        F.sum(F.col(event_col).cast("long")).alias("n_events"),
+    )
+    w_desc = Window.orderBy(F.col("day").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = counts.withColumn("n_risk", F.sum("_n_all").over(w_desc))
+    nr = F.col("n_risk").cast("double")
+    de = F.col("n_events").cast("double")
+    evd = (
+        at_risk.where(F.col("n_events") > 0)
+        .withColumn("_factor", F.lit(1.0) - de / nr)
+        .withColumn(
+            "_gterm",
+            F.when(F.col("n_risk") > F.col("n_events"), de / (nr * (nr - de))),
+        )
+    )
+    w_asc = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s_raw = F.aggregate(
+        F.collect_list("_factor").over(w_asc), F.lit(1.0), lambda a, x: a * x
+    )
+    v_raw = F.aggregate(
+        F.collect_list(F.coalesce(F.col("_gterm"), F.lit(float("nan")))).over(w_asc),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    # NaN marks the absorbing n=d day in the fold (collect_list drops
+    # NULLs, so the sentinel keeps the poisoning semantics); surface it
+    # back as NULL
+    v = F.when(~F.isnan(v_raw), v_raw)
+    se = F.when(v.isNotNull(), s_raw * F.sqrt(v))
+    ok = v.isNotNull() & (s_raw > 0) & (s_raw < 1)
+    sigma_ll = F.sqrt(v) / F.abs(F.log(s_raw))
+    lo = F.when(ok, F.pow(s_raw, F.exp(F.lit(float(z)) * sigma_ll)))
+    hi = F.when(ok, F.pow(s_raw, F.exp(-F.lit(float(z)) * sigma_ll)))
+    return evd.select(
+        "day",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.round(s_raw, 6) + F.lit(0.0)).alias("survival"),
+        F.round(se, 9).alias("se_greenwood"),
+        F.round(lo, 9).alias("ci_lo"),
+        F.round(hi, 9).alias("ci_hi"),
+    )

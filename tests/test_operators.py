@@ -4970,3 +4970,32 @@ def test_bradley_terry_reference(spark):
 
     with _pytest.raises(ValueError, match="iterations"):
         bradley_terry(df, "w", "l", iterations=0)
+
+
+def test_km_survival_ci_reference(spark):
+    from area_etl_spark.operators.experiments import km_survival_ci
+
+    import math
+
+    rows = [(1, True), (2, False), (3, True), (4, True), (5, False)]
+    df = spark.createDataFrame(rows, "dur long, ev boolean")
+    out = {r.day: r for r in km_survival_ci(df, "dur", "ev").collect()}
+    # hand KM: day1 S=0.8 (5 at risk); day3 S=0.8*2/3; day4 S=*1/2
+    s = {1: 0.8, 3: 0.8 * 2 / 3, 4: 0.8 * 2 / 3 * 0.5}
+    v = {1: 1 / 20, 3: 1 / 20 + 1 / 6, 4: 1 / 20 + 1 / 6 + 1 / 2}
+    for day in (1, 3, 4):
+        r = out[day]
+        assert abs(r.survival - round(s[day], 6)) < 1e-12
+        assert abs(r.se_greenwood - s[day] * math.sqrt(v[day])) < 1e-6
+        sig = math.sqrt(v[day]) / abs(math.log(s[day]))
+        assert abs(r.ci_lo - s[day] ** math.exp(1.96 * sig)) < 1e-6
+        assert abs(r.ci_hi - s[day] ** math.exp(-1.96 * sig)) < 1e-6
+        assert r.ci_lo < r.survival < r.ci_hi
+    # curve absorbed at zero: n = d on the last event day → NULL se/CI there
+    dead = spark.createDataFrame(
+        [(1, True), (2, True)], "dur long, ev boolean"
+    )
+    rd = {r.day: r for r in km_survival_ci(dead, "dur", "ev").collect()}
+    assert rd[2].survival == 0.0 and rd[2].se_greenwood is None
+    assert rd[2].ci_lo is None
+    assert rd[1].se_greenwood is not None  # day 1 still fine
