@@ -6972,6 +6972,19 @@ def q_kneser_ney(spark, sf_dir):
     return kneser_ney_bigram(docs, discount=0.75, topk=50)
 
 
+def q_kn_perplexity(spark, sf_dir):
+    """CCNet-style perplexity filter: score the odd-id documents under a
+    Kneser–Ney bigram LM trained on the even-id half — full backoff with
+    an add-one continuation floor, per-doc logprob folded in position
+    order."""
+    from area_etl_spark.operators.text_analysis import kn_perplexity
+
+    docs = _tables(spark, sf_dir)["documents"]
+    train = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+    score = docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+    return kn_perplexity(train, score, discount=0.75)
+
+
 def q_seasonal_decompose(spark, sf_dir):
     """Classical additive decomposition of the monthly revenue series
     (period 12, the even-period 2×MA path): exact BIGINT trend numerators,
@@ -7616,6 +7629,7 @@ _R13_QUEUE = [
     "disproportionality",
     "bradley_terry",
     "km_survival_ci",
+    "kn_perplexity",
 ]
 
 # The r12 driver window: the _R12_QUEUE minus the 13 deferred keys.
@@ -7958,6 +7972,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disproportionality": q_disproportionality,
         "bradley_terry": q_bradley_terry,
         "km_survival_ci": q_km_survival_ci,
+        "kn_perplexity": q_kn_perplexity,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -13085,6 +13100,59 @@ def oracle_sql() -> dict[str, str]:
             FROM dl LEFT JOIN sp USING (doc_id) CROSS JOIN consts
             ORDER BY score DESC, doc_id
             LIMIT 20
+        """,
+        "kn_perplexity": """
+            WITH tr AS (
+                SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks
+                FROM documents WHERE doc_id % 2 = 0
+            ), ptr AS (
+                SELECT toks[i] AS w1, toks[i + 1] AS w2
+                FROM tr, unnest(range(1, len(toks))) AS u(i)
+            ), m AS (
+                SELECT w1, w2, COUNT(*) AS c12 FROM ptr GROUP BY 1, 2
+            ), l AS (
+                SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f FROM m GROUP BY 1
+            ), r AS (
+                SELECT w2, COUNT(*) AS n1b FROM m GROUP BY 1
+            ), ty AS (
+                SELECT COUNT(*) AS nt, COUNT(DISTINCT w2) AS v FROM m
+            ), sc AS (
+                SELECT doc_id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS toks
+                FROM documents WHERE doc_id % 2 = 1
+            ), psc AS (
+                SELECT doc_id, i AS pos, toks[i] AS w1, toks[i + 1] AS w2
+                FROM sc, unnest(range(1, len(toks))) AS u(i)
+            ), j AS (
+                SELECT doc_id, pos, c12, c1, n1f, n1b, nt, v
+                FROM psc LEFT JOIN m USING (w1, w2)
+                         LEFT JOIN l USING (w1)
+                         LEFT JOIN r USING (w2)
+                         CROSS JOIN ty
+            ), pp AS (
+                SELECT doc_id, pos,
+                       CASE WHEN c12 IS NULL THEN 1 ELSE 0 END AS unseen,
+                       ln(CASE WHEN c1 IS NOT NULL THEN
+                           greatest(CAST(COALESCE(c12, 0) AS DOUBLE) - 0.75,
+                                    0.0) / CAST(c1 AS DOUBLE)
+                           + 0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)
+                             * (CAST(COALESCE(n1b, 0) + 1 AS DOUBLE)
+                                / CAST(nt + v + 1 AS DOUBLE))
+                       ELSE CAST(COALESCE(n1b, 0) + 1 AS DOUBLE)
+                            / CAST(nt + v + 1 AS DOUBLE) END) AS lp
+                FROM j
+            ), ag AS (
+                SELECT doc_id, COUNT(*) AS nb, SUM(unseen) AS nu,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(lp ORDER BY pos)), (a, b) -> a + b) AS s
+                FROM pp GROUP BY 1
+            )
+            SELECT doc_id,
+                   CAST(nb AS BIGINT) AS n_bigrams,
+                   CAST(nu AS BIGINT) AS n_unseen,
+                   round(s / CAST(nb AS DOUBLE), 9) AS avg_logprob,
+                   round(exp(-(s / CAST(nb AS DOUBLE))), 6) AS perplexity
+            FROM ag
         """,
         "kneser_ney": """
             WITH t AS (

@@ -1316,3 +1316,103 @@ def tokenizer_fertility(
             9,
         ).alias("chars_per_subtoken"),
     )
+
+
+def kn_perplexity(
+    train_df: DataFrame,
+    score_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Per-document perplexity under a Kneser–Ney bigram LM trained on a
+    REFERENCE corpus — the CCNet-style quality filter (Wenzek et al.
+    2020): documents whose perplexity under a clean-corpus LM explodes
+    are gibberish/boilerplate; documents far below are often templated.
+    Completes the LM family: :func:`kneser_ney_bigram` trains/tabulates,
+    this SCORES held-out text with full backoff.
+
+    Scoring (Chen & Goodman interpolated form, with an add-one
+    continuation floor so unseen words keep a finite logprob):
+
+        seen w1:   P = max(c₁₂−D, 0)/c₁ + D·N1+(w1·)/c₁ · P'c(w2)
+        unseen w1: P = P'c(w2)
+        P'c(w2)    = (N1+(·w2) + 1) / (N1+(··) + V + 1)
+
+    All model quantities are exact integer counts; the per-bigram float
+    P is one fixed expression, and the per-document Σ ln P folds in
+    BIGRAM-POSITION order (collect bounded by doc length — the
+    bigram_lm_score contract).  Returns one row per scored doc with ≥1
+    bigram: (doc_id, n_bigrams, n_unseen, avg_logprob, perplexity) where
+    perplexity = exp(−avg_logprob).
+    """
+    toks_t = normalize_tokens(F.col(text_col))
+
+    def _bigrams(df: DataFrame, with_pos: bool) -> DataFrame:
+        bg = F.when(
+            F.size(toks_t) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks_t) - 2),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.element_at(toks_t, i + 1).alias("w1"),
+                    F.element_at(toks_t, i + 2).alias("w2"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<pos:int,w1:string,w2:string>>"))
+        cols = [F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")]
+        if with_pos:
+            cols = [F.col(id_col), F.col("_bg.pos").alias("pos"), *cols]
+        return df.select(F.col(id_col), F.explode(bg).alias("_bg")).select(*cols)
+
+    m = _bigrams(train_df, False).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    left = m.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    right = m.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    tots = m.agg(
+        F.count(F.lit(1)).alias("nt"), F.count_distinct("w2").alias("v")
+    )
+    sc = _bigrams(score_df, True)
+    j = (
+        sc.join(m, ["w1", "w2"], "left")
+        .join(left, "w1", "left")
+        .join(right, "w2", "left")
+        .crossJoin(F.broadcast(tots))
+    )
+    d = F.lit(float(discount))
+    pc = (F.coalesce(F.col("n1b"), F.lit(0)) + 1).cast("double") / (
+        F.col("nt") + F.col("v") + 1
+    ).cast("double")
+    c1d = F.col("c1").cast("double")
+    p = F.when(
+        F.col("c1").isNotNull(),
+        F.greatest(F.coalesce(F.col("c12"), F.lit(0)).cast("double") - d, F.lit(0.0))
+        / c1d
+        + d * F.col("n1f").cast("double") / c1d * pc,
+    ).otherwise(pc)
+    rows = j.select(
+        F.col(id_col),
+        "pos",
+        F.log(p).alias("_lp"),
+        F.when(F.col("c12").isNull(), 1).otherwise(0).alias("_unseen"),
+    )
+    agg = rows.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("_unseen").alias("n_unseen"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("pos", F.col("_lp").alias("_v")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("_v"),
+        ).alias("_sum"),
+    )
+    avg = F.col("_sum") / F.col("n_bigrams").cast("double")
+    return agg.select(
+        F.col(id_col),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("n_unseen").cast("long").alias("n_unseen"),
+        F.round(avg, 9).alias("avg_logprob"),
+        F.round(F.exp(-avg), 6).alias("perplexity"),
+    )

@@ -511,3 +511,55 @@ def test_tokenizer_fertility_reference(spark):
     assert abs(en.chars_per_subtoken - 3.0) < 1e-12
     zh = out["zh"]
     assert zh.n_words == 0 and zh.fertility is None
+
+
+def test_kn_perplexity_reference(spark):
+    from area_etl_spark.operators.text_analysis import kn_perplexity
+
+    import math
+
+    train = _docs(
+        spark,
+        [(1, "the cat sat on the mat"), (2, "the cat ran to the mat")],
+    )
+    score = _docs(spark, [(10, "the cat sat"), (11, "zebra qux")])
+    out = {
+        r.doc_id: r for r in kn_perplexity(train, score, discount=0.75).collect()
+    }
+    # python replay of the model tables
+    bigrams = []
+    for _, t in [(1, "the cat sat on the mat"), (2, "the cat ran to the mat")]:
+        ws = t.split()
+        bigrams += list(zip(ws, ws[1:]))
+    from collections import Counter
+
+    c12 = Counter(bigrams)
+    c1 = Counter(w1 for w1, _ in bigrams)
+    n1f = Counter(w1 for (w1, _) in c12)
+    n1b = Counter(w2 for (_, w2) in c12)
+    nt = len(c12)
+    v = len({w2 for (_, w2) in c12})
+    D = 0.75
+
+    def prob(w1, w2):
+        pc = (n1b.get(w2, 0) + 1) / (nt + v + 1)
+        if w1 in c1:
+            return max(c12.get((w1, w2), 0) - D, 0.0) / c1[w1] + D * n1f[w1] / c1[
+                w1
+            ] * pc
+        return pc
+
+    # doc 10: bigrams (the,cat) seen twice, (cat,sat) seen once
+    lps = [math.log(prob("the", "cat")), math.log(prob("cat", "sat"))]
+    want_avg = sum(lps) / 2
+    r = out[10]
+    assert (r.n_bigrams, r.n_unseen) == (2, 0)
+    assert abs(r.avg_logprob - want_avg) < 1e-9
+    assert abs(r.perplexity - math.exp(-want_avg)) < 1e-3
+    # doc 11: fully OOV bigram → pure continuation floor, finite logprob
+    r2 = out[11]
+    assert (r2.n_bigrams, r2.n_unseen) == (1, 1)
+    want2 = math.log(prob("zebra", "qux"))
+    assert abs(r2.avg_logprob - want2) < 1e-9
+    # gibberish scores strictly worse (higher perplexity) than in-domain
+    assert r2.perplexity > r.perplexity
