@@ -6972,6 +6972,25 @@ def q_kneser_ney(spark, sf_dir):
     return kneser_ney_bigram(docs, discount=0.75, topk=50)
 
 
+def q_asof_nearest(spark, sf_dir):
+    """Nearest-in-time as-of join (pandas direction='nearest'): each
+    event matched to the closest purchase timestamp of the same user,
+    either direction, backward on ties — one union-merge sort, both
+    direction windows sharing it."""
+    from area_etl_spark.operators.asof import asof_nearest
+
+    ev = _tables(spark, sf_dir)["events"]
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("pts"))
+        .distinct()
+    )
+    out = asof_nearest(
+        ev.select("event_id", "user_id", "ts"), p, "user_id", "ts", "pts"
+    )
+    return out.select("event_id", "user_id", "ts", "pts_near", "asof_direction")
+
+
 def q_kn_perplexity(spark, sf_dir):
     """CCNet-style perplexity filter: score the odd-id documents under a
     Kneser–Ney bigram LM trained on the even-id half — full backoff with
@@ -7630,6 +7649,7 @@ _R13_QUEUE = [
     "bradley_terry",
     "km_survival_ci",
     "kn_perplexity",
+    "asof_nearest",
 ]
 
 # The r12 driver window: the _R12_QUEUE minus the 13 deferred keys.
@@ -7973,6 +7993,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bradley_terry": q_bradley_terry,
         "km_survival_ci": q_km_survival_ci,
         "kn_perplexity": q_kn_perplexity,
+        "asof_nearest": q_asof_nearest,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -13100,6 +13121,35 @@ def oracle_sql() -> dict[str, str]:
             FROM dl LEFT JOIN sp USING (doc_id) CROSS JOIN consts
             ORDER BY score DESC, doc_id
             LIMIT 20
+        """,
+        "asof_nearest": """
+            WITH p AS (
+                SELECT DISTINCT user_id, ts AS pts FROM events
+                WHERE event_type = 'purchase'
+            ), b AS (
+                SELECT e.event_id, p.pts AS bts
+                FROM events e ASOF LEFT JOIN p
+                  ON e.user_id = p.user_id AND e.ts >= p.pts
+            ), f AS (
+                SELECT e.event_id, p.pts AS fts
+                FROM events e ASOF LEFT JOIN p
+                  ON e.user_id = p.user_id AND e.ts <= p.pts
+            ), j AS (
+                SELECT e.event_id, e.user_id, e.ts, bts, fts
+                FROM events e JOIN b USING (event_id) JOIN f USING (event_id)
+            )
+            SELECT event_id, user_id, ts,
+                   CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                            epoch_us(ts) - epoch_us(bts)
+                            <= epoch_us(fts) - epoch_us(ts))
+                        THEN bts ELSE fts END AS pts_near,
+                   CASE WHEN bts IS NOT NULL AND (fts IS NULL OR
+                            epoch_us(ts) - epoch_us(bts)
+                            <= epoch_us(fts) - epoch_us(ts))
+                        THEN 'backward'
+                        WHEN fts IS NOT NULL THEN 'forward' END
+                       AS asof_direction
+            FROM j
         """,
         "kn_perplexity": """
             WITH tr AS (

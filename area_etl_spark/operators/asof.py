@@ -320,3 +320,88 @@ def asof_join_forward(
             F.when(within, F.col(f"_rv_{c}_filled")).otherwise(None).alias(f"{c}{suffix}")
         )
     return filled.select(*out_cols)
+
+
+def asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    left_time: str,
+    right_time: str,
+    tolerance_seconds: int | None = None,
+    suffix: str = "_near",
+) -> DataFrame:
+    """Nearest as-of: for each left row, the right row CLOSEST in time in
+    EITHER direction (pandas ``merge_asof(direction='nearest')``) — the
+    sensor-alignment join where "most recent" is wrong half the time.
+    Ties (equidistant before/after) resolve BACKWARD, the pandas
+    convention.
+
+    One union-merge sort serves both directions: right rows at one
+    instant sort before left rows, so the ascending cumulative window's
+    ``last(ignorenulls)`` is the backward match (greatest (time, row)
+    among equals — the asof_join convention) and the
+    current-to-following window's ``first(ignorenulls)`` is the forward
+    match (least among equals).  ONE shuffle on the key, no inequality
+    join.  ``tolerance_seconds`` nulls each direction beyond the horizon
+    BEFORE the pick.  Output: left.* plus ``<right_time><suffix>`` and
+    ``asof_direction`` ('backward' / 'forward' / NULL).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    lt = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_time).cast("timestamp").alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast("timestamp").alias("_r"),
+    )
+    rt = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_time).cast("timestamp").alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(lt.schema["_lrow"].dataType).alias("_lrow"),
+        F.col(right_time).cast("timestamp").alias("_r"),
+    )
+    merged = lt.unionByName(rt)
+    order = [F.col("_t").asc(), F.col("_side").asc(), F.col("_r").asc()]
+    w_back = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    both = (
+        merged.withColumn("_back", F.last("_r", ignorenulls=True).over(w_back))
+        .withColumn("_fwd", F.first("_r", ignorenulls=True).over(w_fwd))
+        .where(F.col("_side") == 1)
+    )
+    back, fwd = F.col("_back"), F.col("_fwd")
+    if tolerance_seconds is not None:
+        horizon = F.lit(int(tolerance_seconds))
+        back = F.when(
+            F.unix_micros(F.col("_t")) - F.unix_micros(back)
+            <= horizon * 1_000_000,
+            back,
+        )
+        fwd = F.when(
+            F.unix_micros(fwd) - F.unix_micros(F.col("_t"))
+            <= horizon * 1_000_000,
+            fwd,
+        )
+    db = F.unix_micros(F.col("_t")) - F.unix_micros(back)
+    df_ = F.unix_micros(fwd) - F.unix_micros(F.col("_t"))
+    pick_back = back.isNotNull() & (fwd.isNull() | (db <= df_))
+    nearest = F.when(pick_back, back).otherwise(fwd)
+    direction = F.when(pick_back, F.lit("backward")).otherwise(
+        F.when(fwd.isNotNull(), F.lit("forward"))
+    )
+    out_cols = [F.col("_lrow").getField(c).alias(c) for c in left.columns]
+    return both.select(
+        *out_cols,
+        nearest.alias(f"{right_time}{suffix}"),
+        direction.alias("asof_direction"),
+    )

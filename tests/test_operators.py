@@ -4999,3 +4999,38 @@ def test_km_survival_ci_reference(spark):
     assert rd[2].survival == 0.0 and rd[2].se_greenwood is None
     assert rd[2].ci_lo is None
     assert rd[1].se_greenwood is not None  # day 1 still fine
+
+
+def test_asof_nearest_reference(spark):
+    from area_etl_spark.operators.asof import asof_nearest
+
+    left = spark.createDataFrame(
+        [(1, "k", "2024-01-01 10:00:00"),
+         (2, "k", "2024-01-01 10:04:00"),
+         (3, "k", "2024-01-01 10:10:00"),
+         (4, "x", "2024-01-01 09:00:00")],
+        "id long, k string, t string",
+    ).select("id", "k", F.col("t").cast("timestamp").alias("t"))
+    right = spark.createDataFrame(
+        [("k", "2024-01-01 10:01:00"), ("k", "2024-01-01 10:06:00")],
+        "k string, rt string",
+    ).select("k", F.col("rt").cast("timestamp").alias("rt"))
+    out = {r.id: r for r in asof_nearest(left, right, "k", "t", "rt").collect()}
+    # id1 at 10:00 → nearest is 10:01 FORWARD (1 min vs none behind)
+    assert str(out[1].rt_near) == "2024-01-01 10:01:00" and out[1].asof_direction == "forward"
+    # id2 at 10:04 → 10:01 is 3 min back, 10:06 is 2 min ahead → forward
+    assert str(out[2].rt_near) == "2024-01-01 10:06:00" and out[2].asof_direction == "forward"
+    # id3 at 10:10 → only 10:06 behind
+    assert str(out[3].rt_near) == "2024-01-01 10:06:00" and out[3].asof_direction == "backward"
+    # key with no right rows → NULL
+    assert out[4].rt_near is None and out[4].asof_direction is None
+    # equidistant tie resolves backward (pandas convention)
+    tie_left = spark.createDataFrame(
+        [(1, "k", "2024-01-01 10:03:30")], "id long, k string, t string"
+    ).select("id", "k", F.col("t").cast("timestamp").alias("t"))
+    rt_tie = asof_nearest(tie_left, right, "k", "t", "rt").collect()[0]
+    assert str(rt_tie.rt_near) == "2024-01-01 10:01:00" and rt_tie.asof_direction == "backward"
+    # tolerance: 90 s horizon nulls the 2-min forward match for id2
+    tol = {r.id: r for r in asof_nearest(left, right, "k", "t", "rt", tolerance_seconds=90).collect()}
+    assert tol[2].rt_near is None
+    assert str(tol[1].rt_near) == "2024-01-01 10:01:00"
