@@ -6972,6 +6972,32 @@ def q_kneser_ney(spark, sf_dir):
     return kneser_ney_bigram(docs, discount=0.75, topk=50)
 
 
+def q_vwap_bars(spark, sf_dir):
+    """Monthly VWAP per return-flag over lineitem (price cents × integer
+    quantity): both sums exact DECIMAL, one division per bar."""
+    from area_etl_spark.operators.business import vwap_bars
+
+    li = _tables(spark, sf_dir)["lineitem"].select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_shipdate").cast("timestamp").alias("ts"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return vwap_bars(li, ["flag"], "ts", "cents", "qty", bar="month")
+
+
+def q_anderson_darling(spark, sf_dir):
+    """Anderson–Darling normality of customer balance cents (case 3,
+    Stephens correction + critical values) — the EDF companion to
+    jarque_bera, portable Φ on both tails, rank-ordered fold."""
+    from area_etl_spark.operators.experiments import anderson_darling
+
+    c = _tables(spark, sf_dir)["customer"].select(
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents")
+    )
+    return anderson_darling(c, "cents")
+
+
 def q_asof_nearest(spark, sf_dir):
     """Nearest-in-time as-of join (pandas direction='nearest'): each
     event matched to the closest purchase timestamp of the same user,
@@ -7650,6 +7676,8 @@ _R13_QUEUE = [
     "km_survival_ci",
     "kn_perplexity",
     "asof_nearest",
+    "vwap_bars",
+    "anderson_darling",
 ]
 
 # The r12 driver window: the _R12_QUEUE minus the 13 deferred keys.
@@ -7994,6 +8022,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "km_survival_ci": q_km_survival_ci,
         "kn_perplexity": q_kn_perplexity,
         "asof_nearest": q_asof_nearest,
+        "vwap_bars": q_vwap_bars,
+        "anderson_darling": q_anderson_darling,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -13121,6 +13151,84 @@ def oracle_sql() -> dict[str, str]:
             FROM dl LEFT JOIN sp USING (doc_id) CROSS JOIN consts
             ORDER BY score DESC, doc_id
             LIMIT 20
+        """,
+        "vwap_bars": """
+            SELECT l_returnflag AS flag,
+                   CAST(date_trunc('month', CAST(l_shipdate AS TIMESTAMP))
+                        AS TIMESTAMP) AS bar_start,
+                   COUNT(*) AS n_trades,
+                   CAST(SUM(CAST(l_quantity AS HUGEINT)) AS BIGINT)
+                       AS total_qty,
+                   round(CASE WHEN SUM(CAST(l_quantity AS HUGEINT)) > 0 THEN
+                       CAST(SUM(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                                * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                       / CAST(SUM(CAST(l_quantity AS HUGEINT)) AS DOUBLE)
+                   END, 6) AS vwap
+            FROM lineitem
+            GROUP BY 1, 2
+        """,
+        "anderson_darling": f"""
+            WITH base AS (
+                SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS x
+                FROM customer WHERE c_acctbal IS NOT NULL
+            ), sums AS (
+                SELECT COUNT(*) AS n,
+                       SUM(CAST(x AS HUGEINT)) AS s,
+                       SUM(CAST(x AS HUGEINT) * x) AS q
+                FROM base
+            ), st AS (
+                SELECT n,
+                       sqrt(GREATEST(CAST(n * q - s * s AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)),
+                           0.0)) AS sig,
+                       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu
+                FROM sums
+            ), zz AS (
+                SELECT n, sig,
+                       CASE WHEN sig > 0
+                            THEN (CAST(x AS DOUBLE) - mu) / sig END AS z,
+                       row_number() OVER (ORDER BY x) AS i
+                FROM base CROSS JOIN st
+            ), tt AS (
+                SELECT n, sig, i,
+                       CAST(2 * i - 1 AS DOUBLE)
+                           * ln(1.0 - (CASE WHEN z >= 0
+                                 THEN {_normal_sf_sql("z")}
+                                 ELSE 1.0 - {_normal_sf_sql("(-z)")} END))
+                       + CAST(2 * (n - i) + 1 AS DOUBLE)
+                           * ln(CASE WHEN z >= 0
+                                 THEN {_normal_sf_sql("z")}
+                                 ELSE 1.0 - {_normal_sf_sql("(-z)")} END)
+                           AS t
+                FROM zz
+            ), fold AS (
+                SELECT MAX(n) AS n, MIN(sig) AS sig,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(t ORDER BY i)), (a, b) -> a + b) AS su
+                FROM tt
+            ), aa AS (
+                SELECT n, sig,
+                       CASE WHEN n >= 8 AND sig > 0 THEN
+                           -CAST(n AS DOUBLE) - su / CAST(n AS DOUBLE)
+                       END AS a2
+                FROM fold
+            ), bb AS (
+                SELECT n, a2,
+                       a2 * (1.0 + 0.75 / CAST(n AS DOUBLE)
+                             + 2.25 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                           AS a2s
+                FROM aa
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   round(a2, 9) AS a2,
+                   round(a2s, 9) AS a2_star,
+                   CASE WHEN a2s IS NOT NULL THEN a2s > 0.656 END
+                       AS reject_10pct,
+                   CASE WHEN a2s IS NOT NULL THEN a2s > 0.787 END
+                       AS reject_5pct,
+                   CASE WHEN a2s IS NOT NULL THEN a2s > 1.092 END
+                       AS reject_1pct
+            FROM bb
         """,
         "asof_nearest": """
             WITH p AS (

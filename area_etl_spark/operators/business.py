@@ -583,3 +583,52 @@ def abc_classification(
         F.col("_cum").cast("long").alias("cum_value"),
         cls.alias("abc_class"),
     )
+
+
+def vwap_bars(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    price_col: str,
+    qty_col: str,
+    bar: str = "hour",
+) -> DataFrame:
+    """Volume-weighted average price per time bar — the execution-quality
+    benchmark beside :func:`ohlc_bars`' shape summary: VWAP = Σp·q / Σq
+    over each (key, bar) bucket.
+
+    Prices are integer cents and quantities integers, so both sums ride
+    DECIMAL(38,0) exactly and VWAP is ONE division — partition-order
+    free.  One hash aggregate, map-side combinable.  Returns
+    (keys..., bar_start, n_trades, total_qty, vwap); bars with zero
+    total quantity return NULL vwap.
+    """
+    dec = "decimal(38,0)"
+    p, q = F.col(price_col).cast("long"), F.col(qty_col).cast("long")
+    agg = (
+        df.select(
+            *[F.col(k) for k in keys],
+            F.date_trunc(bar, F.col(ts_col)).alias("bar_start"),
+            p.alias("_p"),
+            q.alias("_q"),
+        )
+        .groupBy(*keys, "bar_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_trades"),
+            F.sum(F.col("_q").cast(dec)).alias("_sq"),
+            F.sum((F.col("_p").cast(dec) * F.col("_q")).cast(dec)).alias("_spq"),
+        )
+    )
+    return agg.select(
+        *[F.col(k) for k in keys],
+        "bar_start",
+        F.col("n_trades").cast("long").alias("n_trades"),
+        F.col("_sq").cast("long").alias("total_qty"),
+        F.round(
+            F.when(
+                F.col("_sq") > 0,
+                F.col("_spq").cast("double") / F.col("_sq").cast("double"),
+            ),
+            6,
+        ).alias("vwap"),
+    )

@@ -4100,3 +4100,95 @@ def km_survival_ci(
         F.round(lo, 9).alias("ci_lo"),
         F.round(hi, 9).alias("ci_hi"),
     )
+
+
+def anderson_darling(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Anderson–Darling normality test (case 3: mean and variance
+    estimated) — the EDF-based complement of the moment-based
+    :func:`jarque_bera`, far more sensitive in the tails:
+
+        A² = −n − (1/n)·Σᵢ [(2i−1)·ln Φ(zᵢ) + (2(n−i)+1)·ln Φ̄(zᵢ)]
+
+    (the classic two-sided sum re-indexed so each sorted row contributes
+    ONE term), with the Stephens (1974) small-sample correction
+    A*² = A²(1 + 0.75/n + 2.25/n²) and his case-3 critical values
+    0.656 / 0.787 / 1.092 at the 10% / 5% / 1% levels.
+
+    μ and sample σ come from exact DECIMAL sums; zᵢ and both normal
+    tails use the PORTABLE Φ (shared SQL renderer), and the weighted
+    log sum folds in rank order over ONE ordered window — the
+    rank-family single-partition contract (value grain; quantize or
+    sample a continuous metric upstream, docs/SCALE.md).  Returns one
+    row (n, a2, a2_star, reject_10pct, reject_5pct, reject_1pct);
+    NULL when σ = 0 or n < 8 (the tabulated range).
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    base = df.select(F.col(value_col).cast("long").alias("_x")).where(
+        F.col(value_col).isNotNull()
+    )
+    sums = base.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_x").cast(dec)).alias("_s"),
+        F.sum((F.col("_x").cast(dec) * F.col("_x")).cast(dec)).alias("_q"),
+    )
+    nd = F.col("_n").cast("double")
+    mu = F.col("_s").cast("double") / nd
+    var = (F.col("_n").cast(dec) * F.col("_q") - F.col("_s") * F.col("_s")).cast(
+        "double"
+    ) / (nd * (nd - F.lit(1.0)))
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    staged = base.crossJoin(F.broadcast(sums)).select(
+        "_x",
+        "_n",
+        sigma.alias("_sig"),
+        F.when(sigma > 0, (F.col("_x").cast("double") - mu) / sigma).alias("_z"),
+    )
+    w = Window.orderBy("_x")
+    ranked = staged.select(
+        "_n",
+        "_sig",
+        "_z",
+        F.row_number().over(w).alias("_i"),
+    )
+    # the A&S polynomial is defined for z >= 0 — reflect for negative z
+    def _sf(zc: Column) -> Column:
+        return F.when(zc >= 0, normal_sf_portable(zc)).otherwise(
+            F.lit(1.0) - normal_sf_portable(-zc)
+        )
+
+    phi = F.lit(1.0) - _sf(F.col("_z"))
+    sf = _sf(F.col("_z"))
+    term = (
+        (2 * F.col("_i") - 1).cast("double") * F.log(phi)
+        + (2 * (F.col("_n") - F.col("_i")) + 1).cast("double") * F.log(sf)
+    )
+    folded = ranked.select(
+        "_n",
+        "_sig",
+        F.struct(F.col("_i"), term.alias("_t")).alias("_row"),
+    ).agg(
+        F.first("_n").alias("_n"),
+        F.min("_sig").alias("_sig"),
+        F.aggregate(
+            F.array_sort(F.collect_list("_row")),
+            F.lit(0.0),
+            lambda acc, s: acc + s.getField("_t"),
+        ).alias("_sum"),
+    )
+    nn = F.col("_n").cast("double")
+    ok = (F.col("_n") >= 8) & (F.col("_sig") > 0)
+    a2 = F.when(ok, -nn - F.col("_sum") / nn)
+    a2s = F.when(ok, a2 * (F.lit(1.0) + F.lit(0.75) / nn + F.lit(2.25) / (nn * nn)))
+    return folded.select(
+        F.col("_n").cast("long").alias("n"),
+        F.round(a2, 9).alias("a2"),
+        F.round(a2s, 9).alias("a2_star"),
+        F.when(a2s.isNotNull(), a2s > 0.656).alias("reject_10pct"),
+        F.when(a2s.isNotNull(), a2s > 0.787).alias("reject_5pct"),
+        F.when(a2s.isNotNull(), a2s > 1.092).alias("reject_1pct"),
+    )

@@ -5034,3 +5034,71 @@ def test_asof_nearest_reference(spark):
     tol = {r.id: r for r in asof_nearest(left, right, "k", "t", "rt", tolerance_seconds=90).collect()}
     assert tol[2].rt_near is None
     assert str(tol[1].rt_near) == "2024-01-01 10:01:00"
+
+
+def test_vwap_bars_reference(spark):
+    from area_etl_spark.operators.business import vwap_bars
+
+    rows = [
+        ("a", "2024-01-01 10:05:00", 10000, 3),
+        ("a", "2024-01-01 10:40:00", 10200, 1),
+        ("a", "2024-01-01 11:10:00", 9000, 2),
+        ("a", "2024-01-01 11:20:00", 9000, 0),  # zero qty contributes nothing
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, p long, q long").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "p", "q"
+    )
+    out = {str(r.bar_start): r for r in vwap_bars(df, ["k"], "ts", "p", "q").collect()}
+    h10 = out["2024-01-01 10:00:00"]
+    assert (h10.n_trades, h10.total_qty) == (2, 4)
+    assert abs(h10.vwap - (10000 * 3 + 10200 * 1) / 4) < 1e-9
+    h11 = out["2024-01-01 11:00:00"]
+    assert h11.total_qty == 2 and abs(h11.vwap - 9000.0) < 1e-9
+    # all-zero-qty bar → NULL vwap
+    zdf = spark.createDataFrame(
+        [("z", "2024-01-01 09:00:00", 5, 0)], "k string, ts string, p long, q long"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "p", "q")
+    assert vwap_bars(zdf, ["k"], "ts", "p", "q").collect()[0].vwap is None
+
+
+def test_anderson_darling_reference(spark):
+    from area_etl_spark.operators.experiments import anderson_darling
+
+    import math
+
+    def sf_portable(z):
+        def raw(z):
+            x = z / 1.4142135623730951
+            t = 1.0 / (1.0 + 0.3275911 * x)
+            poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                        + t * (-1.453152027 + t * 1.061405429))))
+            return poly * math.exp(-x * x) / 2.0
+        return raw(z) if z >= 0 else 1.0 - raw(-z)
+
+    vals = [12, 15, 9, 20, 14, 13, 17, 11, 16, 14, 13, 15]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    r = anderson_darling(df, "v").collect()[0]
+    n = len(vals)
+    mu = sum(vals) / n
+    var = (n * sum(v * v for v in vals) - sum(vals) ** 2) / (n * (n - 1))
+    s = math.sqrt(var)
+    zs = sorted((v - mu) / s for v in vals)
+    total = 0.0
+    for i, z in enumerate(zs, start=1):
+        total += (2 * i - 1) * math.log(1 - sf_portable(z)) + (
+            2 * (n - i) + 1
+        ) * math.log(sf_portable(z))
+    a2 = -n - total / n
+    a2s = a2 * (1 + 0.75 / n + 2.25 / n**2)
+    assert r.n == n
+    assert abs(r.a2 - a2) < 1e-6
+    assert abs(r.a2_star - a2s) < 1e-6
+    # a roughly-normal sample must not reject at 1%
+    assert r.reject_1pct is False
+    # a wildly bimodal sample rejects at 5%
+    bim = spark.createDataFrame([(v,) for v in [0] * 20 + [100] * 20], "v long")
+    rb = anderson_darling(bim, "v").collect()[0]
+    assert rb.reject_5pct is True
+    # degenerate: constant series → NULLs
+    const = spark.createDataFrame([(5,)] * 10, "v long")
+    assert anderson_darling(const, "v").collect()[0].a2 is None
