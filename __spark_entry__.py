@@ -6972,6 +6972,26 @@ def q_kneser_ney(spark, sf_dir):
     return kneser_ney_bigram(docs, discount=0.75, topk=50)
 
 
+def q_twfe_estimator(spark, sf_dir):
+    """Two-way fixed-effects slope of revenue on order count over the
+    balanced (market segment × order year) panel — the double-demeaning
+    cleared to exact DECIMAL integers by the N = U·T multiplication."""
+    from area_etl_spark.operators.experiments import twfe_estimator
+
+    t = _tables(spark, sf_dir)
+    panel = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+            F.lit(1).alias("x"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+        )
+    )
+    return twfe_estimator(panel, "seg", "yr", "x", "y")
+
+
 def q_vwap_bars(spark, sf_dir):
     """Monthly VWAP per return-flag over lineitem (price cents × integer
     quantity): both sums exact DECIMAL, one division per bar."""
@@ -7678,6 +7698,7 @@ _R13_QUEUE = [
     "asof_nearest",
     "vwap_bars",
     "anderson_darling",
+    "twfe_estimator",
 ]
 
 # The r12 driver window: the _R12_QUEUE minus the 13 deferred keys.
@@ -8024,6 +8045,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_nearest": q_asof_nearest,
         "vwap_bars": q_vwap_bars,
         "anderson_darling": q_anderson_darling,
+        "twfe_estimator": q_twfe_estimator,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -13151,6 +13173,54 @@ def oracle_sql() -> dict[str, str]:
             FROM dl LEFT JOIN sp USING (doc_id) CROSS JOIN consts
             ORDER BY score DESC, doc_id
             LIMIT 20
+        """,
+        "twfe_estimator": """
+            WITH cellr AS (
+                SELECT c.c_mktsegment AS u,
+                       year(CAST(o_orderdate AS DATE)) AS t,
+                       1 AS x,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS y
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            ), cell AS (
+                SELECT u, t, SUM(CAST(x AS HUGEINT)) AS x,
+                       SUM(CAST(y AS HUGEINT)) AS y
+                FROM cellr GROUP BY 1, 2
+            ), pu AS (
+                SELECT u, SUM(x) AS sxu, SUM(y) AS syu, COUNT(*) AS tu
+                FROM cell GROUP BY 1
+            ), pt AS (
+                SELECT t, SUM(x) AS sxt, SUM(y) AS syt FROM cell GROUP BY 1
+            ), tot AS (
+                SELECT COUNT(*) AS n, COUNT(DISTINCT u) AS uu,
+                       COUNT(DISTINCT t) AS tcnt,
+                       SUM(x) AS sx, SUM(y) AS sy
+                FROM cell
+            ), balu AS (
+                SELECT MIN(CASE WHEN tu = tcnt THEN 1 ELSE 0 END) AS bal_u
+                FROM pu CROSS JOIN tot
+            ), j AS (
+                SELECT n, uu, tcnt, bal_u,
+                       CAST(n AS HUGEINT) * cell.x - CAST(uu AS HUGEINT) * sxu
+                           - CAST(tcnt AS HUGEINT) * sxt + sx AS nx,
+                       CAST(n AS HUGEINT) * cell.y - CAST(uu AS HUGEINT) * syu
+                           - CAST(tcnt AS HUGEINT) * syt + sy AS ny
+                FROM cell JOIN pu USING (u) JOIN pt USING (t)
+                CROSS JOIN tot CROSS JOIN balu
+            ), ag AS (
+                SELECT MAX(n) AS n, MAX(uu) AS uu, MAX(tcnt) AS tcnt,
+                       MAX(bal_u) AS bal_u,
+                       SUM(nx * ny) AS sxy, SUM(nx * nx) AS sxx
+                FROM j
+            )
+            SELECT CAST(n AS BIGINT) AS n_cells,
+                   CAST(uu AS BIGINT) AS n_units,
+                   CAST(tcnt AS BIGINT) AS n_times,
+                   (n = uu * tcnt AND bal_u = 1) AS balanced,
+                   round(CASE WHEN n = uu * tcnt AND bal_u = 1
+                              AND CAST(sxx AS DOUBLE) > 0
+                         THEN CAST(sxy AS DOUBLE) / CAST(sxx AS DOUBLE)
+                   END, 6) AS beta
+            FROM ag
         """,
         "vwap_bars": """
             SELECT l_returnflag AS flag,

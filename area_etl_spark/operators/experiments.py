@@ -4192,3 +4192,92 @@ def anderson_darling(
         F.when(a2s.isNotNull(), a2s > 0.787).alias("reject_5pct"),
         F.when(a2s.isNotNull(), a2s > 1.092).alias("reject_1pct"),
     )
+
+
+def twfe_estimator(
+    df: DataFrame,
+    unit_col: str,
+    time_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Two-way fixed-effects regression slope on a BALANCED panel — the
+    workhorse panel estimator (unit + time dummies absorbed), one level
+    up from :func:`fe_within_estimator`'s one-way demeaning: for a
+    balanced U×T panel the double-demeaned regressor has the closed form
+    x̃ = x − x̄_unit − x̄_time + x̄, and
+
+        β̂ = Σ x̃ỹ / Σ x̃²
+
+    EXACT: multiplying the demeaning through by N = U·T clears every
+    division — N·x̃ = N·x − U·Σx_unit − T·Σx_time + Σx is an exact
+    DECIMAL integer (the N² factors cancel in β̂), so the only float is
+    the final division.  Balance is CHECKED (n = U·T and every unit
+    appears T times); an unbalanced panel returns NULL β with the flag
+    false — the closed form is wrong there (use the iterative demeaning
+    offline, or balance the panel upstream).  Duplicate (unit, time)
+    cells aggregate by SUM first (document the grain).  Returns one row
+    (n_cells, n_units, n_times, balanced, beta).
+    """
+    dec = "decimal(38,0)"
+    cell = (
+        df.select(
+            F.col(unit_col).alias("_u"),
+            F.col(time_col).alias("_t"),
+            F.col(x_col).cast("long").alias("_x"),
+            F.col(y_col).cast("long").alias("_y"),
+        )
+        .groupBy("_u", "_t")
+        .agg(
+            F.sum(F.col("_x").cast(dec)).alias("_x"),
+            F.sum(F.col("_y").cast(dec)).alias("_y"),
+        )
+    )
+    per_u = cell.groupBy("_u").agg(
+        F.sum("_x").alias("_sxu"), F.sum("_y").alias("_syu"), F.count(F.lit(1)).alias("_tu")
+    )
+    per_t = cell.groupBy("_t").agg(
+        F.sum("_x").alias("_sxt"), F.sum("_y").alias("_syt")
+    )
+    tot = cell.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_distinct("_u").alias("_uu"),
+        F.count_distinct("_t").alias("_tt"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+    )
+    balanced_u = per_u.crossJoin(F.broadcast(tot.select("_tt"))).agg(
+        F.min((F.col("_tu") == F.col("_tt")).cast("int")).alias("_bal_u")
+    )
+    j = (
+        cell.join(per_u, "_u")
+        .join(per_t, "_t")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(balanced_u))
+    )
+    n, uu, tt = F.col("_n").cast(dec), F.col("_uu").cast(dec), F.col("_tt").cast(dec)
+    nx = n * F.col("_x") - uu * F.col("_sxu") - tt * F.col("_sxt") + F.col("_sx")
+    ny = n * F.col("_y") - uu * F.col("_syu") - tt * F.col("_syt") + F.col("_sy")
+    agg = j.agg(
+        F.first("_n").alias("_n"),
+        F.first("_uu").alias("_uu"),
+        F.first("_tt").alias("_tt"),
+        F.first("_bal_u").alias("_bal_u"),
+        F.sum((nx * ny).cast("decimal(38,0)")).alias("_sxy"),
+        F.sum((nx * nx).cast("decimal(38,0)")).alias("_sxx"),
+    )
+    balanced = (F.col("_n") == F.col("_uu") * F.col("_tt")) & (F.col("_bal_u") == 1)
+    beta = F.when(
+        balanced & (F.col("_sxx").cast("double") > 0),
+        F.col("_sxy").cast("double") / F.col("_sxx").cast("double"),
+    )
+    # round to 6: beta can carry 8+ integer digits (cents scale), and a
+    # 9-decimal round would target an unrepresentable 17-sig-digit double
+    # whose half-up result differs per engine at the last ulp
+    return agg.select(
+        F.col("_n").cast("long").alias("n_cells"),
+        F.col("_uu").cast("long").alias("n_units"),
+        F.col("_tt").cast("long").alias("n_times"),
+        balanced.alias("balanced"),
+        F.round(beta, 6).alias("beta"),
+    )

@@ -5102,3 +5102,49 @@ def test_anderson_darling_reference(spark):
     # degenerate: constant series → NULLs
     const = spark.createDataFrame([(5,)] * 10, "v long")
     assert anderson_darling(const, "v").collect()[0].a2 is None
+
+
+def test_twfe_estimator_reference(spark):
+    from area_etl_spark.operators.experiments import twfe_estimator
+
+    # balanced 3x4 panel, y = 2x + unit effect + time effect exactly
+    units = {"u1": 100, "u2": -50, "u3": 7}
+    times = {1: 10, 2: 0, 3: -30, 4: 5}
+    rows = []
+    x0 = 0
+    for u, ue in units.items():
+        for t, te in times.items():
+            x0 += 3
+            x = x0 % 17 + 10 * (x0 % 5)
+            rows.append((u, t, x, 2 * x + ue + te))
+    df = spark.createDataFrame(rows, "u string, t long, x long, y long")
+    r = twfe_estimator(df, "u", "t", "x", "y").collect()[0]
+    assert (r.n_cells, r.n_units, r.n_times, r.balanced) == (12, 3, 4, True)
+    assert abs(r.beta - 2.0) < 1e-9
+    # python double-demean cross-check with a non-exact relationship
+    rows2 = [(u, t, x, 2 * x + ue + te + ((hash((u, t)) % 7) - 3))
+             for (u, ue) in units.items() for (t, te) in times.items()
+             for x in [((ord(u[1]) * t) % 13)]]
+    df2 = spark.createDataFrame(rows2, "u string, t long, x long, y long")
+    r2 = twfe_estimator(df2, "u", "t", "x", "y").collect()[0]
+    xs = {(u, t): x for u, t, x, _ in rows2}
+    ys = {(u, t): y for u, t, _, y in rows2}
+    U, T = len(units), len(times)
+    xbar_u = {u: sum(xs[(u, t)] for t in times) / T for u in units}
+    xbar_t = {t: sum(xs[(u, t)] for u in units) / U for t in times}
+    xbar = sum(xs.values()) / (U * T)
+    ybar_u = {u: sum(ys[(u, t)] for t in times) / T for u in units}
+    ybar_t = {t: sum(ys[(u, t)] for u in units) / U for t in times}
+    ybar = sum(ys.values()) / (U * T)
+    num = den = 0.0
+    for u in units:
+        for t in times:
+            xt = xs[(u, t)] - xbar_u[u] - xbar_t[t] + xbar
+            yt = ys[(u, t)] - ybar_u[u] - ybar_t[t] + ybar
+            num += xt * yt
+            den += xt * xt
+    assert abs(r2.beta - num / den) < 1e-6
+    # unbalanced panel → flag false, NULL beta
+    unb = spark.createDataFrame(rows[:-1], "u string, t long, x long, y long")
+    ru = twfe_estimator(unb, "u", "t", "x", "y").collect()[0]
+    assert ru.balanced is False and ru.beta is None
