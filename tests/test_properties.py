@@ -470,3 +470,106 @@ def test_theil_u_range_and_perfect_property(spark, rows):
     rs = theil_u(df.select("a", F.col("a").alias("b2")), "a", "b2").collect()[0]
     if len({a for a, _ in rows}) > 1:
         assert abs(rs.u - 1.0) < 1e-9
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["e1", "e2", "e3", "e4"]), st.integers(1, 50)),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_hhi_bounds_property(spark, rows):
+    from area_etl_spark.operators.business import hhi_concentration
+
+    df = spark.createDataFrame([("g", e, v) for e, v in rows], "g string, e string, v long")
+    r = hhi_concentration(df, "g", "e", "v").collect()[0]
+    n = r.n_entities
+    # HHI bounded by [1/n, 1]; normalized form in [0, 1]
+    assert 1.0 / n - 1e-9 <= r.hhi <= 1.0 + 1e-9
+    if n > 1:
+        assert -1e-9 <= r.hhi_normalized <= 1.0 + 1e-9
+    assert 0.0 <= r.cr_k <= 1.0 + 1e-9
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(st.integers(-100, 100), min_size=4, max_size=30),
+)
+def test_mann_kendall_antisymmetry_property(spark, vals):
+    from area_etl_spark.operators.experiments import mann_kendall
+
+    rows = [(t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "t long, v long")
+    r = mann_kendall(df, "t", "v").collect()[0]
+    n = len(vals)
+    assert abs(r.s_stat) <= n * (n - 1) // 2
+    # negating the series negates S exactly (tie structure is preserved)
+    neg = spark.createDataFrame([(t, -v) for t, v in rows], "t long, v long")
+    rn = mann_kendall(neg, "t", "v").collect()[0]
+    assert rn.s_stat == -r.s_stat
+    assert rn.var_s == r.var_s
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 3)), min_size=4, max_size=40
+    )
+)
+def test_bcubed_bounds_and_perfect_property(spark, rows):
+    from area_etl_spark.operators.dedup import bcubed_eval
+
+    df = spark.createDataFrame(
+        [(i, f"p{p}", f"g{g}") for i, (p, g) in enumerate(rows)],
+        "id long, pred string, gold string",
+    )
+    r = bcubed_eval(df, "id", "pred", "gold").collect()[0]
+    assert 0.0 < r.precision <= 1.0 + 1e-9
+    assert 0.0 < r.recall <= 1.0 + 1e-9
+    # scoring the gold clustering against itself is perfect
+    rp = bcubed_eval(
+        df.select("id", F.col("gold").alias("pred"), "gold"), "id", "pred", "gold"
+    ).collect()[0]
+    assert (rp.precision, rp.recall, rp.f1) == (1.0, 1.0, 1.0)
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2000), st.integers(0, 2000)),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_forecast_accuracy_mae_rmse_property(spark, rows):
+    from area_etl_spark.operators.windows import forecast_accuracy
+
+    df = spark.createDataFrame(
+        [(t, a, f) for t, (a, f) in enumerate(rows)], "t long, a long, f long"
+    )
+    r = forecast_accuracy(df, "t", "a", "f").collect()[0]
+    # RMSE dominates MAE (Jensen), both nonnegative
+    assert 0.0 <= r.mae <= r.rmse + 1e-9
+    # sMAPE is bounded by 2
+    if r.smape is not None:
+        assert 0.0 <= r.smape <= 2.0 + 1e-9
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(st.integers(-1000, 1000), min_size=2, max_size=25),
+    shift=st.integers(-500, 500),
+)
+def test_jarque_bera_shift_invariance_property(spark, vals, shift):
+    from area_etl_spark.operators.experiments import jarque_bera
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    r = jarque_bera(df, "v").collect()[0]
+    shifted = spark.createDataFrame([(v + shift,) for v in vals], "v long")
+    rs = jarque_bera(shifted, "v").collect()[0]
+    # skewness/kurtosis are location-invariant (moments about the mean)
+    if r.skewness is not None and rs.skewness is not None:
+        assert abs(r.skewness - rs.skewness) < 1e-5
+        assert abs(r.kurtosis - rs.kurtosis) < 1e-5
