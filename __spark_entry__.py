@@ -6972,6 +6972,25 @@ def q_kneser_ney(spark, sf_dir):
     return kneser_ney_bigram(docs, discount=0.75, topk=50)
 
 
+def q_siegel_slope(spark, sf_dir):
+    """Siegel repeated-median trend of monthly revenue — the 50%-breakdown
+    robust line beside theil_sen; every median exact via sorted arrays,
+    every slope one IEEE division of exact integers."""
+    from area_etl_spark.operators.experiments import siegel_slope
+
+    ser = (
+        _tables(spark, sf_dir)["orders"]
+        .groupBy(
+            (
+                F.year(F.col("o_orderdate").cast("date")) * 12
+                + F.month(F.col("o_orderdate").cast("date"))
+            ).alias("t")
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y"))
+    )
+    return siegel_slope(ser, "t", "y")
+
+
 def q_twfe_estimator(spark, sf_dir):
     """Two-way fixed-effects slope of revenue on order count over the
     balanced (market segment × order year) panel — the double-demeaning
@@ -7699,6 +7718,7 @@ _R13_QUEUE = [
     "vwap_bars",
     "anderson_darling",
     "twfe_estimator",
+    "siegel_slope",
 ]
 
 # The r12 driver window: the _R12_QUEUE minus the 13 deferred keys.
@@ -8046,6 +8066,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vwap_bars": q_vwap_bars,
         "anderson_darling": q_anderson_darling,
         "twfe_estimator": q_twfe_estimator,
+        "siegel_slope": q_siegel_slope,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -13173,6 +13194,59 @@ def oracle_sql() -> dict[str, str]:
             FROM dl LEFT JOIN sp USING (doc_id) CROSS JOIN consts
             ORDER BY score DESC, doc_id
             LIMIT 20
+        """,
+        "siegel_slope": """
+            WITH ser AS (
+                SELECT year(CAST(o_orderdate AS DATE)) * 12
+                       + month(CAST(o_orderdate AS DATE)) AS t,
+                       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+                FROM orders GROUP BY 1
+            ), sl AS (
+                SELECT a.t AS ta, a.y AS ya,
+                       CAST(b.y - a.y AS DOUBLE)
+                       / CAST(b.t - a.t AS DOUBLE) AS s
+                FROM ser a JOIN ser b ON a.t <> b.t
+            ), pp AS (
+                SELECT ta, ya, list_sort(list(s)) AS ss, COUNT(*) AS k
+                FROM sl GROUP BY 1, 2
+            ), pm AS (
+                SELECT ta, ya,
+                       CASE WHEN k % 2 = 1
+                            THEN CAST(ss[CAST((k + 1) // 2 AS BIGINT)] AS DOUBLE)
+                            WHEN k > 0 THEN
+                                (CAST(ss[CAST(k // 2 AS BIGINT)] AS DOUBLE)
+                                 + CAST(ss[CAST(k // 2 + 1 AS BIGINT)] AS DOUBLE))
+                                / 2.0 END AS m
+                FROM pp
+            ), tp AS (
+                SELECT COUNT(*) AS n_points, list_sort(list(m)) AS ms FROM pm
+            ), sv AS (
+                SELECT n_points,
+                       CASE WHEN n_points % 2 = 1
+                            THEN CAST(ms[CAST((n_points + 1) // 2 AS BIGINT)]
+                                      AS DOUBLE)
+                            WHEN n_points > 0 THEN
+                                (CAST(ms[CAST(n_points // 2 AS BIGINT)] AS DOUBLE)
+                                 + CAST(ms[CAST(n_points // 2 + 1 AS BIGINT)]
+                                        AS DOUBLE)) / 2.0 END AS slope
+                FROM tp
+            ), wb AS (
+                SELECT n_points, slope,
+                       CAST(ya AS DOUBLE) - slope * CAST(ta AS DOUBLE) AS r
+                FROM pm CROSS JOIN sv
+            ), ob AS (
+                SELECT n_points, slope, list_sort(list(r)) AS rs, COUNT(*) AS k
+                FROM wb GROUP BY 1, 2
+            )
+            SELECT CAST(n_points AS BIGINT) AS n_points,
+                   round(slope, 9) AS slope,
+                   round(CASE WHEN k % 2 = 1
+                        THEN CAST(rs[CAST((k + 1) // 2 AS BIGINT)] AS DOUBLE)
+                        WHEN k > 0 THEN
+                            (CAST(rs[CAST(k // 2 AS BIGINT)] AS DOUBLE)
+                             + CAST(rs[CAST(k // 2 + 1 AS BIGINT)] AS DOUBLE))
+                            / 2.0 END, 9) AS intercept
+            FROM ob
         """,
         "twfe_estimator": """
             WITH cellr AS (

@@ -4281,3 +4281,86 @@ def twfe_estimator(
         balanced.alias("balanced"),
         F.round(beta, 6).alias("beta"),
     )
+
+
+def siegel_slope(
+    df: DataFrame,
+    t_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Siegel repeated-median trend (Siegel 1982) — the 50%-breakdown
+    upgrade of :func:`theil_sen_slope` (29%): first the MEDIAN slope
+    from each point to all others, then the median of those per-point
+    medians, so even half the points being corrupt cannot move it.
+    Intercept = median(y_i − β·t_i), the matching robust level.
+
+    Pairs come from the bounded-series self-join (t_i ≠ t_j — the
+    theil_sen contract; aggregate to a daily/bucket grain first).  Every
+    median is EXACT via collect → array_sort → element_at (odd: middle;
+    even: mean of the two middles); slopes are single IEEE divisions of
+    exact integers, so the whole estimate is engine-reproducible.
+    Returns one row (n_points, slope, intercept); NULL when fewer than
+    2 distinct t values.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(t_col).cast("long").alias("_t"),
+        F.col(y_col).cast("long").alias("_y"),
+    ).where(F.col(t_col).isNotNull() & F.col(y_col).isNotNull())
+    a = base.select(F.col("_t").alias("_ta"), F.col("_y").alias("_ya"))
+    b = base.select(F.col("_t").alias("_tb"), F.col("_y").alias("_yb"))
+    slopes = a.join(b, F.col("_ta") != F.col("_tb")).select(
+        "_ta",
+        "_ya",
+        (
+            (F.col("_yb") - F.col("_ya")).cast("double")
+            / (F.col("_tb") - F.col("_ta")).cast("double")
+        ).alias("_s"),
+    )
+
+    def _median(arr_col: Column, k: Column) -> Column:
+        return F.when(
+            k % 2 == 1,
+            F.element_at(arr_col, ((k + 1) / 2).cast("int")).cast("double"),
+        ).when(
+            k > 0,
+            (
+                F.element_at(arr_col, (k / 2).cast("int")).cast("double")
+                + F.element_at(arr_col, (k / 2 + 1).cast("int")).cast("double")
+            )
+            / F.lit(2.0),
+        )
+
+    per_point = slopes.groupBy("_ta", "_ya").agg(
+        F.array_sort(F.collect_list("_s")).alias("_ss"),
+        F.count(F.lit(1)).alias("_k"),
+    ).select(
+        "_ta",
+        "_ya",
+        _median(F.col("_ss"), F.col("_k")).alias("_m"),
+    )
+    top = per_point.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.array_sort(F.collect_list("_m")).alias("_ms"),
+    ).select(
+        "n_points",
+        _median(F.col("_ms"), F.col("n_points")).alias("_slope"),
+    )
+    withb = per_point.crossJoin(F.broadcast(top)).select(
+        "n_points",
+        "_slope",
+        (
+            F.col("_ya").cast("double")
+            - F.col("_slope") * F.col("_ta").cast("double")
+        ).alias("_r"),
+    )
+    out = withb.groupBy("n_points", "_slope").agg(
+        F.array_sort(F.collect_list("_r")).alias("_rs"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    return out.select(
+        F.col("n_points").cast("long").alias("n_points"),
+        F.round("_slope", 9).alias("slope"),
+        F.round(_median(F.col("_rs"), F.col("_k")), 9).alias("intercept"),
+    )

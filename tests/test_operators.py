@@ -5148,3 +5148,30 @@ def test_twfe_estimator_reference(spark):
     unb = spark.createDataFrame(rows[:-1], "u string, t long, x long, y long")
     ru = twfe_estimator(unb, "u", "t", "x", "y").collect()[0]
     assert ru.balanced is False and ru.beta is None
+
+
+def test_siegel_slope_reference(spark):
+    from area_etl_spark.operators.experiments import siegel_slope
+
+    import statistics
+
+    # clean line y = 3t + 7 → exact recovery
+    clean = spark.createDataFrame(
+        [(t, 3 * t + 7) for t in range(1, 9)], "t long, y long"
+    )
+    r = siegel_slope(clean, "t", "y").collect()[0]
+    assert (r.n_points, r.slope, r.intercept) == (8, 3.0, 7.0)
+    # python replay of the repeated median on noisy data
+    rows = [(1, 10), (2, 14), (3, 11), (4, 22), (5, 24), (6, 900)]
+    df = spark.createDataFrame(rows, "t long, y long")
+    rn = siegel_slope(df, "t", "y").collect()[0]
+    per = []
+    for ti, yi in rows:
+        sl = sorted((yj - yi) / (tj - ti) for tj, yj in rows if tj != ti)
+        per.append((ti, yi, statistics.median(sl)))
+    slope = statistics.median(m for _, _, m in per)
+    inter = statistics.median(yi - slope * ti for ti, yi, _ in per)
+    assert abs(rn.slope - slope) < 1e-9
+    assert abs(rn.intercept - inter) < 1e-9
+    # 50% breakdown: corrupting 2 of 6 points barely moves it vs OLS
+    assert 2.0 < rn.slope < 5.0
