@@ -6972,6 +6972,25 @@ def q_kneser_ney(spark, sf_dir):
     return kneser_ney_bigram(docs, discount=0.75, topk=50)
 
 
+def q_eb_shrinkage(spark, sf_dir):
+    """Empirical-Bayes shrinkage of each customer's big-order rate —
+    beta-binomial prior fitted by BINNED method of moments (exact
+    integer histogram, fixed fold), posterior mean per customer."""
+    from area_etl_spark.operators.quality import eb_shrinkage
+
+    per = (
+        _tables(spark, sf_dir)["orders"]
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.sum(
+                F.when(F.col("o_totalprice") > 150000, 1).otherwise(0)
+            ).alias("x"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return eb_shrinkage(per, "cust", "x", "n", n_bins=1000)
+
+
 def q_siegel_slope(spark, sf_dir):
     """Siegel repeated-median trend of monthly revenue — the 50%-breakdown
     robust line beside theil_sen; every median exact via sorted arrays,
@@ -7719,6 +7738,7 @@ _R13_QUEUE = [
     "anderson_darling",
     "twfe_estimator",
     "siegel_slope",
+    "eb_shrinkage",
 ]
 
 # The r12 driver window: the _R12_QUEUE minus the 13 deferred keys.
@@ -8067,6 +8087,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anderson_darling": q_anderson_darling,
         "twfe_estimator": q_twfe_estimator,
         "siegel_slope": q_siegel_slope,
+        "eb_shrinkage": q_eb_shrinkage,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -13194,6 +13215,68 @@ def oracle_sql() -> dict[str, str]:
             FROM dl LEFT JOIN sp USING (doc_id) CROSS JOIN consts
             ORDER BY score DESC, doc_id
             LIMIT 20
+        """,
+        "eb_shrinkage": """
+            WITH base AS (
+                SELECT o_custkey AS k,
+                       SUM(CASE WHEN o_totalprice > 150000
+                                THEN 1 ELSE 0 END) AS x,
+                       COUNT(*) AS n
+                FROM orders GROUP BY 1
+            ), rated AS (
+                SELECT k, x, n,
+                       LEAST(999, CAST(FLOOR(CAST(x * 1000 AS DOUBLE)
+                           / CAST(n AS DOUBLE)) AS INT)) AS b
+                FROM base WHERE n > 0
+            ), hist AS (
+                SELECT b, COUNT(*) AS c FROM rated GROUP BY 1
+            ), mom AS (
+                SELECT SUM(c) AS m0,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(CAST(c AS DOUBLE)
+                                * ((CAST(b AS DOUBLE) + 0.5) / 1000.0)
+                                ORDER BY b)), (a, s) -> a + s) AS s1,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list(CAST(c AS DOUBLE)
+                                * ((CAST(b AS DOUBLE) + 0.5) / 1000.0)
+                                * ((CAST(b AS DOUBLE) + 0.5) / 1000.0)
+                                ORDER BY b)), (a, s) -> a + s) AS s2
+                FROM hist
+            ), pr AS (
+                SELECT m0,
+                       s1 / CAST(m0 AS DOUBLE) AS mean,
+                       s2 / CAST(m0 AS DOUBLE)
+                           - (s1 / CAST(m0 AS DOUBLE))
+                             * (s1 / CAST(m0 AS DOUBLE)) AS var
+                FROM mom
+            ), pri AS (
+                SELECT CASE WHEN m0 > 1 AND var > 0 AND mean > 0 AND mean < 1
+                             AND mean * (1.0 - mean) / var - 1.0 > 0
+                            THEN mean * (mean * (1.0 - mean) / var - 1.0)
+                       END AS alpha,
+                       CASE WHEN m0 > 1 AND var > 0 AND mean > 0 AND mean < 1
+                             AND mean * (1.0 - mean) / var - 1.0 > 0
+                            THEN (1.0 - mean)
+                                 * (mean * (1.0 - mean) / var - 1.0)
+                       END AS beta,
+                       CASE WHEN m0 > 0 THEN mean END AS pmean
+                FROM pr
+            ), j AS (
+                SELECT k, x, n, alpha, beta, pmean,
+                       CASE WHEN n > 0 THEN CAST(x AS DOUBLE)
+                            / CAST(n AS DOUBLE) END AS raw
+                FROM base CROSS JOIN pri
+            )
+            SELECT k AS cust,
+                   x AS successes, n AS trials,
+                   round(raw, 9) AS rate_raw,
+                   round(CASE WHEN alpha IS NOT NULL THEN
+                           (CAST(x AS DOUBLE) + alpha)
+                           / (CAST(n AS DOUBLE) + alpha + beta)
+                        ELSE COALESCE(raw, pmean) END, 9) AS rate_shrunk,
+                   round(alpha, 9) AS alpha,
+                   round(beta, 9) AS beta
+            FROM j
         """,
         "siegel_slope": """
             WITH ser AS (

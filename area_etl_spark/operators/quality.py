@@ -1587,3 +1587,100 @@ def disproportionality(
         F.round(hi, 9).alias("ror_hi"),
         signal.alias("signal"),
     )
+
+
+def eb_shrinkage(
+    df,
+    key_col: str,
+    successes_col: str,
+    trials_col: str,
+    n_bins: int = 1000,
+) -> "DataFrame":
+    """Empirical-Bayes beta-binomial shrinkage of per-item rates — the
+    standard fix for "the best-converting item has 2 trials": fit a
+    Beta(α, β) prior to the observed rate distribution by method of
+    moments, then report each item's posterior mean
+    (x + α)/(n + α + β), which pulls small-sample items toward the
+    global prior and leaves well-measured ones alone.
+
+    Determinism at scale: the prior's moments are NOT a float sum over
+    items (partition-order dependent) — rates quantize to an
+    ``n_bins``-bin integer histogram first (documented binned-MoM
+    approximation), so the mean/variance come from exact integer
+    bin counts × bin mids in one fixed fold over ≤ n_bins rows, and the
+    per-item posterior is then a single deterministic expression.
+    Items with zero trials get the prior mean.  Degenerate prior
+    (variance ≥ m(1−m), under-dispersed, or zero variance) returns
+    NULL α/β and the RAW rates — flagged via the prior columns.
+    Returns (key, successes, trials, rate_raw, rate_shrunk) plus the
+    fitted (alpha, beta) repeated on each row for audit.
+    """
+    if n_bins < 10:
+        raise ValueError(f"n_bins must be >= 10, got {n_bins}")
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(successes_col).cast("long").alias("_x"),
+        F.col(trials_col).cast("long").alias("_n"),
+    ).where(F.col(trials_col).isNotNull())
+    rated = base.where(F.col("_n") > 0).withColumn(
+        "_b",
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(F.col("_x") * F.lit(n_bins) / F.col("_n")).cast("int"),
+        ),
+    )
+    hist = rated.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    # binned MoM over ≤ n_bins rows: mid_b = (b + 0.5)/n_bins; folds in
+    # bin order so the double sums are engine-exact
+    mom = hist.agg(
+        F.sum("_c").alias("_m0"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("_b", F.col("_c").alias("_cc")))),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + s.getField("_cc").cast("double")
+            * ((s.getField("_b").cast("double") + 0.5) / F.lit(float(n_bins))),
+        ).alias("_s1"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("_b", F.col("_c").alias("_cc")))),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + s.getField("_cc").cast("double")
+            * ((s.getField("_b").cast("double") + 0.5) / F.lit(float(n_bins)))
+            * ((s.getField("_b").cast("double") + 0.5) / F.lit(float(n_bins))),
+        ).alias("_s2"),
+    )
+    m0 = F.col("_m0").cast("double")
+    mean = F.col("_s1") / m0
+    var = F.col("_s2") / m0 - mean * mean
+    common = mean * (F.lit(1.0) - mean) / var - F.lit(1.0)
+    ok = (
+        (F.col("_m0") > 1)
+        & (var > 0)
+        & (mean > 0)
+        & (mean < 1)
+        & (common > 0)
+    )
+    prior = mom.select(
+        F.when(ok, mean * common).alias("_alpha"),
+        F.when(ok, (F.lit(1.0) - mean) * common).alias("_beta"),
+        F.when(F.col("_m0") > 0, mean).alias("_pmean"),
+    )
+    j = base.crossJoin(F.broadcast(prior))
+    raw = F.when(
+        F.col("_n") > 0, F.col("_x").cast("double") / F.col("_n").cast("double")
+    )
+    shrunk = F.when(
+        F.col("_alpha").isNotNull(),
+        (F.col("_x").cast("double") + F.col("_alpha"))
+        / (F.col("_n").cast("double") + F.col("_alpha") + F.col("_beta")),
+    ).otherwise(F.coalesce(raw, F.col("_pmean")))
+    return j.select(
+        F.col("_k").alias(key_col),
+        F.col("_x").alias("successes"),
+        F.col("_n").alias("trials"),
+        F.round(raw, 9).alias("rate_raw"),
+        F.round(shrunk, 9).alias("rate_shrunk"),
+        F.round(F.col("_alpha"), 9).alias("alpha"),
+        F.round(F.col("_beta"), 9).alias("beta"),
+    )

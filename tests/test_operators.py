@@ -5175,3 +5175,49 @@ def test_siegel_slope_reference(spark):
     assert abs(rn.intercept - inter) < 1e-9
     # 50% breakdown: corrupting 2 of 6 points barely moves it vs OLS
     assert 2.0 < rn.slope < 5.0
+
+
+def test_eb_shrinkage_reference(spark):
+    from area_etl_spark.operators.quality import eb_shrinkage
+
+    rows = [
+        ("big_good", 800, 1000),
+        ("big_bad", 200, 1000),
+        ("tiny_perfect", 2, 2),
+        ("tiny_zero", 0, 2),
+        ("mid", 30, 60),
+        ("fresh", 0, 0),
+    ]
+    df = spark.createDataFrame(rows, "k string, x long, n long")
+    out = {r.k: r for r in eb_shrinkage(df, "k", "x", "n", n_bins=1000).collect()}
+    # python replay of the binned MoM prior
+    bins = []
+    for _, x, n in rows:
+        if n > 0:
+            bins.append(min(999, int(x * 1000 / n)))
+    mids = [(b + 0.5) / 1000 for b in sorted(bins)]
+    m0 = len(mids)
+    mean = sum(mids) / m0
+    var = sum(m * m for m in mids) / m0 - mean * mean
+    common = mean * (1 - mean) / var - 1
+    alpha, beta = mean * common, (1 - mean) * common
+    r = out["tiny_perfect"]
+    assert abs(r.alpha - alpha) < 1e-6 and abs(r.beta - beta) < 1e-6
+    want = (2 + alpha) / (2 + alpha + beta)
+    assert abs(r.rate_shrunk - want) < 1e-6
+    # shrinkage pulls the 2/2 item below 1.0, toward the prior mean
+    assert r.rate_raw == 1.0 and r.rate_shrunk < 0.9
+    # big samples barely move
+    big = out["big_good"]
+    assert abs(big.rate_shrunk - 0.8) < 0.05
+    # zero-trials item gets the posterior prior mean
+    fr = out["fresh"]
+    assert fr.rate_raw is None and abs(
+        fr.rate_shrunk - alpha / (alpha + beta)
+    ) < 1e-6
+    # degenerate: all rates identical → zero variance → raw rates kept
+    same = spark.createDataFrame(
+        [("a", 1, 2), ("b", 2, 4), ("c", 3, 6)], "k string, x long, n long"
+    )
+    rs = {r.k: r for r in eb_shrinkage(same, "k", "x", "n").collect()}
+    assert rs["a"].alpha is None and rs["a"].rate_shrunk == 0.5
