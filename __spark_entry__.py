@@ -6972,6 +6972,20 @@ def q_kneser_ney(spark, sf_dir):
     return kneser_ney_bigram(docs, discount=0.75, topk=50)
 
 
+def q_overdispersion_check(spark, sf_dir):
+    """Poisson overdispersion screen of daily event counts per event
+    type — dispersion ratio from exact DECIMAL sums, Cox-form z with the
+    portable tail."""
+    from area_etl_spark.operators.quality import overdispersion_check
+
+    daily = (
+        _tables(spark, sf_dir)["events"]
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return overdispersion_check(daily, "event_type", "x")
+
+
 def q_eb_shrinkage(spark, sf_dir):
     """Empirical-Bayes shrinkage of each customer's big-order rate —
     beta-binomial prior fitted by BINNED method of moments (exact
@@ -7739,6 +7753,7 @@ _R13_QUEUE = [
     "twfe_estimator",
     "siegel_slope",
     "eb_shrinkage",
+    "overdispersion_check",
 ]
 
 # The r12 driver window: the _R12_QUEUE minus the 13 deferred keys.
@@ -8088,6 +8103,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twfe_estimator": q_twfe_estimator,
         "siegel_slope": q_siegel_slope,
         "eb_shrinkage": q_eb_shrinkage,
+        "overdispersion_check": q_overdispersion_check,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -13215,6 +13231,51 @@ def oracle_sql() -> dict[str, str]:
             FROM dl LEFT JOIN sp USING (doc_id) CROSS JOIN consts
             ORDER BY score DESC, doc_id
             LIMIT 20
+        """,
+        "overdispersion_check": f"""
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS x
+                FROM events GROUP BY 1, 2
+            ), ag AS (
+                SELECT event_type, COUNT(*) AS n,
+                       SUM(CAST(x AS HUGEINT)) AS s,
+                       SUM(CAST(x AS HUGEINT) * x) AS q
+                FROM daily GROUP BY 1
+            ), st AS (
+                SELECT event_type, n,
+                       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                       CAST(n * q - s * s AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                           AS var
+                FROM ag
+            ), rr AS (
+                SELECT *,
+                       CASE WHEN n > 1 AND mean > 0 THEN var / mean END
+                           AS ratio
+                FROM st
+            ), zz AS (
+                SELECT *,
+                       CASE WHEN ratio IS NOT NULL THEN
+                           (ratio - 1.0) * sqrt(CAST(n AS DOUBLE) / 2.0)
+                       END AS z
+                FROM rr
+            ), pp AS (
+                SELECT *,
+                       CASE WHEN z IS NOT NULL THEN
+                           LEAST(1.0, 2.0 * {_normal_sf_sql("abs(z)")})
+                       END AS p
+                FROM zz
+            )
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n,
+                   round(CASE WHEN n > 0 THEN mean END, 9) AS mean,
+                   round(CASE WHEN n > 1 THEN var END, 9) AS variance,
+                   round(ratio, 9) AS dispersion,
+                   round(z, 9) AS z,
+                   round(p, 9) AS p_value,
+                   CASE WHEN p IS NOT NULL
+                        THEN p < 0.05 AND ratio > 1 END AS overdispersed
+            FROM pp
         """,
         "eb_shrinkage": """
             WITH base AS (

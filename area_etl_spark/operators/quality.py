@@ -1684,3 +1684,69 @@ def eb_shrinkage(
         F.round(F.col("_alpha"), 9).alias("alpha"),
         F.round(F.col("_beta"), 9).alias("beta"),
     )
+
+
+def overdispersion_check(
+    df,
+    group_col: str,
+    count_col: str,
+) -> "DataFrame":
+    """Poisson overdispersion screen per group — the count-data sanity
+    check before any "counts are Poisson" assumption (rate CIs, anomaly
+    thresholds): for a true Poisson, variance ≈ mean, so the dispersion
+    ratio var/mean ≈ 1; ratios well above flag clumping (bursts, bots,
+    retries) and below flag smoothing/dedup upstream.  The test statistic
+    is the standard large-n normal form z = (ratio − 1)·√(n/2)
+    (Cox 1983 score-test shape), two-sided p via the portable tail.
+
+    Exact DECIMAL (n, Σx, Σx²) per group — one map-side-combinable hash
+    aggregate; ratio/z/p are fixed-order divisions.  Returns one row per
+    group (group, n, mean, variance, dispersion, z, p_value,
+    overdispersed at p < 0.05 & ratio > 1); NULL stats when n < 2 or
+    mean = 0.
+    """
+    from area_etl_spark.operators.experiments import normal_sf_portable
+
+    dec = "decimal(38,0)"
+    agg = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.col(count_col).cast("long").alias("_x"),
+        )
+        .where(F.col(count_col).isNotNull())
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_x").cast(dec)).alias("_s"),
+            F.sum((F.col("_x").cast(dec) * F.col("_x")).cast(dec)).alias("_q"),
+        )
+    )
+    n = F.col("_n").cast("double")
+    mean = F.col("_s").cast("double") / n
+    var = (F.col("_n").cast(dec) * F.col("_q") - F.col("_s") * F.col("_s")).cast(
+        "double"
+    ) / (n * (n - F.lit(1.0)))
+    ok = (F.col("_n") > 1) & (mean > 0)
+    ratio = F.when(ok, var / mean)
+    z = F.when(ok, (ratio - F.lit(1.0)) * F.sqrt(n / F.lit(2.0)))
+    p = F.when(
+        z.isNotNull(),
+        F.least(
+            F.lit(1.0),
+            F.lit(2.0)
+            * F.when(
+                F.abs(z) >= 0, normal_sf_portable(F.abs(z))
+            ),
+        ),
+    )
+    flag = F.when(p.isNotNull(), (p < 0.05) & (ratio > 1))
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n"),
+        F.round(F.when(F.col("_n") > 0, mean), 9).alias("mean"),
+        F.round(F.when(F.col("_n") > 1, var), 9).alias("variance"),
+        F.round(ratio, 9).alias("dispersion"),
+        F.round(z, 9).alias("z"),
+        F.round(p, 9).alias("p_value"),
+        flag.alias("overdispersed"),
+    )

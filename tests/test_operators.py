@@ -5221,3 +5221,31 @@ def test_eb_shrinkage_reference(spark):
     )
     rs = {r.k: r for r in eb_shrinkage(same, "k", "x", "n").collect()}
     assert rs["a"].alpha is None and rs["a"].rate_shrunk == 0.5
+
+
+def test_overdispersion_check_reference(spark):
+    from area_etl_spark.operators.quality import overdispersion_check
+
+    import math
+
+    # clumped counts (high variance) vs near-constant counts
+    clumped = [0] * 30 + [20] * 10
+    smooth = [5, 4, 6, 5, 5, 4, 6, 5] * 5
+    rows = [("burst", v) for v in clumped] + [("steady", v) for v in smooth]
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = {r.g: r for r in overdispersion_check(df, "g", "x").collect()}
+    rb = out["burst"]
+    n = len(clumped)
+    mean = sum(clumped) / n
+    var = (n * sum(v * v for v in clumped) - sum(clumped) ** 2) / (n * (n - 1))
+    assert abs(rb.mean - mean) < 1e-9
+    assert abs(rb.variance - var) < 1e-9
+    assert abs(rb.dispersion - var / mean) < 1e-9
+    assert abs(rb.z - (var / mean - 1) * math.sqrt(n / 2)) < 1e-6
+    assert rb.overdispersed is True
+    # steady counts: dispersion ~ 0.1, never flagged
+    assert out["steady"].dispersion < 1 and out["steady"].overdispersed is False
+    # degenerate: all zeros → mean 0 → NULLs
+    zero = spark.createDataFrame([("z", 0)] * 5, "g string, x long")
+    rz = overdispersion_check(zero, "g", "x").collect()[0]
+    assert rz.dispersion is None and rz.overdispersed is None
