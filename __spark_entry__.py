@@ -6972,6 +6972,36 @@ def q_kneser_ney(spark, sf_dir):
     return kneser_ney_bigram(docs, discount=0.75, topk=50)
 
 
+def q_sbg_retention(spark, sf_dir):
+    """sBG retention projection of the first-month signup cohort's
+    monthly activity curve — closed-form two-moment Fader–Hardie fit,
+    exact product projection, observed overlay."""
+    from area_etl_spark.operators.business import sbg_retention
+
+    ev = _tables(spark, sf_dir)["events"]
+    mi = ev.select(
+        (F.year(F.col("ts")) * 12 + F.month(F.col("ts"))).alias("m"),
+        "user_id",
+    )
+    m0 = mi.agg(F.min("m").alias("m0"))
+    cohort = (
+        mi.groupBy("user_id")
+        .agg(F.min("m").alias("fm"))
+        .crossJoin(F.broadcast(m0))
+        .where(F.col("fm") == F.col("m0"))
+        .select("user_id")
+    )
+    curve = (
+        mi.join(cohort, "user_id", "left_semi")
+        .crossJoin(F.broadcast(m0))
+        .select((F.col("m") - F.col("m0")).alias("p"), "user_id")
+        .distinct()
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("active"))
+    )
+    return sbg_retention(curve, "p", "active", horizon=12)
+
+
 def q_overdispersion_check(spark, sf_dir):
     """Poisson overdispersion screen of daily event counts per event
     type — dispersion ratio from exact DECIMAL sums, Cox-form z with the
@@ -7754,6 +7784,7 @@ _R13_QUEUE = [
     "siegel_slope",
     "eb_shrinkage",
     "overdispersion_check",
+    "sbg_retention",
 ]
 
 # The r12 driver window: the _R12_QUEUE minus the 13 deferred keys.
@@ -8104,6 +8135,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "siegel_slope": q_siegel_slope,
         "eb_shrinkage": q_eb_shrinkage,
         "overdispersion_check": q_overdispersion_check,
+        "sbg_retention": q_sbg_retention,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -13231,6 +13263,68 @@ def oracle_sql() -> dict[str, str]:
             FROM dl LEFT JOIN sp USING (doc_id) CROSS JOIN consts
             ORDER BY score DESC, doc_id
             LIMIT 20
+        """,
+        "sbg_retention": """
+            WITH mi AS (
+                SELECT year(ts) * 12 + month(ts) AS m, user_id FROM events
+            ), m0 AS (
+                SELECT MIN(m) AS m0 FROM mi
+            ), cohort AS (
+                SELECT user_id FROM mi CROSS JOIN m0
+                GROUP BY user_id, m0 HAVING MIN(m) = MAX(m0)
+            ), curve AS (
+                SELECT p, COUNT(*) AS active FROM (
+                    SELECT DISTINCT mi.m - m0.m0 AS p, mi.user_id
+                    FROM mi JOIN cohort USING (user_id) CROSS JOIN m0
+                ) GROUP BY 1
+            ), piv AS (
+                SELECT
+                    SUM(CASE WHEN p = 0 THEN active END) AS n0,
+                    CAST(SUM(CASE WHEN p = 1 THEN active END) AS DOUBLE)
+                        / CAST(SUM(CASE WHEN p = 0 THEN active END) AS DOUBLE)
+                        AS s1,
+                    CAST(SUM(CASE WHEN p = 2 THEN active END) AS DOUBLE)
+                        / CAST(SUM(CASE WHEN p = 0 THEN active END) AS DOUBLE)
+                        AS s2
+                FROM curve
+            ), pri AS (
+                SELECT n0,
+                       CASE WHEN n0 IS NOT NULL AND n0 > 0
+                                 AND s1 IS NOT NULL AND s2 IS NOT NULL
+                                 AND s2 > s1 * s1 AND s1 > s2 AND s1 < 1
+                            THEN ((s1 - s2) / (s2 - s1 * s1)) * (1.0 - s1)
+                       END AS alpha,
+                       CASE WHEN n0 IS NOT NULL AND n0 > 0
+                                 AND s1 IS NOT NULL AND s2 IS NOT NULL
+                                 AND s2 > s1 * s1 AND s1 > s2 AND s1 < 1
+                            THEN s1 * ((s1 - s2) / (s2 - s1 * s1))
+                       END AS beta
+                FROM piv
+            ), grid AS (
+                SELECT DISTINCT p FROM (
+                    SELECT unnest(range(1, 13)) AS p
+                    UNION ALL SELECT p FROM curve WHERE p >= 1
+                )
+            ), j AS (
+                SELECT g.p, c.active, n0, alpha, beta
+                FROM grid g CROSS JOIN pri
+                LEFT JOIN curve c ON c.p = g.p
+            )
+            SELECT CAST(p AS BIGINT) AS period,
+                   CAST(active AS BIGINT) AS n_active,
+                   round(CASE WHEN active IS NOT NULL AND n0 > 0 THEN
+                       CAST(active AS DOUBLE) / CAST(n0 AS DOUBLE) END, 9)
+                       AS retention_obs,
+                   round(CASE WHEN alpha IS NOT NULL THEN
+                       list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+                           list_transform(range(1, CAST(p AS BIGINT) + 1),
+                               k -> CAST(k AS DOUBLE))),
+                           (acc, k) -> acc * ((beta + k - 1)
+                                              / (alpha + beta + k - 1)))
+                   END, 9) AS retention_fit,
+                   round(alpha, 9) AS alpha,
+                   round(beta, 9) AS beta
+            FROM j
         """,
         "overdispersion_check": f"""
             WITH daily AS (

@@ -632,3 +632,86 @@ def vwap_bars(
             6,
         ).alias("vwap"),
     )
+
+
+def sbg_retention(
+    df: DataFrame,
+    period_col: str,
+    active_col: str,
+    horizon: int = 24,
+) -> DataFrame:
+    """Shifted-beta-geometric (sBG) retention projection — Fader &
+    Hardie's "How to project customer retention" (2007): each customer
+    churns with a Beta(α, β)-distributed coin, which produces the
+    universally-observed flattening retention curve that a constant
+    churn rate always under-projects.
+
+    Input: the observed cohort curve (period, n_active) with period 0 =
+    the cohort size.  The TWO-MOMENT closed-form fit uses s₁ and s₂
+    (survival at periods 1, 2): with x = (s₁−s₂)/(s₂−s₁²),
+    β = s₁·x, α = x·(1−s₁) — no iterative MLE — and the projection is
+    the exact product  s_t = Π_{k=1..t} (β+k−1)/(α+β+k−1), folded in
+    ascending k (bounded by ``horizon``).  Fit is NULL (and only the
+    observed curve returned) when the moments are degenerate
+    (s₂ ≤ s₁², s₁ ≤ s₂, or missing periods 0-2).  Returns one row per
+    period 1..max(horizon, observed) with
+    (period, n_active, retention_obs, retention_fit, alpha, beta).
+    """
+    if horizon < 2:
+        raise ValueError(f"horizon must be >= 2, got {horizon}")
+    base = df.select(
+        F.col(period_col).cast("long").alias("_p"),
+        F.col(active_col).cast("long").alias("_a"),
+    ).where(F.col(period_col).isNotNull() & (F.col(period_col) >= 0))
+    piv = base.groupBy().pivot("_p", [0, 1, 2]).sum("_a")
+    fit = piv.select(
+        F.col("0").alias("_n0"),
+        (F.col("1").cast("double") / F.col("0").cast("double")).alias("_s1"),
+        (F.col("2").cast("double") / F.col("0").cast("double")).alias("_s2"),
+    )
+    s1, s2 = F.col("_s1"), F.col("_s2")
+    ok = (
+        F.col("_n0").isNotNull()
+        & (F.col("_n0") > 0)
+        & s1.isNotNull()
+        & s2.isNotNull()
+        & (s2 > s1 * s1)
+        & (s1 > s2)
+        & (s1 < 1)
+    )
+    x = (s1 - s2) / (s2 - s1 * s1)
+    prior = fit.select(
+        "_n0",
+        F.when(ok, x * (F.lit(1.0) - s1)).alias("_alpha"),
+        F.when(ok, s1 * x).alias("_beta"),
+    )
+    spark = df.sparkSession
+    periods = spark.range(1, horizon + 1).select(F.col("id").alias("_p"))
+    grid = periods.unionByName(
+        base.where(F.col("_p") >= 1).select("_p")
+    ).distinct()
+    j = grid.crossJoin(F.broadcast(prior)).join(base, "_p", "left")
+    a, b = F.col("_alpha"), F.col("_beta")
+    s_fit = F.when(
+        a.isNotNull(),
+        F.aggregate(
+            F.sequence(F.lit(1), F.col("_p").cast("int")),
+            F.lit(1.0),
+            lambda acc, k: acc
+            * ((b + k.cast("double") - 1) / (a + b + k.cast("double") - 1)),
+        ),
+    )
+    return j.select(
+        F.col("_p").cast("long").alias("period"),
+        F.col("_a").cast("long").alias("n_active"),
+        F.round(
+            F.when(
+                F.col("_a").isNotNull() & (F.col("_n0") > 0),
+                F.col("_a").cast("double") / F.col("_n0").cast("double"),
+            ),
+            9,
+        ).alias("retention_obs"),
+        F.round(s_fit, 9).alias("retention_fit"),
+        F.round(a, 9).alias("alpha"),
+        F.round(b, 9).alias("beta"),
+    )

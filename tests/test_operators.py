@@ -5249,3 +5249,32 @@ def test_overdispersion_check_reference(spark):
     zero = spark.createDataFrame([("z", 0)] * 5, "g string, x long")
     rz = overdispersion_check(zero, "g", "x").collect()[0]
     assert rz.dispersion is None and rz.overdispersed is None
+
+
+def test_sbg_retention_reference(spark):
+    from area_etl_spark.operators.business import sbg_retention
+
+    # exact sBG world with alpha=1, beta=2: s_t = 2/(t+2)
+    rows = [(0, 600), (1, 400), (2, 300), (3, 240)]
+    df = spark.createDataFrame(rows, "p long, a long")
+    out = {r.period: r for r in sbg_retention(df, "p", "a", horizon=6).collect()}
+    r1 = out[1]
+    assert abs(r1.alpha - 1.0) < 1e-9 and abs(r1.beta - 2.0) < 1e-9
+    # the fit reproduces the generating curve at every horizon period
+    for t in range(1, 7):
+        assert abs(out[t].retention_fit - 2 / (t + 2)) < 1e-9, t
+    # observed retention only where data exists
+    assert abs(out[3].retention_obs - 0.4) < 1e-9
+    assert out[5].retention_obs is None and out[5].n_active is None
+    # the sBG curve flattens: period-over-period retention RATIO rises
+    assert (out[6].retention_fit / out[5].retention_fit
+            > out[2].retention_fit / out[1].retention_fit)
+    # degenerate (constant survival → s2 = s1) → NULL fit, obs kept
+    flat = spark.createDataFrame([(0, 100), (1, 50), (2, 50)], "p long, a long")
+    rf = {r.period: r for r in sbg_retention(flat, "p", "a", horizon=3).collect()}
+    assert rf[1].alpha is None and rf[1].retention_fit is None
+    assert abs(rf[1].retention_obs - 0.5) < 1e-9
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="horizon"):
+        sbg_retention(df, "p", "a", horizon=1)
