@@ -573,3 +573,69 @@ def test_jarque_bera_shift_invariance_property(spark, vals, shift):
     if r.skewness is not None and rs.skewness is not None:
         assert abs(r.skewness - rs.skewness) < 1e-5
         assert abs(r.kurtosis - rs.kurtosis) < 1e-5
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(st.integers(-500, 500), min_size=2, max_size=18),
+    shift=st.integers(-200, 200),
+)
+def test_hodges_lehmann_shift_equivariance_property(spark, vals, shift):
+    from area_etl_spark.operators.experiments import hodges_lehmann
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    ds = spark.createDataFrame([(v + shift,) for v in vals], "v long")
+    r = hodges_lehmann(df, "v").collect()[0]
+    rs = hodges_lehmann(ds, "v").collect()[0]
+    # HL(x + c) = HL(x) + c exactly (Walsh sums shift by 2c, median by c)
+    assert abs(rs.hl_estimate - (r.hl_estimate + shift)) < 1e-9
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(-100, 100)),
+        min_size=3,
+        max_size=15,
+    ),
+    shift=st.integers(-50, 50),
+)
+def test_siegel_shift_equivariance_property(spark, rows, shift):
+    from area_etl_spark.operators.experiments import siegel_slope
+
+    dedup = {}
+    for t, y in rows:
+        dedup[t] = y
+    rows = sorted(dedup.items())
+    if len(rows) < 3:
+        return
+    df = spark.createDataFrame(rows, "t long, y long")
+    ds = spark.createDataFrame([(t, y + shift) for t, y in rows], "t long, y long")
+    r = siegel_slope(df, "t", "y").collect()[0]
+    rs = siegel_slope(ds, "t", "y").collect()[0]
+    # slopes are differences — y-shift leaves the slope alone and moves
+    # the intercept by exactly the shift
+    assert abs(rs.slope - r.slope) < 1e-9
+    assert abs(rs.intercept - (r.intercept + shift)) < 1e-6
+
+
+@settings(**SETTINGS)
+@given(
+    a=st.lists(st.integers(-100, 100), min_size=3, max_size=15),
+    b=st.lists(st.integers(-100, 100), min_size=3, max_size=15),
+)
+def test_welch_negation_antisymmetry_property(spark, a, b):
+    from area_etl_spark.operators.experiments import welch_ttest
+
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "arm string, v long")
+    neg = spark.createDataFrame(
+        [(g, -v) for g, v in rows], "arm string, v long"
+    )
+    r = welch_ttest(df, "arm", "v").collect()[0]
+    rn = welch_ttest(neg, "arm", "v").collect()[0]
+    if r.t_stat is not None and rn.t_stat is not None:
+        # negating every value flips t and keeps the Welch df and p
+        assert abs(rn.t_stat + r.t_stat) < 1e-9
+        assert abs(rn.df_welch - r.df_welch) < 1e-6
+        assert abs(rn.p_value - r.p_value) < 1e-9
