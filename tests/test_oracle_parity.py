@@ -72,21 +72,28 @@ def test_driver_window_fully_oracled():
     assert missing == []
 
 
-def test_r11_window_is_the_prescribed_rotation():
-    """VERDICT r10 item 1: the r11 window is the 23-key _R11_QUEUE (every
-    remaining never-driver-checked key, fifo_cost_basis first) + the 27
-    oldest stale greens (the 4 r2-latest + 23 of the 26 r3-latest; the 3
-    bench-exercised deferrals head _R12_QUEUE).  Assert the exact
-    composition so a stray registration can't silently displace a key from
-    the window."""
+def test_r12_window_is_the_prescribed_rotation():
+    """r12 rotation: the driver window is _R12_WINDOW — the _R12_QUEUE
+    (3 bench-headline stale greens + the never-driver-checked r11
+    registrations) minus the 13 most-property-tested r11b tail keys
+    deferred to _R13_QUEUE, with the five operators the r12 ADVICE pass
+    touched (durbin_watson, conformal_interval, ece_brier, srm_check,
+    qini_curve) all inside.  Assert the exact composition so a stray
+    registration can't silently displace a key from the window."""
     first50 = list(QUERIES)[:50]
-    assert first50 == entrymod._R11_WINDOW
+    assert first50 == entrymod._R12_WINDOW
     assert len(first50) == 50
-    assert first50[: len(entrymod._R11_QUEUE)] == entrymod._R11_QUEUE
-    assert first50[0] == "fifo_cost_basis"
-    # immediately after the window: the deferred stale keys + r11 additions
-    queued = list(QUERIES)[50 : 50 + len(entrymod._R12_QUEUE)]
-    assert queued == entrymod._R12_QUEUE
+    for fixed in (
+        "durbin_watson",
+        "conformal_interval",
+        "ece_brier",
+        "srm_check",
+        "qini_curve",
+    ):
+        assert fixed in first50, fixed
+    # immediately after the window: the 13 deferrals + the r12 additions
+    queued = list(QUERIES)[50 : 50 + len(entrymod._R13_QUEUE)]
+    assert queued == entrymod._R13_QUEUE
 
 
 def test_every_query_has_oracle_or_is_documented_rows_only():
