@@ -68,6 +68,10 @@ CORPUS = [
     # kneser_ney is the heaviest new corpus op — linear in bigram types)
     "query_likelihood",
     "kneser_ney",
+    # r12: the perplexity filter (scored-bigram-linear, the KN model's
+    # natural consumer) and the final-clustering eval (contingency form)
+    "kn_perplexity",
+    "bcubed_eval",
 ]
 
 
