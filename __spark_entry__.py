@@ -6972,6 +6972,21 @@ def q_kneser_ney(spark, sf_dir):
     return kneser_ney_bigram(docs, discount=0.75, topk=50)
 
 
+def q_language_purity(spark, sf_dir):
+    """Mixed-language detector: sentence-level heuristic lang-ID over the
+    synthetically-punctuated corpus (the split_sentences prep), per-doc
+    majority vote + purity + undetermined count."""
+    from area_etl_spark.operators.text_analysis import language_purity
+
+    d = _tables(spark, sf_dir)["documents"]
+    punct = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")),
+        r"([a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ",
+        r"$1. ",
+    )
+    return language_purity(d.select("doc_id", punct.alias("text")))
+
+
 def q_sbg_retention(spark, sf_dir):
     """sBG retention projection of the first-month signup cohort's
     monthly activity curve — closed-form two-moment Fader–Hardie fit,
@@ -7785,6 +7800,7 @@ _R13_QUEUE = [
     "eb_shrinkage",
     "overdispersion_check",
     "sbg_retention",
+    "language_purity",
 ]
 
 # The r12 driver window: the _R12_QUEUE minus the 13 deferred keys.
@@ -8136,6 +8152,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eb_shrinkage": q_eb_shrinkage,
         "overdispersion_check": q_overdispersion_check,
         "sbg_retention": q_sbg_retention,
+        "language_purity": q_language_purity,
         "psi_drift": q_psi_drift,
         "js_divergence": q_js_divergence,
         "good_turing": q_good_turing,
@@ -13263,6 +13280,45 @@ def oracle_sql() -> dict[str, str]:
             FROM dl LEFT JOIN sp USING (doc_id) CROSS JOIN consts
             ORDER BY score DESC, doc_id
             LIMIT 20
+        """,
+        "language_purity": f"""
+            WITH m AS (
+                SELECT doc_id,
+                       string_split(
+                           regexp_replace(
+                               regexp_replace(COALESCE(text, ''),
+                                   '([a-z0-9]+ [a-z0-9]+ [a-z0-9]+) ',
+                                   '\\1. ', 'g'),
+                               '([.!?]+)\\s+', '\\1' || chr(10), 'g'),
+                           chr(10)) AS sents
+                FROM documents
+            ), s AS (
+                SELECT doc_id, trim(sents[i]) AS sentence
+                FROM m, unnest(range(1, len(sents) + 1)) AS u(i)
+                WHERE trim(sents[i]) <> ''
+            ), sc AS (
+                SELECT doc_id, {_langid_sql("sentence")} AS lang FROM s
+            ), per AS (
+                SELECT doc_id, lang, COUNT(*) AS c FROM sc GROUP BY 1, 2
+            ), tot AS (
+                SELECT doc_id, SUM(c) AS ns,
+                       SUM(CASE WHEN lang = 'und' THEN c ELSE 0 END) AS nund
+                FROM per GROUP BY 1
+            ), top AS (
+                SELECT doc_id, lang, c FROM (
+                    SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY c DESC, lang ASC) AS rk
+                    FROM per
+                ) WHERE rk = 1
+            )
+            SELECT t.doc_id,
+                   CAST(ns AS BIGINT) AS n_sentences,
+                   top.lang AS majority_lang,
+                   CAST(top.c AS BIGINT) AS n_majority,
+                   round(CAST(top.c AS DOUBLE) / CAST(ns AS DOUBLE), 9)
+                       AS purity,
+                   CAST(nund AS BIGINT) AS n_und
+            FROM tot t JOIN top USING (doc_id)
         """,
         "sbg_retention": """
             WITH mi AS (

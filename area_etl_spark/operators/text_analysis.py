@@ -1416,3 +1416,64 @@ def kn_perplexity(
         F.round(avg, 9).alias("avg_logprob"),
         F.round(F.exp(-avg), 6).alias("perplexity"),
     )
+
+
+def language_purity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mixed-language document detector — the multilingual-corpus QA
+    gate a DOC-level language ID misses: a page that is 60% English and
+    40% unmarked German gets one confident 'en' label and quietly
+    poisons the en bucket.  Sentence-level heuristic ID
+    (:func:`language_id` over :func:`split_sentences` rows) → per-doc
+    majority vote and purity = majority sentences / all sentences, with
+    the undetermined ('und') count surfaced separately.
+
+    Majority ties break (count desc, lang asc) via a PARTITIONED rank
+    window; every count exact.  Same regex-tier caveats as the
+    underlying heuristics, documented there.  Returns one row per doc
+    with ≥1 sentence: (id, n_sentences, majority_lang, n_majority,
+    purity, n_und).
+    """
+    from pyspark.sql import Window
+
+    from area_etl_spark.operators.chunking import split_sentences
+
+    sents = split_sentences(df, text_col, id_col)
+    scored = sents.select(
+        F.col(id_col), language_id(F.col("sentence")).alias("_lang")
+    )
+    per = scored.groupBy(id_col, "_lang").agg(F.count(F.lit(1)).alias("_c"))
+    tot = per.groupBy(id_col).agg(
+        F.sum("_c").alias("n_sentences"),
+        F.sum(
+            F.when(F.col("_lang") == "und", F.col("_c")).otherwise(F.lit(0))
+        ).alias("n_und"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_c").desc(), F.col("_lang").asc()
+    )
+    top = (
+        per.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col(id_col),
+            F.col("_lang").alias("majority_lang"),
+            F.col("_c").alias("n_majority"),
+        )
+    )
+    j = tot.join(top, id_col)
+    return j.select(
+        F.col(id_col),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        F.col("majority_lang"),
+        F.col("n_majority").cast("long").alias("n_majority"),
+        F.round(
+            F.col("n_majority").cast("double")
+            / F.col("n_sentences").cast("double"),
+            9,
+        ).alias("purity"),
+        F.col("n_und").cast("long").alias("n_und"),
+    )

@@ -563,3 +563,28 @@ def test_kn_perplexity_reference(spark):
     assert abs(r2.avg_logprob - want2) < 1e-9
     # gibberish scores strictly worse (higher perplexity) than in-domain
     assert r2.perplexity > r.perplexity
+
+
+def test_language_purity_reference(spark):
+    from area_etl_spark.operators.text_analysis import language_purity
+
+    mixed = (
+        "the cat is on the mat and it is a good day. "
+        "der hund ist ein und das ist von den. "
+        "the dog was that for with not are this."
+    )
+    pure = "el perro es un gato y la casa es para que."
+    df = spark.createDataFrame(
+        [(1, mixed), (2, pure), (3, "zz qq ww.")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in language_purity(df).collect()}
+    r1 = out[1]
+    # three sentences: en, de, en → majority en with purity 2/3
+    assert (r1.n_sentences, r1.majority_lang, r1.n_majority) == (3, "en", 2)
+    assert abs(r1.purity - 2 / 3) < 1e-9
+    assert r1.n_und == 0
+    r2 = out[2]
+    assert (r2.majority_lang, r2.purity) == ("es", 1.0)
+    # stopword-free gibberish is undetermined
+    r3 = out[3]
+    assert (r3.majority_lang, r3.n_und) == ("und", 1)
