@@ -4506,6 +4506,88 @@ def q_parse_money(spark, sf_dir):
     ).select("o_orderkey", "style", parse_money("raw"))
 
 
+# Italian national holiday calendar over the TPC-H date range (orders span
+# 1992-01-01..1998-08-02, spans reach +59 days): the 10 fixed national
+# holidays per year plus the movable Easter Mondays (Pasquetta; Gregorian
+# computus dates, public knowledge).  The modern calendar is applied
+# uniformly — the pre-2001 history of the June 2 observance is out of
+# scope for the demo.  Used by BOTH q_business_days_holidays and its
+# oracle so the two sides share one literal dimension.
+_EASTER_MONDAYS = [
+    "1992-04-20", "1993-04-12", "1994-04-04", "1995-04-17",
+    "1996-04-08", "1997-03-31", "1998-04-13",
+]
+_IT_FIXED_HOLIDAYS = [
+    "01-01", "01-06", "04-25", "05-01", "06-02",
+    "08-15", "11-01", "12-08", "12-25", "12-26",
+]
+
+
+def _italian_holidays() -> list[str]:
+    return sorted(
+        [f"{y}-{md}" for y in range(1992, 1999) for md in _IT_FIXED_HOLIDAYS]
+        + _EASTER_MONDAYS
+    )
+
+
+def q_business_days_holidays(spark, sf_dir):
+    """Holiday-calendar SLA tier (VERDICT r12 item 5): weekday count in
+    [orderdate, orderdate + k) minus Italian public holidays falling on
+    weekdays — the reference's public-sector deadline arithmetic
+    (is_open_only_on_business_days, ref src/core.py:1493; AUAC
+    expiration_date, ref src/auac.py:241).  The calendar ships as a plan
+    literal (the degenerate broadcast dimension — no join, no shuffle);
+    the oracle recounts INDEPENDENTLY day-by-day with generate_series +
+    isodow + list_contains."""
+    from area_etl_spark.functions.transforms import business_days_between_holidays
+
+    o = _tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("start_day"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"), (F.col("o_orderkey") % 60).cast("int")
+        ).alias("end_day"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.col("start_day").cast("timestamp").alias("start_day"),
+        F.col("end_day").cast("timestamp").alias("end_day"),
+        business_days_between_holidays(
+            "start_day", "end_day", _italian_holidays()
+        ).alias("business_days"),
+    )
+
+
+def q_html_main_text(spark, sf_dir):
+    """DOM-tier main-text extraction (VERDICT r12 item 7) over a synthetic
+    page wrapped around each document: nav/header/cookie/share/footer
+    boilerplate planted around the prose, html.parser mapInPandas tier
+    extracts it back out.  Because the corpus text is '<&>'-free and
+    single-level, the EXPECTED output is closed-form — title, heading
+    block + prose block (prose kept iff ≥ 25 non-ws chars) — so the
+    Python-worker tier gets a FULL value oracle, not rows-only; the
+    boilerplate-judgment paths are pytest-covered on crafted pages
+    (tests/test_cleaning.py)."""
+    from area_etl_spark.operators.cleaning import extract_main_text
+
+    d = _tables(spark, sf_dir)["documents"]
+    did = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit("</title><style>p{color:red}</style></head><body>"
+              "<nav class='nav'>Home | About | <a href='/'>Contact</a></nav>"
+              "<header><h1>Site Banner</h1></header>"
+              "<div class='cookie-banner'>We use cookies.</div>"
+              "<article><h2>Doc "), did, F.lit("</h2><p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p></article><div id='social-share'>Share this everywhere</div>"
+              "<footer>All rights reserved.</footer></body></html>"),
+    )
+    return extract_main_text(
+        d.select("doc_id", page.alias("html")), "html", "doc_id"
+    )
+
+
 def q_business_days(spark, sf_dir):
     """SLA working-day arithmetic: weekday count in [orderdate,
     orderdate + k) per order via the closed-form full-weeks + bounded
@@ -7156,8 +7238,12 @@ def q_seasonal_decompose(spark, sf_dir):
     from area_etl_spark.operators.windows import seasonal_decompose_classical
 
     o = _tables(spark, sf_dir)["orders"]
+    # Timestamp (not date) month grain: the driver's hash is dtype-sensitive
+    # and Spark DATE -> pandas object vs DuckDB DATE -> datetime64 breaks it;
+    # date_trunc's TIMESTAMP matches both sides (the monthly_revenue_rollup
+    # recipe).
     monthly = o.groupBy(
-        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("month")
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
     ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"))
     return seasonal_decompose_classical(monthly, [], ["month"], "rev", 12)
 
@@ -7170,8 +7256,10 @@ def q_rsi_cutler(spark, sf_dir):
     from area_etl_spark.operators.windows import rsi_cutler
 
     o = _tables(spark, sf_dir)["orders"]
+    # Timestamp day grain for the dtype-sensitive driver hash (see
+    # q_seasonal_decompose).
     daily = o.groupBy(
-        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+        "o_orderpriority", F.col("o_orderdate").cast("timestamp").alias("day")
     ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"))
     return rsi_cutler(daily, ["o_orderpriority"], ["day"], "rev", 14)
 
@@ -7183,8 +7271,10 @@ def q_bollinger_bands(spark, sf_dir):
     from area_etl_spark.operators.windows import bollinger_bands
 
     o = _tables(spark, sf_dir)["orders"]
+    # Timestamp day grain for the dtype-sensitive driver hash (see
+    # q_seasonal_decompose).
     daily = o.groupBy(
-        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+        "o_orderpriority", F.col("o_orderdate").cast("timestamp").alias("day")
     ).agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev"))
     return bollinger_bands(daily, ["o_orderpriority"], ["day"], "rev", 20, 2.0)
 
@@ -7426,7 +7516,13 @@ def q_adamic_adar(spark, sf_dir):
     """Adamic–Adar + resource-allocation link prediction over the same
     user↔item bipartite graph as link_prediction — each shared neighbor
     weighted down by its degree (1/ln deg, 1/deg), weight sums folded in
-    sorted middle order.  Item-item side kept."""
+    sorted middle order.  Item-item side kept.
+
+    The checked shape IS the scale-safe shape (VERDICT r12 item 3): the
+    wedge join is O(Σ deg(m)²), so hub middles above ``max_middle_degree``
+    (the operator's default 1000 — 'everyone bought the bestseller'
+    stopword nodes) are excluded from wedge generation with a documented
+    recall tradeoff; the oracle mirrors the cap."""
     from area_etl_spark.operators.graph import adamic_adar_scores
 
     ev = _tables(spark, sf_dir)["events"]
@@ -7434,7 +7530,7 @@ def q_adamic_adar(spark, sf_dir):
         F.col("user_id").alias("src"),
         (F.lit(10_000_000) + F.col("event_id") % 500).alias("dst"),
     ).distinct()
-    scored = adamic_adar_scores(edges, min_common=2, max_middle_degree=100000)
+    scored = adamic_adar_scores(edges, min_common=2, max_middle_degree=1000)
     return scored.where(F.col("u") >= 10_000_000)
 
 
@@ -7807,6 +7903,23 @@ _R13_QUEUE = [
 _R12_WINDOW = [k for k in _R12_QUEUE if k not in set(_R13_QUEUE)]
 assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
 
+# r13 regression slots: the four r12 dtype hash-fails, re-sampled FIRST this
+# round after the timestamp/BIGINT parity fixes (VERDICT r12 item 1; the
+# fifth latent break, eb_shrinkage, already sits inside _R13_QUEUE).
+_R13_REGRESSION = [
+    "seasonal_decompose",
+    "rsi_cutler",
+    "bollinger_bands",
+    "haar_transform",
+]
+
+# New r13 registrations (appended as they land; the window is
+# _R13_REGRESSION + _R13_QUEUE + _R13_NEW, padded from _R12_WINDOW).
+_R13_NEW = [
+    "business_days_holidays",
+    "html_main_text",
+]
+
 # Historical r9 window (kept for the rotation audit trail; every key in it
 # now holds a driver CORRECTNESS_r09 row).
 _R9_WINDOW = [
@@ -7867,14 +7980,15 @@ _R9_WINDOW = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered operators, reordered so the driver's 50-slot correctness
-    window (the FIRST 50 entries) is exactly the round-12 rotation:
-    _R12_WINDOW (3 r3-stale bench-headline greens + the oldest 47 of the
-    never-driver-checked r11 registrations, with the five operators the
-    r12 ADVICE pass touched pulled in), then _R13_QUEUE (the 13-key
-    overflow + r12 registrations), then the already-driver-green keys in
-    their original registration order."""
+    window (the FIRST 50 entries) is exactly the round-13 rotation
+    (VERDICT r12 items 1–2): the four r12 dtype hash-fails re-sampled after
+    their parity fixes, then the 40-key _R13_QUEUE (13 r11b deferrals + 27
+    r12 registrations, none yet driver-sampled), then new r13 registrations,
+    padded from the freshly-green _R12_WINDOW; already-driver-green keys
+    follow in their original registration order."""
     reg = _queries_registry()
-    ordered = [*_R12_WINDOW, *_R13_QUEUE, *_R11_WINDOW]
+    ordered = [*_R13_REGRESSION, *_R13_QUEUE, *_R13_NEW, *_R12_WINDOW,
+               *_R11_WINDOW]
     seen = set(ordered)
     missing = [k for k in ordered if k not in reg]
     assert not missing, f"window/queue keys not registered: {missing}"
@@ -8024,6 +8138,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_sentences": q_split_sentences,
         "parse_money": q_parse_money,
         "business_days": q_business_days,
+        "business_days_holidays": q_business_days_holidays,
+        "html_main_text": q_html_main_text,
         "score_linear": q_score_linear,
         "jl_project": q_jl_project,
         "standardized_rates": q_standardized_rates,
@@ -11795,7 +11911,7 @@ def oracle_sql() -> dict[str, str]:
             ), mids AS (
                 SELECT s.b AS m, s.a AS n
                 FROM sym s JOIN deg ON deg.a = s.b
-                WHERE deg.d <= 100000
+                WHERE deg.d <= 1000
             ), wedges AS (
                 SELECT x.n AS u, y.n AS v, x.m, deg.d AS mdeg
                 FROM mids x JOIN mids y USING (m)
@@ -12634,7 +12750,8 @@ def oracle_sql() -> dict[str, str]:
         "haar_transform": """
             WITH m AS (
                 SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-                       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+                       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS rev
                 FROM orders GROUP BY 1
             ), s0 AS (
                 SELECT ROW_NUMBER() OVER (ORDER BY month) - 1 AS idx, rev AS val
@@ -13430,8 +13547,8 @@ def oracle_sql() -> dict[str, str]:
         "eb_shrinkage": """
             WITH base AS (
                 SELECT o_custkey AS k,
-                       SUM(CASE WHEN o_totalprice > 150000
-                                THEN 1 ELSE 0 END) AS x,
+                       CAST(SUM(CASE WHEN o_totalprice > 150000
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS x,
                        COUNT(*) AS n
                 FROM orders GROUP BY 1
             ), rated AS (
@@ -13777,8 +13894,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "seasonal_decompose": """
             WITH m AS (
-                SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-                       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+                SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS rev
                 FROM orders GROUP BY 1
             ), st AS (
                 SELECT month, rev,
@@ -13826,8 +13944,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rsi_cutler": """
             WITH d AS (
-                SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
-                       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+                SELECT o_orderpriority, CAST(o_orderdate AS TIMESTAMP) AS day,
+                       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS rev
                 FROM orders GROUP BY 1, 2
             ), g AS (
                 SELECT o_orderpriority, day, rev,
@@ -13859,8 +13978,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bollinger_bands": """
             WITH d AS (
-                SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
-                       SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+                SELECT o_orderpriority, CAST(o_orderdate AS TIMESTAMP) AS day,
+                       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS rev
                 FROM orders GROUP BY 1, 2
             ), s AS (
                 SELECT o_orderpriority, day, rev,
@@ -14933,6 +15053,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    CAST(o_orderkey % 4 AS INT) AS style,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        """,
+        "html_main_text": """
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g'))
+                           AS norm
+                FROM documents
+            ), k AS (
+                SELECT doc_id, norm,
+                       length(replace(norm, ' ', '')) AS nws
+                FROM n
+            )
+            SELECT doc_id AS id,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   CASE WHEN nws >= 25
+                        THEN 'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || norm
+                        ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS main_text,
+                   CAST(CASE WHEN nws >= 25 THEN 2 ELSE 1 END AS INTEGER)
+                       AS n_blocks_kept,
+                   CAST(CASE WHEN nws >= 25 OR nws = 0 THEN 0 ELSE 1 END
+                        AS INTEGER) AS n_blocks_dropped,
+                   true AS parse_ok
+            FROM k
+        """,
+        "business_days_holidays": f"""
+            SELECT o_orderkey,
+                   CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS start_day,
+                   CAST(CAST(o_orderdate AS DATE)
+                        + CAST(o_orderkey % 60 AS INTEGER) AS TIMESTAMP) AS end_day,
+                   CAST((SELECT COUNT(*) FROM unnest(range(0, o_orderkey % 60)) AS v(i)
+                         WHERE isodow(CAST(o_orderdate AS DATE)
+                                      + CAST(i AS INTEGER)) <= 5
+                           AND NOT list_contains(
+                                   CAST({_italian_holidays()!r} AS DATE[]),
+                                   CAST(o_orderdate AS DATE) + CAST(i AS INTEGER)))
+                        AS BIGINT) AS business_days
             FROM orders
         """,
         "business_days": """

@@ -300,6 +300,46 @@ def business_days_between(start_col: str | Column, end_col: str | Column) -> Col
     ).cast("long")
 
 
+def business_days_between_holidays(
+    start_col: str | Column,
+    end_col: str | Column,
+    holidays: list[str],
+) -> Column:
+    """Holiday-calendar tier above :func:`business_days_between` — working
+    days in [start, end) with both weekends AND public holidays excluded
+    (the reference's business-day semantics serve Italian public-sector
+    deadline arithmetic: ``is_open_only_on_business_days``,
+    ref src/core.py:1493, against AUAC ``expiration_date``,
+    ref src/auac.py:241).
+
+    Shape: the closed-form weekday count minus the holiday-weekday count.
+    A national calendar is tiny (tens of rows/year), so it ships as a
+    LITERAL array inside the plan — the degenerate broadcast dimension:
+    no join, no shuffle, one bounded O(|holidays|) fold per row, entirely
+    whole-stage-codegen.  Weekend holidays are dropped DRIVER-side (they
+    are already excluded by the weekday count; subtracting them twice
+    would undercount), so the runtime fold touches only weekday holidays.
+    Negative spans return 0, matching the base operator.
+    """
+    import datetime as _dt
+
+    s = _as_col(start_col).cast("date")
+    e = _as_col(end_col).cast("date")
+    base = business_days_between(s, e)
+    weekday_holidays = sorted(
+        {d for d in holidays if _dt.date.fromisoformat(d).weekday() < 5}
+    )
+    if not weekday_holidays:
+        return base
+    arr = F.array(*[F.to_date(F.lit(d)) for d in weekday_holidays])
+    hol_in = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, h: acc + F.when((h >= s) & (h < e), 1).otherwise(0),
+    )
+    return (base - hol_in).cast("long")
+
+
 MASK_MODES = ("full", "partial", "hash", "null")
 
 

@@ -190,3 +190,205 @@ def strip_html(df: DataFrame, text_col: str, out_col: str = "clean_text") -> Dat
         c = F.replace(c, F.lit(src), F.lit(dst))
     c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return df.withColumn(out_col, c)
+
+
+# --- DOM-tier main-text extraction (the Python-worker tier above strip_html) -
+
+# Subtrees whose TEXT is never prose, dropped with their contents.  <head>
+# itself is NOT skipped: <title> must stay reachable (it routes to the
+# title channel, never into blocks) and its other children are void tags
+# or separately-skipped script/style.
+_DOM_SKIP_TAGS = frozenset(
+    "script style noscript template svg nav header footer aside form "
+    "button iframe select option label".split()
+)
+# Void elements: no close tag, never pushed on the stack.
+_DOM_VOID_TAGS = frozenset(
+    "br img hr meta link input area base col embed source track wbr".split()
+)
+# Block-level boundaries: opening/closing one flushes the current text block.
+_DOM_BLOCK_TAGS = frozenset(
+    "p div article section main li ul ol h1 h2 h3 h4 h5 h6 td th tr table "
+    "blockquote pre figure figcaption body".split()
+)
+_DOM_HEADING_TAGS = frozenset("h1 h2 h3 h4 h5 h6".split())
+# class/id/role markers of classic boilerplate containers.
+_DOM_BOILER_MARKERS = (
+    "nav", "menu", "footer", "header", "sidebar", "side-bar", "comment",
+    "comments", "share", "social", "banner", "cookie", "breadcrumb",
+    "widget", "promo", "advert", "ad", "ads", "sponsor", "related",
+)
+
+MAIN_TEXT_SCHEMA = (
+    "id long, title string, main_text string, "
+    "n_blocks_kept int, n_blocks_dropped int, parse_ok boolean"
+)
+
+
+def _dom_is_boiler(attrs) -> bool:
+    import re as _re
+
+    marker = " ".join(
+        v for k, v in attrs if v and k in ("class", "id", "role")
+    )
+    if not marker:
+        return False
+    toks = _re.split(r"[^a-z0-9]+", marker.lower())
+    return any(t in _DOM_BOILER_MARKERS for t in toks)
+
+
+def extract_main_text(
+    df: DataFrame,
+    html_col: str,
+    id_col: str = "doc_id",
+    min_chars: int = 25,
+    max_link_density: float = 0.4,
+) -> DataFrame:
+    """DOM-tier main-text extraction — the Python-worker tier the crawl
+    funnel's own strip_html docstring promises above the regex chain
+    (trafilatura-class semantics re-derived on the stdlib, no vendored
+    code): parse the page with ``html.parser``, drop non-prose subtrees
+    (script/style/nav/header/footer/aside/form + containers whose
+    class/id/role tokens match the classic boilerplate markers), split the
+    remainder into BLOCK-level text units, and keep a block iff it has
+    ≥ ``min_chars`` non-whitespace characters (headings need only 3 — a
+    short <h2> is structure, not boilerplate) and link density
+    ≤ ``max_link_density`` (anchor chars / total chars — the boilerpipe
+    signal: link lists are navigation).  Kept blocks re-join with single
+    newlines in document order.
+
+    Distributed shape: Arrow-batched ``mapInPandas`` — ONE Python worker
+    pass, no shuffle, output one row per input row.  The parser is the
+    stdlib's tolerant non-raising HTMLParser; rows whose parse still
+    raises surface as parse_ok = false with empty text (quarantine
+    convention, nothing dropped silently).  Batch memory is bounded by
+    Arrow's maxRecordsPerBatch exactly as in operators/multimodal.py.
+    Returns (id, title, main_text, n_blocks_kept, n_blocks_dropped,
+    parse_ok).
+    """
+    from html.parser import HTMLParser
+
+    min_chars_i = int(min_chars)
+    max_ld = float(max_link_density)
+
+    class _MainText(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.blocks: list[tuple[str, int, int, bool]] = []
+            self.title_parts: list[str] = []
+            self._buf: list[str] = []
+            self._buf_link = 0
+            self._buf_total = 0
+            self._skip = 0
+            self._a_depth = 0
+            self._heading = 0
+            self._in_title = False
+            self._stack: list[tuple[str, bool]] = []
+
+        def _flush(self) -> None:
+            text = " ".join("".join(self._buf).split())
+            if text:
+                self.blocks.append(
+                    (text, self._buf_link, self._buf_total, self._heading > 0)
+                )
+            self._buf, self._buf_link, self._buf_total = [], 0, 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _DOM_VOID_TAGS:
+                if tag == "br" and not self._skip:
+                    self._buf.append(" ")
+                return
+            skip_here = tag in _DOM_SKIP_TAGS or _dom_is_boiler(attrs)
+            if tag in _DOM_BLOCK_TAGS and not self._skip:
+                self._flush()
+            self._stack.append((tag, skip_here))
+            if skip_here:
+                self._skip += 1
+                return
+            if tag == "a":
+                self._a_depth += 1
+            elif tag == "title":
+                self._in_title = True
+            elif tag in _DOM_HEADING_TAGS:
+                self._heading += 1
+
+        def handle_endtag(self, tag):
+            if tag in _DOM_VOID_TAGS:
+                return
+            if all(t != tag for t, _ in self._stack):
+                return  # stray close tag: tolerate
+            while self._stack:
+                t, skipped = self._stack.pop()
+                if skipped:
+                    self._skip = max(0, self._skip - 1)
+                else:
+                    # flush BEFORE clearing the heading flag so a closing
+                    # <h2> block still carries is_heading
+                    if t in _DOM_BLOCK_TAGS and not self._skip:
+                        self._flush()
+                    if t == "a":
+                        self._a_depth = max(0, self._a_depth - 1)
+                    elif t == "title":
+                        self._in_title = False
+                    elif t in _DOM_HEADING_TAGS:
+                        self._heading = max(0, self._heading - 1)
+                if t == tag:
+                    break
+
+        def handle_data(self, data):
+            if self._skip or not data:
+                return
+            if self._in_title:
+                self.title_parts.append(data)
+                return
+            self._buf.append(data)
+            n = sum(1 for ch in data if not ch.isspace())
+            self._buf_total += n
+            if self._a_depth > 0:
+                self._buf_link += n
+
+    def _extract_one(html: str) -> tuple[str, str, int, int, bool]:
+        try:
+            p = _MainText()
+            p.feed(html or "")
+            p.close()
+            p._flush()
+        except Exception:
+            return "", "", 0, 0, False
+        kept: list[str] = []
+        dropped = 0
+        for text, link, total, is_heading in p.blocks:
+            floor = 3 if is_heading else min_chars_i
+            ld = (link / total) if total else 0.0
+            if total >= floor and ld <= max_ld:
+                kept.append(text)
+            else:
+                dropped += 1
+        title = " ".join("".join(p.title_parts).split())
+        return title, "\n".join(kept), len(kept), dropped, True
+
+    def _batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [_extract_one(h) for h in pdf["_html"]]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["_id"].astype("int64"),
+                    "title": [r[0] for r in rows],
+                    "main_text": [r[1] for r in rows],
+                    "n_blocks_kept": pd.Series(
+                        [r[2] for r in rows], dtype="int32"
+                    ),
+                    "n_blocks_dropped": pd.Series(
+                        [r[3] for r in rows], dtype="int32"
+                    ),
+                    "parse_ok": [r[4] for r in rows],
+                }
+            )
+
+    narrow = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.coalesce(F.col(html_col), F.lit("")).alias("_html"),
+    )
+    return narrow.mapInPandas(_batches, schema=MAIN_TEXT_SCHEMA)

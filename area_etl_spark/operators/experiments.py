@@ -3186,8 +3186,12 @@ def srm_check(
     counts = df.groupBy(F.col(arm_col).cast("string").alias("_a")).agg(
         F.count(F.lit(1)).alias("_o")
     )
+    # keys stringified explicitly: integer-keyed designs ({1: 50, 2: 50})
+    # must keep working with the cast-to-string arm comparison — a raw int
+    # against the '_a string' schema would TypeError at plan time.
     design = df.sparkSession.createDataFrame(
-        [(a, int(w)) for a, w in sorted(expected.items())], "_a string, _w int"
+        sorted(((str(a), int(w)) for a, w in expected.items())),
+        "_a string, _w int",
     )
     # full-outer against the design: a designed-but-unobserved arm becomes
     # an o = 0 row (alarm fuel), an observed-but-undesigned arm a w = 0 row
@@ -3703,7 +3707,12 @@ def mann_kendall(
     the final /18, √ and the portable normal tail.  The pair join is
     O(n²/2) on the SERIES grain — the theil_sen bounded-group contract
     (aggregate to daily/bucket first; see theil_sen_bounded for the
-    windowed form at scale).  Returns one row
+    windowed form at scale).  Input contract (same as theil_sen_slope):
+    ONE observation per ``order_col`` value — pairs with tied order
+    values are excluded from S by the strict ``<`` join while their rows
+    still count in n and Var(S), so duplicate timestamps make the
+    statistic and its variance cover inconsistent populations; aggregate
+    duplicate times to the series grain first.  Returns one row
     (n, s_stat, var_s, z, p_value, trend) with trend ∈
     {'increasing','decreasing','no_trend'} at the 0.05 level; z and p are
     NULL when Var(S) = 0 (all values tied) or n < 2.
@@ -3938,12 +3947,17 @@ def group_sequential_looks(
     the batched-look industry form.
 
     Counts are exact integers per (look, arm) with cumulative sums over
-    the look order; the pooled two-proportion z is one closed form per
-    look; arms are min/max of the arm strings (the welch_ttest
-    convention).  K must be ≤ 10 (the table's range).  Returns one row
-    per look (look, info_frac, n_a, n_b, x_a, x_b, z_obs, obf_bound,
-    pocock_bound, cross_obf, cross_pocock); z is NULL where the pooled
-    variance is zero.
+    the look order, built on the FULL looks×arms grid (zero-filled) so a
+    look where one arm logged no rows still appears with its carried-
+    forward cumulative counts instead of silently vanishing; the pooled
+    two-proportion z is one closed form per look; arms are min/max of
+    the arm strings (the welch_ttest convention), and with ≠ 2 distinct
+    arms the z and both bounds are NULL (the welch_ttest-style guard —
+    comparing min/max of three arms while counting every arm's rows
+    would inflate every boundary).  K must be ≤ 10 (the table's range).
+    Returns one row per look (look, info_frac, n_a, n_b, x_a, x_b,
+    z_obs, obf_bound, pocock_bound, cross_obf, cross_pocock); z is NULL
+    where the pooled variance is zero.
     """
     dec = "decimal(38,0)"
     base = df.select(
@@ -3956,18 +3970,36 @@ def group_sequential_looks(
     )
     from pyspark.sql import Window
 
+    # Full looks×arms grid: a (look, arm) pair with no input rows gets
+    # (0, 0), so the cumulative series carries forward and the look-level
+    # inner joins below cannot drop a look.
+    grid = (
+        per.select("_lk").distinct()
+        .crossJoin(F.broadcast(per.select("_a").distinct()))
+        .join(per, ["_lk", "_a"], "left")
+        .select(
+            "_lk",
+            "_a",
+            F.coalesce("_n", F.lit(0)).alias("_n"),
+            F.coalesce("_s", F.lit(0)).alias("_s"),
+        )
+    )
     wcum = (
         Window.partitionBy("_a")
         .orderBy("_lk")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = per.select(
+    cum = grid.select(
         "_lk",
         "_a",
         F.sum("_n").over(wcum).alias("_cn"),
         F.sum("_s").over(wcum).alias("_cs"),
     )
-    arms = per.agg(F.min("_a").alias("_arm_a"), F.max("_a").alias("_arm_b"))
+    arms = per.agg(
+        F.min("_a").alias("_arm_a"),
+        F.max("_a").alias("_arm_b"),
+        F.countDistinct("_a").alias("_n_arms"),
+    )
     a_side = cum.select(
         F.col("_lk").alias("_lka"),
         F.col("_a").alias("_aa"),
@@ -3996,21 +4028,29 @@ def group_sequential_looks(
     ktot = per.select("_lk").distinct().agg(
         F.count(F.lit(1)).alias("_k"),
     )
-    ntot = base.agg(F.count(F.lit(1)).alias("_ntot"))
+    # Information-fraction denominator: rows of the two SELECTED arms only
+    # (with >2 arms the extra arms' rows would keep info_frac < 1 at the
+    # final look and inflate the OBF boundary everywhere).
+    ntot = (
+        per.crossJoin(F.broadcast(arms))
+        .where((F.col("_a") == F.col("_arm_a")) | (F.col("_a") == F.col("_arm_b")))
+        .agg(F.sum("_n").alias("_ntot"))
+    )
     j = looks.crossJoin(F.broadcast(ktot)).crossJoin(F.broadcast(ntot))
+    two_arms = F.col("_n_arms") == 2
     na, nb = F.col("_na").cast("double"), F.col("_nb").cast("double")
     xa, xb = F.col("_xa").cast("double"), F.col("_xb").cast("double")
     pa, pb = xa / na, xb / nb
     pp = (xa + xb) / (na + nb)
     se2 = pp * (F.lit(1.0) - pp) * (F.lit(1.0) / na + F.lit(1.0) / nb)
-    z = F.when((na > 0) & (nb > 0) & (se2 > 0), (pa - pb) / F.sqrt(se2))
+    z = F.when(two_arms & (na > 0) & (nb > 0) & (se2 > 0), (pa - pb) / F.sqrt(se2))
     t = (F.col("_na") + F.col("_nb")).cast("double") / F.col("_ntot").cast("double")
     obf_c = F.element_at(F.array(*[F.lit(c) for c in _OBF_C]), F.col("_k").cast("int"))
     poc_c = F.element_at(
         F.array(*[F.lit(c) for c in _POCOCK_C]), F.col("_k").cast("int")
     )
-    obf = F.when(F.col("_k") <= 10, obf_c / F.sqrt(t))
-    poc = F.when(F.col("_k") <= 10, poc_c)
+    obf = F.when(two_arms & (F.col("_k") <= 10), obf_c / F.sqrt(t))
+    poc = F.when(two_arms & (F.col("_k") <= 10), poc_c)
     return j.select(
         F.col("_lk").alias("look"),
         F.round(t, 9).alias("info_frac"),

@@ -758,13 +758,360 @@ def jpeg_decode_pixels(payload: bytes):
         return None
 
 
+def _jpeg_ac_refine_block(bits, act, coefs, ss, se, al, eobrun):
+    """AC successive-approximation refinement for ONE block (T.81 G.1.2.3,
+    re-derived): newly-nonzero coefficients arrive as (run, ±1<<al) symbols
+    where the run counts ZERO-HISTORY positions only, and every
+    already-nonzero coefficient consumes one correction bit as the cursor
+    passes it; a block inside an EOB run still consumes correction bits
+    for its nonzero coefficients.  Returns the remaining eobrun."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _jpeg_huffman_decode(bits, act)
+            run, sz = rs >> 4, rs & 0x0F
+            val = 0
+            if sz == 0:
+                if run != 15:  # EOBn: run-length of all-done blocks
+                    # full count INCLUDING this block — the tail below must
+                    # still refine this block's remaining coefficients
+                    # before decrementing
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += bits.read_bits(run)
+                    break
+                # ZRL: pass 16 zero-history positions
+            else:
+                if sz != 1:
+                    raise ValueError("refinement size != 1")
+                val = p1 if bits.read_bit() else -p1
+            while k <= se:
+                if coefs[k] != 0:
+                    if bits.read_bit() and (abs(coefs[k]) & p1) == 0:
+                        coefs[k] += p1 if coefs[k] > 0 else -p1
+                else:
+                    if run == 0:
+                        if val:
+                            coefs[k] = val
+                        k += 1
+                        break
+                    run -= 1
+                k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coefs[k] != 0:
+                if bits.read_bit() and (abs(coefs[k]) & p1) == 0:
+                    coefs[k] += p1 if coefs[k] > 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def jpeg_decode_pixels_progressive(payload: bytes):
+    """REAL progressive-JPEG (SOF2) pixel decode, stdlib+numpy only —
+    VERDICT r12 item 6: the largest quarantine class
+    decode_quarantine_report surfaces on real web corpora (progressive is
+    the photo-site default).  Same subset contract as the baseline tier
+    (jpeg_decode_pixels): 8-bit, huffman, no restart intervals, grayscale
+    1×1 / YCbCr 4:4:4 / YCbCr 4:2:0; everything else returns None and the
+    caller quarantines.
+
+    Progressive semantics (ITU T.81 Annex G, re-derived): the file holds
+    MULTIPLE scans over one persistent coefficient array — DC-first scans
+    (diff-coded, point-transformed by Al; interleaved over all components
+    or single-component), DC refinement scans (one raw bit per block),
+    AC-first scans (single-component by spec, spectral band [Ss, Se],
+    EOB-run coding across blocks), and AC refinement scans (the
+    correction-bit algorithm in _jpeg_ac_refine_block).  DHT tables may be
+    redefined between scans.  After the last scan: dequantize, un-zigzag,
+    IDCT, +128 — the baseline tier's exact reconstruction tail, shared
+    upsample/color-convert shapes."""
+    import numpy as np
+
+    try:
+        if payload[:2] != b"\xff\xd8":
+            return None
+        qt: dict[int, "np.ndarray"] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        w = h = None
+        comps: list[dict] = []
+        scans: list[dict] = []
+        pos = 2
+        data = payload
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                return None
+            marker = data[pos + 1]
+            if marker == 0xFF:
+                pos += 1
+                continue
+            if marker == 0xD9:
+                break
+            seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
+            seg = data[pos + 4 : pos + 2 + seg_len]
+            if marker == 0xDB:
+                i = 0
+                while i < len(seg):
+                    prec, tid = seg[i] >> 4, seg[i] & 0x0F
+                    if prec != 0:
+                        return None
+                    qt[tid] = np.frombuffer(
+                        seg[i + 1 : i + 65], dtype=np.uint8
+                    ).astype(np.int32)
+                    i += 65
+            elif marker == 0xC4:
+                i = 0
+                while i < len(seg):
+                    cls, tid = seg[i] >> 4, seg[i] & 0x0F
+                    counts = list(seg[i + 1 : i + 17])
+                    syms = seg[i + 17 : i + 17 + sum(counts)]
+                    tbl, code, k = {}, 0, 0
+                    for length in range(1, 17):
+                        for _ in range(counts[length - 1]):
+                            tbl[(length, code)] = syms[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    huff[(cls, tid)] = tbl
+                    i += 17 + sum(counts)
+            elif marker == 0xC2:  # SOF2 progressive
+                if seg[0] != 8:
+                    return None
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                ncomp = seg[5]
+                if ncomp not in (1, 3):
+                    return None
+                for ci in range(ncomp):
+                    samp = seg[7 + 3 * ci]
+                    comps.append(
+                        {
+                            "cid": seg[6 + 3 * ci],
+                            "hs": samp >> 4,
+                            "vs": samp & 0x0F,
+                            "qt": seg[8 + 3 * ci],
+                        }
+                    )
+                samps = [(c["hs"], c["vs"]) for c in comps]
+                if ncomp == 1 and samps != [(1, 1)]:
+                    return None
+                if ncomp == 3 and samps not in (
+                    [(1, 1), (1, 1), (1, 1)],
+                    [(2, 2), (1, 1), (1, 1)],
+                ):
+                    return None
+            elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # not progressive: baseline tier's job
+            elif marker == 0xDD:
+                if int.from_bytes(seg[0:2], "big") != 0:
+                    return None
+            elif marker == 0xDA:
+                if not comps:
+                    return None
+                ns = seg[0]
+                sel = []
+                for cj in range(ns):
+                    sel.append(
+                        (seg[1 + 2 * cj], seg[2 + 2 * cj] >> 4, seg[2 + 2 * cj] & 0x0F)
+                    )
+                ss_, se_ = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
+                start = pos + 2 + seg_len
+                # entropy segment runs to the next true marker
+                p2 = start
+                while p2 + 1 < len(data) and not (
+                    data[p2] == 0xFF and data[p2 + 1] not in (0x00, 0xFF)
+                ):
+                    p2 += 1
+                scans.append(
+                    {
+                        "sel": sel,
+                        "ss": ss_,
+                        "se": se_,
+                        "ah": ah,
+                        "al": al,
+                        "start": start,
+                        # snapshot CURRENT tables (DHT may redefine later)
+                        "huff": dict(huff),
+                    }
+                )
+                pos = p2
+                continue
+            pos += 2 + seg_len
+        if None in (w, h) or not comps or not scans:
+            return None
+        hmax = max(c["hs"] for c in comps)
+        vmax = max(c["vs"] for c in comps)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        by_cid = {c["cid"]: ci for ci, c in enumerate(comps)}
+        coef = [
+            np.zeros((mcuy * c["vs"], mcux * c["hs"], 64), dtype=np.int32)
+            for c in comps
+        ]
+        # real (non-padded) block grid per component, for non-interleaved scans
+        nblk = []
+        for c in comps:
+            cw = (w * c["hs"] + hmax - 1) // hmax
+            ch = (h * c["vs"] + vmax - 1) // vmax
+            nblk.append(((ch + 7) // 8, (cw + 7) // 8))
+        for sc in scans:
+            bits = _JpegBits(data, sc["start"])
+            ss_, se_, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+            if ss_ == 0:  # DC scan (se must be 0)
+                if se_ != 0:
+                    return None
+                members = []
+                for cid, dc_id, _ac_id in sc["sel"]:
+                    if cid not in by_cid:
+                        return None
+                    members.append((by_cid[cid], dc_id))
+                if ah == 0:  # first DC scan: diff-coded
+                    preds = {ci: 0 for ci, _ in members}
+                    tbls = {}
+                    for ci, dc_id in members:
+                        t = sc["huff"].get((0, dc_id))
+                        if t is None:
+                            return None
+                        tbls[ci] = t
+                    if len(members) > 1:  # interleaved over the MCU grid
+                        for my in range(mcuy):
+                            for mx in range(mcux):
+                                for ci, _ in members:
+                                    c = comps[ci]
+                                    for vy in range(c["vs"]):
+                                        for vx in range(c["hs"]):
+                                            sz = _jpeg_huffman_decode(bits, tbls[ci])
+                                            preds[ci] += _jpeg_extend(
+                                                bits.read_bits(sz), sz
+                                            )
+                                            coef[ci][
+                                                my * c["vs"] + vy,
+                                                mx * c["hs"] + vx,
+                                                0,
+                                            ] = preds[ci] << al
+                    else:
+                        ci, _ = members[0]
+                        bh_c, bw_c = nblk[ci]
+                        for byy in range(bh_c):
+                            for bxx in range(bw_c):
+                                sz = _jpeg_huffman_decode(bits, tbls[ci])
+                                preds[ci] += _jpeg_extend(bits.read_bits(sz), sz)
+                                coef[ci][byy, bxx, 0] = preds[ci] << al
+                else:  # DC refinement: one raw bit per block
+                    bit_val = 1 << al
+                    if len(members) > 1:
+                        for my in range(mcuy):
+                            for mx in range(mcux):
+                                for ci, _ in members:
+                                    c = comps[ci]
+                                    for vy in range(c["vs"]):
+                                        for vx in range(c["hs"]):
+                                            if bits.read_bit():
+                                                coef[ci][
+                                                    my * c["vs"] + vy,
+                                                    mx * c["hs"] + vx,
+                                                    0,
+                                                ] |= bit_val
+                    else:
+                        ci, _ = members[0]
+                        bh_c, bw_c = nblk[ci]
+                        for byy in range(bh_c):
+                            for bxx in range(bw_c):
+                                if bits.read_bit():
+                                    coef[ci][byy, bxx, 0] |= bit_val
+            else:  # AC scan: single component by spec
+                if len(sc["sel"]) != 1 or se_ > 63 or ss_ > se_:
+                    return None
+                cid, _dc_id, ac_id = sc["sel"][0]
+                if cid not in by_cid:
+                    return None
+                ci = by_cid[cid]
+                act = sc["huff"].get((1, ac_id))
+                if act is None:
+                    return None
+                bh_c, bw_c = nblk[ci]
+                eobrun = 0
+                if ah == 0:  # first AC pass for this band
+                    for byy in range(bh_c):
+                        for bxx in range(bw_c):
+                            blk = coef[ci][byy, bxx]
+                            if eobrun > 0:
+                                eobrun -= 1
+                                continue
+                            k = ss_
+                            while k <= se_:
+                                rs = _jpeg_huffman_decode(bits, act)
+                                run, sz = rs >> 4, rs & 0x0F
+                                if sz == 0:
+                                    if run == 15:
+                                        k += 16
+                                        continue
+                                    eobrun = (1 << run) - 1
+                                    if run:
+                                        eobrun += bits.read_bits(run)
+                                    break
+                                k += run
+                                if k > se_:
+                                    raise ValueError("AC band overflow")
+                                blk[k] = _jpeg_extend(bits.read_bits(sz), sz) << al
+                                k += 1
+                else:  # AC refinement pass
+                    for byy in range(bh_c):
+                        for bxx in range(bw_c):
+                            eobrun = _jpeg_ac_refine_block(
+                                bits, act, coef[ci][byy, bxx], ss_, se_, al, eobrun
+                            )
+        # reconstruction tail: dequantize + un-zigzag + IDCT per block
+        m = _jpeg_idct_matrix()
+        planes = []
+        for ci, c in enumerate(comps):
+            if c["qt"] not in qt:
+                return None
+            q = qt[c["qt"]]
+            gh, gw = coef[ci].shape[:2]
+            plane = np.zeros((gh * 8, gw * 8), dtype=np.uint8)
+            for byy in range(gh):
+                for bxx in range(gw):
+                    block = np.zeros(64, dtype=np.float64)
+                    block[_JPEG_ZIGZAG] = coef[ci][byy, bxx].astype(np.int64) * q
+                    px = m.T @ block.reshape(8, 8) @ m + 128.0
+                    plane[byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8] = np.clip(
+                        np.round(px), 0, 255
+                    ).astype(np.uint8)
+            planes.append(plane)
+        if len(comps) == 1:
+            return planes[0][:h, :w].reshape(h, w, 1)
+        full = []
+        for ci, c in enumerate(comps):
+            p = planes[ci]
+            fy, fx = vmax // c["vs"], hmax // c["hs"]
+            if fy > 1 or fx > 1:
+                p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+            full.append(p[:h, :w].astype(np.float64))
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        return np.clip(
+            np.round(np.stack([r, g, b], axis=2)), 0, 255
+        ).astype(np.uint8)
+    except Exception:  # noqa: BLE001 — malformed container → quarantine
+        return None
+
+
 def image_decode_pixels(payload: bytes):
-    """Magic-byte dispatch over the real pixel decoders: PNG (zlib+filter)
-    or baseline JPEG (huffman+IDCT); None for anything else."""
+    """Magic-byte dispatch over the real pixel decoders: PNG (zlib+filter),
+    baseline JPEG (huffman+IDCT), or progressive JPEG (multi-scan
+    successive approximation); None for anything else."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return png_decode_pixels(payload)
     if payload[:2] == b"\xff\xd8":
-        return jpeg_decode_pixels(payload)
+        out = jpeg_decode_pixels(payload)
+        if out is None:
+            out = jpeg_decode_pixels_progressive(payload)
+        return out
     return None
 
 
@@ -782,11 +1129,13 @@ def image_decode_diagnose(payload: bytes) -> dict[str, Any]:
     decode, no pixel pass — and names the first disqualifier it meets,
     mirroring ``jpeg_decode_pixels``' subset checks one-for-one.
 
-    Reasons: ``baseline_subset_ok`` (PNG or in-subset JPEG),
-    ``png_truncated``, ``jpeg_progressive_sof``, ``jpeg_unsupported_sof``,
-    ``jpeg_12bit_precision``, ``jpeg_16bit_quant``, ``jpeg_components``,
-    ``jpeg_subsampling``, ``jpeg_restart_interval``, ``jpeg_no_scan``,
-    ``jpeg_truncated``, ``unknown_format``.
+    Reasons: ``baseline_subset_ok`` (PNG or in-subset SOF0 JPEG),
+    ``progressive_subset_ok`` (in-subset SOF2 — a DECODED class since r13,
+    jpeg_decode_pixels_progressive), ``png_truncated``,
+    ``jpeg_unsupported_sof``, ``jpeg_12bit_precision``,
+    ``jpeg_16bit_quant``, ``jpeg_components``, ``jpeg_subsampling``,
+    ``jpeg_restart_interval``, ``jpeg_no_scan``, ``jpeg_truncated``,
+    ``unknown_format``.
     """
     try:
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -798,6 +1147,7 @@ def image_decode_diagnose(payload: bytes) -> dict[str, Any]:
             return {"fmt": "unknown", "ok": False, "reason": "unknown_format"}
         data, pos = payload, 2
         saw_sof = False
+        progressive = False
         while pos + 2 <= len(data):
             if data[pos] != 0xFF:
                 return {"fmt": "jpeg", "ok": False, "reason": "jpeg_truncated"}
@@ -811,8 +1161,6 @@ def image_decode_diagnose(payload: bytes) -> dict[str, Any]:
                 return {"fmt": "jpeg", "ok": False, "reason": "jpeg_truncated"}
             seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
             seg = data[pos + 4 : pos + 2 + seg_len]
-            if marker == 0xC2:
-                return {"fmt": "jpeg", "ok": False, "reason": "jpeg_progressive_sof"}
             if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return {"fmt": "jpeg", "ok": False, "reason": "jpeg_unsupported_sof"}
             if marker == 0xDB:
@@ -821,7 +1169,11 @@ def image_decode_diagnose(payload: bytes) -> dict[str, Any]:
                     if seg[i] >> 4 != 0:
                         return {"fmt": "jpeg", "ok": False, "reason": "jpeg_16bit_quant"}
                     i += 65
-            elif marker == 0xC0:
+            elif marker in (0xC0, 0xC2):
+                # SOF0 baseline and (r13, VERDICT r12 item 6) SOF2
+                # progressive share the subset checks — progressive is now
+                # a DECODED class (jpeg_decode_pixels_progressive), not a
+                # quarantine reason
                 if seg[0] != 8:
                     return {"fmt": "jpeg", "ok": False, "reason": "jpeg_12bit_precision"}
                 ncomp = seg[5]
@@ -838,13 +1190,20 @@ def image_decode_diagnose(payload: bytes) -> dict[str, Any]:
                 ):
                     return {"fmt": "jpeg", "ok": False, "reason": "jpeg_subsampling"}
                 saw_sof = True
+                progressive = marker == 0xC2
             elif marker == 0xDD:
                 if int.from_bytes(seg[0:2], "big") != 0:
                     return {"fmt": "jpeg", "ok": False, "reason": "jpeg_restart_interval"}
             elif marker == 0xDA:
                 if not saw_sof:
                     return {"fmt": "jpeg", "ok": False, "reason": "jpeg_no_scan"}
-                return {"fmt": "jpeg", "ok": True, "reason": "baseline_subset_ok"}
+                return {
+                    "fmt": "jpeg",
+                    "ok": True,
+                    "reason": "progressive_subset_ok"
+                    if progressive
+                    else "baseline_subset_ok",
+                }
             pos += 2 + seg_len
         return {"fmt": "jpeg", "ok": False, "reason": "jpeg_truncated"}
     except Exception:  # noqa: BLE001 — malformed header → quarantine reason

@@ -1434,8 +1434,9 @@ def hurst_exponent(
     variance blocks are skipped; sizes with no valid block drop out.
     The row_number pass is the documented bounded-series single-partition
     contract.  Returns one row per block size
-    (block_size, n_blocks, mean_rs, hurst) — hurst repeated (the slope
-    over all listed sizes), NULL when fewer than 2 sizes survive.
+    (block_size, n_blocks, mean_rs, hurst, n) — hurst repeated (the slope
+    over all listed sizes), NULL when fewer than 2 sizes survive; n is the
+    total series length (repeated, the block-count denominator context).
     """
     sizes = sorted(set(int(s) for s in block_sizes))
     if not sizes or sizes[0] < 4:

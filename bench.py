@@ -64,15 +64,35 @@ CORPUS = [
     "bm25_search",
     "hybrid_search_rrf",
     "bpe_merges",
-    # r11b: the LM-retrieval surface (query-likelihood mirrors bm25's shape;
-    # kneser_ney is the heaviest new corpus op — linear in bigram types)
+    # r11b: the LM-retrieval surface (query-likelihood mirrors bm25's shape)
     "query_likelihood",
-    "kneser_ney",
-    # r12: the perplexity filter (scored-bigram-linear, the KN model's
-    # natural consumer) and the final-clustering eval (contingency form)
+    # r12: the perplexity filter — the composed KN path (model build +
+    # scoring).  kneser_ney itself was DROPPED from the group in r13
+    # (VERDICT r12 item 4): it rebuilt the identical vocabulary-bounded
+    # model kn_perplexity already builds internally, so the group paid the
+    # same model build twice; the registry/oracle entry is unchanged.
     "kn_perplexity",
     "bcubed_eval",
 ]
+
+# Bench-only overrides (VERDICT r12 item 4).  The registry entry for
+# semdedup runs fixed k=16 — the oracled shape, which IS the production
+# regime at the driver's sf0.01 (~375 rows/cluster).  At bench scale the
+# production regime keeps cluster size fixed and scales k ∝ n
+# (docs/SCALE.md §semdedup, the paper's dial), so the bench computes k from
+# the corpus instead of measuring an artificially-overgrown cluster.
+def _bench_semdedup(spark, sf_dir):
+    from area_etl_spark.operators import similarity as SIM
+    from area_etl_spark.session import load_tables
+    from pyspark.sql import functions as F
+
+    emb = load_tables(spark, sf_dir)["embeddings"].where(F.col("vec_id") != 0)
+    n = emb.count()
+    k = max(16, round(n / 375))
+    return SIM.semdedup_prune(emb, k=k, iters=3, threshold=0.35)
+
+
+BENCH_OVERRIDES = {"semdedup": _bench_semdedup}
 
 
 def _run_against(commit: str) -> None:
@@ -167,7 +187,7 @@ def main() -> None:
         timings: dict[str, float] = {}
         total = 0.0
         for name in names:
-            fn = qs[name]
+            fn = BENCH_OVERRIDES.get(name, qs[name])
             best = float("inf")
             for _ in range(2):
                 start = time.perf_counter()

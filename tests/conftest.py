@@ -18,6 +18,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     s = get_spark("area-etl-tests")
     s.sparkContext.setLogLevel("ERROR")
+    # Suite-wall control (VERDICT r12 item 8): at sf0.001 every shuffle is a
+    # few thousand rows, so the production default of 32 shuffle partitions
+    # just pays 32 task launches per exchange across ~950 tests.  4 keeps
+    # every assertion identical (no test is partition-count sensitive) and
+    # cuts the closing-suite wall roughly in half.  Env-overridable for a
+    # production-shaped run.
+    s.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_TEST_SHUFFLE_PARTITIONS", "4"),
+    )
     yield s
 
 

@@ -177,3 +177,76 @@ def test_split_sentences_ids_and_terminators(spark):
     assert by_doc[1] == [(0, "Hello world."), (1, "How are you??"), (2, "Fine!")]
     assert by_doc[2] == [(0, "no terminator")]
     assert 3 not in by_doc  # empty doc yields no rows
+
+
+def test_extract_main_text_crafted_page(spark):
+    """DOM-tier extraction on a crafted page: boilerplate containers drop
+    with their contents, prose blocks survive, link-dense blocks die."""
+    from area_etl_spark.operators.cleaning import extract_main_text
+
+    prose = (
+        "This is the first real paragraph of the article and it is "
+        "comfortably longer than the keep threshold."
+    )
+    prose2 = (
+        "A second paragraph follows with enough substance to stay in "
+        "the extracted body text as well."
+    )
+    page = f"""<html><head><title> My   Article </title>
+      <style>p {{ color: red }}</style>
+      <script>var x = "<p>not prose</p>";</script></head>
+      <body>
+        <nav>Home | <a href="/about">About</a> | <a href="/c">Contact</a></nav>
+        <header><h1>Site Banner</h1></header>
+        <div class="cookie-banner">We use cookies to improve things.</div>
+        <article>
+          <h2>Story &amp; Headline</h2>
+          <p>{prose}</p>
+          <p>See <a href="/x">here</a> and <a href="/y">also here for more</a></p>
+          <p>{prose2}</p>
+        </article>
+        <aside>Trending now elsewhere on the site with more words</aside>
+        <div id="social-share">Share this on all the networks you have</div>
+        <footer>&copy; 2024 corp. All rights reserved forever and ever.</footer>
+      </body></html>"""
+    df = spark.createDataFrame([(1, page), (2, None), (3, "<p>short</p>")],
+                               "doc_id long, html string")
+    out = {r.id: r for r in extract_main_text(df, "html", "doc_id").collect()}
+    r1 = out[1]
+    assert r1.parse_ok is True
+    assert r1.title == "My Article"
+    # heading kept (short but heading floor = 3), both prose paragraphs
+    # kept, link-dense paragraph dropped
+    lines = r1.main_text.split("\n")
+    assert lines[0] == "Story & Headline"
+    assert lines[1] == prose
+    assert lines[2] == prose2
+    assert len(lines) == 3
+    # nav/header/aside/footer and the cookie/social divs never became
+    # blocks; only the link-dense <p> was buffered-then-dropped
+    assert r1.n_blocks_kept == 3
+    assert r1.n_blocks_dropped == 1
+    # NULL html -> clean empty row, still parse_ok
+    assert out[2].main_text == "" and out[2].n_blocks_kept == 0
+    # sub-threshold prose drops
+    assert out[3].main_text == "" and out[3].n_blocks_dropped == 1
+
+
+def test_extract_main_text_misnested_and_malformed(spark):
+    """The stdlib parser is tolerant: misnested tags, stray closes, and
+    unclosed blocks still produce a sane extraction."""
+    from area_etl_spark.operators.cleaning import extract_main_text
+
+    body = (
+        "An unclosed paragraph that keeps going with plenty of words to "
+        "pass the threshold easily"
+    )
+    page = (
+        "</div><p><b>" + body + "</p></b>"
+        "<div class='ads'><p>Buy the thing now with a discount code</p>"
+    )
+    df = spark.createDataFrame([(7, page)], "doc_id long, html string")
+    r = extract_main_text(df, "html", "doc_id").collect()[0]
+    assert r.parse_ok is True
+    assert body in r.main_text
+    assert "Buy the thing" not in r.main_text

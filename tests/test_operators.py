@@ -4328,6 +4328,11 @@ def test_srm_check_reference(spark):
 
     with _pytest.raises(ValueError, match="weights"):
         srm_check(nn, "arm", {"a": -1})
+    # integer-keyed designs (arm ids) keep working: keys are stringified
+    # before hitting the '_a string' design schema (r12 ADVICE)
+    int_arms = spark.createDataFrame([(1,)] * 500 + [(2,)] * 500, "arm int")
+    ri = srm_check(int_arms, "arm", {1: 1, 2: 1}).collect()[0]
+    assert (ri.n, ri.k, ri.srm_detected) == (1000, 2, False)
 
 
 def test_power_two_means_reference(spark):
@@ -4893,6 +4898,48 @@ def test_group_sequential_looks_reference(spark):
     assert out[1].obf_bound > out[2].obf_bound > out[3].obf_bound
     # the strong look-2/3 effect crosses Pocock
     assert out[3].cross_pocock is True
+
+
+def test_group_sequential_looks_empty_arm_look(spark):
+    """A look where one arm logged no rows still appears, with that arm's
+    cumulative counts carried forward (r12 ADVICE: the inner joins used to
+    drop the whole look — exactly the looks that indicate broken logging)."""
+    from area_etl_spark.operators.experiments import group_sequential_looks
+
+    rows = [(1, "a", True), (1, "a", False), (1, "b", True), (1, "b", False)]
+    # look 2: arm b only
+    rows += [(2, "b", True), (2, "b", True)]
+    rows += [(3, "a", True), (3, "a", False), (3, "b", False), (3, "b", False)]
+    df = spark.createDataFrame(rows, "look long, arm string, ok boolean")
+    out = {r.look: r for r in group_sequential_looks(df, "look", "arm", "ok").collect()}
+    assert sorted(out) == [1, 2, 3]
+    # look 2: arm a carried forward from look 1 (n=2, x=1); arm b grew
+    assert (out[2].n_a, out[2].x_a, out[2].n_b, out[2].x_b) == (2, 1, 4, 3)
+    # and the final look sees every row of both arms (info_frac = 1)
+    assert abs(out[3].info_frac - 1.0) < 1e-12
+
+
+def test_group_sequential_looks_three_arm_guard(spark):
+    """With ≠ 2 distinct arms the min/max-arm comparison is meaningless:
+    z and both boundaries are NULL, and counts remain the selected arms'."""
+    from area_etl_spark.operators.experiments import group_sequential_looks
+
+    rows = []
+    for look in (1, 2):
+        for arm in ("a", "b", "c"):
+            rows += [(look, arm, i % 2 == 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "look long, arm string, ok boolean")
+    out = group_sequential_looks(df, "look", "arm", "ok").collect()
+    assert len(out) == 2
+    for r in out:
+        assert r.z_obs is None
+        assert r.obf_bound is None
+        assert r.pocock_bound is None
+        assert r.cross_obf is None and r.cross_pocock is None
+    # info_frac is over the two SELECTED arms only -> reaches 1.0
+    fin = {r.look: r for r in out}[2]
+    assert abs(fin.info_frac - 1.0) < 1e-12
+    assert (fin.n_a, fin.n_b) == (20, 20)
 
 
 def test_disproportionality_reference(spark):

@@ -391,19 +391,23 @@ def test_image_decode_diagnose_reasons_and_decoder_agreement(spark):
 
     soi, eoi = b"\xff\xd8", b"\xff\xd9"
     dri = b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 100)
-    cases = {
-        "jpeg_progressive_sof": soi + sof(0xC2, 1, [(1, 1)]) + eoi,
-        "jpeg_unsupported_sof": soi + sof(0xC1, 1, [(1, 1)]) + eoi,
-        "jpeg_12bit_precision": soi + sof(0xC0, 1, [(1, 1)], prec=12) + eoi,
-        "jpeg_subsampling": soi + sof(0xC0, 3, [(2, 1), (1, 1), (1, 1)]) + sos(3) + eoi,
-        "jpeg_components": soi + sof(0xC0, 4, [(1, 1)] * 4) + eoi,
-        "jpeg_restart_interval": soi + dri + sof(0xC0, 1, [(1, 1)]) + sos(1) + eoi,
-        "jpeg_no_scan": soi + eoi,
-        "jpeg_truncated": soi + sof(0xC0, 1, [(1, 1)]),
-        "unknown_format": b"GIF89a not supported by the pixel tier",
-        "png_truncated": b"\x89PNG\r\n\x1a\n" + b"\x00\x00",
-    }
-    for want, blob in cases.items():
+    cases = [
+        # r13: in-subset SOF2 is now a DECODED class, not a quarantine
+        # reason — out-of-subset progressive (12-bit / 4:2:2) still
+        # quarantines under the shared subset reasons
+        ("jpeg_12bit_precision", soi + sof(0xC2, 1, [(1, 1)], prec=12) + eoi),
+        ("jpeg_subsampling", soi + sof(0xC2, 3, [(2, 1), (1, 1), (1, 1)]) + sos(3) + eoi),
+        ("jpeg_unsupported_sof", soi + sof(0xC1, 1, [(1, 1)]) + eoi),
+        ("jpeg_12bit_precision", soi + sof(0xC0, 1, [(1, 1)], prec=12) + eoi),
+        ("jpeg_subsampling", soi + sof(0xC0, 3, [(2, 1), (1, 1), (1, 1)]) + sos(3) + eoi),
+        ("jpeg_components", soi + sof(0xC0, 4, [(1, 1)] * 4) + eoi),
+        ("jpeg_restart_interval", soi + dri + sof(0xC0, 1, [(1, 1)]) + sos(1) + eoi),
+        ("jpeg_no_scan", soi + eoi),
+        ("jpeg_truncated", soi + sof(0xC0, 1, [(1, 1)])),
+        ("unknown_format", b"GIF89a not supported by the pixel tier"),
+        ("png_truncated", b"\x89PNG\r\n\x1a\n" + b"\x00\x00"),
+    ]
+    for want, blob in cases:
         d = image_decode_diagnose(blob)
         assert d["reason"] == want and d["ok"] is False, (want, d)
         assert image_decode_pixels(blob) is None  # agreement: reject side
@@ -417,16 +421,31 @@ def test_image_decode_diagnose_reasons_and_decoder_agreement(spark):
     assert d == {"fmt": "jpeg", "ok": True, "reason": "baseline_subset_ok"}
     assert image_decode_pixels(real) is not None
 
-    # the corpus report aggregates per (fmt, ok, reason)
-    rows = [(i, bytearray(b)) for i, b in enumerate(cases.values())] + [
-        (100, bytearray(real)), (101, bytearray(real))
+    # r13: an in-subset PROGRESSIVE jpeg diagnoses ok AND pixel-decodes —
+    # the class that used to be the largest quarantine bucket on real web
+    # corpora is now admitted
+    prog = _make_real_jpeg_progressive(np.full((8, 8), 96, dtype=np.uint8))
+    dprog = image_decode_diagnose(prog)
+    assert dprog == {"fmt": "jpeg", "ok": True, "reason": "progressive_subset_ok"}
+    assert image_decode_pixels(prog) is not None
+
+    # the corpus report aggregates per (fmt, ok, reason); with three
+    # progressive blobs planted, the quarantine RATE visibly drops now
+    # that progressive is an admitted class (9/16 rejected vs 12/16 when
+    # SOF2 was a quarantine reason)
+    rows = [(i, bytearray(b)) for i, (_, b) in enumerate(cases)] + [
+        (100, bytearray(real)), (101, bytearray(real)),
+        (102, bytearray(prog)), (103, bytearray(prog)), (104, bytearray(prog)),
     ]
     df = spark.createDataFrame(rows, "id long, payload binary")
     rep = {(r.fmt, r.ok, r.reason): r.n_blobs
            for r in decode_quarantine_report(df).collect()}
     assert rep[("jpeg", True, "baseline_subset_ok")] == 2
+    assert rep[("jpeg", True, "progressive_subset_ok")] == 3
     assert rep[("unknown", False, "unknown_format")] == 1
     assert sum(rep.values()) == len(rows)
+    n_quarantined = sum(n for (f, ok, _), n in rep.items() if not ok)
+    assert n_quarantined == len(cases)  # only genuinely out-of-subset blobs
 
 
 def test_luhn_validated_card_redaction_precision(spark):
@@ -1493,3 +1512,258 @@ def test_kneser_ney_bigram_sums_to_one(spark):
     assert abs(r.p_kn - want) < 1e-6, (r.p_kn, want)
     # continuation insight: P(city | the) uses distinct-context counts
     assert ("the", "city") in rows
+
+
+# Flat AC Huffman table for the PROGRESSIVE test encoder: all 256 symbols
+# present (252 at 8 bits + 4 at 9; Kraft 0.992 < 1, no all-ones code) —
+# the Annex-K AC table lacks the EOBn symbols (0x10, 0x20, …) progressive
+# EOB-run coding needs, which is why real encoders always ship custom
+# tables for progressive scans.
+_JPG_FLAT_AC_COUNTS = [0, 0, 0, 0, 0, 0, 0, 252, 4, 0, 0, 0, 0, 0, 0, 0]
+_JPG_FLAT_AC_SYMS = list(range(256))
+
+
+def _make_real_jpeg_progressive(pixels, script=None):
+    """Encode a real PROGRESSIVE (SOF2) grayscale JPEG — spectral
+    selection + successive approximation (T.81 Annex G encoder side,
+    re-derived): DC-first diff coding of the point-transformed values, DC
+    refinement raw bits, AC-first band scans with EOB-run coding, and AC
+    refinement with the buffered-correction-bit discipline (corrections
+    for already-nonzero coefficients trail the RS/EOBn symbol that closes
+    them).  Quant all-ones so the round-trip is exact at the coefficient
+    level."""
+    import struct
+
+    import numpy as np
+
+    from area_etl_spark.operators.multimodal import _JPEG_ZIGZAG, _jpeg_idct_matrix
+
+    h, w = pixels.shape[:2]
+    m = _jpeg_idct_matrix()
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    padded = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    padded[:h, :w] = pixels.reshape(h, w).astype(np.float64)
+    if h < bh * 8:
+        padded[h:, :w] = padded[h - 1, :w]
+    if w < bw * 8:
+        padded[:, w:] = padded[:, w - 1 : w]
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            f = m @ (padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0) @ m.T
+            blocks.append(np.round(f.reshape(-1)[_JPEG_ZIGZAG]).astype(int))
+    if script is None:
+        script = [
+            (0, 0, 0, 1),   # DC first, one approximation bit held back
+            (1, 5, 0, 1),   # AC low band, first pass
+            (6, 63, 0, 1),  # AC high band, first pass (EOB-run heavy)
+            (0, 0, 1, 0),   # DC refinement
+            (1, 5, 1, 0),   # AC low band refinement
+            (6, 63, 1, 0),  # AC high band refinement
+        ]
+    dc_enc = _jpg_canonical(_JPG_DC_COUNTS, _JPG_DC_SYMS)
+    ac_enc = _jpg_canonical(_JPG_FLAT_AC_COUNTS, _JPG_FLAT_AC_SYMS)
+
+    def mag(v):
+        size = int(v).bit_length() if v >= 0 else int(-v).bit_length()
+        bits = v if v >= 0 else v + (1 << size) - 1
+        return size, bits
+
+    def encode_scan(ss, se, ah, al):
+        wtr = _JpgBitWriter()
+
+        def put(sym, enc=ac_enc):
+            length, code = enc[sym]
+            wtr.write(code, length)
+
+        if ss == 0:  # DC scan
+            if ah == 0:
+                pred = 0
+                for z in blocks:
+                    v = int(z[0]) >> al  # DC point transform: arithmetic shift
+                    size, bits = mag(v - pred)
+                    pred = v
+                    put(size, dc_enc)
+                    wtr.write(bits, size)
+            else:
+                for z in blocks:
+                    wtr.write((int(z[0]) >> al) & 1, 1)
+        elif ah == 0:  # AC first pass
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    nbits = eobrun.bit_length() - 1
+                    put(nbits << 4)
+                    if nbits:
+                        wtr.write(eobrun - (1 << nbits), nbits)
+                    eobrun = 0
+
+            for z in blocks:
+                band = []
+                for k in range(ss, se + 1):
+                    v = int(z[k])
+                    band.append(-((-v) >> al) if v < 0 else v >> al)
+                nz = [i for i, v in enumerate(band) if v != 0]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                r = 0
+                for i, v in enumerate(band):
+                    if i > nz[-1]:
+                        break
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        put(0xF0)
+                        r -= 16
+                    size, bits = mag(v)
+                    put((r << 4) | size)
+                    wtr.write(bits, size)
+                    r = 0
+                if nz[-1] < se - ss:
+                    eobrun += 1
+            flush_eob()
+        else:  # AC refinement pass
+            eobrun = 0
+            be = []  # correction bits pending behind the next EOBn symbol
+
+            def flush_eob():
+                nonlocal eobrun, be
+                if eobrun:
+                    nbits = eobrun.bit_length() - 1
+                    put(nbits << 4)
+                    if nbits:
+                        wtr.write(eobrun - (1 << nbits), nbits)
+                    eobrun = 0
+                for b in be:
+                    wtr.write(b, 1)
+                be = []
+
+            for z in blocks:
+                absv, sgn = [], []
+                for k in range(ss, se + 1):
+                    v = int(z[k])
+                    absv.append(abs(v) >> al)
+                    sgn.append(1 if v >= 0 else 0)
+                newly = [i for i, a in enumerate(absv) if a == 1]
+                eob = newly[-1] if newly else -1
+                r = 0
+                br = []  # corrections pending behind the next RS symbol
+                for i, a in enumerate(absv):
+                    if a == 0:
+                        r += 1
+                        continue
+                    while r > 15 and i <= eob:
+                        flush_eob()
+                        put(0xF0)
+                        r -= 16
+                        for b in br:
+                            wtr.write(b, 1)
+                        br = []
+                    if a > 1:  # history-nonzero: one correction bit
+                        br.append(a & 1)
+                        continue
+                    flush_eob()
+                    put((r << 4) | 1)
+                    wtr.write(sgn[i], 1)
+                    for b in br:
+                        wtr.write(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    be.extend(br)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            flush_eob()
+        return wtr.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dht(cls, tid, counts, syms):
+        return seg(0xC4, bytes([cls << 4 | tid]) + bytes(counts) + bytes(syms))
+
+    out = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes([1] * 64))
+        + seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+        + dht(0, 0, _JPG_DC_COUNTS, _JPG_DC_SYMS)
+        + dht(1, 0, _JPG_FLAT_AC_COUNTS, _JPG_FLAT_AC_SYMS)
+    )
+    for ss, se, ah, al in script:
+        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out += encode_scan(ss, se, ah, al)
+    return out + b"\xff\xd9"
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """Progressive decode must reconstruct EXACTLY the pixels the baseline
+    decoder produces from the same coefficients (successive approximation
+    is a lossless recomposition of the integers), and stay bit-close to
+    the source (all-ones quant -> only DCT rounding)."""
+    import numpy as np
+
+    from area_etl_spark.operators.multimodal import (
+        image_decode_pixels,
+        jpeg_decode_pixels,
+        jpeg_decode_pixels_progressive,
+    )
+
+    rng = np.random.default_rng(42)
+    # structured content: gradient + blocky checker + noise, partial blocks
+    yy, xx = np.mgrid[0:37, 0:53]
+    img = (
+        (xx * 3 + yy * 2) % 256 * 0.5
+        + ((xx // 8 + yy // 8) % 2) * 90
+        + rng.integers(0, 20, size=(37, 53))
+    )
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    prog = _make_real_jpeg_progressive(img)
+    base = _make_real_jpeg(img)
+    px_prog = jpeg_decode_pixels_progressive(prog)
+    px_base = jpeg_decode_pixels(base)
+    assert px_prog is not None and px_base is not None
+    assert px_prog.shape == (37, 53, 1) == px_base.shape
+    assert np.array_equal(px_prog, px_base)  # identical coefficient path
+    assert int(np.abs(px_prog[..., 0].astype(int) - img.astype(int)).max()) <= 3
+    # magic-byte dispatch reaches the progressive tier
+    via_dispatch = image_decode_pixels(prog)
+    assert np.array_equal(via_dispatch, px_prog)
+    # baseline decoder still refuses SOF2 (quarantine contract unchanged)
+    assert jpeg_decode_pixels(prog) is None
+
+
+def test_jpeg_progressive_scan_script_variants():
+    """Alternative scan scripts decode identically: no successive
+    approximation (spectral selection only) and a deeper two-bit SA
+    ladder both reconstruct the same pixels."""
+    import numpy as np
+
+    from area_etl_spark.operators.multimodal import jpeg_decode_pixels_progressive
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(16, 24)).astype(np.uint8)
+    want = jpeg_decode_pixels_progressive(_make_real_jpeg_progressive(img))
+    no_sa = _make_real_jpeg_progressive(
+        img, script=[(0, 0, 0, 0), (1, 63, 0, 0)]
+    )
+    two_bit = _make_real_jpeg_progressive(
+        img,
+        script=[
+            (0, 0, 0, 2), (1, 2, 0, 2), (3, 63, 0, 2),
+            (0, 0, 2, 1), (1, 2, 2, 1), (3, 63, 2, 1),
+            (0, 0, 1, 0), (1, 2, 1, 0), (3, 63, 1, 0),
+        ],
+    )
+    assert want is not None
+    got_no_sa = jpeg_decode_pixels_progressive(no_sa)
+    got_two = jpeg_decode_pixels_progressive(two_bit)
+    assert np.array_equal(got_no_sa, want)
+    assert np.array_equal(got_two, want)

@@ -119,6 +119,42 @@ def test_business_days_between_hand_cases(spark):
         assert out[i] == want, (i, cases[i], out[i])
 
 
+def test_business_days_between_holidays_hand_cases(spark):
+    from area_etl_spark.functions.transforms import business_days_between_holidays
+
+    # 2024-01-01 is a Monday and a holiday; 2024-01-06 (Epiphany) is a
+    # SATURDAY — it must NOT be subtracted twice; 2024-04-01 is Easter
+    # Monday 2024.
+    holidays = ["2024-01-01", "2024-01-06", "2024-04-01"]
+    cases = [
+        ("2024-01-01", "2024-01-08", 4),   # full week minus New Year Mon
+        ("2024-01-02", "2024-01-08", 4),   # Tue..Fri, no holiday inside
+        ("2024-01-01", "2024-01-02", 0),   # the holiday alone
+        ("2024-01-05", "2024-01-08", 1),   # Fri,Sat(hol),Sun -> Fri only
+        ("2024-04-01", "2024-04-03", 1),   # Easter Mon excluded, Tue kept
+        ("2024-01-08", "2024-01-01", 0),   # reversed
+    ]
+    df = spark.createDataFrame(
+        [(i, s, e) for i, (s, e, _) in enumerate(cases)], "i int, s string, e string"
+    )
+    out = {
+        r.i: r.bd
+        for r in df.select(
+            "i", business_days_between_holidays("s", "e", holidays).alias("bd")
+        ).collect()
+    }
+    for i, (_, _, want) in enumerate(cases):
+        assert out[i] == want, (i, cases[i], out[i])
+    # empty / weekend-only calendar degrades to the base operator
+    base = {
+        r.i: r.bd
+        for r in df.select(
+            "i", business_days_between_holidays("s", "e", ["2024-01-06"]).alias("bd")
+        ).collect()
+    }
+    assert base[1] == 4 and base[3] == 1
+
+
 def test_encrypt_decrypt_roundtrip_and_ecb_determinism(spark):
     from area_etl_spark.functions.transforms import decrypt_column, encrypt_column
 

@@ -327,6 +327,37 @@ def main() -> None:
     timed("k-core agg+semi-join peel (production)", lambda: sink(
         kcore_peel(ghub, k=3, rounds=2)))
 
+    # 12. Adamic–Adar wedge join through a planted power-law hub middle:
+    # wedge generation is O(Σ deg(m)²), so ONE 8k-degree hub item alone
+    # contributes 64M candidate pairs before the pair groupBy, while
+    # max_middle_degree=1000 (the operator default, and q_adamic_adar's
+    # checked shape since r13) drops hub middles from WEDGE GENERATION with
+    # a documented recall tradeoff — degrees still count the full graph.
+    from area_etl_spark.operators.graph import adamic_adar_scores
+
+    hub_deg = 8_000
+    n_users = 200_000
+    bg = spark.range(n_users).select(
+        F.col("id").alias("src"),
+        (F.lit(1_000_000) + F.pmod(F.xxhash64("id"), F.lit(20_000))).alias("dst"),
+    )
+    bg2 = spark.range(n_users).select(
+        F.col("id").alias("src"),
+        (F.lit(1_000_000) + F.pmod(F.xxhash64(F.col("id") + 7), F.lit(20_000))).alias("dst"),
+    )
+    hub_e = spark.range(hub_deg).select(
+        (F.col("id") * (n_users // hub_deg)).alias("src"),
+        F.lit(999_999).alias("dst"),
+    )
+    aag = bg.unionByName(bg2).unionByName(hub_e).distinct()
+    aag.write.mode("overwrite").parquet("/tmp/skewbench_aa")
+    aag = spark.read.parquet("/tmp/skewbench_aa")
+    print(f"Adamic–Adar: {n_users:,} users × 20k items (deg≈20) + one {hub_deg:,}-degree hub item")
+    timed("adamic-adar uncapped (hub wedge blowup)", lambda: sink(
+        adamic_adar_scores(aag, min_common=2, max_middle_degree=None)))
+    timed("adamic-adar mid-degree cap 1000 (production)", lambda: sink(
+        adamic_adar_scores(aag, min_common=2, max_middle_degree=1000)))
+
 
 if __name__ == "__main__":
     main()
