@@ -4588,6 +4588,29 @@ def q_html_main_text(spark, sf_dir):
     )
 
 
+def q_html_extract_links(spark, sf_dir):
+    """Link extraction over the same synthetic-page wrap as
+    q_html_main_text: one row per <a href> in document order — nav links
+    KEPT (link-graph edges are data, the opposite call from main-text
+    boilerplate removal), script-embedded anchors skipped, nofollow read
+    off rel.  Three deterministic links per page make the output
+    closed-form, so the Python-worker tier gets a full value oracle."""
+    from area_etl_spark.operators.cleaning import extract_links
+
+    d = _tables(spark, sf_dir)["documents"]
+    did = F.col("doc_id").cast("string")
+    page = F.concat(
+        F.lit("<html><body><p>Intro <a href='/doc/"), did,
+        F.lit("'>Doc "), did,
+        F.lit("</a> and <a href='https://example.com/src/"), F.col("source"),
+        F.lit("' rel='nofollow ugc'>source "), F.col("source"),
+        F.lit("</a>.</p>"
+              "<script>var a='<a href=\"/junk\">x</a>';</script>"
+              "<nav><a href='/'>Home</a></nav></body></html>"),
+    )
+    return extract_links(d.select("doc_id", page.alias("html")), "html", "doc_id")
+
+
 def q_business_days(spark, sf_dir):
     """SLA working-day arithmetic: weekday count in [orderdate,
     orderdate + k) per order via the closed-form full-weeks + bounded
@@ -7918,6 +7941,7 @@ _R13_REGRESSION = [
 _R13_NEW = [
     "business_days_holidays",
     "html_main_text",
+    "html_extract_links",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -8140,6 +8164,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "business_days": q_business_days,
         "business_days_holidays": q_business_days_holidays,
         "html_main_text": q_html_main_text,
+        "html_extract_links": q_html_extract_links,
         "score_linear": q_score_linear,
         "jl_project": q_jl_project,
         "standardized_rates": q_standardized_rates,
@@ -15054,6 +15079,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(o_orderkey % 4 AS INT) AS style,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
             FROM orders
+        """,
+        "html_extract_links": """
+            SELECT doc_id AS id, CAST(1 AS INTEGER) AS link_no,
+                   '/doc/' || CAST(doc_id AS VARCHAR) AS href,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS anchor_text,
+                   '' AS rel, false AS nofollow
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(2 AS INTEGER),
+                   'https://example.com/src/' || source,
+                   'source ' || source,
+                   'nofollow ugc', true
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(3 AS INTEGER), '/', 'Home', '', false
+            FROM documents
         """,
         "html_main_text": """
             WITH n AS (

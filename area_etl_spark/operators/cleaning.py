@@ -392,3 +392,112 @@ def extract_main_text(
         F.coalesce(F.col(html_col), F.lit("")).alias("_html"),
     )
     return narrow.mapInPandas(_batches, schema=MAIN_TEXT_SCHEMA)
+
+
+LINKS_SCHEMA = (
+    "id long, link_no int, href string, anchor_text string, "
+    "rel string, nofollow boolean"
+)
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Link extraction — the crawl-graph builder beside
+    :func:`extract_main_text`: one output row per ``<a href>`` in document
+    order with the normalized anchor text, the raw ``rel`` attribute, and
+    the nofollow flag (the crawl-frontier/link-graph signal).  Anchors
+    inside non-prose subtrees (script/style/template/svg) are skipped —
+    nav/footer anchors ARE kept: for a link graph the navigation edges are
+    data, not boilerplate (the opposite call from main-text extraction,
+    deliberately).  Nested ``<a>`` tolerated (inner opens close the outer,
+    the HTML5 adoption rule for anchors); anchors with no href attribute
+    emit nothing.
+
+    Distributed shape: Arrow-batched ``mapInPandas`` with row EXPANSION
+    (one page → N links) — no shuffle; downstream graph ops group by href.
+    Returns (id, link_no, href, anchor_text, rel, nofollow).
+    """
+    from html.parser import HTMLParser
+
+    never_text = frozenset(("script", "style", "template", "svg", "noscript"))
+
+    class _Links(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.links: list[tuple[str, str, str]] = []
+            self._skip = 0
+            self._cur: tuple[str, str] | None = None  # (href, rel)
+            self._buf: list[str] = []
+
+        def _close_anchor(self) -> None:
+            if self._cur is not None:
+                href, rel = self._cur
+                self.links.append((href, " ".join("".join(self._buf).split()), rel))
+            self._cur, self._buf = None, []
+
+        def handle_starttag(self, tag, attrs):
+            if tag in never_text:
+                self._skip += 1
+                return
+            if tag == "a" and not self._skip:
+                self._close_anchor()  # nested <a>: HTML5 closes the outer
+                ad = dict(attrs)
+                href = ad.get("href")
+                if href is not None:
+                    self._cur = (href, ad.get("rel") or "")
+
+        def handle_endtag(self, tag):
+            if tag in never_text:
+                self._skip = max(0, self._skip - 1)
+                return
+            if tag == "a" and not self._skip:
+                self._close_anchor()
+
+        def handle_data(self, data):
+            if self._cur is not None and not self._skip and data:
+                self._buf.append(data)
+
+    def _one(html: str) -> list[tuple[str, str, str]]:
+        try:
+            p = _Links()
+            p.feed(html or "")
+            p.close()
+            p._close_anchor()
+            return p.links
+        except Exception:
+            return []
+
+    def _batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, nos, hrefs, texts, rels, nofs = [], [], [], [], [], []
+            for rid, html in zip(pdf["_id"], pdf["_html"]):
+                for no, (href, text, rel) in enumerate(_one(html), start=1):
+                    ids.append(rid)
+                    nos.append(no)
+                    hrefs.append(href)
+                    texts.append(text)
+                    rels.append(rel)
+                    nofs.append(
+                        "nofollow" in {t for t in rel.lower().split()}
+                    )
+            yield pd.DataFrame(
+                {
+                    "id": pd.Series(ids, dtype="int64"),
+                    "link_no": pd.Series(nos, dtype="int32"),
+                    "href": pd.Series(hrefs, dtype="object"),
+                    "anchor_text": pd.Series(texts, dtype="object"),
+                    "rel": pd.Series(rels, dtype="object"),
+                    "nofollow": pd.Series(nofs, dtype="bool"),
+                }
+            )
+
+    narrow = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.coalesce(F.col(html_col), F.lit("")).alias("_html"),
+    )
+    return narrow.mapInPandas(_batches, schema=LINKS_SCHEMA)

@@ -491,6 +491,110 @@ def audio_energy(df: DataFrame, window_ms: int = 100) -> DataFrame:
     return df.mapInPandas(_energy, schema=AUDIO_ENERGY_SCHEMA)
 
 
+AUDIO_SPECTRAL_SCHEMA = (
+    "id long, window_idx int, n_samples int, "
+    "spectral_centroid_hz double, spectral_bandwidth_hz double, "
+    "spectral_rolloff_hz double, spectral_flatness double"
+)
+
+
+def audio_spectral_features(df: DataFrame, window_ms: int = 100) -> DataFrame:
+    """Frequency-domain audio features per window — the spectral companion
+    to :func:`audio_energy`'s time-domain RMS/peak: centroid ("brightness",
+    the power-weighted mean frequency), bandwidth (power-weighted std
+    around the centroid), 85% rolloff (the speech/music discriminator),
+    and flatness (geometric/arithmetic power mean — 1.0 for white noise,
+    →0 for pure tones; the classic tonality gauge).  The features a
+    speech-vs-music / quality gate computes before paying for ASR.
+
+    Same WAV subset and quarantine-by-absence contract as audio_energy;
+    one rFFT per window (numpy, deterministic), DC bin excluded from the
+    power stats so silence and offset don't read as a 0 Hz tone.  Windows
+    shorter than 4 samples emit NULL features (spectrum too short).
+    Arrow-batched ``mapInPandas``, 1→N row expansion, no shuffle.
+    """
+    import numpy as np
+
+    def _spectral(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            ids, widx, ns = [], [], []
+            cent, bwid, roll, flat = [], [], [], []
+            for id_, p in zip(pdf["id"], pdf["payload"]):
+                try:
+                    with wave.open(io.BytesIO(bytes(p))) as wf:
+                        rate, width, nch = (
+                            wf.getframerate(),
+                            wf.getsampwidth(),
+                            wf.getnchannels(),
+                        )
+                        raw = wf.readframes(wf.getnframes())
+                    if width == 2:
+                        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                    elif width == 1:
+                        samples = (
+                            np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                            - 128.0
+                        )
+                    else:
+                        continue
+                    if nch > 1:
+                        samples = samples[: len(samples) - len(samples) % nch]
+                        samples = samples.reshape(-1, nch).mean(axis=1)
+                    win = max(1, rate * window_ms // 1000)
+                    for i in range(0, len(samples), win):
+                        chunk = samples[i : i + win]
+                        ids.append(int(id_))
+                        widx.append(i // win)
+                        ns.append(len(chunk))
+                        if len(chunk) < 4:
+                            cent.append(None)
+                            bwid.append(None)
+                            roll.append(None)
+                            flat.append(None)
+                            continue
+                        spec = np.abs(np.fft.rfft(chunk)) ** 2
+                        freqs = np.fft.rfftfreq(len(chunk), d=1.0 / rate)
+                        pw, fq = spec[1:], freqs[1:]  # exclude DC
+                        tot = pw.sum()
+                        if tot <= 0.0:  # digital silence
+                            cent.append(0.0)
+                            bwid.append(0.0)
+                            roll.append(0.0)
+                            flat.append(1.0)
+                            continue
+                        c = float((fq * pw).sum() / tot)
+                        cent.append(c)
+                        bwid.append(float(np.sqrt(((fq - c) ** 2 * pw).sum() / tot)))
+                        cum = np.cumsum(pw)
+                        roll.append(
+                            float(fq[int(np.searchsorted(cum, 0.85 * tot))])
+                        )
+                        # flatness over positive bins; zero bins clamp to
+                        # the smallest positive power so log stays finite
+                        safe = np.where(pw > 0, pw, pw[pw > 0].min())
+                        flat.append(
+                            float(np.exp(np.log(safe).mean()) / safe.mean())
+                        )
+                except Exception:  # noqa: BLE001 — malformed audio → no rows
+                    continue
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "window_idx": pd.Series(widx, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "spectral_centroid_hz": pd.Series(cent, dtype="float64"),
+                    "spectral_bandwidth_hz": pd.Series(bwid, dtype="float64"),
+                    "spectral_rolloff_hz": pd.Series(roll, dtype="float64"),
+                    "spectral_flatness": pd.Series(flat, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(_spectral, schema=AUDIO_SPECTRAL_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # JPEG baseline decode (VERDICT r8 item 3)
 # ---------------------------------------------------------------------------

@@ -1,7 +1,8 @@
 """WARC (ISO 28500) crawl-archive ingestion — the raw-crawl source format
 the log/fixed-width/XML extractors don't cover, and the front door of the
-LLM corpus funnel: parse_warc → strip_html → clean_lines (C4) →
-gopher_rules → dedup.
+LLM corpus funnel: parse_warc → strip_html (regex tier) or
+extract_main_text / extract_links (the r13 DOM tier in
+operators/cleaning.py) → clean_lines (C4) → gopher_rules → dedup.
 
 Two halves, both engine-honest:
 

@@ -250,3 +250,34 @@ def test_extract_main_text_misnested_and_malformed(spark):
     assert r.parse_ok is True
     assert body in r.main_text
     assert "Buy the thing" not in r.main_text
+
+
+def test_extract_links_crafted_page(spark):
+    """Link extraction keeps nav edges, skips script-embedded anchors,
+    tolerates nested/no-href anchors, and reads nofollow off rel."""
+    from area_etl_spark.operators.cleaning import extract_links
+
+    page = """<html><body>
+      <nav><a href="/home">Home page</a></nav>
+      <p>See <a href='/a' rel='NoFollow sponsored'>first &amp; best</a>
+         and <a href='/b'>outer <a href='/c'>inner</a> tail</p>
+      <a name='anchor-without-href'>not a link</a>
+      <script>document.write('<a href="/junk">x</a>');</script>
+      <a href='/last'>unclosed at EOF"""
+    df = spark.createDataFrame([(5, page), (6, "<p>no links at all</p>")],
+                               "doc_id long, html string")
+    rows = extract_links(df, "html", "doc_id").collect()
+    got = [(r.link_no, r.href, r.anchor_text, r.nofollow)
+           for r in sorted(rows, key=lambda r: (r.id, r.link_no)) if r.id == 5]
+    # nested <a href='/c'> closes the outer '/b' (HTML5 anchor rule)
+    assert got == [
+        (1, "/home", "Home page", False),
+        (2, "/a", "first & best", True),
+        (3, "/b", "outer", False),
+        (4, "/c", "inner", False),
+        (5, "/last", "unclosed at EOF", False),
+    ]
+    assert [r for r in rows if r.id == 6] == []
+    # rel survives verbatim for downstream policy
+    rel_a = {r.href: r.rel for r in rows if r.id == 5}["/a"]
+    assert rel_a == "NoFollow sponsored"

@@ -1767,3 +1767,50 @@ def test_jpeg_progressive_scan_script_variants():
     got_two = jpeg_decode_pixels_progressive(two_bit)
     assert np.array_equal(got_no_sa, want)
     assert np.array_equal(got_two, want)
+
+
+def test_audio_spectral_features_tone_noise_silence(spark):
+    """Spectral features distinguish what they claim to: a pure 125 Hz tone
+    centers its centroid/rolloff on 125 Hz with near-zero flatness, a
+    deterministic full-band noise window reads flat (→1), and digital
+    silence reports the documented (0, 0, 0, 1) convention."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from area_etl_spark.operators.multimodal import (
+        attach_binary_payload,
+        audio_spectral_features,
+    )
+
+    rate = 1000  # 100 ms window = 100 samples, rFFT bins every 10 Hz
+    t = np.arange(100) / rate
+    tone = np.round(8000 * np.sin(2 * np.pi * 125 * t)).astype("<i2")
+    rng = np.random.default_rng(11)
+    noise = rng.integers(-8000, 8000, size=100).astype("<i2")
+    silence = np.zeros(100, dtype="<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(tone.tobytes() + noise.tobytes() + silence.tobytes())
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue())), (2, bytearray(b"not-audio"))],
+        "doc_id int, body binary",
+    )
+    wrapped = attach_binary_payload(df, "body", "audio/wav", "doc_id")
+    rows = {r.window_idx: r
+            for r in audio_spectral_features(wrapped, window_ms=100).collect()}
+    assert sorted(rows) == [0, 1, 2]  # malformed payload yields no rows
+    tone_w, noise_w, sil_w = rows[0], rows[1], rows[2]
+    # 125 Hz lands exactly between the 120 and 130 Hz bins -> spectral
+    # leakage spreads symmetrically around it
+    assert abs(tone_w.spectral_centroid_hz - 125.0) < 5.0
+    assert abs(tone_w.spectral_rolloff_hz - 125.0) < 15.0
+    assert tone_w.spectral_bandwidth_hz < 30.0
+    assert tone_w.spectral_flatness < 0.05
+    assert noise_w.spectral_flatness > 0.4
+    assert noise_w.spectral_bandwidth_hz > 100.0
+    assert (sil_w.spectral_centroid_hz, sil_w.spectral_flatness) == (0.0, 1.0)
