@@ -1232,6 +1232,14 @@ def theil_sen_slope(
     cond = F.col("_t1") < F.col("_t2")
     for k in keys:
         cond = cond & (F.col(k) == F.col(f"_bk_{k}"))
+    # Keyed: the equi conjuncts make this a sort-merge join per group — the
+    # scale shape.  Keyless (ONE bounded series by contract): without a
+    # hint Spark plans a CartesianProduct whose partition count is
+    # |left|×|right| (32×32 = 1024 near-empty tasks on local[32] — pure
+    # scheduler overhead); broadcasting the series side plans a
+    # BroadcastNestedLoopJoin with |left| tasks instead.
+    if not keys:
+        b = F.broadcast(b)
     pairs = a.join(b, cond).select(
         *ks,
         (
@@ -2966,7 +2974,8 @@ def kendall_tau_b(
         (F.col("a._x") < F.col("b._x")) & (F.col("a._y") > F.col("b._y"))
     ) | ((F.col("a._x") > F.col("b._x")) & (F.col("a._y") < F.col("b._y")))
     pair_sums = (
-        a.crossJoin(b)
+        # broadcast: keyless pair join — see theil_sen_slope's hint note
+        a.crossJoin(F.broadcast(b))
         .where(
             (F.col("a._x") < F.col("b._x"))
             | ((F.col("a._x") == F.col("b._x")) & (F.col("a._y") < F.col("b._y")))
@@ -3724,7 +3733,8 @@ def mann_kendall(
     a = base.select(F.col("_t").alias("_t1"), F.col("_v").alias("_v1"))
     b = base.select(F.col("_t").alias("_t2"), F.col("_v").alias("_v2"))
     s_agg = (
-        a.join(b, F.col("_t1") < F.col("_t2"))
+        # broadcast: keyless pair join — see theil_sen_slope's hint note
+        a.join(F.broadcast(b), F.col("_t1") < F.col("_t2"))
         .select(F.signum((F.col("_v2") - F.col("_v1")).cast("double")).alias("_sgn"))
         .agg(F.sum(F.col("_sgn").cast("long")).alias("_s"))
     )
@@ -3898,7 +3908,8 @@ def hodges_lehmann(
     )
     a = idx.select(F.col("_v").alias("_va"), F.col("_rn").alias("_ra"))
     b = idx.select(F.col("_v").alias("_vb"), F.col("_rn").alias("_rb"))
-    sums = a.join(b, F.col("_ra") <= F.col("_rb")).select(
+    # broadcast: keyless pair join — see theil_sen_slope's hint note
+    sums = a.join(F.broadcast(b), F.col("_ra") <= F.col("_rb")).select(
         (F.col("_va") + F.col("_vb")).alias("_s")
     )
     agg = sums.agg(
@@ -4350,7 +4361,8 @@ def siegel_slope(
     ).where(F.col(t_col).isNotNull() & F.col(y_col).isNotNull())
     a = base.select(F.col("_t").alias("_ta"), F.col("_y").alias("_ya"))
     b = base.select(F.col("_t").alias("_tb"), F.col("_y").alias("_yb"))
-    slopes = a.join(b, F.col("_ta") != F.col("_tb")).select(
+    # broadcast: keyless pair join — see theil_sen_slope's hint note
+    slopes = a.join(F.broadcast(b), F.col("_ta") != F.col("_tb")).select(
         "_ta",
         "_ya",
         (

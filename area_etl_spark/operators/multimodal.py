@@ -706,10 +706,11 @@ def jpeg_decode_pixels(payload: bytes):
     ships image attachments as opaque blobs; feature extraction is ours).
 
     Subset: baseline DCT (SOF0), 8-bit, no restart intervals, and (r10,
-    VERDICT r9 item 7) one of the three layouts that cover essentially all
-    crawl images: single-component grayscale (1×1), 3-component YCbCr
-    4:4:4 (all 1×1), or 3-component YCbCr 4:2:0 (luma 2×2, chroma 1×1 —
-    the camera/web default).  Pipeline: marker parse (DQT/DHT/SOF0/SOS,
+    VERDICT r9 item 7; 4:2:2 added r13) one of the four layouts that cover
+    essentially all crawl images: single-component grayscale (1×1),
+    3-component YCbCr 4:4:4 (all 1×1), 4:2:0 (luma 2×2 — the camera/web
+    default), or 4:2:2 (luma 2×1 — the broadcast/video-frame layout).
+    Pipeline: marker parse (DQT/DHT/SOF0/SOS,
     APPn/COM skipped) → canonical Huffman tables → MCU-interleaved
     per-component DC-predictor + run/size AC entropy decode with FF00
     unstuffing → dequantize → un-zigzag → orthonormal 8×8 IDCT → +128
@@ -787,8 +788,9 @@ def jpeg_decode_pixels(payload: bytes):
                 if ncomp == 3 and samps not in (
                     [(1, 1), (1, 1), (1, 1)],  # 4:4:4
                     [(2, 2), (1, 1), (1, 1)],  # 4:2:0
+                    [(2, 1), (1, 1), (1, 1)],  # 4:2:2 (r13)
                 ):
-                    return None  # 4:2:2 / 4:1:1 / exotic: outside subset
+                    return None  # 4:1:1 / exotic: outside subset
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 return None  # progressive/extended/arithmetic SOF
             elif marker == 0xDD:  # DRI
@@ -918,8 +920,8 @@ def jpeg_decode_pixels_progressive(payload: bytes):
     decode_quarantine_report surfaces on real web corpora (progressive is
     the photo-site default).  Same subset contract as the baseline tier
     (jpeg_decode_pixels): 8-bit, huffman, no restart intervals, grayscale
-    1×1 / YCbCr 4:4:4 / YCbCr 4:2:0; everything else returns None and the
-    caller quarantines.
+    1×1 / YCbCr 4:4:4 / 4:2:0 / 4:2:2; everything else returns None and
+    the caller quarantines.
 
     Progressive semantics (ITU T.81 Annex G, re-derived): the file holds
     MULTIPLE scans over one persistent coefficient array — DC-first scans
@@ -1003,6 +1005,7 @@ def jpeg_decode_pixels_progressive(payload: bytes):
                 if ncomp == 3 and samps not in (
                     [(1, 1), (1, 1), (1, 1)],
                     [(2, 2), (1, 1), (1, 1)],
+                    [(2, 1), (1, 1), (1, 1)],  # 4:2:2 (r13)
                 ):
                     return None
             elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -1291,6 +1294,7 @@ def image_decode_diagnose(payload: bytes) -> dict[str, Any]:
                 if ncomp == 3 and samps not in (
                     [(1, 1), (1, 1), (1, 1)],
                     [(2, 2), (1, 1), (1, 1)],
+                    [(2, 1), (1, 1), (1, 1)],  # 4:2:2 (r13)
                 ):
                     return {"fmt": "jpeg", "ok": False, "reason": "jpeg_subsampling"}
                 saw_sof = True

@@ -518,7 +518,10 @@ def knn_classify(
         / (_norm(F.col("_qv")) * _norm(F.col("_cv"))),
         6,
     )
-    scored = q.crossJoin(c).select("_qid", "_cid", "_lbl", sim.alias("_cos"))
+    # broadcast the query side (the file-wide brute-force convention): a
+    # bare crossJoin plans a CartesianProduct with |q|×|c| partitions —
+    # scheduler overhead locally, a partition explosion on a cluster
+    scored = F.broadcast(q).crossJoin(c).select("_qid", "_cid", "_lbl", sim.alias("_cos"))
     w = Window.partitionBy("_qid").orderBy(F.col("_cos").desc(), F.col("_cid").asc())
     top = scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
     votes = top.groupBy("_qid", "_lbl").agg(F.count(F.lit(1)).alias("_votes"))

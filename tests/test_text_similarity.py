@@ -396,10 +396,11 @@ def test_image_decode_diagnose_reasons_and_decoder_agreement(spark):
         # reason — out-of-subset progressive (12-bit / 4:2:2) still
         # quarantines under the shared subset reasons
         ("jpeg_12bit_precision", soi + sof(0xC2, 1, [(1, 1)], prec=12) + eoi),
-        ("jpeg_subsampling", soi + sof(0xC2, 3, [(2, 1), (1, 1), (1, 1)]) + sos(3) + eoi),
+        ("jpeg_subsampling", soi + sof(0xC2, 3, [(4, 1), (1, 1), (1, 1)]) + sos(3) + eoi),
         ("jpeg_unsupported_sof", soi + sof(0xC1, 1, [(1, 1)]) + eoi),
         ("jpeg_12bit_precision", soi + sof(0xC0, 1, [(1, 1)], prec=12) + eoi),
-        ("jpeg_subsampling", soi + sof(0xC0, 3, [(2, 1), (1, 1), (1, 1)]) + sos(3) + eoi),
+        # 4:1:1 — 4:2:2 became an in-subset DECODED layout in r13
+        ("jpeg_subsampling", soi + sof(0xC0, 3, [(4, 1), (1, 1), (1, 1)]) + sos(3) + eoi),
         ("jpeg_components", soi + sof(0xC0, 4, [(1, 1)] * 4) + eoi),
         ("jpeg_restart_interval", soi + dri + sof(0xC0, 1, [(1, 1)]) + sos(1) + eoi),
         ("jpeg_no_scan", soi + eoi),
@@ -758,6 +759,33 @@ def test_audio_energy_windows_exact(spark):
     assert all(abs(r.rms - 1000.0) < 1e-9 and r.peak == 1000.0 for r in rows)
 
 
+def test_jpeg_422_decode_bit_tolerant():
+    """4:2:2 (luma 2×1) joined the baseline subset in r13: uniform color
+    round-trips near-exactly, a gray gradient with odd dims survives the
+    partial-MCU path, and the diagnose admits the layout."""
+    import numpy as np
+
+    from area_etl_spark.operators.multimodal import (
+        image_decode_diagnose,
+        jpeg_decode_pixels,
+    )
+
+    uni = np.zeros((16, 16, 3), np.uint8)
+    uni[..., 0], uni[..., 1], uni[..., 2] = 90, 180, 40
+    blob = _make_real_jpeg_color(uni, "422")
+    assert image_decode_diagnose(blob)["reason"] == "baseline_subset_ok"
+    got = jpeg_decode_pixels(blob)
+    assert got is not None and got.shape == (16, 16, 3)
+    assert int(np.abs(got.astype(int) - uni.astype(int)).max()) <= 2
+
+    yy, xx = np.mgrid[0:19, 0:13]
+    lum = ((yy * 7 + xx * 11) % 200 + 20).astype(np.float64)
+    grad = np.stack([lum, lum, lum], axis=2).astype(np.uint8)
+    got = jpeg_decode_pixels(_make_real_jpeg_color(grad, "422"))
+    assert got is not None and got.shape == (19, 13, 3)
+    assert int(np.abs(got.astype(int) - grad.astype(int)).max()) <= 3
+
+
 def test_ann_recall_report_full_recall_when_colocated(spark):
     """Vectors pointing the same direction share an LSH bucket, so the
     shortlist contains the whole corpus and recall@k is exactly 1.0."""
@@ -926,8 +954,10 @@ def _make_real_jpeg(pixels):
 def _make_real_jpeg_color(rgb, subsample="444"):
     """Encode a real baseline YCbCr color JPEG (all-ones quant table,
     Annex-K luminance Huffman tables shared by every component) — 4:4:4
-    (all 1×1) or 4:2:0 (luma 2×2, chroma 2×2 box-mean downsample),
-    MCU-interleaved entropy coding with per-component DC predictors."""
+    (all 1×1), 4:2:0 (luma 2×2, chroma 2×2 box-mean downsample), or 4:2:2
+    (luma 2×1, chroma horizontal-pair mean — the broadcast/video-frame
+    layout), MCU-interleaved entropy coding with per-component DC
+    predictors."""
     import struct
 
     import numpy as np
@@ -944,7 +974,7 @@ def _make_real_jpeg_color(rgb, subsample="444"):
     m = _jpeg_idct_matrix()
     dc_enc = _jpg_canonical(_JPG_DC_COUNTS, _JPG_DC_SYMS)
     ac_enc = _jpg_canonical(_JPG_AC_COUNTS, _JPG_AC_SYMS)
-    hs, vs = (2, 2) if subsample == "420" else (1, 1)
+    hs, vs = {"420": (2, 2), "422": (2, 1), "444": (1, 1)}[subsample]
     mcux = (w + 8 * hs - 1) // (8 * hs)
     mcuy = (h + 8 * vs - 1) // (8 * vs)
 
@@ -962,6 +992,9 @@ def _make_real_jpeg_color(rgb, subsample="444"):
     if subsample == "420":
         cbp = pad(cb, mcuy * 16, mcux * 16).reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
         crp = pad(cr, mcuy * 16, mcux * 16).reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+    elif subsample == "422":
+        cbp = pad(cb, mcuy * 8, mcux * 16).reshape(mcuy * 8, 1, mcux * 8, 2).mean(axis=(1, 3))
+        crp = pad(cr, mcuy * 8, mcux * 16).reshape(mcuy * 8, 1, mcux * 8, 2).mean(axis=(1, 3))
     else:
         cbp = pad(cb, mcuy * 8, mcux * 8)
         crp = pad(cr, mcuy * 8, mcux * 8)
@@ -1080,10 +1113,11 @@ def test_jpeg_color_decode_bit_tolerant():
     lum_got = got.astype(float).mean(axis=2)
     assert lum_got[:4, 4:].mean() > lum_got[:4, :4].mean()
 
-    # quarantine: 4:2:2 (luma 2x1) is outside the subset
+    # quarantine: 4:1:1 (luma 4x1) is outside the subset (4:2:2 joined the
+    # decoded set in r13 — see test_jpeg_422_decode_bit_tolerant)
     blob = bytearray(_make_real_jpeg_color(uni, "444"))
     i = bytes(blob).index(b"\xff\xc0")
-    blob[i + 11] = 0x21  # comp 1 sampling 1x1 -> 2x1
+    blob[i + 11] = 0x41  # comp 1 sampling 1x1 -> 4x1
     assert jpeg_decode_pixels(bytes(blob)) is None
 
 
