@@ -6032,8 +6032,12 @@ _MEDIA_TEMPLATES_HEX = {
     # each documented quarantine class
     0: "89504e470d0a1a0a0000000d49484452000000010000000108000000003a7e9b550000000a4944415478da6368000000820081da45083b0000000049454e44ae426082",
     1: "ffd8ffc0000b080001000101011100ffda0008010100003f00ffd9",
-    2: "ffd8ffc2000b080001000101011100ffd9",
-    3: "ffd8ffc00011080001000103012100021100031100ffda000c03010002000300003f00ffd9",
+    # r13: in-subset SOF2 WITH a scan — progressive is now an ADMITTED
+    # class (progressive_subset_ok), the telemetry's third green bucket
+    2: "ffd8ffc2000b080001000101011100ffda000801010000000000ffd9",
+    # r13: 4:1:1 (luma 4x1) — 4:2:2 joined the decoded baseline subset,
+    # so the representative subsampling quarantine moved one layout out
+    3: "ffd8ffc00011080001000103014100021100031100ffda000c03010002000300003f00ffd9",
     4: "ffd8ffdd00040064ffc0000b080001000101011100ffda0008010100003f00ffd9",
     5: "6e6f7420616e20696d61676520617420616c6c2e2e2e2e2e",
 }
@@ -6042,11 +6046,12 @@ _MEDIA_TEMPLATES_HEX = {
 def q_multimodal_quarantine_report(spark, sf_dir):
     """Multimodal quarantine telemetry (VERDICT r10 item 8): every doc_id
     maps to one of six deterministic header-class blobs (real PNG,
-    baseline JPEG, progressive, 4:2:2, restart-interval, garbage); the
-    REAL header classifier (image_decode_diagnose, the same subset checks
-    as jpeg_decode_pixels) must land each blob on exactly its class, and
-    the corpus report aggregates (fmt, ok, reason) — the reasons are a
-    pure function of doc_id % 6, so DuckDB replays the whole report."""
+    baseline JPEG, in-subset progressive — ADMITTED since r13, 4:1:1,
+    restart-interval, garbage); the REAL header classifier
+    (image_decode_diagnose, the same subset checks as the pixel decoders)
+    must land each blob on exactly its class, and the corpus report
+    aggregates (fmt, ok, reason) — the reasons are a pure function of
+    doc_id % 6, so DuckDB replays the whole report."""
     from area_etl_spark.operators.multimodal import decode_quarantine_report
 
     docs = _tables(spark, sf_dir)["documents"]
@@ -14584,11 +14589,11 @@ def oracle_sql() -> dict[str, str]:
                            WHEN 0 THEN 'png'
                            WHEN 5 THEN 'unknown'
                            ELSE 'jpeg' END AS fmt,
-                       (doc_id % 6) IN (0, 1) AS ok,
+                       (doc_id % 6) IN (0, 1, 2) AS ok,
                        CASE doc_id % 6
                            WHEN 0 THEN 'baseline_subset_ok'
                            WHEN 1 THEN 'baseline_subset_ok'
-                           WHEN 2 THEN 'jpeg_progressive_sof'
+                           WHEN 2 THEN 'progressive_subset_ok'
                            WHEN 3 THEN 'jpeg_subsampling'
                            WHEN 4 THEN 'jpeg_restart_interval'
                            ELSE 'unknown_format' END AS reason
