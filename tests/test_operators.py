@@ -180,14 +180,17 @@ def test_connected_components_and_representatives(spark):
 def test_connected_components_star_long_chain(spark):
     from area_etl_spark.operators.graph import connected_components, connected_components_star
 
-    # adversarial shape for propagation: one 60-node path + a separate pair
-    chain = [(i, i + 1) for i in range(60)]
+    # adversarial shape for propagation: one 24-node path + a separate pair
+    # (long enough that star contraction needs several doubling rounds while
+    # the plain-propagation cross-check stays affordable — each of its
+    # max_iter rounds is a full Spark job)
+    chain = [(i, i + 1) for i in range(24)]
     pairs = spark.createDataFrame(chain + [(200, 201)], "id_a int, id_b int")
     star = {r.node: r.label for r in connected_components_star(pairs).collect()}
-    assert all(star[i] == 0 for i in range(61))
+    assert all(star[i] == 0 for i in range(25))
     assert star[200] == star[201] == 200
     # agrees with plain propagation given enough rounds
-    plain = {r.node: r.label for r in connected_components(pairs, max_iter=70).collect()}
+    plain = {r.node: r.label for r in connected_components(pairs, max_iter=30).collect()}
     assert star == plain
 
 

@@ -1848,3 +1848,282 @@ def test_audio_spectral_features_tone_noise_silence(spark):
     assert noise_w.spectral_flatness > 0.4
     assert noise_w.spectral_bandwidth_hz > 100.0
     assert (sil_w.spectral_centroid_hz, sil_w.spectral_flatness) == (0.0, 1.0)
+
+
+def _make_real_jpeg_progressive_color(rgb, subsample="420"):
+    """Encode a real PROGRESSIVE (SOF2) YCbCr color JPEG — the interleaved
+    multi-component DC scans (first + refinement, MCU order over the
+    PADDED per-component block grids) and per-component non-interleaved
+    AC band scans (over the REAL block grids — smaller than the padded
+    grid when dims aren't MCU-aligned, the T.81 non-interleaved rule).
+    Same plane prep as _make_real_jpeg_color, so the quantized
+    coefficients are identical and progressive decode must reproduce the
+    baseline decode bit-for-bit."""
+    import struct
+
+    import numpy as np
+
+    from area_etl_spark.operators.multimodal import _JPEG_ZIGZAG, _jpeg_idct_matrix
+
+    h, w = rgb.shape[:2]
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    m = _jpeg_idct_matrix()
+    hs, vs = {"420": (2, 2), "422": (2, 1), "444": (1, 1)}[subsample]
+    mcux = (w + 8 * hs - 1) // (8 * hs)
+    mcuy = (h + 8 * vs - 1) // (8 * vs)
+
+    def pad(plane, ph, pw):
+        out = np.zeros((ph, pw), dtype=np.float64)
+        hh, ww = plane.shape
+        out[:hh, :ww] = plane
+        if hh < ph:
+            out[hh:, :ww] = out[hh - 1, :ww]
+        if ww < pw:
+            out[:, ww:] = out[:, ww - 1 : ww]
+        return out
+
+    ypl = pad(y, mcuy * vs * 8, mcux * hs * 8)
+    if subsample == "420":
+        cbp = pad(cb, mcuy * 16, mcux * 16).reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+        crp = pad(cr, mcuy * 16, mcux * 16).reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+    elif subsample == "422":
+        cbp = pad(cb, mcuy * 8, mcux * 16).reshape(mcuy * 8, 1, mcux * 8, 2).mean(axis=(1, 3))
+        crp = pad(cr, mcuy * 8, mcux * 16).reshape(mcuy * 8, 1, mcux * 8, 2).mean(axis=(1, 3))
+    else:
+        cbp = pad(cb, mcuy * 8, mcux * 8)
+        crp = pad(cr, mcuy * 8, mcux * 8)
+    comp_geom = [(hs, vs), (1, 1), (1, 1)]
+    planes = [ypl, cbp, crp]
+    # zigzag coefficient grids, PADDED size per component
+    coef = []
+    for plane in planes:
+        gh, gw = plane.shape[0] // 8, plane.shape[1] // 8
+        grid = [
+            [
+                np.round(
+                    (m @ (plane[byy * 8 : byy * 8 + 8, bxx * 8 : bxx * 8 + 8] - 128.0) @ m.T)
+                    .reshape(-1)[_JPEG_ZIGZAG]
+                ).astype(int)
+                for bxx in range(gw)
+            ]
+            for byy in range(gh)
+        ]
+        coef.append(grid)
+    # REAL block grids for the non-interleaved AC scans
+    hmax, vmax = hs, vs
+    nblk = []
+    for chs, cvs in comp_geom:
+        cw = (w * chs + hmax - 1) // hmax
+        ch = (h * cvs + vmax - 1) // vmax
+        nblk.append(((ch + 7) // 8, (cw + 7) // 8))
+    dc_enc = _jpg_canonical(_JPG_DC_COUNTS, _JPG_DC_SYMS)
+    ac_enc = _jpg_canonical(_JPG_FLAT_AC_COUNTS, _JPG_FLAT_AC_SYMS)
+
+    def mag(v):
+        size = int(v).bit_length() if v >= 0 else int(-v).bit_length()
+        bits = v if v >= 0 else v + (1 << size) - 1
+        return size, bits
+
+    def mcu_blocks():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (chs, cvs) in enumerate(comp_geom):
+                    for vy in range(cvs):
+                        for vx in range(chs):
+                            yield ci, coef[ci][my * cvs + vy][mx * chs + vx]
+
+    def dc_first(wtr, al):
+        preds = [0, 0, 0]
+        for ci, z in mcu_blocks():
+            v = int(z[0]) >> al
+            size, bits = mag(v - preds[ci])
+            preds[ci] = v
+            length, code = dc_enc[size]
+            wtr.write(code, length)
+            wtr.write(bits, size)
+
+    def dc_refine(wtr, al):
+        for _ci, z in mcu_blocks():
+            wtr.write((int(z[0]) >> al) & 1, 1)
+
+    def ac_first(wtr, ci, ss, se, al):
+        eobrun = 0
+
+        def put(sym):
+            length, code = ac_enc[sym]
+            wtr.write(code, length)
+
+        def flush():
+            nonlocal eobrun
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                put(nbits << 4)
+                if nbits:
+                    wtr.write(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+
+        bh_c, bw_c = nblk[ci]
+        for byy in range(bh_c):
+            for bxx in range(bw_c):
+                z = coef[ci][byy][bxx]
+                band = []
+                for k in range(ss, se + 1):
+                    v = int(z[k])
+                    band.append(-((-v) >> al) if v < 0 else v >> al)
+                nz = [i for i, v in enumerate(band) if v != 0]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush()
+                    continue
+                flush()
+                run = 0
+                for i, v in enumerate(band):
+                    if i > nz[-1]:
+                        break
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        put(0xF0)
+                        run -= 16
+                    size, bits = mag(v)
+                    put((run << 4) | size)
+                    wtr.write(bits, size)
+                    run = 0
+                if nz[-1] < se - ss:
+                    eobrun += 1
+        flush()
+
+    def ac_refine(wtr, ci, ss, se, al):
+        eobrun = 0
+        be = []
+
+        def put(sym):
+            length, code = ac_enc[sym]
+            wtr.write(code, length)
+
+        def flush():
+            nonlocal eobrun, be
+            if eobrun:
+                nbits = eobrun.bit_length() - 1
+                put(nbits << 4)
+                if nbits:
+                    wtr.write(eobrun - (1 << nbits), nbits)
+                eobrun = 0
+            for bit in be:
+                wtr.write(bit, 1)
+            be = []
+
+        bh_c, bw_c = nblk[ci]
+        for byy in range(bh_c):
+            for bxx in range(bw_c):
+                z = coef[ci][byy][bxx]
+                absv, sgn = [], []
+                for k in range(ss, se + 1):
+                    v = int(z[k])
+                    absv.append(abs(v) >> al)
+                    sgn.append(1 if v >= 0 else 0)
+                newly = [i for i, a in enumerate(absv) if a == 1]
+                eob = newly[-1] if newly else -1
+                run = 0
+                br = []
+                for i, a in enumerate(absv):
+                    if a == 0:
+                        run += 1
+                        continue
+                    while run > 15 and i <= eob:
+                        flush()
+                        put(0xF0)
+                        run -= 16
+                        for bit in br:
+                            wtr.write(bit, 1)
+                        br = []
+                    if a > 1:
+                        br.append(a & 1)
+                        continue
+                    flush()
+                    put((run << 4) | 1)
+                    wtr.write(sgn[i], 1)
+                    for bit in br:
+                        wtr.write(bit, 1)
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    eobrun += 1
+                    be.extend(br)
+                    if eobrun == 0x7FFF:
+                        flush()
+        flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dht(cls, tid, counts, syms):
+        return seg(0xC4, bytes([cls << 4 | tid]) + bytes(counts) + bytes(syms))
+
+    sof_body = bytes([8]) + struct.pack(">HH", h, w) + bytes(
+        [3, 1, (hs << 4) | vs, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    out = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0]) + bytes([1] * 64))
+        + seg(0xC2, sof_body)
+        + dht(0, 0, _JPG_DC_COUNTS, _JPG_DC_SYMS)
+        + dht(1, 0, _JPG_FLAT_AC_COUNTS, _JPG_FLAT_AC_SYMS)
+    )
+
+    def sos(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    # interleaved DC first (Al=1), per-comp AC firsts, DC refine, AC refines
+    w1 = _JpgBitWriter(); dc_first(w1, 1)
+    out += sos([1, 2, 3], 0, 0, 0, 1) + w1.flush()
+    for ci, cid in enumerate((1, 2, 3)):
+        wa = _JpgBitWriter(); ac_first(wa, ci, 1, 63, 1)
+        out += sos([cid], 1, 63, 0, 1) + wa.flush()
+    w2 = _JpgBitWriter(); dc_refine(w2, 0)
+    out += sos([1, 2, 3], 0, 0, 1, 0) + w2.flush()
+    for ci, cid in enumerate((1, 2, 3)):
+        wr = _JpgBitWriter(); ac_refine(wr, ci, 1, 63, 0)
+        out += sos([cid], 1, 63, 1, 0) + wr.flush()
+    return out + b"\xff\xd9"
+
+
+def test_jpeg_progressive_color_matches_baseline():
+    """Color progressive decode (interleaved multi-component DC scans +
+    per-component AC band scans over the REAL block grids) reproduces the
+    baseline color decoder bit-for-bit on identical coefficients — for
+    4:4:4, 4:2:0 (padded grid > real grid on odd dims), and 4:2:2."""
+    import numpy as np
+
+    from area_etl_spark.operators.multimodal import (
+        jpeg_decode_pixels,
+        jpeg_decode_pixels_progressive,
+    )
+
+    rng = np.random.default_rng(3)
+    smooth = np.clip(
+        np.cumsum(rng.integers(-6, 7, size=(19, 13, 3)), axis=0) + 128, 0, 255
+    ).astype(np.uint8)
+    for sub in ("444", "420", "422"):
+        prog = _make_real_jpeg_progressive_color(smooth, sub)
+        base = _make_real_jpeg_color(smooth, sub)
+        px_prog = jpeg_decode_pixels_progressive(prog)
+        px_base = jpeg_decode_pixels(base)
+        assert px_prog is not None and px_base is not None, sub
+        assert px_prog.shape == (19, 13, 3) == px_base.shape, sub
+        assert np.array_equal(px_prog, px_base), sub
+        # and stays close to the source (all-ones quant; chroma
+        # subsampling is the only loss on this smooth field)
+        err = int(np.abs(px_prog.astype(int) - smooth.astype(int)).max())
+        assert err <= (4 if sub == "444" else 40), (sub, err)
