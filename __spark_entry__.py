@@ -4611,6 +4611,48 @@ def q_html_extract_links(spark, sf_dir):
     return extract_links(d.select("doc_id", page.alias("html")), "html", "doc_id")
 
 
+def q_vat_checksum_scan(spark, sf_dir):
+    """Italian VAT-number (Partita IVA) checksum scan: 11-digit candidates
+    synthesized from customer keys, partita_iva_valid's integer HOF fold
+    deciding which satisfy the published check — the validation the
+    reference's vat_number/owner_vat_number columns (ref src/core.py:346,
+    502) never get; DuckDB replays the fold with the same list_reduce."""
+    from area_etl_spark.operators.text_analysis import partita_iva_valid
+
+    c = _tables(spark, sf_dir)["customer"]
+    piva = F.concat(
+        F.lpad((F.col("c_custkey") % 10_000_000_000).cast("string"), 10, "0"),
+        (F.col("c_custkey") % 10).cast("string"),
+    )
+    return c.select(
+        "c_custkey",
+        piva.alias("vat_number"),
+        partita_iva_valid(piva).alias("vat_ok"),
+    )
+
+
+def q_iban_checksum_scan(spark, sf_dir):
+    """IBAN mod-97 checksum scan (ISO 13616): Italian-shaped IBANs
+    synthesized from customer keys (IT + claimed check digits + CIN/ABI/
+    CAB + 12-digit account), iban_checksum_valid's single left-to-right
+    remainder fold deciding validity — no big-integer arithmetic on
+    either side; DuckDB replays the identical fold."""
+    from area_etl_spark.operators.text_analysis import iban_checksum_valid
+
+    c = _tables(spark, sf_dir)["customer"]
+    iban = F.concat(
+        F.lit("IT"),
+        F.lpad((F.col("c_custkey") % 100).cast("string"), 2, "0"),
+        F.lit("X0542811101"),
+        F.lpad((F.col("c_custkey") % 1_000_000_000_000).cast("string"), 12, "0"),
+    )
+    return c.select(
+        "c_custkey",
+        iban.alias("iban"),
+        iban_checksum_valid(iban).alias("iban_ok"),
+    )
+
+
 def q_business_days(spark, sf_dir):
     """SLA working-day arithmetic: weekday count in [orderdate,
     orderdate + k) per order via the closed-form full-weeks + bounded
@@ -7947,6 +7989,8 @@ _R13_NEW = [
     "business_days_holidays",
     "html_main_text",
     "html_extract_links",
+    "vat_checksum_scan",
+    "iban_checksum_scan",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -8170,6 +8214,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "business_days_holidays": q_business_days_holidays,
         "html_main_text": q_html_main_text,
         "html_extract_links": q_html_extract_links,
+        "vat_checksum_scan": q_vat_checksum_scan,
+        "iban_checksum_scan": q_iban_checksum_scan,
         "score_linear": q_score_linear,
         "jl_project": q_jl_project,
         "standardized_rates": q_standardized_rates,
@@ -15084,6 +15130,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(o_orderkey % 4 AS INT) AS style,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
             FROM orders
+        """,
+        "vat_checksum_scan": """
+            WITH d AS (
+                SELECT c_custkey,
+                       lpad(CAST(c_custkey % 10000000000 AS VARCHAR), 10, '0')
+                       || CAST(c_custkey % 10 AS VARCHAR) AS vat_number
+                FROM customer
+            ), s AS (
+                SELECT c_custkey, vat_number,
+                       list_reduce(list_prepend(0,
+                           list_transform(range(1, 11), i ->
+                               CASE WHEN i % 2 = 0 THEN
+                                   CASE WHEN 2 * CAST(substr(vat_number,
+                                            CAST(i AS INT), 1) AS INT) > 9
+                                        THEN 2 * CAST(substr(vat_number,
+                                            CAST(i AS INT), 1) AS INT) - 9
+                                        ELSE 2 * CAST(substr(vat_number,
+                                            CAST(i AS INT), 1) AS INT) END
+                               ELSE CAST(substr(vat_number,
+                                        CAST(i AS INT), 1) AS INT) END)),
+                           (a, b) -> a + b) AS total
+                FROM d
+            )
+            SELECT c_custkey, vat_number,
+                   CAST(substr(vat_number, 11, 1) AS INT)
+                       = (10 - total % 10) % 10 AS vat_ok
+            FROM s
+        """,
+        "iban_checksum_scan": """
+            WITH d AS (
+                SELECT c_custkey,
+                       'IT' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0')
+                       || 'X0542811101'
+                       || lpad(CAST(c_custkey % 1000000000000 AS VARCHAR), 12, '0')
+                           AS iban
+                FROM customer
+            ), r AS (
+                SELECT c_custkey, iban,
+                       substr(iban, 5) || substr(iban, 1, 4) AS re
+                FROM d
+            ), s AS (
+                SELECT c_custkey, iban,
+                       list_reduce(list_prepend(0,
+                           list_transform(range(1, length(re) + 1), i ->
+                               ascii(substr(re, CAST(i AS INT), 1)))),
+                           (acc, code) ->
+                               CASE WHEN code BETWEEN 48 AND 57
+                                    THEN (acc * 10 + code - 48) % 97
+                                    ELSE (acc * 100 + code - 55) % 97 END)
+                           AS rem
+                FROM r
+            )
+            SELECT c_custkey, iban, rem = 1 AS iban_ok
+            FROM s
         """,
         "html_extract_links": """
             SELECT doc_id AS id, CAST(1 AS INTEGER) AS link_no,

@@ -5328,3 +5328,41 @@ def test_sbg_retention_reference(spark):
 
     with _pytest.raises(ValueError, match="horizon"):
         sbg_retention(df, "p", "a", horizon=1)
+
+
+def test_partita_iva_and_iban_checksums(spark):
+    """Published-example validation: real Italian VAT numbers and real
+    IBANs pass, single-digit corruptions fail, malformed shapes are false
+    (never an error)."""
+    from area_etl_spark.operators.text_analysis import (
+        iban_checksum_valid,
+        partita_iva_valid,
+    )
+    import pyspark.sql.functions as F
+
+    pivas = [
+        ("00159560366", True),   # published example (Ferrari S.p.A.)
+        ("00743110157", True),   # published example
+        ("00159560367", False),  # corrupted check digit
+        ("0015956036", False),   # 10 digits
+        ("00159560a66", False),  # non-numeric
+        ("", False),
+    ]
+    ibans = [
+        ("GB82WEST12345698765432", True),        # ISO 13616 spec example
+        ("IT60X0542811101000000123456", True),   # published Italian example
+        ("DE89370400440532013000", True),
+        ("IT60X0542811101000000123457", False),  # corrupted account digit
+        ("GB82 WEST 1234 5698 7654 32", True),   # printed form (spaces)
+        ("gb82west12345698765432", True),        # case folded
+        ("XX00", False),                         # too short
+        ("1234WEST12345698765432", False),       # digits where country goes
+    ]
+    dfp = spark.createDataFrame([(i, p) for i, (p, _) in enumerate(pivas)], "i int, p string")
+    got = {r.i: r.ok for r in dfp.select("i", partita_iva_valid(F.col("p")).alias("ok")).collect()}
+    for i, (p, want) in enumerate(pivas):
+        assert got[i] == want, (p, want, got[i])
+    dfi = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(ibans)], "i int, s string")
+    got = {r.i: r.ok for r in dfi.select("i", iban_checksum_valid("s").alias("ok")).collect()}
+    for i, (s, want) in enumerate(ibans):
+        assert got[i] == want, (s, want, got[i])
