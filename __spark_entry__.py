@@ -4653,6 +4653,29 @@ def q_iban_checksum_scan(spark, sf_dir):
     )
 
 
+def q_iban_redaction(spark, sf_dir):
+    """Checksum-validated IBAN redaction over synthetic payment lines:
+    only the mod-97-valid tokens are replaced (precision rides on the
+    checksum, ~1% random-shape pass rate), the rest of the text is left
+    byte-identical.  DuckDB replays validity with the same remainder
+    fold and replaces conditionally."""
+    from area_etl_spark.operators.text_analysis import redact_ibans
+
+    c = _tables(spark, sf_dir)["customer"]
+    iban = F.concat(
+        F.lit("IT"),
+        F.lpad((F.col("c_custkey") % 100).cast("string"), 2, "0"),
+        F.lit("X0542811101"),
+        F.lpad((F.col("c_custkey") % 1_000_000_000_000).cast("string"), 12, "0"),
+    )
+    text = F.concat(F.lit("pay "), iban, F.lit(" by wire"))
+    return c.select(
+        "c_custkey",
+        text.alias("raw"),
+        redact_ibans(text).alias("redacted"),
+    )
+
+
 def q_business_days(spark, sf_dir):
     """SLA working-day arithmetic: weekday count in [orderdate,
     orderdate + k) per order via the closed-form full-weeks + bounded
@@ -7991,6 +8014,7 @@ _R13_NEW = [
     "html_extract_links",
     "vat_checksum_scan",
     "iban_checksum_scan",
+    "iban_redaction",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -8216,6 +8240,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract_links": q_html_extract_links,
         "vat_checksum_scan": q_vat_checksum_scan,
         "iban_checksum_scan": q_iban_checksum_scan,
+        "iban_redaction": q_iban_redaction,
         "score_linear": q_score_linear,
         "jl_project": q_jl_project,
         "standardized_rates": q_standardized_rates,
@@ -15183,6 +15208,36 @@ def oracle_sql() -> dict[str, str]:
                 FROM r
             )
             SELECT c_custkey, iban, rem = 1 AS iban_ok
+            FROM s
+        """,
+        "iban_redaction": """
+            WITH d AS (
+                SELECT c_custkey,
+                       'IT' || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0')
+                       || 'X0542811101'
+                       || lpad(CAST(c_custkey % 1000000000000 AS VARCHAR), 12, '0')
+                           AS iban
+                FROM customer
+            ), r AS (
+                SELECT c_custkey, iban,
+                       substr(iban, 5) || substr(iban, 1, 4) AS re
+                FROM d
+            ), s AS (
+                SELECT c_custkey, iban,
+                       list_reduce(list_prepend(0,
+                           list_transform(range(1, length(re) + 1), i ->
+                               ascii(substr(re, CAST(i AS INT), 1)))),
+                           (acc, code) ->
+                               CASE WHEN code BETWEEN 48 AND 57
+                                    THEN (acc * 10 + code - 48) % 97
+                                    ELSE (acc * 100 + code - 55) % 97 END)
+                           AS rem
+                FROM r
+            )
+            SELECT c_custkey,
+                   'pay ' || iban || ' by wire' AS raw,
+                   CASE WHEN rem = 1 THEN 'pay [IBAN] by wire'
+                        ELSE 'pay ' || iban || ' by wire' END AS redacted
             FROM s
         """,
         "html_extract_links": """

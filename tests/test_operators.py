@@ -5366,3 +5366,26 @@ def test_partita_iva_and_iban_checksums(spark):
     got = {r.i: r.ok for r in dfi.select("i", iban_checksum_valid("s").alias("ok")).collect()}
     for i, (s, want) in enumerate(ibans):
         assert got[i] == want, (s, want, got[i])
+
+
+def test_redact_ibans_validated_only(spark):
+    """Only checksum-valid IBANs redact; invalid-but-shaped tokens and the
+    surrounding text survive byte-identical; repeats collapse via the
+    distinct-replace fold."""
+    from area_etl_spark.operators.text_analysis import redact_ibans
+    import pyspark.sql.functions as F
+
+    good = "IT60X0542811101000000123456"
+    bad = "IT60X0542811101000000123457"
+    rows = [
+        (1, f"pay {good} or {bad} today"),
+        (2, f"{good} twice {good}"),
+        (3, "no ibans here at all"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "i int, t string")
+    out = {r.i: r.red for r in df.select("i", redact_ibans("t").alias("red")).collect()}
+    assert out[1] == f"pay [IBAN] or {bad} today"
+    assert out[2] == "[IBAN] twice [IBAN]"
+    assert out[3] == "no ibans here at all"
+    assert out[4] is None
