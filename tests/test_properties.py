@@ -639,3 +639,70 @@ def test_welch_negation_antisymmetry_property(spark, a, b):
         assert abs(rn.t_stat + r.t_stat) < 1e-9
         assert abs(rn.df_welch - r.df_welch) < 1e-6
         assert abs(rn.p_value - r.p_value) < 1e-9
+
+
+@settings(**SETTINGS)
+@given(
+    start=st.dates(
+        min_value=__import__("datetime").date(1990, 1, 1),
+        max_value=__import__("datetime").date(2030, 12, 31),
+    ),
+    span=st.integers(0, 40),
+    hol_offsets=st.lists(st.integers(-3, 43), min_size=0, max_size=8),
+)
+def test_business_days_holidays_matches_python_count(spark, start, span, hol_offsets):
+    """Holiday tier ≡ per-day python recount for ANY span and ANY holiday
+    set (including holidays outside the span, on weekends, and duplicated)."""
+    import datetime
+
+    from area_etl_spark.functions.transforms import business_days_between_holidays
+
+    end = start + datetime.timedelta(days=span)
+    holidays = sorted({str(start + datetime.timedelta(days=o)) for o in hol_offsets})
+    hol_set = set(holidays)
+    df = spark.createDataFrame([(str(start), str(end))], "s string, e string")
+    got = (
+        df.select(business_days_between_holidays("s", "e", holidays).alias("bd"))
+        .collect()[0]
+        .bd
+    )
+    want = sum(
+        1
+        for i in range(span)
+        if (start + datetime.timedelta(days=i)).weekday() < 5
+        and str(start + datetime.timedelta(days=i)) not in hol_set
+    )
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    bban=st.text(alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789", min_size=11, max_size=30),
+    country=st.sampled_from(["IT", "DE", "GB", "FR", "NL"]),
+    flip=st.integers(0, 10**9),
+)
+def test_iban_checkdigits_constructed_valid_and_corruption_detected(
+    spark, bban, country, flip
+):
+    """For ANY BBAN: computing the ISO 13616 check digits yields a
+    validating IBAN, and corrupting any single digit char breaks it
+    (mod-97 detects all single-character substitutions)."""
+    from area_etl_spark.operators.text_analysis import iban_checksum_valid
+
+    def to_num(s):
+        return int("".join(str(int(ch, 36)) for ch in s))
+
+    check = 98 - to_num(bban + country + "00") % 97
+    iban = f"{country}{check:02d}{bban}"
+    # corrupt one digit position (there is always one: the check digits)
+    digit_positions = [i for i, ch in enumerate(iban[2:], start=2) if ch.isdigit()]
+    pos = digit_positions[flip % len(digit_positions)]
+    bad = iban[:pos] + str((int(iban[pos]) + 1 + flip % 9) % 10) + iban[pos + 1 :]
+    if bad[pos] == iban[pos]:
+        bad = iban[:pos] + str((int(iban[pos]) + 1) % 10) + iban[pos + 1 :]
+    df = spark.createDataFrame([(iban, bad)], "good string, bad string")
+    r = df.select(
+        iban_checksum_valid("good").alias("g"), iban_checksum_valid("bad").alias("b")
+    ).collect()[0]
+    assert r.g is True
+    assert r.b is False
