@@ -322,28 +322,32 @@ def partita_iva_valid(digits: Column) -> Column:
 def iban_checksum_valid(iban_col: str | Column) -> Column:
     """IBAN mod-97 validity (ISO 13616 / ISO 7064): move the first four
     characters to the end, map letters A→10 … Z→35, and the resulting big
-    integer must be ≡ 1 (mod 97) — computed as ONE left-to-right remainder
-    fold (rem·10+digit or rem·100+letter-value, mod 97 each step), so no
-    arbitrary-precision arithmetic is ever needed.  Whitespace is stripped
-    and case folded first (the printed-IBAN convention); anything outside
-    [A-Z0-9]{15,34} with a letter-letter-digit-digit head → false.  The
-    reference domain is Italian public-sector payment data, but the check
-    is country-generic.  Engine-portable: a SQL oracle replays the same
-    fold with list_reduce.
+    integer must be ≡ 1 (mod 97) — no arbitrary-precision arithmetic:
+    letters expand through 26 literal ``replace`` calls (whole-stage
+    codegen, no per-character lambda), then a Horner fold over zero-padded
+    7-DIGIT chunks (rem·10⁷ + chunk, mod 97 — max 96·10⁷+10⁷ < 2³¹, and
+    left-padding with zeros cannot change the value mod anything).  The
+    chunked form measured ~2× faster than a per-character fold: HOF lambda
+    elements evaluate interpreted, so fewer/fatter elements win.
+    Whitespace is stripped and case folded first (the printed-IBAN
+    convention); anything outside [A-Z0-9]{15,34} with a
+    letter-letter-digit-digit head → false.  The reference domain is
+    Italian public-sector payment data, but the check is country-generic.
+    The SQL oracle deliberately keeps the per-CHARACTER remainder fold —
+    an independent evaluation order proving the same residue.
     """
     raw = F.col(iban_col) if isinstance(iban_col, str) else iban_col
     c = F.upper(F.regexp_replace(raw, r"\s+", ""))
     ok_shape = c.rlike("^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$")
-    rearranged = F.concat(F.substring(c, 5, 34), F.substring(c, 1, 4))
+    r = F.concat(F.substring(c, 5, 34), F.substring(c, 1, 4))
+    for i, ch in enumerate("ABCDEFGHIJKLMNOPQRSTUVWXYZ"):
+        r = F.replace(r, F.lit(ch), F.lit(str(10 + i)))
+    nch = F.ceil(F.length(r) / F.lit(7)).cast("int")
+    padded = F.lpad(r, (nch * 7).cast("int"), "0")
     rem = F.aggregate(
-        F.sequence(F.lit(1), F.length(rearranged)),
+        F.sequence(F.lit(0), nch - 1),
         F.lit(0),
-        lambda acc, i: F.when(
-            F.ascii(rearranged.substr(i, F.lit(1))).between(48, 57),
-            (acc * 10 + F.ascii(rearranged.substr(i, F.lit(1))) - 48) % 97,
-        ).otherwise(
-            (acc * 100 + F.ascii(rearranged.substr(i, F.lit(1))) - 55) % 97
-        ),
+        lambda acc, i: (acc * 10_000_000 + F.substring(padded, i * 7 + 1, 7).cast("int")) % 97,
     )
     return F.when(ok_shape, rem == 1).otherwise(F.lit(False))
 
