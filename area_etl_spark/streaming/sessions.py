@@ -145,6 +145,16 @@ def stateful_sessionize(
     Emits a session row when a user's gap elapses (processing-time timeout)
     — semantics the declarative ``session_window`` cannot express (emission
     before end-of-stream with per-key timers).  State per key is O(1).
+
+    Operational caveat (measured, not theoretical): under
+    ``trigger(availableNow=True)`` a ProcessingTimeTimeout query never
+    self-terminates — after the data batches commit it keeps running
+    'no new data but cleaning up state' batches until every pending timer
+    (gap_minutes away) fires.  Batch-style drains must therefore stop the
+    query once an EMPTY batch commits (all data batches are then durable;
+    see tests/conftest.drain_available_now) instead of awaiting
+    termination.  Continuous deployments are unaffected: the timers firing
+    IS the intended emission path.
     """
     gap_seconds = gap_minutes * 60
 

@@ -36,6 +36,34 @@ def tables(spark):
     return load_tables(spark, SF_DIR)
 
 
+def drain_available_now(q, timeout_s: float = 120.0) -> None:
+    """Process every AVAILABLE micro-batch of an availableNow query, then
+    stop it.  A stateful query with ProcessingTimeTimeout never
+    self-terminates under availableNow: after the data batches commit it
+    spins 'no new data but cleaning up state' batches until the
+    processing-time timers fire (minutes away), so a bare
+    ``awaitTermination(N)`` burns its full timeout — the r12 suite paid
+    2×240 s in ONE test for this.  An empty committed batch
+    (numInputRows == 0) proves all data batches are committed, at which
+    point stopping is safe: the abandoned cleanup batch writes nothing.
+    """
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        if q.exception() is not None:
+            break  # surface via awaitTermination below
+        progress = q.recentProgress
+        if any(p["numInputRows"] == 0 for p in progress):
+            break
+        time.sleep(0.3)
+    q.stop()
+    try:
+        q.awaitTermination(60)
+    except Exception:  # noqa: BLE001 — in-flight cleanup batch abort is benign
+        pass
+
+
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR

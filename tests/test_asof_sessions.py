@@ -130,7 +130,11 @@ def test_stateful_sessionize_stream(spark, tables, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
+    # ProcessingTimeTimeout + availableNow never self-terminates — drain
+    # the data batches and stop (see tests/conftest.drain_available_now)
+    from tests.conftest import drain_available_now
+
+    drain_available_now(q)
     streamed = {
         (r.user_id, r.session_start, r.session_end_ts, r.n_events)
         for r in spark.sql("SELECT * FROM sess_test").collect()

@@ -72,28 +72,23 @@ def test_driver_window_fully_oracled():
     assert missing == []
 
 
-def test_r12_window_is_the_prescribed_rotation():
-    """r12 rotation: the driver window is _R12_WINDOW — the _R12_QUEUE
-    (3 bench-headline stale greens + the never-driver-checked r11
-    registrations) minus the 13 most-property-tested r11b tail keys
-    deferred to _R13_QUEUE, with the five operators the r12 ADVICE pass
-    touched (durbin_watson, conformal_interval, ece_brier, srm_check,
-    qini_curve) all inside.  Assert the exact composition so a stray
-    registration can't silently displace a key from the window."""
+def test_r13_window_is_the_prescribed_rotation():
+    """r13 rotation (VERDICT r12 items 1-2): the driver window leads with
+    the four r12 dtype hash-fails re-sampled after their parity fixes,
+    then the 40-key _R13_QUEUE (13 r11b deferrals + 27 r12 registrations,
+    none yet driver-sampled — eb_shrinkage, the fifth latent dtype fix,
+    sits inside it), then the r13 registrations.  Assert the exact
+    composition so a stray registration can't silently displace a key
+    from the window."""
     first50 = list(QUERIES)[:50]
-    assert first50 == entrymod._R12_WINDOW
+    want = [*entrymod._R13_REGRESSION, *entrymod._R13_QUEUE, *entrymod._R13_NEW]
+    assert first50 == want[:50]
     assert len(first50) == 50
-    for fixed in (
-        "durbin_watson",
-        "conformal_interval",
-        "ece_brier",
-        "srm_check",
-        "qini_curve",
-    ):
-        assert fixed in first50, fixed
-    # immediately after the window: the 13 deferrals + the r12 additions
-    queued = list(QUERIES)[50 : 50 + len(entrymod._R13_QUEUE)]
-    assert queued == entrymod._R13_QUEUE
+    assert "eb_shrinkage" in first50
+    # immediately after the window: the freshly-green r12 window keys
+    after = list(QUERIES)[50 : 50 + 5]
+    assert after == [k for k in want[50:] + entrymod._R12_WINDOW
+                     if k not in first50][:5]
 
 
 def test_every_query_has_oracle_or_is_documented_rows_only():

@@ -194,6 +194,8 @@ def test_stateful_session_merges_across_restart(spark, tmp_path):
     src, sink, ckpt = (str(tmp_path / p) for p in ("sess_src", "sess_sink", "sess_ckpt"))
 
     def run_once():
+        from tests.conftest import drain_available_now
+
         stream = spark.readStream.schema(schema).parquet(src)
         q = (
             stateful_sessionize(stream, gap_minutes=30)
@@ -204,7 +206,11 @@ def test_stateful_session_merges_across_restart(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(240)
+        # ProcessingTimeTimeout + availableNow never self-terminates (it
+        # waits out the 30-min timers in empty cleanup batches): drain the
+        # data batches, then stop — state is committed per batch, so the
+        # restart semantics under test are untouched.
+        drain_available_now(q)
 
     # run 1: three events, 5 min apart — session stays OPEN (state only)
     rows_a = [(1, base + dt.timedelta(minutes=m)) for m in (0, 5, 10)]
