@@ -4676,6 +4676,37 @@ def q_iban_redaction(spark, sf_dir):
     )
 
 
+def q_robots_url_filter(spark, sf_dir):
+    """Robots.txt crawl gating under the published longest-match rule:
+    paths synthesized into four deterministic classes (disallowed subtree,
+    longer-allow exception inside it, prefix disallow, unmatched), the
+    plan-literal rule fold deciding each — the oracle replays the class
+    decisions closed-form (the quarantine-report recipe)."""
+    from area_etl_spark.operators.cleaning import parse_robots_txt, robots_allow
+
+    robots = (
+        "User-agent: *\n"
+        "Disallow: /private/\n"
+        "Allow: /private/press/\n"
+        "Disallow: /tmp\n"
+    )
+    rules = parse_robots_txt(robots)
+    d = _tables(spark, sf_dir)["documents"]
+    did = F.col("doc_id").cast("string")
+    cls = F.col("doc_id") % 4
+    path = (
+        F.when(cls == 0, F.concat(F.lit("/private/doc/"), did))
+        .when(cls == 1, F.concat(F.lit("/private/press/rel"), did))
+        .when(cls == 2, F.concat(F.lit("/tmp"), did))
+        .otherwise(F.concat(F.lit("/public/doc/"), did))
+    )
+    return d.select(
+        "doc_id",
+        path.alias("path"),
+        robots_allow(path, rules).alias("crawl_allowed"),
+    )
+
+
 def q_business_days(spark, sf_dir):
     """SLA working-day arithmetic: weekday count in [orderdate,
     orderdate + k) per order via the closed-form full-weeks + bounded
@@ -8015,6 +8046,9 @@ _R13_NEW = [
     "vat_checksum_scan",
     "iban_checksum_scan",
     "iban_redaction",
+    # overflow past the 50-slot window: judge-gated at registration, r14
+    # rotation fodder (the r11b-deferral precedent)
+    "robots_url_filter",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -8241,6 +8275,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vat_checksum_scan": q_vat_checksum_scan,
         "iban_checksum_scan": q_iban_checksum_scan,
         "iban_redaction": q_iban_redaction,
+        "robots_url_filter": q_robots_url_filter,
         "score_linear": q_score_linear,
         "jl_project": q_jl_project,
         "standardized_rates": q_standardized_rates,
@@ -15209,6 +15244,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c_custkey, iban, rem = 1 AS iban_ok
             FROM s
+        """,
+        "robots_url_filter": """
+            SELECT doc_id,
+                   CASE doc_id % 4
+                       WHEN 0 THEN '/private/doc/' || CAST(doc_id AS VARCHAR)
+                       WHEN 1 THEN '/private/press/rel' || CAST(doc_id AS VARCHAR)
+                       WHEN 2 THEN '/tmp' || CAST(doc_id AS VARCHAR)
+                       ELSE '/public/doc/' || CAST(doc_id AS VARCHAR) END AS path,
+                   (doc_id % 4) IN (1, 3) AS crawl_allowed
+            FROM documents
         """,
         "iban_redaction": """
             WITH d AS (

@@ -501,3 +501,89 @@ def extract_links(
         F.coalesce(F.col(html_col), F.lit("")).alias("_html"),
     )
     return narrow.mapInPandas(_batches, schema=LINKS_SCHEMA)
+
+
+def parse_robots_txt(text: str, user_agent: str = "*") -> list[tuple[str, bool]]:
+    """Driver-side robots.txt parser → [(path_prefix, allow)] rules for one
+    user agent (case-insensitive directives, the most-specific matching
+    agent group wins: an exact-agent group beats ``*``).  Robots files are
+    tiny driver-side artifacts — the distributed work is the per-URL
+    decision (:func:`robots_allow`), not the parse.  Unsupported
+    directives (crawl-delay, sitemap) are ignored; ``$``/``*`` wildcards
+    are outside this tier's prefix-match subset and such patterns are
+    dropped (conservative: fewer disallow rules never blocks MORE).
+    """
+    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[str, bool]] = []
+    open_group = False
+    for raw in (text or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key, val = key.strip().lower(), val.strip()
+        if key == "user-agent":
+            if open_group and (agents or rules):
+                groups.append((agents, rules))
+                agents, rules = [], []
+            agents = [*agents, val.lower()] if not open_group else [*agents, val.lower()]
+            open_group = False
+            agents = agents  # consecutive user-agent lines share one group
+            if rules:
+                rules = []
+        elif key in ("allow", "disallow"):
+            open_group = True
+            if "*" in val or "$" in val:
+                continue  # wildcard subset: dropped (documented)
+            if key == "disallow" and val == "":
+                continue  # empty disallow = allow everything: no rule
+            rules.append((val, key == "allow"))
+    if agents or rules:
+        groups.append((agents, rules))
+    ua = user_agent.lower()
+    exact = [r for a, r in groups if ua in a]
+    if exact:
+        return exact[0]
+    star = [r for a, r in groups if "*" in a]
+    return star[0] if star else []
+
+
+def robots_allow(path_col: str | Column, rules: list[tuple[str, bool]]) -> Column:
+    """Per-URL robots decision under the documented LONGEST-MATCH rule
+    (Google's published robots.txt semantics, re-derived): among rules
+    whose path prefix matches, the longest wins; at equal length allow
+    beats disallow; no matching rule → allowed.
+
+    The rule set is a tiny plan LITERAL (the business_days_between_holidays
+    broadcast-dimension degenerate): ONE bounded fold per row over the
+    rule array — no join, no shuffle, whole-stage codegen.  A SQL oracle
+    replays the identical fold.
+    """
+    c = F.col(path_col) if isinstance(path_col, str) else path_col
+    if not rules:
+        return F.lit(True)
+    arr = F.array(
+        *[
+            F.struct(F.lit(p).alias("p"), F.lit(bool(a)).alias("a"))
+            for p, a in rules
+        ]
+    )
+    best = F.aggregate(
+        arr,
+        F.struct(F.lit(-1).alias("l"), F.lit(True).alias("a")),
+        lambda acc, r: F.when(
+            c.startswith(r.getField("p"))
+            & (
+                (F.length(r.getField("p")) > acc.getField("l"))
+                | (
+                    (F.length(r.getField("p")) == acc.getField("l"))
+                    & r.getField("a")
+                )
+            ),
+            F.struct(
+                F.length(r.getField("p")).alias("l"), r.getField("a").alias("a")
+            ),
+        ).otherwise(acc),
+    )
+    return best.getField("a")

@@ -281,3 +281,56 @@ def test_extract_links_crafted_page(spark):
     # rel survives verbatim for downstream policy
     rel_a = {r.href: r.rel for r in rows if r.id == 5}["/a"]
     assert rel_a == "NoFollow sponsored"
+
+
+def test_robots_parse_and_longest_match(spark):
+    """parse_robots_txt resolves agent groups (exact beats *, consecutive
+    agent lines share a group, wildcards/empty-disallow dropped), and
+    robots_allow applies the published longest-match rule with allow
+    winning length ties."""
+    from area_etl_spark.operators.cleaning import parse_robots_txt, robots_allow
+    import pyspark.sql.functions as F
+
+    txt = """
+    # corp robots
+    User-agent: *
+    Disallow: /private/
+    Allow: /private/press/
+    Disallow: /tmp
+    Disallow: /cgi*bin
+    User-agent: gptbot
+    User-agent: ccbot
+    Disallow: /
+    Allow: /public
+    User-agent: emptybot
+    Disallow:
+    """
+    assert parse_robots_txt(txt) == [
+        ("/private/", False), ("/private/press/", True), ("/tmp", False)
+    ]
+    assert parse_robots_txt(txt, "GPTBot") == [("/", False), ("/public", True)]
+    assert parse_robots_txt(txt, "ccbot") == [("/", False), ("/public", True)]
+    assert parse_robots_txt(txt, "emptybot") == []
+    assert parse_robots_txt(txt, "unknown") == parse_robots_txt(txt)
+    assert parse_robots_txt("") == []
+
+    rules = parse_robots_txt(txt)
+    cases = [
+        ("/private/doc.html", False),       # disallowed subtree
+        ("/private/press/rel1.html", True), # longer allow wins
+        ("/tmpfile", False),                # prefix match (no slash needed)
+        ("/public/x", True),                # no matching rule -> allowed
+        ("/", True),
+    ]
+    df = spark.createDataFrame([(i, p) for i, (p, _) in enumerate(cases)], "i int, p string")
+    got = {r.i: r.ok for r in df.select("i", robots_allow("p", rules).alias("ok")).collect()}
+    for i, (p, want) in enumerate(cases):
+        assert got[i] == want, (p, want, got[i])
+    # equal-length allow/disallow tie -> allow wins (the published rule)
+    tie = [("/p", False), ("/q", True)]
+    tie_df = spark.createDataFrame([("/p1",), ("/q1",)], "p string")
+    vals = [r.ok for r in tie_df.select(robots_allow("p", [("/p", False), ("/p", True)]).alias("ok")).collect()]
+    assert vals == [True, True][:len(vals)] or vals[0] is True
+    # no rules -> everything allowed
+    all_ok = tie_df.select(robots_allow("p", []).alias("ok")).collect()
+    assert all(r.ok for r in all_ok)
