@@ -4676,6 +4676,41 @@ def q_iban_redaction(spark, sf_dir):
     )
 
 
+# Deterministic mojibake fixtures for q_mojibake_repair: the CLEAN string,
+# its UTF-8-read-as-latin1 form, and its UTF-8-read-as-cp1252 form — built
+# at import so the Spark query and the DuckDB oracle share one source of
+# truth (no hand-typed control characters).
+_MOJI_CLEAN_L1 = "Città di Modena: "
+_MOJI_BROKEN_L1 = _MOJI_CLEAN_L1.encode("utf-8").decode("latin-1")
+_MOJI_CLEAN_CP = "perché l’unità — "
+_MOJI_BROKEN_CP = _MOJI_CLEAN_CP.encode("utf-8").decode("cp1252")
+
+
+def q_mojibake_repair(spark, sf_dir):
+    """Crawl-encoding repair (ftfy-class, re-derived): three deterministic
+    document classes — a latin1-mojibake prefix, a cp1252-mojibake prefix
+    (curly punctuation through the 0x80–0x9F translate-back), and clean
+    ascii — each followed by the document's own text; fix_mojibake must
+    repair exactly the first two prefixes and pass everything else through
+    byte-identical.  The oracle replays the class outputs closed-form from
+    the SAME import-time fixtures."""
+    from area_etl_spark.operators.cleaning import fix_mojibake
+
+    d = _tables(spark, sf_dir)["documents"]
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    cls = F.col("doc_id") % 3
+    raw = (
+        F.when(cls == 0, F.concat(F.lit(_MOJI_BROKEN_L1), txt))
+        .when(cls == 1, F.concat(F.lit(_MOJI_BROKEN_CP), txt))
+        .otherwise(F.concat(F.lit("clean: "), txt))
+    )
+    return d.select(
+        "doc_id",
+        raw.alias("raw"),
+        fix_mojibake(raw).alias("fixed"),
+    )
+
+
 def q_robots_url_filter(spark, sf_dir):
     """Robots.txt crawl gating under the published longest-match rule:
     paths synthesized into four deterministic classes (disallowed subtree,
@@ -8049,6 +8084,7 @@ _R13_NEW = [
     # overflow past the 50-slot window: judge-gated at registration, r14
     # rotation fodder (the r11b-deferral precedent)
     "robots_url_filter",
+    "mojibake_repair",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -8276,6 +8312,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iban_checksum_scan": q_iban_checksum_scan,
         "iban_redaction": q_iban_redaction,
         "robots_url_filter": q_robots_url_filter,
+        "mojibake_repair": q_mojibake_repair,
         "score_linear": q_score_linear,
         "jl_project": q_jl_project,
         "standardized_rates": q_standardized_rates,
@@ -15244,6 +15281,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c_custkey, iban, rem = 1 AS iban_ok
             FROM s
+        """,
+        "mojibake_repair": f"""
+            SELECT doc_id,
+                   CASE doc_id % 3
+                       WHEN 0 THEN '{_MOJI_BROKEN_L1}' || COALESCE(text, '')
+                       WHEN 1 THEN '{_MOJI_BROKEN_CP}' || COALESCE(text, '')
+                       ELSE 'clean: ' || COALESCE(text, '') END AS raw,
+                   CASE doc_id % 3
+                       WHEN 0 THEN '{_MOJI_CLEAN_L1}' || COALESCE(text, '')
+                       WHEN 1 THEN '{_MOJI_CLEAN_CP}' || COALESCE(text, '')
+                       ELSE 'clean: ' || COALESCE(text, '') END AS fixed
+            FROM documents
         """,
         "robots_url_filter": """
             SELECT doc_id,

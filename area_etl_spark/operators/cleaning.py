@@ -587,3 +587,67 @@ def robots_allow(path_col: str | Column, rules: list[tuple[str, bool]]) -> Colum
         ).otherwise(acc),
     )
     return best.getField("a")
+
+
+# cp1252's 27 printable remappings of the 0x80-0x9F block (public table):
+# mojibake produced by decoding UTF-8 bytes as cp1252 shows these characters
+# where latin1 would show C1 control chars; translating them back makes the
+# latin1 round-trip exact for BOTH misdecodings.
+_CP1252_CHARS = (
+    "\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160"
+    "\u2039\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014"
+    "\u02dc\u2122\u0161\u203a\u0153\u017e\u0178"
+)
+_CP1252_BYTES = "".join(
+    chr(x)
+    for x in (
+        0x80, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x8B,
+        0x8C, 0x8E, 0x91, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99,
+        0x9A, 0x9B, 0x9C, 0x9E, 0x9F,
+    )
+)
+# a latin1-mapped UTF-8 multi-byte sequence: a 2/3-byte lead char followed by
+# a continuation-range char — the signature legit Western text never carries
+_MOJIBAKE_SIGNATURE = "[\u00c2-\u00ef][\u0080-\u00bf]"
+# RFC 3629 UTF-8 validity over latin1-mapped chars (each char = one byte):
+# Spark 4's decode() THROWS on malformed input (MALFORMED_CHARACTER_CODING),
+# so validity must be proven BEFORE the conditional decode branch runs.
+_VALID_UTF8_AS_LATIN1 = (
+    "^(?:[\u0000-\u007f]"
+    "|[\u00c2-\u00df][\u0080-\u00bf]"
+    "|\u00e0[\u00a0-\u00bf][\u0080-\u00bf]"
+    "|[\u00e1-\u00ec][\u0080-\u00bf]{2}"
+    "|\u00ed[\u0080-\u009f][\u0080-\u00bf]"
+    "|[\u00ee-\u00ef][\u0080-\u00bf]{2}"
+    "|\u00f0[\u0090-\u00bf][\u0080-\u00bf]{2}"
+    "|[\u00f1-\u00f3][\u0080-\u00bf]{3}"
+    "|\u00f4[\u0080-\u008f][\u0080-\u00bf]{2}"
+    ")*$"
+)
+
+
+def fix_mojibake(text_col: str | Column) -> Column:
+    """Repair the classic crawl mojibake — UTF-8 bytes decoded as
+    latin1/cp1252 ('CittÃ\xa0' for 'Città', 'â\u20ac\u2122' for a curly
+    apostrophe) — by reversing the misdecoding: translate cp1252's 27
+    remapped punctuation chars back to their 0x80–0x9F byte positions,
+    re-encode as latin1 (recovering the original UTF-8 bytes exactly),
+    and re-decode as UTF-8.  The repair applies ONLY when the
+    lead+continuation signature is present AND the recovered byte string
+    is RFC 3629-valid UTF-8 (proven by regex BEFORE the decode branch —
+    Spark 4's decode throws on malformed input rather than emitting
+    U+FFFD), so clean text (including legit 'São Paulo') passes through
+    byte-identical and the operator is idempotent (repaired text no
+    longer matches the signature).  Pure column expressions: translate +
+    two regex guards + encode/decode in the guarded branch, no UDF, no
+    shuffle — the ftfy-class fix re-derived for the JVM hot path.  NULL
+    stays NULL.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    back = F.translate(c, _CP1252_CHARS, _CP1252_BYTES)
+    repairable = back.rlike(_MOJIBAKE_SIGNATURE) & back.rlike(
+        _VALID_UTF8_AS_LATIN1
+    )
+    return F.when(
+        repairable, F.decode(F.encode(back, "ISO-8859-1"), "UTF-8")
+    ).otherwise(c)

@@ -334,3 +334,41 @@ def test_robots_parse_and_longest_match(spark):
     # no rules -> everything allowed
     all_ok = tie_df.select(robots_allow("p", []).alias("ok")).collect()
     assert all(r.ok for r in all_ok)
+
+
+def test_fix_mojibake_repairs_and_passes_clean(spark):
+    """latin1- and cp1252-misdecoded UTF-8 repair exactly; clean text
+    (accented included), signatureless stray lead bytes, and NULL pass
+    through byte-identical; the repair is idempotent."""
+    from area_etl_spark.operators.cleaning import fix_mojibake
+    import pyspark.sql.functions as F
+
+    def m_latin1(s):
+        return s.encode("utf-8").decode("latin-1")
+
+    def m_cp1252(s):
+        return s.encode("utf-8").decode("cp1252")
+
+    curly = "it" + chr(0x2019) + "s fine"          # curly apostrophe
+    dash_ell = "perché l’unità — già…"
+    cases = [
+        (m_latin1("Città di Modena"), "Città di Modena"),
+        (m_cp1252(curly), curly),
+        (m_latin1("São Paulo"), "São Paulo"),
+        ("São Paulo", "São Paulo"),       # legit accents untouched
+        ("plain ascii", "plain ascii"),
+        (m_cp1252(dash_ell), dash_ell),
+        ("stray Ã alone", "stray Ã alone"),  # no continuation char
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)], "i int, t string"
+    )
+    once = {r.i: r.f for r in df.select("i", fix_mojibake("t").alias("f")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert once[i] == want, (i, cases[i], once[i])
+    twice = {
+        r.i: r.f
+        for r in df.select("i", fix_mojibake(fix_mojibake("t")).alias("f")).collect()
+    }
+    assert twice == once  # idempotent
