@@ -3970,7 +3970,6 @@ def group_sequential_looks(
     z_obs, obf_bound, pocock_bound, cross_obf, cross_pocock); z is NULL
     where the pooled variance is zero.
     """
-    dec = "decimal(38,0)"
     base = df.select(
         F.col(look_col).alias("_lk"),
         F.col(arm_col).cast("string").alias("_a"),
