@@ -706,3 +706,38 @@ def test_iban_checkdigits_constructed_valid_and_corruption_detected(
     ).collect()[0]
     assert r.g is True
     assert r.b is False
+
+
+@settings(**SETTINGS)
+@given(
+    words=st.lists(
+        st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz àèéìòùçâêîôûäëïöü’“”–—…",
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_fix_mojibake_roundtrip_property(spark, words):
+    """For ANY Latin-script text s: fix_mojibake(latin1-mojibake(s)) == s,
+    fix_mojibake(cp1252-mojibake(s)) == s when the mojibake is
+    representable, and clean ascii never changes."""
+    from area_etl_spark.operators.cleaning import fix_mojibake
+
+    s = " ".join(words)
+    rows = []
+    broken_l1 = s.encode("utf-8").decode("latin-1")
+    rows.append((0, broken_l1, s if broken_l1 != s else s))
+    try:
+        broken_cp = s.encode("utf-8").decode("cp1252")
+        rows.append((1, broken_cp, s))
+    except UnicodeDecodeError:
+        pass  # some UTF-8 bytes hit cp1252's five unmapped positions
+    ascii_only = "".join(ch for ch in s if ord(ch) < 128) or "x"
+    rows.append((2, ascii_only, ascii_only))
+    df = spark.createDataFrame(rows, "i int, t string, want string")
+    out = df.select("i", "t", "want", fix_mojibake("t").alias("got")).collect()
+    for r in out:
+        assert r.got == r.want, (r.i, r.t, r.want, r.got)
