@@ -505,18 +505,21 @@ def extract_links(
 
 def parse_robots_txt(text: str, user_agent: str = "*") -> list[tuple[str, bool]]:
     """Driver-side robots.txt parser → [(path_prefix, allow)] rules for one
-    user agent (case-insensitive directives, the most-specific matching
-    agent group wins: an exact-agent group beats ``*``).  Robots files are
-    tiny driver-side artifacts — the distributed work is the per-URL
-    decision (:func:`robots_allow`), not the parse.  Unsupported
-    directives (crawl-delay, sitemap) are ignored; ``$``/``*`` wildcards
-    are outside this tier's prefix-match subset and such patterns are
-    dropped (conservative: fewer disallow rules never blocks MORE).
+    user agent (case-insensitive directives; an exact-agent match beats
+    the ``*`` group; per RFC 9309 ALL groups naming the chosen agent merge
+    into one rule set — appended sections are common in real files, and
+    keeping only the first group would silently drop later Disallows).
+    Robots files are tiny driver-side artifacts — the distributed work is
+    the per-URL decision (:func:`robots_allow`), not the parse.
+    Unsupported directives (crawl-delay, sitemap) are ignored; ``$``/``*``
+    wildcards are outside this tier's prefix-match subset and such
+    patterns are dropped (conservative: fewer disallow rules never blocks
+    MORE).
     """
     groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
     agents: list[str] = []
     rules: list[tuple[str, bool]] = []
-    open_group = False
+    open_group = False  # True once the current group has seen a rule line
     for raw in (text or "").splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -524,14 +527,14 @@ def parse_robots_txt(text: str, user_agent: str = "*") -> list[tuple[str, bool]]
         key, _, val = line.partition(":")
         key, val = key.strip().lower(), val.strip()
         if key == "user-agent":
-            if open_group and (agents or rules):
+            if open_group:
+                # a rule block ended: close the group; a fresh agent list
+                # starts.  Consecutive user-agent lines (open_group False)
+                # keep extending the same agent list instead.
                 groups.append((agents, rules))
                 agents, rules = [], []
-            agents = [*agents, val.lower()] if not open_group else [*agents, val.lower()]
-            open_group = False
-            agents = agents  # consecutive user-agent lines share one group
-            if rules:
-                rules = []
+                open_group = False
+            agents.append(val.lower())
         elif key in ("allow", "disallow"):
             open_group = True
             if "*" in val or "$" in val:
@@ -542,11 +545,10 @@ def parse_robots_txt(text: str, user_agent: str = "*") -> list[tuple[str, bool]]
     if agents or rules:
         groups.append((agents, rules))
     ua = user_agent.lower()
-    exact = [r for a, r in groups if ua in a]
-    if exact:
-        return exact[0]
-    star = [r for a, r in groups if "*" in a]
-    return star[0] if star else []
+    exact = [r for a, rs in groups if ua in a for r in rs]
+    if any(ua in a for a, _ in groups):
+        return exact
+    return [r for a, rs in groups if "*" in a for r in rs]
 
 
 def robots_allow(path_col: str | Column, rules: list[tuple[str, bool]]) -> Column:
@@ -562,7 +564,7 @@ def robots_allow(path_col: str | Column, rules: list[tuple[str, bool]]) -> Colum
     """
     c = F.col(path_col) if isinstance(path_col, str) else path_col
     if not rules:
-        return F.lit(True)
+        return F.when(c.isNotNull(), F.lit(True))
     arr = F.array(
         *[
             F.struct(F.lit(p).alias("p"), F.lit(bool(a)).alias("a"))
@@ -586,7 +588,10 @@ def robots_allow(path_col: str | Column, rules: list[tuple[str, bool]]) -> Colum
             ),
         ).otherwise(acc),
     )
-    return best.getField("a")
+    # NULL path → NULL decision (the luhn/iban validator convention): a
+    # NULL startswith makes every fold step keep the allow-initialized
+    # accumulator, which would silently ALLOW rows with no URL at all
+    return F.when(c.isNotNull(), best.getField("a"))
 
 
 # cp1252's 27 printable remappings of the 0x80-0x9F block (public table):

@@ -3197,9 +3197,17 @@ def srm_check(
     )
     # keys stringified explicitly: integer-keyed designs ({1: 50, 2: 50})
     # must keep working with the cast-to-string arm comparison — a raw int
-    # against the '_a string' schema would TypeError at plan time.
+    # against the '_a string' schema would TypeError at plan time.  The
+    # stringification must match SPARK's cast-to-string, not Python's:
+    # str(True) is 'True' but Spark renders a boolean arm column as
+    # 'true', and that mismatch would alarm on every row.
+    def _spark_str(a) -> str:
+        if isinstance(a, bool):
+            return "true" if a else "false"
+        return str(a)
+
     design = df.sparkSession.createDataFrame(
-        sorted(((str(a), int(w)) for a, w in expected.items())),
+        sorted(((_spark_str(a), int(w)) for a, w in expected.items())),
         "_a string, _w int",
     )
     # full-outer against the design: a designed-but-unobserved arm becomes

@@ -36,32 +36,45 @@ def tables(spark):
     return load_tables(spark, SF_DIR)
 
 
-def drain_available_now(q, timeout_s: float = 120.0) -> None:
+def drain_available_now(q, expect_rows: int = 0, timeout_s: float = 120.0) -> None:
     """Process every AVAILABLE micro-batch of an availableNow query, then
     stop it.  A stateful query with ProcessingTimeTimeout never
     self-terminates under availableNow: after the data batches commit it
     spins 'no new data but cleaning up state' batches until the
     processing-time timers fire (minutes away), so a bare
     ``awaitTermination(N)`` burns its full timeout — the r12 suite paid
-    2×240 s in ONE test for this.  An empty committed batch
-    (numInputRows == 0) proves all data batches are committed, at which
-    point stopping is safe: the abandoned cleanup batch writes nothing.
+    2×240 s in ONE test for this.
+
+    ``expect_rows`` guards the restart race: a query stopped mid-cleanup
+    leaves that EMPTY batch planned in the offset log, and the restarted
+    query REPLAYS it before reading any new file — so 'saw an empty
+    batch' alone can fire before the new data batch even starts.  The
+    drain therefore waits until cumulative input rows ≥ ``expect_rows``
+    AND an empty batch follows (proof every data batch committed), then
+    stops: the abandoned in-flight cleanup batch writes nothing.
     """
     import time
 
     deadline = time.monotonic() + timeout_s
+    failed = None
     while time.monotonic() < deadline:
-        if q.exception() is not None:
-            break  # surface via awaitTermination below
+        failed = q.exception()
+        if failed is not None:
+            break
         progress = q.recentProgress
-        if any(p["numInputRows"] == 0 for p in progress):
+        seen = sum(p["numInputRows"] for p in progress)
+        if seen >= expect_rows and progress and progress[-1]["numInputRows"] == 0:
             break
         time.sleep(0.3)
     q.stop()
     try:
         q.awaitTermination(60)
-    except Exception:  # noqa: BLE001 — in-flight cleanup batch abort is benign
+    except Exception:  # noqa: BLE001 — abort of the in-flight CLEANUP batch is benign
         pass
+    if failed is not None:
+        # a real query failure (bad state function, sink error) must fail
+        # the test loudly, not surface as a confusing empty-sink assertion
+        raise failed
 
 
 @pytest.fixture(scope="session")

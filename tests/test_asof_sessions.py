@@ -134,7 +134,7 @@ def test_stateful_sessionize_stream(spark, tables, tmp_path):
     # the data batches and stop (see tests/conftest.drain_available_now)
     from tests.conftest import drain_available_now
 
-    drain_available_now(q)
+    drain_available_now(q, expect_rows=events.count())
     streamed = {
         (r.user_id, r.session_start, r.session_end_ts, r.n_events)
         for r in spark.sql("SELECT * FROM sess_test").collect()

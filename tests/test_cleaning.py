@@ -326,14 +326,33 @@ def test_robots_parse_and_longest_match(spark):
     got = {r.i: r.ok for r in df.select("i", robots_allow("p", rules).alias("ok")).collect()}
     for i, (p, want) in enumerate(cases):
         assert got[i] == want, (p, want, got[i])
-    # equal-length allow/disallow tie -> allow wins (the published rule)
-    tie = [("/p", False), ("/q", True)]
-    tie_df = spark.createDataFrame([("/p1",), ("/q1",)], "p string")
-    vals = [r.ok for r in tie_df.select(robots_allow("p", [("/p", False), ("/p", True)]).alias("ok")).collect()]
-    assert vals == [True, True][:len(vals)] or vals[0] is True
+    # equal-length allow/disallow tie -> allow wins (the published rule),
+    # in BOTH rule orders (the fold must not be order-sensitive on ties)
+    tie_df = spark.createDataFrame([("/p1",)], "p string")
+    for tie_rules in ([("/p", False), ("/p", True)], [("/p", True), ("/p", False)]):
+        got = tie_df.select(robots_allow("p", tie_rules).alias("ok")).collect()
+        assert got[0].ok is True, tie_rules
     # no rules -> everything allowed
     all_ok = tie_df.select(robots_allow("p", []).alias("ok")).collect()
     assert all(r.ok for r in all_ok)
+    # NULL path -> NULL decision, never a silent allow (with and without rules)
+    null_df = spark.createDataFrame([(None,)], "p string")
+    assert null_df.select(robots_allow("p", rules).alias("ok")).collect()[0].ok is None
+    assert null_df.select(robots_allow("p", []).alias("ok")).collect()[0].ok is None
+    # RFC 9309: ALL groups naming the same agent MERGE (appended sections)
+    two_star = """
+    User-agent: *
+    Disallow: /private/
+    User-agent: other
+    Disallow: /elsewhere
+    User-agent: *
+    Disallow: /admin/
+    """
+    merged = parse_robots_txt(two_star)
+    assert merged == [("/private/", False), ("/admin/", False)]
+    df2 = spark.createDataFrame([("/admin/x",), ("/private/y",), ("/ok",)], "p string")
+    got = [r.ok for r in df2.select(robots_allow("p", merged).alias("ok")).collect()]
+    assert got == [False, False, True]
 
 
 def test_fix_mojibake_repairs_and_passes_clean(spark):

@@ -4336,6 +4336,11 @@ def test_srm_check_reference(spark):
     int_arms = spark.createDataFrame([(1,)] * 500 + [(2,)] * 500, "arm int")
     ri = srm_check(int_arms, "arm", {1: 1, 2: 1}).collect()[0]
     assert (ri.n, ri.k, ri.srm_detected) == (1000, 2, False)
+    # boolean-keyed designs must match SPARK's cast-to-string ('true', not
+    # Python's 'True') — a mismatch here alarms on every row
+    bool_arms = spark.createDataFrame([(True,)] * 500 + [(False,)] * 500, "arm boolean")
+    rb2 = srm_check(bool_arms, "arm", {True: 1, False: 1}).collect()[0]
+    assert (rb2.n, rb2.k, rb2.srm_detected) == (1000, 2, False)
 
 
 def test_power_two_means_reference(spark):

@@ -193,7 +193,7 @@ def test_stateful_session_merges_across_restart(spark, tmp_path):
     schema = "user_id long, ts timestamp"
     src, sink, ckpt = (str(tmp_path / p) for p in ("sess_src", "sess_sink", "sess_ckpt"))
 
-    def run_once():
+    def run_once(expect_rows):
         from tests.conftest import drain_available_now
 
         stream = spark.readStream.schema(schema).parquet(src)
@@ -209,13 +209,14 @@ def test_stateful_session_merges_across_restart(spark, tmp_path):
         # ProcessingTimeTimeout + availableNow never self-terminates (it
         # waits out the 30-min timers in empty cleanup batches): drain the
         # data batches, then stop — state is committed per batch, so the
-        # restart semantics under test are untouched.
-        drain_available_now(q)
+        # restart semantics under test are untouched.  expect_rows guards
+        # the replayed-empty-batch restart race (see drain_available_now).
+        drain_available_now(q, expect_rows=expect_rows)
 
     # run 1: three events, 5 min apart — session stays OPEN (state only)
     rows_a = [(1, base + dt.timedelta(minutes=m)) for m in (0, 5, 10)]
     spark.createDataFrame(rows_a, schema).coalesce(1).write.mode("append").parquet(src)
-    run_once()
+    run_once(expect_rows=len(rows_a))
 
     # run 2 (same checkpoint): two more events within the gap of the restored
     # session, then one far beyond it that forces the close
@@ -223,7 +224,7 @@ def test_stateful_session_merges_across_restart(spark, tmp_path):
         (1, base + dt.timedelta(hours=2))
     ]
     spark.createDataFrame(rows_b, schema).coalesce(1).write.mode("append").parquet(src)
-    run_once()
+    run_once(expect_rows=len(rows_b))
 
     closed = spark.read.parquet(sink).collect()
     assert len(closed) == 1
