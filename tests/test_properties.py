@@ -741,3 +741,73 @@ def test_fix_mojibake_roundtrip_property(spark, words):
     out = df.select("i", "t", "want", fix_mojibake("t").alias("got")).collect()
     for r in out:
         assert r.got == r.want, (r.i, r.t, r.want, r.got)
+
+
+@settings(**SETTINGS)
+@given(
+    rules=st.lists(
+        st.tuples(
+            st.sampled_from(["", "/", "/a", "/a/", "/a/b", "/ab", "/b", "/a/b/c"]),
+            st.booleans(),
+        ),
+        min_size=0,
+        max_size=6,
+    ),
+    path=st.sampled_from(
+        ["/a/b/c/d", "/ab", "/a", "/a/", "/b/x", "/c", "/a/bx", "/"]
+    ),
+)
+def test_robots_longest_match_matches_python_referee(spark, rules, path):
+    """robots_allow ≡ a pure-python longest-match referee for ANY rule set
+    (duplicates, empty prefixes, contradictory ties) and ANY path."""
+    from area_etl_spark.operators.cleaning import robots_allow
+
+    def referee(p, rs):
+        best_len, best_allow = -1, True
+        for prefix, allow in rs:
+            if p.startswith(prefix):
+                n = len(prefix)
+                if n > best_len or (n == best_len and allow):
+                    best_len, best_allow = n, allow
+        return best_allow
+
+    df = spark.createDataFrame([(path,)], "p string")
+    got = df.select(robots_allow("p", rules).alias("ok")).collect()[0].ok
+    assert got == referee(path, rules), (path, rules)
+
+
+@settings(**SETTINGS)
+@given(
+    links=st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefghij/-_.", min_size=1, max_size=12),  # href
+            st.text(alphabet="abcdefghij XYZ", min_size=0, max_size=15),  # anchor
+            st.booleans(),                                                 # nofollow
+        ),
+        min_size=0,
+        max_size=6,
+    )
+)
+def test_extract_links_roundtrip_property(spark, links):
+    """For ANY generated page: every planted anchor comes back in order
+    with its normalized text and nofollow flag — nothing dropped, nothing
+    invented (script-planted decoys never emitted)."""
+    from area_etl_spark.operators.cleaning import extract_links
+
+    nofollow_attr = " rel='nofollow'"
+    body = "".join(
+        f'<p>pre <a href="{h}"{nofollow_attr if nf else ""}>{t}</a> post</p>'
+        for h, t, nf in links
+    )
+    page = (
+        "<html><body>" + body
+        + "<script>var x = '<a href=\"/decoy\">no</a>';</script></body></html>"
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    rows = sorted(extract_links(df, "html", "doc_id").collect(), key=lambda r: r.link_no)
+    assert len(rows) == len(links)
+    for r, (h, t, nf) in zip(rows, links):
+        assert r.href == h
+        assert r.anchor_text == " ".join(t.split())
+        assert r.nofollow == nf
+    assert all(r.href != "/decoy" for r in rows)
