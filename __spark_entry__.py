@@ -39,6 +39,7 @@ from area_etl_spark.operators import quality as Q
 from area_etl_spark.operators.aggregates import collect_sorted_list, exact_money_sum
 from area_etl_spark.operators.asof import asof_join, range_band_join
 from area_etl_spark.operators.attachments import with_object_ids
+from area_etl_spark.operators import linkage as LKG
 from area_etl_spark.operators.joins import left_join_chain
 from area_etl_spark.operators.unions import union_diagonal_relaxed
 from area_etl_spark.operators import windows as W
@@ -4558,6 +4559,24 @@ def q_business_days_holidays(spark, sf_dir):
     )
 
 
+def _synthetic_article_page() -> "F.Column":
+    """The boilerplate-wrapped article page shared by q_html_main_text and
+    q_crawl_funnel_pipeline — one definition so the entries and their
+    closed-form oracles cannot drift."""
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit("</title><style>p{color:red}</style></head><body>"
+              "<nav class='nav'>Home | About | <a href='/'>Contact</a></nav>"
+              "<header><h1>Site Banner</h1></header>"
+              "<div class='cookie-banner'>We use cookies.</div>"
+              "<article><h2>Doc "), did, F.lit("</h2><p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p></article><div id='social-share'>Share this everywhere</div>"
+              "<footer>All rights reserved.</footer></body></html>"),
+    )
+
+
 def q_html_main_text(spark, sf_dir):
     """DOM-tier main-text extraction (VERDICT r12 item 7) over a synthetic
     page wrapped around each document: nav/header/cookie/share/footer
@@ -4571,20 +4590,78 @@ def q_html_main_text(spark, sf_dir):
     from area_etl_spark.operators.cleaning import extract_main_text
 
     d = _tables(spark, sf_dir)["documents"]
-    did = F.col("doc_id").cast("string")
-    page = F.concat(
-        F.lit("<html><head><title>Doc "), did,
-        F.lit("</title><style>p{color:red}</style></head><body>"
-              "<nav class='nav'>Home | About | <a href='/'>Contact</a></nav>"
-              "<header><h1>Site Banner</h1></header>"
-              "<div class='cookie-banner'>We use cookies.</div>"
-              "<article><h2>Doc "), did, F.lit("</h2><p>"),
-        F.coalesce(F.col("text"), F.lit("")),
-        F.lit("</p></article><div id='social-share'>Share this everywhere</div>"
-              "<footer>All rights reserved.</footer></body></html>"),
-    )
+    page = _synthetic_article_page()
     return extract_main_text(
         d.select("doc_id", page.alias("html")), "html", "doc_id"
+    )
+
+
+def q_crawl_funnel_pipeline(spark, sf_dir):
+    """END-TO-END crawl-to-corpus funnel — the tier ABOVE
+    q_corpus_prep_pipeline's text-side funnel: raw boilerplate-wrapped
+    HTML → DOM main-text extraction (Python-worker tier) → language ID →
+    quality score → the keep/route verdict a crawl pipeline feeds into
+    dedup.  The page wrap is the shared closed-form template, so the
+    DOM stage's output — and therefore EVERY downstream stage — replays
+    exactly in SQL: the one Python tier in the chain still gets a full
+    value oracle.  Plan: one mapInPandas pass, then a single narrow
+    projection (HOF token features, staged-projection idiom) — no
+    shuffle anywhere."""
+    from area_etl_spark.operators.cleaning import extract_main_text
+
+    d = _tables(spark, sf_dir)["documents"]
+    page = _synthetic_article_page()
+    main = extract_main_text(
+        d.select("doc_id", page.alias("html")), "html", "doc_id"
+    )
+    feats = TA.quality_features("text")
+    staged = main.select(
+        F.col("id").alias("doc_id"),
+        F.col("parse_ok"),
+        F.col("main_text").alias("text"),
+    ).select(
+        "doc_id",
+        "parse_ok",
+        TA.language_id("text").alias("lang"),
+        feats["n_tokens"],
+        feats["stopword_ratio"],
+        feats["punct_ratio"],
+    )
+    scored = staged.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        TA.quality_score_from_features(
+            F.col("n_tokens"), F.col("stopword_ratio"), F.col("punct_ratio")
+        ).alias("quality"),
+        "parse_ok",
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "quality",
+        (
+            F.col("parse_ok")
+            & (F.col("lang") == "en")
+            & (F.col("quality") >= 0.5)
+        ).alias("kept"),
+    )
+
+
+def _synthetic_link_page() -> "F.Column":
+    """The deterministic 3-link page wrap shared by q_html_extract_links
+    and q_anchor_text_agg — one definition so the two entries (and their
+    closed-form oracles) cannot drift."""
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.lit("<html><body><p>Intro <a href='/doc/"), did,
+        F.lit("'>Doc "), did,
+        F.lit("</a> and <a href='https://example.com/src/"), F.col("source"),
+        F.lit("' rel='nofollow ugc'>source "), F.col("source"),
+        F.lit("</a>.</p>"
+              "<script>var a='<a href=\"/junk\">x</a>';</script>"
+              "<nav><a href='/'>Home</a></nav></body></html>"),
     )
 
 
@@ -4598,17 +4675,26 @@ def q_html_extract_links(spark, sf_dir):
     from area_etl_spark.operators.cleaning import extract_links
 
     d = _tables(spark, sf_dir)["documents"]
-    did = F.col("doc_id").cast("string")
-    page = F.concat(
-        F.lit("<html><body><p>Intro <a href='/doc/"), did,
-        F.lit("'>Doc "), did,
-        F.lit("</a> and <a href='https://example.com/src/"), F.col("source"),
-        F.lit("' rel='nofollow ugc'>source "), F.col("source"),
-        F.lit("</a>.</p>"
-              "<script>var a='<a href=\"/junk\">x</a>';</script>"
-              "<nav><a href='/'>Home</a></nav></body></html>"),
-    )
+    page = _synthetic_link_page()
     return extract_links(d.select("doc_id", page.alias("html")), "html", "doc_id")
+
+
+def q_anchor_text_agg(spark, sf_dir):
+    """Anchor-text aggregation over the extracted link graph: the 3-link
+    synthetic pages produce three target classes — per-doc '/doc/<id>'
+    (one followed inlink each), shared 'https://example.com/src/<source>'
+    hubs (one nofollow inlink per doc of that source), and the site root
+    '/' that EVERY page links (the hub-skew case the operator's map-side
+    combine collapses) — so inlink/follow/source/anchor rollups and the
+    (count desc, anchor asc) top anchor are all closed-form for the
+    oracle."""
+    from area_etl_spark.operators.cleaning import extract_links
+    from area_etl_spark.operators.indexing import aggregate_anchor_text
+
+    d = _tables(spark, sf_dir)["documents"]
+    page = _synthetic_link_page()
+    links = extract_links(d.select("doc_id", page.alias("html")), "html", "doc_id")
+    return aggregate_anchor_text(links, "href", "anchor_text", "id", "nofollow")
 
 
 def q_vat_checksum_scan(spark, sf_dir):
@@ -4673,6 +4759,237 @@ def q_iban_redaction(spark, sf_dir):
         "c_custkey",
         text.alias("raw"),
         redact_ibans(text).alias("redacted"),
+    )
+
+
+def q_cf_checksum_scan(spark, sf_dir):
+    """Italian codice fiscale checksum scan + redaction (the national-ID
+    PII class of the reference's public-sector registries): CF-shaped
+    16-char codes synthesized from customer keys — six base-26 letters,
+    YY/month/day/town slots — with the TRUE check character (computed by
+    the same mod-26 fold) on even keys and a shifted, never-valid one on
+    odd keys; codice_fiscale_valid decides validity and
+    redact_codici_fiscali replaces exactly the valid tokens.  DuckDB
+    replays the fold with the same list_reduce over the same literal
+    CF_ODD_VALUES table."""
+    from area_etl_spark.operators.text_analysis import (
+        codice_fiscale_check_index,
+        codice_fiscale_valid,
+        redact_codici_fiscali,
+    )
+
+    c = _tables(spark, sf_dir)["customer"]
+    k = F.col("c_custkey")
+    letters = F.array(*[F.lit(ch) for ch in "ABCDEFGHIJKLMNOPQRSTUVWXYZ"])
+    months = F.array(*[F.lit(ch) for ch in "ABCDEHLMPRST"])
+    cf15 = F.concat(
+        *[
+            F.element_at(letters, (F.floor(k / F.lit(26**j)) % 26 + 1).cast("int"))
+            for j in range(6)
+        ],
+        F.lpad((k % 100).cast("string"), 2, "0"),
+        F.element_at(months, (k % 12 + 1).cast("int")),
+        F.lpad((k % 28 + 1).cast("string"), 2, "0"),
+        F.element_at(letters, (k % 26 + 1).cast("int")),
+        F.lpad((k % 1000).cast("string"), 3, "0"),
+    )
+    true_idx = codice_fiscale_check_index(cf15)
+    claimed = F.when(
+        k % 2 == 0, F.element_at(letters, (true_idx + 1).cast("int"))
+    ).otherwise(F.element_at(letters, ((true_idx + 7) % 26 + 1).cast("int")))
+    cf = F.concat(cf15, claimed)
+    text = F.concat(F.lit("cf "), cf, F.lit(" ok"))
+    return c.select(
+        "c_custkey",
+        cf.alias("cf"),
+        codice_fiscale_valid(cf).alias("cf_ok"),
+        redact_codici_fiscali(text).alias("redacted"),
+    )
+
+
+# Shared literals for the codice fiscale oracle — generated from the SAME
+# Python sources the Spark entry uses (CF_ODD_VALUES from the operator
+# module; the alphabet/month strings), so the two engines cannot drift.
+from area_etl_spark.operators.text_analysis import CF_ODD_VALUES as _CF_ODD
+
+_CF_LETTERS_SQL = "[" + ", ".join(f"'{ch}'" for ch in "ABCDEFGHIJKLMNOPQRSTUVWXYZ") + "]"
+_CF_MONTHS_SQL = "[" + ", ".join(f"'{ch}'" for ch in "ABCDEHLMPRST") + "]"
+_CF_ODD_SQL = "[" + ", ".join(str(v) for v in _CF_ODD) + "]"
+
+
+def _sqlq(s: str) -> str:
+    """Quote a Python string as a DuckDB single-quoted literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _periodogram_oracle_sql(max_freq: int = 12) -> str:
+    """DuckDB replay of q_periodogram built from the SAME import-time
+    trig-coefficient literals as the Spark operator (W.horner_sql renders
+    the identical Horner association; repr round-trips every double), so
+    the only cross-engine float surface is IEEE +,*,/ — bit-identical."""
+    cos_h = W.horner_sql("x2", W.COS_X2_COEFFS)
+    sin_h = f"(theta * {W.horner_sql('x2', W.SIN_X2_COEFFS)})"
+    ck = "(CAST(C AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0))"
+    sk = "(CAST(Ss AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000000.0))"
+    return f"""
+            WITH series AS (
+                SELECT o_orderdate AS day, count(*) AS x
+                FROM orders GROUP BY o_orderdate
+            ), b AS (
+                SELECT CAST(x AS BIGINT) AS x,
+                       CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS i
+                FROM series
+            ), t AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       SUM(CAST(x AS HUGEINT)) AS S
+                FROM b
+            ), g AS (
+                SELECT CAST(unnest(range(1, {max_freq + 1})) AS INT) AS freq
+            ), r1 AS (
+                SELECT b.x, t.n, t.S, g.freq,
+                       4 * ((CAST(g.freq AS BIGINT) * b.i) % t.n) AS fourm,
+                       (4 * ((CAST(g.freq AS BIGINT) * b.i) % t.n)) % t.n AS r
+                FROM b, t, g
+            ), r2 AS (
+                SELECT x, n, S, freq,
+                       CAST((fourm - r) / n AS INT) AS q,
+                       (CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                           * {W.HALF_PI!r} AS theta
+                FROM r1
+            ), r3 AS (
+                SELECT x, n, S, freq, q, theta, theta * theta AS x2 FROM r2
+            ), r4 AS (
+                SELECT x, n, S, freq,
+                       CASE WHEN q = 0 THEN {cos_h}
+                            WHEN q = 1 THEN -{sin_h}
+                            WHEN q = 2 THEN -{cos_h}
+                            ELSE {sin_h} END AS cosv,
+                       CASE WHEN q = 0 THEN {sin_h}
+                            WHEN q = 1 THEN {cos_h}
+                            WHEN q = 2 THEN -{sin_h}
+                            ELSE -{cos_h} END AS sinv
+                FROM r3
+            ), r5 AS (
+                SELECT freq, n,
+                       CAST(n AS HUGEINT) * x - S AS w,
+                       CAST(floor(cosv * 1000000000.0 + 0.5) AS BIGINT) AS cq,
+                       CAST(floor(sinv * 1000000000.0 + 0.5) AS BIGINT) AS sq
+                FROM r4
+            ), a AS (
+                SELECT freq, MAX(n) AS n,
+                       SUM(w * cq) AS C, SUM(w * sq) AS Ss
+                FROM r5 GROUP BY freq
+            )
+            SELECT freq, n,
+                   round(CAST(n AS DOUBLE) / CAST(freq AS DOUBLE), 6) AS period,
+                   round(({ck} * {ck} + {sk} * {sk}) / CAST(n AS DOUBLE), 6)
+                       AS power
+            FROM a
+    """
+
+
+_FS_EM_FIELDS = ["name_eq", "city_eq", "phone_eq"]
+_FS_EM_PAIRS_SQL = """
+    SELECT CASE WHEN c_custkey % 10 = 0 THEN c_custkey % 13 < 12
+                ELSE c_custkey % 13 < 2 END AS name_eq,
+           CASE WHEN c_custkey % 10 = 0 THEN c_custkey % 11 < 9
+                ELSE c_custkey % 11 < 1 END AS city_eq,
+           CASE WHEN c_custkey % 10 = 0 THEN c_custkey % 7 < 5
+                ELSE c_custkey % 7 < 1 END AS phone_eq
+    FROM customer
+"""
+
+
+def q_fs_em_weights(spark, sf_dir):
+    """Unsupervised Fellegi–Sunter EM over synthesized candidate pairs
+    with a PLANTED latent match class (10% of keys, high per-field
+    agreement rates vs low non-match rates, all integer-mod conditions):
+    the quantized-responsibility EM recovers m/u/log2-weights per field;
+    the oracle is GENERATED by the operator's own paired SQL renderer
+    (fs_em_oracle_sql) — both engines' update arithmetic comes from one
+    set of formulas."""
+    from area_etl_spark.operators.linkage import fs_em_weights
+
+    c = _tables(spark, sf_dir)["customer"]
+    k = F.col("c_custkey")
+    L = k % 10 == 0
+    pairs = c.select(
+        F.when(L, k % 13 < 12).otherwise(k % 13 < 2).alias("name_eq"),
+        F.when(L, k % 11 < 9).otherwise(k % 11 < 1).alias("city_eq"),
+        F.when(L, k % 7 < 5).otherwise(k % 7 < 1).alias("phone_eq"),
+    )
+    return fs_em_weights(pairs, _FS_EM_FIELDS)
+
+
+def q_periodogram(spark, sf_dir):
+    """DFT periodogram of the daily order-count series at harmonics
+    k = 1..12: integer quadrant reduction + the shared Horner trig
+    polynomials (engine-bit-identical — no libm sin/cos on either side),
+    1e-9-quantized weights, exact DECIMAL sums; DuckDB replays the
+    identical chain from the same import-time coefficient literals."""
+    from area_etl_spark.operators.windows import periodogram
+
+    o = (
+        _tables(spark, sf_dir)["orders"]
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return periodogram(o, "day", "x", max_freq=12)
+
+
+def q_embedding_anisotropy(spark, sf_dir):
+    """Embedding-space anisotropy report (Ethayarajh 2019 diagnostic):
+    ||mean||^2 over E||x||^2 from exact quantized DECIMAL sums — the
+    collapsed-cone monitor that explains inflated cosines before anyone
+    tunes a near-dup threshold on them."""
+    from area_etl_spark.operators.similarity import embedding_anisotropy
+
+    return embedding_anisotropy(_tables(spark, sf_dir)["embeddings"])
+
+
+def q_embedding_whiten(spark, sf_dir):
+    """Diagonal whitening (per-dim z-score) of the embedding table: exact
+    per-dim DECIMAL stats broadcast back, the z chain re-quantized to
+    integer milliunits and CSV-serialized (the q8_csv precedent — integer
+    strings are engine-portable, float formatting is not)."""
+    from area_etl_spark.operators.similarity import embedding_whiten_diagonal
+
+    return embedding_whiten_diagonal(
+        _tables(spark, sf_dir)["embeddings"].select("vec_id", "embedding")
+    )
+
+
+# Deterministic code snippets for q_code_detect — import-time fixtures so
+# the Spark query and the DuckDB oracle synthesize byte-identical inputs
+# (the mojibake-fixture recipe).
+_CODE_SNIP_PY = "def main():\n    import os\n    return os.path;\n"
+_CODE_SNIP_SQL = (
+    "select o_orderkey from orders where o_status = 'F';\n"
+    "update orders set o_status = 'P' where o_orderkey = 1;\n"
+)
+
+
+def q_code_detect(spark, sf_dir):
+    """Code-vs-prose corpus routing: three deterministic document classes —
+    a python snippet prefix (def/import/return + indents + symbols), a SQL
+    snippet prefix (select/from/where/update), and the raw prose text —
+    detect_code's symbol/indent/keyword densities must route the first two
+    to is_code with the right lang_hint and leave prose alone.  All
+    counting is HOF token/line filters + the length-difference symbol
+    trick, so DuckDB replays every feature over the same synthesized
+    text."""
+    from area_etl_spark.operators.text_analysis import detect_code
+
+    d = _tables(spark, sf_dir)["documents"]
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    cls = F.col("doc_id") % 3
+    staged = (
+        F.when(cls == 0, F.concat(F.lit(_CODE_SNIP_PY), txt))
+        .when(cls == 1, F.concat(F.lit(_CODE_SNIP_SQL), txt))
+        .otherwise(txt)
+    )
+    return detect_code(
+        d.select("doc_id", staged.alias("text")), "text", "doc_id"
     )
 
 
@@ -8085,6 +8402,14 @@ _R13_NEW = [
     # rotation fodder (the r11b-deferral precedent)
     "robots_url_filter",
     "mojibake_repair",
+    "cf_checksum_scan",
+    "code_detect",
+    "anchor_text_agg",
+    "embedding_anisotropy",
+    "embedding_whiten",
+    "periodogram",
+    "fs_em_weights",
+    "crawl_funnel_pipeline",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -8313,6 +8638,14 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iban_redaction": q_iban_redaction,
         "robots_url_filter": q_robots_url_filter,
         "mojibake_repair": q_mojibake_repair,
+        "cf_checksum_scan": q_cf_checksum_scan,
+        "code_detect": q_code_detect,
+        "anchor_text_agg": q_anchor_text_agg,
+        "embedding_anisotropy": q_embedding_anisotropy,
+        "embedding_whiten": q_embedding_whiten,
+        "periodogram": q_periodogram,
+        "fs_em_weights": q_fs_em_weights,
+        "crawl_funnel_pipeline": q_crawl_funnel_pipeline,
         "score_linear": q_score_linear,
         "jl_project": q_jl_project,
         "standardized_rates": q_standardized_rates,
@@ -15333,6 +15666,220 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN rem = 1 THEN 'pay [IBAN] by wire'
                         ELSE 'pay ' || iban || ' by wire' END AS redacted
             FROM s
+        """,
+        "cf_checksum_scan": f"""
+            WITH d AS (
+                SELECT c_custkey,
+                       {" || ".join(
+                           f"list_extract({_CF_LETTERS_SQL}, CAST((c_custkey // {26**j}) % 26 AS INT) + 1)"
+                           for j in range(6)
+                       )}
+                       || lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0')
+                       || list_extract({_CF_MONTHS_SQL}, CAST(c_custkey % 12 AS INT) + 1)
+                       || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR), 2, '0')
+                       || list_extract({_CF_LETTERS_SQL}, CAST(c_custkey % 26 AS INT) + 1)
+                       || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') AS cf15
+                FROM customer
+            ), s AS (
+                SELECT c_custkey, cf15,
+                       list_reduce(list_prepend(0,
+                           list_transform(range(1, 16), i ->
+                               CASE WHEN i % 2 = 1 THEN
+                                   list_extract({_CF_ODD_SQL},
+                                       CASE WHEN substr(cf15, CAST(i AS INT), 1)
+                                                 BETWEEN '0' AND '9'
+                                            THEN ascii(substr(cf15, CAST(i AS INT), 1)) - 48
+                                            ELSE ascii(substr(cf15, CAST(i AS INT), 1)) - 65
+                                       END + 1)
+                               ELSE
+                                   CASE WHEN substr(cf15, CAST(i AS INT), 1)
+                                             BETWEEN '0' AND '9'
+                                        THEN ascii(substr(cf15, CAST(i AS INT), 1)) - 48
+                                        ELSE ascii(substr(cf15, CAST(i AS INT), 1)) - 65
+                                   END
+                               END)),
+                           (a, b) -> a + b) % 26 AS chk
+                FROM d
+            ), t AS (
+                SELECT c_custkey,
+                       cf15 || CASE WHEN c_custkey % 2 = 0
+                                    THEN list_extract({_CF_LETTERS_SQL}, CAST(chk AS INT) + 1)
+                                    ELSE list_extract({_CF_LETTERS_SQL}, CAST((chk + 7) % 26 AS INT) + 1)
+                               END AS cf
+                FROM s
+            )
+            SELECT c_custkey, cf,
+                   c_custkey % 2 = 0 AS cf_ok,
+                   CASE WHEN c_custkey % 2 = 0 THEN 'cf [CF] ok'
+                        ELSE 'cf ' || cf || ' ok' END AS redacted
+            FROM t
+        """,
+        "code_detect": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       CASE doc_id % 3
+                           WHEN 0 THEN {_sqlq(_CODE_SNIP_PY)} || COALESCE(text, '')
+                           WHEN 1 THEN {_sqlq(_CODE_SNIP_SQL)} || COALESCE(text, '')
+                           ELSE COALESCE(text, '') END AS t
+                FROM documents
+            ), f AS (
+                SELECT doc_id, t,
+                       len(string_split(t, chr(10))) AS n_lines,
+                       len(list_filter(string_split(t, chr(10)), l ->
+                           starts_with(l, '    ') OR starts_with(l, chr(9))))
+                           AS indent_lines,
+                       length(t) - length(regexp_replace(t, '[{{}};=]', '', 'g'))
+                           AS sym_hits,
+                       string_split_regex(trim(lower(t)), '\\s+') AS toks,
+                       greatest(length(t), 1) AS nc
+                FROM d
+            ), k AS (
+                SELECT doc_id, n_lines, indent_lines, sym_hits, nc,
+                       {", ".join(
+                           "len(list_filter(toks, x -> list_contains(["
+                           + ", ".join(_sqlq(w) for w in TA.CODE_KEYWORDS[lang])
+                           + f"], x))) AS kw_{key}"
+                           for lang, key in (
+                               ("python", "python"), ("js", "js"),
+                               ("c", "c"), ("sql", "sql"),
+                           )
+                       )}
+                FROM f
+            )
+            SELECT doc_id, n_lines, indent_lines, sym_hits,
+                   kw_python, kw_js, kw_c, kw_sql,
+                   round((5 * sym_hits
+                          + 10 * (kw_python + kw_js + kw_c + kw_sql)
+                          + 8 * indent_lines) * 100.0 / nc, 6) AS code_density,
+                   (round((5 * sym_hits
+                           + 10 * (kw_python + kw_js + kw_c + kw_sql)
+                           + 8 * indent_lines) * 100.0 / nc, 6) >= 10
+                    AND sym_hits + kw_python + kw_js + kw_c + kw_sql
+                        + indent_lines >= 3) AS is_code,
+                   CASE WHEN kw_python >= kw_js AND kw_python >= kw_c
+                             AND kw_python >= kw_sql AND kw_python > 0
+                        THEN 'python'
+                        WHEN kw_sql >= kw_js AND kw_sql >= kw_c AND kw_sql > 0
+                        THEN 'sql'
+                        WHEN kw_js >= kw_c AND kw_js > 0 THEN 'js'
+                        WHEN kw_c > 0 THEN 'c'
+                        ELSE 'none' END AS lang_hint
+            FROM k
+        """,
+        "periodogram": _periodogram_oracle_sql(),
+        "fs_em_weights": LKG.fs_em_oracle_sql(_FS_EM_PAIRS_SQL, _FS_EM_FIELDS),
+        "crawl_funnel_pipeline": f"""
+            WITH n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g'))
+                           AS norm
+                FROM documents
+            ), k AS (
+                SELECT doc_id, norm,
+                       length(replace(norm, ' ', '')) AS nws
+                FROM n
+            ), m AS (
+                SELECT doc_id,
+                       CASE WHEN nws >= 25
+                            THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+                                 || chr(10) || norm
+                            ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS text
+                FROM k
+            )
+            SELECT doc_id,
+                   {_langid_sql("text")} AS lang,
+                   {ntoks} AS n_tokens,
+                   {qscore} AS quality,
+                   (true AND ({_langid_sql("text")} = 'en')
+                         AND ({qscore} >= 0.5)) AS kept
+            FROM m
+        """,
+        "embedding_anisotropy": """
+            WITH ex AS (
+                SELECT unnest(list_transform(embedding,
+                           (v, i) -> struct_pack(dim := i - 1, v := v))) AS s
+                FROM embeddings
+            ), qq AS (
+                SELECT s.dim AS dim,
+                       CAST(floor(CAST(s.v AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+                FROM ex
+            ), pd AS (
+                SELECT dim, COUNT(*) AS n,
+                       CAST(SUM(CAST(q AS HUGEINT)) AS HUGEINT) AS s,
+                       CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS ss
+                FROM qq GROUP BY dim
+            ), a AS (
+                SELECT MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS dims,
+                       CAST(SUM(s * s) AS HUGEINT) AS s2,
+                       CAST(SUM(ss) AS HUGEINT) AS q2
+                FROM pd
+            )
+            SELECT n, dims,
+                   round(CAST(s2 AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                         / 1000000000000.0, 6) AS mean_norm2,
+                   round(CAST(q2 AS DOUBLE) / CAST(n AS DOUBLE)
+                         / 1000000000000.0, 6) AS avg_norm2,
+                   round((CAST(s2 AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                          / 1000000000000.0)
+                         / (CAST(q2 AS DOUBLE) / CAST(n AS DOUBLE)
+                            / 1000000000000.0), 6) AS anisotropy
+            FROM a
+        """,
+        "embedding_whiten": """
+            WITH ex AS (
+                SELECT vec_id,
+                       unnest(list_transform(embedding,
+                           (v, i) -> struct_pack(dim := i - 1, v := v))) AS s
+                FROM embeddings
+            ), qq AS (
+                SELECT vec_id, s.dim AS dim,
+                       CAST(floor(CAST(s.v AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+                FROM ex
+            ), st AS (
+                SELECT dim, COUNT(*) AS n,
+                       CAST(SUM(CAST(q AS HUGEINT)) AS HUGEINT) AS s,
+                       CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS ss
+                FROM qq GROUP BY dim
+            ), mu AS (
+                SELECT dim,
+                       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                       sqrt(greatest(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                            - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                              * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0))
+                           AS sd
+                FROM st
+            ), z AS (
+                SELECT qq.vec_id, qq.dim,
+                       CAST(floor(CASE WHEN mu.sd > 0.0
+                                       THEN (CAST(qq.q AS DOUBLE) - mu.mu) / mu.sd
+                                       ELSE 0.0 END * 1000.0 + 0.5) AS BIGINT)
+                           AS zq
+                FROM qq JOIN mu USING (dim)
+            )
+            SELECT vec_id,
+                   array_to_string(list(CAST(zq AS VARCHAR) ORDER BY dim), ',')
+                       AS white_q3_csv
+            FROM z GROUP BY vec_id
+        """,
+        "anchor_text_agg": """
+            SELECT '/doc/' || CAST(doc_id AS VARCHAR) AS target,
+                   CAST(1 AS BIGINT) AS inlinks,
+                   CAST(1 AS BIGINT) AS follow_inlinks,
+                   CAST(1 AS BIGINT) AS distinct_sources,
+                   CAST(1 AS BIGINT) AS distinct_anchors,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS top_anchor
+            FROM documents
+            UNION ALL
+            SELECT 'https://example.com/src/' || source,
+                   count(*), CAST(0 AS BIGINT), count(DISTINCT doc_id),
+                   CAST(1 AS BIGINT), 'source ' || source
+            FROM documents GROUP BY source
+            UNION ALL
+            SELECT '/', count(*), count(*), count(DISTINCT doc_id),
+                   CAST(1 AS BIGINT), 'Home'
+            FROM documents
         """,
         "html_extract_links": """
             SELECT doc_id AS id, CAST(1 AS INTEGER) AS link_no,

@@ -521,3 +521,72 @@ def query_likelihood_dirichlet(
         .limit(topk)
     )
     return scored
+
+
+def aggregate_anchor_text(
+    links: DataFrame,
+    target_col: str = "href",
+    anchor_col: str = "anchor_text",
+    src_col: str = "id",
+    nofollow_col: str | None = "nofollow",
+) -> DataFrame:
+    """Per-target anchor-text aggregation over a link-extraction output —
+    the classic off-page retrieval signal (anchor text describes the TARGET
+    better than the target describes itself; BM25F and every web ranker
+    fold it in as a weighted field) and the crawl-frontier prioritizer
+    (inlink counts seed the fetch queue).
+
+    Two hash aggregates, both keyed on the target: (target, anchor) counts
+    first, then the target rollup — inlink/source/anchor cardinalities plus
+    the top anchor by (count desc, anchor asc), picked with one
+    target-grain window over the (target, anchor) aggregate (bounded by
+    distinct anchors per target, never by corpus size).  Hub targets (a
+    site's "/" collects an inlink per page) are a COUNT skew, not a row
+    skew: the first aggregate's map-side combine collapses duplicates
+    before any shuffle, so the hot key moves one row per distinct anchor.
+    ``nofollow_col=None`` skips the follow split.
+
+    Returns (target, inlinks, follow_inlinks, distinct_sources,
+    distinct_anchors, top_anchor).
+    """
+    from pyspark.sql import Window
+
+    t = F.col(target_col)
+    follow = (
+        F.when(~F.col(nofollow_col), 1).otherwise(0)
+        if nofollow_col is not None
+        else F.lit(1)
+    )
+    pair = links.groupBy(
+        t.alias("target"), F.col(anchor_col).alias("_anchor")
+    ).agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        F.sum(follow).alias("_follow"),
+        F.countDistinct(F.col(src_col)).alias("_srcs_a"),
+    )
+    # distinct sources must dedup across anchors too — a second aggregate
+    # on the raw frame (map-side partial distinct keeps the shuffle small)
+    srcs = links.groupBy(t.alias("target")).agg(
+        F.countDistinct(F.col(src_col)).alias("distinct_sources")
+    )
+    w = Window.partitionBy("target").orderBy(
+        F.col("_cnt").desc(), F.col("_anchor").asc()
+    )
+    rolled = (
+        pair.withColumn("_rn", F.row_number().over(w))
+        .groupBy("target")
+        .agg(
+            F.sum("_cnt").alias("inlinks"),
+            F.sum("_follow").alias("follow_inlinks"),
+            F.count(F.lit(1)).alias("distinct_anchors"),
+            F.max(F.when(F.col("_rn") == 1, F.col("_anchor"))).alias("top_anchor"),
+        )
+    )
+    return rolled.join(srcs, "target").select(
+        "target",
+        "inlinks",
+        "follow_inlinks",
+        "distinct_sources",
+        "distinct_anchors",
+        "top_anchor",
+    )

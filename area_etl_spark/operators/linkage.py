@@ -15,6 +15,8 @@ lives entirely in the caller's blocking (which bounds the pair count).
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -49,3 +51,207 @@ def linkage_score(
         .where(F.col(score_col) >= possible_threshold)
         .withColumn(tier_col, tier)
     )
+
+
+# --- Fellegi–Sunter EM weight estimation -----------------------------------
+
+_WSCALE = 1_000_000_000  # responsibility quantization (exact integer sums)
+
+
+def _fs_em_python(
+    patterns: list[tuple[tuple[int, ...], int]],
+    n_fields: int,
+    iters: int,
+    init_p: float,
+    init_m: float,
+    init_u: float,
+) -> tuple[list[float], list[float], float]:
+    """The quantized-EM core, shared by the operator and its tests.
+
+    Responsibilities quantize to 1e-9 units each round, so every sum is an
+    exact INTEGER (order-free — the same discipline the DECIMAL aggregates
+    use) and the only floats are the per-round parameter ratios and the
+    per-pattern likelihood chain, both fixed-association and therefore
+    bit-reproducible by the paired SQL renderer."""
+    m = [init_m] * n_fields
+    u = [init_u] * n_fields
+    p = init_p
+    for _ in range(iters):
+        W = 0
+        N = 0
+        A = [0] * n_fields
+        B = [0] * n_fields
+        V = 0
+        for gamma, c in patterns:
+            pm = 1.0
+            pu = 1.0
+            for j in range(n_fields):
+                pm = pm * (m[j] if gamma[j] == 1 else 1.0 - m[j])
+                pu = pu * (u[j] if gamma[j] == 1 else 1.0 - u[j])
+            w = (p * pm) / ((p * pm) + ((1.0 - p) * pu))
+            wq = int(_math.floor(w * _WSCALE + 0.5))
+            W += c * wq
+            V += c * (_WSCALE - wq)
+            N += c
+            for j in range(n_fields):
+                if gamma[j] == 1:
+                    A[j] += c * wq
+                    B[j] += c * (_WSCALE - wq)
+        m = [A[j] / W for j in range(n_fields)]
+        u = [B[j] / V for j in range(n_fields)]
+        p = W / (N * float(_WSCALE))
+    return m, u, p
+
+
+def _round6(x: float) -> float:
+    """floor(x·1e6 + 0.5)/1e6 — the portable round (SQL round() is
+    half-away, Python round() is half-even; this is neither's default but
+    both engines spell it identically)."""
+    return _math.floor(x * 1_000_000 + 0.5) / 1_000_000
+
+
+def fs_em_weights(
+    pairs: DataFrame,
+    field_cols: list[str],
+    *,
+    iters: int = 5,
+    init_p: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+) -> DataFrame:
+    """Unsupervised Fellegi–Sunter parameter estimation (Winkler's EM) —
+    the step :func:`linkage_score` delegates to the caller: from candidate
+    pairs with per-field BOOLEAN agreement columns, estimate each field's
+    m (P(agree | match)) and u (P(agree | non-match)) probabilities and
+    the match prevalence p by treating match status as the latent class
+    of a two-component mixture over the 2^k agreement patterns.
+
+    Scale shape: ONE data-sized pass (the pattern-count aggregate, k ≤ 10
+    enforced); EM then runs driver-side on the ≤ 2^k collected pattern
+    rows (the BPE bounded-collect precedent) with the quantized-integer
+    discipline of :func:`_fs_em_python`, so the result is deterministic
+    and the paired renderer :func:`fs_em_oracle_sql` replays it as pure
+    SQL.  NULL agreement counts as disagreement (the linkage_score
+    convention).
+
+    Returns one row per field (field, m, u, w_agree, w_disagree) — the
+    log₂ agreement/disagreement weights linkage_score consumes, NULL when
+    degenerate (m or u at 0 or 1).  Values carry the portable 1e-6 round.
+    """
+    k = len(field_cols)
+    if not 1 <= k <= 10:
+        raise ValueError(f"need 1..10 agreement fields, got {k}")
+    pat_df = (
+        pairs.select(
+            *[
+                F.when(F.col(c).cast("boolean"), 1).otherwise(0).alias(f"_g{j}")
+                for j, c in enumerate(field_cols)
+            ]
+        )
+        .groupBy(*[f"_g{j}" for j in range(k)])
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    rows = pat_df.collect()
+    patterns = sorted(
+        (tuple(int(r[f"_g{j}"]) for j in range(k)), int(r["_c"])) for r in rows
+    )
+    m, u, p = _fs_em_python(patterns, k, iters, init_p, init_m, init_u)
+    ln2 = _math.log(2.0)
+    out = []
+    for j, name in enumerate(field_cols):
+        degenerate = not (0.0 < m[j] < 1.0 and 0.0 < u[j] < 1.0)
+        wa = None if degenerate else _round6(_math.log(m[j] / u[j]) / ln2)
+        wd = None if degenerate else _round6(
+            _math.log((1.0 - m[j]) / (1.0 - u[j])) / ln2
+        )
+        out.append((name, _round6(m[j]), _round6(u[j]), wa, wd))
+    return pairs.sparkSession.createDataFrame(
+        out, "field string, m double, u double, w_agree double, w_disagree double"
+    )
+
+
+def fs_em_oracle_sql(
+    pairs_sql: str,
+    field_cols: list[str],
+    *,
+    iters: int = 5,
+    init_p: float = 0.1,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+) -> str:
+    """Paired SQL renderer for :func:`fs_em_weights`: unrolled-iteration
+    DuckDB replay over the same pattern counts with the same quantized
+    responsibilities and the same fixed-association float chains
+    (``pairs_sql`` must yield the candidate pairs with the agreement
+    columns).  Exists so an oracle never hand-transcribes the EM updates —
+    both engines' arithmetic is generated from this module's formulas."""
+    k = len(field_cols)
+    gs = ", ".join(
+        f"CASE WHEN CAST({c} AS BOOLEAN) THEN 1 ELSE 0 END AS g{j}"
+        for j, c in enumerate(field_cols)
+    )
+    keys = ", ".join(f"g{j}" for j in range(k))
+    init = ", ".join(
+        [f"{init_m!r} AS m{j}" for j in range(k)]
+        + [f"{init_u!r} AS u{j}" for j in range(k)]
+        + [f"{init_p!r} AS p"]
+    )
+    # One constant-size CTE chain per iteration (params are NAMED COLUMNS
+    # cross-joined back onto the pattern counts — nested scalar-subquery
+    # substitution grows the SQL exponentially in `iters` and makes the
+    # engine re-instantiate the count scan per reference).
+    sql = [
+        f"WITH _fs_pairs AS ({pairs_sql}),",
+        f"pat AS (SELECT {gs} FROM _fs_pairs),",
+        f"cnt AS (SELECT {keys}, CAST(count(*) AS BIGINT) AS c"
+        f" FROM pat GROUP BY {keys}),",
+        f"pr0 AS (SELECT {init}),",
+    ]
+    for it in range(1, iters + 1):
+        pm = " * ".join(
+            f"(CASE WHEN g{j} = 1 THEN m{j} ELSE 1.0 - (m{j}) END)"
+            for j in range(k)
+        )
+        pu = " * ".join(
+            f"(CASE WHEN g{j} = 1 THEN u{j} ELSE 1.0 - (u{j}) END)"
+            for j in range(k)
+        )
+        w = "((p * pm) / ((p * pm) + ((1.0 - p) * pu)))"
+        sums = [
+            f"SUM(c * wq) AS W",
+            "SUM(c) AS N",
+            f"SUM(c * ({_WSCALE} - wq)) AS V",
+        ]
+        params = [f"CAST(W AS DOUBLE) / (CAST(N AS DOUBLE) * {_WSCALE}.0) AS p"]
+        for j in range(k):
+            sums.append(f"SUM(c * wq * g{j}) AS A{j}")
+            sums.append(f"SUM(c * ({_WSCALE} - wq) * g{j}) AS B{j}")
+            params.append(f"CAST(A{j} AS DOUBLE) / CAST(W AS DOUBLE) AS m{j}")
+            params.append(f"CAST(B{j} AS DOUBLE) / CAST(V AS DOUBLE) AS u{j}")
+        sql.append(
+            f"e{it} AS (SELECT cnt.*, {pm} AS pm, {pu} AS pu, p"
+            f" FROM cnt CROSS JOIN pr{it - 1}),"
+        )
+        sql.append(
+            f"w{it} AS (SELECT e{it}.*,"
+            f" CAST(floor({w} * {_WSCALE}.0 + 0.5) AS BIGINT) AS wq"
+            f" FROM e{it}),"
+        )
+        sql.append(f"s{it} AS (SELECT {', '.join(sums)} FROM w{it}),")
+        sql.append(f"pr{it} AS (SELECT {', '.join(params)} FROM s{it}),")
+    r6 = lambda x: f"floor(({x}) * 1000000 + 0.5) / 1000000"  # noqa: E731
+    rows = []
+    for j, name in enumerate(field_cols):
+        mj, uj = f"m{j}", f"u{j}"
+        ok = f"{mj} > 0.0 AND {mj} < 1.0 AND {uj} > 0.0 AND {uj} < 1.0"
+        wa = f"CASE WHEN {ok} THEN {r6(f'ln({mj} / {uj}) / ln(2.0)')} ELSE NULL END"
+        wd = (
+            f"CASE WHEN {ok} THEN "
+            f"{r6(f'ln((1.0 - {mj}) / (1.0 - {uj})) / ln(2.0)')} ELSE NULL END"
+        )
+        rows.append(
+            f"SELECT '{name}' AS field, {r6(mj)} AS m, {r6(uj)} AS u,"
+            f" {wa} AS w_agree, {wd} AS w_disagree FROM pr{iters}"
+        )
+    sql.append("fin AS (" + " UNION ALL ".join(rows) + ")")
+    return "\n".join(sql) + "\nSELECT * FROM fin"

@@ -934,3 +934,118 @@ def mmr_diversify(
         [(rank + 1, did, rel) for rank, (did, rel) in enumerate(selected)],
         "rank int, id long, rel double",
     )
+
+
+def embedding_anisotropy(
+    df: DataFrame, *, vec_col: str = "embedding", scale: int = 1_000_000
+) -> DataFrame:
+    """Corpus-level embedding anisotropy report — the "narrow cone"
+    diagnostic (Ethayarajh 2019; Mu & Viswanath 2018): contextual/embedding
+    spaces often collapse toward a shared mean direction, which inflates
+    every cosine similarity and poisons near-dup thresholds and ANN recall.
+    The standard first-order measure is ||μ||² / E||x||² — the expected
+    cosine between two random vectors is ≈ this ratio when the residual is
+    isotropic, 0 for a centered space, → 1 as the space degenerates.
+
+    Floats quantize to ``scale`` integer units first (the
+    ``embedding_dim_stats`` recipe), so the per-dim sums S_d and the global
+    Σ‖q‖² are exact DECIMALs; ‖μ‖² = Σ_d S_d² / n² and the ratio are the
+    only float ops.  One posexplode + a dim aggregate (rows = dimensions)
+    + a one-row fold — corpus-linear, no shuffle beyond the 64-row dim agg.
+
+    Returns one row (n, dims, mean_norm2, avg_norm2, anisotropy), 1e-6²
+    units folded out, rounded to 6.
+    """
+    dec = "decimal(38,0)"
+    qv = F.floor(F.col("_v").cast("double") * scale + F.lit(0.5)).cast("long")
+    exploded = df.select(F.posexplode(F.col(vec_col)).alias("dim", "_v")).select(
+        "dim", qv.alias("_q")
+    )
+    per_dim = exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_q").cast(dec)).alias("_s"),
+        F.sum((F.col("_q") * F.col("_q")).cast(dec)).alias("_ss"),
+    )
+    agg = per_dim.agg(
+        F.max("_n").alias("n"),
+        F.count(F.lit(1)).alias("dims"),
+        F.sum((F.col("_s") * F.col("_s")).cast(dec)).alias("_s2"),
+        F.sum("_ss").alias("_q2"),
+    )
+    s2 = float(scale) * float(scale)
+    nd = F.col("n").cast("double")
+    mean_norm2 = F.col("_s2").cast("double") / (nd * nd) / s2
+    avg_norm2 = F.col("_q2").cast("double") / nd / s2
+    return agg.select(
+        "n",
+        "dims",
+        F.round(mean_norm2, 6).alias("mean_norm2"),
+        F.round(avg_norm2, 6).alias("avg_norm2"),
+        F.round(mean_norm2 / avg_norm2, 6).alias("anisotropy"),
+    )
+
+
+def embedding_whiten_diagonal(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1_000_000,
+    out_col: str = "white_q3_csv",
+) -> DataFrame:
+    """Diagonal whitening (per-dimension z-score) of an embedding column —
+    the cheap four-fifths of the whitening fix for anisotropic spaces
+    (:func:`embedding_anisotropy` is the diagnostic): subtract the per-dim
+    mean, divide by the per-dim std.  Centering alone removes the shared
+    mean direction that dominates random-pair cosine; the diagonal scale
+    equalizes dimension energy (full ZCA needs the rotation too — that
+    tier is the documented next step, not built here).
+
+    Exactness: components quantize to ``scale`` units; per-dim mean/var
+    come from exact DECIMAL sums in one 64-row broadcast aggregate; the
+    z-score is the one float chain, then the output re-quantizes to
+    FIXED-POINT MILLIUNITS (floor(z·1000 + 0.5)) and serializes as integer
+    CSV — integer-to-string is engine-portable where float formatting is
+    not (the quantize_int8 q8_csv precedent).  Zero-variance dims emit 0.
+    One posexplode + broadcast stats join + per-id sorted re-assembly
+    (shuffle on id, the unavoidable re-vectorization).
+
+    Returns (id, white_q3_csv).
+    """
+    dec = "decimal(38,0)"
+    qv = F.floor(F.col("_v").cast("double") * scale + F.lit(0.5)).cast("long")
+    exploded = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "_v")
+    ).select(id_col, "dim", qv.alias("_q"))
+    stats = exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_q").cast(dec)).alias("_s"),
+        F.sum((F.col("_q") * F.col("_q")).cast(dec)).alias("_ss"),
+    )
+    nd = F.col("_n").cast("double")
+    mean_q = F.col("_s").cast("double") / nd
+    var_q = F.col("_ss").cast("double") / nd - mean_q * mean_q
+    std_q = F.sqrt(F.greatest(var_q, F.lit(0.0)))
+    stats = stats.select(
+        "dim", mean_q.alias("_mu"), std_q.alias("_sd")
+    )
+    z = F.when(
+        F.col("_sd") > 0.0,
+        (F.col("_q").cast("double") - F.col("_mu")) / F.col("_sd"),
+    ).otherwise(F.lit(0.0))
+    zq = F.floor(z * 1000.0 + F.lit(0.5)).cast("long")
+    joined = exploded.join(F.broadcast(stats), "dim").select(
+        id_col, "dim", zq.alias("_z")
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "_z"))).alias("_arr")
+        )
+        .select(
+            id_col,
+            F.concat_ws(
+                ",", F.transform(F.col("_arr"), lambda s: s["_z"].cast("string"))
+            ).alias(out_col),
+        )
+    )

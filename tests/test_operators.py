@@ -5394,3 +5394,140 @@ def test_redact_ibans_validated_only(spark):
     assert out[2] == "[IBAN] twice [IBAN]"
     assert out[3] == "no ibans here at all"
     assert out[4] is None
+
+
+def _cf_check_py(cf15: str) -> str:
+    """Independent Python mirror of the published codice fiscale check
+    tables (DM 12/03/1974) — the test's source of truth."""
+    odd = {
+        **{str(d): v for d, v in zip(range(10), (1, 0, 5, 7, 9, 13, 15, 17, 19, 21))},
+        **{
+            ch: v
+            for ch, v in zip(
+                "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                (1, 0, 5, 7, 9, 13, 15, 17, 19, 21, 2, 4, 18, 20, 11,
+                 3, 6, 8, 12, 14, 16, 10, 22, 25, 24, 23),
+            )
+        },
+    }
+    even = {
+        **{str(d): d for d in range(10)},
+        **{ch: i for i, ch in enumerate("ABCDEFGHIJKLMNOPQRSTUVWXYZ")},
+    }
+    total = sum(
+        odd[c] if (i + 1) % 2 == 1 else even[c] for i, c in enumerate(cf15)
+    )
+    return chr(65 + total % 26)
+
+
+def test_codice_fiscale_checksum(spark):
+    """Published-example and mirror-generated validation: the canonical
+    Mario Rossi code passes, an omocodia (digit→letter substitution)
+    variant passes with its recomputed check char, corruptions and
+    malformed shapes are false (never an error)."""
+    from area_etl_spark.operators.text_analysis import codice_fiscale_valid
+    import pyspark.sql.functions as F
+
+    base = "RSSMRA80A01H501"
+    assert _cf_check_py(base) == "U"  # widely published example
+    omo15 = "RSSMRA80A01H50M"  # day-digit 1 → omocodia letter M
+    cases = [
+        (base + "U", True),
+        (base + "V", False),                     # corrupted check char
+        (omo15 + _cf_check_py(omo15), True),     # omocodia still validates
+        ("RSSMRA80Z01H501U", False),             # Z is not a month letter
+        ("rssmra80a01h501u  ", True),            # case/trim folded
+        ("RSSMRA80A01H501", False),              # 15 chars
+        ("", False),
+        (None, False),
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, (c, _) in enumerate(cases)], "i int, c string"
+    )
+    got = {
+        r.i: r.ok
+        for r in df.select(
+            "i", codice_fiscale_valid(F.col("c")).alias("ok")
+        ).collect()
+    }
+    for i, (c, want) in enumerate(cases):
+        assert bool(got[i]) == want, (c, want, got[i])
+
+
+def test_redact_codici_fiscali_validated_only(spark):
+    """Only checksum-valid CF tokens redact; shaped-but-invalid tokens and
+    surrounding text survive byte-identical."""
+    from area_etl_spark.operators.text_analysis import redact_codici_fiscali
+
+    good = "RSSMRA80A01H501U"
+    bad = "RSSMRA80A01H501V"
+    rows = [
+        (1, f"utente {good} e {bad} qui"),
+        (2, f"{good} twice {good}"),
+        (3, "nessun codice"),
+    ]
+    df = spark.createDataFrame(rows, "i int, t string")
+    out = {
+        r.i: r.red
+        for r in df.select("i", redact_codici_fiscali("t").alias("red")).collect()
+    }
+    assert out[1] == f"utente [CF] e {bad} qui"
+    assert out[2] == "[CF] twice [CF]"
+    assert out[3] == "nessun codice"
+
+
+def test_detect_code_routing(spark):
+    """Code snippets route to is_code with the right lang_hint; prose and
+    empty/null text stay prose; feature counts are exact."""
+    from area_etl_spark.operators.text_analysis import detect_code
+
+    py = "def main():\n    import os\n    return os.path;\n"
+    sql = "select a from t where b = 1;\nupdate t set a = 2 where b = 3;\n"
+    js = "const f = (x) => { return x; };\nlet y = f(1);\n"
+    prose = (
+        "The committee met on Tuesday and discussed the annual report. "
+        "It was agreed that the plan should proceed without delay."
+    )
+    rows = [(1, py), (2, sql), (3, js), (4, prose), (5, ""), (6, None)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in detect_code(df).collect()}
+    assert out[1].is_code and out[1].lang_hint == "python"
+    assert out[1].kw_python == 3 and out[1].indent_lines == 2
+    assert out[2].is_code and out[2].lang_hint == "sql"
+    assert out[3].is_code and out[3].lang_hint == "js"
+    assert not out[4].is_code and out[4].lang_hint == "none"
+    assert not out[5].is_code and out[5].code_density == 0.0
+    assert not out[6].is_code and out[6].n_lines == 1
+
+
+def test_periodogram_finds_planted_period(spark):
+    """A planted 8-sample square-ish cycle over n=96 puts the spectral peak
+    at k = 96/8 = 12; the polynomial trig matches numpy's FFT periodogram
+    to ~1e-6; constant series -> all-zero power."""
+    import numpy as np
+
+    from area_etl_spark.operators.windows import periodogram
+
+    n, period = 96, 8
+    xs = [10 + (5 if (t % period) < period // 2 else -5) for t in range(n)]
+    df = spark.createDataFrame(
+        [(t, x) for t, x in enumerate(xs)], "t int, x int"
+    )
+    out = {r.freq: r for r in periodogram(df, "t", "x", max_freq=16).collect()}
+    assert out[1].n == n and abs(out[3].period - n / 3) < 1e-9
+    peak = max(out, key=lambda k: out[k].power)
+    assert peak == n // period
+    # numpy cross-check: P(k) = |DFT_k of centered x|^2 / n
+    arr = np.asarray(xs, dtype=float)
+    c = arr - arr.mean()
+    ft = np.fft.rfft(c)
+    for k in (3, 12, 16):
+        want = (ft[k].real ** 2 + ft[k].imag ** 2) / n
+        assert abs(out[k].power - want) < 1e-5, (k, out[k].power, want)
+    flat = spark.createDataFrame([(t, 7) for t in range(20)], "t int, x int")
+    for r in periodogram(flat, "t", "x", max_freq=4).collect():
+        assert r.power == 0.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_freq"):
+        periodogram(df, "t", "x", max_freq=0)

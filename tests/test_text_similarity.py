@@ -2127,3 +2127,41 @@ def test_jpeg_progressive_color_matches_baseline():
         # subsampling is the only loss on this smooth field)
         err = int(np.abs(px_prog.astype(int) - smooth.astype(int)).max())
         assert err <= (4 if sub == "444" else 40), (sub, err)
+
+
+def test_embedding_anisotropy_extremes(spark):
+    """Identical vectors -> anisotropy 1; a symmetric +/-v pair -> mean
+    vector 0 -> anisotropy 0; the report is one row with the dim count."""
+    from area_etl_spark.operators.similarity import embedding_anisotropy
+
+    same = spark.createDataFrame(
+        [(i, [0.5, -0.25, 0.75]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    r = embedding_anisotropy(same).collect()[0]
+    assert (r.n, r.dims) == (4, 3)
+    assert abs(r.anisotropy - 1.0) < 1e-6
+    assert abs(r.mean_norm2 - r.avg_norm2) < 1e-6
+    sym = spark.createDataFrame(
+        [(1, [0.5, -0.25]), (2, [-0.5, 0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    r = embedding_anisotropy(sym).collect()[0]
+    assert r.anisotropy == 0.0 and r.mean_norm2 == 0.0
+    assert r.avg_norm2 > 0
+
+
+def test_embedding_whiten_diagonal(spark):
+    """Per-dim z-scores in milliunit CSV: hand-computable two-vector case;
+    a zero-variance dim emits 0; output length matches dims."""
+    from area_etl_spark.operators.similarity import embedding_whiten_diagonal
+
+    # dim0: values 1.0 / 3.0 -> mu 2.0 sd 1.0 -> z -1, +1 -> -1000, 1000
+    # dim1: constant 0.5 -> sd 0 -> z 0
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.5]), (2, [3.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r.white_q3_csv for r in embedding_whiten_diagonal(df).collect()}
+    assert out[1] == "-1000,0"
+    assert out[2] == "1000,0"
