@@ -4921,6 +4921,119 @@ def q_fs_em_weights(spark, sf_dir):
     return fs_em_weights(pairs, _FS_EM_FIELDS)
 
 
+def q_hyperball_neighborhood(spark, sf_dir):
+    """HyperBall 2-hop ball-size estimation over the bidirectional
+    user↔item event graph (the pagerank graph): md5-derived HLL registers
+    merge along edges for two unrolled rounds — per-node state is 16
+    registers, a round is one register-wise max-merge (map-side
+    combinable), the harmonic denominator is the exact integer
+    Σ 2^(33−r); DuckDB replays registers, both rounds, and the one float
+    division."""
+    from area_etl_spark.operators.graph import hyperball_neighborhood
+
+    tables = _tables(spark, sf_dir)
+    ev = tables["events"].select(
+        F.col("user_id").alias("u"),
+        (F.pmod(F.col("event_id"), F.lit(500)) + F.lit(10_000_000)).alias("i"),
+    )
+    fwd = ev.select(F.col("u").alias("src"), F.col("i").alias("dst"))
+    rev = ev.select(F.col("i").alias("src"), F.col("u").alias("dst"))
+    edges = fwd.unionByName(rev).distinct()
+    return hyperball_neighborhood(edges, hops=2)
+
+
+def _hyperball_oracle_sql(hops: int = 2) -> str:
+    """DuckDB replay of q_hyperball_neighborhood from the graph module's
+    own constants (register table + α) — rounds unrolled as chained CTEs
+    (the pagerank precedent)."""
+    import area_etl_spark.operators.graph as GR
+
+    pow2 = "[" + ", ".join(str(v) for v in GR.POW2) + "]"
+    m = 16
+    scale = GR.HLL_ALPHA_16 * float(m * m) * float(GR.POW2[33])
+    hexd = " ".join(f"WHEN '{x:x}' THEN {x}" for x in range(16))
+    rounds = []
+    prev = "r0"
+    for t in range(1, hops + 1):
+        rounds.append(
+            f"r{t} AS (SELECT node, j, max(r) AS r FROM ("
+            f" SELECT node, j, r FROM {prev}"
+            f" UNION ALL"
+            f" SELECT e.src AS node, t.j, t.r FROM edges e"
+            f" JOIN {prev} t ON e.dst = t.node) GROUP BY node, j),"
+        )
+        prev = f"r{t}"
+    return f"""
+            WITH ev AS (
+                SELECT DISTINCT user_id AS u,
+                       (event_id % 500) + 10000000 AS i
+                FROM events
+            ), edges AS (
+                SELECT u AS src, i AS dst FROM ev
+                UNION
+                SELECT i, u FROM ev
+            ), nodes AS (
+                SELECT src AS node FROM edges
+                UNION
+                SELECT dst FROM edges
+            ), hx AS (
+                SELECT node, md5(CAST(node AS VARCHAR)) AS h FROM nodes
+            ), zz AS (
+                SELECT node,
+                       CASE substr(h, 1, 1) {hexd} END AS j,
+                       length(regexp_extract(substr(h, 2, 8), '^(0*)', 1)) AS z,
+                       substr(h, 2, 8) AS hex8
+                FROM hx
+            ), r0 AS (
+                SELECT node, CAST(j AS INT) AS j,
+                       CAST(CASE WHEN z = 8 THEN 33
+                            ELSE 4 * z
+                                 + (4 - (CASE substr(hex8, z + 1, 1)
+                                         WHEN '1' THEN 1
+                                         WHEN '2' THEN 2 WHEN '3' THEN 2
+                                         WHEN '4' THEN 3 WHEN '5' THEN 3
+                                         WHEN '6' THEN 3 WHEN '7' THEN 3
+                                         ELSE 4 END)) + 1
+                            END AS INT) AS r
+                FROM zz
+            ),
+            {''.join(rounds)}
+            fin AS (
+                SELECT node,
+                       CAST(SUM(list_extract({pow2}, 33 - r + 1))
+                            + ({m} - count(*)) * {GR.POW2[33]} AS BIGINT)
+                           AS reg_sum,
+                       CAST({m} - count(*) AS INT) AS v_empty
+                FROM {prev} GROUP BY node
+            )
+            SELECT node, CAST({hops} AS INT) AS hops, reg_sum, v_empty,
+                   round(CASE WHEN {scale!r} / CAST(reg_sum AS DOUBLE)
+                                   < {2.5 * m!r} AND v_empty > 0
+                              THEN {float(m)!r}
+                                   * ln({float(m)!r} / CAST(v_empty AS DOUBLE))
+                              ELSE {scale!r} / CAST(reg_sum AS DOUBLE)
+                         END, 3) AS est
+            FROM fin
+    """
+
+
+def q_cooccurrence_pairs(spark, sf_dir):
+    """Market-basket bipartite projection over lineitem (order = basket,
+    part-class = item): deterministic per-basket cap (lexicographically
+    smallest 5) BEFORE the pair join, min-support 2, exact-integer lift —
+    the capped wedge shape the adamic_adar audit standardized; DuckDB
+    replays cap, pairs, degrees, and the lift division."""
+    from area_etl_spark.operators.graph import cooccurrence_pairs
+
+    li = _tables(spark, sf_dir)["lineitem"].select(
+        F.col("l_orderkey").alias("basket"),
+        (F.col("l_partkey") % 100).alias("item"),
+    )
+    return cooccurrence_pairs(
+        li, "basket", "item", max_items_per_user=5, min_users=2
+    )
+
+
 def q_periodogram(spark, sf_dir):
     """DFT periodogram of the daily order-count series at harmonics
     k = 1..12: integer quadrant reduction + the shared Horner trig
@@ -8410,6 +8523,8 @@ _R13_NEW = [
     "periodogram",
     "fs_em_weights",
     "crawl_funnel_pipeline",
+    "cooccurrence_pairs",
+    "hyperball_neighborhood",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -8646,6 +8761,8 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "periodogram": q_periodogram,
         "fs_em_weights": q_fs_em_weights,
         "crawl_funnel_pipeline": q_crawl_funnel_pipeline,
+        "cooccurrence_pairs": q_cooccurrence_pairs,
+        "hyperball_neighborhood": q_hyperball_neighborhood,
         "score_linear": q_score_linear,
         "jl_project": q_jl_project,
         "standardized_rates": q_standardized_rates,
@@ -15768,6 +15885,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "periodogram": _periodogram_oracle_sql(),
         "fs_em_weights": LKG.fs_em_oracle_sql(_FS_EM_PAIRS_SQL, _FS_EM_FIELDS),
+        "hyperball_neighborhood": _hyperball_oracle_sql(),
+        "cooccurrence_pairs": """
+            WITH base AS (
+                SELECT DISTINCT l_orderkey AS u, l_partkey % 100 AS i
+                FROM lineitem
+            ), capped AS (
+                SELECT u, i FROM (
+                    SELECT u, i,
+                           row_number() OVER (PARTITION BY u ORDER BY i) AS rn
+                    FROM base
+                ) WHERE rn <= 5
+            ), nt AS (
+                SELECT count(DISTINCT u) AS N FROM capped
+            ), deg AS (
+                SELECT i, count(*) AS d FROM capped GROUP BY i
+            ), p AS (
+                SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_users
+                FROM capped a JOIN capped b ON a.u = b.u AND a.i < b.i
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT item_a, item_b, n_users,
+                   round(CAST(n_users * N AS DOUBLE)
+                         / CAST(da.d * db.d AS DOUBLE), 6) AS lift
+            FROM p
+            JOIN deg da ON da.i = item_a
+            JOIN deg db ON db.i = item_b
+            CROSS JOIN nt
+        """,
         "crawl_funnel_pipeline": f"""
             WITH n AS (
                 SELECT doc_id,
@@ -15820,11 +15965,13 @@ def oracle_sql() -> dict[str, str]:
                          / 1000000000000.0, 6) AS mean_norm2,
                    round(CAST(q2 AS DOUBLE) / CAST(n AS DOUBLE)
                          / 1000000000000.0, 6) AS avg_norm2,
-                   round((CAST(s2 AS DOUBLE)
-                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
-                          / 1000000000000.0)
-                         / (CAST(q2 AS DOUBLE) / CAST(n AS DOUBLE)
-                            / 1000000000000.0), 6) AS anisotropy
+                   CASE WHEN q2 > 0 THEN
+                       round((CAST(s2 AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+                              / 1000000000000.0)
+                             / (CAST(q2 AS DOUBLE) / CAST(n AS DOUBLE)
+                                / 1000000000000.0), 6)
+                   ELSE NULL END AS anisotropy
             FROM a
         """,
         "embedding_whiten": """

@@ -1106,3 +1106,182 @@ def adamic_adar_scores(
         F.round("_aa", 9).alias("aa_score"),
         F.round("_ra", 9).alias("ra_score"),
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    user_col: str,
+    item_col: str,
+    *,
+    max_items_per_user: int = 50,
+    min_users: int = 1,
+) -> DataFrame:
+    """Bipartite projection with the wedge-join discipline — item–item
+    co-occurrence counts plus lift, the recsys / market-basket staple
+    ("users who bought A also bought B") and the item-similarity seed
+    every co-click graph starts from.
+
+    The quadratic hazard lives in the hot user (a crawler account
+    touching a million items turns one row group into 10¹² pairs), so
+    the projection CAPS each user's item set FIRST — deterministically,
+    the lexicographically smallest ``max_items_per_user`` items via one
+    per-user rank window — making the pair fan-out Σ min(deg, cap)²: the
+    same knob-first posture the capped wedge joins adopted after the
+    adamic_adar audit (docs/SCALE.md r13 note).  Then one self-join per
+    user on item_a < item_b and one (a, b) hash aggregate.
+
+    ``lift`` = P(a,b)/(P(a)P(b)) = n_ab·N / (n_a·n_b) over the CAPPED
+    sets (exact integer cross-product, one float division, round 6);
+    N = distinct users.  Pairs below ``min_users`` are dropped pre-lift
+    (at corpus scale the singleton-pair mass is nearly everything).
+
+    Returns (item_a, item_b, n_users, lift).
+    """
+    from pyspark.sql import Window
+
+    base = (
+        df.select(F.col(user_col).alias("_u"), F.col(item_col).alias("_i"))
+        .where(F.col(user_col).isNotNull() & F.col(item_col).isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("_u").orderBy("_i")
+    capped = (
+        base.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= max_items_per_user)
+        .drop("_rn")
+    )
+    n_tot = capped.agg(F.countDistinct("_u").alias("_N"))
+    deg = capped.groupBy("_i").agg(F.count(F.lit(1)).alias("_deg"))
+    a = capped.select(F.col("_u"), F.col("_i").alias("item_a"))
+    b = capped.select(F.col("_u"), F.col("_i").alias("item_b"))
+    pairs = (
+        a.join(b, "_u")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .where(F.col("n_users") >= min_users)
+    )
+    da = deg.select(F.col("_i").alias("item_a"), F.col("_deg").alias("_da"))
+    db = deg.select(F.col("_i").alias("item_b"), F.col("_deg").alias("_db"))
+    return (
+        pairs.join(da, "item_a")
+        .join(db, "item_b")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "item_a",
+            "item_b",
+            "n_users",
+            F.round(
+                (F.col("n_users") * F.col("_N")).cast("double")
+                / (F.col("_da") * F.col("_db")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# Shared literal: powers of two for the HyperBall register fold (index k
+# holds 2^k) — list_extract-able on both engines, so no shift-operator
+# dialect exposure.
+POW2: tuple[int, ...] = tuple(2**k for k in range(34))
+
+HLL_ALPHA_16 = 0.673  # the published HLL bias constant for m = 16
+
+
+def hyperball_neighborhood(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    hops: int = 2,
+    registers: int = 16,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2011) — per-node ball-size estimation
+    |{u : dist(v,u) ≤ t}| via HyperLogLog counters that merge along
+    edges: the ONLY way neighborhood functions get computed on
+    billion-node graphs, because the per-node state is m registers
+    (here 16 bytes) instead of a reachable-set, and a round is one
+    register-wise max-merge — exact BFS frontiers
+    (:func:`bfs_hops`) grow with the ball, HyperBall state doesn't.
+
+    Portability discipline: register index and rank derive from md5 hex
+    (the sampling module's portable-uniform primitive) with STRING ops
+    only — leading-zero hex count + a first-digit bit-length CASE — so
+    no engine hash or shift operator is exposed; the harmonic-mean
+    denominator Σ 2^(-r_j) clears to the exact INTEGER Σ 2^(33-r_j)
+    (register rank ≤ 33, one shared power table), so merges and sums are
+    order-free and the estimate is ONE float division scaled by the
+    published α₁₆·m²·2³³ (absent sparse registers contribute 2³³
+    apiece).  Below the published 2.5·m small-range threshold with empty
+    registers present, linear counting m·ln(m/V) applies — the original
+    HLL recipe, with V (the empty-register count) shipped in the output.
+
+    Scale: per round, shuffle = |E|·m register rows (m constant); the
+    hot-node hazard is absent by construction (max-merge is associative,
+    map-side combinable).  ``hops`` is the documented unroll bound (the
+    oracle replays each round as a chained CTE, the pagerank precedent).
+
+    Returns (node, hops, reg_sum, v_empty, est), est rounded to 3.
+    """
+    if registers != 16:
+        raise ValueError("only m = 16 registers supported (α constant)")
+    m = registers
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    # HLL element hash: ONE register per element — hex digit 1 is the
+    # register index, hex digits 2–9 (32 bits) carry the rank.  The state
+    # is SPARSE (absent (node, j) ⇒ rank 0), so the per-node footprint is
+    # ≤ min(ball, m) rows during the merge.
+    h = F.md5(F.col("node").cast("string"))
+    j = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
+    hex8 = F.substring(h, 2, 8)
+    z = F.length(F.regexp_extract(hex8, "^(0*)", 1))
+    d = F.substring(hex8, (z + 1).cast("int"), 1)
+    blen = (
+        F.when(d == "1", 1)
+        .when(d.isin("2", "3"), 2)
+        .when(d.isin("4", "5", "6", "7"), 3)
+        .otherwise(4)
+    )
+    r = F.when(z == 8, F.lit(33)).otherwise(4 * z + (4 - blen) + 1)
+    regs = nodes.select("node", j.alias("j"), r.cast("int").alias("r"))
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    for _ in range(hops):
+        nbr = e.join(regs, e["_d"] == regs["node"]).select(
+            F.col("_s").alias("node"), "j", "r"
+        )
+        regs = (
+            regs.unionByName(nbr)
+            .groupBy("node", "j")
+            .agg(F.max("r").alias("r"))
+        )
+    pow2 = F.array(*[F.lit(v).cast("long") for v in POW2])
+    top = float(POW2[33])
+    summed = regs.groupBy("node").agg(
+        F.sum(F.element_at(pow2, (F.lit(33) - F.col("r") + 1).cast("int"))).alias(
+            "_present_sum"
+        ),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    # absent registers hold rank 0 and contribute 2^33 each to the
+    # cleared-denominator sum; V = empty-register count feeds the
+    # published small-range linear-counting correction m·ln(m/V)
+    reg_sum = (
+        F.col("_present_sum")
+        + (F.lit(m).cast("long") - F.col("_k")) * F.lit(POW2[33]).cast("long")
+    )
+    v_empty = (F.lit(m) - F.col("_k")).cast("int")
+    scale = HLL_ALPHA_16 * float(m * m) * top
+    raw = F.lit(scale) / reg_sum.cast("double")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty.cast("double"))
+    est = F.when((raw < 2.5 * m) & (v_empty > 0), lc).otherwise(raw)
+    return summed.select(
+        "node",
+        F.lit(hops).cast("int").alias("hops"),
+        reg_sum.cast("long").alias("reg_sum"),
+        v_empty.alias("v_empty"),
+        F.round(est, 3).alias("est"),
+    )

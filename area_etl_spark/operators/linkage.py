@@ -88,7 +88,10 @@ def _fs_em_python(
             for j in range(n_fields):
                 pm = pm * (m[j] if gamma[j] == 1 else 1.0 - m[j])
                 pu = pu * (u[j] if gamma[j] == 1 else 1.0 - u[j])
-            w = (p * pm) / ((p * pm) + ((1.0 - p) * pu))
+            den = (p * pm) + ((1.0 - p) * pu)
+            # a pattern both components assign zero mass (m/u pinned to a
+            # boundary by degenerate data) carries no evidence: w = 0
+            w = (p * pm) / den if den > 0.0 else 0.0
             wq = int(_math.floor(w * _WSCALE + 0.5))
             W += c * wq
             V += c * (_WSCALE - wq)
@@ -97,9 +100,11 @@ def _fs_em_python(
                 if gamma[j] == 1:
                     A[j] += c * wq
                     B[j] += c * (_WSCALE - wq)
-        m = [A[j] / W for j in range(n_fields)]
-        u = [B[j] / V for j in range(n_fields)]
-        p = W / (N * float(_WSCALE))
+        # degenerate masses freeze their side (W or V can only reach 0
+        # when every responsibility quantized to that boundary)
+        m = [A[j] / W if W > 0 else m[j] for j in range(n_fields)]
+        u = [B[j] / V if V > 0 else u[j] for j in range(n_fields)]
+        p = W / (N * float(_WSCALE)) if N > 0 else p
     return m, u, p
 
 
@@ -216,18 +221,31 @@ def fs_em_oracle_sql(
             f"(CASE WHEN g{j} = 1 THEN u{j} ELSE 1.0 - (u{j}) END)"
             for j in range(k)
         )
-        w = "((p * pm) / ((p * pm) + ((1.0 - p) * pu)))"
+        w = (
+            "(CASE WHEN ((p * pm) + ((1.0 - p) * pu)) > 0.0"
+            " THEN (p * pm) / ((p * pm) + ((1.0 - p) * pu)) ELSE 0.0 END)"
+        )
         sums = [
             f"SUM(c * wq) AS W",
             "SUM(c) AS N",
             f"SUM(c * ({_WSCALE} - wq)) AS V",
         ]
-        params = [f"CAST(W AS DOUBLE) / (CAST(N AS DOUBLE) * {_WSCALE}.0) AS p"]
+        prev = f"pr{it - 1}"
+        params = [
+            f"CASE WHEN N > 0 THEN CAST(W AS DOUBLE)"
+            f" / (CAST(N AS DOUBLE) * {_WSCALE}.0) ELSE {prev}.p END AS p"
+        ]
         for j in range(k):
             sums.append(f"SUM(c * wq * g{j}) AS A{j}")
             sums.append(f"SUM(c * ({_WSCALE} - wq) * g{j}) AS B{j}")
-            params.append(f"CAST(A{j} AS DOUBLE) / CAST(W AS DOUBLE) AS m{j}")
-            params.append(f"CAST(B{j} AS DOUBLE) / CAST(V AS DOUBLE) AS u{j}")
+            params.append(
+                f"CASE WHEN W > 0 THEN CAST(A{j} AS DOUBLE) / CAST(W AS DOUBLE)"
+                f" ELSE {prev}.m{j} END AS m{j}"
+            )
+            params.append(
+                f"CASE WHEN V > 0 THEN CAST(B{j} AS DOUBLE) / CAST(V AS DOUBLE)"
+                f" ELSE {prev}.u{j} END AS u{j}"
+            )
         sql.append(
             f"e{it} AS (SELECT cnt.*, {pm} AS pm, {pu} AS pu, p"
             f" FROM cnt CROSS JOIN pr{it - 1}),"
@@ -238,7 +256,10 @@ def fs_em_oracle_sql(
             f" FROM e{it}),"
         )
         sql.append(f"s{it} AS (SELECT {', '.join(sums)} FROM w{it}),")
-        sql.append(f"pr{it} AS (SELECT {', '.join(params)} FROM s{it}),")
+        sql.append(
+            f"pr{it} AS (SELECT {', '.join(params)}"
+            f" FROM s{it} CROSS JOIN {prev}),"
+        )
     r6 = lambda x: f"floor(({x}) * 1000000 + 0.5) / 1000000"  # noqa: E731
     rows = []
     for j, name in enumerate(field_cols):

@@ -981,7 +981,10 @@ def embedding_anisotropy(
         "dims",
         F.round(mean_norm2, 6).alias("mean_norm2"),
         F.round(avg_norm2, 6).alias("avg_norm2"),
-        F.round(mean_norm2 / avg_norm2, 6).alias("anisotropy"),
+        # all-zero corpus → 0/0: NULL, not an ANSI divide-by-zero error
+        F.when(
+            F.col("_q2") > 0, F.round(mean_norm2 / avg_norm2, 6)
+        ).alias("anisotropy"),
     )
 
 

@@ -5531,3 +5531,62 @@ def test_periodogram_finds_planted_period(spark):
 
     with _pytest.raises(ValueError, match="max_freq"):
         periodogram(df, "t", "x", max_freq=0)
+
+
+def test_hyperball_neighborhood(spark):
+    """Within a clique every node's 1-hop ball is the SAME node set, so
+    the merged registers — and therefore reg_sum and est — are identical
+    across members (an exact property of the estimator, no tolerance);
+    the estimate itself lands within the published HLL error regime for
+    m=16 (~26% σ); two disconnected cliques do not leak into each other."""
+    from area_etl_spark.operators.graph import hyperball_neighborhood
+
+    def clique(lo, n):
+        return [
+            (lo + a, lo + b) for a in range(n) for b in range(n) if a != b
+        ]
+
+    edges = spark.createDataFrame(
+        clique(0, 30) + clique(100, 8), "src long, dst long"
+    )
+    out = {r.node: r for r in hyperball_neighborhood(edges, hops=1).collect()}
+    big = {out[v].reg_sum for v in range(30)}
+    small = {out[v].reg_sum for v in range(100, 108)}
+    assert len(big) == 1 and len(small) == 1
+    assert big != small
+    est_big = out[0].est
+    assert 12 <= est_big <= 75, est_big  # 30 true, ~26% sigma regime
+    est_small = out[100].est
+    assert est_small < est_big
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="registers"):
+        hyperball_neighborhood(edges, hops=1, registers=8)
+
+
+def test_cooccurrence_pairs_cap_and_lift(spark):
+    """Hand case: pair counts, the per-user cap excluding the hot user's
+    overflow items, min_users filtering, and the exact lift ratio."""
+    from area_etl_spark.operators.graph import cooccurrence_pairs
+
+    rows = [
+        (1, "a"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        # hot user: cap 3 keeps a,b,c and drops d,e
+        (4, "a"), (4, "b"), (4, "c"), (4, "d"), (4, "e"),
+    ]
+    df = spark.createDataFrame(rows, "u int, i string")
+    out = {
+        (r.item_a, r.item_b): r
+        for r in cooccurrence_pairs(
+            df, "u", "i", max_items_per_user=3, min_users=2
+        ).collect()
+    }
+    # capped sets: u1{a,b} u2{a,b} u3{a,c} u4{a,b,c}; N=4
+    # deg: a=4 b=3 c=2; pairs: ab=3, ac=2, bc=1(dropped by min_users)
+    assert set(out) == {("a", "b"), ("a", "c")}
+    ab = out[("a", "b")]
+    assert ab.n_users == 3 and abs(ab.lift - (3 * 4) / (4 * 3)) < 1e-9
+    ac = out[("a", "c")]
+    assert ac.n_users == 2 and abs(ac.lift - (2 * 4) / (4 * 2)) < 1e-9

@@ -811,3 +811,136 @@ def test_extract_links_roundtrip_property(spark, links):
         assert r.anchor_text == " ".join(t.split())
         assert r.nofollow == nf
     assert all(r.href != "/decoy" for r in rows)
+
+
+# --- r13 additions: CF checksum, FS-EM, periodogram, anisotropy ------------
+
+_CF_ODD_PY = (1, 0, 5, 7, 9, 13, 15, 17, 19, 21, 2, 4, 18, 20, 11,
+              3, 6, 8, 12, 14, 16, 10, 22, 25, 24, 23)
+
+
+def _cf_val(ch: str, odd: bool) -> int:
+    idx = ord(ch) - 48 if ch.isdigit() else ord(ch) - 65
+    return _CF_ODD_PY[idx] if odd else idx
+
+
+@settings(**SETTINGS)
+@given(
+    seed=st.integers(0, 10**9),
+    pos=st.integers(0, 14),
+    data=st.data(),
+)
+def test_cf_checksum_mutation_detected(spark, seed, pos, data):
+    """Mirror-generated valid codes validate; mutating ONE of the first 15
+    chars to a char with a DIFFERENT table value at that position flips
+    validity (the checksum is a perfect single-substitution detector
+    whenever the substituted char changes its mapped value)."""
+    from area_etl_spark.operators.text_analysis import codice_fiscale_valid
+
+    rng = __import__("random").Random(seed)
+    letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    months = "ABCDEHLMPRST"
+    cf15 = (
+        "".join(rng.choice(letters) for _ in range(6))
+        + f"{rng.randrange(100):02d}"
+        + rng.choice(months)
+        + f"{rng.randrange(1, 29):02d}"
+        + rng.choice(letters)
+        + f"{rng.randrange(1000):03d}"
+    )
+    total = sum(_cf_val(c, (i + 1) % 2 == 1) for i, c in enumerate(cf15))
+    good = cf15 + chr(65 + total % 26)
+    # mutate one position to a char of a DIFFERENT mapped value that keeps
+    # the SHAPE legal (letters stay letters; digit slots: another digit)
+    odd = (pos + 1) % 2 == 1
+    old = good[pos]
+    if old.isdigit():
+        alphabet = "0123456789"
+    elif pos == 8:
+        alphabet = months
+    else:
+        alphabet = letters
+    choices = [
+        c for c in alphabet if c != old and _cf_val(c, odd) != _cf_val(old, odd)
+    ]
+    if not choices:
+        return  # nothing shape-legal changes the sum here
+    bad = good[:pos] + data.draw(st.sampled_from(choices)) + good[pos + 1 :]
+    df = spark.createDataFrame([(good,), (bad,)], "c string")
+    got = {r.c: r.ok for r in df.select(
+        "c", codice_fiscale_valid(F.col("c")).alias("ok")).collect()}
+    assert got[good] is True
+    assert got[bad] is False
+
+
+@settings(**SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.booleans(), st.booleans()), min_size=8, max_size=40
+    ),
+    reps=st.integers(2, 3),
+)
+def test_fs_em_duplication_invariant(spark, rows, reps):
+    """EM over pattern COUNTS: replicating every pair k times leaves every
+    estimated parameter bit-identical (the sums scale by k, every ratio
+    cancels)."""
+    from area_etl_spark.operators.linkage import fs_em_weights
+
+    df1 = spark.createDataFrame(rows, "a boolean, b boolean")
+    dfk = spark.createDataFrame(rows * reps, "a boolean, b boolean")
+    r1 = sorted(map(tuple, fs_em_weights(df1, ["a", "b"]).collect()))
+    rk = sorted(map(tuple, fs_em_weights(dfk, ["a", "b"]).collect()))
+    assert r1 == rk
+
+
+@settings(**SETTINGS)
+@given(
+    xs=st.lists(st.integers(0, 50), min_size=8, max_size=40),
+    shift=st.integers(-100, 100),
+)
+def test_periodogram_shift_invariant_and_parseval_bound(spark, xs, shift):
+    """Mean-centering makes P(k) invariant to adding a constant; and the
+    half-spectrum sum obeys the Parseval bound Σ_{k=1..K} P(k) ≤ n·Var(x)
+    for any K (equality only at the full spectrum)."""
+    from area_etl_spark.operators.windows import periodogram
+
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "t int, x long"
+    )
+    df2 = spark.createDataFrame(
+        [(i, x + shift) for i, x in enumerate(xs)], "t int, x long"
+    )
+    k = min(6, len(xs) - 1)
+    p1 = {r.freq: r.power for r in periodogram(df, "t", "x", max_freq=k).collect()}
+    p2 = {r.freq: r.power for r in periodogram(df2, "t", "x", max_freq=k).collect()}
+    assert p1 == p2
+    n = len(xs)
+    mean = sum(xs) / n
+    var = sum((x - mean) ** 2 for x in xs) / n
+    assert sum(p1.values()) <= n * var + 1e-6
+
+
+@settings(**SETTINGS)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-1, 1, allow_nan=False, width=32), min_size=3, max_size=3
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_embedding_anisotropy_bounded(spark, vecs):
+    """0 ≤ anisotropy ≤ 1 for any vector set (Cauchy–Schwarz: ‖μ‖² ≤
+    E‖x‖²), NULL-safe when all vectors are zero."""
+    from area_etl_spark.operators.similarity import embedding_anisotropy
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    r = embedding_anisotropy(df).collect()[0]
+    if r.avg_norm2 == 0.0:
+        assert r.anisotropy is None or r.anisotropy != r.anisotropy or r.anisotropy == 0.0
+    else:
+        assert -1e-9 <= r.anisotropy <= 1.0 + 1e-6
