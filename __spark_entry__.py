@@ -5017,6 +5017,17 @@ def _hyperball_oracle_sql(hops: int = 2) -> str:
     """
 
 
+def q_local_clustering(spark, sf_dir):
+    """Per-node clustering coefficient over the derived order graph: the
+    order-canonical triangle join exploded back to all three members,
+    exact-integer 2·tri / deg·(deg−1), degree-capped hubs reported NULL;
+    DuckDB replays the wedge join and the ratio."""
+    from area_etl_spark.operators.graph import local_clustering_coefficient
+
+    tables = _tables(spark, sf_dir)
+    return local_clustering_coefficient(_order_graph(tables), max_degree=500)
+
+
 def q_cooccurrence_pairs(spark, sf_dir):
     """Market-basket bipartite projection over lineitem (order = basket,
     part-class = item): deterministic per-basket cap (lexicographically
@@ -8525,6 +8536,7 @@ _R13_NEW = [
     "crawl_funnel_pipeline",
     "cooccurrence_pairs",
     "hyperball_neighborhood",
+    "local_clustering",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -8763,6 +8775,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_funnel_pipeline": q_crawl_funnel_pipeline,
         "cooccurrence_pairs": q_cooccurrence_pairs,
         "hyperball_neighborhood": q_hyperball_neighborhood,
+        "local_clustering": q_local_clustering,
         "score_linear": q_score_linear,
         "jl_project": q_jl_project,
         "standardized_rates": q_standardized_rates,
@@ -15886,6 +15899,48 @@ def oracle_sql() -> dict[str, str]:
         "periodogram": _periodogram_oracle_sql(),
         "fs_em_weights": LKG.fs_em_oracle_sql(_FS_EM_PAIRS_SQL, _FS_EM_FIELDS),
         "hyperball_neighborhood": _hyperball_oracle_sql(),
+        "local_clustering": """
+            WITH g AS (
+                SELECT DISTINCT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst
+                FROM orders
+            ), und AS (
+                SELECT src AS a, dst AS b FROM g WHERE src <> dst
+                UNION
+                SELECT dst AS a, src AS b FROM g WHERE src <> dst
+            ), deg AS (
+                SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+                FROM und GROUP BY a
+            ), kept AS (
+                SELECT node FROM deg WHERE degree <= 500
+            ), e AS (
+                SELECT und.a, und.b FROM und
+                JOIN kept ka ON ka.node = und.a
+                JOIN kept kb ON kb.node = und.b
+                WHERE und.a < und.b
+            ), tris AS (
+                SELECT ij.a AS a, ij.b AS b, jk.b AS c
+                FROM e ij
+                JOIN e jk ON jk.a = ij.b
+                JOIN e ik ON ik.a = ij.a AND ik.b = jk.b
+            ), member AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+                    SELECT a AS node FROM tris
+                    UNION ALL SELECT b FROM tris
+                    UNION ALL SELECT c FROM tris
+                ) GROUP BY node
+            ), o AS (
+                SELECT deg.node, deg.degree,
+                       COALESCE(member.triangles, 0) AS triangles
+                FROM deg LEFT JOIN member USING (node)
+            )
+            SELECT node, degree, triangles,
+                   CASE WHEN degree > 500 THEN NULL
+                        WHEN degree <= 1 THEN 0.0
+                        ELSE round(CAST(2 * triangles AS DOUBLE)
+                                   / CAST(degree * (degree - 1) AS DOUBLE), 6)
+                   END AS clustering
+            FROM o
+        """,
         "cooccurrence_pairs": """
             WITH base AS (
                 SELECT DISTINCT l_orderkey AS u, l_partkey % 100 AS i

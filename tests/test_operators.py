@@ -5590,3 +5590,32 @@ def test_cooccurrence_pairs_cap_and_lift(spark):
     assert ab.n_users == 3 and abs(ab.lift - (3 * 4) / (4 * 3)) < 1e-9
     ac = out[("a", "c")]
     assert ac.n_users == 2 and abs(ac.lift - (2 * 4) / (4 * 2)) < 1e-9
+
+
+def test_local_clustering_coefficient(spark):
+    """Hand graph: a triangle (clustering 1.0), a pendant node
+    (degree 1 -> 0.0), a square without diagonals (0.0), and the
+    max_degree hub gate emitting NULL."""
+    from area_etl_spark.operators.graph import local_clustering_coefficient
+
+    tri = [(1, 2), (2, 3), (1, 3)]
+    pendant = [(3, 4)]
+    square = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    edges = spark.createDataFrame(tri + pendant + square, "src long, dst long")
+    out = {r.node: r for r in local_clustering_coefficient(edges).collect()}
+    assert out[1].clustering == 1.0 and out[2].clustering == 1.0
+    assert out[1].triangles == 1 and out[1].degree == 2
+    # node 3 has degree 3 (2 triangle edges + pendant): 1 tri / C(3,2)=3
+    assert abs(out[3].clustering - 1 / 3) < 1e-6
+    assert out[4].clustering == 0.0 and out[4].degree == 1
+    assert all(out[v].clustering == 0.0 for v in (10, 11, 12, 13))
+    # hub gate: cap below the triangle nodes' degree
+    capped = {
+        r.node: r
+        for r in local_clustering_coefficient(edges, max_degree=2).collect()
+    }
+    assert capped[3].clustering is None          # dropped hub -> NULL
+    assert capped[1].degree == 2                 # degree is still reported
+    # nodes 1,2 keep their wedge (edge 1-2 survives) but the 3-side edges
+    # vanish with the hub, so their triangle count drops to 0
+    assert capped[1].triangles == 0 and capped[1].clustering == 0.0
