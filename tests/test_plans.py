@@ -600,3 +600,51 @@ def test_disproportionality_single_scan_shape(tables):
     # broadcast of the grand totals, never a shuffle join
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_r13_session2_plans_no_python_no_cartesian(tables, spark):
+    """The r13 session-2 operators stay JVM-side and never fall into an
+    unbroadcast cartesian: CF scan / code_detect are pure codegen
+    projections (no BatchEvalPython), cooccurrence's only cross join is
+    the broadcast 1-row N aggregate, hyperball rounds are equi-joins."""
+    from area_etl_spark.operators.graph import (
+        cooccurrence_pairs,
+        hyperball_neighborhood,
+        local_clustering_coefficient,
+    )
+    from area_etl_spark.operators.text_analysis import (
+        codice_fiscale_valid,
+        detect_code,
+    )
+
+    c = tables["customer"].select(
+        "c_custkey", F.col("c_name").alias("cf")
+    ).withColumn("ok", codice_fiscale_valid("cf"))
+    p = plan_str(c)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    d = detect_code(
+        tables["customer"].select(
+            F.col("c_custkey").alias("doc_id"), F.col("c_name").alias("text")
+        )
+    )
+    p = plan_str(d)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    li = tables["lineitem"].select(
+        F.col("l_orderkey").alias("u"), (F.col("l_partkey") % 100).alias("i")
+    )
+    p = plan_str(cooccurrence_pairs(li, "u", "i", max_items_per_user=5))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+    edges = tables["orders"].select(
+        (F.col("o_custkey") % 100).alias("src"),
+        (F.col("o_orderkey") % 100).alias("dst"),
+    )
+    p = plan_str(hyperball_neighborhood(edges, hops=1))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+    p = plan_str(local_clustering_coefficient(edges))
+    assert "CartesianProduct" not in p
