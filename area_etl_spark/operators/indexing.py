@@ -562,7 +562,6 @@ def aggregate_anchor_text(
     ).agg(
         F.count(F.lit(1)).alias("_cnt"),
         F.sum(follow).alias("_follow"),
-        F.countDistinct(F.col(src_col)).alias("_srcs_a"),
     )
     # distinct sources must dedup across anchors too — a second aggregate
     # on the raw frame (map-side partial distinct keeps the shuffle small)

@@ -191,15 +191,20 @@ def fs_em_oracle_sql(
     columns).  Exists so an oracle never hand-transcribes the EM updates —
     both engines' arithmetic is generated from this module's formulas."""
     k = len(field_cols)
+    if not 1 <= k <= 10:
+        raise ValueError(f"need 1..10 agreement fields, got {k}")
     gs = ", ".join(
         f"CASE WHEN CAST({c} AS BOOLEAN) THEN 1 ELSE 0 END AS g{j}"
         for j, c in enumerate(field_cols)
     )
     keys = ", ".join(f"g{j}" for j in range(k))
+    # init literals must be DOUBLE-typed: a bare 0.9 is DECIMAL in DuckDB
+    # (exact 1.0 - 0.9 = 0.1), which diverges from the Python core's
+    # binary-float chain by ~1 ulp in iteration 1
     init = ", ".join(
-        [f"{init_m!r} AS m{j}" for j in range(k)]
-        + [f"{init_u!r} AS u{j}" for j in range(k)]
-        + [f"{init_p!r} AS p"]
+        [f"CAST({init_m!r} AS DOUBLE) AS m{j}" for j in range(k)]
+        + [f"CAST({init_u!r} AS DOUBLE) AS u{j}" for j in range(k)]
+        + [f"CAST({init_p!r} AS DOUBLE) AS p"]
     )
     # One constant-size CTE chain per iteration (params are NAMED COLUMNS
     # cross-joined back onto the pattern counts — nested scalar-subquery

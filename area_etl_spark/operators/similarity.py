@@ -535,6 +535,37 @@ def knn_classify(
     )
 
 
+_DIM_DEC = "decimal(38,0)"
+
+
+def _explode_quantized(
+    df: DataFrame, vec_col: str, scale: int, id_col: str | None = None
+) -> DataFrame:
+    """Shared quantization scaffold for the per-dimension embedding
+    operators: posexplode the vector and quantize components to ``scale``
+    integer units with the portable floor(x·s + 0.5) round.  One
+    definition so the overflow/rounding discipline cannot drift between
+    dim_stats / anisotropy / whitening."""
+    qv = F.floor(F.col("_v").cast("double") * scale + F.lit(0.5)).cast("long")
+    cols = ([F.col(id_col)] if id_col else []) + [
+        F.posexplode(F.col(vec_col)).alias("dim", "_v")
+    ]
+    keep = ([id_col] if id_col else []) + ["dim"]
+    return df.select(*cols).select(*keep, qv.alias("_q"))
+
+
+def _dim_sums() -> list:
+    """The per-dim exact aggregate trio (n, Σq, Σq²) — q squares through
+    DECIMAL, never int64 (a component ≥ ~3035·scale units would wrap a
+    long multiply; the paired oracles multiply in HUGEINT)."""
+    qd = F.col("_q").cast(_DIM_DEC)
+    return [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(qd).alias("_s"),
+        F.sum(qd * qd).alias("_ss"),
+    ]
+
+
 def embedding_dim_stats(
     df: DataFrame,
     *,
@@ -545,19 +576,15 @@ def embedding_dim_stats(
     monitor that catches a dead/saturated dimension before training does.
 
     Floats are quantized to ``scale`` integer units FIRST (floor(x·s+0.5),
-    the portable round), so the per-dimension sums are exact BIGINTs and
+    the portable round), so the per-dimension sums are exact DECIMALs and
     mean/variance are engine-reproducible closed forms.  One posexplode
     (narrow) + one (dim) aggregate; output rows = dimensions.
     """
-    dec = "decimal(38,0)"
-    qv = F.floor(F.col("_v").cast("double") * scale + F.lit(0.5)).cast("long")
-    exploded = df.select(
-        F.posexplode(F.col(vec_col)).alias("dim", "_v")
-    ).withColumn("_q", qv)
+    exploded = _explode_quantized(df, vec_col, scale)
     agg = exploded.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("_q").cast(dec)).alias("_s"),
-        F.sum((F.col("_q") * F.col("_q")).cast(dec)).alias("_ss"),
+        F.sum(F.col("_q").cast(_DIM_DEC)).alias("_s"),
+        F.sum(F.col("_q").cast(_DIM_DEC) * F.col("_q").cast(_DIM_DEC)).alias("_ss"),
         F.min("_q").alias("_mn"),
         F.max("_q").alias("_mx"),
     )
@@ -956,16 +983,9 @@ def embedding_anisotropy(
     Returns one row (n, dims, mean_norm2, avg_norm2, anisotropy), 1e-6²
     units folded out, rounded to 6.
     """
-    dec = "decimal(38,0)"
-    qv = F.floor(F.col("_v").cast("double") * scale + F.lit(0.5)).cast("long")
-    exploded = df.select(F.posexplode(F.col(vec_col)).alias("dim", "_v")).select(
-        "dim", qv.alias("_q")
-    )
-    per_dim = exploded.groupBy("dim").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(F.col("_q").cast(dec)).alias("_s"),
-        F.sum((F.col("_q") * F.col("_q")).cast(dec)).alias("_ss"),
-    )
+    dec = _DIM_DEC
+    exploded = _explode_quantized(df, vec_col, scale)
+    per_dim = exploded.groupBy("dim").agg(*_dim_sums())
     agg = per_dim.agg(
         F.max("_n").alias("n"),
         F.count(F.lit(1)).alias("dims"),
@@ -1015,16 +1035,8 @@ def embedding_whiten_diagonal(
 
     Returns (id, white_q3_csv).
     """
-    dec = "decimal(38,0)"
-    qv = F.floor(F.col("_v").cast("double") * scale + F.lit(0.5)).cast("long")
-    exploded = df.select(
-        F.col(id_col), F.posexplode(F.col(vec_col)).alias("dim", "_v")
-    ).select(id_col, "dim", qv.alias("_q"))
-    stats = exploded.groupBy("dim").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(F.col("_q").cast(dec)).alias("_s"),
-        F.sum((F.col("_q") * F.col("_q")).cast(dec)).alias("_ss"),
-    )
+    exploded = _explode_quantized(df, vec_col, scale, id_col=id_col)
+    stats = exploded.groupBy("dim").agg(*_dim_sums())
     nd = F.col("_n").cast("double")
     mean_q = F.col("_s").cast("double") / nd
     var_q = F.col("_ss").cast("double") / nd - mean_q * mean_q
