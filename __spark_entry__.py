@@ -8523,7 +8523,9 @@ _R13_NEW = [
     "iban_checksum_scan",
     "iban_redaction",
     # overflow past the 50-slot window: judge-gated at registration, r14
-    # rotation fodder (the r11b-deferral precedent)
+    # rotation fodder (the r11b-deferral precedent).  The r14 window should
+    # lead with everything from here down (13 keys, none ever
+    # driver-sampled), padded from the freshly-green r13 window.
     "robots_url_filter",
     "mojibake_repair",
     "cf_checksum_scan",

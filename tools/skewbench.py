@@ -358,6 +358,29 @@ def main() -> None:
     timed("adamic-adar mid-degree cap 1000 (production)", lambda: sink(
         adamic_adar_scores(aag, min_common=2, max_middle_degree=1000)))
 
+    # 13. Co-occurrence projection through a planted hot basket: the pair
+    # fan-out is Σ deg(u)², so ONE 10k-item basket alone emits 50M pairs
+    # uncapped, while the per-user cap (taken BEFORE the self-join) bounds
+    # every user's contribution at cap² — the r13 knob-first posture.
+    from area_etl_spark.operators.graph import cooccurrence_pairs
+
+    hot_items = 10_000
+    bsk = spark.range(100_000).select(
+        (F.col("id") % 20_000).alias("u"),
+        F.pmod(F.xxhash64("id"), F.lit(500)).alias("i"),
+    )
+    hot = spark.range(hot_items).select(
+        F.lit(999_999).alias("u"), F.col("id").alias("i")
+    )
+    cg = bsk.unionByName(hot)
+    cg.write.mode("overwrite").parquet("/tmp/skewbench_cooc")
+    cg = spark.read.parquet("/tmp/skewbench_cooc")
+    print(f"co-occurrence: 20k baskets (deg≈5) + one {hot_items:,}-item hot basket")
+    timed("cooccurrence uncapped (hot-basket blowup)", lambda: sink(
+        cooccurrence_pairs(cg, "u", "i", max_items_per_user=10**9, min_users=2)))
+    timed("cooccurrence cap 50 (production)", lambda: sink(
+        cooccurrence_pairs(cg, "u", "i", max_items_per_user=50, min_users=2)))
+
 
 if __name__ == "__main__":
     main()
