@@ -5028,6 +5028,28 @@ def q_local_clustering(spark, sf_dir):
     return local_clustering_coefficient(_order_graph(tables), max_degree=500)
 
 
+def q_bot_traffic(spark, sf_dir):
+    """Metronomic-traffic detection over events with planted bots: every
+    user_id % 7 == 0 gets an exact 60-second tick schedule in place of
+    its real timestamps; the cv/modal-gap signals must flag exactly the
+    planted class.  Gaps are integer microseconds (the debounce lesson),
+    the cv folds from DECIMAL sums, so DuckDB replays every signal."""
+    from area_etl_spark.operators.telemetry import detect_bot_traffic
+
+    ev = _tables(spark, sf_dir)["events"].select("user_id", "ts", "event_id")
+    bot = F.col("user_id") % 7 == 0
+    ts2 = F.when(
+        bot,
+        F.expr(
+            "timestamp'1995-01-01 00:00:00'"
+            " + make_dt_interval(0, 0, 0, CAST(event_id % 1000 AS INT) * 60)"
+        ),
+    ).otherwise(F.col("ts"))
+    return detect_bot_traffic(
+        ev.select("user_id", ts2.alias("ts")), "user_id", "ts", min_events=10
+    )
+
+
 def q_cooccurrence_pairs(spark, sf_dir):
     """Market-basket bipartite projection over lineitem (order = basket,
     part-class = item): deterministic per-basket cap (lexicographically
@@ -8539,6 +8561,7 @@ _R13_NEW = [
     "cooccurrence_pairs",
     "hyperball_neighborhood",
     "local_clustering",
+    "bot_traffic",
 ]
 
 # Historical r9 window (kept for the rotation audit trail; every key in it
@@ -8778,6 +8801,7 @@ def _queries_registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cooccurrence_pairs": q_cooccurrence_pairs,
         "hyperball_neighborhood": q_hyperball_neighborhood,
         "local_clustering": q_local_clustering,
+        "bot_traffic": q_bot_traffic,
         "score_linear": q_score_linear,
         "jl_project": q_jl_project,
         "standardized_rates": q_standardized_rates,
@@ -15901,6 +15925,58 @@ def oracle_sql() -> dict[str, str]:
         "periodogram": _periodogram_oracle_sql(),
         "fs_em_weights": LKG.fs_em_oracle_sql(_FS_EM_PAIRS_SQL, _FS_EM_FIELDS),
         "hyperball_neighborhood": _hyperball_oracle_sql(),
+        "bot_traffic": """
+            WITH e AS (
+                SELECT user_id,
+                       CASE WHEN user_id % 7 = 0
+                            THEN TIMESTAMP '1995-01-01 00:00:00'
+                                 + (event_id % 1000 * 60) * INTERVAL 1 SECOND
+                            ELSE ts END AS ts
+                FROM events
+            ), lagged AS (
+                SELECT user_id AS u, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM e
+            ), gaps AS (
+                SELECT u, date_diff('microsecond', prev, ts) AS gap
+                FROM lagged WHERE prev IS NOT NULL
+            ), pu AS (
+                SELECT u, CAST(count(*) AS BIGINT) AS g,
+                       SUM(CAST(gap AS HUGEINT)) AS s,
+                       SUM(CAST(gap AS HUGEINT) * gap) AS ss
+                FROM gaps GROUP BY u
+            ), md AS (
+                SELECT u, MAX(c) AS mode_c FROM (
+                    SELECT u, gap, CAST(count(*) AS BIGINT) AS c
+                    FROM gaps GROUP BY u, gap
+                ) GROUP BY u
+            ), ct AS (
+                SELECT user_id AS u, CAST(count(*) AS BIGINT) AS n_events
+                FROM e GROUP BY user_id
+            ), sig AS (
+                SELECT ct.u AS "user", ct.n_events,
+                       CASE WHEN pu.g IS NOT NULL THEN
+                           round(CAST(pu.s AS DOUBLE) / CAST(pu.g AS DOUBLE)
+                                 / 1000.0, 3) END AS mean_gap_ms,
+                       CASE WHEN pu.s > 0 THEN
+                           round(sqrt(greatest(
+                                     CAST(pu.g * pu.ss - pu.s * pu.s
+                                          AS DOUBLE), 0.0))
+                                 / CAST(pu.s AS DOUBLE) * 1000.0, 3)
+                       END AS cv_milli,
+                       CASE WHEN pu.g IS NOT NULL THEN
+                           round(CAST(md.mode_c AS DOUBLE)
+                                 / CAST(pu.g AS DOUBLE), 6) END AS repeat_share
+                FROM ct
+                LEFT JOIN pu ON pu.u = ct.u
+                LEFT JOIN md ON md.u = ct.u
+            )
+            SELECT "user", n_events, mean_gap_ms, cv_milli, repeat_share,
+                   COALESCE(n_events >= 10
+                            AND (cv_milli < 100 OR repeat_share > 0.9),
+                            false) AS is_bot
+            FROM sig
+        """,
         "local_clustering": """
             WITH g AS (
                 SELECT DISTINCT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst

@@ -128,3 +128,104 @@ def interpolate_linear(
         .otherwise(F.lit(None).cast("double"))
     )
     return df.withColumn(out_col, out)
+
+
+def detect_bot_traffic(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    min_events: int = 20,
+    cv_milli_threshold: int = 100,
+    repeat_share_threshold: float = 0.9,
+) -> DataFrame:
+    """Metronomic-traffic (bot) detection per user — the crawl/abuse
+    filter every event pipeline runs before engagement metrics: human
+    inter-arrival times are bursty (coefficient of variation ≈ 1 for a
+    Poisson process, higher with sessions), schedulers and scripted
+    crawlers tick (cv → 0) or repeat one exact interval.
+
+    Two signals per user over the ordered event timeline:
+
+    - ``cv_milli``: 1000·(σ/μ) of the inter-arrival gaps, EXACT to the
+      last integer step — gaps are integer MICROSECONDS (the debounce
+      lesson: second-granularity diffs truncate differently per engine),
+      and cv = √(g·ΣΔ² − (ΣΔ)²)/ΣΔ folds entirely from DECIMAL sums, one
+      sqrt + one division of exact integers, so both engines agree
+      bit-for-bit;
+    - ``repeat_share``: the modal gap's share of all gaps (a scheduler
+      repeats ONE interval even when jitter keeps cv nonzero).
+
+    ``is_bot`` = n ≥ min_events ∧ (cv_milli < threshold ∨ repeat_share >
+    threshold).  Users with < 2 events carry NULL signals, never
+    flagged.  Shape: one per-user lag window (the sessionization
+    contract: per-user cardinality bounds the sort), then two hash
+    aggregates (user grain and (user, gap) grain for the mode).
+
+    Returns (user, n_events, mean_gap_ms, cv_milli, repeat_share,
+    is_bot).
+    """
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    w = Window.partitionBy("_u").orderBy(F.col("ts"))
+    lagged = df.select(
+        F.col(user_col).alias("_u"), F.col(ts_col).alias("ts")
+    ).withColumn("_prev", F.lag("ts").over(w))
+    gaps = lagged.where(F.col("_prev").isNotNull()).select(
+        "_u",
+        F.expr("timestampdiff(MICROSECOND, _prev, ts)").alias("_gap"),
+    )
+    per_user = gaps.groupBy("_u").agg(
+        F.count(F.lit(1)).alias("_g"),
+        F.sum(F.col("_gap").cast(dec)).alias("_s"),
+        F.sum(F.col("_gap").cast(dec) * F.col("_gap").cast(dec)).alias("_ss"),
+    )
+    mode = (
+        gaps.groupBy("_u", "_gap")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("_u")
+        .agg(F.max("_c").alias("_mode_c"))
+    )
+    counts = df.groupBy(F.col(user_col).alias("_u")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    g = F.col("_g").cast("double")
+    s = F.col("_s").cast("double")
+    varnum = (F.col("_g").cast(dec) * F.col("_ss") - F.col("_s") * F.col("_s")).cast(
+        "double"
+    )
+    cv_milli = F.when(
+        F.col("_s") > 0, F.round(F.sqrt(F.greatest(varnum, F.lit(0.0))) / s * 1000.0, 3)
+    )
+    joined = (
+        counts.join(per_user, "_u", "left")
+        .join(mode, "_u", "left")
+        .select(
+            F.col("_u").alias("user"),
+            "n_events",
+            F.when(F.col("_g").isNotNull(), F.round(s / g / 1000.0, 3)).alias(
+                "mean_gap_ms"
+            ),
+            cv_milli.alias("cv_milli"),
+            F.when(
+                F.col("_g").isNotNull(),
+                F.round(F.col("_mode_c").cast("double") / g, 6),
+            ).alias("repeat_share"),
+        )
+    )
+    is_bot = (
+        (F.col("n_events") >= min_events)
+        & (
+            (F.col("cv_milli") < cv_milli_threshold)
+            | (F.col("repeat_share") > repeat_share_threshold)
+        )
+    )
+    return joined.select(
+        "user",
+        "n_events",
+        "mean_gap_ms",
+        "cv_milli",
+        "repeat_share",
+        F.coalesce(is_bot, F.lit(False)).alias("is_bot"),
+    )

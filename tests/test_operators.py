@@ -5619,3 +5619,40 @@ def test_local_clustering_coefficient(spark):
     # nodes 1,2 keep their wedge (edge 1-2 survives) but the 3-side edges
     # vanish with the hub, so their triangle count drops to 0
     assert capped[1].triangles == 0 and capped[1].clustering == 0.0
+
+
+def test_detect_bot_traffic(spark):
+    """Metronomic tickers flag via cv ~ 0; jittered schedulers flag via
+    the modal-gap share; bursty humans stay clean; sub-minimum or
+    single-event users are NULL-safe and never flagged."""
+    from datetime import datetime, timedelta
+
+    from area_etl_spark.operators.telemetry import detect_bot_traffic
+
+    base = datetime(2020, 1, 1)
+    rows = []
+    # bot 1: exact 60 s ticks x30
+    rows += [(1, base + timedelta(seconds=60 * i)) for i in range(30)]
+    # bot 2: 55 s gap repeated 28x with two 300 s outliers (cv well above
+    # the threshold, modal share 28/29 > 0.9)
+    t = base
+    for i in range(30):
+        rows.append((2, t))
+        t += timedelta(seconds=300 if i in (10, 20) else 55)
+    # human: alternating/bursty gaps (cv large, modal share low)
+    t = base
+    human_gaps = [5, 120, 7, 3600, 40, 11, 900, 65, 13, 240,
+                  8, 1800, 33, 77, 410, 29, 600, 51, 19, 130,
+                  2200, 91, 44, 310, 17, 750, 61, 23, 150]
+    for g in [0] + human_gaps:
+        t += timedelta(seconds=g)
+        rows.append((3, t))
+    # tiny user: 1 event
+    rows.append((4, base))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r.user: r for r in detect_bot_traffic(df, min_events=20).collect()}
+    assert out[1].is_bot and out[1].cv_milli == 0.0
+    assert out[2].is_bot and out[2].repeat_share > 0.9 and out[2].cv_milli > 100
+    assert not out[3].is_bot and out[3].cv_milli > 1000
+    assert not out[4].is_bot and out[4].cv_milli is None
+    assert out[4].n_events == 1 and out[4].mean_gap_ms is None
