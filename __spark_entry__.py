@@ -2448,7 +2448,9 @@ def q_ann_ivf_trained_topk(spark, sf_dir):
     tables = _tables(spark, sf_dir)
     q = _query_vec(spark, sf_dir)
     emb = tables["embeddings"].where(F.col("vec_id") != 0)
-    cents = SIM.train_kmeans_codebook(emb, k=16, iters=3)
+    cents = SIM.train_kmeans_codebook(
+        emb, k=16, iters=3, parallelism=spark.sparkContext.defaultParallelism
+    )
     assigned = SIM.assign_ivf_buckets(emb, cents)
     qsims = sorted(
         (
@@ -2544,9 +2546,14 @@ def q_asof_join(spark, sf_dir):
     """Most recent purchase strictly before each event, per user (as-of join)."""
     tables = _tables(spark, sf_dir)
     events = tables["events"]
-    purchases = events.where(F.col("event_type") == "purchase")
+    # project BOTH sides to the columns the result uses before the
+    # union-merge shuffle: asof_join packs every left column into a struct
+    # that rides the exchange, so unused payload (props, value, ...) would
+    # otherwise be shuffled just to be dropped (guide §2.3)
+    left = events.select("event_id", "user_id", "ts")
+    purchases = events.where(F.col("event_type") == "purchase").select("user_id", "ts")
     joined = asof_join(
-        events, purchases, on="user_id", left_time="ts", right_time="ts",
+        left, purchases, on="user_id", left_time="ts", right_time="ts",
         value_cols=[], strict=True,
     )
     return joined.select("event_id", "user_id", "ts", "ts_asof")
@@ -2727,7 +2734,10 @@ def q_semdedup(spark, sf_dir):
     never corpus², and the WHOLE train+assign+prune pipeline replays in
     the DuckDB oracle."""
     emb = _tables(spark, sf_dir)["embeddings"].where(F.col("vec_id") != 0)
-    return SIM.semdedup_prune(emb, k=16, iters=3, threshold=0.35)
+    return SIM.semdedup_prune(
+        emb, k=16, iters=3, threshold=0.35,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 def q_multimodal_frame_sample(spark, sf_dir):
@@ -3028,7 +3038,10 @@ def q_dedup_minhash_portable(spark, sf_dir):
     dedup_minhash_lsh, with a full DuckDB oracle (lexicographic min of md5
     hex per seed over the distinct unigram set)."""
     tables = _tables(spark, sf_dir)
-    return D.minhash_lsh_pairs_portable(tables["documents"], "text", "doc_id", num_hashes=16, bands=4)
+    return D.minhash_lsh_pairs_portable(
+        tables["documents"], "text", "doc_id", num_hashes=16, bands=4,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 def q_dedup_simhash_portable(spark, sf_dir):
@@ -3043,8 +3056,11 @@ def q_dedup_jaccard_portable(spark, sf_dir):
     verification stage of the dedup pipeline with a full DuckDB oracle."""
     tables = _tables(spark, sf_dir)
     docs = tables["documents"]
-    cands = D.minhash_lsh_pairs_portable(docs, "text", "doc_id", num_hashes=16, bands=4)
-    return D.ngram_jaccard_pairs(docs, cands, "text", "doc_id", n=3, threshold=0.5)
+    par = spark.sparkContext.defaultParallelism
+    cands = D.minhash_lsh_pairs_portable(
+        docs, "text", "doc_id", num_hashes=16, bands=4, parallelism=par
+    )
+    return D.ngram_jaccard_pairs(docs, cands, "text", "doc_id", n=3, threshold=0.5, parallelism=par)
 
 
 def q_dedup_pipeline_portable(spark, sf_dir):
@@ -3056,8 +3072,11 @@ def q_dedup_pipeline_portable(spark, sf_dir):
 
     tables = _tables(spark, sf_dir)
     docs = tables["documents"]
-    cands = D.minhash_lsh_pairs_portable(docs, "text", "doc_id", num_hashes=16, bands=4)
-    verified = D.ngram_jaccard_pairs(docs, cands, "text", "doc_id", n=3, threshold=0.5)
+    par = spark.sparkContext.defaultParallelism
+    cands = D.minhash_lsh_pairs_portable(
+        docs, "text", "doc_id", num_hashes=16, bands=4, parallelism=par
+    )
+    verified = D.ngram_jaccard_pairs(docs, cands, "text", "doc_id", n=3, threshold=0.5, parallelism=par)
     comps = connected_components(verified.select("id_a", "id_b"))
     return dedup_keep_representatives(docs.select("doc_id", "lang", "source"), comps, "doc_id")
 
@@ -6941,7 +6960,11 @@ def q_containment_blocked(spark, sf_dir):
     lost nothing."""
     from area_etl_spark.operators.dedup import containment_blocked
 
-    return containment_blocked(_tables(spark, sf_dir)["documents"], threshold=0.75)
+    return containment_blocked(
+        _tables(spark, sf_dir)["documents"],
+        threshold=0.75,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 def q_dedup_candidate_eval(spark, sf_dir):

@@ -40,20 +40,32 @@ def nb_train(
     ``class_stats``:  (label, n_docs, n_tokens) — the per-class priors and
     normalizers.  Two hash aggregates, both map-side combined; nothing is
     collected to the driver.
+
+    Both model tables are MATERIALIZED (``localCheckpoint``) — that is what
+    "train" means: ``nb_classify`` consumes each one twice (model join +
+    vocab count; priors + normalizers), and without materialization every
+    consumer re-runs the corpus featurize+explode from the source (4 scans
+    measured on the char-n-gram lang-ID path, where featurization is ~4×
+    the text).  The tokenized seed frame is materialized first so the two
+    aggregates share ONE featurize pass.  Model tables are
+    |vocab|·|classes|-bounded, so the checkpoint is small at any corpus
+    size; the transient tokenized frame trades one featurize pass for a
+    write+read of the token arrays (the §8 proxy shape).
     """
     base = docs.where(F.col(label_col).isNotNull()).select(
         F.col(label_col).alias("label"), normalize_tokens(F.col(text_col)).alias("_toks")
-    )
+    ).localCheckpoint(eager=True)
     token_counts = (
         base.select("label", F.explode("_toks").alias("token"))
         .where(F.col("token") != "")
         .groupBy("label", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
     class_stats = base.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.filter(F.col("_toks"), lambda t: t != ""))).alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=True)
     return token_counts, class_stats
 
 
@@ -145,16 +157,24 @@ def char_ngram_text(col: "F.Column | str", n: int = 3) -> "F.Column":
     Documents shorter than ``n`` chars become their whole string as one
     gram (empty text → the empty gram, which the NB token filter drops).
     Pure Column HOFs — no explode, no Python."""
+    from area_etl_spark.operators.dedup import bind_once
+
     raw = F.col(col) if isinstance(col, str) else col
-    c = F.regexp_replace(F.lower(F.coalesce(raw, F.lit(""))), r"\s+", "_")
-    grams = F.when(
-        F.length(c) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.length(c) - n + 1),
-            lambda i: c.substr(i, F.lit(n)),
+    # bind the normalized string once: the substr lambda would otherwise
+    # re-run the lower+regexp_replace per character position (bind_once)
+    return bind_once(
+        F.regexp_replace(F.lower(F.coalesce(raw, F.lit(""))), r"\s+", "_"),
+        lambda c: F.array_join(
+            F.when(
+                F.length(c) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(c) - n + 1),
+                    lambda i: c.substr(i, F.lit(n)),
+                ),
+            ).otherwise(F.array(c)),
+            " ",
         ),
-    ).otherwise(F.array(c))
-    return F.array_join(grams, " ")
+    )
 
 
 def _hash_grams(gram_text: "F.Column", hash_buckets: int) -> "F.Column":

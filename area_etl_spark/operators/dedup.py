@@ -61,15 +61,37 @@ def normalize_tokens(text_col: str | Column) -> Column:
     return F.split(F.trim(F.lower(c)), r"\s+")
 
 
+def bind_once(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE per row and hand the bound value to ``fn``.
+
+    A higher-order-function lambda that CAPTURES a computed expression
+    re-evaluates that expression per element — interpreted HOF evaluation
+    has no common-subexpression elimination, so e.g. a shingle transform
+    whose lambda slices ``split(trim(lower(text)))`` re-runs the full
+    tokenize once per shingle (measured 4.5× on the corpus scan).  Wrapping
+    the expression as the single element of an outer ``transform`` binds it
+    to a lambda VARIABLE: one evaluation, then every inner reference is a
+    cheap bound read.  Pure expression rewrite — values are identical.
+    """
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def shingles(tokens: Column, k: int = 3) -> Column:
-    """k-token shingles as strings: ['a b c', 'b c d', ...]. Empty if < k tokens."""
-    return F.when(
-        F.size(tokens) >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size(tokens) - k),
-            lambda i: F.array_join(F.slice(tokens, i + 1, k), " "),
-        ),
-    ).otherwise(F.array(F.array_join(tokens, " ")))
+    """k-token shingles as strings: ['a b c', 'b c d', ...]. Empty if < k tokens.
+
+    The token array is bound once per row (``bind_once``) so the slice
+    lambda never re-derives it per shingle position.
+    """
+    return bind_once(
+        tokens,
+        lambda t: F.when(
+            F.size(t) >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - k),
+                lambda i: F.array_join(F.slice(t, i + 1, k), " "),
+            ),
+        ).otherwise(F.array(F.array_join(t, " "))),
+    )
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -278,11 +300,19 @@ def minhash_lsh_pairs_portable(
     num_hashes: int = 16,
     bands: int = 4,
     n: int = 3,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via md5-based MinHash — the ENGINE-PORTABLE
     variant with a full SQL oracle.  ``n`` is the shingle width (tokens per
     gram); it must match whatever ground truth the candidates are scored
     against (``dedup_candidate_eval`` passes its own ``n`` through).
+
+    ``parallelism``: the md5 signature fold (num_hashes digests per shingle)
+    is by far the heaviest per-row stage and runs map-side, BEFORE the
+    groupBy exchange — when the input arrives in one unsplittable partition
+    it is single-threaded.  Pass the core count to spread it (one cheap
+    shuffle of the raw text); leave ``None`` at scale where the scan is
+    already wide (same contract as ``minhash_lsh_pairs``).
 
     ``minhash_lsh_pairs`` (the scale path) folds ``xxhash64`` signatures in
     one pass — fast, but no other engine reproduces Spark's seeded xxhash64,
@@ -298,6 +328,8 @@ def minhash_lsh_pairs_portable(
     (band_id, band_hash), distinct pairs — never all-pairs.
     """
     rows_per_band = num_hashes // bands
+    if parallelism:
+        df = df.repartition(parallelism, F.col(id_col))
     toks = F.array_distinct(shingles(normalize_tokens(text_col), n))
     exploded = df.select(F.col(id_col), F.explode(toks).alias("tok")).where(F.col("tok") != "")
     sigs = exploded.groupBy(id_col).agg(
@@ -429,13 +461,18 @@ def ngram_jaccard_pairs(
     |A∩B| / |A∪B| with array intersection — two broadcast-or-shuffle joins
     keyed by doc id, then a narrow similarity expression.  Returns pairs with
     jaccard >= threshold.
+
+    The shingle-set table is materialized once (``localCheckpoint``): both
+    join sides read it back instead of each re-running the tokenize→shingle
+    pass over the corpus (2 scans otherwise — same rationale as
+    ``containment_blocked``).
     """
     if parallelism:
         df = df.repartition(parallelism, F.col(id_col))
     sets_df = df.select(
         F.col(id_col),
         F.array_distinct(shingles(normalize_tokens(text_col), n)).alias("grams"),
-    )
+    ).localCheckpoint(eager=True)
     j = (
         candidates.join(sets_df.withColumnRenamed(id_col, "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
         .join(sets_df.withColumnRenamed(id_col, "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
@@ -449,14 +486,16 @@ def ngram_jaccard_pairs(
 def span_gram_keys(text_col: str | Column, n: int = 8) -> Column:
     """md5 keys of a document's n-token grams; empty array below n tokens
     (the short-doc guard class the r5 decontaminate fix established)."""
-    toks = normalize_tokens(text_col)
-    return F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, n), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    return bind_once(
+        normalize_tokens(text_col),
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.md5(F.array_join(F.slice(toks, i + 1, n), " ")),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def span_pairs(
@@ -719,13 +758,16 @@ def remove_duplicate_spans(
     order deterministic under any partitioning.
     """
     toks = normalize_tokens(F.coalesce(F.col(text_col), F.lit("")))
-    gram_arr = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, n), " ")),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    gram_arr = bind_once(
+        toks,
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.md5(F.array_join(F.slice(t, i + 1, n), " ")),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
     tok_pos = df.select(F.col(id_col), F.posexplode(toks).alias("p", "tok"))
     g = df.select(F.col(id_col), F.posexplode(gram_arr).alias("s", "gk"))
     owners = (
@@ -862,6 +904,7 @@ def containment_blocked(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.75,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Two-tier directed containment — the composed scale-safe form of
     :func:`containment_pairs` that docs/SCALE.md prescribes (VERDICT r9
@@ -889,11 +932,23 @@ def containment_blocked(
     engines, no cosmetic rounding).  ``threshold`` should be exactly
     binary-representable (0.75 default) so ⌈t·|S|⌉ is engine-portable.
     Emits both directions when both clear ``threshold``; a≠b always.
+
+    The gram-set table is MATERIALIZED once (``localCheckpoint``) and every
+    consumer (prefix build, document frequencies, probe postings, both
+    verify sides) reads it back: the five branches of this plan would
+    otherwise each re-run the tokenize→shingle→distinct pass over the full
+    corpus (5 scans, measured — the §8 "decide on a proxy you computed
+    once" shape).  ``parallelism`` spreads that single tokenize pass when
+    the input arrives in few partitions (one unsplittable file locally);
+    leave ``None`` at scale where the scan is already wide.
     """
-    sets_df = df.select(
+    base = df.select(F.col(id_col), F.col(text_col))
+    if parallelism:
+        base = base.repartition(parallelism, F.col(id_col))
+    sets_df = base.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(shingles(normalize_tokens(text_col), n)).alias("_grams"),
-    ).where(F.size("_grams") > 0)
+    ).where(F.size("_grams") > 0).localCheckpoint(eager=True)
     cand = _containment_prefix_candidates(sets_df, threshold)
     a_side = sets_df.select(
         F.col("_id").alias("_ida"),
@@ -1076,7 +1131,14 @@ def bcubed_eval(
         F.col(pred_col).cast("string").alias("_p"),
         F.col(true_col).cast("string").alias("_t"),
     ).where(F.col(pred_col).isNotNull() & F.col(true_col).isNotNull())
-    cells = base.groupBy("_p", "_t").agg(F.count(F.lit(1)).alias("_npt"))
+    # The contingency table feeds three consumers (cells + both marginals);
+    # materialize it once so the id→cluster scan (and its hashing) is not
+    # re-run per branch — cells are cluster-grain, far smaller than items.
+    cells = (
+        base.groupBy("_p", "_t")
+        .agg(F.count(F.lit(1)).alias("_npt"))
+        .localCheckpoint(eager=True)
+    )
     psz = cells.groupBy("_p").agg(F.sum("_npt").alias("_np"))
     tsz = cells.groupBy("_t").agg(F.sum("_npt").alias("_nt"))
     j = cells.join(psz, "_p").join(tsz, "_t")

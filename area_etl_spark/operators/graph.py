@@ -50,22 +50,20 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry a per-row changed flag (new label = least(old, nbr) < old)
+        # instead of re-joining new vs old labels afterwards — one join and
+        # one driver job fewer per iteration, identical convergence test
         new_labels = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
                 labels["node"],
                 F.least(labels["label"], F.coalesce(F.col("nbr_label"), labels["label"])).alias("label"),
+                (F.coalesce(F.col("nbr_label"), labels["label"]) < labels["label"]).alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     if changed != 0:

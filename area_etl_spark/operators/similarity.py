@@ -159,10 +159,23 @@ def assign_ivf_buckets(
     higher-order cosine folds are excluded from codegen CSE — staging keeps
     the K cosines single-evaluated (CollapseProject preserves the split for
     non-cheap expressions).
+
+    The row norm is staged ONCE the same way: ``cosine_similarity`` per
+    centroid would fold ‖v‖ K times per row (each an O(dim) aggregate);
+    binding it in its own projection makes the per-row cost K dots + one
+    norm.  Same doubles — the division still sees ``norm(v) · ‖c‖`` with
+    the identical operation order.
     """
-    sims = F.array(*[cosine_similarity(F.col(vec_col), cvec) for _, cvec in centroids])
+    normed = df.select(F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nv"))
+    sims = F.array(
+        *[
+            _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec]))
+            / (F.col("_nv") * F.lit(math.sqrt(sum(float(x) * float(x) for x in cvec))))
+            for _, cvec in centroids
+        ]
+    )
     cids = F.array(*[F.lit(cid) for cid, _ in centroids])
-    staged = df.select(F.col(id_col), F.col(vec_col), sims.alias("_sims"))
+    staged = normed.select(F.col(id_col), F.col(vec_col), sims.alias("_sims"))
     bucket = F.element_at(cids, F.array_position(F.col("_sims"), F.array_max("_sims")).cast("int"))
     return staged.select(F.col(id_col), F.col(vec_col), bucket.alias("ivf_bucket"))
 
@@ -181,6 +194,8 @@ def train_kmeans_codebook(
     iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    parallelism: int | None = None,
+    materialize: bool = True,
 ) -> list[tuple[int, list[float]]]:
     """Train an IVF codebook with Lloyd's k-means on DataFrame primitives.
 
@@ -201,7 +216,22 @@ def train_kmeans_codebook(
     replays the identical iterations in ``__spark_entry__``'s
     ``ann_ivf_trained_topk`` oracle).  A float ``avg`` here would tie the
     result to partial-aggregation order.
+
+    ``materialize``: the Lloyd loop reads its input ``iters``+1 times; by
+    default the (id, vec) projection is materialized once
+    (``localCheckpoint``) so each round reads the two columns back instead
+    of re-running the source scan/decode.  ``parallelism`` additionally
+    spreads that projection when the input arrives in few partitions (the
+    single-file local case); both are partition-invariant — the centroid
+    sums are exact fixed-point and commutative.  Pass
+    ``materialize=False`` when the caller already hands in a materialized
+    (id, vec) table (``semdedup_prune`` does).
     """
+    if materialize:
+        src = df.select(F.col(id_col), F.col(vec_col))
+        if parallelism:
+            src = src.repartition(parallelism, F.col(id_col))
+        df = src.localCheckpoint(eager=True)
     cents = [
         (r[0], [float(x) for x in r[1]])
         for r in df.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
@@ -210,6 +240,9 @@ def train_kmeans_codebook(
     quant = F.floor(F.col("x").cast("double") * F.lit(KMEANS_QUANT)).cast("long")
     for _ in range(iters):
         assigned = assign_ivf_buckets(df, cents, vec_col, id_col)
+        # collect the k·dim (bucket, dim, mean) rows directly — a second
+        # groupBy(bucket) shuffle to map-pack them first adds an exchange
+        # per round for zero information (the collect is bounded either way)
         means = (
             assigned.select("ivf_bucket", F.posexplode(F.col(vec_col)).alias("i", "x"))
             .groupBy("ivf_bucket", "i")
@@ -219,11 +252,11 @@ def train_kmeans_codebook(
                 "i",
                 (F.col("s").cast("double") / F.col("n") / F.lit(KMEANS_QUANT)).alias("m"),
             )
-            .groupBy("ivf_bucket")
-            .agg(F.map_from_arrays(F.collect_list("i"), F.collect_list("m")).alias("dims"))
             .collect()
         )
-        by_bucket = {r.ivf_bucket: r.dims for r in means}
+        by_bucket: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_bucket.setdefault(r.ivf_bucket, {})[r.i] = r.m
         cents = [
             (cid, [by_bucket[cid][i] for i in range(dim)] if cid in by_bucket else old)
             for cid, old in cents
@@ -316,13 +349,23 @@ def embedding_near_dup_pairs(
     if bits is None:
         n = approx_count if approx_count is not None else df.count()
         bits = max(8, math.ceil(math.log2(max(n, 1) / target_bucket_rows)) if n > target_bucket_rows else 8)
+    # ALL tables' signatures in one materialized pass: each self-join reads
+    # the bucketed table twice, so the bits·dim signature fold would
+    # otherwise re-run 2·num_tables times over the source (4 scans at the
+    # default L=2); one narrow (id, bucket…) localCheckpoint makes it one.
     ids_only = df.select(F.col(id_col), F.col(vec_col))
+    sigs = ids_only.select(
+        F.col(id_col),
+        *[
+            lsh_signature(F.col(vec_col), _hyperplanes(dim, bits, seed + 7919 * t)).alias(
+                f"_bkt{t}"
+            )
+            for t in range(num_tables)
+        ],
+    ).localCheckpoint(eager=True)
     cands: DataFrame | None = None
     for t in range(num_tables):
-        planes = _hyperplanes(dim, bits, seed + 7919 * t)
-        bucketed = ids_only.select(
-            F.col(id_col), lsh_signature(F.col(vec_col), planes).alias("bucket")
-        )
+        bucketed = sigs.select(F.col(id_col), F.col(f"_bkt{t}").alias("bucket"))
         a = bucketed.alias("a")
         b = bucketed.alias("b")
         p = a.join(
@@ -332,9 +375,16 @@ def embedding_near_dup_pairs(
         cands = p if cands is None else cands.unionByName(p)
     cands = cands.distinct()
 
-    ea = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    eb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    sim = F.round(_dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))), 6)
+    # ‖v‖ computed once per ROW on each side of the verify join — a pair
+    # then folds one dot instead of dot + two norms; same doubles (the
+    # division still sees norm(a)·norm(b) in the same order)
+    ea = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), _norm(F.col(vec_col)).alias("_na")
+    )
+    eb = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), _norm(F.col(vec_col)).alias("_nb")
+    )
+    sim = F.round(_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
     return (
         cands.join(ea, "id_a")
         .join(eb, "id_b")
@@ -835,6 +885,7 @@ def semdedup_prune(
     k: int = 16,
     iters: int = 3,
     threshold: float = 0.9,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): SEMANTIC deduplication — k-means
     cluster the embedding space, then prune cosine-near-duplicates WITHIN
@@ -859,17 +910,39 @@ def semdedup_prune(
     assign + prune) replays in a DuckDB oracle.  Returns one row per
     input vector: (id, cluster, keep, dup_of) with ``dup_of`` the
     minimum shadowing id (NULL when kept).
+
+    Plan shape (this round): the (id, vec) projection is materialized ONCE
+    and feeds the trainer, the assignment pass, and the final join — the
+    source scan/decode would otherwise re-run iters+3 times.  The trained
+    ASSIGNMENT is materialized too (its k-cosine argmax is the heaviest
+    narrow stage and has three consumers).  ‖v‖ is computed per ROW before
+    the within-cluster join, so each candidate pair folds one dot product
+    instead of a dot plus two norms — identical doubles, the division
+    still sees ``norm(a)·norm(b)``.  ``parallelism`` spreads the single
+    materialize pass in the few-partition local case.
     """
-    cents = train_kmeans_codebook(df, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
-    assigned = assign_ivf_buckets(df, cents, vec_col, id_col)
+    src = df.select(F.col(id_col), F.col(vec_col))
+    if parallelism:
+        src = src.repartition(parallelism, F.col(id_col))
+    src = src.localCheckpoint(eager=True)
+    cents = train_kmeans_codebook(
+        src, k=k, iters=iters, vec_col=vec_col, id_col=id_col, materialize=False
+    )
+    assigned = assign_ivf_buckets(src, cents, vec_col, id_col).localCheckpoint(eager=True)
     a = assigned.select(
-        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"), F.col("ivf_bucket").alias("_b")
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).alias("_va"),
+        F.col("ivf_bucket").alias("_b"),
+        _norm(F.col(vec_col)).alias("_na"),
     )
     b = assigned.select(
-        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"), F.col("ivf_bucket").alias("_b")
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).alias("_vb"),
+        F.col("ivf_bucket").alias("_b"),
+        _norm(F.col(vec_col)).alias("_nb"),
     )
     cos = F.round(
-        _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))), 6
+        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6
     )
     dups = (
         a.join(b, "_b")

@@ -663,21 +663,38 @@ def bigram_lm_score(
     unlike a collect-the-model design, the LM lives in a DataFrame, so a
     100 TB corpus with a 100 M-row bigram vocab still works.
     """
-    toks = normalize_tokens(F.col(text_col))
-    bg = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.struct(
-                F.element_at(toks, i + 1).alias("w1"),
-                F.element_at(toks, i + 2).alias("w2"),
+    from area_etl_spark.operators.dedup import bind_once
+
+    bg = bind_once(
+        normalize_tokens(F.col(text_col)),
+        lambda toks: F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.struct(
+                    F.element_at(toks, i + 1).alias("w1"),
+                    F.element_at(toks, i + 2).alias("w2"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    pairs = df.select(F.col(id_col), F.explode(bg).alias("_bg")).select(
-        F.col(id_col), F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>")),
     )
-    model = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # the bigram relation feeds the model build AND the scoring join, and
+    # the model feeds the prefix marginal AND the join — materialize both
+    # once (localCheckpoint) or the corpus tokenize+explode re-runs three
+    # times (measured; per-branch pruning defeats ReuseExchange).  At scale
+    # this trades one tokenize pass for a write+read of the bigram relation
+    # — the §8 "compute the proxy once" shape; the model table is
+    # vocab-bounded either way.
+    pairs = (
+        df.select(F.col(id_col), F.explode(bg).alias("_bg"))
+        .select(F.col(id_col), F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+        .localCheckpoint(eager=True)
+    )
+    model = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
     prefix = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
     scored = (
         pairs.join(model, ["w1", "w2"])
@@ -1325,21 +1342,33 @@ def kneser_ney_bigram(
     deterministic cut.  Σ_{w2} P_KN(w2|w1) = 1 exactly (the interpolation
     identity), pinned by the unit test.
     """
-    toks = normalize_tokens(F.col(text_col))
-    bg = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.struct(
-                F.element_at(toks, i + 1).alias("w1"),
-                F.element_at(toks, i + 2).alias("w2"),
+    from area_etl_spark.operators.dedup import bind_once
+
+    bg = bind_once(
+        normalize_tokens(F.col(text_col)),
+        lambda toks: F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.struct(
+                    F.element_at(toks, i + 1).alias("w1"),
+                    F.element_at(toks, i + 2).alias("w2"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>")),
+    )
     pairs = df.select(F.explode(bg).alias("_bg")).select(
         F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")
     )
-    m = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # the bigram-type relation has FOUR consumers (join + c1/n1f, n1b, nt
+    # marginals); materialize it once or each branch re-runs the corpus
+    # tokenize+explode+count (4 scans, measured — same shape as
+    # kn_perplexity).  m is vocabulary-bounded.
+    m = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
     left = m.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
     )
@@ -1390,23 +1419,33 @@ def novelty_score(
     NULL novelty.  Two shuffles on the shingle hash — the dedup-family
     scale shape.
     """
-    toks = normalize_tokens(F.col(text_col))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.md5(
-                F.concat_ws(" ", F.slice(toks, i + 1, n))
+    from area_etl_spark.operators.dedup import bind_once
+
+    grams = bind_once(
+        normalize_tokens(F.col(text_col)),
+        lambda toks: F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(toks, i + 1, n))
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>")),
+    )
     pairs = (
         df.select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g"))
         .distinct()
     )
-    first_owner = pairs.groupBy("_g").agg(F.min("_id").alias("_first"))
+    # first owner as a window-min over the gram hash: the former
+    # groupBy(_g) + join-back consumed `pairs` twice (two tokenize+explode
+    # passes) and shuffled the gram relation twice more; the window keeps
+    # one consumer and one exchange on _g — values identical (min per gram)
+    from pyspark.sql import Window
+
+    w_g = Window.partitionBy("_g")
     per_doc = (
-        pairs.join(first_owner, "_g")
+        pairs.withColumn("_first", F.min("_id").over(w_g))
         .groupBy("_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -1639,27 +1678,45 @@ def kn_perplexity(
     bigram: (doc_id, n_bigrams, n_unseen, avg_logprob, perplexity) where
     perplexity = exp(−avg_logprob).
     """
+    from area_etl_spark.operators.dedup import bind_once
+
     toks_t = normalize_tokens(F.col(text_col))
 
     def _bigrams(df: DataFrame, with_pos: bool) -> DataFrame:
-        bg = F.when(
-            F.size(toks_t) >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks_t) - 2),
-                lambda i: F.struct(
-                    i.alias("pos"),
-                    F.element_at(toks_t, i + 1).alias("w1"),
-                    F.element_at(toks_t, i + 2).alias("w2"),
+        # bind the token array once per row: the position lambda reads two
+        # elements per bigram, and a captured (unbound) tokenize expression
+        # would re-run split+trim+lower TWICE per position (guide §1.2 —
+        # per-task work; see dedup.bind_once)
+        bg = bind_once(
+            toks_t,
+            lambda tk: F.when(
+                F.size(tk) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(tk) - 2),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.element_at(tk, i + 1).alias("w1"),
+                        F.element_at(tk, i + 2).alias("w2"),
+                    ),
                 ),
-            ),
-        ).otherwise(F.array().cast("array<struct<pos:int,w1:string,w2:string>>"))
+            ).otherwise(F.array().cast("array<struct<pos:int,w1:string,w2:string>>")),
+        )
         cols = [F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2")]
         if with_pos:
             cols = [F.col(id_col), F.col("_bg.pos").alias("pos"), *cols]
         return df.select(F.col(id_col), F.explode(bg).alias("_bg")).select(*cols)
 
-    m = _bigrams(train_df, False).groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12")
+    # The bigram table feeds FOUR consumers (the join plus the w1/w2/total
+    # marginals); without a materialization each branch re-runs the whole
+    # tokenize→explode→count pass over the training corpus (4 scans,
+    # measured — the column pruning differs per branch so ReuseExchange
+    # never fires).  One localCheckpoint makes the model vocabulary-sized
+    # state computed exactly once, the §8 "decide on the small table" shape.
+    m = (
+        _bigrams(train_df, False)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
     )
     left = m.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")

@@ -89,7 +89,10 @@ def _bench_semdedup(spark, sf_dir):
     emb = load_tables(spark, sf_dir)["embeddings"].where(F.col("vec_id") != 0)
     n = emb.count()
     k = max(16, round(n / 375))
-    return SIM.semdedup_prune(emb, k=k, iters=3, threshold=0.35)
+    return SIM.semdedup_prune(
+        emb, k=k, iters=3, threshold=0.35,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 BENCH_OVERRIDES = {"semdedup": _bench_semdedup}

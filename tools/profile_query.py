@@ -1,0 +1,68 @@
+"""Per-query isolation profiler for the optimization rounds.
+
+Usage::
+
+    python tools/profile_query.py [--plans DIR_SUFFIX] query [query ...]
+
+For each named query: time N noop-sink materializations (guide §1.4) and
+print each run + the best, and (with ``--plans r14/<suffix>``) write the
+``.explain("formatted")`` output to ``plans/<dir>/<query>_<suffix>.txt`` so
+plan-shape claims in OPTIMIZATION notes are checkable without Spark.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from area_etl_spark.session import get_spark, load_tables  # noqa: E402
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    plan_suffix = None
+    reps = 3
+    if args and args[0] == "--plans":
+        plan_suffix = args[1]
+        args = args[2:]
+    if args and args[0] == "--reps":
+        reps = int(args[1])
+        args = args[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("profile")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).write.format("noop").mode("overwrite").save()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name in args:
+        fn = qs[name]
+        times = []
+        for i in range(reps):
+            spark.sparkContext.setJobDescription(f"{name} rep{i}")
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            times.append(round(time.perf_counter() - t0, 3))
+        spark.sparkContext.setJobDescription(None)
+        print(f"PROFILE {name} runs={times} best={min(times)}", flush=True)
+        if plan_suffix:
+            dirpath, _, suffix = plan_suffix.rpartition("/")
+            outdir = os.path.join(repo, "plans", dirpath or ".")
+            os.makedirs(outdir, exist_ok=True)
+            plan = qs[name](spark, sf_dir)._jdf.queryExecution().explainString(  # noqa: SLF001
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")  # noqa: SLF001
+            )
+            with open(os.path.join(outdir, f"{name}_{suffix}.txt"), "w") as fh:
+                fh.write(plan)
+
+
+if __name__ == "__main__":
+    main()
