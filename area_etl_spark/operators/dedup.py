@@ -1150,20 +1150,38 @@ def bcubed_eval(
         (npt * npt / F.col("_np").cast("double")).alias("_tp"),
         (npt * npt / F.col("_nt").cast("double")).alias("_tr"),
     )
-    folded = terms.agg(
-        F.sum("_npt").alias("_n"),
-        F.count_distinct("_p").alias("_kp"),
-        F.count_distinct("_t").alias("_kt"),
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("_p", "_t", F.col("_tp").alias("_v")))),
-            F.lit(0.0),
-            lambda acc, s: acc + s.getField("_v"),
-        ).alias("_sp"),
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct("_p", "_t", F.col("_tr").alias("_v")))),
-            F.lit(0.0),
-            lambda acc, s: acc + s.getField("_v"),
-        ).alias("_sr"),
+    # ONE sorted collect feeds BOTH precision and recall sums (the former
+    # two collect_list+array_sort passes doubled the heaviest single-task
+    # step), and the cluster counts come from the already-grouped marginal
+    # tables instead of count_distinct — two distinct aggregates alongside
+    # collect_list forced an Expand that tripled the agg input.  (_p,_t)
+    # is unique per cell, so the sort order — and therefore every double
+    # addition order — is exactly the one the oracle replays.
+    sorted_fold = F.aggregate(
+        F.array_sort(
+            F.collect_list(
+                F.struct("_p", "_t", F.col("_tp").alias("_vp"), F.col("_tr").alias("_vr"))
+            )
+        ),
+        F.struct(F.lit(0.0).alias("sp"), F.lit(0.0).alias("sr")),
+        lambda acc, s: F.struct(
+            (acc.getField("sp") + s.getField("_vp")).alias("sp"),
+            (acc.getField("sr") + s.getField("_vr")).alias("sr"),
+        ),
+    )
+    kp = psz.agg(F.count(F.lit(1)).alias("_kp"))
+    kt = tsz.agg(F.count(F.lit(1)).alias("_kt"))
+    folded = (
+        terms.agg(F.sum("_npt").alias("_n"), sorted_fold.alias("_s"))
+        .crossJoin(F.broadcast(kp))
+        .crossJoin(F.broadcast(kt))
+        .select(
+            "_n",
+            "_kp",
+            "_kt",
+            F.col("_s.sp").alias("_sp"),
+            F.col("_s.sr").alias("_sr"),
+        )
     )
     nd = F.col("_n").cast("double")
     prec = F.when(F.col("_n") > 0, F.col("_sp") / nd)

@@ -15,7 +15,37 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from area_etl_spark.operators.dedup import normalize_tokens
+from area_etl_spark.operators.dedup import bind_once, normalize_tokens
+
+
+def _doc_query_tokens(
+    docs: DataFrame, wanted: list[str], text_col: str, id_col: str
+) -> DataFrame:
+    """(id, dl, qt) in ONE narrow corpus pass, materialized.
+
+    ``dl`` is the document's nonempty-token count; ``qt`` the query-term
+    occurrences (with multiplicity).  The explode-then-filter form the
+    retrieval scorers used re-ran the corpus tokenize once per consumer
+    (doc lengths, collection stats, per-term df/cf, per-doc tf — 4 scans
+    measured) and shuffled EVERY token when only the ≤|q| matching ones
+    feed the score.  Exploding ``qt`` afterwards yields exactly the rows
+    ``explode(tokens).where(isin(wanted))`` produced, and ``dl`` counts
+    the same nonempty tokens the old per-doc groupBy counted, so every
+    downstream aggregate sees identical rows.  Docs with zero tokens are
+    dropped (they never had a doclen row).
+    """
+    wl = F.array(*[F.lit(t) for t in wanted])
+    staged = docs.select(
+        F.col(id_col),
+        bind_once(
+            normalize_tokens(F.col(text_col)),
+            lambda tk: F.struct(
+                F.size(F.filter(tk, lambda t: t != "")).alias("dl"),
+                F.filter(tk, lambda t: F.array_contains(wl, t)).alias("qt"),
+            ),
+        ).alias("_s"),
+    ).select(F.col(id_col), F.col("_s.dl").alias("dl"), F.col("_s.qt").alias("qt"))
+    return staged.where(F.col("dl") > 0).localCheckpoint(eager=True)
 
 
 def inverted_index(
@@ -115,16 +145,15 @@ def bm25_search(
     aggregate's input), so the wide stages only ever see matching rows.
     """
     wanted = [t.lower() for t in terms]
-    toks = docs.select(
-        F.col(id_col), F.explode(normalize_tokens(F.col(text_col))).alias("term")
-    ).where(F.col("term") != "")
-    # per-doc length over ALL tokens (must not be filtered by the query terms)
-    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # one narrow corpus pass for lengths + query-term occurrences — see
+    # _doc_query_tokens (the old shape re-tokenized the corpus 4×)
+    base = _doc_query_tokens(docs, wanted, text_col, id_col)
+    doclen = base.select(F.col(id_col), F.col("dl"))
     stats = doclen.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     tf = (
-        toks.where(F.col("term").isin(wanted))
+        base.select(F.col(id_col), F.explode("qt").alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -454,13 +483,13 @@ def query_likelihood_dirichlet(
     shuffles are the token aggregate and the per-doc join.
     """
     wanted = sorted({t.lower() for t in terms})
-    toks = docs.select(
-        F.col(id_col), F.explode(normalize_tokens(F.col(text_col))).alias("term")
-    ).where(F.col("term") != "")
-    doclen = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # one narrow corpus pass for lengths + query-term occurrences — see
+    # _doc_query_tokens (the old shape re-tokenized the corpus 4×)
+    base = _doc_query_tokens(docs, wanted, text_col, id_col)
+    doclen = base.select(F.col(id_col), F.col("dl"))
     total = doclen.agg(F.sum("dl").alias("tt"))
     cf = (
-        toks.where(F.col("term").isin(wanted))
+        base.select(F.explode("qt").alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cf"))
     )
@@ -483,7 +512,7 @@ def query_likelihood_dirichlet(
         ).alias("c0"),
     )
     tf = (
-        toks.where(F.col("term").isin(wanted))
+        base.select(F.col(id_col), F.explode("qt").alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

@@ -42,6 +42,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _lit_array(data) -> Column:
+    """A (possibly nested) array<…<double>> literal in ONE parse call.
+
+    ``F.array(*[F.lit(float(x)) for x in vec])`` costs one py4j round trip
+    per element — a k×dim codebook is ~1k calls, ≈1 s of pure driver time
+    PER k-means round (measured: the Lloyd loop spent more wall clock
+    building centroid literals than running jobs).  Rendering the values
+    into a single SQL expression string moves the whole conversion into
+    one JVM parse.  Exactness: ``repr(float)`` is the shortest decimal
+    that round-trips the exact IEEE-754 double, and the ``D`` suffix makes
+    Spark's parser read it as DoubleType (not DECIMAL), so the parsed
+    literal is bit-identical to ``F.lit(float(x))``.
+    """
+
+    def render(v) -> str:
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(render(u) for u in v) + ")"
+        f = float(v)
+        if f != f or f in (float("inf"), float("-inf")):
+            raise ValueError(f"non-finite literal {v!r} cannot be rendered")
+        return f"{f!r}D"
+
+    return F.expr(render(data))
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -55,8 +80,9 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_similarity(vec_col: Column, query: list[float]) -> Column:
-    """cos(v, q) as a Column; query folded in as a literal array."""
-    q = F.array(*[F.lit(float(x)) for x in query])
+    """cos(v, q) as a Column; query folded in as a literal array
+    (``_lit_array`` — one parse call, not one py4j call per dim)."""
+    q = _lit_array(query)
     qn = math.sqrt(sum(float(x) * float(x) for x in query))
     return _dot(vec_col, q) / (_norm(vec_col) * F.lit(qn))
 
@@ -89,15 +115,26 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane sign signature as an int bucket id."""
-    bits = []
-    for j, p in enumerate(planes):
-        d = _dot(vec_col, F.array(*[F.lit(x) for x in p]))
-        bits.append(F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("int")
+    """Random-hyperplane sign signature as an int bucket id.
+
+    The plane matrix is ONE nested literal and the bit sum ONE fold —
+    the unrolled form built bits·dim literal nodes per table (hundreds of
+    py4j calls each).  The fold adds the identical power-of-two terms in
+    the identical j order (integers — exact), so bucket ids are unchanged.
+    """
+    pm = _lit_array(planes)
+    weights = F.expr(
+        "array(" + ",".join(str(1 << j) + "L" for j in range(len(planes))) + ")"
+    )
+    return F.aggregate(
+        F.zip_with(
+            pm,
+            weights,
+            lambda p, w: F.when(_dot(vec_col, p) >= 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + b,
+    ).cast("int")
 
 
 def lsh_ann_topk(
@@ -165,14 +202,22 @@ def assign_ivf_buckets(
     binding it in its own projection makes the per-row cost K dots + one
     norm.  Same doubles — the division still sees ``norm(v) · ‖c‖`` with
     the identical operation order.
+
+    The codebook travels as ONE nested array literal (``_lit_array``) and
+    the K cosines come from a ``zip_with`` over it — constant plan size
+    AND constant driver-side build cost per call (the unrolled K-column
+    form re-built ~k·dim literal nodes every Lloyd round, ≈1 s/round of
+    pure py4j; the pq_encode lesson applied to assignment).  Element
+    order and per-element arithmetic are unchanged, so buckets and
+    cosines are bit-identical.
     """
+    cb = _lit_array([cvec for _, cvec in centroids])
+    qns = _lit_array(
+        [math.sqrt(sum(float(x) * float(x) for x in cvec)) for _, cvec in centroids]
+    )
     normed = df.select(F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_nv"))
-    sims = F.array(
-        *[
-            _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in cvec]))
-            / (F.col("_nv") * F.lit(math.sqrt(sum(float(x) * float(x) for x in cvec))))
-            for _, cvec in centroids
-        ]
+    sims = F.zip_with(
+        cb, qns, lambda c, qn: _dot(F.col(vec_col), c) / (F.col("_nv") * qn)
     )
     cids = F.array(*[F.lit(cid) for cid, _ in centroids])
     staged = normed.select(F.col(id_col), F.col(vec_col), sims.alias("_sims"))
@@ -443,12 +488,8 @@ def pq_encode(
     first-position).  Same 10-row output, ~20× less wall clock end-to-end.
     """
     sub = len(codebooks[0][0][1])
-    cb = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(x)) for x in cvec]) for _, cvec in book])
-            for book in codebooks
-        ]
-    )
+    # one parse call for the whole M×ks×sub codebook (see _lit_array)
+    cb = _lit_array([[cvec for _, cvec in book] for book in codebooks])
     v = F.col(vec_col)
 
     def dist(m: Column, c: Column) -> Column:
@@ -513,9 +554,7 @@ def pq_adc_topk(
     encoded = pq_encode(df, books, vec_col, id_col)
     score = None
     for m, tab in enumerate(tables):
-        term = F.element_at(
-            F.array(*[F.lit(float(t)) for t in tab]), F.col(f"code_{m}") + 1
-        )
+        term = F.element_at(_lit_array(tab), F.col(f"code_{m}") + 1)
         score = term if score is None else score + term
     adc = encoded.select(F.col(id_col), F.round(score, 6).alias("adc_score"))
     if not refine:
@@ -721,12 +760,14 @@ def jl_project(
     """
     signs = jl_signs(out_dim, in_dim)
     v = F.col(vec_col)
+    # each sign row is one parsed literal (see _lit_array — integer twin
+    # inline here): the unrolled form cost out_dim·in_dim py4j calls
     sums = F.array(
         *[
             F.aggregate(
                 F.zip_with(
                     v,
-                    F.array(*[F.lit(s) for s in signs[k]]),
+                    F.expr("array(" + ",".join(f"{int(s)}L" for s in signs[k]) + ")"),
                     lambda a, b: a.cast("long") * b,
                 ),
                 F.lit(0).cast("long"),
