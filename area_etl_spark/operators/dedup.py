@@ -1169,6 +1169,8 @@ def bcubed_eval(
             (acc.getField("sr") + s.getField("_vr")).alias("sr"),
         ),
     )
+    # 1-row cluster-count attaches are the bounded-side broadcast idiom
+    # (build side is a keyless aggregate — O(1) rows at any scale).
     kp = psz.agg(F.count(F.lit(1)).alias("_kp"))
     kt = tsz.agg(F.count(F.lit(1)).alias("_kt"))
     folded = (

@@ -1304,7 +1304,15 @@ def local_clustering_coefficient(
     nodes from the wedge join FIRST (their Σ deg² term is the quadratic
     hazard — the adamic_adar posture); dropped hubs still appear in the
     output with NULL coefficient, an explicit "not computed", never a
-    silent zero.  Ratio is exact-integer 2·tri vs deg·(deg−1), ONE float
+    silent zero.  CAVEAT: the "never a silent zero" guarantee holds for
+    the dropped hubs themselves, not for their neighbors — a non-hub node
+    adjacent to a dropped hub keeps its FULL degree in the denominator
+    while triangles through the hub are not counted, so its coefficient
+    is a LOWER BOUND (exact when none of its triangles pass through a
+    dropped hub).  Size ``max_degree`` so capped nodes are genuine
+    super-hubs (boilerplate/spam), where neighbor triangles through the
+    hub are noise by construction; pass ``None`` for the exact tier.
+    Ratio is exact-integer 2·tri vs deg·(deg−1), ONE float
     division, round 6.  Degree-1 nodes (no wedge) emit 0.0.
 
     Returns (node, degree, triangles, clustering).

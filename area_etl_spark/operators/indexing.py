@@ -581,8 +581,10 @@ def aggregate_anchor_text(
     from pyspark.sql import Window
 
     t = F.col(target_col)
+    # NULL rel means followed: coalesce the flag to false so a NULL is not
+    # silently counted as nofollow (the ~NULL → otherwise(0) trap).
     follow = (
-        F.when(~F.col(nofollow_col), 1).otherwise(0)
+        F.when(F.coalesce(F.col(nofollow_col), F.lit(False)), 0).otherwise(1)
         if nofollow_col is not None
         else F.lit(1)
     )
@@ -597,8 +599,11 @@ def aggregate_anchor_text(
     srcs = links.groupBy(t.alias("target")).agg(
         F.countDistinct(F.col(src_col)).alias("distinct_sources")
     )
+    # asc_nulls_last pins the tie-break portably: Spark's ASC sorts NULLs
+    # first, DuckDB's ASC defaults to NULLS LAST — a NULL-anchor group tying
+    # for the max count would otherwise win on Spark only.
     w = Window.partitionBy("target").orderBy(
-        F.col("_cnt").desc(), F.col("_anchor").asc()
+        F.col("_cnt").desc(), F.col("_anchor").asc_nulls_last()
     )
     rolled = (
         pair.withColumn("_rn", F.row_number().over(w))

@@ -101,10 +101,15 @@ def _fs_em_python(
                     A[j] += c * wq
                     B[j] += c * (_WSCALE - wq)
         # degenerate masses freeze their side (W or V can only reach 0
-        # when every responsibility quantized to that boundary)
-        m = [A[j] / W if W > 0 else m[j] for j in range(n_fields)]
-        u = [B[j] / V if V > 0 else u[j] for j in range(n_fields)]
-        p = W / (N * float(_WSCALE)) if N > 0 else p
+        # when every responsibility quantized to that boundary).  Round the
+        # integer operands to double BEFORE the one IEEE division — the SQL
+        # renderer computes CAST(A AS DOUBLE)/CAST(W AS DOUBLE); Python
+        # big-int true division is the correctly-rounded exact ratio, which
+        # can differ by 1 ulp once a sum exceeds 2^53 (~9.2M pairs at the
+        # 1e-9 quantization).
+        m = [float(A[j]) / float(W) if W > 0 else m[j] for j in range(n_fields)]
+        u = [float(B[j]) / float(V) if V > 0 else u[j] for j in range(n_fields)]
+        p = float(W) / (float(N) * float(_WSCALE)) if N > 0 else p
     return m, u, p
 
 

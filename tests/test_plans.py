@@ -583,10 +583,19 @@ def test_bcubed_eval_no_pair_join(tables):
         F.md5(F.col("text")).alias("gold"),
     )
     plan = plan_str(bcubed_eval(d, "doc_id", "pred", "gold"))
-    # contingency-table form: hash aggregates + equi-joins only — the
-    # item×item pair join (cartesian / nested-loop on ids) must not appear
+    # contingency-table form: the item×item pair join must not appear — no
+    # CartesianProduct, and no shuffle join at item grain (cells/marginals
+    # broadcast at this scale).  The r14 restructure attaches the two 1-row
+    # cluster-count aggregates via the bounded-side broadcast idiom, which
+    # plans as BroadcastNestedLoopJoin with an O(1) build side — allowed,
+    # same as cooccurrence's 1-row N aggregate.
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    # every nested-loop node must be one of the two scalar attaches: their
+    # build sides are keyless aggregates, so at most 2 may appear (the
+    # formatted plan prints each node twice — tree line + detail section)
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
 
 
 def test_disproportionality_single_scan_shape(tables):
