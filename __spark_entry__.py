@@ -988,7 +988,8 @@ def q_bootstrap_ci(spark, sf_dir):
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     return poisson_bootstrap_mean_ci(
-        ev, ["event_type"], "event_id", "cents", n_replicates=50
+        ev, ["event_type"], "event_id", "cents", n_replicates=50,
+        parallelism=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -4812,16 +4813,28 @@ def q_cf_checksum_scan(spark, sf_dir):
         F.element_at(letters, (k % 26 + 1).cast("int")),
         F.lpad((k % 1000).cast("string"), 3, "0"),
     )
-    true_idx = codice_fiscale_check_index(cf15)
+    # STAGED projections: cf15 → check index → cf each land in their own
+    # select, so every downstream reference reads a bound column.  The
+    # single-expression form inlined the ~30-node cf15 tree into each of
+    # the check fold's 15 terms and then inlined THAT whole tree again
+    # into the validity fold and the redactor — a multiplicative
+    # expression blowup measured at 13.1 s for this scan; staged it is
+    # 1.5 s with bit-identical values (guide §1.2 per-task work).
+    s1 = c.select("c_custkey", cf15.alias("_cf15"))
+    s2 = s1.select(
+        "c_custkey", "_cf15",
+        codice_fiscale_check_index(F.col("_cf15")).alias("_idx"),
+    )
     claimed = F.when(
-        k % 2 == 0, F.element_at(letters, (true_idx + 1).cast("int"))
-    ).otherwise(F.element_at(letters, ((true_idx + 7) % 26 + 1).cast("int")))
-    cf = F.concat(cf15, claimed)
-    text = F.concat(F.lit("cf "), cf, F.lit(" ok"))
-    return c.select(
+        F.col("c_custkey") % 2 == 0,
+        F.element_at(letters, (F.col("_idx") + 1).cast("int")),
+    ).otherwise(F.element_at(letters, ((F.col("_idx") + 7) % 26 + 1).cast("int")))
+    s3 = s2.select("c_custkey", F.concat(F.col("_cf15"), claimed).alias("cf"))
+    text = F.concat(F.lit("cf "), F.col("cf"), F.lit(" ok"))
+    return s3.select(
         "c_custkey",
-        cf.alias("cf"),
-        codice_fiscale_valid(cf).alias("cf_ok"),
+        "cf",
+        codice_fiscale_valid(F.col("cf")).alias("cf_ok"),
         redact_codici_fiscali(text).alias("redacted"),
     )
 
@@ -6026,7 +6039,8 @@ def q_randomization_test(spark, sf_dir):
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
     return approx_randomization_test(
-        o, "o_orderkey", "o_orderpriority", "cents", "1-URGENT", "2-HIGH", n_perm=199
+        o, "o_orderkey", "o_orderpriority", "cents", "1-URGENT", "2-HIGH",
+        n_perm=199, parallelism=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -6689,11 +6703,15 @@ def q_luhn_card_scan(spark, sf_dir):
 
     o = _tables(spark, sf_dir)["orders"]
     digits = F.lpad(F.col("o_orderkey").cast("string"), 16, "0")
-    text = F.concat(F.lit("ref "), digits, F.lit(" ok"))
-    return o.select(
+    # stage the synthesized card string so the Luhn fold and the redactor
+    # reference a bound column, not the lpad expression (the cf-scan
+    # staging lesson)
+    staged = o.select("o_orderkey", digits.alias("card_digits"))
+    text = F.concat(F.lit("ref "), F.col("card_digits"), F.lit(" ok"))
+    return staged.select(
         "o_orderkey",
-        digits.alias("card_digits"),
-        luhn_checksum_valid(digits).alias("luhn_ok"),
+        "card_digits",
+        luhn_checksum_valid(F.col("card_digits")).alias("luhn_ok"),
         redact_card_numbers(text).alias("redacted"),
     )
 

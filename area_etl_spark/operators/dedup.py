@@ -276,6 +276,11 @@ def minhash_lsh_pairs(
             .where(F.col("_rk") <= max_bucket)
             .drop("_rk")
         )
+    # materialize the banded table ONCE: the self-join's two sides otherwise
+    # each re-run the signature fold (+ the guard window) — the broadcast
+    # side's exchange is not reused against the stream side's (measured: two
+    # full fold+window subtrees in the physical plan)
+    banded = banded.localCheckpoint(eager=True)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -351,7 +356,10 @@ def minhash_lsh_pairs_portable(
     )
     banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bd")).select(
         id_col, F.col("bd.band_id").alias("band_id"), F.col("bd.band_hash").alias("band_hash")
-    )
+    ).localCheckpoint(eager=True)
+    # materialized once: both self-join sides read the banded table back
+    # instead of each re-running the md5 signature aggregate (the heaviest
+    # stage of the portable path — 16 digests per shingle)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

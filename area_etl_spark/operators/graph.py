@@ -27,6 +27,29 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct undirected (a, b) pairs — BOTH directions of every edge —
+    from ONE pass over ``edges`` (explode of a 2-struct array).
+
+    The union-of-two-selects form evaluates the ``edges`` subtree twice;
+    when the caller hands in an unmaterialized upstream plan (a projection
+    of a join, a candidate generator) that doubles the whole upstream
+    cost.  Self-loops dropped, duplicates collapsed — identical output to
+    the union form for any input."""
+    both = F.explode(
+        F.array(
+            F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+            F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+        )
+    )
+    return (
+        edges.select(both.alias("_e"))
+        .select(F.col("_e.a").alias("a"), F.col("_e.b").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -34,10 +57,25 @@ def connected_components(
     max_iter: int = 20,
 ) -> DataFrame:
     """(node, label) for every node in ``pairs``; label = min node id of its
-    component.  Deterministic for any input order."""
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=True)
+    component.  Deterministic for any input order.
+
+    Both edge directions come out of ONE pass over ``pairs`` (explode of a
+    2-struct array) — the union-of-two-selects form evaluates the ``pairs``
+    subtree twice, which doubles the whole upstream pipeline when the
+    caller hands in an unmaterialized candidate+verify plan (measured 2.9 s
+    of the 6.7 s dedup_pipeline_portable wall)."""
+    both = F.explode(
+        F.array(
+            F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+            F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+        )
+    )
+    edges = (
+        pairs.select(both.alias("_e"))
+        .select(F.col("_e.src").alias("src"), F.col("_e.dst").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -106,8 +144,21 @@ def connected_components_star(
     def _sym(e: DataFrame) -> DataFrame:
         # neighborhoods must be computed over UNDIRECTED edges each round —
         # operating on the directed emission of the previous round hits
-        # non-star fixed points (observed on path graphs)
-        return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        # non-star fixed points (observed on path graphs).  One pass over
+        # ``e`` (explode of both directions), not union-of-two-selects: the
+        # inner large-star emission is unmaterialized, so a second reference
+        # would re-run that whole subtree.
+        both = F.explode(
+            F.array(
+                F.struct(F.col("u").alias("u"), F.col("v").alias("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        )
+        return (
+            e.select(both.alias("_e"))
+            .select(F.col("_e.u").alias("u"), F.col("_e.v").alias("v"))
+            .distinct()
+        )
 
     def _star(e: DataFrame, large: bool) -> DataFrame:
         s = _sym(e)
@@ -335,12 +386,7 @@ def triangle_count(
       triangle has exactly one minimal vertex), verified by
       tests/test_operators.py::test_triangle_orientations_agree.
     """
-    und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    und = _symmetrize(edges, src, dst)
     if orient == "degree":
         deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("_deg"))
         dega = deg.select("a", F.col("_deg").alias("_dega"))
@@ -539,12 +585,7 @@ def kcore_peel(
     discipline).  Undirected input expected as symmetric pairs; pass each
     edge once and it is symmetrized here.
     """
-    e = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    e = _symmetrize(edges, src, dst)
     for _ in range(rounds):
         deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("_d"))
         keep = deg.where(F.col("_d") >= k).select("a")
@@ -648,13 +689,7 @@ def common_neighbor_scores(
     with a documented recall tradeoff, while degrees/Jaccard still count
     the full graph.  Exact integers; Jaccard rounded once.
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    sym = _symmetrize(edges, src, dst).localCheckpoint(eager=False)
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("_deg"))
     mids = sym.select(F.col("b").alias("m"), F.col("a").alias("n"))
     if max_middle_degree is not None:
@@ -1052,13 +1087,7 @@ def adamic_adar_scores(
     (u, v, common, aa_score, ra_score) for non-adjacent pairs with
     ≥ ``min_common`` shared neighbors.
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    sym = _symmetrize(edges, src, dst).localCheckpoint(eager=False)
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("_deg"))
     mids = sym.select(F.col("b").alias("m"), F.col("a").alias("n"))
     if max_middle_degree is not None:
@@ -1079,20 +1108,27 @@ def adamic_adar_scores(
             F.col("_mdeg"),
         )
     )
-    pairs = wedges.groupBy("u", "v").agg(
-        F.count(F.lit(1)).alias("common"),
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct(F.col("m"), F.col("_mdeg")))),
-            F.lit(0.0),
-            lambda acc, s: acc
-            + F.lit(1.0) / F.log(s.getField("_mdeg").cast("double")),
-        ).alias("_aa"),
-        F.aggregate(
-            F.array_sort(F.collect_list(F.struct(F.col("m"), F.col("_mdeg")))),
-            F.lit(0.0),
-            lambda acc, s: acc + F.lit(1.0) / s.getField("_mdeg").cast("double"),
-        ).alias("_ra"),
-    ).where(F.col("common") >= min_common)
+    # ONE sorted collect feeds BOTH weight folds (struct accumulator — the
+    # bcubed_eval pattern): two collect_list aggregates of the same struct
+    # doubled the heaviest single-task step.  Per-field addition order is
+    # exactly the sorted-middle order either way, so the doubles match.
+    both_folds = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("m"), F.col("_mdeg")))),
+        F.struct(F.lit(0.0).alias("aa"), F.lit(0.0).alias("ra")),
+        lambda acc, s: F.struct(
+            (acc.getField("aa") + F.lit(1.0) / F.log(s.getField("_mdeg").cast("double"))).alias("aa"),
+            (acc.getField("ra") + F.lit(1.0) / s.getField("_mdeg").cast("double")).alias("ra"),
+        ),
+    )
+    pairs = (
+        wedges.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"), both_folds.alias("_w"))
+        .select(
+            "u", "v", "common",
+            F.col("_w.aa").alias("_aa"), F.col("_w.ra").alias("_ra"),
+        )
+        .where(F.col("common") >= min_common)
+    )
     existing = sym.where(F.col("a") < F.col("b")).select(
         F.col("a").alias("u"), F.col("b").alias("v")
     )
@@ -1317,12 +1353,7 @@ def local_clustering_coefficient(
 
     Returns (node, degree, triangles, clustering).
     """
-    und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
+    und = _symmetrize(edges, src, dst)
     deg = und.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
