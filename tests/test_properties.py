@@ -15,6 +15,8 @@ Examples are deliberately small (Spark job per example is the cost), with
 
 from __future__ import annotations
 
+import math
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -940,7 +942,12 @@ def test_embedding_anisotropy_bounded(spark, vecs):
         "vec_id long, embedding array<float>",
     )
     r = embedding_anisotropy(df).collect()[0]
-    if r.avg_norm2 == 0.0:
+    # mirror the operator's REAL zero-guard (Σq² over floor(x·s+0.5)
+    # quanta), not the rounded display value: a vector of ~1e-5 components
+    # quantizes nonzero yet rounds avg_norm2 to 0.000000 while anisotropy
+    # is still the legitimate unrounded ratio in [0, 1]
+    q2 = sum(math.floor(float(x) * 1e6 + 0.5) ** 2 for v in vecs for x in v)
+    if q2 == 0:
         assert r.anisotropy is None or r.anisotropy != r.anisotropy or r.anisotropy == 0.0
     else:
         assert -1e-9 <= r.anisotropy <= 1.0 + 1e-6
