@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from area_etl_spark.operators.expressions import bind_once, materialize
 from area_etl_spark.operators.text_analysis import normalize_tokens
 
 
@@ -54,18 +55,18 @@ def nb_train(
     """
     base = docs.where(F.col(label_col).isNotNull()).select(
         F.col(label_col).alias("label"), normalize_tokens(F.col(text_col)).alias("_toks")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     token_counts = (
         base.select("label", F.explode("_toks").alias("token"))
         .where(F.col("token") != "")
         .groupBy("label", "token")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     class_stats = base.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(F.filter(F.col("_toks"), lambda t: t != ""))).alias("n_tokens"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     return token_counts, class_stats
 
 
@@ -157,8 +158,6 @@ def char_ngram_text(col: "F.Column | str", n: int = 3) -> "F.Column":
     Documents shorter than ``n`` chars become their whole string as one
     gram (empty text → the empty gram, which the NB token filter drops).
     Pure Column HOFs — no explode, no Python."""
-    from area_etl_spark.operators.dedup import bind_once
-
     raw = F.col(col) if isinstance(col, str) else col
     # bind the normalized string once: the substr lambda would otherwise
     # re-run the lower+regexp_replace per character position (bind_once)

@@ -33,6 +33,11 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# bind_once's definition (and the HOF captured-expression rationale) lives in
+# operators.expressions; re-exported here because this module is where the
+# idiom originated and external callers import it as dedup.bind_once.
+from area_etl_spark.operators.expressions import bind_once, materialize  # noqa: F401
+
 # Mersenne prime 2^31-1: (a * x + b) with a, b, x < 2^31 stays within a
 # signed 64-bit long, so the hash family never overflows under ANSI mode.
 _MERSENNE31 = (1 << 31) - 1
@@ -59,21 +64,6 @@ def normalize_tokens(text_col: str | Column) -> Column:
     """Lowercased whitespace tokens of a document (shared by all dedup ops)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.split(F.trim(F.lower(c)), r"\s+")
-
-
-def bind_once(expr: Column, fn) -> Column:
-    """Evaluate ``expr`` ONCE per row and hand the bound value to ``fn``.
-
-    A higher-order-function lambda that CAPTURES a computed expression
-    re-evaluates that expression per element — interpreted HOF evaluation
-    has no common-subexpression elimination, so e.g. a shingle transform
-    whose lambda slices ``split(trim(lower(text)))`` re-runs the full
-    tokenize once per shingle (measured 4.5× on the corpus scan).  Wrapping
-    the expression as the single element of an outer ``transform`` binds it
-    to a lambda VARIABLE: one evaluation, then every inner reference is a
-    cheap bound read.  Pure expression rewrite — values are identical.
-    """
-    return F.element_at(F.transform(F.array(expr), fn), 1)
 
 
 def shingles(tokens: Column, k: int = 3) -> Column:
@@ -280,7 +270,7 @@ def minhash_lsh_pairs(
     # each re-run the signature fold (+ the guard window) — the broadcast
     # side's exchange is not reused against the stream side's (measured: two
     # full fold+window subtrees in the physical plan)
-    banded = banded.localCheckpoint(eager=True)
+    banded = banded.transform(materialize)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -356,7 +346,7 @@ def minhash_lsh_pairs_portable(
     )
     banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bd")).select(
         id_col, F.col("bd.band_id").alias("band_id"), F.col("bd.band_hash").alias("band_hash")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     # materialized once: both self-join sides read the banded table back
     # instead of each re-running the md5 signature aggregate (the heaviest
     # stage of the portable path — 16 digests per shingle)
@@ -480,7 +470,7 @@ def ngram_jaccard_pairs(
     sets_df = df.select(
         F.col(id_col),
         F.array_distinct(shingles(normalize_tokens(text_col), n)).alias("grams"),
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     j = (
         candidates.join(sets_df.withColumnRenamed(id_col, "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
         .join(sets_df.withColumnRenamed(id_col, "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
@@ -956,7 +946,7 @@ def containment_blocked(
     sets_df = base.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(shingles(normalize_tokens(text_col), n)).alias("_grams"),
-    ).where(F.size("_grams") > 0).localCheckpoint(eager=True)
+    ).where(F.size("_grams") > 0).transform(materialize)
     cand = _containment_prefix_candidates(sets_df, threshold)
     a_side = sets_df.select(
         F.col("_id").alias("_ida"),
@@ -1145,7 +1135,7 @@ def bcubed_eval(
     cells = (
         base.groupBy("_p", "_t")
         .agg(F.count(F.lit(1)).alias("_npt"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     psz = cells.groupBy("_p").agg(F.sum("_npt").alias("_np"))
     tsz = cells.groupBy("_t").agg(F.sum("_npt").alias("_nt"))

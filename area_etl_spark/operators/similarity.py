@@ -41,6 +41,9 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# aliased: train_kmeans_codebook has a `materialize` keyword of its own
+from area_etl_spark.operators.expressions import materialize as _materialize
+
 
 def _lit_array(data) -> Column:
     """A (possibly nested) array<…<double>> literal in ONE parse call.
@@ -276,7 +279,7 @@ def train_kmeans_codebook(
         src = df.select(F.col(id_col), F.col(vec_col))
         if parallelism:
             src = src.repartition(parallelism, F.col(id_col))
-        df = src.localCheckpoint(eager=True)
+        df = src.transform(_materialize)
     cents = [
         (r[0], [float(x) for x in r[1]])
         for r in df.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
@@ -407,7 +410,7 @@ def embedding_near_dup_pairs(
             )
             for t in range(num_tables)
         ],
-    ).localCheckpoint(eager=True)
+    ).transform(_materialize)
     cands: DataFrame | None = None
     for t in range(num_tables):
         bucketed = sigs.select(F.col(id_col), F.col(f"_bkt{t}").alias("bucket"))
@@ -965,11 +968,11 @@ def semdedup_prune(
     src = df.select(F.col(id_col), F.col(vec_col))
     if parallelism:
         src = src.repartition(parallelism, F.col(id_col))
-    src = src.localCheckpoint(eager=True)
+    src = src.transform(_materialize)
     cents = train_kmeans_codebook(
         src, k=k, iters=iters, vec_col=vec_col, id_col=id_col, materialize=False
     )
-    assigned = assign_ivf_buckets(src, cents, vec_col, id_col).localCheckpoint(eager=True)
+    assigned = assign_ivf_buckets(src, cents, vec_col, id_col).transform(_materialize)
     a = assigned.select(
         F.col(id_col).alias("_ida"),
         F.col(vec_col).alias("_va"),

@@ -15,6 +15,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from area_etl_spark.operators.dedup import normalize_tokens
+from area_etl_spark.operators.expressions import bind_once, materialize
 
 # Tiny per-language stopword anchors for the n-gram/stopword heuristic.
 # Deliberately small: language ID at corpus scale is a lookup-join against a
@@ -278,8 +279,6 @@ def luhn_checksum_valid(digits: Column) -> Column:
     candidate inside ``redact_card_numbers``'s filter) would re-evaluate
     per reference — measured 11.3 s → 1.4 s on the card-scan query.
     """
-    from area_etl_spark.operators.dedup import bind_once
-
     def _fold(d: Column) -> Column:
         n = F.length(d)
         total = F.aggregate(
@@ -313,8 +312,6 @@ def partita_iva_valid(digits: Column) -> Column:
     The input expression is bound once per evaluation (``bind_once``) —
     the fold references it ~3× per position (the luhn lesson).
     """
-    from area_etl_spark.operators.dedup import bind_once
-
     def _fold(d: Column) -> Column:
         total = F.aggregate(
             F.sequence(F.lit(1), F.lit(10)),
@@ -354,8 +351,6 @@ def iban_checksum_valid(iban_col: str | Column) -> Column:
     The SQL oracle deliberately keeps the per-CHARACTER remainder fold —
     an independent evaluation order proving the same residue.
     """
-    from area_etl_spark.operators.dedup import bind_once
-
     raw = F.col(iban_col) if isinstance(iban_col, str) else iban_col
 
     # bind the normalized string, then the padded digit expansion: the
@@ -488,8 +483,6 @@ def codice_fiscale_check_index(cf15: Column) -> Column:
     reference them 8/7 times, and in an interpreted HOF context (the
     redactor's filter) there is no codegen subexpression elimination, so
     an unbound translate would re-run per term."""
-    from area_etl_spark.operators.dedup import bind_once
-
     def _with_odd(t_odd: Column) -> Column:
         def _with_even(t_even: Column) -> Column:
             terms = []
@@ -519,8 +512,6 @@ def codice_fiscale_valid(cf_col: str | Column) -> Column:
     whitespace-trimmed first (the printed convention).  ONE integer HOF
     fold, no Python, codegen-resident.
     """
-    from area_etl_spark.operators.dedup import bind_once
-
     raw = F.col(cf_col) if isinstance(cf_col, str) else cf_col
 
     # bind the normalized string once: the shape test, both translate
@@ -715,8 +706,6 @@ def bigram_lm_score(
     unlike a collect-the-model design, the LM lives in a DataFrame, so a
     100 TB corpus with a 100 M-row bigram vocab still works.
     """
-    from area_etl_spark.operators.dedup import bind_once
-
     bg = bind_once(
         normalize_tokens(F.col(text_col)),
         lambda toks: F.when(
@@ -740,12 +729,12 @@ def bigram_lm_score(
     pairs = (
         df.select(F.col(id_col), F.explode(bg).alias("_bg"))
         .select(F.col(id_col), F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     model = (
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     prefix = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
     scored = (
@@ -1394,8 +1383,6 @@ def kneser_ney_bigram(
     deterministic cut.  Σ_{w2} P_KN(w2|w1) = 1 exactly (the interpolation
     identity), pinned by the unit test.
     """
-    from area_etl_spark.operators.dedup import bind_once
-
     bg = bind_once(
         normalize_tokens(F.col(text_col)),
         lambda toks: F.when(
@@ -1419,7 +1406,7 @@ def kneser_ney_bigram(
     m = (
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     left = m.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
@@ -1471,8 +1458,6 @@ def novelty_score(
     NULL novelty.  Two shuffles on the shingle hash — the dedup-family
     scale shape.
     """
-    from area_etl_spark.operators.dedup import bind_once
-
     grams = bind_once(
         normalize_tokens(F.col(text_col)),
         lambda toks: F.when(
@@ -1730,8 +1715,6 @@ def kn_perplexity(
     bigram: (doc_id, n_bigrams, n_unseen, avg_logprob, perplexity) where
     perplexity = exp(−avg_logprob).
     """
-    from area_etl_spark.operators.dedup import bind_once
-
     toks_t = normalize_tokens(F.col(text_col))
 
     def _bigrams(df: DataFrame, with_pos: bool) -> DataFrame:
@@ -1768,7 +1751,7 @@ def kn_perplexity(
         _bigrams(train_df, False)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     left = m.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
